@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data pipelines: exact, n-gram
+ * Jaccard, MinHash+LSH, SimHash.
+ *
+ * Scale design:
+ *  - exact dedup is a single hash-aggregate on the md5 fingerprint —
+ *    shuffles 16-byte keys, not documents.
+ *  - near-dup candidate generation NEVER does an all-pairs crossJoin:
+ *    candidates come from an equi-join on a blocking key (a shared
+ *    shingle, an LSH band bucket, a SimHash block), which Spark executes
+ *    as a shuffled hash join on the key — all-pairs work only happens
+ *    inside a bucket, and hot buckets are bounded (frequent shingles
+ *    dropped as blocking keys).
+ */
+object Dedup {
+
+  /**
+   * Exact dedup: keep the lowest-id document per identical normalized
+   * content. Hash-groupBy on the 128-bit fingerprint (one shuffle of ids +
+   * hashes only).
+   */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("fp", TextFunctions.fingerprint(col(textCol)))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("copies"))
+
+  /**
+   * N-gram Jaccard near-duplicate pairs: generate (shingle → doc)
+   * postings, equi-join on shingle to get candidate pairs, then compute
+   * the exact Jaccard |A∩B| / (|A|+|B|−|A∩B|) from the co-occurrence
+   * count. Shingles occurring in more than `maxShingleFreq` docs are
+   * dropped as blocking keys (they explode candidate pairs while carrying
+   * no discriminative signal — standard posting-list pruning).
+   */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+      maxShingleFreq: Int = 1000, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"),
+        array_distinct(TextFunctions.shingles(col(textCol), n)).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") > 0)
+    val posting = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    val pruned = posting
+      .withColumn("_freq", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("_freq") <= maxShingleFreq)
+    val a = pruned.select(col("s"), col("id").as("id_a"), col("n_sh").as("n_a"))
+    val b = pruned.select(col("s"), col("id").as("id_b"), col("n_sh").as("n_b"))
+    a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /**
+   * MinHash signature: k permutation-style hash slots, each
+   * min over shingles of ((a_i·h + b_i) mod p), h = a 32-bit shingle hash.
+   * Deterministic seeds; p = 2^31−1 (classic universal hashing).
+   */
+  def minhashSignature(shingleArr: Column, k: Int): Column = {
+    val p = 2147483647L
+    val hashes = (0 until k).map { i =>
+      val a = 1L + 2L * i // odd multipliers
+      val b = 97L + 31L * i
+      array_min(transform(shingleArr,
+        s => pmod(lit(a) * crc32(s.cast("binary")) + lit(b), lit(p))))
+    }
+    array(hashes: _*)
+  }
+
+  /**
+   * MinHash + LSH near-duplicate pairs: k-slot signatures banded into
+   * `bands` groups of k/bands rows; docs sharing any band bucket become
+   * candidates (equi-join on the band hash — the classic banding scheme);
+   * candidates are verified with exact Jaccard before emission, so output
+   * = true near-dup pairs discovered at LSH cost.
+   */
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rowsPerBand = k / bands
+    val sh = docs
+      .select(col(idCol).as("id"),
+        array_distinct(TextFunctions.shingles(col(textCol), n)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), k))
+    val banded = sh.select(col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        bnd => concat_ws(",", slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val cands = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
+    cands
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /**
+   * 64-bit SimHash over tokens: sign-aggregate each bit of the token
+   * hashes weighted by occurrence. Implemented as explode + groupBy over
+   * (doc, bit) — pure aggregations, no UDF state.
+   */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bits = toks.select(col("id"),
+      explode(sequence(lit(0), lit(63))).as("bit"), col("h"))
+      .withColumn("sign",
+        when(expr("(shiftright(h, cast(bit as int)) & 1) = 1"), 1).otherwise(-1))
+      .groupBy("id", "bit").agg(sum("sign").as("s"))
+    bits
+      .withColumn("bitval",
+        when(col("s") > 0, expr("shiftleft(cast(1 as bigint), cast(bit as int))")).otherwise(0L))
+      .groupBy("id").agg(sum("bitval").as("simhash"))
+  }
+
+  /**
+   * SimHash near-dup pairs with Hamming distance ≤ maxDist, blocked on
+   * 16-bit chunks (pigeonhole: any pair within distance 3 shares at least
+   * one of 4 chunks) — equi-join on chunk value, verify with bit_count.
+   */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = simhash(docs, idCol, textCol)
+    val chunked = sh.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "v")
+    val a = chunked.select(col("chunk"), col("v"), col("id").as("id_a"), col("simhash").as("h_a"))
+    val b = chunked.select(col("chunk"), col("v"), col("id").as("id_b"), col("simhash").as("h_b"))
+    a.join(b, Seq("chunk", "v")).filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("dist", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+}

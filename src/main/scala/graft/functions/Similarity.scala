@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over embedding columns (`Array[Float]`).
+ *
+ * - Brute-force cosine top-k: the exact baseline. The (small) query set is
+ *   broadcast; the corpus is scanned once; dot products run inside codegen
+ *   via `aggregate`/`zip_with`; top-k per query via a rank window over
+ *   (query, score) — shuffles only (query_id, vec_id, score) triples,
+ *   never the vectors.
+ * - LSH-bucketed ANN (random hyperplanes): the scale path. Each vector
+ *   maps to a signature of sign bits against `nPlanes` deterministic
+ *   pseudo-random hyperplanes; candidates are an equi-join on the
+ *   signature (optionally multi-probe via several tables), scored exactly
+ *   within buckets. 100 TB: bucketing turns O(N·Q) into O(Q·bucket).
+ */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, in codegen. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+    val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))
+    when(na > 0 && nb > 0, dot / (na * nb)).otherwise(lit(0.0))
+  }
+
+  /**
+   * Exact brute-force top-k: for each query vector, the k nearest corpus
+   * vectors by cosine. `queries` is expected to be small (it is broadcast).
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("score"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component: a reproducible
+   *  hash-derived value in [-0.5, 0.5) for (plane, dim). */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (pmod(xxhash64(lit(plane), dim), lit(1000000L)).cast("double") / 1000000.0) - 0.5
+
+  /** Sign-bit signature against nPlanes hyperplanes. */
+  def lshSignature(vec: Column, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val dot = aggregate(zip_with(vec,
+        sequence(lit(0), size(vec) - 1),
+        (v, i) => v * planeComponent(p, i)), lit(0.0d), (acc, v) => acc + v)
+      when(dot >= 0, lit(1)).otherwise(lit(0))
+    }
+    concat_ws("", bits.map(_.cast("string")): _*)
+  }
+
+  /**
+   * ANN via hyperplane LSH: bucket corpus and queries by signature,
+   * equi-join buckets, exact-score within, top-k per query. Approximate:
+   * recall depends on nPlanes (fewer planes → bigger buckets → higher
+   * recall, more work).
+   */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+      .withColumn("sig", lshSignature(col("cv"), nPlanes))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("sig", lshSignature(col("qv"), nPlanes)))
+    val scored = c.join(q, Seq("sig"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("score"), col("rank"))
+  }
+
+  /**
+   * Embedding-cosine near-duplicate pairs above a threshold, blocked by
+   * LSH signature (same hyperplane trick; near-identical vectors land in
+   * the same bucket with high probability).
+   */
+  def cosineNearDupPairs(vectors: DataFrame, threshold: Double = 0.99, nPlanes: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("sig", lshSignature(col("v"), nPlanes))
+    val a = v.select(col("sig"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = v.select(col("sig"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("sig")).filter(col("id_a") < col("id_b"))
+      .withColumn("score", round(cosine(col("v_a"), col("v_b")), 6))
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), col("score"))
+  }
+}

@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines
+ * (builder-prompt extension beyond the reference surface): tokenization,
+ * token counting, language ID, quality scoring, document fingerprinting.
+ *
+ * Everything is built from codegen'd `org.apache.spark.sql.functions`
+ * (no UDFs): at 100 TB these run as pure map stages inside whole-stage
+ * codegen with zero shuffles.
+ */
+object TextFunctions {
+
+  /** Lower-cased alphanumeric-run tokens (a BPE-ish pre-tokenizer regex;
+   *  kept RE2-compatible so external engines can replicate it). */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** Token count under the regex tokenizer. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Whitespace-delimited word count. */
+  def wordCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** Collapse whitespace + lowercase — canonical form for hashing. */
+  def normalize(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Deterministic 128-bit document fingerprint (md5 of the normalized
+   *  text) — the exact-dedup / caching key. */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Word n-gram shingles: contiguous n-token windows joined by spaces.
+   *  `transform(sequence(...))` keeps it inside codegen; empty when the
+   *  document has fewer than n tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  // --- language ID (n-gram/stopword heuristic) ---
+
+  /** Small high-frequency function-word dictionaries per language. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "pour", "dans", "que", "des"),
+    "es" -> Seq("el", "la", "los", "y", "es", "una", "por", "con", "para", "del"))
+
+  /** Per-language stopword hit count. */
+  def langHits(text: Column, lang: String): Column = {
+    val dict = stopwords(lang)
+    size(filter(tokens(text), t => t.isin(dict.map(lit): _*).cast("boolean")))
+  }
+
+  /** Argmax language by stopword hits, ties broken by the fixed en>de>fr>es
+   *  order, `und` (undetermined) when nothing hits. */
+  def langId(text: Column): Column = {
+    val langs = Seq("en", "de", "fr", "es")
+    val hits = langs.map(l => langHits(text, l))
+    val best = greatest(hits: _*)
+    langs.zip(hits).foldRight(lit("und"): Column) { case ((l, h), acc) =>
+      when(h === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  // --- quality scoring ---
+
+  /** Ratio of stopword tokens (any language) to all tokens. */
+  def stopwordRatio(text: Column): Column = {
+    val all = stopwords.values.flatten.toSeq.distinct
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      size(filter(toks, t => t.isin(all.map(lit): _*).cast("boolean")))
+        .cast("double") / size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /** Punctuation characters per character. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[.,;:!?'\"()\\[\\]{}-]", "")))
+        .cast("double") / length(text))
+      .otherwise(lit(0.0))
+
+  /** Digit characters per character. */
+  def digitRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("double") / length(text))
+      .otherwise(lit(0.0))
+
+  /** Mean token length. */
+  def meanWordLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /**
+   * Composite quality score in [0,1]: favors mid-length documents with
+   * word-like tokens and some function words, penalizes punctuation/digit
+   * noise. Deterministic closed form (length/punct/stopword ratios) so any
+   * SQL engine can replicate it bit-for-bit.
+   */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val wordLen = meanWordLength(text)
+    val wordLenScore = when(wordLen.between(3.0, 10.0), 1.0).otherwise(0.5)
+    val sw = stopwordRatio(text)
+    val swScore = least(sw * 5.0, lit(1.0))
+    val punctPenalty = least(punctRatio(text) * 5.0, lit(1.0))
+    val digitPenalty = least(digitRatio(text) * 5.0, lit(1.0))
+    round(lenScore * 0.3 + wordLenScore * 0.2 + swScore * 0.2 +
+      (lit(1.0) - punctPenalty) * 0.15 + (lit(1.0) - digitPenalty) * 0.15, 6)
+  }
+
+  /** Polynomial rolling hash of the token stream (Rabin-Karp style,
+   *  base 31, mod 2^61-1) — an order-sensitive content fingerprint. */
+  def rollingHash(text: Column): Column = {
+    val mod = 2305843009213693951L // 2^61-1
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * 31 + crc32(t.cast("binary")).cast("long"), lit(mod)))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.meta
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Device-metadata enrichment dimension
+ * (reference: src/metadata/interface.go:7-20, file_store.go:33-47,
+ * vinc_store.go:34-61; applied at process.go:141-146).
+ *
+ * The reference looks each message's topic up in an in-memory map after
+ * normalizing it (stripping the `pt:j1/mt:evt` / `pt:j1/mt:cmd` envelope
+ * prefix). At Spark scale the same thing is a BROADCAST left join of the
+ * (tiny — one row per device) dimension onto the event stream: no shuffle
+ * of the 100 TB fact side, metadata miss tolerated as nulls.
+ */
+object MetadataStore {
+
+  /** Topic → normalized service address (vinc_store.go:37-39). */
+  def normalizeTopic(topic: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(topic, "^pt:j1/mt:(evt|cmd)", "")
+
+  /** Load the file-store JSON format (file_store.go:16-27) as the dimension. */
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", true).json(path)
+      .select(
+        col("Address").as("address"),
+        col("DeviceID").cast("int").as("device_id"),
+        col("LocationID").cast("int").as("location_id"),
+        col("DeviceType").as("device_type"))
+
+  /**
+   * Enrich events with dev_id / location_id / dev_type string tags
+   * (getDefaultTags seeding, transform.go:353-371: ints rendered as
+   * strings, absent metadata → empty handled downstream).
+   */
+  def enrich(events: DataFrame, metadata: DataFrame): DataFrame = {
+    val dim = broadcast(metadata.select(
+      col("address"),
+      col("device_id").cast("string").as("dev_id"),
+      col("location_id").cast("string").as("location_id"),
+      col("device_type").as("dev_type")))
+    events
+      .withColumn("_addr", normalizeTopic(col("topic")))
+      .join(dim, col("_addr") === dim("address"), "left")
+      .drop("_addr", "address")
+  }
+
+  /**
+   * Device → group maps for post-query regrouping
+   * (reference: vinc_store.go:63-109 GetDevicesGroupedByLocation/Type;
+   * consumed by the dead qframe path, processing/data_frames.go:372-439).
+   * Returns (dev_id, group) pairs derived from the dimension.
+   */
+  def devicesGroupedBy(metadata: DataFrame, by: String): DataFrame = {
+    val groupCol = by match {
+      case "location" => col("location_id").cast("string")
+      case "type" => col("device_type")
+      case other => throw new IllegalArgumentException(s"unknown grouping: $other")
+    }
+    metadata.select(col("device_id").cast("string").as("dev_id"), groupCol.as("group"))
+  }
+}

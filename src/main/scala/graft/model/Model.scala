@@ -1,0 +1,143 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+
+/**
+ * Canonical data model for the engine.
+ *
+ * Mirrors the reference's model surface (reference: src/integration/tsdb/model.go:42-108)
+ * re-expressed as Spark schemas + plain config case classes.
+ */
+
+/** Message filter — config-driven predicate (reference: model.go:57-78). */
+final case class Filter(
+    id: Int,
+    name: String = "",
+    topic: String = "",
+    domain: String = "",
+    service: String = "",
+    msgType: String = "",
+    negation: Boolean = false,
+    linkedFilterBooleanOperation: String = "", // "and" | "or"
+    linkedFilterId: Int = 0,
+    isAtomic: Boolean = true,
+    tags: Map[String, String] = Map.empty,
+    measurementId: String = "",
+    inMemory: Boolean = false)
+
+/** Message selector — topic subscription (reference: model.go:51-55). */
+final case class Selector(id: Int, topic: String, inMemory: Boolean = false)
+
+/** Process configuration subset relevant to the engine (reference: model.go:81-108). */
+final case class ProcessConfig(
+    id: Int,
+    name: String = "",
+    batchMaxSize: Int = 1000,   // reference: process.go:447-448
+    saveIntervalMs: Long = 5000, // reference: process.go:444-446
+    filters: Seq[Filter] = Nil,
+    selectors: Seq[Selector] = Nil,
+    siteId: String = "",
+    profile: String = Tier.ProfileOptimized,
+    storagePath: String = "",
+    storageType: String = "parquet")
+
+/** Storage tier (≈ InfluxDB retention policy; reference: storage/influxdb_v1.go:45-58). */
+final case class Tier(name: String, retention: String, resolution: String)
+
+object Tier {
+  val ProfileOptimized = "optimized"
+  val ProfileSimple = "simple"
+  val ProfileRaw = "raw"
+
+  // reference: storage/influxdb_v1.go:45-58 (retention), 72-78 (CQ resolutions)
+  val GenRaw = Tier("gen_raw", "2 weeks", "")
+  val GenDay = Tier("gen_day", "2 weeks", "1 minute")
+  val GenWeek = Tier("gen_week", "12 weeks", "10 minutes")
+  val GenMonth = Tier("gen_month", "48 weeks", "1 hour")
+  val GenYear = Tier("gen_year", "240 weeks", "1 day")
+  val GenDefault = Tier("gen_default", "12 weeks", "")
+
+  val all: Seq[Tier] = Seq(GenRaw, GenDay, GenWeek, GenMonth, GenYear, GenDefault)
+  /** The downsampling cascade raw→day→week→month→year (reference: influxdb_v1.go:72-78). */
+  val cascade: Seq[(Tier, Tier)] =
+    Seq(GenRaw -> GenDay, GenDay -> GenWeek, GenWeek -> GenMonth, GenMonth -> GenYear)
+}
+
+/** Query request DTO (reference: src/api/types.go:8-21). */
+final case class DataPointsRequest(
+    measurement: String,
+    fieldName: String = "",
+    dataFunction: String = "",
+    transformFunction: String = "",
+    relativeTime: String = "",
+    fromTime: String = "",
+    toTime: String = "",
+    groupByTime: String = "",
+    groupByTag: String = "",
+    fillType: String = "",
+    filters: DataPointsFilter = DataPointsFilter())
+
+/** Tag/device/location filters (reference: storage/influxdb_v1.go:18-23). */
+final case class DataPointsFilter(
+    tags: Map[String, String] = Map.empty,
+    devices: Seq[String] = Nil,
+    locations: Seq[String] = Nil,
+    devTypes: Seq[String] = Nil)
+
+object Schemas {
+  /**
+   * Raw FIMP-style event envelope as a flat relational schema
+   * (reference: fimpgo message fields used at transform.go:26-336 + the MQTT topic).
+   * `val_json` carries the raw value payload; typed extraction happens in Transform.
+   */
+  val rawEvent: StructType = StructType(Seq(
+    StructField("topic", StringType),
+    StructField("serv", StringType),
+    StructField("msg_type", StringType),
+    StructField("val_t", StringType),
+    StructField("val_json", StringType),
+    StructField("props", MapType(StringType, StringType)),
+    StructField("src", StringType),
+    StructField("domain", StringType),
+    StructField("time", TimestampType)))
+
+  /**
+   * Canonical points table — the fixed 11-column CSV shape
+   * (reference: storage/csv.go:22) + measurement/series_id/agg_func and typed
+   * value variants (SURVEY.md §1.3). `bucket` is the storage-tier partition.
+   */
+  val points: StructType = StructType(Seq(
+    StructField("measurement", StringType),
+    StructField("time", TimestampType),
+    StructField("dev_id", StringType),
+    StructField("dev_type", StringType),
+    StructField("dir", StringType),
+    StructField("location_id", StringType),
+    StructField("service", StringType),
+    StructField("src", StringType),
+    StructField("topic", StringType),
+    StructField("value", DoubleType),
+    StructField("value_bool", BooleanType),
+    StructField("value_str", StringType),
+    StructField("unit", StringType),
+    StructField("series_id", StringType),
+    StructField("agg_func", StringType),
+    StructField("fields_json", StringType)))
+
+  /** Metadata dimension (reference: src/metadata/interface.go:7-12). */
+  val metadata: StructType = StructType(Seq(
+    StructField("address", StringType),
+    StructField("device_id", IntegerType),
+    StructField("location_id", IntegerType),
+    StructField("device_type", StringType)))
+}
+
+/** Aggregation-intent names carried per point (reference: processing/agreggator.go:12-19). */
+object AggFunc {
+  val Mean = "mean"
+  val Last = "last"
+  val Min = "min"
+  val Max = "max"
+  val Difference = "difference"
+  val Sum = "sum"
+}

@@ -1,0 +1,200 @@
+package graft.query
+
+import java.time.Instant
+
+import graft.model.{DataPointsRequest, DataPointsFilter, Tier}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * The data-point query planner — full `GetDataPoints` semantics
+ * (reference: src/integration/tsdb/storage/influxdb_v1.go:97-198),
+ * compiled to a declarative DataFrame plan instead of an InfluxQL string.
+ *
+ * Pipeline (mirroring the reference's steps):
+ *  defaults → tier selection (TierPolicy) → time predicate → tag filters →
+ *  one of four grouping shapes → aggregation function → gap fill →
+ *  transform-function wrap.
+ *
+ * Scale notes:
+ *  - measurement + time predicates are plain `filter`s on the scan —
+ *    Catalyst pushes them into parquet (partition pruning on the
+ *    measurement/date partitions of the tier tables, row-group skipping on
+ *    time), so a 1-hour query over 100 TB touches only its own partitions.
+ *  - the gap-fill spine is generated PER GROUP KEY via `explode(sequence)`
+ *    on the (small) distinct-groups side and joined back — never a
+ *    crossJoin of full ranges (SURVEY.md §7 risk (c)).
+ *  - time buckets are epoch-aligned longs, matching the reference's
+ *    epoch-seconds response precision (`influx.NewQuery(..., "s")`,
+ *    influxdb_v1.go:191).
+ *
+ * Intentional divergence: the reference's devices/locations/devTypes
+ * filters iterate Go slice INDICES, not values (bug, influxdb_v1.go:148-156);
+ * we implement the evident intent (`isin(values)`).
+ */
+object Planner {
+
+  /** Aggregation-function whitelist (open InfluxQL namespace in the
+   *  reference, influxdb_v1.go:167; docs exercise mean/count/last/sum). */
+  def aggColumn(fn: String, value: Column, time: Column): Column = fn match {
+    case "mean" => avg(value)
+    case "count" => count(value)
+    case "sum" => sum(value)
+    case "min" => min(value)
+    case "max" => max(value)
+    case "median" => percentile_approx(value, lit(0.5), lit(10000))
+    case "first" => min_by(value, time)
+    case "last" => max_by(value, time)
+    case "spread" => max(value) - min(value)
+    case other => throw new IllegalArgumentException(s"unsupported data_function: $other")
+  }
+
+  /** Scalar transform-function wrap (influxdb_v1.go:184-186; `abs` in docs,
+   *  `difference` per the commented energy query influxdb_v1.go:229-231). */
+  private def transformWrap(fn: String, df: DataFrame, partCols: Seq[String]): DataFrame =
+    fn match {
+      case "" => df
+      case "abs" => df.withColumn("value", abs(col("value")))
+      case "difference" =>
+        val w = Window.partitionBy(partCols.map(col): _*).orderBy(col("time"))
+        df.withColumn("value", col("value") - lag(col("value"), 1).over(w))
+      case other => throw new IllegalArgumentException(s"unsupported transform_function: $other")
+    }
+
+  /** Compile the tag/device/location/type filters (influxdb_v1.go:145-156). */
+  def filterColumn(f: DataPointsFilter): Column = {
+    var c: Column = lit(true)
+    f.tags.foreach { case (k, v) => c = c && (col(k) === v) }
+    if (f.devices.nonEmpty) c = c && col("dev_id").isin(f.devices: _*)
+    if (f.locations.nonEmpty) c = c && col("location_id").isin(f.locations: _*)
+    if (f.devTypes.nonEmpty) c = c && col("dev_type").isin(f.devTypes: _*)
+    c
+  }
+
+  /**
+   * Plan a data-points request over the tier tables.
+   *
+   * @param resolve tier → its points DataFrame (columns: measurement,
+   *                time: timestamp, value: double, plus tag columns)
+   * @param now     query-time "now" for relative windows (injected for
+   *                determinism; the reference uses wall clock)
+   * @return columns: `time` (epoch seconds, when time-visible), `value`,
+   *         plus the group-by tag column when requested.
+   */
+  def dataPoints(req: DataPointsRequest, resolve: Tier => DataFrame, now: Instant): DataFrame = {
+    // defaults (influxdb_v1.go:102-114)
+    val groupByTime = if (req.groupByTime == "auto") "" else req.groupByTime
+    val fieldName = if (req.fieldName.isEmpty) "value" else req.fieldName
+    val dataFunction =
+      if ((req.groupByTag.nonEmpty || groupByTime.nonEmpty) && req.dataFunction.isEmpty) "mean"
+      else req.dataFunction
+    val fillType = if (req.fillType.isEmpty) "null" else req.fillType
+
+    val fromInstant: Option[Instant] =
+      if (req.fromTime.nonEmpty && req.toTime.nonEmpty) Some(Instant.parse(req.fromTime)) else None
+    val tier = TierPolicy.resolveQueryTier(req.measurement, Tier.ProfileOptimized,
+      fromInstant, req.relativeTime, groupByTime, dataFunction, now)
+
+    val base = resolve(tier)
+    val valueCol = col(fieldName).as("value")
+
+    // time predicate (influxdb_v1.go:119-139)
+    val (fromSec, toSec): (Long, Long) = fromInstant match {
+      case Some(from) => (from.getEpochSecond, Instant.parse(req.toTime).getEpochSecond)
+      case None =>
+        val mins = TierPolicy.relativeToMinutes(req.relativeTime)
+        (now.getEpochSecond - mins * 60, now.getEpochSecond)
+    }
+    val timePred = fromInstant match {
+      case Some(_) => unix_timestamp(col("time")).between(fromSec, toSec)
+      case None => unix_timestamp(col("time")) > fromSec
+    }
+
+    val filtered = base
+      .filter(col("measurement") === req.measurement)
+      .filter(timePred)
+      .filter(filterColumn(req.filters))
+      .withColumn("value", col(fieldName))
+
+    val bucketSec = TierPolicy.relativeToMinutes(groupByTime) * 60
+    val tag = req.groupByTag
+
+    val shaped: DataFrame =
+      if (groupByTime.isEmpty && tag.nonEmpty) {
+        // GROUP BY tag only: raw points echoed per tag (influxdb_v1.go:160-162)
+        filtered.select(unix_timestamp(col("time")).as("time"), col("value"), col(tag))
+      } else if (groupByTime.nonEmpty) {
+        // GROUP BY time(X) [, tag] (influxdb_v1.go:163-171)
+        val bucket = (floor(unix_timestamp(col("time")) / bucketSec) * bucketSec).as("time")
+        val keys = if (tag.nonEmpty) Seq(col(tag)) else Nil
+        val agged = filtered
+          .groupBy(bucket +: keys: _*)
+          .agg(aggColumn(dataFunction, col("value"), col("time")).as("value"))
+        gapFill(agged, if (tag.nonEmpty) Seq(tag) else Nil, bucketSec, fromSec, toSec, fillType)
+      } else if (dataFunction.nonEmpty) {
+        // plain aggregate over the range (influxdb_v1.go:173-177)
+        filtered.agg(aggColumn(dataFunction, col("value"), col("time")).as("value"))
+      } else {
+        // raw points (influxdb_v1.go:178-183)
+        filtered.select(unix_timestamp(col("time")).as("time"), col("value"))
+      }
+
+    transformWrap(req.transformFunction, shaped,
+      if (tag.nonEmpty) Seq(tag) else Nil)
+  }
+
+  /**
+   * Gap fill over epoch-aligned buckets (InfluxQL FILL; influxdb_v1.go
+   * query templates; SURVEY.md A8). The spine is exploded per distinct
+   * group key — the expensive (fact) side is already aggregated down to
+   * one row per (bucket, key) before the join.
+   */
+  def gapFill(agged: DataFrame, tagCols: Seq[String], bucketSec: Long,
+      fromSec: Long, toSec: Long, fillType: String): DataFrame = {
+    if (fillType == "none") return agged.orderBy((tagCols :+ "time").map(col): _*)
+    val lo = Math.floorDiv(fromSec, bucketSec) * bucketSec
+    val hi = Math.floorDiv(toSec, bucketSec) * bucketSec
+    val spineCol = explode(sequence(lit(lo), lit(hi), lit(bucketSec))).as("time")
+    val spine =
+      if (tagCols.nonEmpty)
+        agged.select(tagCols.map(col): _*).distinct().select(col("*"), spineCol)
+      else
+        agged.sparkSession.range(1).select(spineCol)
+    val joined = spine.join(agged, tagCols :+ "time", "left")
+    val filled = fillType match {
+      case "null" => joined
+      case "previous" =>
+        val w = Window.partitionBy(tagCols.map(col): _*).orderBy(col("time"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        joined.withColumn("value", last(col("value"), ignoreNulls = true).over(w))
+      case lit_ =>
+        val v = try lit_.toDouble catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(s"unsupported fill type: $lit_")
+        }
+        joined.withColumn("value", coalesce(col("value"), lit(v)))
+    }
+    filled.select((tagCols :+ "time" :+ "value").map(col): _*)
+  }
+
+  /**
+   * Energy preset (reference: influxdb_v1.go:203-264 GetEnergyDataPoints):
+   * `sum(value)` over `gen_year.electricity_meter_energy_sampled`,
+   * GROUP BY time(X), tag, FILL(null); group_by_time validated against
+   * `^\d{1,2}[mhdw]$` else forced to 1h (regex at influxdb_v1.go:36).
+   */
+  def energyDataPoints(relativeTime: String, fromTime: String, toTime: String,
+      groupByTime: String, groupByTag: String, filters: DataPointsFilter,
+      resolve: Tier => DataFrame, now: Instant): DataFrame = {
+    val gbt = if (groupByTime != null && groupByTime.matches("^\\d{1,2}[mhdw]$")) groupByTime else "1h"
+    val req = DataPointsRequest(
+      measurement = "electricity_meter_energy_sampled",
+      dataFunction = "sum", relativeTime = relativeTime,
+      fromTime = fromTime, toTime = toTime,
+      groupByTime = gbt, groupByTag = groupByTag,
+      fillType = "null", filters = filters)
+    // tier is pinned to gen_year by the reference's SQL template
+    dataPoints(req, _ => resolve(Tier.GenYear), now)
+  }
+}

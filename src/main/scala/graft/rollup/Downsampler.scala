@@ -1,0 +1,55 @@
+package graft.rollup
+
+import graft.model.Tier
+import graft.query.TierPolicy
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Tiered downsampling cascade — the reference's InfluxDB continuous
+ * queries (SELECT mean of every field INTO the next tier, all
+ * measurements, GROUP BY time(res) and all tags; reference:
+ * src/integration/tsdb/storage/influxdb_v1.go:72-78,333-348)
+ * re-expressed as batch aggregations:
+ * raw→day @1m, day→week @10m, week→month @1h, month→year @1d.
+ *
+ * Design divergence (SURVEY.md P8): the rollup field keeps the name
+ * `value` in every tier instead of InfluxDB's cascading `mean_mean_*`
+ * artifact names, so `ResolveFieldFullName` becomes the identity.
+ *
+ * Scale: one shuffle per tier on (bucket, measurement, tags) — exactly the
+ * grouping the next tier is partitioned by, so a 100 TB raw tier reduces
+ * ~30× per hop and each hop's input is the (much smaller) previous rollup,
+ * never raw data re-scanned. Map-side partial aggregation applies since
+ * avg is algebraic.
+ */
+object Downsampler {
+
+  /** The tag identity of a series (CQ `GROUP BY *`; csv.go:22 column set). */
+  val defaultTagCols: Seq[String] =
+    Seq("dev_id", "dev_type", "dir", "location_id", "service", "src", "topic", "domain", "unit")
+
+  /**
+   * One downsampling hop: mean of `value` per epoch-aligned bucket per
+   * (measurement, tags). Buckets align to the epoch like InfluxDB
+   * `GROUP BY time(X)` and Spark's `window()`.
+   */
+  def downsample(points: DataFrame, resolutionMinutes: Long,
+      tagCols: Seq[String] = defaultTagCols): DataFrame = {
+    val sec = resolutionMinutes * 60
+    val present = tagCols.filter(points.columns.contains)
+    val bucket = timestamp_seconds(floor(unix_timestamp(col("time")) / sec) * sec).as("time")
+    points
+      .groupBy((Seq(col("measurement"), bucket) ++ present.map(col)): _*)
+      .agg(avg(col("value")).as("value"))
+  }
+
+  /** Materialize the full cascade from a raw-tier DataFrame; returns
+   *  tier-name → rollup DataFrame (reference cascade influxdb_v1.go:72-78). */
+  def cascade(raw: DataFrame, tagCols: Seq[String] = defaultTagCols): Map[String, DataFrame] = {
+    Tier.cascade.foldLeft(Map("gen_raw" -> raw)) { case (acc, (from, to)) =>
+      val res = TierPolicy.tierResolutionMinutes(to, Tier.ProfileOptimized)
+      acc + (to.name -> downsample(acc(from.name), res, tagCols))
+    }
+  }
+}

@@ -1,0 +1,132 @@
+package graft.store
+
+import java.time.Instant
+
+import graft.model.Tier
+import graft.query.TierPolicy
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Tiered columnar store — the engine's storage layer, replacing the
+ * reference's InfluxDB databases + retention policies
+ * (reference: src/integration/tsdb/storage/influxdb_v1.go:271-413,
+ * storage/ds.go:11-29).
+ *
+ * Layout: `<root>/<tier>/` parquet, partitioned by `measurement` and
+ * `date` (derived from `time`). At 100 TB this gives:
+ *  - partition pruning for measurement-equality + time-range queries
+ *    (every reference query has both);
+ *  - retention expiry = dropping whole date partitions, no rewrite;
+ *  - append-only micro-batches (the reference's batched writes,
+ *    process.go:366-428) land as new files without touching old ones.
+ */
+final class TierStore(spark: SparkSession, root: String) {
+
+  private def path(tier: String) = s"$root/$tier"
+
+  /** Append points into a tier (S3 batch write sink; process.go:290-337). */
+  def write(tier: Tier, points: DataFrame): Unit =
+    points
+      .withColumn("date", to_date(col("time")))
+      .repartition(col("measurement"), col("date"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("measurement", "date")
+      .parquet(path(tier.name))
+
+  /** Route each point to its write tier (mapping.go:146-168) and append. */
+  def writeRouted(points: DataFrame, profile: String = Tier.ProfileOptimized): Unit = {
+    val withTier = points.withColumn("_tier",
+      when(col("measurement") === "electricity_meter_energy_sampled" &&
+        lit(profile) === Tier.ProfileOptimized, Tier.GenYear.name)
+        .when(isHighFrequencyCol(col("measurement")), Tier.GenRaw.name)
+        .otherwise(Tier.GenDefault.name))
+    Tier.all.foreach { t =>
+      val part = withTier.filter(col("_tier") === t.name).drop("_tier")
+      if (!part.isEmpty) write(t, part)
+    }
+  }
+
+  /** Column-level high-frequency classifier (mapping.go:156-168) so routing
+   *  stays inside the plan instead of a driver-side loop per measurement. */
+  def isHighFrequencyCol(m: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (m.isin("electricity_meter_power", "electricity_meter_energy",
+      "electricity_meter_ext", "electricity_meter_energy_sampled") ||
+      m.contains("sensor_")) &&
+      !m.contains("sensor_presence") && !m.contains("sensor_contact")
+
+  /** Read a tier table (empty DataFrame with points schema if absent). */
+  def read(tier: Tier): DataFrame = {
+    val p = path(tier.name)
+    if (new java.io.File(p).exists()) spark.read.parquet(p)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.model.Schemas.points.add("date", org.apache.spark.sql.types.DateType))
+  }
+
+  /** SHOW MEASUREMENTS (S8; influxdb_v1.go:376-394) — partition listing,
+   *  no data scan. */
+  def measurements(tier: Tier): Seq[String] = {
+    val dir = new java.io.File(path(tier.name))
+    if (!dir.exists()) Nil
+    else dir.listFiles().filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("measurement=")).map(_.stripPrefix("measurement=")).sorted.toSeq
+  }
+
+  /** SHOW RETENTION POLICIES (S8; influxdb_v1.go:396-413). */
+  def retentionPolicies: Seq[Tier] = Tier.all
+
+  /**
+   * Retention expiry (S9 / influxdb_v1.go:300-331 retention policies):
+   * drop date partitions entirely outside the tier's retention window.
+   * Partition-granular delete — no data rewrite.
+   */
+  def expire(tier: Tier, now: Instant): Unit = {
+    val days = tier.retention match {
+      case "2 weeks" => 14L
+      case "12 weeks" => 84L
+      case "48 weeks" => 336L
+      case "240 weeks" => 1680L
+      case _ => Long.MaxValue
+    }
+    if (days == Long.MaxValue) return
+    val cutoff = java.time.LocalDate.ofInstant(now.minusSeconds(days * 86400), java.time.ZoneOffset.UTC)
+    val dir = new java.io.File(path(tier.name))
+    if (!dir.exists()) return
+    for {
+      mDir <- Option(dir.listFiles()).getOrElse(Array.empty) if mDir.isDirectory
+      dDir <- Option(mDir.listFiles()).getOrElse(Array.empty) if dDir.isDirectory
+      dateStr = dDir.getName.stripPrefix("date=")
+      if dDir.getName.startsWith("date=") &&
+        java.time.LocalDate.parse(dateStr).isBefore(cutoff)
+    } {
+      Option(dDir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      dDir.delete()
+    }
+  }
+
+  /** DROP MEASUREMENT (S9; influxdb_v1.go:363-373) — partition delete. */
+  def dropMeasurement(tier: Tier, measurement: String): Unit = {
+    val dir = new java.io.File(s"${path(tier.name)}/measurement=$measurement")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    if (dir.exists()) rm(dir)
+  }
+}
+
+object CsvSink {
+  /** Fixed 11-column CSV header (reference: storage/csv.go:22). */
+  val header: Seq[String] = Seq("name", "time", "dev_id", "dev_type", "dir",
+    "location_id", "service", "src", "topic", "value", "unit")
+
+  /** S5 CSV sink (storage/csv.go:26-113): append rows in the fixed shape. */
+  def write(points: DataFrame, dir: String): Unit =
+    points.select(
+      col("measurement").as("name"), col("time"), col("dev_id"), col("dev_type"),
+      col("dir"), col("location_id"), col("service"), col("src"), col("topic"),
+      coalesce(col("value").cast("string"), col("value_str"),
+        col("value_bool").cast("string")).as("value"),
+      col("unit"))
+      .write.mode(SaveMode.Append).option("header", true).csv(dir)
+}

@@ -1,0 +1,261 @@
+package graft.stream
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Streaming pre-aggregation — the reference's in-memory DataPointAggregator
+ * (reference: src/integration/tsdb/processing/agreggator.go) as Spark
+ * operators.
+ *
+ * Two stages, keyed by `series_id`:
+ *  - A1: every 30 s per series, mean/min/max/sum/last of the buffered
+ *    values, emitting ONLY when the value changed vs the previous emission
+ *    (agreggator.go:158-214, suppression at 203-207).
+ *  - A2: every 10 min (wall-clock aligned), the counter difference of
+ *    growing series — Σ max(vᵢ₊₁−vᵢ, 0) with meter-reset deltas skipped —
+ *    carrying the last value as the seed of the next window
+ *    (agreggator.go:217-305, core math 285-305), with zero/IQR-outlier
+ *    pre-filtering (311-340), 120-min staleness guard (236-241), the >100
+ *    sanity bound (261-264) and the hourly-accumulated profile time shift
+ *    (243-246, 307-310).
+ *
+ * Batch and streaming share the same per-series logic: the batch entry
+ * points shuffle once on series_id and run the sequential per-series fold
+ * inside `flatMapGroups` / window functions; the streaming entry point is
+ * `flatMapGroupsWithState` with the same fold and a processing-time
+ * timeout as the staleness guard. Scale: state is O(values per series per
+ * window) ≈ a few hundred doubles; series are hash-distributed across
+ * executors, so 10M series on 1000 executors is ~10k keys each.
+ */
+object Aggregator {
+
+  val StaleCutoffMinutes = 120L   // agreggator.go:236-241
+  val MaxHourlyEnergy = 100.0     // agreggator.go:261-264
+  val HourlyProfileDevType = "meter.main_elec" // process.go:158-162, metadata/interface.go:3-5
+
+  // ---------- pure per-series math (unit-vector parity, FIXTURES.md §6) ----------
+
+  /** Σ of non-negative consecutive deltas; negative delta = meter reset,
+   *  skipped (agreggator.go:285-305). [10,12,10,20,30] → 22. */
+  def calculateDifference(values: Seq[Double]): Double = {
+    if (values.length <= 1) return 0.0
+    values.iterator.sliding(2).withPartial(false).map { w =>
+      if (w(1) >= w(0)) w(1) - w(0) else 0.0
+    }.sum
+  }
+
+  /** Quartiles via the median-split (Tukey) method used by
+   *  montanaflynn/stats (agreggator.go:338-340). */
+  def quartiles(values: Seq[Double]): (Double, Double) = {
+    val s = values.sorted
+    val n = s.length
+    def median(xs: Seq[Double]): Double =
+      if (xs.isEmpty) 0.0
+      else if (xs.length % 2 == 1) xs(xs.length / 2)
+      else (xs(xs.length / 2 - 1) + xs(xs.length / 2)) / 2.0
+    val lower = s.take(n / 2)
+    val upper = s.takeRight(n / 2)
+    (median(lower), median(upper))
+  }
+
+  /** Extreme (outer-fence, 3×IQR) outliers (stats.QuartileOutliers).
+   *  [100,120,130,400,140,150] → {400}. */
+  def extremeOutliers(values: Seq[Double]): Set[Double] = {
+    if (values.length < 4) return Set.empty
+    val (q1, q3) = quartiles(values)
+    val iqr = q3 - q1
+    val (lo, hi) = (q1 - 3 * iqr, q3 + 3 * iqr)
+    values.filter(v => v < lo || v > hi).toSet
+  }
+
+  /** Drop zeros and extreme outliers (agreggator.go:311-340 filterSeries). */
+  def filterSeries(values: Seq[Double]): Seq[Double] = {
+    val out = extremeOutliers(values)
+    values.filter(v => v != 0.0 && !out.contains(v))
+  }
+
+  /** Previous hour at :59:00 (agreggator.go:307-310 adjustTimeByOneHour). */
+  def adjustTimeByOneHour(epochSec: Long): Long = {
+    val t = epochSec - 3600
+    t - (t % 3600) + 59 * 60
+  }
+
+  // ---------- batch forms ----------
+
+  /**
+   * A1 as a batch plan: tumbling `intervalSec` windows per series, the
+   * series' agg_func applied, change-suppressed vs the previous emission
+   * (first emission compares against 0 — the reference seeds Value=0 on
+   * first sight, agreggator.go:129-140). Emission time = window end
+   * (reference stamps the tick's wall clock, agreggator.go:196).
+   */
+  def aggregate(points: DataFrame, intervalSec: Long = 30): DataFrame = {
+    val bucket = floor(unix_timestamp(col("time")) / intervalSec) * intervalSec
+    val agged = points
+      .filter(col("agg_func").isin("mean", "min", "max", "sum", "last"))
+      .groupBy(col("series_id"), col("measurement"), col("agg_func"),
+        bucket.as("bucket"))
+      .agg(
+        avg("value").as("_mean"), min("value").as("_min"), max("value").as("_max"),
+        sum("value").as("_sum"), max_by(col("value"), col("time")).as("_last"))
+      .withColumn("value",
+        when(col("agg_func") === "mean", col("_mean"))
+          .when(col("agg_func") === "min", col("_min"))
+          .when(col("agg_func") === "max", col("_max"))
+          .when(col("agg_func") === "sum", col("_sum"))
+          .otherwise(col("_last")))
+    val w = Window.partitionBy(col("series_id")).orderBy(col("bucket"))
+    agged
+      .withColumn("_prev", coalesce(lag(col("value"), 1).over(w), lit(0.0)))
+      .filter(col("value") =!= col("_prev")) // agreggator.go:203-207
+      .select(col("series_id"), col("measurement"), col("agg_func"),
+        timestamp_seconds(col("bucket") + intervalSec).as("time"), col("value"))
+  }
+
+  private case class DiffIn(series_id: String, measurement: String,
+      time: Timestamp, value: Double, dev_type: String)
+  private case class DiffOut(series_id: String, measurement: String,
+      time: Timestamp, value: Double)
+
+  /**
+   * A2 as a batch plan: per series (one shuffle), fold the time-ordered
+   * values through the reference's 10-minute sampling loop.
+   */
+  def difference(points: DataFrame, samplingMinutes: Int = 10): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val in = points
+      .filter(col("agg_func") === "difference")
+      .select(col("series_id"), col("measurement"), col("time"),
+        col("value").cast("double").as("value"),
+        coalesce(col("dev_type"), lit("")).as("dev_type"))
+      .as[DiffIn]
+    in.groupByKey(_.series_id)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toVector.sortBy(_.time.getTime)
+        if (rows.isEmpty) Iterator.empty
+        else differenceSeries(rows, samplingMinutes * 60L).iterator
+      }
+      .toDF()
+  }
+
+  /** The per-series sampling loop shared by batch and streaming. */
+  private def differenceSeries(rows: Vector[DiffIn], sampleSec: Long): Vector[DiffOut] = {
+    val hourly = rows.last.dev_type == HourlyProfileDevType
+    val out = Vector.newBuilder[DiffOut]
+    var buffer = Vector.empty[Double]
+    var lastEmitted = 0.0
+    var lastSeen: Long = Long.MinValue
+    var windowEnd: Long = Math.floorDiv(rows.head.time.getTime / 1000, sampleSec) * sampleSec + sampleSec
+
+    def flush(tickSec: Long): Unit = {
+      if (buffer.nonEmpty) {
+        // staleness: if the newest buffered value is older than 120 min
+        // before the tick, discard (agreggator.go:236-241)
+        if (tickSec - lastSeen > StaleCutoffMinutes * 60) { buffer = Vector.empty; return }
+        val seed = buffer.last
+        val vals = if (hourly) buffer else filterSeries(buffer)
+        val result = calculateDifference(vals)
+        buffer = Vector(seed) // last element seeds the next window (agreggator.go:258)
+        val emitTime = if (hourly) adjustTimeByOneHour(tickSec) else tickSec
+        if (result <= MaxHourlyEnergy) {
+          val suppress = if (hourly) result == 0.0 else result == lastEmitted || result == 0.0
+          if (!suppress) {
+            lastEmitted = result
+            out += DiffOut(rows.head.series_id, rows.head.measurement,
+              new Timestamp(emitTime * 1000), result)
+          }
+        }
+      }
+    }
+
+    rows.foreach { r =>
+      val sec = r.time.getTime / 1000
+      while (sec >= windowEnd) { flush(windowEnd); windowEnd += sampleSec }
+      buffer :+= r.value
+      lastSeen = sec
+    }
+    flush(windowEnd)
+    out.result()
+  }
+
+  // ---------- streaming form ----------
+
+  case class SeriesState(buffer: Vector[Double], lastEmitted: Double,
+      lastSeenSec: Long, aggFunc: String, measurement: String, devType: String)
+  case class StreamIn(series_id: String, measurement: String, agg_func: String,
+      time: Timestamp, value: Double, dev_type: String)
+  case class StreamOut(series_id: String, measurement: String, time: Timestamp,
+      value: Double, agg_func: String)
+
+  /**
+   * Structured-Streaming form of A1+A2: per-series state with a
+   * processing-time timeout as the staleness guard. Each micro-batch tick
+   * (trigger = the 30 s aggregation interval) flushes the buffered values
+   * exactly like the reference's ticker goroutine.
+   */
+  def streaming(points: Dataset[StreamIn], samplingMinutes: Int = 10)
+      : Dataset[StreamOut] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points
+      .groupByKey(_.series_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        processSeries(samplingMinutes))
+  }
+
+  private def processSeries(samplingMinutes: Int)(
+      key: String, rows: Iterator[StreamIn], state: GroupState[SeriesState])
+      : Iterator[StreamOut] = {
+    val nowSec = System.currentTimeMillis() / 1000
+    val batch = rows.toVector.sortBy(_.time.getTime)
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val prev = state.getOption.getOrElse(
+      SeriesState(Vector.empty, 0.0, nowSec,
+        batch.headOption.map(_.agg_func).getOrElse("mean"),
+        batch.headOption.map(_.measurement).getOrElse(""),
+        batch.headOption.map(_.dev_type).getOrElse("")))
+    val buf0 =
+      if (prev.aggFunc == "last") batch.lastOption.map(r => Vector(r.value)).getOrElse(prev.buffer)
+      else prev.buffer ++ batch.map(_.value)
+    val out = Vector.newBuilder[StreamOut]
+    var lastEmitted = prev.lastEmitted
+    var buffer = buf0
+    if (buffer.nonEmpty) {
+      val hourly = prev.devType == HourlyProfileDevType
+      val isDiff = prev.aggFunc == "difference"
+      val tickAligned = !isDiff ||
+        (nowSec / 60) % samplingMinutes == 0 // agreggator.go:82 minute-mod alignment
+      if (tickAligned) {
+        val result = prev.aggFunc match {
+          case "mean" => buffer.sum / buffer.length
+          case "min" => buffer.min
+          case "max" => buffer.max
+          case "sum" => buffer.sum
+          case "last" => buffer.last
+          case "difference" =>
+            val vals = if (hourly) buffer else filterSeries(buffer)
+            calculateDifference(vals)
+        }
+        val seed = if (isDiff) Vector(buffer.last) else Vector.empty
+        buffer = seed
+        val okBound = !isDiff || result <= MaxHourlyEnergy
+        val changed = result != lastEmitted && (!isDiff || result != 0.0)
+        if (okBound && changed) {
+          lastEmitted = result
+          val emitSec = if (isDiff && hourly) adjustTimeByOneHour(nowSec) else nowSec
+          out += StreamOut(key, prev.measurement, new Timestamp(emitSec * 1000),
+            result, prev.aggFunc)
+        }
+      }
+    }
+    state.update(prev.copy(buffer = buffer, lastEmitted = lastEmitted, lastSeenSec = nowSec))
+    state.setTimeoutDuration(s"$StaleCutoffMinutes minutes")
+    out.result().iterator
+  }
+}
