@@ -1,13 +1,733 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.time.Instant
+
+import graft.functions.{Dedup, Similarity, TextFunctions}
+import graft.ingest.{FilterCompiler, TopicMatch, Transform}
+import graft.meta.MetadataStore
+import graft.model.{DataPointsFilter, DataPointsRequest, Filter}
+import graft.query.Planner
+import graft.rollup.Downsampler
+import graft.stream.Aggregator
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver contract: one query per implemented operator from SURVEY.md §2,
+ * bound to the deterministic testdata tables, each with a DuckDB oracle.
+ *
+ * Conventions for engine-parity (driver hashes values after sorting
+ * columns by name):
+ *  - time columns are epoch SECONDS as longs (the reference's response
+ *    precision: influx.NewQuery(..., "s"), influxdb_v1.go:191);
+ *  - floating-point aggregates are rounded to 6 decimals on both sides;
+ *  - all computed columns aliased identically in Spark and SQL.
+ */
 object SparkEntry {
+
+  /** Deterministic "now" for relative-time queries: just past the end of
+   *  the events table (2024-01-30), so relative windows cover it. */
+  val Now: Instant = Instant.parse("2024-02-01T00:00:00Z")
+  val NowSec: Long = Now.getEpochSecond // 1706745600
+
+  private def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
+   *  Spark 4 only reads via the nanosAsLong legacy conf; convert to
+   *  microsecond timestamps with integer division (a double division
+   *  would lose precision above 2^53). */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, dir, "events")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
+    raw.withColumn("ts", ts)
+  }
+
+  /**
+   * events → canonical points binding: measurement from event_type with a
+   * routing prefix ("sensor_" = high-frequency tiers, "app_" = gen_default),
+   * series per user, deterministic tag derivations.
+   */
+  private def points(spark: SparkSession, dir: String, prefix: String): DataFrame =
+    events(spark, dir).select(
+      concat(lit(prefix), col("event_type")).as("measurement"),
+      col("ts").as("time"),
+      col("value"),
+      col("user_id").cast("string").as("dev_id"),
+      (col("user_id") % 5).cast("string").as("location_id"),
+      when(col("user_id") % 7 === 0, "meter.main_elec").otherwise("sensor").as("dev_type"),
+      when(col("event_id") % 2 === 0, "import").otherwise("export").as("dir"),
+      concat(lit(prefix), col("event_type"), lit(";"), col("user_id").cast("string")).as("series_id"))
+
+  /** The same binding as a SQL CTE for the oracles. */
+  private def ptsCte(prefix: String): String =
+    s"""pts AS (
+       |  SELECT '$prefix' || event_type AS m,
+       |         ts,
+       |         CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+       |         value AS v,
+       |         CAST(user_id AS VARCHAR) AS dev_id,
+       |         CAST(user_id % 5 AS VARCHAR) AS loc,
+       |         CASE WHEN user_id % 7 = 0 THEN 'meter.main_elec' ELSE 'sensor' END AS dev_type,
+       |         CASE WHEN event_id % 2 = 0 THEN 'import' ELSE 'export' END AS dir,
+       |         '$prefix' || event_type || ';' || CAST(user_id AS VARCHAR) AS series
+       |  FROM events)""".stripMargin
+
+  /** Cumulative (growing-counter) series per user — meter-style input for
+   *  the difference/energy operators. `% 50` adds meter resets. */
+  private def cumPoints(spark: SparkSession, dir: String, measurement: String,
+      mod: Option[Double]): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = sum(col("value")).over(w)
+    val v = mod.map(m => cum % m).getOrElse(cum)
+    events(spark, dir).select(
+      lit(measurement).as("measurement"),
+      col("ts").as("time"),
+      v.as("value"),
+      col("user_id").cast("string").as("dev_id"),
+      (col("user_id") % 5).cast("string").as("location_id"),
+      lit("sensor").as("dev_type"),
+      when(col("user_id") % 2 === 0, "import").otherwise("export").as("dir"),
+      concat(lit(measurement + ";"), col("user_id").cast("string")).as("series_id"))
+  }
+
+  private def cumCte(mod: Option[Double]): String = {
+    val expr = mod.map(m => s"(sum(value) OVER w % $m)").getOrElse("sum(value) OVER w")
+    s"""cum AS (
+       |  SELECT event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS tsec, user_id,
+       |         $expr AS v,
+       |         CAST(user_id AS VARCHAR) AS dev_id,
+       |         CAST(user_id % 5 AS VARCHAR) AS loc,
+       |         CASE WHEN user_id % 2 = 0 THEN 'import' ELSE 'export' END AS dir,
+       |         CAST(user_id AS VARCHAR) AS series
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))""".stripMargin
+  }
+
+  /** FIMP envelope binding for the ingest operators (transform/filter/
+   *  topic-match): event_type picks the service branch. */
+  private def fimp(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+    val serv = when(col("event_type") === "purchase", "meter_elec")
+      .when(col("event_type") === "click", "meter_elec")
+      .when(col("event_type") === "view", "sensor_temp")
+      .when(col("event_type") === "signup", "thermostat")
+      .otherwise("ecollector") // "error" → self-traffic, dropped by F1
+    val msgType = when(col("event_type").isin("purchase", "click"), "evt.meter.report")
+      .when(col("event_type") === "view", "evt.sensor.report")
+      .when(col("event_type") === "signup", "cmd.setpoint.set")
+      .otherwise("evt.error.report")
+    val unit = when(col("event_type") === "purchase",
+        when(col("user_id") % 2 === 0, "W").otherwise("kW"))
+      .when(col("event_type") === "click", "kWh")
+      .when(col("event_type") === "view", "C")
+    val rawVal = when(col("event_type") === "purchase",
+        when(col("user_id") % 2 === 0, col("value") * 100).otherwise(col("value")))
+      .otherwise(col("value"))
+    val valJson = when(col("event_type") === "signup",
+        concat(lit("{\"temp\":\""), col("value").cast("string"),
+          lit("\",\"unit\":\"C\",\"type\":\"heat\"}")))
+      .otherwise(rawVal.cast("string"))
+    e.select(
+      col("event_id"), col("ts").as("time"),
+      concat(lit("pt:j1/mt:evt/rt:dev/rn:t/ad:1/sv:serv_"), col("event_type"),
+        lit("/ad:"), col("user_id").cast("string")).as("topic"),
+      serv.as("serv"), msgType.as("msg_type"),
+      when(col("event_type") === "signup", "str_map").otherwise("float").as("val_t"),
+      valJson.as("val_json"),
+      map(lit("unit"), unit).as("props"),
+      lit("app").as("src"), lit("x").as("domain"))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // ============================================================ queries ==
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- core relational (scan/filter/agg/join; bench headliners) ---
+
+    "q1_pricing_summary" -> ((s, dir) => {
+      table(s, dir, "lineitem")
+        .filter(col("l_quantity") > 5)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    "q3_join_agg" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders")
+      val l = table(s, dir, "lineitem")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    "q_region_rollup" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val n = broadcast(table(s, dir, "nation"))
+      val r = broadcast(table(s, dir, "region"))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"), round(avg(col("c_acctbal")), 6).as("avg_bal"))
+    }),
+
+    "s7_raw_sql" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("events_v")
+      s.sql("SELECT event_type, count(*) AS n, round(sum(value), 2) AS total " +
+        "FROM events_v GROUP BY event_type")
+    }),
+
+    // --- ingest: filters / topic match / enrichment / transform ---
+
+    "f2_filter_chain" -> ((s, dir) => {
+      val filters = Seq(
+        Filter(id = 1, service = "serv_error", negation = true,
+          linkedFilterBooleanOperation = "and", linkedFilterId = 2),
+        Filter(id = 2, msgType = "evt.sensor.report", isAtomic = false,
+          linkedFilterBooleanOperation = "or", linkedFilterId = 3),
+        Filter(id = 3, service = "serv_click", isAtomic = false))
+      val f = fimpLite(s, dir)
+      f.filter(FilterCompiler.compile(filters)).select(col("event_id"))
+    }),
+
+    "f3_topic_wildcard" -> ((s, dir) => {
+      val f = fimpLite(s, dir)
+      f.filter(TopicMatch.matches(col("topic"), "pt:j1/mt:evt/+/+/+/sv:serv_click/#"))
+        .select(col("event_id"))
+    }),
+
+    "p3_metadata_enrich" -> ((s, dir) => {
+      val f = fimpLite(s, dir).filter(col("serv") === "serv_view")
+      val meta = events(s, dir).select(col("user_id")).distinct().select(
+        concat(lit("/rt:dev/rn:t/ad:1/sv:serv_view/ad:"), col("user_id").cast("string")).as("address"),
+        col("user_id").cast("int").as("device_id"),
+        (col("user_id") % 5).cast("int").as("location_id"),
+        when(col("user_id") % 7 === 0, "meter.main_elec").otherwise("sensor").as("device_type"))
+      MetadataStore.enrich(f, meta)
+        .select(col("event_id"), col("dev_id"), col("location_id"), col("dev_type"))
+    }),
+
+    "p5_transform" -> ((s, dir) => {
+      Transform(fimp(s, dir)).select(
+        col("measurement"), unix_timestamp(col("time")).as("time_sec"),
+        col("dir"), round(col("value"), 6).as("value"), col("unit"),
+        col("agg_func"), col("series_id"))
+    }),
+
+    "f8_iqr_outliers" -> ((s, dir) => {
+      val e = events(s, dir).filter(col("event_type") === "view")
+        .withColumn("v", col("value") * col("value") * col("value") * col("value") * col("value"))
+      val stats = e.groupBy(col("user_id"))
+        .agg(percentile(col("v"), lit(0.25)).as("q1"), percentile(col("v"), lit(0.75)).as("q3"))
+      e.join(stats, "user_id")
+        .filter(col("v") < col("q1") - (col("q3") - col("q1")) * 3 ||
+          col("v") > col("q3") + (col("q3") - col("q1")) * 3)
+        .select(col("event_id"))
+    }),
+
+    // --- query planner: bucketing / grouping / fill / tiers (A4-A10) ---
+
+    "a5_time_bucket" -> ((s, dir) => {
+      Planner.dataPoints(DataPointsRequest("app_click", relativeTime = "5w",
+        groupByTime = "1h", dataFunction = "mean"),
+        _ => points(s, dir, "app_"), Now)
+        .select(col("time"), round(col("value"), 6).as("value"))
+    }),
+
+    "a4_agg_last" -> ((s, dir) => {
+      Planner.dataPoints(DataPointsRequest("app_view", relativeTime = "5w",
+        groupByTime = "1h", dataFunction = "last", fillType = "none"),
+        _ => points(s, dir, "app_"), Now)
+        .select(col("time"), round(col("value"), 6).as("value"))
+    }),
+
+    "a6_group_by_tag" -> ((s, dir) => {
+      Planner.dataPoints(DataPointsRequest("app_purchase", relativeTime = "5w",
+        groupByTag = "location_id"),
+        _ => points(s, dir, "app_"), Now)
+        .select(col("time"), col("value"), col("location_id"))
+    }),
+
+    "a7_time_tag_fill_zero" -> ((s, dir) => {
+      Planner.dataPoints(DataPointsRequest("app_signup", relativeTime = "5w",
+        groupByTime = "6h", groupByTag = "location_id",
+        dataFunction = "sum", fillType = "0"),
+        _ => points(s, dir, "app_"), Now)
+        .select(col("location_id"), col("time"), round(col("value"), 6).as("value"))
+    }),
+
+    "a8_fill_previous" -> ((s, dir) => {
+      Planner.dataPoints(DataPointsRequest("app_error", relativeTime = "5w",
+        groupByTime = "1h", fillType = "previous",
+        filters = DataPointsFilter(tags = Map("dev_id" -> "7"))),
+        _ => points(s, dir, "app_"), Now)
+        .select(col("time"), round(col("value"), 6).as("value"))
+    }),
+
+    "a9_downsample_cascade" -> ((s, dir) => {
+      val casc = Downsampler.cascade(points(s, dir, "sensor_"))
+      Planner.dataPoints(DataPointsRequest("sensor_click",
+        fromTime = "2024-01-01T00:00:00Z", toTime = "2024-01-31T00:00:00Z",
+        groupByTime = "2h", dataFunction = "mean"),
+        t => casc(t.name), Now)
+        .select(col("time"), round(col("value"), 6).as("value"))
+    }),
+
+    "a10_energy" -> ((s, dir) => {
+      Planner.energyDataPoints("5w", "", "", "1d", "location_id",
+        DataPointsFilter(tags = Map("dir" -> "import")),
+        _ => cumPoints(s, dir, "electricity_meter_energy_sampled", None), Now)
+        .select(col("location_id"), col("time"), round(col("value"), 6).as("value"))
+    }),
+
+    "a11_regroup" -> ((s, dir) => {
+      val meta = events(s, dir).select(col("user_id")).distinct().select(
+        col("user_id").cast("int").as("device_id"),
+        (col("user_id") % 5).cast("int").as("location_id"),
+        lit("sensor").as("device_type"))
+      val groups = MetadataStore.devicesGroupedBy(meta, "location")
+      points(s, dir, "sensor_").filter(col("measurement") === "sensor_view")
+        .join(broadcast(groups), "dev_id")
+        .groupBy((floor(unix_timestamp(col("time")) / 3600) * 3600).cast("long").as("time"),
+          col("group"))
+        .agg(round(sum(col("value")), 6).as("value"))
+    }),
+
+    "a12_count" -> ((s, dir) => {
+      Planner.dataPoints(DataPointsRequest("app_error", relativeTime = "2w",
+        groupByTime = "1m", dataFunction = "count", fillType = "none"),
+        _ => points(s, dir, "app_"), Now)
+        .select(col("time"), col("value"))
+    }),
+
+    // --- streaming-side aggregation operators, batch-planned (A1, A2) ---
+
+    "a1_stream_agg" -> ((s, dir) => {
+      val pts = events(s, dir).select(
+        concat(lit("sensor_"), col("event_type")).as("measurement"),
+        col("ts").as("time"),
+        round(col("value") * 100).cast("long").cast("double").as("value"),
+        element_at(array(lit("mean"), lit("min"), lit("max"), lit("sum"), lit("last")),
+          (col("user_id") % 5).cast("int") + 1).as("agg_func"),
+        concat(lit("sensor_"), col("event_type"), lit(";"),
+          col("user_id").cast("string")).as("series_id"))
+      Aggregator.aggregate(pts, 30).select(
+        col("series_id"), col("measurement"), col("agg_func"),
+        unix_timestamp(col("time")).as("time_sec"), round(col("value"), 6).as("value"))
+    }),
+
+    "a2_counter_diff" -> ((s, dir) => {
+      Aggregator.windowedDifference(
+        cumPoints(s, dir, "meter", Some(50.0)), 10)
+        .select(col("series_id"), col("measurement"), col("time_sec"), col("value"))
+    }),
+
+    // --- text analysis ---
+
+    "text_tokens" -> ((s, dir) => {
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("token_count"),
+        TextFunctions.wordCount(col("text")).as("word_count"),
+        round(TextFunctions.meanWordLength(col("text")), 6).as("mean_word_len"))
+    }),
+
+    "text_langid" -> ((s, dir) => {
+      table(s, dir, "documents").select(
+        col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+    }),
+
+    "text_quality" -> ((s, dir) => {
+      table(s, dir, "documents").select(
+        col("doc_id"), TextFunctions.qualityScore(col("text")).as("score"))
+    }),
+
+    "text_fingerprint" -> ((s, dir) => {
+      table(s, dir, "documents").select(
+        col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+    }),
+
+    // --- dedup ---
+
+    "dedup_exact" -> ((s, dir) => {
+      val keyed = table(s, dir, "documents")
+        .withColumn("text", substring(TextFunctions.normalize(col("text")), 1, 64))
+      Dedup.exact(keyed).select(col("fp"), col("doc_id"), col("copies"))
+    }),
+
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(table(s, dir, "documents"), n = 3, threshold = 0.8,
+        maxShingleFreq = Int.MaxValue)
+    }),
+
+    "dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashLshPairs(table(s, dir, "documents"), n = 3, k = 64, bands = 16,
+        threshold = 0.8)
+    }),
+
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(table(s, dir, "documents"), maxDist = 3)
+    }),
+
+    // --- similarity search ---
+
+    "sim_cosine_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+    }),
+
+    "sim_cosine_pairs" -> ((s, dir) => {
+      Similarity.bruteForcePairs(table(s, dir, "embeddings"), threshold = 0.4)
+    }),
+
+    "sim_lsh_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10, nPlanes = 6)
+    }))
+
+  /** Lighter FIMP binding (no val_json) for filter/topic/enrich queries. */
+  private def fimpLite(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      col("event_id"),
+      concat(lit("pt:j1/mt:evt/rt:dev/rn:t/ad:1/sv:serv_"), col("event_type"),
+        lit("/ad:"), col("user_id").cast("string")).as("topic"),
+      concat(lit("serv_"), col("event_type")).as("serv"),
+      when(col("event_id") % 3 === 0, "evt.sensor.report")
+        .otherwise("cmd.sensor.get_report").as("msg_type"),
+      lit("x").as("domain"))
+
+  // ======================================================== oracle SQL ==
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_quantity > 5
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_join_agg" ->
+      """SELECT c_mktsegment, o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY c_mktsegment, o_orderpriority""".stripMargin,
+
+    "q_region_rollup" ->
+      """SELECT r_name, count(*) AS n_customers, round(avg(c_acctbal), 6) AS avg_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    "s7_raw_sql" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "f2_filter_chain" ->
+      """SELECT event_id FROM events
+        |WHERE ('serv_' || event_type) <> 'ecollector'
+        |  AND ('serv_' || event_type) <> 'serv_error'
+        |  AND ((CASE WHEN event_id % 3 = 0 THEN 'evt.sensor.report'
+        |             ELSE 'cmd.sensor.get_report' END) = 'evt.sensor.report'
+        |       OR ('serv_' || event_type) = 'serv_click')""".stripMargin,
+
+    "f3_topic_wildcard" ->
+      """SELECT event_id FROM events WHERE event_type = 'click'""".stripMargin,
+
+    "p3_metadata_enrich" ->
+      """SELECT event_id,
+        |  CAST(user_id AS VARCHAR) AS dev_id,
+        |  CAST(user_id % 5 AS VARCHAR) AS location_id,
+        |  CASE WHEN user_id % 7 = 0 THEN 'meter.main_elec' ELSE 'sensor' END AS dev_type
+        |FROM events WHERE event_type = 'view'""".stripMargin,
+
+    "p5_transform" ->
+      """WITH e AS (SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) tsec,
+        |                  user_id, event_type, value FROM events)
+        |SELECT 'electricity_meter_power' AS measurement, tsec AS time_sec,
+        |  'import' AS dir, round(value * 100, 6) AS value, 'W' AS unit,
+        |  'mean' AS agg_func,
+        |  'electricity_meter_power;electricity_meter_power;;import' AS series_id
+        |FROM e WHERE event_type = 'purchase' AND user_id % 2 = 0 AND value * 100 <= 30000
+        |UNION ALL
+        |SELECT 'electricity_meter_power', tsec, 'import', round(value * 1000, 6), 'kW',
+        |  'mean', 'electricity_meter_power;electricity_meter_power;;import'
+        |FROM e WHERE event_type = 'purchase' AND user_id % 2 = 1 AND value * 1000 <= 30000
+        |UNION ALL
+        |SELECT 'electricity_meter_energy', tsec, 'import', round(value, 6), 'kWh',
+        |  'mean', 'electricity_meter_energy;electricity_meter_energy;;import'
+        |FROM e WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT 'electricity_meter_energy_sampled', tsec, 'import', round(value, 6), 'kWh',
+        |  'difference', 'electricity_meter_energy;;import'
+        |FROM e WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT 'sensor_temp.evt.sensor.report', tsec, NULL, round(value, 6), 'C',
+        |  'mean', 'sensor_temp.evt.sensor.report;'
+        |FROM e WHERE event_type = 'view'
+        |UNION ALL
+        |SELECT 'thermostat.cmd.setpoint.set', tsec, NULL, round(value, 6), 'C',
+        |  'mean', 'thermostat.cmd.setpoint.set;'
+        |FROM e WHERE event_type = 'signup'""".stripMargin,
+
+    "f8_iqr_outliers" ->
+      """WITH e AS (SELECT event_id, user_id, value*value*value*value*value AS v
+        |           FROM events WHERE event_type = 'view'),
+        |st AS (SELECT user_id, quantile_cont(v, 0.25) q1, quantile_cont(v, 0.75) q3
+        |       FROM e GROUP BY user_id)
+        |SELECT event_id FROM e JOIN st USING (user_id)
+        |WHERE v < q1 - 3 * (q3 - q1) OR v > q3 + 3 * (q3 - q1)""".stripMargin,
+
+    "a5_time_bucket" ->
+      s"""WITH ${ptsCte("app_")},
+         |agg AS (SELECT CAST(floor(tsec / 3600) * 3600 AS BIGINT) t, avg(v) val
+         |        FROM pts WHERE m = 'app_click' AND tsec > 1703721600 GROUP BY 1),
+         |spine AS (SELECT unnest(generate_series(1703721600, 1706745600, 3600)) t)
+         |SELECT s.t AS time, round(a.val, 6) AS value
+         |FROM spine s LEFT JOIN agg a USING (t)""".stripMargin,
+
+    "a4_agg_last" ->
+      s"""WITH ${ptsCte("app_")}
+         |SELECT CAST(floor(tsec / 3600) * 3600 AS BIGINT) AS time,
+         |  round(arg_max(v, ts), 6) AS value
+         |FROM pts WHERE m = 'app_view' AND tsec > 1703721600 GROUP BY 1""".stripMargin,
+
+    "a6_group_by_tag" ->
+      s"""WITH ${ptsCte("app_")}
+         |SELECT tsec AS time, v AS value, loc AS location_id
+         |FROM pts WHERE m = 'app_purchase' AND tsec > 1703721600""".stripMargin,
+
+    "a7_time_tag_fill_zero" ->
+      s"""WITH ${ptsCte("app_")},
+         |agg AS (SELECT loc, CAST(floor(tsec / 21600) * 21600 AS BIGINT) t, sum(v) val
+         |        FROM pts WHERE m = 'app_signup' AND tsec > 1703721600 GROUP BY 1, 2),
+         |spine AS (SELECT loc, unnest(generate_series(1703721600, 1706745600, 21600)) t
+         |          FROM (SELECT DISTINCT loc FROM agg))
+         |SELECT s.loc AS location_id, s.t AS time,
+         |  round(coalesce(a.val, 0), 6) AS value
+         |FROM spine s LEFT JOIN agg a ON s.loc = a.loc AND s.t = a.t""".stripMargin,
+
+    "a8_fill_previous" ->
+      s"""WITH ${ptsCte("app_")},
+         |agg AS (SELECT CAST(floor(tsec / 3600) * 3600 AS BIGINT) t, avg(v) val
+         |        FROM pts WHERE m = 'app_error' AND dev_id = '7' AND tsec > 1703721600
+         |        GROUP BY 1),
+         |spine AS (SELECT unnest(generate_series(1703721600, 1706745600, 3600)) t),
+         |j AS (SELECT s.t, a.val FROM spine s LEFT JOIN agg a USING (t))
+         |SELECT t AS time,
+         |  round(last_value(val IGNORE NULLS) OVER (ORDER BY t
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value
+         |FROM j""".stripMargin,
+
+    "a9_downsample_cascade" ->
+      s"""WITH ${ptsCte("sensor_")},
+         |t1 AS (SELECT m, dev_id, dev_type, dir, loc,
+         |         CAST(floor(tsec / 60) * 60 AS BIGINT) b, avg(v) v
+         |       FROM pts GROUP BY 1, 2, 3, 4, 5, 6),
+         |t2 AS (SELECT m, dev_id, dev_type, dir, loc,
+         |         CAST(floor(b / 600) * 600 AS BIGINT) b, avg(v) v
+         |       FROM t1 GROUP BY 1, 2, 3, 4, 5, 6),
+         |t3 AS (SELECT m, dev_id, dev_type, dir, loc,
+         |         CAST(floor(b / 3600) * 3600 AS BIGINT) b, avg(v) v
+         |       FROM t2 GROUP BY 1, 2, 3, 4, 5, 6),
+         |agg AS (SELECT CAST(floor(b / 7200) * 7200 AS BIGINT) t, avg(v) val
+         |        FROM t3 WHERE m = 'sensor_click'
+         |          AND b >= 1704067200 AND b <= 1706659200 GROUP BY 1),
+         |spine AS (SELECT unnest(generate_series(1704067200, 1706659200, 7200)) t)
+         |SELECT s.t AS time, round(a.val, 6) AS value
+         |FROM spine s LEFT JOIN agg a USING (t)""".stripMargin,
+
+    "a10_energy" ->
+      s"""WITH ${cumCte(None)},
+         |agg AS (SELECT loc, CAST(floor(tsec / 86400) * 86400 AS BIGINT) t, sum(v) val
+         |        FROM cum WHERE dir = 'import' AND tsec > 1703721600 GROUP BY 1, 2),
+         |spine AS (SELECT loc, unnest(generate_series(1703721600, 1706745600, 86400)) t
+         |          FROM (SELECT DISTINCT loc FROM agg))
+         |SELECT s.loc AS location_id, s.t AS time, round(a.val, 6) AS value
+         |FROM spine s LEFT JOIN agg a ON s.loc = a.loc AND s.t = a.t""".stripMargin,
+
+    "a11_regroup" ->
+      s"""WITH ${ptsCte("sensor_")}
+         |SELECT CAST(floor(tsec / 3600) * 3600 AS BIGINT) AS time,
+         |  loc AS "group", round(sum(v), 6) AS value
+         |FROM pts WHERE m = 'sensor_view' GROUP BY 1, 2""".stripMargin,
+
+    "a12_count" ->
+      s"""WITH ${ptsCte("app_")}
+         |SELECT CAST(floor(tsec / 60) * 60 AS BIGINT) AS time, count(v) AS value
+         |FROM pts WHERE m = 'app_error' AND tsec > 1705536000 GROUP BY 1""".stripMargin,
+
+    "a1_stream_agg" ->
+      """WITH pts AS (
+        |  SELECT 'sensor_' || event_type AS m,
+        |    'sensor_' || event_type || ';' || CAST(user_id AS VARCHAR) AS s,
+        |    CASE CAST(user_id % 5 AS INT) WHEN 0 THEN 'mean' WHEN 1 THEN 'min'
+        |      WHEN 2 THEN 'max' WHEN 3 THEN 'sum' ELSE 'last' END AS f,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec, ts,
+        |    CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS c
+        |  FROM events),
+        |agg AS (SELECT s, m, f, CAST(floor(tsec / 30) * 30 AS BIGINT) b,
+        |    avg(c) mv, min(c) mnv, max(c) mxv, sum(c) sv, arg_max(c, ts) lv
+        |  FROM pts GROUP BY 1, 2, 3, 4),
+        |v AS (SELECT s, m, f, b, CASE f WHEN 'mean' THEN mv WHEN 'min' THEN mnv
+        |    WHEN 'max' THEN mxv WHEN 'sum' THEN sv ELSE lv END val FROM agg),
+        |w AS (SELECT *, coalesce(lag(val) OVER (PARTITION BY s ORDER BY b), 0) pv FROM v)
+        |SELECT s AS series_id, m AS measurement, f AS agg_func,
+        |  b + 30 AS time_sec, round(val, 6) AS value
+        |FROM w WHERE val <> pv""".stripMargin,
+
+    "a2_counter_diff" ->
+      s"""WITH ${cumCte(Some(50.0))},
+         |d AS (SELECT series, tsec,
+         |        v - lag(v) OVER (PARTITION BY series ORDER BY ts, v) delta
+         |      FROM cum),
+         |f AS (SELECT series, CAST(floor(tsec / 600) * 600 AS BIGINT) b,
+         |        round(sum(greatest(delta, 0)), 6) val
+         |      FROM d WHERE delta IS NOT NULL GROUP BY 1, 2)
+         |SELECT 'meter;' || series AS series_id, 'meter' AS measurement,
+         |  b + 600 AS time_sec, val AS value FROM f""".stripMargin,
+
+    "text_tokens" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') toks FROM documents)
+        |SELECT doc_id,
+        |  len(toks) AS token_count,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS word_count,
+        |  round(CASE WHEN len(toks) > 0
+        |    THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+        |    ELSE 0 END, 6) AS mean_word_len
+        |FROM t""".stripMargin,
+
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') toks
+        |           FROM documents),
+        |h AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) he,
+        |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','von','zu'))) hd,
+        |  len(list_filter(toks, x -> x IN ('le','la','les','et','est','une','pour','dans','que','des'))) hf,
+        |  len(list_filter(toks, x -> x IN ('el','la','los','y','es','una','por','con','para','del'))) hs
+        |  FROM t)
+        |SELECT doc_id, CASE
+        |  WHEN he >= hd AND he >= hf AND he >= hs AND he > 0 THEN 'en'
+        |  WHEN hd >= hf AND hd >= hs AND hd > 0 THEN 'de'
+        |  WHEN hf >= hs AND hf > 0 THEN 'fr'
+        |  WHEN hs > 0 THEN 'es'
+        |  ELSE 'und' END AS lang_pred
+        |FROM h""".stripMargin,
+
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') toks FROM documents),
+        |c AS (SELECT doc_id, text, toks,
+        |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+        |  CASE WHEN len(toks) > 0
+        |    THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+        |    ELSE 0 END AS wl,
+        |  CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> x IN (
+        |    'the','a','of','and','to','in','is','that','it','for',
+        |    'der','die','das','und','ist','nicht','ein','mit','von','zu',
+        |    'le','la','les','et','est','une','pour','dans','que','des',
+        |    'el','los','y','es','una','por','con','para','del'))) AS DOUBLE) / len(toks)
+        |    ELSE 0 END AS sw,
+        |  CASE WHEN length(text) > 0 THEN
+        |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+        |      / length(text) ELSE 0 END AS pr,
+        |  CASE WHEN length(text) > 0 THEN
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        |      / length(text) ELSE 0 END AS dr
+        |  FROM t)
+        |SELECT doc_id, round(
+        |  len_score * 0.3 + (CASE WHEN wl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2 +
+        |  least(sw * 5.0, 1.0) * 0.2 + (1.0 - least(pr * 5.0, 1.0)) * 0.15 +
+        |  (1.0 - least(dr * 5.0, 1.0)) * 0.15, 6) AS score
+        |FROM c""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+
+    "dedup_exact" ->
+      """WITH k AS (SELECT doc_id,
+        |    trim(substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 64)) AS key
+        |  FROM documents)
+        |SELECT md5(key) AS fp, min(doc_id) AS doc_id, count(*) AS copies
+        |FROM k GROUP BY md5(key)""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+        |    i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS s
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3),
+        |p AS (SELECT doc_id, len(s) n, unnest(s) g FROM sh WHERE len(s) > 0),
+        |j AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter,
+        |        any_value(a.n) na, any_value(b.n) nb
+        |      FROM p a JOIN p b ON a.g = b.g AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+        |FROM j WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.8""".stripMargin,
+
+    "dedup_minhash" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+        |    i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS s
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3),
+        |p AS (SELECT doc_id, len(s) n, unnest(s) g FROM sh WHERE len(s) > 0),
+        |j AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter,
+        |        any_value(a.n) na, any_value(b.n) nb
+        |      FROM p a JOIN p b ON a.g = b.g AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+        |FROM j WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.8""".stripMargin,
+
+    "sim_cosine_topk" ->
+      """WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 5),
+        |pr AS (SELECT q.qid, e.vec_id, q.qv, e.embedding cv
+        |       FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+        |z AS (SELECT qid, vec_id, CAST(unnest(qv) AS DOUBLE) a,
+        |        CAST(unnest(cv) AS DOUBLE) b FROM pr),
+        |s AS (SELECT qid, vec_id, sum(a * b) dot, sqrt(sum(a * a)) na,
+        |        sqrt(sum(b * b)) nb FROM z GROUP BY 1, 2),
+        |sc AS (SELECT qid, vec_id, round(CASE WHEN na > 0 AND nb > 0
+        |        THEN dot / (na * nb) ELSE 0 END, 6) score FROM s),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY score DESC, vec_id) rnk FROM sc)
+        |SELECT qid AS query_id, vec_id, score, rnk AS rank FROM r WHERE rnk <= 10""".stripMargin,
+
+    "sim_cosine_pairs" ->
+      """WITH pr AS (SELECT a.vec_id id_a, b.vec_id id_b, a.embedding va, b.embedding vb
+        |       FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id < b.vec_id),
+        |z AS (SELECT id_a, id_b, CAST(unnest(va) AS DOUBLE) a,
+        |        CAST(unnest(vb) AS DOUBLE) b FROM pr),
+        |s AS (SELECT id_a, id_b, sum(a * b) dot, sqrt(sum(a * a)) na,
+        |        sqrt(sum(b * b)) nb FROM z GROUP BY 1, 2),
+        |sc AS (SELECT id_a, id_b, round(CASE WHEN na > 0 AND nb > 0
+        |        THEN dot / (na * nb) ELSE 0 END, 6) score FROM s)
+        |SELECT id_a, id_b, score FROM sc WHERE score >= 0.4""".stripMargin)
 }

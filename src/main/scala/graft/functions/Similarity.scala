@@ -20,12 +20,29 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, in codegen. */
+  /** Cosine similarity of two float-array columns, in codegen.
+   *  Elements are widened to double BEFORE multiplying so results are
+   *  bit-reproducible across engines regardless of storage precision. */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
-    val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))
+    def d(c: Column) = c.cast("double")
+    val dot = aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0d), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + d(v) * d(v)))
+    val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + d(v) * d(v)))
     when(na > 0 && nb > 0, dot / (na * nb)).otherwise(lit(0.0))
+  }
+
+  /**
+   * Exact near-duplicate pairs above a cosine threshold (brute force) —
+   * the correctness baseline the LSH variants are measured against.
+   */
+  def bruteForcePairs(vectors: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = vectors.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = vectors.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.crossJoin(broadcast(b)).filter(col("id_a") < col("id_b"))
+      .withColumn("score", round(cosine(col("v_a"), col("v_b")), 6))
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), col("score"))
   }
 
   /**

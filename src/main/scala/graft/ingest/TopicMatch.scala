@@ -24,8 +24,9 @@ object TopicMatch {
       val isLast = i == segs.length - 1
       s match {
         case "#" =>
-          // '#' matches the remainder (zero or more segments).
-          if (i == 0) sb.append(".*") else { sb.setLength(sb.length - 2); sb.append("(/.*)?") }
+          // '#' matches the remainder (zero or more segments); drop the
+          // trailing '/' the previous segment appended.
+          if (i == 0) sb.append(".*") else { sb.setLength(sb.length - 1); sb.append("(/.*)?") }
           terminated = true
         case "+" =>
           sb.append("[^/]*")

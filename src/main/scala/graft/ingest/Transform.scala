@@ -93,7 +93,7 @@ object Transform {
     val isPriceServ = serv === "price_info_elec"
     val isPriceForecast = isPriceServ && (msgType === "evt.price_forecast.report")
 
-    val fval = col("val_json").cast(DoubleType)
+    val fval = col("val_json").try_cast(DoubleType)
     val isW = unitProp === "W"
     val isKW = unitProp === "kW"
     val isKWh = unitProp === "kWh"
@@ -111,7 +111,7 @@ object Transform {
       (isMeterExt && fmap.isNull) ||                             // transform.go:117-120
       (isMeterExt && (coalesce(fmap.getItem("p_import"), lit(0.0)) > MaxAllowedPower ||
                       coalesce(fmap.getItem("p_export"), lit(0.0)) > MaxAllowedPower)) ||
-      (isSetpoint && (smap.isNull || smap.getItem("temp").cast(DoubleType).isNull)) || // transform.go:258-264
+      (isSetpoint && (smap.isNull || smap.getItem("temp").try_cast(DoubleType).isNull)) || // transform.go:258-264
       (serv === "ecollector")                                    // process.go:237-240
 
     // --- generic (fall-through) point: transform.go:298-350 ---
@@ -124,13 +124,13 @@ object Transform {
     val genericValue = when(isMeterReport && (isW || isKW), normVal)
       .when(isMeterReport && isKWh, fval)
       .when(isSession, fval)
-      .when(isSetpoint, smap.getItem("temp").cast(DoubleType))
+      .when(isSetpoint, smap.getItem("temp").try_cast(DoubleType))
       .when(valT === "float", fval)
-      .when(valT === "int", col("val_json").cast(LongType).cast(DoubleType))
+      .when(valT === "int", col("val_json").try_cast(LongType).cast(DoubleType))
       .when(valT === "null", lit(0.0))
       .otherwise(nullD)
     val genericBool = when(valT === "bool" && !isMeterReport && !isSession && !isSetpoint,
-      col("val_json").cast(BooleanType)).otherwise(nullB)
+      col("val_json").try_cast(BooleanType)).otherwise(nullB)
     val genericStr = when(isMeterReport || isSession || isSetpoint, nullS)
       .when(valT === "string", col("val_json"))
       .when(valT === "object", lit("object"))                    // transform.go:328-329

@@ -117,6 +117,30 @@ object Aggregator {
         timestamp_seconds(col("bucket") + intervalSec).as("time"), col("value"))
   }
 
+  /**
+   * A2 as a pure window-function plan (the SQL-aggregate route of
+   * SURVEY.md A2): per series and 10-minute epoch-aligned window,
+   * Σ max(vᵢ₊₁−vᵢ, 0) with the lag crossing window boundaries — the seed
+   * carry-over of agreggator.go:258 falls out of lagging over the whole
+   * series. No per-row state: one shuffle on series_id, everything else
+   * codegen'd window + hash aggregation. This is the query-side/batch
+   * counterpart of `difference` (which adds the streaming-side guards:
+   * outlier filter, staleness, change suppression).
+   */
+  def windowedDifference(points: DataFrame, samplingMinutes: Int = 10): DataFrame = {
+    val sec = samplingMinutes * 60L
+    val w = Window.partitionBy(col("series_id")).orderBy(col("time"), col("value"))
+    points
+      .withColumn("_delta", col("value") - lag(col("value"), 1).over(w))
+      .withColumn("_pos", greatest(col("_delta"), lit(0.0)))
+      .filter(col("_delta").isNotNull)
+      .groupBy(col("series_id"), col("measurement"),
+        (floor(unix_timestamp(col("time")) / sec) * sec).as("bucket"))
+      .agg(round(sum(col("_pos")), 6).as("value"))
+      .select(col("series_id"), col("measurement"),
+        (col("bucket") + sec).as("time_sec"), col("value"))
+  }
+
   private case class DiffIn(series_id: String, measurement: String,
       time: Timestamp, value: Double, dev_type: String)
   private case class DiffOut(series_id: String, measurement: String,

@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle compare.
+
+Reads each query's parquet dump from Verify, runs the oracle SQL in DuckDB
+over the same sf tables, sorts columns by name and rows by value, and
+reports row/schema/value match per query.
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
+sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    p = f"{sf_dir}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+ok = fail = 0
+for name in sorted(os.listdir(out_dir)):
+    d = f"{out_dir}/{name}"
+    if not os.path.isdir(d):
+        continue
+    files = glob.glob(f"{d}/*.parquet")
+    got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
+    if name not in oracle:
+        print(f"{name:25s} NO-ORACLE rows={len(got)}")
+        continue
+    try:
+        exp = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        print(f"{name:25s} ORACLE-ERROR {str(e)[:120]}")
+        fail += 1
+        continue
+    g = got.reindex(sorted(got.columns), axis=1)
+    e = exp.reindex(sorted(exp.columns), axis=1)
+    if sorted(g.columns) != sorted(e.columns):
+        print(f"{name:25s} SCHEMA-MISMATCH got={sorted(g.columns)} exp={sorted(e.columns)}")
+        fail += 1
+        continue
+    if len(g) != len(e):
+        print(f"{name:25s} ROWS-MISMATCH got={len(g)} exp={len(e)}")
+        fail += 1
+        continue
+    gs = g.sort_values(by=list(g.columns)).reset_index(drop=True)
+    es = e.sort_values(by=list(e.columns)).reset_index(drop=True)
+    # normalize dtypes for compare
+    for c in gs.columns:
+        if gs[c].dtype != es[c].dtype:
+            try:
+                es[c] = es[c].astype(gs[c].dtype)
+            except Exception:
+                pass
+    try:
+        pd.testing.assert_frame_equal(gs, es, check_dtype=False, check_exact=True)
+        print(f"{name:25s} OK rows={len(g)}")
+        ok += 1
+    except AssertionError as ex:
+        diff = (gs != es) & ~(gs.isna() & es.isna())
+        ndiff = int(diff.any(axis=1).sum())
+        print(f"{name:25s} VALUE-MISMATCH {ndiff}/{len(gs)} rows differ")
+        bad = diff.any(axis=1)
+        print("  got:", gs[bad].head(3).to_dict("records"))
+        print("  exp:", es[bad].head(3).to_dict("records"))
+        fail += 1
+print(f"\n{ok} OK, {fail} FAIL")
