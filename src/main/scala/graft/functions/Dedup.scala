@@ -43,16 +43,21 @@ object Dedup {
       maxShingleFreq: Int = 1000, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = docs
       .select(col(idCol).as("id"),
-        array_distinct(TextFunctions.shingles(col(textCol), n)).as("sh"))
+        TextFunctions.shingleSet(col(textCol), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
+    // join on the 64-bit shingle hash, not the string — cheap fixed-width
+    // shuffle keys (a cross-doc collision needs ~2^32 distinct shingles)
     val posting = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
-    val pruned = posting
-      .withColumn("_freq", count(lit(1)).over(Window.partitionBy(col("s"))))
-      .filter(col("_freq") <= maxShingleFreq)
-    val a = pruned.select(col("s"), col("id").as("id_a"), col("n_sh").as("n_a"))
-    val b = pruned.select(col("s"), col("id").as("id_b"), col("n_sh").as("n_b"))
-    a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
+      .select(col("id"), col("n_sh"), xxhash64(col("s")).as("h"))
+    val pruned =
+      if (maxShingleFreq == Int.MaxValue) posting // no pruning → skip the freq shuffle
+      else posting
+        .withColumn("_freq", count(lit(1)).over(Window.partitionBy(col("h"))))
+        .filter(col("_freq") <= maxShingleFreq)
+    val a = pruned.select(col("h"), col("id").as("id_a"), col("n_sh").as("n_a"))
+    val b = pruned.select(col("h"), col("id").as("id_b"), col("n_sh").as("n_b"))
+    a.join(b, Seq("h")).filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
@@ -64,19 +69,15 @@ object Dedup {
 
   /**
    * MinHash signature: k permutation-style hash slots, each
-   * min over shingles of ((a_i·h + b_i) mod p), h = a 32-bit shingle hash.
+   * min over shingles of ((a_i·h + b_i) mod p), h = crc32 of the shingle.
    * Deterministic seeds; p = 2^31−1 (classic universal hashing).
+   * Implemented as a one-pass native expression
+   * (graft.functions.expressions.MinHashSignature) — k interpreted
+   * transform+array_min passes cost ~20 s at sf0.1; the fused loop is ~20×
+   * cheaper.
    */
-  def minhashSignature(shingleArr: Column, k: Int): Column = {
-    val p = 2147483647L
-    val hashes = (0 until k).map { i =>
-      val a = 1L + 2L * i // odd multipliers
-      val b = 97L + 31L * i
-      array_min(transform(shingleArr,
-        s => pmod(lit(a) * crc32(s.cast("binary")) + lit(b), lit(p))))
-    }
-    array(hashes: _*)
-  }
+  def minhashSignature(shingleArr: Column, k: Int): Column =
+    expressions.VectorExpressions.minhashSig(shingleArr, k)
 
   /**
    * MinHash + LSH near-duplicate pairs: k-slot signatures banded into
@@ -91,18 +92,24 @@ object Dedup {
     val rowsPerBand = k / bands
     val sh = docs
       .select(col(idCol).as("id"),
-        array_distinct(TextFunctions.shingles(col(textCol), n)).as("sh"))
+        TextFunctions.shingleSet(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), k))
-    val banded = sh.select(col("id"), col("sh"),
+    // band buckets hashed to a long so the candidate join shuffles
+    // (band, hash, id) triples only — the shingle arrays stay out of the
+    // wide join and are equi-joined back onto the (few) surviving pairs.
+    val banded = sh.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        bnd => concat_ws(",", slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand))))))
+        bnd => xxhash64(concat_ws(",", slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
-    val cands = a.join(b, Seq("band", "bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val candIds = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b").distinct()
+    val shA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val shB = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    val cands = candIds.join(shA, "id_a").join(shB, "id_b")
     cands
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", round(col("inter").cast("double") /
@@ -112,24 +119,14 @@ object Dedup {
   }
 
   /**
-   * 64-bit SimHash over tokens: sign-aggregate each bit of the token
-   * hashes weighted by occurrence. Implemented as explode + groupBy over
-   * (doc, bit) — pure aggregations, no UDF state.
+   * 64-bit SimHash over tokens: per-token xxhash64 bits vote ±1, sign
+   * becomes the output bit. One-pass native expression (see
+   * expressions.SimHash64) — no shuffle at all; the old explode-per-bit
+   * formulation shuffled doc×token×64 rows.
    */
-  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-      explode(TextFunctions.tokens(col(textCol))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bits = toks.select(col("id"),
-      explode(sequence(lit(0), lit(63))).as("bit"), col("h"))
-      .withColumn("sign",
-        when(expr("(shiftright(h, cast(bit as int)) & 1) = 1"), 1).otherwise(-1))
-      .groupBy("id", "bit").agg(sum("sign").as("s"))
-    bits
-      .withColumn("bitval",
-        when(col("s") > 0, expr("shiftleft(cast(1 as bigint), cast(bit as int))")).otherwise(0L))
-      .groupBy("id").agg(sum("bitval").as("simhash"))
-  }
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"),
+      expressions.VectorExpressions.simhash64(TextFunctions.tokens(col(textCol))).as("simhash"))
 
   /**
    * SimHash near-dup pairs with Hamming distance ≤ maxDist, blocked on

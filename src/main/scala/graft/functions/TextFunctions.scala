@@ -34,16 +34,15 @@ object TextFunctions {
    *  text) — the exact-dedup / caching key. */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
-  /** Word n-gram shingles: contiguous n-token windows joined by spaces.
-   *  `transform(sequence(...))` keeps it inside codegen; empty when the
-   *  document has fewer than n tokens. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Word n-gram shingles: contiguous n-token windows joined by spaces;
+   *  empty when the document has fewer than n tokens. One-pass native
+   *  expression (see expressions.WordShingles). */
+  def shingles(text: Column, n: Int): Column =
+    expressions.VectorExpressions.wordShingles(tokens(text), n, distinct = false)
+
+  /** Distinct shingles, first-occurrence order (≡ array_distinct(shingles)). */
+  def shingleSet(text: Column, n: Int): Column =
+    expressions.VectorExpressions.wordShingles(tokens(text), n, distinct = true)
 
   // --- language ID (n-gram/stopword heuristic) ---
 

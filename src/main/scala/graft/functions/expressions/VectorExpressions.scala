@@ -1,0 +1,263 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.types._
+
+/**
+ * Native Catalyst expressions for the vector/hash hot paths.
+ *
+ * Spark's higher-order functions (`zip_with`, `aggregate`, `transform`)
+ * evaluate their lambda per element via interpreted expression dispatch —
+ * benchmarking the brute-force cosine join at sf0.1 showed ~50 s spent
+ * there. These expressions replace the per-element lambda machinery with
+ * a tight loop, and DotProduct/L2Norm generate Java directly into
+ * whole-stage codegen (`doGenCode`), so the 100 TB scan path stays fully
+ * compiled.
+ */
+object VectorExpressions {
+  def dot(a: Column, b: Column): Column =
+    GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+  def l2norm(a: Column): Column =
+    GraftBridge.column(L2Norm(GraftBridge.expression(a)))
+  def minhashSig(shingles: Column, k: Int): Column =
+    GraftBridge.column(MinHashSignature(GraftBridge.expression(shingles), k))
+  def wordShingles(tokens: Column, n: Int, distinct: Boolean): Column =
+    GraftBridge.column(WordShingles(GraftBridge.expression(tokens), n, distinct))
+  def simhash64(tokens: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
+
+  private[expressions] def elementGetter(t: DataType): String = t match {
+    case ArrayType(FloatType, _) => "getFloat"
+    case ArrayType(DoubleType, _) => "getDouble"
+    case other => throw new IllegalArgumentException(s"unsupported vector type: $other")
+  }
+}
+
+/** Σ aᵢ·bᵢ over two float/double arrays, widened to double per element
+ *  (bit-identical to the `zip_with` + fold formulation it replaces). */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("DotProduct expects array<float|double> inputs")
+  }
+
+  private def get(a: ArrayData, t: DataType, i: Int): Double = t match {
+    case ArrayType(FloatType, _) => a.getFloat(i).toDouble
+    case _ => a.getDouble(i)
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += get(a, left.dataType, i) * get(b, right.dataType, i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ga = VectorExpressions.elementGetter(left.dataType)
+    val gb = VectorExpressions.elementGetter(right.dataType)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double)$a.$ga($i) * (double)$b.$gb($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** √(Σ aᵢ²) of a float/double array. */
+case class L2Norm(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("L2Norm expects an array<float|double> input")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val isF = child.dataType match { case ArrayType(FloatType, _) => true; case _ => false }
+    var acc = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
+      acc += x * x
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val g = VectorExpressions.elementGetter(child.dataType)
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x")
+      s"""
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  double $x = (double)$a.$g($i);
+         |  $acc += $x * $x;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * Contiguous n-token shingles joined by single spaces, optionally
+ * de-duplicated preserving first occurrence (= array_distinct semantics).
+ * The interpreted `transform(sequence, i -> concat_ws(slice(...)))`
+ * formulation copies O(n) per shingle (O(n²) per document) through lambda
+ * dispatch — profiled at ~2.5 s per pass over 5000 docs at sf0.1, and the
+ * LSH self-join evaluates it four times. This is a single pass.
+ */
+case class WordShingles(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("WordShingles expects array<string>")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    if (len < n) return ArrayData.toArrayData(Array.empty[org.apache.spark.unsafe.types.UTF8String])
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val toks = new Array[org.apache.spark.unsafe.types.UTF8String](len)
+    var i = 0
+    while (i < len) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.unsafe.types.UTF8String](len - n + 1)
+    val seen = if (distinct) new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]() else null
+    i = 0
+    while (i <= len - n) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = toks(i + j); j += 1 }
+      val s = org.apache.spark.unsafe.types.UTF8String.concatWs(space, parts: _*)
+      if (seen == null || seen.add(s)) out += s
+      i += 1
+    }
+    ArrayData.toArrayData(out.toArray[AnyRef])
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * One-pass 64-bit SimHash over a token array: per token, xxhash64 (same
+ * algorithm/seed as Spark's builtin, XXH64 seed 42); each hash bit votes
+ * ±1 into 64 counters; sign of each counter becomes the output bit.
+ * Replaces an explode-to-(doc × token × 64-bit) shuffle (~32M rows at
+ * sf0.1) with one eval per document.
+ */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("SimHash64 expects array<string>")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val counters = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(arr.getUTF8String(i), 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counters(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * One-pass k-slot MinHash signature over an array of shingle strings:
+ * slotᵢ = min over shingles of ((aᵢ·crc32(s) + bᵢ) mod p), p = 2³¹−1,
+ * deterministic odd/affine seeds. Replaces k separate interpreted
+ * `transform`+`array_min` passes with a single loop (k·|shingles| work,
+ * zero allocation per slot). One eval per document — CodegenFallback is
+ * fine here; the loop body dominates.
+ */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("MinHashSignature expects array<string>")
+  }
+
+  private val P = 2147483647L
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill[Long](k)(Long.MaxValue)
+    val crc = new java.util.zip.CRC32()
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      crc.reset()
+      crc.update(s.getBytes)
+      val h = crc.getValue
+      var j = 0
+      while (j < k) {
+        val a = 1L + 2L * j
+        val b = 97L + 31L * j
+        val hv = java.lang.Math.floorMod(a * h + b, P)
+        if (hv < sig(j)) sig(j) = hv
+        j += 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -199,8 +199,7 @@ object Transform {
     val candidates = array(genericPt, kwhSampled, sessionSampled,
       extEImport, extEImportS, extEExport, extEExportS, extPImport, extPExport)
 
-    val allPts = concat(filter(candidates, _.isNotNull),
-      filter(pricePts, _.isNotNull))
+    val allPts = concat(array_compact(candidates), array_compact(pricePts))
 
     df0
       // slice(_, 1, 0) = empty array of the same element type
