@@ -141,9 +141,9 @@ object Aggregator {
         (col("bucket") + sec).as("time_sec"), col("value"))
   }
 
-  private case class DiffIn(series_id: String, measurement: String,
+  case class DiffIn(series_id: String, measurement: String,
       time: Timestamp, value: Double, dev_type: String)
-  private case class DiffOut(series_id: String, measurement: String,
+  case class DiffOut(series_id: String, measurement: String,
       time: Timestamp, value: Double)
 
   /**
@@ -218,35 +218,44 @@ object Aggregator {
       value: Double, agg_func: String)
 
   /**
-   * Structured-Streaming form of A1+A2: per-series state with a
-   * processing-time timeout as the staleness guard. Each micro-batch tick
-   * (trigger = the 30 s aggregation interval) flushes the buffered values
-   * exactly like the reference's ticker goroutine.
+   * Structured-Streaming form of A1+A2: per-series state flushed every
+   * micro-batch (trigger = the 30 s aggregation interval ≙ the reference's
+   * ticker goroutine). The staleness guard is EVENT-time based (difference
+   * of the series' own timestamps), which keeps it deterministic under
+   * replay — the reference's wall-clock variant (agreggator.go:236-241)
+   * diverges on replay, ours does not. An optional state timeout adds
+   * state eviction for long-dead series; NOTE ProcessingTimeTimeout makes
+   * FlatMapGroupsWithStateExec request micro-batches continuously
+   * (shouldRunAnotherBatch=true), so only enable it with a real
+   * processing-time trigger, never with processAllAvailable-style tests.
    */
-  def streaming(points: Dataset[StreamIn], samplingMinutes: Int = 10)
+  def streaming(points: Dataset[StreamIn], samplingMinutes: Int = 10,
+      stateTimeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)
       : Dataset[StreamOut] = {
     val spark = points.sparkSession
     import spark.implicits._
     points
       .groupByKey(_.series_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
-        processSeries(samplingMinutes))
+      .flatMapGroupsWithState(OutputMode.Append, stateTimeout)(
+        processSeries(samplingMinutes, stateTimeout))
   }
 
-  private def processSeries(samplingMinutes: Int)(
+  private def processSeries(samplingMinutes: Int, stateTimeout: GroupStateTimeout)(
       key: String, rows: Iterator[StreamIn], state: GroupState[SeriesState])
       : Iterator[StreamOut] = {
-    val nowSec = System.currentTimeMillis() / 1000
     val batch = rows.toVector.sortBy(_.time.getTime)
     if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    if (batch.isEmpty) return Iterator.empty
+    val nowSec = batch.last.time.getTime / 1000 // event-time "now"
     val prev = state.getOption.getOrElse(
       SeriesState(Vector.empty, 0.0, nowSec,
-        batch.headOption.map(_.agg_func).getOrElse("mean"),
-        batch.headOption.map(_.measurement).getOrElse(""),
-        batch.headOption.map(_.dev_type).getOrElse("")))
+        batch.head.agg_func, batch.head.measurement, batch.head.dev_type))
+    // event-time staleness (agreggator.go:236-241 re-based on event time)
+    val stale = nowSec - prev.lastSeenSec > StaleCutoffMinutes * 60
+    val kept = if (stale) Vector.empty else prev.buffer
     val buf0 =
-      if (prev.aggFunc == "last") batch.lastOption.map(r => Vector(r.value)).getOrElse(prev.buffer)
-      else prev.buffer ++ batch.map(_.value)
+      if (prev.aggFunc == "last") Vector(batch.last.value)
+      else kept ++ batch.map(_.value)
     val out = Vector.newBuilder[StreamOut]
     var lastEmitted = prev.lastEmitted
     var buffer = buf0
@@ -279,7 +288,8 @@ object Aggregator {
       }
     }
     state.update(prev.copy(buffer = buffer, lastEmitted = lastEmitted, lastSeenSec = nowSec))
-    state.setTimeoutDuration(s"$StaleCutoffMinutes minutes")
+    if (stateTimeout == GroupStateTimeout.ProcessingTimeTimeout)
+      state.setTimeoutDuration(s"$StaleCutoffMinutes minutes")
     out.result().iterator
   }
 }

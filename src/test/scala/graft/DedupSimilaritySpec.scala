@@ -1,0 +1,113 @@
+package graft
+
+import graft.functions.{Dedup, Similarity, TextFunctions}
+import org.apache.spark.sql.functions._
+
+/** Dedup + similarity operators over the sf0.001 fixtures and synthetic
+ *  controls. */
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("exact dedup groups identical normalized text") {
+    val d = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other doc"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(d).collect()
+    assert(out.length == 2)
+    val dup = out.find(_.getAs[Long]("copies") == 2).get
+    assert(dup.getAs[Long]("doc_id") == 1L) // keeps lowest id
+  }
+
+  test("ngram jaccard finds the planted near-dup pairs; minhash-LSH agrees") {
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.8, Int.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val lsh = Dedup.minhashLshPairs(docs, 3, 64, 16, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == exact) // recall 1 on this corpus, verification exact
+  }
+
+  test("ngram jaccard is symmetric-free and thresholded") {
+    val out = Dedup.ngramJaccardPairs(docs, 3, 0.8, Int.MaxValue).collect()
+    assert(out.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+    assert(out.forall(_.getAs[Double]("jaccard") >= 0.8))
+  }
+
+  test("shingle pruning bounds hot blocking keys") {
+    // with maxShingleFreq=1 every shared shingle is pruned → no pairs
+    assert(Dedup.ngramJaccardPairs(docs, 3, 0.8, 1).count() == 0)
+  }
+
+  test("simhash: identical docs distance 0; near-dups within 3 bits") {
+    val d = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different content about spark engines")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(d, 3).collect()
+    assert(pairs.exists(r => r.getAs[Long]("id_a") == 1 && r.getAs[Long]("id_b") == 2 &&
+      r.getAs[Number]("dist").longValue == 0))
+    assert(!pairs.exists(r => r.getAs[Long]("id_b") == 3))
+  }
+
+  test("cosine: self-similarity 1, orthogonal 0") {
+    val v = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 2.0f)),
+      (3L, Array(2.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = Similarity.bruteForcePairs(v, -1.0).collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("score"))).toMap
+    assert(pairs((1L, 3L)) == 1.0)
+    assert(pairs((1L, 2L)) == 0.0)
+  }
+
+  test("brute-force top-k returns k ranked neighbors per query") {
+    val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), 5)
+    val byQ = out.collect().groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.values.foreach { rows =>
+      assert(rows.length == 5)
+      val ranked = rows.sortBy(_.getAs[Int]("rank"))
+      assert(ranked.map(_.getAs[Double]("score")).toSeq ==
+        ranked.map(_.getAs[Double]("score")).sortBy(-(_: Double)).toSeq)
+    }
+  }
+
+  test("LSH top-k scores are a subset of brute-force scores (approximation sound)") {
+    val bf = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), 10)
+      .select("query_id", "vec_id", "score").as[(Long, Long, Double)].collect().toSet
+    val lsh = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 3), 10, nPlanes = 4)
+      .select("query_id", "vec_id", "score").collect()
+    // every LSH hit must carry the exact brute-force score for that pair
+    val bfScores = bf.map { case (q, v, s) => (q, v) -> s }.toMap
+    assert(lsh.forall { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))
+      !bfScores.contains(key) || bfScores(key) == r.getAs[Double]("score")
+    })
+  }
+
+  test("language id picks the language with most stopword hits") {
+    val d = Seq((1L, "the cat and the dog of a house"),
+      (2L, "der hund und die katze ist nicht da"),
+      (3L, "le chat est dans la maison pour les amis"),
+      (4L, "xyzzy qwerty")).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"), TextFunctions.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "en" && out(2L) == "de" && out(3L) == "fr" && out(4L) == "und")
+  }
+
+  test("quality score is in [0,1] and penalizes junk") {
+    val d = Seq((1L, "the project is a well formed document with normal words and it is fine for training data"),
+      (2L, "@@@@ #### !!!! 1234 5678 ---- ????")).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("q"))
+      .as[(Long, Double)].collect().toMap
+    assert(out.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(out(1L) > out(2L))
+  }
+
+  test("rolling hash is order-sensitive") {
+    val d = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"), TextFunctions.rollingHash(col("text")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) == out(3L))
+    assert(out(1L) != out(2L))
+  }
+}

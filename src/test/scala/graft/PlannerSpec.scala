@@ -1,0 +1,147 @@
+package graft
+
+import java.time.Instant
+import java.sql.Timestamp
+
+import graft.model.{DataPointsFilter, DataPointsRequest, Tier}
+import graft.query.{Planner, TierPolicy}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Query planner + tier policy (reference: influxdb_v1.go:97-264,
+ *  mapping.go). */
+class PlannerSpec extends SparkSpec {
+
+  private val now = Instant.parse("2024-01-02T00:00:00Z")
+
+  private val schema = StructType(Seq(
+    StructField("measurement", StringType), StructField("time", TimestampType),
+    StructField("value", DoubleType), StructField("dev_id", StringType),
+    StructField("location_id", StringType), StructField("dev_type", StringType)))
+
+  private def pts(rows: (String, Long, Double, String)*): DataFrame = {
+    val rs = rows.map { case (m, sec, v, dev) =>
+      Row(m, new Timestamp(sec * 1000), v, dev, "1", "sensor") }
+    spark.createDataFrame(spark.sparkContext.parallelize(rs), schema)
+  }
+
+  // --- tier policy (mapping.go:28-45,63-103,146-168) ---
+
+  test("tier by elapsed time") {
+    import TierPolicy._
+    assert(resolveByElapsedMinutes(60, Tier.ProfileOptimized) == Tier.GenRaw)
+    assert(resolveByElapsedMinutes(2 * DayMinutes, Tier.ProfileOptimized) == Tier.GenDay)
+    assert(resolveByElapsedMinutes(2 * WeekMinutes, Tier.ProfileOptimized) == Tier.GenWeek)
+    assert(resolveByElapsedMinutes(2 * MonthMinutes, Tier.ProfileOptimized) == Tier.GenMonth)
+    assert(resolveByElapsedMinutes(13 * MonthMinutes, Tier.ProfileOptimized) == Tier.GenYear)
+    // non-optimized profile always raw
+    assert(resolveByElapsedMinutes(13 * MonthMinutes, "simple") == Tier.GenRaw)
+  }
+
+  test("tier by requested bucket and refinement rule (influxdb_v1.go:127-137)") {
+    import TierPolicy._
+    assert(resolveByTimeGroup("1d", Tier.ProfileOptimized) == Tier.GenYear)
+    assert(resolveByTimeGroup("1h", Tier.ProfileOptimized) == Tier.GenMonth)
+    assert(resolveByTimeGroup("10m", Tier.ProfileOptimized) == Tier.GenWeek)
+    assert(resolveByTimeGroup("1m", Tier.ProfileOptimized) == Tier.GenDay)
+    // 2-day relative window, 1h buckets, mean → refined to gen_month
+    assert(resolveQueryTier("sensor_temp", Tier.ProfileOptimized, None, "2d", "1h",
+      "mean", now) == Tier.GenMonth)
+    // non-mean function → no refinement
+    assert(resolveQueryTier("sensor_temp", Tier.ProfileOptimized, None, "2d", "1h",
+      "max", now) == Tier.GenDay)
+    // low-frequency measurement → gen_default regardless
+    assert(resolveQueryTier("app_event", Tier.ProfileOptimized, None, "2d", "1h",
+      "mean", now) == Tier.GenDefault)
+  }
+
+  test("relative duration parsing incl. reference's contains-order quirk") {
+    import TierPolicy._
+    assert(relativeToMinutes("90m") == 90)
+    assert(relativeToMinutes("2h") == 120)
+    assert(relativeToMinutes("1d") == 1440)
+    assert(relativeToMinutes("2w") == 20160)
+    assert(relativeToMinutes("") == 0)
+  }
+
+  test("high-frequency classifier (mapping.go:156-168)") {
+    import TierPolicy._
+    assert(isHighFrequency("electricity_meter_power"))
+    assert(isHighFrequency("sensor_temp.evt.sensor.report"))
+    assert(!isHighFrequency("sensor_presence.evt.sensor.report"))
+    assert(!isHighFrequency("thermostat.cmd.setpoint.set"))
+    assert(resolveWriteTier("electricity_meter_energy_sampled", Tier.ProfileOptimized) == Tier.GenYear)
+    assert(resolveWriteTier("app_event", Tier.ProfileOptimized) == Tier.GenDefault)
+  }
+
+  // --- planner shapes ---
+
+  private def plan(req: DataPointsRequest, df: DataFrame) =
+    Planner.dataPoints(req, _ => df, now)
+
+  test("time bucketing with fill null produces the complete spine") {
+    val df = pts(("app_m", 86400 * 365 * 54 + 100, 10.0, "d1")) // within 1h of now? use relative
+    val base = pts(
+      ("app_m", now.getEpochSecond - 7000, 10.0, "d1"),
+      ("app_m", now.getEpochSecond - 100, 20.0, "d1"))
+    val out = plan(DataPointsRequest("app_m", relativeTime = "3h", groupByTime = "1h"),
+      base).collect()
+    // spine: floor((now-3h)/1h) .. floor(now/1h) = 4 buckets
+    assert(out.length == 4)
+    assert(out.count(_.isNullAt(1)) == 2)
+  }
+
+  test("fill previous carries last value; fill 0 coalesces; fill none omits") {
+    val base = pts(
+      ("m", now.getEpochSecond - 3 * 3600 + 10, 5.0, "d1"),
+      ("m", now.getEpochSecond - 600, 7.0, "d1"))
+    def run(fill: String) =
+      plan(DataPointsRequest("m", relativeTime = "3h", groupByTime = "1h",
+        fillType = fill), base).collect()
+        .sortBy(_.getAs[Long]("time")).map(r =>
+          if (r.isNullAt(1)) None else Some(r.getAs[Double]("value")))
+    // spine: 21:00, 22:00, 23:00, 00:00; data at 21:00:10 (5.0) and 23:50 (7.0)
+    assert(run("previous").toSeq == Seq(Some(5.0), Some(5.0), Some(7.0), Some(7.0)))
+    assert(run("0").toSeq == Seq(Some(5.0), Some(0.0), Some(7.0), Some(0.0)))
+    assert(run("none").length == 2)
+  }
+
+  test("group-by-tag echoes raw rows; defaults applied (influxdb_v1.go:102-114)") {
+    val base = pts(
+      ("m", now.getEpochSecond - 100, 5.0, "d1"),
+      ("m", now.getEpochSecond - 50, 7.0, "d2"))
+    val out = plan(DataPointsRequest("m", relativeTime = "1h", groupByTag = "dev_id"), base)
+    assert(out.columns.toSet == Set("time", "value", "dev_id"))
+    assert(out.count() == 2)
+  }
+
+  test("tag/device filters (F5) and aggregate-only shape") {
+    val base = pts(
+      ("m", now.getEpochSecond - 100, 5.0, "d1"),
+      ("m", now.getEpochSecond - 50, 7.0, "d2"))
+    val out = plan(DataPointsRequest("m", relativeTime = "1h", dataFunction = "sum",
+      filters = DataPointsFilter(devices = Seq("d1"))), base).collect()
+    assert(out.length == 1 && out.head.getAs[Double]("value") == 5.0)
+  }
+
+  test("transform function wrap: abs and difference (P10)") {
+    val base = pts(
+      ("m", now.getEpochSecond - 3600 - 100, 10.0, "d1"),
+      ("m", now.getEpochSecond - 100, 4.0, "d1"))
+    val out = plan(DataPointsRequest("m", relativeTime = "3h", groupByTime = "1h",
+      fillType = "none", transformFunction = "difference"), base).collect()
+      .sortBy(_.getAs[Long]("time"))
+    assert(out.length == 2)
+    assert(out.head.isNullAt(out.head.fieldIndex("value"))) // first lag is null
+    assert(out.last.getAs[Double]("value") == -6.0)
+  }
+
+  test("energy preset: invalid group_by_time forced to 1h (influxdb_v1.go:215-217)") {
+    val base = pts(("electricity_meter_energy_sampled", now.getEpochSecond - 100, 5.0, "d1"))
+    // note "25h" WOULD pass the reference's 1-2-digit regex; "abc" does not
+    val out = Planner.energyDataPoints("2h", "", "", "abc", "dev_id",
+      DataPointsFilter(), _ => base, now)
+    // forced 1h buckets over 2h relative → 3 spine rows for the one device
+    assert(out.count() == 3)
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+
+import graft.model.Tier
+import graft.store.{CsvSink, TierStore}
+import graft.stream.Aggregator
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Tier store (S3/S5/S8/S9) and the Structured-Streaming aggregator. */
+class StoreStreamSpec extends SparkSpec {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft_store").toFile.getAbsolutePath
+
+  private val schema = StructType(Seq(
+    StructField("measurement", StringType), StructField("time", TimestampType),
+    StructField("value", DoubleType), StructField("dev_id", StringType)))
+
+  private def pts(rows: (String, String, Double)*) = {
+    val rs = rows.map { case (m, day, v) =>
+      Row(m, Timestamp.valueOf(s"$day 10:00:00"), v, "d1") }
+    spark.createDataFrame(spark.sparkContext.parallelize(rs), schema)
+  }
+
+  test("write/read roundtrip with measurement+date partitioning") {
+    val store = new TierStore(spark, tmpDir())
+    store.write(Tier.GenRaw, pts(
+      ("sensor_temp", "2024-01-01", 1.0), ("sensor_temp", "2024-01-02", 2.0),
+      ("sensor_hum", "2024-01-01", 3.0)))
+    val back = store.read(Tier.GenRaw)
+    assert(back.count() == 3)
+    assert(store.measurements(Tier.GenRaw) == Seq("sensor_hum", "sensor_temp"))
+    // partition pruning: measurement+date filter must prune input files
+    val pruned = back.filter(col("measurement") === "sensor_temp" &&
+      col("date") === "2024-01-01")
+    assert(pruned.count() == 1)
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
+
+  test("routing: sampled → gen_year, sensor_* → gen_raw, rest → gen_default") {
+    val store = new TierStore(spark, tmpDir())
+    store.writeRouted(pts(
+      ("electricity_meter_energy_sampled", "2024-01-01", 1.0),
+      ("sensor_temp", "2024-01-01", 2.0),
+      ("thermostat.cmd.setpoint.set", "2024-01-01", 3.0)))
+    assert(store.read(Tier.GenYear).count() == 1)
+    assert(store.read(Tier.GenRaw).count() == 1)
+    assert(store.read(Tier.GenDefault).count() == 1)
+  }
+
+  test("retention expiry drops only out-of-window date partitions (S9)") {
+    val store = new TierStore(spark, tmpDir())
+    store.write(Tier.GenRaw, pts(
+      ("m", "2024-01-01", 1.0), ("m", "2024-03-01", 2.0)))
+    store.expire(Tier.GenRaw, Instant.parse("2024-03-05T00:00:00Z")) // 2w retention
+    val left = store.read(Tier.GenRaw).collect()
+    assert(left.length == 1 && left.head.getAs[Double]("value") == 2.0)
+  }
+
+  test("drop measurement removes its partition tree (S9)") {
+    val store = new TierStore(spark, tmpDir())
+    store.write(Tier.GenRaw, pts(("m1", "2024-01-01", 1.0), ("m2", "2024-01-01", 2.0)))
+    store.dropMeasurement(Tier.GenRaw, "m1")
+    assert(store.read(Tier.GenRaw).select("measurement").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("m2"))
+  }
+
+  test("CSV sink writes the fixed 11-column shape (S5, csv.go:22)") {
+    val dir = tmpDir() + "/csv"
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("m", Timestamp.valueOf("2024-01-01 10:00:00"),
+        "d1", "t", "import", "11", "svc", "src", "top", 1.5, null, null, "W"))),
+      StructType(Seq(
+        StructField("measurement", StringType), StructField("time", TimestampType),
+        StructField("dev_id", StringType), StructField("dev_type", StringType),
+        StructField("dir", StringType), StructField("location_id", StringType),
+        StructField("service", StringType), StructField("src", StringType),
+        StructField("topic", StringType), StructField("value", DoubleType),
+        StructField("value_bool", BooleanType), StructField("value_str", StringType),
+        StructField("unit", StringType))))
+    CsvSink.write(df, dir)
+    val back = spark.read.option("header", true).csv(dir)
+    assert(back.columns.toSeq == CsvSink.header)
+    assert(back.count() == 1)
+  }
+
+  test("streaming aggregator emits per-series aggregates with change suppression") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Aggregator.StreamIn]
+    val q = Aggregator.streaming(input.toDS())
+      .writeStream.format("memory").queryName("agg_out").outputMode("append").start()
+    try {
+      val t = new Timestamp(1704067200000L)
+      input.addData(
+        Aggregator.StreamIn("s1", "m", "mean", t, 10.0, "sensor"),
+        Aggregator.StreamIn("s1", "m", "mean", t, 20.0, "sensor"))
+      q.processAllAvailable()
+      input.addData(Aggregator.StreamIn("s1", "m", "mean", t, 15.0, "sensor"))
+      q.processAllAvailable()
+      val out = spark.table("agg_out").as[Aggregator.StreamOut].collect()
+      // batch 1: mean(10,20)=15 emitted; batch 2: mean(15)=15 → suppressed
+      assert(out.map(_.value).toSeq == Seq(15.0))
+      assert(out.head.series_id == "s1")
+    } finally q.stop()
+  }
+
+  test("streaming difference carries seed across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Aggregator.StreamIn]
+    // samplingMinutes=0 edge-safe: use 1 and rely on the minute-mod check
+    val q = Aggregator.streaming(input.toDS(), samplingMinutes = 1)
+      .writeStream.format("memory").queryName("diff_out").outputMode("append").start()
+    try {
+      val t = new Timestamp(1704067200000L)
+      input.addData(
+        Aggregator.StreamIn("s2", "m", "difference", t, 10.0, "sensor"),
+        Aggregator.StreamIn("s2", "m", "difference", t, 14.0, "sensor"))
+      q.processAllAvailable()
+      input.addData(Aggregator.StreamIn("s2", "m", "difference", t, 20.0, "sensor"))
+      q.processAllAvailable()
+      val out = spark.table("diff_out").as[Aggregator.StreamOut].collect()
+        .map(_.value).toSeq
+      // batch 1: diff(10,14)=4; batch 2: seed 14 → diff(14,20)=6
+      assert(out == Seq(4.0, 6.0))
+    } finally q.stop()
+  }
+}
