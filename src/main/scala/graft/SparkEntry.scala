@@ -192,7 +192,25 @@ object SparkEntry {
         "FROM events_v GROUP BY event_type")
     }),
 
-    // --- ingest: filters / topic match / enrichment / transform ---
+    // --- ingest: sources / filters / topic match / enrichment / transform ---
+
+    "s2_log_replay" -> ((s, dir) => {
+      // events → tai64n log lines → LogReplay.parse → typed rows; the
+      // round-trip must reproduce the original event stream exactly
+      val e = events(s, dir).select(
+        concat(lit("pt:j1/mt:evt/rt:dev/rn:t/ad:1/sv:sensor_temp/ad:"),
+          col("event_id").cast("string")).as("topic"),
+        lit("sensor_temp").as("serv"), lit("evt.sensor.report").as("msg_type"),
+        lit("float").as("val_t"), col("value").cast("string").as("val_json"),
+        map(lit("unit"), lit("C")).as("props"), lit("app").as("src"),
+        col("ts").as("time"))
+      val lines = e.select(graft.sources.LogReplay.format(e).as("value"))
+      graft.sources.LogReplay.parse(lines).select(
+        regexp_extract(col("topic"), "/ad:(\\d+)$", 1).cast("long").as("event_id"),
+        unix_timestamp(col("time")).as("time_sec"),
+        col("val_json").cast("double").as("value"),
+        col("serv"), col("domain"))
+    }),
 
     "f2_filter_chain" -> ((s, dir) => {
       val filters = Seq(
@@ -442,6 +460,11 @@ object SparkEntry {
     "s7_raw_sql" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "s2_log_replay" ->
+      """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS time_sec,
+        |  value, 'sensor_temp' AS serv, 'j1' AS domain
+        |FROM events""".stripMargin,
 
     "f2_filter_chain" ->
       """SELECT event_id FROM events

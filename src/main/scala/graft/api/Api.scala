@@ -1,0 +1,108 @@
+package graft.api
+
+import java.time.Instant
+
+import graft.model._
+import graft.query.Planner
+import graft.store.TierStore
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Command API — the reference's MQTT admin surface re-expressed as a
+ * transport-agnostic dispatcher (reference: src/api/admin.go:59-416;
+ * request DTOs src/api/types.go:8-34). MQTT itself is not the
+ * capability — the command set is (SURVEY.md §7 step 9).
+ */
+object Api {
+
+  /** cmd.tsdb.get_data_points DTO (types.go:8-21). */
+  final case class GetDataPointsRequest(
+      procId: Int = 1, fieldName: String = "", dataFunction: String = "",
+      transformFunction: String = "", measurementName: String = "",
+      relativeTime: String = "", fromTime: String = "", toTime: String = "",
+      groupByTime: String = "", groupByTag: String = "", fillType: String = "",
+      filters: DataPointsFilter = DataPointsFilter()) {
+    def toRequest: DataPointsRequest = DataPointsRequest(
+      measurement = measurementName, fieldName = fieldName,
+      dataFunction = dataFunction, transformFunction = transformFunction,
+      relativeTime = relativeTime, fromTime = fromTime, toTime = toTime,
+      groupByTime = groupByTime, groupByTag = groupByTag, fillType = fillType,
+      filters = filters)
+  }
+
+  /** cmd.tsdb.write_data_points DTO (types.go:23-34, admin.go:179-204). */
+  final case class WritePoint(name: String, tags: Map[String, String],
+      fields: Map[String, Double], ts: java.sql.Timestamp)
+
+  final case class Context(spark: SparkSession, store: TierStore,
+      profile: String = Tier.ProfileOptimized, now: () => Instant = () => Instant.now())
+
+  /**
+   * Dispatch a command by name — the admin.go onCommand switch. Returns a
+   * response DataFrame (query commands) or Unit-like empty frame (admin
+   * commands). Raw SQL (S7) goes straight to Spark SQL.
+   */
+  def dispatch(ctx: Context, command: String, payload: Any): DataFrame = command match {
+    case "cmd.tsdb.get_data_points" => // admin.go:206-226
+      val req = payload.asInstanceOf[GetDataPointsRequest]
+      Planner.dataPoints(req.toRequest, t => ctx.store.read(t), ctx.now())
+    case "cmd.tsdb.get_energy_data_points" => // admin.go:229-247
+      val req = payload.asInstanceOf[GetDataPointsRequest]
+      Planner.energyDataPoints(req.relativeTime, req.fromTime, req.toTime,
+        req.groupByTime, req.groupByTag, req.filters, t => ctx.store.read(t), ctx.now())
+    case "cmd.tsdb.query" => // S7 raw passthrough (admin.go:156-177)
+      ctx.spark.sql(payload.asInstanceOf[String])
+    case "cmd.tsdb.write_data_points" => // S6 (admin.go:179-204)
+      val points = payload.asInstanceOf[Seq[WritePoint]]
+      import ctx.spark.implicits._
+      val df = points.map(p => (p.name, p.ts,
+          p.tags.getOrElse("dev_id", ""), p.tags.getOrElse("dev_type", ""),
+          p.tags.getOrElse("dir", null), p.tags.getOrElse("location_id", ""),
+          p.tags.getOrElse("service", null), null: String, p.tags.getOrElse("topic", ""),
+          p.fields.getOrElse("value", Double.NaN), p.fields.get("unit").map(_.toString).orNull))
+        .toDF("measurement", "time", "dev_id", "dev_type", "dir", "location_id",
+          "service", "src", "topic", "value", "unit")
+      ctx.store.writeRouted(df, ctx.profile)
+      ctx.spark.emptyDataFrame
+    case "cmd.tsdb.get_measurements" => // S8 (admin.go / influxdb_v1.go:376-394)
+      import ctx.spark.implicits._
+      Tier.all.flatMap(t => ctx.store.measurements(t).map(m => (t.name, m)))
+        .toDF("tier", "measurement")
+    case "cmd.tsdb.get_retention_policies" => // S8 (influxdb_v1.go:396-413)
+      import ctx.spark.implicits._
+      ctx.store.retentionPolicies.map(t => (t.name, t.retention, t.resolution))
+        .toDF("name", "retention", "resolution")
+    case other =>
+      throw new IllegalArgumentException(s"unknown command: $other")
+  }
+
+  /**
+   * Shape a planner result into the reference's response JSON:
+   * `{"Results":[{"Series":[{"name","tags","columns","values"}]}]}`
+   * (reference response fixtures: docs/api:26-176, docs/data-exchange;
+   * one Series per group-by-tag value, columns ["time","value"]).
+   */
+  def shapeResponse(df: DataFrame, measurement: String, groupByTag: String): String = {
+    val rows = df.collect()
+    val series: Seq[(Map[String, String], Array[Row])] =
+      if (groupByTag.nonEmpty)
+        rows.groupBy(r => Option(r.getAs[Any](groupByTag)).map(_.toString).getOrElse(""))
+          .toSeq.sortBy(_._1)
+          .map { case (tv, rs) => (Map(groupByTag -> tv), rs) }
+      else Seq((Map.empty[String, String], rows))
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val seriesJson = series.map { case (tags, rs) =>
+      val tagJson = tags.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+      val values = rs.sortBy(r => if (r.schema.fieldNames.contains("time"))
+          r.getAs[Long]("time") else 0L)
+        .map { r =>
+          val t = if (r.schema.fieldNames.contains("time")) r.getAs[Long]("time").toString else "0"
+          val v = Option(r.getAs[Any]("value")).map(_.toString).getOrElse("null")
+          s"[$t,$v]"
+        }.mkString("[", ",", "]")
+      s"""{"name":${jstr(measurement)},"tags":$tagJson,"columns":["time","value"],"values":$values}"""
+    }.mkString("[", ",", "]")
+    s"""{"Results":[{"Series":$seriesJson}]}"""
+  }
+}

@@ -1,0 +1,57 @@
+package graft.ingest
+
+import graft.meta.MetadataStore
+import graft.model.ProcessConfig
+import graft.store.TierStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/**
+ * The standing ingestion "query" — the reference's Process.OnMessage
+ * pipeline (reference: src/integration/tsdb/process.go:125-189, SURVEY.md
+ * §3.3): selector match → filter chain → metadata enrichment → transform →
+ * tier-routed write. Batch replay (process.go:211-231 AddMessage) and live
+ * streaming share this exact plan — one code path, which is the Spark-first
+ * redesign of the reference's two (callback + batch loader).
+ */
+object IngestPipeline {
+
+  /** events (Schemas.rawEvent shape) → canonical points DataFrame. */
+  def transform(events: DataFrame, config: ProcessConfig,
+      metadata: Option[DataFrame]): DataFrame = {
+    val selected =
+      if (config.selectors.nonEmpty)
+        events.filter(TopicMatch.anySelector(events("topic"),
+          config.selectors.map(_.topic)))
+      else events
+    val filtered = selected.filter(FilterCompiler.compile(config.filters))
+    val enriched = metadata.map(MetadataStore.enrich(filtered, _)).getOrElse(filtered)
+    Transform(enriched)
+  }
+
+  /** Batch form: replayed/loaded events → tiered store (S2+S3). */
+  def runBatch(events: DataFrame, config: ProcessConfig,
+      metadata: Option[DataFrame], store: TierStore): Unit =
+    store.writeRouted(transform(events, config, metadata), config.profile)
+
+  /**
+   * Streaming form: micro-batch append into the tier store via
+   * foreachBatch (the reference's dual size/time-triggered batch writer,
+   * process.go:290-310,444-455, maps to ProcessingTime triggers +
+   * idempotent appends — at-least-once, strictly better than the
+   * reference's drop-on-error batches, SURVEY.md §2.8).
+   */
+  def runStream(events: DataFrame, config: ProcessConfig,
+      metadata: Option[DataFrame], store: TierStore,
+      checkpoint: String): StreamingQuery = {
+    transform(events, config, metadata)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(s"${config.saveIntervalMs} milliseconds"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        store.writeRouted(batch, config.profile)
+      }
+      .start()
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.Instant
+
+import graft.api.Api
+import graft.ingest.IngestPipeline
+import graft.model._
+import graft.sources.LogReplay
+import graft.store.TierStore
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** End-to-end: log replay (S2) → pipeline (§3.3) → tier store → command
+ *  API (S6-S9) → response shaping — the reference's full message path. */
+class ApiPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft_api").toFile.getAbsolutePath
+
+  test("tai64n round trip") {
+    val df = Seq("@4000000065a1c2f000000000 pt:j1/mt:evt/rt:dev/rn:z/ad:1 " +
+      """{"serv":"sensor_temp","type":"evt.sensor.report","val_t":"float","val":21.5,"props":{"unit":"C"},"src":"app"}""")
+      .toDF("value")
+    val out = LogReplay.parse(df).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("topic") == "pt:j1/mt:evt/rt:dev/rn:z/ad:1")
+    assert(r.getAs[String]("serv") == "sensor_temp")
+    assert(r.getAs[String]("val_json") == "21.5")
+    assert(r.getAs[String]("domain") == "j1")
+    // @4000000065a1c2f0 = 2024-01-12T22:53:36Z
+    assert(r.getAs[Timestamp]("time").toInstant == Instant.parse("2024-01-12T22:53:36Z"))
+  }
+
+  test("log format/parse round-trips structured values") {
+    val e = Seq(("pt:j1/mt:evt/rt:dev/rn:z/ad:1/sv:meter_elec/ad:2", "meter_elec",
+      "evt.meter_ext.report", "float_map", """{"e_import":12.5,"p_import":100.0}""",
+      Map("u" -> "x"), "app", Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("topic", "serv", "msg_type", "val_t", "val_json", "props", "src", "time")
+    val lines = e.select(LogReplay.format(e).as("value"))
+    val back = LogReplay.parse(lines).collect().head
+    assert(back.getAs[String]("val_json") == """{"e_import":12.5,"p_import":100.0}""")
+    assert(back.getAs[Timestamp]("time") == Timestamp.valueOf("2024-01-01 10:00:00"))
+  }
+
+  test("full path: replayed FIMP log → pipeline → store → planner → response JSON") {
+    val store = new TierStore(spark, tmpDir())
+    // three power reports over two hours for one device
+    val rows = Seq(
+      ("2024-01-01 10:05:00", "1200"), ("2024-01-01 10:20:00", "1300"),
+      ("2024-01-01 11:05:00", "900")).map { case (t, v) =>
+      Row("pt:j1/mt:evt/rt:dev/rn:zw/ad:1/sv:meter_elec/ad:7", "meter_elec",
+        "evt.meter.report", "float", v, Map("unit" -> "W"), "app", "j1",
+        Timestamp.valueOf(t))
+    }
+    val events = spark.createDataFrame(spark.sparkContext.parallelize(rows),
+      graft.model.Schemas.rawEvent)
+    val config = ProcessConfig(id = 1,
+      filters = Seq(Filter(id = 1)), // allow-all
+      selectors = Seq(Selector(1, "pt:j1/mt:evt/#")))
+    IngestPipeline.runBatch(events, config, None, store)
+
+    // power is high-frequency → lands in gen_raw
+    assert(store.measurements(Tier.GenRaw) == Seq("electricity_meter_power"))
+
+    // maintain the rollup cascade (A9) — the reference's CQs; the planner's
+    // mean+1h query below gets tier-refined to gen_month (O1) and must be
+    // served from the materialized rollup
+    val casc = graft.rollup.Downsampler.cascade(store.read(Tier.GenRaw).drop("date"))
+    Seq(Tier.GenDay, Tier.GenWeek, Tier.GenMonth, Tier.GenYear)
+      .foreach(t => store.write(t, casc(t.name)))
+
+    val ctx = Api.Context(spark, store,
+      now = () => Instant.parse("2024-01-01T12:00:00Z"))
+    val df = Api.dispatch(ctx, "cmd.tsdb.get_data_points",
+      Api.GetDataPointsRequest(measurementName = "electricity_meter_power",
+        relativeTime = "3h", groupByTime = "1h", dataFunction = "mean",
+        fillType = "none"))
+    val got = df.collect().map(r => (r.getAs[Long]("time"), r.getAs[Double]("value"))).toSet
+    // 10:00 bucket: mean(1200,1300)=1250; 11:00 bucket: 900
+    assert(got == Set((1704103200L, 1250.0), (1704106800L, 900.0)))
+
+    val json = Api.shapeResponse(df, "electricity_meter_power", "")
+    assert(json ==
+      """{"Results":[{"Series":[{"name":"electricity_meter_power","tags":{},""" +
+      """"columns":["time","value"],"values":[[1704103200,1250.0],[1704106800,900.0]]}]}]}""")
+  }
+
+  test("write_data_points (S6) routes client points into the right tier") {
+    val store = new TierStore(spark, tmpDir())
+    val ctx = Api.Context(spark, store)
+    Api.dispatch(ctx, "cmd.tsdb.write_data_points", Seq(
+      Api.WritePoint("custom_metric", Map("dev_id" -> "d1"), Map("value" -> 5.0),
+        Timestamp.valueOf("2024-01-01 10:00:00"))))
+    assert(store.read(Tier.GenDefault).count() == 1) // non-sensor → gen_default
+    val rp = Api.dispatch(ctx, "cmd.tsdb.get_retention_policies", null)
+    assert(rp.count() == 6)
+    val ms = Api.dispatch(ctx, "cmd.tsdb.get_measurements", null)
+    assert(ms.filter(col("measurement") === "custom_metric").count() == 1)
+  }
+
+  test("raw SQL passthrough (S7)") {
+    val store = new TierStore(spark, tmpDir())
+    val ctx = Api.Context(spark, store)
+    spark.range(3).createOrReplaceTempView("t_s7")
+    assert(Api.dispatch(ctx, "cmd.tsdb.query", "SELECT count(*) AS n FROM t_s7")
+      .collect().head.getAs[Long]("n") == 3)
+  }
+
+  test("response shaping groups series per tag (docs/api:261-361 shape)") {
+    val df = Seq((1704103200L, 1.0, "11"), (1704103200L, 2.0, "12"))
+      .toDF("time", "value", "location_id")
+    val json = Api.shapeResponse(df, "m", "location_id")
+    assert(json.contains(""""tags":{"location_id":"11"}"""))
+    assert(json.contains(""""tags":{"location_id":"12"}"""))
+    assert(json.startsWith("""{"Results":[{"Series":["""))
+  }
+}
