@@ -247,6 +247,53 @@ object SparkEntry {
         col("agg_func"), col("series_id"))
     }),
 
+    "p6_typed_extraction" -> ((s, dir) => {
+      // exercise the bool/int/string/null/object val_t arms of the
+      // transform's typed-value switch (transform.go:299-336)
+      val e = events(s, dir)
+      val valT = element_at(
+        array(lit("float"), lit("int"), lit("bool"), lit("string"), lit("null"), lit("object")),
+        (col("event_id") % 6).cast("int") + 1)
+      val valJson = when(valT === "float", col("value").cast("string"))
+        .when(valT === "int", floor(col("value")).cast("long").cast("string"))
+        .when(valT === "bool", (col("event_id") % 2 === 0).cast("string"))
+        .when(valT === "string", col("event_type"))
+        .when(valT === "null", lit(""))
+        .otherwise(lit("{\"a\":1}"))
+      val f = e.select(
+        concat(lit("t/"), col("event_id").cast("string")).as("topic"),
+        lit("dev_sys").as("serv"), lit("evt.x.report").as("msg_type"),
+        valT.as("val_t"), valJson.as("val_json"),
+        map(lit("unit"), lit("u")).as("props"),
+        lit("app").as("src"), lit("x").as("domain"), col("ts").as("time"))
+      Transform(f).select(
+        regexp_extract(col("topic"), "^t/(\\d+)$", 1).cast("long").as("event_id"),
+        col("value"), col("value_bool"), col("value_str"), col("unit"))
+    }),
+
+    "p10_transform_fn" -> ((s, dir) => {
+      // transform_function=abs over a difference'd hourly mean (P10)
+      Planner.dataPoints(DataPointsRequest("app_view", relativeTime = "5w",
+        groupByTime = "1h", dataFunction = "mean", fillType = "none",
+        transformFunction = "difference"),
+        _ => points(s, dir, "app_"), Now)
+        .withColumn("value", round(abs(col("value")), 6))
+        .filter(col("value").isNotNull)
+    }),
+
+    "a3_hourly_profile" -> ((s, dir) => {
+      // full streaming-difference fold incl. the meter.main_elec hourly
+      // time shift — no SQL oracle (stateful fold), rows-only check
+      Aggregator.difference(
+        cumPoints(s, dir, "electricity_meter_energy_sampled", Some(80.0))
+          .withColumn("agg_func", lit("difference"))
+          .withColumn("dev_type",
+            when(col("dev_id").cast("long") % 7 === 0, "meter.main_elec")
+              .otherwise("sensor")), 10)
+        .select(col("series_id"), unix_timestamp(col("time")).as("time_sec"),
+          round(col("value"), 6).as("value"))
+    }),
+
     "f8_iqr_outliers" -> ((s, dir) => {
       val e = events(s, dir).filter(col("event_type") === "view")
         .withColumn("v", col("value") * col("value") * col("value") * col("value") * col("value"))
@@ -512,6 +559,29 @@ object SparkEntry {
         |SELECT 'thermostat.cmd.setpoint.set', tsec, NULL, round(value, 6), 'C',
         |  'mean', 'thermostat.cmd.setpoint.set;'
         |FROM e WHERE event_type = 'signup'""".stripMargin,
+
+    "p6_typed_extraction" ->
+      """WITH e AS (SELECT event_id, event_type, value,
+        |  CASE CAST(event_id % 6 AS INT) WHEN 0 THEN 'float' WHEN 1 THEN 'int'
+        |    WHEN 2 THEN 'bool' WHEN 3 THEN 'string' WHEN 4 THEN 'null'
+        |    ELSE 'object' END AS vt
+        |  FROM events)
+        |SELECT event_id,
+        |  CASE WHEN vt = 'float' THEN value
+        |       WHEN vt = 'int' THEN CAST(CAST(floor(value) AS BIGINT) AS DOUBLE)
+        |       WHEN vt = 'null' THEN 0.0 END AS value,
+        |  CASE WHEN vt = 'bool' THEN (event_id % 2 = 0) END AS value_bool,
+        |  CASE WHEN vt = 'string' THEN event_type
+        |       WHEN vt = 'object' THEN 'object' END AS value_str,
+        |  CASE WHEN vt = 'float' THEN 'u' END AS unit
+        |FROM e""".stripMargin,
+
+    "p10_transform_fn" ->
+      s"""WITH ${ptsCte("app_")},
+         |agg AS (SELECT CAST(floor(tsec / 3600) * 3600 AS BIGINT) t, avg(v) val
+         |        FROM pts WHERE m = 'app_view' AND tsec > 1703721600 GROUP BY 1),
+         |d AS (SELECT t, val - lag(val) OVER (ORDER BY t) AS dv FROM agg)
+         |SELECT t AS time, round(abs(dv), 6) AS value FROM d WHERE dv IS NOT NULL""".stripMargin,
 
     "f8_iqr_outliers" ->
       """WITH e AS (SELECT event_id, user_id, value*value*value*value*value AS v
