@@ -99,8 +99,10 @@ object Transform {
     val isKWh = unitProp === "kWh"
     val normVal = when(isKW, fval * 1000).otherwise(fval) // transform.go:57-60
 
-    val fmap = from_json(col("val_json"), MapType(StringType, DoubleType))
-    val smap = from_json(col("val_json"), MapType(StringType, StringType))
+    // gate the JSON parses behind their branch predicates — when() evaluates
+    // lazily in codegen, so non-map rows never pay the Jackson parse
+    val fmap = when(isMeterExt, from_json(col("val_json"), MapType(StringType, DoubleType)))
+    val smap = when(isSetpoint, from_json(col("val_json"), MapType(StringType, StringType)))
 
     // --- whole-message error drops (reference returns (nil, err)) ---
     val dropMsg =
@@ -188,7 +190,7 @@ object Transform {
     val extPExport = extPt("p_export", MeasPower, "export", "mean", "W")
 
     // --- price forecast explode: transform.go:271-294 ---
-    val priceArr = from_json(col("val_json"), priceSchema)
+    val priceArr = when(isPriceForecast, from_json(col("val_json"), priceSchema))
     val pricePts = when(isPriceForecast && priceArr.isNotNull,
       transform(priceArr, p => pt(lit(MeasPriceInfo), to_timestamp(p.getField("startsAt")),
         lit("export"), serv, p.getField("total"), nullB, nullS, p.getField("currency"),
