@@ -463,6 +463,13 @@ object SparkEntry {
     "sim_lsh_topk" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10, nPlanes = 6)
+    }),
+
+    "sim_ivf_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      // full-probe IVF ≡ brute force → shares the brute-force oracle
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+        nLists = 16, nProbes = 16)
     }))
 
   /** Lighter FIMP binding (no val_json) for filter/topic/enrich queries. */
@@ -800,6 +807,20 @@ object SparkEntry {
         |FROM j WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.8""".stripMargin,
 
     "sim_cosine_topk" ->
+      """WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 5),
+        |pr AS (SELECT q.qid, e.vec_id, q.qv, e.embedding cv
+        |       FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+        |z AS (SELECT qid, vec_id, CAST(unnest(qv) AS DOUBLE) a,
+        |        CAST(unnest(cv) AS DOUBLE) b FROM pr),
+        |s AS (SELECT qid, vec_id, sum(a * b) dot, sqrt(sum(a * a)) na,
+        |        sqrt(sum(b * b)) nb FROM z GROUP BY 1, 2),
+        |sc AS (SELECT qid, vec_id, round(CASE WHEN na > 0 AND nb > 0
+        |        THEN dot / (na * nb) ELSE 0 END, 6) score FROM s),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY score DESC, vec_id) rnk FROM sc)
+        |SELECT qid AS query_id, vec_id, score, rnk AS rank FROM r WHERE rnk <= 10""".stripMargin,
+
+    "sim_ivf_topk" ->
       """WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 5),
         |pr AS (SELECT q.qid, e.vec_id, q.qv, e.embedding cv
         |       FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),

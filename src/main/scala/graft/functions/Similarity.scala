@@ -116,6 +116,59 @@ object Similarity {
   }
 
   /**
+   * IVF (inverted-file) ANN: corpus vectors are assigned to their nearest
+   * of `nLists` centroids; a query scans only its `nProbes` closest lists.
+   * Centroids are picked deterministically (every ⌈N/nLists⌉-th corpus
+   * vector by id — a k-means seeding stand-in that keeps the operator
+   * reproducible; swap in trained centroids for production).
+   *
+   * Scale path: the corpus is partitioned BY LIST — at 100 TB each list is
+   * a partition-pruned slice, and a query touches nProbes/nLists of the
+   * data instead of all of it. The centroid table is tiny and broadcast
+   * to both assignment joins.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nLists: Int = 16,
+      nProbes: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+      .withColumn("nc", expressions.VectorExpressions.l2norm(col("cv")))
+    // deterministic centroid sample: rank corpus ids, take every stride-th
+    val ranked = c.withColumn("_rn",
+      row_number().over(Window.orderBy(col("vec_id"))) - 1)
+    val total = corpus.count()
+    val stride = math.max(1L, total / nLists)
+    val centroids = broadcast(ranked.filter(col("_rn") % stride === 0)
+      .limit(nLists)
+      .select(col("vec_id").as("list_id"), col("cv").as("centroid"),
+        col("nc").as("ncent")))
+    // assign each corpus vector to its nearest centroid (1 broadcast join)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("_cs").desc, col("list_id"))
+    val assigned = c.crossJoin(centroids)
+      .withColumn("_cs", cosineWithNorms(col("cv"), col("centroid"), col("nc"), col("ncent")))
+      .withColumn("_r", row_number().over(wAssign))
+      .filter(col("_r") === 1)
+      .select(col("list_id"), col("vec_id"), col("cv"), col("nc"))
+    // route each query to its nProbes nearest lists
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("nq", expressions.VectorExpressions.l2norm(col("qv")))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("_cs").desc, col("list_id"))
+    val probes = q.crossJoin(centroids)
+      .withColumn("_cs", cosineWithNorms(col("qv"), col("centroid"), col("nq"), col("ncent")))
+      .withColumn("_r", row_number().over(wProbe))
+      .filter(col("_r") <= nProbes)
+      .select(col("list_id"), col("query_id"), col("qv"), col("nq"))
+    // exact scoring inside the probed lists only
+    val scored = assigned.join(probes, Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score",
+        round(cosineWithNorms(col("qv"), col("cv"), col("nq"), col("nc")), 6))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("score"), col("rank"))
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs above a threshold, blocked by
    * LSH signature (same hyperplane trick; near-identical vectors land in
    * the same bucket with high probability).

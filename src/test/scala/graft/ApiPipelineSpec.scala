@@ -111,6 +111,31 @@ class ApiPipelineSpec extends SparkSpec {
       .collect().head.getAs[Long]("n") == 3)
   }
 
+  test("streaming ingest: readStream → filter/transform → foreachBatch tier append (S1+S3)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val store = new TierStore(spark, tmpDir())
+    val config = ProcessConfig(id = 1, saveIntervalMs = 100,
+      filters = Seq(Filter(id = 1)),
+      selectors = Seq(Selector(1, "pt:j1/mt:evt/#")))
+    val q = IngestPipeline.runStream(input.toDF(), config, None, store, tmpDir())
+    try {
+      input.addData(
+        Ev("pt:j1/mt:evt/rt:dev/rn:z/ad:1/sv:sensor_temp/ad:2", "sensor_temp",
+          "evt.sensor.report", "float", "21.5", Map("unit" -> "C"), "app", "j1",
+          Timestamp.valueOf("2024-01-01 10:00:00")),
+        Ev("pt:j2/mt:evt/other", "sensor_temp", "evt.sensor.report", "float",
+          "9.9", Map("unit" -> "C"), "app", "j2",
+          Timestamp.valueOf("2024-01-01 10:00:10"))) // selector-rejected
+      q.processAllAvailable()
+      val rows = store.read(Tier.GenRaw).collect()
+      assert(rows.length == 1) // second event filtered by the selector
+      assert(rows.head.getAs[Double]("value") == 21.5)
+      assert(rows.head.getAs[String]("measurement") == "sensor_temp.evt.sensor.report")
+    } finally q.stop()
+  }
+
   test("response shaping groups series per tag (docs/api:261-361 shape)") {
     val df = Seq((1704103200L, 1.0, "11"), (1704103200L, 2.0, "12"))
       .toDF("time", "value", "location_id")
@@ -120,3 +145,8 @@ class ApiPipelineSpec extends SparkSpec {
     assert(json.startsWith("""{"Results":[{"Series":["""))
   }
 }
+
+/** Top-level so Spark can derive an Encoder (needs a TypeTag). */
+case class Ev(topic: String, serv: String, msg_type: String, val_t: String,
+    val_json: String, props: Map[String, String], src: String, domain: String,
+    time: java.sql.Timestamp)

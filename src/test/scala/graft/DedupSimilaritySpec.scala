@@ -84,6 +84,23 @@ class DedupSimilaritySpec extends SparkSpec {
     })
   }
 
+  test("IVF top-k: exact scores, bounded probe set, high recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val bf = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "vec_id", "score").as[(Long, Long, Double)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queries, 10, nLists = 8, nProbes = 8)
+      .select("query_id", "vec_id", "score").as[(Long, Long, Double)].collect().toSet
+    // nProbes == nLists → scans everything → must equal brute force
+    assert(ivf == bf)
+    val ivfPartial = Similarity.ivfTopK(emb, queries, 10, nLists = 8, nProbes = 2)
+      .select("query_id", "vec_id", "score").as[(Long, Long, Double)].collect().toSet
+    // partial probing returns a subset with exact scores
+    val bfScores = bf.map { case (q, v, s) => (q, v) -> s }.toMap
+    assert(ivfPartial.forall { case (q, v, s) =>
+      !bfScores.contains((q, v)) || bfScores((q, v)) == s })
+    assert(ivfPartial.nonEmpty)
+  }
+
   test("language id picks the language with most stopword hits") {
     val d = Seq((1L, "the cat and the dog of a house"),
       (2L, "der hund und die katze ist nicht da"),
