@@ -1,0 +1,37 @@
+package graft.functions
+
+import graft.functions.expressions._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+/**
+ * SQL registration for the engine's custom expressions, so the raw-SQL
+ * entry point (S7, `cmd.tsdb.query` → `spark.sql`) reaches them too:
+ *
+ *   SELECT vec_dot(a, b), vec_l2norm(a),
+ *          minhash_sig(shingles, 64), word_shingles(tokens, 3),
+ *          simhash64(tokens) ...
+ */
+object Registry {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal int argument, got $other")
+  }
+
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vec_dot",
+      exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_l2norm",
+      exprs => L2Norm(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      exprs => MinHashSignature(exprs(0), intArg(exprs(1), "minhash_sig")), "scala_udf")
+    reg.createOrReplaceTempFunction("word_shingles",
+      exprs => WordShingles(exprs(0), intArg(exprs(1), "word_shingles"),
+        distinct = exprs.length > 2 && intArg(exprs(2), "word_shingles") != 0), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(exprs(0)), "scala_udf")
+  }
+}

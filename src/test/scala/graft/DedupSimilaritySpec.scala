@@ -120,6 +120,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(1L) > out(2L))
   }
 
+  test("custom expressions are registered for raw SQL (S7)") {
+    graft.functions.Registry.registerAll(spark)
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d,
+        |  vec_l2norm(array(3.0D, 4.0D)) AS n,
+        |  size(minhash_sig(array('a b c', 'b c d'), 64)) AS k,
+        |  word_shingles(array('a', 'b', 'c', 'b', 'c'), 2) AS sh,
+        |  simhash64(array('spark', 'engine')) AS h""".stripMargin).collect().head
+    assert(r.getAs[Double]("d") == 11.0)
+    assert(r.getAs[Double]("n") == 5.0)
+    assert(r.getAs[Int]("k") == 64)
+    assert(r.getSeq[String](r.fieldIndex("sh")).toList == List("a b", "b c", "c b", "b c"))
+    assert(r.getAs[Long]("h") != 0L)
+  }
+
   test("rolling hash is order-sensitive") {
     val d = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("doc_id", "text")
     val out = d.select(col("doc_id"), TextFunctions.rollingHash(col("text")).as("h"))
