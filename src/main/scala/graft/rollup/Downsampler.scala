@@ -52,4 +52,41 @@ object Downsampler {
       acc + (to.name -> downsample(acc(from.name), res, tagCols))
     }
   }
+
+  /**
+   * The maintenance job the reference gets from InfluxDB's continuous
+   * queries: rebuild each rollup tier of the store from the tier below,
+   * restricted to `sinceDays` of recent data (incremental — CQs also only
+   * re-aggregate the recent window), and run retention expiry. Each hop
+   * reads the (already much smaller) previous rollup, never raw twice.
+   */
+  def maintain(store: graft.store.TierStore, now: java.time.Instant,
+      sinceDays: Int = 3, tagCols: Seq[String] = defaultTagCols): Unit = {
+    val cutoff = java.sql.Date.valueOf(
+      java.time.LocalDate.ofInstant(now, java.time.ZoneOffset.UTC).minusDays(sinceDays))
+    Tier.cascade.foreach { case (from, to) =>
+      val res = TierPolicy.tierResolutionMinutes(to, Tier.ProfileOptimized)
+      val src = store.read(from).filter(org.apache.spark.sql.functions.col("date") >= cutoff)
+      if (!src.isEmpty) {
+        // replace the recent window in the target tier: drop overlapping
+        // date partitions, then append the fresh rollup
+        val dates = src.select("date").distinct().collect().map(_.getDate(0))
+        dates.foreach { d =>
+          val dir = new java.io.File(s"${store.tierPath(to.name)}")
+          Option(dir.listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.startsWith("measurement=")).foreach { mDir =>
+              val dDir = new java.io.File(mDir, s"date=$d")
+              if (dDir.exists()) {
+                Option(dDir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+                dDir.delete()
+              }
+            }
+        }
+        store.write(to, downsample(src.drop("date"), res, tagCols))
+      }
+      store.expire(to, now)
+    }
+    store.expire(graft.model.Tier.GenRaw, now)
+    store.expire(graft.model.Tier.GenDefault, now)
+  }
 }

@@ -25,6 +25,9 @@ final class TierStore(spark: SparkSession, root: String) {
 
   private def path(tier: String) = s"$root/$tier"
 
+  /** Physical tier directory (used by the rollup maintenance job). */
+  def tierPath(tier: String): String = path(tier)
+
   /** Append points into a tier (S3 batch write sink; process.go:290-337). */
   def write(tier: Tier, points: DataFrame): Unit =
     points

@@ -71,6 +71,25 @@ class StoreStreamSpec extends SparkSpec {
       .map(_.getString(0)).toSeq == Seq("m2"))
   }
 
+  test("rollup maintenance rebuilds tiers incrementally and is idempotent (A9/O4)") {
+    val store = new TierStore(spark, tmpDir())
+    store.write(Tier.GenRaw, pts(
+      ("sensor_temp", "2024-01-01", 10.0), ("sensor_temp", "2024-01-01", 20.0),
+      ("sensor_temp", "2024-01-02", 30.0)))
+    val now = Instant.parse("2024-01-03T00:00:00Z")
+    graft.rollup.Downsampler.maintain(store, now, sinceDays = 5)
+    // both points share the 10:00 minute bucket → gen_day has 2 rows
+    assert(store.read(Tier.GenDay).count() == 2)
+    assert(store.read(Tier.GenYear).count() == 2)
+    val day1 = store.read(Tier.GenYear)
+      .filter(col("date") === "2024-01-01").collect()
+    assert(day1.length == 1 && day1.head.getAs[Double]("value") == 15.0)
+    // idempotent: re-running must not duplicate rows
+    graft.rollup.Downsampler.maintain(store, now, sinceDays = 5)
+    assert(store.read(Tier.GenDay).count() == 2)
+    assert(store.read(Tier.GenYear).count() == 2)
+  }
+
   test("CSV sink writes the fixed 11-column shape (S5, csv.go:22)") {
     val dir = tmpDir() + "/csv"
     val df = spark.createDataFrame(
