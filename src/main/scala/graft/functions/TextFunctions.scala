@@ -107,13 +107,21 @@ object TextFunctions {
    * Composite quality score in [0,1]: favors mid-length documents with
    * word-like tokens and some function words, penalizes punctuation/digit
    * noise. Deterministic closed form (length/punct/stopword ratios) so any
-   * SQL engine can replicate it bit-for-bit.
+   * SQL engine can replicate it bit-for-bit. The three token passes
+   * (count, total chars, stopword hits) are fused into ONE native
+   * expression (expressions.TokenStats) — integer counts, so the result
+   * is bit-identical to the unfused formulas.
    */
   def qualityScore(text: Column): Column = {
+    val all = stopwords.values.flatten.toSeq.distinct
+    val st = expressions.VectorExpressions.tokenStats(tokens(text), all)
+    val n = st.getField("token_count")
+    val wordLen = when(n > 0,
+      st.getField("total_chars").cast("double") / n).otherwise(lit(0.0))
+    val sw = when(n > 0,
+      st.getField("stop_hits").cast("double") / n).otherwise(lit(0.0))
     val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
-    val wordLen = meanWordLength(text)
     val wordLenScore = when(wordLen.between(3.0, 10.0), 1.0).otherwise(0.5)
-    val sw = stopwordRatio(text)
     val swScore = least(sw * 5.0, lit(1.0))
     val punctPenalty = least(punctRatio(text) * 5.0, lit(1.0))
     val digitPenalty = least(digitRatio(text) * 5.0, lit(1.0))

@@ -31,6 +31,8 @@ object VectorExpressions {
     GraftBridge.column(WordShingles(GraftBridge.expression(tokens), n, distinct))
   def simhash64(tokens: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
+  def tokenStats(tokens: Column, stopwords: Seq[String]): Column =
+    GraftBridge.column(TokenStats(GraftBridge.expression(tokens), stopwords))
 
   private[expressions] def elementGetter(t: DataType): String = t match {
     case ArrayType(FloatType, _) => "getFloat"
@@ -170,6 +172,49 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean)
       i += 1
     }
     ArrayData.toArrayData(out.toArray[AnyRef])
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * One pass over a token array → (token_count, total_chars, stopword_hits).
+ * Fuses the three interpreted higher-order passes the quality-score
+ * formula needs (aggregate-length, filter-isin, size). Values are
+ * bit-identical to the unfused formulation (integer counts).
+ */
+case class TokenStats(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("token_count", IntegerType, nullable = false),
+    StructField("total_chars", LongType, nullable = false),
+    StructField("stop_hits", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("TokenStats expects array<string>")
+  }
+
+  @transient private lazy val stopSet: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    stopwords.foreach(w => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+    s
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var chars = 0L
+    var hits = 0
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      chars += t.numChars()
+      if (stopSet.contains(t)) hits += 1
+      i += 1
+    }
+    InternalRow(n, chars, hits)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
