@@ -115,6 +115,46 @@ class AggregatorSpec extends SparkSpec {
     assert(out.head.getAs[Double]("value") == 10.0)
   }
 
+  test("difference properties: non-negative; reset-invariant; telescoping on monotone input") {
+    import org.scalacheck.{Gen, Prop}
+    val genVals = Gen.listOf(Gen.choose(0.0, 1000.0))
+    checkProp(Prop.forAll(genVals) { vs =>
+      Aggregator.calculateDifference(vs) >= 0.0
+    })
+    // monotone non-decreasing input → difference telescopes to last-first
+    val genMono = Gen.listOf(Gen.choose(0.0, 100.0)).map(_.scanLeft(0.0)(_ + _))
+    checkProp(Prop.forAll(genMono) { vs =>
+      val d = Aggregator.calculateDifference(vs)
+      vs.length <= 1 || math.abs(d - (vs.last - vs.head)) < 1e-6
+    })
+    // a meter reset (drop to zero mid-series) never increases the result
+    checkProp(Prop.forAll(genMono.suchThat(_.length >= 2)) { vs =>
+      val cut = vs.length / 2
+      val withReset = vs.take(cut) ++ vs.drop(cut).map(_ - vs(cut) + 1)
+      Aggregator.calculateDifference(withReset) <=
+        Aggregator.calculateDifference(vs) + 1e-6
+    }, minTests = 50)
+  }
+
+  test("gap fill produces the complete spine for any range (property)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.apache.spark.sql.functions._
+    val gen = for {
+      from <- Gen.choose(0L, 100000L)
+      span <- Gen.choose(1L, 50000L)
+      bucket <- Gen.oneOf(60L, 600L, 3600L)
+    } yield (from, from + span, bucket)
+    checkProp(Prop.forAll(gen) { case (from, to, bucket) =>
+      val empty = spark.range(0).select(col("id").as("time"),
+        col("id").cast("double").as("value"))
+      val filled = graft.query.Planner.gapFill(empty, Nil, bucket, from, to, "null")
+      val times = filled.collect().map(_.getAs[Long]("time"))
+      val lo = Math.floorDiv(from, bucket) * bucket
+      val hi = Math.floorDiv(to, bucket) * bucket
+      times.toSeq == (lo to hi by bucket).toSeq
+    }, minTests = 20)
+  }
+
   test("windowed difference (query-side A2) sums positive deltas per bucket") {
     val df = mkPoints(
       ("s1", "x", 0, 10.0), ("s1", "x", 100, 12.0), ("s1", "x", 200, 10.0),
