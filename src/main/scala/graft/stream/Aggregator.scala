@@ -208,6 +208,32 @@ object Aggregator {
     out.result()
   }
 
+  /**
+   * A1 as a pure watermarked streaming window aggregation (for the
+   * mean/min/max/sum aggregates where change-suppression is not needed):
+   * `withWatermark` bounds state, tumbling windows match the reference's
+   * 30 s tick. Use `streaming` (flatMapGroupsWithState) when suppression /
+   * difference semantics are required.
+   */
+  def streamingWindowed(points: DataFrame, intervalSec: Long = 30,
+      watermark: String = "2 hours"): DataFrame = {
+    points
+      .filter(col("agg_func").isin("mean", "min", "max", "sum"))
+      .withWatermark("time", watermark)
+      .groupBy(window(col("time"), s"$intervalSec seconds"),
+        col("series_id"), col("measurement"), col("agg_func"))
+      .agg(
+        avg("value").as("_mean"), min("value").as("_min"), max("value").as("_max"),
+        sum("value").as("_sum"))
+      .withColumn("value",
+        when(col("agg_func") === "mean", col("_mean"))
+          .when(col("agg_func") === "min", col("_min"))
+          .when(col("agg_func") === "max", col("_max"))
+          .otherwise(col("_sum")))
+      .select(col("series_id"), col("measurement"), col("agg_func"),
+        col("window.end").as("time"), col("value"))
+  }
+
   // ---------- streaming form ----------
 
   case class SeriesState(buffer: Vector[Double], lastEmitted: Double,

@@ -130,6 +130,46 @@ class StoreStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked streaming window aggregation (A1 windowed form)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Aggregator.StreamIn]
+    val src = input.toDF()
+    val q = Aggregator.streamingWindowed(src)
+      .writeStream.format("memory").queryName("win_out").outputMode("append").start()
+    try {
+      val base = 1704067200000L
+      input.addData(
+        Aggregator.StreamIn("s1", "m", "mean", new Timestamp(base), 10.0, "x"),
+        Aggregator.StreamIn("s1", "m", "mean", new Timestamp(base + 10000), 20.0, "x"))
+      q.processAllAvailable()
+      // advance the watermark past the first window to emit it
+      input.addData(
+        Aggregator.StreamIn("s1", "m", "mean", new Timestamp(base + 3 * 3600 * 1000), 5.0, "x"))
+      q.processAllAvailable()
+      val out = spark.table("win_out").collect()
+        .map(r => (r.getAs[Timestamp]("time").getTime / 1000, r.getAs[Double]("value")))
+      assert(out.toSeq == Seq((1704067230L, 15.0)))
+    } finally q.stop()
+  }
+
+  test("salted aggregation and join match their unsalted plans") {
+    import spark.implicits._
+    import graft.functions.Salting
+    val df = Seq(("k1", 1.0), ("k1", 2.0), ("k1", 3.0), ("k2", 4.0))
+      .toDF("k", "v")
+    val salted = Salting.saltedAgg(df, Seq("k"), salt = 4,
+      Map("v" -> ((c: org.apache.spark.sql.Column) => sum(c),
+        (c: org.apache.spark.sql.Column) => sum(c))), saltSource = Seq("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(salted == Map("k1" -> 6.0, "k2" -> 4.0))
+    val dim = Seq(("k1", "a"), ("k2", "b")).toDF("k", "grp")
+    val joined = Salting.saltedJoin(df, dim, "k", salt = 4)
+      .groupBy("grp").agg(sum("v").as("s")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(joined == Map("a" -> 6.0, "b" -> 4.0))
+  }
+
   test("streaming difference carries seed across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
