@@ -86,6 +86,24 @@ object Multimodal {
     }
   }
 
+  /**
+   * Resize stage for image rows: returns new payloads with updated
+   * metadata. Codec stubbed (deterministic byte subsample standing in for
+   * a real scaler); the Spark contract — binary in, binary out, metadata
+   * struct rewritten, non-images passed through — is real.
+   */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      if (r.meta.media_type != "image") r
+      else {
+        val stride = math.max(1, r.payload.length / math.max(1, (w * h) / 64))
+        val scaled = r.payload.indices.by(stride).map(r.payload).toArray
+        r.copy(payload = scaled, meta = r.meta.copy(width = w, height = h))
+      }
+    }
+  }
+
   /** Metadata-only projection — must prune the binary column at scan time. */
   def metaOnly(media: DataFrame): DataFrame =
     media.select(col("media_id"), col("meta.*"))

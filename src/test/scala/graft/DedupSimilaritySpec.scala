@@ -101,6 +101,14 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ivfPartial.nonEmpty)
   }
 
+  test("LSH-blocked cosine near-dup pairs are a sound subset of brute force") {
+    val bf = Similarity.bruteForcePairs(emb, 0.3)
+      .select("id_a", "id_b", "score").as[(Long, Long, Double)].collect().toSet
+    val lsh = Similarity.cosineNearDupPairs(emb, 0.3, nPlanes = 4)
+      .select("id_a", "id_b", "score").as[(Long, Long, Double)].collect().toSet
+    assert(lsh.subsetOf(bf)) // blocking may miss pairs, never invent them
+  }
+
   test("language id picks the language with most stopword hits") {
     val d = Seq((1L, "the cat and the dog of a house"),
       (2L, "der hund und die katze ist nicht da"),

@@ -25,6 +25,17 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.frame_idx >= 0))
   }
 
+  test("resize rewrites image payload + metadata, passes non-images through") {
+    val resized = Multimodal.resize(media, 320, 240).collect()
+    val images = resized.filter(_.meta.media_type == "image")
+    assert(images.nonEmpty)
+    assert(images.forall(r => r.meta.width == 320 && r.meta.height == 240))
+    val audio = resized.filter(_.meta.media_type == "audio")
+    val origAudio = media.collect().filter(_.meta.media_type == "audio")
+    assert(audio.map(_.payload.length).sorted.sameElements(
+      origAudio.map(_.payload.length).sorted))
+  }
+
   test("metadata-only projection prunes the binary payload column") {
     val df = Multimodal.metaOnly(media.toDF())
     assert(!df.columns.contains("payload"))
