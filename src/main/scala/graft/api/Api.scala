@@ -36,7 +36,39 @@ object Api {
       fields: Map[String, Double], ts: java.sql.Timestamp)
 
   final case class Context(spark: SparkSession, store: TierStore,
-      profile: String = Tier.ProfileOptimized, now: () => Instant = () => Instant.now())
+      profile: String = Tier.ProfileOptimized, now: () => Instant = () => Instant.now(),
+      state: ProcessState = new ProcessState(ProcessConfig(id = 1)))
+
+  /**
+   * Mutable filter/selector CRUD — the reference's Process API
+   * (reference: src/integration/tsdb/api.go:1-62). Reproduces GetNewID
+   * semantics (max id + 1, model.go:113-128) including the reference's
+   * quirk that a new SELECTOR id is computed from the FILTERS list
+   * (api.go:33 `GetNewID(pr.Config.Filters)`).
+   */
+  final class ProcessState(initial: ProcessConfig) {
+    @volatile var config: ProcessConfig = initial
+    private def newId(ids: Seq[Int]): Int = (ids :+ 0).max + 1
+
+    def addFilter(f: Filter): Int = synchronized {
+      val id = newId(config.filters.map(_.id))
+      config = config.copy(filters = config.filters :+ f.copy(id = id))
+      id
+    }
+    def removeFilter(id: Int): Unit = synchronized {
+      config = config.copy(filters = config.filters.filterNot(_.id == id))
+    }
+    def addSelector(s: Selector): Int = synchronized {
+      val id = newId(config.filters.map(_.id)) // reference quirk, api.go:33
+      config = config.copy(selectors = config.selectors :+ s.copy(id = id))
+      id
+    }
+    def removeSelector(id: Int): Unit = synchronized {
+      config = config.copy(selectors = config.selectors.filterNot(_.id == id))
+    }
+    def filters: Seq[Filter] = config.filters
+    def selectors: Seq[Selector] = config.selectors
+  }
 
   /**
    * Dispatch a command by name — the admin.go onCommand switch. Returns a
@@ -73,8 +105,56 @@ object Api {
       import ctx.spark.implicits._
       ctx.store.retentionPolicies.map(t => (t.name, t.retention, t.resolution))
         .toDF("name", "retention", "resolution")
+    case "cmd.tsdb.add_retention_policy" => // S9 (admin.go:292-311)
+      ctx.store.addRetentionPolicy(payload.asInstanceOf[Tier])
+      ctx.spark.emptyDataFrame
+    case "cmd.tsdb.update_retention_policy" => // S9 (admin.go:313-332)
+      ctx.store.updateRetentionPolicy(payload.asInstanceOf[Tier])
+      ctx.spark.emptyDataFrame
+    case "cmd.tsdb.delete_object" => // S9 (admin.go:334-370): RP or measurement
+      payload match {
+        case ("retention_policy", name: String) =>
+          ctx.store.deleteRetentionPolicy(name)
+        case ("measurement", name: String) =>
+          ctx.store.retentionPolicies.foreach(t => ctx.store.dropMeasurement(t, name))
+        case other => throw new IllegalArgumentException(s"unknown object: $other")
+      }
+      ctx.spark.emptyDataFrame
+    case "cmd.tsdb.get_configs" => { // admin.go:372-378
+      import ctx.spark.implicits._
+      val c = ctx.state.config
+      Seq((c.id, c.name, c.profile, c.batchMaxSize, c.saveIntervalMs,
+        c.filters.size, c.selectors.size))
+        .toDF("id", "name", "profile", "batch_max_size", "save_interval_ms",
+          "n_filters", "n_selectors")
+    }
+    case "cmd.tsdb.add_filter" => // api.go:4-12
+      ctx.state.addFilter(payload.asInstanceOf[Filter]); filtersDf(ctx)
+    case "cmd.tsdb.remove_filter" => // api.go:15-25
+      ctx.state.removeFilter(payload.asInstanceOf[Int]); filtersDf(ctx)
+    case "cmd.tsdb.add_selector" => // api.go:28-37
+      ctx.state.addSelector(payload.asInstanceOf[Selector]); selectorsDf(ctx)
+    case "cmd.tsdb.remove_selector" => // api.go:40-50
+      ctx.state.removeSelector(payload.asInstanceOf[Int]); selectorsDf(ctx)
+    case "cmd.tsdb.get_filters" => filtersDf(ctx) // api.go:54-56
+    case "cmd.tsdb.get_selectors" => selectorsDf(ctx) // api.go:59-61
     case other =>
       throw new IllegalArgumentException(s"unknown command: $other")
+  }
+
+  private def filtersDf(ctx: Context): DataFrame = {
+    import ctx.spark.implicits._
+    ctx.state.filters.map(f => (f.id, f.name, f.topic, f.domain, f.service,
+      f.msgType, f.negation, f.linkedFilterBooleanOperation, f.linkedFilterId,
+      f.isAtomic))
+      .toDF("id", "name", "topic", "domain", "service", "msg_type", "negation",
+        "link_op", "linked_filter_id", "is_atomic")
+  }
+
+  private def selectorsDf(ctx: Context): DataFrame = {
+    import ctx.spark.implicits._
+    ctx.state.selectors.map(s => (s.id, s.topic, s.inMemory))
+      .toDF("id", "topic", "in_memory")
   }
 
   /**

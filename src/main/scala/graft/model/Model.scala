@@ -58,6 +58,16 @@ object Tier {
   val GenDefault = Tier("gen_default", "12 weeks", "")
 
   val all: Seq[Tier] = Seq(GenRaw, GenDay, GenWeek, GenMonth, GenYear, GenDefault)
+
+  /** Parse a retention string ("2 weeks", "90 days", "48w", "30d") to days. */
+  def retentionDays(retention: String): Option[Long] = {
+    val m = "^(\\d+)\\s*(w|weeks?|d|days?)$".r
+    retention.trim.toLowerCase match {
+      case m(n, unit) if unit.startsWith("w") => Some(n.toLong * 7)
+      case m(n, _) => Some(n.toLong)
+      case _ => None
+    }
+  }
   /** The downsampling cascade raw→day→week→month→year (reference: influxdb_v1.go:72-78). */
   val cascade: Seq[(Tier, Tier)] =
     Seq(GenRaw -> GenDay, GenDay -> GenWeek, GenWeek -> GenMonth, GenMonth -> GenYear)

@@ -58,12 +58,16 @@ final class TierStore(spark: SparkSession, root: String) {
       m.contains("sensor_")) &&
       !m.contains("sensor_presence") && !m.contains("sensor_contact")
 
-  /** Read a tier table (empty DataFrame with points schema if absent). */
+  /** Read a tier table (empty DataFrame with points schema if absent or
+   *  fully expired — an empty partition tree has no schema to infer). */
   def read(tier: Tier): DataFrame = {
     val p = path(tier.name)
-    if (new java.io.File(p).exists()) spark.read.parquet(p)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       graft.model.Schemas.points.add("date", org.apache.spark.sql.types.DateType))
+    if (!new java.io.File(p).exists()) empty
+    else try spark.read.parquet(p)
+    catch { case _: org.apache.spark.sql.AnalysisException => empty }
   }
 
   /** SHOW MEASUREMENTS (S8; influxdb_v1.go:376-394) — partition listing,
@@ -75,8 +79,32 @@ final class TierStore(spark: SparkSession, root: String) {
       .filter(_.startsWith("measurement=")).map(_.stripPrefix("measurement=")).sorted.toSeq
   }
 
+  // user-defined retention policies (S9 add/update/delete RP,
+  // influxdb_v1.go:300-331); the built-in gen_* hierarchy is fixed
+  private val customTiers = scala.collection.mutable.LinkedHashMap.empty[String, Tier]
+
   /** SHOW RETENTION POLICIES (S8; influxdb_v1.go:396-413). */
-  def retentionPolicies: Seq[Tier] = Tier.all
+  def retentionPolicies: Seq[Tier] = Tier.all ++ customTiers.values
+
+  /** CREATE RETENTION POLICY (S9; influxdb_v1.go:300-309). */
+  def addRetentionPolicy(tier: Tier): Unit = customTiers(tier.name) = tier
+
+  /** ALTER RETENTION POLICY (S9; influxdb_v1.go:311-320). */
+  def updateRetentionPolicy(tier: Tier): Unit = customTiers(tier.name) = tier
+
+  /** DROP RETENTION POLICY (S9; influxdb_v1.go:322-331): unregister and
+   *  delete the tier's data directory. */
+  def deleteRetentionPolicy(name: String): Unit = {
+    customTiers.remove(name)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    val dir = new java.io.File(path(name))
+    if (dir.exists()) rm(dir)
+  }
+
+  def tierByName(name: String): Option[Tier] = retentionPolicies.find(_.name == name)
 
   /**
    * Retention expiry (S9 / influxdb_v1.go:300-331 retention policies):
@@ -84,14 +112,7 @@ final class TierStore(spark: SparkSession, root: String) {
    * Partition-granular delete — no data rewrite.
    */
   def expire(tier: Tier, now: Instant): Unit = {
-    val days = tier.retention match {
-      case "2 weeks" => 14L
-      case "12 weeks" => 84L
-      case "48 weeks" => 336L
-      case "240 weeks" => 1680L
-      case _ => Long.MaxValue
-    }
-    if (days == Long.MaxValue) return
+    val days = Tier.retentionDays(tier.retention).getOrElse(return)
     val cutoff = java.time.LocalDate.ofInstant(now.minusSeconds(days * 86400), java.time.ZoneOffset.UTC)
     val dir = new java.io.File(path(tier.name))
     if (!dir.exists()) return

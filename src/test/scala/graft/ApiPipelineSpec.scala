@@ -136,6 +136,39 @@ class ApiPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("admin commands: RP lifecycle, delete_object, filter/selector CRUD (S9)") {
+    val store = new TierStore(spark, tmpDir())
+    val ctx = Api.Context(spark, store)
+    // custom retention policy lifecycle
+    Api.dispatch(ctx, "cmd.tsdb.add_retention_policy", Tier("gen_custom", "4 weeks", ""))
+    assert(Api.dispatch(ctx, "cmd.tsdb.get_retention_policies", null).count() == 7)
+    Api.dispatch(ctx, "cmd.tsdb.update_retention_policy", Tier("gen_custom", "8 weeks", ""))
+    assert(store.tierByName("gen_custom").get.retention == "8 weeks")
+    // write into the custom tier, expire honors the generalized parser
+    store.write(store.tierByName("gen_custom").get, spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row("m",
+        Timestamp.valueOf("2024-01-01 10:00:00"), 1.0, "d"))),
+      StructType(Seq(StructField("measurement", StringType),
+        StructField("time", TimestampType), StructField("value", DoubleType),
+        StructField("dev_id", StringType)))))
+    store.expire(store.tierByName("gen_custom").get,
+      Instant.parse("2024-06-01T00:00:00Z")) // > 8 weeks later
+    assert(store.read(store.tierByName("gen_custom").get).count() == 0)
+    Api.dispatch(ctx, "cmd.tsdb.delete_object", ("retention_policy", "gen_custom"))
+    assert(Api.dispatch(ctx, "cmd.tsdb.get_retention_policies", null).count() == 6)
+    // filter/selector CRUD with the reference's id semantics
+    Api.dispatch(ctx, "cmd.tsdb.add_filter", Filter(id = 0, service = "s1"))
+    Api.dispatch(ctx, "cmd.tsdb.add_filter", Filter(id = 0, service = "s2"))
+    assert(Api.dispatch(ctx, "cmd.tsdb.get_filters", null).count() == 2)
+    Api.dispatch(ctx, "cmd.tsdb.remove_filter", 1)
+    val left = Api.dispatch(ctx, "cmd.tsdb.get_filters", null).collect()
+    assert(left.length == 1 && left.head.getAs[Int]("id") == 2)
+    Api.dispatch(ctx, "cmd.tsdb.add_selector", Selector(0, "pt:j1/#"))
+    assert(Api.dispatch(ctx, "cmd.tsdb.get_selectors", null).count() == 1)
+    assert(Api.dispatch(ctx, "cmd.tsdb.get_configs", null)
+      .collect().head.getAs[Int]("n_selectors") == 1)
+  }
+
   test("response shaping groups series per tag (docs/api:261-361 shape)") {
     val df = Seq((1704103200L, 1.0, "11"), (1704103200L, 2.0, "12"))
       .toDF("time", "value", "location_id")
