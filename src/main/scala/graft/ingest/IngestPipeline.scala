@@ -19,11 +19,17 @@ object IngestPipeline {
   /** events (Schemas.rawEvent shape) → canonical points DataFrame. */
   def transform(events: DataFrame, config: ProcessConfig,
       metadata: Option[DataFrame]): DataFrame = {
+    // SiteId overrides the address global prefix (= domain tag),
+    // reference: process.go:137-139
+    val sited =
+      if (config.siteId.nonEmpty)
+        events.withColumn("domain", org.apache.spark.sql.functions.lit(config.siteId))
+      else events
     val selected =
       if (config.selectors.nonEmpty)
-        events.filter(TopicMatch.anySelector(events("topic"),
+        sited.filter(TopicMatch.anySelector(sited("topic"),
           config.selectors.map(_.topic)))
-      else events
+      else sited
     val filtered = selected.filter(FilterCompiler.compile(config.filters))
     val enriched = metadata.map(MetadataStore.enrich(filtered, _)).getOrElse(filtered)
     Transform(enriched)
