@@ -36,6 +36,17 @@ class ApiPipelineSpec extends SparkSpec {
     assert(r.getAs[Timestamp]("time").toInstant == Instant.parse("2024-01-12T22:53:36Z"))
   }
 
+  test("malformed log lines are dropped, valid ones survive") {
+    val df = Seq(
+      "not a log line",
+      "@4000000065a1c2f000000000 no-topic-marker {\"serv\":\"x\"}",
+      "@4000000065a1c2f000000000 pt:j1/a {\"serv\":\"s\",\"type\":\"t\",\"val_t\":\"float\",\"val\":1}")
+      .toDF("value")
+    val out = LogReplay.parse(df).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("serv") == "s")
+  }
+
   test("log format/parse round-trips structured values") {
     val e = Seq(("pt:j1/mt:evt/rt:dev/rn:z/ad:1/sv:meter_elec/ad:2", "meter_elec",
       "evt.meter_ext.report", "float_map", """{"e_import":12.5,"p_import":100.0}""",
