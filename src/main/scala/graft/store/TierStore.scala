@@ -106,6 +106,21 @@ final class TierStore(spark: SparkSession, root: String) {
 
   def tierByName(name: String): Option[Tier] = retentionPolicies.find(_.name == name)
 
+  /** CREATE DATABASE (S9; influxdb_v1.go:271-283 InitDB): materialize the
+   *  tier directory skeleton. */
+  def init(): Unit = Tier.all.foreach(t => new java.io.File(path(t.name)).mkdirs())
+
+  /** DROP DATABASE (S9; influxdb_v1.go:285-298 DropDB): delete everything
+   *  under the store root. */
+  def drop(): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    val dir = new java.io.File(root)
+    if (dir.exists()) rm(dir)
+  }
+
   /**
    * Retention expiry (S9 / influxdb_v1.go:300-331 retention policies):
    * drop date partitions entirely outside the tier's retention window.

@@ -54,6 +54,17 @@ class StoreStreamSpec extends SparkSpec {
     assert(store.read(Tier.GenDefault).count() == 1)
   }
 
+  test("init/drop database (S9)") {
+    val root = tmpDir() + "/db"
+    val store = new TierStore(spark, root)
+    store.init()
+    assert(new java.io.File(root, "gen_raw").isDirectory)
+    assert(new java.io.File(root, "gen_default").isDirectory)
+    store.write(Tier.GenRaw, pts(("m", "2024-01-01", 1.0)))
+    store.drop()
+    assert(!new java.io.File(root).exists())
+  }
+
   test("retention expiry drops only out-of-window date partitions (S9)") {
     val store = new TierStore(spark, tmpDir())
     store.write(Tier.GenRaw, pts(
