@@ -43,7 +43,7 @@ object Planner {
     case "sum" => sum(value)
     case "min" => min(value)
     case "max" => max(value)
-    case "median" => percentile_approx(value, lit(0.5), lit(10000))
+    case "median" => median(value)
     case "first" => min_by(value, time)
     case "last" => max_by(value, time)
     case "spread" => max(value) - min(value)
