@@ -99,7 +99,12 @@ object Planner {
     val base = resolve(tier)
     val valueCol = col(fieldName).as("value")
 
-    // time predicate (influxdb_v1.go:119-139)
+    // time predicate (influxdb_v1.go:119-139). The reference compares
+    // floor-to-second epoch values; the exact native equivalent is
+    //   absolute:  fromSec <= time < toSec+1
+    //   relative:  time >= fromSec+1        (strict `> fromSec` on floors)
+    // expressed directly on the timestamp column (NOT wrapped in
+    // unix_timestamp) so parquet row-group min/max skipping applies.
     val (fromSec, toSec): (Long, Long) = fromInstant match {
       case Some(from) => (from.getEpochSecond, Instant.parse(req.toTime).getEpochSecond)
       case None =>
@@ -107,11 +112,28 @@ object Planner {
         (now.getEpochSecond - mins * 60, now.getEpochSecond)
     }
     val timePred = fromInstant match {
-      case Some(_) => unix_timestamp(col("time")).between(fromSec, toSec)
-      case None => unix_timestamp(col("time")) > fromSec
+      case Some(_) =>
+        col("time") >= timestamp_seconds(lit(fromSec)) &&
+          col("time") < timestamp_seconds(lit(toSec + 1))
+      case None => col("time") >= timestamp_seconds(lit(fromSec + 1))
     }
+    // Derived `date` partition filter: tier tables are partitioned by
+    // measurement+date (TierStore.write), so bounding `date` turns the
+    // time range into partition pruning — a 1-hour query over a year of
+    // history scans one or two date directories, not the full table.
+    // Bounds are computed in the session timezone (the zone to_date used
+    // at write time) and widened by the sub-second end slack.
+    val datePred: Option[Column] =
+      if (!base.columns.contains("date")) None
+      else {
+        val zone = java.time.ZoneId.of(
+          base.sparkSession.sessionState.conf.sessionLocalTimeZone)
+        def d(sec: Long) = java.sql.Date.valueOf(
+          java.time.LocalDate.ofInstant(Instant.ofEpochSecond(sec), zone))
+        Some(col("date").between(d(fromSec), d(toSec + 1)))
+      }
 
-    val filtered = base
+    val filtered = datePred.foldLeft(base)(_ filter _)
       .filter(col("measurement") === req.measurement)
       .filter(timePred)
       .filter(filterColumn(req.filters))

@@ -136,6 +136,33 @@ class PlannerSpec extends SparkSpec {
     assert(out.last.getAs[Double]("value") == -6.0)
   }
 
+  test("store-backed query prunes date partitions and pushes time to the scan (F6)") {
+    import graft.store.TierStore
+    val root = java.nio.file.Files.createTempDirectory("graft_prune").toFile.getAbsolutePath
+    val store = new TierStore(spark, root)
+    // 10 days of data; the query window covers 2 of them
+    val base = pts((0 until 240).map { h =>
+      ("app_m", Instant.parse("2024-01-01T00:00:00Z").getEpochSecond + h * 3600L, h.toDouble, "d1")
+    }: _*)
+    store.write(Tier.GenDefault, base)
+    val out = Planner.dataPoints(
+      DataPointsRequest("app_m", fromTime = "2024-01-03T00:00:00Z",
+        toTime = "2024-01-04T12:00:00Z", groupByTime = "1h", dataFunction = "mean",
+        fillType = "none"),
+      t => store.read(t), now)
+    val plan = out.queryExecution.executedPlan.toString
+    // partition pruning on measurement + derived date bounds
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("measurement"), plan)
+    assert("PartitionFilters: \\[[^\\]]*date".r.findFirstIn(plan).isDefined, plan)
+    // native timestamp predicate pushed into the parquet scan
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(time".r.findFirstIn(plan).isDefined, plan)
+    // and the result is still correct: 36 hourly buckets, values match input
+    val rows = out.collect().sortBy(_.getAs[Long]("time"))
+    assert(rows.length == 37) // inclusive 00:00 .. 12:00 on day 4
+    assert(rows.head.getAs[Double]("value") == 48.0)
+  }
+
   test("energy preset: invalid group_by_time forced to 1h (influxdb_v1.go:215-217)") {
     val base = pts(("electricity_meter_energy_sampled", now.getEpochSecond - 100, 5.0, "d1"))
     // note "25h" WOULD pass the reference's 1-2-digit regex; "abc" does not
