@@ -118,28 +118,41 @@ object Similarity {
   /**
    * IVF (inverted-file) ANN: corpus vectors are assigned to their nearest
    * of `nLists` centroids; a query scans only its `nProbes` closest lists.
-   * Centroids are picked deterministically (every ⌈N/nLists⌉-th corpus
-   * vector by id — a k-means seeding stand-in that keeps the operator
-   * reproducible; swap in trained centroids for production).
+   * Centroids are picked deterministically as the `nLists` corpus vectors
+   * with the smallest `xxhash64(id)` — a reproducible uniform sample (a
+   * k-means seeding stand-in; swap in trained centroids for production,
+   * or pass them via `ivfTopKWith`).
    *
    * Scale path: the corpus is partitioned BY LIST — at 100 TB each list is
    * a partition-pruned slice, and a query touches nProbes/nLists of the
    * data instead of all of it. The centroid table is tiny and broadcast
-   * to both assignment joins.
+   * to both assignment joins. Centroid selection is `orderBy(hash).limit`,
+   * which compiles to TakeOrderedAndProject — per-partition partial top-k
+   * merged on the driver; no driver-side count(), no global window, no
+   * single-partition shuffle anywhere in the plan.
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nLists: Int = 16,
       nProbes: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
       .withColumn("nc", expressions.VectorExpressions.l2norm(col("cv")))
-    // deterministic centroid sample: rank corpus ids, take every stride-th
-    val ranked = c.withColumn("_rn",
-      row_number().over(Window.orderBy(col("vec_id"))) - 1)
-    val total = corpus.count()
-    val stride = math.max(1L, total / nLists)
-    val centroids = broadcast(ranked.filter(col("_rn") % stride === 0)
-      .limit(nLists)
-      .select(col("vec_id").as("list_id"), col("cv").as("centroid"),
-        col("nc").as("ncent")))
+    val centroids =
+      c.withColumn("_h", xxhash64(col("vec_id")))
+        .orderBy(col("_h"), col("vec_id"))
+        .limit(nLists)
+        .select(col("vec_id").as("list_id"), col("cv").as("centroid"),
+          col("nc").as("ncent"))
+    ivfTopKWith(c, centroids, queries, k, nProbes, idCol, vecCol)
+  }
+
+  /**
+   * IVF with caller-provided centroids (e.g. trained k-means): `centroids`
+   * must have columns (list_id, centroid, ncent = l2norm(centroid)).
+   */
+  def ivfTopKWith(corpusNormed: DataFrame, centroidTable: DataFrame,
+      queries: DataFrame, k: Int, nProbes: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpusNormed
+    val centroids = broadcast(centroidTable)
     // assign each corpus vector to its nearest centroid (1 broadcast join)
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("_cs").desc, col("list_id"))
     val assigned = c.crossJoin(centroids)

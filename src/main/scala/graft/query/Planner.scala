@@ -50,12 +50,74 @@ object Planner {
     case other => throw new IllegalArgumentException(s"unsupported data_function: $other")
   }
 
+  /** Rows per time block for the blocked prefix-scan fallback (below). */
+  private val BlockFactor = 4096L
+
+  /**
+   * Sequential-over-time operators (lag / carry-forward) on an UNTAGGED
+   * series have no natural partition key — a naive global window funnels
+   * the whole result through one task. Instead we run a two-pass
+   * distributed prefix scan: partition by a coarse time block (bucketSec ×
+   * 4096, parallel), then fix up block boundaries by joining a per-block
+   * summary whose own ordering window runs over ≤ rows/4096 entries —
+   * that summary side is deliberately pinned to a single partition
+   * (`partitionBy(lit(0))`), which is bounded and explicit, not accidental.
+   */
+  private def blockSpanSec(bucketSec: Long): Long =
+    math.max(bucketSec, 1L) * BlockFactor
+
+  /**
+   * Running carry over the per-block summary (rows/4096 of the result),
+   * computed as a streaming fold in one post-shuffle task instead of an
+   * unpartitioned window: `repartition(1)` is a shuffle boundary so the
+   * upstream aggregation stays parallel, and the fold streams the sorted
+   * iterator — no WindowExec funnel anywhere in the plan. For each block
+   * this emits the summary value of the closest EARLIER block
+   * (`updateOnNonNullOnly` selects fill-previous vs plain-lag update).
+   */
+  private def blockCarry(summary: DataFrame, updateOnNonNullOnly: Boolean,
+      outName: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val blastIdx = summary.schema.fieldIndex("_blast")
+    val outSchema = org.apache.spark.sql.types.StructType(
+      summary.schema.fields :+
+        org.apache.spark.sql.types.StructField(outName, summary.schema("_blast").dataType))
+    summary.repartition(1).sortWithinPartitions("_blk")
+      .mapPartitions { it =>
+        var carry: Any = null
+        it.map { r =>
+          val out = Row.fromSeq(r.toSeq :+ carry)
+          val v = r.get(blastIdx)
+          if (!updateOnNonNullOnly || v != null) carry = v
+          out
+        }
+      }(Encoders.row(outSchema))
+      .select(col("_blk"), col(outName))
+  }
+
+  /** Blocked `value - lag(value) OVER (ORDER BY time)` with no group key. */
+  private def blockedDifference(df: DataFrame, bucketSec: Long): DataFrame = {
+    val span = blockSpanSec(bucketSec)
+    val withBlk = df.withColumn("_blk", floor(col("time") / span))
+    val wIn = Window.partitionBy(col("_blk")).orderBy(col("time"))
+    val inBlk = withBlk.withColumn("_lag", lag(col("value"), 1).over(wIn))
+    // last value of each block, shifted to the next non-empty block
+    val prev = blockCarry(
+      withBlk.groupBy(col("_blk")).agg(max_by(col("value"), col("time")).as("_blast")),
+      updateOnNonNullOnly = false, "_prev_last")
+    inBlk.join(broadcast(prev), Seq("_blk"), "left")
+      .withColumn("value", col("value") - coalesce(col("_lag"), col("_prev_last")))
+      .drop("_blk", "_lag", "_prev_last")
+  }
+
   /** Scalar transform-function wrap (influxdb_v1.go:184-186; `abs` in docs,
    *  `difference` per the commented energy query influxdb_v1.go:229-231). */
-  private def transformWrap(fn: String, df: DataFrame, partCols: Seq[String]): DataFrame =
+  private def transformWrap(fn: String, df: DataFrame, partCols: Seq[String],
+      bucketSec: Long): DataFrame =
     fn match {
       case "" => df
       case "abs" => df.withColumn("value", abs(col("value")))
+      case "difference" if partCols.isEmpty => blockedDifference(df, bucketSec)
       case "difference" =>
         val w = Window.partitionBy(partCols.map(col): _*).orderBy(col("time"))
         df.withColumn("value", col("value") - lag(col("value"), 1).over(w))
@@ -163,7 +225,7 @@ object Planner {
       }
 
     transformWrap(req.transformFunction, shaped,
-      if (tag.nonEmpty) Seq(tag) else Nil)
+      if (tag.nonEmpty) Seq(tag) else Nil, bucketSec)
   }
 
   /**
@@ -186,6 +248,23 @@ object Planner {
     val joined = spine.join(agged, tagCols :+ "time", "left")
     val filled = fillType match {
       case "null" => joined
+      case "previous" if tagCols.isEmpty =>
+        // untagged carry-forward: blocked two-pass prefix scan (see
+        // blockedDifference) instead of a single global window
+        val span = blockSpanSec(bucketSec)
+        val withBlk = joined.withColumn("_blk", floor(col("time") / span))
+        val wIn = Window.partitionBy(col("_blk")).orderBy(col("time"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val inBlk = withBlk.withColumn("_fill",
+          last(col("value"), ignoreNulls = true).over(wIn))
+        // last non-null value of every STRICTLY EARLIER block (tiny table)
+        val prev = blockCarry(
+          withBlk.groupBy(col("_blk"))
+            .agg(max_by(col("value"), when(col("value").isNotNull, col("time"))).as("_blast")),
+          updateOnNonNullOnly = true, "_prev_fill")
+        inBlk.join(broadcast(prev), Seq("_blk"), "left")
+          .withColumn("value", coalesce(col("_fill"), col("_prev_fill")))
+          .drop("_blk", "_fill", "_prev_fill")
       case "previous" =>
         val w = Window.partitionBy(tagCols.map(col): _*).orderBy(col("time"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -101,6 +101,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ivfPartial.nonEmpty)
   }
 
+  test("IVF plan has no single-partition window (scale guard)") {
+    // logical plan, not executedPlan: AQE wraps the physical plan in an
+    // AdaptiveSparkPlanExec leaf that hides WindowExec from collect()
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val plan = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 3), 10,
+      nLists = 8, nProbes = 2).queryExecution.optimizedPlan
+    val global = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+    assert(global.isEmpty, s"global windows found:\n${global.mkString("\n")}")
+  }
+
   test("LSH-blocked cosine near-dup pairs are a sound subset of brute force") {
     val bf = Similarity.bruteForcePairs(emb, 0.3)
       .select("id_a", "id_b", "score").as[(Long, Long, Double)].collect().toSet

@@ -163,6 +163,45 @@ class PlannerSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("value") == 48.0)
   }
 
+  test("untagged difference / fill-previous avoid global windows (scale guard)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val base = pts((0 until 50).map { i =>
+      ("m", now.getEpochSecond - 5 * 3600 + i * 360, i.toDouble, "d1") }: _*)
+    def globals(req: DataPointsRequest) =
+      plan(req, base).queryExecution.optimizedPlan
+        .collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+    // blocked prefix-scan paths: zero windows with an EMPTY partition spec
+    assert(globals(DataPointsRequest("m", relativeTime = "6h", groupByTime = "1h",
+      fillType = "none", transformFunction = "difference")).isEmpty)
+    assert(globals(DataPointsRequest("m", relativeTime = "6h", groupByTime = "1h",
+      fillType = "previous")).isEmpty)
+    // and the blocked results match the single-window semantics exactly:
+    // difference across a block boundary uses the previous block's last value
+    val span = 3600L * 4096
+    val t0 = (now.getEpochSecond / span) * span // block boundary
+    val cross = pts(
+      ("m", t0 - 1800, 10.0, "d1"), // previous block
+      ("m", t0 + 1800, 17.0, "d1")) // next block
+    val out = Planner.dataPoints(DataPointsRequest("m",
+      fromTime = Instant.ofEpochSecond(t0 - 3600).toString,
+      toTime = Instant.ofEpochSecond(t0 + 3600).toString,
+      groupByTime = "1h", dataFunction = "mean", fillType = "none",
+      transformFunction = "difference"), _ => cross, now)
+      .collect().sortBy(_.getAs[Long]("time"))
+    assert(out.length == 2)
+    assert(out.head.isNullAt(out.head.fieldIndex("value")))
+    assert(out.last.getAs[Double]("value") == 7.0) // crosses the block edge
+    // fill-previous across a block boundary carries the earlier value
+    val outFill = Planner.dataPoints(DataPointsRequest("m",
+      fromTime = Instant.ofEpochSecond(t0 - 3600).toString,
+      toTime = Instant.ofEpochSecond(t0 + 3600).toString,
+      groupByTime = "30m", dataFunction = "mean", fillType = "previous"),
+      _ => cross.filter(org.apache.spark.sql.functions.col("value") === 10.0), now)
+      .collect().sortBy(_.getAs[Long]("time"))
+    assert(outFill.count(r => !r.isNullAt(r.fieldIndex("value")) &&
+      r.getAs[Double]("value") == 10.0) >= 3) // carried into the next block
+  }
+
   test("energy preset: invalid group_by_time forced to 1h (influxdb_v1.go:215-217)") {
     val base = pts(("electricity_meter_energy_sampled", now.getEpochSecond - 100, 5.0, "d1"))
     // note "25h" WOULD pass the reference's 1-2-digit regex; "abc" does not
