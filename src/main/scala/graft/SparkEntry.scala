@@ -282,14 +282,21 @@ object SparkEntry {
     }),
 
     "a3_hourly_profile" -> ((s, dir) => {
-      // full streaming-difference fold incl. the meter.main_elec hourly
-      // time shift — no SQL oracle (stateful fold), rows-only check
+      // A3: the hourly-profile (meter.main_elec) branch of the difference
+      // fold — per 10-min window Σ max(Δ,0) with seed carry-over, the
+      // 120-min staleness wipe, the ≤100 sanity bound, zero suppression,
+      // and the previous-hour :59 time shift. This branch has no
+      // running-emission state (suppression is result≠0 only), so it IS
+      // SQL-expressible — the oracle models the fold as per-pair delta
+      // contributions assigned to the pair's right-endpoint window, a
+      // pair being wiped iff its window start is >120 min past the left
+      // endpoint (exactly when the fold's boundary flushes empty the
+      // buffer). The sensor branch (recursive lastEmitted suppression) is
+      // covered by a2's oracle + exact reference unit vectors.
       Aggregator.difference(
         cumPoints(s, dir, "electricity_meter_energy_sampled", Some(80.0))
           .withColumn("agg_func", lit("difference"))
-          .withColumn("dev_type",
-            when(col("dev_id").cast("long") % 7 === 0, "meter.main_elec")
-              .otherwise("sensor")), 10)
+          .withColumn("dev_type", lit("meter.main_elec")), 10)
         .select(col("series_id"), unix_timestamp(col("time")).as("time_sec"),
           round(col("value"), 6).as("value"))
     }),
@@ -446,7 +453,14 @@ object SparkEntry {
     }),
 
     "dedup_simhash" -> ((s, dir) => {
-      Dedup.simhashPairs(table(s, dir, "documents"), maxDist = 3)
+      // portable (md5-based, 60-bit) signature mode so DuckDB reproduces
+      // the hash bits exactly; blocking/verification identical to the
+      // xxhash64 scale default. Docs with no tokens are excluded (their
+      // empty-vote signature is 0, which is not a meaningful near-dup key).
+      Dedup.simhashPairs(
+        table(s, dir, "documents")
+          .filter(size(TextFunctions.tokens(col("text"))) > 0),
+        maxDist = 3, portable = true)
     }),
 
     // --- similarity search ---
@@ -463,6 +477,14 @@ object SparkEntry {
     "sim_lsh_topk" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10, nPlanes = 6)
+    }),
+
+    "sim_lsh_pairs" -> ((s, dir) => {
+      // LSH-blocked near-dup pairs — the SCALE path for sim_cosine_pairs
+      // (bucketed equi-join instead of a broadcast cross join); portable
+      // plane generator → exact DuckDB oracle of the blocked result
+      Similarity.cosineNearDupPairs(table(s, dir, "embeddings"),
+        threshold = 0.4, nPlanes = 6)
     }),
 
     "sim_ivf_topk" -> ((s, dir) => {
@@ -839,6 +861,110 @@ object SparkEntry {
         |       FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id < b.vec_id),
         |z AS (SELECT id_a, id_b, CAST(unnest(va) AS DOUBLE) a,
         |        CAST(unnest(vb) AS DOUBLE) b FROM pr),
+        |s AS (SELECT id_a, id_b, sum(a * b) dot, sqrt(sum(a * a)) na,
+        |        sqrt(sum(b * b)) nb FROM z GROUP BY 1, 2),
+        |sc AS (SELECT id_a, id_b, round(CASE WHEN na > 0 AND nb > 0
+        |        THEN dot / (na * nb) ELSE 0 END, 6) score FROM s)
+        |SELECT id_a, id_b, score FROM sc WHERE score >= 0.4""".stripMargin,
+
+    // A3 hourly-profile difference fold: per-pair positive deltas assigned
+    // to the right endpoint's 10-min bucket; a pair is wiped iff the
+    // bucket start is >120 min past the left endpoint (= the fold's
+    // staleness flush); emit at adjustTimeByOneHour(bucket + 600) when the
+    // bucket sum is nonzero and ≤ 100 (agreggator.go:236-310 semantics).
+    "a3_hourly_profile" ->
+      """WITH cum AS (
+        |  SELECT user_id, tsec, v FROM (
+        |    SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+        |           (sum(value) OVER w % 80.0) AS v
+        |    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))),
+        |ord AS (
+        |  SELECT user_id, tsec, v,
+        |         lag(v) OVER w2 AS pv, lag(tsec) OVER w2 AS pt,
+        |         (tsec // 600) * 600 AS bkt
+        |  FROM cum WINDOW w2 AS (PARTITION BY user_id ORDER BY tsec)),
+        |res AS (
+        |  SELECT user_id, bkt,
+        |         sum(CASE WHEN pt IS NULL THEN 0.0
+        |                  WHEN bkt - pt > 7200 THEN 0.0
+        |                  WHEN v >= pv THEN v - pv
+        |                  ELSE 0.0 END) AS result
+        |  FROM ord GROUP BY 1, 2)
+        |SELECT 'electricity_meter_energy_sampled;' || CAST(user_id AS VARCHAR) AS series_id,
+        |       (bkt - 3000) - ((bkt - 3000) % 3600) + 3540 AS time_sec,
+        |       round(result, 6) AS value
+        |FROM res WHERE result <> 0.0 AND result <= 100.0""".stripMargin,
+
+    // portable 60-bit md5 SimHash replicated bit-for-bit; the oracle uses
+    // all-pairs Hamming (fine at oracle scale) — equal to the blocked
+    // result because 4-chunk pigeonhole blocking has perfect recall ≤ 3
+    "dedup_simhash" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') toks
+        |           FROM documents),
+        |th AS (SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(unnest(toks)), 1, 15)) AS BIGINT) AS h
+        |       FROM t WHERE len(toks) > 0),
+        |votes AS (
+        |  SELECT doc_id, b, sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS cnt
+        |  FROM th CROSS JOIN (SELECT unnest(range(60)) AS b) GROUP BY 1, 2),
+        |sigs AS (
+        |  SELECT doc_id, sum(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sh
+        |  FROM votes GROUP BY 1)
+        |SELECT a.doc_id id_a, b.doc_id id_b, bit_count(xor(a.sh, b.sh)) AS dist
+        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
+
+    // hyperplane-LSH signatures from the portable plane generator
+    // comp(p,i) = (((x·x)%1000003)·2654435761%1000000)/1e6−0.5, x=p·65537+i+1
+    "sim_lsh_topk" ->
+      """WITH el AS (
+        |  SELECT vec_id, unnest(embedding) AS e, unnest(range(len(embedding))) AS i
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT vec_id, p,
+        |         sum(CAST(e AS DOUBLE) *
+        |             (CAST((((p*65537 + i + 1)*(p*65537 + i + 1)) % 1000003)
+        |                   * 2654435761 % 1000000 AS DOUBLE) / 1000000.0 - 0.5)) AS dot
+        |  FROM el CROSS JOIN (SELECT unnest(range(6)) AS p) GROUP BY 1, 2),
+        |sigs AS (
+        |  SELECT vec_id, sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS sig
+        |  FROM dots GROUP BY 1),
+        |cand AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS vid
+        |  FROM sigs q JOIN sigs c ON q.sig = c.sig AND c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 5),
+        |z AS (SELECT qid, vid, CAST(unnest(qe.embedding) AS DOUBLE) a,
+        |        CAST(unnest(ce.embedding) AS DOUBLE) b
+        |      FROM cand JOIN embeddings qe ON qe.vec_id = cand.qid
+        |                JOIN embeddings ce ON ce.vec_id = cand.vid),
+        |s AS (SELECT qid, vid, sum(a * b) dot, sqrt(sum(a * a)) na,
+        |        sqrt(sum(b * b)) nb FROM z GROUP BY 1, 2),
+        |sc AS (SELECT qid, vid, round(CASE WHEN na > 0 AND nb > 0
+        |        THEN dot / (na * nb) ELSE 0 END, 6) score FROM s),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY score DESC, vid) rnk FROM sc)
+        |SELECT qid AS query_id, vid AS vec_id, score, rnk AS rank FROM r WHERE rnk <= 10""".stripMargin,
+
+    "sim_lsh_pairs" ->
+      """WITH el AS (
+        |  SELECT vec_id, unnest(embedding) AS e, unnest(range(len(embedding))) AS i
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT vec_id, p,
+        |         sum(CAST(e AS DOUBLE) *
+        |             (CAST((((p*65537 + i + 1)*(p*65537 + i + 1)) % 1000003)
+        |                   * 2654435761 % 1000000 AS DOUBLE) / 1000000.0 - 0.5)) AS dot
+        |  FROM el CROSS JOIN (SELECT unnest(range(6)) AS p) GROUP BY 1, 2),
+        |sigs AS (
+        |  SELECT vec_id, sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS sig
+        |  FROM dots GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.vec_id id_a, b.vec_id id_b
+        |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id),
+        |z AS (SELECT id_a, id_b, CAST(unnest(ae.embedding) AS DOUBLE) a,
+        |        CAST(unnest(be.embedding) AS DOUBLE) b
+        |      FROM pairs JOIN embeddings ae ON ae.vec_id = pairs.id_a
+        |                 JOIN embeddings be ON be.vec_id = pairs.id_b),
         |s AS (SELECT id_a, id_b, sum(a * b) dot, sqrt(sum(a * a)) na,
         |        sqrt(sum(b * b)) nb FROM z GROUP BY 1, 2),
         |sc AS (SELECT id_a, id_b, round(CASE WHEN na > 0 AND nb > 0

@@ -119,26 +119,39 @@ object Dedup {
   }
 
   /**
-   * 64-bit SimHash over tokens: per-token xxhash64 bits vote ±1, sign
-   * becomes the output bit. One-pass native expression (see
-   * expressions.SimHash64) — no shuffle at all; the old explode-per-bit
-   * formulation shuffled doc×token×64 rows.
+   * SimHash over tokens: per-token hash bits vote ±1, sign becomes the
+   * output bit. One-pass native expression (see expressions.SimHash64) —
+   * no shuffle at all; the old explode-per-bit formulation shuffled
+   * doc×token×64 rows. `portable = true` switches the token hash to the
+   * first 60 bits of md5 (60-bit signature) — slower per token but
+   * reproducible in any SQL engine, which lets the whole pipeline be
+   * verified exactly by the DuckDB oracle.
    */
-  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol).as("id"),
-      expressions.VectorExpressions.simhash64(TextFunctions.tokens(col(textCol))).as("simhash"))
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      portable: Boolean = false): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val h =
+      if (portable) expressions.VectorExpressions.simhashPortable(toks)
+      else expressions.VectorExpressions.simhash64(toks)
+    docs.select(col(idCol).as("id"), h.as("simhash"))
+  }
 
   /**
    * SimHash near-dup pairs with Hamming distance ≤ maxDist, blocked on
-   * 16-bit chunks (pigeonhole: any pair within distance 3 shares at least
-   * one of 4 chunks) — equi-join on chunk value, verify with bit_count.
+   * 4 bit-chunks (pigeonhole: any pair within distance 3 shares at least
+   * one of the 4 chunks) — equi-join on chunk value, verify with
+   * bit_count. Chunks are 16 bits for the 64-bit default signature,
+   * 15 bits for the 60-bit portable one.
    */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = simhash(docs, idCol, textCol)
+      idCol: String = "doc_id", textCol: String = "text",
+      portable: Boolean = false): DataFrame = {
+    val chunkBits = if (portable) 15 else 16
+    val mask = (1L << chunkBits) - 1
+    val sh = simhash(docs, idCol, textCol, portable)
     val chunked = sh.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
-        shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*)))
+        shiftright(col("simhash"), i * chunkBits).bitwiseAND(mask)): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "v")
     val a = chunked.select(col("chunk"), col("v"), col("id").as("id_a"), col("simhash").as("h_a"))
     val b = chunked.select(col("chunk"), col("v"), col("id").as("id_b"), col("simhash").as("h_b"))

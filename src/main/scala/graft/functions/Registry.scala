@@ -32,6 +32,6 @@ object Registry {
       exprs => WordShingles(exprs(0), intArg(exprs(1), "word_shingles"),
         distinct = exprs.length > 2 && intArg(exprs(2), "word_shingles") != 0), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64",
-      exprs => SimHash64(exprs(0)), "scala_udf")
+      exprs => SimHash64(exprs(0), portable = false), "scala_udf")
   }
 }

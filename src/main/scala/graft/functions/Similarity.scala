@@ -77,21 +77,18 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("score"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component: a reproducible
-   *  hash-derived value in [-0.5, 0.5) for (plane, dim). */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(plane), dim), lit(1000000L)).cast("double") / 1000000.0) - 0.5
-
-  /** Sign-bit signature against nPlanes hyperplanes. */
-  def lshSignature(vec: Column, nPlanes: Int): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      val dot = aggregate(zip_with(vec,
-        sequence(lit(0), size(vec) - 1),
-        (v, i) => v * planeComponent(p, i)), lit(0.0d), (acc, v) => acc + v)
-      when(dot >= 0, lit(1)).otherwise(lit(0))
-    }
-    concat_ws("", bits.map(_.cast("string")): _*)
-  }
+  /**
+   * Sign-bit signature against nPlanes deterministic hyperplanes, as a
+   * long bitmask (bit p = sign of ⟨v, plane_p⟩). One-pass native
+   * expression (expressions.LshSignature) — the old per-plane
+   * `aggregate(zip_with(...))` formulation paid interpreted lambda
+   * dispatch per element × plane, and string signatures made the
+   * candidate join shuffle wider. The plane generator is portable pure
+   * integer arithmetic, so external engines (the DuckDB oracle) can
+   * reproduce bucketing bit-for-bit.
+   */
+  def lshSignature(vec: Column, nPlanes: Int): Column =
+    expressions.VectorExpressions.lshSignature(vec, nPlanes)
 
   /**
    * ANN via hyperplane LSH: bucket corpus and queries by signature,

@@ -30,7 +30,11 @@ object VectorExpressions {
   def wordShingles(tokens: Column, n: Int, distinct: Boolean): Column =
     GraftBridge.column(WordShingles(GraftBridge.expression(tokens), n, distinct))
   def simhash64(tokens: Column): Column =
-    GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
+    GraftBridge.column(SimHash64(GraftBridge.expression(tokens), portable = false))
+  def simhashPortable(tokens: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(tokens), portable = true))
+  def lshSignature(vec: Column, nPlanes: Int): Column =
+    GraftBridge.column(LshSignature(GraftBridge.expression(vec), nPlanes))
   def tokenStats(tokens: Column, stopwords: Seq[String]): Column =
     GraftBridge.column(TokenStats(GraftBridge.expression(tokens), stopwords))
 
@@ -221,31 +225,55 @@ case class TokenStats(child: Expression, stopwords: Seq[String])
 }
 
 /**
- * One-pass 64-bit SimHash over a token array: per token, xxhash64 (same
- * algorithm/seed as Spark's builtin, XXH64 seed 42); each hash bit votes
- * ±1 into 64 counters; sign of each counter becomes the output bit.
- * Replaces an explode-to-(doc × token × 64-bit) shuffle (~32M rows at
+ * One-pass SimHash over a token array: per token, a 64-bit hash; each hash
+ * bit votes ±1 into bit counters; sign of each counter becomes the output
+ * bit. Replaces an explode-to-(doc × token × 64-bit) shuffle (~32M rows at
  * sf0.1) with one eval per document.
+ *
+ * Two token-hash modes:
+ *  - default: xxhash64 (same algorithm/seed 42 as Spark's builtin), 64-bit
+ *    signature — the fastest path;
+ *  - portable: the first 60 bits of md5(token) (= the value of the first
+ *    15 hex chars of the digest), 60-bit signature — computable by any
+ *    engine with an md5 function, which makes the whole simhash pipeline
+ *    verifiable bit-for-bit against an external SQL oracle.
  */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression, portable: Boolean)
+    extends UnaryExpression with CodegenFallback {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = LongType
+
+  val bits: Int = if (portable) 60 else 64
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure("SimHash64 expects array<string>")
   }
 
+  @transient private lazy val md5 = java.security.MessageDigest.getInstance("MD5")
+
+  /** Unsigned value of the first 15 hex chars of md5(token). */
+  private def portableHash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    md5.reset()
+    val d = md5.digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+    h >>> 4
+  }
+
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
-    val counters = new Array[Int](64)
+    val counters = new Array[Int](bits)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val h = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUTF8String(arr.getUTF8String(i), 42L)
+      val s = arr.getUTF8String(i)
+      val h =
+        if (portable) portableHash(s)
+        else org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(s, 42L)
       var b = 0
-      while (b < 64) {
+      while (b < bits) {
         if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
         b += 1
       }
@@ -253,8 +281,54 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     }
     var out = 0L
     var b = 0
-    while (b < 64) { if (counters(b) > 0) out |= (1L << b); b += 1 }
+    while (b < bits) { if (counters(b) > 0) out |= (1L << b); b += 1 }
     out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * One-pass hyperplane-LSH signature over a float/double vector: bit p of
+ * the output long = sign of ⟨v, plane_p⟩, planes drawn from a portable
+ * arithmetic generator,
+ *   comp(p, i) = (((x·x) mod 1000003) · 2654435761 mod 1000000) / 1e6 − 0.5
+ * with x = p·65537 + i + 1 — pure 64-bit integer arithmetic (no overflow:
+ * max intermediate < 2.7e15), reproducible in any SQL engine, so LSH
+ * bucketing can be verified exactly by an external oracle. The quadratic
+ * step decorrelates planes (a linear Weyl step makes planes near-parallel).
+ */
+case class LshSignature(child: Expression, nPlanes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  require(nPlanes >= 1 && nPlanes <= 63, "nPlanes must be in [1, 63]")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("LshSignature expects array<float|double>")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val isF = child.dataType match { case ArrayType(FloatType, _) => true; case _ => false }
+    val n = arr.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val x = p.toLong * 65537L + i + 1
+        val comp = (((x * x) % 1000003L) * 2654435761L % 1000000L).toDouble / 1000000.0 - 0.5
+        val e = if (isF) arr.getFloat(i).toDouble else arr.getDouble(i)
+        dot += e * comp
+        i += 1
+      }
+      if (dot >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
