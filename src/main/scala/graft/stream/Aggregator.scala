@@ -147,37 +147,70 @@ object Aggregator {
       time: Timestamp, value: Double)
 
   /**
-   * A2 as a batch plan: per series (one shuffle), fold the time-ordered
-   * values through the reference's 10-minute sampling loop.
+   * A2 as a batch plan: one shuffle on series_id with a SECONDARY SORT
+   * (`repartition` + `sortWithinPartitions`), then a streaming fold over
+   * the sorted iterator inside `mapPartitions`. Nothing materializes a
+   * whole series in memory — the old `flatMapGroups` + `toVector.sortBy`
+   * form buffered every row of a series on one executor, which a
+   * multi-year high-frequency meter would blow up at 100× scale. State
+   * per in-flight series is O(values per sampling window).
+   *
+   * Divergence note: the hourly-profile flag is read from the FIRST row
+   * of a series (the reference resolves it from device metadata, constant
+   * per series — process.go:158-162; the previous implementation read it
+   * from the last row, equivalent for constant dev_type).
    */
   def difference(points: DataFrame, samplingMinutes: Int = 10): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
+    val sampleSec = samplingMinutes * 60L
     val in = points
       .filter(col("agg_func") === "difference")
       .select(col("series_id"), col("measurement"), col("time"),
         col("value").cast("double").as("value"),
         coalesce(col("dev_type"), lit("")).as("dev_type"))
       .as[DiffIn]
-    in.groupByKey(_.series_id)
-      .flatMapGroups { (_, it) =>
-        val rows = it.toVector.sortBy(_.time.getTime)
-        if (rows.isEmpty) Iterator.empty
-        else differenceSeries(rows, samplingMinutes * 60L).iterator
-      }
+    in.repartition(col("series_id"))
+      .sortWithinPartitions(col("series_id"), col("time"))
+      .mapPartitions(it => foldSortedPartition(it, sampleSec))
       .toDF()
   }
 
-  /** The per-series sampling loop shared by batch and streaming. */
-  private def differenceSeries(rows: Vector[DiffIn], sampleSec: Long): Vector[DiffOut] = {
-    val hourly = rows.last.dev_type == HourlyProfileDevType
-    val out = Vector.newBuilder[DiffOut]
-    var buffer = Vector.empty[Double]
-    var lastEmitted = 0.0
-    var lastSeen: Long = Long.MinValue
-    var windowEnd: Long = Math.floorDiv(rows.head.time.getTime / 1000, sampleSec) * sampleSec + sampleSec
+  /** Fold a (series_id, time)-sorted partition iterator, streaming one
+   *  run of rows per series through a DiffFold — constant memory in the
+   *  series length. */
+  private def foldSortedPartition(it: Iterator[DiffIn], sampleSec: Long): Iterator[DiffOut] =
+    new Iterator[DiffOut] {
+      private val pending = scala.collection.mutable.Queue.empty[DiffOut]
+      private var fold: DiffFold = null
+      private def advance(): Unit = {
+        while (pending.isEmpty && it.hasNext) {
+          val r = it.next()
+          if (fold == null || fold.seriesId != r.series_id) {
+            if (fold != null) pending ++= fold.finish()
+            fold = new DiffFold(r.series_id, r.measurement,
+              r.dev_type == HourlyProfileDevType, sampleSec)
+          }
+          pending ++= fold.push(r)
+        }
+        if (pending.isEmpty && fold != null) { pending ++= fold.finish(); fold = null }
+      }
+      override def hasNext: Boolean = { advance(); pending.nonEmpty }
+      override def next(): DiffOut = { advance(); pending.dequeue() }
+    }
 
-    def flush(tickSec: Long): Unit = {
+  /** The reference's per-series 10-minute sampling loop as an incremental
+   *  fold (agreggator.go:217-305): rows are pushed in time order; window
+   *  flushes emit as soon as a row crosses a boundary. */
+  private final class DiffFold(val seriesId: String, measurement: String,
+      hourly: Boolean, sampleSec: Long) {
+    private var buffer = Vector.empty[Double]
+    private var lastEmitted = 0.0
+    private var lastSeen: Long = Long.MinValue
+    private var windowEnd: Long = Long.MinValue
+    private val out = scala.collection.mutable.ArrayBuffer.empty[DiffOut]
+
+    private def flush(tickSec: Long): Unit = {
       if (buffer.nonEmpty) {
         // staleness: if the newest buffered value is older than 120 min
         // before the tick, discard (agreggator.go:236-241)
@@ -191,21 +224,28 @@ object Aggregator {
           val suppress = if (hourly) result == 0.0 else result == lastEmitted || result == 0.0
           if (!suppress) {
             lastEmitted = result
-            out += DiffOut(rows.head.series_id, rows.head.measurement,
-              new Timestamp(emitTime * 1000), result)
+            out += DiffOut(seriesId, measurement, new Timestamp(emitTime * 1000), result)
           }
         }
       }
     }
 
-    rows.foreach { r =>
+    def push(r: DiffIn): Seq[DiffOut] = {
       val sec = r.time.getTime / 1000
+      if (windowEnd == Long.MinValue)
+        windowEnd = Math.floorDiv(sec, sampleSec) * sampleSec + sampleSec
       while (sec >= windowEnd) { flush(windowEnd); windowEnd += sampleSec }
       buffer :+= r.value
       lastSeen = sec
+      drain()
     }
-    flush(windowEnd)
-    out.result()
+
+    def finish(): Seq[DiffOut] = { flush(windowEnd); drain() }
+
+    private def drain(): Seq[DiffOut] = {
+      if (out.isEmpty) Nil
+      else { val r = out.toVector; out.clear(); r }
+    }
   }
 
   /**
