@@ -162,9 +162,27 @@ object Api {
    * `{"Results":[{"Series":[{"name","tags","columns","values"}]}]}`
    * (reference response fixtures: docs/api:26-176, docs/data-exchange;
    * one Series per group-by-tag value, columns ["time","value"]).
+   *
+   * The driver-side collect is BOUNDED: at most `maxRows` rows are pulled
+   * (aggregated queries are naturally small; a raw-points query over a
+   * large range would otherwise collect everything — the reference shares
+   * that flaw, admin.go:206-226, but at Spark scale it would take the
+   * driver down). When the result is truncated and time-shaped, the JSON
+   * carries a `"next"` epoch marker; pass it back as `afterTimeSec` for
+   * the next page. Rows sharing the marker's exact second may be skipped
+   * across a page boundary — acceptable for the dashboard use case.
    */
-  def shapeResponse(df: DataFrame, measurement: String, groupByTag: String): String = {
-    val rows = df.collect()
+  def shapeResponse(df: DataFrame, measurement: String, groupByTag: String,
+      maxRows: Int = 100000, afterTimeSec: Long = Long.MinValue): String = {
+    val hasTime = df.columns.contains("time")
+    val page =
+      if (hasTime) df.filter(col("time") > afterTimeSec).orderBy(col("time")).limit(maxRows + 1)
+      else df.limit(maxRows + 1)
+    val all = page.collect()
+    val truncated = all.length > maxRows
+    val rows = if (truncated) all.take(maxRows) else all
+    val nextMarker =
+      if (truncated && hasTime) s""","next":${rows.last.getAs[Long]("time")}""" else ""
     val series: Seq[(Map[String, String], Array[Row])] =
       if (groupByTag.nonEmpty)
         rows.groupBy(r => Option(r.getAs[Any](groupByTag)).map(_.toString).getOrElse(""))
@@ -183,6 +201,6 @@ object Api {
         }.mkString("[", ",", "]")
       s"""{"name":${jstr(measurement)},"tags":$tagJson,"columns":["time","value"],"values":$values}"""
     }.mkString("[", ",", "]")
-    s"""{"Results":[{"Series":$seriesJson}]}"""
+    s"""{"Results":[{"Series":$seriesJson}]$nextMarker}"""
   }
 }

@@ -71,17 +71,7 @@ object Downsampler {
         // replace the recent window in the target tier: drop overlapping
         // date partitions, then append the fresh rollup
         val dates = src.select("date").distinct().collect().map(_.getDate(0))
-        dates.foreach { d =>
-          val dir = new java.io.File(s"${store.tierPath(to.name)}")
-          Option(dir.listFiles()).getOrElse(Array.empty)
-            .filter(_.getName.startsWith("measurement=")).foreach { mDir =>
-              val dDir = new java.io.File(mDir, s"date=$d")
-              if (dDir.exists()) {
-                Option(dDir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
-                dDir.delete()
-              }
-            }
-        }
+        dates.foreach(d => store.dropDatePartition(to, d.toString))
         store.write(to, downsample(src.drop("date"), res, tagCols))
       }
       store.expire(to, now)

@@ -28,6 +28,31 @@ final class TierStore(spark: SparkSession, root: String) {
   /** Physical tier directory (used by the rollup maintenance job). */
   def tierPath(tier: String): String = path(tier)
 
+  // All directory manipulation goes through the Hadoop FileSystem API so
+  // the store works unchanged on HDFS/S3A/GCS — the 100 TB deployment
+  // target — as well as file:// in tests. Partition-drop semantics are
+  // identical to a local-FS walk.
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+  private def fs: FileSystem =
+    new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def exists(p: String): Boolean = fs.exists(new HPath(p))
+  private def rmTree(p: String): Unit = {
+    val hp = new HPath(p)
+    if (fs.exists(hp)) fs.delete(hp, true)
+  }
+  private def subDirs(p: String): Seq[HPath] = {
+    val hp = new HPath(p)
+    if (!fs.exists(hp)) Nil
+    else fs.listStatus(hp).filter(_.isDirectory).map(_.getPath).toSeq
+  }
+
+  /** Drop one date partition across every measurement of a tier (used by
+   *  rollup maintenance to replace a recent window incrementally). */
+  def dropDatePartition(tier: Tier, date: String): Unit =
+    subDirs(path(tier.name))
+      .filter(_.getName.startsWith("measurement="))
+      .foreach(m => rmTree(s"$m/date=$date"))
+
   /** Append points into a tier (S3 batch write sink; process.go:290-337). */
   def write(tier: Tier, points: DataFrame): Unit =
     points
@@ -65,19 +90,16 @@ final class TierStore(spark: SparkSession, root: String) {
     def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       graft.model.Schemas.points.add("date", org.apache.spark.sql.types.DateType))
-    if (!new java.io.File(p).exists()) empty
+    if (!exists(p)) empty
     else try spark.read.parquet(p)
     catch { case _: org.apache.spark.sql.AnalysisException => empty }
   }
 
   /** SHOW MEASUREMENTS (S8; influxdb_v1.go:376-394) — partition listing,
    *  no data scan. */
-  def measurements(tier: Tier): Seq[String] = {
-    val dir = new java.io.File(path(tier.name))
-    if (!dir.exists()) Nil
-    else dir.listFiles().filter(_.isDirectory).map(_.getName)
-      .filter(_.startsWith("measurement=")).map(_.stripPrefix("measurement=")).sorted.toSeq
-  }
+  def measurements(tier: Tier): Seq[String] =
+    subDirs(path(tier.name)).map(_.getName)
+      .filter(_.startsWith("measurement=")).map(_.stripPrefix("measurement=")).sorted
 
   // user-defined retention policies (S9 add/update/delete RP,
   // influxdb_v1.go:300-331); the built-in gen_* hierarchy is fixed
@@ -96,62 +118,40 @@ final class TierStore(spark: SparkSession, root: String) {
    *  delete the tier's data directory. */
   def deleteRetentionPolicy(name: String): Unit = {
     customTiers.remove(name)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    val dir = new java.io.File(path(name))
-    if (dir.exists()) rm(dir)
+    rmTree(path(name))
   }
 
   def tierByName(name: String): Option[Tier] = retentionPolicies.find(_.name == name)
 
   /** CREATE DATABASE (S9; influxdb_v1.go:271-283 InitDB): materialize the
    *  tier directory skeleton. */
-  def init(): Unit = Tier.all.foreach(t => new java.io.File(path(t.name)).mkdirs())
+  def init(): Unit =
+    Tier.all.foreach(t => fs.mkdirs(new org.apache.hadoop.fs.Path(path(t.name))))
 
   /** DROP DATABASE (S9; influxdb_v1.go:285-298 DropDB): delete everything
    *  under the store root. */
-  def drop(): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    val dir = new java.io.File(root)
-    if (dir.exists()) rm(dir)
-  }
+  def drop(): Unit = rmTree(root)
 
   /**
    * Retention expiry (S9 / influxdb_v1.go:300-331 retention policies):
    * drop date partitions entirely outside the tier's retention window.
-   * Partition-granular delete — no data rewrite.
+   * Partition-granular delete — no data rewrite, and only directory
+   * listings (two levels) of the object store.
    */
   def expire(tier: Tier, now: Instant): Unit = {
     val days = Tier.retentionDays(tier.retention).getOrElse(return)
     val cutoff = java.time.LocalDate.ofInstant(now.minusSeconds(days * 86400), java.time.ZoneOffset.UTC)
-    val dir = new java.io.File(path(tier.name))
-    if (!dir.exists()) return
     for {
-      mDir <- Option(dir.listFiles()).getOrElse(Array.empty) if mDir.isDirectory
-      dDir <- Option(mDir.listFiles()).getOrElse(Array.empty) if dDir.isDirectory
+      mDir <- subDirs(path(tier.name)) if mDir.getName.startsWith("measurement=")
+      dDir <- subDirs(mDir.toString) if dDir.getName.startsWith("date=")
       dateStr = dDir.getName.stripPrefix("date=")
-      if dDir.getName.startsWith("date=") &&
-        java.time.LocalDate.parse(dateStr).isBefore(cutoff)
-    } {
-      Option(dDir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
-      dDir.delete()
-    }
+      if java.time.LocalDate.parse(dateStr).isBefore(cutoff)
+    } rmTree(dDir.toString)
   }
 
   /** DROP MEASUREMENT (S9; influxdb_v1.go:363-373) — partition delete. */
-  def dropMeasurement(tier: Tier, measurement: String): Unit = {
-    val dir = new java.io.File(s"${path(tier.name)}/measurement=$measurement")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    if (dir.exists()) rm(dir)
-  }
+  def dropMeasurement(tier: Tier, measurement: String): Unit =
+    rmTree(s"${path(tier.name)}/measurement=$measurement")
 }
 
 object CsvSink {

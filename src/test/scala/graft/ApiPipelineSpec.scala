@@ -101,6 +101,23 @@ class ApiPipelineSpec extends SparkSpec {
       """"columns":["time","value"],"values":[[1704103200,1250.0],[1704106800,900.0]]}]}]}""")
   }
 
+  test("shapeResponse bounds the driver collect and pages via the next marker") {
+    import spark.implicits._
+    val df = spark.range(50).select(
+      (col("id") + 1000).as("time"), (col("id") * 2).cast("double").as("value"))
+    // page 1: capped at 10 rows + a next marker
+    val p1 = Api.shapeResponse(df, "m", "", maxRows = 10)
+    assert(p1.endsWith("""],"next":1009}"""), p1)
+    assert(p1.sliding(2).count(_ == "[1") >= 10)
+    assert(!p1.contains("[1010,")) // nothing past the page
+    // page 2 resumes strictly after the marker
+    val p2 = Api.shapeResponse(df, "m", "", maxRows = 10, afterTimeSec = 1009L)
+    assert(p2.contains("[1010,") && p2.endsWith(""","next":1019}"""), p2)
+    // un-truncated result carries no marker (back-compat shape)
+    val small = Api.shapeResponse(df.limit(5), "m", "", maxRows = 10)
+    assert(!small.contains("\"next\"") && small.endsWith("}]}]}"), small)
+  }
+
   test("write_data_points (S6) routes client points into the right tier") {
     val store = new TierStore(spark, tmpDir())
     val ctx = Api.Context(spark, store)
