@@ -37,7 +37,82 @@ object Api {
 
   final case class Context(spark: SparkSession, store: TierStore,
       profile: String = Tier.ProfileOptimized, now: () => Instant = () => Instant.now(),
-      state: ProcessState = new ProcessState(ProcessConfig(id = 1)))
+      state: ProcessState = new ProcessState(ProcessConfig(id = 1)),
+      registry: Option[ProcessRegistry] = None)
+
+  /**
+   * Multi-process manager — the reference's Integration
+   * (reference: src/integration/tsdb/integration.go:37-49,239-283): a
+   * registry of processes, each with its own config, filter/selector
+   * state, and tier store, addressed by ProcID; the admin surface routes
+   * every tsdb command through the payload's proc id (admin.go:404-416).
+   */
+  final class ProcessRegistry(spark: SparkSession, storeRoot: String,
+      defaults: Seq[ProcessConfig]) {
+    final class Handle(val state: ProcessState, val store: TierStore) {
+      @volatile var status: String = "LOADED"
+    }
+    private val procs = scala.collection.mutable.LinkedHashMap.empty[Int, Handle]
+    defaults.foreach(initProcess)
+
+    private def initProcess(c: ProcessConfig): Handle = synchronized {
+      val h = new Handle(new ProcessState(c), new TierStore(spark, s"$storeRoot/proc_${c.id}"))
+      if (c.autostart) h.status = "RUNNING"
+      procs(c.id) = h
+      h
+    }
+
+    def processes: Seq[(ProcessConfig, String)] =
+      synchronized { procs.values.map(h => (h.state.config, h.status)).toSeq }
+    def byId(id: Int): Option[Handle] = synchronized { procs.get(id) }
+
+    /** AddProcess (integration.go:239-259): clone the default template,
+     *  id = max existing + 1 (GetNewID, model.go:113-128), autostart off. */
+    def add(procConfig: Option[ProcessConfig]): Int = synchronized {
+      val conf = procConfig.getOrElse {
+        val newId = (procs.keys.toSeq :+ 0).max + 1
+        defaults.headOption.getOrElse(ProcessConfig(id = 0))
+          .copy(id = newId, autostart = false)
+      }
+      initProcess(conf)
+      conf.id
+    }
+
+    /** start/stop/delete (admin.go:113-150). Reference quirk kept: an
+     *  UNKNOWN operation on an existing process falls through the switch
+     *  with err == nil and reports "ok" (admin.go:127-139). */
+    def ctrl(id: Int, op: String): (String, String) = synchronized {
+      procs.get(id) match {
+        case None => ("error", "unknown process id")
+        case Some(h) =>
+          op match {
+            case "start" => h.status = "RUNNING"
+            case "stop" => h.status = "STOPPED"
+            case "delete" => procs.remove(id)
+            case _ => () // admin.go quirk: unmatched op → status "ok"
+          }
+          ("ok", "")
+      }
+    }
+
+    /** UpdateProcConfig (integration.go:87-103). Divergence: the reference
+     *  nil-derefs (panic/recover, no response) on an unknown id
+     *  (integration.go:88-89 + admin.go:65-71); we return an error report. */
+    def updateConfig(conf: ProcessConfig): (String, String) = synchronized {
+      procs.get(conf.id) match {
+        case None => ("error", "unknown process id")
+        case Some(h) => h.state.config = conf; ("ok", "")
+      }
+    }
+
+    /** reset_to_default (admin.go:151-155): reload the default template
+     *  set. The reference exits the OS process and restarts from defaults;
+     *  re-initializing the registry in place is the engine equivalent. */
+    def resetToDefault(): Unit = synchronized {
+      procs.clear()
+      defaults.foreach(initProcess)
+    }
+  }
 
   /**
    * Mutable filter/selector CRUD — the reference's Process API
@@ -78,13 +153,53 @@ object Api {
   def dispatch(ctx: Context, command: String, payload: Any): DataFrame = command match {
     case "cmd.tsdb.get_data_points" => // admin.go:206-226
       val req = payload.asInstanceOf[GetDataPointsRequest]
-      Planner.dataPoints(req.toRequest, t => ctx.store.read(t), ctx.now())
+      val c = procCtx(ctx, req.procId)
+      Planner.dataPoints(req.toRequest, t => c.store.read(t), c.now())
     case "cmd.tsdb.get_energy_data_points" => // admin.go:229-247
       val req = payload.asInstanceOf[GetDataPointsRequest]
+      val c = procCtx(ctx, req.procId)
       Planner.energyDataPoints(req.relativeTime, req.fromTime, req.toTime,
-        req.groupByTime, req.groupByTag, req.filters, t => ctx.store.read(t), ctx.now())
+        req.groupByTime, req.groupByTag, req.filters, t => c.store.read(t), c.now())
     case "cmd.tsdb.query" => // S7 raw passthrough (admin.go:156-177)
-      ctx.spark.sql(payload.asInstanceOf[String])
+      payload match {
+        case (procId: Int, sql: String) => procCtx(ctx, procId).spark.sql(sql)
+        case sql: String => ctx.spark.sql(sql)
+        case other => throw new IllegalArgumentException(s"bad query payload: $other")
+      }
+
+    // --- process lifecycle (admin.go:75-155; integration.go manager) ---
+    case "cmd.ecprocess.get_list" => { // admin.go:75-77
+      import ctx.spark.implicits._
+      registryOf(ctx).processes.map { case (c, status) =>
+        (c.id, c.name, status, c.profile, c.batchMaxSize, c.saveIntervalMs,
+          c.filters.size, c.selectors.size, c.autostart)
+      }.toDF("id", "name", "status", "profile", "batch_max_size",
+        "save_interval_ms", "n_filters", "n_selectors", "autostart")
+    }
+    case "cmd.ecprocess.add" => // admin.go:100-112
+      val id = registryOf(ctx).add(Option(payload).map(_.asInstanceOf[ProcessConfig]))
+      ctrlReport(ctx, "add", "ok", "", id)
+    case "cmd.ecprocess.ctrl" => // admin.go:113-150
+      val (procId, op) = payload.asInstanceOf[(Int, String)]
+      val (status, err) = registryOf(ctx).ctrl(procId, op)
+      ctrlReport(ctx, op, status, err, procId)
+    case "cmd.ecprocess.update_config" => // admin.go:79-98
+      val conf = payload.asInstanceOf[ProcessConfig]
+      val (status, err) = registryOf(ctx).updateConfig(conf)
+      ctrlReport(ctx, "update_config", status, err, conf.id)
+    case "cmd.ecprocess.reset_to_default" => // admin.go:151-155
+      registryOf(ctx).resetToDefault()
+      ctx.spark.emptyDataFrame
+
+    case "cmd.log.set_level" => // admin.go:374-388
+      val level = payload.asInstanceOf[String].toUpperCase
+      val valid = Set("ALL", "DEBUG", "ERROR", "FATAL", "INFO", "OFF", "TRACE", "WARN")
+      if (valid(level)) {
+        ctx.spark.sparkContext.setLogLevel(level)
+        ctrlReport(ctx, "set_level", "ok", "", 0)
+      } else
+        // reference logs and keeps the old level (admin.go:385-387)
+        ctrlReport(ctx, "set_level", "error", s"unknown log level: $level", 0)
     case "cmd.tsdb.write_data_points" => // S6 (admin.go:179-204)
       val points = payload.asInstanceOf[Seq[WritePoint]]
       import ctx.spark.implicits._
@@ -142,6 +257,27 @@ object Api {
       throw new IllegalArgumentException(s"unknown command: $other")
   }
 
+  /** Route a command to the process's own store/state when a registry is
+   *  configured (admin.go:404-416 getProcAndStorageByProcId). */
+  private def procCtx(ctx: Context, procId: Int): Context = ctx.registry match {
+    case None => ctx
+    case Some(reg) => reg.byId(procId) match {
+      case Some(h) => ctx.copy(store = h.store, state = h.state)
+      case None => throw new IllegalArgumentException(s"unknown process: $procId")
+    }
+  }
+
+  private def registryOf(ctx: Context): ProcessRegistry =
+    ctx.registry.getOrElse(throw new IllegalStateException(
+      "no process registry configured for this context"))
+
+  /** evt.ecprocess.ctrl_report shape (admin.go:96-98,111,148-149). */
+  private def ctrlReport(ctx: Context, op: String, status: String,
+      error: String, procId: Int): DataFrame = {
+    import ctx.spark.implicits._
+    Seq((op, status, error, procId)).toDF("op", "status", "error", "proc_id")
+  }
+
   private def filtersDf(ctx: Context): DataFrame = {
     import ctx.spark.implicits._
     ctx.state.filters.map(f => (f.id, f.name, f.topic, f.domain, f.service,
@@ -189,7 +325,6 @@ object Api {
           .toSeq.sortBy(_._1)
           .map { case (tv, rs) => (Map(groupByTag -> tv), rs) }
       else Seq((Map.empty[String, String], rows))
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val seriesJson = series.map { case (tags, rs) =>
       val tagJson = tags.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
       val values = rs.sortBy(r => if (r.schema.fieldNames.contains("time"))
@@ -203,4 +338,28 @@ object Api {
     }.mkString("[", ",", "]")
     s"""{"Results":[{"Series":$seriesJson}]$nextMarker}"""
   }
+
+  private def jstr(s: String) =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** The reference's error response payload for a failed query:
+   *  `{"Results":null,"error":"<message>"}` (docs/api:364-380). */
+  def shapeError(e: Throwable): String = {
+    val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+      .linesIterator.take(3).mkString(" ").take(500)
+    s"""{"Results":null,"error":${jstr(msg)}}"""
+  }
+
+  /**
+   * Dispatch with the reference's full response contract: a successful
+   * query returns the Series-shaped JSON, a failing one the error
+   * envelope instead of a thrown exception (admin.go:165-175 logs and
+   * returns the storage error inside the report payload).
+   */
+  def dispatchShaped(ctx: Context, command: String, payload: Any,
+      measurement: String = "", groupByTag: String = "",
+      maxRows: Int = 100000, afterTimeSec: Long = Long.MinValue): String =
+    try shapeResponse(dispatch(ctx, command, payload), measurement, groupByTag,
+      maxRows, afterTimeSec)
+    catch { case e: Exception => shapeError(e) }
 }

@@ -39,7 +39,8 @@ final case class ProcessConfig(
     siteId: String = "",
     profile: String = Tier.ProfileOptimized,
     storagePath: String = "",
-    storageType: String = "parquet")
+    storageType: String = "parquet",
+    autostart: Boolean = false) // reference: model.go Autostart, integration.go:253
 
 /** Storage tier (≈ InfluxDB retention policy; reference: storage/influxdb_v1.go:45-58). */
 final case class Tier(name: String, retention: String, resolution: String)

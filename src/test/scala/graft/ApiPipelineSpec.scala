@@ -118,6 +118,82 @@ class ApiPipelineSpec extends SparkSpec {
     assert(!small.contains("\"next\"") && small.endsWith("}]}]}"), small)
   }
 
+  test("process lifecycle: get_list/add/ctrl/update_config/reset (admin.go:75-155)") {
+    import graft.model.ProcessConfig
+    val root = tmpDir()
+    val reg = new Api.ProcessRegistry(spark, root,
+      Seq(ProcessConfig(id = 1, name = "default", autostart = true)))
+    val ctx = Api.Context(spark, new TierStore(spark, root + "/proc_1"),
+      registry = Some(reg))
+    // initial list: the default process, RUNNING via autostart
+    val l0 = Api.dispatch(ctx, "cmd.ecprocess.get_list", null).collect()
+    assert(l0.length == 1 && l0.head.getAs[String]("status") == "RUNNING")
+    // add: template clone, id = max+1, autostart off → LOADED
+    val add = Api.dispatch(ctx, "cmd.ecprocess.add", null).collect().head
+    assert(add.getAs[String]("status") == "ok" && add.getAs[Int]("proc_id") == 2)
+    val l1 = Api.dispatch(ctx, "cmd.ecprocess.get_list", null).collect()
+    assert(l1.map(r => (r.getAs[Int]("id"), r.getAs[String]("status"))).toSet ==
+      Set((1, "RUNNING"), (2, "LOADED")))
+    // ctrl start/stop; reference quirk: unknown op on live proc reports ok
+    assert(Api.dispatch(ctx, "cmd.ecprocess.ctrl", (2, "start"))
+      .collect().head.getAs[String]("status") == "ok")
+    assert(reg.byId(2).get.status == "RUNNING")
+    assert(Api.dispatch(ctx, "cmd.ecprocess.ctrl", (2, "bogus_op"))
+      .collect().head.getAs[String]("status") == "ok") // admin.go:127-139 quirk
+    assert(Api.dispatch(ctx, "cmd.ecprocess.ctrl", (99, "start"))
+      .collect().head.getAs[String]("error") == "unknown process id")
+    // update_config replaces the config by id
+    val upd = Api.dispatch(ctx, "cmd.ecprocess.update_config",
+      ProcessConfig(id = 2, name = "renamed")).collect().head
+    assert(upd.getAs[String]("status") == "ok")
+    assert(reg.byId(2).get.state.config.name == "renamed")
+    // ctrl delete, then reset restores the default set
+    Api.dispatch(ctx, "cmd.ecprocess.ctrl", (2, "delete"))
+    assert(reg.processes.map(_._1.id) == Seq(1))
+    Api.dispatch(ctx, "cmd.ecprocess.add", null)
+    Api.dispatch(ctx, "cmd.ecprocess.reset_to_default", null)
+    assert(reg.processes.map(_._1.id) == Seq(1))
+  }
+
+  test("queries route by procId across processes (admin.go:404-416)") {
+    import graft.model.ProcessConfig
+    val root = tmpDir()
+    val reg = new Api.ProcessRegistry(spark, root,
+      Seq(ProcessConfig(id = 1), ProcessConfig(id = 2)))
+    val ctx = Api.Context(spark, reg.byId(1).get.store, registry = Some(reg),
+      now = () => Instant.parse("2024-01-01T01:00:00Z"))
+    // write one point into proc 2's store only
+    val rs = Seq(("m_x", Timestamp.valueOf("2024-01-01 00:30:00"), 7.0, "d1", "1", "sensor"))
+    import spark.implicits._
+    reg.byId(2).get.store.write(Tier.GenDefault, // m_x is low-frequency → gen_default
+      rs.toDF("measurement", "time", "value", "dev_id", "location_id", "dev_type"))
+    def q(procId: Int) = Api.dispatch(ctx, "cmd.tsdb.get_data_points",
+      Api.GetDataPointsRequest(procId = procId, measurementName = "m_x",
+        relativeTime = "2h")).count()
+    assert(q(2) == 1 && q(1) == 0) // same command, different process → different store
+    val err = intercept[IllegalArgumentException](q(77))
+    assert(err.getMessage.contains("unknown process"))
+  }
+
+  test("error envelope: failing queries return the reference error shape (docs/api:364-380)") {
+    val store = new TierStore(spark, tmpDir())
+    val ctx = Api.Context(spark, store)
+    // bad raw SQL → {"Results":null,"error":...}
+    val bad = Api.dispatchShaped(ctx, "cmd.tsdb.query", "SELEC nonsense FRO")
+    assert(bad.startsWith("""{"Results":null,"error":""""), bad)
+    // unknown command → error envelope too
+    val unk = Api.dispatchShaped(ctx, "cmd.tsdb.nope", null)
+    assert(unk.contains("unknown command"), unk)
+    // a good query still returns the Series shape
+    val ok = Api.dispatchShaped(ctx, "cmd.tsdb.query", "SELECT 5 AS value", "m", "")
+    assert(ok.startsWith("""{"Results":[{"Series":"""), ok)
+    // log level: valid applies, invalid reports error without throwing
+    assert(Api.dispatch(ctx, "cmd.log.set_level", "ERROR")
+      .collect().head.getAs[String]("status") == "ok")
+    assert(Api.dispatch(ctx, "cmd.log.set_level", "NOISY")
+      .collect().head.getAs[String]("status") == "error")
+  }
+
   test("write_data_points (S6) routes client points into the right tier") {
     val store = new TierStore(spark, tmpDir())
     val ctx = Api.Context(spark, store)
