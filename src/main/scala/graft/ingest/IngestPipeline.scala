@@ -60,4 +60,24 @@ object IngestPipeline {
       }
       .start()
   }
+
+  /**
+   * S1 front door: a pluggable broker/file source of raw envelopes →
+   * selector pruning → FIMP decode → the shared streaming pipeline.
+   * The selector topic predicates run BEFORE the JSON decode (an RLIKE
+   * on the topic column), so non-subscribed traffic never pays the
+   * parse — the in-plan equivalent of the reference's per-selector MQTT
+   * subscriptions (process.go:456-463).
+   */
+  def runFromSource(spark: org.apache.spark.sql.SparkSession,
+      source: graft.sources.StreamSource, config: ProcessConfig,
+      metadata: Option[DataFrame], store: TierStore,
+      checkpoint: String): StreamingQuery = {
+    val env = source.load(spark)
+    val pruned =
+      if (config.selectors.nonEmpty)
+        env.filter(TopicMatch.anySelector(env("topic"), config.selectors.map(_.topic)))
+      else env
+    runStream(graft.sources.LogReplay.decodeEnvelope(pruned), config, metadata, store, checkpoint)
+  }
 }

@@ -38,31 +38,45 @@ object LogReplay {
   }
 
   /**
-   * Parse raw log lines into the canonical rawEvent shape
-   * (`Schemas.rawEvent`): topic, serv, msg_type, val_t, val_json, props,
-   * src, domain, time. Unparseable lines are dropped (the reference
-   * skips lines without " pt:").
+   * Log lines → raw envelopes (topic, payload, time) — the wire shape
+   * every streaming front door produces (see StreamSource). Unparseable
+   * lines are dropped (the reference skips lines without " pt:").
    */
-  def parse(lines: DataFrame, lineCol: String = "value"): DataFrame = {
+  def toEnvelope(lines: DataFrame, lineCol: String = "value"): DataFrame = {
     val l = col(lineCol)
-    val ts = regexp_extract(l, "^(\\S+) pt:", 1)
-    val topic = concat(lit("pt:"), regexp_extract(l, " pt:(\\S+) \\{", 1))
-    val payload = concat(lit("{"), regexp_extract(l, " \\{(.*)$", 1))
-    val parsed = from_json(payload, fimpSchema)
     lines
       .filter(l.contains(" pt:") && l.contains(" {"))
       .select(
-        topic.as("topic"),
-        parsed.getField("serv").as("serv"),
-        parsed.getField("type").as("msg_type"),
-        parsed.getField("val_t").as("val_t"),
-        get_json_object(payload, "$.val").as("val_json"),
-        parsed.getField("props").as("props"),
-        parsed.getField("src").as("src"),
-        // domain = address global prefix (process.go:216 addr.GlobalPrefix)
-        regexp_extract(topic, "^pt:([^/]+)", 1).as("domain"),
-        tai64nToTimestamp(ts).as("time"))
+        concat(lit("pt:"), regexp_extract(l, " pt:(\\S+) \\{", 1)).as("topic"),
+        concat(lit("{"), regexp_extract(l, " \\{(.*)$", 1)).as("payload"),
+        tai64nToTimestamp(regexp_extract(l, "^(\\S+) pt:", 1)).as("time"))
   }
+
+  /** Raw envelopes → the canonical rawEvent shape (`Schemas.rawEvent`):
+   *  topic, serv, msg_type, val_t, val_json, props, src, domain, time.
+   *  Shared by batch replay and every streaming source. */
+  def decodeEnvelope(env: DataFrame): DataFrame = {
+    val payload = col("payload")
+    val parsed = from_json(payload, fimpSchema)
+    env.select(
+      col("topic"),
+      parsed.getField("serv").as("serv"),
+      parsed.getField("type").as("msg_type"),
+      parsed.getField("val_t").as("val_t"),
+      get_json_object(payload, "$.val").as("val_json"),
+      parsed.getField("props").as("props"),
+      parsed.getField("src").as("src"),
+      // domain = address global prefix (process.go:216 addr.GlobalPrefix)
+      regexp_extract(col("topic"), "^pt:([^/]+)", 1).as("domain"),
+      col("time"))
+  }
+
+  /**
+   * Parse raw log lines into the canonical rawEvent shape — the batch
+   * replay entry (S2), composed from the two stages above.
+   */
+  def parse(lines: DataFrame, lineCol: String = "value"): DataFrame =
+    decodeEnvelope(toEnvelope(lines, lineCol))
 
   /** Read a directory of log files and parse (loadMessagesFromFile). */
   def read(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =

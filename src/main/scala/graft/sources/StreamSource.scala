@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * S1 — the pluggable streaming front door.
+ *
+ * The reference's ingest entry is an MQTT subscription per selector topic
+ * (reference: src/integration/tsdb/process.go:456-463, model.go:51-55).
+ * A single-broker MQTT client doesn't scale to a 1000-executor cluster;
+ * the standard deployment bridges MQTT into a partitioned broker (Kafka:
+ * MQTT topic → record key, FIMP JSON → record value) and Spark subscribes
+ * with `readStream.format("kafka")`. A file source replays the same
+ * envelopes from object storage, and tests inject MemoryStream frames
+ * through [[StreamSource.OfDataFrame]] — all three feed the one ingest
+ * plan (IngestPipeline.runFromSource), which applies the selector topic
+ * predicates IN-PLAN before the JSON decode, so non-matching traffic is
+ * pruned before any parsing work.
+ *
+ * Every implementation yields the raw envelope shape
+ * `(topic: string, payload: string, time: timestamp)`.
+ */
+trait StreamSource {
+  def load(spark: SparkSession): DataFrame
+}
+
+object StreamSource {
+
+  /**
+   * Broker source via the Kafka connector (MQTT→Kafka bridge upstream).
+   * Requires `spark-sql-kafka-0-10` on the cluster classpath — the
+   * branch compiles without it; `load` fails fast if the connector is
+   * absent. `topics` are Kafka subscription topics (typically one per
+   * MQTT selector root); finer MQTT-wildcard selection happens in-plan.
+   */
+  final case class Kafka(
+      bootstrapServers: String,
+      topics: Seq[String],
+      startingOffsets: String = "latest",
+      maxOffsetsPerTrigger: Option[Long] = None) extends StreamSource {
+    override def load(spark: SparkSession): DataFrame = {
+      val base = spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topics.mkString(","))
+        .option("startingOffsets", startingOffsets)
+      val tuned = maxOffsetsPerTrigger
+        .fold(base)(n => base.option("maxOffsetsPerTrigger", n.toString))
+      tuned.load().select(
+        col("key").cast("string").as("topic"),
+        col("value").cast("string").as("payload"),
+        col("timestamp").as("time"))
+    }
+  }
+
+  /** Streaming replay of MQTT log files (same line format as the S2
+   *  batch loader) — new files appearing under `path` are tailed. */
+  final case class LogFiles(path: String, maxFilesPerTrigger: Option[Int] = None)
+      extends StreamSource {
+    override def load(spark: SparkSession): DataFrame = {
+      val base = spark.readStream
+      val tuned = maxFilesPerTrigger
+        .fold(base)(n => base.option("maxFilesPerTrigger", n.toString))
+      LogReplay.toEnvelope(tuned.text(path))
+    }
+  }
+
+  /** Wrap an existing (streaming) DataFrame already in envelope shape —
+   *  the MemoryStream test harness and any custom connector plug in here. */
+  final case class OfDataFrame(df: DataFrame) extends StreamSource {
+    override def load(spark: SparkSession): DataFrame = df
+  }
+}
