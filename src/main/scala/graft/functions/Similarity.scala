@@ -179,6 +179,56 @@ object Similarity {
   }
 
   /**
+   * DataFrame-native Lloyd's k-means for IVF centroid training. Seeds
+   * from the deterministic hash sample (same rule as ivfTopK), then
+   * `iters` assign/recompute rounds: assignment is the broadcast-centroid
+   * join ivfTopKWith uses; the per-dimension mean is a
+   * posexplode → groupBy(list, dim) aggregation (rows × dims shuffle per
+   * iteration — train on a sample at 100 TB, the centroids generalize).
+   * Lineage is truncated between iterations (localCheckpoint on the
+   * k-row centroid table) so the plan doesn't grow with `iters`. A list
+   * that captures no vectors drops out (k shrinks), standard Lloyd
+   * behavior with hard assignment.
+   */
+  def trainCentroids(corpus: DataFrame, k: Int, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+      .withColumn("nc", expressions.VectorExpressions.l2norm(col("cv")))
+    var centroids = c.withColumn("_h", xxhash64(col("vec_id")))
+      .orderBy(col("_h"), col("vec_id")).limit(k)
+      .select(col("vec_id").as("list_id"), col("cv").as("centroid"), col("nc").as("ncent"))
+      .localCheckpoint(true)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("_cs").desc, col("list_id"))
+    for (_ <- 0 until iters) {
+      val assigned = c.crossJoin(broadcast(centroids))
+        .withColumn("_cs", cosineWithNorms(col("cv"), col("centroid"), col("nc"), col("ncent")))
+        .withColumn("_r", row_number().over(wAssign))
+        .filter(col("_r") === 1)
+        .select(col("list_id"), col("cv"))
+      centroids = assigned
+        .select(col("list_id"), posexplode(col("cv")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("list_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("centroid"))
+        .withColumn("ncent", expressions.VectorExpressions.l2norm(col("centroid")))
+        .localCheckpoint(true)
+    }
+    centroids
+  }
+
+  /** IVF top-k over TRAINED centroids: train once, then probe. */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int,
+      nLists: Int = 16, nProbes: Int = 4, trainIters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+      .withColumn("nc", expressions.VectorExpressions.l2norm(col("cv")))
+    ivfTopKWith(c, trainCentroids(corpus, nLists, trainIters, idCol, vecCol),
+      queries, k, nProbes, idCol, vecCol)
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs above a threshold, blocked by
    * LSH signature (same hyperplane trick; near-identical vectors land in
    * the same bucket with high probability).

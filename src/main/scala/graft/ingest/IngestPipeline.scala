@@ -62,6 +62,37 @@ object IngestPipeline {
   }
 
   /**
+   * Streaming form with a REFRESHABLE metadata dimension (the reference's
+   * periodic site-cache reload, vinc_store.go:25): selector + filter run
+   * in the standing streaming plan; enrichment + transform run per
+   * micro-batch inside foreachBatch against `provider.current()`, so
+   * metadata edits land on the next batch without restarting the query.
+   */
+  def runStreamRefreshable(events: DataFrame, config: ProcessConfig,
+      provider: MetadataStore.Provider, store: TierStore,
+      checkpoint: String): StreamingQuery = {
+    val sited =
+      if (config.siteId.nonEmpty)
+        events.withColumn("domain", org.apache.spark.sql.functions.lit(config.siteId))
+      else events
+    val selected =
+      if (config.selectors.nonEmpty)
+        sited.filter(TopicMatch.anySelector(sited("topic"),
+          config.selectors.map(_.topic)))
+      else sited
+    selected.filter(FilterCompiler.compile(config.filters))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(s"${config.saveIntervalMs} milliseconds"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val enriched = MetadataStore.enrich(batch, provider.current())
+        store.writeRouted(Transform(enriched), config.profile)
+      }
+      .start()
+  }
+
+  /**
    * S1 front door: a pluggable broker/file source of raw envelopes →
    * selector pruning → FIMP decode → the shared streaming pipeline.
    * The selector topic predicates run BEFORE the JSON decode (an RLIKE

@@ -47,6 +47,34 @@ object MetadataStore {
   }
 
   /**
+   * Refreshable metadata dimension — the reference's periodic site-cache
+   * reload (vinc_store.go:25 `ReloadSiteToCache(30)`, tpflow_store
+   * equivalent): metadata edited while the ingest stream runs is picked
+   * up on the next refresh interval. The loader runs on the DRIVER once
+   * per interval (the dimension is one row per device — tiny); each
+   * micro-batch enriches against the freshest cached frame, so a device
+   * moved to a new room mid-stream tags correctly from the next batch.
+   */
+  final class Provider(load: () => DataFrame, refreshIntervalMs: Long,
+      clock: () => Long = () => System.currentTimeMillis()) {
+    @volatile private var cached: (Long, DataFrame) = (Long.MinValue, null)
+    def current(): DataFrame = {
+      val (at, df) = cached
+      val now = clock()
+      if (df == null || now - at >= refreshIntervalMs) {
+        val fresh = load()
+        cached = (now, fresh)
+        fresh
+      } else df
+    }
+  }
+
+  /** File-store-backed provider (file_store.go periodic variant). */
+  def fileProvider(spark: SparkSession, path: String,
+      refreshIntervalMs: Long = 30000): Provider =
+    new Provider(() => load(spark, path), refreshIntervalMs)
+
+  /**
    * Device → group maps for post-query regrouping
    * (reference: vinc_store.go:63-109 GetDevicesGroupedByLocation/Type;
    * consumed by the dead qframe path, processing/data_frames.go:372-439).

@@ -75,8 +75,11 @@ object Downsampler {
         store.write(to, downsample(src.drop("date"), res, tagCols))
       }
       store.expire(to, now)
+      store.compact(to)
     }
     store.expire(graft.model.Tier.GenRaw, now)
     store.expire(graft.model.Tier.GenDefault, now)
+    store.compact(graft.model.Tier.GenRaw)
+    store.compact(graft.model.Tier.GenDefault)
   }
 }

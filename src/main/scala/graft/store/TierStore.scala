@@ -152,6 +152,41 @@ final class TierStore(spark: SparkSession, root: String) {
   /** DROP MEASUREMENT (S9; influxdb_v1.go:363-373) — partition delete. */
   def dropMeasurement(tier: Tier, measurement: String): Unit =
     rmTree(s"${path(tier.name)}/measurement=$measurement")
+
+  /**
+   * Small-file compaction. Streaming ingest appends one parquet file per
+   * micro-batch per (measurement, date) partition — at a 5 s trigger
+   * that is ~17k files/partition/day, which kills scan planning and
+   * object-store listing long before 100 TB. Rewrites every partition
+   * holding at least `minFiles` files into ⌈bytes/targetFileBytes⌉
+   * files (write to a sibling temp dir, then swap). The swap is
+   * delete-then-rename: a concurrent reader can see an empty partition
+   * for a moment — run it from the single-writer maintenance job (the
+   * same assumption the reference's InfluxDB compactions make).
+   * Returns the number of partitions rewritten.
+   */
+  def compact(tier: Tier, targetFileBytes: Long = 128L * 1024 * 1024,
+      minFiles: Int = 4): Int = {
+    var done = 0
+    for {
+      mDir <- subDirs(path(tier.name)) if mDir.getName.startsWith("measurement=")
+      dDir <- subDirs(mDir.toString) if dDir.getName.startsWith("date=")
+    } {
+      val files = fs.listStatus(dDir)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      if (files.length >= minFiles) {
+        val nOut = math.max(1,
+          math.ceil(files.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
+        val tmp = new HPath(dDir.getParent, dDir.getName + "._compacting")
+        spark.read.parquet(dDir.toString).repartition(nOut)
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        fs.delete(dDir, true)
+        fs.rename(tmp, dDir)
+        done += 1
+      }
+    }
+    done
+  }
 }
 
 object CsvSink {

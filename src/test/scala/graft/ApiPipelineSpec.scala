@@ -272,6 +272,33 @@ class ApiPipelineSpec extends SparkSpec {
     assert(k.topics == Seq("fimp_events") && k.bootstrapServers == "broker:9092")
   }
 
+  test("metadata re-sync: edits land on the next micro-batch (vinc_store.go:25)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.meta.MetadataStore
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def dim(loc: Int) = Seq(("/rt:dev/rn:z/ad:1/sv:sensor_temp/ad:2", 7, loc, "sensor"))
+      .toDF("address", "device_id", "location_id", "device_type")
+    @volatile var currentLoc = 1
+    val provider = new MetadataStore.Provider(() => dim(currentLoc), refreshIntervalMs = 0)
+    val input = MemoryStream[Ev]
+    val store = new TierStore(spark, tmpDir())
+    val config = ProcessConfig(id = 1, saveIntervalMs = 100, filters = Seq(Filter(id = 1)))
+    val q = IngestPipeline.runStreamRefreshable(input.toDF(), config, provider, store, tmpDir())
+    def ev(sec: Int, v: Double) = Ev(
+      "pt:j1/mt:evt/rt:dev/rn:z/ad:1/sv:sensor_temp/ad:2", "sensor_temp",
+      "evt.sensor.report", "float", v.toString, Map("unit" -> "C"), "app", "j1",
+      Timestamp.valueOf(s"2024-01-01 10:00:0$sec"))
+    try {
+      input.addData(ev(0, 1.0)); q.processAllAvailable()
+      currentLoc = 9 // metadata edited while the stream runs
+      input.addData(ev(5, 2.0)); q.processAllAvailable()
+      val rows = store.read(Tier.GenRaw).collect()
+        .map(r => (r.getAs[Double]("value"), r.getAs[String]("location_id"))).toSet
+      assert(rows == Set((1.0, "1"), (2.0, "9"))) // second batch saw the new room
+    } finally q.stop()
+  }
+
   test("admin commands: RP lifecycle, delete_object, filter/selector CRUD (S9)") {
     val store = new TierStore(spark, tmpDir())
     val ctx = Api.Context(spark, store)

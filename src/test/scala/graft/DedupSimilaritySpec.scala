@@ -111,6 +111,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(global.isEmpty, s"global windows found:\n${global.mkString("\n")}")
   }
 
+  test("trained k-means IVF: exact scores, high recall on clustered data") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // 4 well-separated clusters in 8 dims, 20 vectors each
+    val bases = Array.tabulate(4, 8)((c, d) => if (d % 4 == c) 10.0f else 0.0f)
+    val vecs = (0 until 80).map { i =>
+      val b = bases(i % 4)
+      (i.toLong, b.map(x => x + rng.nextFloat() * 0.5f))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 4) // one query per cluster
+    val bf = Similarity.bruteForceTopK(vecs, queries, 5)
+      .select("query_id", "vec_id", "score").as[(Long, Long, Double)].collect().toSet
+    val trained = Similarity.ivfTopKTrained(vecs, queries, 5, nLists = 4,
+      nProbes = 1, trainIters = 2)
+      .select("query_id", "vec_id", "score").as[(Long, Long, Double)].collect().toSet
+    // every hit carries the exact brute-force score
+    val bfScores = bf.map { case (q, v, s) => (q, v) -> s }.toMap
+    assert(trained.forall { case (q, v, s) =>
+      !bfScores.contains((q, v)) || bfScores((q, v)) == s })
+    // clustered data + trained centroids: 1 probe of 4 lists recovers
+    // (nearly) everything — far better than 1/4 of the corpus scanned
+    val recall = trained.count(bf.contains).toDouble / bf.size
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
   test("LSH-blocked cosine near-dup pairs are a sound subset of brute force") {
     val bf = Similarity.bruteForcePairs(emb, 0.3)
       .select("id_a", "id_b", "score").as[(Long, Long, Double)].collect().toSet

@@ -101,6 +101,28 @@ class StoreStreamSpec extends SparkSpec {
     assert(store.read(Tier.GenYear).count() == 2)
   }
 
+  test("compaction rewrites many small files into few, same rows") {
+    val root = tmpDir()
+    val store = new TierStore(spark, root)
+    // 6 micro-batch-style appends into the same (measurement, date)
+    (1 to 6).foreach(i => store.write(Tier.GenRaw, pts(("sensor_temp", "2024-01-01", i.toDouble))))
+    def parquetFiles() = {
+      val dir = new java.io.File(s"$root/gen_raw/measurement=sensor_temp/date=2024-01-01")
+      dir.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    assert(parquetFiles() >= 6)
+    val before = store.read(Tier.GenRaw).collect()
+      .map(_.getAs[Double]("value")).sorted.toSeq
+    val rewritten = store.compact(Tier.GenRaw, minFiles = 2)
+    assert(rewritten == 1)
+    assert(parquetFiles() == 1) // one target file (tiny partition)
+    val after = store.read(Tier.GenRaw).collect()
+      .map(_.getAs[Double]("value")).sorted.toSeq
+    assert(after == before && after == Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+    // below-threshold partitions untouched
+    assert(store.compact(Tier.GenRaw, minFiles = 2) == 0)
+  }
+
   test("CSV sink writes the fixed 11-column shape (S5, csv.go:22)") {
     val dir = tmpDir() + "/csv"
     val df = spark.createDataFrame(
