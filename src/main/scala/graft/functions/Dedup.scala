@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -52,9 +51,16 @@ object Dedup {
       .select(col("id"), col("n_sh"), xxhash64(col("s")).as("h"))
     val pruned =
       if (maxShingleFreq == Int.MaxValue) posting // no pruning → skip the freq shuffle
-      else posting
-        .withColumn("_freq", count(lit(1)).over(Window.partitionBy(col("h"))))
-        .filter(col("_freq") <= maxShingleFreq)
+      else {
+        // hot shingles via aggregate + anti-join: the hot set is ≥cap×
+        // smaller than the postings by construction, so the count is
+        // map-side-combined and AQE turns the anti-join into a broadcast
+        // when it fits — cheaper than the old count-over-window, which
+        // shuffled every posting row unreduced
+        val hot = posting.groupBy(col("h")).agg(count(lit(1)).as("_freq"))
+          .filter(col("_freq") > maxShingleFreq).select(col("h"))
+        posting.join(hot, Seq("h"), "left_anti")
+      }
     val a = pruned.select(col("h"), col("id").as("id_a"), col("n_sh").as("n_a"))
     val b = pruned.select(col("h"), col("id").as("id_b"), col("n_sh").as("n_b"))
     a.join(b, Seq("h")).filter(col("id_a") < col("id_b"))
