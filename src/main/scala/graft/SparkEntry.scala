@@ -301,6 +301,23 @@ object SparkEntry {
           round(col("value"), 6).as("value"))
     }),
 
+    "f7_tier_routing" -> ((s, dir) => {
+      // F7: the high/low-frequency classifier + write-tier routing as a
+      // plan column (mapping.go:146-168), over measurement names derived
+      // from the events table plus the reference's edge cases
+      import graft.query.TierPolicy
+      val e = events(s, dir)
+      val names = e.select(concat(lit("sensor_"), col("event_type")).as("measurement"))
+        .union(e.select(concat(lit("app_"), col("event_type")).as("measurement")))
+        .union(e.limit(1).select(lit("electricity_meter_energy_sampled").as("measurement")))
+        .union(e.limit(1).select(lit("sensor_presence.evt.report").as("measurement")))
+        .union(e.limit(1).select(lit("electricity_meter_power").as("measurement")))
+        .distinct()
+      names.select(col("measurement"),
+        TierPolicy.isHighFrequencyCol(col("measurement")).as("high_freq"),
+        TierPolicy.writeTierCol(col("measurement"), "optimized").as("tier"))
+    }),
+
     "f8_iqr_outliers" -> ((s, dir) => {
       val e = events(s, dir).filter(col("event_type") === "view")
         .withColumn("v", col("value") * col("value") * col("value") * col("value") * col("value"))
@@ -866,6 +883,28 @@ object SparkEntry {
         |sc AS (SELECT id_a, id_b, round(CASE WHEN na > 0 AND nb > 0
         |        THEN dot / (na * nb) ELSE 0 END, 6) score FROM s)
         |SELECT id_a, id_b, score FROM sc WHERE score >= 0.4""".stripMargin,
+
+    "f7_tier_routing" ->
+      """WITH names AS (
+        |  SELECT DISTINCT m AS measurement FROM (
+        |    SELECT 'sensor_' || event_type AS m FROM events
+        |    UNION ALL SELECT 'app_' || event_type FROM events
+        |    UNION ALL SELECT 'electricity_meter_energy_sampled'
+        |    UNION ALL SELECT 'sensor_presence.evt.report'
+        |    UNION ALL SELECT 'electricity_meter_power')),
+        |cls AS (
+        |  SELECT measurement,
+        |    (measurement IN ('electricity_meter_power', 'electricity_meter_energy',
+        |       'electricity_meter_ext', 'electricity_meter_energy_sampled')
+        |     OR contains(measurement, 'sensor_'))
+        |    AND NOT contains(measurement, 'sensor_presence')
+        |    AND NOT contains(measurement, 'sensor_contact') AS high_freq
+        |  FROM names)
+        |SELECT measurement, high_freq,
+        |  CASE WHEN measurement = 'electricity_meter_energy_sampled' THEN 'gen_year'
+        |       WHEN high_freq THEN 'gen_raw'
+        |       ELSE 'gen_default' END AS tier
+        |FROM cls""".stripMargin,
 
     // A3 hourly-profile difference fold: per-pair positive deltas assigned
     // to the right endpoint's 10-min bucket; a pair is wiped iff the

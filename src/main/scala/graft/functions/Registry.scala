@@ -33,5 +33,9 @@ object Registry {
         distinct = exprs.length > 2 && intArg(exprs(2), "word_shingles") != 0), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64",
       exprs => SimHash64(exprs(0), portable = false), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash_portable",
+      exprs => SimHash64(exprs(0), portable = true), "scala_udf")
+    reg.createOrReplaceTempFunction("lsh_signature",
+      exprs => LshSignature(exprs(0), intArg(exprs(1), "lsh_signature")), "scala_udf")
   }
 }

@@ -84,6 +84,25 @@ object TierPolicy {
     candidate && !m.contains("sensor_presence") && !m.contains("sensor_contact")
   }
 
+  /** Column form of the classifier, so write routing runs inside the plan
+   *  (used by TierStore.writeRouted; semantics identical to the driver
+   *  form above). */
+  def isHighFrequencyCol(m: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (m.isin("electricity_meter_power", "electricity_meter_energy",
+      "electricity_meter_ext", "electricity_meter_energy_sampled") ||
+      m.contains("sensor_")) &&
+      !m.contains("sensor_presence") && !m.contains("sensor_contact")
+
+  /** Column form of resolveWriteTier — measurement → tier name. */
+  def writeTierCol(m: org.apache.spark.sql.Column, profile: String)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    when(m === "electricity_meter_energy_sampled" &&
+      lit(profile) === Tier.ProfileOptimized, Tier.GenYear.name)
+      .when(isHighFrequencyCol(m), Tier.GenRaw.name)
+      .otherwise(Tier.GenDefault.name)
+  }
+
   /**
    * Full query-time tier choice (influxdb_v1.go:115-139):
    * low-frequency → gen_default; absolute range → by elapsed-from;

@@ -54,6 +54,44 @@ object Downsampler {
   }
 
   /**
+   * CONTINUOUS rollup — the streaming counterpart of `maintain`, closest
+   * in spirit to InfluxDB's continuous queries (influxdb_v1.go:72-78):
+   * tails new files of the source tier, aggregates per epoch-aligned
+   * window with a watermark bounding state, and appends each finalized
+   * window's rows into the target tier. Append-mode emission means every
+   * (window, series) row is written exactly once per run (at-least-once
+   * across restarts — same appendix-idempotence story as runStream).
+   * NOTE the watermark gotcha: a finalized window is emitted by the batch
+   * AFTER the one that advanced the watermark past its end — with a file
+   * source that means emission waits for the next file to arrive.
+   */
+  def streamingHop(store: graft.store.TierStore, from: Tier, to: Tier,
+      checkpoint: String, watermark: String = "30 minutes",
+      tagCols: Seq[String] = defaultTagCols)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = store.read(from).sparkSession
+    val res = TierPolicy.tierResolutionMinutes(to, Tier.ProfileOptimized)
+    val src = spark.readStream
+      .schema(store.read(from).schema)
+      .parquet(store.tierPath(from.name))
+    val present = tagCols.filter(src.columns.contains)
+    src
+      .withWatermark("time", watermark)
+      .groupBy(window(col("time"), s"$res minutes") +:
+        col("measurement") +: present.map(col): _*)
+      .agg(avg(col("value")).as("value"))
+      .select(col("measurement") +: col("window.start").as("time") +:
+        col("value") +: present.map(col): _*)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) store.write(to, batch)
+      }
+      .start()
+  }
+
+  /**
    * The maintenance job the reference gets from InfluxDB's continuous
    * queries: rebuild each rollup tier of the store from the tier below,
    * restricted to `sinceDays` of recent data (incremental — CQs also only

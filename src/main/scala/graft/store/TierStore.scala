@@ -62,26 +62,17 @@ final class TierStore(spark: SparkSession, root: String) {
       .partitionBy("measurement", "date")
       .parquet(path(tier.name))
 
-  /** Route each point to its write tier (mapping.go:146-168) and append. */
+  /** Route each point to its write tier (mapping.go:146-168) and append.
+   *  The classifier runs as a plan column (TierPolicy.writeTierCol), not a
+   *  driver-side loop per measurement. */
   def writeRouted(points: DataFrame, profile: String = Tier.ProfileOptimized): Unit = {
     val withTier = points.withColumn("_tier",
-      when(col("measurement") === "electricity_meter_energy_sampled" &&
-        lit(profile) === Tier.ProfileOptimized, Tier.GenYear.name)
-        .when(isHighFrequencyCol(col("measurement")), Tier.GenRaw.name)
-        .otherwise(Tier.GenDefault.name))
+      TierPolicy.writeTierCol(col("measurement"), profile))
     Tier.all.foreach { t =>
       val part = withTier.filter(col("_tier") === t.name).drop("_tier")
       if (!part.isEmpty) write(t, part)
     }
   }
-
-  /** Column-level high-frequency classifier (mapping.go:156-168) so routing
-   *  stays inside the plan instead of a driver-side loop per measurement. */
-  def isHighFrequencyCol(m: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (m.isin("electricity_meter_power", "electricity_meter_energy",
-      "electricity_meter_ext", "electricity_meter_energy_sampled") ||
-      m.contains("sensor_")) &&
-      !m.contains("sensor_presence") && !m.contains("sensor_contact")
 
   /** Read a tier table (empty DataFrame with points schema if absent or
    *  fully expired — an empty partition tree has no schema to infer). */

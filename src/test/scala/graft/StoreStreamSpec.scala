@@ -123,6 +123,30 @@ class StoreStreamSpec extends SparkSpec {
     assert(store.compact(Tier.GenRaw, minFiles = 2) == 0)
   }
 
+  test("streaming rollup hop tails the source tier into the next (CQ analog)") {
+    import graft.rollup.Downsampler
+    val store = new TierStore(spark, tmpDir())
+    // hour 10:00-11:00 of minute data → gen_day (1m) windows
+    store.write(Tier.GenRaw, {
+      val rs = (0 until 60).map { i =>
+        Row("sensor_temp", Timestamp.valueOf(f"2024-01-01 10:$i%02d:00"), i.toDouble, "d1") }
+      spark.createDataFrame(spark.sparkContext.parallelize(rs), schema)
+    })
+    val q = Downsampler.streamingHop(store, Tier.GenRaw, Tier.GenDay,
+      tmpDir(), watermark = "0 seconds")
+    try {
+      q.processAllAvailable() // batch 1: watermark advances to 10:59
+      // a later file advances event time and triggers emission of the
+      // now-finalized windows
+      store.write(Tier.GenRaw, pts(("sensor_temp", "2024-01-02", 99.0)))
+      q.processAllAvailable()
+      val day = store.read(Tier.GenDay).collect()
+      assert(day.length == 60) // next-day file put the watermark past every hour-10 window
+      assert(day.forall(r => r.getAs[Double]("value") ==
+        Timestamp.valueOf(r.getAs[Timestamp]("time").toString).toLocalDateTime.getMinute.toDouble))
+    } finally q.stop()
+  }
+
   test("CSV sink writes the fixed 11-column shape (S5, csv.go:22)") {
     val dir = tmpDir() + "/csv"
     val df = spark.createDataFrame(
