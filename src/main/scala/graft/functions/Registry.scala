@@ -14,11 +14,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
  */
 object Registry {
 
-  private def intArg(e: Expression, fn: String): Int = e match {
-    case Literal(v: Int, _) => v
-    case other => throw new IllegalArgumentException(
-      s"$fn expects a literal int argument, got $other")
-  }
+  private def intArg(exprs: Seq[Expression], i: Int, fn: String, usage: String): Int =
+    exprs.lift(i) match {
+      case Some(Literal(v: Int, _)) => v
+      case Some(other) => throw new IllegalArgumentException(
+        s"$fn expects a literal int argument, got $other — usage: $usage")
+      case None => throw new IllegalArgumentException(
+        s"$fn: missing argument ${i + 1} — usage: $usage")
+    }
 
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -27,15 +30,20 @@ object Registry {
     reg.createOrReplaceTempFunction("vec_l2norm",
       exprs => L2Norm(exprs(0)), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sig",
-      exprs => MinHashSignature(exprs(0), intArg(exprs(1), "minhash_sig")), "scala_udf")
+      exprs => MinHashSignature(exprs(0),
+        intArg(exprs, 1, "minhash_sig", "minhash_sig(shingles, k)")), "scala_udf")
     reg.createOrReplaceTempFunction("word_shingles",
-      exprs => WordShingles(exprs(0), intArg(exprs(1), "word_shingles"),
-        distinct = exprs.length > 2 && intArg(exprs(2), "word_shingles") != 0), "scala_udf")
+      exprs => WordShingles(exprs(0),
+        intArg(exprs, 1, "word_shingles", "word_shingles(tokens, n[, distinct])"),
+        distinct = exprs.length > 2 &&
+          intArg(exprs, 2, "word_shingles", "word_shingles(tokens, n[, distinct])") != 0),
+      "scala_udf")
     reg.createOrReplaceTempFunction("simhash64",
       exprs => SimHash64(exprs(0), portable = false), "scala_udf")
     reg.createOrReplaceTempFunction("simhash_portable",
       exprs => SimHash64(exprs(0), portable = true), "scala_udf")
     reg.createOrReplaceTempFunction("lsh_signature",
-      exprs => LshSignature(exprs(0), intArg(exprs(1), "lsh_signature")), "scala_udf")
+      exprs => LshSignature(exprs(0),
+        intArg(exprs, 1, "lsh_signature", "lsh_signature(vector, nPlanes)")), "scala_udf")
   }
 }
