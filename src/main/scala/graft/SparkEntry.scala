@@ -404,6 +404,15 @@ object SparkEntry {
         .select(col("time"), col("value"))
     }),
 
+    "a13_stddev" -> ((s, dir) => {
+      // A4 extension: sample standard deviation per daily bucket
+      // (InfluxQL STDDEV; open function namespace, influxdb_v1.go:167)
+      Planner.dataPoints(DataPointsRequest("app_view", relativeTime = "5w",
+        groupByTime = "1d", dataFunction = "stddev", fillType = "none"),
+        _ => points(s, dir, "app_"), Now)
+        .select(col("time"), round(col("value"), 6).as("value"))
+    }),
+
     // --- streaming-side aggregation operators, batch-planned (A1, A2) ---
 
     "a1_stream_agg" -> ((s, dir) => {
@@ -715,6 +724,12 @@ object SparkEntry {
       s"""WITH ${ptsCte("app_")}
          |SELECT CAST(floor(tsec / 60) * 60 AS BIGINT) AS time, count(v) AS value
          |FROM pts WHERE m = 'app_error' AND tsec > 1705536000 GROUP BY 1""".stripMargin,
+
+    "a13_stddev" ->
+      s"""WITH ${ptsCte("app_")}
+         |SELECT CAST(floor(tsec / 86400) * 86400 AS BIGINT) AS time,
+         |       round(stddev_samp(v), 6) AS value
+         |FROM pts WHERE m = 'app_view' AND tsec > 1703721600 GROUP BY 1""".stripMargin,
 
     "a1_stream_agg" ->
       """WITH pts AS (

@@ -47,6 +47,7 @@ object Planner {
     case "first" => min_by(value, time)
     case "last" => max_by(value, time)
     case "spread" => max(value) - min(value)
+    case "stddev" => stddev_samp(value) // InfluxQL STDDEV = sample stddev
     case other => throw new IllegalArgumentException(s"unsupported data_function: $other")
   }
 
