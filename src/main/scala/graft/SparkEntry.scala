@@ -360,6 +360,16 @@ object SparkEntry {
         .select(col("location_id"), col("time"), round(col("value"), 6).as("value"))
     }),
 
+    "a14_fill_linear" -> ((s, dir) => {
+      // FILL(linear): interpolate gaps between neighboring non-null
+      // buckets per tag (InfluxQL linear fill; A8 family)
+      Planner.dataPoints(DataPointsRequest("app_signup", relativeTime = "5w",
+        groupByTime = "6h", groupByTag = "location_id",
+        dataFunction = "mean", fillType = "linear"),
+        _ => points(s, dir, "app_"), Now)
+        .select(col("location_id"), col("time"), round(col("value"), 6).as("value"))
+    }),
+
     "a8_fill_previous" -> ((s, dir) => {
       Planner.dataPoints(DataPointsRequest("app_error", relativeTime = "5w",
         groupByTime = "1h", fillType = "previous",
@@ -674,6 +684,29 @@ object SparkEntry {
          |SELECT s.loc AS location_id, s.t AS time,
          |  round(coalesce(a.val, 0), 6) AS value
          |FROM spine s LEFT JOIN agg a ON s.loc = a.loc AND s.t = a.t""".stripMargin,
+
+    "a14_fill_linear" ->
+      s"""WITH ${ptsCte("app_")},
+         |agg AS (SELECT loc, CAST(floor(tsec / 21600) * 21600 AS BIGINT) t, avg(v) val
+         |        FROM pts WHERE m = 'app_signup' AND tsec > 1703721600 GROUP BY 1, 2),
+         |spine AS (SELECT loc, unnest(generate_series(1703721600, 1706745600, 21600)) t
+         |          FROM (SELECT DISTINCT loc FROM agg)),
+         |j AS (SELECT s.loc, s.t, a.val
+         |      FROM spine s LEFT JOIN agg a ON s.loc = a.loc AND s.t = a.t),
+         |f AS (SELECT loc, t, val,
+         |        last_value(val IGNORE NULLS) OVER wp AS pv,
+         |        last_value(CASE WHEN val IS NOT NULL THEN t END IGNORE NULLS) OVER wp AS pt,
+         |        first_value(val IGNORE NULLS) OVER wn AS nv,
+         |        first_value(CASE WHEN val IS NOT NULL THEN t END IGNORE NULLS) OVER wn AS nt
+         |      FROM j WINDOW
+         |        wp AS (PARTITION BY loc ORDER BY t ROWS UNBOUNDED PRECEDING),
+         |        wn AS (PARTITION BY loc ORDER BY t
+         |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT loc AS location_id, t AS time,
+         |  round(CASE WHEN val IS NOT NULL THEN val
+         |             WHEN pv IS NOT NULL AND nv IS NOT NULL
+         |             THEN pv + (nv - pv) * (t - pt) / (nt - pt) END, 6) AS value
+         |FROM f""".stripMargin,
 
     "a8_fill_previous" ->
       s"""WITH ${ptsCte("app_")},

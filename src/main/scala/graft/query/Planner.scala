@@ -77,13 +77,15 @@ object Planner {
    * (`updateOnNonNullOnly` selects fill-previous vs plain-lag update).
    */
   private def blockCarry(summary: DataFrame, updateOnNonNullOnly: Boolean,
-      outName: String): DataFrame = {
+      outName: String, ascending: Boolean = true): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     val blastIdx = summary.schema.fieldIndex("_blast")
     val outSchema = org.apache.spark.sql.types.StructType(
       summary.schema.fields :+
         org.apache.spark.sql.types.StructField(outName, summary.schema("_blast").dataType))
-    summary.repartition(1).sortWithinPartitions("_blk")
+    val sorted = summary.repartition(1)
+      .sortWithinPartitions(if (ascending) col("_blk") else col("_blk").desc)
+    sorted
       .mapPartitions { it =>
         var carry: Any = null
         it.map { r =>
@@ -94,6 +96,52 @@ object Planner {
         }
       }(Encoders.row(outSchema))
       .select(col("_blk"), col(outName))
+  }
+
+  /** Linear interpolation between the bracketing non-null points, given
+   *  `_p`/`_n` structs of (value, time); null outside the bracketed range
+   *  (InfluxQL FILL(linear) edge behavior). */
+  private def interpolated: Column = {
+    val pv = col("_p").getField("value")
+    val pt = col("_p").getField("time")
+    val nv = col("_n").getField("value")
+    val nt = col("_n").getField("time")
+    when(col("value").isNotNull, col("value"))
+      .when(col("_p").isNotNull && col("_n").isNotNull,
+        pv + (nv - pv) * (col("time") - pt) / (nt - pt))
+  }
+
+  /** FILL(linear) with no group key: the same blocked prefix scan as
+   *  blockedDifference, run in both directions — a forward carry of the
+   *  last non-null (value, time) and a backward carry of the next one —
+   *  so no unpartitioned window appears in the plan. */
+  private def blockedLinear(joined: DataFrame, bucketSec: Long): DataFrame = {
+    val span = blockSpanSec(bucketSec)
+    val withBlk = joined.withColumn("_blk", floor(col("time") / span))
+    val mark = when(col("value").isNotNull, struct(col("value"), col("time")))
+    val wP = Window.partitionBy(col("_blk")).orderBy(col("time"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wN = Window.partitionBy(col("_blk")).orderBy(col("time"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val inBlk = withBlk
+      .withColumn("_pin", last(mark, ignoreNulls = true).over(wP))
+      .withColumn("_nin", first(mark, ignoreNulls = true).over(wN))
+    // cross-block carries over the tiny per-block summaries
+    val prev = blockCarry(
+      withBlk.groupBy(col("_blk"))
+        .agg(max_by(mark, when(col("value").isNotNull, col("time"))).as("_blast")),
+      updateOnNonNullOnly = true, "_pout")
+    val nxt = blockCarry(
+      withBlk.groupBy(col("_blk"))
+        .agg(min_by(mark, when(col("value").isNotNull, col("time"))).as("_blast")),
+      updateOnNonNullOnly = true, "_nout", ascending = false)
+    inBlk
+      .join(broadcast(prev), Seq("_blk"), "left")
+      .join(broadcast(nxt), Seq("_blk"), "left")
+      .withColumn("_p", coalesce(col("_pin"), col("_pout")))
+      .withColumn("_n", coalesce(col("_nin"), col("_nout")))
+      .withColumn("value", interpolated)
+      .drop("_blk", "_pin", "_nin", "_pout", "_nout", "_p", "_n")
   }
 
   /** Blocked `value - lag(value) OVER (ORDER BY time)` with no group key. */
@@ -270,6 +318,20 @@ object Planner {
         val w = Window.partitionBy(tagCols.map(col): _*).orderBy(col("time"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         joined.withColumn("value", last(col("value"), ignoreNulls = true).over(w))
+      case "linear" if tagCols.isEmpty => blockedLinear(joined, bucketSec)
+      case "linear" =>
+        // InfluxQL FILL(linear): interpolate between the neighboring
+        // non-null points; rows before the first / after the last stay null
+        val wP = Window.partitionBy(tagCols.map(col): _*).orderBy(col("time"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wN = Window.partitionBy(tagCols.map(col): _*).orderBy(col("time"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val mark = when(col("value").isNotNull, struct(col("value"), col("time")))
+        joined
+          .withColumn("_p", last(mark, ignoreNulls = true).over(wP))
+          .withColumn("_n", first(mark, ignoreNulls = true).over(wN))
+          .withColumn("value", interpolated)
+          .drop("_p", "_n")
       case lit_ =>
         val v = try lit_.toDouble catch {
           case _: NumberFormatException =>

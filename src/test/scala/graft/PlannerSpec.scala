@@ -202,6 +202,37 @@ class PlannerSpec extends SparkSpec {
       r.getAs[Double]("value") == 10.0) >= 3) // carried into the next block
   }
 
+  test("fill linear interpolates gaps; untagged path stays global-window-free") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // tagged path: interpolate between 10 (21:00) and 22 (00:00 next) per tag
+    val base = pts(
+      ("m", now.getEpochSecond - 3 * 3600 + 10, 10.0, "d1"),
+      ("m", now.getEpochSecond - 60, 22.0, "d1"))
+    val out = plan(DataPointsRequest("m", relativeTime = "3h", groupByTime = "1h",
+      fillType = "linear", groupByTag = "dev_id"), base).collect()
+      .sortBy(_.getAs[Long]("time"))
+      .map(r => if (r.isNullAt(r.fieldIndex("value"))) None
+        else Some(r.getAs[Double]("value")))
+    // buckets 21(10), 22(interp 16), 23(22), 00(after last → null)
+    assert(out.toSeq == Seq(Some(10.0), Some(16.0), Some(22.0), None))
+    // untagged: same result, and no unpartitioned window in the plan
+    val dfU = plan(DataPointsRequest("m", relativeTime = "3h", groupByTime = "1h",
+      fillType = "linear"), base)
+    assert(dfU.queryExecution.optimizedPlan
+      .collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty)
+    val outU = dfU.collect().sortBy(_.getAs[Long]("time"))
+      .map(r => if (r.isNullAt(r.fieldIndex("value"))) None
+        else Some(r.getAs[Double]("value")))
+    assert(outU.toSeq == Seq(Some(10.0), Some(16.0), Some(22.0), None))
+    // interpolation across a BLOCK boundary (blockFactor buckets apart
+    // is impractical to build here; instead verify edge nulls): points
+    // only in the middle → leading/trailing spine rows stay null
+    val mid = pts(("m", now.getEpochSecond - 2 * 3600, 5.0, "d1"))
+    val edges = plan(DataPointsRequest("m", relativeTime = "3h", groupByTime = "1h",
+      fillType = "linear"), mid).collect().sortBy(_.getAs[Long]("time"))
+    assert(edges.count(r => r.isNullAt(r.fieldIndex("value"))) == 3) // only its own bucket non-null
+  }
+
   test("energy preset: invalid group_by_time forced to 1h (influxdb_v1.go:215-217)") {
     val base = pts(("electricity_meter_energy_sampled", now.getEpochSecond - 100, 5.0, "d1"))
     // note "25h" WOULD pass the reference's 1-2-digit regex; "abc" does not
