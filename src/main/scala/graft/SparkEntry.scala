@@ -472,6 +472,14 @@ object SparkEntry {
 
     // --- dedup ---
 
+    "pipe_clean_corpus" -> ((s, dir) => {
+      // composite cleanup pipeline: language filter + quality floor +
+      // prefix-fingerprint exact dedup (keep lowest id)
+      graft.functions.Pipeline.cleanCorpus(table(s, dir, "documents"),
+        lang = "en", minQuality = 0.3,
+        dedupKey = Some(md5(trim(substring(TextFunctions.normalize(col("text")), 1, 64)))))
+    }),
+
     "dedup_exact" -> ((s, dir) => {
       val keyed = table(s, dir, "documents")
         .withColumn("text", substring(TextFunctions.normalize(col("text")), 1, 64))
@@ -848,6 +856,49 @@ object SparkEntry {
         |  least(sw * 5.0, 1.0) * 0.2 + (1.0 - least(pr * 5.0, 1.0)) * 0.15 +
         |  (1.0 - least(dr * 5.0, 1.0)) * 0.15, 6) AS score
         |FROM c""".stripMargin,
+
+    "pipe_clean_corpus" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') toks FROM documents),
+        |c AS (SELECT doc_id, text, toks,
+        |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+        |  CASE WHEN len(toks) > 0
+        |    THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+        |    ELSE 0 END AS wl,
+        |  CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> x IN (
+        |    'the','a','of','and','to','in','is','that','it','for',
+        |    'der','die','das','und','ist','nicht','ein','mit','von','zu',
+        |    'le','la','les','et','est','une','pour','dans','que','des',
+        |    'el','los','y','es','una','por','con','para','del'))) AS DOUBLE) / len(toks)
+        |    ELSE 0 END AS sw,
+        |  CASE WHEN length(text) > 0 THEN
+        |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+        |      / length(text) ELSE 0 END AS pr,
+        |  CASE WHEN length(text) > 0 THEN
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        |      / length(text) ELSE 0 END AS dr,
+        |  len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) he,
+        |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','von','zu'))) hd,
+        |  len(list_filter(toks, x -> x IN ('le','la','les','et','est','une','pour','dans','que','des'))) hf,
+        |  len(list_filter(toks, x -> x IN ('el','la','los','y','es','una','por','con','para','del'))) hs
+        |  FROM t),
+        |scored AS (SELECT doc_id, text,
+        |  CASE WHEN he >= hd AND he >= hf AND he >= hs AND he > 0 THEN 'en'
+        |       WHEN hd >= hf AND hd >= hs AND hd > 0 THEN 'de'
+        |       WHEN hf >= hs AND hf > 0 THEN 'fr'
+        |       WHEN hs > 0 THEN 'es'
+        |       ELSE 'und' END AS lang_pred,
+        |  round(len_score * 0.3 +
+        |    (CASE WHEN wl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2 +
+        |    least(sw * 5.0, 1.0) * 0.2 + (1.0 - least(pr * 5.0, 1.0)) * 0.15 +
+        |    (1.0 - least(dr * 5.0, 1.0)) * 0.15, 6) AS score
+        |  FROM c),
+        |kept AS (SELECT doc_id, score,
+        |    md5(trim(substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 64))) AS fp
+        |  FROM scored WHERE lang_pred = 'en' AND score >= 0.3)
+        |SELECT fp, min(doc_id) AS doc_id, arg_min(score, doc_id) AS score,
+        |  count(*) AS dups
+        |FROM kept GROUP BY fp""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,

@@ -144,6 +144,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh.subsetOf(bf)) // blocking may miss pairs, never invent them
   }
 
+  test("cleanCorpus pipeline: language filter, quality floor, dedup keep-min") {
+    import graft.functions.Pipeline
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat and the dog of a house sat in the garden for a while and it was good"),
+      (2L, "the cat and the dog of a house sat in the garden for a while and it was good"), // dup of 1
+      (3L, "der hund und die katze ist nicht da und das ist gut so mit von zu"), // german
+      (4L, "zzz qqq")) // junk, low quality
+      .toDF("doc_id", "text")
+    val out = Pipeline.cleanCorpus(docs, lang = "en", minQuality = 0.3).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("doc_id") == 1L) // keep-min of the dup pair
+    assert(out.head.getAs[Long]("dups") == 2L)
+  }
+
   test("language id picks the language with most stopword hits") {
     val d = Seq((1L, "the cat and the dog of a house"),
       (2L, "der hund und die katze ist nicht da"),
