@@ -53,11 +53,16 @@ final class TierStore(spark: SparkSession, root: String) {
       .filter(_.getName.startsWith("measurement="))
       .foreach(m => rmTree(s"$m/date=$date"))
 
-  /** Append points into a tier (S3 batch write sink; process.go:290-337). */
+  /** Append points into a tier (S3 batch write sink; process.go:290-337).
+   *  Rows are sorted by time within each written file so parquet
+   *  row-group min/max statistics are tight — the planner's pushed-down
+   *  time predicates then skip whole row groups inside a date partition,
+   *  not just whole partitions. */
   def write(tier: Tier, points: DataFrame): Unit =
     points
       .withColumn("date", to_date(col("time")))
       .repartition(col("measurement"), col("date"))
+      .sortWithinPartitions(col("measurement"), col("date"), col("time"))
       .write.mode(SaveMode.Append)
       .partitionBy("measurement", "date")
       .parquet(path(tier.name))
