@@ -370,6 +370,14 @@ object SparkEntry {
         .select(col("location_id"), col("time"), round(col("value"), 6).as("value"))
     }),
 
+    "a15_percentile" -> ((s, dir) => {
+      // InfluxQL PERCENTILE(95) via the open function namespace
+      Planner.dataPoints(DataPointsRequest("app_click", relativeTime = "5w",
+        groupByTime = "1d", dataFunction = "percentile_95", fillType = "none"),
+        _ => points(s, dir, "app_"), Now)
+        .select(col("time"), round(col("value"), 6).as("value"))
+    }),
+
     "a8_fill_previous" -> ((s, dir) => {
       Planner.dataPoints(DataPointsRequest("app_error", relativeTime = "5w",
         groupByTime = "1h", fillType = "previous",
@@ -692,6 +700,12 @@ object SparkEntry {
          |SELECT s.loc AS location_id, s.t AS time,
          |  round(coalesce(a.val, 0), 6) AS value
          |FROM spine s LEFT JOIN agg a ON s.loc = a.loc AND s.t = a.t""".stripMargin,
+
+    "a15_percentile" ->
+      s"""WITH ${ptsCte("app_")}
+         |SELECT CAST(floor(tsec / 86400) * 86400 AS BIGINT) AS time,
+         |       round(quantile_cont(v, 0.95), 6) AS value
+         |FROM pts WHERE m = 'app_click' AND tsec > 1703721600 GROUP BY 1""".stripMargin,
 
     "a14_fill_linear" ->
       s"""WITH ${ptsCte("app_")},

@@ -48,7 +48,22 @@ object Planner {
     case "last" => max_by(value, time)
     case "spread" => max(value) - min(value)
     case "stddev" => stddev_samp(value) // InfluxQL STDDEV = sample stddev
+    case PercentileFn(p) => // InfluxQL PERCENTILE(n) — "percentile_95" form
+      percentile(value, lit(p / 100.0))
     case other => throw new IllegalArgumentException(s"unsupported data_function: $other")
+  }
+
+  /** `percentile_<n>` (n in (0,100], decimals allowed) → interpolated
+   *  percentile — the engine-side spelling of InfluxQL's PERCENTILE(n),
+   *  which the reference forwards through its open function namespace. */
+  private object PercentileFn {
+    private val Re = "^percentile_(\\d{1,3}(?:\\.\\d+)?)$".r
+    def unapply(fn: String): Option[Double] = fn match {
+      case Re(n) =>
+        val p = n.toDouble
+        if (p > 0 && p <= 100) Some(p) else None
+      case _ => None
+    }
   }
 
   /** Rows per time block for the blocked prefix-scan fallback (below). */
