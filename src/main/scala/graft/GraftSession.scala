@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Recommended SparkSession wiring for the engine — one place that
+ * encodes the deployment-tuning guidance so every entry point (Verify,
+ * Bench, user applications) starts from the same defaults:
+ *
+ *  - session timezone pinned to UTC: the tier layout derives `date`
+ *    partitions from `time`, and the oracles/fold math assume UTC —
+ *    a drifting host timezone silently shifts partition boundaries;
+ *  - `spark.sql.shuffle.partitions` sized to the cluster (≈2-3× total
+ *    cores; 32 for the local[32] test rig), NOT the 200 default — at
+ *    100 TB the aggregation shuffles dominate and missized partitions
+ *    either spill (too few) or drown in task overhead (too many);
+ *  - `spark.sql.files.maxPartitionBytes` raised to 256 MB so a 100 TB
+ *    scan schedules ~400k input tasks instead of ~800k — scan tasks
+ *    are I/O-bound and amortize better at larger splits;
+ *  - AQE left ON (Spark default) — it re-plans skewed joins and
+ *    coalesces small shuffle partitions at runtime, which is exactly
+ *    what the reference's hot-meter traffic profile needs;
+ *  - the engine's custom SQL functions registered, so the raw-SQL
+ *    command surface (S7) can reach them immediately.
+ */
+object GraftSession {
+
+  def builder(shufflePartitions: Int = 32,
+      maxPartitionBytes: String = "256m"): SparkSession.Builder =
+    SparkSession.builder()
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
+
+  /** Build (or reuse) the session and register the engine's SQL functions. */
+  def getOrCreate(master: String = "", shufflePartitions: Int = 32,
+      maxPartitionBytes: String = "256m"): SparkSession = {
+    val b = builder(shufflePartitions, maxPartitionBytes)
+    val withMaster = if (master.nonEmpty) b.master(master) else b
+    val spark = withMaster.getOrCreate()
+    functions.Registry.registerAll(spark)
+    spark
+  }
+}

@@ -299,6 +299,15 @@ class ApiPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("GraftSession wires tuned confs and the SQL function registry") {
+    val s = graft.GraftSession.getOrCreate(master = "local[2]")
+    assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
+    assert(s.conf.get("spark.sql.files.maxPartitionBytes") == "256m")
+    // custom functions reachable from raw SQL right away
+    assert(s.sql("SELECT vec_l2norm(array(3.0D, 4.0D)) AS n")
+      .collect().head.getDouble(0) == 5.0)
+  }
+
   test("admin commands: RP lifecycle, delete_object, filter/selector CRUD (S9)") {
     val store = new TierStore(spark, tmpDir())
     val ctx = Api.Context(spark, store)
