@@ -201,8 +201,16 @@ object Api {
         // reference logs and keeps the old level (admin.go:385-387)
         ctrlReport(ctx, "set_level", "error", s"unknown log level: $level", 0)
     case "cmd.tsdb.write_data_points" => // S6 (admin.go:179-204)
-      val points = payload.asInstanceOf[Seq[WritePoint]]
-      import ctx.spark.implicits._
+      // WriteDataPointsRequest carries a ProcID (types.go:23-34) — a
+      // (procId, points) payload routes to that process's store
+      val (routed, points) = payload match {
+        case (procId: Int, pts: Seq[_]) =>
+          (procCtx(ctx, procId), pts.asInstanceOf[Seq[WritePoint]])
+        case pts: Seq[_] => (ctx, pts.asInstanceOf[Seq[WritePoint]])
+        case other => throw new IllegalArgumentException(s"bad write payload: $other")
+      }
+      val ctxW = routed
+      import ctxW.spark.implicits._
       val df = points.map(p => (p.name, p.ts,
           p.tags.getOrElse("dev_id", ""), p.tags.getOrElse("dev_type", ""),
           p.tags.getOrElse("dir", null), p.tags.getOrElse("location_id", ""),
@@ -210,7 +218,7 @@ object Api {
           p.fields.getOrElse("value", Double.NaN), p.fields.get("unit").map(_.toString).orNull))
         .toDF("measurement", "time", "dev_id", "dev_type", "dir", "location_id",
           "service", "src", "topic", "value", "unit")
-      ctx.store.writeRouted(df, ctx.profile)
+      ctxW.store.writeRouted(df, ctxW.profile)
       ctx.spark.emptyDataFrame
     case "cmd.tsdb.get_measurements" => // S8 (admin.go / influxdb_v1.go:376-394)
       import ctx.spark.implicits._

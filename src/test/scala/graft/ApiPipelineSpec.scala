@@ -173,6 +173,14 @@ class ApiPipelineSpec extends SparkSpec {
     assert(q(2) == 1 && q(1) == 0) // same command, different process → different store
     val err = intercept[IllegalArgumentException](q(77))
     assert(err.getMessage.contains("unknown process"))
+    // routed WRITE: (procId, points) payload lands in that process's store
+    Api.dispatch(ctx, "cmd.tsdb.write_data_points", (1,
+      Seq(Api.WritePoint("m_y", Map("dev_id" -> "d9"), Map("value" -> 3.0),
+        Timestamp.valueOf("2024-01-01 00:45:00")))))
+    assert(reg.byId(1).get.store.read(Tier.GenDefault)
+      .filter(col("measurement") === "m_y").count() == 1)
+    assert(reg.byId(2).get.store.read(Tier.GenDefault)
+      .filter(col("measurement") === "m_y").count() == 0)
   }
 
   test("error envelope: failing queries return the reference error shape (docs/api:364-380)") {
