@@ -83,7 +83,12 @@ object SparkEntry {
   private def cumPoints(spark: SparkSession, dir: String, measurement: String,
       mod: Option[Double]): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val cum = sum(col("value")).over(w)
+    // quantize the running sum before the mod wrap: the raw double sum
+    // carries order-independent but engine-specific ~1e-9 noise, and
+    // `% m` is chaotic when the sum sits that close to a multiple of m
+    // (seen at sf0.1); rounding to 6 decimals makes both engines mod
+    // identical values
+    val cum = round(sum(col("value")).over(w), 6)
     val v = mod.map(m => cum % m).getOrElse(cum)
     events(spark, dir).select(
       lit(measurement).as("measurement"),
@@ -97,7 +102,8 @@ object SparkEntry {
   }
 
   private def cumCte(mod: Option[Double]): String = {
-    val expr = mod.map(m => s"(sum(value) OVER w % $m)").getOrElse("sum(value) OVER w")
+    val expr = mod.map(m => s"(round(sum(value) OVER w, 6) % $m)")
+      .getOrElse("round(sum(value) OVER w, 6)")
     s"""cum AS (
        |  SELECT event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS tsec, user_id,
        |         $expr AS v,
@@ -169,10 +175,15 @@ object SparkEntry {
       val c = table(s, dir, "customer")
       val o = table(s, dir, "orders")
       val l = table(s, dir, "lineitem")
+      // revenue summed in integer hundredths-of-cents: a double sum over
+      // ~25k items of ~1e5 magnitude accumulates order-dependent error
+      // right at the cent-rounding boundary (seen at sf0.1); integer
+      // summation is associative, so Spark and any oracle agree exactly
       c.join(o, c("c_custkey") === o("o_custkey"))
         .join(l, o("o_orderkey") === l("l_orderkey"))
         .groupBy(col("c_mktsegment"), col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+            .cast("long")) / 10000.0).as("revenue"),
           count(lit(1)).as("n_lines"))
     }),
 
@@ -573,7 +584,7 @@ object SparkEntry {
 
     "q3_join_agg" ->
       """SELECT c_mktsegment, o_orderpriority,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue,
         |  count(*) AS n_lines
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
@@ -1028,7 +1039,7 @@ object SparkEntry {
       """WITH cum AS (
         |  SELECT user_id, tsec, v FROM (
         |    SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
-        |           (sum(value) OVER w % 80.0) AS v
+        |           (round(sum(value) OVER w, 6) % 80.0) AS v
         |    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))),
         |ord AS (
         |  SELECT user_id, tsec, v,
