@@ -290,15 +290,24 @@ case class SimHash64(child: Expression, portable: Boolean)
 
 /**
  * One-pass hyperplane-LSH signature over a float/double vector: bit p of
- * the output long = sign of ⟨v, plane_p⟩, planes drawn from a portable
- * arithmetic generator,
- *   comp(p, i) = (((x·x) mod 1000003) · 2654435761 mod 1000000) / 1e6 − 0.5
- * with x = p·65537 + i + 1 — pure 64-bit integer arithmetic (no overflow:
- * max intermediate < 2.7e15), reproducible in any SQL engine, so LSH
- * bucketing can be verified exactly by an external oracle. The quadratic
- * step decorrelates planes (a linear Weyl step makes planes near-parallel).
+ * the output long = sign of ⟨v, plane_p⟩. Two plane generators:
+ *
+ *  - portable (oracle-parity mode):
+ *      comp(p, i) = (((x·x) mod 1000003) · 2654435761 mod 1000000) / 1e6 − 0.5
+ *    with x = p·65537 + i + 1 — pure 64-bit integer arithmetic (no
+ *    overflow: max intermediate < 2.7e15), reproducible in any SQL
+ *    engine, so LSH bucketing can be verified exactly by an external
+ *    oracle. The quadratic step decorrelates planes (a linear Weyl step
+ *    makes planes near-parallel).
+ *  - non-portable (scale default): comp(p, i) = the top 53 bits of
+ *    xxhash64(x, seed 42) mapped to [−0.5, 0.5) — better-distributed
+ *    plane weights; not replicable in engines without xxhash64.
+ *
+ * Either way the plane matrix is computed ONCE per task on first eval
+ * (dims become known from the first vector) and cached — the inner loop
+ * is a plain dot product, not per-element hash arithmetic.
  */
-case class LshSignature(child: Expression, nPlanes: Int)
+case class LshSignature(child: Expression, nPlanes: Int, portable: Boolean = true)
     extends UnaryExpression with CodegenFallback {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = LongType
@@ -309,20 +318,47 @@ case class LshSignature(child: Expression, nPlanes: Int)
     case _ => TypeCheckResult.TypeCheckFailure("LshSignature expects array<float|double>")
   }
 
+  @transient private var planes: Array[Double] = _
+  @transient private var planeDims: Int = -1
+
+  private def planeMatrix(dims: Int): Array[Double] = {
+    if (planes == null || planeDims != dims) {
+      val m = new Array[Double](nPlanes * dims)
+      var p = 0
+      while (p < nPlanes) {
+        var i = 0
+        while (i < dims) {
+          val x = p.toLong * 65537L + i + 1
+          m(p * dims + i) =
+            if (portable)
+              (((x * x) % 1000003L) * 2654435761L % 1000000L).toDouble / 1000000.0 - 0.5
+            else
+              (org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(x, 42L) >>> 11)
+                .toDouble / (1L << 53).toDouble - 0.5
+          i += 1
+        }
+        p += 1
+      }
+      planes = m
+      planeDims = dims
+    }
+    planes
+  }
+
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val isF = child.dataType match { case ArrayType(FloatType, _) => true; case _ => false }
     val n = arr.numElements()
+    val m = planeMatrix(n)
     var sig = 0L
     var p = 0
     while (p < nPlanes) {
       var dot = 0.0
+      val off = p * n
       var i = 0
       while (i < n) {
-        val x = p.toLong * 65537L + i + 1
-        val comp = (((x * x) % 1000003L) * 2654435761L % 1000000L).toDouble / 1000000.0 - 0.5
         val e = if (isF) arr.getFloat(i).toDouble else arr.getDouble(i)
-        dot += e * comp
+        dot += e * m(off + i)
         i += 1
       }
       if (dot >= 0) sig |= (1L << p)

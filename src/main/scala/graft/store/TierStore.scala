@@ -13,17 +13,22 @@ import org.apache.spark.sql.functions._
  * (reference: src/integration/tsdb/storage/influxdb_v1.go:271-413,
  * storage/ds.go:11-29).
  *
- * Layout: `<root>/<tier>/` parquet, partitioned by `measurement` and
- * `date` (derived from `time`). At 100 TB this gives:
+ * Layout: `<root>/tier=<tier>/measurement=<m>/date=<d>/` parquet — one
+ * partitioned dataset whose first partition column is the tier. At 100 TB
+ * this gives:
  *  - partition pruning for measurement-equality + time-range queries
  *    (every reference query has both);
  *  - retention expiry = dropping whole date partitions, no rewrite;
  *  - append-only micro-batches (the reference's batched writes,
- *    process.go:366-428) land as new files without touching old ones.
+ *    process.go:366-428) land as new files without touching old ones;
+ *  - tier-routed ingest is ONE `partitionBy("tier", ...)` write — the
+ *    upstream micro-batch plan executes exactly once, mirroring the
+ *    reference's single-pass batch writer (process.go:366-428), instead
+ *    of once per tier.
  */
 final class TierStore(spark: SparkSession, root: String) {
 
-  private def path(tier: String) = s"$root/$tier"
+  private def path(tier: String) = s"$root/tier=$tier"
 
   /** Physical tier directory (used by the rollup maintenance job). */
   def tierPath(tier: String): String = path(tier)
@@ -68,16 +73,20 @@ final class TierStore(spark: SparkSession, root: String) {
       .parquet(path(tier.name))
 
   /** Route each point to its write tier (mapping.go:146-168) and append.
-   *  The classifier runs as a plan column (TierPolicy.writeTierCol), not a
-   *  driver-side loop per measurement. */
-  def writeRouted(points: DataFrame, profile: String = Tier.ProfileOptimized): Unit = {
-    val withTier = points.withColumn("_tier",
-      TierPolicy.writeTierCol(col("measurement"), profile))
-    Tier.all.foreach { t =>
-      val part = withTier.filter(col("_tier") === t.name).drop("_tier")
-      if (!part.isEmpty) write(t, part)
-    }
-  }
+   *  The classifier runs as a plan column (TierPolicy.writeTierCol), and the
+   *  routed append is a SINGLE write with `tier` as the leading partition
+   *  column — the input plan (the whole filter→enrich→transform chain in
+   *  the streaming path) executes exactly once per micro-batch, never once
+   *  per tier. Tiers that receive no rows simply get no directories. */
+  def writeRouted(points: DataFrame, profile: String = Tier.ProfileOptimized): Unit =
+    points
+      .withColumn("tier", TierPolicy.writeTierCol(col("measurement"), profile))
+      .withColumn("date", to_date(col("time")))
+      .repartition(col("tier"), col("measurement"), col("date"))
+      .sortWithinPartitions(col("tier"), col("measurement"), col("date"), col("time"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("tier", "measurement", "date")
+      .parquet(root)
 
   /** Read a tier table (empty DataFrame with points schema if absent or
    *  fully expired — an empty partition tree has no schema to infer). */

@@ -54,12 +54,31 @@ class StoreStreamSpec extends SparkSpec {
     assert(store.read(Tier.GenDefault).count() == 1)
   }
 
+  test("writeRouted executes the upstream plan exactly once (S3 single-pass)") {
+    val store = new TierStore(spark, tmpDir())
+    val acc = spark.sparkContext.longAccumulator("upstream_evals")
+    val counted = udf { (v: Double) => acc.add(1L); v }.asNondeterministic()
+    val batch = pts(
+      ("electricity_meter_energy_sampled", "2024-01-01", 1.0),
+      ("sensor_temp", "2024-01-01", 2.0),
+      ("thermostat.cmd.setpoint.set", "2024-01-01", 3.0))
+      .withColumn("value", counted(col("value")))
+    store.writeRouted(batch)
+    // the routed write is one partitionBy("tier", ...) pass: each input row
+    // is computed once, never re-filtered per tier (was up to 2 jobs × 6
+    // tiers over the unpersisted upstream plan before)
+    assert(acc.value == 3)
+    assert(store.read(Tier.GenYear).count() == 1)
+    assert(store.read(Tier.GenRaw).count() == 1)
+    assert(store.read(Tier.GenDefault).count() == 1)
+  }
+
   test("init/drop database (S9)") {
     val root = tmpDir() + "/db"
     val store = new TierStore(spark, root)
     store.init()
-    assert(new java.io.File(root, "gen_raw").isDirectory)
-    assert(new java.io.File(root, "gen_default").isDirectory)
+    assert(new java.io.File(root, "tier=gen_raw").isDirectory)
+    assert(new java.io.File(root, "tier=gen_default").isDirectory)
     store.write(Tier.GenRaw, pts(("m", "2024-01-01", 1.0)))
     store.drop()
     assert(!new java.io.File(root).exists())
@@ -107,7 +126,7 @@ class StoreStreamSpec extends SparkSpec {
     // 6 micro-batch-style appends into the same (measurement, date)
     (1 to 6).foreach(i => store.write(Tier.GenRaw, pts(("sensor_temp", "2024-01-01", i.toDouble))))
     def parquetFiles() = {
-      val dir = new java.io.File(s"$root/gen_raw/measurement=sensor_temp/date=2024-01-01")
+      val dir = new java.io.File(s"$root/tier=gen_raw/measurement=sensor_temp/date=2024-01-01")
       dir.listFiles().count(_.getName.endsWith(".parquet"))
     }
     assert(parquetFiles() >= 6)
