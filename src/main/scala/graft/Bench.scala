@@ -1,29 +1,42 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Benchmark main: every `SparkEntry.queries` entry (plus the bench-only
+ * xxhash64 twins of the portable-mode oracle queries) against
+ * `SPARK_GRAFT_SF_DIR`. Each query gets one untimed warm run (Janino/
+ * codegen compile, JIT, file-listing caches) and then `Runs` timed runs;
+ * the reported figure is the MEDIAN, with max−min emitted per query as
+ * `spread` — a single cold run mixes compile state into execution time
+ * and cannot attribute its own noise.
+ */
 object Bench {
+  private val Runs = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = GraftSession.builder(shufflePartitions = cpus.toInt)
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM/codegen infrastructure once so per-query timings
-    // measure plan execution, not first-Janino-compile startup
-    try SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
-    catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val results = (SparkEntry.queries ++ SparkEntry.benchOnly).map { case (name, fn) =>
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm-up, untimed
+      val runs = Seq.fill(Runs)(once()).sorted
+      name -> (runs(Runs / 2), runs.last - runs.head)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jmap(f: ((String, (Double, Double))) => Double) =
+      results.map { case kv @ (k, _) => s"\"" + k + "\":" + f(kv) }
+        .mkString("{", ",", "}")
+    val total = results.values.map(_._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,""" +
+      s""""queries":${jmap(_._2._1)},"spread":${jmap(_._2._2)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -557,6 +557,25 @@ object SparkEntry {
         nLists = 16, nProbes = 16)
     }))
 
+  /**
+   * Bench-only twins of the two oracle queries that deliberately run in
+   * PORTABLE hash mode for DuckDB parity (md5 simhash bits, arithmetic
+   * LSH planes): same blocking/verification pipeline, xxhash64 hashing —
+   * the configuration a 100 TB deployment would actually run. Kept out of
+   * `queries` because no external engine replicates xxhash64 bit-for-bit
+   * (no exact oracle possible); pipeline correctness is covered by the
+   * portable twins' oracles.
+   */
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_simhash_x64" -> ((s, dir) =>
+      Dedup.simhashPairs(
+        table(s, dir, "documents")
+          .filter(size(TextFunctions.tokens(col("text"))) > 0),
+        maxDist = 3, portable = false)),
+    "sim_lsh_pairs_x64" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(table(s, dir, "embeddings"),
+        threshold = 0.4, nPlanes = 6, portable = false)))
+
   /** Lighter FIMP binding (no val_json) for filter/topic/enrich queries. */
   private def fimpLite(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir).select(

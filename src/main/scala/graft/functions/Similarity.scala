@@ -83,12 +83,14 @@ object Similarity {
    * expression (expressions.LshSignature) — the old per-plane
    * `aggregate(zip_with(...))` formulation paid interpreted lambda
    * dispatch per element × plane, and string signatures made the
-   * candidate join shuffle wider. The plane generator is portable pure
-   * integer arithmetic, so external engines (the DuckDB oracle) can
-   * reproduce bucketing bit-for-bit.
+   * candidate join shuffle wider. The default plane generator is portable
+   * pure integer arithmetic, so external engines (the DuckDB oracle) can
+   * reproduce bucketing bit-for-bit; `portable = false` switches to
+   * xxhash64-derived plane weights (the scale default — better plane
+   * distribution, no external-engine parity).
    */
-  def lshSignature(vec: Column, nPlanes: Int): Column =
-    expressions.VectorExpressions.lshSignature(vec, nPlanes)
+  def lshSignature(vec: Column, nPlanes: Int, portable: Boolean = true): Column =
+    expressions.VectorExpressions.lshSignature(vec, nPlanes, portable)
 
   /**
    * ANN via hyperplane LSH: bucket corpus and queries by signature,
@@ -97,11 +99,12 @@ object Similarity {
    * recall, more work).
    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 8,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      portable: Boolean = true): DataFrame = {
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
-      .withColumn("sig", lshSignature(col("cv"), nPlanes))
+      .withColumn("sig", lshSignature(col("cv"), nPlanes, portable))
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("sig", lshSignature(col("qv"), nPlanes)))
+      .withColumn("sig", lshSignature(col("qv"), nPlanes, portable)))
     val scored = c.join(q, Seq("sig"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
@@ -234,9 +237,10 @@ object Similarity {
    * the same bucket with high probability).
    */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double = 0.99, nPlanes: Int = 8,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      portable: Boolean = true): DataFrame = {
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("sig", lshSignature(col("v"), nPlanes))
+      .withColumn("sig", lshSignature(col("v"), nPlanes, portable))
     val a = v.select(col("sig"), col("id").as("id_a"), col("v").as("v_a"))
     val b = v.select(col("sig"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("sig")).filter(col("id_a") < col("id_b"))

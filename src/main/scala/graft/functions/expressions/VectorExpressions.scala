@@ -33,8 +33,8 @@ object VectorExpressions {
     GraftBridge.column(SimHash64(GraftBridge.expression(tokens), portable = false))
   def simhashPortable(tokens: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(tokens), portable = true))
-  def lshSignature(vec: Column, nPlanes: Int): Column =
-    GraftBridge.column(LshSignature(GraftBridge.expression(vec), nPlanes))
+  def lshSignature(vec: Column, nPlanes: Int, portable: Boolean = true): Column =
+    GraftBridge.column(LshSignature(GraftBridge.expression(vec), nPlanes, portable))
   def tokenStats(tokens: Column, stopwords: Seq[String]): Column =
     GraftBridge.column(TokenStats(GraftBridge.expression(tokens), stopwords))
 
