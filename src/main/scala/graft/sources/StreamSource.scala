@@ -39,18 +39,34 @@ object StreamSource {
       topics: Seq[String],
       startingOffsets: String = "latest",
       maxOffsetsPerTrigger: Option[Long] = None) extends StreamSource {
-    override def load(spark: SparkSession): DataFrame = {
-      val base = spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrapServers)
-        .option("subscribe", topics.mkString(","))
-        .option("startingOffsets", startingOffsets)
-      val tuned = maxOffsetsPerTrigger
-        .fold(base)(n => base.option("maxOffsetsPerTrigger", n.toString))
-      tuned.load().select(
-        col("key").cast("string").as("topic"),
-        col("value").cast("string").as("payload"),
-        col("timestamp").as("time"))
+
+    /** The exact option map handed to the connector — factored out so the
+     *  branch's wiring is assertable without the connector jar. */
+    def sourceOptions: Map[String, String] = {
+      val base = Map(
+        "kafka.bootstrap.servers" -> bootstrapServers,
+        "subscribe" -> topics.mkString(","),
+        "startingOffsets" -> startingOffsets)
+      maxOffsetsPerTrigger.fold(base)(n => base + ("maxOffsetsPerTrigger" -> n.toString))
     }
+
+    override def load(spark: SparkSession): DataFrame =
+      Kafka.decodeFrames(
+        spark.readStream.format("kafka").options(sourceOptions).load())
+  }
+
+  object Kafka {
+    /** Kafka wire frames (the connector's fixed output schema: binary
+     *  key/value, string topic, timestamp, ...) → the raw envelope. The
+     *  MQTT→Kafka bridge puts the MQTT topic in the record KEY (which
+     *  also makes per-device ordering a partition guarantee) and the FIMP
+     *  JSON in the value. Factored out of `load` so tests drive this half
+     *  of the branch end-to-end on Kafka-shaped micro-batches even where
+     *  the connector (and a broker) is unavailable. */
+    def decodeFrames(wire: DataFrame): DataFrame = wire.select(
+      col("key").cast("string").as("topic"),
+      col("value").cast("string").as("payload"),
+      col("timestamp").as("time"))
   }
 
   /** Streaming replay of MQTT log files (same line format as the S2

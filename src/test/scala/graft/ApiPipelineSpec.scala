@@ -273,11 +273,50 @@ class ApiPipelineSpec extends SparkSpec {
       assert(rows.head.getAs[Double]("value") == 21.5)
       assert(rows.head.getAs[String]("measurement") == "sensor_temp.evt.sensor.report")
     } finally q.stop()
-    // the Kafka branch wires the same envelope contract (connector jar
-    // needed on the cluster; construction and plan contract compile here)
-    val k = StreamSource.Kafka("broker:9092", Seq("fimp_events"),
+  }
+
+  test("Kafka front door: options contract + wire-frame decode e2e (S1)") {
+    import graft.sources.StreamSource
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // 1. the exact option map handed to the connector
+    val k = StreamSource.Kafka("broker:9092", Seq("fimp_events", "fimp_cmds"),
       startingOffsets = "earliest", maxOffsetsPerTrigger = Some(10000L))
-    assert(k.topics == Seq("fimp_events") && k.bootstrapServers == "broker:9092")
+    assert(k.sourceOptions == Map(
+      "kafka.bootstrap.servers" -> "broker:9092",
+      "subscribe" -> "fimp_events,fimp_cmds",
+      "startingOffsets" -> "earliest",
+      "maxOffsetsPerTrigger" -> "10000"))
+    assert(!StreamSource.Kafka("b", Seq("t")).sourceOptions.contains("maxOffsetsPerTrigger"))
+    // 2. one micro-batch of Kafka-shaped frames (binary key/value, exactly
+    // what the connector emits) through decode → selector prune → FIMP
+    // decode → transform → routed write
+    val input = MemoryStream[KafkaWire]
+    def frame(topic: String, json: String, sec: Int) = KafkaWire(
+      topic.getBytes("UTF-8"), json.getBytes("UTF-8"), "fimp_events", 0, sec.toLong,
+      Timestamp.valueOf(s"2024-01-01 10:00:0$sec"), 0)
+    val store = new TierStore(spark, tmpDir())
+    val config = ProcessConfig(id = 1, saveIntervalMs = 100,
+      filters = Seq(Filter(id = 1)), selectors = Seq(Selector(1, "pt:j1/mt:evt/#")))
+    val q = IngestPipeline.runFromSource(spark,
+      StreamSource.OfDataFrame(StreamSource.Kafka.decodeFrames(input.toDF())),
+      config, None, store, tmpDir())
+    try {
+      input.addData(
+        frame("pt:j1/mt:evt/rt:dev/rn:z/ad:1/sv:sensor_temp/ad:2",
+          """{"serv":"sensor_temp","type":"evt.sensor.report","val_t":"float","val":21.5,"props":{"unit":"C"},"src":"app"}""", 1),
+        frame("pt:j2/mt:evt/other",
+          """{"serv":"sensor_temp","type":"evt.sensor.report","val_t":"float","val":9.9,"props":{"unit":"C"},"src":"app"}""", 2))
+      q.processAllAvailable()
+      val rows = store.read(Tier.GenRaw).collect()
+      assert(rows.length == 1) // selector pruned the j2 frame pre-decode
+      assert(rows.head.getAs[Double]("value") == 21.5)
+      assert(rows.head.getAs[String]("measurement") == "sensor_temp.evt.sensor.report")
+    } finally q.stop()
+    // 3. load() reaches Spark's data-source resolution for format "kafka"
+    // (the connector jar is deliberately absent from the test classpath)
+    val err = intercept[Exception] { k.load(spark) }
+    assert(err.getMessage.toLowerCase.contains("kafka"))
   }
 
   test("metadata re-sync: edits land on the next micro-batch (vinc_store.go:25)") {
@@ -363,3 +402,9 @@ class ApiPipelineSpec extends SparkSpec {
 case class Ev(topic: String, serv: String, msg_type: String, val_t: String,
     val_json: String, props: Map[String, String], src: String, domain: String,
     time: java.sql.Timestamp)
+
+/** The Kafka connector's fixed output schema (binary key/value), for
+ *  driving the Kafka source branch without a broker. */
+case class KafkaWire(key: Array[Byte], value: Array[Byte], topic: String,
+    partition: Int, offset: Long, timestamp: java.sql.Timestamp,
+    timestampType: Int)
