@@ -203,6 +203,16 @@ object SparkEntry {
         "FROM events_v GROUP BY event_type")
     }),
 
+    "s7_influxql" -> ((s, dir) => {
+      // the reference UI's query dialect (docs/api:9) entering through the
+      // string shim — must hash-match the structured a5_time_bucket plan
+      graft.query.InfluxQL.dataPoints(
+        """SELECT mean("value") AS "mean_value" FROM "app_click" """ +
+          """WHERE time > now()-5w GROUP BY time(1h) FILL(null)""",
+        _ => points(s, dir, "app_"), _ => None, Now)
+        .select(col("time"), round(col("value"), 6).as("value"))
+    }),
+
     // --- ingest: sources / filters / topic match / enrichment / transform ---
 
     "s2_log_replay" -> ((s, dir) => {
@@ -618,6 +628,16 @@ object SparkEntry {
     "s7_raw_sql" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // identical oracle to a5_time_bucket: the InfluxQL string path must
+    // produce the exact plan the structured request produces
+    "s7_influxql" ->
+      s"""WITH ${ptsCte("app_")},
+         |agg AS (SELECT CAST(floor(tsec / 3600) * 3600 AS BIGINT) t, avg(v) val
+         |        FROM pts WHERE m = 'app_click' AND tsec > 1703721600 GROUP BY 1),
+         |spine AS (SELECT unnest(generate_series(1703721600, 1706745600, 3600)) t)
+         |SELECT s.t AS time, round(a.val, 6) AS value
+         |FROM spine s LEFT JOIN agg a USING (t)""".stripMargin,
 
     "s2_log_replay" ->
       """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS time_sec,

@@ -161,11 +161,16 @@ object Api {
       Planner.energyDataPoints(req.relativeTime, req.fromTime, req.toTime,
         req.groupByTime, req.groupByTag, req.filters, t => c.store.read(t), c.now())
     case "cmd.tsdb.query" => // S7 raw passthrough (admin.go:156-177)
-      payload match {
-        case (procId: Int, sql: String) => procCtx(ctx, procId).spark.sql(sql)
-        case sql: String => ctx.spark.sql(sql)
+      val (qCtx, sql) = payload match {
+        case (procId: Int, s: String) => (procCtx(ctx, procId), s)
+        case s: String => (ctx, s)
         case other => throw new IllegalArgumentException(s"bad query payload: $other")
       }
+      // InfluxQL compatibility: the reference UI sends InfluxQL strings
+      // through this command (docs/api:9,194,251); the documented shapes
+      // route through the planner, everything else is Spark SQL
+      if (graft.query.InfluxQL.looksLike(sql)) influxQuery(qCtx, sql)
+      else qCtx.spark.sql(sql)
 
     // --- process lifecycle (admin.go:75-155; integration.go manager) ---
     case "cmd.ecprocess.get_list" => { // admin.go:75-77
@@ -263,6 +268,19 @@ object Api {
     case "cmd.tsdb.get_selectors" => selectorsDf(ctx) // api.go:59-61
     case other =>
       throw new IllegalArgumentException(s"unknown command: $other")
+  }
+
+  /** Execute a parsed InfluxQL statement against the context's store. */
+  private def influxQuery(ctx: Context, sql: String): DataFrame = {
+    import graft.query.InfluxQL
+    InfluxQL.parse(sql) match {
+      case InfluxQL.ShowMeasurements => dispatch(ctx, "cmd.tsdb.get_measurements", null)
+      case InfluxQL.ShowRetentionPolicies =>
+        dispatch(ctx, "cmd.tsdb.get_retention_policies", null)
+      case sel: InfluxQL.Select =>
+        InfluxQL.dataPoints(sel, t => ctx.store.read(t),
+          ctx.store.tierByName(_), ctx.now())
+    }
   }
 
   /** Route a command to the process's own store/state when a registry is

@@ -1,0 +1,180 @@
+package graft.query
+
+import java.time.Instant
+
+import graft.model.{DataPointsFilter, DataPointsRequest, Tier}
+import org.apache.spark.sql.DataFrame
+
+/**
+ * InfluxQL compatibility shim for the raw-query passthrough (S7).
+ *
+ * The reference's UI hand-writes InfluxQL strings (reference:
+ * docs/api:9,194,251, docs/queries:1-2; the server builds the same
+ * templates in storage/influxdb_v1.go:87-95,158-183). The documented
+ * query shapes parse into the SAME `DataPointsRequest` the structured
+ * `get_data_points` command uses, so the planner's tier selection,
+ * partition pruning, gap fill, and transform semantics apply unchanged —
+ * a migrating user's saved dashboard queries run as-is. Anything outside
+ * the documented grammar falls back to Spark SQL (`Api.dispatch` keeps
+ * `spark.sql` as the general passthrough).
+ *
+ * Supported grammar (keywords case-insensitive, identifiers optionally
+ * double-quoted, strings single-quoted):
+ *
+ *   SELECT <sel> FROM ["rp".]"measurement"
+ *     [WHERE cond [AND cond]...]
+ *     [GROUP BY time(<dur>)[, tag] | tag] [FILL(null|previous|none|linear|<n>)]
+ *   sel  := field | fn(field) | transform(fn(field)) | percentile(field, n)
+ *           [AS alias]
+ *   cond := time >|>= now()-<dur> | time >=|> '<RFC3339>'
+ *         | time <=|< '<RFC3339>' | tag = 'value'
+ *   SHOW MEASUREMENTS | SHOW RETENTION POLICIES
+ *
+ * A FROM-clause retention policy pins the tier (the InfluxQL contract);
+ * without one the planner's tier policy picks, as the structured command
+ * does. The SELECT alias is accepted but the response keeps the engine's
+ * fixed (time, value) column shape — `Api.shapeResponse` emits
+ * ["time","value"] columns exactly like the reference's response
+ * fixtures (docs/api:26-176).
+ */
+object InfluxQL {
+
+  sealed trait Statement
+  final case class Select(req: DataPointsRequest, retentionPolicy: Option[String])
+      extends Statement
+  case object ShowMeasurements extends Statement
+  case object ShowRetentionPolicies extends Statement
+
+  private val AggFns = Set("mean", "count", "sum", "min", "max", "median",
+    "first", "last", "spread", "stddev")
+  private val TransformFns = Set("abs", "difference")
+
+  /**
+   * Cheap syntactic sniff: does this string carry a distinctive InfluxQL
+   * marker (now() arithmetic, FILL(...), GROUP BY time(...), a
+   * double-quoted rp.measurement pair, or a SHOW form)? Plain Spark SQL
+   * has none of these (it backtick-quotes identifiers), so ordinary SQL
+   * keeps flowing to `spark.sql` untouched.
+   */
+  def looksLike(q: String): Boolean = {
+    val s = q.trim.toLowerCase
+    s.matches("show\\s+measurements\\s*;?") ||
+      s.matches("show\\s+retention\\s+policies\\s*;?") ||
+      s.contains("now()") ||
+      s.matches("(?s).*\\bfill\\s*\\(.*") ||
+      s.matches("(?s).*\\bgroup\\s+by\\s+.*\\btime\\s*\\(.*") ||
+      s.matches("(?s).*\\bfrom\\s+\"[^\"]+\"\\s*\\.\\s*\"[^\"]+\".*")
+  }
+
+  private val SelectRe = (
+    "(?is)^SELECT\\s+(.+?)\\s+FROM\\s+(\"[^\"]+\"|[\\w\\-]+)" +
+      "(?:\\s*\\.\\s*(\"[^\"]+\"|[\\w\\-]+))?" +
+      "(?:\\s+WHERE\\s+(.+?))?" +
+      "(?:\\s+GROUP\\s+BY\\s+(.+?))?" +
+      "(?:\\s+FILL\\s*\\(\\s*([\\w.\\-]+)\\s*\\))?\\s*$").r
+
+  private def unquote(s: String): String =
+    if (s.length >= 2 && s.head == '"' && s.last == '"') s.substring(1, s.length - 1)
+    else s
+
+  /** Parse a statement; throws IllegalArgumentException outside the
+   *  documented grammar (callers fall back to Spark SQL only when
+   *  `looksLike` is false — a malformed InfluxQL-looking string should
+   *  error as InfluxQL, not as something else). */
+  def parse(raw: String): Statement = {
+    val q = raw.trim.stripSuffix(";").trim
+    val l = q.toLowerCase
+    if (l.matches("show\\s+measurements")) return ShowMeasurements
+    if (l.matches("show\\s+retention\\s+policies")) return ShowRetentionPolicies
+    val m = SelectRe.findFirstMatchIn(q).getOrElse(
+      throw new IllegalArgumentException(s"unsupported InfluxQL statement: $raw"))
+    val (fieldName, dataFunction, transformFunction) = parseSelectList(m.group(1))
+    val (rp, measurement) = Option(m.group(3)) match {
+      case Some(meas) => (Some(unquote(m.group(2))), unquote(meas))
+      case None => (None, unquote(m.group(2)))
+    }
+    val (relativeTime, fromTime, toTime, filters) =
+      Option(m.group(4)).map(parseWhere).getOrElse(("", "", "", DataPointsFilter()))
+    val (groupByTime, groupByTag) =
+      Option(m.group(5)).map(parseGroupBy).getOrElse(("", ""))
+    val fillType = Option(m.group(6)).map(_.toLowerCase).getOrElse("")
+    Select(DataPointsRequest(
+      measurement = measurement,
+      fieldName = if (fieldName == "value") "" else fieldName,
+      dataFunction = dataFunction, transformFunction = transformFunction,
+      relativeTime = relativeTime, fromTime = fromTime, toTime = toTime,
+      groupByTime = groupByTime, groupByTag = groupByTag,
+      fillType = fillType, filters = filters), rp)
+  }
+
+  private def parseSelectList(sel: String): (String, String, String) = {
+    val s = sel.trim.replaceAll("(?is)\\s+AS\\s+(\"[^\"]+\"|\\w+)\\s*$", "").trim
+    val nested = "(?is)^(\\w+)\\s*\\(\\s*(\\w+)\\s*\\(\\s*\"?([\\w.\\-]+)\"?\\s*\\)\\s*\\)$".r
+    val pct = "(?is)^percentile\\s*\\(\\s*\"?([\\w.\\-]+)\"?\\s*,\\s*(\\d+(?:\\.\\d+)?)\\s*\\)$".r
+    val simple = "(?is)^(\\w+)\\s*\\(\\s*\"?([\\w.\\-]+)\"?\\s*\\)$".r
+    val bare = "^\"?([\\w.\\-]+)\"?$".r
+    s match {
+      case nested(tf, fn, field) if TransformFns(tf.toLowerCase) && AggFns(fn.toLowerCase) =>
+        (field, fn.toLowerCase, tf.toLowerCase)
+      case pct(field, n) => (field, s"percentile_$n", "")
+      case simple(fn, field) if AggFns(fn.toLowerCase) => (field, fn.toLowerCase, "")
+      case bare(field) => (field, "", "")
+      case other => throw new IllegalArgumentException(s"unsupported select list: $other")
+    }
+  }
+
+  private def parseWhere(w: String): (String, String, String, DataPointsFilter) = {
+    val relRe = "(?i)^time\\s*>=?\\s*now\\(\\)\\s*-\\s*(\\d+[smhdw])$".r
+    val fromRe = "(?i)^time\\s*(>=|>)\\s*'([^']+)'$".r
+    val toRe = "(?i)^time\\s*(<=|<)\\s*'([^']+)'$".r
+    val tagRe = "^\"?([\\w.\\-]+)\"?\\s*=\\s*'([^']*)'$".r
+    var rel = ""; var from = ""; var to = ""
+    var tags = Map.empty[String, String]
+    w.split("(?i)\\s+AND\\s+").map(_.trim).filter(_.nonEmpty).foreach {
+      case relRe(d) => rel = d
+      case fromRe(_, t) => from = t
+      case toRe(_, t) => to = t
+      case tagRe(k, v) => tags += (k -> v)
+      case other => throw new IllegalArgumentException(s"unsupported WHERE condition: $other")
+    }
+    (rel, from, to, DataPointsFilter(tags = tags))
+  }
+
+  private def parseGroupBy(g: String): (String, String) = {
+    val timeRe = "(?i)^time\\s*\\(\\s*(\\d+[smhdw])\\s*\\)$".r
+    var gbTime = ""; var gbTag = ""
+    g.split(",").map(_.trim).filter(_.nonEmpty).foreach {
+      case timeRe(d) => gbTime = d
+      case t => gbTag = unquote(t)
+    }
+    (gbTime, gbTag)
+  }
+
+  /** Plan a parsed SELECT: an explicit retention policy pins the tier,
+   *  otherwise the planner's tier policy resolves as usual. An open-ended
+   *  absolute range (`time >= '...'` with no upper bound) closes at `now`,
+   *  matching the reference's default query horizon. */
+  def dataPoints(sel: Select, resolve: Tier => DataFrame,
+      tierByName: String => Option[Tier], now: Instant): DataFrame = {
+    val req =
+      if (sel.req.fromTime.nonEmpty && sel.req.toTime.isEmpty)
+        sel.req.copy(toTime = now.toString)
+      else sel.req
+    sel.retentionPolicy match {
+      case Some(name) =>
+        val t = tierByName(name).getOrElse(
+          throw new IllegalArgumentException(s"unknown retention policy: $name"))
+        Planner.dataPoints(req, _ => resolve(t), now)
+      case None => Planner.dataPoints(req, resolve, now)
+    }
+  }
+
+  /** String-in, DataFrame-out convenience for SELECTs (the S7 entry). */
+  def dataPoints(sql: String, resolve: Tier => DataFrame,
+      tierByName: String => Option[Tier], now: Instant): DataFrame =
+    parse(sql) match {
+      case sel: Select => dataPoints(sel, resolve, tierByName, now)
+      case other => throw new IllegalArgumentException(
+        s"not a SELECT statement: $other")
+    }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import graft.api.Api
+import graft.model.{DataPointsFilter, DataPointsRequest, Tier}
+import graft.query.{InfluxQL, Planner}
+import graft.store.TierStore
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** InfluxQL compatibility shim (S7) — the reference UI's query dialect
+ *  (docs/api:9,194,251, docs/queries:1-2) over the planner. */
+class InfluxQLSpec extends SparkSpec {
+
+  private val now = Instant.parse("2024-01-02T00:00:00Z")
+
+  private val schema = StructType(Seq(
+    StructField("measurement", StringType), StructField("time", TimestampType),
+    StructField("value", DoubleType), StructField("dev_id", StringType),
+    StructField("location_id", StringType), StructField("dev_type", StringType)))
+
+  private def pts(rows: (String, Long, Double, String)*): DataFrame = {
+    val rs = rows.map { case (m, sec, v, dev) =>
+      Row(m, new Timestamp(sec * 1000), v, dev, "1", "sensor") }
+    spark.createDataFrame(spark.sparkContext.parallelize(rs), schema)
+  }
+
+  test("parses the documented query shapes (docs/api:9,194,251, docs/queries:1)") {
+    // docs/queries:1 — adapter restarts
+    val s1 = InfluxQL.parse("""SELECT count("value") as "mean_value" FROM "default_20w"."zwave-ad.evt.state.report" WHERE time > now()-5h GROUP BY time(1m) fill(null)""")
+    assert(s1 == InfluxQL.Select(DataPointsRequest(
+      measurement = "zwave-ad.evt.state.report", dataFunction = "count",
+      relativeTime = "5h", groupByTime = "1m", fillType = "null"),
+      Some("default_20w")))
+    // docs/api:9 — presence count with a topic tag filter
+    val s2 = InfluxQL.parse("""SELECT count("value") AS "count_value" FROM "gen_default"."sensor_presence.evt.presence.report" WHERE  topic='pt:j1/mt:evt/rt:dev/rn:zw/ad:1/sv:sensor_presence/ad:9_0' GROUP BY time(30m) FILL(null)""")
+    assert(s2 == InfluxQL.Select(DataPointsRequest(
+      measurement = "sensor_presence.evt.presence.report", dataFunction = "count",
+      groupByTime = "30m", fillType = "null",
+      filters = DataPointsFilter(tags = Map(
+        "topic" -> "pt:j1/mt:evt/rt:dev/rn:zw/ad:1/sv:sensor_presence/ad:9_0"))),
+      Some("gen_default")))
+    // docs/api:194 — recent power for one device, raw aggregate, no grouping
+    val s3 = InfluxQL.parse("""SELECT mean("value") AS "mean_value" FROM "gen_raw"."electricity_meter_power" WHERE time > now()-10m AND "dev_id"='100'""")
+    assert(s3 == InfluxQL.Select(DataPointsRequest(
+      measurement = "electricity_meter_power", dataFunction = "mean",
+      relativeTime = "10m",
+      filters = DataPointsFilter(tags = Map("dev_id" -> "100"))),
+      Some("gen_raw")))
+    // docs/api:251 — last per location, tag grouping only
+    val s4 = InfluxQL.parse("""SELECT last(value) AS count_value FROM "gen_default"."sensor_presence.evt.presence.report" GROUP BY location_id  FILL(null)""")
+    assert(s4 == InfluxQL.Select(DataPointsRequest(
+      measurement = "sensor_presence.evt.presence.report", dataFunction = "last",
+      groupByTag = "location_id", fillType = "null"), Some("gen_default")))
+    // transform wrap + percentile + absolute range + SHOW forms
+    val s5 = InfluxQL.parse("""SELECT difference(mean("value")) FROM "m" WHERE time >= '2024-01-01T00:00:00Z' AND time <= '2024-01-02T00:00:00Z' GROUP BY time(1h) FILL(previous)""")
+    assert(s5.asInstanceOf[InfluxQL.Select].req.transformFunction == "difference")
+    assert(s5.asInstanceOf[InfluxQL.Select].req.fromTime == "2024-01-01T00:00:00Z")
+    val s6 = InfluxQL.parse("""SELECT percentile("value", 95) FROM "m" GROUP BY time(1h)""")
+    assert(s6.asInstanceOf[InfluxQL.Select].req.dataFunction == "percentile_95")
+    assert(InfluxQL.parse("SHOW MEASUREMENTS") == InfluxQL.ShowMeasurements)
+    assert(InfluxQL.parse("show retention policies;") == InfluxQL.ShowRetentionPolicies)
+  }
+
+  test("looksLike separates InfluxQL from Spark SQL") {
+    assert(InfluxQL.looksLike("""SELECT mean("value") FROM "gen_raw"."m" WHERE time > now()-10m"""))
+    assert(InfluxQL.looksLike("""SELECT last(value) AS v FROM "gen_default"."m" GROUP BY location_id FILL(null)"""))
+    assert(InfluxQL.looksLike("SHOW MEASUREMENTS"))
+    // plain Spark SQL must keep flowing to spark.sql
+    assert(!InfluxQL.looksLike(
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"))
+    assert(!InfluxQL.looksLike("SELECT * FROM lineitem WHERE l_quantity > 5"))
+    assert(!InfluxQL.looksLike("WITH t AS (SELECT 1 AS x) SELECT x FROM t"))
+  }
+
+  test("InfluxQL string path ≡ structured request plan") {
+    val df = pts(
+      ("m", 1704153600L, 10.0, "1"), ("m", 1704153660L, 20.0, "1"),
+      ("m", 1704157200L, 30.0, "2"), ("other", 1704153600L, 99.0, "1"))
+    val viaString = InfluxQL.dataPoints(
+      """SELECT mean("value") FROM "m" WHERE time > now()-2h GROUP BY time(1h) FILL(null)""",
+      _ => df, _ => None, now).collect().toSeq
+    val viaStruct = Planner.dataPoints(DataPointsRequest("m",
+      dataFunction = "mean", relativeTime = "2h", groupByTime = "1h",
+      fillType = "null"), _ => df, now).collect().toSeq
+    assert(viaString == viaStruct && viaString.nonEmpty)
+  }
+
+  test("cmd.tsdb.query dispatch: InfluxQL e2e against the store, SQL fallback intact") {
+    val root = java.nio.file.Files.createTempDirectory("graft_iql").toFile.getAbsolutePath
+    val store = new TierStore(spark, root)
+    store.write(Tier.GenRaw, pts(
+      ("sensor_temp", 1704153600L, 10.0, "1"),
+      ("sensor_temp", 1704153660L, 20.0, "1"),
+      ("sensor_temp", 1704240000L, 99.0, "1"))) // outside the queried day
+    val ctx = Api.Context(spark, store, now = () => now)
+    // rp-pinned InfluxQL through the raw-query command
+    val out = Api.dispatch(ctx, "cmd.tsdb.query",
+      """SELECT mean("value") FROM "gen_raw"."sensor_temp" WHERE time >= '2024-01-02T00:00:00Z' AND time <= '2024-01-02T23:59:59Z' GROUP BY time(1h) FILL(none)""")
+      .collect().map(r => (r.getAs[Long]("time"), r.getAs[Double]("value"))).toSeq
+    assert(out == Seq((1704153600L, 15.0)))
+    // SHOW forms route to the catalog commands
+    val ms = Api.dispatch(ctx, "cmd.tsdb.query", "SHOW MEASUREMENTS")
+      .collect().map(_.getAs[String]("measurement")).toSeq
+    assert(ms == Seq("sensor_temp"))
+    val rps = Api.dispatch(ctx, "cmd.tsdb.query", "SHOW RETENTION POLICIES")
+      .collect().map(_.getAs[String]("name")).toSeq
+    assert(rps.contains("gen_raw") && rps.contains("gen_year"))
+    // unknown rp errors as InfluxQL
+    val err = intercept[IllegalArgumentException] {
+      Api.dispatch(ctx, "cmd.tsdb.query",
+        """SELECT mean("value") FROM "default_20w"."sensor_temp" WHERE time > now()-5h GROUP BY time(1m) FILL(null)""")
+    }
+    assert(err.getMessage.contains("unknown retention policy"))
+    // Spark SQL fallback unaffected
+    val n = Api.dispatch(ctx, "cmd.tsdb.query", "SELECT 1 AS one")
+      .collect().head.getAs[Int]("one")
+    assert(n == 1)
+  }
+}
