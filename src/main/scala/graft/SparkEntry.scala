@@ -203,6 +203,25 @@ object SparkEntry {
         "FROM events_v GROUP BY event_type")
     }),
 
+    "s3_roundtrip" -> ((s, dir) => {
+      // S3/S9 write→read round trip: route a mixed stream through the
+      // tiered store (sensor_* → gen_raw, app_* → gen_default), then read
+      // back through the planner with the tier pinned by retention policy.
+      // The oracle computes the same aggregate from the ORIGINAL events —
+      // any loss, duplication, or misroute in the store path breaks the
+      // hash match (a misrouted app_click would leave gen_default empty).
+      val root = java.nio.file.Files.createTempDirectory("graft_s3rt")
+        .toFile.getAbsolutePath
+      val store = new graft.store.TierStore(s, root)
+      store.writeRouted(points(s, dir, "sensor_").unionAll(points(s, dir, "app_")))
+      graft.query.InfluxQL.dataPoints(
+        """SELECT sum("value") FROM "gen_default"."app_click" """ +
+          """WHERE time >= '2024-01-01T00:00:00Z' AND time <= '2024-01-31T00:00:00Z' """ +
+          """GROUP BY time(1h) FILL(none)""",
+        t => store.read(t), store.tierByName(_), Now)
+        .select(col("time"), round(col("value"), 6).as("value"))
+    }),
+
     "s7_influxql" -> ((s, dir) => {
       // the reference UI's query dialect (docs/api:9) entering through the
       // string shim — must hash-match the structured a5_time_bucket plan
@@ -628,6 +647,16 @@ object SparkEntry {
     "s7_raw_sql" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // computed from the ORIGINAL events — equality proves the store
+    // write→read round trip is lossless and correctly routed
+    "s3_roundtrip" ->
+      s"""WITH ${ptsCte("app_")}
+         |SELECT CAST(floor(tsec / 3600) * 3600 AS BIGINT) AS time,
+         |  round(sum(v), 6) AS value
+         |FROM pts
+         |WHERE m = 'app_click' AND tsec >= 1704067200 AND tsec <= 1706659200
+         |GROUP BY 1""".stripMargin,
 
     // identical oracle to a5_time_bucket: the InfluxQL string path must
     // produce the exact plan the structured request produces
