@@ -325,44 +325,78 @@ object Api {
    * (reference response fixtures: docs/api:26-176, docs/data-exchange;
    * one Series per group-by-tag value, columns ["time","value"]).
    *
-   * The driver-side collect is BOUNDED: at most `maxRows` rows are pulled
-   * (aggregated queries are naturally small; a raw-points query over a
-   * large range would otherwise collect everything — the reference shares
-   * that flaw, admin.go:206-226, but at Spark scale it would take the
-   * driver down). When the result is truncated and time-shaped, the JSON
-   * carries a `"next"` epoch marker; pass it back as `afterTimeSec` for
-   * the next page. Rows sharing the marker's exact second may be skipped
-   * across a page boundary — acceptable for the dashboard use case.
+   * The driver-side collect is BOUNDED: at most `maxRows + 1` rows are
+   * pulled (aggregated queries are naturally small; a raw-points query
+   * over a large range would otherwise collect everything — the reference
+   * shares that flaw, admin.go:206-226, but at Spark scale it would take
+   * the driver down). When the result is truncated and time-shaped, the
+   * JSON carries a `"next"` epoch marker; pass it back as `afterTimeSec`
+   * for the next page. Rows sharing the marker's exact second may be
+   * skipped across a page boundary — acceptable for the dashboard use case.
+   *
+   * Driver memory on the tag axis is FLAT in the number of series: the
+   * bounded page is sorted by (tag, time) IN THE PLAN, so series arrive
+   * contiguous and pre-sorted, and the driver streams group boundaries in
+   * a single pass into one output builder — no per-tag maps, no
+   * driver-side re-sort, regardless of tag cardinality.
    */
   def shapeResponse(df: DataFrame, measurement: String, groupByTag: String,
       maxRows: Int = 100000, afterTimeSec: Long = Long.MinValue): String = {
     val hasTime = df.columns.contains("time")
-    val page =
+    // page selection is by TIME order (that is what the next-marker pages
+    // over); the (tag, time) sort below happens on the bounded page only
+    val paged =
       if (hasTime) df.filter(col("time") > afterTimeSec).orderBy(col("time")).limit(maxRows + 1)
       else df.limit(maxRows + 1)
-    val all = page.collect()
+    val sortCols = (if (groupByTag.nonEmpty) Seq(col(groupByTag)) else Nil) ++
+      (if (hasTime) Seq(col("time")) else Nil)
+    val sorted = if (sortCols.nonEmpty) paged.orderBy(sortCols: _*) else paged
+    val all = sorted.collect()
     val truncated = all.length > maxRows
-    val rows = if (truncated) all.take(maxRows) else all
+    // the page kept the earliest maxRows+1 times; dropping one max-time
+    // row (the +1 probe) restores the page and its max is the marker
+    val rows: Array[Row] =
+      if (!truncated) all
+      else if (!hasTime) all.take(maxRows)
+      else {
+        val maxT = all.iterator.map(_.getAs[Long]("time")).max
+        val idx = all.lastIndexWhere(_.getAs[Long]("time") == maxT)
+        (all.take(idx) ++ all.drop(idx + 1))
+      }
     val nextMarker =
-      if (truncated && hasTime) s""","next":${rows.last.getAs[Long]("time")}""" else ""
-    val series: Seq[(Map[String, String], Array[Row])] =
-      if (groupByTag.nonEmpty)
-        rows.groupBy(r => Option(r.getAs[Any](groupByTag)).map(_.toString).getOrElse(""))
-          .toSeq.sortBy(_._1)
-          .map { case (tv, rs) => (Map(groupByTag -> tv), rs) }
-      else Seq((Map.empty[String, String], rows))
-    val seriesJson = series.map { case (tags, rs) =>
-      val tagJson = tags.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-      val values = rs.sortBy(r => if (r.schema.fieldNames.contains("time"))
-          r.getAs[Long]("time") else 0L)
-        .map { r =>
-          val t = if (r.schema.fieldNames.contains("time")) r.getAs[Long]("time").toString else "0"
-          val v = Option(r.getAs[Any]("value")).map(_.toString).getOrElse("null")
-          s"[$t,$v]"
-        }.mkString("[", ",", "]")
-      s"""{"name":${jstr(measurement)},"tags":$tagJson,"columns":["time","value"],"values":$values}"""
-    }.mkString("[", ",", "]")
-    s"""{"Results":[{"Series":$seriesJson}]$nextMarker}"""
+      if (truncated && hasTime)
+        s""","next":${rows.iterator.map(_.getAs[Long]("time")).max}"""
+      else ""
+    // single pass over tag-contiguous rows
+    val sb = new StringBuilder("[")
+    var openTag: String = null
+    var anySeries = false
+    var firstVal = true
+    def open(tv: String): Unit = {
+      if (anySeries) sb.append("]},")
+      anySeries = true
+      val tagJson =
+        if (groupByTag.nonEmpty) s"{${jstr(groupByTag)}:${jstr(tv)}}" else "{}"
+      sb.append(s"""{"name":${jstr(measurement)},"tags":$tagJson,"columns":["time","value"],"values":[""")
+      firstVal = true
+      openTag = tv
+    }
+    if (groupByTag.isEmpty) open("") // untagged responses carry one series even when empty
+    rows.foreach { r =>
+      val tv =
+        if (groupByTag.nonEmpty)
+          Option(r.getAs[Any](groupByTag)).map(_.toString).getOrElse("")
+        else ""
+      if (!anySeries || tv != openTag) open(tv)
+      val t = if (hasTime) r.getAs[Long]("time").toString else "0"
+      val v = Option(r.getAs[Any]("value")).map(_.toString).getOrElse("null")
+      if (!firstVal) sb.append(",")
+      sb.append('[').append(t).append(',').append(v).append(']')
+      firstVal = false
+    }
+    if (anySeries) sb.append("]}")
+    sb.append("]")
+    s"""{"Results":[{"Series":$sb}]$nextMarker}"""
   }
 
   private def jstr(s: String) =

@@ -396,6 +396,26 @@ class ApiPipelineSpec extends SparkSpec {
     assert(json.contains(""""tags":{"location_id":"12"}"""))
     assert(json.startsWith("""{"Results":[{"Series":["""))
   }
+
+  test("response shaping streams 10k-tag series in one pass, values time-sorted") {
+    // high tag cardinality: the (tag, time) sort happens in the plan; the
+    // driver holds only the bounded page and one output builder — no
+    // per-tag grouping maps (each tag here yields its own series, with
+    // its two points in time order despite shuffled input order)
+    val rows = (0 until 10000).flatMap(i =>
+      Seq((1704103260L, 2.0 * i, f"tag_$i%05d"), (1704103200L, 1.0 * i, f"tag_$i%05d")))
+    val df = spark.createDataFrame(rows).toDF("time", "value", "tag")
+      .repartition(8) // arrive unsorted
+    val json = Api.shapeResponse(df, "m", "tag")
+    assert("\"tags\":".r.findAllIn(json).length == 10000)
+    assert(json.contains(
+      """"tags":{"tag":"tag_00007"},"columns":["time","value"],"values":[[1704103200,7.0],[1704103260,14.0]]"""))
+    assert(!json.contains("next")) // 20k rows < maxRows: no truncation
+    // truncation on the same high-cardinality frame: page bounded by time,
+    // marker = max kept time
+    val paged = Api.shapeResponse(df, "m", "tag", maxRows = 10000)
+    assert(paged.endsWith(""","next":1704103200}"""))
+  }
 }
 
 /** Top-level so Spark can derive an Encoder (needs a TypeTag). */
