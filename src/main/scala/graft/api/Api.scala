@@ -41,6 +41,18 @@ object Api {
       registry: Option[ProcessRegistry] = None)
 
   /**
+   * Storage admission control limits — the reference's disk monitor
+   * (integration.go:283-306 StartDiskMonitor, default limit wired at
+   * Boot, integration.go:320-321: 85%). `maxBytes` is a byte budget on
+   * the store root — the portable formulation for object stores, where
+   * "percent of disk" has no meaning; `usedPercentLimit` additionally
+   * applies the reference's percent-of-filesystem rule where the
+   * underlying FileSystem reports capacity (local disk, HDFS).
+   */
+  final case class StorageQuota(maxBytes: Long = Long.MaxValue,
+      usedPercentLimit: Double = 85.0)
+
+  /**
    * Multi-process manager — the reference's Integration
    * (reference: src/integration/tsdb/integration.go:37-49,239-283): a
    * registry of processes, each with its own config, filter/selector
@@ -48,7 +60,7 @@ object Api {
    * every tsdb command through the payload's proc id (admin.go:404-416).
    */
   final class ProcessRegistry(spark: SparkSession, storeRoot: String,
-      defaults: Seq[ProcessConfig]) {
+      defaults: Seq[ProcessConfig], quota: Option[StorageQuota] = None) {
     final class Handle(val state: ProcessState, val store: TierStore) {
       @volatile var status: String = "LOADED"
     }
@@ -111,6 +123,45 @@ object Api {
     def resetToDefault(): Unit = synchronized {
       procs.clear()
       defaults.foreach(initProcess)
+    }
+
+    /** Bytes currently held under the registry's store root. */
+    def usedStoreBytes: Long = {
+      val p = new org.apache.hadoop.fs.Path(storeRoot)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }
+
+    /**
+     * Disk-monitor tick (integration.go:288-306): when the store exceeds
+     * the quota, EVERY process is flipped to STOPPED (the reference stops
+     * all processes and its metadata store on breach) and subsequent
+     * routed writes are rejected until an operator restarts them.
+     * Returns (status, error) in the ctrl-report shape: ("alarm", msg) on
+     * breach, ("ok", "") otherwise (also when no quota is configured —
+     * DisableDiskMonitor semantics).
+     */
+    def checkStorageQuota(): (String, String) = synchronized {
+      quota match {
+        case None => ("ok", "")
+        case Some(q) =>
+          val used = usedStoreBytes
+          val overBytes = used > q.maxBytes
+          val pct =
+            try {
+              val st = new org.apache.hadoop.fs.Path(storeRoot)
+                .getFileSystem(spark.sparkContext.hadoopConfiguration).getStatus
+              if (st.getCapacity > 0) Some(100.0 * st.getUsed / st.getCapacity) else None
+            } catch { case _: Exception => None }
+          val overPct = pct.exists(_ > q.usedPercentLimit)
+          if (overBytes || overPct) {
+            procs.values.foreach(_.status = "STOPPED") // integration.go:296-301
+            val what =
+              if (overBytes) s"store size $used B over budget ${q.maxBytes} B"
+              else f"disk usage ${pct.get}%.1f%% over limit ${q.usedPercentLimit}%.1f%%"
+            ("alarm", s"DISK LOW SPACE: $what; all processes stopped")
+          } else ("ok", "")
+      }
     }
   }
 
@@ -195,6 +246,9 @@ object Api {
     case "cmd.ecprocess.reset_to_default" => // admin.go:151-155
       registryOf(ctx).resetToDefault()
       ctx.spark.emptyDataFrame
+    case "cmd.ecprocess.check_storage" => // disk-monitor tick (integration.go:283-306)
+      val (status, err) = registryOf(ctx).checkStorageQuota()
+      ctrlReport(ctx, "disk_monitor", status, err, 0)
 
     case "cmd.log.set_level" => // admin.go:374-388
       val level = payload.asInstanceOf[String].toUpperCase
@@ -210,6 +264,12 @@ object Api {
       // (procId, points) payload routes to that process's store
       val (routed, points) = payload match {
         case (procId: Int, pts: Seq[_]) =>
+          // admission control: a STOPPED process (operator stop or disk
+          // alarm, integration.go:296-301) accepts no writes
+          ctx.registry.flatMap(_.byId(procId)).foreach { h =>
+            if (h.status == "STOPPED") throw new IllegalStateException(
+              s"process $procId is STOPPED: write rejected")
+          }
           (procCtx(ctx, procId), pts.asInstanceOf[Seq[WritePoint]])
         case pts: Seq[_] => (ctx, pts.asInstanceOf[Seq[WritePoint]])
         case other => throw new IllegalArgumentException(s"bad write payload: $other")

@@ -183,6 +183,43 @@ class ApiPipelineSpec extends SparkSpec {
       .filter(col("measurement") === "m_y").count() == 0)
   }
 
+  test("storage quota: disk alarm stops all processes and rejects writes (integration.go:283-321)") {
+    import graft.model.ProcessConfig
+    val root = tmpDir()
+    // tiny byte budget; percent limit kept permissive so the assertion is
+    // deterministic on any build machine
+    val reg = new Api.ProcessRegistry(spark, root,
+      Seq(ProcessConfig(id = 1, autostart = true), ProcessConfig(id = 2, autostart = true)),
+      quota = Some(Api.StorageQuota(maxBytes = 1024, usedPercentLimit = 100.0)))
+    val ctx = Api.Context(spark, reg.byId(1).get.store, registry = Some(reg))
+    def writeOne(procId: Int) = Api.dispatch(ctx, "cmd.tsdb.write_data_points", (procId,
+      Seq(Api.WritePoint("m_q", Map("dev_id" -> "d1"), Map("value" -> 1.0),
+        Timestamp.valueOf("2024-01-01 10:00:00")))))
+    // under budget: monitor tick reports ok, writes flow
+    val ok = Api.dispatch(ctx, "cmd.ecprocess.check_storage", null).collect().head
+    assert(ok.getAs[String]("op") == "disk_monitor" && ok.getAs[String]("status") == "ok")
+    // blow the budget (a single parquet file's footer alone exceeds 1 KiB)
+    writeOne(1)
+    assert(reg.usedStoreBytes > 1024)
+    val alarm = Api.dispatch(ctx, "cmd.ecprocess.check_storage", null).collect().head
+    assert(alarm.getAs[String]("op") == "disk_monitor") // ctrl_report shape
+    assert(alarm.getAs[String]("status") == "alarm")
+    assert(alarm.getAs[String]("error").contains("DISK LOW SPACE"))
+    assert(alarm.getAs[Int]("proc_id") == 0)
+    // every process stopped (the reference stops them all), writes rejected
+    assert(reg.processes.forall(_._2 == "STOPPED"))
+    val rej = intercept[IllegalStateException](writeOne(2))
+    assert(rej.getMessage.contains("STOPPED"))
+    // operator restart re-admits writes (and the envelope shape carries
+    // the rejection for shaped dispatch)
+    Api.dispatch(ctx, "cmd.ecprocess.ctrl", (1, "start"))
+    writeOne(1)
+    assert(Api.dispatchShaped(ctx, "cmd.tsdb.write_data_points", (2, Seq(
+      Api.WritePoint("m_q", Map.empty[String, String], Map("value" -> 1.0),
+        Timestamp.valueOf("2024-01-01 10:00:00")))))
+      .startsWith("""{"Results":null,"error":"""))
+  }
+
   test("error envelope: failing queries return the reference error shape (docs/api:364-380)") {
     val store = new TierStore(spark, tmpDir())
     val ctx = Api.Context(spark, store)
