@@ -9,11 +9,15 @@ import org.apache.spark.sql.types._
  * columns with typed metadata structs, plus decode / feature-extract /
  * resize / frame-sample stages.
  *
- * The actual codec step is STUBBED with a deterministic fake (no
- * image/audio libraries in this environment) — everything Spark-side
- * (schema, batch shape, partition behavior, the mapPartitions contract
- * a vectorized decode UDF would run under) is real and tested. Swap
- * `FakeCodec` for a real decoder without touching the pipeline.
+ * Codecs: IMAGE rows decode through a real JVM codec
+ * ([[ImageCodec]], javax.imageio — PNG/JPEG/BMP/GIF, built into every
+ * JDK, no native deps on executors). Audio/video decode remains STUBBED
+ * with a deterministic fake (no JVM-built-in decoder exists);
+ * everything Spark-side (schema, batch shape, partition behavior, the
+ * mapPartitions contract a vectorized decode UDF runs under) is real
+ * and tested, so swapping in an FFmpeg-style decoder touches only the
+ * codec object. Image payloads that are not decodable bitstreams (e.g.
+ * synthetic fixtures) deterministically fall back to the fake.
  *
  * Scale notes: binary payloads stay columnar until the decode stage, the
  * decode runs per-partition (mapPartitions — one codec init per
@@ -64,15 +68,85 @@ object Multimodal {
   }
 
   /**
+   * Real image codec on the JDK's built-in javax.imageio readers
+   * (PNG/JPEG/BMP/GIF) — works headless on any executor JVM, no native
+   * libraries to deploy.
+   */
+  object ImageCodec {
+    /** bytes → image; None when the payload is not a decodable bitstream. */
+    def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => None }
+
+    /** Decode → fixed-width feature: mean luminance over a √dim × √dim
+     *  grid, row-major, normalized to [0,1] — the classic tiny-thumbnail
+     *  embedding. (Per-pixel getRGB is fine at thumbnail scale; a
+     *  production embedder replaces this whole method anyway.) */
+    def decodeToFeature(payload: Array[Byte], dim: Int): Option[Array[Float]] =
+      decode(payload).map { img =>
+        val grid = math.max(1, math.sqrt(dim.toDouble).toInt)
+        val out = new Array[Float](dim)
+        val cnt = new Array[Int](dim)
+        val w = img.getWidth
+        val h = img.getHeight
+        var y = 0
+        while (y < h) {
+          val gy = y * grid / h
+          var x = 0
+          while (x < w) {
+            val cell = gy * grid + x * grid / w
+            if (cell < dim) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+                (rgb & 0xFF) * 114) / 1000
+              out(cell) += lum / 255.0f
+              cnt(cell) += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        var i = 0
+        while (i < dim) { if (cnt(i) > 0) out(i) /= cnt(i); i += 1 }
+        out
+      }
+
+    /** Real bilinear resize, re-encoded as PNG. */
+    def resize(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+      decode(payload).map { img =>
+        val scaled = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = scaled.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(scaled, "png", bos)
+        bos.toByteArray
+      }
+  }
+
+  /**
    * Feature extraction stage: per-partition batched decode (the shape a
    * vectorized/pandas-style UDF runs under — one codec per partition,
-   * rows streamed through it).
+   * rows streamed through it). Image rows take the real javax.imageio
+   * path; audio/video (and non-decodable image payloads) take the
+   * deterministic fake.
    */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 64): Dataset[Feature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // real impl: initialize the codec ONCE here
-      it.map(r => Feature(r.media_id, FakeCodec.decodeToFeature(r.payload, dim)))
+      // a stateful codec/embedder initializes ONCE here, per partition
+      it.map { r =>
+        val feat =
+          if (r.meta.media_type == "image")
+            ImageCodec.decodeToFeature(r.payload, dim)
+              .getOrElse(FakeCodec.decodeToFeature(r.payload, dim))
+          else FakeCodec.decodeToFeature(r.payload, dim)
+        Feature(r.media_id, feat)
+      }
     }
   }
 
@@ -87,19 +161,23 @@ object Multimodal {
   }
 
   /**
-   * Resize stage for image rows: returns new payloads with updated
-   * metadata. Codec stubbed (deterministic byte subsample standing in for
-   * a real scaler); the Spark contract — binary in, binary out, metadata
-   * struct rewritten, non-images passed through — is real.
+   * Resize stage for image rows: decodable images go through the REAL
+   * javax.imageio bilinear scaler (re-encoded as PNG, metadata rewritten);
+   * non-decodable image payloads keep the deterministic byte-subsample
+   * stub; non-images pass through untouched.
    */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.map { r =>
       if (r.meta.media_type != "image") r
-      else {
-        val stride = math.max(1, r.payload.length / math.max(1, (w * h) / 64))
-        val scaled = r.payload.indices.by(stride).map(r.payload).toArray
-        r.copy(payload = scaled, meta = r.meta.copy(width = w, height = h))
+      else ImageCodec.resize(r.payload, w, h) match {
+        case Some(bytes) =>
+          r.copy(payload = bytes,
+            meta = r.meta.copy(format = "png", width = w, height = h))
+        case None =>
+          val stride = math.max(1, r.payload.length / math.max(1, (w * h) / 64))
+          val scaled = r.payload.indices.by(stride).map(r.payload).toArray
+          r.copy(payload = scaled, meta = r.meta.copy(width = w, height = h))
       }
     }
   }

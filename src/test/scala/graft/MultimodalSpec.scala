@@ -4,10 +4,51 @@ import graft.functions.Multimodal
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: schema, per-partition decode contract,
- *  frame sampling, metadata-only pruning. Codec is a deterministic stub. */
+ *  frame sampling, metadata-only pruning. Images use the real
+ *  javax.imageio codec; audio/video use the deterministic stub. */
 class MultimodalSpec extends SparkSpec {
 
   private lazy val media = Multimodal.synthetic(spark, 30)
+
+  /** A real PNG: left half black, right half white. */
+  private def png(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real PNG decode: features reflect pixel luminance, resize re-encodes (javax.imageio)") {
+    import spark.implicits._
+    val row = Multimodal.MediaRow(1L, png(64, 64),
+      Multimodal.MediaMeta("image", "png", 64, 64, 0L, 0))
+    val ds = spark.createDataset(Seq(row))
+    // 4×4 grid over a half-black/half-white image: left two columns ≈ 0,
+    // right two ≈ 1, row-major
+    val feat = Multimodal.extractFeatures(ds, dim = 16).collect().head.feature
+    for (r <- 0 until 4; c <- 0 until 4) {
+      val v = feat(r * 4 + c)
+      if (c < 2) assert(v < 0.01, s"cell ($r,$c) should be black, got $v")
+      else assert(v > 0.99, s"cell ($r,$c) should be white, got $v")
+    }
+    // real resize: output decodes as a 16×8 PNG, metadata rewritten
+    val resized = Multimodal.resize(ds, 16, 8).collect().head
+    assert(resized.meta.format == "png" && resized.meta.width == 16)
+    val back = Multimodal.ImageCodec.decode(resized.payload).get
+    assert(back.getWidth == 16 && back.getHeight == 8)
+    // scaled content preserved: left edge black, right edge white
+    assert((back.getRGB(0, 4) & 0xFFFFFF) == 0x000000)
+    assert((back.getRGB(15, 4) & 0xFFFFFF) == 0xFFFFFF)
+    // non-decodable image payloads keep the deterministic fallback
+    val junk = Multimodal.MediaRow(2L, Array.tabulate[Byte](64)(_.toByte),
+      Multimodal.MediaMeta("image", "jpeg", 8, 8, 0L, 0))
+    val f2 = Multimodal.extractFeatures(spark.createDataset(Seq(junk)), dim = 16)
+      .collect().head.feature
+    assert(f2.sameElements(Multimodal.FakeCodec.decodeToFeature(junk.payload, 16)))
+  }
 
   test("feature extraction: fixed-width vectors, deterministic") {
     val f1 = Multimodal.extractFeatures(media, dim = 16).collect().sortBy(_.media_id)
