@@ -162,34 +162,60 @@ final class TierStore(spark: SparkSession, root: String) {
    * Small-file compaction. Streaming ingest appends one parquet file per
    * micro-batch per (measurement, date) partition — at a 5 s trigger
    * that is ~17k files/partition/day, which kills scan planning and
-   * object-store listing long before 100 TB. Rewrites every partition
-   * holding at least `minFiles` files into ⌈bytes/targetFileBytes⌉
-   * files (write to a sibling temp dir, then swap). The swap is
-   * delete-then-rename: a concurrent reader can see an empty partition
-   * for a moment — run it from the single-writer maintenance job (the
-   * same assumption the reference's InfluxDB compactions make).
-   * Returns the number of partitions rewritten.
+   * object-store listing long before 100 TB.
+   *
+   * The compaction PLAN is computed from directory metadata only (no data
+   * jobs); every qualifying partition (≥ `minFiles` files) is then
+   * rewritten by ONE Spark job: a single scan of the qualifying
+   * partitions, hash-bucketed so each partition comes out in
+   * ⌈bytes/targetFileBytes⌉ time-sorted files, written to a hidden
+   * staging dir and swapped in per partition. One job for 10k stale
+   * partitions, not 10k jobs. The swap is delete-then-rename: a
+   * concurrent reader can see an empty partition for a moment — run it
+   * from the single-writer maintenance job (the same assumption the
+   * reference's InfluxDB compactions make). Returns the number of
+   * partitions rewritten.
    */
   def compact(tier: Tier, targetFileBytes: Long = 128L * 1024 * 1024,
       minFiles: Int = 4): Int = {
-    var done = 0
-    for {
+    // (measurement, date, partition dir, bytes) of qualifying partitions
+    val parts = for {
       mDir <- subDirs(path(tier.name)) if mDir.getName.startsWith("measurement=")
       dDir <- subDirs(mDir.toString) if dDir.getName.startsWith("date=")
-    } {
-      val files = fs.listStatus(dDir)
+      files = fs.listStatus(dDir)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      if (files.length >= minFiles) {
-        val nOut = math.max(1,
-          math.ceil(files.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
-        val tmp = new HPath(dDir.getParent, dDir.getName + "._compacting")
-        spark.read.parquet(dDir.toString).repartition(nOut)
-          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      if files.length >= minFiles
+    } yield (mDir.getName.stripPrefix("measurement="),
+      dDir.getName.stripPrefix("date="), dDir, files.map(_.getLen).sum)
+    if (parts.isEmpty) return 0
+
+    val staging = new HPath(path(tier.name), "._compacting") // hidden from scans
+    rmTree(staging.toString)
+    val sparkL = spark
+    import sparkL.implicits._
+    val plan = broadcast(parts.map { case (m, d, _, bytes) =>
+      (m, d, math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt))
+    }.toDF("_m", "_d", "_n"))
+    spark.read.option("basePath", path(tier.name))
+      .parquet(parts.map(_._3.toString): _*)
+      .join(plan, col("measurement") === col("_m") &&
+        col("date").cast("string") === col("_d"))
+      .withColumn("_fb", pmod(xxhash64(col("time")), col("_n")))
+      .repartition(col("measurement"), col("date"), col("_fb"))
+      .sortWithinPartitions(col("measurement"), col("date"), col("time"))
+      .drop("_m", "_d", "_n", "_fb")
+      .write.partitionBy("measurement", "date").parquet(staging.toString)
+
+    var done = 0
+    parts.foreach { case (m, d, dDir, _) =>
+      val fresh = new HPath(staging, s"measurement=$m/date=$d")
+      if (fs.exists(fresh)) {
         fs.delete(dDir, true)
-        fs.rename(tmp, dDir)
+        fs.rename(fresh, dDir)
         done += 1
       }
     }
+    rmTree(staging.toString)
     done
   }
 }

@@ -142,6 +142,32 @@ class StoreStreamSpec extends SparkSpec {
     assert(store.compact(Tier.GenRaw, minFiles = 2) == 0)
   }
 
+  test("compaction rewrites many partitions in one pass, single-file threshold respected") {
+    val root = tmpDir()
+    val store = new TierStore(spark, root)
+    val sc = spark.sparkContext
+    // 3 measurements × 2 dates, 3 small appends each = 6 stale partitions;
+    // one partition left below threshold
+    for (i <- 1 to 3; m <- Seq("m_a", "m_b", "m_c"); day <- Seq("2024-01-01", "2024-01-02"))
+      store.write(Tier.GenRaw, pts((m, day, i.toDouble)))
+    store.write(Tier.GenRaw, pts(("m_solo", "2024-01-03", 9.0))) // 1 file only
+    val before = store.read(Tier.GenRaw).collect()
+      .map(r => (r.getAs[String]("measurement"), r.getAs[Double]("value"))).sorted.toSeq
+    val jobsBefore = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(store.compact(Tier.GenRaw, minFiles = 3) == 6)
+    val jobsUsed = sc.statusTracker.getJobIdsForGroup(null).length - jobsBefore
+    // constant job count (listing/schema/broadcast/write), NOT one per
+    // partition — 6 partitions must stay well under 6 jobs
+    assert(jobsUsed <= 5, s"compaction of 6 partitions ran $jobsUsed jobs — must not scale with partitions")
+    for (m <- Seq("m_a", "m_b", "m_c"); day <- Seq("2024-01-01", "2024-01-02")) {
+      val dir = new java.io.File(s"$root/tier=gen_raw/measurement=$m/date=$day")
+      assert(dir.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    }
+    val after = store.read(Tier.GenRaw).collect()
+      .map(r => (r.getAs[String]("measurement"), r.getAs[Double]("value"))).sorted.toSeq
+    assert(after == before)
+  }
+
   test("streaming rollup hop tails the source tier into the next (CQ analog)") {
     import graft.rollup.Downsampler
     val store = new TierStore(spark, tmpDir())
