@@ -74,6 +74,80 @@ object MetadataStore {
       refreshIntervalMs: Long = 30000): Provider =
     new Provider(() => load(spark, path), refreshIntervalMs)
 
+  // ------------------------------------------------------------------
+  // Transport payload shapes. The reference's other two metadata stores
+  // differ from the file store only in TRANSPORT (an MQTT
+  // request/response fetching the same kind of document); the engine is
+  // transport-agnostic by design, so the capability is parsing the
+  // payloads those transports deliver. Point the loaders at wherever the
+  // fetched document lands (file, object store); wrap in a Provider for
+  // the periodic re-sync.
+  // ------------------------------------------------------------------
+
+  import org.apache.spark.sql.types._
+
+  private val vincSiteSchema = StructType(Seq(
+    StructField("devices", ArrayType(StructType(Seq(
+      StructField("id", LongType),
+      StructField("room", LongType),
+      StructField("type", MapType(StringType, StringType)),
+      StructField("services", ArrayType(StructType(Seq(
+        StructField("name", StringType),
+        StructField("addr", StringType),
+        StructField("address", StringType)))))))))))
+
+  /**
+   * Vinculum site-response shape (vinc_store.go:34-61; the primefimp
+   * site document): `devices[]` with id, room, a `type{type,subtype}`
+   * map and per-service addresses. One dimension row per service
+   * address; `device_type` is composed as `type[.subtype]` exactly like
+   * the reference's composeType (vinc_store.go:111-123, "" when untyped).
+   */
+  def loadVincSite(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", true).schema(vincSiteSchema).json(path)
+      .select(explode(col("devices")).as("d"))
+      .select(
+        col("d.id").cast("int").as("device_id"),
+        col("d.room").cast("int").as("location_id"),
+        concat_ws(".", element_at(col("d.type"), "type"),
+          element_at(col("d.type"), "subtype")).as("device_type"),
+        explode(col("d.services")).as("s"))
+      .select(
+        coalesce(col("s.addr"), col("s.address")).as("address"),
+        col("device_id"), col("location_id"), col("device_type"))
+
+  private val tpRegSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("address", StringType),
+    StructField("integr_id", StringType),
+    StructField("container_id", LongType),
+    StructField("container_type", StringType),
+    StructField("location_id", LongType)))
+
+  /**
+   * Tpflow registry-response shape (tp_store.go:10-17,44-50
+   * `cmd.registry.get_services` reply): an array of TpRegService
+   * records; DeviceID = container_id, no device type (the reference
+   * leaves it empty too).
+   */
+  def loadTpRegistry(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", true).schema(tpRegSchema).json(path)
+      .select(
+        col("address"),
+        col("container_id").cast("int").as("device_id"),
+        col("location_id").cast("int").as("location_id"),
+        lit(null).cast("string").as("device_type"))
+
+  /** Vinculum-shape provider with the reference's 30 s site-cache reload. */
+  def vincProvider(spark: SparkSession, path: String,
+      refreshIntervalMs: Long = 30000): Provider =
+    new Provider(() => loadVincSite(spark, path), refreshIntervalMs)
+
+  /** Tpflow-registry-shape provider. */
+  def tpProvider(spark: SparkSession, path: String,
+      refreshIntervalMs: Long = 30000): Provider =
+    new Provider(() => loadTpRegistry(spark, path), refreshIntervalMs)
+
   /**
    * Device → group maps for post-query regrouping
    * (reference: vinc_store.go:63-109 GetDevicesGroupedByLocation/Type;
