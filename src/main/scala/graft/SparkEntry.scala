@@ -544,6 +544,30 @@ object SparkEntry {
         threshold = 0.8)
     }),
 
+    "dedup_clusters" -> ((s, dir) => {
+      // near-dup CLUSTERS: connected components over the exact-Jaccard
+      // pair list via iterative min-label propagation; every clustered doc
+      // labeled with the min doc_id of its component
+      val pairs = Dedup.ngramJaccardPairs(table(s, dir, "documents"), n = 3,
+        threshold = 0.8, maxShingleFreq = Int.MaxValue)
+      Dedup.clusters(pairs).select(col("id").as("doc_id"), col("cluster"))
+    }),
+
+    "samp_bernoulli" -> ((s, dir) => {
+      // deterministic hash-gated Bernoulli sample (curation keep-rate)
+      graft.functions.Sampling.sampleByHash(table(s, dir, "documents"), "doc_id", 0.25)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
+    "samp_cap_source" -> ((s, dir) => {
+      // per-source quota: the 10 smallest (hash-uniform, id) docs per
+      // source — two-phase pre-filter + exact rank, matched against the
+      // oracle's full-window formulation (binds at every SF: 25+ docs/source)
+      graft.functions.Sampling.capPerGroup(table(s, dir, "documents"),
+        "source", "doc_id", n = 10)
+        .select(col("doc_id"), col("source"))
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       // portable (md5-based, 60-bit) signature mode so DuckDB reproduces
       // the hash bits exactly; blocking/verification identical to the
@@ -1020,6 +1044,48 @@ object SparkEntry {
         |SELECT id_a, id_b,
         |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
         |FROM j WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.8""".stripMargin,
+
+    // transitive closure of the verified pair list (recursive CTE): min
+    // reachable id ≡ the engine's min-label-propagation fixpoint
+    "dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+        |    i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS s
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3),
+        |p AS (SELECT doc_id, len(s) n, unnest(s) g FROM sh WHERE len(s) > 0),
+        |j AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter,
+        |        any_value(a.n) na, any_value(b.n) nb
+        |      FROM p a JOIN p b ON a.g = b.g AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |pr AS (SELECT id_a, id_b FROM j
+        |       WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.8),
+        |e AS (SELECT id_a s, id_b d FROM pr UNION SELECT id_b, id_a FROM pr),
+        |walk(s, d) AS (
+        |  SELECT s, d FROM e
+        |  UNION
+        |  SELECT w.s, e.d FROM walk w JOIN e ON w.d = e.s)
+        |SELECT s AS doc_id, least(s, min(d)) AS cluster
+        |FROM walk GROUP BY s""".stripMargin,
+
+    "samp_bernoulli" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      / 4294967296.0 < 0.25""".stripMargin,
+
+    // full-window formulation — the engine's two-phase plan must produce
+    // exactly this deterministic per-source top-10
+    "samp_cap_source" ->
+      """WITH u AS (
+        |  SELECT doc_id, source,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      / 4294967296.0 AS uu
+        |  FROM documents),
+        |r AS (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY source ORDER BY uu, doc_id) rn
+        |      FROM u)
+        |SELECT doc_id, source FROM r WHERE rn <= 10""".stripMargin,
 
     "dedup_minhash" ->
       """WITH sh AS (

@@ -74,6 +74,45 @@ object Dedup {
   }
 
   /**
+   * Near-duplicate CLUSTERS from a pair list: connected components via
+   * iterative min-label propagation (a DataFrame-native union-find).
+   * Every node starts labeled with itself; each round, labels flow across
+   * edges and every node keeps the minimum label seen; fixpoint after
+   * O(component diameter) rounds — near-dup clusters are shallow (stars /
+   * short chains from a transitive similarity relation), so 2-4 rounds in
+   * practice. Each round is two shuffles on (node, label) longs — never
+   * materializes the transitive closure, which is what makes it viable
+   * when a hot boilerplate cluster has 10^6 members at 100 TB.
+   * `localCheckpoint` truncates lineage per round so the plan stays flat.
+   *
+   * Returns (id, cluster) for every node that appears in `pairs`;
+   * singleton documents are their own cluster by definition and are left
+   * to the caller (a left join + coalesce(cluster, id)).
+   */
+  def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIters: Int = 50): DataFrame = {
+    val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")).localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val viaEdges = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("cluster"))
+      val next = viaEdges.unionAll(labels)
+        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("cluster", "_old"), "id")
+        .filter(col("cluster") =!= col("_old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /**
    * MinHash signature: k permutation-style hash slots, each
    * min over shingles of ((a_i·h + b_i) mod p), h = crc32 of the shingle.
    * Deterministic seeds; p = 2^31−1 (classic universal hashing).

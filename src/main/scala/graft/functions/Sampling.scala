@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling / quota operators for training-data curation.
+ *
+ * Everything here keys off a PORTABLE hash-derived uniform instead of
+ * `rand()`:
+ *  - reproducible across runs, engines (the DuckDB oracle replicates it
+ *    bit-for-bit from md5) and cluster sizes;
+ *  - safe under task retries and speculative execution — `rand()` draws
+ *    a DIFFERENT value when a task re-runs, which silently changes the
+ *    sample (and breaks exactly-once semantics of downstream joins);
+ *  - stable as the corpus grows: a document's keep/drop fate depends
+ *    only on its key, so incremental pipeline runs don't resample the
+ *    old data.
+ */
+object Sampling {
+
+  /** Key → uniform in [0, 1): the first 32 bits of md5(key as string),
+   *  scaled. Portable: any engine with md5 reproduces it exactly. */
+  def portableUniform(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") / 4294967296.0
+
+  /** Deterministic Bernoulli sample: keep rows whose key-derived uniform
+   *  falls below `p`. A pure filter — pushes into the scan, no shuffle. */
+  def sampleByHash(df: DataFrame, keyCol: String, p: Double): DataFrame =
+    df.filter(portableUniform(col(keyCol)) < p)
+
+  /**
+   * Per-group quota (e.g. ≤ `n` documents per source/domain), selection
+   * deterministic by hashed key: the kept rows are the `n` smallest
+   * (uniform, key) per group.
+   *
+   * Scale shape: the naive formulation is a row_number window over the
+   * full group — one task sorts the whole group, which dies on a
+   * billion-row domain. Instead a two-phase plan: per-group counts (tiny,
+   * broadcast) set a hash threshold that pre-filters each group down to
+   * ~`safety`·n expected survivors, and the exact rank runs over the
+   * pre-filtered slice only. Groups where the pre-filter (with
+   * probability ≲ e^−n·(1−1/safety)²/2) kept fewer than n rows fall back
+   * to the exact window over just those groups, so the result is always
+   * exactly the deterministic top-n — the fallback is a correctness
+   * net, not a different answer.
+   */
+  def capPerGroup(df: DataFrame, groupCol: String, keyCol: String, n: Int,
+      safety: Double = 3.0): DataFrame = {
+    val u = portableUniform(col(keyCol))
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_cnt"))
+    val pre = df.join(broadcast(counts), Seq(groupCol))
+      .filter(u < least(lit(1.0), lit(safety * n) / col("_cnt")))
+      .drop("_cnt")
+    // groups whose pre-filter kept fewer than n rows AND dropped anything
+    // (possible only by hash-tail bad luck) → exact window over those few
+    val preCounts = pre.groupBy(col(groupCol)).agg(count(lit(1)).as("_kept"))
+    val short = counts.join(preCounts, Seq(groupCol), "left")
+      .filter(coalesce(col("_kept"), lit(0L)) < n &&
+        col("_cnt") > coalesce(col("_kept"), lit(0L)))
+      .select(col(groupCol))
+    val w = Window.partitionBy(col(groupCol)).orderBy(u, col(keyCol))
+    val fromPre = pre.join(broadcast(short), Seq(groupCol), "left_anti")
+      .withColumn("_r", row_number().over(w)).filter(col("_r") <= n).drop("_r")
+    val fromFull = df.join(broadcast(short), Seq(groupCol))
+      .withColumn("_r", row_number().over(w)).filter(col("_r") <= n).drop("_r")
+    fromPre.unionByName(fromFull)
+  }
+}

@@ -200,4 +200,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(1L) == out(3L))
     assert(out(1L) != out(2L))
   }
+
+  test("near-dup clusters: min-label propagation = connected components") {
+    // chain 1-2-3 (diameter 2), pair 7-8, plus a long chain 10..19
+    // (diameter 9 — forces multiple propagation rounds to fixpoint)
+    val pairs = (Seq((1L, 2L), (2L, 3L), (7L, 8L)) ++
+      (10L until 19L).map(i => (i, i + 1))).toDF("id_a", "id_b")
+    val out = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L).forall(out(_) == 1L))
+    assert(out(7L) == 7L && out(8L) == 7L)
+    assert((10L to 19L).forall(out(_) == 10L))
+    assert(out.size == 15)
+  }
+
+  test("hash sampling is deterministic and exact across plans") {
+    import graft.functions.Sampling
+    val d = docs.select(col("doc_id"), col("source"))
+    // Bernoulli: same rows on every run, rate in a sane band
+    val s1 = Sampling.sampleByHash(d, "doc_id", 0.3).as[(Long, String)].collect().toSet
+    val s2 = Sampling.sampleByHash(d, "doc_id", 0.3).as[(Long, String)].collect().toSet
+    assert(s1 == s2 && s1.nonEmpty && s1.size < d.count())
+    // capPerGroup (two-phase) ≡ the naive full-window formulation
+    import org.apache.spark.sql.expressions.Window
+    val u = Sampling.portableUniform(col("doc_id"))
+    val w = Window.partitionBy(col("source")).orderBy(u, col("doc_id"))
+    val naive = d.withColumn("_r", row_number().over(w)).filter(col("_r") <= 3)
+      .select("doc_id", "source").as[(Long, String)].collect().toSet
+    val twoPhase = Sampling.capPerGroup(d, "source", "doc_id", n = 3)
+      .select("doc_id", "source").as[(Long, String)].collect().toSet
+    assert(twoPhase == naive)
+    // undershooting pre-filter (safety < 1) must fall back to exact
+    val forced = Sampling.capPerGroup(d, "source", "doc_id", n = 3, safety = 0.01)
+      .select("doc_id", "source").as[(Long, String)].collect().toSet
+    assert(forced == naive)
+  }
 }
