@@ -528,6 +528,19 @@ object SparkEntry {
         dedupKey = Some(md5(trim(substring(TextFunctions.normalize(col("text")), 1, 64)))))
     }),
 
+    "text_clean" -> ((s, dir) => {
+      // corpus cleanup chain on doctored rows: every document gets
+      // deterministic markup + PII planted (entity-encoded amp, script
+      // block, per-doc email/phone/ip/card), then stripHtml → redactPii
+      val doctored = table(s, dir, "documents").withColumn("dirty",
+        concat(lit("<div class=x>"), col("text"),
+          lit("</div><script>var a=1;</script> Contact: user"),
+          col("doc_id").cast("string"), lit("@example.com &amp; +47 22 33 44 55, ip 10.0.0."),
+          (col("doc_id") % 200).cast("string"), lit(" card 4111 1111 1111 1111.")))
+      doctored.select(col("doc_id"),
+        TextFunctions.redactPii(TextFunctions.stripHtml(col("dirty"))).as("clean"))
+    }),
+
     "dedup_exact" -> ((s, dir) => {
       val keyed = table(s, dir, "documents")
         .withColumn("text", substring(TextFunctions.normalize(col("text")), 1, 64))
@@ -918,6 +931,34 @@ object SparkEntry {
          |      FROM d WHERE delta IS NOT NULL GROUP BY 1, 2)
          |SELECT 'meter;' || series AS series_id, 'meter' AS measurement,
          |  b + 600 AS time_sec, val AS value FROM f""".stripMargin,
+
+    // the exact stripHtml → redactPii chain, RE2 regexes with 'g'
+    "text_clean" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    '<div class=x>' || text || '</div><script>var a=1;</script> Contact: user' ||
+        |    CAST(doc_id AS VARCHAR) || '@example.com &amp; +47 22 33 44 55, ip 10.0.0.' ||
+        |    CAST(doc_id % 200 AS VARCHAR) || ' card 4111 1111 1111 1111.' AS t
+        |  FROM documents),
+        |stripped AS (
+        |  SELECT doc_id,
+        |    regexp_replace(trim(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |        regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |          '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '(?s)<[^>]+>', ' ', 'g'),
+        |        '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |        '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g')
+        |    ), '\s+', ' ', 'g') AS t
+        |  FROM dirty)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(?:\d[ -]?){15}\d\b', '<CARD>', 'g'),
+        |    '\+?\d{2,4}(?:[ -]\d{2,4}){2,5}|\b\+?\d{8,12}\b', '<PHONE>', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS clean
+        |FROM stripped""".stripMargin,
 
     "text_tokens" ->
       """WITH t AS (SELECT doc_id, text,

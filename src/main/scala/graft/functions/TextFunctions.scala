@@ -129,6 +129,42 @@ object TextFunctions {
       (lit(1.0) - punctPenalty) * 0.15 + (lit(1.0) - digitPenalty) * 0.15, 6)
   }
 
+  // --- corpus cleanup: markup stripping + PII redaction ---
+
+  /**
+   * Strip HTML/XML markup: script/style blocks removed wholesale, tags
+   * dropped, the common entities decoded (`&amp;` last, so entity-encoded
+   * entities don't double-decode), whitespace collapsed. Regex-only and
+   * RE2-compatible (no backreferences) — a pure codegen map stage that
+   * external engines replicate exactly. Deliberately NOT a full HTML
+   * parser; neither are the standard C4-style cleanup pipelines.
+   */
+  def stripHtml(text: Column): Column = {
+    val noScript = regexp_replace(text, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "(?s)<[^>]+>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => regexp_replace(c, ent, ch) }
+    regexp_replace(trim(decoded), "\\s+", " ")
+  }
+
+  /**
+   * Redact common PII with typed placeholders: emails, 16-digit
+   * card-like numbers, phone-like digit runs, IPv4 addresses — the
+   * standard pre-training scrub. Regex heuristics (the industry
+   * baseline, not a guarantee), RE2-compatible for oracle parity.
+   * Order matters and is fixed: email → card → phone → ip.
+   */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val card = regexp_replace(email, "\\b(?:\\d[ -]?){15}\\d\\b", "<CARD>")
+    val phone = regexp_replace(card,
+      "\\+?\\d{2,4}(?:[ -]\\d{2,4}){2,5}|\\b\\+?\\d{8,12}\\b", "<PHONE>")
+    regexp_replace(phone, "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
+  }
+
   /** Polynomial rolling hash of the token stream (Rabin-Karp style,
    *  base 31, mod 2^61-1) — an order-sensitive content fingerprint. */
   def rollingHash(text: Column): Column = {

@@ -201,6 +201,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(1L) != out(2L))
   }
 
+  test("stripHtml and redactPii: markup gone, typed placeholders, order fixed") {
+    val in = Seq(
+      "<p>Hi &amp; <b>bye</b></p><script>evil()</script>",
+      "mail a.b+c@ex.co, phone +47 22 33 44 55, ip 10.0.0.7, card 4111 1111 1111 1111",
+      "&amp;lt; stays entity-encoded once") // amp decoded LAST → no double decode
+      .toDF("text")
+    val out = in.select(
+      TextFunctions.redactPii(TextFunctions.stripHtml(col("text"))).as("c"))
+      .as[String].collect()
+    assert(out(0) == "Hi & bye")
+    assert(out(1) == "mail <EMAIL>, phone <PHONE>, ip <IP>, card <CARD>")
+    assert(out(2) == "&lt; stays entity-encoded once")
+  }
+
   test("near-dup clusters: min-label propagation = connected components") {
     // chain 1-2-3 (diameter 2), pair 7-8, plus a long chain 10..19
     // (diameter 9 — forces multiple propagation rounds to fixpoint)
