@@ -74,6 +74,21 @@ object Dedup {
   }
 
   /**
+   * STREAMING exact dedup: suppress re-occurrences of a content
+   * fingerprint across micro-batches. State is the seen-fingerprint set,
+   * bounded by the watermark (`dropDuplicatesWithinWatermark`): two
+   * copies arriving within the horizon dedupe exactly; a copy arriving
+   * later than the horizon can slip through — the standard bounded-state
+   * tradeoff, and the right one at 100 TB/day where an unbounded seen-set
+   * would grow forever. Batch `exact` remains the complete backfill pass.
+   */
+  def streamingExactDedup(docs: DataFrame, textCol: String = "text",
+      timeCol: String = "ingest_time", watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("fp", TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(timeCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /**
    * Near-duplicate CLUSTERS from a pair list: connected components via
    * iterative min-label propagation (a DataFrame-native union-find).
    * Every node starts labeled with itself; each round, labels flow across

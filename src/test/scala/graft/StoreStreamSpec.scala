@@ -272,6 +272,25 @@ class StoreStreamSpec extends SparkSpec {
     assert(joined == Map("a" -> 6.0, "b" -> 4.0))
   }
 
+  test("streaming exact dedup suppresses repeats across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DocIn]
+    val q = graft.functions.Dedup.streamingExactDedup(input.toDF())
+      .select("doc_id")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      val t0 = new Timestamp(1704067200000L)
+      input.addData(DocIn(1L, "Hello  World", t0), DocIn(2L, "other", t0))
+      q.processAllAvailable()
+      // same normalized content, later batch within the watermark → dropped
+      input.addData(DocIn(3L, "hello world", new Timestamp(1704067200000L + 60000)))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_out").as[Long].collect().sorted.toSeq
+      assert(kept == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("streaming difference carries seed across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -294,3 +313,6 @@ class StoreStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+/** Top-level for Encoder derivation (streaming dedup input shape). */
+case class DocIn(doc_id: Long, text: String, ingest_time: java.sql.Timestamp)
