@@ -616,6 +616,20 @@ object SparkEntry {
         threshold = 0.4, nPlanes = 6)
     }),
 
+    "sim_quantize" -> ((s, dir) => {
+      // int8 embedding quantization, verified via a positional checksum
+      // (Σ (i+1)·qᵢ) + scale — scalar columns because the compare layer
+      // sorts rows by value (list columns don't sort)
+      val quant = Similarity.quantizeInt8(col("embedding"))
+      table(s, dir, "embeddings")
+        .select(col("vec_id"), quant.as("_qt"))
+        .select(col("vec_id"),
+          round(col("_qt.scale"), 6).as("scale"),
+          aggregate(
+            transform(col("_qt.q"), (x, i) => x.cast("long") * (i + lit(1)).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("qsum"))
+    }),
+
     "sim_ivf_topk" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       // full-probe IVF ≡ brute force → shares the brute-force oracle
@@ -1143,6 +1157,21 @@ object SparkEntry {
         |SELECT id_a, id_b,
         |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
         |FROM j WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.8""".stripMargin,
+
+    // same arithmetic chain: widen float→double, scale = max|x|/127,
+    // q_i = floor(x_i/scale + 0.5); checksum Σ i·q_i (1-based i ≡ Spark's
+    // 0-based index + 1)
+    "sim_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+        |  FROM embeddings)
+        |SELECT vec_id, round(s, 6) AS scale,
+        |  CASE WHEN s = 0 THEN 0 ELSE
+        |    list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(floor(CAST(embedding[i] AS DOUBLE) / s + 0.5) AS BIGINT) * i))
+        |  END AS qsum
+        |FROM q""".stripMargin,
 
     "sim_cosine_topk" ->
       """WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 5),

@@ -232,6 +232,29 @@ object Similarity {
   }
 
   /**
+   * Symmetric per-vector int8 quantization: scale = max|xᵢ|/127,
+   * qᵢ = floor(xᵢ/scale + 0.5) — 4× smaller embedding storage and
+   * shuffle width, the standard compression before ANN at 100 TB scale
+   * (IVFADC-style; rerank survivors against the full-precision column).
+   * `floor(x + 0.5)` instead of round() so external engines reproduce
+   * the exact integers (round() half-case rules differ across engines).
+   * Zero vectors quantize to zeros with scale 0.
+   */
+  def quantizeInt8(vec: Column): Column = {
+    val mx = array_max(transform(vec, x => abs(x.cast("double"))))
+    val scale = mx / lit(127.0)
+    struct(
+      scale.cast("double").as("scale"),
+      when(mx === 0.0, transform(vec, _ => lit(0)))
+        .otherwise(transform(vec, x =>
+          floor(x.cast("double") / scale + lit(0.5)).cast("int"))).as("q"))
+  }
+
+  /** Dequantized approximation: qᵢ · scale (doubles). */
+  def dequantize(quant: Column): Column =
+    transform(quant.getField("q"), q => q.cast("double") * quant.getField("scale"))
+
+  /**
    * Embedding-cosine near-duplicate pairs above a threshold, blocked by
    * LSH signature (same hyperplane trick; near-identical vectors land in
    * the same bucket with high probability).

@@ -201,6 +201,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(1L) != out(2L))
   }
 
+  test("int8 quantization: bounded error, zero-vector safe, 4x narrower") {
+    import graft.functions.Similarity.{quantizeInt8, dequantize}
+    val v = Seq((1L, Array(0.5f, -1.27f, 0.0f, 1.27f)), (2L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = v.select(col("vec_id"), quantizeInt8(col("embedding")).as("qt"),
+      dequantize(quantizeInt8(col("embedding"))).as("back"), col("embedding"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    val r1 = out(1L)
+    val scale = r1.getStruct(1).getAs[Double]("scale")
+    val q = r1.getStruct(1).getSeq[Int](1)
+    assert(math.abs(scale - 1.27 / 127.0) < 1e-9)
+    assert(q == Seq(50, -127, 0, 127)) // extremes map to ±127 exactly
+    // dequantized error ≤ scale/2 per element
+    val orig = r1.getSeq[Float](3)
+    val back = r1.getSeq[Double](2)
+    assert(orig.zip(back).forall { case (o, b) => math.abs(o - b) <= scale / 2 + 1e-12 })
+    // zero vector: scale 0, all-zero q (no division by zero)
+    assert(out(2L).getStruct(1).getAs[Double]("scale") == 0.0)
+  }
+
   test("stripHtml and redactPii: markup gone, typed placeholders, order fixed") {
     val in = Seq(
       "<p>Hi &amp; <b>bye</b></p><script>evil()</script>",
