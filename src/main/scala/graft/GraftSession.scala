@@ -20,6 +20,14 @@ import org.apache.spark.sql.SparkSession
  *  - AQE left ON (Spark default) — it re-plans skewed joins and
  *    coalesces small shuffle partitions at runtime, which is exactly
  *    what the reference's hot-meter traffic profile needs;
+ *  - `InferFiltersFromGenerate` excluded: the rule copies the entire
+ *    generator-input expression into an inferred `size(...) > 0` filter
+ *    below the explode. For this engine's fan-out transform — a large
+ *    conditional candidate-array expression — that evaluates the whole
+ *    expression TWICE per input row (measured 2× on the ingest map
+ *    stage); explode of an empty array already emits nothing, so the
+ *    filter buys nothing on these shapes (neutral on the dedup posting
+ *    explodes, measured);
  *  - the engine's custom SQL functions registered, so the raw-SQL
  *    command surface (S7) can reach them immediately.
  */
@@ -31,6 +39,8 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
 
   /** Build (or reuse) the session and register the engine's SQL functions. */
   def getOrCreate(master: String = "", shufflePartitions: Int = 32,
