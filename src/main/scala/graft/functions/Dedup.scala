@@ -91,11 +91,12 @@ object Dedup {
   /**
    * Near-duplicate CLUSTERS from a pair list: connected components via
    * iterative min-label propagation (a DataFrame-native union-find).
-   * Every node starts labeled with itself; each round, labels flow across
-   * edges and every node keeps the minimum label seen; fixpoint after
-   * O(component diameter) rounds — near-dup clusters are shallow (stars /
-   * short chains from a transitive similarity relation), so 2-4 rounds in
-   * practice. Each round is two shuffles on (node, label) longs — never
+   * Every node starts labeled with itself; each round, every node takes
+   * the minimum of (its label, its neighbors' labels, its LABEL'S label).
+   * The last term is pointer jumping: label chains halve every round, so
+   * convergence is O(log diameter) rounds, not O(diameter) — a
+   * 10^6-member chain-shaped cluster converges in ~20 rounds instead of
+   * 10^6. Each round is a few shuffles on (node, label) longs — never
    * materializes the transitive closure, which is what makes it viable
    * when a hot boilerplate cluster has 10^6 members at 100 TB.
    * `localCheckpoint` truncates lineage per round so the plan stays flat.
@@ -116,7 +117,11 @@ object Dedup {
     while (!converged && iter < maxIters) {
       val viaEdges = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("cluster"))
-      val next = viaEdges.unionAll(labels)
+      // pointer jump: adopt my label's own label (halves label chains)
+      val viaLabel = labels.as("a")
+        .join(labels.as("b"), col("a.cluster") === col("b.id"))
+        .select(col("a.id").as("id"), col("b.cluster").as("cluster"))
+      val next = viaEdges.unionAll(viaLabel).unionAll(labels)
         .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
         .localCheckpoint(true)
       converged = next.join(labels.withColumnRenamed("cluster", "_old"), "id")

@@ -245,6 +245,12 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(7L) == 7L && out(8L) == 7L)
     assert((10L to 19L).forall(out(_) == 10L))
     assert(out.size == 15)
+    // pointer jumping: a 200-node chain (diameter 199) must converge well
+    // inside the default iteration cap — plain propagation would need 199
+    // rounds and silently stop at the cap with wrong labels
+    val chain = (100L until 299L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val longOut = Dedup.clusters(chain).as[(Long, Long)].collect().toMap
+    assert((100L to 299L).forall(longOut(_) == 100L))
   }
 
   test("hash sampling is deterministic and exact across plans") {
