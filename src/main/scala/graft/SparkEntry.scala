@@ -572,6 +572,20 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"))
     }),
 
+    "samp_split" -> ((s, dir) => {
+      // deterministic 90/5/5 train/val/test split by doc_id hash
+      graft.functions.Sampling.hashSplit(table(s, dir, "documents"),
+        "doc_id", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("split"))
+    }),
+
+    "samp_mixture" -> ((s, dir) => {
+      // domain-mixing rates: src0 kept at 100%, src1 at 50%, others 10%
+      graft.functions.Sampling.mixtureByGroup(table(s, dir, "documents"),
+        "source", "doc_id", Map("src0" -> 1.0, "src1" -> 0.5), defaultRate = 0.1)
+        .select(col("doc_id"), col("source"))
+    }),
+
     "samp_cap_source" -> ((s, dir) => {
       // per-source quota: the 10 smallest (hash-uniform, id) docs per
       // source — two-phase pre-filter + exact rank, matched against the
@@ -1128,6 +1142,29 @@ object SparkEntry {
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
         |      / 4294967296.0 < 0.25""".stripMargin,
+
+    "samp_split" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      / 4294967296.0 AS uu
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN uu < 0.9 THEN 'train'
+        |       WHEN uu < 0.95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM u""".stripMargin,
+
+    "samp_mixture" ->
+      """WITH u AS (
+        |  SELECT doc_id, source,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      / 4294967296.0 AS uu
+        |  FROM documents)
+        |SELECT doc_id, source FROM u
+        |WHERE uu < CASE WHEN source = 'src0' THEN 1.0
+        |                WHEN source = 'src1' THEN 0.5
+        |                ELSE 0.1 END""".stripMargin,
 
     // full-window formulation — the engine's two-phase plan must produce
     // exactly this deterministic per-source top-10

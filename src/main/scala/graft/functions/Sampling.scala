@@ -31,6 +31,41 @@ object Sampling {
     df.filter(portableUniform(col(keyCol)) < p)
 
   /**
+   * Deterministic train/val/test split: carve [0, 1) into cumulative
+   * hash ranges and label every row by where its key-uniform lands. A
+   * document's split NEVER changes as the corpus grows or the job is
+   * re-run/partitioned differently — the property that prevents
+   * train/test contamination across pipeline versions.
+   */
+  def hashSplit(df: DataFrame, keyCol: String,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val u = portableUniform(col(keyCol))
+    val bounds = fractions.scanLeft(0.0)(_ + _._2).tail
+    val label = fractions.zip(bounds).dropRight(1)
+      .foldRight(lit(fractions.last._1): Column) { case (((name, _), hi), acc) =>
+        when(u < hi, name).otherwise(acc)
+      }
+    df.withColumn("split", label)
+  }
+
+  /**
+   * Per-group mixture sampling — the domain-mixing step of corpus
+   * curation (keep web at 30 %, books at 100 %, ...): each group's rows
+   * survive at its configured rate, keyed by the same portable uniform,
+   * so mixtures are reproducible and monotone (raising a rate only ADDS
+   * documents, never swaps them). Unlisted groups use `defaultRate`.
+   */
+  def mixtureByGroup(df: DataFrame, groupCol: String, keyCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate): Column) { case (acc, (g, r)) =>
+      when(col(groupCol) === g, r).otherwise(acc)
+    }
+    df.filter(portableUniform(col(keyCol)) < rate)
+  }
+
+  /**
    * Per-group quota (e.g. ≤ `n` documents per source/domain), selection
    * deterministic by hashed key: the kept rows are the `n` smallest
    * (uniform, key) per group.

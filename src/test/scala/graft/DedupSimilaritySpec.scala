@@ -273,5 +273,18 @@ class DedupSimilaritySpec extends SparkSpec {
     val forced = Sampling.capPerGroup(d, "source", "doc_id", n = 3, safety = 0.01)
       .select("doc_id", "source").as[(Long, String)].collect().toSet
     assert(forced == naive)
+    // hashSplit: total partition, stable, roughly proportional
+    val split = Sampling.hashSplit(d, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    val total = split.values.sum
+    assert(total == d.count() && split.keySet == Set("train", "val", "test"))
+    assert(split("train") > split("val") && split("train") > split("test"))
+    // mixture is monotone: raising a rate only ADDS rows
+    val lo = Sampling.mixtureByGroup(d, "source", "doc_id", Map.empty, 0.2)
+      .as[(Long, String)].collect().toSet
+    val hi = Sampling.mixtureByGroup(d, "source", "doc_id", Map.empty, 0.5)
+      .as[(Long, String)].collect().toSet
+    assert(lo.subsetOf(hi) && lo.nonEmpty && hi.size > lo.size)
   }
 }
