@@ -148,18 +148,23 @@ object Similarity {
    * IVF with caller-provided centroids (e.g. trained k-means): `centroids`
    * must have columns (list_id, centroid, ncent = l2norm(centroid)).
    */
-  def ivfTopKWith(corpusNormed: DataFrame, centroidTable: DataFrame,
-      queries: DataFrame, k: Int, nProbes: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpusNormed
-    val centroids = broadcast(centroidTable)
-    // assign each corpus vector to its nearest centroid (1 broadcast join)
+  /** Assign every corpus vector to its nearest centroid — one broadcast
+   *  join, rank-1 per vector. Shared by the inline IVF and the
+   *  persistent index build. */
+  private def assignToLists(corpusNormed: DataFrame, centroids: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("_cs").desc, col("list_id"))
-    val assigned = c.crossJoin(centroids)
+    corpusNormed.crossJoin(broadcast(centroids))
       .withColumn("_cs", cosineWithNorms(col("cv"), col("centroid"), col("nc"), col("ncent")))
       .withColumn("_r", row_number().over(wAssign))
       .filter(col("_r") === 1)
       .select(col("list_id"), col("vec_id"), col("cv"), col("nc"))
+  }
+
+  def ivfTopKWith(corpusNormed: DataFrame, centroidTable: DataFrame,
+      queries: DataFrame, k: Int, nProbes: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = broadcast(centroidTable)
+    val assigned = assignToLists(corpusNormed, centroidTable)
     // route each query to its nProbes nearest lists
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("nq", expressions.VectorExpressions.l2norm(col("qv")))
@@ -229,6 +234,63 @@ object Similarity {
       .withColumn("nc", expressions.VectorExpressions.l2norm(col("cv")))
     ivfTopKWith(c, trainCentroids(corpus, nLists, trainIters, idCol, vecCol),
       queries, k, nProbes, idCol, vecCol)
+  }
+
+  /**
+   * PERSISTENT IVF index: the build (k-means train + assignment — the
+   * expensive part) runs once and lands as parquet; queries load and
+   * probe without re-assignment. Layout:
+   *   <path>/centroids/            (list_id, centroid, ncent — tiny)
+   *   <path>/lists/list_id=<n>/    assigned vectors, partitioned BY LIST
+   * so a probe's scan is partition-pruned to its nProbes lists — at
+   * 100 TB a query touches nProbes/nLists of the index, enforced by the
+   * storage layout itself, not just the join.
+   */
+  def buildIvfIndex(corpus: DataFrame, path: String, nLists: Int = 16,
+      trainIters: Int = 3, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+      .withColumn("nc", expressions.VectorExpressions.l2norm(col("cv")))
+    val centroids = trainCentroids(corpus, nLists, trainIters, idCol, vecCol)
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    assignToLists(c, centroids)
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+  }
+
+  /**
+   * Query a persisted IVF index: broadcast the centroid table, rank the
+   * query's nProbes nearest lists, and filter the list scan by those
+   * list ids — `list_id` is the partition column, so the filter becomes
+   * partition PRUNING (the probe never opens non-probed list files; the
+   * probe-list filter is collected from the ranked query set, which is
+   * small by ANN's contract).
+   */
+  def queryIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, nProbes: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("nq", expressions.VectorExpressions.l2norm(col("qv")))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("_cs").desc, col("list_id"))
+    val probes = q.crossJoin(centroids)
+      .withColumn("_cs", cosineWithNorms(col("qv"), col("centroid"), col("nq"), col("ncent")))
+      .withColumn("_r", row_number().over(wProbe))
+      .filter(col("_r") <= nProbes)
+      .select(col("list_id"), col("query_id"), col("qv"), col("nq"))
+    val probedLists = probes.select("list_id").distinct()
+      .collect().map(_.getLong(0))
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("list_id").isin(probedLists: _*)) // partition pruning
+    val scored = lists.join(probes, Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score",
+        round(cosineWithNorms(col("qv"), col("cv"), col("nq"), col("nc")), 6))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("score"), col("rank"))
   }
 
   /**

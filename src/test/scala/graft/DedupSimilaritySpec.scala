@@ -201,6 +201,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(1L) != out(2L))
   }
 
+  test("persistent IVF index: build once, probe with list-partition pruning") {
+    import graft.functions.Similarity
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toFile.getAbsolutePath
+    Similarity.buildIvfIndex(emb, path, nLists = 8, trainIters = 2)
+    // index layout: tiny centroid table + per-list partitions
+    assert(new java.io.File(s"$path/lists").listFiles()
+      .count(_.getName.startsWith("list_id=")) > 1)
+    val queries = emb.filter(col("vec_id") < 5)
+    // full probe over the loaded index ≡ brute force (exact scoring)
+    val full = Similarity.queryIvfIndex(spark, path, queries, k = 10, nProbes = 8)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(full == brute)
+    // partial probe: bounded result, and the scan is pruned to the probed
+    // list partitions (enforced in-plan by the isin partition filter)
+    val part = Similarity.queryIvfIndex(spark, path, queries, k = 10, nProbes = 2)
+    assert(part.count() > 0 && part.count() <= 50)
+  }
+
   test("int8 quantization: bounded error, zero-vector safe, 4x narrower") {
     import graft.functions.Similarity.{quantizeInt8, dequantize}
     val v = Seq((1L, Array(0.5f, -1.27f, 0.0f, 1.27f)), (2L, Array(0.0f, 0.0f)))
