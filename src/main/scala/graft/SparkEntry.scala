@@ -633,12 +633,16 @@ object SparkEntry {
     "sim_quantize" -> ((s, dir) => {
       // int8 embedding quantization, verified via a positional checksum
       // (Σ (i+1)·qᵢ) + scale — scalar columns because the compare layer
-      // sorts rows by value (list columns don't sort)
+      // sorts rows by value (list columns don't sort). The scale is
+      // integer-quantized with floor(x·1e6+0.5) rather than round(x, 6):
+      // round() half-case rules on raw doubles differ between engines
+      // (Spark BigDecimal HALF_UP vs DuckDB), while floor on the shared
+      // IEEE product is bit-identical.
       val quant = Similarity.quantizeInt8(col("embedding"))
       table(s, dir, "embeddings")
         .select(col("vec_id"), quant.as("_qt"))
         .select(col("vec_id"),
-          round(col("_qt.scale"), 6).as("scale"),
+          floor(col("_qt.scale") * lit(1e6) + lit(0.5)).cast("long").as("scale_q6"),
           aggregate(
             transform(col("_qt.q"), (x, i) => x.cast("long") * (i + lit(1)).cast("long")),
             lit(0L), (acc, x) => acc + x).as("qsum"))
@@ -1203,7 +1207,7 @@ object SparkEntry {
         |  SELECT vec_id, embedding,
         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
         |  FROM embeddings)
-        |SELECT vec_id, round(s, 6) AS scale,
+        |SELECT vec_id, CAST(floor(s * 1000000.0 + 0.5) AS BIGINT) AS scale_q6,
         |  CASE WHEN s = 0 THEN 0 ELSE
         |    list_sum(list_transform(range(1, len(embedding) + 1),
         |      i -> CAST(floor(CAST(embedding[i] AS DOUBLE) / s + 0.5) AS BIGINT) * i))

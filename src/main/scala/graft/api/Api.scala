@@ -65,6 +65,12 @@ object Api {
       @volatile var status: String = "LOADED"
     }
     private val procs = scala.collection.mutable.LinkedHashMap.empty[Int, Handle]
+    // Latched by checkStorageQuota on breach, cleared when a tick passes
+    // again — the reference stops ALL ingestion on disk alarm
+    // (integration.go:296-301), including writes not addressed to any
+    // process, so the default-context write path checks this too.
+    @volatile private var _alarm = false
+    def alarmActive: Boolean = _alarm
     defaults.foreach(initProcess)
 
     private def initProcess(c: ProcessConfig): Handle = synchronized {
@@ -156,11 +162,12 @@ object Api {
           val overPct = pct.exists(_ > q.usedPercentLimit)
           if (overBytes || overPct) {
             procs.values.foreach(_.status = "STOPPED") // integration.go:296-301
+            _alarm = true
             val what =
               if (overBytes) s"store size $used B over budget ${q.maxBytes} B"
               else f"disk usage ${pct.get}%.1f%% over limit ${q.usedPercentLimit}%.1f%%"
             ("alarm", s"DISK LOW SPACE: $what; all processes stopped")
-          } else ("ok", "")
+          } else { _alarm = false; ("ok", "") }
       }
     }
   }
@@ -271,7 +278,14 @@ object Api {
               s"process $procId is STOPPED: write rejected")
           }
           (procCtx(ctx, procId), pts.asInstanceOf[Seq[WritePoint]])
-        case pts: Seq[_] => (ctx, pts.asInstanceOf[Seq[WritePoint]])
+        case pts: Seq[_] =>
+          // unrouted writes land in the default context, but a latched
+          // disk alarm stops ALL ingestion, not just per-process stores
+          ctx.registry.foreach { r =>
+            if (r.alarmActive) throw new IllegalStateException(
+              "storage quota alarm active: write rejected")
+          }
+          (ctx, pts.asInstanceOf[Seq[WritePoint]])
         case other => throw new IllegalArgumentException(s"bad write payload: $other")
       }
       val ctxW = routed

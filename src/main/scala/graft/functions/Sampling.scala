@@ -72,10 +72,14 @@ object Sampling {
    *
    * Scale shape: the naive formulation is a row_number window over the
    * full group — one task sorts the whole group, which dies on a
-   * billion-row domain. Instead a two-phase plan: per-group counts (tiny,
-   * broadcast) set a hash threshold that pre-filters each group down to
-   * ~`safety`·n expected survivors, and the exact rank runs over the
-   * pre-filtered slice only. Groups where the pre-filter (with
+   * billion-row domain. Instead a two-phase plan: per-group counts set a
+   * hash threshold that pre-filters each group down to ~`safety`·n
+   * expected survivors, and the exact rank runs over the pre-filtered
+   * slice only. The counts join carries one row per distinct group, so no
+   * broadcast is forced — AQE (on by default in GraftSession) broadcasts
+   * it when it fits and falls back to a shuffle join when the group
+   * column is high-cardinality, instead of failing at the driver
+   * broadcast limit. Groups where the pre-filter (with
    * probability ≲ e^−n·(1−1/safety)²/2) kept fewer than n rows fall back
    * to the exact window over just those groups, so the result is always
    * exactly the deterministic top-n — the fallback is a correctness
@@ -85,7 +89,7 @@ object Sampling {
       safety: Double = 3.0): DataFrame = {
     val u = portableUniform(col(keyCol))
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_cnt"))
-    val pre = df.join(broadcast(counts), Seq(groupCol))
+    val pre = df.join(counts, Seq(groupCol))
       .filter(u < least(lit(1.0), lit(safety * n) / col("_cnt")))
       .drop("_cnt")
     // groups whose pre-filter kept fewer than n rows AND dropped anything
@@ -96,9 +100,9 @@ object Sampling {
         col("_cnt") > coalesce(col("_kept"), lit(0L)))
       .select(col(groupCol))
     val w = Window.partitionBy(col(groupCol)).orderBy(u, col(keyCol))
-    val fromPre = pre.join(broadcast(short), Seq(groupCol), "left_anti")
+    val fromPre = pre.join(short, Seq(groupCol), "left_anti")
       .withColumn("_r", row_number().over(w)).filter(col("_r") <= n).drop("_r")
-    val fromFull = df.join(broadcast(short), Seq(groupCol))
+    val fromFull = df.join(short, Seq(groupCol))
       .withColumn("_r", row_number().over(w)).filter(col("_r") <= n).drop("_r")
     fromPre.unionByName(fromFull)
   }

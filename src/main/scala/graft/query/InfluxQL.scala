@@ -51,16 +51,19 @@ object InfluxQL {
 
   /**
    * Cheap syntactic sniff: does this string carry a distinctive InfluxQL
-   * marker (now() arithmetic, FILL(...), GROUP BY time(...), a
-   * double-quoted rp.measurement pair, or a SHOW form)? Plain Spark SQL
-   * has none of these (it backtick-quotes identifiers), so ordinary SQL
-   * keeps flowing to `spark.sql` untouched.
+   * marker (now() DURATION-LITERAL arithmetic like `now() - 1h`,
+   * FILL(...), GROUP BY time(...), a double-quoted rp.measurement pair,
+   * or a SHOW form)? Plain Spark SQL has none of these — `now()` alone is
+   * a valid Spark function and interval math spells it
+   * `now() - INTERVAL 1 HOUR`, so only the bare-duration suffix form
+   * (docs/queries:1-2) is claimed; ordinary SQL keeps flowing to
+   * `spark.sql` untouched.
    */
   def looksLike(q: String): Boolean = {
     val s = q.trim.toLowerCase
     s.matches("show\\s+measurements\\s*;?") ||
       s.matches("show\\s+retention\\s+policies\\s*;?") ||
-      s.contains("now()") ||
+      s.matches("(?s).*now\\(\\)\\s*[-+]\\s*\\d+(ns|us|µs|ms|s|m|h|d|w).*") ||
       s.matches("(?s).*\\bfill\\s*\\(.*") ||
       s.matches("(?s).*\\bgroup\\s+by\\s+.*\\btime\\s*\\(.*") ||
       s.matches("(?s).*\\bfrom\\s+\"[^\"]+\"\\s*\\.\\s*\"[^\"]+\".*")

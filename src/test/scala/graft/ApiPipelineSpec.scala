@@ -210,6 +210,14 @@ class ApiPipelineSpec extends SparkSpec {
     assert(reg.processes.forall(_._2 == "STOPPED"))
     val rej = intercept[IllegalStateException](writeOne(2))
     assert(rej.getMessage.contains("STOPPED"))
+    // unrouted (default-context) writes are rejected too while the alarm
+    // is latched — the reference stops ALL ingestion on breach
+    assert(reg.alarmActive)
+    val rejDefault = intercept[IllegalStateException](
+      Api.dispatch(ctx, "cmd.tsdb.write_data_points",
+        Seq(Api.WritePoint("m_q", Map("dev_id" -> "d1"), Map("value" -> 1.0),
+          Timestamp.valueOf("2024-01-01 10:00:00")))))
+    assert(rejDefault.getMessage.contains("quota alarm"))
     // operator restart re-admits writes (and the envelope shape carries
     // the rejection for shaped dispatch)
     Api.dispatch(ctx, "cmd.ecprocess.ctrl", (1, "start"))

@@ -73,6 +73,12 @@ class InfluxQLSpec extends SparkSpec {
       "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"))
     assert(!InfluxQL.looksLike("SELECT * FROM lineitem WHERE l_quantity > 5"))
     assert(!InfluxQL.looksLike("WITH t AS (SELECT 1 AS x) SELECT x FROM t"))
+    // now() is a valid Spark SQL function — only the InfluxQL
+    // bare-duration arithmetic form claims the query
+    assert(!InfluxQL.looksLike(
+      "SELECT * FROM events WHERE ts > now() - INTERVAL 1 HOUR"))
+    assert(!InfluxQL.looksLike("SELECT now() AS t"))
+    assert(InfluxQL.looksLike("""SELECT sum("value") FROM "m" WHERE time > now() - 7d"""))
   }
 
   test("InfluxQL string path ≡ structured request plan") {
