@@ -31,12 +31,22 @@ object Bench {
       val runs = Seq.fill(Runs)(once()).sorted
       name -> (runs(Runs / 2), runs.last - runs.head)
     }
+    // ms precision keeps the line compact, and `spread` is emitted BEFORE
+    // `queries` so that a log collector keeping only the TAIL of the
+    // output still retains the medians (the part a reviewer needs most)
+    // even if the line's head is truncated.
     def jmap(f: ((String, (Double, Double))) => Double) =
-      results.map { case kv @ (k, _) => s"\"" + k + "\":" + f(kv) }
+      results.map { case kv @ (k, _) => "\"" + k + "\":" + f"${f(kv)}%.3f" }
         .mkString("{", ",", "}")
     val total = results.values.map(_._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$Runs,""" +
-      s""""queries":${jmap(_._2._1)},"spread":${jmap(_._2._2)},"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$Runs,""" +
+      s""""spread":${jmap(_._2._2)},"queries":${jmap(_._2._1)},"sf":"$sfDir"}"""
+    println(line)
+    // Belt-and-braces copy on disk for post-hoc analysis (stdout may be
+    // interleaved with sbt/log4j noise by the harness).
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => }
     spark.stop()
   }
 }

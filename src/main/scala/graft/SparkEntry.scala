@@ -9,7 +9,7 @@ import graft.model.{DataPointsFilter, DataPointsRequest, Filter}
 import graft.query.Planner
 import graft.rollup.Downsampler
 import graft.stream.Aggregator
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -518,6 +518,30 @@ object SparkEntry {
         col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
     }),
 
+    "text_repetition" -> ((s, dir) => {
+      // Gopher-style within-document repetition signals; the fractions
+      // are integer-quantized (floor(x·1e6+0.5)) for cross-engine hash
+      // parity — round() half-case rules differ on raw doubles
+      val r = TextFunctions.repetitionSignals(col("text"))
+      def q6(c: Column) = floor(c * lit(1e6) + lit(0.5)).cast("long")
+      table(s, dir, "documents").select(col("doc_id"), r.as("_r"))
+        .select(col("doc_id"),
+          q6(col("_r.dup_line_frac")).as("dup_line_q6"),
+          q6(col("_r.dup_word_frac")).as("dup_word_q6"),
+          q6(col("_r.dup_3gram_frac")).as("dup_3gram_q6"))
+    }),
+
+    "decon_overlap" -> ((s, dir) => {
+      // train/eval decontamination: every 10th document plays the
+      // benchmark set; corpus docs sharing any distinct word 4-gram are
+      // flagged with their distinct-hit count (portable md5 keys → the
+      // DuckDB oracle reproduces the join bit-for-bit)
+      val docs = table(s, dir, "documents")
+      graft.functions.Decontaminate.flagContaminated(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), n = 4)
+    }),
+
     // --- dedup ---
 
     "pipe_clean_corpus" -> ((s, dir) => {
@@ -584,6 +608,13 @@ object SparkEntry {
       graft.functions.Sampling.mixtureByGroup(table(s, dir, "documents"),
         "source", "doc_id", Map("src0" -> 1.0, "src1" -> 0.5), defaultRate = 0.1)
         .select(col("doc_id"), col("source"))
+    }),
+
+    "samp_pack" -> ((s, dir) => {
+      // deterministic sequence packing: 8 hash buckets, 512-token budget,
+      // concat-then-chop positions (bucket, seq_id, tok_offset) per doc
+      graft.functions.Sampling.packSequences(table(s, dir, "documents"),
+        "doc_id", TextFunctions.tokenCount(col("text")), budget = 512, nBuckets = 8)
     }),
 
     "samp_cap_source" -> ((s, dir) => {
@@ -1095,6 +1126,42 @@ object SparkEntry {
         |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
 
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') toks FROM documents),
+        |r AS (SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0) ls,
+        |    toks,
+        |    list_transform(range(len(toks) - 2),
+        |      i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]) g3
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(floor((CASE WHEN len(ls) > 0 THEN
+        |      CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls)
+        |    ELSE 0.0 END) * 1000000.0 + 0.5) AS BIGINT) AS dup_line_q6,
+        |  CAST(floor((CASE WHEN len(toks) > 0 THEN
+        |      CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks)
+        |    ELSE 0.0 END) * 1000000.0 + 0.5) AS BIGINT) AS dup_word_q6,
+        |  CAST(floor((CASE WHEN len(g3) > 0 THEN
+        |      CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+        |    ELSE 0.0 END) * 1000000.0 + 0.5) AS BIGINT) AS dup_3gram_q6
+        |FROM r""".stripMargin,
+
+    "decon_overlap" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') toks FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(len(toks) - 3),
+        |      i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' ||
+        |           toks[i + 3] || ' ' || toks[i + 4]))) AS gram
+        |  FROM t),
+        |k AS (SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS k FROM g),
+        |b AS (SELECT DISTINCT k FROM k WHERE doc_id % 10 = 0),
+        |c AS (SELECT doc_id, k FROM k WHERE doc_id % 10 <> 0)
+        |SELECT c.doc_id, count(*) AS hits
+        |FROM c JOIN b USING (k) GROUP BY 1""".stripMargin,
+
     "dedup_exact" ->
       """WITH k AS (SELECT doc_id,
         |    trim(substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 64)) AS key
@@ -1169,6 +1236,25 @@ object SparkEntry {
         |WHERE uu < CASE WHEN source = 'src0' THEN 1.0
         |                WHEN source = 'src1' THEN 0.5
         |                ELSE 0.1 END""".stripMargin,
+
+    "samp_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) tok,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      / 4294967296.0 AS uu,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 9, 8)) AS BIGINT)
+        |      % 8 AS bucket
+        |  FROM documents),
+        |c AS (SELECT doc_id, bucket, tok,
+        |    CAST(sum(tok) OVER (PARTITION BY bucket ORDER BY uu, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - tok AS bef
+        |  FROM t)
+        |SELECT doc_id, bucket,
+        |  CAST(floor(bef / 512.0) AS BIGINT) AS seq_id,
+        |  bef % 512 AS tok_offset, tok AS n_tokens
+        |FROM c""".stripMargin,
 
     // full-window formulation — the engine's two-phase plan must produce
     // exactly this deterministic per-source top-10

@@ -106,4 +106,41 @@ object Sampling {
       .withColumn("_r", row_number().over(w)).filter(col("_r") <= n).drop("_r")
     fromPre.unionByName(fromFull)
   }
+
+  /**
+   * Deterministic sequence packing: assign each document to a training
+   * sequence of ~`budget` tokens. Documents are bucketed by an
+   * independent slice of the md5 hash (bits 33-64, so bucket and
+   * within-bucket order are uncorrelated), ordered inside each bucket by
+   * the portable uniform, and cut greedily at the running token count —
+   * `seq_id = floor(tokens_before / budget)`, `tok_offset` the position
+   * inside that sequence. This is the concat-then-chop packing most
+   * pre-training pipelines use (a doc may straddle two sequences; the
+   * trainer masks across the boundary), made reproducible: the packing
+   * depends only on (key, token count), not on partition layout or run.
+   *
+   * Scale shape: one map stage (token count + hashes) and ONE window per
+   * bucket (running sum, partition spec always present). `nBuckets`
+   * bounds per-task state — size it ≥ cluster cores; each bucket is an
+   * independent stream of sequences, which is what a multi-host data
+   * loader wants anyway (host h reads buckets ≡ h mod hosts).
+   */
+  def packSequences(df: DataFrame, keyCol: String, tokens: Column, budget: Int,
+      nBuckets: Int = 64): DataFrame = {
+    require(budget > 0 && nBuckets > 0, "budget and nBuckets must be positive")
+    val u = portableUniform(col(keyCol))
+    val bucket = pmod(
+      conv(substring(md5(col(keyCol).cast("string")), 9, 8), 16, 10).cast("long"),
+      lit(nBuckets.toLong))
+    val w = Window.partitionBy(col("_bucket")).orderBy(u, col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_bucket", bucket)
+      .withColumn("_tok", tokens.cast("long"))
+      .withColumn("_cum", sum(col("_tok")).over(w))
+      .withColumn("_before", col("_cum") - col("_tok"))
+      .select(col(keyCol), col("_bucket").as("bucket"),
+        floor(col("_before") / lit(budget.toDouble)).cast("long").as("seq_id"),
+        (col("_before") % budget).as("tok_offset"),
+        col("_tok").as("n_tokens"))
+  }
 }

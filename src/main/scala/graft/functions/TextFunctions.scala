@@ -165,6 +165,37 @@ object TextFunctions {
     regexp_replace(phone, "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
   }
 
+  // --- repetition signals (Gopher-style quality heuristics) ---
+
+  /** Non-empty lines of a document (whitespace-only lines dropped). */
+  def lines(text: Column): Column =
+    filter(split(text, "\n"), l => length(trim(l)) > 0)
+
+  /**
+   * Within-document repetition signals, the Gopher/MassiveText family of
+   * quality heuristics (Rae et al. 2021 §A1.1): heavily self-repetitive
+   * documents (boilerplate, scraped nav bars, keyword stuffing) are
+   * low-quality training data even when no OTHER document duplicates
+   * them — inter-document dedup can't catch this. Three fractions, each
+   * `(n − n_distinct) / n` over a different granularity:
+   *  - `dup_line_frac`  — repeated non-empty lines;
+   *  - `dup_word_frac`  — repeated tokens (high = tiny vocabulary);
+   *  - `dup_3gram_frac` — repeated word 3-grams (loops / stuffing).
+   * Integer counts and one IEEE division — any engine replicates the
+   * doubles bit-for-bit. A pure per-row map stage: no shuffle, and the
+   * arrays never leave the expression.
+   */
+  def repetitionSignals(text: Column): Column = {
+    def dupFrac(arr: Column): Column =
+      when(size(arr) > 0,
+        (size(arr) - size(array_distinct(arr))).cast("double") / size(arr))
+        .otherwise(lit(0.0))
+    struct(
+      dupFrac(lines(text)).as("dup_line_frac"),
+      dupFrac(tokens(text)).as("dup_word_frac"),
+      dupFrac(shingles(text, 3)).as("dup_3gram_frac"))
+  }
+
   /** Polynomial rolling hash of the token stream (Rabin-Karp style,
    *  base 31, mod 2^61-1) — an order-sensitive content fingerprint. */
   def rollingHash(text: Column): Column = {

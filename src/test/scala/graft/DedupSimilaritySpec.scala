@@ -307,4 +307,74 @@ class DedupSimilaritySpec extends SparkSpec {
       .as[(Long, String)].collect().toSet
     assert(lo.subsetOf(hi) && lo.nonEmpty && hi.size > lo.size)
   }
+
+  test("repetition signals: duplicate lines/words/3-grams are fractioned") {
+    val d = Seq(
+      (1L, "buy now\nbuy now\nbuy now"),        // all lines identical
+      (2L, "alpha beta gamma\ndelta epsilon"),   // no repetition
+      (3L, "spam spam spam spam"),               // one word repeated
+      (4L, ""),                                  // empty → all zeros
+      (5L, "a b c a b c a b c")                  // repeated 3-gram loop
+    ).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+        TextFunctions.repetitionSignals(col("text")).as("r"))
+      .select(col("doc_id"), col("r.dup_line_frac"), col("r.dup_word_frac"),
+        col("r.dup_3gram_frac"))
+      .as[(Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 2.0 / 3)          // 3 lines, 1 distinct
+    assert(out(2L)._2 == 0.0 && out(2L)._3 == 0.0 && out(2L)._4 == 0.0)
+    assert(out(3L)._3 == 3.0 / 4)          // 4 tokens, 1 distinct
+    assert(out(4L)._2 == 0.0 && out(4L)._3 == 0.0 && out(4L)._4 == 0.0)
+    assert(out(5L)._4 == 4.0 / 7)          // 7 3-grams, 3 distinct
+  }
+
+  test("decontamination flags n-gram overlap with a benchmark set") {
+    import graft.functions.Decontaminate
+    val bench = Seq((100L, "the capital of france is paris")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "everyone knows the capital of france is paris obviously"), // contaminated
+      (2L, "a completely unrelated document about spark plans"),       // clean
+      (3L, "the capital of france is paris the capital of france is paris") // dup grams count once
+    ).toDF("doc_id", "text")
+    val hits = Decontaminate.flagContaminated(corpus, bench, n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(!hits.contains(2L))
+    // doc 1 contains the benchmark's two 5-grams ("the capital of france is",
+    // "capital of france is paris")
+    assert(hits(1L) == 2L)
+    // doc 3 repeats them — distinct grams still count once each
+    assert(hits(3L) == 2L)
+    // portable and xxhash64 key modes agree on WHICH docs are flagged
+    val fast = Decontaminate.flagContaminated(corpus, bench, n = 5, portable = false)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == hits)
+    // cleanCorpus is the exact complement
+    val clean = Decontaminate.cleanCorpus(corpus, bench, n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L))
+  }
+
+  test("sequence packing: budget-sized cuts, deterministic, total-preserving") {
+    import graft.functions.Sampling
+    val d = docs.select(col("doc_id"), col("text"))
+    val packed = Sampling.packSequences(d, "doc_id",
+      TextFunctions.tokenCount(col("text")), budget = 512, nBuckets = 8)
+    val rows = packed.as[(Long, Long, Long, Long, Long)].collect()
+    // total partition: every doc assigned exactly once
+    assert(rows.length == d.count())
+    assert(rows.map(_._2).toSet.subsetOf((0L until 8L).toSet))
+    // offsets bounded by the budget
+    assert(rows.forall(r => r._4 >= 0 && r._4 < 512))
+    // determinism across plans (repartition must not change the packing)
+    val again = Sampling.packSequences(d.repartition(13), "doc_id",
+      TextFunctions.tokenCount(col("text")), budget = 512, nBuckets = 8)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(again.toSet == rows.toSet)
+    // within a bucket the chop starts at 0 and can't outrun the token
+    // stream (a doc longer than the budget may skip ids — it OWNS them)
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      val ids = rs.map(_._3)
+      assert(ids.min == 0L && ids.max <= rs.map(_._5).sum / 512)
+    }
+  }
 }
