@@ -182,18 +182,24 @@ object TextFunctions {
    *  - `dup_word_frac`  — repeated tokens (high = tiny vocabulary);
    *  - `dup_3gram_frac` — repeated word 3-grams (loops / stuffing).
    * Integer counts and one IEEE division — any engine replicates the
-   * doubles bit-for-bit. A pure per-row map stage: no shuffle, and the
-   * arrays never leave the expression.
+   * doubles bit-for-bit. A pure per-row map stage: no shuffle. The six
+   * counts come from ONE fused native pass over the text
+   * (expressions.RepetitionStats) instead of four interpreted
+   * higher-order passes with intermediate arrays; the spec pins the
+   * fused form bit-identical to this declarative formula.
    */
   def repetitionSignals(text: Column): Column = {
-    def dupFrac(arr: Column): Column =
-      when(size(arr) > 0,
-        (size(arr) - size(array_distinct(arr))).cast("double") / size(arr))
+    val st = expressions.VectorExpressions.repetitionStats(text)
+    def frac(count: Column, distinct: Column): Column =
+      when(count > 0, (count - distinct).cast("double") / count)
         .otherwise(lit(0.0))
     struct(
-      dupFrac(lines(text)).as("dup_line_frac"),
-      dupFrac(tokens(text)).as("dup_word_frac"),
-      dupFrac(shingles(text, 3)).as("dup_3gram_frac"))
+      frac(st.getField("line_count"), st.getField("line_distinct"))
+        .as("dup_line_frac"),
+      frac(st.getField("token_count"), st.getField("token_distinct"))
+        .as("dup_word_frac"),
+      frac(st.getField("gram3_count"), st.getField("gram3_distinct"))
+        .as("dup_3gram_frac"))
   }
 
   /** Polynomial rolling hash of the token stream (Rabin-Karp style,

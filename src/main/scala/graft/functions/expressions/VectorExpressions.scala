@@ -37,6 +37,8 @@ object VectorExpressions {
     GraftBridge.column(LshSignature(GraftBridge.expression(vec), nPlanes, portable))
   def tokenStats(tokens: Column, stopwords: Seq[String]): Column =
     GraftBridge.column(TokenStats(GraftBridge.expression(tokens), stopwords))
+  def repetitionStats(text: Column): Column =
+    GraftBridge.column(RepetitionStats(GraftBridge.expression(text)))
 
   private[expressions] def elementGetter(t: DataType): String = t match {
     case ArrayType(FloatType, _) => "getFloat"
@@ -219,6 +221,90 @@ case class TokenStats(child: Expression, stopwords: Seq[String])
       i += 1
     }
     InternalRow(n, chars, hits)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * One pass over the RAW text → the six integer counts behind the
+ * Gopher-style repetition fractions: (line_count, line_distinct,
+ * token_count, token_distinct, gram3_count, gram3_distinct). Fuses what
+ * the declarative form spells as split + filter-lambda + array_distinct
+ * + shingles (four interpreted passes, three intermediate arrays) into
+ * one scan with hash sets. Semantics mirror the declarative/oracle form
+ * exactly: lines split on '\n' and count when they contain a non-space
+ * character (Spark/DuckDB `trim` strips 0x20 only); tokens are maximal
+ * `[a-z0-9]+` runs of the Unicode-lowercased text; 3-grams are
+ * space-joined token triples (tokens can't contain spaces, so joined
+ * strings are in bijection with triples).
+ */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("line_count", IntegerType, nullable = false),
+    StructField("line_distinct", IntegerType, nullable = false),
+    StructField("token_count", IntegerType, nullable = false),
+    StructField("token_distinct", IntegerType, nullable = false),
+    StructField("gram3_count", IntegerType, nullable = false),
+    StructField("gram3_distinct", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("RepetitionStats expects string")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val u = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val text = u.toString
+    // lines over the ORIGINAL text (the declarative form dedups the raw
+    // line strings, untrimmed — only the emptiness check trims)
+    var lineCount = 0
+    val lineSet = new java.util.HashSet[String]()
+    val n = text.length
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || text.charAt(i) == '\n') {
+        var j = start
+        var nonSpace = false
+        while (j < i && !nonSpace) {
+          if (text.charAt(j) != ' ') nonSpace = true
+          j += 1
+        }
+        if (nonSpace) { lineCount += 1; lineSet.add(text.substring(start, i)) }
+        start = i + 1
+      }
+      i += 1
+    }
+    // tokens over the lowercased text (UTF8String.toLowerCase ≡ lower())
+    val low = u.toLowerCase.toString
+    val m = low.length
+    val toks = new scala.collection.mutable.ArrayBuffer[String]()
+    i = 0
+    while (i < m) {
+      val c = low.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        var j = i + 1
+        while (j < m && {
+          val d = low.charAt(j); (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+        }) j += 1
+        toks += low.substring(i, j)
+        i = j
+      } else i += 1
+    }
+    val tokSet = new java.util.HashSet[String](toks.length * 2 + 1)
+    toks.foreach(tokSet.add)
+    val gram3Count = math.max(0, toks.length - 2)
+    val gram3Set = new java.util.HashSet[String](gram3Count * 2 + 1)
+    i = 0
+    while (i + 2 < toks.length) {
+      gram3Set.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      i += 1
+    }
+    InternalRow(lineCount, lineSet.size, toks.length, tokSet.size,
+      gram3Count, gram3Set.size)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

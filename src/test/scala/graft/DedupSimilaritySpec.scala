@@ -326,6 +326,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(3L)._3 == 3.0 / 4)          // 4 tokens, 1 distinct
     assert(out(4L)._2 == 0.0 && out(4L)._3 == 0.0 && out(4L)._4 == 0.0)
     assert(out(5L)._4 == 4.0 / 7)          // 7 3-grams, 3 distinct
+    // the fused native pass ≡ the declarative split/filter/distinct
+    // formula, bit-for-bit, over the real corpus (incl. tab/space edges)
+    def declarative(text: org.apache.spark.sql.Column) = {
+      def dupFrac(arr: org.apache.spark.sql.Column) =
+        when(size(arr) > 0,
+          (size(arr) - size(array_distinct(arr))).cast("double") / size(arr))
+          .otherwise(lit(0.0))
+      struct(
+        dupFrac(TextFunctions.lines(text)).as("dup_line_frac"),
+        dupFrac(TextFunctions.tokens(text)).as("dup_word_frac"),
+        dupFrac(TextFunctions.shingles(text, 3)).as("dup_3gram_frac"))
+    }
+    val edge = Seq((90L, "x\t\n\t\nx"), (91L, "  \n a\ta \n A  a"),
+      (92L, "Ünïcode STRAßE straße\nünïcode straße")).toDF("doc_id", "text")
+    val both = docs.select(col("doc_id"), col("text")).unionByName(edge)
+      .select(col("doc_id"),
+        TextFunctions.repetitionSignals(col("text")).as("f"),
+        declarative(col("text")).as("d"))
+    assert(both.filter(col("f") =!= col("d")).count() == 0)
   }
 
   test("decontamination flags n-gram overlap with a benchmark set") {
