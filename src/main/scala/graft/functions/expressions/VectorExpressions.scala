@@ -190,7 +190,7 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean)
  * bit-identical to the unfused formulation (integer counts).
  */
 case class TokenStats(child: Expression, stopwords: Seq[String])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = StructType(Seq(
     StructField("token_count", IntegerType, nullable = false),
@@ -208,19 +208,33 @@ case class TokenStats(child: Expression, stopwords: Seq[String])
     s
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val n = arr.numElements()
+  def compute(v: ArrayData): InternalRow = {
+    val n = v.numElements()
     var chars = 0L
     var hits = 0
     var i = 0
     while (i < n) {
-      val t = arr.getUTF8String(i)
+      val t = v.getUTF8String(i)
       chars += t.numChars()
       if (stopSet.contains(t)) hits += 1
       i += 1
     }
     InternalRow(n, chars, hits)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  // A real codegen body (a call into this instance) rather than
+  // CodegenFallback: keeps the whole stage compiled AND lets whole-stage
+  // subexpression elimination evaluate ONE TokenStats per row even when
+  // optimizer rules (CollapseProject) have inlined the struct into every
+  // derived column — interpreted projections do no CSE, so a fallback
+  // here costs one full token scan per field reference.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenStats", this,
+      classOf[TokenStats].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -240,7 +254,7 @@ case class TokenStats(child: Expression, stopwords: Seq[String])
  * strings are in bijection with triples).
  */
 case class RepetitionStats(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = StructType(Seq(
     StructField("line_count", IntegerType, nullable = false),
@@ -255,8 +269,7 @@ case class RepetitionStats(child: Expression)
     case _ => TypeCheckResult.TypeCheckFailure("RepetitionStats expects string")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val u = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+  def compute(u: org.apache.spark.unsafe.types.UTF8String): InternalRow = {
     val text = u.toString
     // lines over the ORIGINAL text (the declarative form dedups the raw
     // line strings, untrimmed — only the emptiness check trims)
@@ -305,6 +318,19 @@ case class RepetitionStats(child: Expression)
     }
     InternalRow(lineCount, lineSet.size, toks.length, tokSet.size,
       gram3Count, gram3Set.size)
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  // Codegen via an instance call (see TokenStats.doGenCode for why):
+  // CollapseProject inlines this struct into every derived fraction —
+  // only whole-stage CSE keeps it at one text scan per row.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("repStats", this,
+      classOf[RepetitionStats].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
