@@ -93,14 +93,19 @@ object TierPolicy {
       m.contains("sensor_")) &&
       !m.contains("sensor_presence") && !m.contains("sensor_contact")
 
-  /** Column form of resolveWriteTier — measurement → tier name. */
+  /** Column form of resolveWriteTier — measurement → tier name. The
+   *  profile is a plan-build-time constant, so the optimized-profile
+   *  branch is resolved in Scala rather than planted as a
+   *  literal-vs-literal predicate (which Spark warns is trivially true). */
   def writeTierCol(m: org.apache.spark.sql.Column, profile: String)
       : org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{lit, when}
-    when(m === "electricity_meter_energy_sampled" &&
-      lit(profile) === Tier.ProfileOptimized, Tier.GenYear.name)
-      .when(isHighFrequencyCol(m), Tier.GenRaw.name)
+    import org.apache.spark.sql.functions.when
+    val base = when(isHighFrequencyCol(m), Tier.GenRaw.name)
       .otherwise(Tier.GenDefault.name)
+    if (profile == Tier.ProfileOptimized)
+      when(m === "electricity_meter_energy_sampled", Tier.GenYear.name)
+        .otherwise(base)
+    else base
   }
 
   /**
