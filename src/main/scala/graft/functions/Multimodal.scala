@@ -150,12 +150,56 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling for video rows: one output row per sampled frame. */
+  /**
+   * Real multi-frame codec for animated GIF — the one video-ish container
+   * the JDK decodes natively (ImageReader.getNumImages/read over the
+   * frame sequence). Each frame is re-encoded as PNG.
+   */
+  object GifCodec {
+    def frames(payload: Array[Byte]): Option[IndexedSeq[Array[Byte]]] = try {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(in)
+        val n = reader.getNumImages(true)
+        if (n <= 0) None
+        else Some((0 until n).map { i =>
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(reader.read(i), "png", bos)
+          bos.toByteArray
+        })
+      } finally reader.dispose()
+    } catch { case _: Exception => None }
+  }
+
+  /**
+   * Frame sampling for video rows: one output row per sampled time
+   * offset (`everyMs` apart across `duration_ms`). Animated-GIF rows
+   * decode REAL frames (offset mapped proportionally onto the frame
+   * sequence, re-encoded PNG); other containers (mp4 …) keep the
+   * declared deterministic stub payload — no JVM-built-in decoder
+   * exists, and the row shape is identical either way.
+   */
   def sampleFrames(media: Dataset[MediaRow], everyMs: Long = 1000): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.meta.media_type == "video").flatMap { r =>
-      FakeCodec.frameOffsets(r.meta, everyMs).zipWithIndex.map { case (_, idx) =>
-        Frame(r.media_id, idx, r.payload.take(16)) // stub: real impl decodes the frame
+      val offsets = FakeCodec.frameOffsets(r.meta, everyMs)
+      val real =
+        if (r.meta.format == "gif") GifCodec.frames(r.payload) else None
+      real match {
+        case Some(fr) if fr.nonEmpty =>
+          offsets.zipWithIndex.map { case (off, idx) =>
+            val fi = math.min(fr.length - 1,
+              (off * fr.length / math.max(1L, r.meta.duration_ms)).toInt)
+            Frame(r.media_id, idx, fr(fi))
+          }
+        case _ =>
+          offsets.zipWithIndex.map { case (_, idx) =>
+            Frame(r.media_id, idx, r.payload.take(16)) // stub frame payload
+          }
       }
     }
   }

@@ -45,5 +45,10 @@ object Registry {
     reg.createOrReplaceTempFunction("lsh_signature",
       exprs => LshSignature(exprs(0),
         intArg(exprs, 1, "lsh_signature", "lsh_signature(vector, nPlanes)")), "scala_udf")
+    reg.createOrReplaceTempFunction("repetition_stats",
+      exprs => RepetitionStats(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("token_stats",
+      exprs => TokenStats(exprs(0), TextFunctions.stopwords.values.flatten.toSeq.distinct),
+      "scala_udf")
   }
 }

@@ -66,6 +66,45 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.frame_idx >= 0))
   }
 
+  test("animated GIF: real frames decoded, offsets mapped onto the sequence") {
+    import spark.implicits._
+    // three solid-color frames (primaries survive GIF palettization exact)
+    val colors = Seq(0xFF0000, 0x00FF00, 0x0000FF)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    colors.foreach { c =>
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, c)
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    val gif = bos.toByteArray
+    assert(Multimodal.GifCodec.frames(gif).get.length == 3)
+    // duration 3000ms, sample every 1000ms → offsets 0/1000/2000 map to
+    // frames 0/1/2; payloads are REAL decoded frames re-encoded as PNG
+    val row = Multimodal.MediaRow(7L, gif,
+      Multimodal.MediaMeta("video", "gif", 8, 8, 3000L, 0))
+    val out = Multimodal.sampleFrames(spark.createDataset(Seq(row)), everyMs = 1000)
+      .collect().sortBy(_.frame_idx)
+    assert(out.length == 3)
+    out.zip(colors).foreach { case (f, c) =>
+      val img = Multimodal.ImageCodec.decode(f.payload).get
+      assert((img.getRGB(4, 4) & 0xFFFFFF) == c,
+        s"frame ${f.frame_idx} should be ${c.toHexString}")
+    }
+    // a non-GIF video row keeps the declared stub payload
+    val stub = Multimodal.sampleFrames(spark.createDataset(Seq(
+      Multimodal.MediaRow(8L, Array.fill[Byte](32)(5),
+        Multimodal.MediaMeta("video", "mp4", 64, 64, 2000L, 0)))), everyMs = 1000)
+      .collect()
+    assert(stub.length == 2 && stub.forall(_.payload.length == 16))
+  }
+
   test("resize rewrites image payload + metadata, passes non-images through") {
     val resized = Multimodal.resize(media, 320, 240).collect()
     val images = resized.filter(_.meta.media_type == "image")
