@@ -41,6 +41,7 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
 
   /** Build (or reuse) the session and register the engine's SQL functions. */
   def getOrCreate(master: String = "", shufflePartitions: Int = 32,

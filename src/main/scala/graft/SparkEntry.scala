@@ -552,6 +552,11 @@ object SparkEntry {
         dedupKey = Some(md5(trim(substring(TextFunctions.normalize(col("text")), 1, 64)))))
     }),
 
+    "text_stats" -> ((s, dir) => {
+      // per-source corpus report: volumes + exact-unique count
+      graft.functions.Pipeline.corpusStats(table(s, dir, "documents"))
+    }),
+
     "text_clean" -> ((s, dir) => {
       // corpus cleanup chain on doctored rows: every document gets
       // deterministic markup + PII planted (entity-encoded amp, script
@@ -1161,6 +1166,16 @@ object SparkEntry {
         |c AS (SELECT doc_id, k FROM k WHERE doc_id % 10 <> 0)
         |SELECT c.doc_id, count(*) AS hits
         |FROM c JOIN b USING (k) GROUP BY 1""".stripMargin,
+
+    "text_stats" ->
+      """SELECT source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
+        |    AS total_tokens,
+        |  CAST(sum(len(text)) AS BIGINT) AS total_chars,
+        |  count(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')))
+        |    AS n_unique
+        |FROM documents GROUP BY source""".stripMargin,
 
     "dedup_exact" ->
       """WITH k AS (SELECT doc_id,

@@ -39,4 +39,19 @@ object Pipeline {
       .select(col("fp"), col("_keep.doc_id").as("doc_id"),
         col("_keep.score").as("score"), col("dups"))
   }
+
+  /**
+   * Per-group corpus report — the health dashboard every curation run
+   * ends with: document/token/char volumes and the exact-unique count
+   * per source (or any grouping column). One map stage + one hash
+   * aggregate; integer outputs so any engine replicates it exactly.
+   * `n_unique` < `n_docs` quantifies within-source exact duplication.
+   */
+  def corpusStats(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    docs.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("total_tokens"),
+      sum(length(col(textCol)).cast("long")).as("total_chars"),
+      countDistinct(TextFunctions.fingerprint(col(textCol))).as("n_unique"))
 }

@@ -23,32 +23,30 @@ object Registry {
         s"$fn: missing argument ${i + 1} — usage: $usage")
     }
 
+  /** Name → expression builder for every engine function exposed to SQL.
+   *  Consumed by both the temp-function path (`registerAll`) and the
+   *  `SparkSessionExtensions` injection path (`graft.GraftExtensions`). */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
+    "vec_l2norm" -> (exprs => L2Norm(exprs(0))),
+    "minhash_sig" -> (exprs => MinHashSignature(exprs(0),
+      intArg(exprs, 1, "minhash_sig", "minhash_sig(shingles, k)"))),
+    "word_shingles" -> (exprs => WordShingles(exprs(0),
+      intArg(exprs, 1, "word_shingles", "word_shingles(tokens, n[, distinct])"),
+      distinct = exprs.length > 2 &&
+        intArg(exprs, 2, "word_shingles", "word_shingles(tokens, n[, distinct])") != 0)),
+    "simhash64" -> (exprs => SimHash64(exprs(0), portable = false)),
+    "simhash_portable" -> (exprs => SimHash64(exprs(0), portable = true)),
+    "lsh_signature" -> (exprs => LshSignature(exprs(0),
+      intArg(exprs, 1, "lsh_signature", "lsh_signature(vector, nPlanes)"))),
+    "repetition_stats" -> (exprs => RepetitionStats(exprs(0))),
+    "token_stats" -> (exprs => TokenStats(exprs(0),
+      TextFunctions.stopwords.values.flatten.toSeq.distinct)))
+
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("vec_dot",
-      exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("vec_l2norm",
-      exprs => L2Norm(exprs(0)), "scala_udf")
-    reg.createOrReplaceTempFunction("minhash_sig",
-      exprs => MinHashSignature(exprs(0),
-        intArg(exprs, 1, "minhash_sig", "minhash_sig(shingles, k)")), "scala_udf")
-    reg.createOrReplaceTempFunction("word_shingles",
-      exprs => WordShingles(exprs(0),
-        intArg(exprs, 1, "word_shingles", "word_shingles(tokens, n[, distinct])"),
-        distinct = exprs.length > 2 &&
-          intArg(exprs, 2, "word_shingles", "word_shingles(tokens, n[, distinct])") != 0),
-      "scala_udf")
-    reg.createOrReplaceTempFunction("simhash64",
-      exprs => SimHash64(exprs(0), portable = false), "scala_udf")
-    reg.createOrReplaceTempFunction("simhash_portable",
-      exprs => SimHash64(exprs(0), portable = true), "scala_udf")
-    reg.createOrReplaceTempFunction("lsh_signature",
-      exprs => LshSignature(exprs(0),
-        intArg(exprs, 1, "lsh_signature", "lsh_signature(vector, nPlanes)")), "scala_udf")
-    reg.createOrReplaceTempFunction("repetition_stats",
-      exprs => RepetitionStats(exprs(0)), "scala_udf")
-    reg.createOrReplaceTempFunction("token_stats",
-      exprs => TokenStats(exprs(0), TextFunctions.stopwords.values.flatten.toSeq.distinct),
-      "scala_udf")
+    builders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
 }
