@@ -187,6 +187,20 @@ object SparkEntry {
           count(lit(1)).as("n_lines"))
     }),
 
+    "q_asof_join" -> ((s, dir) => {
+      // as-of alignment: each view event picks up the user's most recent
+      // purchase value at-or-before it. The oracle is DuckDB's NATIVE
+      // ASOF LEFT JOIN — a fully independent implementation of the
+      // semantics (ours is a union + keyed carry window, one shuffle)
+      val e = events(s, dir).withColumn("t", unix_timestamp(col("ts")))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("t"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("t")).agg(max(col("value")).as("v"))
+      graft.query.AsofJoin.asofJoin(views, purchases, "user_id", "t", Seq("v"))
+        .select(col("event_id"), col("asof_v").as("asof_value"))
+    }),
+
     "q_region_rollup" -> ((s, dir) => {
       val c = table(s, dir, "customer")
       val n = broadcast(table(s, dir, "nation"))
@@ -742,6 +756,14 @@ object SparkEntry {
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY c_mktsegment, o_orderpriority""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) t
+        |           FROM events WHERE event_type = 'view'),
+        |r AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) t, max(value) AS v
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.event_id, r.v AS asof_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t >= r.t""".stripMargin,
 
     "q_region_rollup" ->
       """SELECT r_name, count(*) AS n_customers, round(avg(c_acctbal), 6) AS avg_bal

@@ -233,6 +233,33 @@ class PlannerSpec extends SparkSpec {
     assert(edges.count(r => r.isNullAt(r.fieldIndex("value"))) == 3) // only its own bucket non-null
   }
 
+  test("asof join: latest right row at-or-before each left row, per key") {
+    import spark.implicits._
+    import graft.query.AsofJoin
+    val left = Seq(
+      ("e1", "u1", 100L), ("e2", "u1", 200L), ("e3", "u1", 250L),
+      ("e4", "u2", 100L), ("e5", "u2", 99L), ("e6", "u3", 500L)
+    ).toDF("event_id", "user_id", "t")
+    val right = Seq(
+      ("u1", 100L, 1.0),  // equal timestamp: visible to e1 (<= semantics)
+      ("u1", 240L, 2.0),  // after e2, before e3
+      ("u2", 100L, 9.0),  // after e5 → e5 gets null
+      ("u4", 1L, 7.0)     // key with no left rows
+    ).toDF("user_id", "t", "v")
+    val out = AsofJoin.asofJoin(left, right, "user_id", "t", Seq("v"))
+      .select("event_id", "asof_v").as[(String, Option[Double])]
+      .collect().toMap
+    assert(out == Map(
+      "e1" -> Some(1.0), "e2" -> Some(1.0), "e3" -> Some(2.0),
+      "e4" -> Some(9.0), "e5" -> None, "e6" -> None))
+    // left columns all preserved; window is keyed (no global sort)
+    val full = AsofJoin.asofJoin(left, right, "user_id", "t", Seq("v"))
+    assert(full.columns.toSeq == Seq("event_id", "user_id", "t", "asof_v"))
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    assert(full.queryExecution.optimizedPlan
+      .collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty)
+  }
+
   test("energy preset: invalid group_by_time forced to 1h (influxdb_v1.go:215-217)") {
     val base = pts(("electricity_meter_energy_sampled", now.getEpochSecond - 100, 5.0, "d1"))
     // note "25h" WOULD pass the reference's 1-2-digit regex; "abc" does not
