@@ -571,6 +571,20 @@ object SparkEntry {
       graft.functions.Pipeline.corpusStats(table(s, dir, "documents"))
     }),
 
+    "text_dedup_lines" -> ((s, dir) =>
+      // C4-style cross-document boilerplate scrub: lines occurring > 2
+      // times corpus-wide are dropped, docs reassembled in line order
+      graft.functions.Pipeline.dedupLines(table(s, dir, "documents"),
+        maxOccurrences = 2)),
+
+    "text_vocab_encode" -> ((s, dir) => {
+      // top-100 vocabulary by (count desc, token) + per-doc encoding
+      // summary (token/OOV counts, positional id checksum)
+      val docs = table(s, dir, "documents")
+      val vocab = graft.functions.Vocab.build(docs, 100)
+      graft.functions.Vocab.encode(docs, vocab, oovId = 100)
+    }),
+
     "text_clean" -> ((s, dir) => {
       // corpus cleanup chain on doctored rows: every document gets
       // deterministic markup + PII planted (entity-encoded amp, script
@@ -1198,6 +1212,34 @@ object SparkEntry {
         |  count(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')))
         |    AS n_unique
         |FROM documents GROUP BY source""".stripMargin,
+
+    "text_dedup_lines" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |    unnest(range(len(string_split(text, chr(10))))) AS pos,
+        |    unnest(string_split(text, chr(10))) AS line
+        |  FROM documents),
+        |hot AS (SELECT line AS hline FROM l WHERE len(trim(line)) > 0
+        |        GROUP BY line HAVING count(*) > 2),
+        |k AS (SELECT doc_id, pos, line FROM l LEFT JOIN hot ON line = hline
+        |      WHERE hline IS NULL OR len(trim(line)) = 0)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |FROM k GROUP BY doc_id""".stripMargin,
+
+    "text_vocab_encode" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(range(len(toks))) AS pos,
+        |        unnest(toks) AS token FROM t),
+        |cnt AS (SELECT token, count(*) n FROM tok GROUP BY token),
+        |v AS (SELECT token, row_number() OVER (ORDER BY n DESC, token) - 1 AS id
+        |      FROM cnt ORDER BY n DESC, token LIMIT 100),
+        |e AS (SELECT doc_id, pos, coalesce(v.id, 100) AS id
+        |      FROM tok LEFT JOIN v USING (token))
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  count(*) FILTER (WHERE id = 100) AS n_oov,
+        |  CAST(sum((pos + 1) * id) AS BIGINT) AS idsum
+        |FROM e GROUP BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       """WITH k AS (SELECT doc_id,

@@ -54,4 +54,35 @@ object Pipeline {
       sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("total_tokens"),
       sum(length(col(textCol)).cast("long")).as("total_chars"),
       countDistinct(TextFunctions.fingerprint(col(textCol))).as("n_unique"))
+
+  /**
+   * CROSS-document line-level dedup, the C4-style boilerplate scrub:
+   * drop every non-blank line that occurs more than `maxOccurrences`
+   * times across the whole corpus (nav bars, cookie banners, license
+   * headers — repeated verbatim on thousands of pages), then reassemble
+   * each document with its surviving lines in original order. Blank
+   * lines are layout, not content: never counted, always kept.
+   *
+   * Scale shape: one posexplode, one hash-aggregate on the line string
+   * to find hot lines (the only wide shuffle carries (line, count) —
+   * and only lines that repeat survive the filter), a join back (AQE
+   * broadcasts the hot set when small — boilerplate sets are), and one
+   * doc_id aggregate to reassemble. Order is restored by sorting the
+   * collected (pos, line) structs, not by assuming shuffle order.
+   */
+  def dedupLines(docs: DataFrame, maxOccurrences: Int = 1,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lines = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val hot = lines.filter(length(trim(col("line"))) > 0)
+      .groupBy(col("line")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > maxOccurrences)
+      .select(col("line"), lit(1).as("_hot"))
+    lines.join(hot, Seq("line"), "left")
+      .filter(col("_hot").isNull || length(trim(col("line"))) === 0)
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), "\n").as("text"))
+  }
 }

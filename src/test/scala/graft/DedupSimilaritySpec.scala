@@ -308,6 +308,44 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lo.subsetOf(hi) && lo.nonEmpty && hi.size > lo.size)
   }
 
+  test("cross-document line dedup drops hot lines, preserves order and blanks") {
+    import graft.functions.Pipeline
+    val d = Seq(
+      (1L, "unique one\nCOOKIE BANNER\nbody a"),
+      (2L, "COOKIE BANNER\nbody b\n\ntail b"),
+      (3L, "COOKIE BANNER\nbody c"),
+      (4L, "solo doc")
+    ).toDF("doc_id", "text")
+    // banner occurs 3× > maxOccurrences=2 → dropped everywhere; blank
+    // line in doc 2 survives; order preserved
+    val out = Pipeline.dedupLines(d, maxOccurrences = 2)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "unique one\nbody a")
+    assert(out(2L) == "body b\n\ntail b")
+    assert(out(3L) == "body c")
+    assert(out(4L) == "solo doc")
+    // at maxOccurrences=3 the banner survives intact
+    val lax = Pipeline.dedupLines(d, maxOccurrences = 3)
+      .as[(Long, String)].collect().toMap
+    assert(lax(3L) == "COOKIE BANNER\nbody c")
+  }
+
+  test("vocab: deterministic ranked ids, OOV mapping, positional checksum") {
+    import graft.functions.Vocab
+    val d = Seq(
+      (1L, "aa bb aa cc"),   // corpus counts: aa:3, bb:3, cc:1, zz:1
+      (2L, "bb aa bb zz")    // aa/bb tie at 3 → text order: aa=0, bb=1
+    ).toDF("doc_id", "text")
+    val vocab = Vocab.build(d, size = 3).as[(String, Int)].collect().toMap
+    assert(vocab == Map("aa" -> 0, "bb" -> 1, "cc" -> 2)) // zz loses the tie
+    val enc = Vocab.encode(d, Vocab.build(d, 3), oovId = 3)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 1: ids (aa,bb,aa,cc) = 0,1,0,2 → checksum 1·0+2·1+3·0+4·2 = 10
+    assert(enc(1L) == ((1L, 4L, 0L, 10L)))
+    // doc 2: ids (bb,aa,bb,zz=OOV 3) → 1·1+2·0+3·1+4·3 = 16, one OOV
+    assert(enc(2L) == ((2L, 4L, 1L, 16L)))
+  }
+
   test("repetition signals: duplicate lines/words/3-grams are fractioned") {
     val d = Seq(
       (1L, "buy now\nbuy now\nbuy now"),        // all lines identical
