@@ -736,7 +736,13 @@ object SparkEntry {
         maxDist = 3, portable = false)),
     "sim_lsh_pairs_x64" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(table(s, dir, "embeddings"),
-        threshold = 0.4, nPlanes = 6, portable = false)))
+        threshold = 0.4, nPlanes = 6, portable = false)),
+    "decon_overlap_x64" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.functions.Decontaminate.flagContaminated(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), n = 4, portable = false)
+    }))
 
   /** Lighter FIMP binding (no val_json) for filter/topic/enrich queries. */
   private def fimpLite(spark: SparkSession, dir: String): DataFrame =
