@@ -409,6 +409,12 @@ class DedupSimilaritySpec extends SparkSpec {
     val clean = Decontaminate.cleanCorpus(corpus, bench, n = 5)
       .select("doc_id").as[Long].collect().toSet
     assert(clean == Set(2L))
+    // plan guard: the corpus side reaches the benchmark keys through a
+    // broadcast LEFT SEMI join — corpus text is never shuffled
+    val flagged = Decontaminate.flagContaminated(docs, docs.limit(3), n = 5)
+    flagged.count()
+    val plan = flagged.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
   }
 
   test("sequence packing: budget-sized cuts, deterministic, total-preserving") {
