@@ -56,6 +56,25 @@ object Pipeline {
       countDistinct(TextFunctions.fingerprint(col(textCol))).as("n_unique"))
 
   /**
+   * STREAMING corpus cleanup — the same language filter + quality floor
+   * as `cleanCorpus`, composed with watermark-bounded exact dedup
+   * (`Dedup.streamingExactDedup`) so a continuous document feed is
+   * curated incrementally: the scoring stages are stateless per-row maps
+   * (identical plans to the batch path), and the only state is the
+   * seen-fingerprint set bounded by the watermark. Batch `cleanCorpus`
+   * remains the complete backfill pass over the same semantics.
+   */
+  def cleanCorpusStream(docs: DataFrame, lang: String = "en",
+      minQuality: Double = 0.3, textCol: String = "text",
+      timeCol: String = "ingest_time", watermark: String = "1 hour"): DataFrame = {
+    val scored = docs
+      .withColumn("lang_pred", TextFunctions.langId(col(textCol)))
+      .withColumn("score", round(TextFunctions.qualityScore(col(textCol)), 6))
+      .filter(col("lang_pred") === lang && col("score") >= minQuality)
+    Dedup.streamingExactDedup(scored, textCol, timeCol, watermark)
+  }
+
+  /**
    * CROSS-document line-level dedup, the C4-style boilerplate scrub:
    * drop every non-blank line that occurs more than `maxOccurrences`
    * times across the whole corpus (nav bars, cookie banners, license

@@ -291,6 +291,31 @@ class StoreStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming corpus cleanup: filter + dedup continuously, batch-parity filters") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DocIn]
+    val q = graft.functions.Pipeline.cleanCorpusStream(input.toDF(),
+        lang = "en", minQuality = 0.0)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("clean_stream_out")
+      .outputMode("append").start()
+    try {
+      val t0 = new Timestamp(1704067200000L)
+      val en = "the quick brown fox is one of the animals that it mentions"
+      val de = "der hund ist nicht mit der katze und von zu"
+      input.addData(DocIn(1L, en, t0), DocIn(2L, de, t0))
+      q.processAllAvailable()
+      // duplicate of doc 1 inside the watermark → suppressed; fresh en doc kept
+      input.addData(
+        DocIn(3L, en.toUpperCase, new Timestamp(1704067200000L + 60000)),
+        DocIn(4L, "it is a fine day for the fox and for the hound", t0))
+      q.processAllAvailable()
+      val kept = spark.table("clean_stream_out").as[Long].collect().sorted.toSeq
+      assert(kept == Seq(1L, 4L)) // 2 fails lang filter, 3 is a dup of 1
+    } finally q.stop()
+  }
+
   test("streaming difference carries seed across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
