@@ -150,14 +150,16 @@ object Similarity {
    */
   /** Assign every corpus vector to its nearest centroid — one broadcast
    *  join, rank-1 per vector. Shared by the inline IVF and the
-   *  persistent index build. */
+   *  persistent index build. Extra corpus columns (e.g. the int8 twin
+   *  columns of the persistent index) ride along untouched. */
   private def assignToLists(corpusNormed: DataFrame, centroids: DataFrame): DataFrame = {
+    val extra = corpusNormed.columns.filterNot(Set("vec_id", "cv", "nc")).toSeq
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("_cs").desc, col("list_id"))
     corpusNormed.crossJoin(broadcast(centroids))
       .withColumn("_cs", cosineWithNorms(col("cv"), col("centroid"), col("nc"), col("ncent")))
       .withColumn("_r", row_number().over(wAssign))
       .filter(col("_r") === 1)
-      .select(col("list_id"), col("vec_id"), col("cv"), col("nc"))
+      .select((Seq("list_id", "vec_id", "cv", "nc") ++ extra).map(col): _*)
   }
 
   def ivfTopKWith(corpusNormed: DataFrame, centroidTable: DataFrame,
@@ -251,6 +253,14 @@ object Similarity {
       vecCol: String = "embedding"): Unit = {
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
       .withColumn("nc", expressions.VectorExpressions.l2norm(col("cv")))
+      // int8 twin columns for the IVFADC-style quantized probe: q8 reads
+      // 4× narrower than cv, and cosine against q8 needs only its own
+      // norm (the symmetric scale cancels), so the probe scan can prune
+      // the fp32 column entirely
+      .withColumn("_qt", quantizeInt8(col("cv")))
+      .withColumn("q8", col("_qt.q"))
+      .withColumn("nq8", expressions.VectorExpressions.l2norm(col("q8")))
+      .drop("_qt")
     val centroids = trainCentroids(corpus, nLists, trainIters, idCol, vecCol)
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     assignToLists(c, centroids)
@@ -289,6 +299,58 @@ object Similarity {
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("score"), col("rank"))
+  }
+
+  /**
+   * IVFADC-style QUANTIZED probe of a persisted index: the candidate
+   * scan reads only (vec_id, q8, nq8) — parquet column pruning skips
+   * the fp32 vectors entirely, 4× less I/O on the probe, the phase that
+   * touches the most rows — ranks candidates by int8 cosine (the
+   * symmetric scale cancels in cosine, so no dequantization), keeps
+   * `refine`·k per query, then reranks ONLY the survivors against the
+   * full-precision column (a second, id-filtered read of the same
+   * pruned partitions). Exact top-k whenever the true top-k survive the
+   * approximate cut — `refine` trades a slightly wider rerank for
+   * recall, the standard IVF+PQ/ADC dial.
+   */
+  def queryIvfIndexQuantized(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, nProbes: Int = 4, refine: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("nq", expressions.VectorExpressions.l2norm(col("qv")))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("_cs").desc, col("list_id"))
+    val probes = q.crossJoin(centroids)
+      .withColumn("_cs", cosineWithNorms(col("qv"), col("centroid"), col("nq"), col("ncent")))
+      .withColumn("_r", row_number().over(wProbe))
+      .filter(col("_r") <= nProbes)
+      .select(col("list_id"), col("query_id"), col("qv"), col("nq"))
+    val probedLists = probes.select("list_id").distinct()
+      .collect().map(_.getLong(0))
+    // approximate phase: int8 columns only — cv is pruned from this scan
+    val approx = spark.read.parquet(s"$path/lists")
+      .filter(col("list_id").isin(probedLists: _*))
+      .select(col("list_id"), col("vec_id"), col("q8"), col("nq8"))
+      .join(probes, Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("ascore", cosineWithNorms(col("qv"), col("q8"), col("nq"), col("nq8")))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("ascore").desc, col("vec_id").asc)
+    val survivors = approx.withColumn("_r", row_number().over(wA))
+      .filter(col("_r") <= k.toLong * refine)
+      .select(col("list_id"), col("vec_id"), col("query_id"), col("qv"), col("nq"))
+    // rerank phase: full precision, survivors only
+    val exact = spark.read.parquet(s"$path/lists")
+      .filter(col("list_id").isin(probedLists: _*))
+      .select(col("list_id"), col("vec_id"), col("cv"), col("nc"))
+      .join(survivors, Seq("list_id", "vec_id"))
+      .withColumn("score",
+        round(cosineWithNorms(col("qv"), col("cv"), col("nq"), col("nc")), 6))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    exact.withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("score"), col("rank"))
   }

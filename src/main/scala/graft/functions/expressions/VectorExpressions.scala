@@ -43,6 +43,7 @@ object VectorExpressions {
   private[expressions] def elementGetter(t: DataType): String = t match {
     case ArrayType(FloatType, _) => "getFloat"
     case ArrayType(DoubleType, _) => "getDouble"
+    case ArrayType(IntegerType, _) => "getInt" // int8-quantized vectors
     case other => throw new IllegalArgumentException(s"unsupported vector type: $other")
   }
 }
@@ -54,13 +55,16 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def dataType: DataType = DoubleType
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+    case (ArrayType(FloatType | DoubleType | IntegerType, _),
+          ArrayType(FloatType | DoubleType | IntegerType, _)) =>
       TypeCheckResult.TypeCheckSuccess
-    case _ => TypeCheckResult.TypeCheckFailure("DotProduct expects array<float|double> inputs")
+    case _ =>
+      TypeCheckResult.TypeCheckFailure("DotProduct expects array<float|double|int> inputs")
   }
 
   private def get(a: ArrayData, t: DataType, i: Int): Double = t match {
     case ArrayType(FloatType, _) => a.getFloat(i).toDouble
+    case ArrayType(IntegerType, _) => a.getInt(i).toDouble
     case _ => a.getDouble(i)
   }
 
@@ -96,24 +100,30 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
-/** √(Σ aᵢ²) of a float/double array. */
+/** √(Σ aᵢ²) of a float/double/int array. */
 case class L2Norm(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = DoubleType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
-    case _ => TypeCheckResult.TypeCheckFailure("L2Norm expects an array<float|double> input")
+    case ArrayType(FloatType | DoubleType | IntegerType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ =>
+      TypeCheckResult.TypeCheckFailure("L2Norm expects an array<float|double|int> input")
   }
 
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
-    val isF = child.dataType match { case ArrayType(FloatType, _) => true; case _ => false }
+    val get: Int => Double = child.dataType match {
+      case ArrayType(FloatType, _) => i => a.getFloat(i).toDouble
+      case ArrayType(IntegerType, _) => i => a.getInt(i).toDouble
+      case _ => i => a.getDouble(i)
+    }
     var acc = 0.0
     var i = 0
     val n = a.numElements()
     while (i < n) {
-      val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
+      val x = get(i)
       acc += x * x
       i += 1
     }

@@ -219,6 +219,23 @@ class DedupSimilaritySpec extends SparkSpec {
     // list partitions (enforced in-plan by the isin partition filter)
     val part = Similarity.queryIvfIndex(spark, path, queries, k = 10, nProbes = 2)
     assert(part.count() > 0 && part.count() <= 50)
+    // QUANTIZED probe (IVFADC): full probe + wide refine ≡ brute force —
+    // exact scores after the fp32 rerank, int8 ranking only gates entry
+    val quant = Similarity.queryIvfIndexQuantized(spark, path, queries,
+      k = 10, nProbes = 8, refine = 8)
+      .select("query_id", "vec_id", "score")
+      .as[(Long, Long, Double)].collect().toSet
+    val bruteScored = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "vec_id", "score")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(quant == bruteScored)
+    // the approximate phase's parquet scan reads ONLY the int8 columns —
+    // fp32 cv must be pruned (4× narrower probe I/O by layout)
+    val approxScan = spark.read.parquet(s"$path/lists")
+      .select(col("list_id"), col("vec_id"), col("q8"), col("nq8"))
+    val scanLine = approxScan.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).get
+    assert(scanLine.contains("q8") && !scanLine.contains("cv"), scanLine)
   }
 
   test("int8 quantization: bounded error, zero-vector safe, 4x narrower") {
