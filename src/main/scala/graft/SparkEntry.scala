@@ -643,6 +643,15 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    "samp_top_quality" -> ((s, dir) => {
+      // quantile curation: top 20% of each source by quality score,
+      // deterministic (score desc, doc_id) rank
+      graft.functions.Sampling.topFractionPerGroup(
+        table(s, dir, "documents"), "source",
+        TextFunctions.qualityScore(col("text")), frac = 0.2, tieCol = "doc_id")
+        .select(col("doc_id"), col("source"))
+    }),
+
     "samp_pack" -> ((s, dir) => {
       // deterministic sequence packing: 8 hash buckets, 512-token budget,
       // concat-then-chop positions (bucket, seq_id, tok_offset) per doc
@@ -742,7 +751,14 @@ object SparkEntry {
       graft.functions.Decontaminate.flagContaminated(
         docs.filter(col("doc_id") % 10 =!= 0),
         docs.filter(col("doc_id") % 10 === 0), n = 4, portable = false)
-    }))
+    }),
+    // the oracle config runs the n-gram join with pruning DISABLED
+    // (worst case, exactly comparable to DuckDB); this twin times the
+    // scale default, where shingles shared by >128 docs are dropped
+    // from the posting join — the knob that caps hot-key blowup
+    "dedup_ngram_pruned" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(table(s, dir, "documents"), n = 3, threshold = 0.8,
+        maxShingleFreq = 128)))
 
   /** Lighter FIMP binding (no val_json) for filter/topic/enrich queries. */
   private def fimpLite(spark: SparkSession, dir: String): DataFrame =
@@ -1321,6 +1337,37 @@ object SparkEntry {
         |WHERE uu < CASE WHEN source = 'src0' THEN 1.0
         |                WHEN source = 'src1' THEN 0.5
         |                ELSE 0.1 END""".stripMargin,
+
+    "samp_top_quality" ->
+      """WITH t AS (SELECT doc_id, source, text,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') toks FROM documents),
+        |c AS (SELECT doc_id, source,
+        |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+        |  CASE WHEN len(toks) > 0
+        |    THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+        |    ELSE 0 END AS wl,
+        |  CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> x IN (
+        |    'the','a','of','and','to','in','is','that','it','for',
+        |    'der','die','das','und','ist','nicht','ein','mit','von','zu',
+        |    'le','la','les','et','est','une','pour','dans','que','des',
+        |    'el','los','y','es','una','por','con','para','del'))) AS DOUBLE) / len(toks)
+        |    ELSE 0 END AS sw,
+        |  CASE WHEN length(text) > 0 THEN
+        |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+        |      / length(text) ELSE 0 END AS pr,
+        |  CASE WHEN length(text) > 0 THEN
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        |      / length(text) ELSE 0 END AS dr
+        |  FROM t),
+        |sc AS (SELECT doc_id, source, round(
+        |  len_score * 0.3 + (CASE WHEN wl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2 +
+        |  least(sw * 5.0, 1.0) * 0.2 + (1.0 - least(pr * 5.0, 1.0)) * 0.15 +
+        |  (1.0 - least(dr * 5.0, 1.0)) * 0.15, 6) AS score FROM c),
+        |r AS (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) rn,
+        |        count(*) OVER (PARTITION BY source) n
+        |      FROM sc)
+        |SELECT doc_id, source FROM r WHERE rn <= ceil(n * 0.2)""".stripMargin,
 
     "samp_pack" ->
       """WITH t AS (

@@ -108,6 +108,26 @@ object Sampling {
   }
 
   /**
+   * Keep the top `frac` of every group by a score column — quantile
+   * quality curation ("best 20 % of each domain"), the selection rule
+   * quality-classifier pipelines actually ship. Exact per-group rank
+   * with a deterministic tiebreaker, so the kept set is reproducible
+   * across runs and engines. One partitioned sort per group (an exact
+   * quantile needs it); for the billion-row-group regime pre-thin with
+   * `sampleByHash` or accept an approximate cut via a score histogram.
+   */
+  def topFractionPerGroup(df: DataFrame, groupCol: String, score: Column,
+      frac: Double, tieCol: String): DataFrame = {
+    require(frac > 0 && frac <= 1, "frac must be in (0, 1]")
+    val wRank = Window.partitionBy(col(groupCol)).orderBy(score.desc, col(tieCol))
+    val wAll = Window.partitionBy(col(groupCol))
+    df.withColumn("_r", row_number().over(wRank))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .filter(col("_r") <= ceil(col("_n") * frac).cast("long"))
+      .drop("_r", "_n")
+  }
+
+  /**
    * Deterministic sequence packing: assign each document to a training
    * sequence of ~`budget` tokens. Documents are bucketed by an
    * independent slice of the md5 hash (bits 33-64, so bucket and
