@@ -585,6 +585,12 @@ object SparkEntry {
       graft.functions.Vocab.encode(docs, vocab, oovId = 100)
     }),
 
+    "text_chunks" -> ((s, dir) =>
+      // 64-token chunks with 16-token overlap (stride 48); content
+      // pinned by md5 of the space-joined token window
+      graft.functions.Pipeline.chunkDocuments(table(s, dir, "documents"),
+        maxTokens = 64, overlap = 16)),
+
     "text_clean" -> ((s, dir) => {
       // corpus cleanup chain on doctored rows: every document gets
       // deterministic markup + PII planted (entity-encoded amp, script
@@ -1234,6 +1240,19 @@ object SparkEntry {
         |  count(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')))
         |    AS n_unique
         |FROM documents GROUP BY source""".stripMargin,
+
+    "text_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') toks FROM documents),
+        |s AS (SELECT doc_id, toks, len(toks) n,
+        |        unnest(range(0, len(toks), 48)) AS start
+        |      FROM t WHERE len(toks) > 0)
+        |SELECT doc_id,
+        |  CAST(start / 48 AS BIGINT) AS chunk_idx,
+        |  least(64, n - start) AS chunk_tokens,
+        |  md5(array_to_string(list_slice(toks, start + 1, least(start + 64, n)), ' '))
+        |    AS chunk_fp
+        |FROM s""".stripMargin,
 
     "text_dedup_lines" ->
       """WITH l AS (

@@ -75,6 +75,35 @@ object Pipeline {
   }
 
   /**
+   * Split documents into fixed-size token windows with overlap — the
+   * chunking step in front of embedding/RAG indexing and long-document
+   * training. Chunk starts step by `maxTokens − overlap`; every token
+   * lands in at least one chunk, the final chunk may be short, and
+   * token-less documents produce no chunks. Pure per-row explode — the
+   * chunk set depends only on the document, so it is stable under
+   * repartition and task retry.
+   */
+  def chunkDocuments(docs: DataFrame, maxTokens: Int, overlap: Int = 0,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      "need 0 <= overlap < maxTokens")
+    val step = maxTokens - overlap
+    docs
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("_toks"))
+      .withColumn("_n", size(col("_toks")))
+      .filter(col("_n") > 0)
+      .select(col("doc_id"), col("_toks"), col("_n"),
+        explode(sequence(lit(0), col("_n") - 1, lit(step))).as("start"))
+      .select(
+        col("doc_id"),
+        (col("start") / step).cast("long").as("chunk_idx"),
+        least(lit(maxTokens), col("_n") - col("start")).cast("long").as("chunk_tokens"),
+        md5(array_join(slice(col("_toks"), col("start") + 1, lit(maxTokens)), " "))
+          .as("chunk_fp"))
+  }
+
+  /**
    * CROSS-document line-level dedup, the C4-style boilerplate scrub:
    * drop every non-blank line that occurs more than `maxOccurrences`
    * times across the whole corpus (nav bars, cookie banners, license

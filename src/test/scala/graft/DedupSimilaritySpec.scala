@@ -347,6 +347,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lax(3L) == "COOKIE BANNER\nbody c")
   }
 
+  test("chunking: stride windows, short tail, overlap, empty doc skipped") {
+    import graft.functions.Pipeline
+    val d = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "!!!"))
+      .toDF("doc_id", "text")
+    // maxTokens=4 overlap=1 → stride 3 → starts 0,3,6,9
+    val out = Pipeline.chunkDocuments(d, maxTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "chunk_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 0L, 4L), (1L, 1L, 4L), (1L, 2L, 4L), (1L, 3L, 1L)))
+    // overlap: last token of chunk 0 is first of chunk 1 (fp differs,
+    // but every token is covered: Σ chunk_tokens = n + overlaps·(chunks-1))
+    assert(out.filter(_._1 == 1L).map(_._3).sum == 10 + 1 * 3)
+  }
+
   test("vocab: deterministic ranked ids, OOV mapping, positional checksum") {
     import graft.functions.Vocab
     val d = Seq(
