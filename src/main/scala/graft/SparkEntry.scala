@@ -615,6 +615,11 @@ object SparkEntry {
         maxShingleFreq = Int.MaxValue)
     }),
 
+    "dedup_winnow_pairs" -> ((s, dir) =>
+      // containment detection: pairs sharing >= 2 winnowing fingerprints
+      // (k=4-gram hashes, window 4; portable md5 mode for the oracle)
+      Dedup.winnowPairs(table(s, dir, "documents"), k = 4, w = 4, minShared = 2)),
+
     "dedup_minhash" -> ((s, dir) => {
       Dedup.minhashLshPairs(table(s, dir, "documents"), n = 3, k = 64, bands = 16,
         threshold = 0.8)
@@ -1419,6 +1424,27 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY source ORDER BY uu, doc_id) rn
         |      FROM u)
         |SELECT doc_id, source FROM r WHERE rn <= 10""".stripMargin,
+
+    "dedup_winnow_pairs" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') toks FROM documents),
+        |g AS (SELECT doc_id, list_transform(range(len(toks) - 3),
+        |        i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' ||
+        |             toks[i + 3] || ' ' || toks[i + 4]) AS grams
+        |      FROM t WHERE len(toks) >= 4),
+        |h AS (SELECT doc_id, list_transform(grams,
+        |        s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS hs
+        |      FROM g),
+        |sel AS (SELECT doc_id,
+        |        CASE WHEN len(hs) < 4 THEN [list_min(hs)]
+        |          ELSE list_distinct(list_transform(range(len(hs) - 3),
+        |            i -> list_min(list_slice(hs, i + 1, i + 4)))) END AS fps
+        |        FROM h),
+        |f AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM sel),
+        |p AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) AS shared
+        |      FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id_a, id_b, shared FROM p WHERE shared >= 2""".stripMargin,
 
     "dedup_minhash" ->
       """WITH sh AS (

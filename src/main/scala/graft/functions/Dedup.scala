@@ -89,6 +89,41 @@ object Dedup {
       .dropDuplicatesWithinWatermark("fp")
 
   /**
+   * Partial-overlap / containment pairs via winnowing fingerprints
+   * (expressions.Winnow): document pairs sharing at least `minShared`
+   * selected k-gram-window minima. Catches a copied PARAGRAPH inside an
+   * otherwise-different document — below every whole-document scheme's
+   * similarity floor (Jaccard/MinHash/SimHash all dilute with document
+   * length; a shared ≥ w+k−1-token run here guarantees a shared
+   * fingerprint at any offset).
+   *
+   * Scale shape: one map stage per doc (fingerprints), then the same
+   * posting equi-join on a fixed-width long key as the other dedup
+   * candidates; `maxFpFreq` prunes boilerplate fingerprints shared by
+   * too many docs (aggregate + anti-join, broadcast under AQE) before
+   * the join can square on them.
+   */
+  def winnowPairs(docs: DataFrame, k: Int = 4, w: Int = 4, minShared: Int = 2,
+      maxFpFreq: Int = Int.MaxValue, portable: Boolean = true,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fps = docs.select(col(idCol).as("id"),
+        explode(expressions.VectorExpressions.winnow(
+          TextFunctions.shingles(col(textCol), k), w, portable)).as("fp"))
+    val pruned =
+      if (maxFpFreq == Int.MaxValue) fps
+      else {
+        val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("_c"))
+          .filter(col("_c") > maxFpFreq).select(col("fp"))
+        fps.join(hot, Seq("fp"), "left_anti")
+      }
+    val a = pruned.select(col("fp"), col("id").as("id_a"))
+    val b = pruned.select(col("fp"), col("id").as("id_b"))
+    a.join(b, Seq("fp")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /**
    * Near-duplicate CLUSTERS from a pair list: connected components via
    * iterative min-label propagation (a DataFrame-native union-find).
    * Every node starts labeled with itself; each round, every node takes

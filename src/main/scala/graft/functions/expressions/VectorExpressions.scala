@@ -39,6 +39,8 @@ object VectorExpressions {
     GraftBridge.column(TokenStats(GraftBridge.expression(tokens), stopwords))
   def repetitionStats(text: Column): Column =
     GraftBridge.column(RepetitionStats(GraftBridge.expression(text)))
+  def winnow(kgrams: Column, w: Int, portable: Boolean = true): Column =
+    GraftBridge.column(Winnow(GraftBridge.expression(kgrams), w, portable))
 
   private[expressions] def elementGetter(t: DataType): String = t match {
     case ArrayType(FloatType, _) => "getFloat"
@@ -405,6 +407,78 @@ case class SimHash64(child: Expression, portable: Boolean)
     var b = 0
     while (b < bits) { if (counters(b) > 0) out |= (1L << b); b += 1 }
     out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * Winnowing fingerprint selection (the MOSS scheme, Schleimer et al.
+ * 2003): hash every k-gram, slide a window of `w` consecutive hashes,
+ * keep the minimum of each window — the distinct selected hashes are a
+ * position-robust fingerprint: any shared run of ≥ w+k−1 tokens between
+ * two documents GUARANTEES a shared fingerprint regardless of where the
+ * run sits in either document. This is the containment/partial-overlap
+ * detector the whole-document schemes (Jaccard, MinHash, SimHash)
+ * cannot provide. Returns the distinct fingerprints SORTED ascending
+ * (deterministic output; the set, not the order, is the semantics).
+ * Sliding minimum runs O(n) via a monotonic deque. Fewer than w hashes
+ * → the single global minimum (every doc with ≥ 1 k-gram fingerprints).
+ * Portable mode hashes with the first 60 bits of md5 (replicable in any
+ * SQL engine); the scale default is xxhash64.
+ */
+case class Winnow(child: Expression, w: Int, portable: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  require(w >= 1, "window must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("Winnow expects array<string>")
+  }
+
+  @transient private lazy val md5 = java.security.MessageDigest.getInstance("MD5")
+
+  private def hash(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    if (portable) {
+      md5.reset()
+      val d = md5.digest(s.getBytes)
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+      h >>> 4
+    } else org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(s, 42L)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return ArrayData.toArrayData(Array.empty[Long])
+    val h = new Array[Long](n)
+    var i = 0
+    while (i < n) { h(i) = hash(arr.getUTF8String(i)); i += 1 }
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    if (n < w) {
+      var m = h(0); i = 1
+      while (i < n) { if (h(i) < m) m = h(i); i += 1 }
+      sel.add(m)
+    } else {
+      // monotonic deque of indices; head is the window minimum
+      val dq = new java.util.ArrayDeque[Int]()
+      i = 0
+      while (i < n) {
+        while (!dq.isEmpty && h(dq.peekLast()) >= h(i)) dq.pollLast()
+        dq.addLast(i)
+        if (dq.peekFirst() <= i - w) dq.pollFirst()
+        if (i >= w - 1) sel.add(h(dq.peekFirst()))
+        i += 1
+      }
+    }
+    val out = new Array[Long](sel.size)
+    val it = sel.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    ArrayData.toArrayData(out)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

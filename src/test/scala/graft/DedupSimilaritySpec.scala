@@ -325,6 +325,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lo.subsetOf(hi) && lo.nonEmpty && hi.size > lo.size)
   }
 
+  test("winnowing catches containment that whole-doc similarity misses") {
+    import graft.functions.Dedup
+    // doc 2 embeds a 12-token span of doc 1 inside otherwise-unrelated
+    // text: Jaccard over the whole docs is far below any dedup
+    // threshold, but winnowing (k=4, w=4: any shared run of >= 7 tokens
+    // guarantees a shared fingerprint) must flag the pair
+    val span = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val d = Seq(
+      (1L, s"one two three four five six seven $span eight nine ten"),
+      (2L, s"completely different text about spark plans $span and more words here"),
+      (3L, "nothing shared with anything else at all in this document text")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(d, k = 4, w = 4, minShared = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && !pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // whole-document Jaccard misses it at any dedup-grade threshold
+    assert(Dedup.ngramJaccardPairs(d, 3, 0.8, Int.MaxValue).count() == 0)
+    // portable and xxhash64 modes agree on the pair set
+    val fast = Dedup.winnowPairs(d, k = 4, w = 4, minShared = 1, portable = false)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(fast == pairs)
+    // fingerprint-frequency pruning kills boilerplate-driven pairs
+    assert(Dedup.winnowPairs(d, k = 4, w = 4, minShared = 1, maxFpFreq = 1)
+      .count() == 0)
+  }
+
   test("cross-document line dedup drops hot lines, preserves order and blanks") {
     import graft.functions.Pipeline
     val d = Seq(
