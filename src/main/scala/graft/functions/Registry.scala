@@ -40,6 +40,8 @@ object Registry {
     "lsh_signature" -> (exprs => LshSignature(exprs(0),
       intArg(exprs, 1, "lsh_signature", "lsh_signature(vector, nPlanes)"))),
     "repetition_stats" -> (exprs => RepetitionStats(exprs(0))),
+    "winnow" -> (exprs => Winnow(exprs(0),
+      intArg(exprs, 1, "winnow", "winnow(kgrams, w)"), portable = false)),
     "token_stats" -> (exprs => TokenStats(exprs(0),
       TextFunctions.stopwords.values.flatten.toSeq.distinct)))
 
