@@ -765,11 +765,15 @@ object SparkEntry {
     }),
     // the oracle config runs the n-gram join with pruning DISABLED
     // (worst case, exactly comparable to DuckDB); this twin times the
-    // scale default, where shingles shared by >128 docs are dropped
-    // from the posting join — the knob that caps hot-key blowup
+    // pruning path. At sf0.1 the hottest shingle reaches only 25 docs,
+    // so a scale threshold (128+) never binds — 16 binds on the top
+    // percentile here, demonstrating the mechanism's cost: one extra
+    // aggregate + anti-join, a LINEAR overhead that buys off the
+    // QUADRATIC candidate blowup of a 10^6-doc boilerplate shingle at
+    // the 100 TB scale the knob exists for
     "dedup_ngram_pruned" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(table(s, dir, "documents"), n = 3, threshold = 0.8,
-        maxShingleFreq = 128)))
+        maxShingleFreq = 16)))
 
   /** Lighter FIMP binding (no val_json) for filter/topic/enrich queries. */
   private def fimpLite(spark: SparkSession, dir: String): DataFrame =
