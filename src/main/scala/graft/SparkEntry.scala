@@ -757,6 +757,9 @@ object SparkEntry {
     "sim_lsh_pairs_x64" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(table(s, dir, "embeddings"),
         threshold = 0.4, nPlanes = 6, portable = false)),
+    "dedup_winnow_x64" -> ((s, dir) =>
+      Dedup.winnowPairs(table(s, dir, "documents"), k = 4, w = 4, minShared = 2,
+        portable = false)),
     "decon_overlap_x64" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       graft.functions.Decontaminate.flagContaminated(
