@@ -201,6 +201,20 @@ object SparkEntry {
         .select(col("event_id"), col("asof_v").as("asof_value"))
     }),
 
+    "q_asof_bucketed" -> ((s, dir) => {
+      // the hot-key-safe bucketed form, against the SAME native-ASOF
+      // oracle: 6h buckets shard each user's window; the cross-bucket
+      // carry must make the sharding invisible
+      val e = events(s, dir).withColumn("t", unix_timestamp(col("ts")))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("t"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("t")).agg(max(col("value")).as("v"))
+      graft.query.AsofJoin.asofJoinBucketed(views, purchases, "user_id", "t",
+        Seq("v"), bucketSpan = 21600L)
+        .select(col("event_id"), col("asof_v").as("asof_value"))
+    }),
+
     "q_region_rollup" -> ((s, dir) => {
       val c = table(s, dir, "customer")
       val n = broadcast(table(s, dir, "nation"))
@@ -812,6 +826,15 @@ object SparkEntry {
         |GROUP BY c_mktsegment, o_orderpriority""".stripMargin,
 
     "q_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) t
+        |           FROM events WHERE event_type = 'view'),
+        |r AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) t, max(value) AS v
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.event_id, r.v AS asof_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t >= r.t""".stripMargin,
+
+    // identical oracle — the bucketed execution must be indistinguishable
+    "q_asof_bucketed" ->
       """WITH l AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) t
         |           FROM events WHERE event_type = 'view'),
         |r AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) t, max(value) AS v

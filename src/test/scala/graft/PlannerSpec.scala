@@ -260,6 +260,28 @@ class PlannerSpec extends SparkSpec {
       .collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty)
   }
 
+  test("bucketed asof join ≡ plain asof join (hot-key sharding is invisible)") {
+    import spark.implicits._
+    import graft.query.AsofJoin
+    val rnd = new scala.util.Random(42)
+    val left = (1 to 300).map(i =>
+      (s"e$i", s"k${rnd.nextInt(5)}", rnd.nextInt(10000).toLong))
+      .toDF("event_id", "user_id", "t")
+    // unique (key, time) on the right, per the asof contract
+    val right = rnd.shuffle((0 until 5).flatMap(k =>
+        rnd.shuffle((0 until 10000).toList).take(40).map(t =>
+          (s"k$k", t.toLong, rnd.nextDouble()))))
+      .toDF("user_id", "t", "v")
+    val plain = AsofJoin.asofJoin(left, right, "user_id", "t", Seq("v"))
+      .select("event_id", "asof_v").as[(String, Option[Double])].collect().toMap
+    for (span <- Seq(100L, 977L, 100000L)) { // many buckets, odd span, one bucket
+      val bucketed = AsofJoin.asofJoinBucketed(left, right, "user_id", "t",
+        Seq("v"), bucketSpan = span)
+        .select("event_id", "asof_v").as[(String, Option[Double])].collect().toMap
+      assert(bucketed == plain, s"span $span diverged")
+    }
+  }
+
   test("energy preset: invalid group_by_time forced to 1h (influxdb_v1.go:215-217)") {
     val base = pts(("electricity_meter_energy_sampled", now.getEpochSecond - 100, 5.0, "d1"))
     // note "25h" WOULD pass the reference's 1-2-digit regex; "abc" does not
