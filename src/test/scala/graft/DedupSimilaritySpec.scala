@@ -349,6 +349,18 @@ class DedupSimilaritySpec extends SparkSpec {
     // fingerprint-frequency pruning kills boilerplate-driven pairs
     assert(Dedup.winnowPairs(d, k = 4, w = 4, minShared = 1, maxFpFreq = 1)
       .count() == 0)
+    // edges: w=1 selects every distinct k-gram hash; fewer k-grams than
+    // the window selects exactly the single global minimum
+    import graft.functions.expressions.VectorExpressions.winnow
+    val tiny = Seq(("a b c d e f")).toDF("text")
+      .select(winnow(TextFunctions.shingles(col("text"), 4), w = 1).as("w1"),
+        winnow(TextFunctions.shingles(col("text"), 4), w = 9).as("w9"),
+        TextFunctions.shingles(col("text"), 4).as("g"))
+      .collect().head
+    def seq[T](name: String) = tiny.getAs[scala.collection.Seq[T]](name)
+    assert(seq[Long]("w1").size == seq[String]("g").size)
+    assert(seq[Long]("w9").size == 1)
+    assert(seq[Long]("w1").contains(seq[Long]("w9").head))
   }
 
   test("cross-document line dedup drops hot lines, preserves order and blanks") {
