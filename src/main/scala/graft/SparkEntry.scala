@@ -599,6 +599,13 @@ object SparkEntry {
       graft.functions.Vocab.encode(docs, vocab, oovId = 100)
     }),
 
+    "text_lm_score" -> ((s, dir) =>
+      // CCNet-style LM quality score: self-trained bigram model with
+      // add-one smoothing; mean per-token log-prob in integer 1e-4 nats
+      // (each token's ln is quantized BEFORE the order-independent
+      // integer sum, so any engine replicates the mean bit-for-bit)
+      graft.functions.LanguageModel.scoreSelf(table(s, dir, "documents"))),
+
     "text_chunks" -> ((s, dir) =>
       // 64-token chunks with 16-token overlap (stride 48); content
       // pinned by md5 of the space-joined token window
@@ -780,6 +787,13 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 =!= 0),
         docs.filter(col("doc_id") % 10 === 0), n = 4, portable = false)
     }),
+    // the LM score joins on xxhash64 longs instead of raw token text —
+    // the shuffle-width configuration a 100 TB run uses (values are
+    // identical unless a 2^-64 hash collision merges two counts, which
+    // is why the twin is bench-only)
+    "text_lm_x64" -> ((s, dir) =>
+      graft.functions.LanguageModel.scoreSelf(table(s, dir, "documents"),
+        hashKeys = true)),
     // the oracle config runs the n-gram join with pruning DISABLED
     // (worst case, exactly comparable to DuckDB); this twin times the
     // pruning path. At sf0.1 the hottest shingle reaches only 25 docs,
@@ -1275,6 +1289,38 @@ object SparkEntry {
         |  count(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')))
         |    AS n_unique
         |FROM documents GROUP BY source""".stripMargin,
+
+    "text_lm_score" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') toks FROM documents),
+        |d AS (SELECT * FROM t WHERE len(toks) > 0),
+        |p AS (SELECT doc_id, toks,
+        |    unnest(range(len(toks))) AS pos, unnest(toks) AS cur FROM d),
+        |pp AS (SELECT doc_id, pos, cur,
+        |    CASE WHEN pos >= 1 THEN toks[pos] END AS prev FROM p),
+        |uni AS (SELECT cur AS token, count(*) AS cnt FROM pp GROUP BY 1),
+        |bi AS (SELECT prev, cur, count(*) AS cnt FROM pp
+        |       WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, count(*) AS v FROM uni),
+        |sc AS (SELECT pp.doc_id,
+        |    CASE WHEN pp.pos = 0 THEN
+        |      ln(CAST(coalesce(u.cnt, 0) + 1 AS DOUBLE) /
+        |         CAST(tot.n + tot.v AS DOUBLE))
+        |    ELSE
+        |      ln(CAST(coalesce(b.cnt, 0) + 1 AS DOUBLE) /
+        |         CAST(coalesce(up.cnt, 0) + tot.v AS DOUBLE))
+        |    END AS lp
+        |  FROM pp
+        |  LEFT JOIN uni u ON u.token = pp.cur
+        |  LEFT JOIN uni up ON up.token = pp.prev
+        |  LEFT JOIN bi b ON b.prev = pp.prev AND b.cur = pp.cur
+        |  CROSS JOIN tot),
+        |q AS (SELECT doc_id,
+        |    CAST(floor(lp * 10000.0 + 0.5) AS BIGINT) AS lpq FROM sc)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(floor(CAST(sum(lpq) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+        |    AS lp_q4
+        |FROM q GROUP BY doc_id""".stripMargin,
 
     "text_chunks" ->
       """WITH t AS (SELECT doc_id,
