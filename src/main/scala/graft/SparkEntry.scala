@@ -646,6 +646,19 @@ object SparkEntry {
         threshold = 0.8)
     }),
 
+    "dedup_incremental" -> ((s, dir) => {
+      // daily-ingest dedup: every 10th document plays the incoming batch,
+      // the rest are a PERSISTED MinHash index (band buckets + shingle
+      // sets in parquet); the batch joins the index at O(batch) cost.
+      // Oracle = exact cross-set Jaccard pairs — banding recall at 0.8
+      // with 16×4 bands is what makes them equal
+      val docs = table(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_mhidx")
+        .toFile.getAbsolutePath
+      Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 10 =!= 0), root)
+      Dedup.queryMinhashIndex(s, docs.filter(col("doc_id") % 10 === 0), root)
+    }),
+
     "dedup_clusters" -> ((s, dir) => {
       // near-dup CLUSTERS: connected components over the exact-Jaccard
       // pair list via iterative min-label propagation; every clustered doc
@@ -1537,6 +1550,23 @@ object SparkEntry {
         |SELECT id_a, id_b,
         |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
         |FROM j WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.8""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+        |    i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS s
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3),
+        |p AS (SELECT doc_id, len(s) n, unnest(s) g FROM sh WHERE len(s) > 0),
+        |j AS (SELECT b.doc_id id_new, a.doc_id id_idx, count(*) inter,
+        |        any_value(a.n) ni, any_value(b.n) nn
+        |      FROM p a JOIN p b ON a.g = b.g
+        |      WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+        |      GROUP BY 1, 2)
+        |SELECT id_new, id_idx,
+        |  round(CAST(inter AS DOUBLE) / (ni + nn - inter), 6) AS jaccard
+        |FROM j WHERE round(CAST(inter AS DOUBLE) / (ni + nn - inter), 6) >= 0.8""".stripMargin,
 
     // same arithmetic chain: widen float→double, scale = max|x|/127,
     // q_i = floor(x_i/scale + 0.5); checksum Σ i·q_i (1-based i ≡ Spark's

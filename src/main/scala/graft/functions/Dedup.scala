@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -186,22 +186,31 @@ object Dedup {
    * candidates are verified with exact Jaccard before emission, so output
    * = true near-dup pairs discovered at LSH cost.
    */
-  def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
-    val rowsPerBand = k / bands
-    val sh = docs
+  /** (id, sh, sig) per doc with a non-empty shingle set. */
+  private def shingled(docs: DataFrame, n: Int, k: Int,
+      idCol: String, textCol: String): DataFrame =
+    docs
       .select(col(idCol).as("id"),
         TextFunctions.shingleSet(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), k))
-    // band buckets hashed to a long so the candidate join shuffles
-    // (band, hash, id) triples only — the shingle arrays stay out of the
-    // wide join and are equi-joined back onto the (few) surviving pairs.
-    val banded = sh.select(col("id"),
+
+  /** Explode a signature into (id, band, bucket) rows. Band buckets are
+   *  hashed to a long so candidate joins shuffle fixed-width triples
+   *  only — shingle arrays stay out of the wide joins. */
+  private def banded(sh: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rowsPerBand = k / bands
+    sh.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         bnd => xxhash64(concat_ws(",", slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val sh = shingled(docs, n, k, idCol, textCol)
+    val banded = this.banded(sh, k, bands)
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
     val candIds = a.join(b, Seq("band", "bucket"))
@@ -260,5 +269,77 @@ object Dedup {
       .withColumn("dist", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .filter(col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")
+  }
+
+  // ---- incremental near-dup: a persisted MinHash index ----
+  //
+  // A 100 TB corpus is not deduplicated in one shot — it grows by daily
+  // crawls. Re-running all-pairs LSH over corpus+batch every day costs
+  // O(corpus) per day; the right shape is a PERSISTED index: band buckets
+  // and shingle sets land in parquet once, and each new batch joins
+  // against them at O(batch) cost (the batch side is broadcast-sized
+  // relative to the index), then appends its own rows. This mirrors the
+  // tiered store's append-only design.
+
+  /** Build (or `append` to) a MinHash index at `path`: `buckets/`
+   *  (band, bucket, id) and `shingles/` (id, sh) parquet. Ids must be
+   *  globally unique across all batches ever indexed. */
+  def buildMinhashIndex(docs: DataFrame, path: String, n: Int = 3, k: Int = 64,
+      bands: Int = 16, idCol: String = "doc_id", textCol: String = "text",
+      append: Boolean = false): Unit = {
+    require(k % bands == 0, "bands must divide k")
+    val mode = if (append) SaveMode.Append else SaveMode.Overwrite
+    val sh = shingled(docs, n, k, idCol, textCol)
+    banded(sh, k, bands).write.mode(mode).parquet(s"$path/buckets")
+    sh.select(col("id"), col("sh")).write.mode(mode).parquet(s"$path/shingles")
+  }
+
+  /**
+   * Near-dup pairs between a new batch and the indexed corpus:
+   * (id_new, id_idx, jaccard ≥ threshold). The batch's banded rows join
+   * the bucket table (AQE broadcasts the batch side — the index streams
+   * through map-side, no index shuffle); surviving candidates verify
+   * with exact Jaccard against the stored shingle sets. Parameters must
+   * match the ones the index was built with.
+   */
+  def queryMinhashIndex(spark: SparkSession, newDocs: DataFrame, path: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16, threshold: Double = 0.8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val shNew = shingled(newDocs, n, k, idCol, textCol)
+    val bNew = banded(shNew, k, bands)
+      .select(col("band"), col("bucket"), col("id").as("id_new"))
+    val bIdx = spark.read.parquet(s"$path/buckets")
+      .select(col("band"), col("bucket"), col("id").as("id_idx"))
+    val candIds = bIdx.join(broadcast(bNew), Seq("band", "bucket"))
+      .filter(col("id_idx") =!= col("id_new"))
+      .select("id_new", "id_idx").distinct()
+    val shIdx = spark.read.parquet(s"$path/shingles")
+      .select(col("id").as("id_idx"), col("sh").as("sh_i"))
+    candIds
+      .join(shNew.select(col("id").as("id_new"), col("sh").as("sh_n")), "id_new")
+      .join(shIdx, "id_idx")
+      .withColumn("inter", size(array_intersect(col("sh_n"), col("sh_i"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("sh_n")) + size(col("sh_i")) - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_idx"), col("jaccard"))
+  }
+
+  /**
+   * The daily-ingest primitive: drop batch docs that near-duplicate the
+   * index, and (optionally) index the survivors for the next batch.
+   * Returns the surviving rows of `newDocs`.
+   */
+  def dedupAgainstIndex(spark: SparkSession, newDocs: DataFrame, path: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16, threshold: Double = 0.8,
+      idCol: String = "doc_id", textCol: String = "text",
+      indexSurvivors: Boolean = false): DataFrame = {
+    val hits = queryMinhashIndex(spark, newDocs, path, n, k, bands, threshold,
+      idCol, textCol).select(col("id_new").as(idCol)).distinct()
+    val clean = newDocs.join(hits, Seq(idCol), "left_anti")
+    if (indexSurvivors)
+      buildMinhashIndex(clean, path, n, k, bands, idCol, textCol, append = true)
+    clean
   }
 }

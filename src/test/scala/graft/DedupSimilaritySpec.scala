@@ -510,4 +510,43 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(ids.min == 0L && ids.max <= rs.map(_._5).sum / 512)
     }
   }
+
+  test("incremental minhash index: batch-vs-index pairs = cross-set exact pairs") {
+    val root = java.nio.file.Files.createTempDirectory("mhidx").toString
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val batch = docs.filter($"doc_id" % 10 === 0)
+    Dedup.buildMinhashIndex(corpus, root)
+
+    val got = Dedup.queryMinhashIndex(spark, batch, root)
+      .select("id_new", "id_idx").as[(Long, Long)].collect().toSet
+    // ground truth: exact all-pairs restricted to (batch, corpus)
+    val all = Dedup.ngramJaccardPairs(docs, 3, 0.8, Int.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val expected = all.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (n, i) => n % 10 == 0 && i % 10 != 0 }.toSet
+    assert(got == expected)
+  }
+
+  test("dedupAgainstIndex drops matching batch docs and can index survivors") {
+    val root = java.nio.file.Files.createTempDirectory("mhidx2").toString
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely unrelated corpus content about spark physical plans"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "fresh never seen text about columnar shuffles and bucketing"))
+      .toDF("doc_id", "text")
+    Dedup.buildMinhashIndex(corpus, root)
+    val clean = Dedup.dedupAgainstIndex(spark, batch, root,
+      indexSurvivors = true)
+    assert(clean.select("doc_id").as[Long].collect().toSet == Set(11L))
+    // survivor was appended: a re-send of the same doc now hits the index
+    val again = Seq(
+      (20L, "fresh never seen text about columnar shuffles and bucketing"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.queryMinhashIndex(spark, again, root)
+      .select("id_idx").as[Long].collect().toSet
+    assert(hits == Set(11L))
+  }
 }
