@@ -800,6 +800,10 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 =!= 0),
         docs.filter(col("doc_id") % 10 === 0), n = 4, portable = false)
     }),
+    // sketch twin of the oracle'd text_stats: HLL unique + KLL p50/p95 —
+    // deterministic but not bit-portable, so bench-only
+    "text_stats_approx" -> ((s, dir) =>
+      graft.functions.Pipeline.corpusStatsApprox(table(s, dir, "documents"))),
     // the LM score joins on xxhash64 longs instead of raw token text —
     // the shuffle-width configuration a 100 TB run uses (values are
     // identical unless a 2^-64 hash collision merges two counts, which

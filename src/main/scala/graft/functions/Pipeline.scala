@@ -56,6 +56,33 @@ object Pipeline {
       countDistinct(TextFunctions.fingerprint(col(textCol))).as("n_unique"))
 
   /**
+   * Sketch-based twin of `corpusStats` for the 100 TB report: exact
+   * `countDistinct` re-shuffles every distinct fingerprint (a second
+   * full-width exchange whose payload grows WITH the data), while
+   * HyperLogLog++ carries a fixed 2^p-register sketch per group through
+   * ONE partial/final aggregation — constant shuffle payload at any
+   * scale, mergeable across days. Adds the per-document token-count
+   * distribution (p50/p95) via the positive-indexed percentile sketch,
+   * which an exact median would pay a per-group sort for.
+   *
+   * Both sketches are deterministic for a given dataset (no RNG), but
+   * not bit-portable across engines — `corpusStats` stays the oracle
+   * surface; the spec pins the approximation error instead.
+   */
+  def corpusStatsApprox(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text", rsd: Double = 0.05): DataFrame = {
+    val nTok = TextFunctions.tokenCount(col(textCol))
+    docs.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(nTok.cast("long")).as("total_tokens"),
+      sum(length(col(textCol)).cast("long")).as("total_chars"),
+      approx_count_distinct(TextFunctions.fingerprint(col(textCol)), rsd)
+        .as("n_unique_approx"),
+      percentile_approx(nTok, array(lit(0.5), lit(0.95)), lit(1000))
+        .as("tokens_p50_p95"))
+  }
+
+  /**
    * STREAMING corpus cleanup — the same language filter + quality floor
    * as `cleanCorpus`, composed with watermark-bounded exact dedup
    * (`Dedup.streamingExactDedup`) so a continuous document feed is

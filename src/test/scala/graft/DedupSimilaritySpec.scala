@@ -511,6 +511,30 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("approx corpus stats: sketch within tolerance, one shuffle vs two") {
+    import graft.functions.Pipeline
+    val exact = Pipeline.corpusStats(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    val approx = Pipeline.corpusStatsApprox(docs, rsd = 0.05).collect()
+      .map(r => (r.getString(0), r.getLong(4), r.getSeq[Int](5))).toList
+    approx.foreach { case (src, nApprox, pcts) =>
+      val nExact = exact(src)
+      assert(math.abs(nApprox - nExact).toDouble / nExact <= 0.2,
+        s"$src: approx $nApprox vs exact $nExact")
+      assert(pcts.length == 2 && pcts(0) <= pcts(1), s"$src: p50/p95 $pcts")
+    }
+    // the scale claim: HLL keeps the report at ONE exchange; exact
+    // distinct pays a second, data-width one
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val sa = graft.store.Bucketing.shuffleCount(Pipeline.corpusStatsApprox(docs))
+      val se = graft.store.Bucketing.shuffleCount(Pipeline.corpusStats(docs))
+      assert(sa == 1, s"approx stats should shuffle once, got $sa")
+      assert(se > sa, s"exact distinct should shuffle more ($se vs $sa)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("incremental minhash index: batch-vs-index pairs = cross-set exact pairs") {
     val root = java.nio.file.Files.createTempDirectory("mhidx").toString
     val corpus = docs.filter($"doc_id" % 10 =!= 0)
