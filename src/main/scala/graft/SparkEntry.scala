@@ -659,6 +659,12 @@ object SparkEntry {
       Dedup.queryMinhashIndex(s, docs.filter(col("doc_id") % 10 === 0), root)
     }),
 
+    "dedup_spans" -> ((s, dir) =>
+      // exact substring-level dedup (Lee et al. 2022): merged spans of
+      // 20-token runs occurring ≥2 times corpus-wide; portable md5-60bit
+      // window keys so DuckDB replicates the posting join bit-for-bit
+      Dedup.duplicateSpans(table(s, dir, "documents"), w = 20)),
+
     "dedup_clusters" -> ((s, dir) => {
       // near-dup CLUSTERS: connected components over the exact-Jaccard
       // pair list via iterative min-label propagation; every clustered doc
@@ -800,6 +806,9 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 =!= 0),
         docs.filter(col("doc_id") % 10 === 0), n = 4, portable = false)
     }),
+    "dedup_spans_x64" -> ((s, dir) =>
+      Dedup.duplicateSpans(table(s, dir, "documents"), w = 20,
+        portable = false)),
     // sketch twin of the oracle'd text_stats: HLL unique + KLL p50/p95 —
     // deterministic but not bit-portable, so bench-only
     "text_stats_approx" -> ((s, dir) =>
@@ -1554,6 +1563,28 @@ object SparkEntry {
         |SELECT id_a, id_b,
         |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
         |FROM j WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.8""".stripMargin,
+
+    "dedup_spans" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') toks FROM documents),
+        |w AS (SELECT doc_id,
+        |    unnest(range(len(toks) - 19)) AS pos,
+        |    unnest(list_transform(range(len(toks) - 19),
+        |      i -> array_to_string(list_slice(toks, i + 1, i + 20), ' '))) AS g
+        |  FROM t WHERE len(toks) >= 20),
+        |k AS (SELECT doc_id, pos,
+        |    CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS k FROM w),
+        |hot AS (SELECT k FROM k GROUP BY k HAVING count(*) >= 2),
+        |m AS (SELECT doc_id, pos FROM k JOIN hot USING (k)),
+        |i AS (SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 20
+        |      THEN 0 ELSE 1 END AS nw
+        |  FROM m),
+        |s AS (SELECT doc_id, pos,
+        |    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM i)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 19 AS span_end,
+        |  max(pos) + 19 - min(pos) + 1 AS span_tokens
+        |FROM s GROUP BY doc_id, island""".stripMargin,
 
     "dedup_incremental" ->
       """WITH sh AS (

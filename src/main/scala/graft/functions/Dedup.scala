@@ -124,6 +124,51 @@ object Dedup {
   }
 
   /**
+   * EXACT duplicate-span detection — the substring-level dedup of Lee et
+   * al. 2022 ("Deduplicating Training Data Makes Language Models
+   * Better"): any `w`-token run occurring ≥ `minOccurrences` times
+   * corpus-wide (across documents OR repeated inside one) is training
+   * redundancy, even when the containing documents are otherwise unique.
+   * Whole-document schemes can't see it; winnowing detects the PAIR but
+   * not the exact extent. Output: per-document merged token spans
+   * (doc_id, span_start, span_end, span_tokens), 0-based inclusive —
+   * the caller cuts or down-weights them.
+   *
+   * The paper builds a suffix array; the shuffle-native equivalent is a
+   * stride-1 hashed-window posting list: one row per token position
+   * carrying (id, pos, 8-byte window hash) — never the window text —
+   * then duplicated hashes (one hash-agg), a semi-join back, and a
+   * per-document gaps-and-islands window to merge overlapping hits.
+   * Three narrow shuffles, each on fixed-width keys; the per-doc window
+   * is partitioned by doc id (no global window).
+   */
+  def duplicateSpans(docs: DataFrame, w: Int = 20, minOccurrences: Int = 2,
+      portable: Boolean = true, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = docs
+      .select(col(idCol).as("id"),
+        posexplode(TextFunctions.shingles(col(textCol), w)))
+      .select(col("id"), col("pos"),
+        Decontaminate.ngramKey(col("col"), portable).as("k"))
+    val hot = wins.groupBy("k").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minOccurrences).select("k")
+    val marked = wins.join(hot, Seq("k"), "left_semi")
+    // merge intervals [pos, pos+w-1] that overlap or touch: a new island
+    // starts when the gap to the previous marked position exceeds w
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    marked
+      .withColumn("_new",
+        when(col("pos") - lag("pos", 1).over(byDoc) <= w, 0).otherwise(1))
+      .withColumn("_island", sum("_new").over(byDoc))
+      .groupBy(col("id"), col("_island"))
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") + (w - 1)).cast("long").as("span_end"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /**
    * Near-duplicate CLUSTERS from a pair list: connected components via
    * iterative min-label propagation (a DataFrame-native union-find).
    * Every node starts labeled with itself; each round, every node takes

@@ -535,6 +535,35 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("duplicate spans: exact extent of a copied run; within-doc repeats count") {
+    // doc 1: unique prefix (10 tokens) + shared run (25 tokens) + unique tail
+    val shared = (1 to 25).map(i => s"s$i").mkString(" ")
+    def uniq(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val d = Seq(
+      (1L, uniq("a", 10) + " " + shared + " " + uniq("b", 10)),
+      (2L, uniq("c", 5) + " " + shared + " " + uniq("d", 30)),
+      // doc 3 repeats its own 20-token block twice back-to-back
+      (3L, uniq("e", 4) + " " + uniq("r", 20) + " " + uniq("r", 20)),
+      (4L, uniq("z", 40))).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d, w = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // doc 1: windows 10..15 hit -> span [10, 34] = the 25 shared tokens
+    // doc 2: windows 5..10 hit  -> span [5, 29]
+    // doc 3: windows 4..24 all equal-shifted copies... only the EXACT
+    //   window "r1..r20" occurs twice (positions 4 and 24) -> islands
+    //   merge (gap 20 <= w) -> span [4, 43]
+    assert(spans.contains((1L, 10L, 34L, 25L)))
+    assert(spans.contains((2L, 5L, 29L, 25L)))
+    assert(spans.contains((3L, 4L, 43L, 40L)))
+    assert(!spans.exists(_._1 == 4L))
+    // x64 mode agrees
+    val x = Dedup.duplicateSpans(d, w = 20, portable = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(x == spans)
+  }
+
   test("incremental minhash index: batch-vs-index pairs = cross-set exact pairs") {
     val root = java.nio.file.Files.createTempDirectory("mhidx").toString
     val corpus = docs.filter($"doc_id" % 10 =!= 0)
