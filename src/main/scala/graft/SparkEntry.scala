@@ -665,6 +665,13 @@ object SparkEntry {
       // window keys so DuckDB replicates the posting join bit-for-bit
       Dedup.duplicateSpans(table(s, dir, "documents"), w = 20)),
 
+    "dedup_spans_cut" -> ((s, dir) => {
+      // detect→cut: documents rewritten with every ≥2-occurrence 20-token
+      // run removed (token-stream view); fully-duplicated docs vanish
+      val docs = table(s, dir, "documents")
+      Dedup.cutSpans(docs, Dedup.duplicateSpans(docs, w = 20))
+    }),
+
     "dedup_clusters" -> ((s, dir) => {
       // near-dup CLUSTERS: connected components over the exact-Jaccard
       // pair list via iterative min-label propagation; every clustered doc
@@ -1585,6 +1592,36 @@ object SparkEntry {
         |SELECT doc_id, min(pos) AS span_start, max(pos) + 19 AS span_end,
         |  max(pos) + 19 - min(pos) + 1 AS span_tokens
         |FROM s GROUP BY doc_id, island""".stripMargin,
+
+    "dedup_spans_cut" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') toks FROM documents),
+        |w AS (SELECT doc_id,
+        |    unnest(range(len(toks) - 19)) AS pos,
+        |    unnest(list_transform(range(len(toks) - 19),
+        |      i -> array_to_string(list_slice(toks, i + 1, i + 20), ' '))) AS g
+        |  FROM t WHERE len(toks) >= 20),
+        |k AS (SELECT doc_id, pos,
+        |    CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS k FROM w),
+        |hot AS (SELECT k FROM k GROUP BY k HAVING count(*) >= 2),
+        |m AS (SELECT doc_id, pos FROM k JOIN hot USING (k)),
+        |i AS (SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 20
+        |      THEN 0 ELSE 1 END AS nw
+        |  FROM m),
+        |s AS (SELECT doc_id, pos,
+        |    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM i),
+        |sp AS (SELECT doc_id, min(pos) AS a, max(pos) + 19 AS b
+        |       FROM s GROUP BY doc_id, island),
+        |hits AS (SELECT DISTINCT doc_id, unnest(range(a, b + 1)) AS pos FROM sp),
+        |tok AS (SELECT doc_id, unnest(range(len(toks))) AS pos,
+        |        unnest(toks) AS tk FROM t WHERE len(toks) > 0),
+        |keep AS (SELECT tok.doc_id, tok.pos, tok.tk
+        |         FROM tok LEFT JOIN hits
+        |           ON tok.doc_id = hits.doc_id AND tok.pos = hits.pos
+        |         WHERE hits.doc_id IS NULL)
+        |SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS text
+        |FROM keep GROUP BY doc_id""".stripMargin,
 
     "dedup_incremental" ->
       """WITH sh AS (

@@ -169,6 +169,35 @@ object Dedup {
   }
 
   /**
+   * Apply `duplicateSpans` output: rewrite each document with the
+   * flagged token ranges REMOVED. Returns (idCol, text) over the
+   * normalized token stream (the tokenizer's view — same normalization
+   * the detection ran on). Documents whose every token was cut (or that
+   * had no tokens) are absent from the output.
+   *
+   * Removes ALL copies of a duplicated run; for keep-one semantics,
+   * filter the spans frame first (e.g. anti-join the canonical doc per
+   * duplicate group). Shape: span explode → (doc, pos) anti-join →
+   * one per-doc reassembly agg; the only wide rows are (doc, pos, token).
+   */
+  def cutSpans(docs: DataFrame, spans: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val hits = spans.select(col(idCol).as("doc_id"),
+        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+      .distinct()
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok")))
+    toks
+      .join(hits, toks("doc_id") === hits("doc_id") &&
+        toks("pos") === hits("pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("text"))
+      .withColumnRenamed("doc_id", idCol)
+  }
+
+  /**
    * Near-duplicate CLUSTERS from a pair list: connected components via
    * iterative min-label propagation (a DataFrame-native union-find).
    * Every node starts labeled with itself; each round, every node takes

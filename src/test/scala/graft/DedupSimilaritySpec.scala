@@ -562,6 +562,15 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
     assert(x == spans)
+
+    // detect→cut: flagged ranges removed, untouched doc intact, the
+    // fully-duplicated middle of doc 3 gone
+    val cut = Dedup.cutSpans(d, Dedup.duplicateSpans(d, w = 20))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cut(1L) == (uniq("a", 10) + " " + uniq("b", 10)))
+    assert(cut(2L) == (uniq("c", 5) + " " + uniq("d", 30)))
+    assert(cut(3L) == uniq("e", 4))
+    assert(cut(4L) == uniq("z", 40))
   }
 
   test("incremental minhash index: batch-vs-index pairs = cross-set exact pairs") {
