@@ -376,11 +376,21 @@ object Dedup {
    * with exact Jaccard against the stored shingle sets. Parameters must
    * match the ones the index was built with.
    */
+  /** True when an index has been built (or appended) at `path`. */
+  def indexExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/buckets")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   def queryMinhashIndex(spark: SparkSession, newDocs: DataFrame, path: String,
       n: Int = 3, k: Int = 64, bands: Int = 16, threshold: Double = 0.8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val shNew = shingled(newDocs, n, k, idCol, textCol)
+    if (!indexExists(spark, path))
+      // nothing indexed yet — empty result, correct schema
+      return shNew.select(col("id").as("id_new"), col("id").as("id_idx"),
+        lit(0.0).as("jaccard")).where(lit(false))
     val bNew = banded(shNew, k, bands)
       .select(col("band"), col("bucket"), col("id").as("id_new"))
     val bIdx = spark.read.parquet(s"$path/buckets")

@@ -102,6 +102,53 @@ object Pipeline {
   }
 
   /**
+   * Within-batch near-dup keep-min: drop every document that verified-
+   * matches a smaller-id document in the same frame (LSH candidates,
+   * exact-Jaccard verification). The batch-local half of the incremental
+   * dedup story — `Dedup.dedupAgainstIndex` covers batch-vs-history.
+   */
+  def intraBatchNearDedup(batch: DataFrame, n: Int = 3, k: Int = 64,
+      bands: Int = 16, threshold: Double = 0.8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val drop = Dedup.minhashLshPairs(batch, n, k, bands, threshold, idCol, textCol)
+      .select(col("id_b").as(idCol)).distinct()
+    batch.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /**
+   * STREAMING corpus-wide near-dedup against the persistent MinHash
+   * index — the state-on-disk complement to `cleanCorpusStream`'s
+   * watermark-bounded exact dedup: the watermark form forgets after the
+   * window; this form never forgets, because its "state" is the parquet
+   * index, unbounded in TIME but O(corpus) on DISK, exactly like the
+   * tier store. Per micro-batch: intra-batch keep-min near-dedup →
+   * anti-join against the index → `sink(clean)` → append survivors to
+   * the index. The batch is persisted around its two consumers (sink +
+   * index append) so the upstream plan executes once. At-least-once on
+   * restart: a replayed batch's docs match the index rows they appended
+   * and drop out, so the sink sees no near-dup twice.
+   */
+  def streamingIndexedDedup(stream: DataFrame, indexPath: String,
+      checkpoint: String, sink: DataFrame => Unit, n: Int = 3, k: Int = 64,
+      bands: Int = 16, threshold: Double = 0.8, idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val intra = intraBatchNearDedup(batch, n, k, bands, threshold, idCol, textCol)
+        val clean = Dedup.dedupAgainstIndex(spark, intra, indexPath,
+          n, k, bands, threshold, idCol, textCol).persist()
+        try {
+          sink(clean)
+          Dedup.buildMinhashIndex(clean, indexPath, n, k, bands, idCol, textCol,
+            append = true)
+        } finally clean.unpersist()
+      }
+      .start()
+
+  /**
    * Split documents into fixed-size token windows with overlap — the
    * chunking step in front of embedding/RAG indexing and long-document
    * training. Chunk starts step by `maxTokens − overlap`; every token

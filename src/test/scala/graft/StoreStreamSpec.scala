@@ -316,6 +316,34 @@ class StoreStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming indexed dedup: history never forgotten, intra-batch keep-min") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("stream_idx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream_idx_ck").toString
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    val input = MemoryStream[DocIn]
+    val run = "the quick brown fox jumps over the lazy dog on a sunny day"
+    val q = graft.functions.Pipeline.streamingIndexedDedup(
+      input.toDF().select($"doc_id", $"text"), idx, ckpt,
+      clean => seen.synchronized {
+        seen ++= clean.select("doc_id").as[Long].collect()
+      })
+    try {
+      val t0 = new Timestamp(1704067200000L)
+      // batch 1: 1 and 2 near-duplicate each other (keep-min -> 1); 3 unique
+      input.addData(DocIn(1L, run, t0), DocIn(2L, run + " indeed", t0),
+        DocIn(3L, "completely different prose about catalyst optimizer rules", t0))
+      q.processAllAvailable()
+      // batch 2: 10 duplicates batch-1's doc 1 — BEYOND any watermark,
+      // caught by the disk index; 11 fresh
+      input.addData(DocIn(10L, run, t0),
+        DocIn(11L, "fresh unrelated words never indexed before anywhere", t0))
+      q.processAllAvailable()
+      assert(seen.sorted.toSeq == Seq(1L, 3L, 11L))
+    } finally q.stop()
+  }
+
   test("streaming difference carries seed across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
