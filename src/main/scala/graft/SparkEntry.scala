@@ -599,6 +599,11 @@ object SparkEntry {
       graft.functions.Vocab.encode(docs, vocab, oovId = 100)
     }),
 
+    "text_tfidf" -> ((s, dir) =>
+      // top-5 TF-IDF terms per document; quantized-score ranking with
+      // (score, term) tie-break so the order is engine-independent
+      graft.functions.Pipeline.topTfidfTerms(table(s, dir, "documents"))),
+
     "text_lm_score" -> ((s, dir) =>
       // CCNet-style LM quality score: self-trained bigram model with
       // add-one smoothing; mean per-token log-prob in integer 1e-4 nats
@@ -1322,6 +1327,22 @@ object SparkEntry {
         |  count(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')))
         |    AS n_unique
         |FROM documents GROUP BY source""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        |tfq AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, term, tf,
+        |    CAST(floor(tf * ln(CAST(n_docs AS DOUBLE) / df) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS score_q6
+        |  FROM tfq JOIN dfq USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY score_q6 DESC, term) AS rank FROM s)
+        |SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf, score_q6
+        |FROM r WHERE rank <= 5""".stripMargin,
 
     "text_lm_score" ->
       """WITH t AS (SELECT doc_id,

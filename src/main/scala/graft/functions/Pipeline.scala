@@ -102,6 +102,37 @@ object Pipeline {
   }
 
   /**
+   * Top-k TF-IDF terms per document — the classic keyword/topic signal
+   * (search-style relevance, per-doc topic tags, cheap clustering
+   * features). Three hash-aggs ((doc, term) tf → term df → corpus N) and
+   * one per-doc ranking window; only (doc, term, count) tuples shuffle.
+   *
+   * Determinism: score = tf·ln(N/df) is quantized to integer 1e-6 BEFORE
+   * ranking, and rank order is (score_q6 desc, term asc) — so ranks are
+   * reproducible bit-for-bit in any engine; the 1-ulp `ln` wobble can
+   * only flip a quantization boundary (~1e-10 per distinct (tf, df)).
+   */
+  def topTfidfTerms(docs: DataFrame, topK: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("score_q6",
+        floor(col("tf") * log(col("n_docs").cast("double") / col("df")) *
+          lit(1e6) + lit(0.5)).cast("long"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_q6").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id").as(idCol), col("rank"), col("term"), col("tf"),
+        col("score_q6"))
+  }
+
+  /**
    * Within-batch near-dup keep-min: drop every document that verified-
    * matches a smaller-id document in the same frame (LSH candidates,
    * exact-Jaccard verification). The batch-local half of the incremental

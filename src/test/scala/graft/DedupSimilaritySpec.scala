@@ -511,6 +511,25 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("tf-idf top terms: hand-computed ranks, deterministic tie-break") {
+    import graft.functions.Pipeline
+    val d = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry date")).toDF("doc_id", "text")
+    val out = Pipeline.topTfidfTerms(d, topK = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    def q6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    // N=3; df: apple 1, banana 2, cherry 2, date 1
+    assert(out((1L, 1L)) == ("apple", 2L, q6(2 * math.log(3.0))))
+    assert(out((1L, 2L)) == ("banana", 1L, q6(math.log(1.5))))
+    assert(out((3L, 1L)) == ("cherry", 3L, q6(3 * math.log(1.5))))
+    assert(out((3L, 2L)) == ("date", 1L, q6(math.log(3.0))))
+    // doc 2: banana and cherry tie on score (tf=1, df=2) -> term asc
+    assert(out((2L, 1L))._1 == "banana" && out((2L, 2L))._1 == "cherry")
+  }
+
   test("approx corpus stats: sketch within tolerance, one shuffle vs two") {
     import graft.functions.Pipeline
     val exact = Pipeline.corpusStats(docs).collect()
