@@ -11,13 +11,16 @@ import org.apache.spark.sql.types._
  *
  * Codecs: IMAGE rows decode through a real JVM codec
  * ([[ImageCodec]], javax.imageio — PNG/JPEG/BMP/GIF, built into every
- * JDK, no native deps on executors). Audio/video decode remains STUBBED
- * with a deterministic fake (no JVM-built-in decoder exists);
- * everything Spark-side (schema, batch shape, partition behavior, the
- * mapPartitions contract a vectorized decode UDF runs under) is real
- * and tested, so swapping in an FFmpeg-style decoder touches only the
- * codec object. Image payloads that are not decodable bitstreams (e.g.
- * synthetic fixtures) deterministically fall back to the fake.
+ * JDK), AUDIO rows through a real one too ([[AudioCodec]],
+ * javax.sound.sampled — WAV/AIFF/AU PCM), and animated GIF through the
+ * multi-frame [[GifCodec]] — all headless, no native deps on executors.
+ * Remaining containers (mp4/mp3/flac …) keep the STUBBED deterministic
+ * fake (no JVM-built-in decoder exists); everything Spark-side (schema,
+ * batch shape, partition behavior, the mapPartitions contract a
+ * vectorized decode UDF runs under) is real and tested, so swapping in
+ * an FFmpeg-style decoder touches only the codec object. Payloads that
+ * are not decodable bitstreams (e.g. synthetic fixtures)
+ * deterministically fall back to the fake.
  *
  * Scale notes: binary payloads stay columnar until the decode stage, the
  * decode runs per-partition (mapPartitions — one codec init per
@@ -129,22 +132,91 @@ object Multimodal {
   }
 
   /**
+   * Real audio codec on the JDK's built-in javax.sound.sampled readers
+   * (WAV/AIFF/AU containers, PCM payloads) — headless, no native deps.
+   * Anything else (mp3, flac …) falls through to the declared fake.
+   */
+  object AudioCodec {
+    final case class AudioInfo(sampleRate: Int, channels: Int, frames: Long,
+        durationMs: Long)
+
+    /** bytes → (stream info, mono samples in [-1,1]); None when the
+     *  payload is not a decodable audio container. Multi-channel input
+     *  is converted to 16-bit PCM and mixed down to mono. */
+    def decode(payload: Array[Byte]): Option[(AudioInfo, Array[Float])] = try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val src = in.getFormat
+        val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels, src.getChannels * 2,
+          src.getSampleRate, false)
+        val pcm = AudioSystem.getAudioInputStream(fmt, in)
+        try {
+          val bytes = pcm.readAllBytes()
+          val ch = fmt.getChannels
+          val nFrames = bytes.length / (2 * ch)
+          val mono = new Array[Float](nFrames)
+          var i = 0
+          while (i < nFrames) {
+            var c = 0
+            var acc = 0.0f
+            while (c < ch) {
+              val o = (i * ch + c) * 2
+              acc += (((bytes(o) & 0xFF) | (bytes(o + 1) << 8)).toShort) / 32768.0f
+              c += 1
+            }
+            mono(i) = acc / ch
+            i += 1
+          }
+          val rate = fmt.getSampleRate.toInt
+          Some((AudioInfo(rate, ch, nFrames.toLong,
+            if (rate > 0) nFrames.toLong * 1000 / rate else 0L), mono))
+        } finally pcm.close()
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+    /** Decode → fixed-width feature: RMS energy over `dim` equal time
+     *  windows — the classic audio-thumbnail embedding contract. */
+    def decodeToFeature(payload: Array[Byte], dim: Int): Option[Array[Float]] =
+      decode(payload).map { case (_, mono) =>
+        val out = new Array[Float](dim)
+        val cnt = new Array[Int](dim)
+        var i = 0
+        while (i < mono.length) {
+          val w = math.min(dim - 1, (i.toLong * dim / math.max(1, mono.length)).toInt)
+          out(w) += mono(i) * mono(i)
+          cnt(w) += 1
+          i += 1
+        }
+        var j = 0
+        while (j < dim) {
+          if (cnt(j) > 0) out(j) = math.sqrt(out(j) / cnt(j)).toFloat
+          j += 1
+        }
+        out
+      }
+  }
+
+  /**
    * Feature extraction stage: per-partition batched decode (the shape a
    * vectorized/pandas-style UDF runs under — one codec per partition,
    * rows streamed through it). Image rows take the real javax.imageio
-   * path; audio/video (and non-decodable image payloads) take the
-   * deterministic fake.
+   * path, audio rows the real javax.sound path (WAV/AIFF/AU);
+   * non-decodable payloads and other containers take the deterministic
+   * fake.
    */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 64): Dataset[Feature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // a stateful codec/embedder initializes ONCE here, per partition
       it.map { r =>
-        val feat =
-          if (r.meta.media_type == "image")
-            ImageCodec.decodeToFeature(r.payload, dim)
-              .getOrElse(FakeCodec.decodeToFeature(r.payload, dim))
-          else FakeCodec.decodeToFeature(r.payload, dim)
+        val feat = (r.meta.media_type match {
+          case "image" => ImageCodec.decodeToFeature(r.payload, dim)
+          case "audio" => AudioCodec.decodeToFeature(r.payload, dim)
+          case _ => None
+        }).getOrElse(FakeCodec.decodeToFeature(r.payload, dim))
         Feature(r.media_id, feat)
       }
     }

@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: schema, per-partition decode contract,
  *  frame sampling, metadata-only pruning. Images use the real
- *  javax.imageio codec; audio/video use the deterministic stub. */
+ *  javax.imageio codec, audio the real javax.sound codec (WAV),
+ *  animated GIF the real multi-frame reader; other containers use the
+ *  deterministic stub. */
 class MultimodalSpec extends SparkSpec {
 
   private lazy val media = Multimodal.synthetic(spark, 30)
@@ -48,6 +50,55 @@ class MultimodalSpec extends SparkSpec {
     val f2 = Multimodal.extractFeatures(spark.createDataset(Seq(junk)), dim = 16)
       .collect().head.feature
     assert(f2.sameElements(Multimodal.FakeCodec.decodeToFeature(junk.payload, 16)))
+  }
+
+  /** A real 16-bit PCM mono WAV: first half a full-scale-ish 440 Hz sine,
+   *  second half silence. */
+  private def wav(rate: Int, seconds: Double, amp: Double): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = (rate * seconds).toInt
+    val bytes = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s =
+        if (i < n / 2) (amp * 32767 * math.sin(2 * math.Pi * 440 * i / rate)).toInt
+        else 0
+      bytes(2 * i) = (s & 0xFF).toByte
+      bytes(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16, 1, 2, rate, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(bytes), fmt, n)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real WAV decode: stream info exact, RMS features track the signal (javax.sound)") {
+    import spark.implicits._
+    val payload = wav(16000, 1.0, 0.5)
+    val (info, mono) = Multimodal.AudioCodec.decode(payload).get
+    assert(info.sampleRate == 16000 && info.channels == 1)
+    assert(info.frames == 16000L && info.durationMs == 1000L)
+    assert(mono.length == 16000)
+
+    // 4 windows: first two over the sine (RMS ≈ amp/√2), last two silent
+    val feat = Multimodal.AudioCodec.decodeToFeature(payload, 4).get
+    val expected = 0.5 / math.sqrt(2)
+    assert(math.abs(feat(0) - expected) < 0.01, feat.toSeq)
+    assert(math.abs(feat(1) - expected) < 0.01, feat.toSeq)
+    assert(feat(2) == 0.0f && feat(3) == 0.0f, feat.toSeq)
+
+    // the Spark stage routes audio rows through the REAL codec
+    val row = Multimodal.MediaRow(7L, payload,
+      Multimodal.MediaMeta("audio", "wav", 0, 0, 1000L, 16000))
+    val viaStage = Multimodal.extractFeatures(spark.createDataset(Seq(row)), dim = 4)
+      .collect().head.feature
+    assert(viaStage.toSeq == feat.toSeq)
+    // and a non-decodable "audio" payload falls back to the fake
+    val junk = Multimodal.MediaRow(8L, Array.tabulate[Byte](32)(_.toByte),
+      Multimodal.MediaMeta("audio", "mp3", 0, 0, 0L, 0))
+    val fb = Multimodal.extractFeatures(spark.createDataset(Seq(junk)), dim = 4)
+      .collect().head.feature
+    assert(fb.toSeq == Multimodal.FakeCodec.decodeToFeature(junk.payload, 4).toSeq)
   }
 
   test("feature extraction: fixed-width vectors, deterministic") {
