@@ -362,10 +362,48 @@ object Dedup {
       bands: Int = 16, idCol: String = "doc_id", textCol: String = "text",
       append: Boolean = false): Unit = {
     require(k % bands == 0, "bands must divide k")
+    val spark = docs.sparkSession
+    if (append) checkIndexParams(spark, path, n, k, bands)
+    else writeIndexMeta(spark, path, n, k, bands)
     val mode = if (append) SaveMode.Append else SaveMode.Overwrite
     val sh = shingled(docs, n, k, idCol, textCol)
     banded(sh, k, bands).write.mode(mode).parquet(s"$path/buckets")
     sh.select(col("id"), col("sh")).write.mode(mode).parquet(s"$path/shingles")
+  }
+
+  // Signatures built with different (n, k, bands) never collide the way
+  // the banding scheme promises — a parameter-mismatched append or query
+  // would silently return garbage, so the parameters are persisted with
+  // the index and validated on every append/query.
+  private def metaPath(path: String) = new org.apache.hadoop.fs.Path(s"$path/_index_meta")
+
+  private def writeIndexMeta(spark: SparkSession, path: String,
+      n: Int, k: Int, bands: Int): Unit = {
+    val p = metaPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"n=$n\nk=$k\nbands=$bands\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def checkIndexParams(spark: SparkSession, path: String,
+      n: Int, k: Int, bands: Int): Unit = {
+    val p = metaPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      // index created append-first (e.g. by the streaming form): adopt
+      // the first writer's parameters so later calls are validated
+      writeIndexMeta(spark, path, n, k, bands)
+      return
+    }
+    val in = fs.open(p)
+    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val stored = text.linesIterator.flatMap { l =>
+      l.split("=", 2) match { case Array(a, b) => Some(a -> b.toInt); case _ => None }
+    }.toMap
+    require(stored == Map("n" -> n, "k" -> k, "bands" -> bands),
+      s"MinHash index at $path was built with $stored; " +
+        s"got n=$n, k=$k, bands=$bands")
   }
 
   /**
@@ -391,6 +429,7 @@ object Dedup {
       // nothing indexed yet — empty result, correct schema
       return shNew.select(col("id").as("id_new"), col("id").as("id_idx"),
         lit(0.0).as("jaccard")).where(lit(false))
+    checkIndexParams(spark, path, n, k, bands)
     val bNew = banded(shNew, k, bands)
       .select(col("band"), col("bucket"), col("id").as("id_new"))
     val bIdx = spark.read.parquet(s"$path/buckets")

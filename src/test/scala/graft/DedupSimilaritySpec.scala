@@ -608,6 +608,54 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("minhash index rejects parameter-mismatched append and query") {
+    val root = java.nio.file.Files.createTempDirectory("mhidx3").toString
+    val d = Seq((1L, "one two three four five six")).toDF("doc_id", "text")
+    Dedup.buildMinhashIndex(d, root, n = 3, k = 64, bands = 16)
+    intercept[IllegalArgumentException] {
+      Dedup.buildMinhashIndex(d, root, n = 3, k = 64, bands = 8, append = true)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.queryMinhashIndex(spark, d, root, n = 4)
+    }
+    // matching parameters pass
+    Dedup.buildMinhashIndex(d, root, append = true)
+  }
+
+  test("duplicate spans: property vs brute-force reference on random corpora") {
+    import org.scalacheck.{Gen, Prop}
+    val w = 3
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val doc = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word))
+    val corpus = Gen.chooseNum(2, 5).flatMap(n => Gen.listOfN(n, doc))
+    checkProp(Prop.forAll(corpus) { ds =>
+      val df = ds.zipWithIndex
+        .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = Dedup.duplicateSpans(df, w = w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+
+      // brute force: count every w-gram corpus-wide, mark positions whose
+      // w-gram occurs ≥ 2 times, merge intervals gapped ≤ w
+      val grams = ds.zipWithIndex.flatMap { case (toks, i) =>
+        toks.sliding(w).filter(_.size == w).zipWithIndex
+          .map { case (g, p) => (i.toLong, p, g.mkString(" ")) }
+      }
+      val counts = grams.groupBy(_._3).view.mapValues(_.size).toMap
+      val expected = grams.filter(g => counts(g._3) >= 2)
+        .groupBy(_._1).toList.flatMap { case (id, hits) =>
+          val ps = hits.map(_._2).sorted
+          val islands = ps.foldLeft(List.empty[List[Int]]) {
+            case (acc, p) if acc.nonEmpty && p - acc.head.head <= w =>
+              (p :: acc.head) :: acc.tail
+            case (acc, p) => List(p) :: acc
+          }
+          islands.map(is => (id, is.min.toLong, (is.max + w - 1).toLong))
+        }
+      got.toSet == expected.toSet
+    }, minTests = 60)
+  }
+
   test("dedupAgainstIndex drops matching batch docs and can index survivors") {
     val root = java.nio.file.Files.createTempDirectory("mhidx2").toString
     val corpus = Seq(
