@@ -81,6 +81,26 @@ class LanguageModelSpec extends SparkSpec {
     assert(out.getLong(2) == math.floor(lps.map(q).sum.toDouble / 3 + 0.5).toLong)
   }
 
+  test("perplexity band filter keeps the middle of the distribution") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val kept = LanguageModel.perplexityBandFilterSelf(docs, 0.2, 0.8)
+    val scores = LanguageModel.scoreSelf(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val keptRows = kept.select("doc_id", "lp_q4").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // every kept doc carries its score, the extremes are gone, and the
+    // kept set is exactly the docs inside the band edges the sketch chose
+    assert(keptRows.forall { case (id, lp) => scores(id) == lp })
+    val keptIds = keptRows.map(_._1).toSet
+    assert(!keptIds.contains(scores.minBy(_._2)._1))
+    assert(!keptIds.contains(scores.maxBy(_._2)._1))
+    val lo = keptRows.map(_._2).min
+    val hi = keptRows.map(_._2).max
+    assert(scores.values.count(v => v >= lo && v <= hi) == keptIds.size)
+    // schema: original columns preserved + lp_q4
+    assert(kept.columns.toSet == docs.columns.toSet + "lp_q4")
+  }
+
   test("no unpartitioned windows in the scoring plan") {
     import org.apache.spark.sql.catalyst.plans.logical.Window
     val plan = LanguageModel.scoreSelf(corpus).queryExecution.optimizedPlan
