@@ -821,6 +821,15 @@ object SparkEntry {
     "dedup_spans_x64" -> ((s, dir) =>
       Dedup.duplicateSpans(table(s, dir, "documents"), w = 20,
         portable = false)),
+    // the full curation chain (scrub → clean → LM band → near-dup →
+    // span cut → decontaminate → pack); every stage individually
+    // oracled, the composition timed here
+    "pipe_prepare_full" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.functions.Pipeline.prepareTrainingData(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        Some(docs.filter(col("doc_id") % 10 === 0)), packBudget = 2048)
+    }),
     // sketch twin of the oracle'd text_stats: HLL unique + KLL p50/p95 —
     // deterministic but not bit-portable, so bench-only
     "text_stats_approx" -> ((s, dir) =>

@@ -102,6 +102,56 @@ object Pipeline {
   }
 
   /**
+   * The whole curation chain in one call — raw crawl to packed training
+   * sequences, each stage an individually-oracled primitive:
+   *
+   *   1. markup strip + PII redaction (map stage);
+   *   2. language filter + quality floor + exact dedup (`cleanCorpus`);
+   *   3. CCNet LM perplexity band (self-trained bigram model);
+   *   4. within-corpus near-dup keep-min (MinHash LSH, verified);
+   *   5. exact duplicate-span CUT (Lee et al., spans removed in place);
+   *   6. benchmark decontamination (when an eval set is supplied);
+   *   7. sequence packing to the token budget.
+   *
+   * Returns the packed sequences; pass `packBudget = 0` to get curated
+   * documents instead. The stages that rescan the corpus (LM model, span
+   * hashes, near-dup signatures) each read the then-current frame once —
+   * at 100 TB you'd checkpoint between stages; the composition itself
+   * introduces no extra shuffles beyond its members'.
+   */
+  def prepareTrainingData(docs: DataFrame,
+      benchmark: Option[DataFrame] = None, lang: String = "en",
+      minQuality: Double = 0.3, lmLow: Double = 0.05, lmHigh: Double = 0.95,
+      nearDupThreshold: Double = 0.8, spanW: Int = 20, spanMinOcc: Int = 2,
+      packBudget: Int = 2048, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val scrubbed = docs.withColumn(textCol,
+      TextFunctions.redactPii(TextFunctions.stripHtml(col(textCol))))
+    // cleanCorpus reports (fp, doc_id, score, dups) — semi-join the
+    // surviving ids back onto the scrubbed text
+    val clean = scrubbed
+      .join(cleanCorpus(scrubbed, lang, minQuality, idCol, textCol)
+        .select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol), col(textCol))
+    val banded = LanguageModel
+      .perplexityBandFilterSelf(clean, lmLow, lmHigh, idCol, textCol)
+      .drop("lp_q4")
+    val nearDeduped = intraBatchNearDedup(banded,
+      threshold = nearDupThreshold, idCol = idCol, textCol = textCol)
+    val spanCut = Dedup.cutSpans(nearDeduped,
+      Dedup.duplicateSpans(nearDeduped, spanW, spanMinOcc,
+        idCol = idCol, textCol = textCol), idCol, textCol)
+    val decontaminated = benchmark match {
+      case Some(b) => Decontaminate.cleanCorpus(spanCut, b,
+        idCol = idCol, textCol = textCol)
+      case None => spanCut
+    }
+    if (packBudget <= 0) decontaminated
+    else Sampling.packSequences(decontaminated, idCol,
+      TextFunctions.tokenCount(col(textCol)), packBudget)
+  }
+
+  /**
    * Top-k TF-IDF terms per document — the classic keyword/topic signal
    * (search-style relevance, per-doc topic tags, cheap clustering
    * features). Three hash-aggs ((doc, term) tf → term df → corpus N) and

@@ -511,6 +511,36 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("prepareTrainingData: full chain end-to-end, stage invariants hold") {
+    import graft.functions.Pipeline
+    val bench = docs.filter($"doc_id" % 10 === 0)
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+
+    // curated-documents mode
+    val curated = Pipeline.prepareTrainingData(corpus, Some(bench),
+      minQuality = 0.0, packBudget = 0)
+    val rows = curated.collect()
+    assert(rows.nonEmpty)
+    assert(curated.columns.toSeq == Seq("doc_id", "text"))
+    val inIds = corpus.select("doc_id").as[Long].collect().toSet
+    assert(rows.forall(r => inIds.contains(r.getLong(0))))
+    assert(rows.forall(_.getString(1).nonEmpty))
+    // decontamination really bound: a benchmark doc's 5-gram can't survive
+    val survivors = rows.map(_.getLong(0)).toSet
+    val flagged = graft.functions.Decontaminate.flagContaminated(
+      curated, bench).select("doc_id").as[Long].collect().toSet
+    assert(flagged.isEmpty)
+
+    // packed mode: total tokens preserved from the curated set
+    val packed = Pipeline.prepareTrainingData(corpus, Some(bench),
+      minQuality = 0.0, packBudget = 256)
+    val totTokens = curated
+      .agg(sum(graft.functions.TextFunctions.tokenCount($"text")))
+      .as[Long].head()
+    val packedTokens = packed.agg(sum("n_tokens")).as[Long].head()
+    assert(packedTokens == totTokens)
+  }
+
   test("tf-idf top terms: hand-computed ranks, deterministic tie-break") {
     import graft.functions.Pipeline
     val d = Seq(
