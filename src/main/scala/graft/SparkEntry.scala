@@ -187,6 +187,12 @@ object SparkEntry {
           count(lit(1)).as("n_lines"))
     }),
 
+    "q_sessions" -> ((s, dir) =>
+      // gap-based sessionization (30-min gap) over the event stream:
+      // per-key islands window + one stats agg; value summed in integer
+      // centi-units for cross-engine exactness
+      graft.stream.Sessions.sessionStats(events(s, dir), gapSeconds = 1800)),
+
     "q_asof_join" -> ((s, dir) => {
       // as-of alignment: each view event picks up the user's most recent
       // purchase value at-or-before it. The oracle is DuckDB's NATIVE
@@ -885,6 +891,18 @@ object SparkEntry {
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY c_mktsegment, o_orderpriority""".stripMargin,
+
+    "q_sessions" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vq FROM events),
+        |i AS (SELECT user_id, t, vq,
+        |    CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) <= 1800
+        |      THEN 0 ELSE 1 END AS nw FROM e),
+        |s AS (SELECT user_id, t, vq,
+        |    sum(nw) OVER (PARTITION BY user_id ORDER BY t) AS sess FROM i)
+        |SELECT user_id, min(t) AS session_start, max(t) AS session_end,
+        |  count(*) AS n_events, CAST(sum(vq) AS BIGINT) AS value_q2
+        |FROM s GROUP BY user_id, sess""".stripMargin,
 
     "q_asof_join" ->
       """WITH l AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) t
