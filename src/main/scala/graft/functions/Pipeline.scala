@@ -114,10 +114,15 @@ object Pipeline {
    *   7. sequence packing to the token budget.
    *
    * Returns the packed sequences; pass `packBudget = 0` to get curated
-   * documents instead. The stages that rescan the corpus (LM model, span
-   * hashes, near-dup signatures) each read the then-current frame once —
-   * at 100 TB you'd checkpoint between stages; the composition itself
-   * introduces no extra shuffles beyond its members'.
+   * documents instead.
+   *
+   * Stage boundaries are MATERIALIZED (lineage-truncating checkpoint):
+   * the LM stage alone reads its input five times (unigram, bigram,
+   * totals, scoring, band join), and without a cut each re-read would
+   * re-execute every upstream regex pass — measured 8× the sum of the
+   * stages at sf0.1. Local checkpoints store on executors; a 100 TB run
+   * sets `reliable = true` paths via `spark.sparkContext.setCheckpointDir`
+   * semantics by checkpointing to durable storage between jobs instead.
    */
   def prepareTrainingData(docs: DataFrame,
       benchmark: Option[DataFrame] = None, lang: String = "en",
@@ -127,20 +132,25 @@ object Pipeline {
       textCol: String = "text"): DataFrame = {
     val scrubbed = docs.withColumn(textCol,
       TextFunctions.redactPii(TextFunctions.stripHtml(col(textCol))))
+      .localCheckpoint()
     // cleanCorpus reports (fp, doc_id, score, dups) — semi-join the
     // surviving ids back onto the scrubbed text
     val clean = scrubbed
       .join(cleanCorpus(scrubbed, lang, minQuality, idCol, textCol)
         .select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
       .select(col(idCol), col(textCol))
+      .localCheckpoint()
     val banded = LanguageModel
       .perplexityBandFilterSelf(clean, lmLow, lmHigh, idCol, textCol)
       .drop("lp_q4")
+      .localCheckpoint()
     val nearDeduped = intraBatchNearDedup(banded,
       threshold = nearDupThreshold, idCol = idCol, textCol = textCol)
+      .localCheckpoint()
     val spanCut = Dedup.cutSpans(nearDeduped,
       Dedup.duplicateSpans(nearDeduped, spanW, spanMinOcc,
         idCol = idCol, textCol = textCol), idCol, textCol)
+      .localCheckpoint()
     val decontaminated = benchmark match {
       case Some(b) => Decontaminate.cleanCorpus(spanCut, b,
         idCol = idCol, textCol = textCol)
