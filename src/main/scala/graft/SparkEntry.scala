@@ -1690,17 +1690,20 @@ object SparkEntry {
 
     // same arithmetic chain: widen float→double, scale = max|x|/127,
     // q_i = floor(x_i/scale + 0.5); checksum Σ i·q_i (1-based i ≡ Spark's
-    // 0-based index + 1)
+    // 0-based index + 1). The outer CAST on qsum matters: DuckDB's
+    // list_sum over BIGINT widens to HUGEINT, which the compare layer
+    // renders as a float ("1234.0") and hash-mismatches Spark's long —
+    // the round-3 failure was this type artifact, not the arithmetic.
     "sim_quantize" ->
       """WITH q AS (
         |  SELECT vec_id, embedding,
         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
         |  FROM embeddings)
         |SELECT vec_id, CAST(floor(s * 1000000.0 + 0.5) AS BIGINT) AS scale_q6,
-        |  CASE WHEN s = 0 THEN 0 ELSE
+        |  CAST(CASE WHEN s = 0 THEN 0 ELSE
         |    list_sum(list_transform(range(1, len(embedding) + 1),
         |      i -> CAST(floor(CAST(embedding[i] AS DOUBLE) / s + 0.5) AS BIGINT) * i))
-        |  END AS qsum
+        |  END AS BIGINT) AS qsum
         |FROM q""".stripMargin,
 
     "sim_cosine_topk" ->
