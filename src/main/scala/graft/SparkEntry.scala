@@ -728,6 +728,14 @@ object SparkEntry {
         "doc_id", TextFunctions.tokenCount(col("text")), budget = 512, nBuckets = 8)
     }),
 
+    "samp_dsir" -> ((s, dir) => {
+      // DSIR importance weights: target = src0 documents, raw = the whole
+      // corpus; hashed-bigram multinomials, quantized log-ratio sums
+      val docs = table(s, dir, "documents")
+      graft.functions.Importance.weights(docs,
+        docs.filter(col("source") === "src0"), docs, nBuckets = 4096)
+    }),
+
     "samp_cap_source" -> ((s, dir) => {
       // per-source quota: the 10 smallest (hash-uniform, id) docs per
       // source — two-phase pre-filter + exact rank, matched against the
@@ -795,6 +803,27 @@ object SparkEntry {
       // full-probe IVF ≡ brute force → shares the brute-force oracle
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
         nLists = 16, nProbes = 16)
+    }),
+
+    "sim_semantic_dedup" -> ((s, dir) =>
+      // SemDeDup: connected components over the LSH-blocked cosine pairs,
+      // min-id representative kept per component; every row tagged
+      // (cluster, kept). Portable plane generator → the oracle replicates
+      // blocking, closure, and representative choice exactly.
+      Similarity.semanticDedup(table(s, dir, "embeddings"),
+        threshold = 0.4, nPlanes = 6)
+        .select(col("vec_id"), col("cluster"), col("kept"))),
+
+    "export_jsonl" -> ((s, dir) => {
+      // sharded-JSONL round trip: write 8 deterministic md5 shards, read
+      // them back through the partition-pruned text reader — the oracle
+      // sees the original table plus the portable shard assignment, so a
+      // hash match proves the encode→shard→decode loop is lossless
+      val docs = table(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_jsonl")
+        .toFile.getAbsolutePath
+      graft.functions.Export.writeJsonlShards(docs, root, "doc_id", 8)
+      graft.functions.Export.readJsonlShards(s, root, docs.schema)
     }))
 
   /**
@@ -1550,6 +1579,41 @@ object SparkEntry {
         |      FROM sc)
         |SELECT doc_id, source FROM r WHERE rn <= ceil(n * 0.2)""".stripMargin,
 
+    // DSIR importance weights: hashed-bigram buckets (md5-60-bit % 4096),
+    // add-one-smoothed target (src0) vs raw (whole corpus) multinomials,
+    // per-bucket log-ratio quantized to integer 1e-4 nats before the
+    // order-independent sum. The outer CASTs keep DuckDB's HUGEINT sums
+    // from hash-mismatching Spark's longs.
+    "samp_dsir" ->
+      """WITH toksrc AS (
+        |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') t
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id, source,
+        |    CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % 4096 AS b
+        |  FROM (SELECT doc_id, source,
+        |          unnest(list_transform(range(len(t) - 1),
+        |            i -> t[i + 1] || ' ' || t[i + 2])) AS g
+        |        FROM toksrc WHERE len(t) >= 2)),
+        |tcnt AS (SELECT b, count(*) c FROM feat WHERE source = 'src0' GROUP BY 1),
+        |rcnt AS (SELECT b, count(*) c FROM feat GROUP BY 1),
+        |tt AS (SELECT CAST(sum(c) AS BIGINT) n FROM tcnt),
+        |rt AS (SELECT CAST(sum(c) AS BIGINT) n FROM rcnt),
+        |lam AS (
+        |  SELECT rc.b,
+        |    CAST(floor((ln((coalesce(tc.c, 0) + 1) / (tt.n + 4096.0)) -
+        |                ln((rc.c + 1) / (rt.n + 4096.0))) * 10000.0 + 0.5)
+        |      AS BIGINT) AS lam_q4
+        |  FROM rcnt rc LEFT JOIN tcnt tc ON rc.b = tc.b
+        |  CROSS JOIN tt CROSS JOIN rt),
+        |sc AS (
+        |  SELECT f.doc_id, CAST(count(*) AS BIGINT) n_feat,
+        |         CAST(sum(lam.lam_q4) AS BIGINT) iw_q4
+        |  FROM feat f JOIN lam ON f.b = lam.b GROUP BY 1)
+        |SELECT d.doc_id, coalesce(sc.n_feat, 0) AS n_feat,
+        |       coalesce(sc.iw_q4, 0) AS iw_q4
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
+
     "samp_pack" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -1869,5 +1933,51 @@ object SparkEntry {
         |        sqrt(sum(b * b)) nb FROM z GROUP BY 1, 2),
         |sc AS (SELECT id_a, id_b, round(CASE WHEN na > 0 AND nb > 0
         |        THEN dot / (na * nb) ELSE 0 END, 6) score FROM s)
-        |SELECT id_a, id_b, score FROM sc WHERE score >= 0.4""".stripMargin)
+        |SELECT id_a, id_b, score FROM sc WHERE score >= 0.4""".stripMargin,
+
+    // same plane generator + blocked cosine as sim_lsh_pairs, then the
+    // recursive-CTE closure from dedup_clusters: component label =
+    // min id, kept = (label == own id), singletons kept by the left join
+    "sim_semantic_dedup" ->
+      """WITH RECURSIVE el AS (
+        |  SELECT vec_id, unnest(embedding) AS e, unnest(range(len(embedding))) AS i
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT vec_id, p,
+        |         sum(CAST(e AS DOUBLE) *
+        |             (CAST((((p*65537 + i + 1)*(p*65537 + i + 1)) % 1000003)
+        |                   * 2654435761 % 1000000 AS DOUBLE) / 1000000.0 - 0.5)) AS dot
+        |  FROM el CROSS JOIN (SELECT unnest(range(6)) AS p) GROUP BY 1, 2),
+        |sigs AS (
+        |  SELECT vec_id, sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS sig
+        |  FROM dots GROUP BY 1),
+        |cand AS (
+        |  SELECT a.vec_id id_a, b.vec_id id_b
+        |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id),
+        |z AS (SELECT id_a, id_b, CAST(unnest(ae.embedding) AS DOUBLE) a,
+        |        CAST(unnest(be.embedding) AS DOUBLE) b
+        |      FROM cand JOIN embeddings ae ON ae.vec_id = cand.id_a
+        |                JOIN embeddings be ON be.vec_id = cand.id_b),
+        |sm AS (SELECT id_a, id_b, sum(a * b) dot, sqrt(sum(a * a)) na,
+        |        sqrt(sum(b * b)) nb FROM z GROUP BY 1, 2),
+        |pr AS (SELECT id_a, id_b FROM sm
+        |       WHERE round(CASE WHEN na > 0 AND nb > 0
+        |             THEN dot / (na * nb) ELSE 0 END, 6) >= 0.4),
+        |e AS (SELECT id_a s, id_b d FROM pr UNION SELECT id_b, id_a FROM pr),
+        |walk(s, d) AS (
+        |  SELECT s, d FROM e
+        |  UNION
+        |  SELECT w.s, e.d FROM walk w JOIN e ON w.d = e.s),
+        |lab AS (SELECT s AS id, least(s, min(d)) AS cluster FROM walk GROUP BY s)
+        |SELECT v.vec_id, coalesce(l.cluster, v.vec_id) AS cluster,
+        |  coalesce(l.cluster, v.vec_id) = v.vec_id AS kept
+        |FROM embeddings v LEFT JOIN lab l ON l.id = v.vec_id""".stripMargin,
+
+    // the write→read JSONL round trip must reproduce the source table
+    // plus the portable md5 shard assignment
+    "export_jsonl" ->
+      """SELECT doc_id, text, lang, source, n_chars,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    % 8 AS shard
+        |FROM documents""".stripMargin)
 }

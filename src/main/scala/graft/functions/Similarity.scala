@@ -395,4 +395,34 @@ object Similarity {
       .filter(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), col("score"))
   }
+
+  /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023,
+   * arXiv:2303.09540): drop all but one of every group of documents
+   * whose EMBEDDINGS are cosine-near-duplicates — catches paraphrases
+   * and re-renders that token-level MinHash misses. Candidate pairs come
+   * from the LSH-blocked cosine join (a bucketed equi-join, never
+   * all-pairs), components from the pointer-jumping label propagation in
+   * [[Dedup.clusters]], and each component keeps its minimum id — a
+   * deterministic representative, independent of partition layout.
+   *
+   * Returns every input row tagged with (`cluster`, `kept`): singletons
+   * are their own cluster and always kept, so `filter(col("kept"))` is
+   * the surviving corpus and the rest is the audit trail.
+   *
+   * Scale shape: signature map stage + one equi-join on the bucket key +
+   * O(log diameter) long-key label rounds + one left join back. Vectors
+   * never shuffle in the label rounds; only (id, label) longs do.
+   */
+  def semanticDedup(vectors: DataFrame, threshold: Double = 0.99, nPlanes: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      portable: Boolean = true): DataFrame = {
+    val pairs = cosineNearDupPairs(vectors, threshold, nPlanes, idCol, vecCol, portable)
+    // clustered ids are a small fraction of the corpus — AQE broadcasts
+    // the label table when it fits, no forced hint
+    val comp = Dedup.clusters(pairs).withColumnRenamed("id", idCol)
+    vectors.join(comp, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
+      .withColumn("kept", col("cluster") === col(idCol))
+  }
 }
