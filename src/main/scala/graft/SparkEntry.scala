@@ -256,6 +256,33 @@ object SparkEntry {
         .select(col("time"), round(col("value"), 6).as("value"))
     }),
 
+    "s5_csv_roundtrip" -> ((s, dir) => {
+      // S5 CSV sink round trip: canonical points through the fixed
+      // 11-column CSV shape (reference: storage/csv.go:22) and back.
+      // Doubles survive exactly (shortest-repr format both ways);
+      // timestamps are compared at epoch-second precision — the CSV
+      // layer itself keeps milliseconds.
+      val root = java.nio.file.Files.createTempDirectory("graft_csv")
+        .toFile.getAbsolutePath
+      val pts = points(s, dir, "sensor_")
+        .withColumn("service", col("measurement"))
+        .withColumn("src", lit("app"))
+        .withColumn("topic", concat(lit("rt:dev/sv:"), col("measurement")))
+        .withColumn("value_str", lit(null).cast("string"))
+        .withColumn("value_bool", lit(null).cast("boolean"))
+        .withColumn("unit", lit("W"))
+      graft.store.CsvSink.write(pts, root)
+      s.read.option("header", true)
+        .schema("name string, time timestamp, dev_id string, dev_type string, " +
+          "dir string, location_id string, service string, src string, " +
+          "topic string, value string, unit string")
+        .csv(root)
+        .select(col("name"), unix_timestamp(col("time")).as("time_sec"),
+          col("dev_id"), col("dev_type"), col("dir"), col("location_id"),
+          col("service"), col("src"), col("topic"),
+          col("value").cast("double").as("value"), col("unit"))
+    }),
+
     "s7_influxql" -> ((s, dir) => {
       // the reference UI's query dialect (docs/api:9) entering through the
       // string shim — must hash-match the structured a5_time_bucket plan
@@ -535,6 +562,17 @@ object SparkEntry {
         TextFunctions.tokenCount(col("text")).as("token_count"),
         TextFunctions.wordCount(col("text")).as("word_count"),
         round(TextFunctions.meanWordLength(col("text")), 6).as("mean_word_len"))
+    }),
+
+    "text_bpe" -> ((s, dir) => {
+      // BPE pre-tokenizer parity: piece count plus an md5 over the
+      // SOH(\u0001)-joined pieces — a hash match proves every token boundary
+      // (not just the count) is identical cross-engine
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
+        md5(concat_ws("\u0001", TextFunctions.bpeTokens(col("text"))))
+          .as("tok_md5"))
     }),
 
     "text_langid" -> ((s, dir) => {
@@ -985,6 +1023,15 @@ object SparkEntry {
         |  value, 'sensor_temp' AS serv, 'j1' AS domain
         |FROM events""".stripMargin,
 
+    // the CSV write→read loop must reproduce this projection of the
+    // original events losslessly (value = exact double round trip)
+    "s5_csv_roundtrip" ->
+      s"""WITH ${ptsCte("sensor_")}
+         |SELECT m AS name, tsec AS time_sec, dev_id, dev_type, dir,
+         |  loc AS location_id, m AS service, 'app' AS src,
+         |  'rt:dev/sv:' || m AS topic, v AS value, 'W' AS unit
+         |FROM pts""".stripMargin,
+
     "f2_filter_chain" ->
       """SELECT event_id FROM events
         |WHERE ('serv_' || event_type) <> 'ecollector'
@@ -1245,6 +1292,13 @@ object SparkEntry {
         |    THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
         |    ELSE 0 END, 6) AS mean_word_len
         |FROM t""".stripMargin,
+
+    // same RE2-subset pattern (single quote SQL-doubled); chr(1) = the SOH joiner on the Spark side
+    "text_bpe" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextFunctions.BpePattern.replace("'", "''")}')) AS BIGINT) AS n_bpe,
+         |  md5(array_to_string(regexp_extract_all(text, '${TextFunctions.BpePattern.replace("'", "''")}'), chr(1))) AS tok_md5
+         |FROM documents""".stripMargin,
 
     "text_langid" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') toks

@@ -209,4 +209,24 @@ object TextFunctions {
     aggregate(tokens(text), lit(0L),
       (acc, t) => pmod(acc * 31 + crc32(t.cast("binary")).cast("long"), lit(mod)))
   }
+
+  /**
+   * GPT-2-style BPE pre-tokenizer pattern: contractions, optional-space
+   * letter runs, optional-space digit runs, optional-space punctuation
+   * runs, whitespace runs. Deliberately restricted to the RE2-compatible
+   * subset (the upstream pattern's `\s+(?!\S)` lookahead is dropped —
+   * trailing-space attachment differs on multi-space gaps only), so
+   * external engines replicate token boundaries exactly. Case is kept,
+   * unlike [[tokens]] — BPE vocabularies are case-sensitive.
+   */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Token pieces under the BPE pre-tokenizer (array of strings). */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  /** Piece count under the BPE pre-tokenizer — the token-budget estimate
+   *  a trainer actually bills by, vs the word-ish [[tokenCount]]. */
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
 }

@@ -118,6 +118,17 @@ class CurationOpsSpec extends SparkSpec {
       docs.withColumn("s", Export.shardCol($"doc_id", 4)).filter($"s" === 2).count())
   }
 
+  // --- BPE pre-tokenizer ---
+
+  test("bpe pre-tokenizer splits contractions, attaches spaces, keeps case") {
+    val out = Seq("I'll see 42 dogs, Anna's Dog!").toDF("text")
+      .select(graft.functions.TextFunctions.bpeTokens($"text").as("t"))
+      .as[Seq[String]].head()
+    assert(out == Seq("I", "'ll", " see", " 42", " dogs", ",", " Anna", "'s",
+      " Dog", "!"))
+    assert(out.mkString == "I'll see 42 dogs, Anna's Dog!") // lossless cover
+  }
+
   test("shard assignment is the portable md5 slice") {
     val got = docs.select($"doc_id", Export.shardCol($"doc_id", 8).as("s"))
       .as[(Long, Long)].collect().toMap
