@@ -862,6 +862,57 @@ object SparkEntry {
         .toFile.getAbsolutePath
       graft.functions.Export.writeJsonlShards(docs, root, "doc_id", 8)
       graft.functions.Export.readJsonlShards(s, root, docs.schema)
+    }),
+
+    "text_bm25" -> ((s, dir) =>
+      // BM25 top-20 for a 4-term query; per-term contributions quantized
+      // to integer micro-points before the per-doc sum (order-independent
+      // long addition), ties at the cut broken by doc_id
+      graft.functions.Retrieval.bm25TopK(table(s, dir, "documents"),
+        Seq("table", "hash", "merge", "scan"), k = 20)),
+
+    "decon_bloom" -> ((s, dir) => {
+      // bloom-prefiltered decontamination: same benchmark split as
+      // decon_overlap but 3-grams; the bloom stage only prunes what
+      // reaches the exact confirm join, so the oracle is the plain
+      // n-gram overlap — a hash match proves the bloom path loses nothing
+      val docs = table(s, dir, "documents")
+      graft.functions.Decontaminate.flagContaminatedBloom(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), n = 3,
+        expectedItems = 100000L)
+    }),
+
+    "samp_shuffle" -> ((s, dir) =>
+      // seeded epoch-order permutation with explicit position, assigned
+      // via bucketed rank composition (no global window); the oracle's
+      // single ORDER BY row_number must agree exactly
+      graft.functions.Sampling.deterministicShuffle(
+          table(s, dir, "documents"), "doc_id", seed = "epoch1")
+        .select(col("position"), col("doc_id"), col("source"))),
+
+    "prof_columns" -> ((s, dir) =>
+      // one-pass column profile of events: counts/nulls/exact distinct +
+      // min/max (numerics as integer micro-units, strings raw)
+      graft.functions.Profile.columns(events(s, dir),
+        Seq("event_id", "user_id", "event_type", "value", "props"))),
+
+    "pipe_c4_rules" -> ((s, dir) => {
+      // C4 rule filter on doctored rows: deterministic line structure
+      // planted per doc (terminal-punct line, short line, conditionally
+      // punctuated line, banned-content line for some ids), then the
+      // line+doc rules; the oracle rebuilds the same lines in SQL
+      val docs = table(s, dir, "documents").withColumn("text",
+        concat_ws("\n",
+          concat(substring(col("text"), 1, 80), lit(".")),
+          lit("tiny line"),
+          concat(substring(col("text"), 81, 80),
+            when(col("doc_id") % 2 === 0, "!").otherwise("")),
+          when(col("doc_id") % 7 === 0, "lorem ipsum boilerplate here.")
+            .otherwise("a normal closing sentence appears here."),
+          when(col("doc_id") % 11 === 0, "function() { return 1; }")
+            .otherwise("the last line ends properly.")))
+      graft.functions.RuleFilters.c4Filter(docs)
     }))
 
   /**
@@ -2033,5 +2084,112 @@ object SparkEntry {
       """SELECT doc_id, text, lang, source, n_chars,
         |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
         |    % 8 AS shard
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    // BM25 with the exact parenthesization of Retrieval.bm25TopK; the
+    // per-term contribution is quantized to integer micro-points BEFORE
+    // the per-doc sum so the aggregation is order-independent
+    "text_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('table', 'hash', 'merge', 'scan')
+        |       GROUP BY doc_id, dl, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |stats AS (SELECT count(*) AS n_docs,
+        |    sum(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)) AS total_dl
+        |  FROM documents),
+        |contrib AS (
+        |  SELECT tf.doc_id,
+        |    CAST(floor(
+        |      ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) *
+        |        (CAST(tf AS DOUBLE) * 2.2) /
+        |        (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(total_dl AS DOUBLE) / n_docs)))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS contrib_q6
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
+        |SELECT doc_id, CAST(sum(contrib_q6) AS BIGINT) AS score_q6
+        |FROM contrib GROUP BY doc_id
+        |ORDER BY score_q6 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // bloom prefilter is exactness-preserving: the oracle is the plain
+    // distinct-3-gram overlap between corpus and benchmark halves
+    // (decon_overlap's shape at n = 3)
+    "decon_bloom" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') toks FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(len(toks) - 2),
+        |      i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))) AS gram
+        |  FROM t),
+        |k AS (SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS k FROM g),
+        |b AS (SELECT DISTINCT k FROM k WHERE doc_id % 10 = 0),
+        |c AS (SELECT doc_id, k FROM k WHERE doc_id % 10 <> 0)
+        |SELECT c.doc_id, count(*) AS hits
+        |FROM c JOIN b USING (k) GROUP BY 1""".stripMargin,
+
+    // global rank under the seeded portable uniform, 0-based
+    "samp_shuffle" ->
+      """SELECT row_number() OVER (
+        |    ORDER BY CAST(concat('0x', substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      / 4294967296.0, doc_id) - 1 AS position,
+        |  doc_id, source
+        |FROM documents""".stripMargin,
+
+    // per-column profile; numeric min/max in integer micro-units
+    "prof_columns" ->
+      """WITH n AS (SELECT count(*) AS n_rows FROM events)
+        |SELECT 'event_id' AS "column", n_rows, n_rows - count(event_id) AS n_nulls,
+        |  count(DISTINCT event_id) AS n_distinct,
+        |  CAST(floor(min(event_id) * 1000000.0 + 0.5) AS BIGINT) AS min_q6,
+        |  CAST(floor(max(event_id) * 1000000.0 + 0.5) AS BIGINT) AS max_q6,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |FROM events, n GROUP BY n_rows
+        |UNION ALL
+        |SELECT 'user_id', n_rows, n_rows - count(user_id),
+        |  count(DISTINCT user_id),
+        |  CAST(floor(min(user_id) * 1000000.0 + 0.5) AS BIGINT),
+        |  CAST(floor(max(user_id) * 1000000.0 + 0.5) AS BIGINT), NULL, NULL
+        |FROM events, n GROUP BY n_rows
+        |UNION ALL
+        |SELECT 'event_type', n_rows, n_rows - count(event_type),
+        |  count(DISTINCT event_type), NULL, NULL,
+        |  min(event_type), max(event_type)
+        |FROM events, n GROUP BY n_rows
+        |UNION ALL
+        |SELECT 'value', n_rows, n_rows - count(value),
+        |  count(DISTINCT value),
+        |  CAST(floor(min(value) * 1000000.0 + 0.5) AS BIGINT),
+        |  CAST(floor(max(value) * 1000000.0 + 0.5) AS BIGINT), NULL, NULL
+        |FROM events, n GROUP BY n_rows
+        |UNION ALL
+        |SELECT 'props', n_rows, n_rows - count(props),
+        |  count(DISTINCT props), NULL, NULL, min(props), max(props)
+        |FROM events, n GROUP BY n_rows""".stripMargin,
+
+    // the same doctored line structure, then the C4 line+doc rules
+    "pipe_c4_rules" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 80) || '.' || chr(10) ||
+        |    'tiny line' || chr(10) ||
+        |    substr(text, 81, 80) ||
+        |      (CASE WHEN doc_id % 2 = 0 THEN '!' ELSE '' END) || chr(10) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum boilerplate here.'
+        |          ELSE 'a normal closing sentence appears here.' END) || chr(10) ||
+        |    (CASE WHEN doc_id % 11 = 0 THEN 'function() { return 1; }'
+        |          ELSE 'the last line ends properly.' END) AS t
+        |  FROM documents),
+        |kept AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(t, chr(10)), l ->
+        |      len(string_split_regex(trim(l), '\s+')) >= 3 AND
+        |      regexp_matches(trim(l), '[.!?"'']$')) AS ls
+        |  FROM dirty
+        |  WHERE strpos(t, '{') = 0 AND strpos(lower(t), 'lorem ipsum') = 0)
+        |SELECT doc_id, array_to_string(ls, chr(10)) AS clean_text,
+        |  CAST(len(ls) AS BIGINT) AS n_lines
+        |FROM kept WHERE len(ls) >= 2""".stripMargin)
 }

@@ -57,4 +57,43 @@ object Decontaminate {
     corpus.join(flagged.withColumnRenamed("doc_id", idCol).select(idCol),
       Seq(idCol), "left_anti")
   }
+
+  /**
+   * Bloom-prefiltered twin of [[flagContaminated]] — the shape that wins
+   * when even the benchmark's distinct-key set is too wide to hash-join
+   * comfortably against 100 TB of exploded corpus n-grams: build a bloom
+   * filter over the benchmark keys with Spark's distributed
+   * `bloom_filter_agg` (`numBits` defaults to ~9.6 bits/item ≈ 1 % fp), ship
+   * the ~`numBits/8`-byte sketch as a literal into a map-side
+   * `might_contain` prefilter (the same `BloomFilterMightContain`
+   * expression Spark's own runtime-filter injection uses, full codegen),
+   * and only the surviving ~(hits + 1 %) of grams enter the exact
+   * semi-join. False positives die in the join, so the RESULT IS
+   * BIT-IDENTICAL to `flagContaminated` — the bloom stage only changes
+   * how much data reaches the shuffle.
+   */
+  def flagContaminatedBloom(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 5, idCol: String = "doc_id", textCol: String = "text",
+      portable: Boolean = true, expectedItems: Long = 1000000L): DataFrame = {
+    def grams(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("doc_id"),
+          explode(TextFunctions.shingleSet(col(textCol), n)).as("g"))
+        .select(col("doc_id"), ngramKey(col("g"), portable).as("k"))
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bench = grams(benchmark).select("k").distinct()
+    // bloom_filter_agg is registered internal-only; build the aggregate
+    // expression directly (same class Spark's runtime-filter rule plants)
+    val bloomBytes = bench
+      .agg(column(new BloomFilterAggregate(expression(xxhash64(col("k"))),
+        Literal(expectedItems), Literal(expectedItems * 8))
+        .toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val mightContain = column(BloomFilterMightContain(
+      Literal(bloomBytes), expression(xxhash64(col("k")))))
+    grams(corpus).filter(mightContain)
+      .join(broadcast(bench), Seq("k"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+  }
 }

@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{NumericType, StringType}
+
+/**
+ * Column-level data profiling — the first thing anyone runs against an
+ * unfamiliar 100 TB drop: per-column row/null/distinct counts and
+ * min/max, unpivoted to one row per column so the report is stable as
+ * schemas evolve.
+ *
+ * Scale shape: ONE aggregate job over the table. Counts, nulls and
+ * min/max are plain partial-aggregating functions; the exact distinct
+ * counts make Spark plan a single `expand` (one input row → one row per
+ * profiled column) feeding a two-phase hash aggregate — the standard
+ * multi-count-distinct plan, linear in columns profiled. For the
+ * interactive regime where ±2 % is fine, `approxDistinct = true` swaps
+ * in HyperLogLog++ sketches and the expand disappears entirely (pure
+ * one-pass partial agg, same as Pipeline.corpusStatsApprox).
+ *
+ * Determinism: numeric min/max are emitted as integer micro-units
+ * (`floor(x·1e6 + 0.5)`) and string min/max as raw strings — no
+ * double-to-text rendering anywhere, so any engine reproduces the
+ * report bit-for-bit.
+ */
+object Profile {
+
+  /** Profile `cols` (default: all numeric + string columns) of `df`. */
+  def columns(df: DataFrame, cols: Seq[String] = Nil,
+      approxDistinct: Boolean = false): DataFrame = {
+    val targets =
+      if (cols.nonEmpty) cols
+      else df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[NumericType] || f.dataType == StringType =>
+          f.name
+      }.toSeq
+    require(targets.nonEmpty, "no profilable columns")
+    val aggs = targets.flatMap { c =>
+      val isNum = df.schema(c).dataType.isInstanceOf[NumericType]
+      def q6(x: org.apache.spark.sql.Column) =
+        floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long")
+      Seq(
+        count(col(c)).as(s"_n:$c"),
+        (if (approxDistinct) approx_count_distinct(col(c))
+         else count_distinct(col(c))).as(s"_d:$c"),
+        (if (isNum) q6(min(col(c))) else lit(null).cast("long")).as(s"_mn:$c"),
+        (if (isNum) q6(max(col(c))) else lit(null).cast("long")).as(s"_mx:$c"),
+        (if (isNum) lit(null).cast("string") else min(col(c))).as(s"_ms:$c"),
+        (if (isNum) lit(null).cast("string") else max(col(c))).as(s"_xs:$c"))
+    }
+    val nRows = count(lit(1)).as("_rows")
+    val wide = df.agg(nRows, aggs: _*)
+    // unpivot: one struct per column, inline_outer to rows
+    val entries = targets.map { c =>
+      struct(lit(c).as("column"), col("_rows").as("n_rows"),
+        (col("_rows") - col(s"`_n:$c`")).as("n_nulls"),
+        col(s"`_d:$c`").as("n_distinct"),
+        col(s"`_mn:$c`").as("min_q6"), col(s"`_mx:$c`").as("max_q6"),
+        col(s"`_ms:$c`").as("min_str"), col(s"`_xs:$c`").as("max_str"))
+    }
+    wide.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
+}

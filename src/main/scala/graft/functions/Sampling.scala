@@ -163,4 +163,36 @@ object Sampling {
         (col("_before") % budget).as("tok_offset"),
         col("_tok").as("n_tokens"))
   }
+
+  /**
+   * Seeded global shuffle with an explicit 0-based `position` column —
+   * the reproducible training-order permutation (epoch shuffling,
+   * curriculum interleaving, striding a corpus across data-loader
+   * hosts). The order is `(u, key)` where `u = portableUniform(seed:key)`,
+   * so the permutation depends only on (seed, key): stable across runs,
+   * partition layouts, and engines; a new seed is a fresh epoch order.
+   *
+   * Scale shape: positions are assigned WITHOUT a global window. Rows
+   * bucket by `floor(u·B)` — every row of bucket i hashes strictly below
+   * every row of bucket i+1, so global rank = (rows in lower buckets) +
+   * (rank within bucket). The per-bucket counts are a tiny `B`-row
+   * aggregate (the only global window runs over THAT frame, not the
+   * data), broadcast back; within-bucket ranks are a partitioned window.
+   * This is `zipWithIndex` re-expressed declaratively, skew-free because
+   * the bucket key is a uniform hash.
+   */
+  def deterministicShuffle(df: DataFrame, keyCol: String, seed: String,
+      nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val u = portableUniform(concat_ws(":", lit(seed), col(keyCol)))
+    val withB = df.withColumn("_u", u)
+      .withColumn("_b", floor(col("_u") * nBuckets).cast("int"))
+    val offsets = withB.groupBy("_b").agg(count(lit(1)).as("_c"))
+      .withColumn("_off", sum("_c").over(Window.orderBy(col("_b"))) - col("_c"))
+      .select("_b", "_off")
+    val w = Window.partitionBy(col("_b")).orderBy(col("_u"), col(keyCol))
+    withB.join(broadcast(offsets), Seq("_b"))
+      .withColumn("position", col("_off") + row_number().over(w) - 1)
+      .drop("_b", "_u", "_off")
+  }
 }

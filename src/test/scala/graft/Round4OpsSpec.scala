@@ -1,0 +1,127 @@
+package graft
+
+import graft.functions.{Decontaminate, Profile, Retrieval, RuleFilters, Sampling}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 operators: BM25 retrieval, bloom-prefiltered decontamination,
+ *  deterministic corpus shuffle, column profiling, C4 rule filtering. */
+class Round4OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  // --- BM25 ---
+
+  test("bm25: higher tf wins at equal length, absent docs excluded") {
+    val d = Seq(
+      (1L, "table table chair"),
+      (2L, "table chair chair"),
+      (3L, "chair lamp sofa")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(d, Seq("table"), k = 10)
+      .as[(Long, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L)) // ranked, doc 3 absent
+    assert(out(0)._2 > out(1)._2)
+  }
+
+  test("bm25: length normalization prefers the shorter doc at equal tf") {
+    val d = Seq(
+      (1L, "table chair"),
+      (2L, "table chair lamp sofa desk bed rug shelf")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(d, Seq("table"), k = 10)
+      .as[(Long, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+  }
+
+  test("bm25: k caps the result with (score desc, id) tie-break") {
+    val d = Seq.tabulate(6)(i => (i.toLong, "table chair")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(d, Seq("table"), k = 3)
+      .as[(Long, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L)) // all tied → smallest ids
+  }
+
+  // --- bloom-prefiltered decontamination ---
+
+  test("bloom decon is bit-identical to the exact overlap") {
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val bench = docs.filter($"doc_id" % 10 === 0)
+    val exact = Decontaminate.flagContaminated(corpus, bench, n = 3)
+      .as[(Long, Long)].collect().toSet
+    val bloom = Decontaminate.flagContaminatedBloom(corpus, bench, n = 3,
+      expectedItems = 10000L).as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty && bloom == exact)
+  }
+
+  // --- deterministic shuffle ---
+
+  test("shuffle positions are a permutation equal to the global rank") {
+    val out = Sampling.deterministicShuffle(docs, "doc_id", seed = "s1")
+    val n = docs.count()
+    val pos = out.select("position").as[Long].collect().sorted
+    assert(pos.toSeq == (0L until n))
+    // equality with the single-window definition of the same order
+    val u = Sampling.portableUniform(concat_ws(":", lit("s1"), $"doc_id"))
+    val ref = docs.withColumn("_u", u)
+      .withColumn("p", row_number().over(Window.orderBy($"_u", $"doc_id")) - 1)
+      .select($"doc_id", $"p".cast("long")).as[(Long, Long)].collect().toMap
+    val got = out.select("doc_id", "position").as[(Long, Long)].collect().toMap
+    assert(got == ref)
+  }
+
+  test("shuffle order is seed-dependent but layout-independent") {
+    val a = Sampling.deterministicShuffle(docs, "doc_id", seed = "s1")
+      .select("doc_id", "position").as[(Long, Long)].collect().toMap
+    val b = Sampling.deterministicShuffle(docs.repartition(7), "doc_id", seed = "s1")
+      .select("doc_id", "position").as[(Long, Long)].collect().toMap
+    val c = Sampling.deterministicShuffle(docs, "doc_id", seed = "s2")
+      .select("doc_id", "position").as[(Long, Long)].collect().toMap
+    assert(a == b)
+    assert(a != c)
+  }
+
+  // --- column profiler ---
+
+  test("profile counts nulls, distincts and min/max per column") {
+    val d = Seq(
+      (Some(1L), Some("a"), Some(1.5)),
+      (Some(2L), None, Some(-0.25)),
+      (Some(2L), Some("b"), None)).toDF("id", "s", "v")
+    val rows = Profile.columns(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val id = rows("id")
+    assert(id.getLong(1) == 3 && id.getLong(2) == 0 && id.getLong(3) == 2)
+    assert(id.getLong(4) == 1000000L && id.getLong(5) == 2000000L)
+    val s = rows("s")
+    assert(s.getLong(2) == 1 && s.getLong(3) == 2)
+    assert(s.getString(6) == "a" && s.getString(7) == "b")
+    val v = rows("v")
+    assert(v.getLong(2) == 1 && v.getLong(4) == -250000L && v.getLong(5) == 1500000L)
+  }
+
+  test("profile approx mode plans without an expand of the input") {
+    val plan = Profile.columns(docs, Seq("doc_id", "source"),
+      approxDistinct = true).queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"))
+  }
+
+  // --- C4 rules ---
+
+  test("c4 line rules: terminal punctuation and min words") {
+    val d = Seq((1L,
+      "a good long sentence.\nshort.\nno punctuation here\nanother fine line!"))
+      .toDF("doc_id", "text")
+    val out = RuleFilters.c4Filter(d).as[(Long, String, Long)].head()
+    assert(out._2 == "a good long sentence.\nanother fine line!")
+    assert(out._3 == 2L)
+  }
+
+  test("c4 doc rules: braces, lorem ipsum, and min surviving lines") {
+    val d = Seq(
+      (1L, "a good long sentence.\nanother fine line here."),
+      (2L, "a good long sentence.\ncode { brace }\nanother fine line."),
+      (3L, "contains Lorem Ipsum filler.\nanother fine line here."),
+      (4L, "only one surviving line here.\nshort.")).toDF("doc_id", "text")
+    val kept = RuleFilters.c4Filter(d).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+}
