@@ -897,6 +897,16 @@ object SparkEntry {
       graft.functions.Profile.columns(events(s, dir),
         Seq("event_id", "user_id", "event_type", "value", "props"))),
 
+    "sim_centroids" -> ((s, dir) =>
+      // per-label mean embedding via the native VectorSumQ6 partial
+      // aggregate (groups × dims longs through the shuffle); exploded to
+      // (label, n, dim, qsum) rows — integer micro-unit sums are
+      // order-independent, so any engine reproduces them exactly
+      graft.functions.Similarity.labelCentroids(table(s, dir, "embeddings"))
+        .select(col("group"), col("n"), posexplode(col("sum_q6")))
+        .select(col("group").as("label"), col("n"),
+          (col("pos") + 1).cast("long").as("dim"), col("col").as("qsum"))),
+
     "pipe_c4_rules" -> ((s, dir) => {
       // C4 rule filter on doctored rows: deterministic line structure
       // planted per doc (terminal-punct line, short line, conditionally
@@ -2168,6 +2178,19 @@ object SparkEntry {
         |SELECT 'props', n_rows, n_rows - count(props),
         |  count(DISTINCT props), NULL, NULL, min(props), max(props)
         |FROM events, n GROUP BY n_rows""".stripMargin,
+
+    // element-wise micro-unit sums per label — exact long arithmetic
+    "sim_centroids" ->
+      """WITH e AS (SELECT label,
+        |    generate_subscripts(embedding, 1) AS dim,
+        |    unnest(embedding) AS x
+        |  FROM embeddings),
+        |s AS (SELECT label, CAST(dim AS BIGINT) AS dim,
+        |    CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS qsum
+        |  FROM e GROUP BY label, dim),
+        |n AS (SELECT label, count(embedding) AS n FROM embeddings GROUP BY label)
+        |SELECT label, n, dim, qsum FROM s JOIN n USING (label)""".stripMargin,
 
     // the same doctored line structure, then the C4 line+doc rules
     "pipe_c4_rules" ->

@@ -192,9 +192,10 @@ object Similarity {
    * DataFrame-native Lloyd's k-means for IVF centroid training. Seeds
    * from the deterministic hash sample (same rule as ivfTopK), then
    * `iters` assign/recompute rounds: assignment is the broadcast-centroid
-   * join ivfTopKWith uses; the per-dimension mean is a
-   * posexplode → groupBy(list, dim) aggregation (rows × dims shuffle per
-   * iteration — train on a sample at 100 TB, the centroids generalize).
+   * join ivfTopKWith uses; the per-dimension mean is ONE keyed aggregate
+   * with the native partial-aggregating `VectorSumQ6` (the shuffle moves
+   * k × dims longs, not rows × dims exploded tuples — and the micro-unit
+   * sum makes the trained centroids independent of partition layout).
    * Lineage is truncated between iterations (localCheckpoint on the
    * k-row centroid table) so the plan doesn't grow with `iters`. A list
    * that captures no vectors drops out (k shrinks), standard Lloyd
@@ -216,12 +217,12 @@ object Similarity {
         .filter(col("_r") === 1)
         .select(col("list_id"), col("cv"))
       centroids = assigned
-        .select(col("list_id"), posexplode(col("cv")))
-        .groupBy(col("list_id"), col("pos"))
-        .agg(avg(col("col")).as("m"))
         .groupBy(col("list_id"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m")).as("centroid"))
+        .agg(expressions.VectorAggregates.vecSumQ6(col("cv")).as("_s"),
+          count(lit(1)).as("_n"))
+        .select(col("list_id"),
+          transform(col("_s"), x =>
+            x.cast("double") / lit(1e6) / col("_n")).as("centroid"))
         .withColumn("ncent", expressions.VectorExpressions.l2norm(col("centroid")))
         .localCheckpoint(true)
     }
@@ -425,4 +426,20 @@ object Similarity {
       .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
       .withColumn("kept", col("cluster") === col(idCol))
   }
+
+  /**
+   * Per-group mean embedding (class prototypes, domain centroids, the
+   * recompute half of any k-means-style loop) via the native
+   * [[expressions.VectorSumQ6]] aggregate: ONE keyed hash-aggregate whose
+   * shuffle carries groups × dims longs — not the rows × dims exploded
+   * tuples of the posexplode formulation. Returns
+   * (`group`, `n`, `sum_q6` array<long>); the mean in micro-units is
+   * `sum_q6 / n` and in natural units `sum_q6 / 1e6 / n` — left to the
+   * caller so the exact integer form survives for cross-engine checks.
+   */
+  def labelCentroids(vectors: DataFrame, groupCol: String = "label",
+      vecCol: String = "embedding"): DataFrame =
+    vectors.groupBy(col(groupCol).as("group"))
+      .agg(expressions.VectorAggregates.vecSumQ6(col(vecCol)).as("sum_q6"),
+        count(col(vecCol)).as("n"))
 }

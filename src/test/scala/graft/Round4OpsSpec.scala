@@ -104,6 +104,47 @@ class Round4OpsSpec extends SparkSpec {
     assert(!plan.contains("Expand"))
   }
 
+  // --- native vector-sum aggregate / centroids ---
+
+  test("labelCentroids equals the posexplode formulation") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = graft.functions.Similarity.labelCentroids(emb)
+      .select($"group", $"n", posexplode($"sum_q6"))
+      .select($"group", $"n", $"pos", $"col")
+      .as[(Int, Long, Int, Long)].collect().toSet
+    val ref = emb.select($"label", posexplode($"embedding"))
+      .groupBy($"label", $"pos")
+      .agg(sum(floor($"col".cast("double") * 1e6 + 0.5).cast("long")).as("q"))
+      .join(emb.groupBy($"label").agg(count(lit(1)).as("n")), "label")
+      .select($"label", $"n", $"pos", $"q")
+      .as[(Int, Long, Int, Long)].collect().toSet
+    assert(got == ref && got.nonEmpty)
+  }
+
+  test("vector-sum aggregate is layout-independent; null vectors skipped") {
+    val d = Seq(
+      (1, Some(Array(1.0f, 2.0f))),
+      (1, Some(Array(0.5f, -1.0f))),
+      (1, None),
+      (2, Some(Array(3.0f, 4.0f)))).toDF("label", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.functions.Similarity.labelCentroids(df)
+        .select($"group", $"n", $"sum_q6").as[(Int, Long, Seq[Long])]
+        .collect().toSet
+    val a = run(d)
+    assert(a == run(d.repartition(13)))
+    assert(a == Set((1, 2L, Seq(1500000L, 1000000L)), (2, 1L, Seq(3000000L, 4000000L))))
+  }
+
+  test("trainCentroids is deterministic under repartitioning") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def train(df: org.apache.spark.sql.DataFrame) =
+      graft.functions.Similarity.trainCentroids(df, k = 4, iters = 2)
+        .select($"list_id", $"centroid").as[(Long, Seq[Double])]
+        .collect().toMap
+    assert(train(emb) == train(emb.repartition(7)))
+  }
+
   // --- C4 rules ---
 
   test("c4 line rules: terminal punctuation and min words") {
