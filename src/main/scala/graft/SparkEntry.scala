@@ -897,6 +897,15 @@ object SparkEntry {
       graft.functions.Profile.columns(events(s, dir),
         Seq("event_id", "user_id", "event_type", "value", "props"))),
 
+    "sim_project" -> ((s, dir) =>
+      // JL random projection to 8 dims in integer micro-units (native
+      // one-pass expression; the LSH signature is this projection's sign
+      // bit) — exploded to (vec_id, p, y_q6) rows for the exact compare
+      graft.functions.Similarity.projectVectors(table(s, dir, "embeddings"), k = 8)
+        .select(col("vec_id"), posexplode(col("proj_q6")))
+        .select(col("vec_id"), col("pos").cast("long").as("p"),
+          col("col").as("y_q6"))),
+
     "sim_centroids" -> ((s, dir) =>
       // per-label mean embedding via the native VectorSumQ6 partial
       // aggregate (groups × dims longs through the shuffle); exploded to
@@ -2178,6 +2187,19 @@ object SparkEntry {
         |SELECT 'props', n_rows, n_rows - count(props),
         |  count(DISTINCT props), NULL, NULL, min(props), max(props)
         |FROM events, n GROUP BY n_rows""".stripMargin,
+
+    // the LSH oracle's plane generator, summed as quantized micro-terms
+    "sim_project" ->
+      """WITH el AS (
+        |  SELECT vec_id, unnest(embedding) AS e, unnest(range(len(embedding))) AS i
+        |  FROM embeddings)
+        |SELECT vec_id, p,
+        |  CAST(sum(CAST(floor(CAST(e AS DOUBLE) *
+        |    (CAST((((p*65537 + i + 1)*(p*65537 + i + 1)) % 1000003)
+        |          * 2654435761 % 1000000 AS DOUBLE) / 1000000.0 - 0.5)
+        |    * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS y_q6
+        |FROM el CROSS JOIN (SELECT unnest(range(8)) AS p)
+        |GROUP BY 1, 2""".stripMargin,
 
     // element-wise micro-unit sums per label — exact long arithmetic
     "sim_centroids" ->

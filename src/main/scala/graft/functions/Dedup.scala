@@ -213,10 +213,22 @@ object Dedup {
    * Returns (id, cluster) for every node that appears in `pairs`;
    * singleton documents are their own cluster by definition and are left
    * to the caller (a left join + coalesce(cluster, id)).
+   *
+   * Small-graph fast path: near-dup PAIR lists are tiny relative to the
+   * corpus (pairs are what survived blocking + verification — even a
+   * 100 TB corpus rarely yields more than millions), and the iterative
+   * rounds cost ~2 scheduled jobs each. When the edge list fits under
+   * `driverMaxEdges` (counted first — one cheap job on two long columns),
+   * a driver-side union-find computes the identical min-label components
+   * in milliseconds and ships them back as one small frame. Above the
+   * threshold the distributed rounds run unchanged — same result either
+   * way, so callers and oracles cannot tell which path executed.
    */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50, driverMaxEdges: Long = 1000000L): DataFrame = {
     val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    if (fwd.limit((driverMaxEdges + 1).toInt).count() <= driverMaxEdges)
+      return clustersDriver(fwd)
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
@@ -239,6 +251,28 @@ object Dedup {
       iter += 1
     }
     labels
+  }
+
+  /** Exact union-find over a collected edge list — the identical
+   *  min-label components the iterative rounds produce. */
+  private def clustersDriver(fwd: DataFrame): DataFrame = {
+    val spark = fwd.sparkSession
+    import spark.implicits._
+    val edges = fwd.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb } // min root wins
+    }
+    parent.keys.toSeq.sorted.map(id => (id, find(id))).toDF("id", "cluster")
   }
 
   /**

@@ -442,4 +442,20 @@ object Similarity {
     vectors.groupBy(col(groupCol).as("group"))
       .agg(expressions.VectorAggregates.vecSumQ6(col(vecCol)).as("sum_q6"),
         count(col(vecCol)).as("n"))
+
+  /**
+   * Johnson-Lindenstrauss random projection to `k` dims — the standard
+   * width reducer in front of ANN / clustering when 768-dim fp32 columns
+   * dominate shuffle and index size (k ≈ O(log n / ε²) preserves pairwise
+   * distances to 1±ε). The plane matrix is the SAME deterministic
+   * generator the LSH signature uses — `lshSignature` IS the sign bit of
+   * this projection — and outputs are integer micro-units
+   * (`proj_q6` array<long>): each term quantized before an associative
+   * long sum, so one map stage, bit-identical in any engine, no shuffle.
+   */
+  def projectVectors(vectors: DataFrame, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", portable: Boolean = true): DataFrame =
+    vectors.select(col(idCol),
+      expressions.VectorExpressions.randomProjectionQ6(col(vecCol), k, portable)
+        .as("proj_q6"))
 }

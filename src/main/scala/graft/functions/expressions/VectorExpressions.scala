@@ -35,6 +35,8 @@ object VectorExpressions {
     GraftBridge.column(SimHash64(GraftBridge.expression(tokens), portable = true))
   def lshSignature(vec: Column, nPlanes: Int, portable: Boolean = true): Column =
     GraftBridge.column(LshSignature(GraftBridge.expression(vec), nPlanes, portable))
+  def randomProjectionQ6(vec: Column, k: Int, portable: Boolean = true): Column =
+    GraftBridge.column(RandomProjectionQ6(GraftBridge.expression(vec), k, portable))
   def tokenStats(tokens: Column, stopwords: Seq[String]): Column =
     GraftBridge.column(TokenStats(GraftBridge.expression(tokens), stopwords))
   def repetitionStats(text: Column): Column =
@@ -561,6 +563,78 @@ case class LshSignature(child: Expression, nPlanes: Int, portable: Boolean = tru
       p += 1
     }
     sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * Johnson-Lindenstrauss random projection to `k` dims, in integer
+ * micro-units: yₚ = Σᵢ floor(xᵢ·w(p,i)·1e6 + 0.5), the SAME plane matrix
+ * (and cache) as [[LshSignature]] — the LSH signature is exactly
+ * `sign(project(x))`. Each term is quantized BEFORE the sum, so the
+ * output is an order-independent long sum any engine replicates exactly;
+ * the quantization error (≤ dims·5e-7 per output) is far below the JL
+ * distortion the projection itself accepts. One map-stage eval per row.
+ */
+case class RandomProjectionQ6(child: Expression, k: Int, portable: Boolean = true)
+    extends UnaryExpression with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  require(k >= 1, "k must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("RandomProjectionQ6 expects array<float|double>")
+  }
+
+  @transient private var planes: Array[Double] = _
+  @transient private var planeDims: Int = -1
+
+  private def planeMatrix(dims: Int): Array[Double] = {
+    if (planes == null || planeDims != dims) {
+      val m = new Array[Double](k * dims)
+      var p = 0
+      while (p < k) {
+        var i = 0
+        while (i < dims) {
+          val x = p.toLong * 65537L + i + 1
+          m(p * dims + i) =
+            if (portable)
+              (((x * x) % 1000003L) * 2654435761L % 1000000L).toDouble / 1000000.0 - 0.5
+            else
+              (org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(x, 42L) >>> 11)
+                .toDouble / (1L << 53).toDouble - 0.5
+          i += 1
+        }
+        p += 1
+      }
+      planes = m
+      planeDims = dims
+    }
+    planes
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val isF = child.dataType match { case ArrayType(FloatType, _) => true; case _ => false }
+    val n = arr.numElements()
+    val m = planeMatrix(n)
+    val out = new Array[Long](k)
+    var p = 0
+    while (p < k) {
+      var acc = 0L
+      val off = p * n
+      var i = 0
+      while (i < n) {
+        val e = if (isF) arr.getFloat(i).toDouble else arr.getDouble(i)
+        acc += math.floor(e * m(off + i) * 1e6 + 0.5).toLong
+        i += 1
+      }
+      out(p) = acc
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

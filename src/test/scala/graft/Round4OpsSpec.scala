@@ -145,6 +145,38 @@ class Round4OpsSpec extends SparkSpec {
     assert(train(emb) == train(emb.repartition(7)))
   }
 
+  // --- clusters fast path / random projection ---
+
+  test("clusters driver fast path equals the iterative rounds") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (7L, 7L))
+      .toDF("id_a", "id_b")
+    val fast = graft.functions.Dedup.clusters(pairs)
+      .as[(Long, Long)].collect().toSet
+    val iter = graft.functions.Dedup.clusters(pairs, driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().toSet
+    assert(fast == iter)
+    assert(fast == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L), (7L, 7L)))
+  }
+
+  test("random projection sign bit is the LSH signature") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val both = emb.select($"vec_id",
+      graft.functions.expressions.VectorExpressions
+        .randomProjectionQ6($"embedding", 6).as("y"),
+      graft.functions.expressions.VectorExpressions
+        .lshSignature($"embedding", 6).as("sig"))
+      .as[(Long, Seq[Long], Long)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (_, y, sig) =>
+      val fromProj = y.zipWithIndex
+        .map { case (v, p) => if (v >= 0) 1L << p else 0L }.sum
+      // micro-unit quantization can only flip a hairline-zero dot; on
+      // this data the signatures must agree exactly
+      assert(fromProj == sig)
+    }
+  }
+
   // --- C4 rules ---
 
   test("c4 line rules: terminal punctuation and min words") {
