@@ -177,6 +177,37 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  // --- scale-shape plan guards ---
+
+  test("bm25 top-k plans as TakeOrderedAndProject, no global sort or window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val q = Retrieval.bm25TopK(docs, Seq("table", "hash"), k = 20)
+    val opt = q.queryExecution.optimizedPlan
+    assert(opt.collect { case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty)
+    assert(q.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
+  test("bloom decon prefilters map-side with might_contain before the join") {
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val bench = docs.filter($"doc_id" % 10 === 0)
+    val plan = Decontaminate.flagContaminatedBloom(corpus, bench, n = 3,
+      expectedItems = 10000L).queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"))
+  }
+
+  test("deterministic shuffle windows only over buckets (scale guard)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val opt = Sampling.deterministicShuffle(docs, "doc_id", "s1")
+      .queryExecution.optimizedPlan
+    // the only unpartitioned window is the B-row offset table's running
+    // sum — it must sit on an Aggregate, never on the data stream
+    val bad = opt.collect {
+      case w: LWindow if w.partitionSpec.isEmpty &&
+        !w.child.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate] => w
+    }
+    assert(bad.isEmpty, s"data-stream global window:\n${bad.mkString("\n")}")
+  }
+
   // --- C4 rules ---
 
   test("c4 line rules: terminal punctuation and min words") {
