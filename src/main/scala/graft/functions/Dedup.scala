@@ -227,8 +227,16 @@ object Dedup {
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxIters: Int = 50, driverMaxEdges: Long = 1000000L): DataFrame = {
     val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-    if (fwd.limit((driverMaxEdges + 1).toInt).count() <= driverMaxEdges)
-      return clustersDriver(fwd)
+    // ONE computation of the (often expensive) pair pipeline decides the
+    // path AND feeds the fast one: take threshold+1 rows — if the limit
+    // wasn't hit, these are ALL the edges, union-find them on the driver;
+    // only a genuinely large graph pays a recompute into the rounds.
+    val probeN = math.min(driverMaxEdges, Int.MaxValue - 2L).toInt + 1
+    val probe = {
+      import fwd.sparkSession.implicits._
+      fwd.as[(Long, Long)].limit(probeN).collect()
+    }
+    if (probe.length <= driverMaxEdges) return clustersDriver(fwd.sparkSession, probe)
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
@@ -255,10 +263,9 @@ object Dedup {
 
   /** Exact union-find over a collected edge list — the identical
    *  min-label components the iterative rounds produce. */
-  private def clustersDriver(fwd: DataFrame): DataFrame = {
-    val spark = fwd.sparkSession
+  private def clustersDriver(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long)]): DataFrame = {
     import spark.implicits._
-    val edges = fwd.as[(Long, Long)].collect()
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {
       var r = x
