@@ -43,7 +43,11 @@ object Registry {
     "winnow" -> (exprs => Winnow(exprs(0),
       intArg(exprs, 1, "winnow", "winnow(kgrams, w)"), portable = false)),
     "token_stats" -> (exprs => TokenStats(exprs(0),
-      TextFunctions.stopwords.values.flatten.toSeq.distinct)))
+      TextFunctions.stopwords.values.flatten.toSeq.distinct)),
+    "random_projection_q6" -> (exprs => RandomProjectionQ6(exprs(0),
+      intArg(exprs, 1, "random_projection_q6", "random_projection_q6(vector, k)"))),
+    "vec_sum_q6" -> (exprs =>
+      VectorSumQ6(exprs(0)).toAggregateExpression()))
 
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -191,6 +191,14 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r.getAs[Int]("k") == 64)
     assert(r.getSeq[String](r.fieldIndex("sh")).toList == List("a b", "b c", "c b", "b c"))
     assert(r.getAs[Long]("h") != 0L)
+    // the round-4 additions: projection (scalar) and vector-sum (aggregate)
+    val r2 = spark.sql(
+      """SELECT size(random_projection_q6(array(1.0F, 2.0F), 4)) AS k,
+        |  vec_sum_q6(v) AS s
+        |FROM VALUES (array(1.0F, 2.0F)), (array(0.5F, -1.0F)) t(v)""".stripMargin)
+      .collect().head
+    assert(r2.getAs[Int]("k") == 4)
+    assert(r2.getSeq[Long](r2.fieldIndex("s")).toList == List(1500000L, 1000000L))
   }
 
   test("rolling hash is order-sensitive") {
