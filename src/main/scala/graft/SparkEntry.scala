@@ -897,6 +897,25 @@ object SparkEntry {
       graft.functions.Profile.columns(events(s, dir),
         Seq("event_id", "user_id", "event_type", "value", "props"))),
 
+    "samp_exact_k" -> ((s, dir) =>
+      // exactly-k deterministic subsample (TakeOrderedAndProject — no
+      // global sort); same rows every run/layout, ties by doc_id
+      graft.functions.Sampling.exactK(table(s, dir, "documents"), "doc_id",
+          k = 150, seed = "eval1")
+        .select(col("doc_id"), col("source"), col("n_chars"))),
+
+    "sim_assign" -> ((s, dir) => {
+      // nearest-centroid classification against the label prototypes:
+      // centroids from the exact micro-unit sums, cosine rounded to 6 dp
+      // before the argmax, ties by label — deterministic cross-engine
+      val emb = table(s, dir, "embeddings")
+      val cents = graft.functions.Similarity.labelCentroids(emb)
+        .select(col("group"),
+          transform(col("sum_q6"), x =>
+            x.cast("double") / lit(1e6) / col("n")).as("centroid"))
+      graft.functions.Similarity.assignToCentroids(emb, cents)
+    }),
+
     "sim_project" -> ((s, dir) =>
       // JL random projection to 8 dims in integer micro-units (native
       // one-pass expression; the LSH signature is this projection's sign
@@ -2187,6 +2206,36 @@ object SparkEntry {
         |SELECT 'props', n_rows, n_rows - count(props),
         |  count(DISTINCT props), NULL, NULL, min(props), max(props)
         |FROM events, n GROUP BY n_rows""".stripMargin,
+
+    "samp_exact_k" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(concat('0x', substr(md5('eval1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      / 4294967296.0 AS u
+        |  FROM documents ORDER BY u, doc_id LIMIT 150)""".stripMargin,
+
+    // centroids from the exact micro-unit sums; cosine rounded to 6 dp
+    // before the argmax (the 1-ulp sum-order wobble is absorbed exactly
+    // as in the cosine-pair oracles), ties broken by label
+    "sim_assign" ->
+      """WITH e AS (SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |    unnest(embedding) AS x FROM embeddings),
+        |s AS (SELECT label, dim,
+        |    sum(CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qsum
+        |  FROM e GROUP BY label, dim),
+        |n AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+        |c AS (SELECT label, dim, qsum / 1000000.0 / n AS cx
+        |  FROM s JOIN n USING (label)),
+        |v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS vx FROM embeddings),
+        |d AS (SELECT v.vec_id, c.label, sum(v.vx * c.cx) AS dot,
+        |    sqrt(sum(v.vx * v.vx)) AS nv, sqrt(sum(c.cx * c.cx)) AS ncn
+        |  FROM v JOIN c USING (dim) GROUP BY v.vec_id, c.label),
+        |sc AS (SELECT vec_id, label, round(CASE WHEN nv > 0 AND ncn > 0
+        |    THEN dot / (nv * ncn) ELSE 0 END, 6) AS sim FROM d),
+        |r AS (SELECT vec_id, label, sim, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY sim DESC, label) AS rk FROM sc)
+        |SELECT vec_id, label AS centroid_id, sim FROM r WHERE rk = 1""".stripMargin,
 
     // the LSH oracle's plane generator, summed as quantized micro-terms
     "sim_project" ->

@@ -181,6 +181,17 @@ object Sampling {
    * This is `zipWithIndex` re-expressed declaratively, skew-free because
    * the bucket key is a uniform hash.
    */
+  /**
+   * Deterministic fixed-size sample: the `k` rows with the smallest
+   * seeded portable uniforms (ties by key) — "give me exactly 10k
+   * documents for the eval set, the same ones every run". Plans as
+   * TakeOrderedAndProject: per-partition heaps of k, never a global
+   * sort; `rand()`-free so retries and re-runs return identical rows.
+   */
+  def exactK(df: DataFrame, keyCol: String, k: Int, seed: String = ""): DataFrame =
+    df.withColumn("_u", portableUniform(concat_ws(":", lit(seed), col(keyCol))))
+      .orderBy(col("_u"), col(keyCol)).limit(k).drop("_u")
+
   def deterministicShuffle(df: DataFrame, keyCol: String, seed: String,
       nBuckets: Int = 1024): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")

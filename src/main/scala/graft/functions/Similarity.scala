@@ -458,4 +458,30 @@ object Similarity {
     vectors.select(col(idCol),
       expressions.VectorExpressions.randomProjectionQ6(col(vecCol), k, portable)
         .as("proj_q6"))
+
+  /**
+   * Nearest-centroid assignment — the inference half of
+   * [[labelCentroids]] (classify by prototype, route new embeddings to
+   * their cluster, audit drift after retraining). Centroid tables are
+   * small by construction (one row per group), so this is a broadcast
+   * nested-loop over the corpus with a per-row argmax — the corpus
+   * never shuffles. Similarity is rounded to 6 dp BEFORE the argmax and
+   * ties break on ascending centroid id, so the assignment is
+   * deterministic and cross-engine reproducible (same contract as the
+   * cosine-pair oracles).
+   */
+  def assignToCentroids(vectors: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centIdCol: String = "group", centVecCol: String = "centroid"): DataFrame = {
+    val v = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .withColumn("nv", expressions.VectorExpressions.l2norm(col("v")))
+    val c = centroids.select(col(centIdCol).as("_cid"), col(centVecCol).as("_cv"))
+      .withColumn("nc", expressions.VectorExpressions.l2norm(col("_cv")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("_cid"))
+    v.crossJoin(broadcast(c))
+      .withColumn("sim",
+        round(cosineWithNorms(col("v"), col("_cv"), col("nv"), col("nc")), 6))
+      .withColumn("_r", row_number().over(w)).filter(col("_r") === 1)
+      .select(col("vec_id"), col("_cid").as("centroid_id"), col("sim"))
+  }
 }

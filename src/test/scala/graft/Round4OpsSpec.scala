@@ -177,6 +177,34 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  // --- exact-k sampling / centroid assignment ---
+
+  test("exactK returns exactly k stable rows as TakeOrderedAndProject") {
+    val a = Sampling.exactK(docs, "doc_id", 25, seed = "e")
+    assert(a.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    val ids = a.select("doc_id").as[Long].collect().toSet
+    assert(ids.size == 25)
+    val b = Sampling.exactK(docs.repartition(11), "doc_id", 25, seed = "e")
+      .select("doc_id").as[Long].collect().toSet
+    assert(b == ids)
+    // and they are the true global minimum of the seeded uniform
+    val u = Sampling.portableUniform(concat_ws(":", lit("e"), $"doc_id"))
+    val brute = docs.withColumn("_u", u).orderBy($"_u", $"doc_id")
+      .limit(25).select("doc_id").as[Long].collect().toSet
+    assert(brute == ids)
+  }
+
+  test("assignToCentroids picks the nearest prototype, ties by id") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.1f)), (2L, Array(0.1f, 1.0f)), (3L, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0, Array(1.0, 0.0)), (1, Array(0.0, 1.0)))
+      .toDF("group", "centroid")
+    val out = graft.functions.Similarity.assignToCentroids(vecs, cents)
+      .select("vec_id", "centroid_id").as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 0, 2L -> 1, 3L -> 0)) // 3 ties → smaller id
+  }
+
   // --- scale-shape plan guards ---
 
   test("bm25 top-k plans as TakeOrderedAndProject, no global sort or window") {
