@@ -34,6 +34,12 @@ object SparkEntry {
   private def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Fixed demonstration merge table for `text_bpe_apply` (builds
+   *  "table"/"scan" pieces on the synthetic vocabulary). */
+  val BpeDemoMerges: Seq[(String, String)] = Seq(
+    "t" -> "a", "ta" -> "b", "tab" -> "l", "tabl" -> "e",
+    "s" -> "c", "sc" -> "a", "sca" -> "n", "h" -> "a")
+
   /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
    *  Spark 4 only reads via the nanosAsLong legacy conf; convert to
    *  microsecond timestamps with integer division (a double division
@@ -896,6 +902,17 @@ object SparkEntry {
       // min/max (numerics as integer micro-units, strings raw)
       graft.functions.Profile.columns(events(s, dir),
         Seq("event_id", "user_id", "event_type", "value", "props"))),
+
+    "text_bpe_apply" -> ((s, dir) => {
+      // BPE merge application with a fixed 8-merge table (the learned
+      // path is trainBpe → applyMerges; a fixed table keeps the oracle
+      // static): piece count + md5 over SOH-joined pieces pins every
+      // merge decision cross-engine
+      val pieces = graft.functions.Vocab.applyMerges(col("text"), BpeDemoMerges)
+      table(s, dir, "documents").select(col("doc_id"),
+        size(pieces).cast("long").as("n_pieces"),
+        md5(concat_ws("\u0001", pieces)).as("piece_md5"))
+    }),
 
     "samp_exact_k" -> ((s, dir) =>
       // exactly-k deterministic subsample (TakeOrderedAndProject — no
@@ -2206,6 +2223,25 @@ object SparkEntry {
         |SELECT 'props', n_rows, n_rows - count(props),
         |  count(DISTINCT props), NULL, NULL, min(props), max(props)
         |FROM events, n GROUP BY n_rows""".stripMargin,
+
+    // the identical bracketed-replace chain, generated from the same
+    // merge table the Spark binding uses
+    "text_bpe_apply" -> {
+      val chain = BpeDemoMerges.foldLeft(
+        """regexp_replace(word, '(.)', '(\1)', 'g')""") {
+        case (acc, (l, r)) => s"replace($acc, '($l)($r)', '($l$r)')"
+      }
+      s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') toks
+         |  FROM documents),
+         |w AS (SELECT doc_id, unnest(toks) AS word,
+         |    generate_subscripts(toks, 1) AS wi FROM t),
+         |p AS (SELECT doc_id, wi,
+         |    regexp_extract_all($chain, '\\(([a-z0-9]+)\\)', 1) AS pieces FROM w)
+         |SELECT doc_id, CAST(sum(len(pieces)) AS BIGINT) AS n_pieces,
+         |  md5(string_agg(array_to_string(pieces, chr(1)), chr(1) ORDER BY wi))
+         |    AS piece_md5
+         |FROM p GROUP BY doc_id""".stripMargin
+    },
 
     "samp_exact_k" ->
       """SELECT doc_id, source, n_chars FROM (

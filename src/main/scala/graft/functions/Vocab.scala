@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -50,5 +50,91 @@ object Vocab {
         count(lit(1)).as("n_tokens"),
         count(when(col("id") === oovId, 1)).as("n_oov"),
         sum((col("pos") + 1).cast("long") * col("id").cast("long")).as("idsum"))
+  }
+
+  // --- BPE merge training (Sennrich et al. 2016) ---
+
+  /** Word-frequency table — the corpus-scale half of BPE training (one
+   *  explode + one hash-aggregate; this is the only part that touches
+   *  100 TB — the merge loop below runs over this driver-sized table,
+   *  which is exactly how production BPE trainers are structured). */
+  def wordFreqs(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /**
+   * The BPE merge loop: starting from single characters, repeatedly
+   * merge the most frequent adjacent symbol pair (frequency weighted by
+   * word count), `nMerges` times or until no pair repeats. Ties break
+   * on the lexicographic (left, right) pair, so the learned merge
+   * sequence is fully deterministic. Pure function over the
+   * word-frequency table.
+   */
+  def learnMerges(freqs: Seq[(String, Long)], nMerges: Int): Seq[(String, String)] = {
+    var words = freqs.toArray.map { case (w, f) => (w.map(_.toString).toArray, f) }
+    val out = Seq.newBuilder[(String, String)]
+    var done = false
+    for (_ <- 0 until nMerges if !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + f
+          i += 1
+        }
+      }
+      val candidates = counts.filter(_._2 >= 2)
+      if (candidates.isEmpty) done = true
+      else {
+        val best = candidates.toSeq.minBy { case ((l, r), n) => (-n, l, r) }._1
+        out += best
+        words = words.map { case (syms, f) =>
+          val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
+              merged += syms(i) + syms(i + 1); i += 2
+            } else { merged += syms(i); i += 1 }
+          }
+          (merged.toArray, f)
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Learn `nMerges` BPE merges from a corpus → (rank, left, right). */
+  def trainBpe(docs: DataFrame, nMerges: Int, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val freqs = wordFreqs(docs, textCol).as[(String, Long)].collect().toSeq
+    learnMerges(freqs, nMerges).zipWithIndex
+      .map { case ((l, r), i) => (i.toLong, l, r) }
+      .toDF("rank", "left", "right")
+  }
+
+  /**
+   * Apply a merge list to every word of `text`, producing the flat BPE
+   * piece array. Each rank is one left-to-right non-overlapping scan —
+   * the reference implementation's semantics — expressed on a BRACKETED
+   * symbol string (`(a)(b)(c)`; merge (l,r) = replace `(l)(r)` with
+   * `(lr)`). Brackets make every symbol boundary explicit, so built-in
+   * `replace` reproduces the classic scan exactly (a spaced encoding
+   * would share boundary characters between adjacent matches and break
+   * on runs like `aaaa`). The whole chain is built-in string functions —
+   * pure whole-stage codegen, no UDF, byte-for-byte replicable in any
+   * engine with `replace`/`regexp_extract_all`. Tokens are `[a-z0-9]+`,
+   * so the brackets can never collide with symbol text.
+   */
+  def applyMerges(text: Column, merges: Seq[(String, String)]): Column = {
+    val words = TextFunctions.tokens(text)
+    flatten(transform(words, w => {
+      val bracketed = regexp_replace(w, "(.)", "($1)")
+      val mergedStr = merges.foldLeft(bracketed) { case (s, (l, r)) =>
+        replace(s, lit(s"($l)($r)"), lit(s"($l$r)"))
+      }
+      regexp_extract_all(mergedStr, lit("\\(([a-z0-9]+)\\)"), lit(1))
+    }))
   }
 }

@@ -177,6 +177,46 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  // --- BPE merge training ---
+
+  test("learnMerges reproduces the classic fixture sequence") {
+    // low×5 lower×2 newest×6 widest×3 (Sennrich-style, chars only):
+    // (e,s) and (s,t) tie at 9 → lexicographic; then (es,t); then (l,o)
+    val freqs = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val merges = graft.functions.Vocab.learnMerges(freqs, 3)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o")))
+  }
+
+  test("applyMerges matches the classic scan, including symbol runs") {
+    val out = Seq((1L, "newest aaaa low"))
+      .toDF("doc_id", "text")
+      .select(graft.functions.Vocab.applyMerges($"text",
+        Seq(("e", "s"), ("es", "t"), ("a", "a"))).as("p"))
+      .as[Seq[String]].head()
+    // newest → n e w est; aaaa → aa aa (left-to-right non-overlap);
+    // low untouched
+    assert(out == Seq("n", "e", "w", "est", "aa", "aa", "l", "o", "w"))
+  }
+
+  test("trained merges applied to the training corpus reassemble it") {
+    val d = docs.limit(50)
+    val merges = graft.functions.Vocab.trainBpe(d, nMerges = 20)
+      .orderBy("rank").as[(Long, String, String)].collect()
+      .map { case (_, l, r) => (l, r) }.toSeq
+    assert(merges.size == 20)
+    val ok = d.select($"text",
+        graft.functions.Vocab.applyMerges($"text", merges).as("p"))
+      .as[(String, Seq[String])].collect()
+    ok.foreach { case (text, pieces) =>
+      val words = "[a-z0-9]+".r.findAllIn(text.toLowerCase).mkString
+      assert(pieces.mkString == words) // lossless cover of every word
+    }
+    // merges actually fire: fewer pieces than characters
+    val chars = ok.map(_._2.map(_.length).sum).sum
+    val nPieces = ok.map(_._2.size).sum
+    assert(nPieces < chars)
+  }
+
   // --- exact-k sampling / centroid assignment ---
 
   test("exactK returns exactly k stable rows as TakeOrderedAndProject") {
