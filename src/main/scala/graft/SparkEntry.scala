@@ -914,6 +914,16 @@ object SparkEntry {
         md5(concat_ws("\u0001", pieces)).as("piece_md5"))
     }),
 
+    "samp_token_budget" -> ((s, dir) =>
+      // token-budget data recipe: keep rates derived from per-source
+      // token totals, then the deterministic hash gate; rate = exact
+      // IEEE long/long division, identical cross-engine
+      graft.functions.Sampling.mixtureToTokenBudget(
+          table(s, dir, "documents"), "source", "doc_id",
+          TextFunctions.tokenCount(col("text")),
+          Map("src0" -> 2000L, "src1" -> 5000L, "src2" -> 100L))
+        .select(col("doc_id"), col("source"), round(col("keep_rate"), 6).as("keep_rate"))),
+
     "samp_exact_k" -> ((s, dir) =>
       // exactly-k deterministic subsample (TakeOrderedAndProject — no
       // global sort); same rows every run/layout, ties by doc_id
@@ -2242,6 +2252,22 @@ object SparkEntry {
          |    AS piece_md5
          |FROM p GROUP BY doc_id""".stripMargin
     },
+
+    "samp_token_budget" ->
+      """WITH tot AS (SELECT source,
+        |    sum(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)) AS total
+        |  FROM documents GROUP BY source),
+        |r AS (SELECT d.doc_id, d.source,
+        |    CASE d.source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 5000
+        |                  WHEN 'src2' THEN 100 ELSE NULL END AS b,
+        |    total FROM documents d JOIN tot USING (source)),
+        |k AS (SELECT doc_id, source,
+        |    CASE WHEN b IS NULL OR b >= total THEN 1.0
+        |         ELSE CAST(b AS DOUBLE) / total END AS keep_rate
+        |  FROM r)
+        |SELECT doc_id, source, round(keep_rate, 6) AS keep_rate FROM k
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      / 4294967296.0 < keep_rate""".stripMargin,
 
     "samp_exact_k" ->
       """SELECT doc_id, source, n_chars FROM (

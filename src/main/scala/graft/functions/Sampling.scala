@@ -66,6 +66,35 @@ object Sampling {
   }
 
   /**
+   * Token-budget mixture — the "data recipe" step stated the way recipe
+   * papers state it (so-many tokens of web, so-many of code, ...):
+   * derive each group's keep RATE from its actual token count
+   * (`min(1, budget/actual)`), then apply the same hash-gated filter as
+   * [[mixtureByGroup]]. Expected kept tokens ≈ the budget; the kept SET
+   * is deterministic, stable as the corpus grows, and monotone in the
+   * budget. Unlisted groups keep everything.
+   *
+   * Scale shape: one aggregate for the per-group token totals (a
+   * groups-sized frame joined back — AQE broadcasts it when it fits)
+   * plus the pushdown-friendly hash filter; rates land in the output as
+   * `keep_rate` for the run report.
+   */
+  def mixtureToTokenBudget(df: DataFrame, groupCol: String, keyCol: String,
+      tokens: Column, budgets: Map[String, Long]): DataFrame = {
+    val totals = df.groupBy(col(groupCol))
+      .agg(sum(tokens.cast("long")).as("_total"))
+    val budget = budgets.foldLeft(lit(null).cast("long")) { case (acc, (g, b)) =>
+      when(col(groupCol) === g, b).otherwise(acc)
+    }
+    df.join(totals, Seq(groupCol))
+      .withColumn("keep_rate",
+        when(budget.isNull || budget >= col("_total"), 1.0)
+          .otherwise(budget.cast("double") / col("_total")))
+      .filter(portableUniform(col(keyCol)) < col("keep_rate"))
+      .drop("_total")
+  }
+
+  /**
    * Per-group quota (e.g. ≤ `n` documents per source/domain), selection
    * deterministic by hashed key: the kept rows are the `n` smallest
    * (uniform, key) per group.

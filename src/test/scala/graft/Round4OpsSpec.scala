@@ -177,6 +177,28 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  // --- token-budget mixture ---
+
+  test("token-budget mixture: rates bind, monotone, unlisted untouched") {
+    import graft.functions.{Sampling, TextFunctions}
+    val toks = TextFunctions.tokenCount($"text")
+    def kept(budgets: Map[String, Long]) =
+      Sampling.mixtureToTokenBudget(docs, "source", "doc_id", toks, budgets)
+        .select("doc_id").as[Long].collect().toSet
+    val small = kept(Map("src0" -> 200L))
+    val big = kept(Map("src0" -> 2000L))
+    assert(small.subsetOf(big)) // monotone in the budget
+    // unlisted sources keep everything
+    val all = docs.filter($"source" =!= "src0").select("doc_id")
+      .as[Long].collect().toSet
+    assert(all.subsetOf(small))
+    // the kept token mass of the capped source is near its budget
+    val keptTokens = Sampling.mixtureToTokenBudget(docs, "source", "doc_id",
+        toks, Map("src0" -> 200L))
+      .filter($"source" === "src0").agg(sum(toks)).as[Long].head()
+    assert(keptTokens < 600, s"kept $keptTokens tokens for a 200 budget")
+  }
+
   // --- BPE merge training ---
 
   test("learnMerges reproduces the classic fixture sequence") {
