@@ -220,6 +220,36 @@ class Round4OpsSpec extends SparkSpec {
     assert(out == Seq("n", "e", "w", "est", "aa", "aa", "l", "o", "w"))
   }
 
+  test("applyMerges property: replace chain ≡ classic scan on random input") {
+    import org.scalacheck.{Gen, Prop}
+    // reference: one left-to-right non-overlapping scan per rank
+    def classic(word: String, merges: Seq[(String, String)]): Seq[String] =
+      merges.foldLeft(word.map(_.toString): Seq[String]) { case (syms, (l, r)) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            out += l + r; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.toSeq
+      }
+    val genWord = Gen.nonEmptyListOf(Gen.oneOf('a', 'b')).map(_.mkString)
+    val genWords = Gen.nonEmptyListOf(genWord).map(_.take(5))
+    val genMergeCount = Gen.choose(0, 6)
+    checkProp(Prop.forAll(genWords, genMergeCount) { (words, nm) =>
+      // learn merges from the words themselves so they are realistic
+      val merges = graft.functions.Vocab.learnMerges(
+        words.groupBy(identity).map { case (w, g) => (w, g.size.toLong) }.toSeq, nm)
+      val text = words.mkString(" ")
+      val got = Seq(Tuple1(text)).toDF("text")
+        .select(graft.functions.Vocab.applyMerges($"text", merges).as("p"))
+        .as[Seq[String]].head()
+      val want = words.flatMap(w => classic(w, merges))
+      got == want
+    }, minTests = 30)
+  }
+
   test("trained merges applied to the training corpus reassemble it") {
     val d = docs.limit(50)
     val merges = graft.functions.Vocab.trainBpe(d, nMerges = 20)
