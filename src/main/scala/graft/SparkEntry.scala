@@ -914,6 +914,18 @@ object SparkEntry {
         md5(concat_ws("\u0001", pieces)).as("piece_md5"))
     }),
 
+    "dedup_corpus_diff" -> ((s, dir) => {
+      // recrawl diff on doctored snapshots: prev drops ids ≡0 (mod 7)
+      // (→ added in next), next drops ids ≡1 (→ removed), ids ≡2 get
+      // edited text (→ changed), everything else unchanged
+      val docs = table(s, dir, "documents")
+      val prev = docs.filter(col("doc_id") % 7 =!= 0)
+      val next = docs.filter(col("doc_id") % 7 =!= 1)
+        .withColumn("text", when(col("doc_id") % 7 === 2,
+          concat(col("text"), lit(" edited"))).otherwise(col("text")))
+      Dedup.corpusDiff(prev, next)
+    }),
+
     "samp_token_budget" -> ((s, dir) =>
       // token-budget data recipe: keep rates derived from per-source
       // token totals, then the deterministic hash gate; rate = exact
@@ -2252,6 +2264,23 @@ object SparkEntry {
          |    AS piece_md5
          |FROM p GROUP BY doc_id""".stripMargin
     },
+
+    // status by id-membership and normalized-text fingerprint equality
+    "dedup_corpus_diff" ->
+      """WITH p AS (SELECT doc_id,
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |n AS (SELECT doc_id,
+        |    md5(regexp_replace(trim(lower(
+        |      CASE WHEN doc_id % 7 = 2 THEN text || ' edited' ELSE text END)),
+        |      '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 7 <> 1)
+        |SELECT coalesce(p.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN p.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN p.fp = n.fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM p FULL OUTER JOIN n ON p.doc_id = n.doc_id""".stripMargin,
 
     "samp_token_budget" ->
       """WITH tot AS (SELECT source,

@@ -261,6 +261,30 @@ object Dedup {
     labels
   }
 
+  /**
+   * Incremental crawl diff — what changed between two corpus snapshots,
+   * by content fingerprint: `added` (id only in `next`), `removed` (id
+   * only in `prev`), `changed` (id in both, fingerprint differs),
+   * `unchanged`. The audit step between recrawls that decides how much
+   * of the pipeline actually needs to re-run.
+   *
+   * Scale shape: one full-outer equi-join on the id — both sides reduced
+   * to (id, 128-bit fingerprint) in their map stages, so document text
+   * never shuffles regardless of corpus width.
+   */
+  def corpusDiff(prev: DataFrame, next: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def keyed(df: DataFrame) = df.select(col(idCol).as("id"),
+      TextFunctions.fingerprint(col(textCol)).as("fp"))
+    keyed(prev).withColumnRenamed("fp", "fp_prev")
+      .join(keyed(next).withColumnRenamed("fp", "fp_next"), Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("fp_prev").isNull, "added")
+          .when(col("fp_next").isNull, "removed")
+          .when(col("fp_prev") === col("fp_next"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Exact union-find over a collected edge list — the identical
    *  min-label components the iterative rounds produce. */
   private def clustersDriver(spark: org.apache.spark.sql.SparkSession,

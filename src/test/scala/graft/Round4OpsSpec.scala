@@ -177,6 +177,20 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  // --- corpus diff ---
+
+  test("corpusDiff classifies added/removed/changed/unchanged") {
+    val prev = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "same text"))
+      .toDF("doc_id", "text")
+    val next = Seq((2L, "gamma delta edited"), (3L, "SAME   text"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val out = graft.functions.Dedup.corpusDiff(prev, next)
+      .as[(Long, String)].collect().toMap
+    // 3 is unchanged through normalization (case + whitespace collapse)
+    assert(out == Map(1L -> "removed", 2L -> "changed",
+      3L -> "unchanged", 4L -> "added"))
+  }
+
   // --- token-budget mixture ---
 
   test("token-budget mixture: rates bind, monotone, unlisted untouched") {
