@@ -914,6 +914,13 @@ object SparkEntry {
         md5(concat_ws("\u0001", pieces)).as("piece_md5"))
     }),
 
+    "prof_histogram" -> ((s, dir) =>
+      // 10-bucket histogram of the quality score over [0, 1): exact
+      // integer micro-unit bucket edges, one hash-aggregate
+      graft.functions.Profile.histogram(table(s, dir, "documents"),
+        TextFunctions.qualityScore(col("text")), lo = 0.0, hi = 1.0,
+        nBuckets = 10)),
+
     "dedup_corpus_diff" -> ((s, dir) => {
       // recrawl diff on doctored snapshots: prev drops ids ≡0 (mod 7)
       // (→ added in next), next drops ids ≡1 (→ removed), ids ≡2 get
@@ -2264,6 +2271,42 @@ object SparkEntry {
          |    AS piece_md5
          |FROM p GROUP BY doc_id""".stripMargin
     },
+
+    // the text_quality score formula feeding exact micro-unit bucket
+    // edges: bucket i = [floor(i/10·1e6), floor((i+1)/10·1e6)) on
+    // floor(score·1e6)
+    "prof_histogram" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') toks FROM documents),
+        |c AS (SELECT doc_id, text, toks,
+        |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+        |  CASE WHEN len(toks) > 0
+        |    THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+        |    ELSE 0 END AS wl,
+        |  CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> x IN (
+        |    'the','a','of','and','to','in','is','that','it','for',
+        |    'der','die','das','und','ist','nicht','ein','mit','von','zu',
+        |    'le','la','les','et','est','une','pour','dans','que','des',
+        |    'el','los','y','es','una','por','con','para','del'))) AS DOUBLE) / len(toks)
+        |    ELSE 0 END AS sw,
+        |  CASE WHEN length(text) > 0 THEN
+        |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+        |      / length(text) ELSE 0 END AS pr,
+        |  CASE WHEN length(text) > 0 THEN
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        |      / length(text) ELSE 0 END AS dr
+        |  FROM t),
+        |s AS (SELECT doc_id, CAST(floor((round(
+        |  len_score * 0.3 + (CASE WHEN wl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2 +
+        |  least(sw * 5.0, 1.0) * 0.2 + (1.0 - least(pr * 5.0, 1.0)) * 0.15 +
+        |  (1.0 - least(dr * 5.0, 1.0)) * 0.15, 6)) * 1000000.0) AS BIGINT) AS q
+        |  FROM c),
+        |b AS (SELECT doc_id,
+        |    CASE WHEN q < 0 THEN -1
+        |         WHEN q >= 1000000 THEN 10
+        |         ELSE CAST(q // 100000 AS BIGINT) END AS bucket
+        |  FROM s)
+        |SELECT bucket, count(*) AS n FROM b GROUP BY bucket""".stripMargin,
 
     // status by id-membership and normalized-text fingerprint equality
     "dedup_corpus_diff" ->

@@ -61,4 +61,30 @@ object Profile {
     }
     wide.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
+
+  /**
+   * Fixed-width histogram of a numeric expression over [lo, hi) — the
+   * score-distribution report that closes every curation run (where do
+   * the quality/LM/similarity scores mass, where should the cut go).
+   * One hash-aggregate on the integer bucket id; values below/above the
+   * range land in buckets -1 / `nBuckets`. Bucket ids come from exact
+   * integer micro-unit arithmetic (`floor(x·1e6)` vs precomputed long
+   * edges), so boundary assignment is bit-identical in any engine —
+   * a raw `floor((x-lo)/width)` would wobble on edge values.
+   */
+  def histogram(df: DataFrame, value: org.apache.spark.sql.Column,
+      lo: Double, hi: Double, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0 && hi > lo, "need nBuckets > 0 and hi > lo")
+    val q = floor(value.cast("double") * lit(1e6)).cast("long")
+    // long micro-unit edges; buckets are [edge(i), edge(i+1))
+    val edges = (0 to nBuckets).map(i =>
+      math.floor((lo + (hi - lo) * i / nBuckets) * 1e6).toLong)
+    val bucket = edges.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, (e, i)) => when(q >= e, i).otherwise(acc)
+    } // q ≥ edge(i) → highest matching i; ≥ top edge → nBuckets
+      // (overflow bucket); below edge(0) → -1
+    df.filter(value.isNotNull)
+      .groupBy(bucket.cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

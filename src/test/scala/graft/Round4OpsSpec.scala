@@ -177,6 +177,17 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  // --- histogram ---
+
+  test("histogram buckets exactly, with under/overflow buckets") {
+    val d = Seq(-0.5, 0.0, 0.05, 0.1, 0.95, 1.0, 2.0).toDF("x")
+    val out = graft.functions.Profile.histogram(d, $"x", 0.0, 1.0, 10)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(-1L -> 1L, 0L -> 2L, 1L -> 1L, 9L -> 1L, 10L -> 2L))
+    // boundary value 0.1 lands in bucket 1, not 0 (edges are exact)
+    assert(!out.contains(2L))
+  }
+
   // --- corpus diff ---
 
   test("corpusDiff classifies added/removed/changed/unchanged") {
