@@ -914,6 +914,19 @@ object SparkEntry {
         md5(concat_ws("\u0001", pieces)).as("piece_md5"))
     }),
 
+    "text_nfc" -> ((s, dir) =>
+      // Unicode NFC canonicalization on doctored rows (combining acute /
+      // tilde sequences planted per doc): both the JVM and DuckDB
+      // implement the same Unicode composition, so the md5 of the
+      // normalized text pins every code point
+      table(s, dir, "documents").select(col("doc_id"),
+        md5(graft.functions.expressions.VectorExpressions.nfcNormalize(
+          concat(col("text"), lit(" cafe\u0301 ma\u00f1ana na\u0303ive"))))
+          .as("nfc_md5"),
+        length(graft.functions.expressions.VectorExpressions.nfcNormalize(
+          concat(col("text"), lit(" cafe\u0301 ma\u00f1ana na\u0303ive"))))
+          .cast("long").as("len_nfc"))),
+
     "prof_histogram" -> ((s, dir) =>
       // 10-bucket histogram of the quality score over [0, 1): exact
       // integer micro-unit bucket edges, one hash-aggregate
@@ -2271,6 +2284,14 @@ object SparkEntry {
          |    AS piece_md5
          |FROM p GROUP BY doc_id""".stripMargin
     },
+
+    "text_nfc" ->
+      """SELECT doc_id,
+        |  md5(nfc_normalize(text || ' cafe' || chr(769) || ' ma' || chr(241) ||
+        |    'ana na' || chr(771) || 'ive')) AS nfc_md5,
+        |  CAST(length(nfc_normalize(text || ' cafe' || chr(769) || ' ma' || chr(241) ||
+        |    'ana na' || chr(771) || 'ive')) AS BIGINT) AS len_nfc
+        |FROM documents""".stripMargin,
 
     // the text_quality score formula feeding exact micro-unit bucket
     // edges: bucket i = [floor(i/10·1e6), floor((i+1)/10·1e6)) on

@@ -44,6 +44,7 @@ object Registry {
       intArg(exprs, 1, "winnow", "winnow(kgrams, w)"), portable = false)),
     "token_stats" -> (exprs => TokenStats(exprs(0),
       TextFunctions.stopwords.values.flatten.toSeq.distinct)),
+    "nfc_normalize" -> (exprs => NfcNormalize(exprs(0))),
     "random_projection_q6" -> (exprs => RandomProjectionQ6(exprs(0),
       intArg(exprs, 1, "random_projection_q6", "random_projection_q6(vector, k)"))),
     "vec_sum_q6" -> (exprs =>

@@ -37,6 +37,8 @@ object VectorExpressions {
     GraftBridge.column(LshSignature(GraftBridge.expression(vec), nPlanes, portable))
   def randomProjectionQ6(vec: Column, k: Int, portable: Boolean = true): Column =
     GraftBridge.column(RandomProjectionQ6(GraftBridge.expression(vec), k, portable))
+  def nfcNormalize(s: Column): Column =
+    GraftBridge.column(NfcNormalize(GraftBridge.expression(s)))
   def tokenStats(tokens: Column, stopwords: Seq[String]): Column =
     GraftBridge.column(TokenStats(GraftBridge.expression(tokens), stopwords))
   def repetitionStats(text: Column): Column =
@@ -683,6 +685,34 @@ case class MinHashSignature(child: Expression, k: Int)
     }
     ArrayData.toArrayData(sig)
   }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * Unicode NFC normalization (java.text.Normalizer) — the canonical-
+ * composition pass every text-cleanup chain starts with: combining
+ * sequences (`e` + U+0301) fold into their precomposed forms (`é`), so
+ * fingerprints, dedup keys and tokenizers see one spelling of every
+ * string. Spark has no built-in for this; a native expression keeps it
+ * off the UDF path (one JVM call per row, no Python, no codegen break
+ * beyond this projection). Both the JVM and DuckDB's `nfc_normalize`
+ * implement the same Unicode algorithm, so results are byte-identical
+ * cross-engine.
+ */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"nfc_normalize expects string, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(v.toString, java.text.Normalizer.Form.NFC))
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -177,6 +177,22 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  // --- NFC normalization ---
+
+  test("nfc folds combining sequences to precomposed forms") {
+    val out = Seq(("cafe\u0301", "caf\u00e9"), ("a\u0303", "\u00e3"))
+      .toDF("raw", "want")
+      .select(graft.functions.expressions.VectorExpressions
+        .nfcNormalize($"raw").as("got"), $"want")
+      .as[(String, String)].collect()
+    out.foreach { case (got, want) => assert(got == want) }
+    // already-composed text is untouched
+    val same = Seq(Tuple1("ma\u00f1ana plain ascii")).toDF("s")
+      .select(graft.functions.expressions.VectorExpressions
+        .nfcNormalize($"s")).as[String].head()
+    assert(same == "ma\u00f1ana plain ascii")
+  }
+
   // --- histogram ---
 
   test("histogram buckets exactly, with under/overflow buckets") {
