@@ -914,6 +914,14 @@ object SparkEntry {
         md5(concat_ws("\u0001", pieces)).as("piece_md5"))
     }),
 
+    "pipe_blocklist" -> ((s, dir) =>
+      // token blocklist: survivors contain none of the listed tokens
+      // (predicate form; the broadcast semi-join twin is spec-asserted
+      // equal for large lists)
+      graft.functions.RuleFilters.blocklistFilter(
+          table(s, dir, "documents"), Seq("merge", "spill"))
+        .select(col("doc_id"), col("source"), col("n_chars"))),
+
     "text_nfc" -> ((s, dir) =>
       // Unicode NFC canonicalization on doctored rows (combining acute /
       // tilde sequences planted per doc): both the JVM and DuckDB
@@ -2284,6 +2292,11 @@ object SparkEntry {
          |    AS piece_md5
          |FROM p GROUP BY doc_id""".stripMargin
     },
+
+    "pipe_blocklist" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |  t -> t IN ('merge', 'spill'))) = 0""".stripMargin,
 
     "text_nfc" ->
       """SELECT doc_id,

@@ -32,6 +32,36 @@ object RuleFilters {
     instr(text, "{") > 0 || instr(lower(text), "lorem ipsum") > 0
 
   /**
+   * Blocklist filter — drop every document containing any listed token
+   * (the C4 "bad words" pass). Two shapes for two list sizes:
+   * `broadcastList = false` (default) compiles the list into ONE
+   * `isin` predicate over the exploded token stream — a pure map +
+   * aggregate, right for the usual hundreds-of-terms list;
+   * `broadcastList = true` semi-joins tokens against a broadcast list
+   * frame — right when the list is itself large (e.g. ten million URLs
+   * or hashes). Both return the surviving documents unchanged.
+   */
+  def blocklistFilter(docs: DataFrame, terms: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text",
+      broadcastList: Boolean = false): DataFrame = {
+    require(terms.nonEmpty, "empty blocklist")
+    val lower = terms.map(_.toLowerCase).distinct
+    if (!broadcastList) {
+      docs.filter(!exists(TextFunctions.tokens(col(textCol)),
+        t => t.isin(lower.map(lit): _*).cast("boolean")))
+    } else {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val list = broadcast(lower.toDF("_blocked"))
+      val hit = docs.select(col(idCol).as("_hid"),
+          explode(TextFunctions.tokens(col(textCol))).as("_blocked"))
+        .join(list, Seq("_blocked"), "left_semi")
+        .select(col("_hid")).distinct()
+      docs.join(hit, docs(idCol) === hit("_hid"), "left_anti")
+    }
+  }
+
+  /**
    * Apply the full C4 rule set: surviving documents with their cleaned
    * text (kept lines rejoined with '\n') and the kept-line count.
    */

@@ -177,6 +177,19 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  // --- blocklist ---
+
+  test("blocklist predicate and broadcast semi-join forms agree") {
+    import graft.functions.RuleFilters
+    val pred = RuleFilters.blocklistFilter(docs, Seq("merge", "spill"))
+      .select("doc_id").as[Long].collect().toSet
+    val join = RuleFilters.blocklistFilter(docs, Seq("merge", "spill"),
+      broadcastList = true).select("doc_id").as[Long].collect().toSet
+    assert(pred == join)
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    assert(pred.nonEmpty && pred != all) // it drops something, keeps something
+  }
+
   // --- NFC normalization ---
 
   test("nfc folds combining sequences to precomposed forms") {
