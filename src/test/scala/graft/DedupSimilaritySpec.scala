@@ -191,7 +191,8 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r.getAs[Int]("k") == 64)
     assert(r.getSeq[String](r.fieldIndex("sh")).toList == List("a b", "b c", "c b", "b c"))
     assert(r.getAs[Long]("h") != 0L)
-    // the round-4 additions: projection (scalar) and vector-sum (aggregate)
+    // the round-4 additions: projection (scalar), vector-sum (aggregate),
+    // NFC normalization
     val r2 = spark.sql(
       """SELECT size(random_projection_q6(array(1.0F, 2.0F), 4)) AS k,
         |  vec_sum_q6(v) AS s
@@ -199,6 +200,8 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().head
     assert(r2.getAs[Int]("k") == 4)
     assert(r2.getSeq[Long](r2.fieldIndex("s")).toList == List(1500000L, 1000000L))
+    val r3 = spark.sql("SELECT nfc_normalize('cafe\u0301') AS n").collect().head
+    assert(r3.getAs[String]("n") == "caf\u00e9")
   }
 
   test("rolling hash is order-sensitive") {
