@@ -914,6 +914,17 @@ object SparkEntry {
         md5(concat_ws("\u0001", pieces)).as("piece_md5"))
     }),
 
+    "text_bm25_indexed" -> ((s, dir) => {
+      // persisted-index BM25: build postings sharded by term hash, query
+      // through the partition-pruned read path — must hash-match the
+      // direct bm25TopK oracle exactly
+      val root = java.nio.file.Files.createTempDirectory("graft_bm25")
+        .toFile.getAbsolutePath
+      graft.functions.Retrieval.buildBm25Index(table(s, dir, "documents"), root)
+      graft.functions.Retrieval.queryBm25Index(s, root,
+        Seq("table", "hash", "merge", "scan"), k = 20)
+    }),
+
     "pipe_blocklist" -> ((s, dir) =>
       // token blocklist: survivors contain none of the listed tokens
       // (predicate form; the broadcast semi-join twin is spec-asserted
@@ -1092,6 +1103,31 @@ object SparkEntry {
       when(col("event_id") % 3 === 0, "evt.sensor.report")
         .otherwise("cmd.sensor.get_report").as("msg_type"),
       lit("x").as("domain"))
+
+  /** BM25 oracle — shared by the direct and persisted-index paths. */
+  private val Bm25OracleSql: String =
+      """WITH toks AS (
+        |  SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('table', 'hash', 'merge', 'scan')
+        |       GROUP BY doc_id, dl, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |stats AS (SELECT count(*) AS n_docs,
+        |    sum(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)) AS total_dl
+        |  FROM documents),
+        |contrib AS (
+        |  SELECT tf.doc_id,
+        |    CAST(floor(
+        |      ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) *
+        |        (CAST(tf AS DOUBLE) * 2.2) /
+        |        (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(total_dl AS DOUBLE) / n_docs)))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS contrib_q6
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
+        |SELECT doc_id, CAST(sum(contrib_q6) AS BIGINT) AS score_q6
+        |FROM contrib GROUP BY doc_id
+        |ORDER BY score_q6 DESC, doc_id LIMIT 20""".stripMargin
 
   // ======================================================== oracle SQL ==
 
@@ -2194,29 +2230,7 @@ object SparkEntry {
     // BM25 with the exact parenthesization of Retrieval.bm25TopK; the
     // per-term contribution is quantized to integer micro-points BEFORE
     // the per-doc sum so the aggregation is order-independent
-    "text_bm25" ->
-      """WITH toks AS (
-        |  SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl,
-        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
-        |  FROM documents),
-        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM toks
-        |       WHERE term IN ('table', 'hash', 'merge', 'scan')
-        |       GROUP BY doc_id, dl, term),
-        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |stats AS (SELECT count(*) AS n_docs,
-        |    sum(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)) AS total_dl
-        |  FROM documents),
-        |contrib AS (
-        |  SELECT tf.doc_id,
-        |    CAST(floor(
-        |      ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) *
-        |        (CAST(tf AS DOUBLE) * 2.2) /
-        |        (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(total_dl AS DOUBLE) / n_docs)))
-        |      * 1000000.0 + 0.5) AS BIGINT) AS contrib_q6
-        |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
-        |SELECT doc_id, CAST(sum(contrib_q6) AS BIGINT) AS score_q6
-        |FROM contrib GROUP BY doc_id
-        |ORDER BY score_q6 DESC, doc_id LIMIT 20""".stripMargin,
+    "text_bm25" -> Bm25OracleSql,
 
     // bloom prefilter is exactness-preserving: the oracle is the plain
     // distinct-3-gram overlap between corpus and benchmark halves
@@ -2374,6 +2388,10 @@ object SparkEntry {
         |SELECT doc_id, source, round(keep_rate, 6) AS keep_rate FROM k
         |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
         |      / 4294967296.0 < keep_rate""".stripMargin,
+
+    // identical to text_bm25 — the persisted-index path must reproduce
+    // the direct computation bit-for-bit
+    "text_bm25_indexed" -> Bm25OracleSql,
 
     "samp_exact_k" ->
       """SELECT doc_id, source, n_chars FROM (

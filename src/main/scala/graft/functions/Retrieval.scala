@@ -65,4 +65,61 @@ object Retrieval {
       .limit(k)
       .select(col("doc_id").as(idCol), col("score_q6"))
   }
+
+  /** Shard a term for the persisted index layout (64 dirs, stable). */
+  private def termShard(term: org.apache.spark.sql.Column) =
+    pmod(xxhash64(term), lit(64L)).cast("int")
+
+  /**
+   * PERSISTED BM25 index — build once, query many times, same contract
+   * as the persisted MinHash and IVF indexes: the expensive pass
+   * (tokenize + tf over the whole corpus) runs at build and lands as
+   * parquet postings partitioned by a 64-way term-hash shard, with
+   * corpus stats (N, total length) in a one-row side table. A query
+   * reads ONLY its terms' shards — the scan is partition-pruned to
+   * ~|terms|/64 of the postings — computes df from the loaded postings,
+   * and scores identically to [[bm25TopK]].
+   */
+  def buildBm25Index(docs: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), size(col("_toks")).as("dl"),
+        explode(col("_toks")).as("term"))
+    toks.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("shard", termShard(col("term")))
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$path/postings")
+    docs.agg(count(lit(1)).as("n_docs"),
+        sum(size(TextFunctions.tokens(col(textCol))).cast("long")).as("total_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Query a persisted index: identical scores to the direct path. */
+  def queryBm25Index(spark: org.apache.spark.sql.SparkSession, path: String,
+      queryTerms: Seq[String], k: Int = 10, k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    // pmod(xxhash64, 64) ≡ hash & 63 for a power-of-two shard count
+    val shards = terms.map(t =>
+      (org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), 42L) & 63L).toInt)
+    val tf = spark.read.parquet(s"$path/postings")
+      .filter(col("shard").isin(shards.distinct.map(Integer.valueOf): _*))
+      .filter(col("term").isin(terms.map(lit): _*))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = spark.read.parquet(s"$path/stats")
+    val avgdl = col("total_dl").cast("double") / col("n_docs")
+    val idf = log((col("n_docs").cast("double") - col("df") + 0.5) /
+      (col("df") + 0.5) + 1.0)
+    val contrib = idf * (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    tf.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+      .withColumn("contrib_q6", floor(contrib * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy("doc_id").agg(sum("contrib_q6").as("score_q6"))
+      .orderBy(col("score_q6").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("score_q6"))
+  }
 }

@@ -40,6 +40,19 @@ class Round4OpsSpec extends SparkSpec {
     assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L)) // all tied → smallest ids
   }
 
+  test("persisted BM25 index reproduces the direct path with pruned shards") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25_spec")
+      .toFile.getAbsolutePath
+    Retrieval.buildBm25Index(docs, root)
+    val q = Retrieval.queryBm25Index(spark, root, Seq("table", "hash"), k = 15)
+    val direct = Retrieval.bm25TopK(docs, Seq("table", "hash"), k = 15)
+      .as[(Long, Long)].collect().toSeq
+    assert(q.as[(Long, Long)].collect().toSeq == direct)
+    // the postings scan is partition-pruned to the query terms' shards
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("shard"))
+  }
+
   // --- bloom-prefiltered decontamination ---
 
   test("bloom decon is bit-identical to the exact overlap") {
