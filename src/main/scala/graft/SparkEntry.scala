@@ -914,6 +914,16 @@ object SparkEntry {
         md5(concat_ws("\u0001", pieces)).as("piece_md5"))
     }),
 
+    "pipe_quality_lr" -> ((s, dir) => {
+      // deterministic logistic-regression quality classifier: portable
+      // hashed features, 2 full-batch GD steps with quantized gradients
+      // (order-independent long sums); label = lang=='en'; the oracle
+      // unrolls both iterations as chained CTEs
+      val (scores, _) = graft.functions.Classifier.trainQualityLR(
+        table(s, dir, "documents"), col("lang") === "en", dims = 64, iters = 2)
+      scores
+    }),
+
     "text_bm25_indexed" -> ((s, dir) => {
       // persisted-index BM25: build postings sharded by term hash, query
       // through the partition-pruned read path — must hash-match the
@@ -2392,6 +2402,33 @@ object SparkEntry {
     // identical to text_bm25 — the persisted-index path must reproduce
     // the direct computation bit-for-bit
     "text_bm25_indexed" -> Bm25OracleSql,
+
+    // two GD iterations unrolled: w0=0 → p=σ(0) exactly 500000 micro-
+    // units; every gradient/score is a long sum of quantized residuals/
+    // weights, so only σ's exp() can wobble (absorbed by quantization)
+    "pipe_quality_lr" ->
+      """WITH f AS (
+        |  SELECT DISTINCT doc_id, CAST(lang = 'en' AS BIGINT) AS label,
+        |    CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 64 AS d
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+        |        FROM documents)),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |r1 AS (SELECT doc_id, label * 1000000 - 500000 AS r_q6
+        |  FROM (SELECT DISTINCT doc_id, label FROM f)),
+        |g1 AS (SELECT d, sum(r_q6) AS g FROM f JOIN r1 USING (doc_id) GROUP BY d),
+        |w1 AS (SELECT d, CAST(floor(0.5 * g / n + 0.5) AS BIGINT) AS w FROM g1, n),
+        |z2 AS (SELECT doc_id, label, sum(coalesce(w, 0)) AS z
+        |  FROM f LEFT JOIN w1 USING (d) GROUP BY doc_id, label),
+        |r2 AS (SELECT doc_id, CAST(label * 1000000 -
+        |    floor(1000000.0 / (1.0 + exp(-CAST(z AS DOUBLE) / 1000000.0)) + 0.5)
+        |  AS BIGINT) AS r_q6 FROM z2),
+        |g2 AS (SELECT d, sum(r_q6) AS g FROM f JOIN r2 USING (doc_id) GROUP BY d),
+        |w2 AS (SELECT g2.d,
+        |    coalesce(w1.w, 0) + CAST(floor(0.5 * g2.g / n + 0.5) AS BIGINT) AS w
+        |  FROM g2 CROSS JOIN n LEFT JOIN w1 ON g2.d = w1.d)
+        |SELECT doc_id, label, CAST(sum(coalesce(w, 0)) AS BIGINT) AS score_q6
+        |FROM f LEFT JOIN w2 USING (d) GROUP BY doc_id, label""".stripMargin,
 
     "samp_exact_k" ->
       """SELECT doc_id, source, n_chars FROM (

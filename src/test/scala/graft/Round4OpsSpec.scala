@@ -190,6 +190,25 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  // --- learned quality classifier ---
+
+  test("LR classifier learns the label and trains layout-independently") {
+    import graft.functions.Classifier
+    def train(df: org.apache.spark.sql.DataFrame) =
+      Classifier.trainQualityLR(df, $"lang" === "en", dims = 64, iters = 3)
+    val (scores, weights) = train(docs)
+    val rows = scores.as[(Long, Long, Long)].collect()
+    val pos = rows.filter(_._2 == 1L).map(_._3.toDouble)
+    val neg = rows.filter(_._2 == 0L).map(_._3.toDouble)
+    assert(pos.nonEmpty && neg.nonEmpty)
+    // after 3 steps the english docs score higher on average
+    assert(pos.sum / pos.size > neg.sum / neg.size)
+    assert(weights.count() == 64)
+    // deterministic under repartitioning — the quantized-gradient claim
+    val (scores2, _) = train(docs.repartition(13))
+    assert(scores2.as[(Long, Long, Long)].collect().toSet == rows.toSet)
+  }
+
   // --- blocklist ---
 
   test("blocklist predicate and broadcast semi-join forms agree") {
