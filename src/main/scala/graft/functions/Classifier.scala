@@ -80,4 +80,26 @@ object Classifier {
       .map { case (wq, d) => (d.toLong, wq) }.toDF("d", "w_q6")
     (scores, weights)
   }
+
+  /**
+   * Inference with a trained weight table — score any corpus with the
+   * model trained elsewhere (the train/infer split, as with
+   * labelCentroids/assignToCentroids). Weights broadcast as a literal
+   * array (dims-bounded), so scoring is one map + one per-doc long-sum
+   * aggregate; `score_q6` > 0 means p > 0.5.
+   */
+  def scoreLR(docs: DataFrame, weights: DataFrame, dims: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = new Array[Long](dims)
+    weights.select(col("d"), col("w_q6")).as[(Long, Long)].collect()
+      .foreach { case (d, wq) => w(d.toInt) = wq }
+    val warr = array(w.toIndexedSeq.map(lit): _*)
+    docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(transform(
+          TextFunctions.tokens(col(textCol)), t => bucket(t, dims)))).as("d"))
+      .withColumn("_w", element_at(warr, col("d").cast("int") + 1))
+      .groupBy(col("doc_id")).agg(sum(col("_w")).as("score_q6"))
+  }
 }

@@ -207,6 +207,10 @@ class Round4OpsSpec extends SparkSpec {
     // deterministic under repartitioning — the quantized-gradient claim
     val (scores2, _) = train(docs.repartition(13))
     assert(scores2.as[(Long, Long, Long)].collect().toSet == rows.toSet)
+    // inference with the trained weights reproduces the training scores
+    val inferred = Classifier.scoreLR(docs, weights)
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, _, s) => assert(inferred(id) == s) }
   }
 
   // --- blocklist ---
