@@ -914,6 +914,12 @@ object SparkEntry {
         md5(concat_ws("\u0001", pieces)).as("piece_md5"))
     }),
 
+    "text_vocab_coverage" -> ((s, dir) =>
+      // coverage curve at candidate vocab sizes — covered token mass
+      // over total, micro-unit quantized
+      graft.functions.Vocab.coverage(table(s, dir, "documents"),
+        Seq(10, 50, 100, 500))),
+
     "pipe_quality_lr" -> ((s, dir) => {
       // deterministic logistic-regression quality classifier: portable
       // hashed features, 2 full-batch GD steps with quantized gradients
@@ -2402,6 +2408,22 @@ object SparkEntry {
     // identical to text_bm25 — the persisted-index path must reproduce
     // the direct computation bit-for-bit
     "text_bm25_indexed" -> Bm25OracleSql,
+
+    "text_vocab_coverage" ->
+      """WITH c AS (
+        |  SELECT t AS token, count(*) AS n FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+        |    FROM documents) GROUP BY t),
+        |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank,
+        |    sum(n) OVER (ORDER BY n DESC, token
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM c),
+        |tot AS (SELECT sum(n) AS total FROM c),
+        |sz AS (SELECT unnest([10, 50, 100, 500]) AS size)
+        |SELECT CAST(size AS BIGINT) AS size,
+        |  CAST(floor(CAST((SELECT max(cum) FROM r WHERE rank <= size) AS DOUBLE)
+        |    / total * 1000000.0 + 0.5) AS BIGINT) AS coverage_q6
+        |FROM sz, tot""".stripMargin,
 
     // two GD iterations unrolled: w0=0 → p=σ(0) exactly 500000 micro-
     // units; every gradient/score is a long sum of quantized residuals/

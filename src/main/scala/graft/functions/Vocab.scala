@@ -52,6 +52,45 @@ object Vocab {
         sum((col("pos") + 1).cast("long") * col("id").cast("long")).as("idsum"))
   }
 
+  /**
+   * Vocabulary coverage curve — for each candidate vocab size in
+   * `sizes`, the fraction of ALL corpus token occurrences covered by the
+   * top-`size` tokens (the number a tokenizer team actually reads when
+   * choosing |V|; the complement is the OOV rate). One token-count
+   * aggregate feeds every size: ranks come from one orderBy over the
+   * DISTINCT-token frame (vocabulary-sized, not corpus-sized), and the
+   * covered mass per size is a running sum over that same small frame.
+   * Fractions are micro-unit quantized for engine-exact comparison.
+   */
+  def coverage(docs: DataFrame, sizes: Seq[Int], minCount: Long = 1L,
+      textCol: String = "text"): DataFrame = {
+    require(sizes.nonEmpty, "sizes must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    // the ranking window runs over the DISTINCT-token frame with a
+    // deterministic (n desc, token) order; on a web-scale corpus bound
+    // it with `minCount` (the hapax tail is never vocab material and is
+    // the bulk of |distinct tokens|) — totals still count every token
+    val w = Window.orderBy(col("n").desc, col("token"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = counts.filter(col("n") >= minCount)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("token"))))
+      .withColumn("cum", sum(col("n")).over(w))
+    val total = counts.agg(sum(col("n")).as("_total"))
+    val rows = sizes.distinct.sorted.map { s =>
+      ranked.filter(col("rank") <= s)
+        .agg(max(col("cum")).as("covered"))
+        .withColumn("size", lit(s.toLong))
+    }.reduce(_ unionByName _)
+    rows.crossJoin(broadcast(total))
+      .select(col("size"),
+        floor(col("covered").cast("double") / col("_total") * lit(1e6) + lit(0.5))
+          .cast("long").as("coverage_q6"))
+  }
+
   // --- BPE merge training (Sennrich et al. 2016) ---
 
   /** Word-frequency table — the corpus-scale half of BPE training (one

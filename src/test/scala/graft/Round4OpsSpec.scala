@@ -190,6 +190,15 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  // --- vocab coverage ---
+
+  test("vocab coverage is monotone in size and reaches 1 at full vocab") {
+    val cov = graft.functions.Vocab.coverage(docs, Seq(1, 10, 1000000))
+      .as[(Long, Long)].collect().toMap
+    assert(cov(1L) > 0 && cov(1L) < cov(10L))
+    assert(cov(1000000L) == 1000000L) // every token covered
+  }
+
   // --- learned quality classifier ---
 
   test("LR classifier learns the label and trains layout-independently") {
