@@ -912,6 +912,9 @@ object SparkEntry {
       table(s, dir, "documents").select(col("doc_id"),
         size(pieces).cast("long").as("n_pieces"),
         md5(concat_ws("\u0001", pieces)).as("piece_md5"))
+        // the oracle's GROUP BY over unnested words omits token-free
+        // docs; match it by dropping them here too
+        .filter(col("n_pieces") > 0)
     }),
 
     "text_vocab_coverage" -> ((s, dir) =>

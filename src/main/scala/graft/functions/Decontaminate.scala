@@ -74,7 +74,8 @@ object Decontaminate {
    */
   def flagContaminatedBloom(corpus: DataFrame, benchmark: DataFrame,
       n: Int = 5, idCol: String = "doc_id", textCol: String = "text",
-      portable: Boolean = true, expectedItems: Long = 1000000L): DataFrame = {
+      portable: Boolean = true, expectedItems: Long = 1000000L,
+      broadcastBenchmark: Boolean = false): DataFrame = {
     def grams(df: DataFrame): DataFrame =
       df.select(col(idCol).as("doc_id"),
           explode(TextFunctions.shingleSet(col(textCol), n)).as("g"))
@@ -90,10 +91,22 @@ object Decontaminate {
         Literal(expectedItems), Literal(expectedItems * 8))
         .toAggregateExpression()).as("bf"))
       .head.getAs[Array[Byte]]("bf")
+    // An empty benchmark aggregates to a null sketch; nothing can be
+    // contaminated, so return the (correct) empty report rather than
+    // planting Literal(null) inside might_contain.
+    if (bloomBytes == null)
+      return grams(corpus).filter(lit(false))
+        .groupBy("doc_id").agg(count(lit(1)).as("hits"))
     val mightContain = column(BloomFilterMightContain(
       Literal(bloomBytes), expression(xxhash64(col("k")))))
+    // No forced broadcast by default: this entry point exists precisely
+    // for benchmark key sets too wide to hash-join comfortably, and a
+    // forced broadcast of that same set can OOM the driver. AQE picks
+    // the join strategy from the post-bloom sizes; opt back in for a
+    // known-small benchmark.
+    val benchSide = if (broadcastBenchmark) broadcast(bench) else bench
     grams(corpus).filter(mightContain)
-      .join(broadcast(bench), Seq("k"), "left_semi")
+      .join(benchSide, Seq("k"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("hits"))
   }
 }

@@ -226,17 +226,35 @@ object Dedup {
    */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxIters: Int = 50, driverMaxEdges: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.types._
     val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-    // ONE computation of the (often expensive) pair pipeline decides the
-    // path AND feeds the fast one: take threshold+1 rows — if the limit
-    // wasn't hit, these are ALL the edges, union-find them on the driver;
-    // only a genuinely large graph pays a recompute into the rounds.
-    val probeN = math.min(driverMaxEdges, Int.MaxValue - 2L).toInt + 1
-    val probe = {
-      import fwd.sparkSession.implicits._
-      fwd.as[(Long, Long)].limit(probeN).collect()
+    // The fast path works on (Long, Long); it is only taken when BOTH id
+    // columns are integral (the output is cast back to the widest input
+    // type, so the public contract — ids come back as they went in — is
+    // preserved). Non-integral ids (strings, decimals) fall through to
+    // the type-generic iterative rounds below.
+    val integralRank: Map[DataType, Int] =
+      Map(ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+    val idTypes = fwd.schema.fields.map(_.dataType)
+    val integral = idTypes.forall(integralRank.contains)
+    if (integral) {
+      // ONE computation of the (often expensive) pair pipeline decides the
+      // path AND feeds the fast one: take threshold+1 rows — if the limit
+      // wasn't hit, these are ALL the edges, union-find them on the driver;
+      // only a genuinely large graph pays a recompute into the rounds.
+      val probeN = math.min(driverMaxEdges, Int.MaxValue - 2L).toInt + 1
+      val probe = {
+        import fwd.sparkSession.implicits._
+        fwd.select(col("src").cast(LongType), col("dst").cast(LongType))
+          .as[(Long, Long)].limit(probeN).collect()
+      }
+      if (probe.length <= driverMaxEdges) {
+        val widest = idTypes.maxBy(integralRank)
+        return clustersDriver(fwd.sparkSession, probe)
+          .select(col("id").cast(widest).as("id"),
+            col("cluster").cast(widest).as("cluster"))
+      }
     }
-    if (probe.length <= driverMaxEdges) return clustersDriver(fwd.sparkSession, probe)
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()

@@ -95,11 +95,20 @@ object Vocab {
 
   /** Word-frequency table — the corpus-scale half of BPE training (one
    *  explode + one hash-aggregate; this is the only part that touches
-   *  100 TB — the merge loop below runs over this driver-sized table,
-   *  which is exactly how production BPE trainers are structured). */
-  def wordFreqs(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+   *  100 TB — the merge loop below runs over this table, which is
+   *  exactly how production BPE trainers are structured). On web text
+   *  the DISTINCT-word tail (URLs, hashes, typos) runs to billions, so
+   *  the table is NOT driver-sized without a floor: `minCount` prunes it
+   *  the way Sennrich's reference trainer does (freq ≥ 2 alone typically
+   *  cuts web vocab ~10×; pruned words still counted by callers that
+   *  need totals, e.g. [[coverage]], which takes the same param). */
+  def wordFreqs(docs: DataFrame, textCol: String = "text",
+      minCount: Long = 1L): DataFrame = {
+    val counts = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    if (minCount > 1L) counts.filter(col("freq") >= minCount) else counts
+  }
 
   /**
    * The BPE merge loop: starting from single characters, repeatedly
@@ -143,12 +152,38 @@ object Vocab {
     out.result()
   }
 
-  /** Learn `nMerges` BPE merges from a corpus → (rank, left, right). */
-  def trainBpe(docs: DataFrame, nMerges: Int, textCol: String = "text"): DataFrame = {
+  /** Hard ceiling on the collected word-frequency table: ~4M (word,
+   *  freq) rows is hundreds of MB at worst — comfortably driver-sized —
+   *  while covering far more vocabulary than any tokenizer uses. */
+  val DefaultMaxTrainWords: Int = 1 << 22
+
+  /**
+   * Learn `nMerges` BPE merges from a corpus → (rank, left, right).
+   *
+   * The driver collect is BOUNDED: the frequency table is floored at
+   * `minCount` (hapax pruning, as in Sennrich's reference trainer) and
+   * then hard-capped at `maxWords` rows. If the floored table still
+   * exceeds the cap this FAILS FAST with the measured size instead of
+   * silently truncating the tail (a silent cut could change learned
+   * merges without warning) — raise `minCount` (the right fix on web
+   * text) or `maxWords`. `learnMerges` is order-independent, so the
+   * bounded path reproduces the unbounded result whenever the pruned
+   * words carry no repeated pairs (see `Round5OpsSpec`).
+   */
+  def trainBpe(docs: DataFrame, nMerges: Int, textCol: String = "text",
+      minCount: Long = 1L, maxWords: Int = DefaultMaxTrainWords): DataFrame = {
+    require(maxWords > 0, s"maxWords must be positive, got $maxWords")
     val spark = docs.sparkSession
     import spark.implicits._
-    val freqs = wordFreqs(docs, textCol).as[(String, Long)].collect().toSeq
-    learnMerges(freqs, nMerges).zipWithIndex
+    // orderBy+limit = distributed TakeOrdered on (freq desc, word) —
+    // deterministic, no global sort; +1 row detects cap overflow
+    val bounded = wordFreqs(docs, textCol, minCount)
+      .orderBy(col("freq").desc, col("word"))
+      .limit(maxWords + 1).as[(String, Long)].collect()
+    require(bounded.length <= maxWords,
+      s"trainBpe: word-frequency table exceeds maxWords=$maxWords rows " +
+        s"after minCount=$minCount pruning; raise minCount or maxWords")
+    learnMerges(bounded.toSeq, nMerges).zipWithIndex
       .map { case ((l, r), i) => (i.toLong, l, r) }
       .toDF("rank", "left", "right")
   }

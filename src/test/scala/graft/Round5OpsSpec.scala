@@ -1,0 +1,97 @@
+package graft
+
+import graft.functions.{Decontaminate, Dedup, Vocab}
+import org.apache.spark.sql.functions._
+
+/** Round-5 hardening: bounded BPE training, type-gated cluster fast
+ *  path, bloom-decontamination edge cases. */
+class Round5OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  // --- bounded trainBpe (VERDICT r4 "What's wrong" #1) ---
+
+  test("trainBpe: floor-pruned training reproduces the unbounded merges " +
+    "when hapax words carry no repeated pairs") {
+    // hapax words ("zq", "xv") contribute no pair with freq >= 2, so
+    // pruning them at minCount=2 cannot change the learned merges
+    val d = (Seq.fill(5)("table scan") ++ Seq("zq", "xv"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val unbounded = Vocab.trainBpe(d, nMerges = 6)
+      .orderBy("rank").as[(Long, String, String)].collect().toSeq
+    val pruned = Vocab.trainBpe(d, nMerges = 6, minCount = 2L)
+      .orderBy("rank").as[(Long, String, String)].collect().toSeq
+    assert(unbounded == pruned)
+    assert(pruned.nonEmpty)
+  }
+
+  test("trainBpe: fails fast with the measured size when the floored " +
+    "table exceeds maxWords") {
+    val d = Seq((1L, "aa bb cc dd ee ff aa bb cc dd ee ff")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Vocab.trainBpe(d, nMerges = 2, maxWords = 3)
+    }
+    assert(e.getMessage.contains("maxWords=3"))
+    // under the cap it trains fine
+    assert(Vocab.trainBpe(d, nMerges = 2, maxWords = 100).count() > 0)
+  }
+
+  test("wordFreqs: minCount floors the table without changing surviving counts") {
+    val d = Seq((1L, "table table scan zq")).toDF("doc_id", "text")
+    val all = Vocab.wordFreqs(d).as[(String, Long)].collect().toMap
+    val floored = Vocab.wordFreqs(d, minCount = 2L).as[(String, Long)].collect().toMap
+    assert(all == Map("table" -> 2L, "scan" -> 1L, "zq" -> 1L))
+    assert(floored == Map("table" -> 2L))
+  }
+
+  // --- clusters fast-path type gate (ADVICE r4 #1) ---
+
+  test("clusters: string ids route to the iterative path and keep their type") {
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
+    val out = Dedup.clusters(pairs, driverMaxEdges = 1000000L)
+    assert(out.schema("id").dataType == org.apache.spark.sql.types.StringType)
+    val comp = out.as[(String, String)].collect().toMap
+    assert(comp("a") == comp("b") && comp("b") == comp("c"))
+    assert(comp("x") == comp("y") && comp("x") != comp("a"))
+    assert(comp("a") == "a" && comp("x") == "x") // min-label semantics
+  }
+
+  test("clusters: integer ids take the fast path and come back as integers") {
+    val pairs = Seq((1, 2), (2, 3), (10, 11)).toDF("id_a", "id_b")
+    val out = Dedup.clusters(pairs, driverMaxEdges = 1000000L)
+    assert(out.schema("id").dataType == org.apache.spark.sql.types.IntegerType)
+    val comp = out.as[(Int, Int)].collect().toMap
+    assert(comp == Map(1 -> 1, 2 -> 1, 3 -> 1, 10 -> 10, 11 -> 10))
+  }
+
+  test("clusters: fast path and iterative path agree on long ids") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (6L, 7L), (9L, 9L))
+      .toDF("id_a", "id_b")
+    val fast = Dedup.clusters(pairs, driverMaxEdges = 1000000L)
+      .as[(Long, Long)].collect().toMap
+    val iter = Dedup.clusters(pairs, driverMaxEdges = 1L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == iter)
+  }
+
+  // --- bloom decontamination edge cases (ADVICE r4 #4) ---
+
+  test("flagContaminatedBloom: empty benchmark yields an empty report, no crash") {
+    val corpus = docs.limit(20)
+    val bench = docs.filter(lit(false))
+    val out = Decontaminate.flagContaminatedBloom(corpus, bench, n = 3)
+    assert(out.columns.toSeq == Seq("doc_id", "hits"))
+    assert(out.isEmpty)
+  }
+
+  test("flagContaminatedBloom: no forced broadcast by default; opt-in hint works") {
+    val corpus = docs.filter($"doc_id" % 10 =!= 0).limit(50)
+    val bench = docs.filter($"doc_id" % 10 === 0).limit(10)
+    val default = Decontaminate.flagContaminatedBloom(corpus, bench, n = 3)
+    val hinted = Decontaminate.flagContaminatedBloom(corpus, bench, n = 3,
+      broadcastBenchmark = true)
+    assert(default.collect().map(r => (r.getLong(0), r.getLong(1))).toMap ==
+      hinted.collect().map(r => (r.getLong(0), r.getLong(1))).toMap)
+  }
+}
