@@ -208,7 +208,10 @@ object Dedup {
    * 10^6. Each round is a few shuffles on (node, label) longs — never
    * materializes the transitive closure, which is what makes it viable
    * when a hot boilerplate cluster has 10^6 members at 100 TB.
-   * `localCheckpoint` truncates lineage per round so the plan stays flat.
+   * Lineage is cut per round so the plan stays flat; pass
+   * `checkpointDir` to make each round's boundary durable parquet
+   * instead of executor blocks (see [[Stages]]) — executor loss then
+   * costs a retry, not the whole label propagation.
    *
    * Returns (id, cluster) for every node that appears in `pairs`;
    * singleton documents are their own cluster by definition and are left
@@ -225,8 +228,10 @@ object Dedup {
    * way, so callers and oracles cannot tell which path executed.
    */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxIters: Int = 50, driverMaxEdges: Long = 1000000L): DataFrame = {
+      maxIters: Int = 50, driverMaxEdges: Long = 1000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.types._
+    def cut(df: DataFrame, stage: String) = Stages.boundary(df, checkpointDir, stage)
     val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
     // The fast path works on (Long, Long); it is only taken when BOTH id
     // columns are integral (the output is cast back to the widest input
@@ -255,10 +260,10 @@ object Dedup {
             col("cluster").cast(widest).as("cluster"))
       }
     }
-    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")).localCheckpoint(true)
+    val edges = cut(fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct(), "edges")
+    var labels = cut(edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")), "labels_seed")
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -268,9 +273,9 @@ object Dedup {
       val viaLabel = labels.as("a")
         .join(labels.as("b"), col("a.cluster") === col("b.id"))
         .select(col("a.id").as("id"), col("b.cluster").as("cluster"))
-      val next = viaEdges.unionAll(viaLabel).unionAll(labels)
-        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
-        .localCheckpoint(true)
+      val next = cut(viaEdges.unionAll(viaLabel).unionAll(labels)
+        .groupBy(col("id")).agg(min(col("cluster")).as("cluster")),
+        s"labels_$iter")
       converged = next.join(labels.withColumnRenamed("cluster", "_old"), "id")
         .filter(col("cluster") =!= col("_old")).isEmpty
       labels = next

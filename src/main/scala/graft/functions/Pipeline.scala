@@ -120,37 +120,41 @@ object Pipeline {
    * the LM stage alone reads its input five times (unigram, bigram,
    * totals, scoring, band join), and without a cut each re-read would
    * re-execute every upstream regex pass — measured 8× the sum of the
-   * stages at sf0.1. Local checkpoints store on executors; a 100 TB run
-   * sets `reliable = true` paths via `spark.sparkContext.setCheckpointDir`
-   * semantics by checkpointing to durable storage between jobs instead.
+   * stages at sf0.1. Boundaries default to executor-block
+   * `localCheckpoint` (fast, fine for a job that can simply re-run);
+   * a 100 TB run passes `checkpointDir = Some(path)` to make every
+   * boundary a DURABLE parquet write under that path (see [[Stages]]) —
+   * executor loss then costs a task retry, not the whole run, and each
+   * completed stage survives as an inspectable artifact.
    */
   def prepareTrainingData(docs: DataFrame,
       benchmark: Option[DataFrame] = None, lang: String = "en",
       minQuality: Double = 0.3, lmLow: Double = 0.05, lmHigh: Double = 0.95,
       nearDupThreshold: Double = 0.8, spanW: Int = 20, spanMinOcc: Int = 2,
       packBudget: Int = 2048, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val scrubbed = docs.withColumn(textCol,
-      TextFunctions.redactPii(TextFunctions.stripHtml(col(textCol))))
-      .localCheckpoint()
+      textCol: String = "text", checkpointDir: Option[String] = None): DataFrame = {
+    def cut(df: DataFrame, stage: String) = Stages.boundary(df, checkpointDir, stage)
+    val scrubbed = cut(docs.withColumn(textCol,
+      TextFunctions.redactPii(TextFunctions.stripHtml(col(textCol)))),
+      "01_scrubbed")
     // cleanCorpus reports (fp, doc_id, score, dups) — semi-join the
     // surviving ids back onto the scrubbed text
-    val clean = scrubbed
+    val clean = cut(scrubbed
       .join(cleanCorpus(scrubbed, lang, minQuality, idCol, textCol)
         .select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
-      .select(col(idCol), col(textCol))
-      .localCheckpoint()
-    val banded = LanguageModel
+      .select(col(idCol), col(textCol)),
+      "02_clean")
+    val banded = cut(LanguageModel
       .perplexityBandFilterSelf(clean, lmLow, lmHigh, idCol, textCol)
-      .drop("lp_q4")
-      .localCheckpoint()
-    val nearDeduped = intraBatchNearDedup(banded,
-      threshold = nearDupThreshold, idCol = idCol, textCol = textCol)
-      .localCheckpoint()
-    val spanCut = Dedup.cutSpans(nearDeduped,
+      .drop("lp_q4"),
+      "03_lm_banded")
+    val nearDeduped = cut(intraBatchNearDedup(banded,
+      threshold = nearDupThreshold, idCol = idCol, textCol = textCol),
+      "04_near_deduped")
+    val spanCut = cut(Dedup.cutSpans(nearDeduped,
       Dedup.duplicateSpans(nearDeduped, spanW, spanMinOcc,
-        idCol = idCol, textCol = textCol), idCol, textCol)
-      .localCheckpoint()
+        idCol = idCol, textCol = textCol), idCol, textCol),
+      "05_span_cut")
     val decontaminated = benchmark match {
       case Some(b) => Decontaminate.cleanCorpus(spanCut, b,
         idCol = idCol, textCol = textCol)

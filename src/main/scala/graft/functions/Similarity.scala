@@ -196,35 +196,40 @@ object Similarity {
    * with the native partial-aggregating `VectorSumQ6` (the shuffle moves
    * k × dims longs, not rows × dims exploded tuples — and the micro-unit
    * sum makes the trained centroids independent of partition layout).
-   * Lineage is truncated between iterations (localCheckpoint on the
-   * k-row centroid table) so the plan doesn't grow with `iters`. A list
-   * that captures no vectors drops out (k shrinks), standard Lloyd
-   * behavior with hard assignment.
+   * Lineage is truncated between iterations (a boundary on the k-row
+   * centroid table) so the plan doesn't grow with `iters`; pass
+   * `checkpointDir` to make each round's boundary durable parquet
+   * instead of executor blocks (see [[Stages]] — a lost executor then
+   * costs a retry, not the whole training run). A list that captures no
+   * vectors drops out (k shrinks), standard Lloyd behavior with hard
+   * assignment.
    */
   def trainCentroids(corpus: DataFrame, k: Int, iters: Int = 3,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      checkpointDir: Option[String] = None): DataFrame = {
+    def cut(df: DataFrame, stage: String) = Stages.boundary(df, checkpointDir, stage)
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
       .withColumn("nc", expressions.VectorExpressions.l2norm(col("cv")))
-    var centroids = c.withColumn("_h", xxhash64(col("vec_id")))
+    var centroids = cut(c.withColumn("_h", xxhash64(col("vec_id")))
       .orderBy(col("_h"), col("vec_id")).limit(k)
-      .select(col("vec_id").as("list_id"), col("cv").as("centroid"), col("nc").as("ncent"))
-      .localCheckpoint(true)
+      .select(col("vec_id").as("list_id"), col("cv").as("centroid"), col("nc").as("ncent")),
+      "centroids_seed")
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("_cs").desc, col("list_id"))
-    for (_ <- 0 until iters) {
+    for (i <- 0 until iters) {
       val assigned = c.crossJoin(broadcast(centroids))
         .withColumn("_cs", cosineWithNorms(col("cv"), col("centroid"), col("nc"), col("ncent")))
         .withColumn("_r", row_number().over(wAssign))
         .filter(col("_r") === 1)
         .select(col("list_id"), col("cv"))
-      centroids = assigned
+      centroids = cut(assigned
         .groupBy(col("list_id"))
         .agg(expressions.VectorAggregates.vecSumQ6(col("cv")).as("_s"),
           count(lit(1)).as("_n"))
         .select(col("list_id"),
           transform(col("_s"), x =>
             x.cast("double") / lit(1e6) / col("_n")).as("centroid"))
-        .withColumn("ncent", expressions.VectorExpressions.l2norm(col("centroid")))
-        .localCheckpoint(true)
+        .withColumn("ncent", expressions.VectorExpressions.l2norm(col("centroid"))),
+        s"centroids_$i")
     }
     centroids
   }
