@@ -299,6 +299,56 @@ object SparkEntry {
         .select(col("time"), round(col("value"), 6).as("value"))
     }),
 
+    "s6_write_api" -> ((s, dir) => {
+      // S6 write-API round trip (admin.go:179-204): submit a bounded,
+      // deterministic point set through cmd.tsdb.write_data_points (the
+      // client-facing DTO path), read it back through
+      // cmd.tsdb.get_data_points (the planner path), oracle = the same
+      // hourly sum over the ORIGINAL events — loss, duplication, or
+      // misroute anywhere in the API dispatch → store → planner chain
+      // breaks the hash. Same recipe as s3_roundtrip, one level higher
+      // in the stack.
+      val root = java.nio.file.Files.createTempDirectory("graft_s6api")
+        .toFile.getAbsolutePath
+      val store = new graft.store.TierStore(s, root)
+      val ctx = graft.api.Api.Context(s, store, now = () => Now)
+      val pts = points(s, dir, "app_")
+        .filter(col("measurement") === "app_click" &&
+          col("dev_id").cast("long") % 5 === 0)
+        .select(col("measurement"), col("time"), col("value"),
+          col("dev_id"), col("location_id"))
+        .collect().toSeq.map { r =>
+          graft.api.Api.WritePoint(r.getAs[String]("measurement"),
+            Map("dev_id" -> r.getAs[String]("dev_id"),
+              "location_id" -> r.getAs[String]("location_id"),
+              "dev_type" -> "sensor", "topic" -> "api:write"),
+            Map("value" -> r.getAs[Double]("value")),
+            r.getAs[java.sql.Timestamp]("time"))
+        }
+      graft.api.Api.dispatch(ctx, "cmd.tsdb.write_data_points", pts)
+      graft.api.Api.dispatch(ctx, "cmd.tsdb.get_data_points",
+        graft.api.Api.GetDataPointsRequest(measurementName = "app_click",
+          dataFunction = "sum", relativeTime = "5w", groupByTime = "1h",
+          fillType = "none"))
+        .select(col("time"), round(col("value"), 6).as("value"))
+    }),
+
+    "s8_catalog" -> ((s, dir) => {
+      // S8 catalog scan (influxdb_v1.go:376-394): route a mixed stream
+      // through the tiered store, then SHOW MEASUREMENTS via the command
+      // API — a pure partition LISTING, no data scan. The oracle derives
+      // the expected (tier, measurement) catalog from the original
+      // events under the same routing rule (sensor_* high-freq →
+      // gen_raw, app_* → gen_default), so a misroute or a listing bug
+      // breaks the match.
+      val root = java.nio.file.Files.createTempDirectory("graft_s8cat")
+        .toFile.getAbsolutePath
+      val store = new graft.store.TierStore(s, root)
+      store.writeRouted(points(s, dir, "sensor_").unionAll(points(s, dir, "app_")))
+      graft.api.Api.dispatch(graft.api.Api.Context(s, store, now = () => Now),
+        "cmd.tsdb.get_measurements", null)
+    }),
+
     // --- ingest: sources / filters / topic match / enrichment / transform ---
 
     "s2_log_replay" -> ((s, dir) => {
@@ -402,6 +452,25 @@ object SparkEntry {
       // covered by a2's oracle + exact reference unit vectors.
       Aggregator.difference(
         cumPoints(s, dir, "electricity_meter_energy_sampled", Some(80.0))
+          .withColumn("agg_func", lit("difference"))
+          .withColumn("dev_type", lit("meter.main_elec")), 10)
+        .select(col("series_id"), unix_timestamp(col("time")).as("time_sec"),
+          round(col("value"), 6).as("value"))
+    }),
+
+    "f9_staleness" -> ((s, dir) => {
+      // F9: the 120-min staleness guard (agreggator.go:236-241) as a
+      // DEDICATED oracle. The events fixture is sparse per series
+      // (median consecutive gap ≈ 7.3 h at sf0.01; ~82% of pairs exceed
+      // the cutoff) and the hour-of-day thinning below removes 2-of-6
+      // hour blocks, widening gaps further — so the oracle's wipe arm
+      // (bucket start > 120 min past the previous point ⇒ contribute 0)
+      // is load-bearing: drop it from either side and the hash breaks.
+      // Same SQL-expressible hourly fold branch as a3, distinct series
+      // (mod-60 counter) and fixture.
+      Aggregator.difference(
+        cumPoints(s, dir, "f9_meter", Some(60.0))
+          .filter(hour(col("time")) % 6 < 4)
           .withColumn("agg_func", lit("difference"))
           .withColumn("dev_type", lit("meter.main_elec")), 10)
         .select(col("series_id"), unix_timestamp(col("time")).as("time_sec"),
@@ -2073,6 +2142,51 @@ object SparkEntry {
         |sc AS (SELECT id_a, id_b, round(CASE WHEN na > 0 AND nb > 0
         |        THEN dot / (na * nb) ELSE 0 END, 6) score FROM s)
         |SELECT id_a, id_b, score FROM sc WHERE score >= 0.4""".stripMargin,
+
+    // computed from the ORIGINAL events — equality proves the API
+    // write→store→planner chain is lossless (s3's recipe, one level up)
+    "s6_write_api" ->
+      """SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS time,
+        |  round(sum(value), 6) AS value
+        |FROM events
+        |WHERE event_type = 'click' AND user_id % 5 = 0
+        |  AND CAST(floor(epoch(ts)) AS BIGINT) > 1703721600
+        |GROUP BY 1""".stripMargin,
+
+    // the expected catalog under the routing rule: sensor_* measurements
+    // are high-frequency → gen_raw, app_* low-frequency → gen_default
+    "s8_catalog" ->
+      """SELECT 'gen_raw' AS tier, 'sensor_' || event_type AS measurement
+        |FROM events GROUP BY 2
+        |UNION ALL
+        |SELECT 'gen_default' AS tier, 'app_' || event_type AS measurement
+        |FROM events GROUP BY 2""".stripMargin,
+
+    // a3's per-pair fold model over a thinned, gap-heavy fixture; the
+    // staleness arm (bkt - pt > 7200 → 0) wipes ~82% of pairs here
+    "f9_staleness" ->
+      """WITH cum0 AS (
+        |  SELECT user_id, ts, tsec, v FROM (
+        |    SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+        |           (round(sum(value) OVER w, 6) % 60.0) AS v
+        |    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))),
+        |cum AS (SELECT user_id, tsec, v FROM cum0 WHERE hour(ts) % 6 < 4),
+        |ord AS (
+        |  SELECT user_id, tsec, v,
+        |         lag(v) OVER w2 AS pv, lag(tsec) OVER w2 AS pt,
+        |         (tsec // 600) * 600 AS bkt
+        |  FROM cum WINDOW w2 AS (PARTITION BY user_id ORDER BY tsec)),
+        |res AS (
+        |  SELECT user_id, bkt,
+        |         sum(CASE WHEN pt IS NULL THEN 0.0
+        |                  WHEN bkt - pt > 7200 THEN 0.0
+        |                  WHEN v >= pv THEN v - pv
+        |                  ELSE 0.0 END) AS result
+        |  FROM ord GROUP BY 1, 2)
+        |SELECT 'f9_meter;' || CAST(user_id AS VARCHAR) AS series_id,
+        |       (bkt - 3000) - ((bkt - 3000) % 3600) + 3540 AS time_sec,
+        |       round(result, 6) AS value
+        |FROM res WHERE result <> 0.0 AND result <= 100.0""".stripMargin,
 
     "f7_tier_routing" ->
       """WITH names AS (

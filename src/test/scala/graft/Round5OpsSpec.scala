@@ -75,6 +75,29 @@ class Round5OpsSpec extends SparkSpec {
     assert(fast == iter)
   }
 
+  // --- F9 staleness fixture actually exercises the guard ---
+
+  test("f9 fixture: >120-min gaps exist and the wipe arm removes positive deltas") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("f9_staleness")(spark, sf)
+    assert(out.count() > 0)
+    // the fixture's per-series gaps: most pairs exceed the 2h cutoff,
+    // and among wiped pairs some carry positive deltas — i.e. the guard
+    // is load-bearing, not vacuous
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val e = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("tsec", expr("ts div 1000000000"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("tsec")
+    val pairs = e.select(col("user_id"), col("tsec"))
+      .withColumn("pt", lag(col("tsec"), 1).over(w))
+      .filter(col("pt").isNotNull)
+      .withColumn("bkt", (col("tsec") / 600).cast("long") * 600)
+    val wiped = pairs.filter(col("bkt") - col("pt") > 7200).count()
+    val kept = pairs.filter(col("bkt") - col("pt") <= 7200).count()
+    assert(wiped > 0 && kept > 0, s"wiped=$wiped kept=$kept")
+  }
+
   // --- bloom decontamination edge cases (ADVICE r4 #4) ---
 
   test("flagContaminatedBloom: empty benchmark yields an empty report, no crash") {
