@@ -106,11 +106,14 @@ object Downsampler {
       val res = TierPolicy.tierResolutionMinutes(to, Tier.ProfileOptimized)
       val src = store.read(from).filter(org.apache.spark.sql.functions.col("date") >= cutoff)
       if (!src.isEmpty) {
-        // replace the recent window in the target tier: drop overlapping
-        // date partitions, then append the fresh rollup
-        val dates = src.select("date").distinct().collect().map(_.getDate(0))
-        dates.foreach(d => store.dropDatePartition(to, d.toString))
-        store.write(to, downsample(src.drop("date"), res, tagCols))
+        // replace the recent window in the target tier atomically per
+        // partition: the fresh rollup is fully staged before any live
+        // partition moves (TierStore.replaceDatePartitions' two-rename
+        // publish) — the old drop-then-append left the window missing
+        // for the whole aggregation job under concurrent readers
+        val dates = src.select("date").distinct().collect().map(_.getDate(0).toString)
+        store.replaceDatePartitions(to, downsample(src.drop("date"), res, tagCols),
+          dates.toSeq)
       }
       store.expire(to, now)
       store.compact(to)

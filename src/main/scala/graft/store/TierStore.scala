@@ -58,6 +58,41 @@ final class TierStore(spark: SparkSession, root: String) {
       .filter(_.getName.startsWith("measurement="))
       .foreach(m => rmTree(s"$m/date=$date"))
 
+  /** Test seam for the publish race spec: invoked between the bulk
+   *  phases of a partition swap (after staging, before trash cleanup). */
+  private[graft] var publishHook: String => Unit = _ => ()
+
+  /**
+   * Publish a staged partition over a live one with the smallest window
+   * this FileSystem contract allows: ONE metadata rename moves the live
+   * directory into a hidden trash sibling, a second moves the staged
+   * replacement in. A true single-rename replace of a non-empty
+   * directory does not exist in the Hadoop FS API (HDFS `rename` fails
+   * on an existing destination; local FS emulates it) — that is exactly
+   * why table formats (Delta, Iceberg) commit through a manifest. What
+   * this buys at 100 TB: the OLD swap deleted the live partition's data
+   * files first (seconds to minutes of recursive delete during which a
+   * reader sees a partly-deleted partition) and only then renamed; now
+   * the visibility window is two namenode-metadata operations, and the
+   * bulk delete of trashed data happens entirely OUTSIDE it. Residual
+   * caveats, documented as the deployment contract: (a) a reader whose
+   * plan listed files before the swap may hit moved files — set
+   * `spark.sql.files.ignoreMissingFiles` or retry, same as any
+   * compacting store without snapshot isolation; (b) object stores
+   * without atomic rename (S3A) emulate rename by copy+delete — there,
+   * front this store with a manifest-committing table format.
+   */
+  private def swapPartition(live: HPath, fresh: Option[HPath], trash: HPath): Unit = {
+    if (fs.exists(live)) {
+      fs.mkdirs(trash.getParent)
+      fs.rename(live, trash)
+    }
+    fresh.foreach { f =>
+      fs.mkdirs(live.getParent)
+      fs.rename(f, live)
+    }
+  }
+
   /** Append points into a tier (S3 batch write sink; process.go:290-337).
    *  Rows are sorted by time within each written file so parquet
    *  row-group min/max statistics are tight — the planner's pushed-down
@@ -169,11 +204,12 @@ final class TierStore(spark: SparkSession, root: String) {
    * rewritten by ONE Spark job: a single scan of the qualifying
    * partitions, hash-bucketed so each partition comes out in
    * ⌈bytes/targetFileBytes⌉ time-sorted files, written to a hidden
-   * staging dir and swapped in per partition. One job for 10k stale
-   * partitions, not 10k jobs. The swap is delete-then-rename: a
-   * concurrent reader can see an empty partition for a moment — run it
-   * from the single-writer maintenance job (the same assumption the
-   * reference's InfluxDB compactions make). Returns the number of
+   * staging dir and swapped in per partition via [[swapPartition]] —
+   * two metadata renames per partition, bulk deletes outside the
+   * visibility window, so a concurrent planner read sees the old files
+   * or the new files, never a partly-deleted partition. Still intended
+   * to run from the single-writer maintenance job (the same assumption
+   * the reference's InfluxDB compactions make). Returns the number of
    * partitions rewritten.
    */
   def compact(tier: Tier, targetFileBytes: Long = 128L * 1024 * 1024,
@@ -206,17 +242,67 @@ final class TierStore(spark: SparkSession, root: String) {
       .drop("_m", "_d", "_n", "_fb")
       .write.partitionBy("measurement", "date").parquet(staging.toString)
 
+    publishHook("staged")
+    val trash = new HPath(path(tier.name), "._trash")
+    rmTree(trash.toString)
     var done = 0
     parts.foreach { case (m, d, dDir, _) =>
       val fresh = new HPath(staging, s"measurement=$m/date=$d")
       if (fs.exists(fresh)) {
-        fs.delete(dDir, true)
-        fs.rename(fresh, dDir)
+        swapPartition(dDir, Some(fresh), new HPath(trash, s"measurement=$m/date=$d"))
         done += 1
       }
     }
+    publishHook("swapped")
     rmTree(staging.toString)
+    rmTree(trash.toString)
     done
+  }
+
+  /**
+   * Replace the `dates` window of a tier with `fresh` rollup rows (the
+   * incremental-maintenance commit; [[graft.rollup.Downsampler.maintain]]).
+   * The fresh window is STAGED as a complete parquet dataset first, then
+   * each affected (measurement, date) partition is published with the
+   * two-rename [[swapPartition]]; live partitions inside the window that
+   * got no staged replacement are retired the same way (they no longer
+   * exist in the recomputed rollup). The previous behavior deleted every
+   * overlapping partition BEFORE the aggregation job even ran — minutes
+   * of missing data for concurrent readers; now the window per partition
+   * is two metadata renames and bulk deletes happen after all swaps.
+   */
+  def replaceDatePartitions(tier: Tier, fresh: DataFrame, dates: Seq[String]): Unit = {
+    val tierPathS = path(tier.name)
+    val staging = new HPath(tierPathS, "._restaging")
+    val trash = new HPath(tierPathS, "._trash")
+    rmTree(staging.toString)
+    rmTree(trash.toString)
+    fresh
+      .withColumn("date", to_date(col("time")))
+      .repartition(col("measurement"), col("date"))
+      .sortWithinPartitions(col("measurement"), col("date"), col("time"))
+      .write.partitionBy("measurement", "date").parquet(staging.toString)
+    publishHook("staged")
+    // snapshot the staged partition set BEFORE swapping (a swap MOVES the
+    // staged dir, so existence checks after it would lie)
+    val staged = (for {
+      mDir <- subDirs(staging.toString) if mDir.getName.startsWith("measurement=")
+      dDir <- subDirs(mDir.toString) if dDir.getName.startsWith("date=")
+    } yield (mDir.getName, dDir.getName)).toSet
+    staged.foreach { case (m, d) =>
+      swapPartition(new HPath(s"$tierPathS/$m/$d"),
+        Some(new HPath(staging, s"$m/$d")), new HPath(trash, s"$m/$d"))
+    }
+    val dateSet = dates.toSet
+    for {
+      mDir <- subDirs(tierPathS) if mDir.getName.startsWith("measurement=")
+      dDir <- subDirs(mDir.toString) if dDir.getName.startsWith("date=")
+      if dateSet.contains(dDir.getName.stripPrefix("date="))
+      if !staged((mDir.getName, dDir.getName))
+    } swapPartition(dDir, None, new HPath(trash, s"${mDir.getName}/${dDir.getName}"))
+    publishHook("swapped")
+    rmTree(staging.toString)
+    rmTree(trash.toString)
   }
 }
 

@@ -98,6 +98,76 @@ class Round5OpsSpec extends SparkSpec {
     assert(wiped > 0 && kept > 0, s"wiped=$wiped kept=$kept")
   }
 
+  // --- atomic partition publish (VERDICT r4 "What's missing" #3) ---
+
+  test("compact: concurrent readers see old-or-new rows, never a " +
+    "partly-deleted partition") {
+    import graft.model.Tier
+    val root = java.nio.file.Files.createTempDirectory("graft_pub_race")
+      .toFile.getAbsolutePath
+    val store = new graft.store.TierStore(spark, root)
+    val mk = (i: Int) => (s"m_race", java.sql.Timestamp.valueOf(
+      f"2024-01-01 ${i % 24}%02d:00:00"), i.toDouble, "d1", "1", "sensor")
+    // many small appends → many files per partition (the compaction bait)
+    (0 until 6).foreach { k =>
+      store.write(Tier.GenDefault,
+        (0 until 50).map(i => mk(i + k * 50)).toDF(
+          "measurement", "time", "value", "dev_id", "location_id", "dev_type"))
+    }
+    val expected = store.read(Tier.GenDefault).count()
+    assert(expected == 300)
+    // delay the bulk phases so readers land inside them; the residual
+    // two-metadata-rename window is the documented contract, so a read
+    // that straddles it retries once
+    store.publishHook = _ => Thread.sleep(150)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        val n = try store.read(Tier.GenDefault).count()
+        catch { case _: Exception => -1L } // moved-file plan: retry
+        if (n >= 0) seen.add(n)
+      }
+    })
+    reader.start()
+    try {
+      val done = store.compact(Tier.GenDefault, targetFileBytes = 1L << 30, minFiles = 2)
+      assert(done == 1)
+    } finally { stop.set(true); reader.join(10000); store.publishHook = _ => () }
+    val counts = seen.toArray(Array.empty[java.lang.Long]).map(_.longValue).toSeq
+    assert(counts.nonEmpty)
+    // every successful read saw the complete dataset — compaction
+    // preserves rows, so old and new both count `expected`
+    assert(counts.forall(_ == expected), s"partial reads: ${counts.distinct}")
+    // rows and content survive the swap; staging/trash cleaned up
+    assert(store.read(Tier.GenDefault).count() == expected)
+    assert(!new java.io.File(s"$root/tier=gen_default/._trash").exists())
+    assert(!new java.io.File(s"$root/tier=gen_default/._compacting").exists())
+  }
+
+  test("replaceDatePartitions: stages fully before any live partition moves, " +
+    "retires window partitions with no replacement") {
+    import graft.model.Tier
+    val root = java.nio.file.Files.createTempDirectory("graft_pub_repl")
+      .toFile.getAbsolutePath
+    val store = new graft.store.TierStore(spark, root)
+    def rows(m: String, day: String, v: Double) = Seq(
+      (m, java.sql.Timestamp.valueOf(s"2024-01-$day 10:00:00"), v, "d1", "1", "sensor"))
+      .toDF("measurement", "time", "value", "dev_id", "location_id", "dev_type")
+    store.write(Tier.GenDay, rows("m_a", "01", 1.0))
+    store.write(Tier.GenDay, rows("m_a", "02", 2.0))
+    store.write(Tier.GenDay, rows("m_b", "02", 3.0))
+    // replacement covers dates 02: m_a gets fresh value, m_b vanishes
+    store.replaceDatePartitions(Tier.GenDay, rows("m_a", "02", 20.0).drop("date"),
+      Seq("2024-01-02"))
+    val out = store.read(Tier.GenDay)
+      .select("measurement", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(out == Set(("m_a", 1.0), ("m_a", 20.0)))
+    assert(!new java.io.File(s"$root/tier=gen_day/._trash").exists())
+    assert(!new java.io.File(s"$root/tier=gen_day/._restaging").exists())
+  }
+
   // --- bloom decontamination edge cases (ADVICE r4 #4) ---
 
   test("flagContaminatedBloom: empty benchmark yields an empty report, no crash") {
