@@ -114,10 +114,31 @@ object Importance {
    * score; only boundary-score rows — a thin slice — pay a rank window,
    * partitioned by their (single) score value with id tie-break.
    * No global sort, no unpartitioned window, no full-corpus limit().
+   *
+   * The histogram collect is bounded by the score RANGE, not the row
+   * count: iw_q4 is an integer 1e-4-nat quantization of a sum of
+   * per-feature log-ratios, so |distinct scores| ≤ the span of observed
+   * weights × 10⁴ — typically thousands. Because that bound is indirect,
+   * it is GUARDED: a one-aggregate `approx_count_distinct` probe runs
+   * first, and above `maxHistogramRows` distinct scores the cut falls
+   * back to an approx-percentile boundary (`iw_q4 ≥ quantile(1−frac)`,
+   * GK sketch, `quantileError` rank error) — approximate in result
+   * COUNT, still deterministic for a given dataset, and collecting
+   * nothing driver-sized. The exact path remains bit-exact and is the
+   * oracle surface (`samp_dsir`).
    */
   def selectTop(weighted: DataFrame, frac: Double,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", maxHistogramRows: Long = 4L << 20,
+      quantileError: Double = 1e-4): DataFrame = {
     require(frac > 0 && frac <= 1, "frac must be in (0, 1]")
+    val distinctScores = weighted
+      .agg(approx_count_distinct(col("iw_q4")).as("d")).head.getLong(0)
+    // approx_count_distinct err ~2%; 1.1 margin keeps the guard safe
+    if (distinctScores > maxHistogramRows * 11L / 10L) {
+      val boundary = weighted.stat
+        .approxQuantile("iw_q4", Array(1.0 - frac), quantileError).head
+      return weighted.filter(col("iw_q4") >= math.floor(boundary).toLong)
+    }
     val hist = weighted.groupBy(col("iw_q4")).agg(count(lit(1)).as("c"))
       .orderBy(col("iw_q4").desc).collect()
     val total = hist.map(_.getLong(1)).sum

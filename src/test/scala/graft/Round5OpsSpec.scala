@@ -75,6 +75,26 @@ class Round5OpsSpec extends SparkSpec {
     assert(fast == iter)
   }
 
+  // --- selectTop histogram guard (VERDICT r4 "What's wrong" #3) ---
+
+  test("selectTop: wide score range trips the guard into the " +
+    "approx-percentile fallback; exact path unchanged") {
+    import graft.functions.Importance
+    // 200 docs, all-distinct scores — "wide range" relative to a tiny cap
+    val weighted = (1 to 200)
+      .map(i => (i.toLong, 3L, i.toLong * 17L)).toDF("doc_id", "n_feat", "iw_q4")
+    val exact = Importance.selectTop(weighted, 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact == (181 to 200).map(_.toLong).toSet) // exact top-20
+    val approx = Importance.selectTop(weighted, 0.1, maxHistogramRows = 2L)
+      .select("doc_id").as[Long].collect().toSet
+    // fallback keeps a clean top slice (every kept score > every dropped
+    // score) of approximately k documents
+    assert(approx.nonEmpty && approx.size <= 25 && approx.size >= 15,
+      s"fallback kept ${approx.size}")
+    assert(approx.min > (1 to 200).filterNot(i => approx(i.toLong)).max)
+  }
+
   // --- F9 staleness fixture actually exercises the guard ---
 
   test("f9 fixture: >120-min gaps exist and the wipe arm removes positive deltas") {
