@@ -14,13 +14,16 @@ import org.apache.spark.sql.types._
  * JDK), AUDIO rows through a real one too ([[AudioCodec]],
  * javax.sound.sampled — WAV/AIFF/AU PCM), and animated GIF through the
  * multi-frame [[GifCodec]] — all headless, no native deps on executors.
- * Remaining containers (mp4/mp3/flac …) keep the STUBBED deterministic
- * fake (no JVM-built-in decoder exists); everything Spark-side (schema,
- * batch shape, partition behavior, the mapPartitions contract a
- * vectorized decode UDF runs under) is real and tested, so swapping in
- * an FFmpeg-style decoder touches only the codec object. Payloads that
- * are not decodable bitstreams (e.g. synthetic fixtures)
- * deterministically fall back to the fake.
+ * Containers with no JVM-built-in decoder (mp4/mp3/flac …) route
+ * through the PLUGGABLE [[MediaCodec]] contract: a deployment passes a
+ * codec backed by a real library (an FFmpeg binding, say) and the
+ * stages use it wherever it claims the container. With no codec
+ * claiming a container the stages FAIL FAST by default — never silent
+ * fake features for real media files; `fakeFallback = true` opts into
+ * the deterministic stub (fixtures, plumbing tests). A container that
+ * IS claimed but whose payload does not decode (corrupt file) falls
+ * back to the deterministic fake rather than aborting a 100 TB job —
+ * that boundary is deliberate and documented here.
  *
  * Scale notes: binary payloads stay columnar until the decode stage, the
  * decode runs per-partition (mapPartitions — one codec init per
@@ -48,6 +51,40 @@ object Multimodal {
   final case class MediaRow(media_id: Long, payload: Array[Byte], meta: MediaMeta)
   final case class Feature(media_id: Long, feature: Array[Float])
   final case class Frame(media_id: Long, frame_idx: Int, payload: Array[Byte])
+
+  /**
+   * The pluggable decoder contract for containers the JDK cannot decode
+   * (mp4, mp3, flac, webm …). A deployment implements it over a real
+   * library (JavaCV / an FFmpeg CLI wrapper / a vendor SDK), passes it
+   * to [[extractFeatures]] / [[sampleFrames]], and the stages route
+   * every row whose `meta.format` the codec [[claims]]. Instances are
+   * shipped to executors inside the stage closure, so they must be
+   * Serializable; heavyweight native state should be lazy (initialized
+   * once per executor JVM, not serialized).
+   */
+  trait MediaCodec extends Serializable {
+    /** Lowercase container formats this codec claims (e.g. "mp4"). */
+    def claims: Set[String]
+    /** bytes → fixed-width feature vector; None when the payload does
+     *  not decode under this codec. */
+    def decodeToFeature(payload: Array[Byte], meta: MediaMeta, dim: Int): Option[Array[Float]]
+    /** bytes → decoded frame payloads (for video containers); None when
+     *  the payload does not decode. Default: this codec does not do
+     *  frame extraction. */
+    def frames(payload: Array[Byte], meta: MediaMeta): Option[IndexedSeq[Array[Byte]]] = None
+  }
+
+  /** Containers the JDK built-ins genuinely decode (feature stage). */
+  private val builtinFeatureFormats: Map[String, Set[String]] = Map(
+    "image" -> Set("png", "jpeg", "jpg", "bmp", "gif"),
+    "audio" -> Set("wav", "wave", "aiff", "aif", "au"))
+
+  private def unsupported(kind: String, r: MediaRow): Nothing =
+    throw new UnsupportedOperationException(
+      s"no $kind decoder for container '${r.meta.format}' " +
+        s"(media_type=${r.meta.media_type}, media_id=${r.media_id}): pass a " +
+        "MediaCodec claiming it (e.g. an FFmpeg-backed implementation), or " +
+        "fakeFallback=true for deterministic stub output in tests/fixtures")
 
   /**
    * Deterministic fake codec: "decodes" a payload to a feature vector by
@@ -202,21 +239,37 @@ object Multimodal {
   /**
    * Feature extraction stage: per-partition batched decode (the shape a
    * vectorized/pandas-style UDF runs under — one codec per partition,
-   * rows streamed through it). Image rows take the real javax.imageio
-   * path, audio rows the real javax.sound path (WAV/AIFF/AU);
-   * non-decodable payloads and other containers take the deterministic
-   * fake.
+   * rows streamed through it). Routing per row:
+   *   1. a plugged [[MediaCodec]] claiming the container wins;
+   *   2. otherwise JDK built-ins (javax.imageio images, javax.sound
+   *      WAV/AIFF/AU audio);
+   *   3. a CLAIMED container whose payload doesn't decode (corrupt
+   *      file) falls back to the deterministic fake — a 100 TB job
+   *      shouldn't abort on one bad file;
+   *   4. an UNCLAIMED container fails fast — no silent fake features
+   *      for real media — unless `fakeFallback = true` (fixtures).
    */
-  def extractFeatures(media: Dataset[MediaRow], dim: Int = 64): Dataset[Feature] = {
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 64,
+      codecs: Seq[MediaCodec] = Nil, fakeFallback: Boolean = false): Dataset[Feature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // a stateful codec/embedder initializes ONCE here, per partition
       it.map { r =>
-        val feat = (r.meta.media_type match {
-          case "image" => ImageCodec.decodeToFeature(r.payload, dim)
-          case "audio" => AudioCodec.decodeToFeature(r.payload, dim)
-          case _ => None
-        }).getOrElse(FakeCodec.decodeToFeature(r.payload, dim))
+        val fmt = Option(r.meta.format).map(_.toLowerCase).getOrElse("")
+        val plugged = codecs.find(_.claims.contains(fmt))
+        val feat = plugged match {
+          case Some(c) =>
+            c.decodeToFeature(r.payload, r.meta, dim)
+              .getOrElse(FakeCodec.decodeToFeature(r.payload, dim)) // corrupt payload
+          case None if builtinFeatureFormats.get(r.meta.media_type).exists(_.contains(fmt)) =>
+            (r.meta.media_type match {
+              case "image" => ImageCodec.decodeToFeature(r.payload, dim)
+              case "audio" => AudioCodec.decodeToFeature(r.payload, dim)
+              case _ => None
+            }).getOrElse(FakeCodec.decodeToFeature(r.payload, dim)) // corrupt payload
+          case None if fakeFallback => FakeCodec.decodeToFeature(r.payload, dim)
+          case None => unsupported("feature", r)
+        }
         Feature(r.media_id, feat)
       }
     }
@@ -250,18 +303,28 @@ object Multimodal {
   /**
    * Frame sampling for video rows: one output row per sampled time
    * offset (`everyMs` apart across `duration_ms`). Animated-GIF rows
-   * decode REAL frames (offset mapped proportionally onto the frame
-   * sequence, re-encoded PNG); other containers (mp4 …) keep the
-   * declared deterministic stub payload — no JVM-built-in decoder
-   * exists, and the row shape is identical either way.
+   * decode REAL frames via the JDK (offset mapped proportionally onto
+   * the frame sequence, re-encoded PNG); other containers (mp4, webm …)
+   * route through a plugged [[MediaCodec]] claiming them, and with no
+   * claimant the stage fails fast — `fakeFallback = true` keeps the
+   * declared 16-byte stub payload for fixtures. A claimed-but-corrupt
+   * payload also degrades to the stub (same boundary as
+   * [[extractFeatures]]).
    */
-  def sampleFrames(media: Dataset[MediaRow], everyMs: Long = 1000): Dataset[Frame] = {
+  def sampleFrames(media: Dataset[MediaRow], everyMs: Long = 1000,
+      codecs: Seq[MediaCodec] = Nil, fakeFallback: Boolean = false): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.meta.media_type == "video").flatMap { r =>
       val offsets = FakeCodec.frameOffsets(r.meta, everyMs)
-      val real =
-        if (r.meta.format == "gif") GifCodec.frames(r.payload) else None
-      real match {
+      val fmt = Option(r.meta.format).map(_.toLowerCase).getOrElse("")
+      val plugged = codecs.find(_.claims.contains(fmt))
+      val decoded: Option[IndexedSeq[Array[Byte]]] = plugged match {
+        case Some(c) => c.frames(r.payload, r.meta) // None = corrupt payload
+        case None if fmt == "gif" => GifCodec.frames(r.payload)
+        case None if fakeFallback => None
+        case None => unsupported("frame", r)
+      }
+      decoded match {
         case Some(fr) if fr.nonEmpty =>
           offsets.zipWithIndex.map { case (off, idx) =>
             val fi = math.min(fr.length - 1,

@@ -93,24 +93,68 @@ class MultimodalSpec extends SparkSpec {
     val viaStage = Multimodal.extractFeatures(spark.createDataset(Seq(row)), dim = 4)
       .collect().head.feature
     assert(viaStage.toSeq == feat.toSeq)
-    // and a non-decodable "audio" payload falls back to the fake
+    // an UNCLAIMED container ("mp3" — no JDK decoder, no plugged codec)
+    // fails fast by default: no silent fake features for real media
     val junk = Multimodal.MediaRow(8L, Array.tabulate[Byte](32)(_.toByte),
       Multimodal.MediaMeta("audio", "mp3", 0, 0, 0L, 0))
-    val fb = Multimodal.extractFeatures(spark.createDataset(Seq(junk)), dim = 4)
-      .collect().head.feature
+    val err = intercept[Exception] {
+      Multimodal.extractFeatures(spark.createDataset(Seq(junk)), dim = 4).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq.last).getMessage
+    assert(rootMsg(err).contains("no feature decoder for container 'mp3'"), rootMsg(err))
+    // fixtures opt into the deterministic stub explicitly
+    val fb = Multimodal.extractFeatures(spark.createDataset(Seq(junk)), dim = 4,
+      fakeFallback = true).collect().head.feature
     assert(fb.toSeq == Multimodal.FakeCodec.decodeToFeature(junk.payload, 4).toSeq)
   }
 
+  test("pluggable MediaCodec: a codec claiming mp4 routes both stages") {
+    import spark.implicits._
+    object Mp4Marker extends Multimodal.MediaCodec {
+      def claims = Set("mp4")
+      def decodeToFeature(payload: Array[Byte], meta: Multimodal.MediaMeta,
+          dim: Int): Option[Array[Float]] =
+        Some(Array.fill(dim)(42.0f)) // marker proves the routing
+      override def frames(payload: Array[Byte],
+          meta: Multimodal.MediaMeta): Option[IndexedSeq[Array[Byte]]] =
+        Some(IndexedSeq(Array[Byte](9, 9, 9)))
+    }
+    val row = Multimodal.MediaRow(11L, Array.fill[Byte](32)(1),
+      Multimodal.MediaMeta("video", "mp4", 64, 64, 2000L, 0))
+    val ds = spark.createDataset(Seq(row))
+    val feat = Multimodal.extractFeatures(ds, dim = 4, codecs = Seq(Mp4Marker))
+      .collect().head.feature
+    assert(feat.toSeq == Seq(42.0f, 42.0f, 42.0f, 42.0f))
+    val frames = Multimodal.sampleFrames(ds, everyMs = 1000, codecs = Seq(Mp4Marker))
+      .collect()
+    assert(frames.length == 2 && frames.forall(_.payload.toSeq == Seq[Byte](9, 9, 9)))
+    // a codec that claims the container but can't decode the payload →
+    // deterministic stub, not an abort (the documented corrupt-file boundary)
+    object Mp4Broken extends Multimodal.MediaCodec {
+      def claims = Set("mp4")
+      def decodeToFeature(payload: Array[Byte], meta: Multimodal.MediaMeta,
+          dim: Int): Option[Array[Float]] = None
+    }
+    val fb = Multimodal.extractFeatures(ds, dim = 4, codecs = Seq(Mp4Broken))
+      .collect().head.feature
+    assert(fb.toSeq == Multimodal.FakeCodec.decodeToFeature(row.payload, 4).toSeq)
+  }
+
   test("feature extraction: fixed-width vectors, deterministic") {
-    val f1 = Multimodal.extractFeatures(media, dim = 16).collect().sortBy(_.media_id)
-    val f2 = Multimodal.extractFeatures(media, dim = 16).collect().sortBy(_.media_id)
+    // synthetic fixture carries mp4 rows → explicit fakeFallback opt-in
+    val f1 = Multimodal.extractFeatures(media, dim = 16, fakeFallback = true)
+      .collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media, dim = 16, fakeFallback = true)
+      .collect().sortBy(_.media_id)
     assert(f1.length == 30)
     assert(f1.forall(_.feature.length == 16))
     assert(f1.zip(f2).forall { case (a, b) => a.feature.sameElements(b.feature) })
   }
 
   test("frame sampling yields one row per sampled frame for videos only") {
-    val frames = Multimodal.sampleFrames(media, everyMs = 1000).collect()
+    val frames = Multimodal.sampleFrames(media, everyMs = 1000, fakeFallback = true)
+      .collect()
     val videos = media.collect().filter(_.meta.media_type == "video")
     val expected = videos.map(v => ((v.meta.duration_ms + 999) / 1000).toInt).sum
     assert(frames.length == expected)
@@ -148,10 +192,12 @@ class MultimodalSpec extends SparkSpec {
       assert((img.getRGB(4, 4) & 0xFFFFFF) == c,
         s"frame ${f.frame_idx} should be ${c.toHexString}")
     }
-    // a non-GIF video row keeps the declared stub payload
+    // a non-GIF video row with no claiming codec: stub only on explicit
+    // opt-in (errors by default — covered in the MediaCodec test)
     val stub = Multimodal.sampleFrames(spark.createDataset(Seq(
       Multimodal.MediaRow(8L, Array.fill[Byte](32)(5),
-        Multimodal.MediaMeta("video", "mp4", 64, 64, 2000L, 0)))), everyMs = 1000)
+        Multimodal.MediaMeta("video", "mp4", 64, 64, 2000L, 0)))), everyMs = 1000,
+      fakeFallback = true)
       .collect()
     assert(stub.length == 2 && stub.forall(_.payload.length == 16))
   }
