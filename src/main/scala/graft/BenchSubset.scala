@@ -1,0 +1,42 @@
+package graft
+
+/**
+ * One-off benchmark of a named subset of `SparkEntry.queries` /
+ * `SparkEntry.benchOnly` — the scaling-curve companion to [[Bench]]
+ * (which always runs everything). Same methodology: one untimed warm
+ * run, then `runs` timed runs, median reported.
+ *
+ * Usage: BenchSubset <sfDir> <query>[,<query>...] [runs]
+ */
+object BenchSubset {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: BenchSubset <sfDir> <q1,q2,...> [runs]")
+    val sfDir = args(0)
+    val names = args(1).split(',').toSeq
+    val runs = args.lift(2).map(_.toInt).getOrElse(3)
+    val all = SparkEntry.queries ++ SparkEntry.benchOnly
+    val unknown = names.filterNot(all.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    val spark = GraftSession.builder(shufflePartitions = 32)
+      .master("local[32]").config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val out = names.map { name =>
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { all(name)(spark, sfDir).count() } catch { case _: Throwable => }
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        t
+      }
+      once()
+      val ts = Seq.fill(runs)(once()).sorted
+      val median = ts(runs / 2)
+      println(f"$name%-24s $median%8.3f s  (spread ${ts.last - ts.head}%.3f)")
+      name -> median
+    }
+    println(out.map { case (n, t) => f""""$n":$t%.3f""" }
+      .mkString("{", ",", s"""}  # $sfDir"""))
+    spark.stop()
+  }
+}

@@ -1140,6 +1140,21 @@ object SparkEntry {
     "dedup_winnow_x64" -> ((s, dir) =>
       Dedup.winnowPairs(table(s, dir, "documents"), k = 4, w = 4, minShared = 2,
         portable = false)),
+    // capped SCALE-PATH twins of the deliberately-uncapped exact pair
+    // queries: the oracled variants keep every posting row so DuckDB can
+    // replicate them bit-for-bit, which makes their join cost Σ n_h² in
+    // the per-key posting length n_h — superlinear whenever common keys
+    // grow with the corpus (measured at sf1: BENCH_SF1.md). These twins
+    // measure the documented production setting, where the frequency cap
+    // bounds every posting list before the join can square on it.
+    "dedup_winnow_pruned" -> ((s, dir) =>
+      Dedup.winnowPairs(table(s, dir, "documents"), k = 4, w = 4, minShared = 2,
+        maxFpFreq = 16, portable = false)),
+    "dedup_clusters_pruned" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(table(s, dir, "documents"), n = 3,
+        threshold = 0.8, maxShingleFreq = 16)
+      Dedup.clusters(pairs).select(col("id").as("doc_id"), col("cluster"))
+    }),
     "decon_overlap_x64" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       graft.functions.Decontaminate.flagContaminated(
