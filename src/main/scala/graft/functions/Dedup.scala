@@ -368,11 +368,37 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
   }
 
+  /**
+   * `maxBucketSize` is the hot-bucket guard for corpus scale: a band
+   * bucket shared by B docs emits B·(B−1)/2 candidates, and real
+   * corpora always have a few degenerate buckets (boilerplate pages,
+   * near-empty docs whose signatures collapse to the same signature) —
+   * one 100k-doc bucket is 5 × 10⁹ candidates on its own. Buckets
+   * larger than the cap are dropped from candidate generation (agg +
+   * anti-join on the fixed-width bucket key, broadcast under AQE —
+   * same shape as the shingle-frequency prune). Recall cost is
+   * bounded and tiny: a true near-dup pair at Jaccard ≥ 0.8 collides
+   * in ~⅔ of the 16 bands in expectation, so it is lost only if EVERY
+   * one of its buckets is degenerate-hot; the pairs a hot bucket
+   * uniquely holds are overwhelmingly false candidates (that is what
+   * made the bucket hot). `Int.MaxValue` (the default) keeps the
+   * exact oracle-verified behavior.
+   */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      threshold: Double = 0.8, maxBucketSize: Int = Int.MaxValue,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k % bands == 0, "bands must divide k")
+    require(maxBucketSize > 1, s"maxBucketSize must exceed 1, got $maxBucketSize")
     val sh = shingled(docs, n, k, idCol, textCol)
-    val banded = this.banded(sh, k, bands)
+    val allBanded = this.banded(sh, k, bands)
+    val banded =
+      if (maxBucketSize == Int.MaxValue) allBanded
+      else {
+        val hot = allBanded.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("_c")).filter(col("_c") > maxBucketSize)
+          .select(col("band"), col("bucket"))
+        allBanded.join(hot, Seq("band", "bucket"), "left_anti")
+      }
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
     val candIds = a.join(b, Seq("band", "bucket"))
@@ -413,17 +439,33 @@ object Dedup {
    * one of the 4 chunks) — equi-join on chunk value, verify with
    * bit_count. Chunks are 16 bits for the 64-bit default signature,
    * 15 bits for the 60-bit portable one.
+   *
+   * `maxChunkFreq` is the hot-block guard (same contract as
+   * [[minhashLshPairs]]'s `maxBucketSize`): a chunk value shared by B
+   * docs — short or templated docs collapse whole 16-bit chunks to
+   * identical values — emits B·(B−1)/2 candidate rows before the
+   * Hamming verify. Blocks over the cap are dropped from candidate
+   * generation; a ≤`maxDist` pair is lost only if ALL FOUR of its
+   * chunks are degenerate-hot. Default keeps exact behavior.
    */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
       idCol: String = "doc_id", textCol: String = "text",
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false, maxChunkFreq: Int = Int.MaxValue): DataFrame = {
     val chunkBits = if (portable) 15 else 16
     val mask = (1L << chunkBits) - 1
     val sh = simhash(docs, idCol, textCol, portable)
-    val chunked = sh.select(col("id"), col("simhash"),
+    val allChunked = sh.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("simhash"), i * chunkBits).bitwiseAND(mask)): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "v")
+    val chunked =
+      if (maxChunkFreq == Int.MaxValue) allChunked
+      else {
+        val hot = allChunked.groupBy(col("chunk"), col("v"))
+          .agg(count(lit(1)).as("_c")).filter(col("_c") > maxChunkFreq)
+          .select(col("chunk"), col("v"))
+        allChunked.join(hot, Seq("chunk", "v"), "left_anti")
+      }
     val a = chunked.select(col("chunk"), col("v"), col("id").as("id_a"), col("simhash").as("h_a"))
     val b = chunked.select(col("chunk"), col("v"), col("id").as("id_b"), col("simhash").as("h_b"))
     a.join(b, Seq("chunk", "v")).filter(col("id_a") < col("id_b"))

@@ -205,7 +205,8 @@ object Pipeline {
   def intraBatchNearDedup(batch: DataFrame, n: Int = 3, k: Int = 64,
       bands: Int = 16, threshold: Double = 0.8, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val drop = Dedup.minhashLshPairs(batch, n, k, bands, threshold, idCol, textCol)
+    val drop = Dedup.minhashLshPairs(batch, n, k, bands, threshold,
+      idCol = idCol, textCol = textCol)
       .select(col("id_b").as(idCol)).distinct()
     batch.join(drop, Seq(idCol), "left_anti")
   }

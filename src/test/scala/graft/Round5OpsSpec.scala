@@ -188,6 +188,46 @@ class Round5OpsSpec extends SparkSpec {
     assert(!new java.io.File(s"$root/tier=gen_day/._restaging").exists())
   }
 
+  // --- LSH hot-bucket guards (BENCH_SF1 follow-up) ---
+
+  test("minhashLshPairs: maxBucketSize drops degenerate-hot buckets, " +
+    "keeps pairs with any non-hot bucket") {
+    // 6 identical docs -> one signature -> every band bucket has size 6;
+    // a separate identical PAIR has bucket size 2 everywhere
+    val clone = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val pair = "one two three four five six seven eight nine ten eleven"
+    val d = ((0 until 6).map(i => (i.toLong, clone)) ++
+      Seq((100L, pair), (101L, pair)))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minhashLshPairs(d, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 15 + 1) // C(6,2) clone pairs + the pair
+    val capped = Dedup.minhashLshPairs(d, threshold = 0.8, maxBucketSize = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every clone bucket (size 6) is over the cap -> clone pairs gone;
+    // the size-2 buckets of the pair survive
+    assert(capped == Set((100L, 101L)))
+    // default cap is exact behavior
+    val default = Dedup.minhashLshPairs(d, threshold = 0.8,
+      maxBucketSize = Int.MaxValue).select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(default == uncapped)
+  }
+
+  test("simhashPairs: maxChunkFreq drops degenerate-hot chunk blocks") {
+    val clone = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val pair = "one two three four five six seven eight nine ten eleven"
+    val d = ((0 until 6).map(i => (i.toLong, clone)) ++
+      Seq((100L, pair), (101L, pair)))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.simhashPairs(d, maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 15 + 1)
+    val capped = Dedup.simhashPairs(d, maxDist = 3, maxChunkFreq = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((100L, 101L)))
+  }
+
   // --- bloom decontamination edge cases (ADVICE r4 #4) ---
 
   test("flagContaminatedBloom: empty benchmark yields an empty report, no crash") {

@@ -16,8 +16,24 @@ con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     p = f"{sf_dir}/{t}.parquet"
-    if os.path.exists(p):
+    if os.path.isdir(p):  # Spark-written dataset dir (e.g. FixtureScale output)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+    elif os.path.exists(p):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    else:
+        continue
+    # The driver's events.parquet carries TIMESTAMP(NANOS); Spark rewrites
+    # (FixtureScale) can only emit the raw nanos as BIGINT. Normalize back
+    # to a timestamp so the oracles' epoch(ts) binds either way.
+    if t == "events":
+        typ = con.execute("SELECT typeof(ts) FROM events LIMIT 1").fetchone()
+        if typ and typ[0] == "BIGINT":
+            con.execute(
+                "CREATE OR REPLACE VIEW events AS SELECT * REPLACE "
+                f"(make_timestamp(ts // 1000) AS ts) FROM '{p}/*.parquet'"
+                if os.path.isdir(p) else
+                "CREATE OR REPLACE VIEW events AS SELECT * REPLACE "
+                f"(make_timestamp(ts // 1000) AS ts) FROM '{p}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 ok = fail = 0
