@@ -5,12 +5,16 @@ Reads each query's parquet dump from Verify, runs the oracle SQL in DuckDB
 over the same sf tables, sorts columns by name and rows by value, and
 reports row/schema/value match per query.
 """
-import json, sys, glob, os
+import json, sys, glob, os, threading
 import duckdb
 import pandas as pd
 
 out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
 sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+# optional per-oracle time limit in seconds (0 = none); lets the full
+# query set run against large fixtures where a few oracles (recursive
+# CTEs, 64-slot minhash in SQL) are orders slower than the engine
+timeout_s = float(sys.argv[3]) if len(sys.argv) > 3 else 0.0
 
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -46,12 +50,22 @@ for name in sorted(os.listdir(out_dir)):
     if name not in oracle:
         print(f"{name:25s} NO-ORACLE rows={len(got)}")
         continue
+    timer = None
+    if timeout_s > 0:
+        timer = threading.Timer(timeout_s, con.interrupt)
+        timer.start()
     try:
         exp = con.execute(oracle[name]).fetchdf()
+    except duckdb.InterruptException:
+        print(f"{name:25s} ORACLE-TIMEOUT >{timeout_s:.0f}s (not counted)")
+        continue
     except Exception as e:
         print(f"{name:25s} ORACLE-ERROR {str(e)[:120]}")
         fail += 1
         continue
+    finally:
+        if timer:
+            timer.cancel()
     g = got.reindex(sorted(got.columns), axis=1)
     e = exp.reindex(sorted(exp.columns), axis=1)
     if sorted(g.columns) != sorted(e.columns):
