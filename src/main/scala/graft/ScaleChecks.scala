@@ -1,0 +1,106 @@
+package graft
+
+import graft.functions.{Dedup, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Spark-side cross-validation for the queries whose DuckDB oracles
+ * time out at large fixtures (BENCH_SF1.md: `dedup_clusters`,
+ * `sim_cosine_pairs`, `sim_semantic_dedup` at sf1). Each check is an
+ * independent formulation of a property the oracle would have pinned —
+ * verified entirely distributed, so it runs at any scale the engine
+ * itself can:
+ *
+ *  1. connected-component invariants for `Dedup.clusters` over the
+ *     exact-Jaccard pair list: both endpoints of every pair carry the
+ *     same label; every label is the min id of its component; every
+ *     paired id is labeled.
+ *  2. LSH-blocked cosine pairs ⊆ brute-force pairs at the same
+ *     threshold, with bit-identical scores on the intersection (the
+ *     blocked path must never invent or mis-score a pair).
+ *  3. `semanticDedup` keep semantics: exactly one kept row per
+ *     cluster, and the kept row is the min-id representative.
+ *  4. full-probe IVF top-k ≡ brute-force top-k (partitioned index
+ *     probing loses nothing when every list is probed).
+ *
+ * Usage: runMain graft.ScaleChecks <sfDir>   (exits 1 on any FAIL)
+ */
+object ScaleChecks {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("tmp-sf1")
+    val spark = GraftSession.builder(shufflePartitions = 32)
+      .master("local[32]").config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+    var failed = 0
+    def check(name: String)(violations: => Long): Unit = {
+      val v = violations
+      println(f"$name%-52s ${if (v == 0) "PASS" else s"FAIL ($v violations)"}")
+      if (v != 0) failed += 1
+    }
+
+    // -- 1. dedup_clusters invariants (same inputs as the query) --
+    val docs = table("documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8,
+      maxShingleFreq = Int.MaxValue).localCheckpoint()
+    val labels = Dedup.clusters(pairs).localCheckpoint()
+    val lA = labels.select(col("id").as("id_a"), col("cluster").as("c_a"))
+    val lB = labels.select(col("id").as("id_b"), col("cluster").as("c_b"))
+    check("clusters: pair endpoints share a label") {
+      pairs.join(lA, Seq("id_a")).join(lB, Seq("id_b"))
+        .filter(col("c_a") =!= col("c_b")).count()
+    }
+    check("clusters: label = min id of its component") {
+      labels.groupBy(col("cluster")).agg(min(col("id")).as("m"))
+        .filter(col("m") =!= col("cluster")).count()
+    }
+    check("clusters: every paired id is labeled") {
+      pairs.select(col("id_a").as("id"))
+        .unionAll(pairs.select(col("id_b").as("id"))).distinct()
+        .join(labels, Seq("id"), "left_anti").count()
+    }
+
+    // -- 2. LSH pairs ⊆ brute force, scores bit-identical --
+    val emb = table("embeddings")
+    val brute = Similarity.bruteForcePairs(emb, threshold = 0.4)
+      .localCheckpoint()
+    val lsh = Similarity.cosineNearDupPairs(emb, threshold = 0.4, nPlanes = 6)
+    check("lsh pairs: subset of brute force, scores identical") {
+      lsh.select(col("id_a"), col("id_b"), col("score"))
+        .join(brute.select(col("id_a"), col("id_b"),
+          col("score").as("bscore")), Seq("id_a", "id_b"), "left")
+        .filter(col("bscore").isNull || col("bscore") =!= col("score"))
+        .count()
+    }
+
+    // -- 3. semanticDedup keep semantics --
+    val sem = Similarity.semanticDedup(emb, threshold = 0.4, nPlanes = 6)
+      .localCheckpoint()
+    check("semanticDedup: exactly one kept per cluster") {
+      sem.groupBy(col("cluster"))
+        .agg(sum(col("kept").cast("long")).as("k"))
+        .filter(col("k") =!= 1L).count()
+    }
+    check("semanticDedup: kept row is the min-id representative") {
+      sem.groupBy(col("cluster")).agg(min(col("vec_id")).as("m"))
+        .filter(col("m") =!= col("cluster")).count()
+    }
+
+    // -- 4. full-probe IVF ≡ brute force top-k --
+    val queries = emb.filter(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 10)
+    val ivf = Similarity.ivfTopK(emb, queries, k = 10, nLists = 16, nProbes = 16)
+    check("full-probe IVF top-k = brute-force top-k") {
+      bf.unionAll(ivf)
+        .groupBy(bf.columns.map(col).toSeq: _*).agg(count(lit(1)).as("c"))
+        .filter(col("c") =!= 2).count()
+    }
+
+    spark.stop()
+    if (failed > 0) { System.err.println(s"$failed check(s) FAILED"); sys.exit(1) }
+    println("all checks passed")
+  }
+}
