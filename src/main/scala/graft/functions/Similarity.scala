@@ -389,11 +389,27 @@ object Similarity {
    * LSH signature (same hyperplane trick; near-identical vectors land in
    * the same bucket with high probability).
    */
+  /**
+   * `maxBucketSize` is the hot-bucket guard (same contract as
+   * [[graft.functions.Dedup.minhashLshPairs]]'s): growing `nPlanes`
+   * shrinks AVERAGE buckets, but degenerate vectors — all-zero
+   * embeddings, exact-duplicate rows from a failed upstream dedup —
+   * collapse onto one signature no matter how many planes, and that
+   * bucket squares. Over-cap signature buckets are dropped from
+   * candidate generation; default keeps exact oracle behavior.
+   */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double = 0.99, nPlanes: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      portable: Boolean = true): DataFrame = {
-    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+      portable: Boolean = true, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val allV = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("sig", lshSignature(col("v"), nPlanes, portable))
+    val v =
+      if (maxBucketSize == Int.MaxValue) allV
+      else {
+        val hot = allV.groupBy(col("sig")).agg(count(lit(1)).as("_c"))
+          .filter(col("_c") > maxBucketSize).select(col("sig"))
+        allV.join(hot, Seq("sig"), "left_anti")
+      }
     val a = v.select(col("sig"), col("id").as("id_a"), col("v").as("v_a"))
     val b = v.select(col("sig"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("sig")).filter(col("id_a") < col("id_b"))

@@ -228,6 +228,23 @@ class Round5OpsSpec extends SparkSpec {
     assert(capped == Set((100L, 101L)))
   }
 
+  test("cosineNearDupPairs: maxBucketSize drops degenerate signature buckets") {
+    import graft.functions.Similarity
+    // 6 identical embeddings share one signature bucket (size 6); a
+    // separate identical pair (orthogonal direction) has bucket size 2
+    val e1 = Array(1.0f, 0.0f, 0.5f, 0.25f)
+    val e2 = Array(-0.5f, 1.0f, -0.25f, 0.75f)
+    val d = ((0 until 6).map(i => (i.toLong, e1)) ++
+      Seq((100L, e2), (101L, e2))).toDF("vec_id", "embedding")
+    val uncapped = Similarity.cosineNearDupPairs(d, threshold = 0.99, nPlanes = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 15 + 1)
+    val capped = Similarity.cosineNearDupPairs(d, threshold = 0.99, nPlanes = 6,
+      maxBucketSize = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((100L, 101L)))
+  }
+
   // --- bloom decontamination edge cases (ADVICE r4 #4) ---
 
   test("flagContaminatedBloom: empty benchmark yields an empty report, no crash") {
