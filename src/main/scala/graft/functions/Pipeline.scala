@@ -126,13 +126,18 @@ object Pipeline {
    * boundary a DURABLE parquet write under that path (see [[Stages]]) —
    * executor loss then costs a task retry, not the whole run, and each
    * completed stage survives as an inspectable artifact.
+   * `nearDupMaxBucket` reaches the near-dedup stage's LSH hot-bucket
+   * guard ([[graft.functions.Dedup.minhashLshPairs]]) — at corpus
+   * scale a degenerate band bucket squares, and the cap must be
+   * settable from the chain, not only on the standalone operator.
    */
   def prepareTrainingData(docs: DataFrame,
       benchmark: Option[DataFrame] = None, lang: String = "en",
       minQuality: Double = 0.3, lmLow: Double = 0.05, lmHigh: Double = 0.95,
       nearDupThreshold: Double = 0.8, spanW: Int = 20, spanMinOcc: Int = 2,
       packBudget: Int = 2048, idCol: String = "doc_id",
-      textCol: String = "text", checkpointDir: Option[String] = None): DataFrame = {
+      textCol: String = "text", checkpointDir: Option[String] = None,
+      nearDupMaxBucket: Int = Int.MaxValue): DataFrame = {
     def cut(df: DataFrame, stage: String) = Stages.boundary(df, checkpointDir, stage)
     val scrubbed = cut(docs.withColumn(textCol,
       TextFunctions.redactPii(TextFunctions.stripHtml(col(textCol)))),
@@ -149,7 +154,8 @@ object Pipeline {
       .drop("lp_q4"),
       "03_lm_banded")
     val nearDeduped = cut(intraBatchNearDedup(banded,
-      threshold = nearDupThreshold, idCol = idCol, textCol = textCol),
+      threshold = nearDupThreshold, idCol = idCol, textCol = textCol,
+      maxBucketSize = nearDupMaxBucket),
       "04_near_deduped")
     val spanCut = cut(Dedup.cutSpans(nearDeduped,
       Dedup.duplicateSpans(nearDeduped, spanW, spanMinOcc,
@@ -204,9 +210,9 @@ object Pipeline {
    */
   def intraBatchNearDedup(batch: DataFrame, n: Int = 3, k: Int = 64,
       bands: Int = 16, threshold: Double = 0.8, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val drop = Dedup.minhashLshPairs(batch, n, k, bands, threshold,
-      idCol = idCol, textCol = textCol)
+      maxBucketSize = maxBucketSize, idCol = idCol, textCol = textCol)
       .select(col("id_b").as(idCol)).distinct()
     batch.join(drop, Seq(idCol), "left_anti")
   }

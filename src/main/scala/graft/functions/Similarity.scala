@@ -438,8 +438,9 @@ object Similarity {
    */
   def semanticDedup(vectors: DataFrame, threshold: Double = 0.99, nPlanes: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      portable: Boolean = true): DataFrame = {
-    val pairs = cosineNearDupPairs(vectors, threshold, nPlanes, idCol, vecCol, portable)
+      portable: Boolean = true, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val pairs = cosineNearDupPairs(vectors, threshold, nPlanes, idCol, vecCol,
+      portable, maxBucketSize)
     // clustered ids are a small fraction of the corpus — AQE broadcasts
     // the label table when it fits, no forced hint
     val comp = Dedup.clusters(pairs).withColumnRenamed("id", idCol)
