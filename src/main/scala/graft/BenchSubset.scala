@@ -22,9 +22,13 @@ object BenchSubset {
       .master("local[32]").config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val out = names.map { name =>
+      // a crashed query must never masquerade as a fast one: track any
+      // throw and annotate the line + JSON instead of timing the failure
+      var failed: Option[String] = None
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { all(name)(spark, sfDir).count() } catch { case _: Throwable => }
+        try { all(name)(spark, sfDir).count() }
+        catch { case e: Throwable => failed = Some(e.getClass.getSimpleName) }
         val t = (System.nanoTime() - t0) / 1e9
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         t
@@ -32,11 +36,17 @@ object BenchSubset {
       once()
       val ts = Seq.fill(runs)(once()).sorted
       val median = ts(runs / 2)
-      println(f"$name%-24s $median%8.3f s  (spread ${ts.last - ts.head}%.3f)")
-      name -> median
+      val note = failed.map(e => s"  FAILED ($e)").getOrElse("")
+      println(f"$name%-24s $median%8.3f s  (spread ${ts.last - ts.head}%.3f)$note")
+      (name, median, failed)
     }
-    println(out.map { case (n, t) => f""""$n":$t%.3f""" }
+    println(out.map { case (n, t, f) =>
+        if (f.isDefined) s""""$n":"FAILED"""" else f""""$n":$t%.3f""" }
       .mkString("{", ",", s"""}  # $sfDir"""))
+    if (out.exists(_._3.isDefined)) {
+      System.err.println("some queries FAILED; timings above are not comparable")
+      spark.stop(); sys.exit(1)
+    }
     spark.stop()
   }
 }

@@ -76,7 +76,9 @@ object ScaleChecks {
         .count()
     }
 
-    // -- 3. semanticDedup keep semantics --
+    // -- 3. semanticDedup keep semantics (PRODUCTION defaults: the
+    // finite chain-level hot-bucket cap — these invariants must hold
+    // under the capped star-sampled candidate generation too) --
     val sem = Similarity.semanticDedup(emb, threshold = 0.4, nPlanes = 6)
       .localCheckpoint()
     check("semanticDedup: exactly one kept per cluster") {
@@ -84,9 +86,14 @@ object ScaleChecks {
         .agg(sum(col("kept").cast("long")).as("k"))
         .filter(col("k") =!= 1L).count()
     }
-    check("semanticDedup: kept row is the min-id representative") {
+    check("semanticDedup: cluster label is the min vec_id of its members") {
       sem.groupBy(col("cluster")).agg(min(col("vec_id")).as("m"))
         .filter(col("m") =!= col("cluster")).count()
+    }
+    check("semanticDedup: every kept row IS its cluster's labeled id") {
+      // direct pin on the kept column (not just the label): the kept
+      // flag must sit on the min-id representative row itself
+      sem.filter(col("kept")).filter(col("vec_id") =!= col("cluster")).count()
     }
 
     // -- 4. full-probe IVF ≡ brute force top-k --

@@ -922,9 +922,12 @@ object SparkEntry {
       // SemDeDup: connected components over the LSH-blocked cosine pairs,
       // min-id representative kept per component; every row tagged
       // (cluster, kept). Portable plane generator → the oracle replicates
-      // blocking, closure, and representative choice exactly.
+      // blocking, closure, and representative choice exactly. The cap is
+      // pinned UNCAPPED here because the oracle replicates the exact
+      // all-pairs-per-bucket algebra; the chain default is the finite
+      // Dedup.DefaultChainMaxBucket.
       Similarity.semanticDedup(table(s, dir, "embeddings"),
-        threshold = 0.4, nPlanes = 6)
+        threshold = 0.4, nPlanes = 6, maxBucketSize = Int.MaxValue)
         .select(col("vec_id"), col("cluster"), col("kept"))),
 
     "export_jsonl" -> ((s, dir) => {

@@ -20,6 +20,24 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /**
+   * Finite production default for chain-level hot-block caps (the
+   * `maxBucketSize` of [[minhashLshPairs]] /
+   * [[graft.functions.Similarity.cosineNearDupPairs]] as threaded
+   * through [[graft.functions.Pipeline.prepareTrainingData]],
+   * [[graft.functions.Similarity.semanticDedup]] and
+   * [[nearDupClusters]]). Measured at sf1 (BENCH_SF1.md): caps in the
+   * 16–1000 range all scale at or below linear for 10× data, while the
+   * uncapped paths blow up 41–94×; 64 keeps the worst-case all-pairs
+   * work per under-cap block at C(64,2) ≈ 2k candidates and the
+   * over-cap blocks linear via the star sample (see the
+   * [[minhashLshPairs]] scaladoc). Operator-level defaults stay
+   * uncapped so the DuckDB oracles verify the exact algebra; pass
+   * `Int.MaxValue` at chain level to opt back into uncapped
+   * calibration runs.
+   */
+  val DefaultChainMaxBucket: Int = 64
+
+  /**
    * Exact dedup: keep the lowest-id document per identical normalized
    * content. Hash-groupBy on the 128-bit fingerprint (one shuffle of ids +
    * hashes only).
@@ -34,9 +52,23 @@ object Dedup {
    * N-gram Jaccard near-duplicate pairs: generate (shingle → doc)
    * postings, equi-join on shingle to get candidate pairs, then compute
    * the exact Jaccard |A∩B| / (|A|+|B|−|A∩B|) from the co-occurrence
-   * count. Shingles occurring in more than `maxShingleFreq` docs are
-   * dropped as blocking keys (they explode candidate pairs while carrying
-   * no discriminative signal — standard posting-list pruning).
+   * count.
+   *
+   * `maxShingleFreq` is the hot-block guard: a shingle shared by F docs
+   * emits F² posting-join rows, and boilerplate shingles at corpus scale
+   * make that quadratic. Shingles over the cap are excluded from the
+   * co-occurrence COUNT, but — unlike a plain posting-list drop, which
+   * silently passes an over-cap clone cluster through dedup untouched —
+   * each hot shingle still contributes a LINEAR star of candidates
+   * anchored at its minimum-id holder, and star candidates are verified
+   * with the exact set Jaccard (array_intersect of the full shingle
+   * sets). Net semantics with a finite cap: every emitted pair satisfies
+   * jaccard ≥ threshold under a lower-bound estimate that is exact
+   * whenever (a) none of the pair's shared shingles are hot, or (b) one
+   * endpoint is a hot shingle's min-id representative; an over-cap
+   * duplicate cluster therefore always connects into one component
+   * through its representative instead of escaping dedup. Diagnose hot
+   * shingles with [[ngramShingleStats]].
    */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
       maxShingleFreq: Int = 1000, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -49,29 +81,66 @@ object Dedup {
     // shuffle keys (a cross-doc collision needs ~2^32 distinct shingles)
     val posting = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
       .select(col("id"), col("n_sh"), xxhash64(col("s")).as("h"))
-    val pruned =
-      if (maxShingleFreq == Int.MaxValue) posting // no pruning → skip the freq shuffle
-      else {
-        // hot shingles via aggregate + anti-join: the hot set is ≥cap×
-        // smaller than the postings by construction, so the count is
-        // map-side-combined and AQE turns the anti-join into a broadcast
-        // when it fits — cheaper than the old count-over-window, which
-        // shuffled every posting row unreduced
-        val hot = posting.groupBy(col("h")).agg(count(lit(1)).as("_freq"))
-          .filter(col("_freq") > maxShingleFreq).select(col("h"))
-        posting.join(hot, Seq("h"), "left_anti")
-      }
-    val a = pruned.select(col("h"), col("id").as("id_a"), col("n_sh").as("n_a"))
-    val b = pruned.select(col("h"), col("id").as("id_b"), col("n_sh").as("n_b"))
-    a.join(b, Seq("h")).filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") /
+    def counted(p: DataFrame): DataFrame = {
+      val a = p.select(col("h"), col("id").as("id_a"), col("n_sh").as("n_a"))
+      val b = p.select(col("h"), col("id").as("id_b"), col("n_sh").as("n_b"))
+      a.join(b, Seq("h")).filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard",
+          round(col("inter").cast("double") /
+            (col("n_a") + col("n_b") - col("inter")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }
+    if (maxShingleFreq == Int.MaxValue) counted(posting) // no pruning → skip the freq shuffle
+    else {
+      // hot shingles via aggregate + anti-join: the hot set is ≥cap×
+      // smaller than the postings by construction, so the count is
+      // map-side-combined and AQE turns the anti-join into a broadcast
+      // when it fits — cheaper than the old count-over-window, which
+      // shuffled every posting row unreduced
+      val hot = posting.groupBy(col("h"))
+        .agg(count(lit(1)).as("_freq"), min(col("id")).as("_rep"))
+        .filter(col("_freq") > maxShingleFreq)
+      val cold = posting.join(hot.select(col("h")), Seq("h"), "left_anti")
+      // star sample of each hot shingle: (min-id holder, member) — linear
+      // in the posting length where all-pairs would square; rep = min id,
+      // so id_a < id_b holds by construction
+      val starIds = posting.join(hot.select(col("h"), col("_rep")), Seq("h"))
+        .filter(col("id") =!= col("_rep"))
+        .select(col("_rep").as("id_a"), col("id").as("id_b")).distinct()
+      val starPairs = starIds
+        .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"),
+          col("n_sh").as("n_a")), Seq("id_a"))
+        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b"),
+          col("n_sh").as("n_b")), Seq("id_b"))
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("jaccard", round(col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+      // a pair can appear in both streams (cold co-occurrence AND a hot
+      // star); the star's set Jaccard is exact while the cold count is a
+      // lower bound, so max() keeps the exact value
+      counted(cold).unionAll(starPairs)
+        .groupBy(col("id_a"), col("id_b")).agg(max(col("jaccard")).as("jaccard"))
+    }
   }
+
+  /** Shingle-frequency report for [[ngramJaccardPairs]]'s hot-block
+   *  guard: (h, freq, rep) for every shingle hash held by more than
+   *  `minFreq` documents — the observability hook for "which blocking
+   *  keys did the cap truncate, and how big were they". One aggregate
+   *  on the posting list; run it before committing to a cap. */
+  def ngramShingleStats(docs: DataFrame, n: Int = 3, minFreq: Int = 1000,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(TextFunctions.shingleSet(col(textCol), n)).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("freq"), min(col("id")).as("rep"))
+      .filter(col("freq") > minFreq)
 
   /**
    * STREAMING exact dedup: suppress re-occurrences of a content
@@ -99,9 +168,16 @@ object Dedup {
    *
    * Scale shape: one map stage per doc (fingerprints), then the same
    * posting equi-join on a fixed-width long key as the other dedup
-   * candidates; `maxFpFreq` prunes boilerplate fingerprints shared by
-   * too many docs (aggregate + anti-join, broadcast under AQE) before
-   * the join can square on them.
+   * candidates. `maxFpFreq` bounds boilerplate fingerprints shared by
+   * too many docs before the join can square on them: over-cap
+   * fingerprints are excluded from all-pairs co-occurrence but still
+   * emit a LINEAR star of rows anchored at their min-id holder, so an
+   * over-cap clone cluster (every fingerprint hot) still accumulates
+   * its full shared count on the (representative, member) pairs and
+   * connects into one component — instead of silently escaping dedup.
+   * With a finite cap, `shared` is exact for star-anchored pairs and a
+   * lower bound for pairs whose only hot overlaps lack the
+   * representative.
    */
   def winnowPairs(docs: DataFrame, k: Int = 4, w: Int = 4, minShared: Int = 2,
       maxFpFreq: Int = Int.MaxValue, portable: Boolean = true,
@@ -109,16 +185,29 @@ object Dedup {
     val fps = docs.select(col(idCol).as("id"),
         explode(expressions.VectorExpressions.winnow(
           TextFunctions.shingles(col(textCol), k), w, portable)).as("fp"))
-    val pruned =
-      if (maxFpFreq == Int.MaxValue) fps
-      else {
-        val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("_c"))
-          .filter(col("_c") > maxFpFreq).select(col("fp"))
-        fps.join(hot, Seq("fp"), "left_anti")
+    val pairRows =
+      if (maxFpFreq == Int.MaxValue) {
+        val a = fps.select(col("fp"), col("id").as("id_a"))
+        val b = fps.select(col("fp"), col("id").as("id_b"))
+        a.join(b, Seq("fp")).filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"))
+      } else {
+        val hot = fps.groupBy(col("fp"))
+          .agg(count(lit(1)).as("_c"), min(col("id")).as("_rep"))
+          .filter(col("_c") > maxFpFreq)
+        val cold = fps.join(hot.select(col("fp")), Seq("fp"), "left_anti")
+        val a = cold.select(col("fp"), col("id").as("id_a"))
+        val b = cold.select(col("fp"), col("id").as("id_b"))
+        val coldRows = a.join(b, Seq("fp")).filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"))
+        // one star row per (hot fp, member): the (rep, member) pair's
+        // shared count keeps every hot overlap it has with the rep
+        val starRows = fps.join(hot.select(col("fp"), col("_rep")), Seq("fp"))
+          .filter(col("id") =!= col("_rep"))
+          .select(col("_rep").as("id_a"), col("id").as("id_b"))
+        coldRows.unionAll(starRows)
       }
-    val a = pruned.select(col("fp"), col("id").as("id_a"))
-    val b = pruned.select(col("fp"), col("id").as("id_b"))
-    a.join(b, Seq("fp")).filter(col("id_a") < col("id_b"))
+    pairRows
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
@@ -373,37 +462,56 @@ object Dedup {
    * bucket shared by B docs emits B·(B−1)/2 candidates, and real
    * corpora always have a few degenerate buckets (boilerplate pages,
    * near-empty docs whose signatures collapse to the same signature) —
-   * one 100k-doc bucket is 5 × 10⁹ candidates on its own. Buckets
-   * larger than the cap are dropped from candidate generation (agg +
-   * anti-join on the fixed-width bucket key, broadcast under AQE —
-   * same shape as the shingle-frequency prune). Recall cost is
-   * bounded and tiny: a true near-dup pair at Jaccard ≥ 0.8 collides
-   * in ~⅔ of the 16 bands in expectation, so it is lost only if EVERY
-   * one of its buckets is degenerate-hot; the pairs a hot bucket
-   * uniquely holds are overwhelmingly false candidates (that is what
-   * made the bucket hot). `Int.MaxValue` (the default) keeps the
-   * exact oracle-verified behavior.
+   * one 100k-doc bucket is 5 × 10⁹ candidates on its own. Buckets at
+   * or under the cap keep exact all-pairs generation; buckets OVER the
+   * cap fall back to a LINEAR star sample anchored at the bucket's
+   * min-id member (B−1 candidates instead of B²/2). Every candidate —
+   * star or not — is still verified with the exact set Jaccard before
+   * emission, so a finite cap never emits a false pair; and because an
+   * over-cap exact-duplicate cluster makes its representative a true
+   * near-dup of every member, the whole cluster still connects into
+   * one component through the star (a plain bucket drop would silently
+   * pass the highest-value dedup targets through untouched). A true
+   * pair is lost only when EVERY band bucket it shares is over-cap AND
+   * no shared bucket's representative is one of its endpoints — and
+   * such pairs remain transitively joined to their cluster whenever
+   * the representative is a genuine member. `Int.MaxValue` (the
+   * default) keeps the exact oracle-verified behavior; chains default
+   * to [[DefaultChainMaxBucket]]. Diagnose over-cap buckets with
+   * [[minhashBucketStats]].
    */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8, maxBucketSize: Int = Int.MaxValue,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      threshold: Double = 0.8, idCol: String = "doc_id", textCol: String = "text",
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     require(maxBucketSize > 1, s"maxBucketSize must exceed 1, got $maxBucketSize")
     val sh = shingled(docs, n, k, idCol, textCol)
     val allBanded = this.banded(sh, k, bands)
-    val banded =
-      if (maxBucketSize == Int.MaxValue) allBanded
-      else {
+    val candIds =
+      if (maxBucketSize == Int.MaxValue) {
+        val a = allBanded.select(col("band"), col("bucket"), col("id").as("id_a"))
+        val b = allBanded.select(col("band"), col("bucket"), col("id").as("id_b"))
+        a.join(b, Seq("band", "bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+      } else {
         val hot = allBanded.groupBy(col("band"), col("bucket"))
-          .agg(count(lit(1)).as("_c")).filter(col("_c") > maxBucketSize)
-          .select(col("band"), col("bucket"))
-        allBanded.join(hot, Seq("band", "bucket"), "left_anti")
+          .agg(count(lit(1)).as("_c"), min(col("id")).as("_rep"))
+          .filter(col("_c") > maxBucketSize)
+        val cold = allBanded.join(hot.select(col("band"), col("bucket")),
+          Seq("band", "bucket"), "left_anti")
+        val a = cold.select(col("band"), col("bucket"), col("id").as("id_a"))
+        val b = cold.select(col("band"), col("bucket"), col("id").as("id_b"))
+        val coldPairs = a.join(b, Seq("band", "bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"))
+        // rep = min id of the bucket, so id_a < id_b by construction
+        val star = allBanded
+          .join(hot.select(col("band"), col("bucket"), col("_rep")), Seq("band", "bucket"))
+          .filter(col("id") =!= col("_rep"))
+          .select(col("_rep").as("id_a"), col("id").as("id_b"))
+        coldPairs.unionAll(star).distinct()
       }
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val candIds = a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
     val shA = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val shB = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     val cands = candIds.join(shA, "id_a").join(shB, "id_b")
@@ -414,6 +522,41 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Band-bucket size report for [[minhashLshPairs]]'s hot-bucket
+   *  guard: (band, bucket, size, rep) for every bucket larger than
+   *  `minSize` — the observability hook for which blocking keys a cap
+   *  would truncate and how degenerate the corpus's signatures are.
+   *  One aggregate over the banded rows; run before committing to a
+   *  cap, or after a capped run to quantify what the star sampled. */
+  def minhashBucketStats(docs: DataFrame, n: Int = 3, k: Int = 64,
+      bands: Int = 16, minSize: Int = DefaultChainMaxBucket,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    banded(shingled(docs, n, k, idCol, textCol), k, bands)
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("size"), min(col("id")).as("rep"))
+      .filter(col("size") > minSize)
+  }
+
+  /**
+   * Chain-level near-dup clustering: docs → (id, cluster) in one call,
+   * composing [[minhashLshPairs]] and [[clusters]] with the PRODUCTION
+   * default hot-bucket cap ([[DefaultChainMaxBucket]]) — the entry
+   * point to reach for on a real corpus, where the uncapped pair
+   * generators measured 41–94× for 10× data at sf1 while capped runs
+   * stayed at or below linear. Only ids that appear in some verified
+   * pair are returned (singletons are their own cluster — left join +
+   * coalesce on the caller side, same contract as [[clusters]]). Pass
+   * `maxBucketSize = Int.MaxValue` for uncapped calibration runs.
+   */
+  def nearDupClusters(docs: DataFrame, n: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, idCol: String = "doc_id", textCol: String = "text",
+      maxBucketSize: Int = DefaultChainMaxBucket,
+      checkpointDir: Option[String] = None): DataFrame =
+    clusters(
+      minhashLshPairs(docs, n, k, bands, threshold, idCol, textCol, maxBucketSize),
+      checkpointDir = checkpointDir)
 
   /**
    * SimHash over tokens: per-token hash bits vote ±1, sign becomes the
@@ -444,9 +587,14 @@ object Dedup {
    * [[minhashLshPairs]]'s `maxBucketSize`): a chunk value shared by B
    * docs — short or templated docs collapse whole 16-bit chunks to
    * identical values — emits B·(B−1)/2 candidate rows before the
-   * Hamming verify. Blocks over the cap are dropped from candidate
-   * generation; a ≤`maxDist` pair is lost only if ALL FOUR of its
-   * chunks are degenerate-hot. Default keeps exact behavior.
+   * Hamming verify. Blocks at or under the cap keep exact all-pairs;
+   * blocks OVER the cap fall back to a LINEAR star sample anchored at
+   * the block's min-id member, and every candidate is still verified
+   * with the exact Hamming distance — so an over-cap clone cluster
+   * (all four chunks hot) still connects into one component through
+   * its representative instead of escaping dedup. A ≤`maxDist` pair is
+   * lost only if ALL FOUR of its chunks are over-cap and none of their
+   * representatives is an endpoint. Default keeps exact behavior.
    */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
       idCol: String = "doc_id", textCol: String = "text",
@@ -458,17 +606,31 @@ object Dedup {
       posexplode(array((0 until 4).map(i =>
         shiftright(col("simhash"), i * chunkBits).bitwiseAND(mask)): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "v")
-    val chunked =
-      if (maxChunkFreq == Int.MaxValue) allChunked
-      else {
+    val candRows =
+      if (maxChunkFreq == Int.MaxValue) {
+        val a = allChunked.select(col("chunk"), col("v"), col("id").as("id_a"), col("simhash").as("h_a"))
+        val b = allChunked.select(col("chunk"), col("v"), col("id").as("id_b"), col("simhash").as("h_b"))
+        a.join(b, Seq("chunk", "v")).filter(col("id_a") < col("id_b"))
+      } else {
         val hot = allChunked.groupBy(col("chunk"), col("v"))
-          .agg(count(lit(1)).as("_c")).filter(col("_c") > maxChunkFreq)
-          .select(col("chunk"), col("v"))
-        allChunked.join(hot, Seq("chunk", "v"), "left_anti")
+          .agg(count(lit(1)).as("_c"), min(col("id")).as("_rep"),
+            min_by(col("simhash"), col("id")).as("_repH"))
+          .filter(col("_c") > maxChunkFreq)
+        val cold = allChunked.join(hot.select(col("chunk"), col("v")),
+          Seq("chunk", "v"), "left_anti")
+        val a = cold.select(col("chunk"), col("v"), col("id").as("id_a"), col("simhash").as("h_a"))
+        val b = cold.select(col("chunk"), col("v"), col("id").as("id_b"), col("simhash").as("h_b"))
+        val coldPairs = a.join(b, Seq("chunk", "v")).filter(col("id_a") < col("id_b"))
+        // rep = min id of the block, so id_a < id_b by construction
+        val star = allChunked
+          .join(hot.select(col("chunk"), col("v"), col("_rep"), col("_repH")),
+            Seq("chunk", "v"))
+          .filter(col("id") =!= col("_rep"))
+          .select(col("chunk"), col("v"), col("_rep").as("id_a"), col("_repH").as("h_a"),
+            col("id").as("id_b"), col("simhash").as("h_b"))
+        coldPairs.unionByName(star)
       }
-    val a = chunked.select(col("chunk"), col("v"), col("id").as("id_a"), col("simhash").as("h_a"))
-    val b = chunked.select(col("chunk"), col("v"), col("id").as("id_b"), col("simhash").as("h_b"))
-    a.join(b, Seq("chunk", "v")).filter(col("id_a") < col("id_b"))
+    candRows
       .dropDuplicates("id_a", "id_b")
       .withColumn("dist", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .filter(col("dist") <= maxDist)

@@ -129,7 +129,12 @@ object Pipeline {
    * `nearDupMaxBucket` reaches the near-dedup stage's LSH hot-bucket
    * guard ([[graft.functions.Dedup.minhashLshPairs]]) — at corpus
    * scale a degenerate band bucket squares, and the cap must be
-   * settable from the chain, not only on the standalone operator.
+   * settable from the chain, not only on the standalone operator. As a
+   * CHAIN entry point it defaults to the finite, sf1-measured
+   * [[graft.functions.Dedup.DefaultChainMaxBucket]] (uncapped
+   * generation measured 41–94× for 10× data; the star sample keeps
+   * over-cap duplicate clusters deduplicating — see the operator
+   * scaladoc). Pass `Int.MaxValue` for uncapped calibration runs.
    */
   def prepareTrainingData(docs: DataFrame,
       benchmark: Option[DataFrame] = None, lang: String = "en",
@@ -137,7 +142,7 @@ object Pipeline {
       nearDupThreshold: Double = 0.8, spanW: Int = 20, spanMinOcc: Int = 2,
       packBudget: Int = 2048, idCol: String = "doc_id",
       textCol: String = "text", checkpointDir: Option[String] = None,
-      nearDupMaxBucket: Int = Int.MaxValue): DataFrame = {
+      nearDupMaxBucket: Int = Dedup.DefaultChainMaxBucket): DataFrame = {
     def cut(df: DataFrame, stage: String) = Stages.boundary(df, checkpointDir, stage)
     val scrubbed = cut(docs.withColumn(textCol,
       TextFunctions.redactPii(TextFunctions.stripHtml(col(textCol)))),
@@ -207,10 +212,15 @@ object Pipeline {
    * matches a smaller-id document in the same frame (LSH candidates,
    * exact-Jaccard verification). The batch-local half of the incremental
    * dedup story — `Dedup.dedupAgainstIndex` covers batch-vs-history.
+   * Chain surface: `maxBucketSize` defaults to the finite
+   * [[graft.functions.Dedup.DefaultChainMaxBucket]]; over-cap clone
+   * clusters still collapse to their min-id representative through the
+   * star sample. Pass `Int.MaxValue` for the uncapped exact algebra.
    */
   def intraBatchNearDedup(batch: DataFrame, n: Int = 3, k: Int = 64,
       bands: Int = 16, threshold: Double = 0.8, idCol: String = "doc_id",
-      textCol: String = "text", maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      textCol: String = "text",
+      maxBucketSize: Int = Dedup.DefaultChainMaxBucket): DataFrame = {
     val drop = Dedup.minhashLshPairs(batch, n, k, bands, threshold,
       maxBucketSize = maxBucketSize, idCol = idCol, textCol = textCol)
       .select(col("id_b").as(idCol)).distinct()
@@ -233,13 +243,15 @@ object Pipeline {
   def streamingIndexedDedup(stream: DataFrame, indexPath: String,
       checkpoint: String, sink: DataFrame => Unit, n: Int = 3, k: Int = 64,
       bands: Int = 16, threshold: Double = 0.8, idCol: String = "doc_id",
-      textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery =
+      textCol: String = "text",
+      maxBucketSize: Int = Dedup.DefaultChainMaxBucket): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val intra = intraBatchNearDedup(batch, n, k, bands, threshold, idCol, textCol)
+        val intra = intraBatchNearDedup(batch, n, k, bands, threshold, idCol,
+          textCol, maxBucketSize)
         val clean = Dedup.dedupAgainstIndex(spark, intra, indexPath,
           n, k, bands, threshold, idCol, textCol).persist()
         try {

@@ -395,28 +395,63 @@ object Similarity {
    * shrinks AVERAGE buckets, but degenerate vectors — all-zero
    * embeddings, exact-duplicate rows from a failed upstream dedup —
    * collapse onto one signature no matter how many planes, and that
-   * bucket squares. Over-cap signature buckets are dropped from
-   * candidate generation; default keeps exact oracle behavior.
+   * bucket squares. Buckets at or under the cap keep exact all-pairs;
+   * buckets OVER the cap fall back to a LINEAR star sample anchored at
+   * the bucket's min-id member, every candidate still exactly cosine-
+   * verified — so an over-cap duplicate cluster (the single collapsed
+   * signature) still connects into one component through its
+   * representative instead of escaping [[semanticDedup]] untouched.
+   * Default keeps exact oracle behavior; chains default to
+   * [[graft.functions.Dedup.DefaultChainMaxBucket]]. Diagnose with
+   * [[signatureBucketStats]].
    */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double = 0.99, nPlanes: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",
       portable: Boolean = true, maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val allV = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("sig", lshSignature(col("v"), nPlanes, portable))
-    val v =
-      if (maxBucketSize == Int.MaxValue) allV
-      else {
-        val hot = allV.groupBy(col("sig")).agg(count(lit(1)).as("_c"))
-          .filter(col("_c") > maxBucketSize).select(col("sig"))
-        allV.join(hot, Seq("sig"), "left_anti")
+    // a vector has exactly one signature, so a pair shares at most one
+    // bucket and the cold/star streams are disjoint — no distinct needed
+    val cands =
+      if (maxBucketSize == Int.MaxValue) {
+        val a = allV.select(col("sig"), col("id").as("id_a"), col("v").as("v_a"))
+        val b = allV.select(col("sig"), col("id").as("id_b"), col("v").as("v_b"))
+        a.join(b, Seq("sig")).filter(col("id_a") < col("id_b"))
+      } else {
+        val hot = allV.groupBy(col("sig"))
+          .agg(count(lit(1)).as("_c"), min(col("id")).as("_rep"),
+            min_by(col("v"), col("id")).as("_repV"))
+          .filter(col("_c") > maxBucketSize)
+        val cold = allV.join(hot.select(col("sig")), Seq("sig"), "left_anti")
+        val a = cold.select(col("sig"), col("id").as("id_a"), col("v").as("v_a"))
+        val b = cold.select(col("sig"), col("id").as("id_b"), col("v").as("v_b"))
+        val coldPairs = a.join(b, Seq("sig")).filter(col("id_a") < col("id_b"))
+        // rep = min id of the bucket, so id_a < id_b by construction
+        val star = allV.join(hot.select(col("sig"), col("_rep"), col("_repV")), Seq("sig"))
+          .filter(col("id") =!= col("_rep"))
+          .select(col("sig"), col("_rep").as("id_a"), col("_repV").as("v_a"),
+            col("id").as("id_b"), col("v").as("v_b"))
+        coldPairs.unionByName(star)
       }
-    val a = v.select(col("sig"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = v.select(col("sig"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("sig")).filter(col("id_a") < col("id_b"))
+    cands
       .withColumn("score", round(cosine(col("v_a"), col("v_b")), 6))
       .filter(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), col("score"))
   }
+
+  /** Signature-bucket size report for [[cosineNearDupPairs]]'s
+   *  hot-bucket guard: (sig, size, rep) for every LSH signature bucket
+   *  larger than `minSize` — the observability hook for how degenerate
+   *  the embedding space is (collapsed signatures = exact-duplicate or
+   *  all-zero vectors upstream). One aggregate over (id, sig) pairs. */
+  def signatureBucketStats(vectors: DataFrame, nPlanes: Int = 8,
+      minSize: Int = Dedup.DefaultChainMaxBucket, idCol: String = "vec_id",
+      vecCol: String = "embedding", portable: Boolean = true): DataFrame =
+    vectors.select(col(idCol).as("id"),
+        lshSignature(col(vecCol), nPlanes, portable).as("sig"))
+      .groupBy(col("sig"))
+      .agg(count(lit(1)).as("size"), min(col("id")).as("rep"))
+      .filter(col("size") > minSize)
 
   /**
    * SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -435,10 +470,19 @@ object Similarity {
    * Scale shape: signature map stage + one equi-join on the bucket key +
    * O(log diameter) long-key label rounds + one left join back. Vectors
    * never shuffle in the label rounds; only (id, label) longs do.
+   *
+   * As a CHAIN entry point this defaults `maxBucketSize` to the finite
+   * [[graft.functions.Dedup.DefaultChainMaxBucket]] — the sf1-measured
+   * production setting (uncapped candidate generation measured 41–94×
+   * for 10× data on degenerate buckets; capped runs stayed at or below
+   * linear, and the star sample keeps over-cap duplicate clusters
+   * connected, see [[cosineNearDupPairs]]). Pass `Int.MaxValue`
+   * explicitly for uncapped calibration/oracle runs.
    */
   def semanticDedup(vectors: DataFrame, threshold: Double = 0.99, nPlanes: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      portable: Boolean = true, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      portable: Boolean = true,
+      maxBucketSize: Int = Dedup.DefaultChainMaxBucket): DataFrame = {
     val pairs = cosineNearDupPairs(vectors, threshold, nPlanes, idCol, vecCol,
       portable, maxBucketSize)
     // clustered ids are a small fraction of the corpus — AQE broadcasts

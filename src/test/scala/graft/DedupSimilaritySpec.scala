@@ -35,9 +35,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.forall(_.getAs[Double]("jaccard") >= 0.8))
   }
 
-  test("shingle pruning bounds hot blocking keys") {
-    // with maxShingleFreq=1 every shared shingle is pruned → no pairs
-    assert(Dedup.ngramJaccardPairs(docs, 3, 0.8, 1).count() == 0)
+  test("shingle cap: over-cap shingles degrade to an exactly-verified " +
+    "min-id star — capped pairs are true pairs and drop the same docs") {
+    // with maxShingleFreq=1 every shared shingle is over the cap, so all
+    // candidates come from the star sample; each is verified with the
+    // exact SET Jaccard, so capped output ⊆ exact output tuple-for-tuple
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.8, Int.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    val capped = Dedup.ngramJaccardPairs(docs, 3, 0.8, 1)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped.nonEmpty && capped.subsetOf(exact))
+    // a keep-min dedup pass removes the same documents either way (the
+    // star anchors every near-dup group at its min id)
+    def dropped(p: Set[(Long, Long, Double)]) = p.map(_._2)
+    assert(dropped(capped) == dropped(exact))
   }
 
   test("simhash: identical docs distance 0; near-dups within 3 bits") {
@@ -357,9 +368,10 @@ class DedupSimilaritySpec extends SparkSpec {
     val fast = Dedup.winnowPairs(d, k = 4, w = 4, minShared = 1, portable = false)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(fast == pairs)
-    // fingerprint-frequency pruning kills boilerplate-driven pairs
+    // the fingerprint-frequency cap keeps the containment pair flowing
+    // through the min-id star (rep of every hot fp is doc 1)
     assert(Dedup.winnowPairs(d, k = 4, w = 4, minShared = 1, maxFpFreq = 1)
-      .count() == 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet == pairs)
     // edges: w=1 selects every distinct k-gram hash; fewer k-grams than
     // the window selects exactly the single global minimum
     import graft.functions.expressions.VectorExpressions.winnow

@@ -190,8 +190,8 @@ class Round5OpsSpec extends SparkSpec {
 
   // --- LSH hot-bucket guards (BENCH_SF1 follow-up) ---
 
-  test("minhashLshPairs: maxBucketSize drops degenerate-hot buckets, " +
-    "keeps pairs with any non-hot bucket") {
+  test("minhashLshPairs: over-cap buckets degrade to a linear min-id star, " +
+    "so a clone cluster still connects into one component") {
     // 6 identical docs -> one signature -> every band bucket has size 6;
     // a separate identical PAIR has bucket size 2 everywhere
     val clone = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
@@ -204,9 +204,16 @@ class Round5OpsSpec extends SparkSpec {
     assert(uncapped.size == 15 + 1) // C(6,2) clone pairs + the pair
     val capped = Dedup.minhashLshPairs(d, threshold = 0.8, maxBucketSize = 4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    // every clone bucket (size 6) is over the cap -> clone pairs gone;
-    // the size-2 buckets of the pair survive
-    assert(capped == Set((100L, 101L)))
+    // clone buckets (size 6) are over the cap -> the quadratic all-pairs
+    // collapses to the 5-edge star around min-id 0 (exactly verified);
+    // the size-2 buckets of the pair are untouched
+    assert(capped == (1 to 5).map(i => (0L, i.toLong)).toSet + ((100L, 101L)))
+    // the star keeps the whole clone cluster in ONE component, so a
+    // keep-min dedup pass drops the same 5 documents the exact pass does
+    val comps = Dedup.clusters(Dedup.minhashLshPairs(d, threshold = 0.8,
+        maxBucketSize = 4))
+      .as[(Long, Long)].collect().toMap
+    assert((0 to 5).map(i => comps(i.toLong)).toSet == Set(0L))
     // default cap is exact behavior
     val default = Dedup.minhashLshPairs(d, threshold = 0.8,
       maxBucketSize = Int.MaxValue).select("id_a", "id_b")
@@ -214,7 +221,7 @@ class Round5OpsSpec extends SparkSpec {
     assert(default == uncapped)
   }
 
-  test("simhashPairs: maxChunkFreq drops degenerate-hot chunk blocks") {
+  test("simhashPairs: over-cap chunk blocks degrade to a min-id star") {
     val clone = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val pair = "one two three four five six seven eight nine ten eleven"
     val d = ((0 until 6).map(i => (i.toLong, clone)) ++
@@ -225,10 +232,10 @@ class Round5OpsSpec extends SparkSpec {
     assert(uncapped.size == 15 + 1)
     val capped = Dedup.simhashPairs(d, maxDist = 3, maxChunkFreq = 4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(capped == Set((100L, 101L)))
+    assert(capped == (1 to 5).map(i => (0L, i.toLong)).toSet + ((100L, 101L)))
   }
 
-  test("cosineNearDupPairs: maxBucketSize drops degenerate signature buckets") {
+  test("cosineNearDupPairs: over-cap signature buckets degrade to a min-id star") {
     import graft.functions.Similarity
     // 6 identical embeddings share one signature bucket (size 6); a
     // separate identical pair (orthogonal direction) has bucket size 2
@@ -236,13 +243,18 @@ class Round5OpsSpec extends SparkSpec {
     val e2 = Array(-0.5f, 1.0f, -0.25f, 0.75f)
     val d = ((0 until 6).map(i => (i.toLong, e1)) ++
       Seq((100L, e2), (101L, e2))).toDF("vec_id", "embedding")
-    val uncapped = Similarity.cosineNearDupPairs(d, threshold = 0.99, nPlanes = 6)
+    val uncapped = Similarity.cosineNearDupPairs(d, threshold = 0.99, nPlanes = 6,
+      maxBucketSize = Int.MaxValue)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(uncapped.size == 15 + 1)
     val capped = Similarity.cosineNearDupPairs(d, threshold = 0.99, nPlanes = 6,
       maxBucketSize = 4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(capped == Set((100L, 101L)))
+    assert(capped == (1 to 5).map(i => (0L, i.toLong)).toSet + ((100L, 101L)))
+    // the hot bucket shows up in the observability report
+    val stats = Similarity.signatureBucketStats(d, nPlanes = 6, minSize = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(stats.map(s => (s._2, s._3)).toSet == Set((6L, 0L)))
   }
 
   // --- bloom decontamination edge cases (ADVICE r4 #4) ---

@@ -50,22 +50,49 @@ for name in sorted(os.listdir(out_dir)):
     if name not in oracle:
         print(f"{name:25s} NO-ORACLE rows={len(got)}")
         continue
-    timer = None
-    if timeout_s > 0:
-        timer = threading.Timer(timeout_s, con.interrupt)
-        timer.start()
-    try:
-        exp = con.execute(oracle[name]).fetchdf()
-    except duckdb.InterruptException:
+    # Timer/interrupt race: the timer can fire AFTER the query finishes
+    # but BEFORE cancel(), leaving a pending interrupt on the shared
+    # connection that would abort the NEXT oracle spuriously. Track
+    # whether THIS query's timer actually fired; after cancel(), absorb
+    # any pending interrupt with a trivial statement, and retry once on
+    # an InterruptException whose own timer never fired.
+    exp = None
+    timed_out = False
+    for _attempt in range(2):
+        fired = threading.Event()
+        timer = None
+        if timeout_s > 0:
+            timer = threading.Timer(
+                timeout_s, lambda: (fired.set(), con.interrupt()))
+            timer.start()
+        try:
+            exp = con.execute(oracle[name]).fetchdf()
+            break
+        except duckdb.InterruptException:
+            if fired.is_set():
+                timed_out = True
+                break
+            # stale interrupt from a previous query's timer — retry once
+            continue
+        except Exception as e:
+            print(f"{name:25s} ORACLE-ERROR {str(e)[:120]}")
+            fail += 1
+            break
+        finally:
+            if timer:
+                timer.cancel()
+                if fired.is_set():
+                    # interrupt may still be pending if the query won the
+                    # race; absorb it so the next oracle starts clean
+                    try:
+                        con.execute("SELECT 1").fetchall()
+                    except duckdb.InterruptException:
+                        pass
+    if timed_out:
         print(f"{name:25s} ORACLE-TIMEOUT >{timeout_s:.0f}s (not counted)")
         continue
-    except Exception as e:
-        print(f"{name:25s} ORACLE-ERROR {str(e)[:120]}")
-        fail += 1
+    if exp is None:
         continue
-    finally:
-        if timer:
-            timer.cancel()
     g = got.reindex(sorted(got.columns), axis=1)
     e = exp.reindex(sorted(exp.columns), axis=1)
     if sorted(g.columns) != sorted(e.columns):
