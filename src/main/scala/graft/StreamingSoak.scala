@@ -1,0 +1,219 @@
+package graft
+
+import graft.model.{ProcessConfig, Tier}
+import graft.store.TierStore
+import graft.stream.Aggregator
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/**
+ * Sustained streaming soak over the sf1 fixture (round-6 VERDICT ask
+ * #4): drives the three stateful streaming paths from a real FILE
+ * source in micro-batches (maxFilesPerTrigger=1 over pre-split chunk
+ * files), records per-batch throughput and state-store size, and
+ * closes each phase with an end-state check:
+ *
+ *  1. INGEST — `IngestPipeline.runStream` (FIMP decode → filter →
+ *     transform → tier-routed append) over chunked raw envelopes;
+ *     end state must EQUAL the batch `runBatch` of the same events,
+ *     row-multiset-exact (the stateless pipeline's strongest claim).
+ *  2. STATEFUL AGG — `Aggregator.streaming` (flatMapGroupsWithState)
+ *     over time-ordered chunks; state rows and memory per micro-batch
+ *     recorded; end-state check is REPLAY DETERMINISM (fresh
+ *     checkpoint, same chunks → byte-identical output), the property
+ *     the operator's scaladoc claims over the reference's wall-clock
+ *     divergence. (Batch≡streaming value equivalence is pinned at
+ *     micro-batch granularity in StoreStreamSpec — emission ticks are
+ *     per-batch by design, so cross-granularity equality is not a
+ *     defined comparison at arbitrary chunking.)
+ *  3. INDEXED DEDUP — `Pipeline.streamingIndexedDedup` over chunked
+ *     documents; end state (survivor set + persisted index) must EQUAL
+ *     a hand-driven sequential batch loop over the same chunks in the
+ *     same order.
+ *
+ * Usage: runMain graft.StreamingSoak [sfDir] [workDir] [chunks]
+ * Prints one JSON line per phase plus a `soak_summary` line; full
+ * per-batch progress lands in <workDir>/soak_progress.jsonl.
+ */
+object StreamingSoak {
+
+  private final case class BatchStat(phase: String, batchId: Long, inputRows: Long,
+      procMs: Long, stateRows: Long, stateBytes: Long)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("tmp-sf1")
+    val work = args.lift(1).getOrElse("tmp-soak")
+    val chunks = args.lift(2).map(_.toInt).getOrElse(20)
+    val spark = GraftSession.builder(shufflePartitions = 32)
+      .master("local[32]").config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(work), true)
+
+    val stats = new java.util.concurrent.ConcurrentLinkedQueue[BatchStat]()
+    @volatile var phase = ""
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        if (p.numInputRows > 0) {
+          val (sr, sb) = Option(p.stateOperators).filter(_.nonEmpty)
+            .map(ops => (ops.map(_.numRowsTotal).sum, ops.map(_.memoryUsedBytes).sum))
+            .getOrElse((0L, 0L))
+          stats.add(BatchStat(phase, p.batchId, p.numInputRows,
+            Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L),
+            sr, sb))
+        }
+      }
+    })
+
+    /** Split `df` into `n` sequential chunk files under `dir` with
+     *  strictly increasing mtimes so the file source replays them in
+     *  order, one per micro-batch. `orderCol` defines the chunking. */
+    def writeChunks(df: DataFrame, orderCol: String, dir: String, n: Int): Unit = {
+      val tmp = s"$dir.tmp"
+      df.withColumn("_chunk", ntile(n).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))))
+        .repartition(col("_chunk"))
+        .write.partitionBy("_chunk").parquet(tmp)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+      (1 to n).foreach { i =>
+        val src = new org.apache.hadoop.fs.Path(s"$tmp/_chunk=$i")
+        val files = fs.listStatus(src).filter(f =>
+          f.isFile && f.getPath.getName.endsWith(".parquet"))
+        files.zipWithIndex.foreach { case (f, j) =>
+          val dst = new org.apache.hadoop.fs.Path(dir, f"chunk_$i%04d_$j.parquet")
+          fs.rename(f.getPath, dst)
+          fs.setTimes(dst, 1700000000000L + i * 60000L, -1)
+        }
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+
+    def streamDir(dir: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
+
+    def phaseJson(name: String, wallSec: Double, rows: Long, extra: String): String = {
+      val ps = stats.toArray(Array.empty[BatchStat]).filter(_.phase == name)
+      val batches = ps.length
+      val maxState = if (ps.isEmpty) 0L else ps.map(_.stateRows).max
+      val maxStateMb = if (ps.isEmpty) 0.0 else ps.map(_.stateBytes).max / 1e6
+      f"""{"phase":"$name","rows":$rows,"batches":$batches,"wall_sec":$wallSec%.1f,""" +
+        f""""rows_per_sec":${rows / math.max(0.001, wallSec)}%.0f,""" +
+        f""""max_state_rows":$maxState,"max_state_mb":$maxStateMb%.1f$extra}"""
+    }
+
+    val report = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    // ---------------- phase 1: ingest pipeline ----------------
+    {
+      phase = "ingest"
+      val raw = SparkEntry.fimp(spark, sfDir)
+      writeChunks(raw, "event_id", s"$work/in_events", chunks)
+      // interval 0 → as-fast-as-possible triggers (the soak measures
+      // pipeline throughput, not trigger idle time)
+      val config = ProcessConfig(id = 1, saveIntervalMs = 0)
+      val storeStream = new TierStore(spark, s"$work/store_stream")
+      val storeBatch = new TierStore(spark, s"$work/store_batch")
+      val t0 = System.nanoTime()
+      val q = graft.ingest.IngestPipeline.runStream(
+        streamDir(s"$work/in_events", raw.schema), config, None,
+        storeStream, s"$work/ckpt_ingest")
+      q.processAllAvailable(); q.stop()
+      val wall = (System.nanoTime() - t0) / 1e9
+      graft.ingest.IngestPipeline.runBatch(raw, config, None, storeBatch)
+      val tiers = Tier.all
+      def contents(st: TierStore): DataFrame = tiers.map(st.read)
+        .map(df => df.select(df.columns.sorted.map(col): _*))
+        .filter(_.columns.nonEmpty).reduce(_ unionAll _)
+      val sDf = contents(storeStream)
+      val bDf = contents(storeBatch)
+      val sCount = sDf.count(); val bCount = bDf.count()
+      // multiset equality via per-row md5 over all columns
+      def sig(df: DataFrame) = df
+        .select(md5(to_json(struct(df.columns.sorted.map(col): _*))).as("h"))
+        .groupBy("h").count()
+      val diff = sig(sDf).withColumnRenamed("count", "a")
+        .join(sig(bDf).withColumnRenamed("count", "b"), Seq("h"), "full_outer")
+        .filter(coalesce(col("a"), lit(-1)) =!= coalesce(col("b"), lit(-1))).count()
+      require(sCount == bCount && diff == 0,
+        s"ingest stream≠batch: rows $sCount vs $bCount, $diff signature groups differ")
+      report += phaseJson("ingest", wall, sCount, s""","equal_to_batch":true""")
+    }
+
+    // ---------------- phase 2: stateful aggregation ----------------
+    {
+      phase = "agg"
+      import spark.implicits._
+      val pts = SparkEntry.soakPoints(spark, sfDir)
+      writeChunks(pts.toDF(), "time", s"$work/in_points", chunks)
+      def runOnce(tag: String): DataFrame = {
+        val src = streamDir(s"$work/in_points", pts.schema).as[Aggregator.StreamIn]
+        val out = s"$work/agg_out_$tag"
+        val q = Aggregator.streaming(src, samplingMinutes = 10)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$work/ckpt_agg_$tag")
+          .format("parquet").option("path", out).start()
+        q.processAllAvailable(); q.stop()
+        spark.read.parquet(out)
+      }
+      val t0 = System.nanoTime()
+      val out1 = runOnce("a")
+      val wall = (System.nanoTime() - t0) / 1e9
+      val rows = out1.count()
+      val out2 = runOnce("b") // fresh checkpoint, same chunk sequence
+      val d1 = out1.exceptAll(out2).count(); val d2 = out2.exceptAll(out1).count()
+      require(d1 == 0 && d2 == 0, s"agg replay diverged: $d1/$d2 rows differ")
+      val series = pts.toDF().select("series_id").distinct().count()
+      report += phaseJson("agg", wall, rows,
+        s""","replay_deterministic":true,"series":$series""")
+    }
+
+    // ---------------- phase 3: indexed near-dup dedup ----------------
+    {
+      phase = "dedup"
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val nChunks = 10
+      writeChunks(docs, "doc_id", s"$work/in_docs", nChunks)
+      val t0 = System.nanoTime()
+      val q = graft.functions.Pipeline.streamingIndexedDedup(
+        streamDir(s"$work/in_docs", docs.schema),
+        s"$work/idx_stream", s"$work/ckpt_dedup",
+        clean => clean.write.mode("append").parquet(s"$work/survivors_stream"))
+      q.processAllAvailable(); q.stop()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val streamed = spark.read.parquet(s"$work/survivors_stream")
+        .select("doc_id").distinct()
+      // reference: the same per-chunk logic driven by hand over the
+      // EXACT chunk files the stream consumed, in the same mtime order
+      val refSurvivors = (1 to nChunks).map { i =>
+        val chunk = spark.read.schema(docs.schema)
+          .parquet(f"$work/in_docs/chunk_$i%04d_*.parquet")
+        val intra = graft.functions.Pipeline.intraBatchNearDedup(chunk)
+        graft.functions.Dedup.dedupAgainstIndex(spark, intra, s"$work/idx_ref",
+          indexSurvivors = true)
+          .select("doc_id")
+      }.reduce(_ unionAll _)
+      val sSet = streamed.count()
+      val missing = streamed.join(refSurvivors, Seq("doc_id"), "left_anti").count()
+      val extra = refSurvivors.join(streamed, Seq("doc_id"), "left_anti").count()
+      require(missing == 0 && extra == 0,
+        s"dedup stream≠sequential-batch: $missing missing, $extra extra")
+      report += phaseJson("dedup", wall, sSet,
+        s""","survivors":$sSet,"equal_to_sequential_batch":true""")
+    }
+
+    val progress = stats.toArray(Array.empty[BatchStat]).map(s =>
+      s"""{"phase":"${s.phase}","batch":${s.batchId},"rows":${s.inputRows},""" +
+        s""""ms":${s.procMs},"state_rows":${s.stateRows},"state_bytes":${s.stateBytes}}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$work/soak_progress.jsonl"),
+      progress.mkString("", "\n", "\n").getBytes("UTF-8"))
+    report.foreach(println)
+    println(s"""{"soak_summary":[${report.mkString(",")}],"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -64,6 +64,12 @@ object Downsampler {
    * NOTE the watermark gotcha: a finalized window is emitted by the batch
    * AFTER the one that advanced the watermark past its end — with a file
    * source that means emission waits for the next file to arrive.
+   * BOUNDARY: the file source tails the tier's raw APPEND files only;
+   * committed `_v=N` compaction snapshots are underscore-hidden from it
+   * by design (a compaction rewrites history the stream already
+   * processed — re-surfacing it would double-count). A stream started
+   * AFTER history was compacted away should bootstrap with one batch
+   * [[maintain]] pass first.
    */
   def streamingHop(store: graft.store.TierStore, from: Tier, to: Tier,
       checkpoint: String, watermark: String = "30 minutes",

@@ -1,0 +1,223 @@
+package graft.store
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path => HPath}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Expression, Predicate}
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types.{DateType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Manifest-versioned partition layout for the tier store — snapshot
+ * publication that is safe on object stores WITHOUT atomic rename
+ * (S3A emulates rename by copy+delete; the old two-rename swap's own
+ * scaladoc conceded that reopens a visibility window proportional to
+ * partition size).
+ *
+ * Layout inside one (measurement, date) partition directory:
+ *
+ *   date=D/part-*.parquet         unversioned data (plain appends)
+ *   date=D/_v=N/part-*.parquet    snapshot N's data files
+ *   date=D/_commit_N              manifest: snapshot N is committed
+ *
+ * The invariants that make publication race-free with NO atomic
+ * primitive beyond "a newly created small file appears atomically"
+ * (true of HDFS create+close and of a single S3 PUT):
+ *
+ *  - `_`-prefixed entries are invisible to plain Hadoop/Spark listings,
+ *    so a snapshot directory can be staged, renamed, even COPIED file
+ *    by file into place — readers cannot observe it until commit;
+ *  - the commit is the creation of the empty `_commit_N` marker — one
+ *    small object, never renamed, never overwritten;
+ *  - readers resolve each partition to `_v=M` for the LARGEST committed
+ *    M (falling back to the unversioned files when no commit exists),
+ *    pinning the file list AT PLAN TIME — a query carries one coherent
+ *    snapshot per partition end to end, a reader mid-publish sees
+ *    either the old complete snapshot or the new complete one;
+ *  - stale snapshots are vacuumed only AFTER the new commit lands, so
+ *    the only reader a cleanup can affect is one that planned before a
+ *    publish and scanned after the vacuum — the same contract as any
+ *    snapshot store's vacuum (document retention, or configure
+ *    `spark.sql.files.ignoreMissingFiles` for long-running readers).
+ *
+ * Reference behavior being replaced: the InfluxDB backend's compactions
+ * rewrite shards invisibly behind its storage engine
+ * (/root/reference/src/integration/tsdb/storage/influxdb_v1.go:271-413
+ * gives the engine a database per retention tier and delegates shard
+ * publication to InfluxDB); this layout is the Spark-native equivalent
+ * of that publication guarantee on a plain file/object store.
+ */
+object TierLayout {
+
+  private val CommitPrefix = "_commit_"
+
+  def versionDir(part: HPath, v: Long): HPath = new HPath(part, f"_v=$v%d")
+  def commitFile(part: HPath, v: Long): HPath = new HPath(part, f"$CommitPrefix$v%d")
+
+  private def parseCommit(name: String): Option[Long] =
+    if (name.startsWith(CommitPrefix))
+      name.stripPrefix(CommitPrefix).toLongOption
+    else None
+
+  def isDataFile(f: FileStatus): Boolean = {
+    val n = f.getPath.getName
+    f.isFile && !n.startsWith("_") && !n.startsWith(".")
+  }
+
+  /** Largest committed snapshot version in a partition listing, if any. */
+  def currentVersion(entries: Seq[FileStatus]): Option[Long] =
+    entries.flatMap(e => parseCommit(e.getPath.getName)).maxOption
+
+  /** The raw file names a commit FOLDED into its snapshot (excluded
+   *  from reads from that commit on, deletable by vacuum). */
+  def foldedFiles(fs: FileSystem, part: HPath, v: Long): Set[String] = {
+    val p = commitFile(part, v)
+    if (!fs.exists(p)) return Set.empty
+    val in = fs.open(p)
+    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    text.linesIterator.collect {
+      case l if l.startsWith("folded:") => l.stripPrefix("folded:")
+    }.toSet
+  }
+
+  /**
+   * Resolve a partition directory to the data files a reader must scan:
+   * with a committed snapshot N, the files of `_v=N` PLUS any raw data
+   * files the commit did not fold (appends that landed after the
+   * publish stay visible — the manifest lists exactly what it
+   * superseded, Delta-style); with no commit, the raw files alone.
+   * `entries` is the partition directory's own listing (reused so the
+   * common unversioned case costs no extra RPC; a versioned partition
+   * pays one snapshot-dir listing + one small manifest read).
+   */
+  def resolveFiles(fs: FileSystem, part: HPath, entries: Seq[FileStatus]): Seq[FileStatus] =
+    currentVersion(entries) match {
+      case Some(v) =>
+        val dir = versionDir(part, v)
+        val snap = if (fs.exists(dir)) fs.listStatus(dir).toSeq.filter(isDataFile) else Nil
+        val folded = foldedFiles(fs, part, v)
+        snap ++ entries.filter(e => isDataFile(e) && !folded(e.getPath.getName))
+      case None => entries.filter(isDataFile)
+    }
+
+  /** Commit snapshot `v`: create the `_commit_v` manifest (atomic-
+   *  visible on HDFS create+close and as an object-store PUT). The
+   *  manifest records the raw files this snapshot SUPERSEDES — readers
+   *  exclude them, vacuum deletes them, and raw files absent from the
+   *  list (concurrent/later appends) remain first-class data. */
+  def commit(fs: FileSystem, part: HPath, v: Long, folded: Seq[String]): Unit = {
+    val out = fs.create(commitFile(part, v), false)
+    try out.write((s"version=$v\n" +
+      folded.map(n => s"folded:$n\n").mkString).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Drop every snapshot and manifest OLDER than `keep`, plus the raw
+   *  files the `keep` commit folded — called only after that commit is
+   *  durably visible (vacuum semantics: never touches unfolded files,
+   *  so appends racing the publish survive). */
+  def vacuum(fs: FileSystem, part: HPath, keep: Long): Unit = {
+    val folded = foldedFiles(fs, part, keep)
+    fs.listStatus(part).toSeq.foreach { e =>
+      val n = e.getPath.getName
+      parseCommit(n) match {
+        case Some(v) if v < keep => fs.delete(e.getPath, false)
+        case Some(_) => ()
+        case None =>
+          if (n.startsWith("_v=") && n.stripPrefix("_v=").toLongOption.exists(_ < keep))
+            fs.delete(e.getPath, true)
+          else if (isDataFile(e) && folded(n)) fs.delete(e.getPath, false)
+      }
+    }
+  }
+}
+
+/**
+ * Delta-style [[FileIndex]] over one tier of the store: lists the
+ * (measurement, date) partition tree, resolves each partition through
+ * its [[TierLayout]] manifest, and hands Spark the pinned file list —
+ * ONE scan node, partition pruning intact (partition filters are
+ * evaluated here, before any file of a pruned partition is even
+ * listed), and snapshot isolation for free because the resolution
+ * happened at plan time.
+ *
+ * Scale shape: one listing per measurement directory + one per live
+ * partition (+1 for versioned partitions) — the same RPC count Spark's
+ * own InMemoryFileIndex pays to discover the tree, issued from the
+ * driver. Pruned partitions cost their parent listing only.
+ */
+final class TierFileIndex(spark: SparkSession, tierRoot: HPath) extends FileIndex {
+
+  private val fs: FileSystem =
+    tierRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override val partitionSchema: StructType = new StructType()
+    .add("measurement", StringType).add("date", DateType)
+
+  override def rootPaths: Seq[HPath] = Seq(tierRoot)
+
+  // (measurement, date-days, partition dir, resolved files) — resolved
+  // ONCE at construction; `refresh` re-resolves. A new index per query
+  // (TierStore.read constructs one) pins that query's snapshot.
+  private var cached: Seq[(String, Int, HPath, Seq[FileStatus])] = list()
+
+  private def list(): Seq[(String, Int, HPath, Seq[FileStatus])] = {
+    if (!fs.exists(tierRoot)) return Nil
+    for {
+      mDir <- fs.listStatus(tierRoot).toSeq
+      if mDir.isDirectory && mDir.getPath.getName.startsWith("measurement=")
+      // hive-style partition-dir escaping, same rule the writer applied
+      m = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(mDir.getPath.getName.stripPrefix("measurement="))
+      dDir <- fs.listStatus(mDir.getPath).toSeq
+      if dDir.isDirectory && dDir.getPath.getName.startsWith("date=")
+      d = dDir.getPath.getName.stripPrefix("date=")
+      days <- scala.util.Try(java.time.LocalDate.parse(d).toEpochDay.toInt).toOption
+      entries = fs.listStatus(dDir.getPath).toSeq
+    } yield (m, days, dDir.getPath, TierLayout.resolveFiles(fs, dDir.getPath, entries))
+  }
+
+  /** First resolved data file (schema inference anchor). */
+  def firstFile: Option[HPath] =
+    cached.iterator.flatMap(_._4).map(_.getPath).nextOption()
+
+  /** The pinned resolution this index serves: (measurement, date
+   *  string, partition dir, resolved files). Compaction uses it to
+   *  capture EXACTLY the file set its staging scan reads — the folded
+   *  list its commit must record. */
+  def resolvedPartitions: Seq[(String, String, HPath, Seq[FileStatus])] =
+    cached.map { case (m, days, dir, files) =>
+      (m, java.time.LocalDate.ofEpochDay(days.toLong).toString, dir, files)
+    }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val pruned =
+      if (partitionFilters.isEmpty) cached
+      else {
+        // bind by name against the partition schema — same shape as
+        // Spark's own PartitioningAwareFileIndex.prunePartitions
+        val predicate = Predicate.createInterpreted(
+          partitionFilters.reduce(And).transform {
+            case a: AttributeReference =>
+              val idx = partitionSchema.fieldIndex(a.name)
+              BoundReference(idx, partitionSchema(idx).dataType, nullable = true)
+          })
+        predicate.initialize(0)
+        cached.filter { case (m, days, _, _) =>
+          predicate.eval(InternalRow(UTF8String.fromString(m), days))
+        }
+      }
+    pruned.map { case (m, days, _, files) =>
+      PartitionDirectory(InternalRow(UTF8String.fromString(m), days), files.toArray)
+    }
+  }
+
+  override def inputFiles: Array[String] =
+    cached.flatMap(_._4).map(_.getPath.toString).toArray
+
+  override def refresh(): Unit = { cached = list() }
+
+  override def sizeInBytes: Long = cached.flatMap(_._4).map(_.getLen).sum
+}

@@ -59,39 +59,42 @@ final class TierStore(spark: SparkSession, root: String) {
       .foreach(m => rmTree(s"$m/date=$date"))
 
   /** Test seam for the publish race spec: invoked between the bulk
-   *  phases of a partition swap (after staging, before trash cleanup). */
+   *  phases of a partition publish (after staging, after commits). */
   private[graft] var publishHook: String => Unit = _ => ()
 
   /**
-   * Publish a staged partition over a live one with the smallest window
-   * this FileSystem contract allows: ONE metadata rename moves the live
-   * directory into a hidden trash sibling, a second moves the staged
-   * replacement in. A true single-rename replace of a non-empty
-   * directory does not exist in the Hadoop FS API (HDFS `rename` fails
-   * on an existing destination; local FS emulates it) — that is exactly
-   * why table formats (Delta, Iceberg) commit through a manifest. What
-   * this buys at 100 TB: the OLD swap deleted the live partition's data
-   * files first (seconds to minutes of recursive delete during which a
-   * reader sees a partly-deleted partition) and only then renamed; now
-   * the visibility window is two namenode-metadata operations, and the
-   * bulk delete of trashed data happens entirely OUTSIDE it. Residual
-   * caveats, documented as the deployment contract: (a) a reader whose
-   * plan listed files before the swap may hit moved files — set
-   * `spark.sql.files.ignoreMissingFiles` or retry, same as any
-   * compacting store without snapshot isolation; (b) object stores
-   * without atomic rename (S3A) emulate rename by copy+delete — there,
-   * front this store with a manifest-committing table format.
+   * Publish a staged replacement for one partition as the next
+   * [[TierLayout]] snapshot: move the staged directory to `_v=N+1`
+   * (INVISIBLE to readers — underscore-prefixed, uncommitted — so this
+   * "rename" may be a slow object-store copy+delete without opening any
+   * window), then commit with the atomic creation of the `_commit_N+1`
+   * marker. Readers resolve the largest committed snapshot at plan
+   * time, so they see the old complete snapshot or the new complete one
+   * — never a partial partition, on ANY FileSystem contract. This
+   * replaced the round-5 two-rename swap, whose own scaladoc conceded
+   * that S3A's copy+delete rename reopened a window proportional to
+   * partition size. Returns the committed version; the caller vacuums
+   * superseded snapshots AFTER all commits of the maintenance pass.
    */
-  private def swapPartition(live: HPath, fresh: Option[HPath], trash: HPath): Unit = {
-    if (fs.exists(live)) {
-      fs.mkdirs(trash.getParent)
-      fs.rename(live, trash)
+  private def publishPartition(part: HPath, staged: Option[HPath],
+      folded: Seq[String]): Long = {
+    fs.mkdirs(part)
+    val v = TierLayout.currentVersion(fs.listStatus(part).toSeq).getOrElse(0L) + 1
+    val dir = TierLayout.versionDir(part, v)
+    staged match {
+      case Some(s) => fs.rename(s, dir)
+      case None => fs.mkdirs(dir) // retire: commit an empty snapshot
     }
-    fresh.foreach { f =>
-      fs.mkdirs(live.getParent)
-      fs.rename(f, live)
-    }
+    TierLayout.commit(fs, part, v, folded)
+    v
   }
+
+  /** Every raw data file currently in a partition — the folded list for
+   *  REPLACEMENT publishes (the fresh rollup supersedes everything
+   *  present; appends landing after this listing stay visible). */
+  private def rawFiles(part: HPath): Seq[String] =
+    if (!fs.exists(part)) Nil
+    else fs.listStatus(part).toSeq.filter(TierLayout.isDataFile).map(_.getPath.getName)
 
   /** Append points into a tier (S3 batch write sink; process.go:290-337).
    *  Rows are sorted by time within each written file so parquet
@@ -123,17 +126,40 @@ final class TierStore(spark: SparkSession, root: String) {
       .partitionBy("tier", "measurement", "date")
       .parquet(root)
 
-  /** Read a tier table (empty DataFrame with points schema if absent or
-   *  fully expired — an empty partition tree has no schema to infer). */
-  def read(tier: Tier): DataFrame = {
-    val p = path(tier.name)
-    def empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      graft.model.Schemas.points.add("date", org.apache.spark.sql.types.DateType))
-    if (!exists(p)) empty
-    else try spark.read.parquet(p)
-    catch { case _: org.apache.spark.sql.AnalysisException => empty }
-  }
+  /**
+   * Read a tier table (empty DataFrame with points schema if absent or
+   * fully expired — an empty partition tree has no schema to infer).
+   *
+   * Reads go through [[TierFileIndex]]: each (measurement, date)
+   * partition resolves to its largest committed [[TierLayout]] snapshot
+   * (or its plain appended files) AT PLAN TIME, so a query holds one
+   * coherent snapshot per partition for its whole lifetime even while a
+   * compaction publishes underneath it. Still ONE FileSourceScan node —
+   * measurement/date partition pruning is evaluated inside the index,
+   * before pruned partitions are listed.
+   */
+  def read(tier: Tier): DataFrame =
+    indexedRead(new TierFileIndex(spark, new HPath(path(tier.name))))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.model.Schemas.points.add("date", org.apache.spark.sql.types.DateType)))
+
+  /** DataFrame over one ALREADY-CONSTRUCTED index — compaction passes
+   *  the index whose pinned resolution it captured, so its staging scan
+   *  reads exactly the files its commit will record as folded. */
+  private def indexedRead(index: TierFileIndex): Option[DataFrame] =
+    index.firstFile.map { f =>
+      // data schema from one footer (driver-only read); partition
+      // columns come from the index, appended last — same shape the
+      // previous hive-style discovery produced
+      val dataSchema = spark.read.parquet(f.toString).schema
+      val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+        index, index.partitionSchema, dataSchema, None,
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+        Map.empty[String, String])(spark)
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .baseRelationToDataFrame(relation)
+    }
 
   /** SHOW MEASUREMENTS (S8; influxdb_v1.go:376-394) — partition listing,
    *  no data scan. */
@@ -200,40 +226,51 @@ final class TierStore(spark: SparkSession, root: String) {
    * object-store listing long before 100 TB.
    *
    * The compaction PLAN is computed from directory metadata only (no data
-   * jobs); every qualifying partition (≥ `minFiles` files) is then
-   * rewritten by ONE Spark job: a single scan of the qualifying
-   * partitions, hash-bucketed so each partition comes out in
+   * jobs); every qualifying partition (≥ `minFiles` files in its CURRENT
+   * snapshot) is then rewritten by ONE Spark job: a single manifest-
+   * resolved scan of the qualifying partitions (partition-pruned through
+   * [[TierFileIndex]]), hash-bucketed so each partition comes out in
    * ⌈bytes/targetFileBytes⌉ time-sorted files, written to a hidden
-   * staging dir and swapped in per partition via [[swapPartition]] —
-   * two metadata renames per partition, bulk deletes outside the
-   * visibility window, so a concurrent planner read sees the old files
-   * or the new files, never a partly-deleted partition. Still intended
-   * to run from the single-writer maintenance job (the same assumption
-   * the reference's InfluxDB compactions make). Returns the number of
-   * partitions rewritten.
+   * staging dir and published per partition via [[publishPartition]] —
+   * the staged data moves into an invisible `_v=N+1` snapshot (safe even
+   * when the move is an object-store copy), becomes visible with one
+   * atomic `_commit` marker creation, and superseded snapshots are
+   * vacuumed only after every commit of the pass has landed. A
+   * concurrent reader resolves the old snapshot or the new one at plan
+   * time — never a partial partition, on any FileSystem contract. Still
+   * intended to run from the single-writer maintenance job (the same
+   * assumption the reference's InfluxDB compactions make). Returns the
+   * number of partitions rewritten.
    */
   def compact(tier: Tier, targetFileBytes: Long = 128L * 1024 * 1024,
       minFiles: Int = 4): Int = {
-    // (measurement, date, partition dir, bytes) of qualifying partitions
-    val parts = for {
-      mDir <- subDirs(path(tier.name)) if mDir.getName.startsWith("measurement=")
-      dDir <- subDirs(mDir.toString) if dDir.getName.startsWith("date=")
-      files = fs.listStatus(dDir)
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      if files.length >= minFiles
-    } yield (mDir.getName.stripPrefix("measurement="),
-      dDir.getName.stripPrefix("date="), dDir, files.map(_.getLen).sum)
+    // ONE pinned manifest resolution drives the whole pass: the
+    // qualifying check, the staging scan (read through this same
+    // index), and each commit's folded-file list all see the identical
+    // snapshot — an append landing mid-compaction is in none of them
+    // and therefore stays visible and un-vacuumed afterwards.
+    val index = new TierFileIndex(spark, new HPath(path(tier.name)))
+    val parts = index.resolvedPartitions.flatMap { case (m, d, dir, files) =>
+      val pq = files.filter(_.getPath.getName.endsWith(".parquet"))
+      if (pq.length >= minFiles) Some((m, d, dir, pq)) else None
+    }
     if (parts.isEmpty) return 0
 
     val staging = new HPath(path(tier.name), "._compacting") // hidden from scans
     rmTree(staging.toString)
     val sparkL = spark
     import sparkL.implicits._
-    val plan = broadcast(parts.map { case (m, d, _, bytes) =>
-      (m, d, math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt))
+    val plan = broadcast(parts.map { case (m, d, _, files) =>
+      (m, d, math.max(1,
+        math.ceil(files.map(_.getLen).sum.toDouble / targetFileBytes).toInt))
     }.toDF("_m", "_d", "_n"))
-    spark.read.option("basePath", path(tier.name))
-      .parquet(parts.map(_._3.toString): _*)
+    // explicit partition predicate so the scan prunes to the qualifying
+    // partitions inside TierFileIndex (the broadcast join alone would
+    // only filter after listing every partition)
+    val qualifying = parts.map { case (m, d, _, _) =>
+      col("measurement") === m && col("date").cast("string") === d
+    }.reduce(_ || _)
+    indexedRead(index).get.filter(qualifying)
       .join(plan, col("measurement") === col("_m") &&
         col("date").cast("string") === col("_d"))
       .withColumn("_fb", pmod(xxhash64(col("time")), col("_n")))
@@ -243,66 +280,79 @@ final class TierStore(spark: SparkSession, root: String) {
       .write.partitionBy("measurement", "date").parquet(staging.toString)
 
     publishHook("staged")
-    val trash = new HPath(path(tier.name), "._trash")
-    rmTree(trash.toString)
-    var done = 0
-    parts.foreach { case (m, d, dDir, _) =>
-      val fresh = new HPath(staging, s"measurement=$m/date=$d")
+    val escape = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName _
+    val published = parts.flatMap { case (m, d, dir, files) =>
+      val fresh = new HPath(staging, s"measurement=${escape(m)}/date=$d")
       if (fs.exists(fresh)) {
-        swapPartition(dDir, Some(fresh), new HPath(trash, s"measurement=$m/date=$d"))
-        done += 1
-      }
+        // fold exactly the RAW inputs of this pass (snapshot inputs are
+        // superseded by version ordering; anything newer is untouched)
+        val folded = files.filter(_.getPath.getParent == dir).map(_.getPath.getName)
+        Some(dir -> publishPartition(dir, Some(fresh), folded))
+      } else None
     }
     publishHook("swapped")
+    // vacuum superseded snapshots + folded raw files after ALL commits
+    published.foreach { case (dir, v) => TierLayout.vacuum(fs, dir, v) }
     rmTree(staging.toString)
-    rmTree(trash.toString)
-    done
+    published.size
   }
 
   /**
    * Replace the `dates` window of a tier with `fresh` rollup rows (the
    * incremental-maintenance commit; [[graft.rollup.Downsampler.maintain]]).
    * The fresh window is STAGED as a complete parquet dataset first, then
-   * each affected (measurement, date) partition is published with the
-   * two-rename [[swapPartition]]; live partitions inside the window that
-   * got no staged replacement are retired the same way (they no longer
-   * exist in the recomputed rollup). The previous behavior deleted every
-   * overlapping partition BEFORE the aggregation job even ran — minutes
-   * of missing data for concurrent readers; now the window per partition
-   * is two metadata renames and bulk deletes happen after all swaps.
+   * each affected (measurement, date) partition is published as its next
+   * [[TierLayout]] snapshot via [[publishPartition]]; live partitions
+   * inside the window that got no staged replacement are retired by
+   * committing an EMPTY snapshot (they no longer exist in the recomputed
+   * rollup). Superseded snapshots are vacuumed, and fully-retired
+   * partition directories removed, only AFTER every commit of the pass —
+   * so a reader resolving manifests at plan time sees the old window or
+   * the new window, never a mixture and never a partial partition, even
+   * on rename-by-copy object stores.
    */
   def replaceDatePartitions(tier: Tier, fresh: DataFrame, dates: Seq[String]): Unit = {
     val tierPathS = path(tier.name)
     val staging = new HPath(tierPathS, "._restaging")
-    val trash = new HPath(tierPathS, "._trash")
     rmTree(staging.toString)
-    rmTree(trash.toString)
     fresh
       .withColumn("date", to_date(col("time")))
       .repartition(col("measurement"), col("date"))
       .sortWithinPartitions(col("measurement"), col("date"), col("time"))
       .write.partitionBy("measurement", "date").parquet(staging.toString)
     publishHook("staged")
-    // snapshot the staged partition set BEFORE swapping (a swap MOVES the
-    // staged dir, so existence checks after it would lie)
+    // snapshot the staged partition set BEFORE publishing (a publish
+    // MOVES the staged dir, so existence checks after it would lie)
     val staged = (for {
       mDir <- subDirs(staging.toString) if mDir.getName.startsWith("measurement=")
       dDir <- subDirs(mDir.toString) if dDir.getName.startsWith("date=")
     } yield (mDir.getName, dDir.getName)).toSet
-    staged.foreach { case (m, d) =>
-      swapPartition(new HPath(s"$tierPathS/$m/$d"),
-        Some(new HPath(staging, s"$m/$d")), new HPath(trash, s"$m/$d"))
+    val published = staged.toSeq.map { case (m, d) =>
+      val part = new HPath(s"$tierPathS/$m/$d")
+      // replacement semantics: the fresh rollup supersedes every raw
+      // file present NOW — fold them all
+      part -> publishPartition(part, Some(new HPath(staging, s"$m/$d")), rawFiles(part))
     }
     val dateSet = dates.toSet
-    for {
+    val retired = for {
       mDir <- subDirs(tierPathS) if mDir.getName.startsWith("measurement=")
       dDir <- subDirs(mDir.toString) if dDir.getName.startsWith("date=")
       if dateSet.contains(dDir.getName.stripPrefix("date="))
       if !staged((mDir.getName, dDir.getName))
-    } swapPartition(dDir, None, new HPath(trash, s"${mDir.getName}/${dDir.getName}"))
+    } yield dDir -> publishPartition(dDir, None, rawFiles(dDir))
     publishHook("swapped")
+    // cleanup phase — every commit is visible, so plan-time resolution
+    // cannot land on anything being deleted below
+    published.foreach { case (part, v) => TierLayout.vacuum(fs, part, v) }
+    retired.foreach { case (part, v) =>
+      TierLayout.vacuum(fs, part, v)
+      rmTree(part.toString) // logically empty: remove dir + its manifests
+    }
+    // prune measurement dirs the retirement emptied
+    subDirs(tierPathS)
+      .filter(m => m.getName.startsWith("measurement=") && subDirs(m.toString).isEmpty)
+      .foreach(m => rmTree(m.toString))
     rmTree(staging.toString)
-    rmTree(trash.toString)
   }
 }
 

@@ -126,8 +126,13 @@ class StoreStreamSpec extends SparkSpec {
     // 6 micro-batch-style appends into the same (measurement, date)
     (1 to 6).foreach(i => store.write(Tier.GenRaw, pts(("sensor_temp", "2024-01-01", i.toDouble))))
     def parquetFiles() = {
-      val dir = new java.io.File(s"$root/tier=gen_raw/measurement=sensor_temp/date=2024-01-01")
-      dir.listFiles().count(_.getName.endsWith(".parquet"))
+      // count through the manifest resolution: compacted data lives in
+      // the partition's committed _v=N snapshot, not the dir root
+      val part = new org.apache.hadoop.fs.Path(
+        s"$root/tier=gen_raw/measurement=sensor_temp/date=2024-01-01")
+      val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.store.TierLayout.resolveFiles(fs, part, fs.listStatus(part).toSeq)
+        .count(_.getPath.getName.endsWith(".parquet"))
     }
     assert(parquetFiles() >= 6)
     val before = store.read(Tier.GenRaw).collect()
@@ -160,8 +165,10 @@ class StoreStreamSpec extends SparkSpec {
     // partition — 6 partitions must stay well under 6 jobs
     assert(jobsUsed <= 5, s"compaction of 6 partitions ran $jobsUsed jobs — must not scale with partitions")
     for (m <- Seq("m_a", "m_b", "m_c"); day <- Seq("2024-01-01", "2024-01-02")) {
-      val dir = new java.io.File(s"$root/tier=gen_raw/measurement=$m/date=$day")
-      assert(dir.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+      val part = new org.apache.hadoop.fs.Path(s"$root/tier=gen_raw/measurement=$m/date=$day")
+      val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(graft.store.TierLayout.resolveFiles(fs, part, fs.listStatus(part).toSeq)
+        .count(_.getPath.getName.endsWith(".parquet")) == 1)
     }
     val after = store.read(Tier.GenRaw).collect()
       .map(r => (r.getAs[String]("measurement"), r.getAs[Double]("value"))).sorted.toSeq
