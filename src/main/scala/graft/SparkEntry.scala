@@ -998,10 +998,16 @@ object SparkEntry {
       // path is trainBpe → applyMerges; a fixed table keeps the oracle
       // static): piece count + md5 over SOH-joined pieces pins every
       // merge decision cross-engine
-      val pieces = graft.functions.Vocab.applyMerges(col("text"), BpeDemoMerges)
-      table(s, dir, "documents").select(col("doc_id"),
-        size(pieces).cast("long").as("n_pieces"),
-        md5(concat_ws("\u0001", pieces)).as("piece_md5"))
+      // The merge chain is aliased in its OWN projection and referenced
+      // twice above it, so CollapseProject keeps it materialized once
+      // per row — filtering directly on size(applyMerges(..)) pushed
+      // the whole regex chain into the filter as a third evaluation
+      // (the round-5 5x regression the round-6 A/B isolated).
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        graft.functions.Vocab.applyMerges(col("text"), BpeDemoMerges).as("_pieces"))
+      docs.select(col("doc_id"),
+        size(col("_pieces")).cast("long").as("n_pieces"),
+        md5(concat_ws("\u0001", col("_pieces"))).as("piece_md5"))
         // the oracle's GROUP BY over unnested words omits token-free
         // docs; match it by dropping them here too
         .filter(col("n_pieces") > 0)

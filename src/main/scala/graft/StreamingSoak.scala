@@ -114,8 +114,11 @@ object StreamingSoak {
       val raw = SparkEntry.fimp(spark, sfDir)
       writeChunks(raw, "event_id", s"$work/in_events", chunks)
       // interval 0 → as-fast-as-possible triggers (the soak measures
-      // pipeline throughput, not trigger idle time)
-      val config = ProcessConfig(id = 1, saveIntervalMs = 0)
+      // pipeline throughput, not trigger idle time); one allow-all
+      // filter — an EMPTY chain drops everything by the reference's
+      // filter-entry contract (FilterCompiler.compileEntry → false)
+      val config = ProcessConfig(id = 1, saveIntervalMs = 0,
+        filters = Seq(graft.model.Filter(id = 1)))
       val storeStream = new TierStore(spark, s"$work/store_stream")
       val storeBatch = new TierStore(spark, s"$work/store_batch")
       val t0 = System.nanoTime()
@@ -125,22 +128,25 @@ object StreamingSoak {
       q.processAllAvailable(); q.stop()
       val wall = (System.nanoTime() - t0) / 1e9
       graft.ingest.IngestPipeline.runBatch(raw, config, None, storeBatch)
-      val tiers = Tier.all
-      def contents(st: TierStore): DataFrame = tiers.map(st.read)
-        .map(df => df.select(df.columns.sorted.map(col): _*))
-        .filter(_.columns.nonEmpty).reduce(_ unionAll _)
-      val sDf = contents(storeStream)
-      val bDf = contents(storeBatch)
-      val sCount = sDf.count(); val bCount = bDf.count()
-      // multiset equality via per-row md5 over all columns
-      def sig(df: DataFrame) = df
-        .select(md5(to_json(struct(df.columns.sorted.map(col): _*))).as("h"))
-        .groupBy("h").count()
-      val diff = sig(sDf).withColumnRenamed("count", "a")
-        .join(sig(bDf).withColumnRenamed("count", "b"), Seq("h"), "full_outer")
-        .filter(coalesce(col("a"), lit(-1)) =!= coalesce(col("b"), lit(-1))).count()
-      require(sCount == bCount && diff == 0,
-        s"ingest stream≠batch: rows $sCount vs $bCount, $diff signature groups differ")
+      // per-tier multiset equality via per-row md5 over all columns
+      var sCount = 0L
+      Tier.all.foreach { t =>
+        val s = storeStream.read(t); val b = storeBatch.read(t)
+        val sc = s.count(); val bc = b.count()
+        require(sc == bc, s"ingest stream≠batch tier ${t.name}: $sc vs $bc rows")
+        sCount += sc
+        if (sc > 0) {
+          val cols = s.columns.sorted
+          def sig(df: DataFrame) = df
+            .select(md5(to_json(struct(cols.map(col): _*))).as("h"))
+            .groupBy("h").count()
+          val diff = sig(s).withColumnRenamed("count", "a")
+            .join(sig(b).withColumnRenamed("count", "b"), Seq("h"), "full_outer")
+            .filter(coalesce(col("a"), lit(-1)) =!= coalesce(col("b"), lit(-1))).count()
+          require(diff == 0, s"ingest stream≠batch tier ${t.name}: $diff signature groups differ")
+        }
+      }
+      require(sCount > 0, "ingest soak wrote no rows — equality would be vacuous")
       report += phaseJson("ingest", wall, sCount, s""","equal_to_batch":true""")
     }
 
@@ -187,20 +193,25 @@ object StreamingSoak {
       q.processAllAvailable(); q.stop()
       val wall = (System.nanoTime() - t0) / 1e9
       val streamed = spark.read.parquet(s"$work/survivors_stream")
-        .select("doc_id").distinct()
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
       // reference: the same per-chunk logic driven by hand over the
-      // EXACT chunk files the stream consumed, in the same mtime order
-      val refSurvivors = (1 to nChunks).map { i =>
+      // EXACT chunk files the stream consumed, in the same mtime order.
+      // Survivors are MATERIALIZED per chunk (collect) — a lazy union
+      // re-evaluates each chunk's anti-join against a later index state
+      // and silently changes the sequential semantics (measured: 492 vs
+      // the true 476 on the sf0.01 smoke fixture).
+      val refSurvivors = scala.collection.mutable.Set.empty[Long]
+      (1 to nChunks).foreach { i =>
         val chunk = spark.read.schema(docs.schema)
           .parquet(f"$work/in_docs/chunk_$i%04d_*.parquet")
         val intra = graft.functions.Pipeline.intraBatchNearDedup(chunk)
-        graft.functions.Dedup.dedupAgainstIndex(spark, intra, s"$work/idx_ref",
-          indexSurvivors = true)
-          .select("doc_id")
-      }.reduce(_ unionAll _)
-      val sSet = streamed.count()
-      val missing = streamed.join(refSurvivors, Seq("doc_id"), "left_anti").count()
-      val extra = refSurvivors.join(streamed, Seq("doc_id"), "left_anti").count()
+        refSurvivors ++= graft.functions.Dedup.dedupAgainstIndex(spark, intra,
+          s"$work/idx_ref", indexSurvivors = true)
+          .select("doc_id").collect().map(_.getLong(0))
+      }
+      val sSet = streamed.size.toLong
+      val missing = streamed.diff(refSurvivors).size
+      val extra = refSurvivors.diff(streamed).size
       require(missing == 0 && extra == 0,
         s"dedup stream≠sequential-batch: $missing missing, $extra extra")
       report += phaseJson("dedup", wall, sSet,
