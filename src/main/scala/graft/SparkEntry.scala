@@ -1144,6 +1144,113 @@ object SparkEntry {
           when(col("doc_id") % 11 === 0, "function() { return 1; }")
             .otherwise("the last line ends properly.")))
       graft.functions.RuleFilters.c4Filter(docs)
+    }),
+
+    // --- scale machinery, oracle-verified (previously spec-only) ---
+
+    "q_salted_agg" -> ((s, dir) => {
+      // two-phase skew-salted aggregation (Salting.saltedAgg): the hot
+      // measurement key is spread over 8 deterministic sub-keys, partials
+      // merged per real key. Integer cents make the two-phase sum
+      // order-independent — the salted plan is hash-EXACT against
+      // DuckDB's flat GROUP BY, not approximately equal
+      val df = points(s, dir, "app_").select(col("measurement"),
+        round(col("value") * 100).cast("long").as("total"),
+        lit(1L).as("n"), col("dev_id"), col("time"))
+      graft.functions.Salting.saltedAgg(df, Seq("measurement"), salt = 8,
+        partials = Map(
+          "total" -> (((c: Column) => sum(c), (c: Column) => sum(c))),
+          "n" -> (((c: Column) => sum(c), (c: Column) => sum(c)))),
+        saltSource = Seq("dev_id", "time"))
+    }),
+
+    "s7_sql_registry" -> ((s, dir) => {
+      // the SQL function surface (functions.Registry): engine expressions
+      // reached purely through spark.sql strings — the raw-SQL entry
+      // point a BI tool uses. lsh_signature's plane generator and
+      // nfc_normalize are both replicated bit-for-bit in the oracle
+      graft.functions.Registry.registerAll(s)
+      table(s, dir, "embeddings").createOrReplaceTempView("embeddings_v")
+      table(s, dir, "documents").createOrReplaceTempView("documents_v")
+      s.sql("""SELECT e.vec_id, lsh_signature(e.embedding, 6) AS sig,
+        md5(nfc_normalize(d.text)) AS nfc_md5
+        FROM embeddings_v e JOIN documents_v d ON d.doc_id = e.vec_id""")
+    }),
+
+    "s9_rollup_maintain" -> ((s, dir) => {
+      // the FULL maintenance path, round-tripped: routed write → incre-
+      // mental cascade rebuild via replaceDatePartitions (manifest-gated
+      // snapshot publish) → per-tier retention expiry (gen_day keeps 2
+      // weeks before Now = dates >= 2024-01-18, so gen_week only sees the
+      // surviving window) → compaction → read back through TierFileIndex.
+      // The oracle recomputes gen_week (10-min avg over the 1-min gen_day
+      // rollup) from the original events under the same retention cut —
+      // loss, duplication, a broken manifest, or a mis-published snapshot
+      // anywhere in the chain breaks the hash
+      val root = java.nio.file.Files.createTempDirectory("graft_s9m")
+        .toFile.getAbsolutePath
+      val store = new graft.store.TierStore(s, root)
+      store.writeRouted(points(s, dir, "sensor_"))
+      Downsampler.maintain(store, Now, sinceDays = 60)
+      store.read(graft.model.Tier.GenWeek).select(
+        col("measurement"), col("dev_id"), col("dev_type"), col("dir"),
+        col("location_id"), unix_timestamp(col("time")).as("time"),
+        round(col("value"), 6).as("value"))
+    }),
+
+    "q_bucketed_join" -> ((s, dir) => {
+      // bucketed-storage round trip (store.Bucketing): both sides written
+      // bucketed on the join key (the zero-Exchange plan is pinned by
+      // BucketingSpec; the oracle pins that bucketed writes lose, dup, or
+      // corrupt nothing). The result is materialized (localCheckpoint)
+      // so the catalog entries and files can be dropped before returning
+      val root = java.nio.file.Files.createTempDirectory("graft_bkt")
+        .toFile.getAbsolutePath
+      graft.store.Bucketing.writeBucketed(
+        table(s, dir, "documents").select(col("doc_id"), col("text")),
+        "bkt_docs", s"$root/docs", 8, Seq("doc_id"))
+      graft.store.Bucketing.writeBucketed(
+        table(s, dir, "embeddings"),
+        "bkt_embs", s"$root/embs", 8, Seq("vec_id"))
+      val out = graft.store.Bucketing.table(s, "bkt_docs")
+        .join(graft.store.Bucketing.table(s, "bkt_embs"),
+          col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+          size(col("embedding")).cast("long").as("dims"), col("label"))
+        .localCheckpoint()
+      graft.store.Bucketing.drop(s, "bkt_docs", purge = true)
+      graft.store.Bucketing.drop(s, "bkt_embs", purge = true)
+      out
+    }),
+
+    "a1_windowed_stream" -> ((s, dir) => {
+      // the watermarked windowed-aggregation twin of a1 (Aggregator.
+      // streamingWindowed), driven through a REAL file-source micro-batch
+      // run: append mode emits exactly the windows the final watermark
+      // (max event time − 2 h) has sealed; the oracle computes the same
+      // windows with the same cutoff from the original events. Pins the
+      // watermark semantics end-to-end, not just the window math
+      val work = java.nio.file.Files.createTempDirectory("graft_a1w")
+        .toFile.getAbsolutePath
+      val pts = events(s, dir).select(
+        concat(lit("sensor_"), col("event_type")).as("measurement"),
+        col("ts").as("time"),
+        round(col("value") * 100).cast("long").cast("double").as("value"),
+        element_at(array(lit("mean"), lit("min"), lit("max"), lit("sum"), lit("last")),
+          (col("user_id") % 5).cast("int") + 1).as("agg_func"),
+        concat(lit("sensor_"), col("event_type"), lit(";"),
+          col("user_id").cast("string")).as("series_id"))
+      pts.write.parquet(s"$work/in")
+      val q = Aggregator.streamingWindowed(
+          s.readStream.schema(pts.schema).parquet(s"$work/in"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$work/ckpt")
+        .format("parquet").option("path", s"$work/out").start()
+      q.processAllAvailable(); q.stop()
+      s.read.parquet(s"$work/out").select(
+        col("series_id"), col("measurement"), col("agg_func"),
+        unix_timestamp(col("time")).as("time"),
+        round(col("value"), 6).as("value"))
     }))
 
   /**
@@ -2689,5 +2796,76 @@ object SparkEntry {
         |  WHERE strpos(t, '{') = 0 AND strpos(lower(t), 'lorem ipsum') = 0)
         |SELECT doc_id, array_to_string(ls, chr(10)) AS clean_text,
         |  CAST(len(ls) AS BIGINT) AS n_lines
-        |FROM kept WHERE len(ls) >= 2""".stripMargin)
+        |FROM kept WHERE len(ls) >= 2""".stripMargin,
+
+    // the salted two-phase plan must be hash-EXACT against the flat
+    // group-by — integer cents make sum order-independent
+    "q_salted_agg" ->
+      """SELECT 'app_' || event_type AS measurement,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS total,
+        |  count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // sim_lsh_pairs' 6-plane generator (signature as a 6-bit long) +
+    // text_nfc's normalization, both reached through raw SQL strings
+    "s7_sql_registry" ->
+      """WITH el AS (
+        |  SELECT vec_id, unnest(embedding) AS e, unnest(range(len(embedding))) AS i
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT vec_id, p,
+        |         sum(CAST(e AS DOUBLE) *
+        |             (CAST((((p*65537 + i + 1)*(p*65537 + i + 1)) % 1000003)
+        |                   * 2654435761 % 1000000 AS DOUBLE) / 1000000.0 - 0.5)) AS dot
+        |  FROM el CROSS JOIN (SELECT unnest(range(6)) AS p) GROUP BY 1, 2),
+        |sigs AS (
+        |  SELECT vec_id, sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS sig
+        |  FROM dots GROUP BY 1)
+        |SELECT s.vec_id, s.sig, md5(nfc_normalize(d.text)) AS nfc_md5
+        |FROM sigs s JOIN documents d ON d.doc_id = s.vec_id""".stripMargin,
+
+    // gen_week = 10-min avg over gen_day's 1-min avg of the routed raw
+    // points, restricted to the dates gen_day's 2-week retention keeps
+    // (Now = 2024-02-01 → cutoff 2024-01-18); 600 s divides 86400 so no
+    // bucket straddles a date partition
+    "s9_rollup_maintain" ->
+      s"""WITH ${ptsCte("sensor_")},
+         |t1 AS (SELECT m, dev_id, dev_type, dir, loc,
+         |         CAST(floor(tsec / 60) * 60 AS BIGINT) b, avg(v) v
+         |       FROM pts GROUP BY 1, 2, 3, 4, 5, 6),
+         |t1k AS (SELECT * FROM t1
+         |        WHERE CAST(to_timestamp(b) AS DATE) >= DATE '2024-01-18'),
+         |t2 AS (SELECT m, dev_id, dev_type, dir, loc,
+         |         CAST(floor(b / 600) * 600 AS BIGINT) b, avg(v) v
+         |       FROM t1k GROUP BY 1, 2, 3, 4, 5, 6)
+         |SELECT m AS measurement, dev_id, dev_type, dir, loc AS location_id,
+         |       b AS time, round(v, 6) AS value FROM t2""".stripMargin,
+
+    "q_bucketed_join" ->
+      """SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+        |  CAST(len(e.embedding) AS BIGINT) AS dims, e.label
+        |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id""".stripMargin,
+
+    // append-mode emission = windows sealed by the final watermark
+    // (max event time − 2 h); window ends are whole 30 s multiples and
+    // event times carry sub-second parts, so the floored-seconds cutoff
+    // is exact
+    "a1_windowed_stream" ->
+      """WITH pts AS (
+        |  SELECT 'sensor_' || event_type AS m,
+        |    'sensor_' || event_type || ';' || CAST(user_id AS VARCHAR) AS sid,
+        |    CASE CAST(user_id % 5 AS INT) WHEN 0 THEN 'mean' WHEN 1 THEN 'min'
+        |      WHEN 2 THEN 'max' WHEN 3 THEN 'sum' ELSE 'last' END AS f,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+        |    CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS c
+        |  FROM events),
+        |agg AS (SELECT sid, m, f, CAST(floor(tsec / 30) * 30 AS BIGINT) b,
+        |    avg(c) mv, min(c) mnv, max(c) mxv, sum(c) sv
+        |  FROM pts WHERE f IN ('mean', 'min', 'max', 'sum') GROUP BY 1, 2, 3, 4),
+        |wm AS (SELECT max(tsec) - 7200 AS w FROM pts)
+        |SELECT sid AS series_id, m AS measurement, f AS agg_func,
+        |  b + 30 AS time,
+        |  round(CASE f WHEN 'mean' THEN mv WHEN 'min' THEN mnv
+        |               WHEN 'max' THEN mxv ELSE sv END, 6) AS value
+        |FROM agg CROSS JOIN wm WHERE b + 30 <= w""".stripMargin)
 }
