@@ -967,6 +967,17 @@ object SparkEntry {
       graft.functions.Retrieval.bm25TopK(table(s, dir, "documents"),
         Seq("table", "hash", "merge", "scan"), k = 20)),
 
+    "text_rrf_hybrid" -> ((s, dir) =>
+      // hybrid first-stage retrieval: BM25 top-30 fused with cosine
+      // top-30 (query = vec 0's embedding) via Reciprocal Rank Fusion;
+      // contributions are floor(1e6/(60+rank)) — pure integer
+      // arithmetic, so the fused ranking is bit-portable
+      graft.functions.Retrieval.hybridTopK(
+        table(s, dir, "documents"), table(s, dir, "embeddings"),
+        Seq("table", "hash", "merge", "scan"),
+        table(s, dir, "embeddings").filter(col("vec_id") === 0),
+        k = 20, poolK = 30)),
+
     "decon_bloom" -> ((s, dir) => {
       // bloom-prefiltered decontamination: same benchmark split as
       // decon_overlap but 3-grams; the bloom stage only prunes what
@@ -2513,6 +2524,53 @@ object SparkEntry {
     // per-term contribution is quantized to integer micro-points BEFORE
     // the per-doc sum so the aggregation is order-independent
     "text_bm25" -> Bm25OracleSql,
+
+    // BM25 CTEs verbatim from Bm25OracleSql (unlimited, ranked then cut
+    // at the pool — ≡ limit-then-rank), cosine CTEs from
+    // sim_cosine_topk with the single query vec 0; RRF contributions
+    // are exact integer floor(1e6/(60+rank))
+    "text_rrf_hybrid" ->
+      """WITH toks AS (
+        |  SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('table', 'hash', 'merge', 'scan')
+        |       GROUP BY doc_id, dl, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |stats AS (SELECT count(*) AS n_docs,
+        |    sum(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)) AS total_dl
+        |  FROM documents),
+        |contrib AS (
+        |  SELECT tf.doc_id,
+        |    CAST(floor(
+        |      ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) *
+        |        (CAST(tf AS DOUBLE) * 2.2) /
+        |        (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(total_dl AS DOUBLE) / n_docs)))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS contrib_q6
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+        |bm AS (SELECT doc_id, CAST(sum(contrib_q6) AS BIGINT) AS score_q6
+        |       FROM contrib GROUP BY doc_id),
+        |lex AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY score_q6 DESC, doc_id) r FROM bm),
+        |q AS (SELECT embedding qv FROM embeddings WHERE vec_id = 0),
+        |pr AS (SELECT e.vec_id, q.qv, e.embedding cv
+        |       FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+        |z AS (SELECT vec_id, CAST(unnest(qv) AS DOUBLE) a,
+        |        CAST(unnest(cv) AS DOUBLE) b FROM pr),
+        |sd AS (SELECT vec_id, sum(a * b) dot, sqrt(sum(a * a)) na,
+        |        sqrt(sum(b * b)) nb FROM z GROUP BY 1),
+        |sc AS (SELECT vec_id, round(CASE WHEN na > 0 AND nb > 0
+        |        THEN dot / (na * nb) ELSE 0 END, 6) score FROM sd),
+        |sem AS (SELECT vec_id AS doc_id,
+        |    row_number() OVER (ORDER BY score DESC, vec_id) r FROM sc),
+        |u AS (SELECT doc_id, CAST(floor(1000000.0 / (60 + r)) AS BIGINT) c
+        |      FROM lex WHERE r <= 30
+        |      UNION ALL
+        |      SELECT doc_id, CAST(floor(1000000.0 / (60 + r)) AS BIGINT) c
+        |      FROM sem WHERE r <= 30)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_q6, count(*) AS n_lists
+        |FROM u GROUP BY 1 ORDER BY rrf_q6 DESC, doc_id LIMIT 20""".stripMargin,
 
     // bloom prefilter is exactness-preserving: the oracle is the plain
     // distinct-3-gram overlap between corpus and benchmark halves

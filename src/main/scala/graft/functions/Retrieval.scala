@@ -122,4 +122,73 @@ object Retrieval {
       .limit(k)
       .select(col("doc_id"), col("score_q6"))
   }
+
+  /**
+   * Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of N
+   * ranked candidate lists: score(d) = Σ_lists 1/(kRrf + rank_d(list)),
+   * the standard way to combine a lexical (BM25) and a semantic (cosine
+   * ANN) ranking without calibrating their incomparable score scales.
+   *
+   * Each input carries (`byCols`…, doc_id, rank); a document absent from
+   * a list simply contributes nothing for it. Contributions are the
+   * integer micro-points floor(1e6/(kRrf+rank)) — pure integer
+   * arithmetic, so the fused score is order-independent and reproducible
+   * bit-for-bit in any engine (same determinism contract as the BM25
+   * quantization above).
+   *
+   * Scale shape: inputs are per-query top-k pools (each ≤ poolK rows per
+   * `byCols` group, limit-bounded upstream), so the union + hash-agg +
+   * final top-k move only candidate tuples — never the corpus. With
+   * `byCols` (e.g. a query_id for batched multi-query fusion) the final
+   * cut is a per-group WindowGroupLimit; without, TakeOrderedAndProject.
+   */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, kRrf: Int = 60,
+      byCols: Seq[String] = Nil): DataFrame = {
+    require(rankings.nonEmpty, "rankings must be non-empty")
+    val keyCols = byCols :+ "doc_id"
+    val contribs = rankings.map(_.select(keyCols.map(col) :+
+      floor(lit(1000000.0) / (lit(kRrf) + col("rank"))).cast("long")
+        .as("contrib_q6"): _*))
+    val fused = contribs.reduce(_ unionAll _)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum("contrib_q6").as("rrf_q6"), count(lit(1)).as("n_lists"))
+    if (byCols.isEmpty)
+      fused.orderBy(col("rrf_q6").desc, col("doc_id")).limit(k)
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(byCols.map(col): _*)
+        .orderBy(col("rrf_q6").desc, col("doc_id"))
+      fused.withColumn("_r", row_number().over(w)).filter(col("_r") <= k)
+        .drop("_r")
+    }
+  }
+
+  /**
+   * Hybrid first-stage retrieval for ONE query: BM25 over the text
+   * column fused with brute-force cosine over the embedding column via
+   * [[rrfFuse]]. `queryVec` is a one-row DataFrame holding the query
+   * embedding (its id is excluded from the semantic list, per
+   * Similarity.bruteForceTopK). Batched multi-query fusion composes
+   * ranked lists tagged with a query id and calls [[rrfFuse]] with
+   * `byCols` directly.
+   *
+   * The global row_number on the lexical side ranks bm25TopK's OUTPUT —
+   * a limit(poolK)-bounded frame, never the corpus (PlanAudit accepts
+   * global windows over limit-bounded children for exactly this shape).
+   */
+  def hybridTopK(docs: DataFrame, embeddings: DataFrame,
+      queryTerms: Seq[String], queryVec: DataFrame, k: Int = 10,
+      poolK: Int = 100, kRrf: Int = 60,
+      idCol: String = "doc_id", textCol: String = "text",
+      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val lex = bm25TopK(docs, queryTerms, poolK, idCol = idCol, textCol = textCol)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_q6").desc, col(idCol))))
+      .select(col(idCol).as("doc_id"), col("rank"))
+    val sem = Similarity.bruteForceTopK(embeddings, queryVec, poolK,
+        idCol = vecIdCol, vecCol = vecCol)
+      .select(col("vec_id").as("doc_id"), col("rank"))
+    rrfFuse(Seq(lex, sem), k, kRrf)
+  }
 }

@@ -102,4 +102,46 @@ class Round6OpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(capped == uncapped)
   }
+
+  test("RRF fusion: exact integer scores, both-lists beats one-list, " +
+    "absence contributes nothing") {
+    import graft.functions.Retrieval
+    // doc 1 is rank 1 in both lists; doc 2 rank 2 lexical only; doc 3
+    // rank 2 semantic only; doc 4 rank 3 lexical only
+    val lex = Seq((1L, 1), (2L, 2), (4L, 3)).toDF("doc_id", "rank")
+    val sem = Seq((1L, 1), (3L, 2)).toDF("doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(lex, sem), k = 10)
+      .orderBy(org.apache.spark.sql.functions.col("rrf_q6").desc,
+        org.apache.spark.sql.functions.col("doc_id"))
+      .as[(Long, Long, Long)].collect().toSeq
+    def c(r: Int) = 1000000L / (60L + r) // integer floor, exactly the op's math
+    assert(out == Seq(
+      (1L, c(1) + c(1), 2L),
+      (2L, c(2), 1L), (3L, c(2), 1L), // ties broken by doc_id downstream
+      (4L, c(3), 1L)))
+    // per-query (byCols) form: each query group cut independently
+    val lexQ = Seq(("a", 1L, 1), ("a", 2L, 2), ("b", 2L, 1)).toDF("q", "doc_id", "rank")
+    val semQ = Seq(("a", 1L, 1), ("b", 9L, 1)).toDF("q", "doc_id", "rank")
+    val byQ = Retrieval.rrfFuse(Seq(lexQ, semQ), k = 1, byCols = Seq("q"))
+      .select("q", "doc_id").as[(String, Long)].collect().toSet
+    assert(byQ == Set(("a", 1L), ("b", 2L))) // b: tie c(1) each, min doc_id wins
+  }
+
+  test("hybridTopK fuses the BM25 and cosine pools and stays limit-bounded") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = graft.functions.Retrieval.hybridTopK(docs, emb,
+      Seq("table", "hash"), emb.filter(col("vec_id") === 0), k = 5, poolK = 10)
+    val rows = out.collect()
+    assert(rows.length == 5)
+    // the fused plan must carry no global window over an unbounded frame
+    assert(PlanAudit.globalDataWindows(out.queryExecution.optimizedPlan).isEmpty)
+    // a doc present in both pools must outscore any single-list doc of
+    // equal-or-worse ranks: max possible single-list score is c(1)
+    val both = rows.filter(_.getAs[Long]("n_lists") == 2L)
+    val single = rows.filter(_.getAs[Long]("n_lists") == 1L)
+    if (both.nonEmpty && single.nonEmpty)
+      assert(both.map(_.getAs[Long]("rrf_q6")).min >
+        single.map(_.getAs[Long]("rrf_q6")).max - 1000000L / 61L)
+  }
 }
