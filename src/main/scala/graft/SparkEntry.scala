@@ -1214,6 +1214,27 @@ object SparkEntry {
         round(col("value"), 6).as("value"))
     }),
 
+    "a9_streaming_hop" -> ((s, dir) => {
+      // the CONTINUOUS rollup (Downsampler.streamingHop, the reference's
+      // CQ analog): routed write → file-source stream over the raw
+      // tier's append files → watermarked 1-min windows → append into
+      // gen_day → read back. Emission = windows sealed by the final
+      // watermark (max event time − 30 min); the oracle recomputes them
+      // with the same cutoff
+      val root = java.nio.file.Files.createTempDirectory("graft_a9h")
+        .toFile.getAbsolutePath
+      val store = new graft.store.TierStore(s, root)
+      store.writeRouted(points(s, dir, "sensor_")
+        .filter(col("measurement") === "sensor_click"))
+      val q = Downsampler.streamingHop(store, graft.model.Tier.GenRaw,
+        graft.model.Tier.GenDay, s"$root/_ckpt_hop", watermark = "30 minutes")
+      q.processAllAvailable(); q.stop()
+      store.read(graft.model.Tier.GenDay).select(
+        col("measurement"), col("dev_id"), col("dev_type"), col("dir"),
+        col("location_id"), unix_timestamp(col("time")).as("time"),
+        round(col("value"), 6).as("value"))
+    }),
+
     "q_bucketed_join" -> ((s, dir) => {
       // bucketed-storage round trip (store.Bucketing): both sides written
       // bucketed on the join key (the zero-Exchange plan is pinned by
@@ -2909,6 +2930,20 @@ object SparkEntry {
       """SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
         |  CAST(len(e.embedding) AS BIGINT) AS dims, e.label
         |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id""".stripMargin,
+
+    // the continuous-rollup emission: 1-min avg windows per series tag
+    // set, restricted to windows sealed by the final watermark
+    // (window end <= max event second − 1800); window starts label rows
+    "a9_streaming_hop" ->
+      s"""WITH ${ptsCte("sensor_")},
+         |f AS (SELECT * FROM pts WHERE m = 'sensor_click'),
+         |agg AS (SELECT m, dev_id, dev_type, dir, loc,
+         |         CAST(floor(tsec / 60) * 60 AS BIGINT) b, avg(v) v
+         |       FROM f GROUP BY 1, 2, 3, 4, 5, 6),
+         |wm AS (SELECT max(tsec) - 1800 AS w FROM f)
+         |SELECT m AS measurement, dev_id, dev_type, dir,
+         |       loc AS location_id, b AS time, round(v, 6) AS value
+         |FROM agg CROSS JOIN wm WHERE b + 60 <= w""".stripMargin,
 
     // append-mode emission = windows sealed by the final watermark
     // (max event time − 2 h); window ends are whole 30 s multiples and

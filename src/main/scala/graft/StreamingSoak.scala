@@ -218,6 +218,39 @@ object StreamingSoak {
         s""","survivors":$sSet,"equal_to_sequential_batch":true""")
     }
 
+    // ---------------- phase 4: continuous rollup hop ----------------
+    {
+      phase = "hop"
+      // tails the gen_raw appends phase 1's streaming ingest produced —
+      // the CQ-analog path (Downsampler.streamingHop) at sf1
+      val store = new TierStore(spark, s"$work/store_stream")
+      val t0 = System.nanoTime()
+      val q = graft.rollup.Downsampler.streamingHop(store,
+        graft.model.Tier.GenRaw, graft.model.Tier.GenDay,
+        s"$work/ckpt_hop", watermark = "30 minutes")
+      q.processAllAvailable(); q.stop()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val out = store.read(graft.model.Tier.GenDay)
+      val rows = out.count()
+      // reference: the batch downsample of the same gen_raw, restricted
+      // to the windows the final watermark sealed. Streaming and batch
+      // sum partials in different orders, so values are compared with a
+      // 1e-6 tolerance join, not by hash
+      val raw = store.read(graft.model.Tier.GenRaw)
+      val maxSec = raw.agg(max(unix_timestamp(col("time")))).head.getLong(0)
+      val ref = graft.rollup.Downsampler.downsample(raw.drop("date"), 1)
+        .filter(unix_timestamp(col("time")) + 60 <= maxSec - 1800)
+      val keys = out.columns.filter(c => c != "value" && c != "date").toSeq
+      val joined = out.select((keys.map(col) :+ col("value").as("v_stream")): _*)
+        .join(ref.select((keys.map(col) :+ col("value").as("v_batch")): _*),
+          keys, "full_outer")
+      val bad = joined.filter(col("v_stream").isNull || col("v_batch").isNull ||
+        abs(col("v_stream") - col("v_batch")) > 1e-6).count()
+      require(rows > 0 && bad == 0,
+        s"hop stream≠batch-sealed: $bad of $rows window rows differ")
+      report += phaseJson("hop", wall, rows, s""","equal_to_batch_sealed":true""")
+    }
+
     val progress = stats.toArray(Array.empty[BatchStat]).map(s =>
       s"""{"phase":"${s.phase}","batch":${s.batchId},"rows":${s.inputRows},""" +
         s""""ms":${s.procMs},"state_rows":${s.stateRows},"state_bytes":${s.stateBytes}}""")
