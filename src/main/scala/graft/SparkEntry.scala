@@ -1288,6 +1288,101 @@ object SparkEntry {
         col("series_id"), col("measurement"), col("agg_func"),
         unix_timestamp(col("time")).as("time"),
         round(col("value"), 6).as("value"))
+    }),
+
+    "mm_image_decode" -> ((s, dir) => {
+      // multimodal image decode, oracle-verified CROSS-ENGINE: executors
+      // hand-write 8×8 24-bit BMP payloads from doc_id (bit-identical on
+      // any JVM — Multimodal.Containers, no encoder library), the REAL
+      // javax.imageio codec decodes them inside extractFeatures, and
+      // DuckDB recomputes every grayscale value arithmetically from the
+      // same keys. dim=64 over an 8×8 image puts exactly one pixel in
+      // each grid cell, so the cell mean is lum/255 with no accumulation;
+      // ×255 + round(0) recovers the integer exactly (float32 error
+      // ≤1.5e-5 against a 0.5 rounding margin)
+      import s.implicits._
+      val media = table(s, dir, "documents")
+        .filter(col("doc_id") % 11 === 0).select(col("doc_id")).as[Long]
+        .map { id =>
+          graft.functions.Multimodal.MediaRow(id,
+            graft.functions.Multimodal.Containers.grayBmp(8, 8)(
+              (x, y) => ((id * 31 + (y * 8 + x) * 7) % 256).toInt),
+            graft.functions.Multimodal.MediaMeta("image", "bmp", 8, 8, 0L, 0))
+        }
+      graft.functions.Multimodal.extractFeatures(media, dim = 64).toDF()
+        .select(col("media_id"), posexplode(col("feature")))
+        .select(col("media_id"), col("pos").cast("long").as("cell"),
+          round(col("col").cast("double") * 255d, 0).as("value"))
+    }),
+
+    "mm_audio_decode" -> ((s, dir) => {
+      // multimodal audio decode, oracle-verified cross-engine: canonical
+      // 44-byte-header PCM16 WAVs hand-written from doc_id, decoded by
+      // the REAL javax.sound.sampled codec; each of the 16 RMS windows
+      // holds 8 samples of one constant power-of-two amplitude k/32768,
+      // so every float step (square, sum, mean, sqrt) is EXACT and the
+      // oracle needs no rounding at all
+      import s.implicits._
+      val media = table(s, dir, "documents")
+        .filter(col("doc_id") % 13 === 0).select(col("doc_id")).as[Long]
+        .map { id =>
+          val samples = Array.tabulate[Short](128) { i =>
+            val e = ((id * 3 + (i / 8) * 5) % 5).toInt
+            (if (e == 0) 0 else 1024 << e).toShort
+          }
+          graft.functions.Multimodal.MediaRow(id,
+            graft.functions.Multimodal.Containers.pcmWav(8000, samples),
+            graft.functions.Multimodal.MediaMeta("audio", "wav", 0, 0, 16L, 8000))
+        }
+      graft.functions.Multimodal.extractFeatures(media, dim = 16).toDF()
+        .select(col("media_id"), posexplode(col("feature")))
+        .select(col("media_id"), col("pos").cast("long").as("win"),
+          col("col").cast("double").as("value"))
+    }),
+
+    "mm_resize_roundtrip" -> ((s, dir) => {
+      // the full image pipeline: BMP decode → REAL bilinear resize →
+      // PNG re-encode → PNG decode → feature. Constant-gray 16×16
+      // sources resize to the same constant 8×8 (interpolating equal
+      // values), so the oracle pins the whole chain with one exact
+      // integer per doc×cell
+      import s.implicits._
+      val media = table(s, dir, "documents")
+        .filter(col("doc_id") % 17 === 0).select(col("doc_id")).as[Long]
+        .map { id =>
+          val v = ((id * 19 + 7) % 256).toInt
+          graft.functions.Multimodal.MediaRow(id,
+            graft.functions.Multimodal.Containers.grayBmp(16, 16)((_, _) => v),
+            graft.functions.Multimodal.MediaMeta("image", "bmp", 16, 16, 0L, 0))
+        }
+      val resized = graft.functions.Multimodal.resize(media, 8, 8)
+      graft.functions.Multimodal.extractFeatures(resized, dim = 4).toDF()
+        .select(col("media_id"), posexplode(col("feature")))
+        .select(col("media_id"), col("pos").cast("long").as("cell"),
+          round(col("col").cast("double") * 255d, 0).as("value"))
+    }),
+
+    "mm_gif_frames" -> ((s, dir) => {
+      // the multi-frame video path: 3-frame solid-gray animated GIFs
+      // (explicit single-gray palette → palettization exact by
+      // construction), sampled at 1 frame/s through sampleFrames (offset
+      // → frame index mapping), each PNG-re-encoded frame decoded back
+      // to its constant gray. Oracle: one integer per doc×frame
+      import s.implicits._
+      val media = table(s, dir, "documents")
+        .filter(col("doc_id") % 23 === 0).select(col("doc_id")).as[Long]
+        .map { id =>
+          val grays = (0 until 3).map(f => ((id * 29 + f * 41) % 256).toInt)
+          graft.functions.Multimodal.MediaRow(id,
+            graft.functions.Multimodal.Containers.solidGif(8, grays),
+            graft.functions.Multimodal.MediaMeta("video", "gif", 8, 8, 3000L, 0))
+        }
+      graft.functions.Multimodal.sampleFrames(media, everyMs = 1000)
+        .map { fr =>
+          val f = graft.functions.Multimodal.ImageCodec
+            .decodeToFeature(fr.payload, 1).get
+          (fr.media_id, fr.frame_idx.toLong, (f(0).toDouble * 255d).round.toDouble)
+        }.toDF("media_id", "frame_idx", "value")
     }))
 
   /**
@@ -2966,5 +3061,41 @@ object SparkEntry {
         |  b + 30 AS time,
         |  round(CASE f WHEN 'mean' THEN mv WHEN 'min' THEN mnv
         |               WHEN 'max' THEN mxv ELSE sv END, 6) AS value
-        |FROM agg CROSS JOIN wm WHERE b + 30 <= w""".stripMargin)
+        |FROM agg CROSS JOIN wm WHERE b + 30 <= w""".stripMargin,
+
+    // the engine decodes hand-written BMP bytes through javax.imageio;
+    // the oracle recomputes each pixel's grayscale arithmetically from
+    // the same doc_id (cell = y*8+x matches the query's pixel formula)
+    "mm_image_decode" ->
+      """SELECT d.doc_id AS media_id, t.cell,
+        |  CAST((d.doc_id * 31 + t.cell * 7) % 256 AS DOUBLE) AS value
+        |FROM documents d CROSS JOIN range(0, 64) t(cell)
+        |WHERE d.doc_id % 11 = 0""".stripMargin,
+
+    // PCM16 WAV decode: window w's constant amplitude is
+    // 1024·2^e / 32768 with e = (doc_id·3 + w·5) mod 5 (0 → silence) —
+    // powers of two, so stream and oracle are bit-equal with no rounding
+    "mm_audio_decode" ->
+      """SELECT d.doc_id AS media_id, t.win,
+        |  CASE WHEN (d.doc_id * 3 + t.win * 5) % 5 = 0 THEN 0.0
+        |       ELSE CAST(1024 * (1 << CAST((d.doc_id * 3 + t.win * 5) % 5 AS INTEGER))
+        |                 AS DOUBLE) / 32768.0 END AS value
+        |FROM documents d CROSS JOIN range(0, 16) t(win)
+        |WHERE d.doc_id % 13 = 0""".stripMargin,
+
+    // decode → bilinear resize → PNG re-encode → decode of a constant
+    // image is the constant itself, for every grid cell
+    "mm_resize_roundtrip" ->
+      """SELECT d.doc_id AS media_id, t.cell,
+        |  CAST((d.doc_id * 19 + 7) % 256 AS DOUBLE) AS value
+        |FROM documents d CROSS JOIN range(0, 4) t(cell)
+        |WHERE d.doc_id % 17 = 0""".stripMargin,
+
+    // 1 fps sampling of a 3 s 3-frame GIF maps offset k·1000 ms to
+    // frame k; each solid frame decodes back to its palette gray
+    "mm_gif_frames" ->
+      """SELECT d.doc_id AS media_id, t.f AS frame_idx,
+        |  CAST((d.doc_id * 29 + t.f * 41) % 256 AS DOUBLE) AS value
+        |FROM documents d CROSS JOIN range(0, 3) t(f)
+        |WHERE d.doc_id % 23 = 0""".stripMargin)
 }

@@ -361,6 +361,88 @@ object Multimodal {
     }
   }
 
+  /**
+   * Deterministic, HAND-WRITTEN container byte layouts — no encoder
+   * library involved for BMP/WAV, so payload bytes are bit-identical on
+   * every JVM. They exist so the decode stages can be verified
+   * CROSS-ENGINE: a query builds payloads from table keys on the
+   * executors, decodes them through the REAL JDK codecs, and an
+   * independent SQL engine recomputes the expected feature values
+   * arithmetically from the same keys (the `mm_*` oracles in
+   * SparkEntry). Pixel/sample values are chosen so every float step in
+   * the decode is exact or safely inside a rounding margin — see each
+   * oracle's comment.
+   */
+  object Containers {
+    /** 24-bit uncompressed BMP (54-byte header, bottom-up rows, BGR,
+     *  4-byte row padding). `gray(x, y)` ∈ [0,256) is pixel (x,y)'s
+     *  grayscale value; r=g=b=v makes the decoder's integer luminance
+     *  (299r+587g+114b)/1000 exactly v. */
+    def grayBmp(w: Int, h: Int)(gray: (Int, Int) => Int): Array[Byte] = {
+      val rowBytes = (w * 3 + 3) / 4 * 4
+      val dataSize = rowBytes * h
+      val b = java.nio.ByteBuffer.allocate(54 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize).putInt(0).putInt(54)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      b.putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      var y = h - 1 // bottom-up row order
+      while (y >= 0) {
+        var x = 0
+        while (x < w) {
+          val v = (gray(x, y) & 0xFF).toByte
+          b.put(v).put(v).put(v) // B G R
+          x += 1
+        }
+        var pad = w * 3
+        while (pad < rowBytes) { b.put(0.toByte); pad += 1 }
+        y -= 1
+      }
+      b.array()
+    }
+
+    /** Canonical 44-byte-header RIFF/WAVE, 16-bit PCM little-endian mono. */
+    def pcmWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      val dataSize = samples.length * 2
+      val b = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes(ascii)).putInt(36 + dataSize).put("WAVE".getBytes(ascii))
+      b.put("fmt ".getBytes(ascii)).putInt(16).putShort(1).putShort(1)
+      b.putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+      b.put("data".getBytes(ascii)).putInt(dataSize)
+      samples.foreach(b.putShort)
+      b.array()
+    }
+
+    /** Solid-gray animated GIF, one `wh`×`wh` frame per entry of `grays`.
+     *  Frames are TYPE_BYTE_INDEXED over an explicit single-gray palette,
+     *  so palettization is EXACT by construction (the writer ships the
+     *  palette verbatim); the byte layout is the JDK writer's, but the
+     *  oracles pin decoded pixel VALUES, never container bytes. */
+    def solidGif(wh: Int, grays: Seq[Int]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        grays.foreach { g =>
+          val v = (g & 0xFF).toByte
+          val cm = new java.awt.image.IndexColorModel(8, 2,
+            Array[Byte](v, 0), Array[Byte](v, 0), Array[Byte](v, 0))
+          val img = new java.awt.image.BufferedImage(wh, wh,
+            java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+          // raster defaults to index 0 = the gray; no per-pixel writes needed
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), writer.getDefaultWriteParam)
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+  }
+
   /** Metadata-only projection — must prune the binary column at scan time. */
   def metaOnly(media: DataFrame): DataFrame =
     media.select(col("media_id"), col("meta.*"))

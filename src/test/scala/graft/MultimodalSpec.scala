@@ -220,4 +220,64 @@ class MultimodalSpec extends SparkSpec {
       Set("media_id", "media_type", "format", "width", "height", "duration_ms", "sample_rate"))
     assert(df.count() == 30)
   }
+
+  // ---- Containers: the hand-written layouts behind the mm_* oracles ----
+
+  test("Containers.grayBmp: bit-stable bytes, imageio decodes every gray exactly") {
+    val bmp = Multimodal.Containers.grayBmp(8, 8)((x, y) => (y * 8 + x) * 4 % 256)
+    assert(bmp.sameElements(Multimodal.Containers.grayBmp(8, 8)((x, y) => (y * 8 + x) * 4 % 256)))
+    assert(bmp.length == 54 + 8 * 24) // header + 8 rows of 24 bytes, no padding
+    val img = Multimodal.ImageCodec.decode(bmp).get
+    assert(img.getWidth == 8 && img.getHeight == 8)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val v = (y * 8 + x) * 4 % 256
+      assert((img.getRGB(x, y) & 0xFFFFFF) == v * 0x010101,
+        s"pixel ($x,$y): expected gray $v")
+    }
+    // odd width exercises the 4-byte row padding branch
+    val odd = Multimodal.Containers.grayBmp(3, 2)((x, y) => 10 * y + x)
+    val oi = Multimodal.ImageCodec.decode(odd).get
+    for (y <- 0 until 2; x <- 0 until 3)
+      assert((oi.getRGB(x, y) & 0xFF) == 10 * y + x)
+  }
+
+  test("Containers.pcmWav: javax.sound decodes samples bit-exactly") {
+    val samples = Array.tabulate[Short](64)(i => ((i - 32) * 512).toShort)
+    val wav = Multimodal.Containers.pcmWav(8000, samples)
+    val (info, mono) = Multimodal.AudioCodec.decode(wav).get
+    assert(info.sampleRate == 8000 && info.channels == 1 && info.frames == 64)
+    assert(mono.length == 64)
+    for (i <- 0 until 64)
+      assert(mono(i) == samples(i) / 32768.0f, s"sample $i")
+  }
+
+  test("Containers.solidGif: palette grays survive encode+frame-decode exactly") {
+    // arbitrary grays — incl. ones a web-safe palette would NOT contain
+    val grays = Seq(7, 133, 250)
+    val gif = Multimodal.Containers.solidGif(8, grays)
+    val frames = Multimodal.GifCodec.frames(gif).get
+    assert(frames.length == 3)
+    frames.zip(grays).foreach { case (png, g) =>
+      val img = Multimodal.ImageCodec.decode(png).get
+      for (y <- 0 until 8; x <- 0 until 8)
+        assert((img.getRGB(x, y) & 0xFFFFFF) == g * 0x010101,
+          s"gray $g pixel ($x,$y) got ${img.getRGB(x, y) & 0xFFFFFF}")
+    }
+  }
+
+  test("decode oracles' float paths are exact: 1-pixel cells and power-of-two RMS") {
+    // image: dim=64 over 8×8 → one pixel per cell, mean = v/255, ×255
+    // rounds back to the integer for ALL 256 grays
+    val bmp = Multimodal.Containers.grayBmp(8, 8)((x, y) => (y * 8 + x) * 4 % 256)
+    val feat = Multimodal.ImageCodec.decodeToFeature(bmp, 64).get
+    for (c <- 0 until 64)
+      assert(math.round(feat(c).toDouble * 255d) == c * 4 % 256, s"cell $c")
+    // audio: constant power-of-two window amplitudes → RMS exactly k/32768
+    val samples = Array.tabulate[Short](128)(i =>
+      (Seq(0, 2048, 4096, 8192, 16384)((i / 8) % 5)).toShort)
+    val wav = Multimodal.Containers.pcmWav(8000, samples)
+    val rms = Multimodal.AudioCodec.decodeToFeature(wav, 16).get
+    for (w <- 0 until 16)
+      assert(rms(w) == Seq(0, 2048, 4096, 8192, 16384)(w % 5) / 32768.0f, s"window $w")
+  }
 }
