@@ -222,15 +222,19 @@ object StreamingSoak {
     {
       phase = "hop"
       // tails the gen_raw appends phase 1's streaming ingest produced —
-      // the CQ-analog path (Downsampler.streamingHop) at sf1
+      // the CQ-analog path (Downsampler.streamingHop) at sf1. The
+      // windows land in a FRESH target store: the ingest ROUTER already
+      // placed low-freq points in store_stream's own gen_day, and the
+      // end-state check wants the hop's output alone
       val store = new TierStore(spark, s"$work/store_stream")
+      val hopOut = new TierStore(spark, s"$work/store_hop")
       val t0 = System.nanoTime()
       val q = graft.rollup.Downsampler.streamingHop(store,
         graft.model.Tier.GenRaw, graft.model.Tier.GenDay,
-        s"$work/ckpt_hop", watermark = "30 minutes")
+        s"$work/ckpt_hop", watermark = "30 minutes", target = Some(hopOut))
       q.processAllAvailable(); q.stop()
       val wall = (System.nanoTime() - t0) / 1e9
-      val out = store.read(graft.model.Tier.GenDay)
+      val out = hopOut.read(graft.model.Tier.GenDay)
       val rows = out.count()
       // reference: the batch downsample of the same gen_raw, restricted
       // to the windows the final watermark sealed. Streaming and batch
@@ -241,9 +245,14 @@ object StreamingSoak {
       val ref = graft.rollup.Downsampler.downsample(raw.drop("date"), 1)
         .filter(unix_timestamp(col("time")) + 60 <= maxSec - 1800)
       val keys = out.columns.filter(c => c != "value" && c != "date").toSeq
-      val joined = out.select((keys.map(col) :+ col("value").as("v_stream")): _*)
-        .join(ref.select((keys.map(col) :+ col("value").as("v_batch")): _*),
-          keys, "full_outer")
+      // join keys include NULLABLE tag columns — a name-list join is
+      // null-UNsafe and would mark every null-tagged series as differing;
+      // normalize nulls to a sentinel so the key equality is null-safe
+      def keyed(df: org.apache.spark.sql.DataFrame, vAlias: String) =
+        keys.foldLeft(df)((d, k) =>
+            d.withColumn(k, coalesce(col(k).cast("string"), lit("\u0000"))))
+          .select((keys.map(col) :+ col("value").as(vAlias)): _*)
+      val joined = keyed(out, "v_stream").join(keyed(ref, "v_batch"), keys, "full_outer")
       val bad = joined.filter(col("v_stream").isNull || col("v_batch").isNull ||
         abs(col("v_stream") - col("v_batch")) > 1e-6).count()
       require(rows > 0 && bad == 0,

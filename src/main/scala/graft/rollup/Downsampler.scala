@@ -70,11 +70,18 @@ object Downsampler {
    * processed — re-surfacing it would double-count). A stream started
    * AFTER history was compacted away should bootstrap with one batch
    * [[maintain]] pass first.
+   *
+   * `target` lets the finalized windows land in a DIFFERENT store than
+   * the one being tailed (the classic CQ-into-another-database shape;
+   * also keeps hop output separate from rows the ingest ROUTER already
+   * placed in the same tier of the source store). Default: same store.
    */
   def streamingHop(store: graft.store.TierStore, from: Tier, to: Tier,
       checkpoint: String, watermark: String = "30 minutes",
-      tagCols: Seq[String] = defaultTagCols)
+      tagCols: Seq[String] = defaultTagCols,
+      target: Option[graft.store.TierStore] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    val sink = target.getOrElse(store)
     val spark = store.read(from).sparkSession
     val res = TierPolicy.tierResolutionMinutes(to, Tier.ProfileOptimized)
     val src = spark.readStream
@@ -92,7 +99,7 @@ object Downsampler {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        if (!batch.isEmpty) store.write(to, batch)
+        if (!batch.isEmpty) sink.write(to, batch)
       }
       .start()
   }

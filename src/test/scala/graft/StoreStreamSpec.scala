@@ -199,6 +199,30 @@ class StoreStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming hop with a separate target store keeps hop output apart from routed rows") {
+    import graft.rollup.Downsampler
+    val store = new TierStore(spark, tmpDir())
+    val target = new TierStore(spark, tmpDir())
+    // the source store's OWN gen_day already holds router-placed rows —
+    // the hop must not mix its windows into them
+    store.write(Tier.GenDay, pts(("low_freq_m", "2024-01-01", 7.0)))
+    store.write(Tier.GenRaw, pts(
+      ("sensor_temp", "2024-01-01", 1.0), ("sensor_temp", "2024-01-01", 3.0)))
+    val q = Downsampler.streamingHop(store, Tier.GenRaw, Tier.GenDay,
+      tmpDir(), watermark = "0 seconds", target = Some(target))
+    try {
+      q.processAllAvailable()
+      store.write(Tier.GenRaw, pts(("sensor_temp", "2024-01-02", 9.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val hop = target.read(Tier.GenDay).collect()
+    assert(hop.nonEmpty && hop.forall(_.getAs[String]("measurement") == "sensor_temp"))
+    assert(hop.exists(_.getAs[Double]("value") == 2.0)) // avg(1,3) in one window
+    // source store's gen_day untouched by the hop
+    val src = store.read(Tier.GenDay).collect()
+    assert(src.map(_.getAs[String]("measurement")).toSet == Set("low_freq_m"))
+  }
+
   test("CSV sink writes the fixed 11-column shape (S5, csv.go:22)") {
     val dir = tmpDir() + "/csv"
     val df = spark.createDataFrame(
