@@ -19,6 +19,19 @@ object Bench {
     val spark = GraftSession.builder(shufflePartitions = cpus.toInt)
       .master(s"local[$cpus]")
       .config("spark.ui.enabled", "false")
+      // Benchmark hygiene: the app-status store tracks every job/stage/
+      // SQL execution even with the UI off, and its ASYNC pruning lets a
+      // query that floods it with hundreds of tiny jobs (maintenance
+      // round trips: one job per replaced partition) bill its cleanup to
+      // whatever runs NEXT — measured as a localized 2-11x inflation of
+      // the 4-5 queries after s9_rollup_maintain. Synchronous tracking
+      // charges cleanup to the query that caused it; low retained counts
+      // keep each prune cheap.
+      .config("spark.appStatusStore.asyncTracking.enable", "false")
+      .config("spark.ui.retainedJobs", "200")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "10000")
+      .config("spark.sql.ui.retainedExecutions", "100")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = (SparkEntry.queries ++ SparkEntry.benchOnly).map { case (name, fn) =>
@@ -34,6 +47,10 @@ object Bench {
       }
       once() // warm-up, untimed
       val runs = Seq.fill(Runs)(once()).sorted
+      // settle between queries: drain reference-tracked cleanup (shuffle/
+      // broadcast weak refs) now, in the gap, instead of inside the next
+      // query's timed window
+      System.gc()
       name -> (runs(Runs / 2), runs.last - runs.head)
     }
     // The stdout report must survive a harness that keeps only the last

@@ -19,7 +19,14 @@ object BenchSubset {
     val unknown = names.filterNot(all.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val spark = GraftSession.builder(shufflePartitions = 32)
-      .master("local[32]").config("spark.ui.enabled", "false").getOrCreate()
+      .master("local[32]").config("spark.ui.enabled", "false")
+      // same status-store hygiene as Bench (see the comment there)
+      .config("spark.appStatusStore.asyncTracking.enable", "false")
+      .config("spark.ui.retainedJobs", "200")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "10000")
+      .config("spark.sql.ui.retainedExecutions", "100")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val out = names.map { name =>
       // a crashed query must never masquerade as a fast one: track any
