@@ -122,10 +122,25 @@ object StreamingSoak {
       val storeStream = new TierStore(spark, s"$work/store_stream")
       val storeBatch = new TierStore(spark, s"$work/store_batch")
       val t0 = System.nanoTime()
+      // KILL + RESTART mid-run: stop the query once roughly half the
+      // chunks are through (aborting any in-flight batch before its
+      // offset commit), then resume from the same checkpoint. The
+      // resumed query replays the uncommitted batch; writeRoutedBatch's
+      // ledger gate must make that replay idempotent — the end-state
+      // equality below is therefore asserting EXACTLY-ONCE across a
+      // real restart, not just a clean single run.
+      val q1 = graft.ingest.IngestPipeline.runStream(
+        streamDir(s"$work/in_events", raw.schema), config, None,
+        storeStream, s"$work/ckpt_ingest")
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (q1.recentProgress.length < chunks / 2 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      q1.stop()
       val q = graft.ingest.IngestPipeline.runStream(
         streamDir(s"$work/in_events", raw.schema), config, None,
         storeStream, s"$work/ckpt_ingest")
       q.processAllAvailable(); q.stop()
+      storeStream.vacuumBatchMarkers() // ledger stays O(recent) over the run
       val wall = (System.nanoTime() - t0) / 1e9
       graft.ingest.IngestPipeline.runBatch(raw, config, None, storeBatch)
       // per-tier multiset equality via per-row md5 over all columns
@@ -147,7 +162,8 @@ object StreamingSoak {
         }
       }
       require(sCount > 0, "ingest soak wrote no rows — equality would be vacuous")
-      report += phaseJson("ingest", wall, sCount, s""","equal_to_batch":true""")
+      report += phaseJson("ingest", wall, sCount,
+        s""","restarted_mid_run":true,"equal_to_batch":true""")
     }
 
     // ---------------- phase 2: stateful aggregation ----------------

@@ -43,9 +43,12 @@ object IngestPipeline {
   /**
    * Streaming form: micro-batch append into the tier store via
    * foreachBatch (the reference's dual size/time-triggered batch writer,
-   * process.go:290-310,444-455, maps to ProcessingTime triggers +
-   * idempotent appends — at-least-once, strictly better than the
-   * reference's drop-on-error batches, SURVEY.md §2.8).
+   * process.go:290-310,444-455, maps to ProcessingTime triggers).
+   * EXACTLY-ONCE end to end: each micro-batch lands through
+   * [[TierStore.writeRoutedBatch]], whose ledger-gated batch files make
+   * the post-crash replay of the last uncommitted batch idempotent —
+   * strictly better than both at-least-once appends and the reference's
+   * drop-on-error batches (SURVEY.md §2.8).
    */
   def runStream(events: DataFrame, config: ProcessConfig,
       metadata: Option[DataFrame], store: TierStore,
@@ -55,8 +58,8 @@ object IngestPipeline {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(s"${config.saveIntervalMs} milliseconds"))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        store.writeRouted(batch, config.profile)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        store.writeRoutedBatch(batch, id, config.profile): Unit
       }
       .start()
   }
@@ -85,9 +88,9 @@ object IngestPipeline {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(s"${config.saveIntervalMs} milliseconds"))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, id: Long) =>
         val enriched = MetadataStore.enrich(batch, provider.current())
-        store.writeRouted(Transform(enriched), config.profile)
+        store.writeRoutedBatch(Transform(enriched), id, config.profile): Unit
       }
       .start()
   }

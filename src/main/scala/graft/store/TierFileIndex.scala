@@ -52,6 +52,23 @@ object TierLayout {
 
   private val CommitPrefix = "_commit_"
 
+  /** Batch-gated append file name: `b-<writer>-<id>-<original>`. Files
+   *  written by [[TierStore.writeRoutedBatch]] carry their micro-batch
+   *  identity in the name; readers admit them only when the batch's
+   *  ledger marker exists ([[BatchLedger]]) — the exactly-once gate. */
+  private val BatchFile = "^b-([A-Za-z0-9_]+)-([0-9]+)-.*".r
+
+  /** (writer, batchId) of a batch-gated file name; None for plain files. */
+  def batchIdOf(name: String): Option[(String, Long)] = name match {
+    case BatchFile(w, id) => id.toLongOption.map((w, _))
+    case _ => None
+  }
+
+  def batchFileName(writer: String, id: Long, original: String): String = {
+    require(writer.matches("[A-Za-z0-9_]+"), s"writer id must be path-safe: $writer")
+    s"b-$writer-$id-$original"
+  }
+
   def versionDir(part: HPath, v: Long): HPath = new HPath(part, f"_v=$v%d")
   def commitFile(part: HPath, v: Long): HPath = new HPath(part, f"$CommitPrefix$v%d")
 
@@ -91,15 +108,22 @@ object TierLayout {
    * common unversioned case costs no extra RPC; a versioned partition
    * pays one snapshot-dir listing + one small manifest read).
    */
-  def resolveFiles(fs: FileSystem, part: HPath, entries: Seq[FileStatus]): Seq[FileStatus] =
+  def resolveFiles(fs: FileSystem, part: HPath, entries: Seq[FileStatus],
+      batchCommitted: (String, Long) => Boolean = (_, _) => true): Seq[FileStatus] = {
+    // the exactly-once gate: a batch-tagged append is data only once its
+    // ledger marker landed; an uncommitted batch's files are invisible
+    // (and therefore never folded or vacuumed by maintenance either)
+    def admitted(f: FileStatus): Boolean = isDataFile(f) &&
+      batchIdOf(f.getPath.getName).forall { case (w, id) => batchCommitted(w, id) }
     currentVersion(entries) match {
       case Some(v) =>
         val dir = versionDir(part, v)
         val snap = if (fs.exists(dir)) fs.listStatus(dir).toSeq.filter(isDataFile) else Nil
         val folded = foldedFiles(fs, part, v)
-        snap ++ entries.filter(e => isDataFile(e) && !folded(e.getPath.getName))
-      case None => entries.filter(isDataFile)
+        snap ++ entries.filter(e => admitted(e) && !folded(e.getPath.getName))
+      case None => entries.filter(admitted)
     }
+  }
 
   /** Commit snapshot `v`: create the `_commit_v` manifest (atomic-
    *  visible on HDFS create+close and as an object-store PUT). The
@@ -134,6 +158,52 @@ object TierLayout {
 }
 
 /**
+ * The store-level ledger of COMMITTED micro-batches (exactly-once
+ * streaming appends, [[TierStore.writeRoutedBatch]]). Lives at
+ * `<storeRoot>/_batches/`:
+ *
+ *   _b_<writer>_<id>      batch `id` of `writer` is committed (the
+ *                         marker creation IS the commit — one small
+ *                         file, atomic on HDFS create and as an S3 PUT,
+ *                         exactly the [[TierLayout]] commit primitive)
+ *   _b_low_<writer>_<n>   watermark: every batch of `writer` with
+ *                         id <= n is committed (marker compaction —
+ *                         [[TierStore.vacuumBatchMarkers]] folds old
+ *                         markers so the ledger listing stays O(recent))
+ *
+ * One directory listing loads the whole ledger; [[TierFileIndex]] reads
+ * it once per index construction, so a query's visibility of batches is
+ * pinned at plan time like everything else.
+ */
+object BatchLedger {
+  def dir(storeRoot: HPath): HPath = new HPath(storeRoot, "_batches")
+  def markerFile(storeRoot: HPath, writer: String, id: Long): HPath =
+    new HPath(dir(storeRoot), s"_b_${writer}_$id")
+  def watermarkFile(storeRoot: HPath, writer: String, n: Long): HPath =
+    new HPath(dir(storeRoot), s"_b_low_${writer}_$n")
+
+  private val Marker = "^_b_([A-Za-z0-9_]+?)_([0-9]+)$".r
+  private val Low = "^_b_low_([A-Za-z0-9_]+?)_([0-9]+)$".r
+
+  /** Load the ledger: (writer → explicit committed ids, writer → low
+   *  watermark). Missing dir = empty ledger (everything plain). */
+  def read(fs: FileSystem, storeRoot: HPath): (String, Long) => Boolean = {
+    val d = dir(storeRoot)
+    if (!fs.exists(d)) return (_, _) => false
+    val names = fs.listStatus(d).toSeq.map(_.getPath.getName)
+    val ids = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    val low = scala.collection.mutable.Map.empty[String, Long]
+    names.foreach {
+      case Low(w, n) => n.toLongOption.foreach(v => low(w) = math.max(low.getOrElse(w, -1L), v))
+      case Marker(w, id) => id.toLongOption.foreach(ids.getOrElseUpdate(w,
+        scala.collection.mutable.Set.empty) += _)
+      case _ => ()
+    }
+    (w, id) => id <= low.getOrElse(w, -1L) || ids.get(w).exists(_.contains(id))
+  }
+}
+
+/**
  * Delta-style [[FileIndex]] over one tier of the store: lists the
  * (measurement, date) partition tree, resolves each partition through
  * its [[TierLayout]] manifest, and hands Spark the pinned file list —
@@ -164,6 +234,8 @@ final class TierFileIndex(spark: SparkSession, tierRoot: HPath) extends FileInde
 
   private def list(): Seq[(String, Int, HPath, Seq[FileStatus])] = {
     if (!fs.exists(tierRoot)) return Nil
+    // one ledger listing pins this index's batch visibility at plan time
+    val committed = BatchLedger.read(fs, tierRoot.getParent)
     for {
       mDir <- fs.listStatus(tierRoot).toSeq
       if mDir.isDirectory && mDir.getPath.getName.startsWith("measurement=")
@@ -175,7 +247,8 @@ final class TierFileIndex(spark: SparkSession, tierRoot: HPath) extends FileInde
       d = dDir.getPath.getName.stripPrefix("date=")
       days <- scala.util.Try(java.time.LocalDate.parse(d).toEpochDay.toInt).toOption
       entries = fs.listStatus(dDir.getPath).toSeq
-    } yield (m, days, dDir.getPath, TierLayout.resolveFiles(fs, dDir.getPath, entries))
+    } yield (m, days, dDir.getPath,
+      TierLayout.resolveFiles(fs, dDir.getPath, entries, committed))
   }
 
   /** First resolved data file (schema inference anchor). */

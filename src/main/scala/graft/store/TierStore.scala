@@ -89,12 +89,20 @@ final class TierStore(spark: SparkSession, root: String) {
     v
   }
 
-  /** Every raw data file currently in a partition — the folded list for
-   *  REPLACEMENT publishes (the fresh rollup supersedes everything
-   *  present; appends landing after this listing stay visible). */
-  private def rawFiles(part: HPath): Seq[String] =
+  /** Every COMMITTED raw data file currently in a partition — the folded
+   *  list for REPLACEMENT publishes (the fresh rollup supersedes
+   *  everything present; appends landing after this listing stay
+   *  visible). Uncommitted batch-gated files are excluded: they are not
+   *  data yet, so folding them — and then vacuuming them — would destroy
+   *  a batch that commits later. */
+  private def rawFiles(part: HPath,
+      committed: (String, Long) => Boolean): Seq[String] =
     if (!fs.exists(part)) Nil
-    else fs.listStatus(part).toSeq.filter(TierLayout.isDataFile).map(_.getPath.getName)
+    else fs.listStatus(part).toSeq
+      .filter(f => TierLayout.isDataFile(f) &&
+        TierLayout.batchIdOf(f.getPath.getName)
+          .forall { case (w, id) => committed(w, id) })
+      .map(_.getPath.getName)
 
   /** Append points into a tier (S3 batch write sink; process.go:290-337).
    *  Rows are sorted by time within each written file so parquet
@@ -125,6 +133,138 @@ final class TierStore(spark: SparkSession, root: String) {
       .write.mode(SaveMode.Append)
       .partitionBy("tier", "measurement", "date")
       .parquet(root)
+
+  /** Test seam for the exactly-once replay spec: invoked between the
+   *  phases of a batch append ("staged", "manifested", "moved"). */
+  private[graft] var batchHook: String => Unit = _ => ()
+
+  /**
+   * EXACTLY-ONCE routed append for streaming micro-batches. Structured
+   * Streaming's checkpoint gives at-least-once through `foreachBatch`:
+   * after a crash between the sink write and the offset commit, the
+   * last batch REPLAYS, and a plain [[writeRouted]] would append its
+   * rows twice. This path makes the replay idempotent with the same two
+   * primitives the snapshot publish uses (`_`-prefixed staging is
+   * invisible to listings; creating one small marker file is atomic):
+   *
+   *  1. already in the [[BatchLedger]]? → the batch fully committed
+   *     before the crash; skip (just drop any leftover staging);
+   *  2. stage: the routed write lands under `<root>/_staging/<writer>/
+   *     b=<id>/` — one Spark job, invisible to every reader;
+   *  3. manifest: the staged files' DESTINATION paths (partition dir +
+   *     `b-<writer>-<id>-<file>` name) are written to a `_manifest`
+   *     inside the staging dir — a replay after a later crash deletes
+   *     exactly these, no tree walk;
+   *  4. move: each staged file renames into its final partition under
+   *     its batch-tagged name. The files are LISTED by plain readers but
+   *     admitted by none: [[TierLayout.resolveFiles]] gates batch-tagged
+   *     names on the ledger;
+   *  5. commit: create `_b_<writer>_<id>` — the batch becomes visible
+   *     everywhere, atomically.
+   *
+   * A crash at ANY point replays into: (1) skip, or (2-4) manifest-led
+   * cleanup + full redo. Readers never see a partial batch; maintenance
+   * never folds or vacuums an uncommitted one ([[rawFiles]] applies the
+   * same gate). Cost per batch: the same single write job, one rename
+   * per file (metadata-only on HDFS/ABFS; a server-side copy on S3A —
+   * the standard commit-protocol trade without conditional PUT), one
+   * marker create. Returns false when the batch was already committed.
+   *
+   * NOTE the file-source tail boundary: `streamingHop` tails the tier
+   * directory with a PLAIN listing and so may read a batch before its
+   * marker lands (at-least-once there, as its scaladoc documents).
+   */
+  def writeRoutedBatch(points: DataFrame, batchId: Long,
+      profile: String = Tier.ProfileOptimized,
+      writer: String = "ingest"): Boolean = {
+    val rootP = new HPath(root)
+    val marker = BatchLedger.markerFile(rootP, writer, batchId)
+    val staging = new HPath(root, s"_staging/$writer/b=$batchId")
+    if (fs.exists(marker)) { rmTree(staging.toString); return false }
+
+    // replay cleanup: a previous attempt's manifest lists exactly the
+    // destinations it may have moved — delete them, then start over
+    val manifest = new HPath(staging, "_manifest")
+    if (fs.exists(manifest)) {
+      val in = fs.open(manifest)
+      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      text.linesIterator.filter(_.nonEmpty)
+        .foreach(p => fs.delete(new HPath(p), false))
+    }
+    rmTree(staging.toString)
+
+    points
+      .withColumn("tier", TierPolicy.writeTierCol(col("measurement"), profile))
+      .withColumn("date", to_date(col("time")))
+      .repartition(col("tier"), col("measurement"), col("date"))
+      .sortWithinPartitions(col("tier"), col("measurement"), col("date"), col("time"))
+      .write.partitionBy("tier", "measurement", "date")
+      .parquet(staging.toString)
+    batchHook("staged")
+
+    // enumerate staged data files and their final batch-tagged homes
+    def dataFiles(dir: HPath): Seq[HPath] =
+      fs.listStatus(dir).toSeq.flatMap { e =>
+        if (e.isDirectory) dataFiles(e.getPath)
+        else if (TierLayout.isDataFile(e)) Seq(e.getPath) else Nil
+      }
+    // listStatus returns scheme-qualified paths — qualify the prefix the
+    // relative partition path is computed against
+    val stagingQ = fs.makeQualified(staging)
+    val moves = dataFiles(staging).map { src =>
+      val rel = src.toString.stripPrefix(stagingQ.toString).stripPrefix("/")
+      require(rel != src.toString, s"staged file $src outside $stagingQ")
+      val parent = rel.lastIndexOf('/') match {
+        case -1 => ""
+        case i => rel.substring(0, i) + "/"
+      }
+      val name = TierLayout.batchFileName(writer, batchId, src.getName)
+      src -> new HPath(root, parent + name)
+    }
+    if (moves.nonEmpty) {
+      val out = fs.create(manifest, true)
+      try out.write(moves.map(_._2.toString).mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+      batchHook("manifested")
+      moves.foreach { case (src, dst) =>
+        fs.mkdirs(dst.getParent)
+        fs.rename(src, dst)
+      }
+    }
+    batchHook("moved")
+
+    fs.mkdirs(marker.getParent)
+    val m = fs.create(marker, false); m.close() // the atomic commit
+    rmTree(staging.toString)
+    true
+  }
+
+  /**
+   * Fold old batch markers into a per-writer watermark so the ledger
+   * listing stays O(recent batches) over an unbounded stream: markers
+   * below the highest CONTIGUOUS committed id (every id from the current
+   * watermark up to it present) collapse into one `_b_low` file. Gaps
+   * stay as explicit markers — a gap is a batch that never committed,
+   * and the watermark must not claim it. */
+  def vacuumBatchMarkers(writer: String = "ingest"): Unit = {
+    val rootP = new HPath(root)
+    val d = BatchLedger.dir(rootP)
+    if (!fs.exists(d)) return
+    val names = fs.listStatus(d).toSeq.map(_.getPath.getName)
+    val lowPat = s"^_b_low_${writer}_([0-9]+)$$".r
+    val idPat = s"^_b_${writer}_([0-9]+)$$".r
+    val oldLow = names.collect { case lowPat(n) => n.toLong }.maxOption.getOrElse(-1L)
+    val ids = names.collect { case idPat(n) => n.toLong }.sorted
+    var hi = oldLow
+    ids.foreach { id => if (id <= hi + 1) hi = math.max(hi, id) }
+    if (hi > oldLow) {
+      val w = fs.create(BatchLedger.watermarkFile(rootP, writer, hi), false); w.close()
+      ids.filter(_ <= hi).foreach(id =>
+        fs.delete(BatchLedger.markerFile(rootP, writer, id), false))
+      names.collect { case lowPat(n) => n.toLong }.filter(_ < hi).foreach(n =>
+        fs.delete(BatchLedger.watermarkFile(rootP, writer, n), false))
+    }
+  }
 
   /**
    * Read a tier table (empty DataFrame with points schema if absent or
@@ -321,6 +461,9 @@ final class TierStore(spark: SparkSession, root: String) {
       .sortWithinPartitions(col("measurement"), col("date"), col("time"))
       .write.partitionBy("measurement", "date").parquet(staging.toString)
     publishHook("staged")
+    // one ledger read gates every fold of this pass (uncommitted batch
+    // files must never be folded — see rawFiles)
+    val committed = BatchLedger.read(fs, new HPath(root))
     // snapshot the staged partition set BEFORE publishing (a publish
     // MOVES the staged dir, so existence checks after it would lie)
     val staged = (for {
@@ -331,7 +474,8 @@ final class TierStore(spark: SparkSession, root: String) {
       val part = new HPath(s"$tierPathS/$m/$d")
       // replacement semantics: the fresh rollup supersedes every raw
       // file present NOW — fold them all
-      part -> publishPartition(part, Some(new HPath(staging, s"$m/$d")), rawFiles(part))
+      part -> publishPartition(part, Some(new HPath(staging, s"$m/$d")),
+        rawFiles(part, committed))
     }
     val dateSet = dates.toSet
     val retired = for {
@@ -339,7 +483,7 @@ final class TierStore(spark: SparkSession, root: String) {
       dDir <- subDirs(mDir.toString) if dDir.getName.startsWith("date=")
       if dateSet.contains(dDir.getName.stripPrefix("date="))
       if !staged((mDir.getName, dDir.getName))
-    } yield dDir -> publishPartition(dDir, None, rawFiles(dDir))
+    } yield dDir -> publishPartition(dDir, None, rawFiles(dDir, committed))
     publishHook("swapped")
     // cleanup phase — every commit is visible, so plan-time resolution
     // cannot land on anything being deleted below

@@ -1,0 +1,143 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.model.Tier
+import graft.store.{BatchLedger, TierStore}
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/**
+ * Exactly-once streaming appends (`TierStore.writeRoutedBatch`): the
+ * ledger-gated batch files must make the post-crash replay of a
+ * micro-batch idempotent, keep uncommitted batches invisible to
+ * readers AND to maintenance, and keep the ledger listing bounded via
+ * marker vacuum. Crash points are injected through the `batchHook`
+ * seam at each phase boundary the scaladoc names.
+ */
+class ExactlyOnceAppendSpec extends SparkSpec {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft_eo").toFile.getAbsolutePath
+
+  private val schema = StructType(Seq(
+    StructField("measurement", StringType), StructField("time", TimestampType),
+    StructField("value", DoubleType), StructField("dev_id", StringType)))
+
+  private def pts(rows: (String, Double)*) = {
+    val rs = rows.zipWithIndex.map { case ((m, v), i) =>
+      Row(m, Timestamp.valueOf(f"2024-01-01 10:00:${i % 60}%02d"), v, "d1") }
+    spark.createDataFrame(spark.sparkContext.parallelize(rs), schema)
+  }
+
+  private def values(store: TierStore, tier: Tier): Seq[Double] =
+    store.read(tier).collect().map(_.getAs[Double]("value")).sorted.toSeq
+
+  test("replayed batch appends once: second call is a committed no-op") {
+    val store = new TierStore(spark, tmpDir())
+    assert(store.writeRoutedBatch(pts(("sensor_temp", 1.0), ("sensor_temp", 2.0)), 0L))
+    assert(values(store, Tier.GenRaw) == Seq(1.0, 2.0))
+    // the replay: same batch id again — skipped, nothing duplicated
+    assert(!store.writeRoutedBatch(pts(("sensor_temp", 1.0), ("sensor_temp", 2.0)), 0L))
+    assert(values(store, Tier.GenRaw) == Seq(1.0, 2.0))
+    assert(store.writeRoutedBatch(pts(("sensor_temp", 3.0)), 1L))
+    assert(values(store, Tier.GenRaw) == Seq(1.0, 2.0, 3.0))
+  }
+
+  test("crash after moves, before the marker: invisible, replay lands it once") {
+    val root = tmpDir()
+    val store = new TierStore(spark, root)
+    store.writeRoutedBatch(pts(("sensor_temp", 1.0)), 0L)
+    store.batchHook = {
+      case "moved" => throw new RuntimeException("crash")
+      case _ => ()
+    }
+    intercept[RuntimeException] {
+      store.writeRoutedBatch(pts(("sensor_temp", 2.0), ("sensor_temp", 3.0)), 1L)
+    }
+    // files are in place under batch-tagged names but the batch never
+    // committed — readers must not see any of it
+    assert(values(store, Tier.GenRaw) == Seq(1.0))
+    store.batchHook = _ => ()
+    assert(store.writeRoutedBatch(pts(("sensor_temp", 2.0), ("sensor_temp", 3.0)), 1L))
+    assert(values(store, Tier.GenRaw) == Seq(1.0, 2.0, 3.0))
+  }
+
+  test("crash mid-move: manifest-led cleanup removes the partial files") {
+    val root = tmpDir()
+    val store = new TierStore(spark, root)
+    store.batchHook = {
+      case "manifested" => throw new RuntimeException("crash")
+      case _ => ()
+    }
+    intercept[RuntimeException] {
+      store.writeRoutedBatch(pts(("sensor_temp", 5.0)), 0L)
+    }
+    store.batchHook = _ => ()
+    // simulate the crash having landed SOME moves: plant a file at the
+    // first destination the manifest records
+    val fs = new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = new HPath(root, "_staging/ingest/b=0/_manifest")
+    assert(fs.exists(manifest))
+    val in = fs.open(manifest)
+    val dest = new HPath(
+      (try new String(in.readAllBytes(), "UTF-8") finally in.close())
+        .linesIterator.next())
+    fs.mkdirs(dest.getParent)
+    val out = fs.create(dest, true); out.write("partial".getBytes); out.close()
+    assert(values(store, Tier.GenRaw).isEmpty) // partial move invisible
+    // replay: cleans exactly the manifest's destinations, then redoes
+    assert(store.writeRoutedBatch(pts(("sensor_temp", 5.0)), 0L))
+    assert(values(store, Tier.GenRaw) == Seq(5.0))
+    assert(!fs.exists(dest), "stale partial file must be cleaned by the replay")
+  }
+
+  test("maintenance never folds or vacuums an uncommitted batch") {
+    val root = tmpDir()
+    val store = new TierStore(spark, root)
+    // four plain appends -> a compactable partition
+    (1 to 4).foreach(i => store.write(Tier.GenRaw, pts(("sensor_temp", i.toDouble))))
+    // an in-flight batch crashed after its moves (files present, no marker)
+    store.batchHook = {
+      case "moved" => throw new RuntimeException("crash")
+      case _ => ()
+    }
+    intercept[RuntimeException] {
+      store.writeRoutedBatch(pts(("sensor_temp", 99.0)), 7L)
+    }
+    store.batchHook = _ => ()
+    assert(store.compact(Tier.GenRaw, minFiles = 4) == 1)
+    assert(values(store, Tier.GenRaw) == Seq(1.0, 2.0, 3.0, 4.0))
+    // the uncommitted file survived the compaction's fold+vacuum …
+    val part = new HPath(s"$root/tier=gen_raw/measurement=sensor_temp/date=2024-01-01")
+    val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(part).exists(f =>
+      graft.store.TierLayout.batchIdOf(f.getPath.getName).contains(("ingest", 7L))))
+    // … so the batch can still commit, and lands exactly once
+    assert(store.writeRoutedBatch(pts(("sensor_temp", 99.0)), 7L))
+    assert(values(store, Tier.GenRaw) == Seq(1.0, 2.0, 3.0, 4.0, 99.0))
+  }
+
+  test("marker vacuum folds contiguous ids into the watermark, keeps gaps") {
+    val root = tmpDir()
+    val store = new TierStore(spark, root)
+    Seq(0L, 1L, 3L).foreach(id =>
+      store.writeRoutedBatch(pts(("sensor_temp", id.toDouble)), id))
+    store.vacuumBatchMarkers()
+    val fs = new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(BatchLedger.dir(new HPath(root)))
+      .map(_.getPath.getName).toSet
+    // 0,1 fold into the watermark; 3 must stay explicit (2 never committed)
+    assert(names == Set("_b_low_ingest_1", "_b_ingest_3"), names.toString)
+    assert(values(store, Tier.GenRaw) == Seq(0.0, 1.0, 3.0))
+    // batch 2 commits late, a second vacuum folds everything
+    store.writeRoutedBatch(pts(("sensor_temp", 2.0)), 2L)
+    store.vacuumBatchMarkers()
+    val names2 = fs.listStatus(BatchLedger.dir(new HPath(root)))
+      .map(_.getPath.getName).toSet
+    assert(names2 == Set("_b_low_ingest_3"), names2.toString)
+    assert(values(store, Tier.GenRaw) == Seq(0.0, 1.0, 2.0, 3.0))
+  }
+}
