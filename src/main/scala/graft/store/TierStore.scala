@@ -173,6 +173,11 @@ final class TierStore(spark: SparkSession, root: String) {
    * NOTE the file-source tail boundary: `streamingHop` tails the tier
    * directory with a PLAIN listing and so may read a batch before its
    * marker lands (at-least-once there, as its scaladoc documents).
+   * Destination names are DETERMINISTIC (partition ordinal — the
+   * repartition puts each (tier, measurement, date) in one task, so
+   * attempt N and a crash-replay produce the same name set), which
+   * keeps that tail from double-counting a replayed batch: the
+   * rewrite lands on names its processed-files log already holds.
    */
   def writeRoutedBatch(points: DataFrame, batchId: Long,
       profile: String = Tier.ProfileOptimized,
@@ -211,15 +216,25 @@ final class TierStore(spark: SparkSession, root: String) {
     // listStatus returns scheme-qualified paths — qualify the prefix the
     // relative partition path is computed against
     val stagingQ = fs.makeQualified(staging)
-    val moves = dataFiles(staging).map { src =>
+    val relocated = dataFiles(staging).map { src =>
       val rel = src.toString.stripPrefix(stagingQ.toString).stripPrefix("/")
       require(rel != src.toString, s"staged file $src outside $stagingQ")
       val parent = rel.lastIndexOf('/') match {
         case -1 => ""
         case i => rel.substring(0, i) + "/"
       }
-      val name = TierLayout.batchFileName(writer, batchId, src.getName)
-      src -> new HPath(root, parent + name)
+      (src, parent)
+    }
+    // DETERMINISTIC destination names (partition ordinal, not the task
+    // UUID Spark put in the staged name): a replay that rewrites the
+    // batch lands on the SAME names, so a concurrent file-source tail
+    // of the tier (streamingHop) that already logged the first
+    // attempt's files does not see the rewrite as new data
+    val moves = relocated.groupBy(_._2).toSeq.flatMap { case (parent, files) =>
+      files.sortBy(_._1.getName).zipWithIndex.map { case ((src, _), k) =>
+        val name = TierLayout.batchFileName(writer, batchId, s"$k.parquet")
+        src -> new HPath(root, parent + name)
+      }
     }
     if (moves.nonEmpty) {
       val out = fs.create(manifest, true)

@@ -60,9 +60,19 @@ class ExactlyOnceAppendSpec extends SparkSpec {
     // files are in place under batch-tagged names but the batch never
     // committed — readers must not see any of it
     assert(values(store, Tier.GenRaw) == Seq(1.0))
+    val fs = new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = new HPath(s"$root/tier=gen_raw/measurement=sensor_temp/date=2024-01-01")
+    def batchNames() = fs.listStatus(part).map(_.getPath.getName)
+      .filter(_.startsWith("b-ingest-1-")).sorted.toSeq
+    val firstAttempt = batchNames()
+    assert(firstAttempt.nonEmpty)
     store.batchHook = _ => ()
     assert(store.writeRoutedBatch(pts(("sensor_temp", 2.0), ("sensor_temp", 3.0)), 1L))
     assert(values(store, Tier.GenRaw) == Seq(1.0, 2.0, 3.0))
+    // deterministic destinations: the replay landed on the SAME names,
+    // so a concurrent file-source tail sees no phantom new files
+    assert(batchNames() == firstAttempt,
+      s"replay changed batch file names: $firstAttempt -> ${batchNames()}")
   }
 
   test("crash mid-move: manifest-led cleanup removes the partial files") {
@@ -88,10 +98,13 @@ class ExactlyOnceAppendSpec extends SparkSpec {
     fs.mkdirs(dest.getParent)
     val out = fs.create(dest, true); out.write("partial".getBytes); out.close()
     assert(values(store, Tier.GenRaw).isEmpty) // partial move invisible
-    // replay: cleans exactly the manifest's destinations, then redoes
+    // replay: cleans exactly the manifest's destinations, then redoes —
+    // destination names are deterministic, so the real file of the redo
+    // lands on the very path the partial occupied, replacing it
     assert(store.writeRoutedBatch(pts(("sensor_temp", 5.0)), 0L))
     assert(values(store, Tier.GenRaw) == Seq(5.0))
-    assert(!fs.exists(dest), "stale partial file must be cleaned by the replay")
+    assert(fs.getFileStatus(dest).getLen != "partial".getBytes.length,
+      "the partial file's bytes must have been replaced by the redo")
   }
 
   test("maintenance never folds or vacuums an uncommitted batch") {
