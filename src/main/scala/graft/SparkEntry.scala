@@ -1847,8 +1847,8 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id, text,
         |    regexp_extract_all(lower(text), '[a-z0-9]+') toks FROM documents)
         |SELECT doc_id,
-        |  len(toks) AS token_count,
-        |  len(regexp_split_to_array(trim(text), '\s+')) AS word_count,
+        |  CAST(len(toks) AS INTEGER) AS token_count,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS word_count,
         |  round(CASE WHEN len(toks) > 0
         |    THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
         |    ELSE 0 END, 6) AS mean_word_len
@@ -2397,7 +2397,7 @@ object SparkEntry {
         |        THEN dot / (na * nb) ELSE 0 END, 6) score FROM s),
         |r AS (SELECT *, row_number() OVER (PARTITION BY qid
         |        ORDER BY score DESC, vec_id) rnk FROM sc)
-        |SELECT qid AS query_id, vec_id, score, rnk AS rank FROM r WHERE rnk <= 10""".stripMargin,
+        |SELECT qid AS query_id, vec_id, score, CAST(rnk AS INTEGER) AS rank FROM r WHERE rnk <= 10""".stripMargin,
 
     "sim_ivf_topk" ->
       """WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 5),
@@ -2411,7 +2411,7 @@ object SparkEntry {
         |        THEN dot / (na * nb) ELSE 0 END, 6) score FROM s),
         |r AS (SELECT *, row_number() OVER (PARTITION BY qid
         |        ORDER BY score DESC, vec_id) rnk FROM sc)
-        |SELECT qid AS query_id, vec_id, score, rnk AS rank FROM r WHERE rnk <= 10""".stripMargin,
+        |SELECT qid AS query_id, vec_id, score, CAST(rnk AS INTEGER) AS rank FROM r WHERE rnk <= 10""".stripMargin,
 
     "sim_cosine_pairs" ->
       """WITH pr AS (SELECT a.vec_id id_a, b.vec_id id_b, a.embedding va, b.embedding vb
@@ -2534,7 +2534,7 @@ object SparkEntry {
         |sigs AS (
         |  SELECT doc_id, sum(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sh
         |  FROM votes GROUP BY 1)
-        |SELECT a.doc_id id_a, b.doc_id id_b, bit_count(xor(a.sh, b.sh)) AS dist
+        |SELECT a.doc_id id_a, b.doc_id id_b, CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS dist
         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
 
@@ -2567,7 +2567,7 @@ object SparkEntry {
         |        THEN dot / (na * nb) ELSE 0 END, 6) score FROM s),
         |r AS (SELECT *, row_number() OVER (PARTITION BY qid
         |        ORDER BY score DESC, vid) rnk FROM sc)
-        |SELECT qid AS query_id, vid AS vec_id, score, rnk AS rank FROM r WHERE rnk <= 10""".stripMargin,
+        |SELECT qid AS query_id, vid AS vec_id, score, CAST(rnk AS INTEGER) AS rank FROM r WHERE rnk <= 10""".stripMargin,
 
     "sim_lsh_pairs" ->
       """WITH el AS (
@@ -2981,7 +2981,7 @@ object SparkEntry {
     // group-by — integer cents make sum order-independent
     "q_salted_agg" ->
       """SELECT 'app_' || event_type AS measurement,
-        |  sum(CAST(round(value * 100) AS BIGINT)) AS total,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total,
         |  count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
 
@@ -2998,7 +2998,7 @@ object SparkEntry {
         |                   * 2654435761 % 1000000 AS DOUBLE) / 1000000.0 - 0.5)) AS dot
         |  FROM el CROSS JOIN (SELECT unnest(range(6)) AS p) GROUP BY 1, 2),
         |sigs AS (
-        |  SELECT vec_id, sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS sig
+        |  SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sig
         |  FROM dots GROUP BY 1)
         |SELECT s.vec_id, s.sig, md5(nfc_normalize(d.text)) AS nfc_md5
         |FROM sigs s JOIN documents d ON d.doc_id = s.vec_id""".stripMargin,

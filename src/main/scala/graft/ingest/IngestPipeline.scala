@@ -41,6 +41,19 @@ object IngestPipeline {
     store.writeRouted(transform(events, config, metadata), config.profile)
 
   /**
+   * Ledger namespace for one streaming query, derived from its
+   * checkpoint location: Structured Streaming's batch ids are scoped to
+   * a checkpoint, so the ledger namespace must be too. Stable across
+   * restarts of the same query (the crash-replay of batch N must find
+   * its own marker) and distinct per query — two streams appending into
+   * one [[TierStore]] under a SHARED writer id silently drop data: when
+   * query A has committed batch N, query B's batch N is treated as
+   * already committed and skipped.
+   */
+  def writerId(checkpoint: String): String =
+    f"ingest_${scala.util.hashing.MurmurHash3.stringHash(checkpoint) & 0xffffffffL}%08x"
+
+  /**
    * Streaming form: micro-batch append into the tier store via
    * foreachBatch (the reference's dual size/time-triggered batch writer,
    * process.go:290-310,444-455, maps to ProcessingTime triggers).
@@ -48,18 +61,21 @@ object IngestPipeline {
    * [[TierStore.writeRoutedBatch]], whose ledger-gated batch files make
    * the post-crash replay of the last uncommitted batch idempotent —
    * strictly better than both at-least-once appends and the reference's
-   * drop-on-error batches (SURVEY.md §2.8).
+   * drop-on-error batches (SURVEY.md §2.8). The ledger namespace
+   * defaults to [[writerId]] of the checkpoint; pass `writer` to pin it
+   * explicitly (it must then be unique per checkpoint within the store).
    */
   def runStream(events: DataFrame, config: ProcessConfig,
       metadata: Option[DataFrame], store: TierStore,
-      checkpoint: String): StreamingQuery = {
+      checkpoint: String, writer: String = ""): StreamingQuery = {
+    val w = if (writer.nonEmpty) writer else writerId(checkpoint)
     transform(events, config, metadata)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(s"${config.saveIntervalMs} milliseconds"))
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        store.writeRoutedBatch(batch, id, config.profile): Unit
+        store.writeRoutedBatch(batch, id, config.profile, w): Unit
       }
       .start()
   }
@@ -73,7 +89,8 @@ object IngestPipeline {
    */
   def runStreamRefreshable(events: DataFrame, config: ProcessConfig,
       provider: MetadataStore.Provider, store: TierStore,
-      checkpoint: String): StreamingQuery = {
+      checkpoint: String, writer: String = ""): StreamingQuery = {
+    val w = if (writer.nonEmpty) writer else writerId(checkpoint)
     val sited =
       if (config.siteId.nonEmpty)
         events.withColumn("domain", org.apache.spark.sql.functions.lit(config.siteId))
@@ -90,7 +107,7 @@ object IngestPipeline {
       .trigger(Trigger.ProcessingTime(s"${config.saveIntervalMs} milliseconds"))
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val enriched = MetadataStore.enrich(batch, provider.current())
-        store.writeRoutedBatch(Transform(enriched), id, config.profile): Unit
+        store.writeRoutedBatch(Transform(enriched), id, config.profile, w): Unit
       }
       .start()
   }

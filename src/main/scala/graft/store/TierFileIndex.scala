@@ -166,10 +166,17 @@ object TierLayout {
  *                         marker creation IS the commit — one small
  *                         file, atomic on HDFS create and as an S3 PUT,
  *                         exactly the [[TierLayout]] commit primitive)
- *   _b_low_<writer>_<n>   watermark: every batch of `writer` with
+ *   _bwm_<writer>_<n>     watermark: every batch of `writer` with
  *                         id <= n is committed (marker compaction —
  *                         [[TierStore.vacuumBatchMarkers]] folds old
  *                         markers so the ledger listing stays O(recent))
+ *
+ * The two name spaces cannot collide for ANY `[A-Za-z0-9_]+` writer id:
+ * `_b_` and `_bwm_` are distinct literal prefixes (the earlier
+ * `_b_low_<writer>` watermark form parsed writer "low_foo"'s batch
+ * markers as watermarks for writer "foo", spuriously committing all of
+ * foo's batches), and within each space the trailing digit run is the
+ * id, so underscores inside writer ids parse unambiguously.
  *
  * One directory listing loads the whole ledger; [[TierFileIndex]] reads
  * it once per index construction, so a query's visibility of batches is
@@ -180,10 +187,19 @@ object BatchLedger {
   def markerFile(storeRoot: HPath, writer: String, id: Long): HPath =
     new HPath(dir(storeRoot), s"_b_${writer}_$id")
   def watermarkFile(storeRoot: HPath, writer: String, n: Long): HPath =
-    new HPath(dir(storeRoot), s"_b_low_${writer}_$n")
+    new HPath(dir(storeRoot), s"_bwm_${writer}_$n")
 
   private val Marker = "^_b_([A-Za-z0-9_]+?)_([0-9]+)$".r
-  private val Low = "^_b_low_([A-Za-z0-9_]+?)_([0-9]+)$".r
+  private val Low = "^_bwm_([A-Za-z0-9_]+?)_([0-9]+)$".r
+
+  /** Writer ids present in a ledger dir listing (marker + watermark
+   *  files) — lets maintenance fold every writer without knowing the
+   *  set of streams that ever appended. */
+  def writers(names: Seq[String]): Seq[String] = names.flatMap {
+    case Low(w, _) => Some(w)
+    case Marker(w, _) => Some(w)
+    case _ => None
+  }.distinct
 
   /** Load the ledger: (writer → explicit committed ids, writer → low
    *  watermark). Missing dir = empty ledger (everything plain). */

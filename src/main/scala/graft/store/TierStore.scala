@@ -75,17 +75,30 @@ final class TierStore(spark: SparkSession, root: String) {
    * that S3A's copy+delete rename reopened a window proportional to
    * partition size. Returns the committed version; the caller vacuums
    * superseded snapshots AFTER all commits of the maintenance pass.
+   *
+   * The new manifest CARRIES FORWARD every folded name of the superseded
+   * commit that is still present in the partition dir: a crash between a
+   * commit and its vacuum leaves those raw files on disk, and a successor
+   * manifest built only from the current resolution (which excludes them)
+   * would resurrect their rows as unfolded appends. The carry is filtered
+   * against the listing already in hand, so the steady state (vacuum ran,
+   * nothing left behind) carries nothing and pays no extra RPC.
    */
   private def publishPartition(part: HPath, staged: Option[HPath],
       folded: Seq[String]): Long = {
     fs.mkdirs(part)
-    val v = TierLayout.currentVersion(fs.listStatus(part).toSeq).getOrElse(0L) + 1
+    val entries = fs.listStatus(part).toSeq
+    val prev = TierLayout.currentVersion(entries)
+    val v = prev.getOrElse(0L) + 1
     val dir = TierLayout.versionDir(part, v)
     staged match {
       case Some(s) => fs.rename(s, dir)
       case None => fs.mkdirs(dir) // retire: commit an empty snapshot
     }
-    TierLayout.commit(fs, part, v, folded)
+    val present = entries.map(_.getPath.getName).toSet
+    val carried = prev.map(TierLayout.foldedFiles(fs, part, _))
+      .getOrElse(Set.empty[String]).filter(present)
+    TierLayout.commit(fs, part, v, (folded ++ carried).distinct)
     v
   }
 
@@ -258,15 +271,15 @@ final class TierStore(spark: SparkSession, root: String) {
    * Fold old batch markers into a per-writer watermark so the ledger
    * listing stays O(recent batches) over an unbounded stream: markers
    * below the highest CONTIGUOUS committed id (every id from the current
-   * watermark up to it present) collapse into one `_b_low` file. Gaps
+   * watermark up to it present) collapse into one `_bwm` watermark file. Gaps
    * stay as explicit markers — a gap is a batch that never committed,
    * and the watermark must not claim it. */
-  def vacuumBatchMarkers(writer: String = "ingest"): Unit = {
+  def vacuumBatchMarkers(writer: String): Unit = {
     val rootP = new HPath(root)
     val d = BatchLedger.dir(rootP)
     if (!fs.exists(d)) return
     val names = fs.listStatus(d).toSeq.map(_.getPath.getName)
-    val lowPat = s"^_b_low_${writer}_([0-9]+)$$".r
+    val lowPat = s"^_bwm_${writer}_([0-9]+)$$".r
     val idPat = s"^_b_${writer}_([0-9]+)$$".r
     val oldLow = names.collect { case lowPat(n) => n.toLong }.maxOption.getOrElse(-1L)
     val ids = names.collect { case idPat(n) => n.toLong }.sorted
@@ -279,6 +292,17 @@ final class TierStore(spark: SparkSession, root: String) {
       names.collect { case lowPat(n) => n.toLong }.filter(_ < hi).foreach(n =>
         fs.delete(BatchLedger.watermarkFile(rootP, writer, n), false))
     }
+  }
+
+  /** Fold markers for EVERY writer present in the ledger — maintenance
+   *  doesn't need to know the set of streams that ever appended (each
+   *  streaming query gets its own ledger namespace via
+   *  [[graft.ingest.IngestPipeline.writerId]]). */
+  def vacuumBatchMarkers(): Unit = {
+    val d = BatchLedger.dir(new HPath(root))
+    if (!fs.exists(d)) return
+    BatchLedger.writers(fs.listStatus(d).toSeq.map(_.getPath.getName))
+      .foreach(vacuumBatchMarkers)
   }
 
   /**

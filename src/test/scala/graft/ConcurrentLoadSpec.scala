@@ -67,11 +67,15 @@ class ConcurrentLoadSpec extends SparkSpec {
             if (n < last)
               violations.add(s"reader $r: count went backwards $last -> $n")
             last = math.max(last, n)
-            // grouped agg across the same snapshot must cover n rows
+            // the grouped agg plans a LATER snapshot than the plain
+            // count, and rows only ever grow — covering fewer than n
+            // rows means that snapshot lost data
             val g = store.read(Tier.GenRaw)
               .groupBy(col("dev_id")).agg(count(lit(1)).as("c"))
               .agg(sum(col("c"))).collect().head.getLong(0)
-            if (g < last && g != n) () // two separate snapshots — fine
+            if (g < n)
+              violations.add(s"reader $r: grouped agg covered $g rows after count saw $n")
+            last = math.max(last, g)
             readerOk.incrementAndGet()
           } catch { case _: Exception => readerErrors.incrementAndGet() }
         }

@@ -143,14 +143,14 @@ class ExactlyOnceAppendSpec extends SparkSpec {
     val names = fs.listStatus(BatchLedger.dir(new HPath(root)))
       .map(_.getPath.getName).toSet
     // 0,1 fold into the watermark; 3 must stay explicit (2 never committed)
-    assert(names == Set("_b_low_ingest_1", "_b_ingest_3"), names.toString)
+    assert(names == Set("_bwm_ingest_1", "_b_ingest_3"), names.toString)
     assert(values(store, Tier.GenRaw) == Seq(0.0, 1.0, 3.0))
     // batch 2 commits late, a second vacuum folds everything
     store.writeRoutedBatch(pts(("sensor_temp", 2.0)), 2L)
     store.vacuumBatchMarkers()
     val names2 = fs.listStatus(BatchLedger.dir(new HPath(root)))
       .map(_.getPath.getName).toSet
-    assert(names2 == Set("_b_low_ingest_3"), names2.toString)
+    assert(names2 == Set("_bwm_ingest_3"), names2.toString)
     assert(values(store, Tier.GenRaw) == Seq(0.0, 1.0, 2.0, 3.0))
   }
 }

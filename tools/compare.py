@@ -58,6 +58,7 @@ for name in sorted(os.listdir(out_dir)):
     # an InterruptException whose own timer never fired.
     exp = None
     timed_out = False
+    err_reported = False
     for _attempt in range(2):
         fired = threading.Event()
         timer = None
@@ -77,6 +78,7 @@ for name in sorted(os.listdir(out_dir)):
         except Exception as e:
             print(f"{name:25s} ORACLE-ERROR {str(e)[:120]}")
             fail += 1
+            err_reported = True
             break
         finally:
             if timer:
@@ -92,6 +94,12 @@ for name in sorted(os.listdir(out_dir)):
         print(f"{name:25s} ORACLE-TIMEOUT >{timeout_s:.0f}s (not counted)")
         continue
     if exp is None:
+        # retry loop exhausted without a result, timeout, or reported
+        # error (e.g. two stale interrupts) — a silent skip would read
+        # as success, so count it
+        if not err_reported:
+            print(f"{name:25s} ORACLE-ERROR no result after retries")
+            fail += 1
         continue
     g = got.reindex(sorted(got.columns), axis=1)
     e = exp.reindex(sorted(exp.columns), axis=1)
@@ -105,13 +113,29 @@ for name in sorted(os.listdir(out_dir)):
         continue
     gs = g.sort_values(by=list(g.columns)).reset_index(drop=True)
     es = e.sort_values(by=list(e.columns)).reset_index(drop=True)
-    # normalize dtypes for compare
+    # The driver's hash is dtype-sensitive: an oracle column whose pandas
+    # dtype differs from the Spark parquet dtype (e.g. DuckDB HUGEINT ->
+    # float64 vs Spark int64) hash-fails even on equal values. Flag it as
+    # FAIL here instead of silently coercing, but normalize away
+    # representation-only differences that the driver also tolerates:
+    # datetime64 tick resolution (ns vs us) carries no value information.
+    dtype_bad = []
     for c in gs.columns:
-        if gs[c].dtype != es[c].dtype:
-            try:
-                es[c] = es[c].astype(gs[c].dtype)
-            except Exception:
-                pass
+        gd, ed = gs[c].dtype, es[c].dtype
+        if gd == ed:
+            continue
+        if gd.kind == "M" and ed.kind == "M":  # same kind, resolution-only
+            es[c] = es[c].astype(gd)
+            continue
+        dtype_bad.append(f"{c}(spark={gd},oracle={ed})")
+        try:
+            es[c] = es[c].astype(gd)  # coerce so value diff still prints
+        except Exception:
+            pass
+    if dtype_bad:
+        print(f"{name:25s} DTYPE-MISMATCH {' '.join(dtype_bad)}")
+        fail += 1
+        continue
     try:
         pd.testing.assert_frame_equal(gs, es, check_dtype=False, check_exact=True)
         print(f"{name:25s} OK rows={len(g)}")
