@@ -1009,19 +1009,21 @@ object SparkEntry {
       // path is trainBpe → applyMerges; a fixed table keeps the oracle
       // static): piece count + md5 over SOH-joined pieces pins every
       // merge decision cross-engine
-      // The merge chain is aliased in its OWN projection and referenced
-      // twice above it, so CollapseProject keeps it materialized once
-      // per row — filtering directly on size(applyMerges(..)) pushed
-      // the whole regex chain into the filter as a third evaluation
-      // (the round-5 5x regression the round-6 A/B isolated).
-      val docs = table(s, dir, "documents").select(col("doc_id"),
-        graft.functions.Vocab.applyMerges(col("text"), BpeDemoMerges).as("_pieces"))
-      docs.select(col("doc_id"),
-        size(col("_pieces")).cast("long").as("n_pieces"),
-        md5(concat_ws("\u0001", col("_pieces"))).as("piece_md5"))
-        // the oracle's GROUP BY over unnested words omits token-free
-        // docs; match it by dropping them here too
-        .filter(col("n_pieces") > 0)
+      // The oracle's GROUP BY over unnested words omits token-free docs.
+      // Matching that with a post-hoc filter on size(applyMerges(..))
+      // re-evaluated the whole merge chain inside the pushed-down filter
+      // (the tracked r5/r6 2x regression), however the projection was
+      // staged. Instead pre-filter with the CHEAP equivalent predicate —
+      // merges never produce empty pieces, so a doc is piece-free iff
+      // lower(text) has no [a-z0-9] character — and let the single
+      // projection's subexpression elimination evaluate the chain once
+      // per surviving row.
+      val pieces = graft.functions.Vocab.applyMerges(col("text"), BpeDemoMerges)
+      table(s, dir, "documents")
+        .filter(lower(col("text")).rlike("[a-z0-9]"))
+        .select(col("doc_id"),
+          size(pieces).cast("long").as("n_pieces"),
+          md5(concat_ws("\u0001", pieces)).as("piece_md5"))
     }),
 
     "text_vocab_coverage" -> ((s, dir) =>
