@@ -35,6 +35,16 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
  * Usage: runMain graft.StreamingSoak [sfDir] [workDir] [chunks]
  * Prints one JSON line per phase plus a `soak_summary` line; full
  * per-batch progress lands in <workDir>/soak_progress.jsonl.
+ *
+ * RUN UNDER SBT (or with build.sbt's full jdk17AddOpens list): state
+ * memory is estimated with Spark's SizeEstimator, which silently
+ * degrades to a shallow per-partition constant (~48 B/partition) when
+ * the JVM lacks the `--add-opens java.base/java.lang …` set — a bare
+ * `java -cp` run reports `max_state_mb` as ~0 against tens of
+ * thousands of state rows (the round-6 soak's 0.0 figure). The phase
+ * report detects that degenerate estimate (bytes ≤ rows — under one
+ * byte per state row is impossible) and flags it as
+ * `"state_mb_degenerate":true` instead of publishing a bogus number.
  */
 object StreamingSoak {
 
@@ -100,10 +110,17 @@ object StreamingSoak {
       val ps = stats.toArray(Array.empty[BatchStat]).filter(_.phase == name)
       val batches = ps.length
       val maxState = if (ps.isEmpty) 0L else ps.map(_.stateRows).max
-      val maxStateMb = if (ps.isEmpty) 0.0 else ps.map(_.stateBytes).max / 1e6
+      val maxBytes = if (ps.isEmpty) 0L else ps.map(_.stateBytes).max
+      // SizeEstimator without the add-opens set degrades to a shallow
+      // ~48 B/partition constant; under a byte per state row cannot be
+      // a real estimate, so flag it rather than publish ~0 MB
+      val degenerate = maxState > 0 && maxBytes <= maxState
+      val mbField =
+        if (degenerate) s""""max_state_mb":null,"state_mb_degenerate":true"""
+        else f""""max_state_mb":${maxBytes / 1e6}%.1f"""
       f"""{"phase":"$name","rows":$rows,"batches":$batches,"wall_sec":$wallSec%.1f,""" +
         f""""rows_per_sec":${rows / math.max(0.001, wallSec)}%.0f,""" +
-        f""""max_state_rows":$maxState,"max_state_mb":$maxStateMb%.1f$extra}"""
+        s""""max_state_rows":$maxState,$mbField$extra}"""
     }
 
     val report = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -438,6 +438,15 @@ object Dedup {
    * = true near-dup pairs discovered at LSH cost.
    */
   /** (id, sh, sig) per doc with a non-empty shingle set. */
+  /** (id, sh, sig) shingle+signature table — the unit every LSH stage
+   *  consumes. Package-visible so the streaming path can compute it
+   *  ONCE per micro-batch and share the cached result across the
+   *  intra-batch pair generation, the index query, and the index
+   *  append (the doc-level entry points each re-derive it). */
+  private[functions] def shingledDocs(docs: DataFrame, n: Int, k: Int,
+      idCol: String, textCol: String): DataFrame =
+    shingled(docs, n, k, idCol, textCol)
+
   private def shingled(docs: DataFrame, n: Int, k: Int,
       idCol: String, textCol: String): DataFrame =
     docs
