@@ -13,6 +13,15 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val Runs = 3
 
+  /** Quiet-session median of the calibration probe on the reference
+   *  32-thread container (measured, see BENCH_NOTES.md "calibration").
+   *  A run whose probe exceeds [[CalibBandFactor]]× this is marked
+   *  `"calib_flagged":true` — its query times are load-inflated and
+   *  should not be compared round-over-round (the round-7 phantom 47%
+   *  regression was exactly this). */
+  private val CalibQuietSec = 0.25
+  private val CalibBandFactor = 2.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -34,6 +43,31 @@ object Bench {
       .config("spark.sql.ui.retainedExecutions", "100")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Load calibration (VERDICT r7 ask #6): a fixed CPU-bound probe —
+    // 2^27 xxhash64 rows bit_xor-folded across all threads, data-independent —
+    // timed before and after the query sweep, plus the OS load average
+    // at both points. A loaded driver box inflates every query
+    // uniformly; the probe makes that visible inside the bench JSON so
+    // a cross-round comparison can discount flagged runs instead of
+    // chasing phantom regressions.
+    def calibrate(): Double = {
+      import org.apache.spark.sql.functions.{bit_xor, xxhash64, col}
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 1L << 27, 1L, cpus.toInt)
+          .select(bit_xor(xxhash64(col("id")))).head()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm
+      Seq.fill(3)(once()).sorted.apply(1)
+    }
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val calibStart = calibrate()
+    val loadStart = loadAvg()
+
     val results = (SparkEntry.queries ++ SparkEntry.benchOnly).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -68,12 +102,19 @@ object Bench {
     def jmap(prec: String)(f: ((String, (Double, Double))) => Double) =
       results.map { case kv @ (k, _) => "\"" + k + "\":" + jnum(prec, f(kv)) }
         .mkString("{", ",", "}")
+    val calibEnd = calibrate()
+    val loadEnd = loadAvg()
+    val flagged = math.max(calibStart, calibEnd) > CalibQuietSec * CalibBandFactor
+    val calibJson =
+      f""""calib_sec":[$calibStart%.3f,$calibEnd%.3f],""" +
+        f""""load_avg":[$loadStart%.2f,$loadEnd%.2f],""" +
+        s""""calib_quiet_sec":$CalibQuietSec,"calib_flagged":$flagged"""
     val total = results.values.map(_._1).sum
     val slowestFirst = results.toSeq.sortBy { case (k, (m, _)) => (-m, k) }
       .map { case (k, (m, _)) => "\"" + k + "\":" + jnum("%.3f", m) }
     val budget = 1700
     val head =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$Runs,"queries":{"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$Runs,$calibJson,"queries":{"""
     val tail = s"""},"omitted_fast":OMIT,"sf":"$sfDir"}"""
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = head.length + tail.length + 4
@@ -84,7 +125,7 @@ object Bench {
       tail.replace("OMIT", (results.size - kept.size).toString))
     // Full-precision copy on disk for post-hoc analysis (adds spread).
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$Runs,""" +
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$Runs,$calibJson,""" +
         s""""queries":${jmap("%.3f")(_._2._1)},"spread":${jmap("%.3f")(_._2._2)},""" +
         s""""sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),

@@ -37,7 +37,9 @@ object FixtureScale {
     val spark = GraftSession.builder(shufflePartitions = 32)
       .master("local[32]").config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // keep events' raw TIMESTAMP(NANOS) longs intact through the copy
+    // Tolerate either events-ts layout: legacy fixtures carried parquet
+    // TIMESTAMP(NANOS) (readable only as int64 via nanosAsLong, copied
+    // through unchanged), regenerated fixtures carry timestamp[us].
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

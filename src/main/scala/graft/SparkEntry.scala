@@ -40,10 +40,11 @@ object SparkEntry {
     "t" -> "a", "ta" -> "b", "tab" -> "l", "tabl" -> "e",
     "s" -> "c", "sc" -> "a", "sca" -> "n", "h" -> "a")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-   *  Spark 4 only reads via the nanosAsLong legacy conf; convert to
-   *  microsecond timestamps with integer division (a double division
-   *  would lose precision above 2^53). */
+  /** The events table has carried two ts layouts across fixture
+   *  regenerations: parquet TIMESTAMP(NANOS), which Spark 4 only reads as
+   *  int64 via the nanosAsLong legacy conf (converted here with integer
+   *  division — a double division would lose precision above 2^53), and a
+   *  plain timestamp[us] column. Branch on the read dtype so both work. */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, dir, "events")

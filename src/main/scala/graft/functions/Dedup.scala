@@ -491,10 +491,18 @@ object Dedup {
    */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, idCol: String = "doc_id", textCol: String = "text",
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      maxBucketSize: Int = Int.MaxValue): DataFrame =
+    pairsFromShingled(shingled(docs, n, k, idCol, textCol), k, bands,
+      threshold, maxBucketSize)
+
+  /** [[minhashLshPairs]] over a pre-computed (id, sh, sig) table — the
+   *  streaming path persists one [[shingledDocs]] per micro-batch and
+   *  feeds it here, to the index query, and to the index append, so
+   *  shingles+signatures are derived once instead of three times. */
+  private[functions] def pairsFromShingled(sh: DataFrame, k: Int, bands: Int,
+      threshold: Double, maxBucketSize: Int): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     require(maxBucketSize > 1, s"maxBucketSize must exceed 1, got $maxBucketSize")
-    val sh = shingled(docs, n, k, idCol, textCol)
     val allBanded = this.banded(sh, k, bands)
     val candIds =
       if (maxBucketSize == Int.MaxValue) {
@@ -667,7 +675,19 @@ object Dedup {
     if (append) checkIndexParams(spark, path, n, k, bands)
     else writeIndexMeta(spark, path, n, k, bands)
     val mode = if (append) SaveMode.Append else SaveMode.Overwrite
-    val sh = shingled(docs, n, k, idCol, textCol)
+    writeShingledToIndex(shingled(docs, n, k, idCol, textCol), path, k, bands, mode)
+  }
+
+  /** Append a pre-computed (id, sh, sig) table to the index at `path`
+   *  (meta must already be written/validated by the caller). */
+  private[functions] def appendShingledToIndex(sh: DataFrame, path: String,
+      n: Int, k: Int, bands: Int): Unit = {
+    checkIndexParams(sh.sparkSession, path, n, k, bands)
+    writeShingledToIndex(sh, path, k, bands, SaveMode.Append)
+  }
+
+  private def writeShingledToIndex(sh: DataFrame, path: String,
+      k: Int, bands: Int, mode: SaveMode): Unit = {
     banded(sh, k, bands).write.mode(mode).parquet(s"$path/buckets")
     sh.select(col("id"), col("sh")).write.mode(mode).parquet(s"$path/shingles")
   }
@@ -723,9 +743,15 @@ object Dedup {
 
   def queryMinhashIndex(spark: SparkSession, newDocs: DataFrame, path: String,
       n: Int = 3, k: Int = 64, bands: Int = 16, threshold: Double = 0.8,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    queryIndexFromShingled(spark, shingled(newDocs, n, k, idCol, textCol),
+      path, n, k, bands, threshold)
+
+  /** [[queryMinhashIndex]] over a pre-computed (id, sh, sig) table. */
+  private[functions] def queryIndexFromShingled(spark: SparkSession,
+      shNew: DataFrame, path: String, n: Int, k: Int, bands: Int,
+      threshold: Double): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val shNew = shingled(newDocs, n, k, idCol, textCol)
     if (!indexExists(spark, path))
       // nothing indexed yet — empty result, correct schema
       return shNew.select(col("id").as("id_new"), col("id").as("id_idx"),

@@ -235,8 +235,9 @@ object Pipeline {
    * index, unbounded in TIME but O(corpus) on DISK, exactly like the
    * tier store. Per micro-batch: intra-batch keep-min near-dedup →
    * anti-join against the index → `sink(clean)` → append survivors to
-   * the index. The batch is persisted around its two consumers (sink +
-   * index append) so the upstream plan executes once. At-least-once on
+   * the index. The batch's shingle+signature table is computed once and
+   * persisted across all three consumers (pair generation, index query,
+   * index append) — see the foreachBatch body. At-least-once on
    * restart: a replayed batch's docs match the index rows they appended
    * and drop out, so the sink sees no near-dup twice.
    */
@@ -250,15 +251,36 @@ object Pipeline {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val intra = intraBatchNearDedup(batch, n, k, bands, threshold, idCol,
-          textCol, maxBucketSize)
-        val clean = Dedup.dedupAgainstIndex(spark, intra, indexPath,
-          n, k, bands, threshold, idCol, textCol).persist()
+        // Shingles+signatures are the batch's dominant derived cost:
+        // compute them ONCE (Dedup.shingledDocs), persist, and share the
+        // result across all three consumers — intra-batch pair
+        // generation, the index query, and the index append. The
+        // doc-level entry points (intraBatchNearDedup → dedupAgainstIndex
+        // → buildMinhashIndex) each re-derive them, tripling per-batch
+        // work on the streaming path.
+        val sh = Dedup.shingledDocs(batch, n, k, idCol, textCol).persist()
+        val dropIntra = Dedup.pairsFromShingled(sh, k, bands, threshold,
+          maxBucketSize).select(col("id_b").as("id")).distinct().persist()
         try {
-          sink(clean)
-          Dedup.buildMinhashIndex(clean, indexPath, n, k, bands, idCol, textCol,
-            append = true)
-        } finally clean.unpersist()
+          val shIntra = sh.join(dropIntra, Seq("id"), "left_anti")
+          val hits = Dedup.queryIndexFromShingled(spark, shIntra, indexPath,
+            n, k, bands, threshold).select(col("id_new").as("id"))
+          val dropped = dropIntra.unionAll(hits).distinct().persist()
+          try {
+            // Anti-join against the ORIGINAL batch, not sh: docs with an
+            // empty shingle set never pair with anything and must reach
+            // the sink (they are absent from sh by construction, and —
+            // as before — are never indexed).
+            val clean = batch.join(dropped.withColumnRenamed("id", idCol),
+              Seq(idCol), "left_anti").persist()
+            try {
+              sink(clean)
+              Dedup.appendShingledToIndex(
+                sh.join(dropped, Seq("id"), "left_anti"),
+                indexPath, n, k, bands)
+            } finally clean.unpersist()
+          } finally dropped.unpersist()
+        } finally { dropIntra.unpersist(); sh.unpersist() }
       }
       .start()
 

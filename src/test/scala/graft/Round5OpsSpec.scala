@@ -104,9 +104,16 @@ class Round5OpsSpec extends SparkSpec {
     // the fixture's per-series gaps: most pairs exceed the 2h cutoff,
     // and among wiped pairs some carry positive deltas — i.e. the guard
     // is load-bearing, not vacuous
+    // Branch on the fixture's ts dtype exactly like SparkEntry.events:
+    // older fixtures carry TIMESTAMP(NANOS) read as int64 via nanosAsLong,
+    // regenerated ones carry a real timestamp[us] column.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val e = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("tsec", expr("ts div 1000000000"))
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val tsec = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+      case _ => expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    }
+    val e = raw.withColumn("tsec", tsec)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("tsec")
     val pairs = e.select(col("user_id"), col("tsec"))
