@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/**
+ * Shared plumbing for the soak mains ([[StreamingSoak]],
+ * [[SustainedSoak]]): ordered chunk-file generation for the file
+ * source, the file-source reader, and the per-batch progress listener.
+ */
+object SoakUtil {
+
+  final case class BatchStat(phase: String, batchId: Long, inputRows: Long,
+      procMs: Long, stateRows: Long, stateBytes: Long)
+
+  /** Split `df` into `n` sequential chunk files under `dir` with
+   *  strictly increasing mtimes so the file source replays them in
+   *  order, one per micro-batch. `orderCol` defines the chunking. */
+  def writeChunks(spark: SparkSession, df: DataFrame, orderCol: String,
+      dir: String, n: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = s"$dir.tmp"
+    df.withColumn("_chunk", ntile(n).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))))
+      .repartition(col("_chunk"))
+      .write.partitionBy("_chunk").parquet(tmp)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    (1 to n).foreach { i =>
+      val src = new org.apache.hadoop.fs.Path(s"$tmp/_chunk=$i")
+      val files = fs.listStatus(src).filter(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet"))
+      files.zipWithIndex.foreach { case (f, j) =>
+        val dst = new org.apache.hadoop.fs.Path(dir, f"chunk_$i%04d_$j.parquet")
+        fs.rename(f.getPath, dst)
+        fs.setTimes(dst, 1700000000000L + i * 60000L, -1)
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  def streamDir(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
+
+  /** Register a listener that appends one [[BatchStat]] per non-empty
+   *  micro-batch, tagged with `phase()` at progress time. */
+  def addProgressListener(spark: SparkSession, phase: () => String,
+      stats: java.util.concurrent.ConcurrentLinkedQueue[BatchStat]): Unit =
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        if (p.numInputRows > 0) {
+          val (sr, sb) = Option(p.stateOperators).filter(_.nonEmpty)
+            .map(ops => (ops.map(_.numRowsTotal).sum, ops.map(_.memoryUsedBytes).sum))
+            .getOrElse((0L, 0L))
+          stats.add(BatchStat(phase(), p.batchId, p.numInputRows,
+            Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L),
+            sr, sb))
+        }
+      }
+    })
+}

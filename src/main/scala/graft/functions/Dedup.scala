@@ -688,8 +688,19 @@ object Dedup {
 
   private def writeShingledToIndex(sh: DataFrame, path: String,
       k: Int, bands: Int, mode: SaveMode): Unit = {
-    banded(sh, k, bands).write.mode(mode).parquet(s"$path/buckets")
-    sh.select(col("id"), col("sh")).write.mode(mode).parquet(s"$path/shingles")
+    // The two tables are committed CONCURRENTLY: they carry disjoint
+    // data derived from the same (persisted) sh, and a crash that lands
+    // one without the other only produces orphan rows the query join
+    // ignores (a bucket row without its shingle row never verifies; a
+    // shingle row without bucket rows is never a candidate) — the
+    // at-least-once replay then re-appends both. Halves the per-batch
+    // commit latency on the streaming path.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fb = Future(banded(sh, k, bands).write.mode(mode).parquet(s"$path/buckets"))
+    val fsh = Future(sh.select(col("id"), col("sh")).write.mode(mode).parquet(s"$path/shingles"))
+    Await.result(fb, Duration.Inf); Await.result(fsh, Duration.Inf)
   }
 
   // Signatures built with different (n, k, bands) never collide the way

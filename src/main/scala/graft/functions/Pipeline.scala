@@ -258,14 +258,17 @@ object Pipeline {
         // doc-level entry points (intraBatchNearDedup → dedupAgainstIndex
         // → buildMinhashIndex) each re-derive them, tripling per-batch
         // work on the streaming path.
+        // No .distinct() on the drop sets: they only ever feed left_anti
+        // joins, which are duplicate-insensitive — a distinct is a whole
+        // extra shuffle per micro-batch for nothing.
         val sh = Dedup.shingledDocs(batch, n, k, idCol, textCol).persist()
         val dropIntra = Dedup.pairsFromShingled(sh, k, bands, threshold,
-          maxBucketSize).select(col("id_b").as("id")).distinct().persist()
+          maxBucketSize).select(col("id_b").as("id")).persist()
         try {
           val shIntra = sh.join(dropIntra, Seq("id"), "left_anti")
           val hits = Dedup.queryIndexFromShingled(spark, shIntra, indexPath,
             n, k, bands, threshold).select(col("id_new").as("id"))
-          val dropped = dropIntra.unionAll(hits).distinct().persist()
+          val dropped = dropIntra.unionAll(hits).persist()
           try {
             // Anti-join against the ORIGINAL batch, not sh: docs with an
             // empty shingle set never pair with anything and must reach

@@ -58,8 +58,9 @@ final class TierStore(spark: SparkSession, root: String) {
       .filter(_.getName.startsWith("measurement="))
       .foreach(m => rmTree(s"$m/date=$date"))
 
-  /** Test seam for the publish race spec: invoked between the bulk
-   *  phases of a partition publish (after staging, after commits). */
+  /** Test seam for the publish race/crash specs: invoked between the
+   *  bulk phases of a partition publish ("staged", "swapped") and, per
+   *  partition, between a snapshot's rename and its commit ("renamed"). */
   private[graft] var publishHook: String => Unit = _ => ()
 
   /**
@@ -89,12 +90,24 @@ final class TierStore(spark: SparkSession, root: String) {
     fs.mkdirs(part)
     val entries = fs.listStatus(part).toSeq
     val prev = TierLayout.currentVersion(entries)
-    val v = prev.getOrElse(0L) + 1
+    // The next version must clear BOTH the committed version and any
+    // UNCOMMITTED `_v=` leftover of a publish that crashed between its
+    // rename and its commit: renaming the new staged dir onto that
+    // leftover's name would either fail or nest into it (FileSystem
+    // rename-to-existing-dir semantics), and the commit that follows
+    // would then manifest a snapshot whose directory holds the crashed
+    // attempt's stale rows — losing every row that landed since. The
+    // orphan itself stays invisible (no commit marker) and is deleted by
+    // the next vacuum pass (it is < the version committed here).
+    val leftoverVersions = entries.map(_.getPath.getName)
+      .filter(_.startsWith("_v=")).flatMap(_.stripPrefix("_v=").toLongOption)
+    val v = (prev.toSeq ++ leftoverVersions).maxOption.getOrElse(0L) + 1
     val dir = TierLayout.versionDir(part, v)
     staged match {
-      case Some(s) => fs.rename(s, dir)
+      case Some(s) => require(fs.rename(s, dir), s"rename $s -> $dir failed")
       case None => fs.mkdirs(dir) // retire: commit an empty snapshot
     }
+    publishHook("renamed") // crash seam: snapshot dir present, uncommitted
     val present = entries.map(_.getPath.getName).toSet
     val carried = prev.map(TierLayout.foldedFiles(fs, part, _))
       .getOrElse(Set.empty[String]).filter(present)

@@ -115,6 +115,43 @@ class StoreCrashRecoverySpec extends SparkSpec {
       && after("low_foo", 3L) && !after("foo", 3L))
   }
 
+  test("compact crash between snapshot rename and commit: the half-" +
+    "published _v dir is invisible to readers and safely superseded") {
+    val root = tmpDir()
+    val store = new TierStore(spark, root)
+    (1 to 4).foreach(i => store.write(Tier.GenRaw, pts(("sensor_temp", i.toDouble))))
+
+    // crash AFTER the _v=1 rename, BEFORE the _commit_1 marker
+    store.publishHook = {
+      case "renamed" => throw new RuntimeException("crash before commit")
+      case _ => ()
+    }
+    intercept[RuntimeException] { store.compact(Tier.GenRaw, minFiles = 4) }
+    store.publishHook = _ => ()
+
+    val part = new HPath(s"$root/tier=gen_raw/measurement=sensor_temp/date=2024-01-01")
+    val fs = fsOf(root)
+    // the orphan snapshot dir exists, uncommitted — and is INVISIBLE:
+    // readers resolve raw appends exactly as before the crashed pass
+    assert(fs.exists(TierLayout.versionDir(part, 1)))
+    assert(!fs.exists(TierLayout.commitFile(part, 1)))
+    assert(values(store, Tier.GenRaw) == Seq(1.0, 2.0, 3.0, 4.0))
+
+    // an append after the crash, then a maintenance pass that completes:
+    // the new snapshot must NOT land on the orphan's name (a rename onto
+    // an existing dir fails or nests — either way the commit would
+    // manifest the crashed attempt's rows and lose the new append)
+    store.write(Tier.GenRaw, pts(("sensor_temp", 5.0)))
+    assert(store.compact(Tier.GenRaw, minFiles = 2) == 1)
+    assert(values(store, Tier.GenRaw) == Seq(1.0, 2.0, 3.0, 4.0, 5.0),
+      "rows lost or duplicated across the crash-then-complete sequence")
+    // the completed pass committed ABOVE the orphan and vacuumed it
+    val committed = TierLayout.currentVersion(fs.listStatus(part).toSeq).get
+    assert(committed == 2, s"expected version 2 above the orphan, got $committed")
+    assert(!fs.exists(TierLayout.versionDir(part, 1)),
+      "orphan uncommitted snapshot dir survived the vacuum")
+  }
+
   test("writerId is stable per checkpoint and distinct across checkpoints") {
     import graft.ingest.IngestPipeline.writerId
     val a = writerId("/tmp/ckpt/query_a")
