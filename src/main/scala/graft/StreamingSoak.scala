@@ -25,7 +25,10 @@ import org.apache.spark.sql.functions._
  *     divergence. (Batch≡streaming value equivalence is pinned at
  *     micro-batch granularity in StoreStreamSpec — emission ticks are
  *     per-batch by design, so cross-granularity equality is not a
- *     defined comparison at arbitrary chunking.)
+ *     defined comparison at arbitrary chunking.) The phase then runs a
+ *     third time under the RocksDB state-store provider (the bounded-
+ *     memory backend a 100 TB deployment needs) and asserts the output
+ *     is row-identical to the default provider's.
  *  3. INDEXED DEDUP — `Pipeline.streamingIndexedDedup` over chunked
  *     documents; end state (survivor set + persisted index) must EQUAL
  *     a hand-driven sequential batch loop over the same chunks in the
@@ -173,6 +176,26 @@ object StreamingSoak {
       val series = pts.toDF().select("series_id").distinct().count()
       report += phaseJson("agg", wall, rows,
         s""","replay_deterministic":true,"series":$series""")
+
+      // Same phase under the RocksDB state store — the provider a
+      // 100 TB deployment runs: HDFSBackedStateStoreProvider keeps every
+      // state row on the executor HEAP (fine at 75k series, fatal at
+      // hundreds of millions), RocksDB spills to local disk with bounded
+      // memory. The provider must be a pure swap: identical output rows,
+      // same O(series) state bound. rocksdbjni ships with Spark.
+      phase = "agg_rocksdb"
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val t1 = System.nanoTime()
+        val out3 = runOnce("rocks")
+        val wallR = (System.nanoTime() - t1) / 1e9
+        val e1 = out1.exceptAll(out3).count(); val e2 = out3.exceptAll(out1).count()
+        require(e1 == 0 && e2 == 0,
+          s"rocksdb provider output diverged from hdfs-backed: $e1/$e2 rows differ")
+        report += phaseJson("agg_rocksdb", wallR, rows,
+          s""","provider":"rocksdb","equal_to_hdfs_provider":true,"series":$series""")
+      } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
 
     // ---------------- phase 3: indexed near-dup dedup ----------------

@@ -56,13 +56,24 @@ object SustainedSoak {
     SoakUtil.addProgressListener(spark, () => phase, stats)
     val report = scala.collection.mutable.ArrayBuffer.empty[String]
 
-    def countFiles(dir: HPath, pred: String => Boolean): Long = {
-      if (!fs.exists(dir)) return 0L
-      val it = fs.listFiles(dir, true)
-      var n = 0L
-      while (it.hasNext) { if (pred(it.next().getPath.getName)) n += 1 }
-      n
-    }
+    // Committed-data file count. Walks only the published partition
+    // tree: underscore/dot-prefixed dirs (_staging, _batches, Hadoop's
+    // _temporary) are skipped — the writer is LIVE during sampling, and
+    // listing its in-flight task-attempt dirs races with their deletion
+    // (RawLocalFileSystem shells out for permissions and throws on a
+    // path that vanished mid-walk). Transient disappearance of anything
+    // else is tolerated as an empty subtree for the same reason.
+    def countFiles(dir: HPath, pred: String => Boolean): Long =
+      try {
+        if (!fs.exists(dir)) 0L
+        else fs.listStatus(dir).toSeq.map { e =>
+          val n = e.getPath.getName
+          if (e.isDirectory) {
+            if (n.startsWith("_") || n.startsWith(".")) 0L
+            else countFiles(e.getPath, pred)
+          } else if (pred(n)) 1L else 0L
+        }.sum
+      } catch { case _: java.io.IOException => 0L }
 
     // ---------------- phase 1: sustained ingest ----------------
     {

@@ -365,6 +365,15 @@ object Aggregator {
    * FlatMapGroupsWithStateExec request micro-batches continuously
    * (shouldRunAnotherBatch=true), so only enable it with a real
    * processing-time trigger, never with processAllAvailable-style tests.
+   *
+   * State backend at scale: state is one row per series (~435 B measured,
+   * BENCH_SF1.md), so the default HDFSBackedStateStoreProvider — which
+   * holds every row on the executor heap — is fine to a few million
+   * series. Beyond that set
+   * `spark.sql.streaming.stateStore.providerClass` to Spark's
+   * RocksDBStateStoreProvider (bounded memory, local-disk spill); the
+   * operator is provider-agnostic and the soak asserts row-identical
+   * output under both ([[graft.StreamingSoak]] "agg_rocksdb").
    */
   def streaming(points: Dataset[StreamIn], samplingMinutes: Int = 10,
       stateTimeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)
