@@ -437,17 +437,13 @@ object Dedup {
    * candidates are verified with exact Jaccard before emission, so output
    * = true near-dup pairs discovered at LSH cost.
    */
-  /** (id, sh, sig) per doc with a non-empty shingle set. */
-  /** (id, sh, sig) shingle+signature table — the unit every LSH stage
-   *  consumes. Package-visible so the streaming path can compute it
-   *  ONCE per micro-batch and share the cached result across the
-   *  intra-batch pair generation, the index query, and the index
-   *  append (the doc-level entry points each re-derive it). */
+  /** (id, sh, sig) shingle+signature table over docs with a non-empty
+   *  shingle set — the unit every LSH stage consumes. Package-visible
+   *  so the streaming path can compute it ONCE per micro-batch and
+   *  share the cached result across the intra-batch pair generation,
+   *  the index query, and the index append (the doc-level entry points
+   *  each re-derive it). */
   private[functions] def shingledDocs(docs: DataFrame, n: Int, k: Int,
-      idCol: String, textCol: String): DataFrame =
-    shingled(docs, n, k, idCol, textCol)
-
-  private def shingled(docs: DataFrame, n: Int, k: Int,
       idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol).as("id"),
@@ -492,7 +488,7 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, idCol: String = "doc_id", textCol: String = "text",
       maxBucketSize: Int = Int.MaxValue): DataFrame =
-    pairsFromShingled(shingled(docs, n, k, idCol, textCol), k, bands,
+    pairsFromShingled(shingledDocs(docs, n, k, idCol, textCol), k, bands,
       threshold, maxBucketSize)
 
   /** [[minhashLshPairs]] over a pre-computed (id, sh, sig) table — the
@@ -550,7 +546,7 @@ object Dedup {
       bands: Int = 16, minSize: Int = DefaultChainMaxBucket,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    banded(shingled(docs, n, k, idCol, textCol), k, bands)
+    banded(shingledDocs(docs, n, k, idCol, textCol), k, bands)
       .groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("size"), min(col("id")).as("rep"))
       .filter(col("size") > minSize)
@@ -675,7 +671,7 @@ object Dedup {
     if (append) checkIndexParams(spark, path, n, k, bands)
     else writeIndexMeta(spark, path, n, k, bands)
     val mode = if (append) SaveMode.Append else SaveMode.Overwrite
-    writeShingledToIndex(shingled(docs, n, k, idCol, textCol), path, k, bands, mode)
+    writeShingledToIndex(shingledDocs(docs, n, k, idCol, textCol), path, k, bands, mode)
   }
 
   /** Append a pre-computed (id, sh, sig) table to the index at `path`
@@ -755,7 +751,7 @@ object Dedup {
   def queryMinhashIndex(spark: SparkSession, newDocs: DataFrame, path: String,
       n: Int = 3, k: Int = 64, bands: Int = 16, threshold: Double = 0.8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    queryIndexFromShingled(spark, shingled(newDocs, n, k, idCol, textCol),
+    queryIndexFromShingled(spark, shingledDocs(newDocs, n, k, idCol, textCol),
       path, n, k, bands, threshold)
 
   /** [[queryMinhashIndex]] over a pre-computed (id, sh, sig) table. */
