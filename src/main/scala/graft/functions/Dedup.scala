@@ -745,7 +745,72 @@ object Dedup {
   /** True when an index has been built (or appended) at `path`. */
   def indexExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$path/buckets")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    repairIndex(fs, path)
+    fs.exists(p)
+  }
+
+  /** Self-heal after a [[compactMinhashIndex]] crash: a table whose
+   *  live dir is missing but whose `.old` sibling survives is restored
+   *  by renaming the sibling back (the swap's only non-atomic window —
+   *  see the compaction scaladoc). One fs.exists per table when the
+   *  index is healthy. */
+  private def repairIndex(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit =
+    Seq("buckets", "shingles").foreach { t =>
+      val live = new org.apache.hadoop.fs.Path(s"$path/$t")
+      val old = new org.apache.hadoop.fs.Path(s"$path/.$t.old")
+      if (!fs.exists(live) && fs.exists(old)) fs.rename(old, live)
+    }
+
+  /**
+   * Fold the index's per-batch appends into few large files — the
+   * maintenance call a long-running [[graft.functions.Pipeline
+   * .streamingIndexedDedup]] deployment crons: every micro-batch append
+   * adds one file set to `buckets/` and `shingles/`, so after N batches
+   * every index query lists and reads N file groups (500 daily batches
+   * = 500 small files per table). Rewrites each table at
+   * `targetFileBytes` per output file (size-aware, like
+   * [[graft.store.TierStore.compact]]), then swaps it live:
+   * new files land in a hidden `.compact/` staging dir, the live dir is
+   * renamed to `.{table}.old`, the staged dir renamed live, and the
+   * `.old` dir deleted. The swap is two renames, not atomic — the
+   * contract is SINGLE-MAINTAINER, run from the stream's own driver
+   * between micro-batches (the foreachBatch loop is the only writer,
+   * so between batches nothing reads or appends). A crash inside the
+   * window is self-healing: the next index open ([[indexExists]])
+   * restores a missing live dir from its `.old` sibling, and a
+   * leftover staging dir is simply overwritten by the next compaction.
+   * Returns (files before, files after) summed over both tables.
+   */
+  def compactMinhashIndex(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    repairIndex(fs, path)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/buckets")),
+      s"no MinHash index at $path")
+    var before = 0; var after = 0
+    Seq("buckets", "shingles").foreach { t =>
+      val live = new org.apache.hadoop.fs.Path(s"$path/$t")
+      val files = fs.listStatus(live).filter(f =>
+        f.isFile && !f.getPath.getName.startsWith("_"))
+      val n = math.max(1,
+        math.ceil(files.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
+      val staged = new org.apache.hadoop.fs.Path(s"$path/.compact/$t")
+      fs.delete(staged, true)
+      spark.read.parquet(live.toString).repartition(n)
+        .write.parquet(staged.toString)
+      val old = new org.apache.hadoop.fs.Path(s"$path/.$t.old")
+      fs.delete(old, true)
+      require(fs.rename(live, old), s"compact swap: $live -> $old failed")
+      require(fs.rename(staged, live), s"compact swap: $staged -> $live failed")
+      fs.delete(old, true)
+      before += files.length
+      after += fs.listStatus(live).count(f =>
+        f.isFile && !f.getPath.getName.startsWith("_"))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/.compact"), true)
+    (before, after)
   }
 
   def queryMinhashIndex(spark: SparkSession, newDocs: DataFrame, path: String,

@@ -245,11 +245,12 @@ object Pipeline {
       checkpoint: String, sink: DataFrame => Unit, n: Int = 3, k: Int = 64,
       bands: Int = 16, threshold: Double = 0.8, idCol: String = "doc_id",
       textCol: String = "text",
-      maxBucketSize: Int = Dedup.DefaultChainMaxBucket): org.apache.spark.sql.streaming.StreamingQuery =
+      maxBucketSize: Int = Dedup.DefaultChainMaxBucket,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         // Shingles+signatures are the batch's dominant derived cost:
         // compute them ONCE (Dedup.shingledDocs), persist, and share the
@@ -284,6 +285,15 @@ object Pipeline {
             } finally clean.unpersist()
           } finally dropped.unpersist()
         } finally { dropIntra.unpersist(); sh.unpersist() }
+        // Self-maintenance: every append adds one file set per table, so
+        // an unbounded stream makes every index query list-and-read one
+        // file group per batch ever run. Folding from INSIDE foreachBatch
+        // is the compaction contract's safe point by construction — this
+        // is the single maintainer, and nothing else reads or appends the
+        // index between micro-batches. compactEvery = 0 (default) leaves
+        // maintenance to an external cron of the same call.
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          Dedup.compactMinhashIndex(spark, indexPath): Unit
       }
       .start()
 

@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.{Dedup, Similarity, TextFunctions}
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.functions._
 
 /** Dedup + similarity operators over the sf0.001 fixtures and synthetic
@@ -730,5 +731,46 @@ class DedupSimilaritySpec extends SparkSpec {
     val hits = Dedup.queryMinhashIndex(spark, again, root)
       .select("id_idx").as[Long].collect().toSet
     assert(hits == Set(11L))
+  }
+
+  test("compactMinhashIndex folds per-batch appends into few files; " +
+    "queries unchanged, appends still work, crash mid-swap self-heals") {
+    val root = java.nio.file.Files.createTempDirectory("mhidx4").toString
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val batch = docs.filter($"doc_id" % 10 === 0)
+    // simulate a stream's history: one append per "micro-batch"
+    (0 until 5).foreach { b =>
+      Dedup.buildMinhashIndex(corpus.filter($"doc_id" % 5 === b), root,
+        append = b > 0)
+    }
+    val before = Dedup.queryMinhashIndex(spark, batch, root)
+      .select("id_new", "id_idx").as[(Long, Long)].collect().toSet
+    assert(before.nonEmpty)
+
+    val (nBefore, nAfter) = Dedup.compactMinhashIndex(spark, root)
+    assert(nBefore > nAfter && nAfter == 2, // 1 file per table at this size
+      s"expected a real fold, got $nBefore -> $nAfter")
+    val after = Dedup.queryMinhashIndex(spark, batch, root)
+      .select("id_new", "id_idx").as[(Long, Long)].collect().toSet
+    assert(after == before, "compaction changed query results")
+
+    // appends after compaction keep working (meta + layout intact)
+    Dedup.buildMinhashIndex(
+      Seq((9001L, "fresh post-compaction doc about shuffle-free appends"))
+        .toDF("doc_id", "text"), root, append = true)
+    val again = Dedup.queryMinhashIndex(spark,
+      Seq((9002L, "fresh post-compaction doc about shuffle-free appends"))
+        .toDF("doc_id", "text"), root)
+      .select("id_idx").as[Long].collect().toSet
+    assert(again == Set(9001L))
+
+    // crash window: live table renamed away, .old still present — the
+    // next index open must restore it
+    val fs = new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new HPath(s"$root/buckets"), new HPath(s"$root/.buckets.old")))
+    assert(Dedup.indexExists(spark, root), "self-heal failed to restore buckets")
+    val healed = Dedup.queryMinhashIndex(spark, batch, root)
+      .select("id_new", "id_idx").as[(Long, Long)].collect().toSet
+    assert(healed == before, "self-healed index lost rows")
   }
 }

@@ -355,11 +355,14 @@ class StoreStreamSpec extends SparkSpec {
     val seen = scala.collection.mutable.ArrayBuffer[Long]()
     val input = MemoryStream[DocIn]
     val run = "the quick brown fox jumps over the lazy dog on a sunny day"
+    // compactEvery=2: the stream self-folds its index after batch 2 —
+    // the in-stream maintenance hook, exercised mid-run so batch 3 must
+    // query the COMPACTED index correctly
     val q = graft.functions.Pipeline.streamingIndexedDedup(
       input.toDF().select($"doc_id", $"text"), idx, ckpt,
       clean => seen.synchronized {
         seen ++= clean.select("doc_id").as[Long].collect()
-      })
+      }, compactEvery = 2)
     try {
       val t0 = new Timestamp(1704067200000L)
       // batch 1: 1 and 2 near-duplicate each other (keep-min -> 1); 3 unique
@@ -372,6 +375,19 @@ class StoreStreamSpec extends SparkSpec {
         DocIn(11L, "fresh unrelated words never indexed before anywhere", t0))
       q.processAllAvailable()
       assert(seen.sorted.toSeq == Seq(1L, 3L, 11L))
+      // after the batch-2 compaction each index table is one file
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq("buckets", "shingles").foreach { t =>
+        val n = fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/$t"))
+          .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        assert(n == 1, s"$t not folded: $n files")
+      }
+      // batch 3 queries the compacted index: 20 dups doc 11, 21 fresh
+      input.addData(DocIn(20L, "fresh unrelated words never indexed before anywhere", t0),
+        DocIn(21L, "yet another brand new document body", t0))
+      q.processAllAvailable()
+      assert(seen.sorted.toSeq == Seq(1L, 3L, 11L, 21L))
     } finally q.stop()
   }
 
