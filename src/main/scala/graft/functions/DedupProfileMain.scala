@@ -70,20 +70,26 @@ object DedupProfileMain {
     // ---- end-to-end throughput vs chunking (same corpus both runs) ----
     val all = spark.read.parquet(docsPath).select(col("doc_id"), col("text"))
     val total = all.count()
-    Seq(10, 2).foreach { nChunks =>
-      val work = s"/tmp/dedup_prof_e2e_$nChunks"
+    Seq((10, 0), (10, 4), (2, 0)).foreach { case (nChunks, compactEvery) =>
+      val work = s"/tmp/dedup_prof_e2e_${nChunks}_$compactEvery"
       rm(work)
       SoakUtil.writeChunks(spark, all, "doc_id", s"$work/in", nChunks)
       val t0 = System.nanoTime()
       val q = Pipeline.streamingIndexedDedup(
         SoakUtil.streamDir(spark, s"$work/in", all.schema),
         s"$work/idx", s"$work/ckpt",
-        cleanB => cleanB.write.mode("append").parquet(s"$work/out"))
+        cleanB => cleanB.write.mode("append").parquet(s"$work/out"),
+        compactEvery = compactEvery)
       q.processAllAvailable(); q.stop()
       val wall = (System.nanoTime() - t0) / 1e9
       val survivors = spark.read.parquet(s"$work/out").count()
-      println(f"E2E chunks=$nChunks%-3d docs=$total wall=$wall%.1f s " +
-        f"docs_per_sec=${total / wall}%.0f survivors=$survivors")
+      val idxFiles = Seq("buckets", "shingles").map { t =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$work/idx/$t"))
+          .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      }.sum
+      println(f"E2E chunks=$nChunks%-3d compactEvery=$compactEvery " +
+        f"docs=$total wall=$wall%.1f s docs_per_sec=${total / wall}%.0f " +
+        f"survivors=$survivors idx_files=$idxFiles")
     }
     spark.stop()
   }
