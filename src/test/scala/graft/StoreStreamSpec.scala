@@ -391,6 +391,56 @@ class StoreStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming indexed dedup: kill + restart from the checkpoint is " +
+    "at-least-once — distinct survivors equal the clean sequential run") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("stream_idx_rs").toString
+    // 4 mtime-ordered chunk files; near-dup pairs planted ACROSS chunks
+    // so the cross-batch index is load-bearing through the restart
+    val base = "document body with plenty of shared running words number"
+    val docs = (0 until 40).map { i =>
+      val text =
+        if (i % 10 == 7) s"$base ${i - 5}" // near-dup of an earlier chunk's doc
+        else s"$base $i extra unique suffix ${"x" * (i % 5)} token$i"
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    SoakUtil.writeChunks(spark, docs, "doc_id", s"$work/in", 4)
+
+    def start() = graft.functions.Pipeline.streamingIndexedDedup(
+      SoakUtil.streamDir(spark, s"$work/in", docs.schema),
+      s"$work/idx", s"$work/ckpt",
+      clean => clean.write.mode("append").parquet(s"$work/out"))
+
+    // run 1: stop after at least one committed batch (kill point lands
+    // anywhere relative to the sink-write / index-append pair)
+    val q1 = start()
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (q1.recentProgress.length < 2 && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    q1.stop()
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val streamed = spark.read.parquet(s"$work/out")
+      .select("doc_id").as[Long].collect().toSeq
+
+    // reference: the same per-chunk logic driven sequentially, no restart
+    val ref = scala.collection.mutable.Set.empty[Long]
+    (1 to 4).foreach { i =>
+      val chunk = spark.read.schema(docs.schema)
+        .parquet(f"$work/in/chunk_$i%04d_*.parquet")
+      val intra = graft.functions.Pipeline.intraBatchNearDedup(chunk)
+      ref ++= graft.functions.Dedup.dedupAgainstIndex(spark, intra,
+        s"$work/idx_ref", indexSurvivors = true)
+        .select("doc_id").as[Long].collect()
+    }
+    // at-least-once: every reference survivor reaches the sink, nothing
+    // else does; a replayed batch may duplicate rows but never drops or
+    // invents one
+    assert(streamed.toSet == ref.toSet,
+      s"restart changed the survivor set: ${streamed.toSet.diff(ref)} extra, " +
+        s"${ref.diff(streamed.toSet)} missing")
+  }
+
   test("streaming difference carries seed across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
