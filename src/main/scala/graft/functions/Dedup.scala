@@ -696,7 +696,12 @@ object Dedup {
     import scala.concurrent.ExecutionContext.Implicits.global
     val fb = Future(banded(sh, k, bands).write.mode(mode).parquet(s"$path/buckets"))
     val fsh = Future(sh.select(col("id"), col("sh")).write.mode(mode).parquet(s"$path/shingles"))
-    Await.result(fb, Duration.Inf); Await.result(fsh, Duration.Inf)
+    // Await BOTH before propagating either failure — bailing on the
+    // first leaves the sibling write in flight while the caller already
+    // handles the error (a retry would then race a half-done commit).
+    val r1 = scala.util.Try(Await.result(fb, Duration.Inf))
+    val r2 = scala.util.Try(Await.result(fsh, Duration.Inf))
+    r1.get; r2.get
   }
 
   // Signatures built with different (n, k, bands) never collide the way
