@@ -109,7 +109,11 @@ object SustainedSoak {
           val marks = names.count(_.startsWith(s"_bwm_${writer}_"))
           val dataFiles = countFiles(new HPath(s"$work/store"),
             n => n.endsWith(".parquet"))
-          val ckptBytes = fs.getContentSummary(new HPath(ckpt)).getLength
+          // same live-writer race as countFiles: the checkpoint dir
+          // churns temp offset/commit files while we walk it
+          val ckptBytes =
+            try fs.getContentSummary(new HPath(ckpt)).getLength
+            catch { case _: java.io.IOException => -1L }
           require(markers <= sampleEvery + 5,
             s"ledger not O(recent): $markers markers after live vacuum at batch $lastSeen")
           samples += s"""{"batch":$lastSeen,"markers":$markers,"watermarks":$marks,""" +
@@ -160,7 +164,20 @@ object SustainedSoak {
       q.processAllAvailable(); q.stop()
       val wall = (System.nanoTime() - t0) / 1e9
       val rows = spark.read.parquet(s"$work/agg_out").count()
-      val ps = stats.toArray(Array.empty[SoakUtil.BatchStat]).filter(_.phase == "agg")
+      // listener events arrive on an async bus: wait until the stat
+      // stream drains (count stable across polls) before asserting on it
+      def aggStats() = stats.toArray(Array.empty[SoakUtil.BatchStat])
+        .filter(_.phase == "agg")
+      var ps = aggStats()
+      val drainDeadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var settled = false
+      while (!settled && System.nanoTime() < drainDeadline) {
+        Thread.sleep(500)
+        val now = aggStats()
+        settled = now.length == ps.length && ps.nonEmpty
+        ps = now
+      }
+      require(ps.nonEmpty, "no agg progress events delivered")
       val maxState = ps.map(_.stateRows).max
       val finalState = ps.maxBy(_.batchId).stateRows
       val maxBytes = ps.map(_.stateBytes).max

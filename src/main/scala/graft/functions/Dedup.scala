@@ -668,8 +668,10 @@ object Dedup {
       append: Boolean = false): Unit = {
     require(k % bands == 0, "bands must divide k")
     val spark = docs.sparkSession
-    if (append) checkIndexParams(spark, path, n, k, bands)
-    else writeIndexMeta(spark, path, n, k, bands)
+    if (append) { // writer context: heal a crashed compaction swap first
+      repairMinhashIndex(spark, path)
+      checkIndexParams(spark, path, n, k, bands)
+    } else writeIndexMeta(spark, path, n, k, bands)
     val mode = if (append) SaveMode.Append else SaveMode.Overwrite
     writeShingledToIndex(shingledDocs(docs, n, k, idCol, textCol), path, k, bands, mode)
   }
@@ -678,6 +680,7 @@ object Dedup {
    *  (meta must already be written/validated by the caller). */
   private[functions] def appendShingledToIndex(sh: DataFrame, path: String,
       n: Int, k: Int, bands: Int): Unit = {
+    repairMinhashIndex(sh.sparkSession, path) // writer context: safe to heal
     checkIndexParams(sh.sparkSession, path, n, k, bands)
     writeShingledToIndex(sh, path, k, bands, SaveMode.Append)
   }
@@ -685,8 +688,8 @@ object Dedup {
   private def writeShingledToIndex(sh: DataFrame, path: String,
       k: Int, bands: Int, mode: SaveMode): Unit = {
     // The two tables are committed CONCURRENTLY: they carry disjoint
-    // data derived from the same (persisted) sh, and a crash that lands
-    // one without the other only produces orphan rows the query join
+    // data derived from the same input, and a crash that lands one
+    // without the other only produces orphan rows the query join
     // ignores (a bucket row without its shingle row never verifies; a
     // shingle row without bucket rows is never a candidate) — the
     // at-least-once replay then re-appends both. Halves the per-batch
@@ -694,14 +697,36 @@ object Dedup {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val fb = Future(banded(sh, k, bands).write.mode(mode).parquet(s"$path/buckets"))
-    val fsh = Future(sh.select(col("id"), col("sh")).write.mode(mode).parquet(s"$path/shingles"))
-    // Await BOTH before propagating either failure — bailing on the
-    // first leaves the sibling write in flight while the caller already
-    // handles the error (a retry would then race a half-done commit).
-    val r1 = scala.util.Try(Await.result(fb, Duration.Inf))
-    val r2 = scala.util.Try(Await.result(fsh, Duration.Inf))
-    r1.get; r2.get
+    val sc = sh.sparkSession.sparkContext
+    // The input plan feeds both writes: cache it so the shingle+MinHash
+    // derivation runs once, not once per concurrent job (the streaming
+    // path hands in a cheap join over its already-persisted batch table;
+    // the batch path hands in the raw derivation).
+    val cached = sh.persist()
+    // Futures run on EC threads, OUTSIDE the caller's job group — a
+    // StreamingQuery.stop() (which cancels by job group) would otherwise
+    // leave both writes running as zombies that race the restarted
+    // query's replay (and, with compactEvery, its index swap). Copy the
+    // caller thread's job-group properties onto each write thread so
+    // cancellation reaches them.
+    val props = Seq("spark.jobGroup.id", "spark.job.description",
+      "spark.job.interruptOnCancel").map(p => p -> sc.getLocalProperty(p))
+    def inGroup(body: => Unit): Unit = {
+      props.foreach { case (p, v) => sc.setLocalProperty(p, v) }
+      try body finally props.foreach { case (p, _) => sc.setLocalProperty(p, null) }
+    }
+    try {
+      val fb = Future(inGroup(
+        banded(cached, k, bands).write.mode(mode).parquet(s"$path/buckets")))
+      val fsh = Future(inGroup(
+        cached.select(col("id"), col("sh")).write.mode(mode).parquet(s"$path/shingles")))
+      // Await BOTH before propagating either failure — bailing on the
+      // first leaves the sibling write in flight while the caller already
+      // handles the error (a retry would then race a half-done commit).
+      val r1 = scala.util.Try(Await.result(fb, Duration.Inf))
+      val r2 = scala.util.Try(Await.result(fsh, Duration.Inf))
+      r1.get; r2.get
+    } finally cached.unpersist()
   }
 
   // Signatures built with different (n, k, bands) never collide the way
@@ -750,16 +775,27 @@ object Dedup {
   /** True when an index has been built (or appended) at `path`. */
   def indexExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$path/buckets")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    repairIndex(fs, path)
-    fs.exists(p)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** Self-heal after a [[compactMinhashIndex]] crash: a table whose
-   *  live dir is missing but whose `.old` sibling survives is restored
-   *  by renaming the sibling back (the swap's only non-atomic window —
-   *  see the compaction scaladoc). One fs.exists per table when the
-   *  index is healthy. */
+  /**
+   * Self-heal after a [[compactMinhashIndex]] crash: a table whose live
+   * dir is missing but whose `.old` sibling survives is restored by
+   * renaming the sibling back (the swap's only non-atomic window — see
+   * the compaction scaladoc). MAINTAINER-ONLY, like the compaction
+   * itself: it mutates the layout, so it must never run from a read
+   * path — a reader repairing concurrently with the maintainer's swap
+   * would recreate the live dir between the swap's two renames and make
+   * the staged rename nest into it. The write paths
+   * ([[buildMinhashIndex]] append, the streaming micro-batch,
+   * [[compactMinhashIndex]]) call it on entry; pure readers see a
+   * crashed-swap index as absent until the maintainer's next call
+   * heals it. Two fs.exists when the index is healthy.
+   */
+  def repairMinhashIndex(spark: SparkSession, path: String): Unit =
+    repairIndex(new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+
   private def repairIndex(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit =
     Seq("buckets", "shingles").foreach { t =>
       val live = new org.apache.hadoop.fs.Path(s"$path/$t")

@@ -764,13 +764,18 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("id_idx").as[Long].collect().toSet
     assert(again == Set(9001L))
 
-    // crash window: live table renamed away, .old still present — the
-    // next index open must restore it
+    // crash window: live table renamed away, .old still present. A pure
+    // READER must see the index as absent (repair is maintainer-only —
+    // a reader renaming mid-swap would race the maintainer); the next
+    // writer-context call heals it.
     val fs = new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.rename(new HPath(s"$root/buckets"), new HPath(s"$root/.buckets.old")))
-    assert(Dedup.indexExists(spark, root), "self-heal failed to restore buckets")
+    assert(!Dedup.indexExists(spark, root),
+      "a reader must not see (or mutate) a crashed-swap index")
+    Dedup.repairMinhashIndex(spark, root)
+    assert(Dedup.indexExists(spark, root), "maintainer repair failed to restore")
     val healed = Dedup.queryMinhashIndex(spark, batch, root)
       .select("id_new", "id_idx").as[(Long, Long)].collect().toSet
-    assert(healed == before, "self-healed index lost rows")
+    assert(healed == before, "healed index lost rows")
   }
 }
