@@ -1142,6 +1142,39 @@ object SparkEntry {
         .select(col("group").as("label"), col("n"),
           (col("pos") + 1).cast("long").as("dim"), col("col").as("qsum"))),
 
+    "sim_kmeans_train" -> ((s, dir) =>
+      // the Lloyd trainer behind every IVF index, in portable mode (md5
+      // seed order, 6-dp-rounded assignment cosine, micro-unit mean
+      // recompute) — the oracle replays seed → assign → recompute →
+      // assign → recompute bit-for-bit; centroids exploded to
+      // (list_id, dim, c_q9) nano-unit rows for the exact compare
+      graft.functions.Similarity.trainCentroids(table(s, dir, "embeddings"),
+        k = 4, iters = 2, portable = true)
+        .select(col("list_id"), posexplode(col("centroid")))
+        .select(col("list_id"), (col("pos") + 1).cast("long").as("dim"),
+          floor(col("col") * lit(1e9) + lit(0.5)).cast("long").as("c_q9"))),
+
+    "sim_hard_negatives" -> ((s, dir) => {
+      // contrastive-training negative mining: for each anchor, the 10
+      // most-similar vectors with a DIFFERENT label (the negatives that
+      // actually move the loss); exact broadcast form = the recall
+      // oracle for the LSH-bucketed scale path
+      val emb = table(s, dir, "embeddings")
+      graft.functions.Similarity.hardNegatives(emb,
+        emb.filter(col("vec_id") < 5), k = 10)
+    }),
+
+    "prof_psi_drift" -> ((s, dir) => {
+      // Population Stability Index between two corpus snapshots (even /
+      // odd doc_id halves) over the n_chars distribution — per-bucket
+      // contributions in integer 1e-4 nats, quantized before any sum
+      val docs = table(s, dir, "documents")
+      graft.functions.Profile.psiDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        col("n_chars"), lo = 0.0, hi = 2000.0, nBuckets = 20)
+    }),
+
     "pipe_c4_rules" -> ((s, dir) => {
       // C4 rule filter on doctored rows: deterministic line structure
       // planted per doc (terminal-punct line, short line, conditionally
@@ -2955,6 +2988,80 @@ object SparkEntry {
         |  FROM e GROUP BY label, dim),
         |n AS (SELECT label, count(embedding) AS n FROM embeddings GROUP BY label)
         |SELECT label, n, dim, qsum FROM s JOIN n USING (label)""".stripMargin,
+
+    // the Lloyd trainer replayed step by step: md5 seed order → assign
+    // (6-dp cosine argmax, ties on list id) → micro-unit mean → assign
+    // → mean; centroids exploded to nano-unit rows
+    "sim_kmeans_train" ->
+      """WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |seeds AS (SELECT vec_id FROM (
+        |    SELECT vec_id, CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) / 4294967296.0 AS u
+        |    FROM embeddings ORDER BY u, vec_id LIMIT 4)),
+        |c0 AS (SELECT v.vec_id AS list_id, dim, x AS cx FROM v JOIN seeds USING (vec_id)),
+        |d1 AS (SELECT v.vec_id, c.list_id, sum(v.x * c.cx) AS dot,
+        |    sqrt(sum(v.x * v.x)) AS nv, sqrt(sum(c.cx * c.cx)) AS ncn
+        |  FROM v JOIN c0 c USING (dim) GROUP BY v.vec_id, c.list_id),
+        |a1 AS (SELECT vec_id, list_id FROM (
+        |    SELECT vec_id, list_id, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY round(CASE WHEN nv > 0 AND ncn > 0
+        |        THEN dot / (nv * ncn) ELSE 0 END, 6) DESC, list_id) AS rk
+        |    FROM d1) WHERE rk = 1),
+        |c1 AS (SELECT a.list_id, v.dim,
+        |    sum(CAST(floor(v.x * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0 / count(*) AS cx
+        |  FROM v JOIN a1 a USING (vec_id) GROUP BY a.list_id, v.dim),
+        |d2 AS (SELECT v.vec_id, c.list_id, sum(v.x * c.cx) AS dot,
+        |    sqrt(sum(v.x * v.x)) AS nv, sqrt(sum(c.cx * c.cx)) AS ncn
+        |  FROM v JOIN c1 c USING (dim) GROUP BY v.vec_id, c.list_id),
+        |a2 AS (SELECT vec_id, list_id FROM (
+        |    SELECT vec_id, list_id, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY round(CASE WHEN nv > 0 AND ncn > 0
+        |        THEN dot / (nv * ncn) ELSE 0 END, 6) DESC, list_id) AS rk
+        |    FROM d2) WHERE rk = 1)
+        |SELECT a.list_id, CAST(v.dim AS BIGINT) AS dim,
+        |  CAST(floor(sum(CAST(floor(v.x * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0
+        |    / count(*) * 1000000000.0 + 0.5) AS BIGINT) AS c_q9
+        |FROM v JOIN a2 a USING (vec_id) GROUP BY a.list_id, v.dim""".stripMargin,
+
+    // sim_cosine_topk with the anchor-label exclusion: nearest
+    // DIFFERENT-label vectors per anchor
+    "sim_hard_negatives" ->
+      """WITH q AS (SELECT vec_id qid, embedding qv, label ql FROM embeddings WHERE vec_id < 5),
+        |pr AS (SELECT q.qid, e.vec_id, e.label nl, q.qv, e.embedding cv
+        |       FROM embeddings e CROSS JOIN q WHERE e.label <> q.ql),
+        |z AS (SELECT qid, vec_id, nl, CAST(unnest(qv) AS DOUBLE) a,
+        |        CAST(unnest(cv) AS DOUBLE) b FROM pr),
+        |s AS (SELECT qid, vec_id, nl, sum(a * b) dot, sqrt(sum(a * a)) na,
+        |        sqrt(sum(b * b)) nb FROM z GROUP BY 1, 2, 3),
+        |sc AS (SELECT qid, vec_id, nl, round(CASE WHEN na > 0 AND nb > 0
+        |        THEN dot / (na * nb) ELSE 0 END, 6) score FROM s),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY score DESC, vec_id) rnk FROM sc)
+        |SELECT qid AS query_id, vec_id, nl AS neg_label, score,
+        |  CAST(rnk AS INTEGER) AS rank FROM r WHERE rnk <= 10""".stripMargin,
+
+    // PSI drift, even vs odd doc_id snapshots: the bucket rule is the
+    // histogram's integer-edge rule, which at these edges reduces to
+    // exact integer division; terms quantized to 1e-4 nats BEFORE any
+    // sum (the text_lm_score contract for cross-engine ln)
+    "prof_psi_drift" ->
+      """WITH b AS (SELECT doc_id, CASE WHEN n_chars < 0 THEN -1
+        |    WHEN n_chars >= 2000 THEN 20
+        |    ELSE CAST(n_chars // 100 AS BIGINT) END AS bucket FROM documents),
+        |hr AS (SELECT bucket, count(*) AS n_ref FROM b WHERE doc_id % 2 = 0 GROUP BY bucket),
+        |hc AS (SELECT bucket, count(*) AS n_cur FROM b WHERE doc_id % 2 = 1 GROUP BY bucket),
+        |j AS (SELECT coalesce(hr.bucket, hc.bucket) AS bucket,
+        |    coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+        |  FROM hr FULL OUTER JOIN hc ON hr.bucket = hc.bucket),
+        |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
+        |SELECT bucket, n_ref, n_cur,
+        |  CAST(floor((greatest(CAST(n_cur AS DOUBLE) / tc, 1e-6)
+        |      - greatest(CAST(n_ref AS DOUBLE) / tr, 1e-6))
+        |    * ln(greatest(CAST(n_cur AS DOUBLE) / tc, 1e-6)
+        |      / greatest(CAST(n_ref AS DOUBLE) / tr, 1e-6))
+        |    * 10000.0 + 0.5) AS BIGINT) AS term_q4
+        |FROM j CROSS JOIN t""".stripMargin,
 
     // the same doctored line structure, then the C4 line+doc rules
     "pipe_c4_rules" ->

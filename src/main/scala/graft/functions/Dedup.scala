@@ -694,39 +694,57 @@ object Dedup {
     // shingle row without bucket rows is never a candidate) — the
     // at-least-once replay then re-appends both. Halves the per-batch
     // commit latency on the streaming path.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
     val sc = sh.sparkSession.sparkContext
     // The input plan feeds both writes: cache it so the shingle+MinHash
     // derivation runs once, not once per concurrent job (the streaming
     // path hands in a cheap join over its already-persisted batch table;
     // the batch path hands in the raw derivation).
     val cached = sh.persist()
-    // Futures run on EC threads, OUTSIDE the caller's job group — a
-    // StreamingQuery.stop() (which cancels by job group) would otherwise
-    // leave both writes running as zombies that race the restarted
-    // query's replay (and, with compactEvery, its index swap). Copy the
-    // caller thread's job-group properties onto each write thread so
-    // cancellation reaches them.
+    try {
+      // Materialize before the concurrent writes (no compute lock on an
+      // unbuilt cache — racing jobs would each derive it), and use the
+      // row count to bound output files EXPLICITLY: relying on AQE to
+      // coalesce the write plan only works when it happens to see
+      // materialized-size stats, and a streaming deployment appending 32
+      // shuffle-partition file sets per micro-batch turns every index
+      // query into an O(batches·partitions) small-file listing. ~200k
+      // rows per file keeps a 5k-doc micro-batch at one file per table
+      // while a million-doc daily batch still writes in parallel.
+      val rows = cached.count()
+      val nFiles = math.max(1, math.ceil(rows / 200000.0).toInt)
+      concurrentActions(sc,
+        () => banded(cached, k, bands).coalesce(nFiles)
+          .write.mode(mode).parquet(s"$path/buckets"),
+        () => cached.select(col("id"), col("sh")).coalesce(nFiles)
+          .write.mode(mode).parquet(s"$path/shingles"))
+    } finally cached.unpersist()
+  }
+
+  /**
+   * Run independent Spark actions concurrently on the calling session,
+   * awaiting ALL before propagating any failure — bailing on the first
+   * would leave siblings in flight while the caller already handles the
+   * error (a retry would then race a half-done commit). Futures run on
+   * EC threads, OUTSIDE the caller's job group — a
+   * `StreamingQuery.stop()` (which cancels by job group) would otherwise
+   * leave the writes running as zombies that race the restarted query's
+   * replay — so the caller thread's job-group properties are copied onto
+   * each action thread, letting cancellation reach them.
+   */
+  private[functions] def concurrentActions(sc: org.apache.spark.SparkContext,
+      actions: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val props = Seq("spark.jobGroup.id", "spark.job.description",
       "spark.job.interruptOnCancel").map(p => p -> sc.getLocalProperty(p))
-    def inGroup(body: => Unit): Unit = {
+    def inGroup(body: () => Unit): Unit = {
       props.foreach { case (p, v) => sc.setLocalProperty(p, v) }
-      try body finally props.foreach { case (p, _) => sc.setLocalProperty(p, null) }
+      try body() finally props.foreach { case (p, _) => sc.setLocalProperty(p, null) }
     }
-    try {
-      val fb = Future(inGroup(
-        banded(cached, k, bands).write.mode(mode).parquet(s"$path/buckets")))
-      val fsh = Future(inGroup(
-        cached.select(col("id"), col("sh")).write.mode(mode).parquet(s"$path/shingles")))
-      // Await BOTH before propagating either failure — bailing on the
-      // first leaves the sibling write in flight while the caller already
-      // handles the error (a retry would then race a half-done commit).
-      val r1 = scala.util.Try(Await.result(fb, Duration.Inf))
-      val r2 = scala.util.Try(Await.result(fsh, Duration.Inf))
-      r1.get; r2.get
-    } finally cached.unpersist()
+    val fs = actions.map(a => Future(inGroup(a)))
+    val rs = fs.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    rs.foreach(_.get)
   }
 
   // Signatures built with different (n, k, bands) never collide the way

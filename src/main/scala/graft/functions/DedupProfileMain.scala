@@ -70,8 +70,9 @@ object DedupProfileMain {
     // ---- end-to-end throughput vs chunking (same corpus both runs) ----
     val all = spark.read.parquet(docsPath).select(col("doc_id"), col("text"))
     val total = all.count()
-    Seq((10, 0), (10, 4), (2, 0)).foreach { case (nChunks, compactEvery) =>
-      val work = s"/tmp/dedup_prof_e2e_${nChunks}_$compactEvery"
+    val configs = Seq((10, 0), (10, 4), (2, 0))
+    configs.zipWithIndex.foreach { case ((nChunks, compactEvery), ci) =>
+      val work = s"/tmp/dedup_prof_e2e_$ci"
       rm(work)
       SoakUtil.writeChunks(spark, all, "doc_id", s"$work/in", nChunks)
       val t0 = System.nanoTime()

@@ -238,8 +238,12 @@ object Pipeline {
    * the index. The batch's shingle+signature table is computed once and
    * persisted across all three consumers (pair generation, index query,
    * index append) — see the foreachBatch body. At-least-once on
-   * restart: a replayed batch's docs match the index rows they appended
-   * and drop out, so the sink sees no near-dup twice.
+   * restart: the index query excludes self-id matches, so a replayed
+   * batch recomputes exactly the original survivor set whichever side
+   * committed before the crash — near-dups stay dropped, survivors may
+   * reach the sink twice (the sink dedupes, e.g. by batch ledger), and
+   * re-appended index rows are harmless duplicates the left_anti
+   * consumers ignore.
    */
   def streamingIndexedDedup(stream: DataFrame, indexPath: String,
       checkpoint: String, sink: DataFrame => Unit, n: Int = 3, k: Int = 64,
@@ -283,6 +287,24 @@ object Pipeline {
             val clean = batch.join(dropped.withColumnRenamed("id", idCol),
               Seq(idCol), "left_anti").persist()
             try {
+              // Materialize the whole shared cache chain (sh → dropIntra →
+              // dropped → clean) with ONE action before fanning out:
+              // Spark's cache has no per-partition compute lock, so two
+              // concurrent jobs hitting the same not-yet-built cache each
+              // recompute it — re-tripling the shingle work the shared
+              // table exists to avoid — and a join planned over
+              // unmaterialized caches loses its known-size broadcast.
+              // Commit order sink → append, SEQUENTIAL by measurement,
+              // not by necessity: ordering was never load-bearing (the
+              // index query excludes self-id matches, so a replayed
+              // batch recomputes the same survivor set whichever side
+              // committed first), and a round-9 in-JVM alternating A/B
+              // of this order vs a concurrent sink ∥ append found the
+              // overlap a wash-to-loss at both 5k- and 25k-doc batches
+              // (BENCH_NOTES.md): on a shared executor pool both jobs
+              // already spread across every core, so overlapping them
+              // buys nothing and the extra pre-materialize action it
+              // requires costs a batch's worth of fixed overhead.
               sink(clean)
               Dedup.appendShingledToIndex(
                 sh.join(dropped, Seq("id"), "left_anti"),

@@ -92,4 +92,49 @@ object Profile {
       .groupBy(bucket.cast("long").as("bucket"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /**
+   * Population Stability Index between a reference and a current
+   * snapshot of the same metric — the standard drift alarm between two
+   * crawls / two training mixes (PSI < 0.1 stable, 0.1-0.25 drifting,
+   * > 0.25 investigate). Both sides bucket through [[histogram]]'s
+   * exact integer-edge rule; per bucket the contribution is
+   * `(p_cur − p_ref) · ln(p_cur / p_ref)` with probabilities floored at
+   * `minP` so an empty bucket contributes a finite penalty. Returns one
+   * row per bucket non-empty on either side (a bucket empty in BOTH
+   * contributes exactly 0 and is omitted): `(bucket, n_ref, n_cur,
+   * term_q4)` where `term_q4` is the contribution in integer 1e-4 nats
+   * — quantized BEFORE any summing (the text_lm_score contract), so
+   * `sum(term_q4)` is order-independent and cross-engine exact;
+   * [[psiTotal]] folds it to the scalar.
+   *
+   * Scale shape: one hash-aggregate per side (the histogram), then
+   * arithmetic over ≤ nBuckets+2 rows — the snapshots themselves are
+   * never joined or shuffled row-to-row.
+   */
+  def psiDrift(ref: DataFrame, cur: DataFrame,
+      value: org.apache.spark.sql.Column, lo: Double, hi: Double,
+      nBuckets: Int, minP: Double = 1e-6): DataFrame = {
+    require(minP > 0, "minP must be positive")
+    val hRef = histogram(ref, value, lo, hi, nBuckets)
+      .select(col("bucket"), col("n").as("n_ref"))
+    val hCur = histogram(cur, value, lo, hi, nBuckets)
+      .select(col("bucket"), col("n").as("n_cur"))
+    val joined = hRef.join(hCur, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joined.agg(sum("n_ref").as("_tr"), sum("n_cur").as("_tc"))
+    val pRef = greatest(col("n_ref").cast("double") / col("_tr"), lit(minP))
+    val pCur = greatest(col("n_cur").cast("double") / col("_tc"), lit(minP))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        floor((pCur - pRef) * log(pCur / pRef) * lit(1e4) + lit(0.5))
+          .cast("long").as("term_q4"))
+  }
+
+  /** The PSI scalar: Σ term_q4 over a [[psiDrift]] report, still in
+   *  integer 1e-4 nats (one row: `psi_q4`). */
+  def psiTotal(drift: DataFrame): DataFrame =
+    drift.agg(coalesce(sum("term_q4"), lit(0L)).as("psi_q4"))
 }

@@ -78,6 +78,41 @@ object Similarity {
   }
 
   /**
+   * Hard-negative mining for contrastive / embedding training: for each
+   * query (anchor) vector, the `k` MOST similar corpus vectors whose
+   * `labelCol` differs from the anchor's — near the anchor in embedding
+   * space yet labeled differently, the negatives that actually move a
+   * contrastive loss (random negatives are trivially far at scale).
+   * Same execution shape as [[bruteForceTopK]]: the anchor set is
+   * broadcast, the corpus never shuffles, the top-k window partitions
+   * by anchor. Cosine rounded to 6 dp before ranking, ties on ascending
+   * candidate id — deterministic and cross-engine reproducible. For
+   * corpus-scale anchor sets swap the cross join for the LSH-bucketed
+   * candidate join ([[lshTopK]]) and apply the same label filter; this
+   * exact form is the recall oracle.
+   */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        col(labelCol).as("_ql"))
+      .withColumn("nq", expressions.VectorExpressions.l2norm(col("qv"))))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"),
+        col(labelCol).as("_cl"))
+      .withColumn("nc", expressions.VectorExpressions.l2norm(col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    c.crossJoin(q)
+      .filter(col("_cl") =!= col("_ql"))
+      .withColumn("score",
+        round(cosineWithNorms(col("qv"), col("cv"), col("nq"), col("nc")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"),
+        col("_cl").as("neg_label"), col("score"), col("rank"))
+  }
+
+  /**
    * Sign-bit signature against nPlanes deterministic hyperplanes, as a
    * long bitmask (bit p = sign of ⟨v, plane_p⟩). One-pass native
    * expression (expressions.LshSignature) — the old per-plane
@@ -203,21 +238,32 @@ object Similarity {
    * costs a retry, not the whole training run). A list that captures no
    * vectors drops out (k shrinks), standard Lloyd behavior with hard
    * assignment.
+   *
+   * `portable = true` swaps the xxhash64 seed order for the md5-based
+   * [[Sampling.portableUniform]] and rounds the assignment cosine to
+   * 6 dp before the argmax (absorbing the 1-ulp dot-product sum-order
+   * wobble, same contract as the cosine-pair oracles) — every step is
+   * then replicable bit-for-bit by an external SQL engine, which is how
+   * the `sim_kmeans_train` oracle verifies the trainer itself.
    */
   def trainCentroids(corpus: DataFrame, k: Int, iters: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      portable: Boolean = false): DataFrame = {
     def cut(df: DataFrame, stage: String) = Stages.boundary(df, checkpointDir, stage)
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
       .withColumn("nc", expressions.VectorExpressions.l2norm(col("cv")))
-    var centroids = cut(c.withColumn("_h", xxhash64(col("vec_id")))
+    val seedH =
+      if (portable) Sampling.portableUniform(col("vec_id")) else xxhash64(col("vec_id"))
+    var centroids = cut(c.withColumn("_h", seedH)
       .orderBy(col("_h"), col("vec_id")).limit(k)
       .select(col("vec_id").as("list_id"), col("cv").as("centroid"), col("nc").as("ncent")),
       "centroids_seed")
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("_cs").desc, col("list_id"))
     for (i <- 0 until iters) {
+      val rawCs = cosineWithNorms(col("cv"), col("centroid"), col("nc"), col("ncent"))
       val assigned = c.crossJoin(broadcast(centroids))
-        .withColumn("_cs", cosineWithNorms(col("cv"), col("centroid"), col("nc"), col("ncent")))
+        .withColumn("_cs", if (portable) round(rawCs, 6) else rawCs)
         .withColumn("_r", row_number().over(wAssign))
         .filter(col("_r") === 1)
         .select(col("list_id"), col("cv"))
