@@ -49,24 +49,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Load calibration (VERDICT r7 ask #6): a fixed CPU-bound probe —
-    // 2^27 xxhash64 rows bit_xor-folded across all threads, data-independent —
-    // timed before and after the query sweep, plus the OS load average
-    // at both points. A loaded driver box inflates every query
-    // uniformly; the probe makes that visible inside the bench JSON so
-    // a cross-round comparison can discount flagged runs instead of
-    // chasing phantom regressions.
-    def calibrate(): Double = {
-      import org.apache.spark.sql.functions.{bit_xor, xxhash64, col}
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        spark.range(0L, 1L << 27, 1L, cpus.toInt)
-          .select(bit_xor(xxhash64(col("id")))).head()
-        (System.nanoTime() - t0) / 1e9
-      }
-      once() // warm
-      Seq.fill(3)(once()).sorted.apply(1)
-    }
+    // Load calibration (VERDICT r7 ask #6): CalibProbe's fixed CPU-bound
+    // probe (the ONE shared definition — see its scaladoc for why) timed
+    // before and after the query sweep, plus the OS load average at both
+    // points. A loaded driver box inflates every query uniformly; the
+    // probe makes that visible inside the bench JSON so a cross-round
+    // comparison can discount flagged runs instead of chasing phantom
+    // regressions.
+    def calibrate(): Double = CalibProbe.probeRuns(spark, cpus.toInt, 3)(1)
     def loadAvg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage

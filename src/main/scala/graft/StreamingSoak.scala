@@ -66,6 +66,12 @@ object StreamingSoak {
     val stats = new java.util.concurrent.ConcurrentLinkedQueue[BatchStat]()
     @volatile var phase = ""
     SoakUtil.addProgressListener(spark, () => phase, stats)
+    // Stats are attributed per phase by the started queries' runIds,
+    // not by the delivery-time phase label — a finished query's last
+    // listener events can be delivered after the driver thread has
+    // moved `phase` on (async bus) and would pollute the next phase's
+    // batch counts / state maxima (see SoakUtil.addProgressListener).
+    val runs = new SoakUtil.RunRegistry
 
     def writeChunks(df: DataFrame, orderCol: String, dir: String, n: Int): Unit =
       SoakUtil.writeChunks(spark, df, orderCol, dir, n)
@@ -74,7 +80,8 @@ object StreamingSoak {
       SoakUtil.streamDir(spark, dir, schema)
 
     def phaseJson(name: String, wallSec: Double, rows: Long, extra: String): String = {
-      val ps = stats.toArray(Array.empty[BatchStat]).filter(_.phase == name)
+      val ids = runs.ids(name)
+      val ps = stats.toArray(Array.empty[BatchStat]).filter(s => ids(s.runId))
       val batches = ps.length
       val maxState = if (ps.isEmpty) 0L else ps.map(_.stateRows).max
       val maxBytes = if (ps.isEmpty) 0L else ps.map(_.stateBytes).max
@@ -116,6 +123,7 @@ object StreamingSoak {
       val q1 = graft.ingest.IngestPipeline.runStream(
         streamDir(s"$work/in_events", raw.schema), config, None,
         storeStream, s"$work/ckpt_ingest")
+      runs.add("ingest", q1)
       val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
       while (q1.recentProgress.length < chunks / 2 && System.nanoTime() < deadline)
         Thread.sleep(100)
@@ -123,6 +131,7 @@ object StreamingSoak {
       val q = graft.ingest.IngestPipeline.runStream(
         streamDir(s"$work/in_events", raw.schema), config, None,
         storeStream, s"$work/ckpt_ingest")
+      runs.add("ingest", q)
       q.processAllAvailable(); q.stop()
       storeStream.vacuumBatchMarkers() // ledger stays O(recent) over the run
       val wall = (System.nanoTime() - t0) / 1e9
@@ -163,6 +172,7 @@ object StreamingSoak {
           .writeStream.outputMode("append")
           .option("checkpointLocation", s"$work/ckpt_agg_$tag")
           .format("parquet").option("path", out).start()
+        runs.add(phase, q) // main thread set `phase` before calling runOnce
         q.processAllAvailable(); q.stop()
         spark.read.parquet(out)
       }
@@ -215,6 +225,7 @@ object StreamingSoak {
         s"$work/idx_stream", s"$work/ckpt_dedup",
         clean => clean.write.mode("append").parquet(s"$work/survivors_stream"),
         compactEvery = 4)
+      runs.add("dedup", q)
       q.processAllAvailable(); q.stop()
       val wall = (System.nanoTime() - t0) / 1e9
       val streamed = spark.read.parquet(s"$work/survivors_stream")
@@ -235,8 +246,8 @@ object StreamingSoak {
           .select("doc_id").collect().map(_.getLong(0))
       }
       val sSet = streamed.size.toLong
-      val missing = streamed.diff(refSurvivors).size
-      val extra = refSurvivors.diff(streamed).size
+      val missing = refSurvivors.diff(streamed).size // ref has, stream dropped
+      val extra = streamed.diff(refSurvivors).size   // stream has, ref dropped
       require(missing == 0 && extra == 0,
         s"dedup stream≠sequential-batch: $missing missing, $extra extra")
       report += phaseJson("dedup", wall, sSet,
@@ -257,6 +268,7 @@ object StreamingSoak {
       val q = graft.rollup.Downsampler.streamingHop(store,
         graft.model.Tier.GenRaw, graft.model.Tier.GenDay,
         s"$work/ckpt_hop", watermark = "30 minutes", target = Some(hopOut))
+      runs.add("hop", q)
       q.processAllAvailable(); q.stop()
       val wall = (System.nanoTime() - t0) / 1e9
       val out = hopOut.read(graft.model.Tier.GenDay)
@@ -286,7 +298,7 @@ object StreamingSoak {
     }
 
     val progress = stats.toArray(Array.empty[BatchStat]).map(s =>
-      s"""{"phase":"${s.phase}","batch":${s.batchId},"rows":${s.inputRows},""" +
+      s"""{"phase":"${runs.phaseOf(s.runId).getOrElse(s.phase)}","batch":${s.batchId},"rows":${s.inputRows},""" +
         s""""ms":${s.procMs},"state_rows":${s.stateRows},"state_bytes":${s.stateBytes}}""")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$work/soak_progress.jsonl"),
       progress.mkString("", "\n", "\n").getBytes("UTF-8"))

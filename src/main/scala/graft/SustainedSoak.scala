@@ -54,6 +54,16 @@ object SustainedSoak {
     val stats = new java.util.concurrent.ConcurrentLinkedQueue[SoakUtil.BatchStat]()
     @volatile var phase = ""
     SoakUtil.addProgressListener(spark, () => phase, stats)
+    // Attribute stats by the started query's runId, not the phase label:
+    // a finished query's last listener events can be delivered after the
+    // driver moved `phase` on (async bus) and would otherwise leak into
+    // the next phase's assertions — e.g. a stateless ingest straggler
+    // mis-tagged "agg" spuriously failing the state-flat check below.
+    val runs = new SoakUtil.RunRegistry
+    def phaseStats(name: String): Array[SoakUtil.BatchStat] = {
+      val ids = runs.ids(name)
+      stats.toArray(Array.empty[SoakUtil.BatchStat]).filter(s => ids(s.runId))
+    }
     val report = scala.collection.mutable.ArrayBuffer.empty[String]
 
     // Committed-data file count. Walks only the published partition
@@ -91,6 +101,7 @@ object SustainedSoak {
       val q = graft.ingest.IngestPipeline.runStream(
         SoakUtil.streamDir(spark, s"$work/in_events", raw.schema), config, None,
         store, ckpt)
+      runs.add("ingest", q)
       // Live-load maintenance loop: fold the ledger every `sampleEvery`
       // batches WHILE the writer commits — the vacuum must be safe
       // against concurrent marker creation, and the marker count after
@@ -140,7 +151,7 @@ object SustainedSoak {
         total += sc
       }
       require(total > 0, "sustained ingest wrote no rows")
-      val ps = stats.toArray(Array.empty[SoakUtil.BatchStat]).filter(_.phase == "ingest")
+      val ps = phaseStats("ingest")
       report += f"""{"phase":"ingest","rows":$total,"batches":${ps.length},""" +
         f""""wall_sec":$wall%.1f,"rows_per_sec":${total / math.max(0.001, wall)}%.0f,""" +
         f""""ledger_final":{"markers":$finalMarkers,"watermarks":$finalMarks},""" +
@@ -161,13 +172,13 @@ object SustainedSoak {
         .writeStream.outputMode("append")
         .option("checkpointLocation", s"$work/ckpt_agg")
         .format("parquet").option("path", s"$work/agg_out").start()
+      runs.add("agg", q)
       q.processAllAvailable(); q.stop()
       val wall = (System.nanoTime() - t0) / 1e9
       val rows = spark.read.parquet(s"$work/agg_out").count()
       // listener events arrive on an async bus: wait until the stat
       // stream drains (count stable across polls) before asserting on it
-      def aggStats() = stats.toArray(Array.empty[SoakUtil.BatchStat])
-        .filter(_.phase == "agg")
+      def aggStats() = phaseStats("agg")
       var ps = aggStats()
       val drainDeadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
       var settled = false
@@ -193,7 +204,7 @@ object SustainedSoak {
     }
 
     val progress = stats.toArray(Array.empty[SoakUtil.BatchStat]).map(s =>
-      s"""{"phase":"${s.phase}","batch":${s.batchId},"rows":${s.inputRows},""" +
+      s"""{"phase":"${runs.phaseOf(s.runId).getOrElse(s.phase)}","batch":${s.batchId},"rows":${s.inputRows},""" +
         s""""ms":${s.procMs},"state_rows":${s.stateRows},"state_bytes":${s.stateBytes}}""")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$work/sustained_progress.jsonl"),
       progress.mkString("", "\n", "\n").getBytes("UTF-8"))

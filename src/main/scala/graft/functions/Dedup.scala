@@ -711,11 +711,15 @@ object Dedup {
       // rows per file keeps a 5k-doc micro-batch at one file per table
       // while a million-doc daily batch still writes in parallel.
       val rows = cached.count()
-      val nFiles = math.max(1, math.ceil(rows / 200000.0).toInt)
+      // The buckets table fans out to `bands` rows per doc — bound ITS
+      // file sizes on its own row count, not the shingle table's, or a
+      // million-doc batch writes 16×-oversized bucket files that cap
+      // every later index-scan's parallelism.
+      def nFiles(n: Long) = math.max(1, math.ceil(n / 200000.0).toInt)
       concurrentActions(sc,
-        () => banded(cached, k, bands).coalesce(nFiles)
+        () => banded(cached, k, bands).coalesce(nFiles(rows * bands))
           .write.mode(mode).parquet(s"$path/buckets"),
-        () => cached.select(col("id"), col("sh")).coalesce(nFiles)
+        () => cached.select(col("id"), col("sh")).coalesce(nFiles(rows))
           .write.mode(mode).parquet(s"$path/shingles"))
     } finally cached.unpersist()
   }
@@ -790,10 +794,19 @@ object Dedup {
    * with exact Jaccard against the stored shingle sets. Parameters must
    * match the ones the index was built with.
    */
-  /** True when an index has been built (or appended) at `path`. */
+  /** True when an index has been built (or appended) at `path`. BOTH
+   *  table dirs must be live: a compaction crash inside either table's
+   *  swap window leaves that dir missing (its `.old` sibling holds the
+   *  data), and the read-path contract is that pure readers see such an
+   *  index as ABSENT — they must not repair (see [[repairMinhashIndex]])
+   *  and must not crash on the half-swapped layout. Checking only
+   *  `buckets/` would pass a crashed shingles swap straight into the
+   *  query's `shingles/` scan. */
   def indexExists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/buckets")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("buckets", "shingles").forall(t =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$t")))
   }
 
   /**
@@ -822,23 +835,31 @@ object Dedup {
     }
 
   /**
-   * Fold the index's per-batch appends into few large files — the
-   * maintenance call a long-running [[graft.functions.Pipeline
-   * .streamingIndexedDedup]] deployment crons: every micro-batch append
-   * adds one file set to `buckets/` and `shingles/`, so after N batches
-   * every index query lists and reads N file groups (500 daily batches
-   * = 500 small files per table). Rewrites each table at
-   * `targetFileBytes` per output file (size-aware, like
+   * Fold the index's per-batch appends into few large files: every
+   * micro-batch append adds one file set to `buckets/` and `shingles/`,
+   * so after N batches every index query lists and reads N file groups
+   * (500 daily batches = 500 small files per table). Rewrites each
+   * table at `targetFileBytes` per output file (size-aware, like
    * [[graft.store.TierStore.compact]]), then swaps it live:
    * new files land in a hidden `.compact/` staging dir, the live dir is
    * renamed to `.{table}.old`, the staged dir renamed live, and the
    * `.old` dir deleted. The swap is two renames, not atomic — the
-   * contract is SINGLE-MAINTAINER, run from the stream's own driver
-   * between micro-batches (the foreachBatch loop is the only writer,
-   * so between batches nothing reads or appends). A crash inside the
-   * window is self-healing: the next index open ([[indexExists]])
-   * restores a missing live dir from its `.old` sibling, and a
-   * leftover staging dir is simply overwritten by the next compaction.
+   * contract is SINGLE-MAINTAINER AT A QUIESCED POINT: nothing may read
+   * or append the index while this runs. A long-running
+   * [[graft.functions.Pipeline.streamingIndexedDedup]] deployment gets
+   * that point for free via `compactEvery` (the call runs from inside
+   * foreachBatch, where the stream — the only reader/writer — is
+   * between micro-batches); with `compactEvery = 0` maintenance must
+   * run with the stream STOPPED (before start or between restarts) —
+   * an external cron against a live stream would let an in-flight
+   * append land in the live dir after this call read it and before the
+   * swap, silently losing that batch's index rows. A crash inside the
+   * swap window is self-healing: the next WRITE-path open
+   * ([[repairMinhashIndex]], called by every append and by this method)
+   * restores a missing live dir from its `.old` sibling — pure readers
+   * see the half-swapped index as absent ([[indexExists]]) and never
+   * repair — and a leftover staging dir is simply overwritten by the
+   * next compaction.
    * Returns (files before, files after) summed over both tables.
    */
   def compactMinhashIndex(spark: SparkSession, path: String,

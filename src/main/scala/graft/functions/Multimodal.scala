@@ -113,19 +113,25 @@ object Multimodal {
    * libraries to deploy.
    */
   object ImageCodec {
-    // ImageIO's stream wrappers default to a DISK cache: every
-    // read/write on a non-file stream creates (and deletes) a temp file
-    // in java.io.tmpdir. All payloads here are in-memory byte arrays a
-    // few KB long, so the disk round-trip is pure overhead — and under
-    // local[32] the 32 concurrent tasks contend on tmpdir creates.
-    // Measured on mm_gif_frames (218 docs × 3 frames, each frame one
-    // PNG write + one PNG read): disk cache ~1.0 s, memory cache ~0.4 s.
-    // Executor-wide, set once per JVM at class load.
-    javax.imageio.ImageIO.setUseCache(false)
+    // ImageIO's convenience entry points wrap non-file streams in a
+    // DISK-backed cache by default: every read/write creates (and
+    // deletes) a temp file in java.io.tmpdir. All payloads here are
+    // in-memory byte arrays a few KB long, so the disk round-trip is
+    // pure overhead — and under local[32] the 32 concurrent tasks
+    // contend on tmpdir creates. Measured on mm_gif_frames (218 docs ×
+    // 3 frames, each frame one PNG write + one PNG read): disk cache
+    // ~1.0 s, memory cache ~0.4 s. Each call site therefore hands
+    // ImageIO an EXPLICIT MemoryCache image stream instead of flipping
+    // the JVM-global ImageIO.setUseCache switch — the speedup stays
+    // scoped to these known-small payloads and never silently changes
+    // cache behavior for other ImageIO users in the same executor JVM.
+    private[functions] def memIn(payload: Array[Byte]) =
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
 
     /** bytes → image; None when the payload is not a decodable bitstream. */
     def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
-      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      try Option(javax.imageio.ImageIO.read(memIn(payload)))
       catch { case _: java.io.IOException => None }
 
     /** Decode → fixed-width feature: mean luminance over a √dim × √dim
@@ -172,10 +178,18 @@ object Multimodal {
             java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
           g.drawImage(img, 0, 0, w, h, null)
         } finally g.dispose()
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(scaled, "png", bos)
-        bos.toByteArray
+        pngBytes(scaled)
       }
+
+    /** PNG-encode through an explicit memory-cached stream (see the
+     *  object-header comment — avoids ImageIO's disk-cache default
+     *  without touching the JVM-global switch). */
+    private[functions] def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try javax.imageio.ImageIO.write(img, "png", ios) finally ios.close()
+      bos.toByteArray
+    }
   }
 
   /**
@@ -291,14 +305,11 @@ object Multimodal {
    * frame sequence). Each frame is re-encoded as PNG.
    */
   object GifCodec {
-    // Same JVM-wide disk-cache disable as ImageCodec: nested objects are
-    // initialized independently, so repeat it here in case a task loads
-    // GifCodec without ever touching ImageCodec.
-    javax.imageio.ImageIO.setUseCache(false)
-
+    // Explicit memory-cached streams, same rationale as ImageCodec's
+    // header comment: payloads are small in-memory byte arrays, and the
+    // JVM-global ImageIO.setUseCache switch must stay untouched.
     def frames(payload: Array[Byte]): Option[IndexedSeq[Array[Byte]]] = try {
-      val in = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      val in = ImageCodec.memIn(payload)
       val readers = javax.imageio.ImageIO.getImageReaders(in)
       if (!readers.hasNext) return None
       val reader = readers.next()
@@ -306,11 +317,7 @@ object Multimodal {
         reader.setInput(in)
         val n = reader.getNumImages(true)
         if (n <= 0) None
-        else Some((0 until n).map { i =>
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(reader.read(i), "png", bos)
-          bos.toByteArray
-        })
+        else Some((0 until n).map(i => ImageCodec.pngBytes(reader.read(i))))
       } finally reader.dispose()
     } catch { case _: Exception => None }
   }
@@ -437,7 +444,7 @@ object Multimodal {
      *  oracles pin decoded pixel VALUES, never container bytes. */
     def solidGif(wh: Int, grays: Seq[Int]): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
-      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
       val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
       try {
         writer.setOutput(ios)

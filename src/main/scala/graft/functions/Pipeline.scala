@@ -317,8 +317,11 @@ object Pipeline {
         // file group per batch ever run. Folding from INSIDE foreachBatch
         // is the compaction contract's safe point by construction — this
         // is the single maintainer, and nothing else reads or appends the
-        // index between micro-batches. compactEvery = 0 (default) leaves
-        // maintenance to an external cron of the same call.
+        // index between micro-batches. compactEvery = 0 (default) means
+        // no in-stream maintenance; the same call may then only run with
+        // the stream STOPPED (compactMinhashIndex's quiesced-point
+        // contract — a cron against a live stream would race an
+        // in-flight append into the swap and lose its index rows).
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           Dedup.compactMinhashIndex(spark, indexPath): Unit
       }

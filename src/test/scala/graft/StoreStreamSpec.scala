@@ -395,13 +395,22 @@ class StoreStreamSpec extends SparkSpec {
     "at-least-once — distinct survivors equal the clean sequential run") {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("stream_idx_rs").toString
-    // 4 mtime-ordered chunk files; near-dup pairs planted ACROSS chunks
-    // so the cross-batch index is load-bearing through the restart
+    // 4 mtime-ordered chunk files (ntile over doc_id → ids 0-9, 10-19,
+    // 20-29, 30-39). Planted dups: doc 7 near-dups doc 2 INSIDE chunk 1
+    // (intra-batch keep-min), docs 17/27/37 near-dup docs 5/15/25 from
+    // the PREVIOUS chunk (the cross-batch index is load-bearing through
+    // the restart). A dup copies its target's full text plus one token:
+    // 13 shared 3-shingles of 14 → Jaccard ≈ 0.93 ≥ the 0.8 threshold
+    // (the round-8 review found the original fixture's dups were both
+    // same-chunk and at Jaccard 0.615 — below threshold, so the spec
+    // asserted set equality of two runs that never dropped anything).
     val base = "document body with plenty of shared running words number"
+    def unique(i: Int) = s"$base $i extra unique suffix ${"x" * (i % 5)} token$i"
     val docs = (0 until 40).map { i =>
       val text =
-        if (i % 10 == 7) s"$base ${i - 5}" // near-dup of an earlier chunk's doc
-        else s"$base $i extra unique suffix ${"x" * (i % 5)} token$i"
+        if (i == 7) unique(2) + " near"
+        else if (i % 10 == 7) unique(i - 12) + " near"
+        else unique(i)
       (i.toLong, text)
     }.toDF("doc_id", "text")
     SoakUtil.writeChunks(spark, docs, "doc_id", s"$work/in", 4)
@@ -433,6 +442,12 @@ class StoreStreamSpec extends SparkSpec {
         s"$work/idx_ref", indexSurvivors = true)
         .select("doc_id").as[Long].collect()
     }
+    // Non-vacuity first: the planted dups must actually be dropped —
+    // keep-min keeps 2 over 7 intra-chunk, the index drops 17/27/37
+    // against the prior chunks — otherwise the equality below would
+    // pass with dedup logic entirely broken
+    assert(ref == (0L until 40L).toSet -- Set(7L, 17L, 27L, 37L),
+      s"reference run did not drop the planted dups: $ref")
     // at-least-once: every reference survivor reaches the sink, nothing
     // else does; a replayed batch may duplicate rows but never drops or
     // invents one
