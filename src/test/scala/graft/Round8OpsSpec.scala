@@ -1,0 +1,75 @@
+package graft
+
+import graft.functions.{Profile, Similarity}
+import org.apache.spark.sql.functions._
+
+/**
+ * Round-8 additions: PSI distribution drift, hard-negative mining, and
+ * the portable-mode k-means trainer. The oracles (`prof_psi_drift`,
+ * `sim_hard_negatives`, `sim_kmeans_train`) pin cross-engine exactness
+ * on the fixture tables; these specs pin the hand-checkable semantics —
+ * known-drift term values, the empty-bucket probability floor,
+ * same-label exclusion, tie determinism, and layout invariance.
+ */
+class Round8OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("psiDrift: known two-bucket drift produces the hand-computed terms") {
+    // buckets [0,5) and [5,10): ref mass 2/3 vs 1/3, cur mass 1/4 vs 3/4
+    val ref = Seq(1.0, 1.0, 6.0).toDF("x")
+    val cur = Seq(1.0, 6.0, 6.0, 6.0).toDF("x")
+    val out = Profile.psiDrift(ref, cur, col("x"), lo = 0.0, hi = 10.0,
+      nBuckets = 2).orderBy("bucket").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 1L)) // n_ref
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 3L)) // n_cur
+    // (0.25 − 2/3)·ln(0.25/(2/3)) = 0.40868, (0.75 − 1/3)·ln(2.25) = 0.33789
+    assert(out.map(_.getLong(3)).toSeq == Seq(4087L, 3379L))
+    val total = Profile.psiTotal(Profile.psiDrift(ref, cur, col("x"),
+      0.0, 10.0, 2)).head.getLong(0)
+    assert(total == 4087L + 3379L)
+  }
+
+  test("psiDrift: a bucket empty on one side contributes the minP-floored " +
+    "finite penalty, and buckets empty on both sides are omitted") {
+    val ref = Seq(1.0, 1.0).toDF("x") // all mass in bucket 0
+    val cur = Seq(6.0, 6.0).toDF("x") // all mass in bucket 1
+    val out = Profile.psiDrift(ref, cur, col("x"), lo = 0.0, hi = 10.0,
+      nBuckets = 2).orderBy("bucket").collect()
+    // only buckets 0 and 1 appear (no -1 / 2 overflow rows, nothing
+    // empty-on-both-sides)
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    // (1e-6 − 1)·ln(1e-6) ≈ 13.81550 nats on each side, symmetric
+    assert(out.map(_.getLong(3)).toSeq == Seq(138155L, 138155L))
+  }
+
+  test("hardNegatives: same-label candidates are excluded, ties rank by " +
+    "ascending id, k cuts the tail") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), "a"), // anchor
+      (1L, Array(1.0f, 0.0f), "a"), // identical but same label — excluded
+      (2L, Array(1.0f, 0.0f), "b"), // cos 1.0
+      (3L, Array(0.9f, 0.1f), "b"), // cos ≈ 0.9939
+      (4L, Array(1.0f, 0.0f), "c"), // cos 1.0 — tie with 2, larger id
+      (5L, Array(0.0f, 1.0f), "b")  // cos 0 — beyond k=3
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(emb, emb.filter(col("vec_id") === 0), k = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq == Seq(2L, 4L, 3L))
+    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+    assert(out.forall(_.getAs[String]("neg_label") != "a"))
+    assert(out.take(2).forall(_.getAs[Double]("score") == 1.0))
+    assert(out.forall(_.getAs[Long]("query_id") == 0L))
+  }
+
+  test("portable-mode trainCentroids is layout-invariant like the default mode") {
+    val df = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(4)(d => ((i * 7 + d * 3) % 13).toFloat)))
+      .toDF("vec_id", "embedding")
+    def rows(part: Int) = Similarity.trainCentroids(df.repartition(part),
+        k = 4, iters = 2, portable = true)
+      .select(col("list_id"), posexplode(col("centroid")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(rows(3) == rows(11))
+  }
+}
