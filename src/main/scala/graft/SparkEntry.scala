@@ -1175,6 +1175,48 @@ object SparkEntry {
         col("n_chars"), lo = 0.0, hi = 2000.0, nBuckets = 20)
     }),
 
+    "prof_heavy_hitters" -> ((s, dir) => {
+      // exact frequent items above 5000 ppm support via per-partition
+      // Misra-Gries candidate pruning + broadcast semi-join recount
+      // (capacity 200 < the composite key's ~217 distinct values, so
+      // the sketch's decrement path runs INSIDE the oracled plan); the
+      // published counts are exact, bit-identical to the naive
+      // GROUP BY/HAVING the oracle runs
+      val toks = table(s, dir, "documents")
+        .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("tok"), (col("doc_id") % 7).cast("string").as("b"))
+        .select(concat(col("tok"), lit("_"), col("b")).as("key"))
+      graft.functions.Profile.frequentItems(toks, col("key"), 5000L)
+    }),
+
+    "prof_top_devices" -> ((s, dir) =>
+      // exact top-10 hottest devices by event count — distributed
+      // TakeOrdered with a deterministic (n desc, key asc) tie-break,
+      // no global sort; the hot-key report that decides where the
+      // salted-aggregation path (functions.Salting) is worth applying
+      graft.functions.Profile.topKeys(
+        events(s, dir), col("user_id"), k = 10)),
+
+    "s9_clustered_read" -> ((s, dir) => {
+      // device-clustered compaction round trip: routed write → compact
+      // with clusterBy=dev_id (hash-bucketed files, (dev_id, time)-sorted
+      // row groups, dev_id bloom filters) → planner point-device read.
+      // Equality with the oracle's filter over the ORIGINAL events proves
+      // the clustered rewrite loses/dups nothing; the layout win (row-
+      // group skipping) is plan-asserted in StorePublishSpec.
+      val root = java.nio.file.Files.createTempDirectory("graft_clus")
+        .toFile.getAbsolutePath
+      val store = new graft.store.TierStore(s, root)
+      store.writeRouted(points(s, dir, "app_"))
+      val tier = store.tierByName("gen_default").get
+      store.compact(tier, targetFileBytes = 4L * 1024 * 1024,
+        minFiles = 1, clusterBy = Seq("dev_id"))
+      store.read(tier)
+        .filter(col("measurement") === "app_click" && col("dev_id") === "7")
+        .select(unix_timestamp(col("time")).as("tsec"),
+          round(col("value"), 6).as("value"), col("dev_id"))
+    }),
+
     "pipe_c4_rules" -> ((s, dir) => {
       // C4 rule filter on doctored rows: deterministic line structure
       // planted per doc (terminal-punct line, short line, conditionally
@@ -3062,6 +3104,28 @@ object SparkEntry {
         |      / greatest(CAST(n_ref AS DOUBLE) / tr, 1e-6))
         |    * 10000.0 + 0.5) AS BIGINT) AS term_q4
         |FROM j CROSS JOIN t""".stripMargin,
+
+    // the Misra-Gries + recount plan publishes EXACT counts — its oracle
+    // is the naive GROUP BY/HAVING with the identical integer threshold
+    "prof_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |    || '_' || CAST(doc_id % 7 AS VARCHAR) AS key FROM documents),
+        |t AS (SELECT count(*) AS total FROM tok)
+        |SELECT key, count(*) AS n FROM tok CROSS JOIN t
+        |GROUP BY key, total HAVING count(*) > total * 5000 // 1000000""".stripMargin,
+
+    // deterministic (n desc, key asc) tie-break makes the top-10 cut
+    // engine-independent
+    "prof_top_devices" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY n DESC, key LIMIT 10""".stripMargin,
+
+    // computed from the ORIGINAL events — equality proves the clustered
+    // rewrite is lossless for the point-device read path
+    "s9_clustered_read" ->
+      s"""WITH ${ptsCte("app_")}
+         |SELECT tsec, round(v, 6) AS value, dev_id
+         |FROM pts WHERE m = 'app_click' AND dev_id = '7'""".stripMargin,
 
     // the same doctored line structure, then the C4 line+doc rules
     "pipe_c4_rules" ->

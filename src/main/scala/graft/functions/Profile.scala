@@ -137,4 +137,76 @@ object Profile {
    *  integer 1e-4 nats (one row: `psi_q4`). */
   def psiTotal(drift: DataFrame): DataFrame =
     drift.agg(coalesce(sum("term_q4"), lit(0L)).as("psi_q4"))
+
+  /**
+   * EXACT frequent items above a support threshold — the hot-key report
+   * that decides where salting/broadcast special-casing is worth it
+   * (which device floods the stream, which token dominates the corpus)
+   * — at bounded memory per task.
+   *
+   * The naive `GROUP BY key HAVING count > t` shuffles every distinct
+   * key; over 100 TB of exploded tokens that is a shuffle the size of
+   * the corpus. Here a per-partition MISRA-GRIES summary (capacity
+   * m = ⌈1e6/supportPpm⌉) first prunes the candidate space: a key whose
+   * global count exceeds N·supportPpm/1e6 loses at most n_p/(m+1) of its
+   * count to decrements in a partition of n_p rows, Σ n_p/(m+1) ≤ N/m ≤
+   * N·supportPpm/1e6 over all partitions — so every qualifying key
+   * SURVIVES in at least one partition summary (the classic Misra-Gries
+   * bound, applied per partition). The surviving candidate set
+   * (≤ m · partitions keys, KBs not TBs) broadcasts into a semi-join
+   * pre-filter, and only candidate rows reach the exact recount
+   * aggregate. The result is bit-identical to the naive plan — the
+   * sketch only prunes, the counts published are exact — which is what
+   * makes the operator oracle-able.
+   *
+   * Support is parts-per-million (`supportPpm`) and the cut is integer
+   * arithmetic (`n > N·supportPpm / 1e6`, floored long division), so
+   * any engine computes the identical threshold. Three passes over the
+   * key column (count, sketch, recount), zero wide shuffles.
+   */
+  def frequentItems(df: DataFrame, key: org.apache.spark.sql.Column,
+      supportPpm: Long): DataFrame = {
+    require(supportPpm > 0 && supportPpm < 1000000L,
+      "supportPpm must be in (0, 1e6)")
+    val m = math.ceil(1e6 / supportPpm).toInt
+    val keyed = df.select(key.cast("string").as("key"))
+      .filter(col("key").isNotNull)
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    val total = keyed.count()
+    val candidates = keyed.as[String].mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { k =>
+        counts.get(k) match {
+          case Some(c) => counts(k) = c + 1
+          case None if counts.size < m => counts(k) = 1L
+          case None => // decrement-all: drop every key hitting zero
+            counts.keysIterator.toArray.foreach { kk =>
+              val c = counts(kk)
+              if (c == 1L) counts.remove(kk) else counts(kk) = c - 1
+            }
+        }
+      }
+      counts.keysIterator
+    }.toDF("key").distinct()
+    val threshold = total * supportPpm / 1000000L
+    keyed.join(broadcast(candidates), Seq("key"), "left_semi")
+      .groupBy("key").agg(count(lit(1)).as("n"))
+      .filter(col("n") > threshold)
+  }
+
+  /**
+   * Exact top-k values of `key` by count with a deterministic
+   * (n desc, key asc) tie-break. The ranking is a distributed
+   * TakeOrderedAndProject over the aggregated (key, n) rows — each task
+   * keeps its own top k and the driver merges k·partitions rows; no
+   * global sort, no unpartitioned window.
+   */
+  def topKeys(df: DataFrame, key: org.apache.spark.sql.Column,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    df.select(key.cast("string").as("key")).filter(col("key").isNotNull)
+      .groupBy("key").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("key").asc).limit(k)
+  }
 }

@@ -433,9 +433,22 @@ final class TierStore(spark: SparkSession, root: String) {
    * intended to run from the single-writer maintenance job (the same
    * assumption the reference's InfluxDB compactions make). Returns the
    * number of partitions rewritten.
+   *
+   * `clusterBy` re-clusters each partition by tag columns instead of the
+   * default time layout: rows are hash-bucketed on the cluster key (so a
+   * given device lands in exactly ONE output file per partition, not a
+   * slice of every file), sorted (clusterKey, time) within files (tight
+   * per-row-group min/max on the tag → the reader's pushed equality
+   * predicate skips every row group but the device's own), and the
+   * cluster columns get parquet BLOOM FILTERS (catches the interleaved
+   * case min/max can't exclude). For a point-device query over a 100 TB
+   * store this turns "scan every file of every date partition in range"
+   * into "footer-check every file, materialize one row group per date".
+   * Time-range pruning within a day coarsens (a device's file spans the
+   * whole day) — use it on measurements whose workload is device-keyed.
    */
   def compact(tier: Tier, targetFileBytes: Long = 128L * 1024 * 1024,
-      minFiles: Int = 4): Int = {
+      minFiles: Int = 4, clusterBy: Seq[String] = Nil): Int = {
     // ONE pinned manifest resolution drives the whole pass: the
     // qualifying check, the staging scan (read through this same
     // index), and each commit's folded-file list all see the identical
@@ -462,14 +475,35 @@ final class TierStore(spark: SparkSession, root: String) {
     val qualifying = parts.map { case (m, d, _, _) =>
       col("measurement") === m && col("date").cast("string") === d
     }.reduce(_ || _)
-    indexedRead(index).get.filter(qualifying)
+    val bucketKey =
+      if (clusterBy.isEmpty) xxhash64(col("time"))
+      else xxhash64(clusterBy.map(col): _*)
+    val sortCols = Seq(col("measurement"), col("date")) ++
+      clusterBy.map(col) :+ col("time")
+    val bucketed = indexedRead(index).get.filter(qualifying)
       .join(plan, col("measurement") === col("_m") &&
         col("date").cast("string") === col("_d"))
-      .withColumn("_fb", pmod(xxhash64(col("time")), col("_n")))
-      .repartition(col("measurement"), col("date"), col("_fb"))
-      .sortWithinPartitions(col("measurement"), col("date"), col("time"))
+      .withColumn("_fb", pmod(bucketKey, col("_n")))
+    // Clustered rewrites pin the shuffle to the planned bucket count:
+    // repartition-by-number is exempt from AQE partition coalescing,
+    // which would otherwise merge small buckets back into shared files
+    // and erase the one-file-per-cluster-key layout the pruning relies
+    // on. (The default time layout keeps AQE's choice — merged files
+    // are fine when row groups are time-sorted either way.)
+    val totalBuckets = parts.map { case (m, d, _, files) =>
+      math.max(1, math.ceil(
+        files.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
+    }.sum
+    val writer = (if (clusterBy.isEmpty)
+        bucketed.repartition(col("measurement"), col("date"), col("_fb"))
+      else bucketed.repartition(totalBuckets,
+        col("measurement"), col("date"), col("_fb")))
+      .sortWithinPartitions(sortCols: _*)
       .drop("_m", "_d", "_n", "_fb")
-      .write.partitionBy("measurement", "date").parquet(staging.toString)
+      .write.partitionBy("measurement", "date")
+    clusterBy.foldLeft(writer) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }.parquet(staging.toString)
 
     publishHook("staged")
     val escape = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName _

@@ -72,4 +72,64 @@ class Round8OpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
     assert(rows(3) == rows(11))
   }
+
+  // --- frequentItems: Misra-Gries pruning + exact recount ---
+
+  private def naiveFrequent(df: org.apache.spark.sql.DataFrame,
+      ppm: Long): Set[(String, Long)] = {
+    val keyed = df.select(col("k").cast("string").as("key"))
+      .filter(col("key").isNotNull)
+    val total = keyed.count()
+    keyed.groupBy("key").agg(count(lit(1)).as("n"))
+      .filter(col("n") > total * ppm / 1000000L)
+      .as[(String, Long)].collect().toSet
+  }
+
+  test("frequentItems: equals the naive GROUP BY/HAVING on an adversarial " +
+    "distribution that forces sketch decrements") {
+    // capacity m = ceil(1e6/50000) = 20, but 401 distinct keys: 400
+    // singletons ("noise_*") hammer the decrement path; "hot" (30% of
+    // rows) must survive per-partition pruning anyway
+    val rows = (1 to 400).map(i => s"noise_$i") ++ Seq.fill(171)("hot")
+    val df = new scala.util.Random(42).shuffle(rows).toDF("k").repartition(7)
+    val got = Profile.frequentItems(df, col("k"), 50000L)
+      .as[(String, Long)].collect().toSet
+    assert(got == naiveFrequent(df, 50000L))
+    assert(got == Set(("hot", 171L))) // exact count, not an MG estimate
+  }
+
+  test("frequentItems: result is independent of partition layout") {
+    val rows = (1 to 200).flatMap(i => Seq.fill(i % 13 + 1)(s"k_${i % 37}"))
+    val df = rows.toDF("k")
+    val a = Profile.frequentItems(df.repartition(1), col("k"), 30000L)
+      .as[(String, Long)].collect().toSet
+    val b = Profile.frequentItems(df.repartition(17), col("k"), 30000L)
+      .as[(String, Long)].collect().toSet
+    assert(a == b && a == naiveFrequent(df, 30000L) && a.nonEmpty)
+  }
+
+  test("frequentItems: nulls ignored; empty input and no-qualifier " +
+    "thresholds yield empty results") {
+    val df = Seq(Some("a"), None, Some("b"), Some("a")).toDF("k")
+    // threshold: total=3 (nulls out), 400000 ppm → n > 1: only "a"
+    assert(Profile.frequentItems(df, col("k"), 400000L)
+      .as[(String, Long)].collect().toSet == Set(("a", 2L)))
+    assert(Profile.frequentItems(Seq.empty[String].toDF("k"), col("k"), 1000L)
+      .count() == 0L)
+  }
+
+  test("topKeys: deterministic (n desc, key asc) tie-break and no global " +
+    "sort in the plan") {
+    val df = (Seq.fill(3)("b") ++ Seq.fill(3)("a") ++ Seq.fill(5)("z") ++
+      Seq.fill(1)("q")).toDF("k")
+    val top = Profile.topKeys(df, col("k"), 3)
+    assert(top.as[(String, Long)].collect().toSeq ==
+      Seq(("z", 5L), ("a", 3L), ("b", 3L)))
+    // TakeOrderedAndProject, not Sort+Exchange: each task keeps its own
+    // top k — the plan must carry no global Sort node (string match: AQE
+    // wraps the tree, so a typed collect() can't see inside it)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortExec"), plan)
+  }
 }

@@ -139,4 +139,96 @@ class StorePublishSpec extends SparkSpec {
     assert(scan.metrics("numFiles").value == 1,
       s"expected 1 pruned file, scanned ${scan.metrics("numFiles").value}")
   }
+
+  test("clusterBy compaction: a point-device read skips other devices' " +
+    "row groups and results are unchanged") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cluster")
+      .toFile.getAbsolutePath
+    val store = new TierStore(spark, root)
+    // 12 devices × 40 points per append, 4 appends — the pre-compaction
+    // layout every streaming ingest produces: EVERY file carries EVERY
+    // device, so a device filter must materialize the whole partition.
+    def batch(seed: Int) = (0 until 12).flatMap { d =>
+      (0 until 40).map { i =>
+        ("m_c", java.sql.Timestamp.valueOf(
+          f"2024-01-01 ${(seed * 6 + i % 6)}%02d:${i % 60}%02d:${d % 60}%02d"),
+          (seed * 1000 + d * 40 + i).toDouble, f"dev_$d%02d", "1", "sensor")
+      }
+    }.toDF("measurement", "time", "value", "dev_id", "location_id", "dev_type")
+    (0 to 3).foreach(b => store.write(Tier.GenDay, batch(b)))
+
+    def devRead() = store.read(Tier.GenDay)
+      .filter(col("measurement") === "m_c" && col("dev_id") === "dev_03")
+    def scannedRows(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val out = df.collect().length.toLong
+      val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+      (out, scan.metrics("numOutputRows").value)
+    }
+    val (beforeOut, beforeScanned) = scannedRows(devRead())
+    assert(beforeOut == 160L)
+    assert(beforeScanned == 1920L, // all 4 files, every device materialized
+      s"expected the unclustered baseline to scan everything, got $beforeScanned")
+    val expected = devRead().select("time", "value")
+      .as[(java.sql.Timestamp, Double)].collect().sorted.toSeq
+
+    // ~4 × 24 KB input files, 8 KB target → 12 cluster buckets
+    assert(store.compact(Tier.GenDay, targetFileBytes = 8L * 1024,
+      minFiles = 2, clusterBy = Seq("dev_id")) == 1)
+
+    val (afterOut, afterScanned) = scannedRows(devRead())
+    assert(afterOut == 160L)
+    // hash-bucketed by dev_id: the device's rows sit in ONE file, and the
+    // other files' footer stats/bloom exclude it before materialization
+    assert(afterScanned < 1920L / 2,
+      s"clustered read still scanned $afterScanned of 1920 rows")
+    assert(devRead().select("time", "value")
+      .as[(java.sql.Timestamp, Double)].collect().sorted.toSeq == expected)
+  }
+
+  private def compactedParquetFiles(root: String): Seq[HPath] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(s"file://$root"), hconf)
+    val live = fs.listFiles(new HPath(root), true)
+    Iterator.continually(live)
+      .takeWhile(_.hasNext).map(_.next().getPath)
+      .filter(p => p.getName.endsWith(".parquet") && p.toString.contains("_v="))
+      .toSeq
+  }
+
+  test("clusterBy compaction writes dev_id bloom filters once the " +
+    "dictionary fallback kicks in (the high-cardinality regime where " +
+    "min/max and dictionaries stop pruning)") {
+    // parquet omits bloom filters while a column stays fully dictionary-
+    // encoded (the dictionary is already an exact row-group filter); the
+    // bloom option matters exactly when cardinality breaks the 1 MB
+    // dictionary page — so the fixture needs > 1 MB of distinct keys.
+    val root = java.nio.file.Files.createTempDirectory("graft_bloom")
+      .toFile.getAbsolutePath
+    val store = new TierStore(spark, root)
+    val wide = spark.range(40000).select(
+      lit("m_b").as("measurement"),
+      lit(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")).as("time"),
+      col("id").cast("double").as("value"),
+      concat(lit("device-with-a-long-unique-suffix-"),
+        md5(col("id").cast("string"))).as("dev_id"),
+      lit("1").as("location_id"), lit("sensor").as("dev_type"))
+    store.write(Tier.GenDay, wide)
+    store.write(Tier.GenDay, wide.withColumn("value", col("value") + 1))
+    assert(store.compact(Tier.GenDay, targetFileBytes = 64L * 1024 * 1024,
+      minFiles = 2, clusterBy = Seq("dev_id")) == 1)
+    import scala.jdk.CollectionConverters._
+    val files = compactedParquetFiles(root)
+    assert(files.nonEmpty)
+    val withBloom = files.count { p =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf))
+      try r.getFooter.getBlocks.asScala.exists(_.getColumns.asScala.exists(c =>
+        c.getPath.toDotString == "dev_id" && c.getBloomFilterOffset > 0))
+      finally r.close()
+    }
+    assert(withBloom == files.size,
+      s"bloom filters in $withBloom of ${files.size} compacted files")
+  }
 }
