@@ -1197,6 +1197,63 @@ object SparkEntry {
       graft.functions.Profile.topKeys(
         events(s, dir), col("user_id"), k = 10)),
 
+    "s9_time_travel" -> ((s, dir) => {
+      // reproducible-corpus read: write, pin a timestamp, compact with
+      // retained history, append poison rows — the as-of read must
+      // resolve the PINNED file set (original rows exactly; any poison
+      // row or lost original breaks the hash against the oracle, which
+      // only sees the original events)
+      val root = java.nio.file.Files.createTempDirectory("graft_tt")
+        .toFile.getAbsolutePath
+      val store = new graft.store.TierStore(s, root)
+      val tier = store.tierByName("gen_default").get
+      store.writeRouted(points(s, dir, "app_"))
+      Thread.sleep(50); val pinned = System.currentTimeMillis(); Thread.sleep(50)
+      store.compact(tier, minFiles = 1, retainHistory = true)
+      store.writeRouted(points(s, dir, "app_")
+        .withColumn("value", col("value") + lit(1e6)))
+      store.readAsOf(tier, pinned)
+        .filter(col("measurement") === "app_click")
+        .select(unix_timestamp(col("time")).as("tsec"),
+          round(col("value"), 6).as("value"), col("dev_id"))
+    }),
+
+    "samp_cluster_split" -> ((s, dir) => {
+      // leakage-safe train/val/test: plant exact-duplicate clones (every
+      // 5th doc re-appears under doc_id+1e6), connect each group with
+      // min-id star pairs, cluster, and split by the CLUSTER hash — a
+      // clone can never land on the other side of the train/eval
+      // boundary from its original
+      val base = table(s, dir, "documents").select("doc_id", "text")
+      val planted = base.unionByName(base.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      val fp = planted.select(col("doc_id"), md5(col("text")).as("fp"))
+      val rep = fp.groupBy("fp").agg(min("doc_id").as("rep"))
+      val pairs = fp.join(rep, "fp").filter(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("id_a"), col("doc_id").as("id_b"))
+      graft.functions.Sampling.clusterSafeSplit(
+        planted, "doc_id", graft.functions.Dedup.clusters(pairs),
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select("doc_id", "split")
+    }),
+
+    "samp_split_leakage" -> ((s, dir) => {
+      // the audit the safe split must pass: per unordered split-pair
+      // counts of near-dup pairs under a NAIVE doc-level hashSplit —
+      // off-diagonal rows are train/eval contamination (the spec pins
+      // that clusterSafeSplit drives them to zero)
+      val base = table(s, dir, "documents").select("doc_id", "text")
+      val planted = base.unionByName(base.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      val fp = planted.select(col("doc_id"), md5(col("text")).as("fp"))
+      val rep = fp.groupBy("fp").agg(min("doc_id").as("rep"))
+      val pairs = fp.join(rep, "fp").filter(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("id_a"), col("doc_id").as("id_b"))
+      val naive = graft.functions.Sampling.hashSplit(planted, "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      graft.functions.Sampling.splitLeakage(pairs, naive, "doc_id")
+    }),
+
     "s9_clustered_read" -> ((s, dir) => {
       // device-clustered compaction round trip: routed write → compact
       // with clusterBy=dev_id (hash-bucketed files, (dev_id, time)-sorted
@@ -3119,6 +3176,52 @@ object SparkEntry {
     "prof_top_devices" ->
       """SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY n DESC, key LIMIT 10""".stripMargin,
+
+    // the oracle sees ONLY the original events: a hash match proves the
+    // as-of read excluded every post-pin append and lost nothing
+    "s9_time_travel" ->
+      s"""WITH ${ptsCte("app_")}
+         |SELECT tsec, round(v, 6) AS value, dev_id
+         |FROM pts WHERE m = 'app_click'""".stripMargin,
+
+    // clone groups are cliques, so min-id closure needs no recursion:
+    // every planted doc keys by its group's minimum id (its own id when
+    // singleton), then the cumulative-range rule of samp_split applies
+    "samp_cluster_split" ->
+      """WITH p AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0),
+        |fp AS (SELECT doc_id, md5(text) AS f FROM p),
+        |rep AS (SELECT f, min(doc_id) AS rep FROM fp GROUP BY f),
+        |u AS (SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(CAST(rep AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      / 4294967296.0 AS uu
+        |  FROM fp JOIN rep USING (f))
+        |SELECT doc_id,
+        |  CASE WHEN uu < 0.9 THEN 'train'
+        |       WHEN uu < 0.95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM u""".stripMargin,
+
+    // the naive split's contamination, counted per unordered split pair
+    "samp_split_leakage" ->
+      """WITH p AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0),
+        |fp AS (SELECT doc_id, md5(text) AS f FROM p),
+        |rep AS (SELECT f, min(doc_id) AS rep FROM fp GROUP BY f),
+        |pr AS (SELECT rep AS id_a, doc_id AS id_b
+        |  FROM fp JOIN rep USING (f) WHERE doc_id <> rep),
+        |sp AS (SELECT doc_id,
+        |    CASE WHEN uu < 0.9 THEN 'train'
+        |         WHEN uu < 0.95 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |      CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |        / 4294967296.0 AS uu FROM p))
+        |SELECT least(sa.split, sb.split) AS split_a,
+        |  greatest(sa.split, sb.split) AS split_b, count(*) AS n_pairs
+        |FROM pr JOIN sp sa ON pr.id_a = sa.doc_id
+        |        JOIN sp sb ON pr.id_b = sb.doc_id
+        |GROUP BY 1, 2""".stripMargin,
 
     // computed from the ORIGINAL events — equality proves the clustered
     // rewrite is lossless for the point-device read path

@@ -38,16 +38,80 @@ object Sampling {
    * train/test contamination across pipeline versions.
    */
   def hashSplit(df: DataFrame, keyCol: String,
-      fractions: Seq[(String, Double)]): DataFrame = {
+      fractions: Seq[(String, Double)]): DataFrame =
+    df.withColumn("split", splitLabel(col(keyCol), fractions))
+
+  /** The cumulative-range split label for an arbitrary key expression —
+   *  shared by [[hashSplit]] and [[clusterSafeSplit]]. */
+  private def splitLabel(key: Column,
+      fractions: Seq[(String, Double)]): Column = {
     require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       "split fractions must sum to 1")
-    val u = portableUniform(col(keyCol))
+    val u = portableUniform(key)
     val bounds = fractions.scanLeft(0.0)(_ + _._2).tail
-    val label = fractions.zip(bounds).dropRight(1)
+    fractions.zip(bounds).dropRight(1)
       .foldRight(lit(fractions.last._1): Column) { case (((name, _), hi), acc) =>
         when(u < hi, name).otherwise(acc)
       }
-    df.withColumn("split", label)
+  }
+
+  /**
+   * Leakage-safe split: near-duplicate documents must land in the SAME
+   * split, or evaluation sees paraphrases of training rows — the
+   * within-corpus contamination that [[hashSplit]] alone cannot prevent
+   * (a doc-level split strands ~2·f·(1−f) of every duplicate cluster's
+   * pairs across the train/eval boundary). Every row is labeled by its
+   * CLUSTER's hash rather than its own: `labels` is an (id, cluster)
+   * assignment — [[Dedup.clusters]] over verified near-dup pairs — and
+   * rows absent from it (singletons) key by their own id, which agrees
+   * with the cluster convention (a cluster's label IS its minimum
+   * member id). Whole clusters move together, so per-split fractions
+   * still hold in expectation over clusters.
+   *
+   * Scale shape: the labels table is the post-blocking duplicate
+   * population — corpus-small by construction — so the join broadcasts
+   * and the corpus itself never shuffles.
+   */
+  def clusterSafeSplit(df: DataFrame, keyCol: String, labels: DataFrame,
+      fractions: Seq[(String, Double)], labelId: String = "id",
+      labelCluster: String = "cluster"): DataFrame = {
+    val lab = labels.select(col(labelId).as(keyCol),
+      col(labelCluster).cast("string").as("_csplit_cluster"))
+    df.join(broadcast(lab), Seq(keyCol), "left")
+      .withColumn("split", splitLabel(
+        coalesce(col("_csplit_cluster"), col(keyCol).cast("string")),
+        fractions))
+      .drop("_csplit_cluster")
+  }
+
+  /**
+   * Split-leakage audit: given the verified near-dup pair list and a
+   * split assignment, count pairs by the (unordered) split pair of
+   * their endpoints. Off-diagonal rows — `split_a != split_b` — are
+   * leakage: a train/test boundary running through a duplicate cluster.
+   * Zero off-diagonal rows is the acceptance check for
+   * [[clusterSafeSplit]]; a nonzero count quantifies how contaminated a
+   * naive split is.
+   *
+   * Scale shape: the assignment table is corpus-sized, so it is first
+   * cut to the pair endpoints (broadcast semi-join on the pair ids —
+   * pairs are blocking survivors, corpus-small) and the pair list then
+   * broadcast-joins the cut twice. The corpus never shuffles.
+   */
+  def splitLeakage(pairs: DataFrame, assignment: DataFrame, keyCol: String,
+      splitCol: String = "split", idA: String = "id_a",
+      idB: String = "id_b"): DataFrame = {
+    val ids = pairs.select(col(idA).as(keyCol))
+      .union(pairs.select(col(idB).as(keyCol))).distinct()
+    val cut = assignment.select(col(keyCol), col(splitCol))
+      .join(broadcast(ids), Seq(keyCol), "left_semi")
+    val a = cut.select(col(keyCol).as(idA), col(splitCol).as("_sa"))
+    val b = cut.select(col(keyCol).as(idB), col(splitCol).as("_sb"))
+    pairs.select(col(idA), col(idB))
+      .join(broadcast(a), Seq(idA)).join(broadcast(b), Seq(idB))
+      .groupBy(least(col("_sa"), col("_sb")).as("split_a"),
+        greatest(col("_sa"), col("_sb")).as("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
   }
 
   /**

@@ -86,6 +86,13 @@ object TierLayout {
   def currentVersion(entries: Seq[FileStatus]): Option[Long] =
     entries.flatMap(e => parseCommit(e.getPath.getName)).maxOption
 
+  /** Largest snapshot version whose commit marker existed at `asOf`
+   *  (epoch millis). Markers are created once and never rewritten, so
+   *  their modification time IS their commit time. */
+  def versionAsOf(entries: Seq[FileStatus], asOf: Long): Option[Long] =
+    entries.flatMap(e => parseCommit(e.getPath.getName)
+      .filter(_ => e.getModificationTime <= asOf)).maxOption
+
   /** The raw file names a commit FOLDED into its snapshot (excluded
    *  from reads from that commit on, deletable by vacuum). */
   def foldedFiles(fs: FileSystem, part: HPath, v: Long): Set[String] = {
@@ -107,15 +114,33 @@ object TierLayout {
    * `entries` is the partition directory's own listing (reused so the
    * common unversioned case costs no extra RPC; a versioned partition
    * pays one snapshot-dir listing + one small manifest read).
+   *
+   * `asOf` (epoch millis) resolves the partition AS IT WAS at that
+   * instant — the snapshot whose commit marker existed then, plus the
+   * raw files that had landed by then and that commit had not folded.
+   * History must still be on disk: maintenance run with
+   * `retainHistory = true` keeps superseded snapshots until an explicit
+   * [[TierStore.vacuumTier]], exactly the commit/vacuum separation
+   * snapshot stores use. Batch-ledger visibility stays at the CURRENT
+   * ledger (markers fold into watermarks, losing their timestamps); the
+   * as-of boundary is exact for maintenance rewrites — the
+   * reproducibility use case — and approximate only within the
+   * seconds-wide commit window of a streaming batch in flight at `asOf`.
    */
   def resolveFiles(fs: FileSystem, part: HPath, entries: Seq[FileStatus],
-      batchCommitted: (String, Long) => Boolean = (_, _) => true): Seq[FileStatus] = {
+      batchCommitted: (String, Long) => Boolean = (_, _) => true,
+      asOf: Option[Long] = None): Seq[FileStatus] = {
     // the exactly-once gate: a batch-tagged append is data only once its
     // ledger marker landed; an uncommitted batch's files are invisible
     // (and therefore never folded or vacuumed by maintenance either)
     def admitted(f: FileStatus): Boolean = isDataFile(f) &&
-      batchIdOf(f.getPath.getName).forall { case (w, id) => batchCommitted(w, id) }
-    currentVersion(entries) match {
+      batchIdOf(f.getPath.getName).forall { case (w, id) => batchCommitted(w, id) } &&
+      asOf.forall(f.getModificationTime <= _)
+    val version = asOf match {
+      case Some(t) => versionAsOf(entries, t)
+      case None => currentVersion(entries)
+    }
+    version match {
       case Some(v) =>
         val dir = versionDir(part, v)
         val snap = if (fs.exists(dir)) fs.listStatus(dir).toSeq.filter(isDataFile) else Nil
@@ -233,7 +258,8 @@ object BatchLedger {
  * own InMemoryFileIndex pays to discover the tree, issued from the
  * driver. Pruned partitions cost their parent listing only.
  */
-final class TierFileIndex(spark: SparkSession, tierRoot: HPath) extends FileIndex {
+final class TierFileIndex(spark: SparkSession, tierRoot: HPath,
+    asOfMillis: Option[Long] = None) extends FileIndex {
 
   private val fs: FileSystem =
     tierRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -264,7 +290,7 @@ final class TierFileIndex(spark: SparkSession, tierRoot: HPath) extends FileInde
       days <- scala.util.Try(java.time.LocalDate.parse(d).toEpochDay.toInt).toOption
       entries = fs.listStatus(dDir.getPath).toSeq
     } yield (m, days, dDir.getPath,
-      TierLayout.resolveFiles(fs, dDir.getPath, entries, committed))
+      TierLayout.resolveFiles(fs, dDir.getPath, entries, committed, asOfMillis))
   }
 
   /** First resolved data file (schema inference anchor). */

@@ -332,9 +332,28 @@ final class TierStore(spark: SparkSession, root: String) {
    */
   def read(tier: Tier): DataFrame =
     indexedRead(new TierFileIndex(spark, new HPath(path(tier.name))))
-      .getOrElse(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        graft.model.Schemas.points.add("date", org.apache.spark.sql.types.DateType)))
+      .getOrElse(emptyPoints)
+
+  /**
+   * TIME-TRAVEL read: the tier as it was at `asOfMillis` — the snapshot
+   * each partition had committed by then plus the raw appends that had
+   * landed by then. The reproducibility contract a training run needs:
+   * record `System.currentTimeMillis` when the run starts and every
+   * re-read of its corpus resolves the identical file set, regardless of
+   * compactions, rollup maintenance, or later appends. Requires history
+   * to still be on disk: run maintenance with `retainHistory = true` and
+   * reclaim space explicitly with [[vacuumTier]] once no run needs the
+   * old snapshots (the standard commit/vacuum separation — vacuuming
+   * bounds how far back reads can travel).
+   */
+  def readAsOf(tier: Tier, asOfMillis: Long): DataFrame =
+    indexedRead(new TierFileIndex(spark, new HPath(path(tier.name)),
+      Some(asOfMillis))).getOrElse(emptyPoints)
+
+  private def emptyPoints: DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.model.Schemas.points.add("date", org.apache.spark.sql.types.DateType))
 
   /** DataFrame over one ALREADY-CONSTRUCTED index — compaction passes
    *  the index whose pinned resolution it captured, so its staging scan
@@ -448,7 +467,8 @@ final class TierStore(spark: SparkSession, root: String) {
    * whole day) — use it on measurements whose workload is device-keyed.
    */
   def compact(tier: Tier, targetFileBytes: Long = 128L * 1024 * 1024,
-      minFiles: Int = 4, clusterBy: Seq[String] = Nil): Int = {
+      minFiles: Int = 4, clusterBy: Seq[String] = Nil,
+      retainHistory: Boolean = false): Int = {
     // ONE pinned manifest resolution drives the whole pass: the
     // qualifying check, the staging scan (read through this same
     // index), and each commit's folded-file list all see the identical
@@ -517,10 +537,32 @@ final class TierStore(spark: SparkSession, root: String) {
       } else None
     }
     publishHook("swapped")
-    // vacuum superseded snapshots + folded raw files after ALL commits
-    published.foreach { case (dir, v) => TierLayout.vacuum(fs, dir, v) }
+    // vacuum superseded snapshots + folded raw files after ALL commits —
+    // unless the caller retains history for time-travel reads
+    // ([[readAsOf]]); then [[vacuumTier]] reclaims the space later
+    if (!retainHistory)
+      published.foreach { case (dir, v) => TierLayout.vacuum(fs, dir, v) }
     rmTree(staging.toString)
     published.size
+  }
+
+  /**
+   * Reclaim history a `retainHistory` maintenance pass kept for
+   * [[readAsOf]]: every partition drops snapshots and folded raw files
+   * older than its CURRENT commit. After the vacuum, as-of reads can no
+   * longer travel behind the surviving snapshots — run it once no
+   * training run still pins an old corpus timestamp. Returns the number
+   * of partitions vacuumed.
+   */
+  def vacuumTier(tier: Tier): Int = {
+    val index = new TierFileIndex(spark, new HPath(path(tier.name)))
+    val parts = index.resolvedPartitions.map(_._3).distinct
+    parts.count { dir =>
+      TierLayout.currentVersion(fs.listStatus(dir).toSeq) match {
+        case Some(v) => TierLayout.vacuum(fs, dir, v); true
+        case None => false
+      }
+    }
   }
 
   /**
@@ -537,7 +579,8 @@ final class TierStore(spark: SparkSession, root: String) {
    * the new window, never a mixture and never a partial partition, even
    * on rename-by-copy object stores.
    */
-  def replaceDatePartitions(tier: Tier, fresh: DataFrame, dates: Seq[String]): Unit = {
+  def replaceDatePartitions(tier: Tier, fresh: DataFrame, dates: Seq[String],
+      retainHistory: Boolean = false): Unit = {
     val tierPathS = path(tier.name)
     val staging = new HPath(tierPathS, "._restaging")
     rmTree(staging.toString)
@@ -572,16 +615,21 @@ final class TierStore(spark: SparkSession, root: String) {
     } yield dDir -> publishPartition(dDir, None, rawFiles(dDir, committed))
     publishHook("swapped")
     // cleanup phase — every commit is visible, so plan-time resolution
-    // cannot land on anything being deleted below
-    published.foreach { case (part, v) => TierLayout.vacuum(fs, part, v) }
-    retired.foreach { case (part, v) =>
-      TierLayout.vacuum(fs, part, v)
-      rmTree(part.toString) // logically empty: remove dir + its manifests
+    // cannot land on anything being deleted below. With retainHistory
+    // the superseded snapshots (and retired partitions' old files,
+    // behind their committed EMPTY snapshot) stay on disk for
+    // [[readAsOf]]; [[vacuumTier]] reclaims them later.
+    if (!retainHistory) {
+      published.foreach { case (part, v) => TierLayout.vacuum(fs, part, v) }
+      retired.foreach { case (part, v) =>
+        TierLayout.vacuum(fs, part, v)
+        rmTree(part.toString) // logically empty: remove dir + its manifests
+      }
+      // prune measurement dirs the retirement emptied
+      subDirs(tierPathS)
+        .filter(m => m.getName.startsWith("measurement=") && subDirs(m.toString).isEmpty)
+        .foreach(m => rmTree(m.toString))
     }
-    // prune measurement dirs the retirement emptied
-    subDirs(tierPathS)
-      .filter(m => m.getName.startsWith("measurement=") && subDirs(m.toString).isEmpty)
-      .foreach(m => rmTree(m.toString))
     rmTree(staging.toString)
   }
 }

@@ -118,6 +118,56 @@ class Round8OpsSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  // --- leakage-safe splits ---
+
+  test("clusterSafeSplit: every cluster lands whole in one split, " +
+    "splitLeakage reads zero off-diagonal, while the naive hashSplit " +
+    "leaks on the same pairs") {
+    import graft.functions.{Dedup, Sampling}
+    // 300 docs, every 3rd has a clone at id+1000 → 100 two-doc clusters
+    val docs = (0L until 300L).map(i => (i, s"text-$i")) ++
+      (0L until 300L by 3).map(i => (i + 1000L, s"text-$i"))
+    val df = docs.toDF("doc_id", "text")
+    val pairs = (0L until 300L by 3).map(i => (i, i + 1000L))
+      .toDF("id_a", "id_b")
+    val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+    val naive = Sampling.hashSplit(df, "doc_id", fracs)
+    val naiveLeak = Sampling.splitLeakage(pairs, naive, "doc_id")
+      .filter(col("split_a") =!= col("split_b"))
+      .agg(sum("n_pairs")).as[Long].head
+    assert(naiveLeak > 0L, "fixture must make the naive split leak")
+
+    val labels = Dedup.clusters(pairs)
+    val safe = Sampling.clusterSafeSplit(df, "doc_id", labels, fracs)
+    // acceptance: no pair straddles a split boundary
+    assert(Sampling.splitLeakage(pairs, safe, "doc_id")
+      .filter(col("split_a") =!= col("split_b")).count() == 0L)
+    // clones carry their ORIGINAL's split (cluster label = min id)
+    val byId = safe.select("doc_id", "split").as[(Long, String)]
+      .collect().toMap
+    (0L until 300L by 3).foreach(i => assert(byId(i) == byId(i + 1000L)))
+    // singletons keep their plain hashSplit fate (backward compatible)
+    val naiveById = naive.select("doc_id", "split").as[(Long, String)]
+      .collect().toMap
+    (1L until 300L by 3).foreach(i => assert(byId(i) == naiveById(i)))
+    // all three splits are populated at these sizes
+    assert(safe.select("split").distinct().count() == 3L)
+  }
+
+  test("splitLeakage: split pairs are unordered and counts are per pair") {
+    import graft.functions.Sampling
+    val assignment = Seq((1L, "train"), (2L, "test"), (3L, "test"),
+      (4L, "train")).toDF("doc_id", "split")
+    val pairs = Seq((1L, 2L), (3L, 1L), (2L, 3L), (1L, 4L))
+      .toDF("id_a", "id_b")
+    val got = Sampling.splitLeakage(pairs, assignment, "doc_id")
+      .as[(String, String, Long)].collect().toSet
+    // (1,2) and (3,1) both count as (test, train) regardless of direction
+    assert(got == Set(("test", "train", 2L), ("test", "test", 1L),
+      ("train", "train", 1L)))
+  }
+
   test("topKeys: deterministic (n desc, key asc) tie-break and no global " +
     "sort in the plan") {
     val df = (Seq.fill(3)("b") ++ Seq.fill(3)("a") ++ Seq.fill(5)("z") ++

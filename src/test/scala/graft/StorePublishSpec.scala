@@ -197,6 +197,43 @@ class StorePublishSpec extends SparkSpec {
       .toSeq
   }
 
+  test("readAsOf: a pinned timestamp reproduces the corpus across " +
+    "retained-history compactions and later appends; vacuumTier bounds " +
+    "how far back reads travel") {
+    val root = java.nio.file.Files.createTempDirectory("graft_asof")
+      .toFile.getAbsolutePath
+    val store = new TierStore(spark, root)
+    def vals(df: org.apache.spark.sql.DataFrame): Set[Double] =
+      df.select("value").as[Double].collect().toSet
+    def now(): Long = { Thread.sleep(50); val t = System.currentTimeMillis()
+      Thread.sleep(50); t }
+
+    store.write(Tier.GenDay, rows("m_t", "01", 1.0, 2.0))
+    store.write(Tier.GenDay, rows("m_t", "01", 3.0, 4.0))
+    val t1 = now() // corpus pinned by a training run: {1,2,3,4}
+    assert(store.compact(Tier.GenDay, minFiles = 2,
+      retainHistory = true) == 1)
+    store.write(Tier.GenDay, rows("m_t", "01", 5.0, 6.0))
+    val t2 = now() // a later run pins {1..6}
+    assert(store.compact(Tier.GenDay, minFiles = 2,
+      retainHistory = true) == 1)
+    store.write(Tier.GenDay, rows("m_t", "01", 7.0, 8.0))
+
+    // current read sees everything; each pinned timestamp reproduces
+    // exactly the file set its run trained on
+    assert(vals(store.read(Tier.GenDay)) == Set(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0))
+    assert(vals(store.readAsOf(Tier.GenDay, t1)) == Set(1.0, 2.0, 3.0, 4.0))
+    assert(vals(store.readAsOf(Tier.GenDay, t2)) == Set(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+    // before any data existed: empty, not an error
+    assert(store.readAsOf(Tier.GenDay, 1000L).count() == 0L)
+
+    // vacuum reclaims history: current reads unchanged, the old pins
+    // are gone (the documented retention boundary)
+    assert(store.vacuumTier(Tier.GenDay) == 1)
+    assert(vals(store.read(Tier.GenDay)) == Set(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0))
+    assert(store.readAsOf(Tier.GenDay, t1).count() == 0L)
+  }
+
   test("clusterBy compaction writes dev_id bloom filters once the " +
     "dictionary fallback kicks in (the high-cardinality regime where " +
     "min/max and dictionaries stop pruning)") {
