@@ -16,13 +16,16 @@ import org.apache.spark.sql.functions._
  */
 object Api {
 
-  /** cmd.tsdb.get_data_points DTO (types.go:8-21). */
+  /** cmd.tsdb.get_data_points DTO (types.go:8-21). `asOfMs` is an
+   *  extension over the reference surface: > 0 pins the query to the
+   *  store snapshot committed by that epoch-millisecond instant
+   *  ([[TierStore.readAsOf]] — reproducible reads across maintenance). */
   final case class GetDataPointsRequest(
       procId: Int = 1, fieldName: String = "", dataFunction: String = "",
       transformFunction: String = "", measurementName: String = "",
       relativeTime: String = "", fromTime: String = "", toTime: String = "",
       groupByTime: String = "", groupByTag: String = "", fillType: String = "",
-      filters: DataPointsFilter = DataPointsFilter()) {
+      filters: DataPointsFilter = DataPointsFilter(), asOfMs: Long = 0L) {
     def toRequest: DataPointsRequest = DataPointsRequest(
       measurement = measurementName, fieldName = fieldName,
       dataFunction = dataFunction, transformFunction = transformFunction,
@@ -212,7 +215,10 @@ object Api {
     case "cmd.tsdb.get_data_points" => // admin.go:206-226
       val req = payload.asInstanceOf[GetDataPointsRequest]
       val c = procCtx(ctx, req.procId)
-      Planner.dataPoints(req.toRequest, t => c.store.read(t), c.now())
+      val readFn: Tier => DataFrame =
+        if (req.asOfMs > 0L) t => c.store.readAsOf(t, req.asOfMs)
+        else t => c.store.read(t)
+      Planner.dataPoints(req.toRequest, readFn, c.now())
     case "cmd.tsdb.get_energy_data_points" => // admin.go:229-247
       val req = payload.asInstanceOf[GetDataPointsRequest]
       val c = procCtx(ctx, req.procId)

@@ -101,6 +101,35 @@ class ApiPipelineSpec extends SparkSpec {
       """"columns":["time","value"],"values":[[1704103200,1250.0],[1704106800,900.0]]}]}]}""")
   }
 
+  test("get_data_points asOfMs pins the query to the store snapshot a " +
+    "run recorded, across a retained-history compaction and later ingest") {
+    val store = new TierStore(spark, tmpDir())
+    def fimp(t: String, v: String) =
+      Row("pt:j1/mt:evt/rt:dev/rn:zw/ad:1/sv:meter_elec/ad:7", "meter_elec",
+        "evt.meter.report", "float", v, Map("unit" -> "W"), "app", "j1",
+        Timestamp.valueOf(t))
+    val config = ProcessConfig(id = 1, filters = Seq(Filter(id = 1)),
+      selectors = Seq(Selector(1, "pt:j1/mt:evt/#")))
+    def ingest(rows: Seq[Row]): Unit = IngestPipeline.runBatch(
+      spark.createDataFrame(spark.sparkContext.parallelize(rows),
+        graft.model.Schemas.rawEvent), config, None, store)
+
+    ingest(Seq(fimp("2024-01-01 10:05:00", "1200"),
+      fimp("2024-01-01 10:20:00", "1300")))
+    Thread.sleep(50); val pinned = System.currentTimeMillis(); Thread.sleep(50)
+    assert(store.compact(Tier.GenRaw, minFiles = 1, retainHistory = true) >= 1)
+    ingest(Seq(fimp("2024-01-01 10:40:00", "5000"))) // lands after the pin
+
+    val ctx = Api.Context(spark, store,
+      now = () => Instant.parse("2024-01-01T12:00:00Z"))
+    def q(asOf: Long) = Api.dispatch(ctx, "cmd.tsdb.get_data_points",
+      Api.GetDataPointsRequest(measurementName = "electricity_meter_power",
+        relativeTime = "3h", asOfMs = asOf))
+      .select("value").collect().map(_.getDouble(0)).toSet
+    assert(q(0L) == Set(1200.0, 1300.0, 5000.0)) // current read
+    assert(q(pinned) == Set(1200.0, 1300.0)) // the pinned corpus
+  }
+
   test("shapeResponse bounds the driver collect and pages via the next marker") {
     import spark.implicits._
     val df = spark.range(50).select(
