@@ -1197,6 +1197,26 @@ object SparkEntry {
       graft.functions.Profile.topKeys(
         events(s, dir), col("user_id"), k = 10)),
 
+    "s9_delete_where" -> ((s, dir) => {
+      // erasure round trip: route the stream into the store, erase one
+      // device everywhere (partition-scoped rewrite + snapshot publish),
+      // read back — equality with the oracle's complement filter proves
+      // the pass removed exactly the device's rows and nothing else
+      val root = java.nio.file.Files.createTempDirectory("graft_del")
+        .toFile.getAbsolutePath
+      val store = new graft.store.TierStore(s, root)
+      val tier = store.tierByName("gen_default").get
+      // only the measurement the oracle reads — the routing machinery
+      // itself is covered by s3_roundtrip
+      store.writeRouted(points(s, dir, "app_")
+        .filter(col("measurement") === "app_click"))
+      store.deleteWhere(tier, col("dev_id") === "7")
+      store.read(tier)
+        .filter(col("measurement") === "app_click")
+        .select(unix_timestamp(col("time")).as("tsec"),
+          round(col("value"), 6).as("value"), col("dev_id"))
+    }),
+
     "s9_time_travel" -> ((s, dir) => {
       // reproducible-corpus read: write, pin a timestamp, compact with
       // retained history, append poison rows — the as-of read must
@@ -1207,10 +1227,12 @@ object SparkEntry {
         .toFile.getAbsolutePath
       val store = new graft.store.TierStore(s, root)
       val tier = store.tierByName("gen_default").get
-      store.writeRouted(points(s, dir, "app_"))
+      store.writeRouted(points(s, dir, "app_")
+        .filter(col("measurement") === "app_click"))
       Thread.sleep(50); val pinned = System.currentTimeMillis(); Thread.sleep(50)
       store.compact(tier, minFiles = 1, retainHistory = true)
       store.writeRouted(points(s, dir, "app_")
+        .filter(col("measurement") === "app_click")
         .withColumn("value", col("value") + lit(1e6)))
       store.readAsOf(tier, pinned)
         .filter(col("measurement") === "app_click")
@@ -1264,7 +1286,8 @@ object SparkEntry {
       val root = java.nio.file.Files.createTempDirectory("graft_clus")
         .toFile.getAbsolutePath
       val store = new graft.store.TierStore(s, root)
-      store.writeRouted(points(s, dir, "app_"))
+      store.writeRouted(points(s, dir, "app_")
+        .filter(col("measurement") === "app_click"))
       val tier = store.tierByName("gen_default").get
       store.compact(tier, targetFileBytes = 4L * 1024 * 1024,
         minFiles = 1, clusterBy = Seq("dev_id"))
@@ -3176,6 +3199,13 @@ object SparkEntry {
     "prof_top_devices" ->
       """SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY n DESC, key LIMIT 10""".stripMargin,
+
+    // the complement filter: a hash match proves the erasure removed the
+    // device's rows everywhere and touched nothing else
+    "s9_delete_where" ->
+      s"""WITH ${ptsCte("app_")}
+         |SELECT tsec, round(v, 6) AS value, dev_id
+         |FROM pts WHERE m = 'app_click' AND dev_id <> '7'""".stripMargin,
 
     // the oracle sees ONLY the original events: a hash match proves the
     // as-of read excluded every post-pin append and lost nothing

@@ -4,7 +4,7 @@ import java.time.Instant
 
 import graft.model.Tier
 import graft.query.TierPolicy
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -542,6 +542,62 @@ final class TierStore(spark: SparkSession, root: String) {
     // ([[readAsOf]]); then [[vacuumTier]] reclaims the space later
     if (!retainHistory)
       published.foreach { case (dir, v) => TierLayout.vacuum(fs, dir, v) }
+    rmTree(staging.toString)
+    published.size
+  }
+
+  /**
+   * Targeted row ERASURE — the right-to-be-forgotten pass a corpus
+   * store needs (drop one device's/user's rows) expressed the only way
+   * that scales: rewrite ONLY the partitions that contain matching rows
+   * and publish each as its next manifest-gated snapshot (readers
+   * resolve old-or-new at plan time, never a partial — same contract as
+   * [[compact]], safe on rename-by-copy object stores). A partition
+   * whose every row matches commits an EMPTY snapshot, so the erasure
+   * is complete even where no file remains. Superseded files are
+   * vacuumed immediately — erasure must not leave the rows readable —
+   * and if earlier maintenance RETAINED history, run [[vacuumTier]] too:
+   * old snapshots pinned for [[readAsOf]] may still carry them.
+   *
+   * Null semantics: `predicate` NULL (e.g. a null tag) keeps the row —
+   * only rows that definitely match are erased.
+   *
+   * Cost shape: one partition-pruned scan finds the hit partitions
+   * (driver gets (measurement, date) tuples only), one Spark job
+   * rewrites exactly those partitions. Returns the partitions rewritten.
+   */
+  def deleteWhere(tier: Tier, predicate: Column): Int = {
+    val index = new TierFileIndex(spark, new HPath(path(tier.name)))
+    val base = indexedRead(index).getOrElse(return 0)
+    val hits = base.filter(predicate)
+      .select(col("measurement"), col("date").cast("string").as("date"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    if (hits.isEmpty) return 0
+    val parts = index.resolvedPartitions.filter { case (m, d, _, _) => hits((m, d)) }
+
+    val staging = new HPath(path(tier.name), "._erasing") // hidden from scans
+    rmTree(staging.toString)
+    val hitPred = parts.map { case (m, d, _, _) =>
+      col("measurement") === m && col("date").cast("string") === d
+    }.reduce(_ || _)
+    base.filter(hitPred)
+      .filter(!coalesce(predicate, lit(false)))
+      .repartition(col("measurement"), col("date"))
+      .sortWithinPartitions(col("measurement"), col("date"), col("time"))
+      .write.partitionBy("measurement", "date").parquet(staging.toString)
+
+    publishHook("staged")
+    val escape = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName _
+    val published = parts.map { case (m, d, dir, files) =>
+      val fresh = new HPath(staging, s"measurement=${escape(m)}/date=$d")
+      val folded = files.filter(_.getPath.getParent == dir).map(_.getPath.getName)
+      // every-row-matched partitions have no staged dir → EMPTY snapshot
+      dir -> publishPartition(dir,
+        if (fs.exists(fresh)) Some(fresh) else None, folded)
+    }
+    publishHook("swapped")
+    published.foreach { case (dir, v) => TierLayout.vacuum(fs, dir, v) }
     rmTree(staging.toString)
     published.size
   }

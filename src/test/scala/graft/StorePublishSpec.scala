@@ -197,6 +197,47 @@ class StorePublishSpec extends SparkSpec {
       .toSeq
   }
 
+  test("deleteWhere: matching rows vanish, untouched partitions keep " +
+    "their files byte-identical, an all-matched partition commits an " +
+    "empty snapshot, and the superseded files are vacuumed") {
+    val root = java.nio.file.Files.createTempDirectory("graft_erase")
+      .toFile.getAbsolutePath
+    val store = new TierStore(spark, root)
+    def devRows(m: String, day: String, dev: String, vs: Double*) = vs.map(v =>
+      (m, java.sql.Timestamp.valueOf(s"2024-01-$day 10:00:00"), v, dev, "1", "sensor"))
+      .toDF("measurement", "time", "value", "dev_id", "location_id", "dev_type")
+    store.write(Tier.GenDay, devRows("m_mix", "01", "d_del", 1.0, 2.0))
+    store.write(Tier.GenDay, devRows("m_mix", "01", "d_keep", 3.0))
+    store.write(Tier.GenDay, devRows("m_mix", "02", "d_keep", 4.0))
+    store.write(Tier.GenDay, devRows("m_all", "01", "d_del", 5.0, 6.0))
+    val fsL = org.apache.hadoop.fs.FileSystem.getLocal(hconf)
+    def listing(sub: String): Set[(String, Long)] = {
+      val p = new HPath(s"$root/tier=gen_day/$sub")
+      if (!fsL.exists(p)) Set.empty
+      else fsL.listStatus(p).map(f => (f.getPath.getName, f.getModificationTime)).toSet
+    }
+    val untouchedBefore = listing("measurement=m_mix/date=2024-01-02")
+
+    assert(store.deleteWhere(Tier.GenDay, col("dev_id") === "d_del") == 2)
+
+    // erased rows gone, everything else intact
+    assert(store.read(Tier.GenDay)
+      .select("measurement", "value").as[(String, Double)].collect().toSet ==
+      Set(("m_mix", 3.0), ("m_mix", 4.0)))
+    // the no-hit partition was not rewritten (same files, same mtimes)
+    assert(listing("measurement=m_mix/date=2024-01-02") == untouchedBefore)
+    // the all-matched partition resolved to an EMPTY committed snapshot
+    val allDir = new HPath(s"$root/tier=gen_day/measurement=m_all/date=2024-01-01")
+    val entries = fsL.listStatus(allDir).toSeq
+    assert(graft.store.TierLayout.currentVersion(entries).contains(1L))
+    // superseded raw files are vacuumed — the erased bytes are not on disk
+    assert(!entries.exists(e => e.getPath.getName.endsWith(".parquet") &&
+      !e.getPath.getName.startsWith("_")),
+      entries.map(_.getPath.getName).mkString(","))
+    // idempotent: nothing left to erase
+    assert(store.deleteWhere(Tier.GenDay, col("dev_id") === "d_del") == 0)
+  }
+
   test("readAsOf: a pinned timestamp reproduces the corpus across " +
     "retained-history compactions and later appends; vacuumTier bounds " +
     "how far back reads travel") {
