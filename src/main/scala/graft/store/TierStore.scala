@@ -562,6 +562,12 @@ final class TierStore(spark: SparkSession, root: String) {
    * Null semantics: `predicate` NULL (e.g. a null tag) keeps the row —
    * only rows that definitely match are erased.
    *
+   * Completeness caveats a compliance run must cover: (1) DOWNSAMPLED
+   * tiers still aggregate the erased rows' contributions — run the
+   * erasure per affected tier, or rebuild the affected window with
+   * [[graft.rollup.Downsampler.maintain]]; (2) history retained for
+   * [[readAsOf]] still carries them — follow with [[vacuumTier]].
+   *
    * Cost shape: one partition-pruned scan finds the hit partitions
    * (driver gets (measurement, date) tuples only), one Spark job
    * rewrites exactly those partitions. Returns the partitions rewritten.

@@ -159,4 +159,56 @@ class StoreCrashRecoverySpec extends SparkSpec {
     assert(a != writerId("/tmp/ckpt/query_b"), "must differ per query")
     assert(a.matches("[A-Za-z0-9_]+"), s"must be path-safe: $a")
   }
+
+  private def devPts(rows: (String, Double)*) = {
+    val rs = rows.zipWithIndex.map { case ((dev, v), i) =>
+      Row("sensor_temp", Timestamp.valueOf(f"2024-01-01 10:00:${i % 60}%02d"), v, dev) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rs), schema)
+  }
+
+  test("deleteWhere crash windows: before any commit nothing is erased; " +
+    "after commit before vacuum readers are already clean and the next " +
+    "maintenance pass sweeps the leftovers") {
+    val root = tmpDir()
+    val store = new TierStore(spark, root)
+    store.write(Tier.GenRaw, devPts("d_del" -> 1.0, "d_keep" -> 2.0))
+    store.write(Tier.GenRaw, devPts("d_del" -> 3.0, "d_keep" -> 4.0))
+    import org.apache.spark.sql.functions.col
+
+    // crash with the complement fully staged, before ANY commit: the
+    // hidden staging dir is invisible — nothing is erased yet
+    store.publishHook = {
+      case "staged" => throw new RuntimeException("crash before commit")
+      case _ => ()
+    }
+    intercept[RuntimeException] {
+      store.deleteWhere(Tier.GenRaw, col("dev_id") === "d_del") }
+    store.publishHook = _ => ()
+    assert(values(store, Tier.GenRaw) == Seq(1.0, 2.0, 3.0, 4.0),
+      "a crashed pre-commit erasure must not lose rows")
+
+    // crash after the commit, before vacuum: readers already see the
+    // erased state (the snapshot excludes the folded raw files)
+    store.publishHook = {
+      case "swapped" => throw new RuntimeException("crash before vacuum")
+      case _ => ()
+    }
+    intercept[RuntimeException] {
+      store.deleteWhere(Tier.GenRaw, col("dev_id") === "d_del") }
+    store.publishHook = _ => ()
+    assert(values(store, Tier.GenRaw) == Seq(2.0, 4.0))
+    val part = new HPath(s"$root/tier=gen_raw/measurement=sensor_temp/date=2024-01-01")
+    val fs = fsOf(root)
+    def rawParquet() = fs.listStatus(part).map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_")).toSeq
+    assert(rawParquet().nonEmpty, "crash scenario needs unvacuumed leftovers")
+
+    // the next maintenance pass (carry-forward) sweeps them; no
+    // resurrected rows at any point
+    store.write(Tier.GenRaw, devPts("d_keep" -> 5.0))
+    assert(store.compact(Tier.GenRaw, minFiles = 2) == 1)
+    assert(values(store, Tier.GenRaw) == Seq(2.0, 4.0, 5.0),
+      "erased or folded rows resurrected by the follow-up compaction")
+    assert(rawParquet().isEmpty, s"leftovers survived: ${rawParquet()}")
+  }
 }
