@@ -75,22 +75,31 @@ object Profile {
   def histogram(df: DataFrame, value: org.apache.spark.sql.Column,
       lo: Double, hi: Double, nBuckets: Int): DataFrame = {
     require(nBuckets > 0 && hi > lo, "need nBuckets > 0 and hi > lo")
-    // materialize the micro-unit value ONCE before the edge comparisons:
-    // the chained whens below reference it nBuckets+1 times, and a
-    // complex `value` expression inlined there would be re-evaluated per
-    // edge (measured 10× on the quality-score histogram — CASE branches
-    // don't share subexpressions the way projections do)
-    val q = floor(value.cast("double") * lit(1e6)).cast("long")
-    // long micro-unit edges; buckets are [edge(i), edge(i+1))
+    df.filter(value.isNotNull).select(microUnits(value).as("_hq"))
+      .groupBy(bucketOf(col("_hq"), lo, hi, nBuckets).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Micro-unit quantization shared by every histogram form.
+   *  Materialize it ONCE before the edge comparisons: the chained whens
+   *  reference it nBuckets+1 times, and a complex `value` expression
+   *  inlined there would be re-evaluated per edge (measured 10× on the
+   *  quality-score histogram — CASE branches don't share subexpressions
+   *  the way projections do). */
+  private def microUnits(value: org.apache.spark.sql.Column) =
+    floor(value.cast("double") * lit(1e6)).cast("long")
+
+  /** The exact integer-edge bucket rule over a micro-unit column —
+   *  buckets are [edge(i), edge(i+1)); ≥ top edge → nBuckets (overflow);
+   *  below edge(0) → -1. One definition, so the batch histogram, PSI and
+   *  the streaming monitor bucket IDENTICALLY. */
+  private def bucketOf(hq: org.apache.spark.sql.Column,
+      lo: Double, hi: Double, nBuckets: Int): org.apache.spark.sql.Column = {
     val edges = (0 to nBuckets).map(i =>
       math.floor((lo + (hi - lo) * i / nBuckets) * 1e6).toLong)
-    val bucket = edges.zipWithIndex.foldLeft(lit(-1)) {
-      case (acc, (e, i)) => when(col("_hq") >= e, i).otherwise(acc)
-    } // q ≥ edge(i) → highest matching i; ≥ top edge → nBuckets
-      // (overflow bucket); below edge(0) → -1
-    df.filter(value.isNotNull).select(q.as("_hq"))
-      .groupBy(bucket.cast("long").as("bucket"))
-      .agg(count(lit(1)).as("n"))
+    edges.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, (e, i)) => when(hq >= e, i).otherwise(acc)
+    }.cast("long")
   }
 
   /**
@@ -193,6 +202,70 @@ object Profile {
     keyed.join(broadcast(candidates), Seq("key"), "left_semi")
       .groupBy("key").agg(count(lit(1)).as("n"))
       .filter(col("n") > threshold)
+  }
+
+  /**
+   * Streaming drift monitor, part 1: per event-time window, the bucket
+   * histogram of `value` as a watermark-bounded streaming aggregation.
+   * Append mode — a window's counts emit exactly once, when the
+   * watermark seals it; state is bounded by (open windows × buckets),
+   * independent of row volume. Buckets use the SAME integer-edge rule
+   * as the batch [[histogram]], so a reference histogram computed in
+   * batch compares exactly.
+   *
+   * Structured Streaming allows one aggregation per stream — this is
+   * it. The per-window PSI arithmetic runs on the SEALED rows (in a
+   * `foreachBatch`, or in batch over the sink table) via
+   * [[finalizePsi]], where batch rules apply.
+   */
+  def streamingHistogram(stream: DataFrame, timeCol: String,
+      value: org.apache.spark.sql.Column, lo: Double, hi: Double,
+      nBuckets: Int, windowDur: String, watermarkDelay: String): DataFrame = {
+    require(nBuckets > 0 && hi > lo, "need nBuckets > 0 and hi > lo")
+    stream.filter(value.isNotNull)
+      .select(col(timeCol).as("_t"), microUnits(value).as("_hq"))
+      .withWatermark("_t", watermarkDelay)
+      .groupBy(window(col("_t"), windowDur).as("_w"),
+        bucketOf(col("_hq"), lo, hi, nBuckets).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("_w.start").as("window_start"), col("bucket"), col("n"))
+  }
+
+  /**
+   * Streaming drift monitor, part 2: fold sealed per-window bucket
+   * counts (the [[streamingHistogram]] output) against a reference
+   * histogram ([[histogram]] over the baseline corpus) into one PSI
+   * scalar per window — `(window_start, psi_q4)` in integer 1e-4 nats,
+   * the same term arithmetic and quantization-before-sum contract as
+   * [[psiDrift]]. The reference is windows-independent and broadcast;
+   * the only shuffle is per-window totals over (windows × buckets) rows.
+   */
+  def finalizePsi(sealedCounts: DataFrame, ref: DataFrame,
+      minP: Double = 1e-6): DataFrame = {
+    require(minP > 0, "minP must be positive")
+    val refH = ref.select(col("bucket"), col("n").as("n_ref"))
+    // fresh aliases on each branch: both derive from sealedCounts, and a
+    // full-outer self-join over the shared attributes would be ambiguous
+    val refPerWin = sealedCounts.select(col("window_start").as("_wr"))
+      .distinct().crossJoin(broadcast(refH))
+      .select(col("_wr"), col("bucket").as("_br"), col("n_ref"))
+    val cur = sealedCounts.select(col("window_start").as("_wc"),
+      col("bucket").as("_bc"), col("n").as("n_cur"))
+    val j = refPerWin.join(cur,
+        col("_wr") === col("_wc") && col("_br") === col("_bc"), "full_outer")
+      .select(coalesce(col("_wr"), col("_wc")).as("window_start"),
+        coalesce(col("_br"), col("_bc")).as("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = j.groupBy("window_start")
+      .agg(sum("n_ref").as("_tr"), sum("n_cur").as("_tc"))
+    val pRef = greatest(col("n_ref").cast("double") / col("_tr"), lit(minP))
+    val pCur = greatest(col("n_cur").cast("double") / col("_tc"), lit(minP))
+    j.join(totals, Seq("window_start"))
+      .select(col("window_start"),
+        floor((pCur - pRef) * log(pCur / pRef) * lit(1e4) + lit(0.5))
+          .cast("long").as("_term"))
+      .groupBy("window_start").agg(sum("_term").as("psi_q4"))
   }
 
   /**

@@ -3,6 +3,9 @@ package graft
 import graft.functions.{Profile, Similarity}
 import org.apache.spark.sql.functions._
 
+/** Input row for the streaming-PSI monitor test. */
+case class PsiIn(t: java.sql.Timestamp, x: Double)
+
 /**
  * Round-8 additions: PSI distribution drift, hard-negative mining, and
  * the portable-mode k-means trainer. The oracles (`prof_psi_drift`,
@@ -116,6 +119,47 @@ class Round8OpsSpec extends SparkSpec {
       .as[(String, Long)].collect().toSet == Set(("a", 2L)))
     assert(Profile.frequentItems(Seq.empty[String].toDF("k"), col("k"), 1000L)
       .count() == 0L)
+  }
+
+  test("streaming PSI monitor: sealed windows score exactly what the " +
+    "batch psiDrift computes on the same rows; an in-distribution " +
+    "window scores zero") {
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq(1.0, 1.0, 6.0, 6.0).toDF("x")
+    val refHist = Profile.histogram(ref, col("x"), 0.0, 10.0, 2)
+
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[PsiIn]
+    val q = Profile.streamingHistogram(input.toDF(), "t", col("x"),
+      lo = 0.0, hi = 10.0, nBuckets = 2,
+      windowDur = "1 hour", watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("psi_mon")
+      .outputMode("append").start()
+    try {
+      val base = 1704067200000L // window A: ref-identical distribution
+      def in(offsetMs: Long, v: Double) = PsiIn(new java.sql.Timestamp(base + offsetMs), v)
+      input.addData(in(0, 1.0), in(1000, 1.0), in(2000, 6.0), in(3000, 6.0))
+      // window B (hour 1): drifted distribution
+      input.addData(in(3600000, 1.0), in(3610000, 6.0), in(3620000, 6.0),
+        in(3630000, 6.0))
+      q.processAllAvailable()
+      // advance the watermark far past both windows to seal them
+      input.addData(in(5 * 3600000L, 5.0))
+      q.processAllAvailable()
+
+      val got = Profile.finalizePsi(spark.table("psi_mon"), refHist)
+        .collect().map(r => (r.getAs[java.sql.Timestamp](0).getTime, r.getLong(1)))
+        .toMap
+      val winA = Seq(1.0, 1.0, 6.0, 6.0).toDF("x")
+      val winB = Seq(1.0, 6.0, 6.0, 6.0).toDF("x")
+      def batchPsi(w: org.apache.spark.sql.DataFrame): Long =
+        Profile.psiTotal(Profile.psiDrift(ref, w, col("x"), 0.0, 10.0, 2))
+          .head.getLong(0)
+      assert(got(base) == batchPsi(winA))
+      assert(got(base) == 0L) // in-distribution window
+      assert(got(base + 3600000L) == batchPsi(winB))
+      assert(got(base + 3600000L) > 0L)
+    } finally q.stop()
   }
 
   // --- leakage-safe splits ---
