@@ -10,6 +10,10 @@ trait SparkSpec extends AnyFunSuite {
     .appName(getClass.getSimpleName)
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // the GraftSession storage contract (INT96 writes no row-group
+    // stats — see GraftSession's scaladoc); specs that assert scan
+    // pruning need the same setting the engine recommends
+    .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

@@ -187,6 +187,57 @@ class StorePublishSpec extends SparkSpec {
       .as[(java.sql.Timestamp, Double)].collect().sorted.toSeq == expected)
   }
 
+  test("zorder compaction: BOTH a point-device query and a time-range " +
+    "query prune row groups; the device-major layout only prunes the " +
+    "device side") {
+    def buildStore(): TierStore = {
+      val root = java.nio.file.Files.createTempDirectory("graft_z")
+        .toFile.getAbsolutePath
+      val store = new TierStore(spark, root)
+      // 64 devices × 96 quarter-hour points across one day, 4 appends
+      (0 to 3).foreach { b =>
+        val rows = for (d <- 0 until 64; h <- 0 until 24; q <- 0 until 4
+          if (h * 4 + q) % 4 == b) yield
+          ("m_z", java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:${q * 15}%02d:00"),
+            (d * 100 + h).toDouble, f"dev_$d%02d", "1", "sensor")
+        store.write(Tier.GenDay, rows
+          .toDF("measurement", "time", "value", "dev_id", "location_id", "dev_type"))
+      }
+      store
+    }
+    def scanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get.metrics("numOutputRows").value
+    }
+    val total = 64L * 96L
+    def devQ(s: TierStore) = s.read(Tier.GenDay)
+      .filter(col("measurement") === "m_z" && col("dev_id") === "dev_11")
+    def timeQ(s: TierStore) = s.read(Tier.GenDay)
+      .filter(col("measurement") === "m_z" &&
+        col("time") >= lit("2024-01-01 06:00:00").cast("timestamp") &&
+        col("time") < lit("2024-01-01 08:00:00").cast("timestamp"))
+
+    val zs = buildStore()
+    assert(zs.compact(Tier.GenDay, targetFileBytes = 512L, minFiles = 2,
+      clusterBy = Seq("dev_id"), zorder = true) == 1)
+    assert(devQ(zs).count() == 96L && timeQ(zs).count() == 64L * 8L)
+    val (zDev, zTime) = (scanned(devQ(zs)), scanned(timeQ(zs)))
+    assert(zDev < total / 3, s"zorder device query scanned $zDev of $total")
+    assert(zTime < total / 3, s"zorder time query scanned $zTime of $total")
+
+    val cs = buildStore()
+    assert(cs.compact(Tier.GenDay, targetFileBytes = 2L * 1024, minFiles = 2,
+      clusterBy = Seq("dev_id")) == 1)
+    val (cDev, cTime) = (scanned(devQ(cs)), scanned(timeQ(cs)))
+    assert(cDev < total / 3, s"clustered device query scanned $cDev")
+    // device-major files span the whole day — time ranges cannot prune
+    assert(cTime > zTime,
+      s"expected the device-major layout to scan more for the time query " +
+        s"($cTime vs zorder's $zTime)")
+  }
+
   private def compactedParquetFiles(root: String): Seq[HPath] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(s"file://$root"), hconf)
