@@ -1217,6 +1217,27 @@ object SparkEntry {
           round(col("value"), 6).as("value"), col("dev_id"))
     }),
 
+    "s9_zorder_read" -> ((s, dir) => {
+      // Z-order round trip: write → curve-ordered rewrite → device +
+      // intra-day-window read. Equality with the oracle proves the
+      // curve layout reorders but never loses/dups rows and both
+      // predicate shapes still bind; the pruning wins are plan-metric
+      // asserted in StorePublishSpec's zorder test.
+      val root = java.nio.file.Files.createTempDirectory("graft_zo")
+        .toFile.getAbsolutePath
+      val store = new graft.store.TierStore(s, root)
+      val tier = store.tierByName("gen_default").get
+      store.writeRouted(points(s, dir, "app_")
+        .filter(col("measurement") === "app_click"))
+      store.compact(tier, targetFileBytes = 64L * 1024, minFiles = 1,
+        clusterBy = Seq("dev_id"), zorder = true)
+      store.read(tier)
+        .filter(col("measurement") === "app_click" &&
+          hour(col("time")).between(9, 17))
+        .select(unix_timestamp(col("time")).as("tsec"),
+          round(col("value"), 6).as("value"), col("dev_id"))
+    }),
+
     "s9_time_travel" -> ((s, dir) => {
       // reproducible-corpus read: write, pin a timestamp, compact with
       // retained history, append poison rows — the as-of read must
@@ -3206,6 +3227,14 @@ object SparkEntry {
       s"""WITH ${ptsCte("app_")}
          |SELECT tsec, round(v, 6) AS value, dev_id
          |FROM pts WHERE m = 'app_click' AND dev_id <> '7'""".stripMargin,
+
+    // the curve rewrite must be a pure reorder: same rows, both
+    // predicate shapes intact
+    "s9_zorder_read" ->
+      s"""WITH ${ptsCte("app_")}
+         |SELECT tsec, round(v, 6) AS value, dev_id
+         |FROM pts WHERE m = 'app_click'
+         |  AND CAST(hour(ts) AS BIGINT) BETWEEN 9 AND 17""".stripMargin,
 
     // the oracle sees ONLY the original events: a hash match proves the
     // as-of read excluded every post-pin append and lost nothing

@@ -82,28 +82,44 @@ object TierLayout {
     f.isFile && !n.startsWith("_") && !n.startsWith(".")
   }
 
-  /** Largest committed snapshot version in a partition listing, if any. */
+  /** Largest committed snapshot version in a partition listing, if any
+   *  — by marker NAME only; right for version NUMBERING (an in-flight
+   *  marker must still block its number's reuse). Resolution and vacuum
+   *  must instead use [[latestValidVersion]], which requires the
+   *  manifest content to be completely visible. */
   def currentVersion(entries: Seq[FileStatus]): Option[Long] =
     entries.flatMap(e => parseCommit(e.getPath.getName)).maxOption
 
-  /** Largest snapshot version whose commit marker existed at `asOf`
-   *  (epoch millis). Markers are created once and never rewritten, so
-   *  their modification time IS their commit time. */
-  def versionAsOf(entries: Seq[FileStatus], asOf: Long): Option[Long] =
-    entries.flatMap(e => parseCommit(e.getPath.getName)
-      .filter(_ => e.getModificationTime <= asOf)).maxOption
+  /** Largest version whose manifest is COMPLETELY visible — the version
+   *  maintenance may safely vacuum against. */
+  def latestValidVersion(fs: FileSystem, part: HPath,
+      entries: Seq[FileStatus]): Option[Long] =
+    entries.flatMap(e => parseCommit(e.getPath.getName)).sorted.reverse
+      .find(v => readManifest(fs, part, v).isDefined)
+
+  /** The manifest of commit `v`, or None when the marker is missing OR
+   *  its content is not yet completely visible (no `ok` terminator) —
+   *  on a rename-by-copy FileSystem a manifest can appear with partial
+   *  content, and trusting it would resolve the snapshot with a short
+   *  folded list (superseded raw files read AGAIN alongside the
+   *  snapshot). An unterminated manifest simply isn't a commit yet;
+   *  readers fall back to the previous version. */
+  def readManifest(fs: FileSystem, part: HPath, v: Long): Option[Set[String]] = {
+    val p = commitFile(part, v)
+    val text = try {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    } catch { case _: java.io.IOException => return None }
+    if (!text.endsWith("ok\n")) None
+    else Some(text.linesIterator.collect {
+      case l if l.startsWith("folded:") => l.stripPrefix("folded:")
+    }.toSet)
+  }
 
   /** The raw file names a commit FOLDED into its snapshot (excluded
    *  from reads from that commit on, deletable by vacuum). */
-  def foldedFiles(fs: FileSystem, part: HPath, v: Long): Set[String] = {
-    val p = commitFile(part, v)
-    if (!fs.exists(p)) return Set.empty
-    val in = fs.open(p)
-    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    text.linesIterator.collect {
-      case l if l.startsWith("folded:") => l.stripPrefix("folded:")
-    }.toSet
-  }
+  def foldedFiles(fs: FileSystem, part: HPath, v: Long): Set[String] =
+    readManifest(fs, part, v).getOrElse(Set.empty)
 
   /**
    * Resolve a partition directory to the data files a reader must scan:
@@ -136,30 +152,51 @@ object TierLayout {
     def admitted(f: FileStatus): Boolean = isDataFile(f) &&
       batchIdOf(f.getPath.getName).forall { case (w, id) => batchCommitted(w, id) } &&
       asOf.forall(f.getModificationTime <= _)
-    val version = asOf match {
-      case Some(t) => versionAsOf(entries, t)
-      case None => currentVersion(entries)
-    }
-    version match {
-      case Some(v) =>
+    // candidate versions newest-first; the first with a COMPLETE
+    // manifest wins (an unterminated marker — mid-copy on a
+    // rename-by-copy store — is not a commit yet, fall back)
+    val candidates = entries.flatMap { e =>
+      parseCommit(e.getPath.getName)
+        .filter(_ => asOf.forall(e.getModificationTime <= _))
+    }.sorted.reverse
+    candidates.view.flatMap(v => readManifest(fs, part, v).map((v, _)))
+      .headOption match {
+      case Some((v, folded)) =>
         val dir = versionDir(part, v)
         val snap = if (fs.exists(dir)) fs.listStatus(dir).toSeq.filter(isDataFile) else Nil
-        val folded = foldedFiles(fs, part, v)
         snap ++ entries.filter(e => admitted(e) && !folded(e.getPath.getName))
       case None => entries.filter(admitted)
     }
   }
 
-  /** Commit snapshot `v`: create the `_commit_v` manifest (atomic-
-   *  visible on HDFS create+close and as an object-store PUT). The
+  /** Commit snapshot `v`: publish the `_commit_v` manifest. The
    *  manifest records the raw files this snapshot SUPERSEDES — readers
    *  exclude them, vacuum deletes them, and raw files absent from the
-   *  list (concurrent/later appends) remain first-class data. */
+   *  list (concurrent/later appends) remain first-class data.
+   *
+   *  The marker's EXISTENCE is the commit signal, so it must appear
+   *  WITH its content: a plain `create → write → close` exposes the
+   *  file empty between create and close (observed: a racing reader
+   *  resolved the new snapshot with an empty folded list and counted
+   *  every superseded raw file TWICE). The manifest is therefore
+   *  written under a `.`-hidden staging name — invisible to listings —
+   *  and renamed into place: a same-directory file rename is atomic on
+   *  HDFS/POSIX, and on S3A it is a single small-object PUT (the
+   *  destination appears only with its full content). */
   def commit(fs: FileSystem, part: HPath, v: Long, folded: Seq[String]): Unit = {
-    val out = fs.create(commitFile(part, v), false)
+    val staged = new HPath(part, f"._commit_staging_$v%d")
+    val out = fs.create(staged, true)
     try out.write((s"version=$v\n" +
-      folded.map(n => s"folded:$n\n").mkString).getBytes("UTF-8"))
+      folded.map(n => s"folded:$n\n").mkString + "ok\n").getBytes("UTF-8"))
     finally out.close()
+    if (!fs.rename(staged, commitFile(part, v))) {
+      // tolerate a replayed commit: the marker already being there IS
+      // success (its content is immutable once visible)
+      val already = fs.exists(commitFile(part, v))
+      fs.delete(staged, false)
+      if (!already)
+        throw new java.io.IOException(s"commit rename failed for $part _v=$v")
+    }
   }
 
   /** Drop every snapshot and manifest OLDER than `keep`, plus the raw

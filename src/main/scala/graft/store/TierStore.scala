@@ -653,7 +653,11 @@ final class TierStore(spark: SparkSession, root: String) {
     val index = new TierFileIndex(spark, new HPath(path(tier.name)))
     val parts = index.resolvedPartitions.map(_._3).distinct
     parts.count { dir =>
-      TierLayout.currentVersion(fs.listStatus(dir).toSeq) match {
+      // vacuum only against a commit whose manifest is fully visible —
+      // an in-flight marker has an empty effective folded list, and
+      // vacuuming "against" it would delete the older snapshots readers
+      // are still falling back to
+      TierLayout.latestValidVersion(fs, dir, fs.listStatus(dir).toSeq) match {
         case Some(v) => TierLayout.vacuum(fs, dir, v); true
         case None => false
       }
@@ -669,10 +673,14 @@ final class TierStore(spark: SparkSession, root: String) {
    * inside the window that got no staged replacement are retired by
    * committing an EMPTY snapshot (they no longer exist in the recomputed
    * rollup). Superseded snapshots are vacuumed, and fully-retired
-   * partition directories removed, only AFTER every commit of the pass —
-   * so a reader resolving manifests at plan time sees the old window or
-   * the new window, never a mixture and never a partial partition, even
-   * on rename-by-copy object stores.
+   * partition directories removed, only AFTER every commit of the pass.
+   * Atomicity is PER PARTITION (each partition flips old→new in one
+   * marker publish; a reader never sees partial rows of either version,
+   * even on rename-by-copy object stores); the pass itself commits
+   * partition at a time, so a reader planning mid-pass can observe a
+   * commit frontier — some partitions new, the rest still old and
+   * complete. The window is one metadata publish per partition, not
+   * data-proportional.
    */
   def replaceDatePartitions(tier: Tier, fresh: DataFrame, dates: Seq[String],
       retainHistory: Boolean = false): Unit = {

@@ -63,11 +63,24 @@ class StorePublishSpec extends SparkSpec {
       store.publishHook = _ => ()
       SlowCopyFileSystem.betweenCopyAndDelete = () => ()
     }
-    // the mid-copy window (snapshot dir fully copied, source pending
-    // delete, commit marker absent) must still read the complete OLD set
+    // mid-copy windows: the snapshot-dir copies (markers absent → the
+    // complete OLD set) and, since commits publish by rename too, each
+    // marker's own copy. Atomicity is PER PARTITION: a multi-partition
+    // pass commits partition at a time, so a reader may observe a
+    // commit frontier — but every partition it sees must be a COMPLETE
+    // old or complete new version of itself, never partial rows.
     assert(midCopyReads.nonEmpty, "rename-by-copy hook never fired")
-    midCopyReads.foreach(s => assert(s == old,
-      s"mid-copy reader saw a partial/mixed view: $s"))
+    val oldMx = Set(("m_x", 1.0), ("m_x", 2.0), ("m_x", 3.0))
+    midCopyReads.foreach { s =>
+      val mx = s.filter(_._1 == "m_x")
+      assert(mx == oldMx || mx == Set(("m_x", 20.0)),
+        s"partial m_x partition: $s")
+      val mg = s.filter(_._1 == "m_gone")
+      assert(mg == Set(("m_gone", 7.0)) || mg.isEmpty,
+        s"partial m_gone partition: $s")
+      assert(s.filter(_._1 == "m_keep") == Set(("m_keep", 9.0)),
+        s"untouched partition disturbed: $s")
+    }
     assert(vals() == Set(("m_x", 20.0), ("m_keep", 9.0)))
     // retired partition directory pruned, staging gone
     val fs = new HPath(root).getFileSystem(hconf)
@@ -324,6 +337,60 @@ class StorePublishSpec extends SparkSpec {
     assert(store.vacuumTier(Tier.GenDay) == 1)
     assert(vals(store.read(Tier.GenDay)) == Set(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0))
     assert(store.readAsOf(Tier.GenDay, t1).count() == 0L)
+  }
+
+  test("a commit marker visible without its full content is not a " +
+    "commit: readers fall back to the previous version instead of " +
+    "double-counting the superseded raw files") {
+    val root = java.nio.file.Files.createTempDirectory("graft_halfc")
+      .toFile.getAbsolutePath
+    val store = new TierStore(spark, root)
+    (1 to 3).foreach(i => store.write(Tier.GenDay, rows("m_p", "01", i.toDouble)))
+    assert(store.compact(Tier.GenDay, minFiles = 2) == 1) // _v=1 committed
+    store.write(Tier.GenDay, rows("m_p", "01", 4.0)) // post-snapshot append
+    assert(store.read(Tier.GenDay).count() == 4L)
+    val part = new HPath(s"$root/tier=gen_day/measurement=m_p/date=2024-01-01")
+    val fsL = org.apache.hadoop.fs.FileSystem.getLocal(hconf)
+    // the race the rename-commit closes on POSIX/HDFS and the `ok`
+    // terminator closes on rename-by-copy stores: a _commit_2 marker
+    // whose content is not (fully) there yet
+    for (content <- Seq("", "version=2\nfolded:should-not-be-trusted")) {
+      val out = fsL.create(new HPath(part, "_commit_2"), true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      assert(store.read(Tier.GenDay).count() == 4L,
+        s"reader trusted an incomplete manifest (content=${content.length}B)")
+      // maintenance must not vacuum against it either
+      assert(store.vacuumTier(Tier.GenDay) == 1) // resolves _v=1, the valid one
+      assert(store.read(Tier.GenDay).count() == 4L)
+      fsL.delete(new HPath(part, "_commit_2"), false)
+    }
+    // and version numbering still refuses to reuse an in-flight number
+    val entries = fsL.listStatus(part).toSeq
+    assert(graft.store.TierLayout.currentVersion(entries).contains(1L))
+  }
+
+  test("retained history is bounded by vacuumTier: 15 retained rewrites " +
+    "accumulate snapshots, one vacuum collapses to the current version " +
+    "and reclaims the disk") {
+    val root = java.nio.file.Files.createTempDirectory("graft_hist")
+      .toFile.getAbsolutePath
+    val store = new TierStore(spark, root)
+    store.write(Tier.GenDay, rows("m_h", "01", 1.0, 2.0))
+    (1 to 15).foreach { i =>
+      store.write(Tier.GenDay, rows("m_h", "01", (i + 2).toDouble))
+      assert(store.compact(Tier.GenDay, minFiles = 2, retainHistory = true) == 1)
+    }
+    val part = new HPath(s"$root/tier=gen_day/measurement=m_h/date=2024-01-01")
+    val fsL = org.apache.hadoop.fs.FileSystem.getLocal(hconf)
+    def versions() = fsL.listStatus(part).map(_.getPath.getName)
+      .filter(_.startsWith("_v=")).toSeq
+    assert(versions().size == 15, s"expected 15 retained snapshots: ${versions()}")
+    // the full history is still readable...
+    assert(store.read(Tier.GenDay).count() == 17L)
+    // ...until one vacuum collapses it to the current version
+    assert(store.vacuumTier(Tier.GenDay) == 1)
+    assert(versions() == Seq("_v=15"), versions().mkString(","))
+    assert(store.read(Tier.GenDay).count() == 17L)
   }
 
   test("clusterBy compaction writes dev_id bloom filters once the " +
