@@ -110,9 +110,13 @@ object Downsampler {
    * restricted to `sinceDays` of recent data (incremental — CQs also only
    * re-aggregate the recent window), and run retention expiry. Each hop
    * reads the (already much smaller) previous rollup, never raw twice.
+   * `retainHistory = true` keeps every superseded snapshot the pass
+   * replaces so [[graft.store.TierStore.readAsOf]] can pin pre-pass
+   * corpus states across ALL tiers; reclaim with `vacuumTier` per tier.
    */
   def maintain(store: graft.store.TierStore, now: java.time.Instant,
-      sinceDays: Int = 3, tagCols: Seq[String] = defaultTagCols): Unit = {
+      sinceDays: Int = 3, tagCols: Seq[String] = defaultTagCols,
+      retainHistory: Boolean = false): Unit = {
     val cutoff = java.sql.Date.valueOf(
       java.time.LocalDate.ofInstant(now, java.time.ZoneOffset.UTC).minusDays(sinceDays))
     Tier.cascade.foreach { case (from, to) =>
@@ -130,14 +134,14 @@ object Downsampler {
         val dates = src.select(org.apache.spark.sql.functions.col("date")
           .cast("string")).distinct().collect().map(_.getString(0))
         store.replaceDatePartitions(to, downsample(src.drop("date"), res, tagCols),
-          dates.toSeq)
+          dates.toSeq, retainHistory = retainHistory)
       }
       store.expire(to, now)
-      store.compact(to)
+      store.compact(to, retainHistory = retainHistory)
     }
     store.expire(graft.model.Tier.GenRaw, now)
     store.expire(graft.model.Tier.GenDefault, now)
-    store.compact(graft.model.Tier.GenRaw)
-    store.compact(graft.model.Tier.GenDefault)
+    store.compact(graft.model.Tier.GenRaw, retainHistory = retainHistory)
+    store.compact(graft.model.Tier.GenDefault, retainHistory = retainHistory)
   }
 }
