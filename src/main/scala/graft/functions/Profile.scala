@@ -269,6 +269,41 @@ object Profile {
   }
 
   /**
+   * Streaming hot-key monitor, part 1: per event-time window, the
+   * per-key counts of `key` as one watermark-bounded streaming
+   * aggregation (append mode — sealed windows emit once; state = open
+   * windows × distinct keys within them). Same two-part shape as the
+   * PSI monitor: Structured Streaming allows one aggregation, so the
+   * top-k cut runs in batch over the sealed rows via
+   * [[finalizeTopKeys]]. The continuous form of [[topKeys]] — which
+   * device floods which hour, watched live.
+   */
+  def streamingKeyCounts(stream: DataFrame, timeCol: String,
+      key: org.apache.spark.sql.Column, windowDur: String,
+      watermarkDelay: String): DataFrame =
+    stream.select(col(timeCol).as("_t"), key.cast("string").as("key"))
+      .filter(col("key").isNotNull)
+      .withWatermark("_t", watermarkDelay)
+      .groupBy(window(col("_t"), windowDur).as("_w"), col("key"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("_w.start").as("window_start"), col("key"), col("n"))
+
+  /**
+   * Streaming hot-key monitor, part 2: the exact top-k per sealed
+   * window, (n desc, key asc) tie-break — a per-window ranking window
+   * over already-aggregated (window, key, n) rows, WindowGroupLimit-
+   * bounded, never over the data stream itself.
+   */
+  def finalizeTopKeys(sealedCounts: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("window_start").orderBy(col("n").desc, col("key").asc)
+    sealedCounts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("window_start", "rank", "key", "n")
+  }
+
+  /**
    * Exact top-k values of `key` by count with a deterministic
    * (n desc, key asc) tie-break. The ranking is a distributed
    * TakeOrderedAndProject over the aggregated (key, n) rows — each task

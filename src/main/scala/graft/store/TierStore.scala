@@ -604,6 +604,7 @@ final class TierStore(spark: SparkSession, root: String) {
    * Cost shape: one partition-pruned scan finds the hit partitions
    * (driver gets (measurement, date) tuples only), one Spark job
    * rewrites exactly those partitions. Returns the partitions rewritten.
+   * Run from the single-writer maintenance job, like [[compact]].
    */
   def deleteWhere(tier: Tier, predicate: Column): Int = {
     val index = new TierFileIndex(spark, new HPath(path(tier.name)))

@@ -162,6 +162,43 @@ class Round8OpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming hot-key monitor: each sealed window's top-k equals " +
+    "batch topKeys over the same rows, with the same tie-break") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[PsiIn]
+    // reuse PsiIn: x encodes the key
+    val q = Profile.streamingKeyCounts(
+      input.toDF().select(col("t"), concat(lit("k"), col("x").cast("int")).as("k")),
+      "t", col("k"), windowDur = "1 hour", watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("hot_keys")
+      .outputMode("append").start()
+    try {
+      val base = 1704067200000L
+      def in(off: Long, v: Double) = PsiIn(new java.sql.Timestamp(base + off), v)
+      // window A: k1×3, k2×3, k3×1 (tie between k1/k2)
+      input.addData(in(0, 1), in(1000, 1), in(2000, 1),
+        in(3000, 2), in(4000, 2), in(5000, 2), in(6000, 3))
+      // window B: k9×2, k1×1
+      input.addData(in(3600000, 9), in(3610000, 9), in(3620000, 1))
+      q.processAllAvailable()
+      input.addData(in(5 * 3600000L, 5)) // advance the watermark
+      q.processAllAvailable()
+
+      val got = Profile.finalizeTopKeys(spark.table("hot_keys"), 2)
+        .collect().map(r => (r.getAs[java.sql.Timestamp](0).getTime,
+          r.getInt(1), r.getString(2), r.getLong(3))).toSet
+      assert(got == Set(
+        (base, 1, "k1", 3L), (base, 2, "k2", 3L), // tie: key asc
+        (base + 3600000L, 1, "k9", 2L), (base + 3600000L, 2, "k1", 1L)))
+      // agrees with the batch operator over the same window's rows
+      val batch = Profile.topKeys(
+        Seq("k1", "k1", "k1", "k2", "k2", "k2", "k3").toDF("k"), col("k"), 2)
+        .as[(String, Long)].collect().toSeq
+      assert(batch == Seq(("k1", 3L), ("k2", 3L)))
+    } finally q.stop()
+  }
+
   // --- leakage-safe splits ---
 
   test("clusterSafeSplit: every cluster lands whole in one split, " +
