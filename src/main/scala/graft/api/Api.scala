@@ -222,8 +222,11 @@ object Api {
     case "cmd.tsdb.get_energy_data_points" => // admin.go:229-247
       val req = payload.asInstanceOf[GetDataPointsRequest]
       val c = procCtx(ctx, req.procId)
+      val readFn: Tier => DataFrame =
+        if (req.asOfMs > 0L) t => c.store.readAsOf(t, req.asOfMs)
+        else t => c.store.read(t)
       Planner.energyDataPoints(req.relativeTime, req.fromTime, req.toTime,
-        req.groupByTime, req.groupByTag, req.filters, t => c.store.read(t), c.now())
+        req.groupByTime, req.groupByTag, req.filters, readFn, c.now())
     case "cmd.tsdb.query" => // S7 raw passthrough (admin.go:156-177)
       val (qCtx, sql) = payload match {
         case (procId: Int, s: String) => (procCtx(ctx, procId), s)

@@ -111,8 +111,11 @@ object Downsampler {
    * re-aggregate the recent window), and run retention expiry. Each hop
    * reads the (already much smaller) previous rollup, never raw twice.
    * `retainHistory = true` keeps every superseded snapshot the pass
-   * replaces so [[graft.store.TierStore.readAsOf]] can pin pre-pass
-   * corpus states across ALL tiers; reclaim with `vacuumTier` per tier.
+   * replaces AND defers retention expiry (expiry deletes whole date
+   * partitions, which no snapshot protects) so
+   * [[graft.store.TierStore.readAsOf]] can pin pre-pass corpus states
+   * across ALL tiers; reclaim space — and re-enforce retention — with
+   * `vacuumTier` per tier plus a later plain maintain.
    */
   def maintain(store: graft.store.TierStore, now: java.time.Instant,
       sinceDays: Int = 3, tagCols: Seq[String] = defaultTagCols,
@@ -136,11 +139,17 @@ object Downsampler {
         store.replaceDatePartitions(to, downsample(src.drop("date"), res, tagCols),
           dates.toSeq, retainHistory = retainHistory)
       }
-      store.expire(to, now)
+      // retention expiry physically DELETES whole date partitions — no
+      // snapshot protects them — so with retainHistory it is deferred
+      // too: run a plain maintain (or expire explicitly) once no run
+      // still pins a pre-expiry timestamp
+      if (!retainHistory) store.expire(to, now)
       store.compact(to, retainHistory = retainHistory)
     }
-    store.expire(graft.model.Tier.GenRaw, now)
-    store.expire(graft.model.Tier.GenDefault, now)
+    if (!retainHistory) {
+      store.expire(graft.model.Tier.GenRaw, now)
+      store.expire(graft.model.Tier.GenDefault, now)
+    }
     store.compact(graft.model.Tier.GenRaw, retainHistory = retainHistory)
     store.compact(graft.model.Tier.GenDefault, retainHistory = retainHistory)
   }

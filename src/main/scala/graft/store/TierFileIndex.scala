@@ -214,6 +214,8 @@ object TierLayout {
           if (n.startsWith("_v=") && n.stripPrefix("_v=").toLongOption.exists(_ < keep))
             fs.delete(e.getPath, true)
           else if (isDataFile(e) && folded(n)) fs.delete(e.getPath, false)
+          else if (n.startsWith("._commit_staging_"))
+            fs.delete(e.getPath, false) // orphan of a commit that crashed pre-rename
       }
     }
   }

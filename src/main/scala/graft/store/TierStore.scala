@@ -109,7 +109,15 @@ final class TierStore(spark: SparkSession, root: String) {
     }
     publishHook("renamed") // crash seam: snapshot dir present, uncommitted
     val present = entries.map(_.getPath.getName).toSet
-    val carried = prev.map(TierLayout.foldedFiles(fs, part, _))
+    // Carry from the latest VALID manifest, not the name-largest marker:
+    // a half-visible marker (crashed mid-copy on a rename-by-copy store)
+    // has an unreadable folded list, and carrying its empty set would
+    // drop still-present superseded files from the new manifest —
+    // readers would then re-admit them as appends and double-count.
+    // Each valid commit carries its predecessor's folded-but-present
+    // names, so the latest valid one holds the complete set.
+    val carried = TierLayout.latestValidVersion(fs, part, entries)
+      .map(TierLayout.foldedFiles(fs, part, _))
       .getOrElse(Set.empty[String]).filter(present)
     TierLayout.commit(fs, part, v, (folded ++ carried).distinct)
     v
@@ -345,6 +353,14 @@ final class TierStore(spark: SparkSession, root: String) {
    * reclaim space explicitly with [[vacuumTier]] once no run needs the
    * old snapshots (the standard commit/vacuum separation — vacuuming
    * bounds how far back reads can travel).
+   *
+   * Boundary precision: raw appends resolve by file MODIFICATION time,
+   * which predates listability. For ledgered streaming appends the gap
+   * is the seconds-wide batch-commit window; for a plain batch
+   * [[write]] in flight at the pin, it is the write job's duration —
+   * two reads of the same pin taken before and after that job's commit
+   * can differ. Pin timestamps between ingest jobs (or use the
+   * exactly-once streaming path) when the boundary must be exact.
    */
   def readAsOf(tier: Tier, asOfMillis: Long): DataFrame =
     indexedRead(new TierFileIndex(spark, new HPath(path(tier.name)),
@@ -498,40 +514,31 @@ final class TierStore(spark: SparkSession, root: String) {
     rmTree(staging.toString)
     val sparkL = spark
     import sparkL.implicits._
-    val plan = broadcast(parts.map { case (m, d, _, files) =>
-      (m, d, math.max(1,
-        math.ceil(files.map(_.getLen).sum.toDouble / targetFileBytes).toInt))
-    }.toDF("_m", "_d", "_n"))
+    // one bucket-count rule for the per-partition plan and the pinned
+    // shuffle width below
+    def bucketCount(files: Seq[org.apache.hadoop.fs.FileStatus]): Int =
+      math.max(1, math.ceil(
+        files.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
     // explicit partition predicate so the scan prunes to the qualifying
-    // partitions inside TierFileIndex (the broadcast join alone would
-    // only filter after listing every partition)
+    // partitions inside TierFileIndex (a join alone would only filter
+    // after listing every partition)
     val qualifying = parts.map { case (m, d, _, _) =>
       col("measurement") === m && col("date").cast("string") === d
     }.reduce(_ || _)
-    val bucketKey =
-      if (clusterBy.isEmpty) xxhash64(col("time"))
-      else xxhash64(clusterBy.map(col): _*)
-    val sortCols = Seq(col("measurement"), col("date")) ++
-      clusterBy.map(col) :+ col("time")
-    val bucketed = indexedRead(index).get.filter(qualifying)
-      .join(plan, col("measurement") === col("_m") &&
-        col("date").cast("string") === col("_d"))
-      .withColumn("_fb", pmod(bucketKey, col("_n")))
-    // Clustered rewrites pin the shuffle to the planned bucket count:
-    // repartition-by-number is exempt from AQE partition coalescing,
-    // which would otherwise merge small buckets back into shared files
-    // and erase the one-file-per-cluster-key layout the pruning relies
-    // on. (The default time layout keeps AQE's choice — merged files
-    // are fine when row groups are time-sorted either way.)
-    val totalBuckets = parts.map { case (m, d, _, files) =>
-      math.max(1, math.ceil(
-        files.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
-    }.sum
+    val base = indexedRead(index).get.filter(qualifying)
+    // Clustered/zorder rewrites pin the shuffle to the planned bucket
+    // count: repartition-by-number is exempt from AQE partition
+    // coalescing, which would otherwise merge small buckets back into
+    // shared files and erase the layout the pruning relies on. (The
+    // default time layout keeps AQE's choice — merged files are fine
+    // when row groups are time-sorted either way.)
+    val totalBuckets = parts.map { case (_, _, _, files) => bucketCount(files) }.sum
     val distributed =
       if (zorder) {
         // 16-bit device hash interleaved with 16-bit time-of-day; range
         // distribution makes each output file one contiguous curve
-        // segment (bounded time range AND bounded device subset)
+        // segment (bounded time range AND bounded device subset). No
+        // per-partition plan join: the curve itself drives distribution.
         val dev16 = pmod(xxhash64(clusterBy.map(col): _*), lit(65536L))
         val tod16 = (pmod(unix_seconds(col("time")), lit(86400L))
           * lit(65536L) / lit(86400L)).cast("long")
@@ -539,21 +546,33 @@ final class TierStore(spark: SparkSession, root: String) {
           shiftleft(shiftright(dev16, i).bitwiseAND(lit(1L)), 2 * i + 1)
             .bitwiseOR(shiftleft(shiftright(tod16, i).bitwiseAND(lit(1L)), 2 * i))
         }.reduce(_ bitwiseOR _)
-        bucketed.withColumn("_zc", zc)
+        base.withColumn("_zc", zc)
           .repartitionByRange(totalBuckets,
             col("measurement"), col("date"), col("_zc"))
           .sortWithinPartitions(col("measurement"), col("date"), col("_zc"))
           .drop("_zc")
-      } else if (clusterBy.isEmpty)
-        bucketed.repartition(col("measurement"), col("date"), col("_fb"))
+      } else {
+        val plan = broadcast(parts.map { case (m, d, _, files) =>
+          (m, d, bucketCount(files))
+        }.toDF("_m", "_d", "_n"))
+        val bucketKey =
+          if (clusterBy.isEmpty) xxhash64(col("time"))
+          else xxhash64(clusterBy.map(col): _*)
+        val sortCols = Seq(col("measurement"), col("date")) ++
+          clusterBy.map(col) :+ col("time")
+        val bucketed = base
+          .join(plan, col("measurement") === col("_m") &&
+            col("date").cast("string") === col("_d"))
+          .withColumn("_fb", pmod(bucketKey, col("_n")))
+        (if (clusterBy.isEmpty)
+          bucketed.repartition(col("measurement"), col("date"), col("_fb"))
+        else
+          bucketed.repartition(totalBuckets,
+            col("measurement"), col("date"), col("_fb")))
           .sortWithinPartitions(sortCols: _*)
-      else
-        bucketed.repartition(totalBuckets,
-          col("measurement"), col("date"), col("_fb"))
-          .sortWithinPartitions(sortCols: _*)
-    val writer = distributed
-      .drop("_m", "_d", "_n", "_fb")
-      .write.partitionBy("measurement", "date")
+          .drop("_m", "_d", "_n", "_fb")
+      }
+    val writer = distributed.write.partitionBy("measurement", "date")
     clusterBy.foldLeft(writer) { (w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true")
     }.parquet(staging.toString)
@@ -653,16 +672,34 @@ final class TierStore(spark: SparkSession, root: String) {
   def vacuumTier(tier: Tier): Int = {
     val index = new TierFileIndex(spark, new HPath(path(tier.name)))
     val parts = index.resolvedPartitions.map(_._3).distinct
-    parts.count { dir =>
+    val n = parts.count { dir =>
       // vacuum only against a commit whose manifest is fully visible —
       // an in-flight marker has an empty effective folded list, and
       // vacuuming "against" it would delete the older snapshots readers
       // are still falling back to
       TierLayout.latestValidVersion(fs, dir, fs.listStatus(dir).toSeq) match {
-        case Some(v) => TierLayout.vacuum(fs, dir, v); true
+        case Some(v) =>
+          TierLayout.vacuum(fs, dir, v)
+          // complete the cleanup a retainHistory pass deferred: a
+          // partition whose current snapshot is EMPTY and that has no
+          // raw data left (a retired rollup window) is logically gone —
+          // remove the directory instead of leaking it into every
+          // future index listing
+          val after = fs.listStatus(dir).toSeq
+          val snapDir = TierLayout.versionDir(dir, v)
+          val snapEmpty = !fs.exists(snapDir) ||
+            fs.listStatus(snapDir).forall(!TierLayout.isDataFile(_))
+          if (snapEmpty && !after.exists(TierLayout.isDataFile))
+            rmTree(dir.toString)
+          true
         case None => false
       }
     }
+    // prune measurement dirs the cleanup emptied
+    subDirs(path(tier.name))
+      .filter(m => m.getName.startsWith("measurement=") && subDirs(m.toString).isEmpty)
+      .foreach(m => rmTree(m.toString))
+    n
   }
 
   /**

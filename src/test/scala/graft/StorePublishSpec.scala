@@ -369,6 +369,36 @@ class StorePublishSpec extends SparkSpec {
     assert(graft.store.TierLayout.currentVersion(entries).contains(1L))
   }
 
+  test("publish carries the folded list across an invalid top marker: a " +
+    "crashed half-visible commit cannot make the next commit forget " +
+    "still-present superseded files (no resurrected duplicates)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_carry")
+      .toFile.getAbsolutePath
+    val store = new TierStore(spark, root)
+    (1 to 3).foreach(i => store.write(Tier.GenDay, rows("m_c", "01", i.toDouble)))
+    // retained history keeps the three folded raw files on disk
+    assert(store.compact(Tier.GenDay, minFiles = 2, retainHistory = true) == 1)
+    store.write(Tier.GenDay, rows("m_c", "01", 4.0))
+    assert(store.read(Tier.GenDay).count() == 4L)
+    // a compact that crashed mid-marker-copy: _commit_2 visible,
+    // content incomplete (no `ok`), no _v=2 data
+    val part = new HPath(s"$root/tier=gen_day/measurement=m_c/date=2024-01-01")
+    val fsL = org.apache.hadoop.fs.FileSystem.getLocal(hconf)
+    val out = fsL.create(new HPath(part, "_commit_2"), true)
+    try out.write("version=2\nfolded:half".getBytes("UTF-8")) finally out.close()
+
+    store.write(Tier.GenDay, rows("m_c", "01", 5.0))
+    assert(store.compact(Tier.GenDay, minFiles = 2) == 1)
+    // the new commit must carry _v=1's folded names (read from the
+    // latest VALID manifest, not the invalid _commit_2): exactly the
+    // five logical rows, no pre-compaction raw file re-admitted
+    assert(store.read(Tier.GenDay).select("value").as[Double]
+      .collect().sorted.toSeq == Seq(1.0, 2.0, 3.0, 4.0, 5.0))
+    // and this pass's vacuum swept the stale marker + history
+    val names = fsL.listStatus(part).map(_.getPath.getName).toSet
+    assert(!names.contains("_commit_1") && !names.contains("_commit_2"), names)
+  }
+
   test("retained history is bounded by vacuumTier: 15 retained rewrites " +
     "accumulate snapshots, one vacuum collapses to the current version " +
     "and reclaims the disk") {
