@@ -227,6 +227,35 @@ object Api {
         else t => c.store.read(t)
       Planner.energyDataPoints(req.relativeTime, req.fromTime, req.toTime,
         req.groupByTime, req.groupByTag, req.filters, readFn, c.now())
+    case "cmd.tsdb.delete_data_points" =>
+      // EXTENSION over the reference surface (which delegates deletion
+      // to InfluxDB retention): targeted erasure across every retention
+      // tier — measurement and/or tag-filtered, optionally time-bounded
+      // — via TierStore.deleteWhere's partition-scoped snapshot rewrite.
+      // Rollup tiers keep the tag columns, so a device's aggregated
+      // contributions are erased there too. Refuses an unbounded wipe.
+      val req = payload.asInstanceOf[GetDataPointsRequest]
+      val c = procCtx(ctx, req.procId)
+      val f = req.filters
+      if (req.measurementName.isEmpty && f.tags.isEmpty && f.devices.isEmpty &&
+        f.locations.isEmpty && f.devTypes.isEmpty)
+        throw new IllegalArgumentException(
+          "refusing an unbounded erasure: give a measurement or tag filters " +
+            "(drop whole measurements/retention windows via DDL instead)")
+      var pred = Planner.filterColumn(f)
+      if (req.measurementName.nonEmpty)
+        pred = pred && col("measurement") === req.measurementName
+      if (req.fromTime.nonEmpty && req.toTime.nonEmpty) {
+        val from = Instant.parse(req.fromTime).getEpochSecond
+        val to = Instant.parse(req.toTime).getEpochSecond
+        pred = pred && col("time") >= timestamp_seconds(lit(from)) &&
+          col("time") < timestamp_seconds(lit(to + 1))
+      }
+      import ctx.spark.implicits._
+      c.store.retentionPolicies
+        .map(t => (t.name, c.store.deleteWhere(t, pred).toLong))
+        .toDF("tier", "partitions_rewritten")
+
     case "cmd.tsdb.query" => // S7 raw passthrough (admin.go:156-177)
       val (qCtx, sql) = payload match {
         case (procId: Int, s: String) => (procCtx(ctx, procId), s)

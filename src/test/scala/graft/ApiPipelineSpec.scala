@@ -130,6 +130,31 @@ class ApiPipelineSpec extends SparkSpec {
     assert(q(pinned) == Set(1200.0, 1300.0)) // the pinned corpus
   }
 
+  test("delete_data_points erases one device across tiers through the " +
+    "command API and refuses an unbounded wipe") {
+    val store = new TierStore(spark, tmpDir())
+    val rows = Seq(("7", 100.0), ("7", 200.0), ("8", 300.0)).map { case (d, v) =>
+      ("app_click", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), v,
+        d, "1", "sensor")
+    }
+    import spark.implicits._
+    store.writeRouted(rows.toDF(
+      "measurement", "time", "value", "dev_id", "location_id", "dev_type"))
+    val ctx = Api.Context(spark, store)
+    val res = Api.dispatch(ctx, "cmd.tsdb.delete_data_points",
+      Api.GetDataPointsRequest(measurementName = "app_click",
+        filters = graft.model.DataPointsFilter(devices = Seq("7"))))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(res("gen_default") == 1L) // the one hit partition rewritten
+    assert(store.read(Tier.GenDefault)
+      .select("dev_id", "value").as[(String, Double)].collect().toSet ==
+      Set(("8", 300.0)))
+    intercept[IllegalArgumentException] {
+      Api.dispatch(ctx, "cmd.tsdb.delete_data_points",
+        Api.GetDataPointsRequest())
+    }
+  }
+
   test("shapeResponse bounds the driver collect and pages via the next marker") {
     import spark.implicits._
     val df = spark.range(50).select(
