@@ -38,6 +38,12 @@ object Api {
   final case class WritePoint(name: String, tags: Map[String, String],
       fields: Map[String, Double], ts: java.sql.Timestamp)
 
+  /** The asOfMs-aware tier resolver shared by the query commands:
+   *  > 0 pins the read to that snapshot ([[TierStore.readAsOf]]). */
+  private def pinnedRead(c: Context, asOfMs: Long): Tier => DataFrame =
+    if (asOfMs > 0L) t => c.store.readAsOf(t, asOfMs)
+    else t => c.store.read(t)
+
   final case class Context(spark: SparkSession, store: TierStore,
       profile: String = Tier.ProfileOptimized, now: () => Instant = () => Instant.now(),
       state: ProcessState = new ProcessState(ProcessConfig(id = 1)),
@@ -215,25 +221,30 @@ object Api {
     case "cmd.tsdb.get_data_points" => // admin.go:206-226
       val req = payload.asInstanceOf[GetDataPointsRequest]
       val c = procCtx(ctx, req.procId)
-      val readFn: Tier => DataFrame =
-        if (req.asOfMs > 0L) t => c.store.readAsOf(t, req.asOfMs)
-        else t => c.store.read(t)
-      Planner.dataPoints(req.toRequest, readFn, c.now())
+      Planner.dataPoints(req.toRequest, pinnedRead(c, req.asOfMs), c.now())
     case "cmd.tsdb.get_energy_data_points" => // admin.go:229-247
       val req = payload.asInstanceOf[GetDataPointsRequest]
       val c = procCtx(ctx, req.procId)
-      val readFn: Tier => DataFrame =
-        if (req.asOfMs > 0L) t => c.store.readAsOf(t, req.asOfMs)
-        else t => c.store.read(t)
       Planner.energyDataPoints(req.relativeTime, req.fromTime, req.toTime,
-        req.groupByTime, req.groupByTag, req.filters, readFn, c.now())
+        req.groupByTime, req.groupByTag, req.filters,
+        pinnedRead(c, req.asOfMs), c.now())
     case "cmd.tsdb.delete_data_points" =>
       // EXTENSION over the reference surface (which delegates deletion
-      // to InfluxDB retention): targeted erasure across every retention
-      // tier — measurement and/or tag-filtered, optionally time-bounded
-      // — via TierStore.deleteWhere's partition-scoped snapshot rewrite.
-      // Rollup tiers keep the tag columns, so a device's aggregated
-      // contributions are erased there too. Refuses an unbounded wipe.
+      // to InfluxDB retention): targeted erasure via TierStore
+      // .deleteWhere's partition-scoped snapshot rewrite. UNBOUNDED in
+      // time (the right-to-be-forgotten shape) it runs on EVERY
+      // retention tier — rollups keep the tag columns, so the device's
+      // aggregated contributions go too. TIME-BOUNDED it corrects the
+      // RAW tiers only: rollup rows are bucket-start-stamped aggregates
+      // spanning the boundary, so row deletion there either leaves the
+      // range's contributions (bucket starts before `from`) or destroys
+      // aggregates outside it — rollups are DERIVED data; rebuild the
+      // affected window from the corrected raw with Downsampler
+      // .maintain. Refuses an unbounded wipe, and refuses half-given
+      // time bounds rather than silently erasing full history. Routes
+      // through the same single-maintainer assumption as compact — the
+      // store serializes maintenance in-process; across processes,
+      // deploy the command on the maintenance owner.
       val req = payload.asInstanceOf[GetDataPointsRequest]
       val c = procCtx(ctx, req.procId)
       val f = req.filters
@@ -242,18 +253,25 @@ object Api {
         throw new IllegalArgumentException(
           "refusing an unbounded erasure: give a measurement or tag filters " +
             "(drop whole measurements/retention windows via DDL instead)")
+      if (req.relativeTime.nonEmpty ||
+        (req.fromTime.nonEmpty != req.toTime.nonEmpty))
+        throw new IllegalArgumentException(
+          "erasure time bounds must be BOTH absolute fromTime and toTime " +
+            "(or neither) — a half-given or relative bound would silently " +
+            "erase the full history")
+      val bounded = req.fromTime.nonEmpty
       var pred = Planner.filterColumn(f)
       if (req.measurementName.nonEmpty)
         pred = pred && col("measurement") === req.measurementName
-      if (req.fromTime.nonEmpty && req.toTime.nonEmpty) {
-        val from = Instant.parse(req.fromTime).getEpochSecond
-        val to = Instant.parse(req.toTime).getEpochSecond
-        pred = pred && col("time") >= timestamp_seconds(lit(from)) &&
-          col("time") < timestamp_seconds(lit(to + 1))
-      }
+      if (bounded)
+        pred = pred && Planner.absoluteTimePredicate(
+          Instant.parse(req.fromTime).getEpochSecond,
+          Instant.parse(req.toTime).getEpochSecond)
+      val rollups = Tier.cascade.map(_._2.name).toSet
+      val targets = c.store.retentionPolicies
+        .filter(t => !bounded || !rollups(t.name))
       import ctx.spark.implicits._
-      c.store.retentionPolicies
-        .map(t => (t.name, c.store.deleteWhere(t, pred).toLong))
+      targets.map(t => (t.name, c.store.deleteWhere(t, pred).toLong))
         .toDF("tier", "partitions_rewritten")
 
     case "cmd.tsdb.query" => // S7 raw passthrough (admin.go:156-177)

@@ -189,6 +189,15 @@ object Planner {
     }
 
   /** Compile the tag/device/location/type filters (influxdb_v1.go:145-156). */
+  /** The reference's absolute time-range convention as ONE shared
+   *  predicate — `fromSec <= time < toSec+1`, expressed natively on the
+   *  timestamp column so parquet row-group skipping applies. Shared by
+   *  the read path and the erasure command: "delete what a query
+   *  returns" only holds while both use the identical boundary rule. */
+  def absoluteTimePredicate(fromSec: Long, toSec: Long): Column =
+    col("time") >= timestamp_seconds(lit(fromSec)) &&
+      col("time") < timestamp_seconds(lit(toSec + 1))
+
   def filterColumn(f: DataPointsFilter): Column = {
     var c: Column = lit(true)
     f.tags.foreach { case (k, v) => c = c && (col(k) === v) }
@@ -238,9 +247,7 @@ object Planner {
         (now.getEpochSecond - mins * 60, now.getEpochSecond)
     }
     val timePred = fromInstant match {
-      case Some(_) =>
-        col("time") >= timestamp_seconds(lit(fromSec)) &&
-          col("time") < timestamp_seconds(lit(toSec + 1))
+      case Some(_) => absoluteTimePredicate(fromSec, toSec)
       case None => col("time") >= timestamp_seconds(lit(fromSec + 1))
     }
     // Derived `date` partition filter: tier tables are partitioned by

@@ -51,6 +51,26 @@ final class TierStore(spark: SparkSession, root: String) {
     else fs.listStatus(hp).filter(_.isDirectory).map(_.getPath).toSeq
   }
 
+  /** Serializes the maintenance passes (compact / replace / erase /
+   *  vacuum) within this JVM — the common deployment runs them and the
+   *  command API from one driver. Across processes the single-writer
+   *  maintenance contract still applies (documented per method). */
+  private val maintenanceLock = new Object
+
+  /** Remove a directory ONLY if empty — `delete(recursive = false)`
+   *  fails on a non-empty dir, so a concurrent append that landed a
+   *  file between our listing and this call survives (an rmTree here
+   *  would silently destroy a committed racing batch). */
+  private def removeIfEmpty(dir: HPath): Unit =
+    try fs.delete(dir, false)
+    catch { case _: java.io.IOException => () } // became live again: keep
+
+  /** Prune measurement dirs that hold no partitions — non-recursively,
+   *  so one that concurrently received a fresh date partition stays. */
+  private def pruneEmptyMeasurementDirs(tierPath: String): Unit =
+    subDirs(tierPath).filter(_.getName.startsWith("measurement="))
+      .foreach(removeIfEmpty)
+
   /** Drop one date partition across every measurement of a tier (used by
    *  rollup maintenance to replace a recent window incrementally). */
   def dropDatePartition(tier: Tier, date: String): Unit =
@@ -496,7 +516,8 @@ final class TierStore(spark: SparkSession, root: String) {
    */
   def compact(tier: Tier, targetFileBytes: Long = 128L * 1024 * 1024,
       minFiles: Int = 4, clusterBy: Seq[String] = Nil,
-      retainHistory: Boolean = false, zorder: Boolean = false): Int = {
+      retainHistory: Boolean = false,
+      zorder: Boolean = false): Int = maintenanceLock.synchronized {
     require(!zorder || clusterBy.nonEmpty, "zorder requires clusterBy columns")
     // ONE pinned manifest resolution drives the whole pass: the
     // qualifying check, the staging scan (read through this same
@@ -625,7 +646,8 @@ final class TierStore(spark: SparkSession, root: String) {
    * rewrites exactly those partitions. Returns the partitions rewritten.
    * Run from the single-writer maintenance job, like [[compact]].
    */
-  def deleteWhere(tier: Tier, predicate: Column): Int = {
+  def deleteWhere(tier: Tier, predicate: Column): Int =
+      maintenanceLock.synchronized {
     val index = new TierFileIndex(spark, new HPath(path(tier.name)))
     val base = indexedRead(index).getOrElse(return 0)
     val hits = base.filter(predicate)
@@ -669,7 +691,7 @@ final class TierStore(spark: SparkSession, root: String) {
    * training run still pins an old corpus timestamp. Returns the number
    * of partitions vacuumed.
    */
-  def vacuumTier(tier: Tier): Int = {
+  def vacuumTier(tier: Tier): Int = maintenanceLock.synchronized {
     val index = new TierFileIndex(spark, new HPath(path(tier.name)))
     val parts = index.resolvedPartitions.map(_._3).distinct
     val n = parts.count { dir =>
@@ -681,24 +703,27 @@ final class TierStore(spark: SparkSession, root: String) {
         case Some(v) =>
           TierLayout.vacuum(fs, dir, v)
           // complete the cleanup a retainHistory pass deferred: a
-          // partition whose current snapshot is EMPTY and that has no
-          // raw data left (a retired rollup window) is logically gone —
-          // remove the directory instead of leaking it into every
-          // future index listing
+          // partition whose current snapshot is EMPTY and that holds no
+          // raw data (a retired rollup window) is logically gone.
+          // Remove OUR metadata (the empty snapshot dir + markers),
+          // then the dir itself only-if-empty — a concurrent append
+          // landing in the window keeps the dir alive and resolves as
+          // plain raw data (the partition is simply live again).
           val after = fs.listStatus(dir).toSeq
           val snapDir = TierLayout.versionDir(dir, v)
           val snapEmpty = !fs.exists(snapDir) ||
             fs.listStatus(snapDir).forall(!TierLayout.isDataFile(_))
-          if (snapEmpty && !after.exists(TierLayout.isDataFile))
-            rmTree(dir.toString)
+          if (snapEmpty && !after.exists(TierLayout.isDataFile)) {
+            if (fs.exists(snapDir)) fs.delete(snapDir, true)
+            after.filter(_.getPath.getName.startsWith("_commit_"))
+              .foreach(e => fs.delete(e.getPath, false))
+            removeIfEmpty(dir)
+          }
           true
         case None => false
       }
     }
-    // prune measurement dirs the cleanup emptied
-    subDirs(path(tier.name))
-      .filter(m => m.getName.startsWith("measurement=") && subDirs(m.toString).isEmpty)
-      .foreach(m => rmTree(m.toString))
+    pruneEmptyMeasurementDirs(path(tier.name))
     n
   }
 
@@ -721,7 +746,7 @@ final class TierStore(spark: SparkSession, root: String) {
    * data-proportional.
    */
   def replaceDatePartitions(tier: Tier, fresh: DataFrame, dates: Seq[String],
-      retainHistory: Boolean = false): Unit = {
+      retainHistory: Boolean = false): Unit = maintenanceLock.synchronized {
     val tierPathS = path(tier.name)
     val staging = new HPath(tierPathS, "._restaging")
     rmTree(staging.toString)
@@ -764,12 +789,16 @@ final class TierStore(spark: SparkSession, root: String) {
       published.foreach { case (part, v) => TierLayout.vacuum(fs, part, v) }
       retired.foreach { case (part, v) =>
         TierLayout.vacuum(fs, part, v)
-        rmTree(part.toString) // logically empty: remove dir + its manifests
+        // logically empty: drop our metadata, then the dir only-if-empty
+        // (a concurrent append landing here must survive — see
+        // removeIfEmpty)
+        val snapDir = TierLayout.versionDir(part, v)
+        if (fs.exists(snapDir)) fs.delete(snapDir, true)
+        fs.listStatus(part).filter(_.getPath.getName.startsWith("_commit_"))
+          .foreach(e => fs.delete(e.getPath, false))
+        removeIfEmpty(part)
       }
-      // prune measurement dirs the retirement emptied
-      subDirs(tierPathS)
-        .filter(m => m.getName.startsWith("measurement=") && subDirs(m.toString).isEmpty)
-        .foreach(m => rmTree(m.toString))
+      pruneEmptyMeasurementDirs(tierPathS)
     }
     rmTree(staging.toString)
   }

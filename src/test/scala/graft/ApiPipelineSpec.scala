@@ -153,6 +153,28 @@ class ApiPipelineSpec extends SparkSpec {
       Api.dispatch(ctx, "cmd.tsdb.delete_data_points",
         Api.GetDataPointsRequest())
     }
+    // half-given or relative time bounds are refused, not silently
+    // widened to full history
+    intercept[IllegalArgumentException] {
+      Api.dispatch(ctx, "cmd.tsdb.delete_data_points",
+        Api.GetDataPointsRequest(measurementName = "app_click",
+          fromTime = "2024-01-01T00:00:00Z"))
+    }
+    intercept[IllegalArgumentException] {
+      Api.dispatch(ctx, "cmd.tsdb.delete_data_points",
+        Api.GetDataPointsRequest(measurementName = "app_click",
+          relativeTime = "2h"))
+    }
+    // a time-bounded erasure corrects RAW tiers only (rollup rows are
+    // bucket-start-stamped aggregates — rebuilt via maintain, not
+    // row-deleted): the response must not list rollup tiers
+    val bounded = Api.dispatch(ctx, "cmd.tsdb.delete_data_points",
+      Api.GetDataPointsRequest(measurementName = "app_click",
+        fromTime = "2024-01-01T00:00:00Z", toTime = "2024-01-02T00:00:00Z"))
+      .select("tier").collect().map(_.getString(0)).toSet
+    assert(!bounded.exists(Set("gen_day", "gen_week", "gen_month", "gen_year")),
+      bounded.mkString(","))
+    assert(bounded.contains("gen_default"))
   }
 
   test("shapeResponse bounds the driver collect and pages via the next marker") {
