@@ -63,7 +63,22 @@ object Bench {
     val calibStart = calibrate()
     val loadStart = loadAvg()
 
-    val results = (SparkEntry.queries ++ SparkEntry.benchOnly).map { case (name, fn) =>
+    // Streaming trigger decomposition (VERDICT r8 ask #1): the bench runs
+    // queries sequentially, so everything the listener collects between
+    // two drains belongs to the query in between. Summaries land in the
+    // stdout JSON (`stream_diag`, a9 only — budget) and BENCH_LAST.json
+    // (all streaming queries), so the driver bench itself carries the
+    // trigger-idle vs work breakdown the calibration probe cannot see.
+    val streamDiag = new StreamDiag(spark)
+    val diags = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Long]]
+
+    // Local-iteration knob: SPARK_GRAFT_ONLY=a9_streaming_hop,a1_stream_agg
+    // restricts the sweep (the driver never sets it — full sweep).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val results = (SparkEntry.queries ++ SparkEntry.benchOnly)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => }
@@ -75,10 +90,13 @@ object Bench {
         t
       }
       once() // warm-up, untimed
+      streamDiag.reset() // diag covers the timed runs only
       val runs = Seq.fill(Runs)(once()).sorted
+      streamDiag.drain(Runs).foreach(d => diags(name) = d)
       // settle between queries: drain reference-tracked cleanup (shuffle/
       // broadcast weak refs) now, in the gap, instead of inside the next
       // query's timed window
+      org.apache.spark.sql.graft.StateStoreHygiene.unloadAll()
       System.gc()
       name -> (runs(Runs / 2), runs.last - runs.head)
     }
@@ -107,9 +125,16 @@ object Bench {
     val total = results.values.map(_._1).sum
     val slowestFirst = results.toSeq.sortBy { case (k, (m, _)) => (-m, k) }
       .map { case (k, (m, _)) => "\"" + k + "\":" + jnum("%.3f", m) }
+    def diagJson(m: Map[String, Long]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // a9_streaming_hop's breakdown rides the stdout line (the query two
+    // driver rounds flagged); the full map is in BENCH_LAST.json.
+    val a9Diag = diags.get("a9_streaming_hop")
+      .map(d => s""""stream_diag":{"a9_streaming_hop":${diagJson(d)}},""")
+      .getOrElse("")
     val budget = 1700
     val head =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$Runs,$calibJson,"queries":{"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$Runs,$calibJson,$a9Diag"queries":{"""
     val tail = s"""},"omitted_fast":OMIT,"sf":"$sfDir"}"""
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = head.length + tail.length + 4
@@ -119,10 +144,12 @@ object Bench {
     println(head + kept.mkString(",") +
       tail.replace("OMIT", (results.size - kept.size).toString))
     // Full-precision copy on disk for post-hoc analysis (adds spread).
+    val allDiags = diags.map { case (k, d) => "\"" + k + "\":" + diagJson(d) }
+      .mkString("{", ",", "}")
     val full =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$Runs,$calibJson,""" +
         s""""queries":${jmap("%.3f")(_._2._1)},"spread":${jmap("%.3f")(_._2._2)},""" +
-        s""""sf":"$sfDir"}"""
+        s""""stream_diag":$allDiags,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => }
