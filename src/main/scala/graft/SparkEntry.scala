@@ -1197,6 +1197,63 @@ object SparkEntry {
       graft.functions.Profile.topKeys(
         events(s, dir), col("user_id"), k = 10)),
 
+    "prof_streaming_psi" -> ((s, dir) => {
+      // the streaming drift monitor end-to-end (VERDICT r8 ask #2):
+      // a REAL file-source micro-batch run of Profile.streamingHistogram
+      // (watermark-bounded per-window bucket counts, append mode — a
+      // window's counts emit exactly once when the final watermark
+      // [max event time − 2 h] seals it), then finalizePsi folds the
+      // sealed windows against the batch reference histogram of the
+      // full corpus. The oracle recomputes the sealed 6 h windows, the
+      // integer-edge buckets and the quantized-before-sum PSI terms
+      // with the same cutoff — pinning watermark sealing, bucket rule
+      // and term arithmetic in one hash
+      val work = java.nio.file.Files.createTempDirectory("graft_psis")
+        .toFile.getAbsolutePath
+      val pts = events(s, dir).select(col("ts").as("time"),
+        round(col("value") * 100).cast("long").cast("double").as("cents"))
+      pts.write.parquet(s"$work/in")
+      val sealedQ = graft.functions.Profile.streamingHistogram(
+        s.readStream.schema(pts.schema).parquet(s"$work/in"),
+        "time", col("cents"), lo = 0.0, hi = 50000.0, nBuckets = 20,
+        windowDur = "6 hours", watermarkDelay = "2 hours")
+      val q = sealedQ.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$work/ckpt")
+        .format("parquet").option("path", s"$work/out").start()
+      q.processAllAvailable(); q.stop()
+      val ref = graft.functions.Profile.histogram(
+        pts, col("cents"), lo = 0.0, hi = 50000.0, nBuckets = 20)
+      graft.functions.Profile.finalizePsi(s.read.parquet(s"$work/out"), ref)
+        .select(unix_timestamp(col("window_start")).as("window_start"),
+          col("psi_q4"))
+    }),
+
+    "prof_streaming_topk" -> ((s, dir) => {
+      // the streaming hot-key monitor end-to-end (VERDICT r8 ask #2):
+      // Profile.streamingKeyCounts through a real file-source run (one
+      // watermark-bounded aggregation; sealed 6 h windows emit once),
+      // then finalizeTopKeys ranks each sealed window's keys with the
+      // deterministic (n desc, key asc) tie-break. The oracle
+      // recomputes windows, counts and row_number ranks from the raw
+      // events under the same watermark cutoff
+      val work = java.nio.file.Files.createTempDirectory("graft_topks")
+        .toFile.getAbsolutePath
+      val pts = events(s, dir).select(col("ts").as("time"), col("user_id"))
+      pts.write.parquet(s"$work/in")
+      val sealedQ = graft.functions.Profile.streamingKeyCounts(
+        s.readStream.schema(pts.schema).parquet(s"$work/in"),
+        "time", col("user_id"), windowDur = "6 hours",
+        watermarkDelay = "2 hours")
+      val q = sealedQ.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$work/ckpt")
+        .format("parquet").option("path", s"$work/out").start()
+      q.processAllAvailable(); q.stop()
+      graft.functions.Profile.finalizeTopKeys(
+          s.read.parquet(s"$work/out"), k = 5)
+        .select(unix_timestamp(col("window_start")).as("window_start"),
+          col("rank").cast("long").as("rank"), col("key"), col("n"))
+    }),
+
     "s9_delete_where" -> ((s, dir) => {
       // erasure round trip: route the stream into the store, erase one
       // device everywhere (partition-scoped rewrite + snapshot publish),
@@ -3220,6 +3277,56 @@ object SparkEntry {
     "prof_top_devices" ->
       """SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY n DESC, key LIMIT 10""".stripMargin,
+
+    // sealed 6 h windows (window end <= max event time − 2 h; whole-
+    // second window ends vs sub-second event times make the floored-
+    // seconds cutoff exact), the same integer-edge cents buckets
+    // (edges i·2500 exact in micro-units), and the same
+    // quantize-before-sum PSI term arithmetic as the engine
+    "prof_streaming_psi" ->
+      """WITH pts AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |wm AS (SELECT max(tsec) - 7200 AS w FROM pts),
+        |cur AS (SELECT CAST(floor(tsec / 21600) * 21600 AS BIGINT) AS ws,
+        |    CASE WHEN c < 0 THEN -1 WHEN c >= 50000 THEN 20
+        |         ELSE c // 2500 END AS bucket,
+        |    count(*) AS n_cur
+        |  FROM pts CROSS JOIN wm
+        |  WHERE floor(tsec / 21600) * 21600 + 21600 <= w GROUP BY 1, 2),
+        |ref AS (SELECT CASE WHEN c < 0 THEN -1 WHEN c >= 50000 THEN 20
+        |         ELSE c // 2500 END AS bucket, count(*) AS n_ref
+        |  FROM pts GROUP BY 1),
+        |grid AS (SELECT ws, bucket, n_ref
+        |  FROM (SELECT DISTINCT ws FROM cur) CROSS JOIN ref),
+        |j AS (SELECT coalesce(g.ws, c.ws) AS ws,
+        |    coalesce(g.bucket, c.bucket) AS bucket,
+        |    coalesce(g.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur
+        |  FROM grid g FULL OUTER JOIN cur c
+        |    ON g.ws = c.ws AND g.bucket = c.bucket),
+        |t AS (SELECT ws, sum(n_ref) AS tr, sum(n_cur) AS tc FROM j GROUP BY ws)
+        |SELECT j.ws AS window_start,
+        |  CAST(sum(CAST(floor((greatest(CAST(n_cur AS DOUBLE) / tc, 1e-6)
+        |        - greatest(CAST(n_ref AS DOUBLE) / tr, 1e-6))
+        |      * ln(greatest(CAST(n_cur AS DOUBLE) / tc, 1e-6)
+        |        / greatest(CAST(n_ref AS DOUBLE) / tr, 1e-6))
+        |      * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS psi_q4
+        |FROM j JOIN t ON j.ws = t.ws GROUP BY 1""".stripMargin,
+
+    // same sealed windows; row_number with the engine's (n desc, key
+    // asc) tie-break makes each window's top-5 cut engine-independent
+    "prof_streaming_topk" ->
+      """WITH pts AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+        |    CAST(user_id AS VARCHAR) AS key FROM events),
+        |wm AS (SELECT max(tsec) - 7200 AS w FROM pts),
+        |cnt AS (SELECT CAST(floor(tsec / 21600) * 21600 AS BIGINT) AS ws,
+        |    key, count(*) AS n
+        |  FROM pts CROSS JOIN wm
+        |  WHERE floor(tsec / 21600) * 21600 + 21600 <= w GROUP BY 1, 2),
+        |r AS (SELECT ws, key, n,
+        |    row_number() OVER (PARTITION BY ws ORDER BY n DESC, key) AS rank
+        |  FROM cnt)
+        |SELECT ws AS window_start, rank, key, n FROM r
+        |WHERE rank <= 5""".stripMargin,
 
     // the complement filter: a hash match proves the erasure removed the
     // device's rows everywhere and touched nothing else

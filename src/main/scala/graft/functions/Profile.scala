@@ -134,13 +134,24 @@ object Profile {
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
     val totals = joined.agg(sum("n_ref").as("_tr"), sum("n_cur").as("_tc"))
-    val pRef = greatest(col("n_ref").cast("double") / col("_tr"), lit(minP))
-    val pCur = greatest(col("n_cur").cast("double") / col("_tc"), lit(minP))
+    val pRef = pNorm(col("n_ref"), col("_tr"), minP)
+    val pCur = pNorm(col("n_cur"), col("_tc"), minP)
     joined.crossJoin(broadcast(totals))
       .select(col("bucket"), col("n_ref"), col("n_cur"),
         floor((pCur - pRef) * log(pCur / pRef) * lit(1e4) + lit(0.5))
           .cast("long").as("term_q4"))
   }
+
+  /** Floored probability `max(n/total, minP)` with an explicit failure
+   *  when a histogram side is EMPTY (total 0): 0/0 is NaN, and NaN sorts
+   *  above minP in `greatest`, so without the guard an empty reference
+   *  silently turned every PSI term into garbage instead of erroring. */
+  private def pNorm(n: org.apache.spark.sql.Column,
+      total: org.apache.spark.sql.Column, minP: Double) =
+    when(total > 0, greatest(n.cast("double") / total, lit(minP)))
+      .otherwise(raise_error(
+        lit("PSI: histogram side has zero total rows — cannot normalize"))
+        .cast("double"))
 
   /** The PSI scalar: Σ term_q4 over a [[psiDrift]] report, still in
    *  integer 1e-4 nats (one row: `psi_q4`). */
@@ -259,8 +270,8 @@ object Profile {
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
     val totals = j.groupBy("window_start")
       .agg(sum("n_ref").as("_tr"), sum("n_cur").as("_tc"))
-    val pRef = greatest(col("n_ref").cast("double") / col("_tr"), lit(minP))
-    val pCur = greatest(col("n_cur").cast("double") / col("_tc"), lit(minP))
+    val pRef = pNorm(col("n_ref"), col("_tr"), minP)
+    val pCur = pNorm(col("n_cur"), col("_tc"), minP)
     j.join(totals, Seq("window_start"))
       .select(col("window_start"),
         floor((pCur - pRef) * log(pCur / pRef) * lit(1e4) + lit(0.5))
