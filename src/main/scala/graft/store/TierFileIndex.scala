@@ -106,10 +106,15 @@ object TierLayout {
    *  readers fall back to the previous version. */
   def readManifest(fs: FileSystem, part: HPath, v: Long): Option[Set[String]] = {
     val p = commitFile(part, v)
+    // ONLY a missing marker means "not a commit yet" (vacuumed, or not
+    // yet visible). Any other IOException is a transient storage fault
+    // (throttling, network) on a marker that may well be valid — falling
+    // back would silently serve an older version, or raw files a vacuum
+    // already deleted, as if they were current. Fail the read loudly.
     val text = try {
       val in = fs.open(p)
       try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    } catch { case _: java.io.IOException => return None }
+    } catch { case _: java.io.FileNotFoundException => return None }
     if (!text.endsWith("ok\n")) None
     else Some(text.linesIterator.collect {
       case l if l.startsWith("folded:") => l.stripPrefix("folded:")
@@ -148,10 +153,18 @@ object TierLayout {
       asOf: Option[Long] = None): Seq[FileStatus] = {
     // the exactly-once gate: a batch-tagged append is data only once its
     // ledger marker landed; an uncommitted batch's files are invisible
-    // (and therefore never folded or vacuumed by maintenance either)
+    // (and therefore never folded or vacuumed by maintenance either).
+    // As-of admission is split by provenance: a LEDGERED file resolves
+    // through the ledger alone (the caller passes an as-of-aware
+    // `batchCommitted` — see BatchLedger.read), because its own mtime is
+    // refreshable by any rename-by-copy carry-forward/restage and the
+    // ledger marker is the commit record; only a PLAIN unledgered write,
+    // which has no other record of when it landed, falls back to mtime.
     def admitted(f: FileStatus): Boolean = isDataFile(f) &&
-      batchIdOf(f.getPath.getName).forall { case (w, id) => batchCommitted(w, id) } &&
-      asOf.forall(f.getModificationTime <= _)
+      (batchIdOf(f.getPath.getName) match {
+        case Some((w, id)) => batchCommitted(w, id)
+        case None => asOf.forall(f.getModificationTime <= _)
+      })
     // candidate versions newest-first; the first with a COMPLETE
     // manifest wins (an unterminated marker — mid-copy on a
     // rename-by-copy store — is not a commit yet, fall back)
@@ -266,20 +279,55 @@ object BatchLedger {
   }.distinct
 
   /** Load the ledger: (writer → explicit committed ids, writer → low
-   *  watermark). Missing dir = empty ledger (everything plain). */
-  def read(fs: FileSystem, storeRoot: HPath): (String, Long) => Boolean = {
+   *  watermark). Missing dir = empty ledger (everything plain).
+   *
+   *  With `asOfMillis` set, the predicate answers "was this batch
+   *  committed BY that instant" — from the ledger's own file times, so
+   *  the answer is immune to data-file mtime refreshes (a rename-by-copy
+   *  carry-forward/restage re-dates data files; it never touches the
+   *  ledger). Soundness rests on per-writer COMMIT-ORDER MONOTONICITY:
+   *  batch ids of one writer commit in increasing order (the streaming
+   *  path — the only producer of batch-tagged files — runs foreachBatch
+   *  sequentially), so the ids committed by time T form a prefix of the
+   *  committed-id sequence, and "currently committed AND id ≤ the
+   *  largest ledger entry (marker or watermark) dated ≤ T" is exact.
+   *  [[TierStore.vacuumBatchMarkers]] folding markers into a NEWER
+   *  watermark narrows what old pins can attest (the fold is the
+   *  ledger's vacuum) — run it with the same pin discipline as
+   *  [[TierStore.vacuumTier]] when as-of reproducibility matters. */
+  def read(fs: FileSystem, storeRoot: HPath,
+      asOfMillis: Option[Long] = None): (String, Long) => Boolean = {
     val d = dir(storeRoot)
     if (!fs.exists(d)) return (_, _) => false
-    val names = fs.listStatus(d).toSeq.map(_.getPath.getName)
+    val entries = fs.listStatus(d).toSeq
     val ids = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
     val low = scala.collection.mutable.Map.empty[String, Long]
-    names.foreach {
+    entries.map(_.getPath.getName).foreach {
       case Low(w, n) => n.toLongOption.foreach(v => low(w) = math.max(low.getOrElse(w, -1L), v))
       case Marker(w, id) => id.toLongOption.foreach(ids.getOrElseUpdate(w,
         scala.collection.mutable.Set.empty) += _)
       case _ => ()
     }
-    (w, id) => id <= low.getOrElse(w, -1L) || ids.get(w).exists(_.contains(id))
+    val committedNow: (String, Long) => Boolean =
+      (w, id) => id <= low.getOrElse(w, -1L) || ids.get(w).exists(_.contains(id))
+    asOfMillis match {
+      case None => committedNow
+      case Some(t) =>
+        // largest ledger entry (marker or watermark id) per writer whose
+        // ledger FILE was last modified by the pin
+        val attested = scala.collection.mutable.Map.empty[String, Long]
+        entries.filter(_.getModificationTime <= t).foreach { e =>
+          val upTo = e.getPath.getName match {
+            case Low(w, n) => n.toLongOption.map((w, _))
+            case Marker(w, id) => id.toLongOption.map((w, _))
+            case _ => None
+          }
+          upTo.foreach { case (w, id) =>
+            attested(w) = math.max(attested.getOrElse(w, -1L), id)
+          }
+        }
+        (w, id) => committedNow(w, id) && id <= attested.getOrElse(w, -1L)
+    }
   }
 }
 
@@ -316,7 +364,9 @@ final class TierFileIndex(spark: SparkSession, tierRoot: HPath,
   private def list(): Seq[(String, Int, HPath, Seq[FileStatus])] = {
     if (!fs.exists(tierRoot)) return Nil
     // one ledger listing pins this index's batch visibility at plan time
-    val committed = BatchLedger.read(fs, tierRoot.getParent)
+    // (as-of pins resolve ledgered files by ledger commit time, not by
+    // refreshable data-file mtime — see BatchLedger.read)
+    val committed = BatchLedger.read(fs, tierRoot.getParent, asOfMillis)
     for {
       mDir <- fs.listStatus(tierRoot).toSeq
       if mDir.isDirectory && mDir.getPath.getName.startsWith("measurement=")

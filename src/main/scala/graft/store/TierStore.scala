@@ -374,13 +374,27 @@ final class TierStore(spark: SparkSession, root: String) {
    * old snapshots (the standard commit/vacuum separation — vacuuming
    * bounds how far back reads can travel).
    *
-   * Boundary precision: raw appends resolve by file MODIFICATION time,
-   * which predates listability. For ledgered streaming appends the gap
-   * is the seconds-wide batch-commit window; for a plain batch
-   * [[write]] in flight at the pin, it is the write job's duration —
-   * two reads of the same pin taken before and after that job's commit
-   * can differ. Pin timestamps between ingest jobs (or use the
+   * Boundary precision: LEDGERED streaming appends resolve through the
+   * batch ledger's own commit times (marker/watermark file mtimes, which
+   * no data-file rewrite ever refreshes — see [[BatchLedger.read]]), so
+   * their as-of boundary is the batch-commit instant and survives
+   * rename-by-copy carry-forwards that re-date the data files
+   * themselves. A PLAIN batch [[write]] has no other record of when it
+   * landed and still resolves by data-file modification time: a write
+   * job in flight at the pin is split at its file-creation times, and
+   * later maintenance that re-stages such files by copy can move them
+   * past a pin. Pin timestamps between ingest jobs (or use the
    * exactly-once streaming path) when the boundary must be exact.
+   *
+   * Clock assumption: the pin is compared against STORAGE-reported
+   * times (ledger-file and data-file mtimes), so a pin taken from the
+   * driver's `System.currentTimeMillis` is exact only with driver ↔
+   * storage clock sync (NTP-level skew is well inside the seconds-wide
+   * batch-commit window; HDFS NameNode or object-store timestamps can
+   * drift further). Where the boundary must be skew-proof, derive the
+   * pin from the store itself — pin at "max mtime currently observed"
+   * rather than the driver wall clock — or pin between ingest jobs
+   * where no file lands inside the skew window.
    */
   def readAsOf(tier: Tier, asOfMillis: Long): DataFrame =
     indexedRead(new TierFileIndex(spark, new HPath(path(tier.name)),
