@@ -38,6 +38,35 @@ object Api {
   final case class WritePoint(name: String, tags: Map[String, String],
       fields: Map[String, Double], ts: java.sql.Timestamp)
 
+  /** cmd.tsdb.compact DTO — ops parity for the round-8 layout surface
+   *  (EXTENSION; the reference delegates compaction to InfluxDB's
+   *  storage engine, influxdb_v1.go:271-413). Empty `tier` = every
+   *  retention tier. `clusterBy`/`zorder` select the device-clustered /
+   *  Z-order layouts ([[TierStore.compact]] documents when each wins);
+   *  `retainHistory` keeps superseded snapshots for [[TierStore.readAsOf]]
+   *  pins until an explicit cmd.tsdb.vacuum. */
+  final case class CompactRequest(procId: Int = 1, tier: String = "",
+      targetFileBytes: Long = 128L * 1024 * 1024, minFiles: Int = 4,
+      clusterBy: Seq[String] = Nil, zorder: Boolean = false,
+      retainHistory: Boolean = false)
+
+  /** cmd.tsdb.vacuum DTO (EXTENSION): reclaim history kept by
+   *  retainHistory maintenance — after it, as-of reads can no longer
+   *  travel behind the surviving snapshots. `foldBatchMarkers` also
+   *  compacts the streaming batch ledger (same pin discipline: folding
+   *  narrows what old pins can attest — [[graft.store.BatchLedger.read]]). */
+  final case class VacuumRequest(procId: Int = 1, tier: String = "",
+      foldBatchMarkers: Boolean = true)
+
+  /** cmd.tsdb.run_maintenance DTO (EXTENSION): the periodic maintenance
+   *  trigger the reference gets from InfluxDB continuous queries + its
+   *  own retention ticker (influxdb_v1.go:72-78,300-331) — incremental
+   *  rollup rebuild, retention expiry, compaction. `retainHistory`
+   *  defers every history-destroying step so readAsOf pins survive the
+   *  pass (reclaim later with cmd.tsdb.vacuum). */
+  final case class MaintenanceRequest(procId: Int = 1, sinceDays: Int = 3,
+      retainHistory: Boolean = false)
+
   /** The asOfMs-aware tier resolver shared by the query commands:
    *  > 0 pins the read to that snapshot ([[TierStore.readAsOf]]). */
   private def pinnedRead(c: Context, asOfMs: Long): Tier => DataFrame =
@@ -271,8 +300,48 @@ object Api {
       val targets = c.store.retentionPolicies
         .filter(t => !bounded || !rollups(t.name))
       import ctx.spark.implicits._
-      targets.map(t => (t.name, c.store.deleteWhere(t, pred).toLong))
+      // the erasure surface itself guarantees the rows are GONE, not
+      // merely absent from the current snapshot: rows surviving only in
+      // retainHistory snapshots (e.g. a rollup window maintain rebuilt
+      // without the device — the new version has no matches for
+      // deleteWhere to find) would stay readable via readAsOf, so each
+      // targeted tier is vacuumed in the same command
+      targets.map(t => (t.name, c.store.deleteWhere(t, pred).toLong,
+          c.store.vacuumTier(t).toLong))
+        .toDF("tier", "partitions_rewritten", "history_vacuumed")
+
+    case "cmd.tsdb.compact" =>
+      // EXTENSION: the round-8 layout/compaction surface, command-
+      // reachable so a deployment drives it without Scala (erasure
+      // command is the template). Refusals surface as thrown
+      // IllegalArgumentException → dispatchShaped's error envelope:
+      // zorder without clusterBy (TierStore.compact's require), unknown
+      // tier name (maintenanceTargets).
+      val req = payload.asInstanceOf[CompactRequest]
+      val c = procCtx(ctx, req.procId)
+      import ctx.spark.implicits._
+      maintenanceTargets(c, req.tier).map(t => (t.name,
+          c.store.compact(t, req.targetFileBytes, req.minFiles,
+            req.clusterBy, req.retainHistory, req.zorder).toLong))
         .toDF("tier", "partitions_rewritten")
+    case "cmd.tsdb.vacuum" =>
+      // EXTENSION: explicit history reclaim (the commit/vacuum
+      // separation's second half) — bounds how far back readAsOf travels
+      val req = payload.asInstanceOf[VacuumRequest]
+      val c = procCtx(ctx, req.procId)
+      if (req.foldBatchMarkers) c.store.vacuumBatchMarkers()
+      import ctx.spark.implicits._
+      maintenanceTargets(c, req.tier)
+        .map(t => (t.name, c.store.vacuumTier(t).toLong))
+        .toDF("tier", "partitions_vacuumed")
+    case "cmd.tsdb.run_maintenance" =>
+      // EXTENSION: the full periodic maintenance pass (rollup cascade
+      // rebuild + retention + compaction), with the retainHistory knob
+      val req = payload.asInstanceOf[MaintenanceRequest]
+      val c = procCtx(ctx, req.procId)
+      graft.rollup.Downsampler.maintain(c.store, c.now(),
+        sinceDays = req.sinceDays, retainHistory = req.retainHistory)
+      ctrlReport(ctx, "run_maintenance", "ok", "", req.procId)
 
     case "cmd.tsdb.query" => // S7 raw passthrough (admin.go:156-177)
       val (qCtx, sql) = payload match {
@@ -422,6 +491,13 @@ object Api {
       case None => throw new IllegalArgumentException(s"unknown process: $procId")
     }
   }
+
+  /** Tier set a maintenance command targets: one named tier, or every
+   *  retention policy of the process's store when unnamed. */
+  private def maintenanceTargets(c: Context, tier: String): Seq[Tier] =
+    if (tier.isEmpty) c.store.retentionPolicies
+    else Seq(c.store.tierByName(tier).getOrElse(
+      throw new IllegalArgumentException(s"unknown tier: $tier")))
 
   private def registryOf(ctx: Context): ProcessRegistry =
     ctx.registry.getOrElse(throw new IllegalStateException(

@@ -177,6 +177,91 @@ class ApiPipelineSpec extends SparkSpec {
     assert(bounded.contains("gen_default"))
   }
 
+  test("compact/vacuum commands: layout rewrite, retained-history pins " +
+    "and reclaim, and refusal semantics — all through the command API") {
+    val store = new TierStore(spark, tmpDir())
+    def pts(vs: (String, Double)*) = vs.map { case (d, v) =>
+      ("app_click", Timestamp.valueOf("2024-01-01 10:00:00"), v, d, "1", "sensor")
+    }.toDF("measurement", "time", "value", "dev_id", "location_id", "dev_type")
+    store.writeRouted(pts(("7", 100.0), ("7", 200.0)))
+    store.writeRouted(pts(("8", 300.0), ("8", 400.0)))
+    val ctx = Api.Context(spark, store)
+
+    // refusals surface, not silent no-ops
+    intercept[IllegalArgumentException] {
+      Api.dispatch(ctx, "cmd.tsdb.compact",
+        Api.CompactRequest(tier = "gen_default", zorder = true))
+    }
+    intercept[IllegalArgumentException] {
+      Api.dispatch(ctx, "cmd.tsdb.compact", Api.CompactRequest(tier = "nope"))
+    }
+
+    // pin the pre-compaction corpus, then drive a device-clustered
+    // retained-history compaction through the command
+    Thread.sleep(50); val pinned = System.currentTimeMillis(); Thread.sleep(50)
+    val res = Api.dispatch(ctx, "cmd.tsdb.compact",
+      Api.CompactRequest(tier = "gen_default", minFiles = 2,
+        clusterBy = Seq("dev_id"), retainHistory = true))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(res == Map("gen_default" -> 1L))
+    def vals(df: org.apache.spark.sql.DataFrame): Set[Double] =
+      df.select("value").as[Double].collect().toSet
+    assert(vals(store.read(Tier.GenDefault)) == Set(100.0, 200.0, 300.0, 400.0))
+    assert(vals(store.readAsOf(Tier.GenDefault, pinned)) ==
+      Set(100.0, 200.0, 300.0, 400.0)) // history retained: the pin holds
+
+    // vacuum through the command reclaims the history the pin rode on
+    val vac = Api.dispatch(ctx, "cmd.tsdb.vacuum",
+      Api.VacuumRequest(tier = "gen_default"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(vac("gen_default") >= 1L)
+    assert(vals(store.read(Tier.GenDefault)) == Set(100.0, 200.0, 300.0, 400.0))
+    assert(store.readAsOf(Tier.GenDefault, pinned).count() == 0L,
+      "vacuum must bound how far back as-of reads travel")
+    intercept[IllegalArgumentException] {
+      Api.dispatch(ctx, "cmd.tsdb.vacuum", Api.VacuumRequest(tier = "nope"))
+    }
+  }
+
+  test("run_maintenance command rebuilds the rollup cascade; erasure " +
+    "reclaims retained history so deleted rows are gone from old pins too") {
+    val store = new TierStore(spark, tmpDir())
+    def pts(vs: (String, Double)*) = vs.map { case (d, v) =>
+      ("sensor_click", Timestamp.valueOf("2024-01-01 10:00:00"), v, d, "1", "sensor")
+    }.toDF("measurement", "time", "value", "dev_id", "location_id", "dev_type")
+    store.writeRouted(pts(("7", 100.0), ("8", 300.0)))
+    val ctx = Api.Context(spark, store,
+      now = () => Instant.parse("2024-01-02T00:00:00Z"))
+
+    // maintenance trigger with the retainHistory knob (expiry + vacuum
+    // deferred): the cascade materializes rollups from the raw tier
+    val rep = Api.dispatch(ctx, "cmd.tsdb.run_maintenance",
+      Api.MaintenanceRequest(sinceDays = 5, retainHistory = true)).collect()
+    assert(rep.head.getAs[String]("status") == "ok")
+    assert(store.read(Tier.GenDay).count() > 0L, "cascade did not materialize")
+
+    // pin the corpus WITH device 7, then erase the device: the erasure
+    // command must reclaim the retained history in the same call — the
+    // pinned read cannot resurrect the erased rows
+    Thread.sleep(50); val pinned = System.currentTimeMillis(); Thread.sleep(50)
+    val res = Api.dispatch(ctx, "cmd.tsdb.delete_data_points",
+      Api.GetDataPointsRequest(measurementName = "sensor_click",
+        filters = graft.model.DataPointsFilter(devices = Seq("7"))))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(res("gen_raw")._1 >= 1L)
+    def devs(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select("dev_id").as[String].collect().toSet
+    assert(devs(store.read(Tier.GenRaw)) == Set("8"))
+    assert(devs(store.read(Tier.GenDay)) == Set("8"))
+    // the compliance property: the erased device is unreadable at ANY
+    // as-of — the command's vacuum dropped the retained snapshots, so a
+    // pre-erasure pin now resolves to nothing (the documented travel
+    // bound) rather than to history still carrying the device
+    assert(!devs(store.readAsOf(Tier.GenRaw, pinned)).contains("7"),
+      "erased rows still readable through a retained-history pin")
+    assert(!devs(store.readAsOf(Tier.GenDay, pinned)).contains("7"))
+  }
+
   test("shapeResponse bounds the driver collect and pages via the next marker") {
     import spark.implicits._
     val df = spark.range(50).select(
