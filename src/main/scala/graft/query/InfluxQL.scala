@@ -21,11 +21,12 @@ import org.apache.spark.sql.DataFrame
  * Supported grammar (keywords case-insensitive, identifiers optionally
  * double-quoted, strings single-quoted):
  *
- *   SELECT <sel> FROM ["rp".]"measurement"
+ *   SELECT <sel> FROM ["db".]["rp".]"measurement"
  *     [WHERE cond [AND cond]...]
  *     [GROUP BY time(<dur>)[, tag] | tag] [FILL(null|previous|none|linear|<n>)]
- *   sel  := field | fn(field) | transform(fn(field)) | percentile(field, n)
- *           [AS alias]
+ *   sel  := field | fn(field) | transform...(fn(field)) | percentile(field, n)
+ *           [AS alias]    — transforms chain, e.g. abs(difference(max(f)))
+ *                           (the dashboard energy query, influxdb_v1.go:229)
  *   cond := time >|>= now()-<dur> | time >=|> '<RFC3339>'
  *         | time <=|< '<RFC3339>' | tag = 'value'
  *   SHOW MEASUREMENTS | SHOW RETENTION POLICIES
@@ -69,8 +70,12 @@ object InfluxQL {
       s.matches("(?s).*\\bfrom\\s+\"[^\"]+\"\\s*\\.\\s*\"[^\"]+\".*")
   }
 
+  // FROM accepts 1-3 dotted parts: measurement | rp.measurement |
+  // db.rp.measurement (the dashboard form, influxdb_v1.go:229-233 —
+  // the db name is the store itself here and is ignored)
   private val SelectRe = (
     "(?is)^SELECT\\s+(.+?)\\s+FROM\\s+(\"[^\"]+\"|[\\w\\-]+)" +
+      "(?:\\s*\\.\\s*(\"[^\"]+\"|[\\w\\-]+))?" +
       "(?:\\s*\\.\\s*(\"[^\"]+\"|[\\w\\-]+))?" +
       "(?:\\s+WHERE\\s+(.+?))?" +
       "(?:\\s+GROUP\\s+BY\\s+(.+?))?" +
@@ -92,15 +97,17 @@ object InfluxQL {
     val m = SelectRe.findFirstMatchIn(q).getOrElse(
       throw new IllegalArgumentException(s"unsupported InfluxQL statement: $raw"))
     val (fieldName, dataFunction, transformFunction) = parseSelectList(m.group(1))
-    val (rp, measurement) = Option(m.group(3)) match {
-      case Some(meas) => (Some(unquote(m.group(2))), unquote(meas))
-      case None => (None, unquote(m.group(2)))
-    }
+    // 1-3 FROM parts: [db.][rp.]measurement — measurement is the last,
+    // the rp the one before it, a third (db) is ignored
+    val fromParts = Seq(m.group(2), m.group(3), m.group(4))
+      .filter(_ != null).map(unquote)
+    val measurement = fromParts.last
+    val rp = if (fromParts.length >= 2) Some(fromParts(fromParts.length - 2)) else None
     val (relativeTime, fromTime, toTime, filters) =
-      Option(m.group(4)).map(parseWhere).getOrElse(("", "", "", DataPointsFilter()))
+      Option(m.group(5)).map(parseWhere).getOrElse(("", "", "", DataPointsFilter()))
     val (groupByTime, groupByTag) =
-      Option(m.group(5)).map(parseGroupBy).getOrElse(("", ""))
-    val fillType = Option(m.group(6)).map(_.toLowerCase).getOrElse("")
+      Option(m.group(6)).map(parseGroupBy).getOrElse(("", ""))
+    val fillType = Option(m.group(7)).map(_.toLowerCase).getOrElse("")
     Select(DataPointsRequest(
       measurement = measurement,
       fieldName = if (fieldName == "value") "" else fieldName,
@@ -112,16 +119,26 @@ object InfluxQL {
 
   private def parseSelectList(sel: String): (String, String, String) = {
     val s = sel.trim.replaceAll("(?is)\\s+AS\\s+(\"[^\"]+\"|\\w+)\\s*$", "").trim
-    val nested = "(?is)^(\\w+)\\s*\\(\\s*(\\w+)\\s*\\(\\s*\"?([\\w.\\-]+)\"?\\s*\\)\\s*\\)$".r
     val pct = "(?is)^percentile\\s*\\(\\s*\"?([\\w.\\-]+)\"?\\s*,\\s*(\\d+(?:\\.\\d+)?)\\s*\\)$".r
     val simple = "(?is)^(\\w+)\\s*\\(\\s*\"?([\\w.\\-]+)\"?\\s*\\)$".r
     val bare = "^\"?([\\w.\\-]+)\"?$".r
-    s match {
-      case nested(tf, fn, field) if TransformFns(tf.toLowerCase) && AggFns(fn.toLowerCase) =>
-        (field, fn.toLowerCase, tf.toLowerCase)
-      case pct(field, n) => (field, s"percentile_$n", "")
-      case simple(fn, field) if AggFns(fn.toLowerCase) => (field, fn.toLowerCase, "")
-      case bare(field) => (field, "", "")
+    // peel transform wraps outside-in: abs(difference(max("value"))) —
+    // the dashboard energy query, influxdb_v1.go:229 — yields the chain
+    // in APPLICATION order (inner first): "difference,abs"
+    val wrap = "(?is)^(\\w+)\\s*\\((.*)\\)$".r
+    def peel(expr: String, chain: List[String]): (String, List[String]) =
+      expr.trim match {
+        case wrap(tf, inner) if TransformFns(tf.toLowerCase) =>
+          peel(inner, tf.toLowerCase :: chain)
+        case e => (e, chain)
+      }
+    val (core, chain) = peel(s, Nil)
+    val transform = chain.mkString(",")
+    core match {
+      case pct(field, n) if chain.isEmpty => (field, s"percentile_$n", "")
+      case simple(fn, field) if AggFns(fn.toLowerCase) =>
+        (field, fn.toLowerCase, transform)
+      case bare(field) => (field, "", transform) // transform over raw rows
       case other => throw new IllegalArgumentException(s"unsupported select list: $other")
     }
   }

@@ -175,11 +175,17 @@ object Planner {
   }
 
   /** Scalar transform-function wrap (influxdb_v1.go:184-186; `abs` in docs,
-   *  `difference` per the commented energy query influxdb_v1.go:229-231). */
+   *  `difference` per the commented energy query influxdb_v1.go:229-231).
+   *  A comma-chain applies inner-to-outer — "difference,abs" is the
+   *  dashboard's `abs(difference(agg(value)))` (influxdb_v1.go:229). */
   private def transformWrap(fn: String, df: DataFrame, partCols: Seq[String],
       bucketSec: Long): DataFrame =
+    fn.split(",").map(_.trim).filter(_.nonEmpty)
+      .foldLeft(df)((d, f) => transformOne(f, d, partCols, bucketSec))
+
+  private def transformOne(fn: String, df: DataFrame, partCols: Seq[String],
+      bucketSec: Long): DataFrame =
     fn match {
-      case "" => df
       case "abs" => df.withColumn("value", abs(col("value")))
       case "difference" if partCols.isEmpty => blockedDifference(df, bucketSec)
       case "difference" =>
@@ -188,7 +194,6 @@ object Planner {
       case other => throw new IllegalArgumentException(s"unsupported transform_function: $other")
     }
 
-  /** Compile the tag/device/location/type filters (influxdb_v1.go:145-156). */
   /** The reference's absolute time-range convention as ONE shared
    *  predicate — `fromSec <= time < toSec+1`, expressed natively on the
    *  timestamp column so parquet row-group skipping applies. Shared by
@@ -198,6 +203,7 @@ object Planner {
     col("time") >= timestamp_seconds(lit(fromSec)) &&
       col("time") < timestamp_seconds(lit(toSec + 1))
 
+  /** Compile the tag/device/location/type filters (influxdb_v1.go:145-156). */
   def filterColumn(f: DataPointsFilter): Column = {
     var c: Column = lit(true)
     f.tags.foreach { case (k, v) => c = c && (col(k) === v) }

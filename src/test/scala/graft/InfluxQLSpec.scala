@@ -64,6 +64,82 @@ class InfluxQLSpec extends SparkSpec {
     assert(InfluxQL.parse("show retention policies;") == InfluxQL.ShowRetentionPolicies)
   }
 
+  test("reference docs corpus: every documented query string parses " +
+    "shape-for-shape; unsupported shapes return the reference error " +
+    "envelope (docs/api:364-380), never a Scala exception") {
+    // the COMPLETE set of InfluxQL strings in the reference's docs + the
+    // server's own dashboard/CQ templates (docs/api:9,194,251,
+    // docs/queries:2, influxdb_v1.go:229-233,337) — table-driven so a
+    // grammar regression on any documented shape fails by name
+    val corpus: Seq[(String, String)] = Seq(
+      "docs/api:9" ->
+        """SELECT count("value") AS "count_value" FROM "gen_default"."sensor_presence.evt.presence.report" WHERE  topic='pt:j1/mt:evt/rt:dev/rn:zw/ad:1/sv:sensor_presence/ad:9_0' GROUP BY time(30m) FILL(null)""",
+      "docs/api:194" ->
+        """SELECT mean("value") AS "mean_value" FROM "gen_raw"."electricity_meter_power" WHERE time > now()-10m AND "dev_id"='100'""",
+      "docs/api:251" ->
+        """SELECT last(value) AS count_value FROM "gen_default"."sensor_presence.evt.presence.report" GROUP BY location_id  FILL(null)""",
+      "docs/queries:2" ->
+        """SELECT count("value") as "mean_value" FROM "default_20w"."zwave-ad.evt.state.report" WHERE time > now()-5h GROUP BY time(1m) fill(null)""",
+      // the dashboard energy queries (influxdb_v1.go:229-233) as Grafana
+      // sends them after :dashboardTime: substitution — db.rp.measurement
+      // FROM and a chained transform
+      "influxdb_v1.go:229" ->
+        """SELECT abs(difference(max("value"))) AS "value" FROM "historian"."gen_raw"."electricity_meter_energy" WHERE time > now()-1h GROUP BY time(1h), "dev_id" FILL(previous)""",
+      "influxdb_v1.go:233" ->
+        """SELECT sum("value") AS "value" FROM "historian"."gen_year"."electricity_meter_energy_sampled" WHERE time > now()-1d GROUP BY time(1h), "dev_id" FILL(null)""",
+      "influxdb_v1.go:377" -> "SHOW MEASUREMENTS",
+      "influxdb_v1.go:397" -> "SHOW RETENTION POLICIES")
+    corpus.foreach { case (src, q) =>
+      assert(InfluxQL.looksLike(q), s"$src not claimed as InfluxQL")
+      InfluxQL.parse(q) // must parse, not throw
+    }
+    // shape checks on the two newly-covered dashboard forms
+    val s229 = InfluxQL.parse(corpus(4)._2).asInstanceOf[InfluxQL.Select]
+    assert(s229.retentionPolicy.contains("gen_raw")) // db "historian" ignored
+    assert(s229.req.measurement == "electricity_meter_energy")
+    assert(s229.req.dataFunction == "max")
+    assert(s229.req.transformFunction == "difference,abs") // application order
+    assert(s229.req.groupByTime == "1h" && s229.req.groupByTag == "dev_id")
+    val s233 = InfluxQL.parse(corpus(5)._2).asInstanceOf[InfluxQL.Select]
+    assert(s233.retentionPolicy.contains("gen_year"))
+    assert(s233.req.dataFunction == "sum" && s233.req.groupByTag == "dev_id")
+
+    // unsupported shapes: the UNSUBSTITUTED grafana template (the
+    // :dashboardTime: placeholder never reaches a server) and the
+    // server-side CQ form — dispatchShaped answers with the reference's
+    // error envelope {"Results":null,"error":...}, not a Scala crash
+    val store = new TierStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_iqlc").toFile.getAbsolutePath)
+    val ctx = Api.Context(spark, store, now = () => now)
+    Seq(
+      """SELECT abs(difference(max("value"))) AS "value" FROM "historian"."gen_raw"."electricity_meter_energy" WHERE time > :dashboardTime: GROUP BY time(1h), "dev_id" FILL(null)""",
+      """SELECT mean(*) INTO "historian"."gen_day".:MEASUREMENT FROM "historian"."gen_raw"./.*/ GROUP BY time(1m),*""")
+      .foreach { q =>
+        val resp = Api.dispatchShaped(ctx, "cmd.tsdb.query", q)
+        assert(resp.startsWith("""{"Results":null,"error":"""), resp.take(120))
+      }
+  }
+
+  test("chained transform e2e: abs(difference(max)) applies inner-to-outer " +
+    "per series (the dashboard energy query)") {
+    // two devices, falling then rising counters: difference produces
+    // negative and positive deltas, abs folds them — per-device windows
+    val df = pts(
+      ("m", 1704153600L, 10.0, "1"), ("m", 1704157200L, 4.0, "1"),
+      ("m", 1704160800L, 9.0, "1"),
+      ("m", 1704153600L, 100.0, "2"), ("m", 1704157200L, 130.0, "2"))
+    val out = InfluxQL.dataPoints(
+      """SELECT abs(difference(max("value"))) FROM "m" WHERE time > now()-24h GROUP BY time(1h), "dev_id" FILL(none)""",
+      _ => df, _ => None, now)
+      .collect().map(r => (r.getAs[String]("dev_id"), r.getAs[Long]("time"),
+        Option(r.getAs[java.lang.Double]("value")).map(_.doubleValue)))
+      .toSet
+    assert(out == Set(
+      ("1", 1704153600L, None), ("1", 1704157200L, Some(6.0)),
+      ("1", 1704160800L, Some(5.0)),
+      ("2", 1704153600L, None), ("2", 1704157200L, Some(30.0))))
+  }
+
   test("looksLike separates InfluxQL from Spark SQL") {
     assert(InfluxQL.looksLike("""SELECT mean("value") FROM "gen_raw"."m" WHERE time > now()-10m"""))
     assert(InfluxQL.looksLike("""SELECT last(value) AS v FROM "gen_default"."m" GROUP BY location_id FILL(null)"""))
