@@ -35,8 +35,13 @@ import org.apache.spark.sql.functions._
  *     same order.
  *
  * Usage: runMain graft.StreamingSoak [sfDir] [workDir] [chunks]
- * Prints one JSON line per phase plus a `soak_summary` line; full
- * per-batch progress lands in <workDir>/soak_progress.jsonl.
+ *          [dedupChunks] [phases]
+ * `dedupChunks` sets phase 3's chunking alone (default 10 — ~5k docs
+ * per micro-batch at sf1; 2 gives the ~25k-doc production micro-batch
+ * the round-8 fixed-cost model priced). `phases` is a comma set
+ * (default all; `hop` needs `ingest`'s store). Prints one JSON line
+ * per phase plus a `soak_summary` line; full per-batch progress lands
+ * in <workDir>/soak_progress.jsonl.
  *
  * RUN UNDER SBT (or with build.sbt's full jdk17AddOpens list): state
  * memory is estimated with Spark's SizeEstimator, which silently
@@ -56,6 +61,9 @@ object StreamingSoak {
     val sfDir = args.headOption.getOrElse("tmp-sf1")
     val work = args.lift(1).getOrElse("tmp-soak")
     val chunks = args.lift(2).map(_.toInt).getOrElse(20)
+    val dedupChunks = args.lift(3).map(_.toInt).getOrElse(10)
+    val phases = args.lift(4).map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set("ingest", "agg", "dedup", "hop"))
     val spark = GraftSession.builder(shufflePartitions = 32)
       .master("local[32]").config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -100,7 +108,7 @@ object StreamingSoak {
     val report = scala.collection.mutable.ArrayBuffer.empty[String]
 
     // ---------------- phase 1: ingest pipeline ----------------
-    {
+    if (phases("ingest")) {
       phase = "ingest"
       val raw = SparkEntry.fimp(spark, sfDir)
       writeChunks(raw, "event_id", s"$work/in_events", chunks)
@@ -160,7 +168,7 @@ object StreamingSoak {
     }
 
     // ---------------- phase 2: stateful aggregation ----------------
-    {
+    if (phases("agg")) {
       phase = "agg"
       import spark.implicits._
       val pts = SparkEntry.soakPoints(spark, sfDir)
@@ -209,11 +217,11 @@ object StreamingSoak {
     }
 
     // ---------------- phase 3: indexed near-dup dedup ----------------
-    {
+    if (phases("dedup")) {
       phase = "dedup"
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), col("text"))
-      val nChunks = 10
+      val nChunks = dedupChunks
       writeChunks(docs, "doc_id", s"$work/in_docs", nChunks)
       val t0 = System.nanoTime()
       // compactEvery=4: the stream periodically folds its own index
@@ -251,11 +259,12 @@ object StreamingSoak {
       require(missing == 0 && extra == 0,
         s"dedup stream≠sequential-batch: $missing missing, $extra extra")
       report += phaseJson("dedup", wall, sSet,
-        s""","survivors":$sSet,"equal_to_sequential_batch":true""")
+        s""","survivors":$sSet,"chunks":$nChunks,""" +
+          s""""equal_to_sequential_batch":true""")
     }
 
     // ---------------- phase 4: continuous rollup hop ----------------
-    {
+    if (phases("hop")) {
       phase = "hop"
       // tails the gen_raw appends phase 1's streaming ingest produced —
       // the CQ-analog path (Downsampler.streamingHop) at sf1. The
