@@ -1254,6 +1254,94 @@ object SparkEntry {
           col("rank").cast("long").as("rank"), col("key"), col("n"))
     }),
 
+    "s9_backfill" -> ((s, dir) => {
+      // historical rollup repair (Downsampler.backfill): route the raw
+      // stream in, POISON the (empty) gen_day tier with garbage rows,
+      // then backfill the whole window from gen_raw — the explicit-
+      // window counterpart of maintain's recent-days increment. The
+      // read-back hash-equals the oracle's clean 1-min recompute from
+      // the original events, which proves the backfill both rebuilt
+      // every window date and replaced the poison (a survivor would
+      // break the hash)
+      val root = java.nio.file.Files.createTempDirectory("graft_s9b")
+        .toFile.getAbsolutePath
+      val store = new graft.store.TierStore(s, root)
+      val raw = points(s, dir, "sensor_")
+        .filter(col("measurement") === "sensor_click")
+      store.writeRouted(raw)
+      store.write(graft.model.Tier.GenDay, raw
+        .filter(to_date(col("time")) === "2024-01-10")
+        .select(col("measurement"), col("time"), lit(999.0).as("value"),
+          col("dev_id"), col("location_id"), col("dev_type"), col("dir")))
+      Downsampler.backfill(store, "2024-01-01", "2024-01-31")
+      store.read(graft.model.Tier.GenDay).select(
+        col("measurement"), col("dev_id"), col("dev_type"), col("dir"),
+        col("location_id"), unix_timestamp(col("time")).as("time"),
+        round(col("value"), 6).as("value"))
+    }),
+
+    "s9_rollup_verify" -> ((s, dir) => {
+      // the rollup consistency audit (Downsampler.verifyRollups): build
+      // a CORRECT gen_day via backfill, then plant both defect shapes —
+      // 10 extra never-downsampled keys on one date, a +1.0 value shift
+      // across another date's whole partition — and audit a 3-date
+      // window. The report must count exactly the planted defects and
+      // certify the clean date with all-zero mismatch columns; the
+      // oracle recomputes expected row counts per date from the events
+      val root = java.nio.file.Files.createTempDirectory("graft_s9v")
+        .toFile.getAbsolutePath
+      val store = new graft.store.TierStore(s, root)
+      val raw = points(s, dir, "sensor_")
+        .filter(col("measurement") === "sensor_click")
+      store.writeRouted(raw)
+      Downsampler.backfill(store, "2024-01-01", "2024-01-31")
+      // defect 1: extra keys on 2024-01-10 (devices that never existed)
+      store.write(graft.model.Tier.GenDay,
+        s.range(10).select(lit("sensor_click").as("measurement"),
+          // 1704844800 = 2024-01-10T00:00:00Z; one ghost key per minute
+          timestamp_seconds(lit(1704844800L) + col("id") * 60).as("time"),
+          lit(999.0).as("value"),
+          concat(lit("ghost_"), col("id")).as("dev_id"),
+          lit("0").as("location_id"), lit("sensor").as("dev_type"),
+          lit("import").as("dir")))
+      // defect 2: shift every value of 2024-01-11's partition by +1
+      val d2 = store.read(graft.model.Tier.GenRaw)
+        .filter(col("date") === "2024-01-11").drop("date")
+      store.replaceDatePartitions(graft.model.Tier.GenDay,
+        Downsampler.downsample(d2, 1)
+          .withColumn("value", col("value") + lit(1.0)),
+        Seq("2024-01-11"))
+      Downsampler.verifyRollups(store, "2024-01-10", "2024-01-12",
+        hops = Seq(graft.model.Tier.cascade.head))
+    }),
+
+    "s9_asof_diff" -> ((s, dir) => {
+      // corpus diff between two pins (TierStore.diffAsOf): batch A
+      // (import-direction clicks) lands and is pinned; then a retained-
+      // history maintenance rewrite REMOVES device 7 everywhere and
+      // batch B (export-direction clicks) is appended; the diff between
+      // the pins must be exactly {added: B, removed: A's device-7 rows}
+      // — the audit a training run uses to answer "what changed since
+      // my last corpus pin". Oracle recomputes both legs from events
+      val root = java.nio.file.Files.createTempDirectory("graft_s9d")
+        .toFile.getAbsolutePath
+      val store = new graft.store.TierStore(s, root)
+      val app = points(s, dir, "app_")
+        .filter(col("measurement") === "app_click")
+      val batchA = app.filter(col("dir") === "import")
+      store.writeRouted(batchA)
+      Thread.sleep(60); val t1 = System.currentTimeMillis(); Thread.sleep(60)
+      val dates = batchA.select(to_date(col("time")).cast("string"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      store.replaceDatePartitions(graft.model.Tier.GenDefault,
+        batchA.filter(col("dev_id") =!= "7"), dates, retainHistory = true)
+      store.writeRouted(app.filter(col("dir") === "export"))
+      Thread.sleep(60); val t2 = System.currentTimeMillis()
+      store.diffAsOf(graft.model.Tier.GenDefault, t1, t2).select(
+        col("change"), col("dev_id"), unix_timestamp(col("time")).as("time"),
+        round(col("value"), 6).as("value"))
+    }),
+
     "s9_delete_where" -> ((s, dir) => {
       // erasure round trip: route the stream into the store, erase one
       // device everywhere (partition-scoped rewrite + snapshot publish),
@@ -3327,6 +3415,51 @@ object SparkEntry {
         |  FROM cnt)
         |SELECT ws AS window_start, rank, key, n FROM r
         |WHERE rank <= 5""".stripMargin,
+
+    // backfill must rebuild every window date AND replace the planted
+    // poison — a hash match against the clean recompute proves both
+    "s9_backfill" ->
+      s"""WITH ${ptsCte("sensor_")},
+         |f AS (SELECT * FROM pts WHERE m = 'sensor_click'),
+         |agg AS (SELECT m, dev_id, dev_type, dir, loc,
+         |         CAST(floor(tsec / 60) * 60 AS BIGINT) b, avg(v) v
+         |       FROM f GROUP BY 1, 2, 3, 4, 5, 6)
+         |SELECT m AS measurement, dev_id, dev_type, dir,
+         |       loc AS location_id, b AS time, round(v, 6) AS value
+         |FROM agg""".stripMargin,
+
+    // the audit must count exactly the planted defects: 10 ghost keys on
+    // the 10th, a whole-partition value shift on the 11th, and an
+    // all-zero clean bill for the 12th; expected row counts per date are
+    // recomputed from the events (number of 1-min rollup groups)
+    "s9_rollup_verify" ->
+      s"""WITH ${ptsCte("sensor_")},
+         |f AS (SELECT * FROM pts WHERE m = 'sensor_click'),
+         |exp AS (SELECT CAST(CAST(make_timestamp(b * 1000000) AS DATE) AS VARCHAR) AS d,
+         |    count(*) AS n
+         |  FROM (SELECT DISTINCT dev_id, dev_type, dir, loc,
+         |      CAST(floor(tsec / 60) * 60 AS BIGINT) AS b FROM f)
+         |  GROUP BY 1)
+         |SELECT 'gen_day' AS tier, 'sensor_click' AS measurement, d AS date,
+         |  CAST(n AS BIGINT) AS n_expected,
+         |  CAST(n + CASE WHEN d = '2024-01-10' THEN 10 ELSE 0 END AS BIGINT) AS n_actual,
+         |  CAST(0 AS BIGINT) AS n_missing,
+         |  CAST(CASE WHEN d = '2024-01-10' THEN 10 ELSE 0 END AS BIGINT) AS n_extra,
+         |  CAST(CASE WHEN d = '2024-01-11' THEN n ELSE 0 END AS BIGINT) AS n_value_mismatch
+         |FROM exp WHERE d BETWEEN '2024-01-10' AND '2024-01-12'""".stripMargin,
+
+    // the diff between the pins is exactly {added: batch B, removed:
+    // device 7's batch-A rows} — anything else (a lost append, a
+    // resurrected erased row, a maintenance row leaking into the diff)
+    // breaks the hash
+    "s9_asof_diff" ->
+      s"""WITH ${ptsCte("app_")},
+         |f AS (SELECT * FROM pts WHERE m = 'app_click')
+         |SELECT 'added' AS change, dev_id, tsec AS time, round(v, 6) AS value
+         |FROM f WHERE dir = 'export'
+         |UNION ALL
+         |SELECT 'removed' AS change, dev_id, tsec AS time, round(v, 6) AS value
+         |FROM f WHERE dir = 'import' AND dev_id = '7'""".stripMargin,
 
     // the complement filter: a hash match proves the erasure removed the
     // device's rows everywhere and touched nothing else

@@ -58,6 +58,27 @@ object Api {
   final case class VacuumRequest(procId: Int = 1, tier: String = "",
       foldBatchMarkers: Boolean = true)
 
+  /** cmd.tsdb.backfill DTO (EXTENSION): rebuild the rollup cascade for
+   *  an explicit historical [fromDate, toDate] window (inclusive,
+   *  yyyy-MM-dd) — the repair the recent-window maintenance trigger
+   *  cannot reach ([[graft.rollup.Downsampler.backfill]]). */
+  final case class BackfillRequest(procId: Int = 1, fromDate: String,
+      toDate: String, retainHistory: Boolean = false)
+
+  /** cmd.tsdb.verify_rollup DTO (EXTENSION): the rollup consistency
+   *  audit over a date window — per (tier, measurement, date) row-level
+   *  expected/actual/missing/extra/value-mismatch counts
+   *  ([[graft.rollup.Downsampler.verifyRollups]]); repair findings with
+   *  cmd.tsdb.backfill. */
+  final case class VerifyRollupRequest(procId: Int = 1, fromDate: String,
+      toDate: String, tolerance: Double = 1e-6)
+
+  /** cmd.tsdb.diff_data_points DTO (EXTENSION): row-level corpus diff
+   *  between two as-of pins of one tier ([[TierStore.diffAsOf]]) —
+   *  requires the older pin's history to be retained. */
+  final case class DiffRequest(procId: Int = 1, tier: String,
+      fromAsOfMs: Long, toAsOfMs: Long)
+
   /** cmd.tsdb.run_maintenance DTO (EXTENSION): the periodic maintenance
    *  trigger the reference gets from InfluxDB continuous queries + its
    *  own retention ticker (influxdb_v1.go:72-78,300-331) — incremental
@@ -342,6 +363,30 @@ object Api {
       graft.rollup.Downsampler.maintain(c.store, c.now(),
         sinceDays = req.sinceDays, retainHistory = req.retainHistory)
       ctrlReport(ctx, "run_maintenance", "ok", "", req.procId)
+
+    case "cmd.tsdb.backfill" =>
+      // EXTENSION: windowed rollup repair (backfill corrects data; the
+      // periodic run_maintenance owns retention/compaction lifecycle)
+      val req = payload.asInstanceOf[BackfillRequest]
+      val c = procCtx(ctx, req.procId)
+      graft.rollup.Downsampler.backfill(c.store, req.fromDate, req.toDate,
+        retainHistory = req.retainHistory)
+      ctrlReport(ctx, "backfill", "ok", "", req.procId)
+    case "cmd.tsdb.verify_rollup" =>
+      // EXTENSION: the "can I trust my rollups" audit — all-zero
+      // mismatch columns = clean; anything else names the (tier,
+      // measurement, date) to backfill
+      val req = payload.asInstanceOf[VerifyRollupRequest]
+      val c = procCtx(ctx, req.procId)
+      graft.rollup.Downsampler.verifyRollups(c.store, req.fromDate,
+        req.toDate, tolerance = req.tolerance)
+    case "cmd.tsdb.diff_data_points" =>
+      // EXTENSION: what changed between two pinned corpus states
+      val req = payload.asInstanceOf[DiffRequest]
+      val c = procCtx(ctx, req.procId)
+      val t = c.store.tierByName(req.tier).getOrElse(
+        throw new IllegalArgumentException(s"unknown tier: ${req.tier}"))
+      c.store.diffAsOf(t, req.fromAsOfMs, req.toAsOfMs)
 
     case "cmd.tsdb.query" => // S7 raw passthrough (admin.go:156-177)
       val (qCtx, sql) = payload match {

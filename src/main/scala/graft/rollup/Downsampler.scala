@@ -105,6 +105,111 @@ object Downsampler {
   }
 
   /**
+   * HISTORICAL backfill: rebuild every rollup tier for an EXPLICIT
+   * `[fromDate, toDate]` date window (inclusive, `yyyy-MM-dd`) from the
+   * tier below — the repair [[maintain]]'s recent-`sinceDays` increment
+   * cannot reach (late-arriving raw replays, a corrected transform, a
+   * poisoned window). Same snapshot-publish machinery
+   * ([[graft.store.TierStore.replaceDatePartitions]]): readers flip
+   * old→new per partition, never partial; a window date whose source
+   * rows vanished retires its stale rollup partition via an empty
+   * snapshot. No retention expiry, no compaction — backfill corrects
+   * data, the periodic maintain owns lifecycle.
+   *
+   * Whole-date windows align with every cascade resolution (1 m, 10 m,
+   * 1 h, 1 d buckets all nest inside a date), so the recompute is
+   * bucket-exact at the window edges. Scale shape: per hop, ONE
+   * partition-pruned scan of the window (the `date` filter prunes at
+   * the index) and one shuffle on the rollup grouping — cost is the
+   * window's size, not the tier's history.
+   */
+  def backfill(store: graft.store.TierStore, fromDate: String, toDate: String,
+      tagCols: Seq[String] = defaultTagCols,
+      retainHistory: Boolean = false): Unit = {
+    val from = java.sql.Date.valueOf(fromDate)
+    val to = java.sql.Date.valueOf(toDate)
+    require(!from.after(to), s"backfill window is inverted: $fromDate > $toDate")
+    import org.apache.spark.sql.functions.col
+    Tier.cascade.foreach { case (f, t) =>
+      val res = TierPolicy.tierResolutionMinutes(t, Tier.ProfileOptimized)
+      def window(df: org.apache.spark.sql.DataFrame) =
+        df.filter(col("date") >= from && col("date") <= to)
+      val src = window(store.read(f))
+      // replace every window date present in SOURCE or TARGET: a date
+      // with fresh rows gets the recompute, a date whose source is gone
+      // retires its stale rollup (collect as strings — see maintain)
+      def dates(df: org.apache.spark.sql.DataFrame): Set[String] =
+        df.select(col("date").cast("string")).distinct()
+          .collect().map(_.getString(0)).toSet
+      val affected = dates(src) ++ dates(window(store.read(t)))
+      if (affected.nonEmpty)
+        store.replaceDatePartitions(t, downsample(src.drop("date"), res, tagCols),
+          affected.toSeq.sorted, retainHistory = retainHistory)
+    }
+  }
+
+  /**
+   * Rollup CONSISTENCY audit: for each cascade hop, recompute the
+   * `[fromDate, toDate]` window from the source tier and compare
+   * against what the target tier actually stores — the "can I trust my
+   * rollups" report that catches a missed maintain, a partial publish
+   * restored from backup, or writes that bypassed the router. Returns
+   * one row per (tier, measurement, date) with row-level counts:
+   *
+   *   n_expected / n_actual   — recomputed vs stored (window, series) rows
+   *   n_missing / n_extra     — keys on one side only
+   *   n_value_mismatch        — keys on both sides whose values differ
+   *                             beyond `tolerance` (summation-order ulps
+   *                             pass; real corruption does not)
+   *
+   * A clean window reports every mismatch column 0 — repair with
+   * [[backfill]]. Scale shape: per hop, two partition-pruned window
+   * scans and ONE shuffle on the rollup key (the recompute's own
+   * grouping); the comparison join is on already-aggregated rollup
+   * rows, orders of magnitude smaller than raw.
+   */
+  def verifyRollups(store: graft.store.TierStore, fromDate: String,
+      toDate: String, tagCols: Seq[String] = defaultTagCols,
+      tolerance: Double = 1e-6,
+      hops: Seq[(Tier, Tier)] = Tier.cascade): org.apache.spark.sql.DataFrame = {
+    val from = java.sql.Date.valueOf(fromDate)
+    val to = java.sql.Date.valueOf(toDate)
+    require(!from.after(to), s"verify window is inverted: $fromDate > $toDate")
+    import org.apache.spark.sql.functions._
+    val reports = hops.map { case (f, t) =>
+      val res = TierPolicy.tierResolutionMinutes(t, Tier.ProfileOptimized)
+      def window(df: org.apache.spark.sql.DataFrame) =
+        df.filter(col("date") >= from && col("date") <= to)
+      val src = window(store.read(f))
+      val present = tagCols.filter(src.columns.contains)
+      val keys = Seq("measurement") ++ present :+ "time"
+      // null-safe key equality: tag columns are nullable, and a
+      // name-list join would mark every null-tagged series missing+extra
+      def keyed(df: org.apache.spark.sql.DataFrame, vAlias: String) =
+        present.foldLeft(df)((d, k) =>
+            d.withColumn(k, coalesce(col(k).cast("string"), lit("\u0000"))))
+          .select((keys.map(col) :+ col("value").as(vAlias)): _*)
+      val expected = keyed(downsample(src.drop("date"), res, present), "v_exp")
+      val actual = keyed(window(store.read(t)).drop("date"), "v_act")
+      expected.join(actual, keys, "full_outer")
+        .select((col("measurement") +: to_date(col("time")).cast("string").as("date") +:
+          col("v_exp") +: col("v_act") +: Nil): _*)
+        .groupBy("measurement", "date")
+        .agg(count(col("v_exp")).as("n_expected"),
+          count(col("v_act")).as("n_actual"),
+          sum(when(col("v_act").isNull, 1L).otherwise(0L)).as("n_missing"),
+          sum(when(col("v_exp").isNull, 1L).otherwise(0L)).as("n_extra"),
+          sum(when(col("v_exp").isNotNull && col("v_act").isNotNull &&
+            abs(col("v_exp") - col("v_act")) > tolerance, 1L).otherwise(0L))
+            .as("n_value_mismatch"))
+        .withColumn("tier", lit(t.name))
+        .select("tier", "measurement", "date", "n_expected", "n_actual",
+          "n_missing", "n_extra", "n_value_mismatch")
+    }
+    reports.reduce(_ unionAll _)
+  }
+
+  /**
    * The maintenance job the reference gets from InfluxDB's continuous
    * queries: rebuild each rollup tier of the store from the tier below,
    * restricted to `sinceDays` of recent data (incremental — CQs also only

@@ -400,6 +400,37 @@ final class TierStore(spark: SparkSession, root: String) {
     indexedRead(new TierFileIndex(spark, new HPath(path(tier.name)),
       Some(asOfMillis))).getOrElse(emptyPoints)
 
+  /**
+   * CORPUS DIFF between two [[readAsOf]] pins: every row present at
+   * `toMillis` but not at `fromMillis` (`change = "added"`) and vice
+   * versa (`"removed"`), with row multiplicity respected (exceptAll) —
+   * the audit that answers "what exactly changed between the corpus my
+   * last run trained on and today's": late appends, maintenance
+   * rewrites, erasures. Requires the older pin's history to still be on
+   * disk (retainHistory + no intervening [[vacuumTier]] — the same
+   * contract as any as-of read).
+   *
+   * Scale shape: two pinned partition-pruned scans and one hash
+   * anti-join per direction on the row hash — no global sort, no
+   * window. Catalyst pushes caller filters (measurement, date) into
+   * BOTH legs of each Except, so a scoped diff prunes like a scoped
+   * read; diffing two pins of a 100 TB tier without a predicate is a
+   * full-tier comparison and costs one, deliberately.
+   */
+  def diffAsOf(tier: Tier, fromMillis: Long, toMillis: Long): DataFrame = {
+    val before = readAsOf(tier, fromMillis)
+    val after = readAsOf(tier, toMillis)
+    // align on the SHARED columns in a stable order: a pin that predates
+    // the tier resolves to the canonical empty points frame, whose
+    // column set can differ from the live store's footer schema
+    val cols = before.columns.toSeq.filter(after.columns.contains)
+    require(cols.nonEmpty, "diffAsOf: pins share no columns")
+    val a = after.select(cols.map(col): _*)
+    val b = before.select(cols.map(col): _*)
+    a.exceptAll(b).withColumn("change", lit("added"))
+      .unionAll(b.exceptAll(a).withColumn("change", lit("removed")))
+  }
+
   private def emptyPoints: DataFrame =
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -1,0 +1,131 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.api.Api
+import graft.model.Tier
+import graft.rollup.Downsampler
+import graft.store.TierStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-9 store-ops trio: historical backfill, the rollup consistency
+ *  audit, and the as-of corpus diff — edge cases the oracles
+ *  (`s9_backfill`, `s9_rollup_verify`, `s9_asof_diff`) don't reach,
+ *  plus their command-API round trips. */
+class Round9OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String = java.nio.file.Files
+    .createTempDirectory("graft_r9").toFile.getAbsolutePath
+
+  private def pts(vs: (String, String, Double)*): DataFrame =
+    vs.map { case (d, dev, v) =>
+      ("sensor_click", Timestamp.valueOf(s"$d 10:00:00"), v, dev, "1", "sensor")
+    }.toDF("measurement", "time", "value", "dev_id", "location_id", "dev_type")
+
+  test("backfill retires a rollup date whose source rows vanished, and " +
+    "leaves dates outside the window untouched") {
+    val store = new TierStore(spark, tmpDir())
+    store.writeRouted(pts(("2024-01-01", "1", 10.0), ("2024-01-02", "1", 20.0),
+      ("2024-01-05", "1", 50.0)))
+    Downsampler.backfill(store, "2024-01-01", "2024-01-05")
+    def days(t: Tier): Set[String] = store.read(t)
+      .select(to_date(col("time")).cast("string")).as[String].collect().toSet
+    assert(days(Tier.GenDay) == Set("2024-01-01", "2024-01-02", "2024-01-05"))
+
+    // the source for Jan 2 disappears (raw partition dropped); a backfill
+    // of [01, 02] must retire Jan 2's stale rollup but NOT touch Jan 5
+    // (outside the window)
+    store.dropDatePartition(Tier.GenRaw, "2024-01-02")
+    Downsampler.backfill(store, "2024-01-01", "2024-01-02")
+    assert(days(Tier.GenDay) == Set("2024-01-01", "2024-01-05"))
+    // inverted window refuses
+    intercept[IllegalArgumentException] {
+      Downsampler.backfill(store, "2024-01-05", "2024-01-01")
+    }
+  }
+
+  test("verifyRollups: clean window is all-zero; missing and extra rows " +
+    "are counted on the right dates; repair via backfill re-certifies") {
+    val store = new TierStore(spark, tmpDir())
+    store.writeRouted(pts(("2024-01-01", "1", 10.0), ("2024-01-01", "2", 12.0),
+      ("2024-01-02", "1", 20.0)))
+    Downsampler.backfill(store, "2024-01-01", "2024-01-02")
+    val hop = Seq(Tier.cascade.head)
+    def report(): Map[String, (Long, Long, Long, Long, Long)] =
+      Downsampler.verifyRollups(store, "2024-01-01", "2024-01-02", hops = hop)
+        .collect().map(r => r.getAs[String]("date") ->
+          ((r.getAs[Long]("n_expected"), r.getAs[Long]("n_actual"),
+            r.getAs[Long]("n_missing"), r.getAs[Long]("n_extra"),
+            r.getAs[Long]("n_value_mismatch")))).toMap
+    assert(report() == Map(
+      "2024-01-01" -> ((2L, 2L, 0L, 0L, 0L)),
+      "2024-01-02" -> ((1L, 1L, 0L, 0L, 0L))))
+
+    // plant a MISSING row: replace Jan 1's rollup with only device 1's
+    val d1 = store.read(Tier.GenRaw)
+      .filter(col("date") === "2024-01-01" && col("dev_id") === "1").drop("date")
+    store.replaceDatePartitions(Tier.GenDay,
+      Downsampler.downsample(d1, 1), Seq("2024-01-01"))
+    assert(report()("2024-01-01") == ((2L, 1L, 1L, 0L, 0L)))
+
+    // repair with backfill; the audit must certify clean again
+    Downsampler.backfill(store, "2024-01-01", "2024-01-02")
+    assert(report()("2024-01-01") == ((2L, 2L, 0L, 0L, 0L)))
+  }
+
+  test("diffAsOf: identical pins diff empty; row multiplicity is " +
+    "respected; a pre-history pin diffs as all-added") {
+    val store = new TierStore(spark, tmpDir())
+    // duplicate row: the SAME point twice — multiset semantics must
+    // report the second copy's arrival as one added row
+    store.writeRouted(pts(("2024-01-01", "1", 10.0)))
+    Thread.sleep(60); val t1 = System.currentTimeMillis(); Thread.sleep(60)
+    store.writeRouted(pts(("2024-01-01", "1", 10.0), ("2024-01-02", "2", 20.0)))
+    Thread.sleep(60); val t2 = System.currentTimeMillis()
+
+    def diff(a: Long, b: Long): Seq[(String, String, Double)] =
+      store.diffAsOf(Tier.GenRaw, a, b)
+        .select(col("change"), col("dev_id"), col("value"))
+        .as[(String, String, Double)].collect().toSeq.sorted
+    assert(diff(t1, t1).isEmpty)
+    assert(diff(t2, t2).isEmpty)
+    assert(diff(t1, t2) == Seq(("added", "1", 10.0), ("added", "2", 20.0)))
+    // reversed pins: the same delta, labeled from the other side
+    assert(diff(t2, t1) == Seq(("removed", "1", 10.0), ("removed", "2", 20.0)))
+    // a pin before any data: everything at t2 is "added"
+    assert(diff(1000L, t2).count(_._1 == "added") == 3)
+  }
+
+  test("backfill / verify_rollup / diff_data_points command round trips") {
+    val store = new TierStore(spark, tmpDir())
+    store.writeRouted(pts(("2024-01-01", "1", 10.0), ("2024-01-02", "1", 20.0)))
+    val ctx = Api.Context(spark, store)
+    Thread.sleep(60); val t1 = System.currentTimeMillis(); Thread.sleep(60)
+
+    val rep = Api.dispatch(ctx, "cmd.tsdb.backfill",
+      Api.BackfillRequest(fromDate = "2024-01-01", toDate = "2024-01-02"))
+      .collect()
+    assert(rep.head.getAs[String]("status") == "ok")
+    assert(store.read(Tier.GenDay).count() == 2L)
+
+    val audit = Api.dispatch(ctx, "cmd.tsdb.verify_rollup",
+      Api.VerifyRollupRequest(fromDate = "2024-01-01", toDate = "2024-01-02"))
+      .filter(col("tier") === "gen_day").collect()
+    assert(audit.length == 2 &&
+      audit.forall(r => r.getAs[Long]("n_missing") == 0L &&
+        r.getAs[Long]("n_extra") == 0L &&
+        r.getAs[Long]("n_value_mismatch") == 0L))
+
+    Thread.sleep(60); val t2 = System.currentTimeMillis()
+    val d = Api.dispatch(ctx, "cmd.tsdb.diff_data_points",
+      Api.DiffRequest(tier = "gen_day", fromAsOfMs = t1, toAsOfMs = t2))
+      .select("change").as[String].collect()
+    assert(d.length == 2 && d.forall(_ == "added")) // rollups born after t1
+    intercept[IllegalArgumentException] {
+      Api.dispatch(ctx, "cmd.tsdb.diff_data_points",
+        Api.DiffRequest(tier = "nope", fromAsOfMs = t1, toAsOfMs = t2))
+    }
+  }
+}
