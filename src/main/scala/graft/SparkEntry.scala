@@ -1273,7 +1273,11 @@ object SparkEntry {
         .filter(to_date(col("time")) === "2024-01-10")
         .select(col("measurement"), col("time"), lit(999.0).as("value"),
           col("dev_id"), col("location_id"), col("dev_type"), col("dir")))
-      Downsampler.backfill(store, "2024-01-01", "2024-01-31")
+      // one week exercises the whole path (window recompute, poison
+      // replacement, per-date publish × 4 hops) at 1/4 the per-partition
+      // filesystem ceremony of a full month — the bench measures the
+      // path, not 31 copies of it (the s9_rollup_maintain principle)
+      Downsampler.backfill(store, "2024-01-08", "2024-01-14")
       store.read(graft.model.Tier.GenDay).select(
         col("measurement"), col("dev_id"), col("dev_type"), col("dir"),
         col("location_id"), unix_timestamp(col("time")).as("time"),
@@ -1294,7 +1298,10 @@ object SparkEntry {
       val raw = points(s, dir, "sensor_")
         .filter(col("measurement") === "sensor_click")
       store.writeRouted(raw)
-      Downsampler.backfill(store, "2024-01-01", "2024-01-31")
+      // the audit reads only its [10th, 12th] window — building gen_day
+      // for exactly that window keeps the fixture cost proportional to
+      // what the audit exercises
+      Downsampler.backfill(store, "2024-01-10", "2024-01-12")
       // defect 1: extra keys on 2024-01-10 (devices that never existed)
       store.write(graft.model.Tier.GenDay,
         s.range(10).select(lit("sensor_click").as("measurement"),
@@ -1326,8 +1333,12 @@ object SparkEntry {
       val root = java.nio.file.Files.createTempDirectory("graft_s9d")
         .toFile.getAbsolutePath
       val store = new graft.store.TierStore(s, root)
+      // one week of clicks: the diff semantics are date-count-invariant
+      // and the replace publish is per-partition — 7 dates measure the
+      // path at 1/4 the filesystem ceremony of the full month
       val app = points(s, dir, "app_")
-        .filter(col("measurement") === "app_click")
+        .filter(col("measurement") === "app_click" &&
+          to_date(col("time")).between("2024-01-08", "2024-01-14"))
       val batchA = app.filter(col("dir") === "import")
       store.writeRouted(batchA)
       Thread.sleep(60); val t1 = System.currentTimeMillis(); Thread.sleep(60)
@@ -3420,7 +3431,8 @@ object SparkEntry {
     // poison — a hash match against the clean recompute proves both
     "s9_backfill" ->
       s"""WITH ${ptsCte("sensor_")},
-         |f AS (SELECT * FROM pts WHERE m = 'sensor_click'),
+         |f AS (SELECT * FROM pts WHERE m = 'sensor_click'
+         |  AND CAST(ts AS DATE) BETWEEN '2024-01-08' AND '2024-01-14'),
          |agg AS (SELECT m, dev_id, dev_type, dir, loc,
          |         CAST(floor(tsec / 60) * 60 AS BIGINT) b, avg(v) v
          |       FROM f GROUP BY 1, 2, 3, 4, 5, 6)
@@ -3454,7 +3466,8 @@ object SparkEntry {
     // breaks the hash
     "s9_asof_diff" ->
       s"""WITH ${ptsCte("app_")},
-         |f AS (SELECT * FROM pts WHERE m = 'app_click')
+         |f AS (SELECT * FROM pts WHERE m = 'app_click'
+         |  AND CAST(ts AS DATE) BETWEEN '2024-01-08' AND '2024-01-14')
          |SELECT 'added' AS change, dev_id, tsec AS time, round(v, 6) AS value
          |FROM f WHERE dir = 'export'
          |UNION ALL
