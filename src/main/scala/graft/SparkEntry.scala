@@ -937,6 +937,34 @@ object SparkEntry {
         nLists = 16, nProbes = 16)
     }),
 
+    "sim_ivf_stream" -> ((s, dir) => {
+      // STREAMING IVF index maintenance e2e (Similarity.
+      // streamingIvfAppend): build the index on the even half of the
+      // corpus, stream the odd half in micro-batches onto the frozen
+      // centroids, compact (replay-dup removal + small-file fold), then
+      // probe with nProbes = nLists — a full probe ≡ brute force over
+      // the FULL corpus, so the oracle pins that the streamed index
+      // holds exactly every vector (none lost, none duplicated, scored
+      // exactly); the embedding counterpart of dedup_incremental
+      val work = java.nio.file.Files.createTempDirectory("graft_ivfs")
+        .toFile.getAbsolutePath
+      val emb = table(s, dir, "embeddings")
+      graft.functions.Similarity.buildIvfIndex(
+        emb.filter(col("vec_id") % 2 === 0), s"$work/idx",
+        // 1 train iter: centroid quality is fixture setup here — the
+        // full-probe query is centroid-independent (≡ brute force)
+        nLists = 8, trainIters = 1)
+      val incoming = emb.filter(col("vec_id") % 2 === 1)
+      incoming.write.parquet(s"$work/in")
+      val q = graft.functions.Similarity.streamingIvfAppend(
+        s.readStream.schema(incoming.schema).parquet(s"$work/in"),
+        s"$work/idx", s"$work/ckpt")
+      q.processAllAvailable(); q.stop()
+      graft.functions.Similarity.compactIvfLists(s, s"$work/idx")
+      graft.functions.Similarity.queryIvfIndex(s, s"$work/idx",
+        emb.filter(col("vec_id") < 5), k = 10, nProbes = 8)
+    }),
+
     "sim_semantic_dedup" -> ((s, dir) =>
       // SemDeDup: connected components over the LSH-blocked cosine pairs,
       // min-id representative kept per component; every row tagged
@@ -2747,6 +2775,25 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY qid
         |        ORDER BY score DESC, vec_id) rnk FROM sc)
         |SELECT qid AS query_id, vec_id, score, CAST(rnk AS INTEGER) AS rank FROM r WHERE rnk <= 10""".stripMargin,
+
+    // the streamed-then-compacted index at full probe ≡ brute force over
+    // the whole corpus — the same equivalence sim_ivf_topk pins for the
+    // inline IVF, here proving the incremental maintenance lost nothing
+    // and the replay/compaction cycle duplicated nothing
+    "sim_ivf_stream" ->
+      """WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 5),
+        |pr AS (SELECT q.qid, e.vec_id, q.qv, e.embedding cv
+        |       FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+        |z AS (SELECT qid, vec_id, CAST(unnest(qv) AS DOUBLE) a,
+        |        CAST(unnest(cv) AS DOUBLE) b FROM pr),
+        |s AS (SELECT qid, vec_id, sum(a * b) dot, sqrt(sum(a * a)) na,
+        |        sqrt(sum(b * b)) nb FROM z GROUP BY 1, 2),
+        |sc AS (SELECT qid, vec_id, round(CASE WHEN na > 0 AND nb > 0
+        |        THEN dot / (na * nb) ELSE 0 END, 6) score FROM s),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY score DESC, vec_id) rnk FROM sc)
+        |SELECT qid AS query_id, vec_id, score, CAST(rnk AS INTEGER) AS rank
+        |FROM r WHERE rnk <= 10""".stripMargin,
 
     "sim_cosine_pairs" ->
       """WITH pr AS (SELECT a.vec_id id_a, b.vec_id id_b, a.embedding va, b.embedding vb

@@ -300,10 +300,12 @@ object Similarity {
    * 100 TB a query touches nProbes/nLists of the index, enforced by the
    * storage layout itself, not just the join.
    */
-  def buildIvfIndex(corpus: DataFrame, path: String, nLists: Int = 16,
-      trainIters: Int = 3, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
+  /** The persisted-index row projection shared by the batch build and
+   *  the streaming append — both must land the identical column set or
+   *  the probe scans break on mixed file schemas. */
+  private def indexRows(vectors: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    vectors.select(col(idCol).as("vec_id"), col(vecCol).as("cv"))
       .withColumn("nc", expressions.VectorExpressions.l2norm(col("cv")))
       // int8 twin columns for the IVFADC-style quantized probe: q8 reads
       // 4× narrower than cv, and cosine against q8 needs only its own
@@ -313,11 +315,101 @@ object Similarity {
       .withColumn("q8", col("_qt.q"))
       .withColumn("nq8", expressions.VectorExpressions.l2norm(col("q8")))
       .drop("_qt")
+
+  def buildIvfIndex(corpus: DataFrame, path: String, nLists: Int = 16,
+      trainIters: Int = 3, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val c = indexRows(corpus, idCol, vecCol)
     val centroids = trainCentroids(corpus, nLists, trainIters, idCol, vecCol)
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     assignToLists(c, centroids)
       .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+  }
+
+  /**
+   * STREAMING index maintenance: per micro-batch, assign arriving
+   * vectors to the FROZEN centroids of an existing [[buildIvfIndex]]
+   * index (standard IVF practice — centroids train once on a
+   * representative sample and assignment is append-only; a drifted
+   * corpus retrains by REBUILDING, it never mutates a live index) and
+   * append them into the `lists/list_id=N` layout, so queries running
+   * concurrently see a monotonically growing index with unchanged probe
+   * semantics. The embedding counterpart of
+   * [[Pipeline.streamingIndexedDedup]]'s persisted MinHash index.
+   *
+   * Delivery is at-least-once across restarts (foreachBatch replays an
+   * uncommitted batch); replayed vectors land as duplicate (list_id,
+   * vec_id) rows — [[compactIvfLists]] is the repair AND the small-file
+   * maintenance: it dedups by vec_id while folding the per-batch
+   * appends into target-size files. Run it periodically, like the dedup
+   * stream's in-run index compaction.
+   *
+   * Scale shape: each batch does one broadcast-centroid assignment
+   * (rank-1 per vector, no shuffle beyond the list_id repartition) and
+   * writes only its own rows; the index is never rewritten on append.
+   */
+  def streamingIvfAppend(stream: DataFrame, path: String, checkpoint: String,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = stream.sparkSession
+    require(spark.read.parquet(s"$path/centroids").count() > 0,
+      s"no IVF index at $path — buildIvfIndex first")
+    stream.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // re-read per batch: tiny table, and a rebuild between batches
+          // (new centroid set) is picked up rather than served stale
+          val centroids = batch.sparkSession.read.parquet(s"$path/centroids")
+          assignToLists(indexRows(batch, idCol, vecCol), centroids)
+            .repartition(col("list_id"))
+            .write.mode("append").partitionBy("list_id")
+            .parquet(s"$path/lists")
+        }
+      }
+      .start()
+  }
+
+  /**
+   * Fold a streamed index's per-batch appends into target-size files
+   * and drop replay duplicates (exact (list_id, vec_id) copies — see
+   * [[streamingIvfAppend]]'s at-least-once note): per list partition,
+   * rewrite to ⌈bytes/target⌉ files via a staged swap (the
+   * [[Dedup.compactMinhashIndex]] idiom; single-maintainer, like every
+   * maintenance pass here). Returns (files before, files after).
+   */
+  def compactIvfLists(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val live = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(live), s"no IVF index at $path")
+    def dataFiles(p: org.apache.hadoop.fs.Path): Int = {
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) {
+        val f = it.next()
+        if (!f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith(".")) n += 1
+      }
+      n
+    }
+    val before = dataFiles(live)
+    val df = spark.read.parquet(live.toString)
+      .dropDuplicates("list_id", "vec_id")
+    val bytes = { val it = fs.listFiles(live, true)
+      var b = 0L; while (it.hasNext) b += it.next().getLen; b }
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val staged = new org.apache.hadoop.fs.Path(s"$path/.compact_lists")
+    fs.delete(staged, true)
+    df.repartition(n, col("list_id"))
+      .write.partitionBy("list_id").parquet(staged.toString)
+    val old = new org.apache.hadoop.fs.Path(s"$path/.lists.old")
+    fs.delete(old, true)
+    require(fs.rename(live, old), s"compact swap: $live -> $old failed")
+    require(fs.rename(staged, live), s"compact swap: $staged -> $live failed")
+    fs.delete(old, true)
+    (before, dataFiles(live))
   }
 
   /**

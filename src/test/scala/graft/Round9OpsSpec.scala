@@ -98,6 +98,46 @@ class Round9OpsSpec extends SparkSpec {
     assert(diff(1000L, t2).count(_._1 == "added") == 3)
   }
 
+  test("streamingIvfAppend: a full replay duplicates every streamed " +
+    "vector; compactIvfLists repairs it and folds the per-batch files") {
+    import graft.functions.Similarity
+    val work = tmpDir()
+    // deterministic toy corpus: 20 vectors in 4D
+    val emb = spark.range(20).select(col("id").as("vec_id"),
+      array((0 until 4).map(i =>
+        (pmod(col("id") * (i + 3), lit(7)).cast("float") + lit(0.1f))): _*)
+        .as("embedding"))
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") < 10), s"$work/idx",
+      nLists = 2, trainIters = 2)
+    val incoming = emb.filter(col("vec_id") >= 10)
+    incoming.write.parquet(s"$work/in")
+    def streamOnce(tag: String): Unit = {
+      val q = Similarity.streamingIvfAppend(
+        spark.readStream.schema(incoming.schema).parquet(s"$work/in"),
+        s"$work/idx", s"$work/ckpt_$tag")
+      q.processAllAvailable(); q.stop()
+    }
+    streamOnce("a")
+    // a FULL replay (fresh checkpoint over the same input = the worst
+    // case of foreachBatch's at-least-once delivery): every streamed
+    // vector lands twice
+    streamOnce("b")
+    val lists = () => spark.read.parquet(s"$work/idx/lists")
+    assert(lists().count() == 30L) // 10 built + 2 × 10 streamed
+    val (before, after) = Similarity.compactIvfLists(spark, s"$work/idx",
+      targetFileBytes = 1L << 30)
+    assert(after < before, s"no file fold: $before -> $after")
+    assert(lists().count() == 20L) // duplicates repaired
+    assert(lists().select("vec_id").distinct().count() == 20L)
+    // the repaired index answers exactly like brute force at full probe
+    val got = Similarity.queryIvfIndex(spark, s"$work/idx",
+      emb.filter(col("vec_id") === 0), k = 3, nProbes = 2)
+      .select("vec_id").as[Long].collect().toSet
+    val want = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0),
+      k = 3).select("vec_id").as[Long].collect().toSet
+    assert(got == want)
+  }
+
   test("backfill / verify_rollup / diff_data_points command round trips") {
     val store = new TierStore(spark, tmpDir())
     store.writeRouted(pts(("2024-01-01", "1", 10.0), ("2024-01-02", "1", 20.0)))
