@@ -959,7 +959,7 @@ object SparkEntry {
       val q = graft.functions.Similarity.streamingIvfAppend(
         s.readStream.schema(incoming.schema).parquet(s"$work/in"),
         s"$work/idx", s"$work/ckpt")
-      q.processAllAvailable(); q.stop()
+      q.processAllAvailable(); graft.stream.StreamOps.stopAndUnload(q)
       graft.functions.Similarity.compactIvfLists(s, s"$work/idx")
       graft.functions.Similarity.queryIvfIndex(s, s"$work/idx",
         emb.filter(col("vec_id") < 5), k = 10, nProbes = 8)
@@ -1248,7 +1248,7 @@ object SparkEntry {
       val q = sealedQ.writeStream.outputMode("append")
         .option("checkpointLocation", s"$work/ckpt")
         .format("parquet").option("path", s"$work/out").start()
-      q.processAllAvailable(); q.stop()
+      q.processAllAvailable(); graft.stream.StreamOps.stopAndUnload(q)
       val ref = graft.functions.Profile.histogram(
         pts, col("cents"), lo = 0.0, hi = 50000.0, nBuckets = 20)
       graft.functions.Profile.finalizePsi(s.read.parquet(s"$work/out"), ref)
@@ -1275,7 +1275,7 @@ object SparkEntry {
       val q = sealedQ.writeStream.outputMode("append")
         .option("checkpointLocation", s"$work/ckpt")
         .format("parquet").option("path", s"$work/out").start()
-      q.processAllAvailable(); q.stop()
+      q.processAllAvailable(); graft.stream.StreamOps.stopAndUnload(q)
       graft.functions.Profile.finalizeTopKeys(
           s.read.parquet(s"$work/out"), k = 5)
         .select(unix_timestamp(col("window_start")).as("window_start"),
@@ -1591,7 +1591,7 @@ object SparkEntry {
         .filter(col("measurement") === "sensor_click"))
       val q = Downsampler.streamingHop(store, graft.model.Tier.GenRaw,
         graft.model.Tier.GenDay, s"$root/_ckpt_hop", watermark = "30 minutes")
-      q.processAllAvailable(); q.stop()
+      q.processAllAvailable(); graft.stream.StreamOps.stopAndUnload(q)
       store.read(graft.model.Tier.GenDay).select(
         col("measurement"), col("dev_id"), col("dev_type"), col("dir"),
         col("location_id"), unix_timestamp(col("time")).as("time"),
@@ -1646,7 +1646,7 @@ object SparkEntry {
         .writeStream.outputMode("append")
         .option("checkpointLocation", s"$work/ckpt")
         .format("parquet").option("path", s"$work/out").start()
-      q.processAllAvailable(); q.stop()
+      q.processAllAvailable(); graft.stream.StreamOps.stopAndUnload(q)
       s.read.parquet(s"$work/out").select(
         col("series_id"), col("measurement"), col("agg_func"),
         unix_timestamp(col("time")).as("time"),

@@ -167,6 +167,11 @@ object StreamingSoak {
         s""","restarted_mid_run":true,"equal_to_batch":true""")
     }
 
+    // phase isolation: drop the previous phase's dead state-store
+    // providers now instead of at the 60 s maintenance tick (they tax
+    // the next phase's micro-batches — BENCH_NOTES "a9 root cause")
+    org.apache.spark.sql.graft.StateStoreHygiene.unloadAll()
+
     // ---------------- phase 2: stateful aggregation ----------------
     if (phases("agg")) {
       phase = "agg"
@@ -216,6 +221,11 @@ object StreamingSoak {
       } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
 
+    // phase isolation: drop the previous phase's dead state-store
+    // providers now instead of at the 60 s maintenance tick (they tax
+    // the next phase's micro-batches — BENCH_NOTES "a9 root cause")
+    org.apache.spark.sql.graft.StateStoreHygiene.unloadAll()
+
     // ---------------- phase 3: indexed near-dup dedup ----------------
     if (phases("dedup")) {
       phase = "dedup"
@@ -262,6 +272,11 @@ object StreamingSoak {
         s""","survivors":$sSet,"chunks":$nChunks,""" +
           s""""equal_to_sequential_batch":true""")
     }
+
+    // phase isolation: drop the previous phase's dead state-store
+    // providers now instead of at the 60 s maintenance tick (they tax
+    // the next phase's micro-batches — BENCH_NOTES "a9 root cause")
+    org.apache.spark.sql.graft.StateStoreHygiene.unloadAll()
 
     // ---------------- phase 4: continuous rollup hop ----------------
     if (phases("hop")) {

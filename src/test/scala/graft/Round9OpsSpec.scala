@@ -138,6 +138,35 @@ class Round9OpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("stopAndUnload: deterministic teardown is safe for a concurrent " +
+    "stateful query — its providers reload and results stay exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val work = tmpDir()
+    def startCount(src: MemoryStream[Int], tag: String) =
+      src.toDF().groupBy(col("value") % 3).count()
+        .writeStream.outputMode(OutputMode.Complete())
+        .option("checkpointLocation", s"$work/ckpt_$tag")
+        .format("memory").queryName(s"r9_unload_$tag").start()
+    val a = MemoryStream[Int]; val b = MemoryStream[Int]
+    val qa = startCount(a, "a"); val qb = startCount(b, "b")
+    a.addData(1 to 6: _*); b.addData(1 to 3: _*)
+    qa.processAllAvailable(); qb.processAllAvailable()
+    // tear down A with the deterministic unload — GLOBAL, so B's
+    // providers are dropped too; B must reload them lazily and keep
+    // counting exactly
+    graft.stream.StreamOps.stopAndUnload(qa)
+    assert(!qa.isActive)
+    b.addData(4 to 9: _*)
+    qb.processAllAvailable()
+    val counts = spark.table("r9_unload_b")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts == Map(0 -> 3L, 1 -> 3L, 2 -> 3L), counts.toString)
+    graft.stream.StreamOps.stopAndUnload(qb)
+    graft.stream.StreamOps.stopAndUnload(qb) // idempotent on a stopped query
+  }
+
   test("backfill / verify_rollup / diff_data_points command round trips") {
     val store = new TierStore(spark, tmpDir())
     store.writeRouted(pts(("2024-01-01", "1", 10.0), ("2024-01-02", "1", 20.0)))
