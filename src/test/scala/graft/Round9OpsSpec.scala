@@ -138,6 +138,37 @@ class Round9OpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("plan assertions: a caller predicate on diffAsOf pushes into BOTH " +
+    "Except legs' scans, and verifyRollups' window prunes partitions — " +
+    "the scaladoc scale claims, checked against the physical plan") {
+    val store = new TierStore(spark, tmpDir())
+    store.writeRouted(pts(("2024-01-01", "1", 10.0)))
+    Thread.sleep(60); val t1 = System.currentTimeMillis(); Thread.sleep(60)
+    store.writeRouted(pts(("2024-01-02", "1", 20.0)))
+    Thread.sleep(60); val t2 = System.currentTimeMillis()
+    // a scoped diff must prune like a scoped read: the measurement
+    // equality reaches BOTH pins' scans as a partition filter (distinct
+    // pins → distinct file sets, so plan reuse cannot merge the legs)
+    val scoped = store.diffAsOf(Tier.GenRaw, t1, t2)
+      .filter(col("measurement") === "sensor_click")
+    val plan = scoped.queryExecution.executedPlan.toString
+    val pruned = "PartitionFilters: \\[[^\\]]*measurement[^\\]]*\\]".r
+      .findAllIn(plan).toSeq
+    assert(pruned.size >= 2,
+      s"expected the measurement filter pushed into both pins' scans; " +
+        s"found ${pruned.size} in:\n$plan")
+
+    Downsampler.backfill(store, "2024-01-01", "2024-01-02")
+    val audit = Downsampler.verifyRollups(store, "2024-01-02", "2024-01-02",
+      hops = Seq(Tier.cascade.head))
+    val auditScans = audit.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(_.contains("FileScan"))
+    assert(auditScans.nonEmpty)
+    auditScans.foreach(s => assert(
+      "PartitionFilters: \\[[^\\]]*date".r.findFirstIn(s).isDefined,
+      s"date window not pushed to partition pruning:\n$s"))
+  }
+
   test("stopAndUnload: deterministic teardown is safe for a concurrent " +
     "stateful query — its providers reload and results stay exact") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
