@@ -190,17 +190,30 @@ object Downsampler {
             d.withColumn(k, coalesce(col(k).cast("string"), lit("\u0000"))))
           .select((keys.map(col) :+ col("value").as(vAlias)): _*)
       val expected = keyed(downsample(src.drop("date"), res, present), "v_exp")
+      // pre-aggregate the ACTUAL side per rollup key: a duplicate-key
+      // defect (the same window double-appended) must be COUNTED as
+      // extra copies, not silently multiply the join — expected is one
+      // row per key by construction (a group-by output), actual is
+      // whatever the tier really stores
       val actual = keyed(window(store.read(t)).drop("date"), "v_act")
+        .groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("_c"), min(col("v_act")).as("_vmin"),
+          max(col("v_act")).as("_vmax"))
+      val matched = col("v_exp").isNotNull && col("_c").isNotNull
       expected.join(actual, keys, "full_outer")
-        .select((col("measurement") +: to_date(col("time")).cast("string").as("date") +:
-          col("v_exp") +: col("v_act") +: Nil): _*)
+        .select(col("measurement"),
+          to_date(col("time")).cast("string").as("date"),
+          col("v_exp"), col("_c"), col("_vmin"), col("_vmax"))
         .groupBy("measurement", "date")
         .agg(count(col("v_exp")).as("n_expected"),
-          count(col("v_act")).as("n_actual"),
-          sum(when(col("v_act").isNull, 1L).otherwise(0L)).as("n_missing"),
-          sum(when(col("v_exp").isNull, 1L).otherwise(0L)).as("n_extra"),
-          sum(when(col("v_exp").isNotNull && col("v_act").isNotNull &&
-            abs(col("v_exp") - col("v_act")) > tolerance, 1L).otherwise(0L))
+          sum(coalesce(col("_c"), lit(0L))).as("n_actual"),
+          sum(when(col("v_exp").isNotNull && col("_c").isNull, 1L)
+            .otherwise(0L)).as("n_missing"),
+          // ghost keys contribute all copies; matched keys their surplus
+          sum(coalesce(col("_c"), lit(0L)) - when(matched, 1L).otherwise(0L))
+            .as("n_extra"),
+          sum(when(matched && (abs(col("_vmin") - col("v_exp")) > tolerance ||
+            abs(col("_vmax") - col("v_exp")) > tolerance), 1L).otherwise(0L))
             .as("n_value_mismatch"))
         .withColumn("tier", lit(t.name))
         .select("tier", "measurement", "date", "n_expected", "n_actual",

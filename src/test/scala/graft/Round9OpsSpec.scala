@@ -73,6 +73,16 @@ class Round9OpsSpec extends SparkSpec {
     // repair with backfill; the audit must certify clean again
     Downsampler.backfill(store, "2024-01-01", "2024-01-02")
     assert(report()("2024-01-01") == ((2L, 2L, 0L, 0L, 0L)))
+
+    // plant a DUPLICATE-COPY defect: Jan 2's correct rollup appended a
+    // second time — the audit counts the surplus copy as extra (value
+    // clean, nothing missing), it must not multiply through the join
+    store.write(Tier.GenDay, Downsampler.downsample(
+      store.read(Tier.GenRaw).filter(col("date") === "2024-01-02")
+        .drop("date"), 1))
+    assert(report()("2024-01-02") == ((1L, 2L, 0L, 1L, 0L)))
+    Downsampler.backfill(store, "2024-01-02", "2024-01-02")
+    assert(report()("2024-01-02") == ((1L, 1L, 0L, 0L, 0L)))
   }
 
   test("diffAsOf: identical pins diff empty; row multiplicity is " +
