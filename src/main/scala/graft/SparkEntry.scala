@@ -1350,6 +1350,29 @@ object SparkEntry {
         hops = Seq(graft.model.Tier.cascade.head))
     }),
 
+    "s9_custom_cq" -> ((s, dir) => {
+      // user-registered continuous query (the reference's AddCQ surface,
+      // ds.go:23 / influxdb_v1.go:333-354): a custom 5-minute retention
+      // policy beside the fixed gen_* hierarchy, fed from gen_raw by a
+      // registered CQ that the SAME maintenance pass executes after the
+      // built-in cascade. The read-back hash-equals the oracle's 5-min
+      // recompute — pinning that registration, routing, resolution
+      // parsing and the maintenance hop all compose
+      val root = java.nio.file.Files.createTempDirectory("graft_s9cq")
+        .toFile.getAbsolutePath
+      val store = new graft.store.TierStore(s, root)
+      store.addRetentionPolicy(graft.model.Tier("gen_fast", "12 weeks", "5 minutes"))
+      store.addCq("raw_to_fast", "gen_raw", "gen_fast", "5m")
+      store.writeRouted(points(s, dir, "sensor_")
+        .filter(col("measurement") === "sensor_click" &&
+          to_date(col("time")).between("2024-01-08", "2024-01-14")))
+      Downsampler.maintain(store, Now, sinceDays = 60)
+      store.read(store.tierByName("gen_fast").get).select(
+        col("measurement"), col("dev_id"), col("dev_type"), col("dir"),
+        col("location_id"), unix_timestamp(col("time")).as("time"),
+        round(col("value"), 6).as("value"))
+    }),
+
     "s9_asof_diff" -> ((s, dir) => {
       // corpus diff between two pins (TierStore.diffAsOf): batch A
       // (import-direction clicks) lands and is pinned; then a retained-
@@ -3511,6 +3534,20 @@ object SparkEntry {
     // device 7's batch-A rows} — anything else (a lost append, a
     // resurrected erased row, a maintenance row leaking into the diff)
     // breaks the hash
+    // the registered CQ's 5-min averages from the raw week — a hash
+    // match proves the custom hop ran at its own resolution through the
+    // standard maintenance pass
+    "s9_custom_cq" ->
+      s"""WITH ${ptsCte("sensor_")},
+         |f AS (SELECT * FROM pts WHERE m = 'sensor_click'
+         |  AND CAST(ts AS DATE) BETWEEN '2024-01-08' AND '2024-01-14'),
+         |agg AS (SELECT m, dev_id, dev_type, dir, loc,
+         |         CAST(floor(tsec / 300) * 300 AS BIGINT) b, avg(v) v
+         |       FROM f GROUP BY 1, 2, 3, 4, 5, 6)
+         |SELECT m AS measurement, dev_id, dev_type, dir,
+         |       loc AS location_id, b AS time, round(v, 6) AS value
+         |FROM agg""".stripMargin,
+
     "s9_asof_diff" ->
       s"""WITH ${ptsCte("app_")},
          |f AS (SELECT * FROM pts WHERE m = 'app_click'

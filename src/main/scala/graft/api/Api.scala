@@ -483,12 +483,27 @@ object Api {
     case "cmd.tsdb.update_retention_policy" => // S9 (admin.go:313-332)
       ctx.store.updateRetentionPolicy(payload.asInstanceOf[Tier])
       ctx.spark.emptyDataFrame
-    case "cmd.tsdb.delete_object" => // S9 (admin.go:334-370): RP or measurement
+    case "cmd.tsdb.add_cq" =>
+      // the reference's AddCQ surface (storage interface ds.go:23;
+      // CREATE CONTINUOUS QUERY templates influxdb_v1.go:333-354) as a
+      // command: register a src→target downsampling hop that every
+      // maintenance pass (cmd.tsdb.run_maintenance / Downsampler
+      // .maintain) and backfill executes after the built-in cascade
+      val (name, src, target, every) =
+        payload.asInstanceOf[(String, String, String, String)]
+      ctx.store.addCq(name, src, target, every)
+      cqsDf(ctx)
+    case "cmd.tsdb.get_cqs" => cqsDf(ctx) // SHOW CONTINUOUS QUERIES
+    case "cmd.tsdb.delete_object" => // S9 (admin.go:334-370): all four object types
       payload match {
         case ("retention_policy", name: String) =>
           ctx.store.deleteRetentionPolicy(name)
         case ("measurement", name: String) =>
           ctx.store.retentionPolicies.foreach(t => ctx.store.dropMeasurement(t, name))
+        case ("cq", name: String) => // admin.go:364 DeleteCQ
+          ctx.store.deleteCq(name)
+        case ("database", _: String) => // admin.go:360-362 DropDB
+          ctx.store.drop()
         case other => throw new IllegalArgumentException(s"unknown object: $other")
       }
       ctx.spark.emptyDataFrame
@@ -562,6 +577,13 @@ object Api {
       f.isAtomic))
       .toDF("id", "name", "topic", "domain", "service", "msg_type", "negation",
         "link_op", "linked_filter_id", "is_atomic")
+  }
+
+  private def cqsDf(ctx: Context): DataFrame = {
+    import ctx.spark.implicits._
+    ctx.store.continuousQueries.map(c =>
+      (c.name, c.src, c.target, c.resolutionMinutes))
+      .toDF("name", "src", "target", "resolution_minutes")
   }
 
   private def selectorsDf(ctx: Context): DataFrame = {

@@ -130,8 +130,15 @@ object Downsampler {
     val to = java.sql.Date.valueOf(toDate)
     require(!from.after(to), s"backfill window is inverted: $fromDate > $toDate")
     import org.apache.spark.sql.functions.col
-    Tier.cascade.foreach { case (f, t) =>
-      val res = TierPolicy.tierResolutionMinutes(t, Tier.ProfileOptimized)
+    // same hop set as maintain: the fixed cascade plus registered CQs
+    val hops: Seq[(Tier, Tier, Long)] =
+      Tier.cascade.map { case (f, t) =>
+        (f, t, TierPolicy.tierResolutionMinutes(t, Tier.ProfileOptimized))
+      } ++ store.continuousQueries.flatMap { cq =>
+        for (f <- store.tierByName(cq.src); t <- store.tierByName(cq.target))
+          yield (f, t, cq.resolutionMinutes)
+      }
+    hops.foreach { case (f, t, res) =>
       def window(df: org.apache.spark.sql.DataFrame) =
         df.filter(col("date") >= from && col("date") <= to)
       val src = window(store.read(f))
@@ -240,8 +247,18 @@ object Downsampler {
       retainHistory: Boolean = false): Unit = {
     val cutoff = java.sql.Date.valueOf(
       java.time.LocalDate.ofInstant(now, java.time.ZoneOffset.UTC).minusDays(sinceDays))
-    Tier.cascade.foreach { case (from, to) =>
-      val res = TierPolicy.tierResolutionMinutes(to, Tier.ProfileOptimized)
+    // the fixed cascade, then the user-registered CQs in registration
+    // order (a CQ chained off a rollup tier sees it already refreshed);
+    // a CQ whose tier was deleted since registration is skipped, same
+    // as InfluxDB running a CQ against a dropped RP
+    val hops: Seq[(Tier, Tier, Long)] =
+      Tier.cascade.map { case (f, t) =>
+        (f, t, TierPolicy.tierResolutionMinutes(t, Tier.ProfileOptimized))
+      } ++ store.continuousQueries.flatMap { cq =>
+        for (f <- store.tierByName(cq.src); t <- store.tierByName(cq.target))
+          yield (f, t, cq.resolutionMinutes)
+      }
+    hops.foreach { case (from, to, res) =>
       val src = store.read(from).filter(org.apache.spark.sql.functions.col("date") >= cutoff)
       if (!src.isEmpty) {
         // replace the recent window in the target tier atomically per

@@ -26,6 +26,12 @@ import org.apache.spark.sql.functions._
  *    reference's single-pass batch writer (process.go:366-428), instead
  *    of once per tier.
  */
+/** A registered continuous query: every maintenance pass downsamples
+ *  `src` → `target` at `resolutionMinutes` (the reference's AddCQ
+ *  surface, ds.go:23; CREATE CONTINUOUS QUERY influxdb_v1.go:333-354). */
+final case class ContinuousQuery(name: String, src: String, target: String,
+    resolutionMinutes: Long)
+
 final class TierStore(spark: SparkSession, root: String) {
 
   private def path(tier: String) = s"$root/tier=$tier"
@@ -480,6 +486,47 @@ final class TierStore(spark: SparkSession, root: String) {
   }
 
   def tierByName(name: String): Option[Tier] = retentionPolicies.find(_.name == name)
+
+  // user-registered continuous queries (the reference's AddCQ/DeleteCQ —
+  // the storage interface ds.go:23-24, CREATE CONTINUOUS QUERY templates
+  // influxdb_v1.go:333-354, deletable via cmd.tsdb.delete_object type
+  // "cq", admin.go:364): each registered CQ downsamples src → target at
+  // its own resolution on every maintenance pass, exactly like the
+  // built-in cascade hops — how a deployment adds e.g. a 5-minute tier
+  // beside the fixed gen_* hierarchy
+  private val customCqsM =
+    scala.collection.mutable.LinkedHashMap.empty[String, ContinuousQuery]
+
+  /** Register a continuous query (AddCQ). Both retention policies must
+   *  exist at registration (the reference lets InfluxDB fail later; we
+   *  refuse up front) and the resolution must parse to whole minutes. */
+  def addCq(name: String, srcRetentionPolicy: String,
+      targetRetentionPolicy: String, every: String): Unit = {
+    val res = graft.query.TierPolicy.relativeToMinutes(every)
+    require(res > 0, s"unparseable CQ resolution: '$every' (use e.g. 5m, 1h)")
+    // maintenance recomputes whole DATE windows; a resolution that does
+    // not divide a day would give buckets spanning midnight, splitting a
+    // bucket's rows across two per-date recomputes (the built-in cascade
+    // resolutions all divide a day for the same reason)
+    require(86400 % (res * 60) == 0,
+      s"CQ resolution must divide a day: '$every' ($res min) does not")
+    require(tierByName(srcRetentionPolicy).isDefined,
+      s"unknown source retention policy: $srcRetentionPolicy")
+    require(tierByName(targetRetentionPolicy).isDefined,
+      s"unknown target retention policy: $targetRetentionPolicy")
+    require(srcRetentionPolicy != targetRetentionPolicy,
+      "a CQ cannot target its own source")
+    customCqsM(name) =
+      ContinuousQuery(name, srcRetentionPolicy, targetRetentionPolicy, res)
+  }
+
+  /** DROP CONTINUOUS QUERY (DeleteCQ, influxdb_v1.go:356-365). */
+  def deleteCq(name: String): Unit = customCqsM.remove(name)
+
+  /** The registered CQs, in registration order (maintenance runs them
+   *  after the built-in cascade, so a CQ chained off a rollup tier sees
+   *  that tier already refreshed). */
+  def continuousQueries: Seq[ContinuousQuery] = customCqsM.values.toSeq
 
   /** CREATE DATABASE (S9; influxdb_v1.go:271-283 InitDB): materialize the
    *  tier directory skeleton. */

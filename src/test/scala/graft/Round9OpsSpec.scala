@@ -148,6 +148,52 @@ class Round9OpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("registered continuous queries: CRUD through the command API, " +
+    "refusals, execution by maintenance and backfill, delete_object " +
+    "cq/database parity") {
+    val store = new TierStore(spark, tmpDir())
+    val ctx = Api.Context(spark, store,
+      now = () => java.time.Instant.parse("2024-01-03T00:00:00Z"))
+    store.addRetentionPolicy(graft.model.Tier("fast", "12 weeks", "5 minutes"))
+
+    // refusals: unknown RPs, self-target, non-day-dividing resolution
+    intercept[IllegalArgumentException] {
+      store.addCq("x", "nope", "fast", "5m")
+    }
+    intercept[IllegalArgumentException] {
+      store.addCq("x", "gen_raw", "gen_raw", "5m")
+    }
+    intercept[IllegalArgumentException] {
+      store.addCq("x", "gen_raw", "fast", "7m") // 7 min does not divide a day
+    }
+
+    val cqs = Api.dispatch(ctx, "cmd.tsdb.add_cq",
+      ("raw_to_fast", "gen_raw", "fast", "5m"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(cqs.toSeq == Seq(("raw_to_fast", "gen_raw", "fast", 5L)))
+
+    // the SAME maintenance pass executes the registered hop
+    store.writeRouted(pts(("2024-01-01", "1", 10.0), ("2024-01-01", "1", 20.0)))
+    Downsampler.maintain(store, java.time.Instant.parse("2024-01-03T00:00:00Z"),
+      sinceDays = 5)
+    val fast = store.tierByName("fast").get
+    assert(store.read(fast).select("value").as[Double].collect().toSeq ==
+      Seq(15.0)) // both points share the 10:00 5-min bucket
+    // ...and backfill honors it too: poison, then window-repair
+    store.write(fast, pts(("2024-01-01", "9", 999.0)))
+    Downsampler.backfill(store, "2024-01-01", "2024-01-01")
+    assert(store.read(fast).select("value").as[Double].collect().toSeq ==
+      Seq(15.0))
+
+    // delete_object parity: "cq" unregisters (admin.go:364)...
+    Api.dispatch(ctx, "cmd.tsdb.delete_object", ("cq", "raw_to_fast"))
+    assert(Api.dispatch(ctx, "cmd.tsdb.get_cqs", null).count() == 0L)
+    // ...and "database" drops the store root (admin.go:360-362 DropDB)
+    Api.dispatch(ctx, "cmd.tsdb.delete_object", ("database", "any"))
+    assert(store.read(Tier.GenRaw).count() == 0L)
+  }
+
   test("plan assertions: a caller predicate on diffAsOf pushes into BOTH " +
     "Except legs' scans, and verifyRollups' window prunes partitions — " +
     "the scaladoc scale claims, checked against the physical plan") {
