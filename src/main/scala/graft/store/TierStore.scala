@@ -466,22 +466,58 @@ final class TierStore(spark: SparkSession, root: String) {
       .filter(_.startsWith("measurement=")).map(_.stripPrefix("measurement=")).sorted
 
   // user-defined retention policies (S9 add/update/delete RP,
-  // influxdb_v1.go:300-331); the built-in gen_* hierarchy is fixed
+  // influxdb_v1.go:300-331); the built-in gen_* hierarchy is fixed.
+  // DURABLE: the reference keeps RPs and CQs in InfluxDB's metadata, so
+  // they survive process restarts — here they persist as tab-separated
+  // registry files under <root>/_meta/ (staged-write + rename, the
+  // small-file publish primitive used everywhere in this store) and are
+  // loaded when a TierStore attaches to the root.
   private val customTiers = scala.collection.mutable.LinkedHashMap.empty[String, Tier]
+
+  private def metaFile(name: String) = new HPath(root, s"_meta/$name")
+  private def writeMeta(name: String, lines: Seq[String]): Unit = {
+    val p = metaFile(name)
+    fs.mkdirs(p.getParent)
+    val staged = new HPath(p.getParent, s".${name}_staging")
+    val out = fs.create(staged, true)
+    try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(p, false)
+    require(fs.rename(staged, p), s"registry publish failed: $p")
+  }
+  private def readMeta(name: String): Seq[String] = {
+    val p = metaFile(name)
+    if (!fs.exists(p)) return Nil
+    val in = fs.open(p)
+    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    text.linesIterator.filter(_.nonEmpty).toSeq
+  }
+  private def persistTiers(): Unit = writeMeta("retention.tsv",
+    customTiers.values.toSeq.map(t => s"${t.name}\t${t.retention}\t${t.resolution}"))
+  private def persistCqs(): Unit = writeMeta("cqs.tsv",
+    customCqsM.values.toSeq.map(c =>
+      s"${c.name}\t${c.src}\t${c.target}\t${c.resolutionMinutes}"))
 
   /** SHOW RETENTION POLICIES (S8; influxdb_v1.go:396-413). */
   def retentionPolicies: Seq[Tier] = Tier.all ++ customTiers.values
 
   /** CREATE RETENTION POLICY (S9; influxdb_v1.go:300-309). */
-  def addRetentionPolicy(tier: Tier): Unit = customTiers(tier.name) = tier
+  def addRetentionPolicy(tier: Tier): Unit = {
+    customTiers(tier.name) = tier
+    persistTiers()
+  }
 
   /** ALTER RETENTION POLICY (S9; influxdb_v1.go:311-320). */
-  def updateRetentionPolicy(tier: Tier): Unit = customTiers(tier.name) = tier
+  def updateRetentionPolicy(tier: Tier): Unit = {
+    customTiers(tier.name) = tier
+    persistTiers()
+  }
 
   /** DROP RETENTION POLICY (S9; influxdb_v1.go:322-331): unregister and
    *  delete the tier's data directory. */
   def deleteRetentionPolicy(name: String): Unit = {
     customTiers.remove(name)
+    persistTiers()
     rmTree(path(name))
   }
 
@@ -518,15 +554,37 @@ final class TierStore(spark: SparkSession, root: String) {
       "a CQ cannot target its own source")
     customCqsM(name) =
       ContinuousQuery(name, srcRetentionPolicy, targetRetentionPolicy, res)
+    persistCqs()
   }
 
   /** DROP CONTINUOUS QUERY (DeleteCQ, influxdb_v1.go:356-365). */
-  def deleteCq(name: String): Unit = customCqsM.remove(name)
+  def deleteCq(name: String): Unit = {
+    customCqsM.remove(name)
+    persistCqs()
+  }
 
   /** The registered CQs, in registration order (maintenance runs them
    *  after the built-in cascade, so a CQ chained off a rollup tier sees
    *  that tier already refreshed). */
   def continuousQueries: Seq[ContinuousQuery] = customCqsM.values.toSeq
+
+  // attach-time registry load: a restarted process (or a second reader
+  // of the same root) sees the durable RP/CQ registrations
+  locally {
+    readMeta("retention.tsv").foreach { l =>
+      l.split('\t') match {
+        case Array(n, ret, res) => customTiers(n) = Tier(n, ret, res)
+        case _ => ()
+      }
+    }
+    readMeta("cqs.tsv").foreach { l =>
+      l.split('\t') match {
+        case Array(n, s, t, res) =>
+          res.toLongOption.foreach(r => customCqsM(n) = ContinuousQuery(n, s, t, r))
+        case _ => ()
+      }
+    }
+  }
 
   /** CREATE DATABASE (S9; influxdb_v1.go:271-283 InitDB): materialize the
    *  tier directory skeleton. */

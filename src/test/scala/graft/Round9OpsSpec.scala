@@ -151,7 +151,8 @@ class Round9OpsSpec extends SparkSpec {
   test("registered continuous queries: CRUD through the command API, " +
     "refusals, execution by maintenance and backfill, delete_object " +
     "cq/database parity") {
-    val store = new TierStore(spark, tmpDir())
+    val storeRoot = tmpDir()
+    val store = new TierStore(spark, storeRoot)
     val ctx = Api.Context(spark, store,
       now = () => java.time.Instant.parse("2024-01-03T00:00:00Z"))
     store.addRetentionPolicy(graft.model.Tier("fast", "12 weeks", "5 minutes"))
@@ -186,9 +187,17 @@ class Round9OpsSpec extends SparkSpec {
     assert(store.read(fast).select("value").as[Double].collect().toSeq ==
       Seq(15.0))
 
+    // DURABILITY: the reference keeps RPs and CQs in InfluxDB metadata —
+    // a fresh TierStore attaching to the same root must see both
+    val reattached = new TierStore(spark, storeRoot)
+    assert(reattached.tierByName("fast").contains(
+      graft.model.Tier("fast", "12 weeks", "5 minutes")))
+    assert(reattached.continuousQueries.map(_.name) == Seq("raw_to_fast"))
+
     // delete_object parity: "cq" unregisters (admin.go:364)...
     Api.dispatch(ctx, "cmd.tsdb.delete_object", ("cq", "raw_to_fast"))
     assert(Api.dispatch(ctx, "cmd.tsdb.get_cqs", null).count() == 0L)
+    assert(new TierStore(spark, storeRoot).continuousQueries.isEmpty) // durable
     // ...and "database" drops the store root (admin.go:360-362 DropDB)
     Api.dispatch(ctx, "cmd.tsdb.delete_object", ("database", "any"))
     assert(store.read(Tier.GenRaw).count() == 0L)
