@@ -536,6 +536,7 @@ object Api {
       case InfluxQL.ShowMeasurements => dispatch(ctx, "cmd.tsdb.get_measurements", null)
       case InfluxQL.ShowRetentionPolicies =>
         dispatch(ctx, "cmd.tsdb.get_retention_policies", null)
+      case InfluxQL.ShowContinuousQueries => dispatch(ctx, "cmd.tsdb.get_cqs", null)
       case sel: InfluxQL.Select =>
         InfluxQL.dataPoints(sel, t => ctx.store.read(t),
           ctx.store.tierByName(_), ctx.now())

@@ -29,7 +29,7 @@ import org.apache.spark.sql.DataFrame
  *                           (the dashboard energy query, influxdb_v1.go:229)
  *   cond := time >|>= now()-<dur> | time >=|> '<RFC3339>'
  *         | time <=|< '<RFC3339>' | tag = 'value'
- *   SHOW MEASUREMENTS | SHOW RETENTION POLICIES
+ *   SHOW MEASUREMENTS | SHOW RETENTION POLICIES | SHOW CONTINUOUS QUERIES
  *
  * A FROM-clause retention policy pins the tier (the InfluxQL contract);
  * without one the planner's tier policy picks, as the structured command
@@ -45,6 +45,7 @@ object InfluxQL {
       extends Statement
   case object ShowMeasurements extends Statement
   case object ShowRetentionPolicies extends Statement
+  case object ShowContinuousQueries extends Statement
 
   private val AggFns = Set("mean", "count", "sum", "min", "max", "median",
     "first", "last", "spread", "stddev")
@@ -64,6 +65,7 @@ object InfluxQL {
     val s = q.trim.toLowerCase
     s.matches("show\\s+measurements\\s*;?") ||
       s.matches("show\\s+retention\\s+policies\\s*;?") ||
+      s.matches("show\\s+continuous\\s+queries\\s*;?") ||
       s.matches("(?s).*now\\(\\)\\s*[-+]\\s*\\d+(ns|us|µs|ms|s|m|h|d|w).*") ||
       s.matches("(?s).*\\bfill\\s*\\(.*") ||
       s.matches("(?s).*\\bgroup\\s+by\\s+.*\\btime\\s*\\(.*") ||
@@ -94,6 +96,7 @@ object InfluxQL {
     val l = q.toLowerCase
     if (l.matches("show\\s+measurements")) return ShowMeasurements
     if (l.matches("show\\s+retention\\s+policies")) return ShowRetentionPolicies
+    if (l.matches("show\\s+continuous\\s+queries")) return ShowContinuousQueries
     val m = SelectRe.findFirstMatchIn(q).getOrElse(
       throw new IllegalArgumentException(s"unsupported InfluxQL statement: $raw"))
     val (fieldName, dataFunction, transformFunction) = parseSelectList(m.group(1))

@@ -62,6 +62,8 @@ class InfluxQLSpec extends SparkSpec {
     assert(s6.asInstanceOf[InfluxQL.Select].req.dataFunction == "percentile_95")
     assert(InfluxQL.parse("SHOW MEASUREMENTS") == InfluxQL.ShowMeasurements)
     assert(InfluxQL.parse("show retention policies;") == InfluxQL.ShowRetentionPolicies)
+    assert(InfluxQL.parse("SHOW CONTINUOUS QUERIES") == InfluxQL.ShowContinuousQueries)
+    assert(InfluxQL.looksLike("show continuous queries"))
   }
 
   test("reference docs corpus: every documented query string parses " +
