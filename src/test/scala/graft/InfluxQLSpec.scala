@@ -142,6 +142,80 @@ class InfluxQLSpec extends SparkSpec {
       ("2", 1704153600L, None), ("2", 1704157200L, Some(30.0))))
   }
 
+  test("property: a rendered InfluxQL statement parses back to exactly " +
+    "the request it was rendered from (100 random grammar shapes)") {
+    import org.scalacheck.{Gen, Prop}
+    // generator over the documented grammar space: every select-list
+    // shape (bare / agg / chained transforms / percentile), 1-3 part
+    // FROM, relative or absolute-range or no time bound, tag filters
+    // with the reference's ':'-and-'/'-laden values, time+tag grouping,
+    // every fill mode — rendered canonically and parsed back
+    val meas = Gen.oneOf("sensor_temp", "electricity_meter_power",
+      "zwave-ad.evt.state.report", "sensor_presence.evt.presence.report")
+    val rpG = Gen.option(Gen.oneOf("gen_raw", "gen_day", "default_20w"))
+    val dbG = Gen.oneOf(false, true)
+    val aggG = Gen.oneOf("mean", "count", "sum", "min", "max", "median",
+      "first", "last", "spread", "stddev")
+    val chainG = Gen.oneOf(Nil, List("abs"), List("difference"),
+      List("difference", "abs"), List("abs", "difference"))
+    val selG: Gen[(String, DataPointsRequest => DataPointsRequest)] =
+      Gen.oneOf(
+        Gen.const(("\"value\"", identity[DataPointsRequest] _)),
+        for { a <- aggG; ch <- chainG } yield {
+          val inner = s"""$a("value")"""
+          val rendered = ch.foldLeft(inner)((e, t) => s"$t($e)")
+          (rendered, (r: DataPointsRequest) => r.copy(
+            dataFunction = a, transformFunction = ch.mkString(",")))
+        },
+        Gen.choose(1, 99).map(n => (s"""percentile("value", $n)""",
+          (r: DataPointsRequest) => r.copy(dataFunction = s"percentile_$n"))))
+    val whereG: Gen[(Seq[String], DataPointsRequest => DataPointsRequest)] =
+      Gen.oneOf(
+        Gen.const((Nil, identity[DataPointsRequest] _)),
+        Gen.oneOf("10m", "5h", "7d", "2w").map(d =>
+          (Seq(s"time > now()-$d"), (r: DataPointsRequest) => r.copy(relativeTime = d))),
+        Gen.const((Seq("time >= '2024-01-01T00:00:00Z'", "time <= '2024-01-02T00:00:00Z'"),
+          (r: DataPointsRequest) => r.copy(
+            fromTime = "2024-01-01T00:00:00Z", toTime = "2024-01-02T00:00:00Z"))))
+    val tagG: Gen[(Seq[String], DataPointsRequest => DataPointsRequest)] =
+      Gen.mapOf(Gen.zip(Gen.oneOf("dev_id", "topic", "location_id"),
+        Gen.oneOf("100", "pt:j1/mt:evt/rt:dev/ad:9_0", "3"))).map { m =>
+        (m.toSeq.map { case (k, v) => s""""$k"='$v'""" },
+          (r: DataPointsRequest) => r.copy(filters = DataPointsFilter(tags = m)))
+      }
+    val groupG: Gen[(String, DataPointsRequest => DataPointsRequest)] =
+      Gen.oneOf(
+        Gen.const(("", identity[DataPointsRequest] _)),
+        Gen.oneOf("1m", "30m", "1h").map(d => (s" GROUP BY time($d)",
+          (r: DataPointsRequest) => r.copy(groupByTime = d))),
+        Gen.oneOf("dev_id", "location_id").map(t => (s""" GROUP BY "$t"""",
+          (r: DataPointsRequest) => r.copy(groupByTag = t))),
+        for { d <- Gen.oneOf("1m", "1h"); t <- Gen.oneOf("dev_id", "location_id") }
+          yield (s""" GROUP BY time($d), "$t"""",
+            (r: DataPointsRequest) => r.copy(groupByTime = d, groupByTag = t)))
+    val fillG: Gen[(String, DataPointsRequest => DataPointsRequest)] =
+      Gen.oneOf(Gen.const(("", identity[DataPointsRequest] _)),
+        Gen.oneOf("null", "previous", "none", "linear").map(f =>
+          (s" FILL($f)", (r: DataPointsRequest) => r.copy(fillType = f))))
+    val stmtG = for {
+      m <- meas; rp <- rpG; db <- dbG
+      (sel, fSel) <- selG; (conds, fW) <- whereG; (tags, fT) <- tagG
+      (grp, fG) <- groupG; (fill, fF) <- fillG
+    } yield {
+      val from = (if (db && rp.isDefined) Seq("\"historian\"") else Nil) ++
+        rp.map(r => s""""$r"""").toSeq :+ s""""$m""""
+      val where = conds ++ tags
+      val sql = s"SELECT $sel FROM ${from.mkString(".")}" +
+        (if (where.nonEmpty) s" WHERE ${where.mkString(" AND ")}" else "") +
+        grp + fill
+      val want = fF(fG(fT(fW(fSel(DataPointsRequest(measurement = m))))))
+      (sql, InfluxQL.Select(want, rp))
+    }
+    checkProp(Prop.forAll(stmtG) { case (sql, want) =>
+      InfluxQL.parse(sql) == want
+    })
+  }
+
   test("looksLike separates InfluxQL from Spark SQL") {
     assert(InfluxQL.looksLike("""SELECT mean("value") FROM "gen_raw"."m" WHERE time > now()-10m"""))
     assert(InfluxQL.looksLike("""SELECT last(value) AS v FROM "gen_default"."m" GROUP BY location_id FILL(null)"""))
