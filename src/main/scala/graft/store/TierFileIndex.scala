@@ -291,10 +291,13 @@ object BatchLedger {
    *  sequentially), so the ids committed by time T form a prefix of the
    *  committed-id sequence, and "currently committed AND id ≤ the
    *  largest ledger entry (marker or watermark) dated ≤ T" is exact.
-   *  [[TierStore.vacuumBatchMarkers]] folding markers into a NEWER
-   *  watermark narrows what old pins can attest (the fold is the
-   *  ledger's vacuum) — run it with the same pin discipline as
-   *  [[TierStore.vacuumTier]] when as-of reproducibility matters. */
+   *  [[TierStore.vacuumBatchMarkers]] is the ledger's VACUUM: a fold
+   *  deletes the markers (and prior watermark) that attested commit
+   *  times, so a pin OLDER than a fold can afterwards attest only what
+   *  some surviving ledger file dated ≤ pin covers — in the worst case
+   *  (all markers folded, single watermark newer than the pin) nothing.
+   *  Exactly vacuumTier's contract: reclaiming history bounds how far
+   *  back pins reach; fold only when no live pin predates it. */
   def read(fs: FileSystem, storeRoot: HPath,
       asOfMillis: Option[Long] = None): (String, Long) => Boolean = {
     val d = dir(storeRoot)
