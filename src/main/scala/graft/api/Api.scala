@@ -696,4 +696,30 @@ object Api {
     try shapeResponse(dispatch(ctx, command, payload), measurement, groupByTag,
       maxRows, afterTimeSec)
     catch { case e: Exception => shapeError(e) }
+
+  /**
+   * The reference's complete WIRE shape: the Series payload wrapped in
+   * the FIMP message envelope a client actually receives
+   * (docs/data-exchange:6-133 — `evt.tsdb.data_points_report` from
+   * service "ecollector", `val_t: "object"`, the Results document as
+   * `val`, `corid` echoing the request's uid). All identity fields are
+   * injectable so responses are reproducible in tests; production
+   * callers pass a fresh `uid` and the wall-clock `ctime`.
+   */
+  def shapeFimpReport(resultsJson: String, corid: String, uid: String,
+      ctime: String, msgType: String = "evt.tsdb.data_points_report"): String =
+    s"""{"type":${jstr(msgType)},"serv":"ecollector","val_t":"object",""" +
+      s""""val":$resultsJson,"tags":null,"props":null,"ver":"1",""" +
+      s""""corid":${if (corid.isEmpty) "null" else jstr(corid)},""" +
+      s""""ctime":${jstr(ctime)},"uid":${jstr(uid)}}"""
+
+  /** [[dispatchShaped]] delivered in the full FIMP envelope — the exact
+   *  bytes-on-the-wire contract of docs/data-exchange (errors ride
+   *  inside `val` as the documented error envelope, same as upstream). */
+  def dispatchFimp(ctx: Context, command: String, payload: Any,
+      corid: String, uid: String, ctime: String,
+      measurement: String = "", groupByTag: String = "",
+      maxRows: Int = 100000, afterTimeSec: Long = Long.MinValue): String =
+    shapeFimpReport(dispatchShaped(ctx, command, payload, measurement,
+      groupByTag, maxRows, afterTimeSec), corid, uid, ctime)
 }

@@ -262,6 +262,34 @@ class ApiPipelineSpec extends SparkSpec {
     assert(!devs(store.readAsOf(Tier.GenDay, pinned)).contains("7"))
   }
 
+  test("dispatchFimp wraps the Series payload in the documented FIMP " +
+    "envelope, echoing the request corid (docs/data-exchange:6-133)") {
+    val store = new TierStore(spark, tmpDir())
+    store.write(Tier.GenRaw, Seq(
+      ("sensor_temp", Timestamp.valueOf("2024-01-01 10:00:00"), 21.5, "d1", "1", "sensor"))
+      .toDF("measurement", "time", "value", "dev_id", "location_id", "dev_type"))
+    val ctx = Api.Context(spark, store,
+      now = () => Instant.parse("2024-01-01T12:00:00Z"))
+    val wire = Api.dispatchFimp(ctx, "cmd.tsdb.get_data_points",
+      Api.GetDataPointsRequest(measurementName = "sensor_temp",
+        relativeTime = "3h"),
+      corid = "req-123", uid = "resp-456",
+      ctime = "2024-01-01T12:00:00.000+00:00",
+      measurement = "sensor_temp")
+    assert(wire ==
+      """{"type":"evt.tsdb.data_points_report","serv":"ecollector","val_t":"object",""" +
+        """"val":{"Results":[{"Series":[{"name":"sensor_temp","tags":{},""" +
+        """"columns":["time","value"],"values":[[1704103200,21.5]]}]}]},""" +
+        """"tags":null,"props":null,"ver":"1","corid":"req-123",""" +
+        """"ctime":"2024-01-01T12:00:00.000+00:00","uid":"resp-456"}""", wire)
+    // a failing command rides the documented error envelope INSIDE val
+    val err = Api.dispatchFimp(ctx, "cmd.tsdb.query",
+      """SELECT mean("v") FROM "nope_rp"."m" WHERE time > now()-5h GROUP BY time(1m) FILL(null)""",
+      corid = "", uid = "u", ctime = "2024-01-01T12:00:00.000+00:00")
+    assert(err.contains(""""val":{"Results":null,"error":"""), err.take(160))
+    assert(err.contains(""""corid":null"""), err.take(160))
+  }
+
   test("shapeResponse bounds the driver collect and pages via the next marker") {
     import spark.implicits._
     val df = spark.range(50).select(
