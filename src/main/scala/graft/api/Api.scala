@@ -707,11 +707,25 @@ object Api {
    * callers pass a fresh `uid` and the wall-clock `ctime`.
    */
   def shapeFimpReport(resultsJson: String, corid: String, uid: String,
-      ctime: String, msgType: String = "evt.tsdb.data_points_report"): String =
-    s"""{"type":${jstr(msgType)},"serv":"ecollector","val_t":"object",""" +
+      ctime: String, msgType: String = "evt.tsdb.data_points_report",
+      valT: String = "object"): String =
+    s"""{"type":${jstr(msgType)},"serv":"ecollector","val_t":${jstr(valT)},""" +
       s""""val":$resultsJson,"tags":null,"props":null,"ver":"1",""" +
       s""""corid":${if (corid.isEmpty) "null" else jstr(corid)},""" +
       s""""ctime":${jstr(ctime)},"uid":${jstr(uid)}}"""
+
+  /** The catalog's documented wire shape (docs/api:403-440):
+   *  `evt.tsdb.measurements_report` with `val_t: "str_array"` — the
+   *  DISTINCT measurement names across tiers, sorted, as a flat JSON
+   *  string array. */
+  def measurementsFimpReport(ctx: Context, corid: String, uid: String,
+      ctime: String): String = {
+    val names = dispatch(ctx, "cmd.tsdb.get_measurements", null)
+      .select("measurement").distinct()
+      .collect().map(_.getString(0)).sorted
+    shapeFimpReport(names.map(jstr).mkString("[", ",", "]"), corid, uid,
+      ctime, msgType = "evt.tsdb.measurements_report", valT = "str_array")
+  }
 
   /** [[dispatchShaped]] delivered in the full FIMP envelope — the exact
    *  bytes-on-the-wire contract of docs/data-exchange (errors ride

@@ -288,6 +288,16 @@ class ApiPipelineSpec extends SparkSpec {
       corid = "", uid = "u", ctime = "2024-01-01T12:00:00.000+00:00")
     assert(err.contains(""""val":{"Results":null,"error":"""), err.take(160))
     assert(err.contains(""""corid":null"""), err.take(160))
+
+    // the catalog's documented wire shape: str_array of distinct sorted
+    // measurement names (docs/api:403-440)
+    val cat = Api.measurementsFimpReport(ctx, corid = "c1", uid = "u1",
+      ctime = "2024-01-01T12:00:00.000+00:00")
+    assert(cat ==
+      """{"type":"evt.tsdb.measurements_report","serv":"ecollector",""" +
+        """"val_t":"str_array","val":["sensor_temp"],"tags":null,"props":null,""" +
+        """"ver":"1","corid":"c1","ctime":"2024-01-01T12:00:00.000+00:00",""" +
+        """"uid":"u1"}""", cat)
   }
 
   test("shapeResponse bounds the driver collect and pages via the next marker") {
