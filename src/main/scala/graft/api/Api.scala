@@ -38,6 +38,17 @@ object Api {
   final case class WritePoint(name: String, tags: Map[String, String],
       fields: Map[String, Double], ts: java.sql.Timestamp)
 
+  /** The full write request (types.go:30-34): `bucket` pins the target
+   *  retention policy directly — the reference's `WriteDirect(rpName)`,
+   *  process.go:313-337 — and empty means "auto calculate based on
+   *  measurement name" (the routed path). Divergence kept from round 2:
+   *  the reference stamps every point with ITS OWN wall clock and
+   *  ignores the submitted `ts` (admin.go:197-198); we honor the
+   *  submitted timestamp — a historical import would otherwise be
+   *  impossible. */
+  final case class WriteDataPointsRequest(procId: Int = 1,
+      bucket: String = "", dp: Seq[WritePoint])
+
   /** cmd.tsdb.compact DTO — ops parity for the round-8 layout surface
    *  (EXTENSION; the reference delegates compaction to InfluxDB's
    *  storage engine, influxdb_v1.go:271-413). Empty `tier` = every
@@ -437,17 +448,23 @@ object Api {
         // reference logs and keeps the old level (admin.go:385-387)
         ctrlReport(ctx, "set_level", "error", s"unknown log level: $level", 0)
     case "cmd.tsdb.write_data_points" => // S6 (admin.go:179-204)
-      // WriteDataPointsRequest carries a ProcID (types.go:23-34) — a
-      // (procId, points) payload routes to that process's store
-      val (routed, points) = payload match {
+      // WriteDataPointsRequest carries a ProcID and an optional BUCKET
+      // (types.go:30-34); legacy (procId, points) / bare-points payload
+      // shapes remain accepted
+      def admitProc(procId: Int): Unit =
+        // admission control: a STOPPED process (operator stop or disk
+        // alarm, integration.go:296-301) accepts no writes
+        ctx.registry.flatMap(_.byId(procId)).foreach { h =>
+          if (h.status == "STOPPED") throw new IllegalStateException(
+            s"process $procId is STOPPED: write rejected")
+        }
+      val (ctxW, bucket, points) = payload match {
+        case req: WriteDataPointsRequest =>
+          admitProc(req.procId)
+          (procCtx(ctx, req.procId), req.bucket, req.dp)
         case (procId: Int, pts: Seq[_]) =>
-          // admission control: a STOPPED process (operator stop or disk
-          // alarm, integration.go:296-301) accepts no writes
-          ctx.registry.flatMap(_.byId(procId)).foreach { h =>
-            if (h.status == "STOPPED") throw new IllegalStateException(
-              s"process $procId is STOPPED: write rejected")
-          }
-          (procCtx(ctx, procId), pts.asInstanceOf[Seq[WritePoint]])
+          admitProc(procId)
+          (procCtx(ctx, procId), "", pts.asInstanceOf[Seq[WritePoint]])
         case pts: Seq[_] =>
           // unrouted writes land in the default context, but a latched
           // disk alarm stops ALL ingestion, not just per-process stores
@@ -455,10 +472,9 @@ object Api {
             if (r.alarmActive) throw new IllegalStateException(
               "storage quota alarm active: write rejected")
           }
-          (ctx, pts.asInstanceOf[Seq[WritePoint]])
+          (ctx, "", pts.asInstanceOf[Seq[WritePoint]])
         case other => throw new IllegalArgumentException(s"bad write payload: $other")
       }
-      val ctxW = routed
       import ctxW.spark.implicits._
       val df = points.map(p => (p.name, p.ts,
           p.tags.getOrElse("dev_id", ""), p.tags.getOrElse("dev_type", ""),
@@ -467,7 +483,15 @@ object Api {
           p.fields.getOrElse("value", Double.NaN), p.fields.get("unit").map(_.toString).orNull))
         .toDF("measurement", "time", "dev_id", "dev_type", "dir", "location_id",
           "service", "src", "topic", "value", "unit")
-      ctxW.store.writeRouted(df, ctxW.profile)
+      if (bucket.isEmpty) ctxW.store.writeRouted(df, ctxW.profile)
+      else {
+        // WriteDirect (process.go:313-337): the caller pinned the target
+        // retention policy — no routing; an unknown bucket is refused
+        // rather than auto-created (the reference lets InfluxDB error)
+        val t = ctxW.store.tierByName(bucket).getOrElse(
+          throw new IllegalArgumentException(s"unknown bucket: $bucket"))
+        ctxW.store.write(t, df)
+      }
       ctx.spark.emptyDataFrame
     case "cmd.tsdb.get_measurements" => // S8 (admin.go / influxdb_v1.go:376-394)
       import ctx.spark.implicits._

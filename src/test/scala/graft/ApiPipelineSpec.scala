@@ -262,6 +262,29 @@ class ApiPipelineSpec extends SparkSpec {
     assert(!devs(store.readAsOf(Tier.GenDay, pinned)).contains("7"))
   }
 
+  test("write_data_points bucket pins the target retention policy " +
+    "(WriteDirect, process.go:313-337); empty bucket auto-routes; " +
+    "unknown bucket refused") {
+    val store = new TierStore(spark, tmpDir())
+    val ctx = Api.Context(spark, store)
+    def pt(name: String) = Api.WritePoint(name,
+      Map("dev_id" -> "d1", "location_id" -> "1"), Map("value" -> 7.0),
+      Timestamp.valueOf("2024-01-01 10:00:00"))
+    // app_click would ROUTE to gen_default; the bucket pins gen_week
+    Api.dispatch(ctx, "cmd.tsdb.write_data_points",
+      Api.WriteDataPointsRequest(bucket = "gen_week", dp = Seq(pt("app_click"))))
+    assert(store.read(Tier.GenWeek).count() == 1L)
+    assert(store.read(Tier.GenDefault).count() == 0L)
+    // empty bucket = the auto-routing path (types.go:33)
+    Api.dispatch(ctx, "cmd.tsdb.write_data_points",
+      Api.WriteDataPointsRequest(dp = Seq(pt("app_click"))))
+    assert(store.read(Tier.GenDefault).count() == 1L)
+    intercept[IllegalArgumentException] {
+      Api.dispatch(ctx, "cmd.tsdb.write_data_points",
+        Api.WriteDataPointsRequest(bucket = "nope", dp = Seq(pt("app_click"))))
+    }
+  }
+
   test("dispatchFimp wraps the Series payload in the documented FIMP " +
     "envelope, echoing the request corid (docs/data-exchange:6-133)") {
     val store = new TierStore(spark, tmpDir())
