@@ -753,11 +753,19 @@ object Api {
 
   /** [[dispatchShaped]] delivered in the full FIMP envelope — the exact
    *  bytes-on-the-wire contract of docs/data-exchange (errors ride
-   *  inside `val` as the documented error envelope, same as upstream). */
+   *  inside `val` as the documented error envelope, same as upstream).
+   *  The report type follows the command: `cmd.tsdb.query` answers as
+   *  `evt.tsdb.query_report` (docs/api:24,209,263,367), the structured
+   *  point queries as `evt.tsdb.data_points_report`
+   *  (docs/data-exchange:7). */
   def dispatchFimp(ctx: Context, command: String, payload: Any,
       corid: String, uid: String, ctime: String,
       measurement: String = "", groupByTag: String = "",
-      maxRows: Int = 100000, afterTimeSec: Long = Long.MinValue): String =
+      maxRows: Int = 100000, afterTimeSec: Long = Long.MinValue): String = {
+    val msgType =
+      if (command == "cmd.tsdb.query") "evt.tsdb.query_report"
+      else "evt.tsdb.data_points_report"
     shapeFimpReport(dispatchShaped(ctx, command, payload, measurement,
-      groupByTag, maxRows, afterTimeSec), corid, uid, ctime)
+      groupByTag, maxRows, afterTimeSec), corid, uid, ctime, msgType)
+  }
 }

@@ -311,6 +311,8 @@ class ApiPipelineSpec extends SparkSpec {
       corid = "", uid = "u", ctime = "2024-01-01T12:00:00.000+00:00")
     assert(err.contains(""""val":{"Results":null,"error":"""), err.take(160))
     assert(err.contains(""""corid":null"""), err.take(160))
+    // raw-query responses carry the query_report type (docs/api:24)
+    assert(err.startsWith("""{"type":"evt.tsdb.query_report","""), err.take(60))
 
     // the catalog's documented wire shape: str_array of distinct sorted
     // measurement names (docs/api:403-440)
