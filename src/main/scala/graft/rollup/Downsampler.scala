@@ -178,13 +178,35 @@ object Downsampler {
   def verifyRollups(store: graft.store.TierStore, fromDate: String,
       toDate: String, tagCols: Seq[String] = defaultTagCols,
       tolerance: Double = 1e-6,
-      hops: Seq[(Tier, Tier)] = Tier.cascade): org.apache.spark.sql.DataFrame = {
+      hops: Seq[(Tier, Tier)] = Nil): org.apache.spark.sql.DataFrame = {
     val from = java.sql.Date.valueOf(fromDate)
     val to = java.sql.Date.valueOf(toDate)
     require(!from.after(to), s"verify window is inverted: $fromDate > $toDate")
     import org.apache.spark.sql.functions._
-    val reports = hops.map { case (f, t) =>
-      val res = TierPolicy.tierResolutionMinutes(t, Tier.ProfileOptimized)
+    // default (Nil): audit EVERYTHING maintenance maintains — the fixed
+    // cascade plus every registered CQ; an explicit hop list scopes the
+    // audit (its resolution comes from the tier policy, or from the
+    // matching CQ registration for custom hops)
+    val resolved: Seq[(Tier, Tier, Long)] =
+      if (hops.isEmpty)
+        Tier.cascade.map { case (f, t) =>
+          (f, t, TierPolicy.tierResolutionMinutes(t, Tier.ProfileOptimized))
+        } ++ store.continuousQueries.flatMap { cq =>
+          for (f <- store.tierByName(cq.src); t <- store.tierByName(cq.target))
+            yield (f, t, cq.resolutionMinutes)
+        }
+      else hops.map { case (f, t) =>
+        val polRes = TierPolicy.tierResolutionMinutes(t, Tier.ProfileOptimized)
+        val res =
+          if (polRes > 0) polRes
+          else store.continuousQueries
+            .find(cq => cq.src == f.name && cq.target == t.name)
+            .map(_.resolutionMinutes)
+            .getOrElse(throw new IllegalArgumentException(
+              s"no resolution known for hop ${f.name} -> ${t.name}"))
+        (f, t, res)
+      }
+    val reports = resolved.map { case (f, t, res) =>
       def window(df: org.apache.spark.sql.DataFrame) =
         df.filter(col("date") >= from && col("date") <= to)
       val src = window(store.read(f))

@@ -187,6 +187,18 @@ class Round9OpsSpec extends SparkSpec {
     assert(store.read(fast).select("value").as[Double].collect().toSeq ==
       Seq(15.0))
 
+    // the default audit covers the registered CQ hop too, and certifies
+    // the custom tier clean after the repair
+    val audit = Downsampler.verifyRollups(store, "2024-01-01", "2024-01-01")
+      .filter(col("tier") === "fast").collect()
+    assert(audit.length == 1 &&
+      audit.head.getAs[Long]("n_missing") == 0L &&
+      audit.head.getAs[Long]("n_extra") == 0L &&
+      audit.head.getAs[Long]("n_value_mismatch") == 0L)
+    // explicit custom hop resolves its resolution from the registration
+    assert(Downsampler.verifyRollups(store, "2024-01-01", "2024-01-01",
+      hops = Seq((Tier.GenRaw, store.tierByName("fast").get))).count() == 1L)
+
     // DURABILITY: the reference keeps RPs and CQs in InfluxDB metadata —
     // a fresh TierStore attaching to the same root must see both
     val reattached = new TierStore(spark, storeRoot)
