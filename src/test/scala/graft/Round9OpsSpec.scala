@@ -146,6 +146,14 @@ class Round9OpsSpec extends SparkSpec {
     val want = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0),
       k = 3).select("vec_id").as[Long].collect().toSet
     assert(got == want)
+    // the int8 twin columns must survive the streaming append AND the
+    // compaction rewrite — the quantized (IVFADC-style) probe reads
+    // only q8/nq8 in its candidate phase and would break at deployment
+    // if either path dropped them
+    val gotQ = Similarity.queryIvfIndexQuantized(spark, s"$work/idx",
+      emb.filter(col("vec_id") === 0), k = 3, nProbes = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(gotQ == want)
   }
 
   test("registered continuous queries: CRUD through the command API, " +
