@@ -336,11 +336,21 @@ object Api {
       // merely absent from the current snapshot: rows surviving only in
       // retainHistory snapshots (e.g. a rollup window maintain rebuilt
       // without the device — the new version has no matches for
-      // deleteWhere to find) would stay readable via readAsOf, so each
-      // targeted tier is vacuumed in the same command
-      targets.map(t => (t.name, c.store.deleteWhere(t, pred).toLong,
-          c.store.vacuumTier(t).toLong))
-        .toDF("tier", "partitions_rewritten", "history_vacuumed")
+      // deleteWhere to find) would stay readable via readAsOf, so a
+      // targeted tier is also vacuumed — but ONLY when the predicate
+      // actually touched it (rows rewritten now, or retained history
+      // still holding matches). A predicate that never matched anything
+      // (a typo'd device id) must not destroy every as-of pin
+      // tier-wide; history_vacuumed > 0 in the response is the signal
+      // that pins into that tier's past are now invalid.
+      targets.map { t =>
+        val rewrote = c.store.deleteWhere(t, pred).toLong
+        val vacuumed =
+          if (rewrote > 0 || c.store.retainedHistoryMatches(t, pred))
+            c.store.vacuumTier(t).toLong
+          else 0L
+        (t.name, rewrote, vacuumed)
+      }.toDF("tier", "partitions_rewritten", "history_vacuumed")
 
     case "cmd.tsdb.compact" =>
       // EXTENSION: the round-8 layout/compaction surface, command-

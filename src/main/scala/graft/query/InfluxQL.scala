@@ -111,6 +111,18 @@ object InfluxQL {
     val (groupByTime, groupByTag) =
       Option(m.group(6)).map(parseGroupBy).getOrElse(("", ""))
     val fillType = Option(m.group(7)).map(_.toLowerCase).getOrElse("")
+    // difference() needs a time axis to difference ALONG: raw rows carry
+    // their own `time`, and GROUP BY time(..) provides bucket times —
+    // but an aggregate WITHOUT a time bucket collapses the time column
+    // away, so `difference(max("value"))` with no GROUP BY time has
+    // nothing to order by. Refuse it here so the unsupported shape
+    // surfaces through the grammar's documented IllegalArgumentException
+    // envelope instead of an opaque analysis error downstream.
+    if (transformFunction.split(",").contains("difference") &&
+        dataFunction.nonEmpty && groupByTime.isEmpty)
+      throw new IllegalArgumentException(
+        "difference() over an aggregate requires GROUP BY time(...): " +
+          s"nothing provides a time axis in: $raw")
     Select(DataPointsRequest(
       measurement = measurement,
       fieldName = if (fieldName == "value") "" else fieldName,

@@ -2,7 +2,7 @@ package graft.rollup
 
 import graft.model.Tier
 import graft.query.TierPolicy
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -218,7 +218,13 @@ object Downsampler {
         present.foldLeft(df)((d, k) =>
             d.withColumn(k, coalesce(col(k).cast("string"), lit("\u0000"))))
           .select((keys.map(col) :+ col("value").as(vAlias)): _*)
+      // key PRESENCE is carried by its own flag (`_pe`) / the actual
+      // side's row count (`_c` ≥ 1 wherever the key exists): a
+      // legitimately NULL aggregate value (e.g. avg over all-null
+      // source values) must still count as present, not as a
+      // missing/extra pair — value non-nullness is not key presence
       val expected = keyed(downsample(src.drop("date"), res, present), "v_exp")
+        .withColumn("_pe", lit(1))
       // pre-aggregate the ACTUAL side per rollup key: a duplicate-key
       // defect (the same window double-appended) must be COUNTED as
       // extra copies, not silently multiply the join — expected is one
@@ -228,21 +234,26 @@ object Downsampler {
         .groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("_c"), min(col("v_act")).as("_vmin"),
           max(col("v_act")).as("_vmax"))
-      val matched = col("v_exp").isNotNull && col("_c").isNotNull
+      val matched = col("_pe").isNotNull && col("_c").isNotNull
+      // null-safe value agreement: both-NULL agrees, NULL-vs-value
+      // disagrees, two values agree within tolerance
+      def agrees(a: Column, b: Column) =
+        (a.isNull && b.isNull) ||
+          (a.isNotNull && b.isNotNull && abs(a - b) <= tolerance)
       expected.join(actual, keys, "full_outer")
         .select(col("measurement"),
           to_date(col("time")).cast("string").as("date"),
-          col("v_exp"), col("_c"), col("_vmin"), col("_vmax"))
+          col("_pe"), col("v_exp"), col("_c"), col("_vmin"), col("_vmax"))
         .groupBy("measurement", "date")
-        .agg(count(col("v_exp")).as("n_expected"),
+        .agg(count(col("_pe")).as("n_expected"),
           sum(coalesce(col("_c"), lit(0L))).as("n_actual"),
-          sum(when(col("v_exp").isNotNull && col("_c").isNull, 1L)
+          sum(when(col("_pe").isNotNull && col("_c").isNull, 1L)
             .otherwise(0L)).as("n_missing"),
           // ghost keys contribute all copies; matched keys their surplus
           sum(coalesce(col("_c"), lit(0L)) - when(matched, 1L).otherwise(0L))
             .as("n_extra"),
-          sum(when(matched && (abs(col("_vmin") - col("v_exp")) > tolerance ||
-            abs(col("_vmax") - col("v_exp")) > tolerance), 1L).otherwise(0L))
+          sum(when(matched && !(agrees(col("_vmin"), col("v_exp")) &&
+            agrees(col("_vmax"), col("v_exp"))), 1L).otherwise(0L))
             .as("n_value_mismatch"))
         .withColumn("tier", lit(t.name))
         .select("tier", "measurement", "date", "n_expected", "n_actual",

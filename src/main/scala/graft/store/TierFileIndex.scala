@@ -294,10 +294,15 @@ object BatchLedger {
    *  [[TierStore.vacuumBatchMarkers]] is the ledger's VACUUM: a fold
    *  deletes the markers (and prior watermark) that attested commit
    *  times, so a pin OLDER than a fold can afterwards attest only what
-   *  some surviving ledger file dated ≤ pin covers — in the worst case
-   *  (all markers folded, single watermark newer than the pin) nothing.
-   *  Exactly vacuumTier's contract: reclaiming history bounds how far
-   *  back pins reach; fold only when no live pin predates it. */
+   *  some surviving ledger file dated ≤ pin covers. Exactly
+   *  vacuumTier's contract: reclaiming history bounds how far back pins
+   *  reach — but unlike a vacuumed snapshot (whose absence the reader
+   *  can see), a folded marker would make the pin silently resolve
+   *  PARTIAL data, so the predicate FAILS LOUDLY instead: a batch whose
+   *  only commit record is a watermark the pin cannot attest (the
+   *  watermark file's own mtime — written at fold time, never renamed —
+   *  is newer than the pin) throws IllegalStateException rather than
+   *  answering. Fold only when no live pin predates it. */
   def read(fs: FileSystem, storeRoot: HPath,
       asOfMillis: Option[Long] = None): (String, Long) => Boolean = {
     val d = dir(storeRoot)
@@ -329,7 +334,22 @@ object BatchLedger {
             attested(w) = math.max(attested.getOrElse(w, -1L), id)
           }
         }
-        (w, id) => committedNow(w, id) && id <= attested.getOrElse(w, -1L)
+        (w, id) => {
+          val att = attested.getOrElse(w, -1L)
+          // id committed ONLY via a watermark the pin cannot attest: the
+          // fold that wrote it postdates the pin (else the watermark
+          // entry itself would be in `attested`), so whether this batch
+          // committed before or after the pin is no longer recorded —
+          // answering either way risks a silent wrong read
+          if (id > att && id <= low.getOrElse(w, -1L))
+            throw new IllegalStateException(
+              s"as-of pin $t predates the ledger fold for writer '$w': " +
+                s"batch $id's commit instant was folded into a watermark " +
+                "newer than the pin (vacuumBatchMarkers), so the pin can " +
+                "no longer resolve exactly — re-pin, or fold markers only " +
+                "after no live pin predates them")
+          committedNow(w, id) && id <= att
+        }
     }
   }
 }

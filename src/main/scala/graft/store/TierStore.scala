@@ -834,6 +834,52 @@ final class TierStore(spark: SparkSession, root: String) {
   }
 
   /**
+   * Does this tier's RETAINED HISTORY — data readable only through
+   * [[readAsOf]], i.e. superseded `_v=` snapshots plus raw files the
+   * current commit folded — still contain rows matching `predicate`?
+   * The erasure command's gate: a [[deleteWhere]] that rewrote nothing
+   * proves the CURRENT snapshot is clean, but an earlier maintenance
+   * rebuild may have replaced the matching rows while `retainHistory`
+   * kept their old snapshot on disk — only then must erasure also
+   * [[vacuumTier]] (which destroys every as-of pin tier-wide, so it
+   * must not run for e.g. a typo'd device id that never matched
+   * anything). Cost: a listing per partition, then one scan over ONLY
+   * the history files of partitions that have any (zero Spark jobs when
+   * no history exists).
+   */
+  def retainedHistoryMatches(tier: Tier, predicate: Column): Boolean = {
+    val tierRoot = path(tier.name)
+    if (!exists(tierRoot)) return false
+    val histParts = for {
+      mDir <- subDirs(tierRoot) if mDir.getName.startsWith("measurement=")
+      m = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(mDir.getName.stripPrefix("measurement="))
+      dDir <- subDirs(mDir.toString) if dDir.getName.startsWith("date=")
+      d = dDir.getName.stripPrefix("date=")
+      entries = fs.listStatus(dDir).toSeq
+      cur <- TierLayout.latestValidVersion(fs, dDir, entries).toSeq
+      folded = TierLayout.foldedFiles(fs, dDir, cur)
+      oldSnaps = entries.filter { e =>
+        val n = e.getPath.getName
+        e.isDirectory && n.startsWith("_v=") &&
+          n.stripPrefix("_v=").toLongOption.exists(_ < cur)
+      }.flatMap(e => fs.listStatus(e.getPath).toSeq.filter(TierLayout.isDataFile))
+      foldedRaw = entries.filter(e =>
+        TierLayout.isDataFile(e) && folded(e.getPath.getName))
+      files = (oldSnaps ++ foldedRaw).map(_.getPath.toString)
+      if files.nonEmpty
+    } yield (m, d, files)
+    if (histParts.isEmpty) return false
+    val frames = histParts.map { case (m, d, files) =>
+      spark.read.parquet(files: _*)
+        .withColumn("measurement", lit(m))
+        .withColumn("date", lit(d).cast("date"))
+    }
+    !frames.reduce(_ unionByName (_, allowMissingColumns = true))
+      .filter(coalesce(predicate, lit(false))).isEmpty
+  }
+
+  /**
    * Reclaim history a `retainHistory` maintenance pass kept for
    * [[readAsOf]]: every partition drops snapshots and folded raw files
    * older than its CURRENT commit. After the vacuum, as-of reads can no

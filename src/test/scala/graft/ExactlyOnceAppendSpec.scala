@@ -153,4 +153,27 @@ class ExactlyOnceAppendSpec extends SparkSpec {
     assert(names2 == Set("_bwm_ingest_3"), names2.toString)
     assert(values(store, Tier.GenRaw) == Seq(0.0, 1.0, 2.0, 3.0))
   }
+
+  test("as-of pin older than a ledger fold fails loudly instead of " +
+    "silently attesting nothing") {
+    val root = tmpDir()
+    val store = new TierStore(spark, root)
+    Seq(0L, 1L).foreach(id =>
+      store.writeRoutedBatch(pts(("sensor_temp", id.toDouble)), id))
+    val pin = System.currentTimeMillis()
+    store.vacuumBatchMarkers() // folds 0,1 into the watermark
+    val fs = new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val wm = BatchLedger.watermarkFile(new HPath(root), "ingest", 1L)
+    // make the fold instant unambiguously AFTER the pin (mtime
+    // granularity would otherwise race a same-millisecond fold)
+    fs.setTimes(wm, pin + 5000L, -1L)
+    val ex = intercept[IllegalStateException] {
+      store.readAsOf(Tier.GenRaw, pin).collect()
+    }
+    assert(ex.getMessage.contains("predates the ledger fold"), ex.getMessage)
+    // a pin taken AFTER the fold resolves exactly: the watermark itself
+    // attests everything it covers
+    assert(store.readAsOf(Tier.GenRaw, pin + 10000L).collect()
+      .map(_.getAs[Double]("value")).sorted.toSeq == Seq(0.0, 1.0))
+  }
 }

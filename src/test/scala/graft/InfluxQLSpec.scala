@@ -212,8 +212,32 @@ class InfluxQLSpec extends SparkSpec {
       (sql, InfluxQL.Select(want, rp))
     }
     checkProp(Prop.forAll(stmtG) { case (sql, want) =>
-      InfluxQL.parse(sql) == want
+      // difference over an aggregate with no GROUP BY time has no time
+      // axis — the grammar refuses it (documented error envelope)
+      val refused = want.req.transformFunction.split(",").contains("difference") &&
+        want.req.dataFunction.nonEmpty && want.req.groupByTime.isEmpty
+      if (refused)
+        try { InfluxQL.parse(sql); false }
+        catch { case _: IllegalArgumentException => true }
+      else InfluxQL.parse(sql) == want
     })
+  }
+
+  test("difference over an aggregate without GROUP BY time is refused " +
+    "through the grammar's error envelope, not a downstream plan error") {
+    intercept[IllegalArgumentException] {
+      InfluxQL.parse("""SELECT difference(max("value")) FROM "m" WHERE time > now()-1h""")
+    }
+    intercept[IllegalArgumentException] {
+      InfluxQL.parse("""SELECT abs(difference(mean("value"))) FROM "m" GROUP BY "dev_id"""")
+    }
+    // raw rows carry their own time column — still supported
+    val raw = InfluxQL.parse("""SELECT difference("value") FROM "m" WHERE time > now()-1h""")
+    assert(raw.asInstanceOf[InfluxQL.Select].req.transformFunction == "difference")
+    // and a time bucket provides the axis for the aggregate form
+    val bucketed = InfluxQL.parse(
+      """SELECT difference(max("value")) FROM "m" GROUP BY time(1h)""")
+    assert(bucketed.asInstanceOf[InfluxQL.Select].req.dataFunction == "max")
   }
 
   test("looksLike separates InfluxQL from Spark SQL") {
