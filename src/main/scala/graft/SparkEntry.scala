@@ -941,10 +941,11 @@ object SparkEntry {
       // STREAMING IVF index maintenance e2e (Similarity.
       // streamingIvfAppend): build the index on the even half of the
       // corpus, stream the odd half in micro-batches onto the frozen
-      // centroids, compact (replay-dup removal + small-file fold), then
-      // probe with nProbes = nLists — a full probe ≡ brute force over
-      // the FULL corpus, so the oracle pins that the streamed index
-      // holds exactly every vector (none lost, none duplicated, scored
+      // centroids (EXACTLY-ONCE per batch via the index ledger), run
+      // the selective small-file fold, then probe with
+      // nProbes = nLists — a full probe ≡ brute force over the FULL
+      // corpus, so the oracle pins that the streamed index holds
+      // exactly every vector (none lost, none duplicated, scored
       // exactly); the embedding counterpart of dedup_incremental
       val work = java.nio.file.Files.createTempDirectory("graft_ivfs")
         .toFile.getAbsolutePath
@@ -960,7 +961,7 @@ object SparkEntry {
         s.readStream.schema(incoming.schema).parquet(s"$work/in"),
         s"$work/idx", s"$work/ckpt")
       q.processAllAvailable(); graft.stream.StreamOps.stopAndUnload(q)
-      graft.functions.Similarity.compactIvfLists(s, s"$work/idx")
+      graft.functions.Similarity.compactIvfLists(s, s"$work/idx", minFiles = 2)
       graft.functions.Similarity.queryIvfIndex(s, s"$work/idx",
         emb.filter(col("vec_id") < 5), k = 10, nProbes = 8)
     }),

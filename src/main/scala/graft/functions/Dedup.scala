@@ -443,7 +443,7 @@ object Dedup {
    *  share the cached result across the intra-batch pair generation,
    *  the index query, and the index append (the doc-level entry points
    *  each re-derive it). */
-  private[functions] def shingledDocs(docs: DataFrame, n: Int, k: Int,
+  private[graft] def shingledDocs(docs: DataFrame, n: Int, k: Int,
       idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol).as("id"),
@@ -685,8 +685,31 @@ object Dedup {
     writeShingledToIndex(sh, path, k, bands, SaveMode.Append)
   }
 
+  /** EXACTLY-ONCE streaming append of a pre-computed (id, sh, sig)
+   *  table: the batch's two table writes stage under the index root and
+   *  commit through [[graft.store.StagedBatchAppend]]'s ledger, so a
+   *  crash replay of the micro-batch SKIPS instead of re-appending
+   *  (the index counterpart of [[graft.store.TierStore.writeRoutedBatch]];
+   *  previously replay duplicates were live until the next compaction).
+   *  Returns false on the replay skip. */
+  private[graft] def appendShingledToIndexBatch(sh: DataFrame, path: String,
+      n: Int, k: Int, bands: Int, batchId: Long,
+      writer: String = "dedup"): Boolean = {
+    repairMinhashIndex(sh.sparkSession, path) // writer context: safe to heal
+    checkIndexParams(sh.sparkSession, path, n, k, bands)
+    graft.store.StagedBatchAppend.append(sh.sparkSession, path, writer,
+      batchId) { staging =>
+      writeShingledTables(sh, s"$staging/buckets", s"$staging/shingles",
+        k, bands, SaveMode.Overwrite)
+    }
+  }
+
   private def writeShingledToIndex(sh: DataFrame, path: String,
-      k: Int, bands: Int, mode: SaveMode): Unit = {
+      k: Int, bands: Int, mode: SaveMode): Unit =
+    writeShingledTables(sh, s"$path/buckets", s"$path/shingles", k, bands, mode)
+
+  private def writeShingledTables(sh: DataFrame, bucketsPath: String,
+      shinglesPath: String, k: Int, bands: Int, mode: SaveMode): Unit = {
     // The two tables are committed CONCURRENTLY: they carry disjoint
     // data derived from the same input, and a crash that lands one
     // without the other only produces orphan rows the query join
@@ -718,9 +741,9 @@ object Dedup {
       def nFiles(n: Long) = math.max(1, math.ceil(n / 200000.0).toInt)
       concurrentActions(sc,
         () => banded(cached, k, bands).coalesce(nFiles(rows * bands))
-          .write.mode(mode).parquet(s"$path/buckets"),
+          .write.mode(mode).parquet(bucketsPath),
         () => cached.select(col("id"), col("sh")).coalesce(nFiles(rows))
-          .write.mode(mode).parquet(s"$path/shingles"))
+          .write.mode(mode).parquet(shinglesPath))
     } finally cached.unpersist()
   }
 
@@ -829,69 +852,129 @@ object Dedup {
 
   private def repairIndex(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit =
     Seq("buckets", "shingles").foreach { t =>
+      // legacy whole-table swap heal (indexes compacted by the pre-fold
+      // protocol): restore a live dir from its `.old` sibling
       val live = new org.apache.hadoop.fs.Path(s"$path/$t")
       val old = new org.apache.hadoop.fs.Path(s"$path/.$t.old")
       if (!fs.exists(live) && fs.exists(old)) fs.rename(old, live)
+      healFold(fs, path, t)
     }
 
+  private def foldManifest(path: String, t: String) =
+    new org.apache.hadoop.fs.Path(s"$path/._fold_$t")
+
+  /** Complete (or discard) a crashed [[compactMinhashIndex]] fold: the
+   *  fold's manifest is ROLL-FORWARD — written complete (ok-terminated)
+   *  BEFORE any file moves, it lists exactly the staged→live renames
+   *  and the folded source deletions, each idempotent, so replaying
+   *  them finishes the fold no matter where the crash hit. An
+   *  unterminated manifest means nothing moved yet: discard it and the
+   *  staging. Maintainer-only, called from [[repairIndex]]. */
+  private def healFold(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      t: String): Unit = {
+    val mp = foldManifest(path, t)
+    if (!fs.exists(mp)) return
+    val in = fs.open(mp)
+    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    if (text.endsWith("ok\n")) text.linesIterator.foreach { l =>
+      if (l.startsWith("mv\t")) {
+        val Array(_, s, d) = l.split("\t", 3)
+        val sp = new org.apache.hadoop.fs.Path(s)
+        val dp = new org.apache.hadoop.fs.Path(d)
+        if (fs.exists(sp)) {
+          if (fs.exists(dp)) fs.delete(sp, false) else fs.rename(sp, dp)
+        }
+      } else if (l.startsWith("rm\t"))
+        fs.delete(new org.apache.hadoop.fs.Path(l.split("\t", 2)(1)), false)
+    }
+    fs.delete(mp, false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/.compact/$t"), true)
+  }
+
   /**
-   * Fold the index's per-batch appends into few large files: every
-   * micro-batch append adds one file set to `buckets/` and `shingles/`,
-   * so after N batches every index query lists and reads N file groups
-   * (500 daily batches = 500 small files per table). Rewrites each
-   * table at `targetFileBytes` per output file (size-aware, like
-   * [[graft.store.TierStore.compact]]), then swaps it live:
-   * new files land in a hidden `.compact/` staging dir, the live dir is
-   * renamed to `.{table}.old`, the staged dir renamed live, and the
-   * `.old` dir deleted. The swap is two renames, not atomic — the
-   * contract is SINGLE-MAINTAINER AT A QUIESCED POINT: nothing may read
-   * or append the index while this runs. A long-running
-   * [[graft.functions.Pipeline.streamingIndexedDedup]] deployment gets
-   * that point for free via `compactEvery` (the call runs from inside
-   * foreachBatch, where the stream — the only reader/writer — is
-   * between micro-batches); with `compactEvery = 0` maintenance must
-   * run with the stream STOPPED (before start or between restarts) —
-   * an external cron against a live stream would let an in-flight
-   * append land in the live dir after this call read it and before the
-   * swap, silently losing that batch's index rows. A crash inside the
-   * swap window is self-healing: the next WRITE-path open
-   * ([[repairMinhashIndex]], called by every append and by this method)
-   * restores a missing live dir from its `.old` sibling — pure readers
-   * see the half-swapped index as absent ([[indexExists]]) and never
-   * repair — and a leftover staging dir is simply overwritten by the
-   * next compaction.
+   * SELECTIVE fold of the index's per-batch appends: every micro-batch
+   * append adds one file set to `buckets/` and `shingles/`, so after N
+   * batches every index query lists and reads N file groups (500 daily
+   * batches = 500 small files per table). Per table, ONLY files smaller
+   * than `targetFileBytes` fold, and only when at least `minFiles` of
+   * them accumulated (the [[graft.store.TierStore.compact]] `minFiles`
+   * idiom) — files that already reached target size are never re-read,
+   * so a long-lived stream's cumulative maintenance cost follows the
+   * RECENT appends (LSM-style logarithmic refolding of the current
+   * small tail), not the whole index: the previous whole-table
+   * read+rewrite was O(corpus) per call and quadratic over a stream's
+   * life. The folded output lands IN PLACE under fresh `fold-<seq>-*`
+   * names via a ROLL-FORWARD manifest (written complete before any
+   * move; a crash at any point is finished idempotently by
+   * [[repairMinhashIndex]]'s next writer-context call), so the live
+   * dirs never disappear — the old whole-dir rename swap's visibility
+   * window is gone. The contract stays SINGLE-MAINTAINER AT A QUIESCED
+   * POINT: nothing may read or append the index while this runs. A
+   * long-running [[graft.functions.Pipeline.streamingIndexedDedup]]
+   * deployment gets that point for free via `compactEvery` (the call
+   * runs from inside foreachBatch, where the stream — the only
+   * reader/writer — is between micro-batches); with `compactEvery = 0`
+   * maintenance must run with the stream STOPPED — an external cron
+   * against a live stream would let an in-flight append land after
+   * this call listed the table and race the fold's bookkeeping.
    * Returns (files before, files after) summed over both tables.
    */
   def compactMinhashIndex(spark: SparkSession, path: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      minFiles: Int = 4): (Int, Int) = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     repairIndex(fs, path)
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/buckets")),
       s"no MinHash index at $path")
+    def liveFiles(live: org.apache.hadoop.fs.Path) =
+      fs.listStatus(live).toSeq.filter(f => f.isFile &&
+        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
     var before = 0; var after = 0
     Seq("buckets", "shingles").foreach { t =>
       val live = new org.apache.hadoop.fs.Path(s"$path/$t")
-      val files = fs.listStatus(live).filter(f =>
-        f.isFile && !f.getPath.getName.startsWith("_"))
-      val n = math.max(1,
-        math.ceil(files.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
-      val staged = new org.apache.hadoop.fs.Path(s"$path/.compact/$t")
-      fs.delete(staged, true)
-      spark.read.parquet(live.toString).repartition(n)
-        .write.parquet(staged.toString)
-      val old = new org.apache.hadoop.fs.Path(s"$path/.$t.old")
-      fs.delete(old, true)
-      require(fs.rename(live, old), s"compact swap: $live -> $old failed")
-      require(fs.rename(staged, live), s"compact swap: $staged -> $live failed")
-      fs.delete(old, true)
+      val files = liveFiles(live)
       before += files.length
-      after += fs.listStatus(live).count(f =>
-        f.isFile && !f.getPath.getName.startsWith("_"))
+      val smalls = files.filter(_.getLen < targetFileBytes)
+      if (smalls.length >= minFiles) {
+        val staged = new org.apache.hadoop.fs.Path(s"$path/.compact/$t")
+        fs.delete(staged, true)
+        val n = math.max(1,
+          math.ceil(smalls.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
+        spark.read.parquet(smalls.map(_.getPath.toString): _*)
+          .repartition(n).write.parquet(staged.toString)
+        // fresh fold-sequence so destination names never collide with a
+        // surviving earlier fold's files
+        val foldPat = "^fold-([0-9]+)-.*".r
+        val seq = files.map(_.getPath.getName)
+          .collect { case foldPat(s) => s.toLong }.maxOption.getOrElse(0L) + 1
+        val moves = fs.listStatus(staged).toSeq
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          .sortBy(_.getPath.getName).zipWithIndex.map { case (f, i) =>
+            f.getPath -> new org.apache.hadoop.fs.Path(live, s"fold-$seq-$i.parquet")
+          }
+        val mp = foldManifest(path, t)
+        val out = fs.create(mp, true)
+        try out.write((moves.map { case (s, d) => s"mv\t$s\t$d" } ++
+          smalls.map(f => s"rm\t${f.getPath}") :+ "ok")
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
+        finally out.close()
+        foldHook("fold_manifested")
+        moves.foreach { case (s, d) => fs.rename(s, d) }
+        foldHook("fold_moved")
+        smalls.foreach(f => fs.delete(f.getPath, false))
+        fs.delete(mp, false)
+        fs.delete(staged, true)
+      }
+      after += liveFiles(live).length
     }
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/.compact"), true)
     (before, after)
   }
+
+  /** Test seam for the fold's crash windows ("fold_manifested",
+   *  "fold_moved") — the [[graft.store.TierStore.batchHook]] idiom. */
+  private[graft] var foldHook: String => Unit = _ => ()
 
   def queryMinhashIndex(spark: SparkSession, newDocs: DataFrame, path: String,
       n: Int = 3, k: Int = 64, bands: Int = 16, threshold: Double = 0.8,

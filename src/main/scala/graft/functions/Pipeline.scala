@@ -237,20 +237,26 @@ object Pipeline {
    * anti-join against the index → `sink(clean)` → append survivors to
    * the index. The batch's shingle+signature table is computed once and
    * persisted across all three consumers (pair generation, index query,
-   * index append) — see the foreachBatch body. At-least-once on
-   * restart: the index query excludes self-id matches, so a replayed
-   * batch recomputes exactly the original survivor set whichever side
-   * committed before the crash — near-dups stay dropped, survivors may
-   * reach the sink twice (the sink dedupes, e.g. by batch ledger), and
-   * re-appended index rows are harmless duplicates the left_anti
-   * consumers ignore.
+   * index append) — see the foreachBatch body. On restart: the index
+   * query excludes self-id matches, so a replayed batch recomputes
+   * exactly the original survivor set whichever side committed before
+   * the crash — near-dups stay dropped, survivors may reach the sink
+   * twice (at-least-once to the SINK; it dedupes, e.g. by batch
+   * ledger), while the INDEX append is EXACTLY-ONCE: it commits through
+   * [[graft.store.StagedBatchAppend]]'s per-batch ledger (namespace
+   * derived from the checkpoint, the
+   * [[graft.ingest.IngestPipeline.writerId]] idiom), so a replay skips
+   * a committed append instead of leaving duplicate index rows live
+   * until the next compaction.
    */
   def streamingIndexedDedup(stream: DataFrame, indexPath: String,
       checkpoint: String, sink: DataFrame => Unit, n: Int = 3, k: Int = 64,
       bands: Int = 16, threshold: Double = 0.8, idCol: String = "doc_id",
       textCol: String = "text",
       maxBucketSize: Int = Dedup.DefaultChainMaxBucket,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    val indexWriter = f"dedup_${scala.util.hashing.MurmurHash3
+      .stringHash(checkpoint) & 0xffffffffL}%08x"
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -306,9 +312,9 @@ object Pipeline {
               // buys nothing and the extra pre-materialize action it
               // requires costs a batch's worth of fixed overhead.
               sink(clean)
-              Dedup.appendShingledToIndex(
+              Dedup.appendShingledToIndexBatch(
                 sh.join(dropped, Seq("id"), "left_anti"),
-                indexPath, n, k, bands)
+                indexPath, n, k, bands, batchId, indexWriter): Unit
             } finally clean.unpersist()
           } finally dropped.unpersist()
         } finally { dropIntra.unpersist(); sh.unpersist() }
@@ -326,6 +332,7 @@ object Pipeline {
           Dedup.compactMinhashIndex(spark, indexPath): Unit
       }
       .start()
+  }
 
   /**
    * Split documents into fixed-size token windows with overlap — the

@@ -338,78 +338,153 @@ object Similarity {
    * semantics. The embedding counterpart of
    * [[Pipeline.streamingIndexedDedup]]'s persisted MinHash index.
    *
-   * Delivery is at-least-once across restarts (foreachBatch replays an
-   * uncommitted batch); replayed vectors land as duplicate (list_id,
-   * vec_id) rows — [[compactIvfLists]] is the repair AND the small-file
-   * maintenance: it dedups by vec_id while folding the per-batch
-   * appends into target-size files. Run it periodically, like the dedup
-   * stream's in-run index compaction.
+   * Delivery is EXACTLY-ONCE across restarts: each micro-batch lands
+   * through [[graft.store.StagedBatchAppend]] — the tier store's
+   * stage → manifest → move → ledger-marker protocol on the index
+   * directory — so a crash replay SKIPS a committed batch instead of
+   * appending duplicates repaired later. The ledger namespace derives
+   * from the checkpoint (the [[graft.ingest.IngestPipeline.writerId]]
+   * idiom): a restart from the SAME checkpoint replays idempotently; a
+   * fresh checkpoint over the same input is a new writer and appends
+   * again (that rerun's duplicates are what [[compactIvfLists]]'
+   * per-list dedup still repairs).
+   *
+   * `compactEvery > 0` folds the grown lists from INSIDE foreachBatch
+   * every that many batches — the single-maintainer safe point by
+   * construction (nothing else reads or appends between micro-batches),
+   * same contract as [[Pipeline.streamingIndexedDedup]]'s in-run
+   * compaction. With `compactEvery = 0` (default), [[compactIvfLists]]
+   * may only run with the stream STOPPED: an external cron against a
+   * live stream would race an in-flight append into the per-list swap
+   * and silently lose that batch's vectors.
    *
    * Scale shape: each batch does one broadcast-centroid assignment
    * (rank-1 per vector, no shuffle beyond the list_id repartition) and
    * writes only its own rows; the index is never rewritten on append.
    */
   def streamingIvfAppend(stream: DataFrame, path: String, checkpoint: String,
-      idCol: String = "vec_id", vecCol: String = "embedding")
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = stream.sparkSession
     require(spark.read.parquet(s"$path/centroids").count() > 0,
       s"no IVF index at $path — buildIvfIndex first")
+    val writer =
+      f"ivf_${scala.util.hashing.MurmurHash3.stringHash(checkpoint) & 0xffffffffL}%08x"
     stream.writeStream.outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          // re-read per batch: tiny table, and a rebuild between batches
-          // (new centroid set) is picked up rather than served stale
-          val centroids = batch.sparkSession.read.parquet(s"$path/centroids")
-          assignToLists(indexRows(batch, idCol, vecCol), centroids)
-            .repartition(col("list_id"))
-            .write.mode("append").partitionBy("list_id")
-            .parquet(s"$path/lists")
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // this stream is the index's single maintainer: heal a crashed
+        // compaction swap before touching the layout
+        healIvfLists(batch.sparkSession, path)
+        if (!batch.isEmpty)
+          appendIvfBatch(batch, path, batchId, writer, idCol, vecCol): Unit
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compactIvfLists(batch.sparkSession, path): Unit
       }
       .start()
   }
 
+  /** One exactly-once micro-batch append (the foreachBatch body,
+   *  factored for direct replay testing): assign to the frozen
+   *  centroids, stage under the index root, commit through the batch
+   *  ledger. Returns false when `batchId` already committed. */
+  private[graft] def appendIvfBatch(batch: DataFrame, path: String,
+      batchId: Long, writer: String = "ivf", idCol: String = "vec_id",
+      vecCol: String = "embedding"): Boolean =
+    graft.store.StagedBatchAppend.append(batch.sparkSession, path, writer,
+      batchId) { staging =>
+      // re-read per batch: tiny table, and a rebuild between batches
+      // (new centroid set) is picked up rather than served stale
+      val centroids = batch.sparkSession.read.parquet(s"$path/centroids")
+      assignToLists(indexRows(batch, idCol, vecCol), centroids)
+        .repartition(col("list_id"))
+        .write.partitionBy("list_id").parquet(s"$staging/lists")
+    }
+
+  /** Heal a [[compactIvfLists]] crash: a list partition whose live dir
+   *  is missing but whose `.old_lists/` sibling survives is restored;
+   *  a superseded `.old_lists/` entry whose live dir exists is deleted
+   *  (the swap completed, only the cleanup crashed). MAINTAINER-ONLY,
+   *  like [[Dedup.repairMinhashIndex]]: write paths call it on entry;
+   *  pure readers just see the momentarily absent list as empty. */
+  def healIvfLists(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val oldRoot = new org.apache.hadoop.fs.Path(s"$path/.old_lists")
+    val fs = oldRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(oldRoot)) return
+    fs.listStatus(oldRoot).foreach { e =>
+      val live = new org.apache.hadoop.fs.Path(s"$path/lists/${e.getPath.getName}")
+      if (!fs.exists(live)) fs.rename(e.getPath, live)
+      else fs.delete(e.getPath, true)
+    }
+    fs.delete(oldRoot, true)
+  }
+
   /**
-   * Fold a streamed index's per-batch appends into target-size files
-   * and drop replay duplicates (exact (list_id, vec_id) copies — see
-   * [[streamingIvfAppend]]'s at-least-once note): per list partition,
-   * rewrite to ⌈bytes/target⌉ files via a staged swap (the
-   * [[Dedup.compactMinhashIndex]] idiom; single-maintainer, like every
-   * maintenance pass here). Returns (files before, files after).
+   * SELECTIVE fold of a streamed index's per-batch appends: only list
+   * partitions holding at least `minFiles` data files are rewritten —
+   * the [[graft.store.TierStore.compact]] `minFiles` idiom — so a
+   * long-lived stream's cumulative maintenance cost is proportional to
+   * the lists that actually GREW since the last fold, never to the
+   * whole index (the previous whole-index read+dedup+rewrite made
+   * compaction O(corpus) per call and quadratic over a stream's life).
+   * Each touched list dedups exact (list_id, vec_id) copies while
+   * folding (repairing any unledgered legacy appends); untouched lists
+   * keep their files byte-for-byte. ONE Spark job covers all touched
+   * lists; each then swaps via a per-list rename pair, crash-healed by
+   * [[healIvfLists]]. Single-maintainer at a quiesced point, or from
+   * inside the stream via `compactEvery` ([[streamingIvfAppend]]).
+   * Returns (data files before, after) over the whole lists tree.
    */
   def compactIvfLists(spark: org.apache.spark.sql.SparkSession, path: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+      targetFileBytes: Long = 128L * 1024 * 1024, minFiles: Int = 4): (Int, Int) = {
     val live = new org.apache.hadoop.fs.Path(s"$path/lists")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(live), s"no IVF index at $path")
-    def dataFiles(p: org.apache.hadoop.fs.Path): Int = {
-      val it = fs.listFiles(p, true)
-      var n = 0
-      while (it.hasNext) {
-        val f = it.next()
-        if (!f.getPath.getName.startsWith("_") &&
-          !f.getPath.getName.startsWith(".")) n += 1
+    healIvfLists(spark, path)
+    def dataFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { e =>
+        val n = e.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (e.isDirectory) dataFiles(e.getPath)
+        else Seq(e)
       }
-      n
-    }
-    val before = dataFiles(live)
-    val df = spark.read.parquet(live.toString)
-      .dropDuplicates("list_id", "vec_id")
-    val bytes = { val it = fs.listFiles(live, true)
-      var b = 0L; while (it.hasNext) b += it.next().getLen; b }
-    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val listDirs = fs.listStatus(live).toSeq
+      .filter(e => e.isDirectory && e.getPath.getName.startsWith("list_id="))
+    val perList = listDirs.map(d => d.getPath -> dataFiles(d.getPath))
+    val before = perList.map(_._2.length).sum
+    val touched = perList.filter(_._2.length >= minFiles)
+    if (touched.isEmpty) return (before, before)
+
     val staged = new org.apache.hadoop.fs.Path(s"$path/.compact_lists")
     fs.delete(staged, true)
-    df.repartition(n, col("list_id"))
+    // one job over ONLY the touched list dirs; basePath keeps the
+    // list_id partition column the leaf dirs encode
+    val bytes = touched.flatMap(_._2).map(_.getLen).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    spark.read.option("basePath", live.toString)
+      .parquet(touched.map(_._1.toString): _*)
+      .dropDuplicates("list_id", "vec_id")
+      .repartition(n, col("list_id"))
       .write.partitionBy("list_id").parquet(staged.toString)
-    val old = new org.apache.hadoop.fs.Path(s"$path/.lists.old")
-    fs.delete(old, true)
-    require(fs.rename(live, old), s"compact swap: $live -> $old failed")
-    require(fs.rename(staged, live), s"compact swap: $staged -> $live failed")
-    fs.delete(old, true)
-    (before, dataFiles(live))
+    val oldRoot = new org.apache.hadoop.fs.Path(s"$path/.old_lists")
+    fs.delete(oldRoot, true); fs.mkdirs(oldRoot)
+    touched.foreach { case (dir, _) =>
+      val name = dir.getName
+      val freshDir = new org.apache.hadoop.fs.Path(staged, name)
+      if (fs.exists(freshDir)) {
+        val old = new org.apache.hadoop.fs.Path(oldRoot, name)
+        require(fs.rename(dir, old), s"compact swap: $dir -> $old failed")
+        require(fs.rename(freshDir, dir), s"compact swap: $freshDir -> $dir failed")
+        fs.delete(old, true)
+      }
+    }
+    fs.delete(oldRoot, true)
+    fs.delete(staged, true)
+    (before, perList.map { case (d, _) =>
+      if (touched.exists(_._1 == d)) dataFiles(d).length
+      else perList.find(_._1 == d).get._2.length
+    }.sum)
   }
 
   /**

@@ -1,0 +1,146 @@
+package graft.store
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path => HPath}
+import org.apache.spark.sql.SparkSession
+
+/**
+ * EXACTLY-ONCE staged append of one streaming micro-batch into an
+ * arbitrary parquet directory tree — the [[TierStore.writeRoutedBatch]]
+ * commit protocol, generalized so the persisted similarity/dedup
+ * indexes ([[graft.functions.Similarity.streamingIvfAppend]],
+ * [[graft.functions.Pipeline.streamingIndexedDedup]]) get the same
+ * replay idempotence the tier store has, instead of at-least-once
+ * appends repaired at the next compaction.
+ *
+ * Protocol per batch (all under `destRoot`):
+ *
+ *  1. already in the [[BatchLedger]] at `destRoot/_batches`? → the
+ *     batch fully committed before a crash; skip (drop leftover
+ *     staging) and return false;
+ *  2. replay cleanup: a previous attempt's `_manifest` lists exactly
+ *     the destination files it may have moved — delete them, then
+ *     start over (so at any instant each destination name exists at
+ *     most ONCE: a replay can make a batch's rows vanish briefly and
+ *     come back, but never double);
+ *  3. stage: `write(stagingDir)` runs the caller's Spark job into
+ *     `destRoot/_staging/<writer>/b=<id>` — `_`-prefixed, invisible
+ *     to every plain parquet listing;
+ *  4. manifest, then move: each staged data file renames to its
+ *     DESTINATION under `destRoot`, preserving the staged RELATIVE
+ *     path (partition dirs like `list_id=7/` ride along) with a
+ *     DETERMINISTIC batch-tagged name (`b-<writer>-<id>-<k>.parquet`,
+ *     [[TierLayout.batchFileName]]) — attempt N and a crash replay
+ *     produce the same name set;
+ *  5. commit: create the ledger marker — atomic, the batch is done.
+ *
+ * Unlike the tier store, INDEX READERS DO NOT GATE on this ledger
+ * (their scans stay plain `spark.read.parquet`, zero overhead): a
+ * reader between a crash and the replay can see the crashed attempt's
+ * moved files without their marker. That is the documented trade — at
+ * most one copy of each file is ever visible, so queries never see
+ * duplicates; they can transiently miss the in-flight batch's rows,
+ * which the monotonic-growth contract of a streaming index already
+ * permits.
+ *
+ * The ledger is per-(destRoot, writer); derive `writer` from the
+ * stream's checkpoint ([[graft.ingest.IngestPipeline.writerId]] idiom)
+ * so two queries never share a namespace. [[foldMarkers]] keeps the
+ * ledger listing O(recent batches) over an unbounded stream.
+ */
+object StagedBatchAppend {
+
+  /** Test seam, [[TierStore.batchHook]] style: invoked at the phase
+   *  boundaries "staged", "manifested", "moved". */
+  private[graft] var hook: String => Unit = _ => ()
+
+  private def fsOf(spark: SparkSession, p: HPath): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Is `batchId` of `writer` committed at `destRoot` (marker or folded
+   *  watermark)? One targeted exists + one ledger listing. */
+  def committed(spark: SparkSession, destRoot: String, writer: String,
+      batchId: Long): Boolean = {
+    val rootP = new HPath(destRoot)
+    val fs = fsOf(spark, rootP)
+    BatchLedger.read(fs, rootP)(writer, batchId)
+  }
+
+  /**
+   * Run `write` into a staging dir and commit its output under
+   * `destRoot` exactly once. Returns false when `batchId` was already
+   * committed (the replay skip) — `write` is then never invoked.
+   */
+  def append(spark: SparkSession, destRoot: String, writer: String,
+      batchId: Long)(write: String => Unit): Boolean = {
+    val rootP = new HPath(destRoot)
+    val fs = fsOf(spark, rootP)
+    val marker = BatchLedger.markerFile(rootP, writer, batchId)
+    val staging = new HPath(rootP, s"_staging/$writer/b=$batchId")
+    if (BatchLedger.read(fs, rootP)(writer, batchId)) {
+      fs.delete(staging, true); return false
+    }
+    // replay cleanup: delete exactly the destinations a previous
+    // attempt may have moved, no tree walk
+    val manifest = new HPath(staging, "_manifest")
+    if (fs.exists(manifest)) {
+      val in = fs.open(manifest)
+      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      text.linesIterator.filter(_.nonEmpty)
+        .foreach(p => fs.delete(new HPath(p), false))
+    }
+    fs.delete(staging, true)
+
+    write(staging.toString)
+    hook("staged")
+
+    def dataFiles(dir: HPath): Seq[HPath] =
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toSeq.flatMap { e =>
+        val n = e.getPath.getName
+        if (e.isDirectory && !n.startsWith("_") && !n.startsWith("."))
+          dataFiles(e.getPath)
+        else if (TierLayout.isDataFile(e)) Seq(e.getPath)
+        else Nil
+      }
+    val stagingQ = fs.makeQualified(staging)
+    val relocated = dataFiles(staging).map { src =>
+      val rel = src.toString.stripPrefix(stagingQ.toString).stripPrefix("/")
+      require(rel != src.toString, s"staged file $src outside $stagingQ")
+      val parent = rel.lastIndexOf('/') match {
+        case -1 => ""
+        case i => rel.substring(0, i) + "/"
+      }
+      (src, parent)
+    }
+    val moves = relocated.groupBy(_._2).toSeq.flatMap { case (parent, files) =>
+      files.sortBy(_._1.getName).zipWithIndex.map { case ((src, _), k) =>
+        val name = TierLayout.batchFileName(writer, batchId, s"$k.parquet")
+        src -> new HPath(rootP, parent + name)
+      }
+    }
+    if (moves.nonEmpty) {
+      val out = fs.create(manifest, true)
+      try out.write(moves.map(_._2.toString).mkString("", "\n", "\n")
+        .getBytes("UTF-8"))
+      finally out.close()
+      hook("manifested")
+      moves.foreach { case (src, dst) =>
+        fs.mkdirs(dst.getParent)
+        fs.rename(src, dst)
+      }
+    }
+    hook("moved")
+    fs.mkdirs(marker.getParent)
+    val m = fs.create(marker, false); m.close() // the atomic commit
+    fs.delete(staging, true)
+    // the _staging/<writer> parent accumulates nothing (each batch dir
+    // is deleted above); leave it — it is invisible to listings
+    true
+  }
+
+  /** Fold contiguous committed markers of `writer` into a watermark —
+   *  [[TierStore.vacuumBatchMarkers]]'s rule on an arbitrary root. */
+  def foldMarkers(spark: SparkSession, destRoot: String, writer: String): Unit =
+    BatchLedger.foldMarkers(fsOf(spark, new HPath(destRoot)),
+      new HPath(destRoot), writer)
+}

@@ -278,6 +278,35 @@ object BatchLedger {
     case _ => None
   }.distinct
 
+  /** Fold old batch markers of `writer` into a per-writer watermark so
+   *  the ledger listing stays O(recent batches) over an unbounded
+   *  stream: markers below the highest CONTIGUOUS committed id (every
+   *  id from the current watermark up to it present) collapse into one
+   *  `_bwm` watermark file. Gaps stay as explicit markers — a gap is a
+   *  batch that never committed, and the watermark must not claim it.
+   *  The watermark FILE's mtime records the fold instant the as-of
+   *  attestation in [[read]] checks. Shared by the tier store
+   *  ([[TierStore.vacuumBatchMarkers]]) and the streaming-index ledgers
+   *  ([[StagedBatchAppend.foldMarkers]]). */
+  def foldMarkers(fs: FileSystem, storeRoot: HPath, writer: String): Unit = {
+    val d = dir(storeRoot)
+    if (!fs.exists(d)) return
+    val names = fs.listStatus(d).toSeq.map(_.getPath.getName)
+    val lowPat = s"^_bwm_${writer}_([0-9]+)$$".r
+    val idPat = s"^_b_${writer}_([0-9]+)$$".r
+    val oldLow = names.collect { case lowPat(n) => n.toLong }.maxOption.getOrElse(-1L)
+    val ids = names.collect { case idPat(n) => n.toLong }.sorted
+    var hi = oldLow
+    ids.foreach { id => if (id <= hi + 1) hi = math.max(hi, id) }
+    if (hi > oldLow) {
+      val w = fs.create(watermarkFile(storeRoot, writer, hi), false); w.close()
+      ids.filter(_ <= hi).foreach(id =>
+        fs.delete(markerFile(storeRoot, writer, id), false))
+      names.collect { case lowPat(n) => n.toLong }.filter(_ < hi).foreach(n =>
+        fs.delete(watermarkFile(storeRoot, writer, n), false))
+    }
+  }
+
   /** Load the ledger: (writer → explicit committed ids, writer → low
    *  watermark). Missing dir = empty ledger (everything plain).
    *

@@ -321,25 +321,8 @@ final class TierStore(spark: SparkSession, root: String) {
    * watermark up to it present) collapse into one `_bwm` watermark file. Gaps
    * stay as explicit markers — a gap is a batch that never committed,
    * and the watermark must not claim it. */
-  def vacuumBatchMarkers(writer: String): Unit = {
-    val rootP = new HPath(root)
-    val d = BatchLedger.dir(rootP)
-    if (!fs.exists(d)) return
-    val names = fs.listStatus(d).toSeq.map(_.getPath.getName)
-    val lowPat = s"^_bwm_${writer}_([0-9]+)$$".r
-    val idPat = s"^_b_${writer}_([0-9]+)$$".r
-    val oldLow = names.collect { case lowPat(n) => n.toLong }.maxOption.getOrElse(-1L)
-    val ids = names.collect { case idPat(n) => n.toLong }.sorted
-    var hi = oldLow
-    ids.foreach { id => if (id <= hi + 1) hi = math.max(hi, id) }
-    if (hi > oldLow) {
-      val w = fs.create(BatchLedger.watermarkFile(rootP, writer, hi), false); w.close()
-      ids.filter(_ <= hi).foreach(id =>
-        fs.delete(BatchLedger.markerFile(rootP, writer, id), false))
-      names.collect { case lowPat(n) => n.toLong }.filter(_ < hi).foreach(n =>
-        fs.delete(BatchLedger.watermarkFile(rootP, writer, n), false))
-    }
-  }
+  def vacuumBatchMarkers(writer: String): Unit =
+    BatchLedger.foldMarkers(fs, new HPath(root), writer)
 
   /** Fold markers for EVERY writer present in the ledger — maintenance
    *  doesn't need to know the set of streams that ever appended (each

@@ -128,14 +128,14 @@ class Round9OpsSpec extends SparkSpec {
       q.processAllAvailable(); q.stop()
     }
     streamOnce("a")
-    // a FULL replay (fresh checkpoint over the same input = the worst
-    // case of foreachBatch's at-least-once delivery): every streamed
-    // vector lands twice
+    // a FRESH-CHECKPOINT rerun over the same input is a NEW writer in
+    // the index ledger (same-checkpoint crash replays are exactly-once
+    // — Round10IndexSpec): every streamed vector lands twice
     streamOnce("b")
     val lists = () => spark.read.parquet(s"$work/idx/lists")
     assert(lists().count() == 30L) // 10 built + 2 × 10 streamed
     val (before, after) = Similarity.compactIvfLists(spark, s"$work/idx",
-      targetFileBytes = 1L << 30)
+      targetFileBytes = 1L << 30, minFiles = 2)
     assert(after < before, s"no file fold: $before -> $after")
     assert(lists().count() == 20L) // duplicates repaired
     assert(lists().select("vec_id").distinct().count() == 20L)
