@@ -254,7 +254,8 @@ object Pipeline {
       bands: Int = 16, threshold: Double = 0.8, idCol: String = "doc_id",
       textCol: String = "text",
       maxBucketSize: Int = Dedup.DefaultChainMaxBucket,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+      compactEvery: Int = 0,
+      compactMinFiles: Int = 4): org.apache.spark.sql.streaming.StreamingQuery = {
     val indexWriter = f"dedup_${scala.util.hashing.MurmurHash3
       .stringHash(checkpoint) & 0xffffffffL}%08x"
     stream.writeStream
@@ -329,7 +330,8 @@ object Pipeline {
         // contract — a cron against a live stream would race an
         // in-flight append into the swap and lose its index rows).
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-          Dedup.compactMinhashIndex(spark, indexPath): Unit
+          Dedup.compactMinhashIndex(spark, indexPath,
+            minFiles = compactMinFiles): Unit
       }
       .start()
   }

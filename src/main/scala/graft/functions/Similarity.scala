@@ -364,7 +364,7 @@ object Similarity {
    */
   def streamingIvfAppend(stream: DataFrame, path: String, checkpoint: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      compactEvery: Int = 0)
+      compactEvery: Int = 0, compactMinFiles: Int = 4)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = stream.sparkSession
     require(spark.read.parquet(s"$path/centroids").count() > 0,
@@ -380,7 +380,8 @@ object Similarity {
         if (!batch.isEmpty)
           appendIvfBatch(batch, path, batchId, writer, idCol, vecCol): Unit
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-          compactIvfLists(batch.sparkSession, path): Unit
+          compactIvfLists(batch.sparkSession, path,
+            minFiles = compactMinFiles): Unit
       }
       .start()
   }

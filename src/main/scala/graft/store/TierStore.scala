@@ -169,30 +169,54 @@ final class TierStore(spark: SparkSession, root: String) {
    *  row-group min/max statistics are tight — the planner's pushed-down
    *  time predicates then skip whole row groups inside a date partition,
    *  not just whole partitions. */
+  /** Plain batch appends COMMIT THROUGH THE LEDGER too (writer
+   *  namespace "batch", ids allocated from the ledger itself): the
+   *  append lands via the same staged protocol as
+   *  [[writeRoutedBatch]], so every row this store writes has a ledger
+   *  commit record and [[readAsOf]] never falls back to data-file
+   *  mtime for the store's own writes (the mtime arm now serves only
+   *  FOREIGN files dropped into partition dirs by external tools).
+   *  Plain writes are serialized per store instance — the ledger's
+   *  as-of attestation rests on per-writer commit-order monotonicity —
+   *  and a failed write never leaves a partial batch visible. */
   def write(tier: Tier, points: DataFrame): Unit =
-    points
-      .withColumn("date", to_date(col("time")))
-      .repartition(col("measurement"), col("date"))
-      .sortWithinPartitions(col("measurement"), col("date"), col("time"))
-      .write.mode(SaveMode.Append)
-      .partitionBy("measurement", "date")
-      .parquet(path(tier.name))
+    plainWriteLock.synchronized {
+      writeBatchWith(points, nextPlainBatchId(), lit(tier.name), PlainWriter): Unit
+    }
 
   /** Route each point to its write tier (mapping.go:146-168) and append.
    *  The classifier runs as a plan column (TierPolicy.writeTierCol), and the
    *  routed append is a SINGLE write with `tier` as the leading partition
    *  column — the input plan (the whole filter→enrich→transform chain in
    *  the streaming path) executes exactly once per micro-batch, never once
-   *  per tier. Tiers that receive no rows simply get no directories. */
+   *  per tier. Tiers that receive no rows simply get no directories.
+   *  Ledger-committed like [[write]]. */
   def writeRouted(points: DataFrame, profile: String = Tier.ProfileOptimized): Unit =
-    points
-      .withColumn("tier", TierPolicy.writeTierCol(col("measurement"), profile))
-      .withColumn("date", to_date(col("time")))
-      .repartition(col("tier"), col("measurement"), col("date"))
-      .sortWithinPartitions(col("tier"), col("measurement"), col("date"), col("time"))
-      .write.mode(SaveMode.Append)
-      .partitionBy("tier", "measurement", "date")
-      .parquet(root)
+    plainWriteLock.synchronized {
+      writeBatchWith(points, nextPlainBatchId(),
+        TierPolicy.writeTierCol(col("measurement"), profile), PlainWriter): Unit
+    }
+
+  /** Serializes plain (non-streaming) writes so the "batch" writer's
+   *  ledger ids COMMIT in allocation order — the monotonicity the as-of
+   *  attestation needs. Separate from `maintenanceLock` so ingest never
+   *  waits behind a long compaction. */
+  private val plainWriteLock = new Object
+  private val PlainWriter = "batch"
+
+  /** Next unused ledger id for the plain-write namespace (max existing
+   *  marker/watermark id + 1). Caller must hold `plainWriteLock`. */
+  private def nextPlainBatchId(): Long = {
+    val d = BatchLedger.dir(new HPath(root))
+    if (!fs.exists(d)) return 0L
+    val names = fs.listStatus(d).map(_.getPath.getName)
+    val idPat = s"^_b_${PlainWriter}_([0-9]+)$$".r
+    val lowPat = s"^_bwm_${PlainWriter}_([0-9]+)$$".r
+    names.collect {
+      case idPat(n) => n.toLong
+      case lowPat(n) => n.toLong
+    }.maxOption.map(_ + 1L).getOrElse(0L)
+  }
 
   /** Test seam for the exactly-once replay spec: invoked between the
    *  phases of a batch append ("staged", "manifested", "moved"). */
@@ -241,7 +265,15 @@ final class TierStore(spark: SparkSession, root: String) {
    */
   def writeRoutedBatch(points: DataFrame, batchId: Long,
       profile: String = Tier.ProfileOptimized,
-      writer: String = "ingest"): Boolean = {
+      writer: String = "ingest"): Boolean =
+    writeBatchWith(points, batchId,
+      TierPolicy.writeTierCol(col("measurement"), profile), writer)
+
+  /** The staged ledger-committed append, parameterized on the tier
+   *  routing column — [[writeRoutedBatch]] passes the policy
+   *  classifier, the plain [[write]] a pinned literal. */
+  private def writeBatchWith(points: DataFrame, batchId: Long,
+      tierCol: Column, writer: String): Boolean = {
     val rootP = new HPath(root)
     val marker = BatchLedger.markerFile(rootP, writer, batchId)
     val staging = new HPath(root, s"_staging/$writer/b=$batchId")
@@ -259,7 +291,7 @@ final class TierStore(spark: SparkSession, root: String) {
     rmTree(staging.toString)
 
     points
-      .withColumn("tier", TierPolicy.writeTierCol(col("measurement"), profile))
+      .withColumn("tier", tierCol)
       .withColumn("date", to_date(col("time")))
       .repartition(col("tier"), col("measurement"), col("date"))
       .sortWithinPartitions(col("tier"), col("measurement"), col("date"), col("time"))
@@ -363,31 +395,50 @@ final class TierStore(spark: SparkSession, root: String) {
    * old snapshots (the standard commit/vacuum separation — vacuuming
    * bounds how far back reads can travel).
    *
-   * Boundary precision: LEDGERED streaming appends resolve through the
-   * batch ledger's own commit times (marker/watermark file mtimes, which
-   * no data-file rewrite ever refreshes — see [[BatchLedger.read]]), so
-   * their as-of boundary is the batch-commit instant and survives
-   * rename-by-copy carry-forwards that re-date the data files
-   * themselves. A PLAIN batch [[write]] has no other record of when it
-   * landed and still resolves by data-file modification time: a write
-   * job in flight at the pin is split at its file-creation times, and
-   * later maintenance that re-stages such files by copy can move them
-   * past a pin. Pin timestamps between ingest jobs (or use the
-   * exactly-once streaming path) when the boundary must be exact.
+   * Boundary precision: EVERY append this store makes — streaming
+   * micro-batches ([[writeRoutedBatch]]) AND plain batch [[write]]/
+   * [[writeRouted]] calls — resolves through the batch ledger's own
+   * commit times (marker/watermark file mtimes, which no data-file
+   * rewrite ever refreshes — see [[BatchLedger.read]]), so the as-of
+   * boundary is the batch-commit instant and survives rename-by-copy
+   * carry-forwards that re-date the data files themselves. The
+   * data-file-mtime fallback remains ONLY for foreign files an
+   * external tool dropped directly into a partition directory; such
+   * files have no commit record, keep the documented mtime caveats,
+   * and never originate from this store.
    *
    * Clock assumption: the pin is compared against STORAGE-reported
-   * times (ledger-file and data-file mtimes), so a pin taken from the
-   * driver's `System.currentTimeMillis` is exact only with driver ↔
-   * storage clock sync (NTP-level skew is well inside the seconds-wide
-   * batch-commit window; HDFS NameNode or object-store timestamps can
-   * drift further). Where the boundary must be skew-proof, derive the
-   * pin from the store itself — pin at "max mtime currently observed"
-   * rather than the driver wall clock — or pin between ingest jobs
-   * where no file lands inside the skew window.
+   * times (ledger-file mtimes), so take the pin from the store itself
+   * — [[pinNow]] returns "max record time currently observed", making
+   * the comparison storage-clock vs storage-clock and therefore
+   * SKEW-PROOF. A pin from the driver's `System.currentTimeMillis` is
+   * exact only with driver ↔ storage clock sync (NTP-level skew is
+   * well inside the seconds-wide batch-commit window).
    */
   def readAsOf(tier: Tier, asOfMillis: Long): DataFrame =
     indexedRead(new TierFileIndex(spark, new HPath(path(tier.name)),
       Some(asOfMillis))).getOrElse(emptyPoints)
+
+  /**
+   * A SKEW-PROOF as-of pin: the maximum modification time the STORE's
+   * own records currently report (ledger files, snapshot commit
+   * markers, data files — everything [[readAsOf]] resolution ever
+   * compares a pin against), so `readAsOf(pinNow())` always equals the
+   * current read and later commits stay invisible regardless of any
+   * driver ↔ storage clock drift. Take it between ingest jobs for an
+   * exact boundary (a commit in flight lands on whichever side its
+   * marker does, the same contract as any snapshot pin). Cost: one
+   * recursive listing of the store tree — the same metadata walk a
+   * full read's planning pays.
+   */
+  def pinNow(): Long = {
+    def maxM(p: HPath): Long =
+      fs.listStatus(p).foldLeft(0L) { (acc, e) =>
+        val own = e.getModificationTime
+        math.max(acc, if (e.isDirectory) math.max(own, maxM(e.getPath)) else own)
+      }
+    if (exists(root)) maxM(new HPath(root)) else 0L
+  }
 
   /**
    * CORPUS DIFF between two [[readAsOf]] pins: every row present at

@@ -384,6 +384,46 @@ class StorePublishSpec extends SparkSpec {
       "pin drifted: as-of resolution rode refreshable data-file mtimes")
   }
 
+  test("plain writes commit through the ledger and pin via pinNow: " +
+    "scrambled data-file mtimes cannot move the as-of boundary, and no " +
+    "driver wall clock is involved") {
+    val root = slowRoot()
+    val store = new TierStore(spark, root)
+    def vals(df: org.apache.spark.sql.DataFrame): Set[Double] =
+      df.select("value").as[Double].collect().toSet
+    store.write(Tier.GenRaw, rows("m_pin", "01", 1.0, 2.0))
+    // the pin comes from the STORE's own records — no
+    // System.currentTimeMillis, so driver clock skew is structurally
+    // irrelevant (nothing here reads the driver clock at all)
+    val pin = store.pinNow()
+    Thread.sleep(30)
+    store.write(Tier.GenRaw, rows("m_pin", "01", 3.0))
+
+    // both plain writes are ledger-committed under the "batch" writer
+    val fs = new HPath(root).getFileSystem(hconf)
+    val ledger = fs.listStatus(
+      graft.store.BatchLedger.dir(new HPath(root))).map(_.getPath.getName).toSet
+    assert(ledger.contains("_b_batch_0") && ledger.contains("_b_batch_1"), ledger)
+
+    // scramble the DATA files' mtimes in the worst direction for each:
+    // pre-pin batch re-dated far future (a rename-by-copy restage),
+    // post-pin batch back-dated far past — mtime-based resolution would
+    // now give exactly the wrong answer on both
+    val part = new HPath(s"$root/tier=gen_raw/measurement=m_pin/date=2024-01-01")
+    fs.listStatus(part).filter(f => f.isFile &&
+        TierLayout.batchIdOf(f.getPath.getName).exists(_._2 == 0L))
+      .foreach(f => fs.setTimes(f.getPath, pin + 3600000L, -1))
+    fs.listStatus(part).filter(f => f.isFile &&
+        TierLayout.batchIdOf(f.getPath.getName).exists(_._2 == 1L))
+      .foreach(f => fs.setTimes(f.getPath, pin - 3600000L, -1))
+
+    assert(vals(store.read(Tier.GenRaw)) == Set(1.0, 2.0, 3.0))
+    assert(vals(store.readAsOf(Tier.GenRaw, pin)) == Set(1.0, 2.0),
+      "as-of pin rode data-file mtimes instead of the ledger")
+    // and a pin taken now covers everything committed now
+    assert(vals(store.readAsOf(Tier.GenRaw, store.pinNow())) == Set(1.0, 2.0, 3.0))
+  }
+
   test("a commit marker visible without its full content is not a " +
     "commit: readers fall back to the previous version instead of " +
     "double-counting the superseded raw files") {

@@ -357,12 +357,13 @@ class StoreStreamSpec extends SparkSpec {
     val run = "the quick brown fox jumps over the lazy dog on a sunny day"
     // compactEvery=2: the stream self-folds its index after batch 2 —
     // the in-stream maintenance hook, exercised mid-run so batch 3 must
-    // query the COMPACTED index correctly
+    // query the COMPACTED index correctly (compactMinFiles=2 so the
+    // two per-batch file sets qualify for the selective fold)
     val q = graft.functions.Pipeline.streamingIndexedDedup(
       input.toDF().select($"doc_id", $"text"), idx, ckpt,
       clean => seen.synchronized {
         seen ++= clean.select("doc_id").as[Long].collect()
-      }, compactEvery = 2)
+      }, compactEvery = 2, compactMinFiles = 2)
     try {
       val t0 = new Timestamp(1704067200000L)
       // batch 1: 1 and 2 near-duplicate each other (keep-min -> 1); 3 unique
