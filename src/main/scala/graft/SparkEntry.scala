@@ -45,7 +45,7 @@ object SparkEntry {
    *  int64 via the nanosAsLong legacy conf (converted here with integer
    *  division — a double division would lose precision above 2^53), and a
    *  plain timestamp[us] column. Branch on the read dtype so both work. */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, dir, "events")
     val ts = raw.schema("ts").dataType match {
