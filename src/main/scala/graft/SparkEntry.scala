@@ -1469,6 +1469,62 @@ object SparkEntry {
           round(col("value"), 6).as("value"), col("dev_id"))
     }),
 
+    "s10_pin_scramble" -> ((s, dir) => {
+      // round-10 as-of hardening e2e: PLAIN batch writes ledger-commit
+      // (writer "batch"), so a pin derived from the store's own records
+      // (pinNow — no driver clock anywhere) survives arbitrary
+      // data-file mtime scrambling. The pre-pin batch is re-dated far
+      // FUTURE (what a rename-by-copy restage does) and the post-pin
+      // batch far PAST (a back-dating attack) — mtime-based resolution
+      // would get BOTH wrong; the ledger resolves the pin exactly,
+      // hash-checked against the oracle's view of the first batch only
+      val root = java.nio.file.Files.createTempDirectory("graft_pinsc")
+        .toFile.getAbsolutePath
+      val store = new graft.store.TierStore(s, root)
+      val tier = graft.model.Tier.GenRaw
+      val pts = points(s, dir, "sensor_")
+        .filter(col("measurement") === "sensor_click")
+      store.write(tier, pts.filter(col("dir") === "import"))
+      val pin = store.pinNow()
+      store.write(tier, pts.filter(col("dir") === "export"))
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def scramble(p: org.apache.hadoop.fs.Path): Unit =
+        fs.listStatus(p).foreach { e =>
+          val n = e.getPath.getName
+          if (e.isDirectory && !n.startsWith("_")) scramble(e.getPath)
+          else graft.store.TierLayout.batchIdOf(n).foreach { case (_, id) =>
+            fs.setTimes(e.getPath,
+              if (id == 0L) pin + 3600000L else pin - 3600000L, -1L)
+          }
+        }
+      scramble(new org.apache.hadoop.fs.Path(store.tierPath(tier.name)))
+      store.readAsOf(tier, pin)
+        .select(unix_timestamp(col("time")).as("tsec"),
+          round(col("value"), 6).as("value"), col("dev_id"))
+    }),
+
+    "s10_cmd_codec" -> ((s, dir) => {
+      // the SERVICE wire path end-to-end (graft.Service's transport):
+      // the exact FIMP command-envelope bytes a file-socket/broker
+      // client sends, decoded by CommandCodec and dispatched — grammar
+      // → DTO → planner with no shortcuts. The oracle recomputes the
+      // hourly mean in DuckDB, so a decode defect anywhere in the
+      // envelope (field names, defaults, filter nesting) breaks the hash
+      val root = java.nio.file.Files.createTempDirectory("graft_codec")
+        .toFile.getAbsolutePath
+      val store = new graft.store.TierStore(s, root)
+      store.writeRouted(points(s, dir, "app_"))
+      val ctx = graft.api.Api.Context(s, store, now = () => Now)
+      val cmd = graft.api.CommandCodec.decode(
+        """{"type":"cmd.tsdb.get_data_points","serv":"ecollector",
+          |"uid":"q-1","val_t":"object","val":{"measurementName":"app_click",
+          |"dataFunction":"mean","groupByTime":"1h","relativeTime":"5w",
+          |"fillType":"none"}}""".stripMargin)
+      graft.api.Api.dispatch(ctx, cmd.msgType, cmd.payload)
+        .select(col("time"), round(col("value"), 6).as("value"))
+    }),
+
     "samp_cluster_split" -> ((s, dir) => {
       // leakage-safe train/val/test: plant exact-duplicate clones (every
       // 5th doc re-appears under doc_id+1e6), connect each group with
@@ -3580,6 +3636,21 @@ object SparkEntry {
       s"""WITH ${ptsCte("app_")}
          |SELECT tsec, round(v, 6) AS value, dev_id
          |FROM pts WHERE m = 'app_click'""".stripMargin,
+
+    // the pin resolves exactly the FIRST plain batch (dir = 'import'),
+    // whatever the data files' scrambled mtimes claim
+    "s10_pin_scramble" ->
+      s"""WITH ${ptsCte("sensor_")}
+         |SELECT tsec, round(v, 6) AS value, dev_id
+         |FROM pts WHERE m = 'sensor_click' AND dir = 'import'""".stripMargin,
+
+    // same aggregation as the a4/a5 family: hourly mean over the
+    // relative window, no fill spine (fillType none)
+    "s10_cmd_codec" ->
+      s"""WITH ${ptsCte("app_")}
+         |SELECT CAST(floor(tsec / 3600) * 3600 AS BIGINT) AS time,
+         |  round(avg(v), 6) AS value
+         |FROM pts WHERE m = 'app_click' AND tsec > 1703721600 GROUP BY 1""".stripMargin,
 
     // clone groups are cliques, so min-id closure needs no recursion:
     // every planted doc keys by its group's minimum id (its own id when

@@ -333,10 +333,19 @@ final class TierStore(spark: SparkSession, root: String) {
       try out.write(moves.map(_._2.toString).mkString("", "\n", "\n").getBytes("UTF-8"))
       finally out.close()
       batchHook("manifested")
-      moves.foreach { case (src, dst) =>
-        fs.mkdirs(dst.getParent)
-        fs.rename(src, dst)
-      }
+      // renames are independent per-file metadata ops — run them on a
+      // small pool: a wide routed batch (many (tier, measurement, date)
+      // partitions) otherwise pays one sequential FS round trip per
+      // file, which dominated the commit at high partition fan-out
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, math.max(1, moves.length)))
+      try {
+        moves.map { case (src, dst) =>
+          pool.submit(new Runnable {
+            def run(): Unit = { fs.mkdirs(dst.getParent); fs.rename(src, dst): Unit }
+          })
+        }.foreach(_.get())
+      } finally pool.shutdown()
     }
     batchHook("moved")
 
