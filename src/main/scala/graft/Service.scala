@@ -75,18 +75,43 @@ final class Service(val spark: SparkSession, conf: Service.Config) {
     require(!running, "service already started")
     running = true
     store.init()
-    if (conf.framesDir.nonEmpty) {
-      fs.mkdirs(new HPath(conf.framesDir))
-      ingest = Some(IngestPipeline.runFromSource(spark,
-        StreamSource.LogFiles(conf.framesDir), ctx.state.config,
-        metadata = None, store = store,
-        checkpoint = s"${conf.checkpointDir}/ingest"))
-    }
+    if (conf.framesDir.nonEmpty) fs.mkdirs(new HPath(conf.framesDir))
+    reconcileIngest() // autostarted process → stream comes up here
     threads = Seq(
       daemon("graft-maintenance")(maintenanceLoop()),
       daemon("graft-commands")(commandLoop())).flatten
     this
   }
+
+  /**
+   * Reconcile the ingest stream with the process's ctrl status — the
+   * reference stops ALL ingestion on `cmd.ecprocess.ctrl stop` AND on
+   * the disk alarm (integration.go:296-301, which flips every process
+   * to STOPPED) and resumes on `start`. Stopping goes through
+   * [[graft.stream.StreamOps.stopAndUnload]]; resuming restarts the
+   * query FROM ITS CHECKPOINT, and the store's batch ledger makes the
+   * replayed tail batch idempotent — pause/resume is exactly-once end
+   * to end. Runs after every command batch and maintenance cycle (the
+   * two places status can change).
+   */
+  private def reconcileIngest(): Unit = synchronized {
+    if (!running || conf.framesDir.isEmpty) return
+    val status = registry.byId(conf.procId).map(_.status).getOrElse("STOPPED")
+    (status, ingest) match {
+      case ("RUNNING", None) =>
+        ingest = Some(IngestPipeline.runFromSource(spark,
+          StreamSource.LogFiles(conf.framesDir), ctx.state.config,
+          metadata = None, store = store,
+          checkpoint = s"${conf.checkpointDir}/ingest"))
+      case (s, Some(q)) if s != "RUNNING" =>
+        graft.stream.StreamOps.stopAndUnload(q)
+        ingest = None
+      case _ => ()
+    }
+  }
+
+  /** Is the ingest stream currently up? (control-loop observability) */
+  private[graft] def ingestActive: Boolean = ingest.exists(_.isActive)
 
   private def daemon(name: String)(body: => Unit): Option[Thread] = {
     val t = new Thread(() => body, name)
@@ -104,6 +129,7 @@ final class Service(val spark: SparkSession, conf: Service.Config) {
         sinceDays = conf.maintenanceSinceDays,
         retainHistory = conf.retainHistory)).collect(): Unit
     Api.dispatch(ctx, "cmd.ecprocess.check_storage", null).collect(): Unit
+    reconcileIngest() // a disk alarm flips statuses — act on it now
     cyclesDone += 1
   }
   @volatile private[graft] var cyclesDone: Int = 0
@@ -189,6 +215,8 @@ final class Service(val spark: SparkSession, conf: Service.Config) {
             s"failed: ${ex.getMessage}")
         }
       }
+      // a ctrl command may have changed the process status
+      if (cmds.nonEmpty) reconcileIngest()
       Thread.sleep(conf.commandPollMs)
     }
   }

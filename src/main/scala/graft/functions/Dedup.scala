@@ -927,6 +927,8 @@ object Dedup {
     repairIndex(fs, path)
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/buckets")),
       s"no MinHash index at $path")
+    // maintainer context: keep the append ledger O(recent) too
+    graft.store.StagedBatchAppend.foldAllMarkers(spark, path)
     def liveFiles(live: org.apache.hadoop.fs.Path) =
       fs.listStatus(live).toSeq.filter(f => f.isFile &&
         !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))

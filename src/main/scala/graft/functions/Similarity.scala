@@ -450,6 +450,8 @@ object Similarity {
         else if (e.isDirectory) dataFiles(e.getPath)
         else Seq(e)
       }
+    // maintainer context: keep the append ledger O(recent) too
+    graft.store.StagedBatchAppend.foldAllMarkers(spark, path)
     val listDirs = fs.listStatus(live).toSeq
       .filter(e => e.isDirectory && e.getPath.getName.startsWith("list_id="))
     val perList = listDirs.map(d => d.getPath -> dataFiles(d.getPath))

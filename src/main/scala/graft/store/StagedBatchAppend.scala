@@ -143,4 +143,19 @@ object StagedBatchAppend {
   def foldMarkers(spark: SparkSession, destRoot: String, writer: String): Unit =
     BatchLedger.foldMarkers(fsOf(spark, new HPath(destRoot)),
       new HPath(destRoot), writer)
+
+  /** Fold EVERY writer present in the ledger at `destRoot` — called by
+   *  the index compactions (the single maintainer) so an unbounded
+   *  stream's ledger listing stays O(recent batches) without the
+   *  deployment knowing the set of checkpoints that ever appended.
+   *  Index ledgers carry no as-of pins (only replay-skip answers), so
+   *  folding here loses nothing. */
+  def foldAllMarkers(spark: SparkSession, destRoot: String): Unit = {
+    val rootP = new HPath(destRoot)
+    val fs = fsOf(spark, rootP)
+    val d = BatchLedger.dir(rootP)
+    if (!fs.exists(d)) return
+    BatchLedger.writers(fs.listStatus(d).toSeq.map(_.getPath.getName))
+      .foreach(w => BatchLedger.foldMarkers(fs, rootP, w))
+  }
 }

@@ -100,6 +100,82 @@ class ServiceSpec extends SparkSpec {
     } finally svc.stop()
   }
 
+  test("ctrl stop halts ingestion; start resumes from the checkpoint " +
+    "exactly-once (no duplicates, nothing lost)") {
+    val root = tmpDir()
+    val conf = Service.Config(
+      storeRoot = root, framesDir = s"$root/_frames",
+      checkpointDir = s"$root/_ck", commandDir = s"$root/_cmds",
+      saveIntervalMs = 100L, maintenanceIntervalMs = 3600000L, // manual only
+      commandPollMs = 50L, selectors = Seq("pt:j1/mt:evt/#"))
+    val svc = new Service(spark, conf).start()
+    def issue(name: String, json: String): String = {
+      Files.write(Paths.get(conf.commandDir, s"._cmd-$name.json"),
+        json.getBytes("UTF-8"))
+      Files.move(Paths.get(conf.commandDir, s"._cmd-$name.json"),
+        Paths.get(conf.commandDir, s"cmd-$name.json"))
+      val rsp = Paths.get(conf.commandDir, s"rsp-$name.json")
+      await(s"response rsp-$name.json")(Files.exists(rsp))
+      new String(Files.readAllBytes(rsp), "UTF-8")
+    }
+    def frame(file: String, ad: Int, v: Double): Unit =
+      Files.write(Paths.get(conf.framesDir, file),
+        (tai64n(System.currentTimeMillis() / 1000 - 60) +
+          s" pt:j1/mt:evt/rt:dev/rn:z/ad:$ad/sv:sensor_temp/ad:$ad " +
+          s"""{"serv":"sensor_temp","type":"evt.sensor.report","val_t":"float","val":$v,"props":{"unit":"C"},"src":"app"}""")
+          .getBytes("UTF-8"))
+    def values(): Seq[Double] = svc.store.read(Tier.GenRaw)
+      .select("value").collect().map(_.getDouble(0)).sorted.toSeq
+    try {
+      await("ingest up")(svc.ingestActive)
+      frame("a.log", 1, 1.0)
+      await("first frame")(values() == Seq(1.0))
+
+      // the reference's ctrl stop halts ALL ingestion (admin.go:113-150)
+      issue("stop", """{"type":"cmd.ecprocess.ctrl","uid":"c1",
+        |"val":{"procId":1,"op":"stop"}}""".stripMargin)
+      await("ingest halted")(!svc.ingestActive)
+      frame("b.log", 2, 2.0)
+      Thread.sleep(800) // would have been ingested if the stream were up
+      assert(values() == Seq(1.0), "stopped process still ingested")
+
+      // start resumes FROM THE CHECKPOINT: the waiting frame lands, the
+      // already-committed one does not duplicate (ledger + file log)
+      issue("start", """{"type":"cmd.ecprocess.ctrl","uid":"c2",
+        |"val":{"procId":1,"op":"start"}}""".stripMargin)
+      await("ingest resumed")(svc.ingestActive)
+      await("queued frame ingested")(values() == Seq(1.0, 2.0))
+    } finally svc.stop()
+  }
+
+  test("disk alarm: a storage-quota breach stops every process AND the " +
+    "ingest stream on the next maintenance tick") {
+    val root = tmpDir()
+    val aux = tmpDir() // frames + checkpoint OUTSIDE the quota'd root,
+    // and the budget sits above the boot metadata (~200 B) but below
+    // any ingested parquet — so the breach is exactly "data landed"
+    val conf = Service.Config(
+      storeRoot = root, framesDir = s"$aux/_frames",
+      checkpointDir = s"$aux/_ck", commandDir = "",
+      saveIntervalMs = 100L, maintenanceIntervalMs = 3600000L,
+      selectors = Seq("pt:j1/mt:evt/#"),
+      quota = Some(graft.api.Api.StorageQuota(maxBytes = 800L)))
+    val svc = new Service(spark, conf).start()
+    try {
+      await("ingest up")(svc.ingestActive)
+      Files.write(Paths.get(conf.framesDir, "a.log"),
+        (tai64n(System.currentTimeMillis() / 1000 - 60) +
+          " pt:j1/mt:evt/rt:dev/rn:z/ad:1/sv:sensor_temp/ad:1 " +
+          """{"serv":"sensor_temp","type":"evt.sensor.report","val_t":"float","val":5.0,"props":{"unit":"C"},"src":"app"}""")
+          .getBytes("UTF-8"))
+      await("frame ingested")(svc.store.read(Tier.GenRaw).count() == 1L)
+      // the tick: check_storage alarms (store >> 1 byte) → every
+      // process STOPPED (integration.go:296-301) → reconcile halts ingest
+      svc.maintenanceCycle()
+      assert(!svc.ingestActive, "disk alarm left the ingest stream running")
+    } finally svc.stop()
+  }
+
   test("loadConfig: properties parse, defaults derive under store.root, " +
     "missing store.root refuses") {
     val dir = tmpDir()
