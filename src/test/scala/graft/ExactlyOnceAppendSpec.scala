@@ -154,6 +154,30 @@ class ExactlyOnceAppendSpec extends SparkSpec {
     assert(values(store, Tier.GenRaw) == Seq(0.0, 1.0, 2.0, 3.0))
   }
 
+  test("concurrent plain writes serialize through the ledger: every " +
+    "thread's batch commits exactly once, ids are dense, as-of order holds") {
+    val root = tmpDir()
+    val store = new TierStore(spark, root)
+    val n = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      (0 until n).map(i => pool.submit(new Runnable {
+        def run(): Unit =
+          store.write(Tier.GenRaw, pts(("sensor_temp", i.toDouble)))
+      })).foreach(_.get())
+    } finally pool.shutdown()
+    assert(values(store, Tier.GenRaw) == (0 until n).map(_.toDouble),
+      "concurrent plain writes lost or duplicated rows")
+    val fs = new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = fs.listStatus(BatchLedger.dir(new HPath(root)))
+      .map(_.getPath.getName).toSeq
+      .collect { case s if s.startsWith("_b_batch_") =>
+        s.stripPrefix("_b_batch_").toLong }.sorted
+    assert(ids == (0L until n.toLong), s"plain-write ids not dense: $ids")
+    // a pin taken NOW covers everything just committed (order-sound)
+    assert(store.readAsOf(Tier.GenRaw, store.pinNow()).count() == n.toLong)
+  }
+
   test("as-of pin older than a ledger fold fails loudly instead of " +
     "silently attesting nothing") {
     val root = tmpDir()
