@@ -430,23 +430,47 @@ final class TierStore(spark: SparkSession, root: String) {
 
   /**
    * A SKEW-PROOF as-of pin: the maximum modification time the STORE's
-   * own records currently report (ledger files, snapshot commit
-   * markers, data files — everything [[readAsOf]] resolution ever
-   * compares a pin against), so `readAsOf(pinNow())` always equals the
-   * current read and later commits stay invisible regardless of any
-   * driver ↔ storage clock drift. Take it between ingest jobs for an
-   * exact boundary (a commit in flight lands on whichever side its
-   * marker does, the same contract as any snapshot pin). Cost: one
-   * recursive listing of the store tree — the same metadata walk a
-   * full read's planning pays.
+   * own records currently report — exactly the set [[readAsOf]]
+   * resolution ever compares a pin against: batch-ledger files,
+   * per-partition commit markers, and the partition-level data files
+   * themselves. Snapshot CONTENTS (`_v=N/` dirs, where the bulk of a
+   * compacted store's files live) are deliberately NOT walked:
+   * resolution admits a whole snapshot by its marker's mtime, never by
+   * its members', so the walk is one listing per partition — the same
+   * metadata cost a read's planning pays, independent of how many
+   * files compaction has accumulated inside snapshots. With the pin
+   * taken from storage-reported times, `readAsOf(pinNow())` always
+   * equals the current read and later commits stay invisible
+   * regardless of any driver ↔ storage clock drift. Take it between
+   * ingest jobs for an exact boundary (a commit in flight lands on
+   * whichever side its marker does, the standard snapshot-pin
+   * contract).
    */
   def pinNow(): Long = {
-    def maxM(p: HPath): Long =
-      fs.listStatus(p).foldLeft(0L) { (acc, e) =>
-        val own = e.getModificationTime
-        math.max(acc, if (e.isDirectory) math.max(own, maxM(e.getPath)) else own)
+    var m = 0L
+    def bump(t: Long): Unit = if (t > m) m = t
+    val rootP = new HPath(root)
+    if (!exists(root)) return 0L
+    val ledger = BatchLedger.dir(rootP)
+    if (fs.exists(ledger))
+      fs.listStatus(ledger).foreach(e => bump(e.getModificationTime))
+    fs.listStatus(rootP).foreach { tierDir =>
+      if (tierDir.isDirectory && tierDir.getPath.getName.startsWith("tier=")) {
+        fs.listStatus(tierDir.getPath).foreach { mDir =>
+          if (mDir.isDirectory && mDir.getPath.getName.startsWith("measurement="))
+            fs.listStatus(mDir.getPath).foreach { dDir =>
+              if (dDir.isDirectory && dDir.getPath.getName.startsWith("date="))
+                fs.listStatus(dDir.getPath).foreach { e =>
+                  // direct children only: data files (plain + batch-
+                  // tagged) and _commit_* markers carry every timestamp
+                  // resolution consults; _v=/_staging subtrees do not
+                  if (e.isFile) bump(e.getModificationTime)
+                }
+            }
+        }
       }
-    if (exists(root)) maxM(new HPath(root)) else 0L
+    }
+    m
   }
 
   /**
@@ -913,13 +937,19 @@ final class TierStore(spark: SparkSession, root: String) {
       if files.nonEmpty
     } yield (m, d, files)
     if (histParts.isEmpty) return false
-    val frames = histParts.map { case (m, d, files) =>
-      spark.read.parquet(files: _*)
-        .withColumn("measurement", lit(m))
-        .withColumn("date", lit(d).cast("date"))
+    // bounded union width + early exit: a tier-wide retained history
+    // could span thousands of partitions, and a single thousand-way
+    // union is a driver-side plan bomb — scan 64 partitions per job
+    // and stop at the first match (the common erasure hits early)
+    histParts.grouped(64).exists { group =>
+      val frames = group.map { case (m, d, files) =>
+        spark.read.parquet(files: _*)
+          .withColumn("measurement", lit(m))
+          .withColumn("date", lit(d).cast("date"))
+      }
+      !frames.reduce(_ unionByName (_, allowMissingColumns = true))
+        .filter(coalesce(predicate, lit(false))).isEmpty
     }
-    !frames.reduce(_ unionByName (_, allowMissingColumns = true))
-      .filter(coalesce(predicate, lit(false))).isEmpty
   }
 
   /**
