@@ -87,7 +87,28 @@ final class TierStore(spark: SparkSession, root: String) {
   /** Test seam for the publish race/crash specs: invoked between the
    *  bulk phases of a partition publish ("staged", "swapped") and, per
    *  partition, between a snapshot's rename and its commit ("renamed"). */
-  private[graft] var publishHook: String => Unit = _ => ()
+  private[graft] val defaultPublishHook: String => Unit = _ => ()
+  private[graft] var publishHook: String => Unit = defaultPublishHook
+
+  /** Run independent per-partition publish/vacuum actions on a bounded
+   *  pool: each acts on its OWN partition directory (disjoint FS
+   *  state, Hadoop FileSystem handles are thread-safe), and a
+   *  maintenance window at 100 TB spans thousands of partitions — a
+   *  sequential loop of per-partition metadata round trips is a pure
+   *  driver bottleneck. Result order matches input order. Runs SERIAL
+   *  whenever a test hook is installed, so crash seams keep firing
+   *  deterministically. */
+  private def perPartition[A, B](items: Seq[A])(f: A => B): Seq[B] =
+    if ((publishHook ne defaultPublishHook) || items.lengthCompare(1) <= 0)
+      items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, items.length))
+      try items.map(a => pool.submit(new java.util.concurrent.Callable[B] {
+        def call(): B = f(a)
+      })).map(_.get())
+      finally pool.shutdown()
+    }
 
   /**
    * Publish a staged replacement for one partition as the next
@@ -817,7 +838,7 @@ final class TierStore(spark: SparkSession, root: String) {
 
     publishHook("staged")
     val escape = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName _
-    val published = parts.flatMap { case (m, d, dir, files) =>
+    val published = perPartition(parts) { case (m, d, dir, files) =>
       val fresh = new HPath(staging, s"measurement=${escape(m)}/date=$d")
       if (fs.exists(fresh)) {
         // fold exactly the RAW inputs of this pass (snapshot inputs are
@@ -825,13 +846,14 @@ final class TierStore(spark: SparkSession, root: String) {
         val folded = files.filter(_.getPath.getParent == dir).map(_.getPath.getName)
         Some(dir -> publishPartition(dir, Some(fresh), folded))
       } else None
-    }
+    }.flatten
     publishHook("swapped")
     // vacuum superseded snapshots + folded raw files after ALL commits —
     // unless the caller retains history for time-travel reads
     // ([[readAsOf]]); then [[vacuumTier]] reclaims the space later
     if (!retainHistory)
-      published.foreach { case (dir, v) => TierLayout.vacuum(fs, dir, v) }
+      perPartition(published) { case (dir, v) =>
+        TierLayout.vacuum(fs, dir, v) }: Unit
     rmTree(staging.toString)
     published.size
   }
@@ -887,7 +909,7 @@ final class TierStore(spark: SparkSession, root: String) {
 
     publishHook("staged")
     val escape = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName _
-    val published = parts.map { case (m, d, dir, files) =>
+    val published = perPartition(parts) { case (m, d, dir, files) =>
       val fresh = new HPath(staging, s"measurement=${escape(m)}/date=$d")
       val folded = files.filter(_.getPath.getParent == dir).map(_.getPath.getName)
       // every-row-matched partitions have no staged dir → EMPTY snapshot
@@ -895,7 +917,8 @@ final class TierStore(spark: SparkSession, root: String) {
         if (fs.exists(fresh)) Some(fresh) else None, folded)
     }
     publishHook("swapped")
-    published.foreach { case (dir, v) => TierLayout.vacuum(fs, dir, v) }
+    perPartition(published) { case (dir, v) =>
+      TierLayout.vacuum(fs, dir, v) }: Unit
     rmTree(staging.toString)
     published.size
   }
@@ -963,7 +986,7 @@ final class TierStore(spark: SparkSession, root: String) {
   def vacuumTier(tier: Tier): Int = maintenanceLock.synchronized {
     val index = new TierFileIndex(spark, new HPath(path(tier.name)))
     val parts = index.resolvedPartitions.map(_._3).distinct
-    val n = parts.count { dir =>
+    val n = perPartition(parts) { dir =>
       // vacuum only against a commit whose manifest is fully visible —
       // an in-flight marker has an empty effective folded list, and
       // vacuuming "against" it would delete the older snapshots readers
@@ -991,7 +1014,7 @@ final class TierStore(spark: SparkSession, root: String) {
           true
         case None => false
       }
-    }
+    }.count(identity)
     pruneEmptyMeasurementDirs(path(tier.name))
     n
   }
@@ -1034,7 +1057,7 @@ final class TierStore(spark: SparkSession, root: String) {
       mDir <- subDirs(staging.toString) if mDir.getName.startsWith("measurement=")
       dDir <- subDirs(mDir.toString) if dDir.getName.startsWith("date=")
     } yield (mDir.getName, dDir.getName)).toSet
-    val published = staged.toSeq.map { case (m, d) =>
+    val published = perPartition(staged.toSeq) { case (m, d) =>
       val part = new HPath(s"$tierPathS/$m/$d")
       // replacement semantics: the fresh rollup supersedes every raw
       // file present NOW — fold them all
@@ -1042,12 +1065,14 @@ final class TierStore(spark: SparkSession, root: String) {
         rawFiles(part, committed))
     }
     val dateSet = dates.toSet
-    val retired = for {
+    val retireTargets = for {
       mDir <- subDirs(tierPathS) if mDir.getName.startsWith("measurement=")
       dDir <- subDirs(mDir.toString) if dDir.getName.startsWith("date=")
       if dateSet.contains(dDir.getName.stripPrefix("date="))
       if !staged((mDir.getName, dDir.getName))
-    } yield dDir -> publishPartition(dDir, None, rawFiles(dDir, committed))
+    } yield dDir
+    val retired = perPartition(retireTargets)(dDir =>
+      dDir -> publishPartition(dDir, None, rawFiles(dDir, committed)))
     publishHook("swapped")
     // cleanup phase — every commit is visible, so plan-time resolution
     // cannot land on anything being deleted below. With retainHistory
@@ -1055,8 +1080,9 @@ final class TierStore(spark: SparkSession, root: String) {
     // behind their committed EMPTY snapshot) stay on disk for
     // [[readAsOf]]; [[vacuumTier]] reclaims them later.
     if (!retainHistory) {
-      published.foreach { case (part, v) => TierLayout.vacuum(fs, part, v) }
-      retired.foreach { case (part, v) =>
+      perPartition(published) { case (part, v) =>
+        TierLayout.vacuum(fs, part, v) }: Unit
+      perPartition(retired) { case (part, v) =>
         TierLayout.vacuum(fs, part, v)
         // logically empty: drop our metadata, then the dir only-if-empty
         // (a concurrent append landing here must survive — see
@@ -1066,7 +1092,7 @@ final class TierStore(spark: SparkSession, root: String) {
         fs.listStatus(part).filter(_.getPath.getName.startsWith("_commit_"))
           .foreach(e => fs.delete(e.getPath, false))
         removeIfEmpty(part)
-      }
+      }: Unit
       pruneEmptyMeasurementDirs(tierPathS)
     }
     rmTree(staging.toString)
