@@ -122,7 +122,8 @@ final class Service(val spark: SparkSession, conf: Service.Config) {
 
   /** One maintenance cycle: the run_maintenance command + the disk
    *  monitor tick — command-shaped so an operator sees exactly what a
-   *  manual `cmd.tsdb.run_maintenance` would do. */
+   *  manual `cmd.tsdb.run_maintenance` would do — plus the transport's
+   *  own housekeeping ([[sweepCommandDir]]). */
   def maintenanceCycle(): Unit = dispatchLock.synchronized {
     Api.dispatch(ctx, "cmd.tsdb.run_maintenance",
       Api.MaintenanceRequest(procId = conf.procId,
@@ -130,7 +131,37 @@ final class Service(val spark: SparkSession, conf: Service.Config) {
         retainHistory = conf.retainHistory)).collect(): Unit
     Api.dispatch(ctx, "cmd.ecprocess.check_storage", null).collect(): Unit
     reconcileIngest() // a disk alarm flips statuses — act on it now
+    sweepCommandDir()
     cyclesDone += 1
+  }
+
+  /**
+   * Transport retention: reclaim `rsp-*.json` responses and `done/`
+   * command files older than `command.retention.ms` — without it a
+   * long-lived service (the assembly's whole point) grows the command
+   * dir without bound, one rsp + one done file per command ever issued
+   * (integration.go's housekeeping stance, applied to the file socket).
+   * Age-based, so an in-flight exchange is never touched: a response
+   * the client has not read yet is by definition younger than the
+   * retention window (default 24 h), and `cmd-*.json` files — work not
+   * yet executed — are never swept at all.
+   */
+  private[graft] def sweepCommandDir(): Unit = {
+    if (conf.commandDir.isEmpty || conf.commandRetentionMs <= 0) return
+    val cutoff = System.currentTimeMillis() - conf.commandRetentionMs
+    val dir = new HPath(conf.commandDir)
+    if (!fs.exists(dir)) return
+    fs.listStatus(dir).foreach { e =>
+      val n = e.getPath.getName
+      if (e.isFile && n.startsWith("rsp-") && n.endsWith(".json") &&
+        e.getModificationTime < cutoff) fs.delete(e.getPath, false): Unit
+    }
+    val done = new HPath(dir, "done")
+    if (fs.exists(done))
+      fs.listStatus(done).foreach { e =>
+        if (e.isFile && e.getModificationTime < cutoff)
+          fs.delete(e.getPath, false): Unit
+      }
   }
   @volatile private[graft] var cyclesDone: Int = 0
 
@@ -202,12 +233,7 @@ final class Service(val spark: SparkSession, conf: Service.Config) {
           val in = fs.open(e.getPath)
           val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
           val report = execute(json)
-          // response appears atomically: staged hidden, then renamed
-          val staged = new HPath(dir, s"._rsp-$name.json")
-          val out = fs.create(staged, true)
-          try out.write(report.getBytes("UTF-8")) finally out.close()
-          fs.rename(staged, new HPath(dir, s"rsp-$name.json"))
-          fs.rename(e.getPath, new HPath(done, e.getPath.getName))
+          Service.publishAndRetire(fs, dir, done, e.getPath, name, report)
         } catch { case ex: Exception if running =>
           // a command file that cannot even be read/moved must not kill
           // the transport (execute() itself never throws)
@@ -239,6 +265,41 @@ final class Service(val spark: SparkSession, conf: Service.Config) {
 
 object Service {
 
+  /**
+   * Publish one command's response and retire its command file. The
+   * response appears atomically (staged hidden, then renamed) and BOTH
+   * renames are result-checked: on HDFS/object-store semantics
+   * rename-to-existing returns FALSE (it does not throw), and ignoring
+   * that for the done/ move would leave the cmd file in place — the
+   * 200 ms poll would then re-execute a non-idempotent command (a
+   * write_data_points, a delete) every cycle, forever. A reused command
+   * name first clears the stale destination; if the move STILL fails
+   * the command file is dropped — its response was already published,
+   * and never-re-execute beats preserving a duplicate audit file.
+   */
+  private[graft] def publishAndRetire(fs: org.apache.hadoop.fs.FileSystem,
+      dir: HPath, done: HPath, cmdFile: HPath, name: String,
+      report: String): Unit = {
+    val staged = new HPath(dir, s"._rsp-$name.json")
+    val out = fs.create(staged, true)
+    try out.write(report.getBytes("UTF-8")) finally out.close()
+    val rsp = new HPath(dir, s"rsp-$name.json")
+    if (!fs.rename(staged, rsp)) {
+      fs.delete(rsp, false) // a reused name: the latest response wins
+      if (!fs.rename(staged, rsp))
+        System.err.println(s"[graft.Service] response publish failed: $rsp")
+    }
+    val dst = new HPath(done, cmdFile.getName)
+    if (!fs.rename(cmdFile, dst)) {
+      fs.delete(dst, false)
+      if (!fs.rename(cmdFile, dst)) {
+        System.err.println(
+          s"[graft.Service] done-move failed for ${cmdFile.getName}; dropping")
+        fs.delete(cmdFile, false): Unit // never re-execute
+      }
+    }
+  }
+
   /** Boot configuration — one flat properties file (service.go:95 reads
    *  the reference's JSON config; properties keep the zero-dependency
    *  transport theme). Relative dirs default under `storeRoot`. */
@@ -253,6 +314,7 @@ object Service {
       maintenanceSinceDays: Int = 3,
       retainHistory: Boolean = false,
       commandPollMs: Long = 200L,
+      commandRetentionMs: Long = 86400000L,
       selectors: Seq[String] = Nil,
       quota: Option[Api.StorageQuota] = None)
 
@@ -274,6 +336,7 @@ object Service {
       maintenanceSinceDays = get("maintenance.since.days", "3").toInt,
       retainHistory = get("maintenance.retain.history", "false").toBoolean,
       commandPollMs = get("command.poll.ms", "200").toLong,
+      commandRetentionMs = get("command.retention.ms", "86400000").toLong,
       selectors = get("selectors", "").split(',').map(_.trim).filter(_.nonEmpty).toSeq,
       quota = Option(p.getProperty("quota.max.bytes"))
         .map(b => Api.StorageQuota(maxBytes = b.toLong)))

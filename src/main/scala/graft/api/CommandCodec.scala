@@ -90,47 +90,95 @@ object CommandCodec {
     case other => throw new IllegalArgumentException(s"not an object: $other")
   }
 
+  /** First present (non-null) field among aliases — the wire-parity
+   *  seam: the reference's payloads are snake_case for the query/write
+   *  surface (api/types.go:9-34 — proc_id, measurement_name,
+   *  data_function, relative_time, group_by_time, fill_type, dev_types;
+   *  docs/api:449-477 examples confirm) and Go-default EXPORTED field
+   *  names (ID, Name, BatchMaxSize, ...) for the untagged config
+   *  structs (integration/tsdb/model.go:51-108). Decoding camelCase
+   *  only — the round-10 shape — silently defaulted every reference
+   *  field to "" and returned a WRONG result instead of an error. */
+  private def field(v: JValue, names: String*): JValue =
+    names.iterator.map(v \ _)
+      .find(j => j != JNothing && j != JNull).getOrElse(JNothing)
+
   private def filters(v: JValue): DataPointsFilter = DataPointsFilter(
     tags = strMap(v \ "tags"),
     devices = strSeq(v \ "devices"),
     locations = strSeq(v \ "locations"),
-    devTypes = strSeq(v \ "devTypes"))
+    devTypes = strSeq(field(v, "devTypes", "dev_types")))
 
   private def getDataPoints(v: JValue): Api.GetDataPointsRequest =
     Api.GetDataPointsRequest(
-      procId = int(v \ "procId", 1),
-      fieldName = str(v \ "fieldName"),
-      dataFunction = str(v \ "dataFunction"),
-      transformFunction = str(v \ "transformFunction"),
-      measurementName = str(v \ "measurementName"),
-      relativeTime = str(v \ "relativeTime"),
-      fromTime = str(v \ "fromTime"),
-      toTime = str(v \ "toTime"),
-      groupByTime = str(v \ "groupByTime"),
-      groupByTag = str(v \ "groupByTag"),
-      fillType = str(v \ "fillType"),
+      procId = int(field(v, "procId", "proc_id"), 1),
+      fieldName = str(field(v, "fieldName", "field_name")),
+      dataFunction = str(field(v, "dataFunction", "data_function")),
+      transformFunction = str(field(v, "transformFunction", "transform_function")),
+      measurementName = str(field(v, "measurementName", "measurement_name")),
+      relativeTime = str(field(v, "relativeTime", "relative_time")),
+      fromTime = str(field(v, "fromTime", "from_time")),
+      toTime = str(field(v, "toTime", "to_time")),
+      groupByTime = str(field(v, "groupByTime", "group_by_time")),
+      groupByTag = str(field(v, "groupByTag", "group_by_tag")),
+      fillType = str(field(v, "fillType", "fill_type")),
       filters = filters(v \ "filters"),
-      asOfMs = long(v \ "asOfMs", 0L))
+      asOfMs = long(field(v, "asOfMs", "as_of_ms"), 0L))
 
-  private def writePoint(v: JValue): Api.WritePoint = Api.WritePoint(
-    name = str(v \ "name"),
-    tags = strMap(v \ "tags"),
-    fields = dblMap(v \ "fields"),
-    ts = java.sql.Timestamp.from(java.time.Instant.parse(str(v \ "ts"))))
+  /** The reference MDataPoint.ts is an int64 epoch with 0 meaning
+   *  "server sets time" (api/types.go:27; the docs/api write example
+   *  sends `"ts": 0`) — so a JSON number decodes as epoch seconds
+   *  (or millis when it is plainly too large for seconds, ≥ 1e11:
+   *  epoch seconds stay below that until the year 5138), 0 → `now`.
+   *  ISO-8601 strings remain accepted for richer clients. */
+  private def pointTs(v: JValue, now: () => java.time.Instant): java.sql.Timestamp = {
+    val inst = v match {
+      case JInt(_) | JLong(_) | JDouble(_) =>
+        val n = long(v, 0L)
+        if (n == 0L) now()
+        else if (n >= 100000000000L) java.time.Instant.ofEpochMilli(n)
+        else java.time.Instant.ofEpochSecond(n)
+      case JNull | JNothing => now()
+      case s => java.time.Instant.parse(str(s))
+    }
+    java.sql.Timestamp.from(inst)
+  }
+
+  private def writePoint(v: JValue, now: () => java.time.Instant): Api.WritePoint =
+    Api.WritePoint(
+      name = str(v \ "name"),
+      tags = strMap(v \ "tags"),
+      fields = dblMap(v \ "fields"),
+      ts = pointTs(v \ "ts", now))
+
+  /** The reference's ProcessConfig/Filter/Selector structs carry no
+   *  json tags, so Go marshals their EXPORTED names verbatim —
+   *  accepted here as fallbacks. SaveInterval is a time.Duration
+   *  (int64 NANOSECONDS on a Go wire); values ≥ 1e7 are taken as ns
+   *  and scaled to ms (no real save interval is ≥ 2.7 h in ms or
+   *  < 10 ms in ns, so the split is unambiguous). */
+  private def saveIntervalMs(v: JValue, d: Long): Long = {
+    val n = long(v, d)
+    if (n >= 10000000L) n / 1000000L else n
+  }
 
   private def processConfig(v: JValue): ProcessConfig = ProcessConfig(
-    id = int(v \ "id", 0),
-    name = str(v \ "name"),
-    batchMaxSize = int(v \ "batchMaxSize", 1000),
-    saveIntervalMs = long(v \ "saveIntervalMs", 5000L),
-    siteId = str(v \ "siteId"),
-    profile = str(v \ "profile", Tier.ProfileOptimized),
-    autostart = bool(v \ "autostart", d = false))
+    id = int(field(v, "id", "ID"), 0),
+    name = str(field(v, "name", "Name")),
+    batchMaxSize = int(field(v, "batchMaxSize", "BatchMaxSize"), 1000),
+    saveIntervalMs = saveIntervalMs(
+      field(v, "saveIntervalMs", "SaveInterval"), 5000L),
+    siteId = str(field(v, "siteId", "SiteId")),
+    profile = str(field(v, "profile", "Profile"), Tier.ProfileOptimized),
+    autostart = bool(field(v, "autostart", "Autostart"), d = false))
 
   /** Decode one command message. Throws IllegalArgumentException on a
    *  malformed envelope or an unknown command type — the transport
-   *  reports it through the standard error envelope. */
-  def decode(json: String): Command = {
+   *  reports it through the standard error envelope. `now` supplies the
+   *  server-side timestamp for `"ts": 0` write points (injectable for
+   *  deterministic tests). */
+  def decode(json: String,
+      now: () => java.time.Instant = () => java.time.Instant.now()): Command = {
     val env = JsonMethods.parse(json)
     val msgType = str(env \ "type")
     require(msgType.nonEmpty, "command message has no 'type'")
@@ -139,33 +187,33 @@ object CommandCodec {
       case "cmd.tsdb.get_data_points" | "cmd.tsdb.get_energy_data_points" |
            "cmd.tsdb.delete_data_points" => getDataPoints(v)
       case "cmd.tsdb.write_data_points" => Api.WriteDataPointsRequest(
-        procId = int(v \ "procId", 1), bucket = str(v \ "bucket"),
+        procId = int(field(v, "procId", "proc_id"), 1), bucket = str(v \ "bucket"),
         dp = (v \ "dp") match {
-          case JArray(xs) => xs.map(writePoint)
+          case JArray(xs) => xs.map(writePoint(_, now))
           case _ => throw new IllegalArgumentException("write: 'dp' must be an array")
         })
       case "cmd.tsdb.compact" => Api.CompactRequest(
-        procId = int(v \ "procId", 1), tier = str(v \ "tier"),
+        procId = int(field(v, "procId", "proc_id"), 1), tier = str(v \ "tier"),
         targetFileBytes = long(v \ "targetFileBytes", 128L * 1024 * 1024),
         minFiles = int(v \ "minFiles", 4),
         clusterBy = strSeq(v \ "clusterBy"),
         zorder = bool(v \ "zorder", d = false),
         retainHistory = bool(v \ "retainHistory", d = false))
       case "cmd.tsdb.vacuum" => Api.VacuumRequest(
-        procId = int(v \ "procId", 1), tier = str(v \ "tier"),
+        procId = int(field(v, "procId", "proc_id"), 1), tier = str(v \ "tier"),
         foldBatchMarkers = bool(v \ "foldBatchMarkers", d = true))
       case "cmd.tsdb.run_maintenance" => Api.MaintenanceRequest(
-        procId = int(v \ "procId", 1), sinceDays = int(v \ "sinceDays", 3),
+        procId = int(field(v, "procId", "proc_id"), 1), sinceDays = int(v \ "sinceDays", 3),
         retainHistory = bool(v \ "retainHistory", d = false))
       case "cmd.tsdb.backfill" => Api.BackfillRequest(
-        procId = int(v \ "procId", 1), fromDate = str(v \ "fromDate"),
+        procId = int(field(v, "procId", "proc_id"), 1), fromDate = str(v \ "fromDate"),
         toDate = str(v \ "toDate"),
         retainHistory = bool(v \ "retainHistory", d = false))
       case "cmd.tsdb.verify_rollup" => Api.VerifyRollupRequest(
-        procId = int(v \ "procId", 1), fromDate = str(v \ "fromDate"),
+        procId = int(field(v, "procId", "proc_id"), 1), fromDate = str(v \ "fromDate"),
         toDate = str(v \ "toDate"), tolerance = dbl(v \ "tolerance", 1e-6))
       case "cmd.tsdb.diff_data_points" => Api.DiffRequest(
-        procId = int(v \ "procId", 1), tier = str(v \ "tier"),
+        procId = int(field(v, "procId", "proc_id"), 1), tier = str(v \ "tier"),
         fromAsOfMs = long(v \ "fromAsOfMs", 0L),
         toAsOfMs = long(v \ "toAsOfMs", 0L))
       case "cmd.tsdb.query" => v match {
@@ -174,7 +222,9 @@ object CommandCodec {
       }
       case "cmd.ecprocess.add" =>
         if (v == JNothing || v == JNull) null else processConfig(v)
-      case "cmd.ecprocess.ctrl" => (int(v \ "procId", 1), str(v \ "op"))
+      // the reference's ctrl payload is a str_map with "proc_id"/"op"
+      // (admin.go:44 reads val["proc_id"])
+      case "cmd.ecprocess.ctrl" => (int(field(v, "procId", "proc_id"), 1), str(v \ "op"))
       case "cmd.ecprocess.update_config" => processConfig(v)
       case "cmd.log.set_level" => str(v)
       case "cmd.tsdb.add_retention_policy" | "cmd.tsdb.update_retention_policy" =>
@@ -183,19 +233,23 @@ object CommandCodec {
         (str(v \ "name"), str(v \ "src"), str(v \ "target"), str(v \ "every"))
       case "cmd.tsdb.delete_object" => (str(v \ "objectType"), str(v \ "name"))
       case "cmd.tsdb.add_filter" => Filter(
-        id = int(v \ "id", 0), name = str(v \ "name"),
-        topic = str(v \ "topic"), domain = str(v \ "domain"),
-        service = str(v \ "service"), msgType = str(v \ "msgType"),
-        negation = bool(v \ "negation", d = false),
-        linkedFilterBooleanOperation = str(v \ "linkedFilterBooleanOperation"),
-        linkedFilterId = int(v \ "linkedFilterId", 0),
-        isAtomic = bool(v \ "isAtomic", d = true),
-        tags = strMap(v \ "tags"),
-        measurementId = str(v \ "measurementId"))
+        id = int(field(v, "id", "ID"), 0), name = str(field(v, "name", "Name")),
+        topic = str(field(v, "topic", "Topic")),
+        domain = str(field(v, "domain", "Domain")),
+        service = str(field(v, "service", "Service")),
+        msgType = str(field(v, "msgType", "MsgType")),
+        negation = bool(field(v, "negation", "Negation"), d = false),
+        linkedFilterBooleanOperation = str(field(v,
+          "linkedFilterBooleanOperation", "LinkedFilterBooleanOperation")),
+        linkedFilterId = int(field(v, "linkedFilterId", "LinkedFilterID"), 0),
+        isAtomic = bool(field(v, "isAtomic", "IsAtomic"), d = true),
+        tags = strMap(field(v, "tags", "Tags")),
+        measurementId = str(field(v, "measurementId", "MeasurementID")))
       case "cmd.tsdb.remove_filter" | "cmd.tsdb.remove_selector" => int(v, 0)
       case "cmd.tsdb.add_selector" => Selector(
-        id = int(v \ "id", 0), topic = str(v \ "topic"),
-        inMemory = bool(v \ "inMemory", d = false))
+        id = int(field(v, "id", "ID"), 0),
+        topic = str(field(v, "topic", "Topic")),
+        inMemory = bool(field(v, "inMemory", "InMemory"), d = false))
       // payload-free commands
       case "cmd.ecprocess.get_list" | "cmd.ecprocess.reset_to_default" |
            "cmd.ecprocess.check_storage" | "cmd.tsdb.get_measurements" |
@@ -206,7 +260,7 @@ object CommandCodec {
         throw new IllegalArgumentException(s"unknown command: $other")
     }
     Command(msgType, payload, str(env \ "uid"), str(env \ "corid"),
-      measurement = str(v \ "measurementName"),
-      groupByTag = str(v \ "groupByTag"))
+      measurement = str(field(v, "measurementName", "measurement_name")),
+      groupByTag = str(field(v, "groupByTag", "group_by_tag")))
   }
 }

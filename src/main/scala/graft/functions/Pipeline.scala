@@ -256,8 +256,7 @@ object Pipeline {
       maxBucketSize: Int = Dedup.DefaultChainMaxBucket,
       compactEvery: Int = 0,
       compactMinFiles: Int = 4): org.apache.spark.sql.streaming.StreamingQuery = {
-    val indexWriter = f"dedup_${scala.util.hashing.MurmurHash3
-      .stringHash(checkpoint) & 0xffffffffL}%08x"
+    val indexWriter = graft.store.BatchLedger.writerId("dedup", checkpoint)
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)

@@ -369,8 +369,7 @@ object Similarity {
     val spark = stream.sparkSession
     require(spark.read.parquet(s"$path/centroids").count() > 0,
       s"no IVF index at $path — buildIvfIndex first")
-    val writer =
-      f"ivf_${scala.util.hashing.MurmurHash3.stringHash(checkpoint) & 0xffffffffL}%08x"
+    val writer = graft.store.BatchLedger.writerId("ivf", checkpoint)
     stream.writeStream.outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -415,7 +414,12 @@ object Similarity {
     if (!fs.exists(oldRoot)) return
     fs.listStatus(oldRoot).foreach { e =>
       val live = new org.apache.hadoop.fs.Path(s"$path/lists/${e.getPath.getName}")
-      if (!fs.exists(live)) fs.rename(e.getPath, live)
+      // a restore rename that FAILS (returns false rather than throwing
+      // on some FileSystems) must abort the heal — the final delete of
+      // .old_lists below would otherwise destroy the only surviving
+      // copy of this list's rows
+      if (!fs.exists(live))
+        require(fs.rename(e.getPath, live), s"heal restore ${e.getPath} -> $live failed")
       else fs.delete(e.getPath, true)
     }
     fs.delete(oldRoot, true)

@@ -48,10 +48,13 @@ object IngestPipeline {
    * its own marker) and distinct per query — two streams appending into
    * one [[TierStore]] under a SHARED writer id silently drop data: when
    * query A has committed batch N, query B's batch N is treated as
-   * already committed and skipped.
+   * already committed and skipped. Collision-resistant derivation
+   * (128-bit SHA-256 prefix, [[graft.store.BatchLedger.writerId]]) —
+   * the earlier 32-bit hash left a birthday window where two colliding
+   * checkpoints would share batch-id space and silently skip appends.
    */
   def writerId(checkpoint: String): String =
-    f"ingest_${scala.util.hashing.MurmurHash3.stringHash(checkpoint) & 0xffffffffL}%08x"
+    graft.store.BatchLedger.writerId("ingest", checkpoint)
 
   /**
    * Streaming form: micro-batch append into the tier store via

@@ -260,6 +260,21 @@ object TierLayout {
  * pinned at plan time like everything else.
  */
 object BatchLedger {
+
+  /** Collision-resistant path-safe writer id for a checkpoint-derived
+   *  ledger namespace: `<prefix>_<sha256(checkpoint)[0..16)>`. The
+   *  previous 32-bit MurmurHash derivation left a real (if small)
+   *  birthday window: two checkpoints colliding in 32 bits that share
+   *  one index path would share batch-id space, and one stream's append
+   *  would be silently skipped as "already committed" — data loss with
+   *  no error. 128 bits of SHA-256 closes that for any feasible number
+   *  of checkpoints. */
+  def writerId(prefix: String, checkpoint: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(checkpoint.getBytes("UTF-8"))
+    prefix + "_" + d.take(16).map(b => f"$b%02x").mkString
+  }
+
   def dir(storeRoot: HPath): HPath = new HPath(storeRoot, "_batches")
   def markerFile(storeRoot: HPath, writer: String, id: Long): HPath =
     new HPath(dir(storeRoot), s"_b_${writer}_$id")

@@ -121,6 +121,84 @@ class CommandCodecSpec extends SparkSpec {
     }
   }
 
+  test("reference wire parity: the docs/api snake_case envelopes decode " +
+    "to full payloads, not silently-defaulted ones") {
+    // the exact cmd.tsdb.get_energy_data_points envelope from docs/api
+    // (:446-470) — snake_case throughout, as api/types.go's json tags pin
+    val cmd = CommandCodec.decode(
+      """{"serv":"ecollector","type":"cmd.tsdb.get_energy_data_points",
+        |"val_t":"object","val":{"proc_id":1,"relative_time":"1d",
+        |"from_time":"","to_time":"","group_by_time":"1h",
+        |"group_by_tag":"location_id","fill_type":"previous",
+        |"filters":{"tags":{"dir":"import"}}},"props":null,"tags":null,
+        |"resp_to":"pt:j1/mt:rsp/rt:app/rn:tplex-ui/ad:1","src":"tplex-ui",
+        |"ver":"1","uid":"f08f29b0-7db7-472a-887a-1c7427d9fb43",
+        |"topic":"pt:j1/mt:cmd/rt:app/rn:ecollector/ad:1"}""".stripMargin)
+    val got = cmd.payload.asInstanceOf[Api.GetDataPointsRequest]
+    assert(got.procId == 1 && got.relativeTime == "1d" &&
+      got.groupByTime == "1h" && got.groupByTag == "location_id" &&
+      got.fillType == "previous" && got.filters.tags == Map("dir" -> "import"))
+    assert(cmd.groupByTag == "location_id")
+    // full snake_case query surface incl. measurement_name + dev_types
+    val q = decode("cmd.tsdb.get_data_points",
+      """{"proc_id":2,"field_name":"value","data_function":"mean",
+        |"transform_function":"abs","measurement_name":"sensor_temp.evt.sensor.report",
+        |"relative_time":"2h","group_by_time":"10m","fill_type":"null",
+        |"filters":{"dev_types":["sensor"]}}""".stripMargin)
+      .asInstanceOf[Api.GetDataPointsRequest]
+    assert(q.procId == 2 && q.fieldName == "value" && q.dataFunction == "mean" &&
+      q.transformFunction == "abs" &&
+      q.measurementName == "sensor_temp.evt.sensor.report" &&
+      q.relativeTime == "2h" && q.groupByTime == "10m" && q.fillType == "null" &&
+      q.filters.devTypes == Seq("sensor"))
+  }
+
+  test("reference wire parity: write_data_points int64 ts — 0 means " +
+    "server time, seconds and millis both land exactly") {
+    val fixed = java.time.Instant.parse("2024-06-01T12:00:00Z")
+    def dp(ts: String) = CommandCodec.decode(
+      // the docs/api write example shape (:474-489): proc_id, bucket,
+      // dp with "ts": 0
+      s"""{"serv":"ecollector","type":"cmd.tsdb.write_data_points",
+         |"val_t":"object","val":{"proc_id":1,"bucket":"gen_default",
+         |"dp":[{"name":"test_data_point","tags":{},"fields":{"val":15},
+         |"ts":$ts}]}}""".stripMargin, now = () => fixed)
+      .payload.asInstanceOf[Api.WriteDataPointsRequest].dp.head
+    assert(dp("0").ts.toInstant == fixed) // "if 0, server sets local time"
+    assert(dp("1717243200").ts.toInstant ==
+      java.time.Instant.parse("2024-06-01T12:00:00Z")) // epoch seconds
+    assert(dp("1717243200123").ts.toInstant ==
+      java.time.Instant.ofEpochMilli(1717243200123L)) // epoch millis
+    assert(dp("0").fields == Map("val" -> 15.0))
+  }
+
+  test("reference wire parity: untagged Go structs marshal exported " +
+    "field names — ProcessConfig/Filter/Selector fallbacks") {
+    // Go json.Marshal of the untagged ProcessConfig (model.go:81-108)
+    val pc = decode("cmd.ecprocess.add",
+      """{"ID":4,"Name":"house2","BatchMaxSize":500,
+        |"SaveInterval":30000000000,"Autostart":true,"SiteId":"s-9",
+        |"Profile":"optimized"}""".stripMargin).asInstanceOf[ProcessConfig]
+    assert(pc.id == 4 && pc.name == "house2" && pc.batchMaxSize == 500 &&
+      pc.saveIntervalMs == 30000L && // time.Duration ns → ms
+      pc.autostart && pc.siteId == "s-9" && pc.profile == "optimized")
+    val f = decode("cmd.tsdb.add_filter",
+      """{"ID":3,"Name":"f","Topic":"pt:j1/a","MsgType":"evt.sensor.report",
+        |"Negation":true,"LinkedFilterBooleanOperation":"or",
+        |"LinkedFilterID":2,"IsAtomic":false,"Tags":{"k":"v"},
+        |"MeasurementID":"m9"}""".stripMargin).asInstanceOf[Filter]
+    assert(f.id == 3 && f.topic == "pt:j1/a" && f.msgType == "evt.sensor.report" &&
+      f.negation && f.linkedFilterBooleanOperation == "or" &&
+      f.linkedFilterId == 2 && !f.isAtomic && f.tags == Map("k" -> "v") &&
+      f.measurementId == "m9")
+    assert(decode("cmd.tsdb.add_selector",
+      """{"ID":7,"Topic":"pt:j1/mt:evt/#","InMemory":true}""") ==
+      Selector(7, "pt:j1/mt:evt/#", inMemory = true))
+    // ctrl's str_map payload uses proc_id (admin.go:44)
+    assert(decode("cmd.ecprocess.ctrl", """{"proc_id":"2","op":"stop"}""") ==
+      ((2, "stop")))
+  }
+
   test("envelope identity fields ride through; malformed input refuses") {
     val cmd = CommandCodec.decode(
       """{"type":"cmd.tsdb.get_data_points","uid":"u-9","corid":"c-1",

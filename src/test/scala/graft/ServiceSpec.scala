@@ -210,4 +210,67 @@ class ServiceSpec extends SparkSpec {
     val g = svc.execute("not json at all")
     assert(g.contains("error"), g)
   }
+
+  test("command-dir retention: the maintenance sweep reclaims old " +
+    "rsp-/done/ files while in-flight exchanges survive (r10 ask #4)") {
+    val root = tmpDir()
+    val conf = Service.Config(storeRoot = root, commandDir = s"$root/_cmds",
+      commandRetentionMs = 3600000L) // 1 h
+    val svc = new Service(spark, conf)
+    val dir = Paths.get(conf.commandDir)
+    Files.createDirectories(dir.resolve("done"))
+    def put(rel: String, ageMs: Long): java.nio.file.Path = {
+      val p = dir.resolve(rel)
+      Files.write(p, "{}".getBytes("UTF-8"))
+      Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis() - ageMs))
+      p
+    }
+    val oldRsp = put("rsp-old.json", 7200000L) // 2 h — past retention
+    val oldDone = put("done/cmd-old.json", 7200000L)
+    val freshRsp = put("rsp-new.json", 1000L) // unread response, in flight
+    val freshDone = put("done/cmd-new.json", 1000L)
+    val pending = put("cmd-pending.json", 7200000L) // unexecuted work:
+    // never swept, however old — sweeping it would silently drop a command
+    svc.sweepCommandDir()
+    assert(!Files.exists(oldRsp) && !Files.exists(oldDone),
+      "aged rsp/done files must be reclaimed")
+    assert(Files.exists(freshRsp) && Files.exists(freshDone) &&
+      Files.exists(pending), "in-flight files must survive the sweep")
+  }
+
+  test("publishAndRetire survives HDFS rename-to-existing semantics: a " +
+    "reused command name never re-executes (ADVICE r10)") {
+    // rename-to-existing returns FALSE instead of replacing — the HDFS/
+    // object-store contract POSIX rename hides (local renames replace)
+    val fs = new org.apache.hadoop.fs.RawLocalFileSystem {
+      override def rename(src: org.apache.hadoop.fs.Path,
+          dst: org.apache.hadoop.fs.Path): Boolean =
+        !exists(dst) && super.rename(src, dst)
+    }
+    fs.initialize(java.net.URI.create("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    val root = tmpDir()
+    val dir = new org.apache.hadoop.fs.Path(root)
+    val done = new org.apache.hadoop.fs.Path(dir, "done")
+    fs.mkdirs(done)
+    def write(p: org.apache.hadoop.fs.Path, s: String): Unit = {
+      val o = fs.create(p, true); try o.write(s.getBytes("UTF-8")) finally o.close()
+    }
+    // a PRIOR exchange under the same name already sits in rsp- and done/
+    write(new org.apache.hadoop.fs.Path(dir, "rsp-dup.json"), "old-rsp")
+    write(new org.apache.hadoop.fs.Path(done, "cmd-dup.json"), "old-cmd")
+    val cmd = new org.apache.hadoop.fs.Path(dir, "cmd-dup.json")
+    write(cmd, "new-cmd")
+    Service.publishAndRetire(fs, dir, done, cmd, "dup", "new-rsp")
+    // the command file LEFT the watched dir (else the poll re-executes it
+    // every 200 ms forever) and the latest response won
+    assert(!fs.exists(cmd), "cmd file must leave the watched dir")
+    def readAll(p: org.apache.hadoop.fs.Path): String = {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    assert(readAll(new org.apache.hadoop.fs.Path(dir, "rsp-dup.json")) == "new-rsp")
+    assert(readAll(new org.apache.hadoop.fs.Path(done, "cmd-dup.json")) == "new-cmd")
+  }
 }
