@@ -27,6 +27,22 @@ object Bench {
     sys.env.get("SPARK_GRAFT_CALIB_QUIET").map(_.toDouble).getOrElse(0.25)
   private val CalibBandFactor = 2.0
 
+  /** Per-query spread flag (round-10 ask #3): a query whose 3-run
+   *  spread (max − min) exceeds `SpreadBandFactor` of its median (and
+   *  an absolute floor that keeps sub-second queries out of the net)
+   *  is re-run for another `Runs` — the median then covers all runs —
+   *  and, if the spread still exceeds the band, flagged in the output
+   *  JSON. A cross-round comparison of a flagged entry is comparing
+   *  box noise, not code (the driver-round `prof_streaming_psi` 2.07×
+   *  with zero code delta had a 5.2 s spread on a 13 s median — this
+   *  flag makes that attributable ON the record instead of arguable
+   *  after it). */
+  private val SpreadBandFactor =
+    sys.env.get("SPARK_GRAFT_SPREAD_BAND").map(_.toDouble).getOrElse(0.35)
+  private val SpreadFloorSec = 0.5
+  private def spreadFlagged(median: Double, spread: Double): Boolean =
+    spread > math.max(SpreadBandFactor * median, SpreadFloorSec)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -91,14 +107,22 @@ object Bench {
       }
       once() // warm-up, untimed
       streamDiag.reset() // diag covers the timed runs only
-      val runs = Seq.fill(Runs)(once()).sorted
-      streamDiag.drain(Runs).foreach(d => diags(name) = d)
+      var runs = Seq.fill(Runs)(once())
+      def med(rs: Seq[Double]) = rs.sorted.apply(rs.length / 2)
+      def spr(rs: Seq[Double]) = rs.max - rs.min
+      // high-spread entry: re-run a second batch so the reported median
+      // rides 2×Runs samples, then flag it if the spread persists —
+      // the per-query analog of calib_flagged
+      val rerun = spreadFlagged(med(runs), spr(runs))
+      if (rerun) runs = runs ++ Seq.fill(Runs)(once())
+      streamDiag.drain(runs.length).foreach(d => diags(name) = d)
       // settle between queries: drain reference-tracked cleanup (shuffle/
       // broadcast weak refs) now, in the gap, instead of inside the next
       // query's timed window
       org.apache.spark.sql.graft.StateStoreHygiene.unloadAll()
       System.gc()
-      name -> (runs(Runs / 2), runs.last - runs.head)
+      name -> QueryStat(med(runs), spr(runs),
+        spreadFlagged(med(runs), spr(runs)), runs.length)
     }
     // The stdout report must survive a harness that keeps only the last
     // ~2000 chars of output, and the harness keeps the END — so the LAST
@@ -112,7 +136,7 @@ object Bench {
     def jnum(prec: String, v: Double): String =
       String.format(prec, Double.box(v))
         .replaceAll("0+$", "").replaceAll("\\.$", "")
-    def jmap(prec: String)(f: ((String, (Double, Double))) => Double) =
+    def jmap(prec: String)(f: ((String, QueryStat)) => Double) =
       results.map { case kv @ (k, _) => "\"" + k + "\":" + jnum(prec, f(kv)) }
         .mkString("{", ",", "}")
     val calibEnd = calibrate()
@@ -122,9 +146,9 @@ object Bench {
       f""""calib_sec":[$calibStart%.3f,$calibEnd%.3f],""" +
         f""""load_avg":[$loadStart%.2f,$loadEnd%.2f],""" +
         s""""calib_quiet_sec":$CalibQuietSec,"calib_flagged":$flagged"""
-    val total = results.values.map(_._1).sum
-    val slowestFirst = results.toSeq.sortBy { case (k, (m, _)) => (-m, k) }
-      .map { case (k, (m, _)) => "\"" + k + "\":" + jnum("%.3f", m) }
+    val total = results.values.map(_.median).sum
+    val slowestFirst = results.toSeq.sortBy { case (k, s) => (-s.median, k) }
+      .map { case (k, s) => "\"" + k + "\":" + jnum("%.3f", s.median) }
     def diagJson(m: Map[String, Long]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // a9_streaming_hop's breakdown rides the stdout line (the query two
@@ -132,9 +156,18 @@ object Bench {
     val a9Diag = diags.get("a9_streaming_hop")
       .map(d => s""""stream_diag":{"a9_streaming_hop":${diagJson(d)}},""")
       .getOrElse("")
+    // Per-query spread verdicts ride the stdout line COMPLETE (they are
+    // the decidability record for cross-round deltas): every flagged
+    // query with its [median, spread] — an entry here says "this
+    // number is noise-dominated on this box, do not chase it".
+    val spreadJson = results.toSeq.filter(_._2.flagged)
+      .sortBy { case (k, s) => (-s.spread, k) }
+      .map { case (k, s) =>
+        "\"" + k + s"""\":[${jnum("%.3f", s.median)},${jnum("%.3f", s.spread)}]"""
+      }.mkString(""""spread_flagged":{""", ",", "},")
     val budget = 1700
     val head =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$Runs,$calibJson,$a9Diag"queries":{"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$Runs,$calibJson,$spreadJson$a9Diag"queries":{"""
     val tail = s"""},"omitted_fast":OMIT,"sf":"$sfDir"}"""
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = head.length + tail.length + 4
@@ -143,16 +176,29 @@ object Bench {
     }
     println(head + kept.mkString(",") +
       tail.replace("OMIT", (results.size - kept.size).toString))
-    // Full-precision copy on disk for post-hoc analysis (adds spread).
+    // Full-precision copy on disk for post-hoc analysis (adds per-query
+    // spread, the flag verdicts, and the sample counts — re-run queries
+    // carry runs_n = 2×Runs).
     val allDiags = diags.map { case (k, d) => "\"" + k + "\":" + diagJson(d) }
+      .mkString("{", ",", "}")
+    val flaggedArr = results.toSeq.filter(_._2.flagged).map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
+    val runsN = results.map { case (k, s) => "\"" + k + "\":" + s.runsN }
       .mkString("{", ",", "}")
     val full =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$Runs,$calibJson,""" +
-        s""""queries":${jmap("%.3f")(_._2._1)},"spread":${jmap("%.3f")(_._2._2)},""" +
+        s""""queries":${jmap("%.3f")(_._2.median)},"spread":${jmap("%.3f")(_._2.spread)},""" +
+        s""""spread_flagged":$flaggedArr,"runs_n":$runsN,""" +
         s""""stream_diag":$allDiags,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => }
     spark.stop()
   }
+
+  /** One query's sweep verdict: median and spread over its timed runs,
+   *  the persistent-spread flag, and how many runs were taken (2×Runs
+   *  when the first batch tripped the spread band). */
+  private final case class QueryStat(median: Double, spread: Double,
+      flagged: Boolean, runsN: Int)
 }

@@ -966,6 +966,65 @@ object SparkEntry {
         emb.filter(col("vec_id") < 5), k = 10, nProbes = 8)
     }),
 
+    "sim_ivf_asof" -> ((s, dir) => {
+      // AS-OF PINNED ANN (round-11 ask #2): build on the evens, stream
+      // phase A (vec_id % 4 == 1) onto the frozen centroids, PIN the
+      // index from its own storage records (pinIvfIndex), stream phase
+      // B (vec_id % 4 == 3), then run a HISTORY-RETAINING fold — and
+      // probe the pin at full probes. Full probe ≡ brute force, so the
+      // oracle pins that the as-of read resolves EXACTLY the pinned
+      // corpus (evens + phase A): phase B's ledgered appends and the
+      // fold's rewrite are both invisible to the pin, which is the
+      // training-run reproducibility contract the tier store already
+      // carries, extended to the streamed index
+      val work = java.nio.file.Files.createTempDirectory("graft_ivfp")
+        .toFile.getAbsolutePath
+      val emb = table(s, dir, "embeddings")
+      graft.functions.Similarity.buildIvfIndex(
+        emb.filter(col("vec_id") % 2 === 0), s"$work/idx",
+        nLists = 8, trainIters = 1)
+      val phaseA = emb.filter(col("vec_id") % 4 === 1)
+      phaseA.write.parquet(s"$work/in")
+      val q = graft.functions.Similarity.streamingIvfAppend(
+        s.readStream.schema(phaseA.schema).parquet(s"$work/in"),
+        s"$work/idx", s"$work/ckpt")
+      q.processAllAvailable()
+      val pin = graft.functions.Similarity.pinIvfIndex(s, s"$work/idx")
+      Thread.sleep(20) // phase B's records get strictly later mtimes
+      emb.filter(col("vec_id") % 4 === 3).write.mode("append")
+        .parquet(s"$work/in")
+      q.processAllAvailable(); graft.stream.StreamOps.stopAndUnload(q)
+      graft.functions.Similarity.compactIvfLists(s, s"$work/idx",
+        minFiles = 2, retainHistory = true)
+      graft.functions.Similarity.queryIvfIndex(s, s"$work/idx",
+        emb.filter(col("vec_id") < 5), k = 10, nProbes = 8,
+        asOf = Some(pin))
+    }),
+
+    "dedup_index_asof" -> ((s, dir) => {
+      // AS-OF PINNED DEDUP (round-11 ask #2): index phase A (doc_id
+      // % 10 in 1..4), pin, ledger-append phase B (% 10 in 5..9),
+      // history-retaining fold — then dedup the % 10 == 0 batch AGAINST
+      // THE PIN. Oracle = exact cross-set Jaccard against phase A only:
+      // a hash match proves the pinned query sees none of phase B and
+      // all of phase A through the fold
+      val docs = table(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_mhp")
+        .toFile.getAbsolutePath
+      Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 10 >= 1 &&
+        col("doc_id") % 10 <= 4), root)
+      val pin = Dedup.pinMinhashIndex(s, root)
+      Thread.sleep(20)
+      Dedup.appendShingledToIndexBatch(
+        graft.functions.Dedup.shingledDocs(
+          docs.filter(col("doc_id") % 10 >= 5), 3, 64, "doc_id", "text"),
+        root, 3, 64, 16, 0L): Unit
+      Dedup.compactMinhashIndex(s, root, minFiles = 2,
+        retainHistory = true): Unit
+      Dedup.queryMinhashIndex(s, docs.filter(col("doc_id") % 10 === 0),
+        root, asOf = Some(pin))
+    }),
+
     "sim_semantic_dedup" -> ((s, dir) =>
       // SemDeDup: connected components over the LSH-blocked cosine pairs,
       // min-id representative kept per component; every row tagged
@@ -2874,6 +2933,46 @@ object SparkEntry {
         |        ORDER BY score DESC, vec_id) rnk FROM sc)
         |SELECT qid AS query_id, vec_id, score, CAST(rnk AS INTEGER) AS rank
         |FROM r WHERE rnk <= 10""".stripMargin,
+
+    // the PINNED index at full probe ≡ brute force over the PINNED
+    // corpus only (evens + phase A): phase B's later ledgered appends
+    // and the history-retaining fold must both be invisible to the pin
+    "sim_ivf_asof" ->
+      """WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 5),
+        |pr AS (SELECT q.qid, e.vec_id, q.qv, e.embedding cv
+        |       FROM embeddings e CROSS JOIN q
+        |       WHERE e.vec_id <> q.qid
+        |         AND (e.vec_id % 2 = 0 OR e.vec_id % 4 = 1)),
+        |z AS (SELECT qid, vec_id, CAST(unnest(qv) AS DOUBLE) a,
+        |        CAST(unnest(cv) AS DOUBLE) b FROM pr),
+        |s AS (SELECT qid, vec_id, sum(a * b) dot, sqrt(sum(a * a)) na,
+        |        sqrt(sum(b * b)) nb FROM z GROUP BY 1, 2),
+        |sc AS (SELECT qid, vec_id, round(CASE WHEN na > 0 AND nb > 0
+        |        THEN dot / (na * nb) ELSE 0 END, 6) score FROM s),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY score DESC, vec_id) rnk FROM sc)
+        |SELECT qid AS query_id, vec_id, score, CAST(rnk AS INTEGER) AS rank
+        |FROM r WHERE rnk <= 10""".stripMargin,
+
+    // the pinned dedup query ≡ exact cross-set Jaccard against the
+    // PINNED half of the index only (doc_id % 10 in 1..4) — the
+    // appended half (% 10 >= 5) must not leak through the pin
+    "dedup_index_asof" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+        |    i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS s
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3),
+        |p AS (SELECT doc_id, len(s) n, unnest(s) g FROM sh WHERE len(s) > 0),
+        |j AS (SELECT b.doc_id id_new, a.doc_id id_idx, count(*) inter,
+        |        any_value(a.n) ni, any_value(b.n) nn
+        |      FROM p a JOIN p b ON a.g = b.g
+        |      WHERE a.doc_id % 10 BETWEEN 1 AND 4 AND b.doc_id % 10 = 0
+        |      GROUP BY 1, 2)
+        |SELECT id_new, id_idx,
+        |  round(CAST(inter AS DOUBLE) / (ni + nn - inter), 6) AS jaccard
+        |FROM j WHERE round(CAST(inter AS DOUBLE) / (ni + nn - inter), 6) >= 0.8""".stripMargin,
 
     "sim_cosine_pairs" ->
       """WITH pr AS (SELECT a.vec_id id_a, b.vec_id id_b, a.embedding va, b.embedding vb

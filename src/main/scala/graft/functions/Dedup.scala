@@ -891,103 +891,149 @@ object Dedup {
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/.compact/$t"), true)
   }
 
+  /** Snapshot-resolved read of one index table (`buckets`/`shingles`)
+   *  — the ONLY correct way to scan a live index: the file set resolves
+   *  through the table's [[graft.store.SnapshotFold]] commits and the
+   *  index's batch ledger at PLAN time, so a query racing a concurrent
+   *  [[compactMinhashIndex]] fold sees the complete pre-fold or
+   *  complete post-fold set, never both (a plain parquet read would
+   *  double-count rows mid-fold). `asOf` pins the read to a
+   *  [[pinMinhashIndex]] instant. */
+  def readIndexTable(spark: SparkSession, path: String, table: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/$table")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = graft.store.BatchLedger.read(fs,
+      new org.apache.hadoop.fs.Path(path), asOf)
+    val files = graft.store.SnapshotFold.resolve(fs, dir, committed, asOf)
+    val empty = org.apache.spark.sql.catalyst.InternalRow.empty
+    graft.store.SnapshotFold.dataFrame(spark,
+      new org.apache.spark.sql.types.StructType(),
+      if (files.isEmpty) Nil else Seq((empty, files)), Seq(dir))
+      .getOrElse {
+        import org.apache.spark.sql.types._
+        val schema = table match {
+          case "shingles" => new StructType().add("id", LongType)
+            .add("sh", ArrayType(StringType))
+          case _ => new StructType().add("id", LongType)
+            .add("band", IntegerType).add("bucket", LongType)
+        }
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      }
+  }
+
+  /** SKEW-PROOF as-of pin over the streamed MinHash index — max record
+   *  time the index's own storage reports (ledger files, fold commit
+   *  markers, raw table files); `readIndexTable(asOf = pin)` then
+   *  always equals the current read ([[graft.store.TierStore.pinNow]]
+   *  contract). */
+  def pinMinhashIndex(spark: SparkSession, path: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ledger = graft.store.BatchLedger.dir(root)
+    val l =
+      if (!fs.exists(ledger)) 0L
+      else fs.listStatus(ledger).foldLeft(0L)((m, e) =>
+        math.max(m, e.getModificationTime))
+    Seq("buckets", "shingles").foldLeft(l) { (m, t) =>
+      math.max(m, graft.store.SnapshotFold.pinDir(fs,
+        new org.apache.hadoop.fs.Path(s"$path/$t")))
+    }
+  }
+
+  /** Reclaim superseded fold history + fold the append ledger — the
+   *  explicit vacuum for `retainHistory = true` deployments; pins older
+   *  than the surviving records fail LOUDLY afterwards. */
+  def vacuumMinhashIndex(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.store.StagedBatchAppend.foldAllMarkers(spark, path)
+    Seq("buckets", "shingles").foreach(t =>
+      graft.store.SnapshotFold.vacuumDir(fs,
+        new org.apache.hadoop.fs.Path(s"$path/$t")))
+  }
+
   /**
-   * SELECTIVE fold of the index's per-batch appends: every micro-batch
-   * append adds one file set to `buckets/` and `shingles/`, so after N
-   * batches every index query lists and reads N file groups (500 daily
-   * batches = 500 small files per table). Per table, ONLY files smaller
-   * than `targetFileBytes` fold, and only when at least `minFiles` of
-   * them accumulated (the [[graft.store.TierStore.compact]] `minFiles`
-   * idiom) — files that already reached target size are never re-read,
-   * so a long-lived stream's cumulative maintenance cost follows the
-   * RECENT appends (LSM-style logarithmic refolding of the current
-   * small tail), not the whole index: the previous whole-table
-   * read+rewrite was O(corpus) per call and quadratic over a stream's
-   * life. The folded output lands IN PLACE under fresh `fold-<seq>-*`
-   * names via a ROLL-FORWARD manifest (written complete before any
-   * move; a crash at any point is finished idempotently by
-   * [[repairMinhashIndex]]'s next writer-context call), so the live
-   * dirs never disappear — the old whole-dir rename swap's visibility
-   * window is gone. The contract stays SINGLE-MAINTAINER AT A QUIESCED
-   * POINT: nothing may read or append the index while this runs. A
-   * long-running [[graft.functions.Pipeline.streamingIndexedDedup]]
-   * deployment gets that point for free via `compactEvery` (the call
-   * runs from inside foreachBatch, where the stream — the only
-   * reader/writer — is between micro-batches); with `compactEvery = 0`
-   * maintenance must run with the stream STOPPED — an external cron
-   * against a live stream would let an in-flight append land after
-   * this call listed the table and race the fold's bookkeeping.
-   * Returns (files before, files after) summed over both tables.
+   * SELECTIVE, READER-ATOMIC fold of the index's per-batch appends:
+   * every micro-batch append adds one file set to `buckets/` and
+   * `shingles/`, so after N batches every index query lists and reads
+   * N file groups (500 daily batches = 500 small files per table). Per
+   * table, ONLY live files smaller than `targetFileBytes` fold, and
+   * only when at least `minFiles` of them accumulated (the
+   * [[graft.store.TierStore.compact]] `minFiles` idiom) — files that
+   * already reached target size are never re-read, so a long-lived
+   * stream's cumulative maintenance cost follows the RECENT appends
+   * (LSM-style logarithmic refolding of the current small tail), not
+   * the whole index. The rewritten output publishes through the
+   * [[graft.store.SnapshotFold]] manifest protocol — staged invisibly
+   * into a `_v=N` snapshot, committed by the atomic appearance of its
+   * small manifest — so the fold may run against the LIVE index:
+   * concurrent [[queryMinhashIndex]] probes resolve the complete
+   * pre-fold or complete post-fold file set (never a mixture), and
+   * concurrent LEDGERED appends are untouched (an uncommitted batch's
+   * files are not fold candidates; the round-10 contract required a
+   * quiesced point — that requirement is gone). Folds themselves stay
+   * single-maintainer, which `compactEvery`
+   * ([[graft.functions.Pipeline.streamingIndexedDedup]]) provides by
+   * construction and an external scheduler must provide by scheduling.
+   *
+   * `retainHistory` keeps superseded files and ledger markers for
+   * [[pinMinhashIndex]] as-of reproducibility (reclaim later with
+   * [[vacuumMinhashIndex]]). Returns (live files before, after)
+   * summed over both tables.
    */
   def compactMinhashIndex(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      minFiles: Int = 4): (Int, Int) = {
+      minFiles: Int = 4, retainHistory: Boolean = false): (Int, Int) = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    repairIndex(fs, path)
+    repairIndex(fs, path) // legacy pre-manifest layouts only
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/buckets")),
       s"no MinHash index at $path")
-    // maintainer context: keep the append ledger O(recent) too
-    graft.store.StagedBatchAppend.foldAllMarkers(spark, path)
-    def liveFiles(live: org.apache.hadoop.fs.Path) =
-      fs.listStatus(live).toSeq.filter(f => f.isFile &&
-        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+    // maintainer context: keep the append ledger O(recent) too — unless
+    // history is retained for as-of pins (a marker fold would make pins
+    // older than it fail, exactly what retainHistory defers)
+    if (!retainHistory) graft.store.StagedBatchAppend.foldAllMarkers(spark, path)
+    val committed = graft.store.BatchLedger.read(fs, root)
     var before = 0; var after = 0
     Seq("buckets", "shingles").foreach { t =>
       val live = new org.apache.hadoop.fs.Path(s"$path/$t")
-      val files = liveFiles(live)
-      before += files.length
-      val smalls = files.filter(_.getLen < targetFileBytes)
-      if (smalls.length >= minFiles) {
+      before += graft.store.SnapshotFold.resolve(fs, live, committed).length
+      graft.store.SnapshotFold.plan(fs, live, targetFileBytes, minFiles,
+        committed).foreach { p =>
         val staged = new org.apache.hadoop.fs.Path(s"$path/.compact/$t")
         fs.delete(staged, true)
-        val n = math.max(1,
-          math.ceil(smalls.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
-        spark.read.parquet(smalls.map(_.getPath.toString): _*)
+        val n = math.max(1, math.ceil(
+          p.candidates.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
+        graft.store.SnapshotFold.dataFrame(spark,
+          new org.apache.spark.sql.types.StructType(),
+          Seq((org.apache.spark.sql.catalyst.InternalRow.empty, p.candidates)),
+          Seq(live)).get
           .repartition(n).write.parquet(staged.toString)
-        // fresh fold-sequence so destination names never collide with a
-        // surviving earlier fold's files
-        val foldPat = "^fold-([0-9]+)-.*".r
-        val seq = files.map(_.getPath.getName)
-          .collect { case foldPat(s) => s.toLong }.maxOption.getOrElse(0L) + 1
-        val moves = fs.listStatus(staged).toSeq
-          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
-          .sortBy(_.getPath.getName).zipWithIndex.map { case (f, i) =>
-            f.getPath -> new org.apache.hadoop.fs.Path(live, s"fold-$seq-$i.parquet")
-          }
-        val mp = foldManifest(path, t)
-        val out = fs.create(mp, true)
-        try out.write((moves.map { case (s, d) => s"mv\t$s\t$d" } ++
-          smalls.map(f => s"rm\t${f.getPath}") :+ "ok")
-          .mkString("", "\n", "\n").getBytes("UTF-8"))
-        finally out.close()
-        foldHook("fold_manifested")
-        moves.foreach { case (s, d) => fs.rename(s, d) }
-        foldHook("fold_moved")
-        smalls.foreach(f => fs.delete(f.getPath, false))
-        fs.delete(mp, false)
-        fs.delete(staged, true)
+        graft.store.SnapshotFold.publish(fs, live, p.version, staged,
+          p.foldedRels)
       }
-      after += liveFiles(live).length
+      // reclaim THIS call's superseded files and any earlier fold's the
+      // maintainer crashed before vacuuming (post-commit crash safety)
+      if (!retainHistory) graft.store.SnapshotFold.vacuumDir(fs, live)
+      after += graft.store.SnapshotFold.resolve(fs, live, committed).length
     }
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/.compact"), true)
     (before, after)
   }
 
-  /** Test seam for the fold's crash windows ("fold_manifested",
-   *  "fold_moved") — the [[graft.store.TierStore.batchHook]] idiom. */
-  private[graft] var foldHook: String => Unit = _ => ()
-
   def queryMinhashIndex(spark: SparkSession, newDocs: DataFrame, path: String,
       n: Int = 3, k: Int = 64, bands: Int = 16, threshold: Double = 0.8,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+      idCol: String = "doc_id", textCol: String = "text",
+      asOf: Option[Long] = None): DataFrame =
     queryIndexFromShingled(spark, shingledDocs(newDocs, n, k, idCol, textCol),
-      path, n, k, bands, threshold)
+      path, n, k, bands, threshold, asOf)
 
   /** [[queryMinhashIndex]] over a pre-computed (id, sh, sig) table. */
   private[functions] def queryIndexFromShingled(spark: SparkSession,
       shNew: DataFrame, path: String, n: Int, k: Int, bands: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double, asOf: Option[Long] = None): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     if (!indexExists(spark, path))
       // nothing indexed yet — empty result, correct schema
@@ -996,12 +1042,12 @@ object Dedup {
     checkIndexParams(spark, path, n, k, bands)
     val bNew = banded(shNew, k, bands)
       .select(col("band"), col("bucket"), col("id").as("id_new"))
-    val bIdx = spark.read.parquet(s"$path/buckets")
+    val bIdx = readIndexTable(spark, path, "buckets", asOf)
       .select(col("band"), col("bucket"), col("id").as("id_idx"))
     val candIds = bIdx.join(broadcast(bNew), Seq("band", "bucket"))
       .filter(col("id_idx") =!= col("id_new"))
       .select("id_new", "id_idx").distinct()
-    val shIdx = spark.read.parquet(s"$path/shingles")
+    val shIdx = readIndexTable(spark, path, "shingles", asOf)
       .select(col("id").as("id_idx"), col("sh").as("sh_i"))
     candIds
       .join(shNew.select(col("id").as("id_new"), col("sh").as("sh_n")), "id_new")

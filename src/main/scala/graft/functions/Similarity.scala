@@ -350,13 +350,13 @@ object Similarity {
    * per-list dedup still repairs).
    *
    * `compactEvery > 0` folds the grown lists from INSIDE foreachBatch
-   * every that many batches — the single-maintainer safe point by
-   * construction (nothing else reads or appends between micro-batches),
-   * same contract as [[Pipeline.streamingIndexedDedup]]'s in-run
-   * compaction. With `compactEvery = 0` (default), [[compactIvfLists]]
-   * may only run with the stream STOPPED: an external cron against a
-   * live stream would race an in-flight append into the per-list swap
-   * and silently lose that batch's vectors.
+   * every that many batches — one maintainer by construction, same
+   * contract as [[Pipeline.streamingIndexedDedup]]'s in-run compaction.
+   * With `compactEvery = 0` (default) an external scheduler may run
+   * [[compactIvfLists]] against the LIVE stream: the manifest-publish
+   * fold is reader-atomic and never lists an uncommitted batch's files
+   * as candidates, so concurrent probes and ledgered appends are both
+   * safe — the only remaining rule is one fold at a time.
    *
    * Scale shape: each batch does one broadcast-centroid assignment
    * (rank-1 per vector, no shuffle beyond the list_id repartition) and
@@ -425,73 +425,173 @@ object Similarity {
     fs.delete(oldRoot, true)
   }
 
+  /** The IVF lists tree's (list_id -> partition dir) listing. */
+  private def listDirsOf(fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(live)) Nil
+    else fs.listStatus(live).toSeq
+      .filter(e => e.isDirectory && e.getPath.getName.startsWith("list_id="))
+      .flatMap(e => e.getPath.getName.stripPrefix("list_id=").toLongOption
+        .map(_ -> e.getPath))
+
+  private val listIdSchema = new org.apache.spark.sql.types.StructType()
+    .add("list_id", org.apache.spark.sql.types.LongType)
+
+  /** Schema of the persisted list rows ([[indexRows]] + partition col)
+   *  — the empty-resolution fallback frame. */
+  private def emptyListsFrame(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = new StructType()
+      .add("vec_id", LongType).add("cv", ArrayType(FloatType))
+      .add("nc", DoubleType).add("q8", ArrayType(IntegerType))
+      .add("nq8", DoubleType).add("list_id", LongType)
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
   /**
-   * SELECTIVE fold of a streamed index's per-batch appends: only list
-   * partitions holding at least `minFiles` data files are rewritten —
-   * the [[graft.store.TierStore.compact]] `minFiles` idiom — so a
+   * Snapshot-resolved read of the IVF lists tree — the ONLY correct way
+   * to scan a live index: each list partition resolves through its
+   * [[graft.store.SnapshotFold]] commits and the index's batch ledger
+   * at PLAN time, so a probe racing a concurrent fold sees either the
+   * complete pre-fold file set or the complete post-fold one, never a
+   * mixture (a plain `spark.read.parquet` would double-count a list
+   * mid-fold and miss uncommitted-batch semantics entirely).
+   * `onlyLists` prunes at resolution time — non-probed list dirs are
+   * never even listed. `asOf` pins the read ([[pinIvfIndex]]).
+   */
+  def readIvfLists(spark: org.apache.spark.sql.SparkSession, path: String,
+      onlyLists: Option[Seq[Long]] = None,
+      asOf: Option[Long] = None): DataFrame = {
+    val live = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = graft.store.BatchLedger.read(fs,
+      new org.apache.hadoop.fs.Path(path), asOf)
+    val parts = listDirsOf(fs, live)
+      .filter { case (id, _) => onlyLists.forall(_.contains(id)) }
+      .map { case (id, dir) =>
+        (org.apache.spark.sql.catalyst.InternalRow(id),
+          graft.store.SnapshotFold.resolve(fs, dir, committed, asOf))
+      }
+      .filter(_._2.nonEmpty)
+    graft.store.SnapshotFold.dataFrame(spark, listIdSchema, parts, Seq(live))
+      .getOrElse(emptyListsFrame(spark))
+  }
+
+  /** SKEW-PROOF as-of pin over the streamed IVF index — the maximum
+   *  record time the index's own storage reports (ledger files, fold
+   *  commit markers, raw list files), so `readIvfLists(asOf = pin)`
+   *  always equals the current read and later appends/folds stay
+   *  invisible regardless of driver ↔ storage clock drift
+   *  ([[graft.store.TierStore.pinNow]] contract). Centroids are not
+   *  covered: a centroid retrain is a REBUILD (a new index), not
+   *  history of this one. */
+  def pinIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ledger = graft.store.BatchLedger.dir(root)
+    val l =
+      if (!fs.exists(ledger)) 0L
+      else fs.listStatus(ledger).foldLeft(0L)((m, e) =>
+        math.max(m, e.getModificationTime))
+    listDirsOf(fs, new org.apache.hadoop.fs.Path(s"$path/lists"))
+      .foldLeft(l) { case (m, (_, d)) =>
+        math.max(m, graft.store.SnapshotFold.pinDir(fs, d))
+      }
+  }
+
+  /** Reclaim the index's superseded fold history and fold its append
+   *  ledger — the explicit vacuum for `retainHistory = true` deployments
+   *  (run it once no live [[pinIvfIndex]] pin needs the old snapshots;
+   *  pins older than what survives fail LOUDLY afterwards). */
+  def vacuumIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.store.StagedBatchAppend.foldAllMarkers(spark, path)
+    listDirsOf(fs, live).foreach { case (_, d) =>
+      graft.store.SnapshotFold.vacuumDir(fs, d)
+    }
+  }
+
+  /**
+   * SELECTIVE, READER-ATOMIC fold of a streamed index's per-batch
+   * appends: only list partitions holding at least `minFiles` live
+   * files under `targetFileBytes` are rewritten — the
+   * [[graft.store.TierStore.compact]] `minFiles` idiom — so a
    * long-lived stream's cumulative maintenance cost is proportional to
    * the lists that actually GREW since the last fold, never to the
-   * whole index (the previous whole-index read+dedup+rewrite made
-   * compaction O(corpus) per call and quadratic over a stream's life).
-   * Each touched list dedups exact (list_id, vec_id) copies while
-   * folding (repairing any unledgered legacy appends); untouched lists
-   * keep their files byte-for-byte. ONE Spark job covers all touched
-   * lists; each then swaps via a per-list rename pair, crash-healed by
-   * [[healIvfLists]]. Single-maintainer at a quiesced point, or from
-   * inside the stream via `compactEvery` ([[streamingIvfAppend]]).
-   * Returns (data files before, after) over the whole lists tree.
+   * whole index. Each touched list dedups exact (list_id, vec_id)
+   * copies while folding (repairing any unledgered legacy appends);
+   * untouched lists keep their files byte-for-byte. ONE Spark job
+   * covers all touched lists; each then publishes through the
+   * [[graft.store.SnapshotFold]] manifest protocol — version dir
+   * staged invisibly, the small commit marker is the atomic cutover —
+   * so the fold may run under LIVE [[queryIvfIndex]] probes and live
+   * ledgered appends: a racing reader sees the complete pre-fold or
+   * complete post-fold set, never a partial list (the round-10 rename
+   * swap required quiescing readers; that requirement is gone). Folds
+   * themselves stay single-maintainer (one at a time), which
+   * `compactEvery` ([[streamingIvfAppend]]) provides by construction
+   * and an external cron must provide by scheduling.
+   *
+   * `retainHistory` keeps superseded files and ledger markers for
+   * [[pinIvfIndex]] as-of reproducibility (reclaim later with
+   * [[vacuumIvfIndex]]); the default reclaims inline. Returns (live
+   * files before, after) over the whole lists tree.
    */
   def compactIvfLists(spark: org.apache.spark.sql.SparkSession, path: String,
-      targetFileBytes: Long = 128L * 1024 * 1024, minFiles: Int = 4): (Int, Int) = {
+      targetFileBytes: Long = 128L * 1024 * 1024, minFiles: Int = 4,
+      retainHistory: Boolean = false): (Int, Int) = {
     val live = new org.apache.hadoop.fs.Path(s"$path/lists")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(live), s"no IVF index at $path")
-    healIvfLists(spark, path)
-    def dataFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
-      fs.listStatus(p).toSeq.flatMap { e =>
-        val n = e.getPath.getName
-        if (n.startsWith("_") || n.startsWith(".")) Nil
-        else if (e.isDirectory) dataFiles(e.getPath)
-        else Seq(e)
-      }
-    // maintainer context: keep the append ledger O(recent) too
-    graft.store.StagedBatchAppend.foldAllMarkers(spark, path)
-    val listDirs = fs.listStatus(live).toSeq
-      .filter(e => e.isDirectory && e.getPath.getName.startsWith("list_id="))
-    val perList = listDirs.map(d => d.getPath -> dataFiles(d.getPath))
-    val before = perList.map(_._2.length).sum
-    val touched = perList.filter(_._2.length >= minFiles)
-    if (touched.isEmpty) return (before, before)
-
+    healIvfLists(spark, path) // legacy pre-manifest layouts only
+    // maintainer context: keep the append ledger O(recent) too — unless
+    // history is being retained for as-of pins (a marker fold would make
+    // pins older than it fail, exactly what retainHistory defers)
+    if (!retainHistory) graft.store.StagedBatchAppend.foldAllMarkers(spark, path)
+    val committed = graft.store.BatchLedger.read(fs,
+      new org.apache.hadoop.fs.Path(path))
+    val dirs = listDirsOf(fs, live)
+    def liveCount() = dirs.map { case (_, d) =>
+      graft.store.SnapshotFold.resolve(fs, d, committed).length
+    }.sum
+    val before = liveCount()
+    val plans = dirs.flatMap { case (id, d) =>
+      graft.store.SnapshotFold.plan(fs, d, targetFileBytes, minFiles, committed)
+        .map(p => (id, d.getName, p))
+    }
+    if (plans.isEmpty) {
+      // still reclaim anything an earlier fold committed but crashed
+      // before vacuuming (post-commit crash safety)
+      if (!retainHistory)
+        dirs.foreach { case (_, d) => graft.store.SnapshotFold.vacuumDir(fs, d) }
+      return (before, before)
+    }
     val staged = new org.apache.hadoop.fs.Path(s"$path/.compact_lists")
     fs.delete(staged, true)
-    // one job over ONLY the touched list dirs; basePath keeps the
-    // list_id partition column the leaf dirs encode
-    val bytes = touched.flatMap(_._2).map(_.getLen).sum
+    // one job over ONLY the touched lists' candidate files; the pinned
+    // file index supplies the list_id partition column (hive inference
+    // would misparse the _v=N segments)
+    val parts = plans.map { case (id, _, p) =>
+      (org.apache.spark.sql.catalyst.InternalRow(id), p.candidates)
+    }
+    val bytes = plans.flatMap(_._3.candidates).map(_.getLen).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    spark.read.option("basePath", live.toString)
-      .parquet(touched.map(_._1.toString): _*)
+    graft.store.SnapshotFold.dataFrame(spark, listIdSchema, parts, Seq(live)).get
       .dropDuplicates("list_id", "vec_id")
       .repartition(n, col("list_id"))
       .write.partitionBy("list_id").parquet(staged.toString)
-    val oldRoot = new org.apache.hadoop.fs.Path(s"$path/.old_lists")
-    fs.delete(oldRoot, true); fs.mkdirs(oldRoot)
-    touched.foreach { case (dir, _) =>
-      val name = dir.getName
+    plans.foreach { case (_, name, p) =>
       val freshDir = new org.apache.hadoop.fs.Path(staged, name)
       if (fs.exists(freshDir)) {
-        val old = new org.apache.hadoop.fs.Path(oldRoot, name)
-        require(fs.rename(dir, old), s"compact swap: $dir -> $old failed")
-        require(fs.rename(freshDir, dir), s"compact swap: $freshDir -> $dir failed")
-        fs.delete(old, true)
+        graft.store.SnapshotFold.publish(fs, p.dir, p.version, freshDir,
+          p.foldedRels)
+        if (!retainHistory) graft.store.SnapshotFold.vacuumDir(fs, p.dir)
       }
     }
-    fs.delete(oldRoot, true)
     fs.delete(staged, true)
-    (before, perList.map { case (d, _) =>
-      if (touched.exists(_._1 == d)) dataFiles(d).length
-      else perList.find(_._1 == d).get._2.length
-    }.sum)
+    (before, liveCount())
   }
 
   /**
@@ -500,11 +600,15 @@ object Similarity {
    * list ids — `list_id` is the partition column, so the filter becomes
    * partition PRUNING (the probe never opens non-probed list files; the
    * probe-list filter is collected from the ranked query set, which is
-   * small by ANN's contract).
+   * small by ANN's contract). The list scan resolves through
+   * [[readIvfLists]] — snapshot-pinned at plan time, so the probe is
+   * exact under a concurrent [[compactIvfLists]] fold; `asOf` pins it
+   * to a [[pinIvfIndex]] instant for reproducible ANN runs.
    */
   def queryIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int, nProbes: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      asOf: Option[Long] = None): DataFrame = {
     val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("nq", expressions.VectorExpressions.l2norm(col("qv")))
@@ -516,8 +620,7 @@ object Similarity {
       .select(col("list_id"), col("query_id"), col("qv"), col("nq"))
     val probedLists = probes.select("list_id").distinct()
       .collect().map(_.getLong(0))
-    val lists = spark.read.parquet(s"$path/lists")
-      .filter(col("list_id").isin(probedLists: _*)) // partition pruning
+    val lists = readIvfLists(spark, path, Some(probedLists.toSeq), asOf)
     val scored = lists.join(probes, Seq("list_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("score",
@@ -543,7 +646,8 @@ object Similarity {
    */
   def queryIvfIndexQuantized(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int, nProbes: Int = 4, refine: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      asOf: Option[Long] = None): DataFrame = {
     val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("nq", expressions.VectorExpressions.l2norm(col("qv")))
@@ -555,9 +659,12 @@ object Similarity {
       .select(col("list_id"), col("query_id"), col("qv"), col("nq"))
     val probedLists = probes.select("list_id").distinct()
       .collect().map(_.getLong(0))
+    // BOTH phases scan the same snapshot resolution (one plan-time pin
+    // serves the approximate cut and the rerank — a fold landing
+    // between them must not change the candidate set mid-query)
+    val lists = readIvfLists(spark, path, Some(probedLists.toSeq), asOf)
     // approximate phase: int8 columns only — cv is pruned from this scan
-    val approx = spark.read.parquet(s"$path/lists")
-      .filter(col("list_id").isin(probedLists: _*))
+    val approx = lists
       .select(col("list_id"), col("vec_id"), col("q8"), col("nq8"))
       .join(probes, Seq("list_id"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -568,8 +675,7 @@ object Similarity {
       .filter(col("_r") <= k.toLong * refine)
       .select(col("list_id"), col("vec_id"), col("query_id"), col("qv"), col("nq"))
     // rerank phase: full precision, survivors only
-    val exact = spark.read.parquet(s"$path/lists")
-      .filter(col("list_id").isin(probedLists: _*))
+    val exact = lists
       .select(col("list_id"), col("vec_id"), col("cv"), col("nc"))
       .join(survivors, Seq("list_id", "vec_id"))
       .withColumn("score",

@@ -33,14 +33,13 @@ import org.apache.spark.sql.SparkSession
  *     produce the same name set;
  *  5. commit: create the ledger marker — atomic, the batch is done.
  *
- * Unlike the tier store, INDEX READERS DO NOT GATE on this ledger
- * (their scans stay plain `spark.read.parquet`, zero overhead): a
- * reader between a crash and the replay can see the crashed attempt's
- * moved files without their marker. That is the documented trade — at
- * most one copy of each file is ever visible, so queries never see
- * duplicates; they can transiently miss the in-flight batch's rows,
- * which the monotonic-growth contract of a streaming index already
- * permits.
+ * Since round 11, index readers DO gate on this ledger: the snapshot
+ * resolution ([[SnapshotFold.resolve]], reached through
+ * `Similarity.readIvfLists` / `Dedup.readIndexTable`) admits a
+ * batch-tagged file only once its marker exists — one ledger listing
+ * per query, the same cost the tier store pays — so probes observe
+ * clean BATCH BOUNDARIES: never a half-moved batch, never a crashed
+ * attempt's files, and fold candidates are only ever committed data.
  *
  * The ledger is per-(destRoot, writer); derive `writer` from the
  * stream's checkpoint ([[graft.ingest.IngestPipeline.writerId]] idiom)

@@ -72,7 +72,7 @@ object TierLayout {
   def versionDir(part: HPath, v: Long): HPath = new HPath(part, f"_v=$v%d")
   def commitFile(part: HPath, v: Long): HPath = new HPath(part, f"$CommitPrefix$v%d")
 
-  private def parseCommit(name: String): Option[Long] =
+  private[store] def parseCommit(name: String): Option[Long] =
     if (name.startsWith(CommitPrefix))
       name.stripPrefix(CommitPrefix).toLongOption
     else None

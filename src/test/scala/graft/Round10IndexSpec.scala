@@ -37,7 +37,16 @@ class Round10IndexSpec extends SparkSpec {
         lit(0.02f), lit(0.03f)).as("embedding"))
 
   private def listRows(idx: String): DataFrame =
-    spark.read.parquet(s"$idx/lists")
+    Similarity.readIvfLists(spark, idx)
+
+  /** Live files of one folded dir, via the snapshot resolver (after a
+   *  manifest-publish fold the live members sit in `_v=` snapshots a
+   *  plain walk cannot see). */
+  private def liveFiles(dir: String): Set[String] = {
+    val fs = fsOf(dir)
+    graft.store.SnapshotFold.resolve(fs, new HPath(dir))
+      .map(_.getPath.toString).toSet
+  }
 
   private def dataFileNames(dir: String): Set[String] = {
     val fs = fsOf(dir)
@@ -131,7 +140,7 @@ class Round10IndexSpec extends SparkSpec {
     // selective pass never read or rewrote them
     assert(dataFileNames(s"$work/idx/lists") -- dataFileNames(grown) == others,
       "compaction touched lists that had not grown")
-    assert(dataFileNames(grown).size == 1, "grown list should fold to one file")
+    assert(liveFiles(grown).size == 1, "grown list should fold to one live file")
     val rows = listRows(s"$work/idx")
     assert(rows.count() == 24L && rows.select("vec_id").distinct().count() == 24L)
     // a second call with nothing grown is a no-op
@@ -155,7 +164,8 @@ class Round10IndexSpec extends SparkSpec {
         3, 16, 4, b.toLong))
     }
     // replay skip: the same batch id again must not append
-    val shinglesCount = () => spark.read.parquet(s"$root/shingles").count()
+    val shinglesCount = () =>
+      Dedup.readIndexTable(spark, root, "shingles").count()
     val n0 = shinglesCount()
     assert(!Dedup.appendShingledToIndexBatch(
       shOf(docs.filter($"doc_id" % 4 === 2)), root, 3, 16, 4, 2L))
@@ -179,24 +189,26 @@ class Round10IndexSpec extends SparkSpec {
     val (nb2, na2) = Dedup.compactMinhashIndex(spark, root, minFiles = 8)
     assert(nb2 == na2, "count gate: under-minFiles tables must not fold")
 
-    // crash at BOTH fold phases; the roll-forward manifest finishes the
-    // fold on the next maintainer call, with queries unchanged and no
-    // duplicate index rows
-    Seq("fold_manifested", "fold_moved").foreach { phase =>
+    // crash at BOTH manifest-publish phases ("staged" = _v dir in place,
+    // no marker yet; "committed" = marker visible, vacuum not yet run);
+    // readers are unaffected at every instant and the next maintainer
+    // call converges the layout, with no duplicate index rows
+    Seq("staged", "committed").foreach { phase =>
       // the fold must never change query results: pin them just before
-      // the crash attempt (the index legitimately grows between phases)
+      // the crash attempt
       val expect = hits()
-      Dedup.foldHook = p =>
+      graft.store.SnapshotFold.hook = p =>
         if (p == phase) throw new RuntimeException(s"crash at $p")
       intercept[RuntimeException] {
         Dedup.compactMinhashIndex(spark, root, minFiles = 2)
       }
-      Dedup.foldHook = _ => ()
+      graft.store.SnapshotFold.hook = _ => ()
+      assert(hits() == expect, s"queries changed by the CRASHED fold at $phase")
       val (_, after) = Dedup.compactMinhashIndex(spark, root, minFiles = 2)
       assert(after == 2, s"fold after crash at $phase should leave one " +
-        s"file per table, got $after")
+        s"live file per table, got $after")
       assert(hits() == expect, s"queries changed after crash at $phase")
-      val sh = spark.read.parquet(s"$root/shingles")
+      val sh = Dedup.readIndexTable(spark, root, "shingles")
       assert(sh.count() == sh.select("id").distinct().count(),
         s"duplicate shingle rows after crash at $phase")
       // regrow for the next phase (fresh batch ids)

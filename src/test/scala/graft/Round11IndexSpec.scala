@@ -1,0 +1,242 @@
+package graft
+
+import graft.functions.{Dedup, Similarity}
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Round-11 streaming-index maintenance: folds are READER-ATOMIC
+ * (manifest-publish — a probe racing a fold sees the complete pre- or
+ * post-fold file set, never a mixture, with NO quiesce), and the
+ * ledgered indexes carry AS-OF PINS (reproducible ANN/dedup runs across
+ * later appends and folds, loud failure past vacuumed history) — the
+ * tier store's two remaining contracts, extended to the indexes.
+ */
+class Round11IndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String = java.nio.file.Files
+    .createTempDirectory("graft_r11idx").toFile.getAbsolutePath
+
+  private def fsOf(p: String) =
+    new HPath(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Two well-separated 4-D clusters (array<float>, the appended-batch
+   *  element type). */
+  private def clustered(from: Int, until: Int): DataFrame =
+    spark.range(from.toLong, until.toLong).select(col("id").as("vec_id"),
+      array(
+        when(col("id") % 2 === 0, lit(1.0f) + col("id").cast("float") / 1000f)
+          .otherwise(lit(0.01f)).cast("float"),
+        when(col("id") % 2 === 1, lit(1.0f) + col("id").cast("float") / 1000f)
+          .otherwise(lit(0.01f)).cast("float"),
+        lit(0.02f), lit(0.03f)).as("embedding"))
+
+  /** Run `read` continuously on a background thread until `body`
+   *  finishes; every observation must satisfy `check` (failures are
+   *  collected, first one reported). Readers use their own Spark jobs
+   *  concurrently with the maintainer's — the real race, not a staged
+   *  one. Returns the number of observations made. */
+  private def hammer(read: () => Unit)(body: => Unit): Int = {
+    @volatile var stop = false
+    @volatile var failure: Option[Throwable] = None
+    var reads = 0
+    val t = new Thread(() => {
+      while (!stop && failure.isEmpty) {
+        try { read(); reads += 1 }
+        catch { case e: Throwable => failure = Some(e) }
+      }
+    }, "hammer-reader")
+    t.start()
+    try body finally { stop = true; t.join(60000) }
+    failure.foreach(e => fail(s"hammering reader observed a torn state: $e", e))
+    assert(reads > 0, "fixture: the reader must get at least one observation in")
+    reads
+  }
+
+  test("IVF fold under hammering readers: every concurrent read resolves " +
+    "a complete batch-boundary snapshot — no quiesce (r10 ask #1)") {
+    val work = tmpDir()
+    val idx = s"$work/idx"
+    Similarity.buildIvfIndex(clustered(0, 20), idx, nLists = 4, trainIters = 1)
+    val batches = (0 until 6).map(b => clustered(100 + 10 * b, 110 + 10 * b))
+    // counts a reader may legitimately observe: any committed-batch prefix
+    val validCounts = (0 to batches.length).map(20L + 10L * _).toSet
+    val probe = clustered(0, 2)
+    // the store's hammering contract (StorePublishSpec): a read that
+    // straddles the inline vacuum may FAIL AND RETRY (its planned files
+    // were reclaimed under it) — it must never return a partial result.
+    // Only Spark's scan failure is retried; assertion failures propagate.
+    def observed[A](body: => A): Option[A] =
+      try Some(body)
+      catch { case _: org.apache.spark.SparkException => None }
+    val reads = hammer(() => {
+      observed(Similarity.readIvfLists(spark, idx)
+        .agg(count(lit(1)), countDistinct(col("vec_id")))
+        .collect()(0)).foreach { rows =>
+        val (n, d) = (rows.getLong(0), rows.getLong(1))
+        assert(n == d, s"torn read: $n rows but $d distinct vec_ids (duplicates)")
+        assert(validCounts(n), s"torn read: $n rows is not a batch boundary")
+      }
+      // a probe planned mid-fold must also be internally consistent:
+      // k results from ONE snapshot (never short, never duplicated)
+      observed(Similarity.queryIvfIndex(spark, idx, probe, k = 3, nProbes = 4)
+        .groupBy("query_id").count().collect()).foreach { per =>
+        assert(per.forall(_.getLong(1) == 3L), "probe lost candidates mid-fold")
+      }
+    }) {
+      batches.zipWithIndex.foreach { case (b, i) =>
+        assert(Similarity.appendIvfBatch(b, idx, i.toLong))
+        // fold EVERY batch — the reader hammers straight through each
+        Similarity.compactIvfLists(spark, idx, minFiles = 2)
+      }
+    }
+    info(s"IVF hammering reader made $reads clean observations across 6 folds")
+    // final exactness: the folded index at full probe ≡ brute force
+    val corpus = clustered(0, 20).unionAll(batches.reduce(_ unionAll _))
+    val got = Similarity.queryIvfIndex(spark, idx, probe, k = 5, nProbes = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val want = Similarity.bruteForceTopK(corpus, probe, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("MinHash fold under hammering readers: concurrent index queries " +
+    "never double-count or lose rows (r10 ask #1)") {
+    val root = tmpDir()
+    def docs(from: Int, until: Int): DataFrame =
+      (from until until).map(i =>
+        (i.toLong, s"alpha beta gamma delta epsilon zeta token$i run$i"))
+        .toDF("doc_id", "text")
+    Dedup.buildMinhashIndex(docs(0, 10), root, n = 3, k = 16, bands = 4)
+    val validCounts = (0 to 5).map(10L + 5L * _).toSet
+    def observed[A](body: => A): Option[A] =
+      try Some(body)
+      catch { case _: org.apache.spark.SparkException => None } // vacuum straddle: retry
+    val reads = hammer(() => {
+      observed(Dedup.readIndexTable(spark, root, "shingles")
+        .agg(count(lit(1)), countDistinct(col("id"))).collect()(0)).foreach { sh =>
+        assert(sh.getLong(0) == sh.getLong(1),
+          s"torn read: duplicate shingle rows (${sh.getLong(0)} vs ${sh.getLong(1)})")
+        assert(validCounts(sh.getLong(0)),
+          s"torn read: ${sh.getLong(0)} shingle rows is not a batch boundary")
+      }
+      // a live query through both tables stays well-formed
+      observed(Dedup.queryMinhashIndex(spark,
+        docs(0, 3).withColumn("doc_id", col("doc_id") + 5000), root,
+        n = 3, k = 16, bands = 4, threshold = 0.5).count()): Unit
+    }) {
+      (0 until 5).foreach { b =>
+        assert(Dedup.appendShingledToIndexBatch(
+          Dedup.shingledDocs(docs(100 + 5 * b, 105 + 5 * b), 3, 16, "doc_id", "text"),
+          root, 3, 16, 4, b.toLong))
+        Dedup.compactMinhashIndex(spark, root, minFiles = 2)
+      }
+    }
+    info(s"MinHash hammering reader made $reads clean observations across 5 folds")
+  }
+
+  test("IVF as-of pin: reproducible across later appends AND a fold; " +
+    "vacuumed history fails loudly (r10 ask #2)") {
+    val work = tmpDir()
+    val idx = s"$work/idx"
+    Similarity.buildIvfIndex(clustered(0, 20), idx, nLists = 4, trainIters = 1)
+    assert(Similarity.appendIvfBatch(clustered(100, 110), idx, 0L))
+    val pin = Similarity.pinIvfIndex(spark, idx)
+    val probe = clustered(0, 2)
+    val pinnedView = Similarity.queryIvfIndex(spark, idx, probe, k = 5,
+      nProbes = 4).select("query_id", "vec_id", "score")
+      .as[(Long, Long, Double)].collect().toSet
+    Thread.sleep(20) // strictly later storage mtimes for the next batch
+    assert(Similarity.appendIvfBatch(clustered(200, 210), idx, 1L))
+    // history-retaining fold: ledger markers + superseded files survive
+    val (b, a) = Similarity.compactIvfLists(spark, idx, minFiles = 2,
+      retainHistory = true)
+    assert(a < b, s"fixture: the fold must fold ($b -> $a)")
+    // current read sees all 40; the pin still resolves EXACTLY its 30
+    assert(Similarity.readIvfLists(spark, idx).count() == 40L)
+    val pinnedIds = Similarity.readIvfLists(spark, idx, asOf = Some(pin))
+      .select("vec_id").as[Long].collect().toSet
+    assert(pinnedIds == (0L until 20L).toSet ++ (100L until 110L).toSet,
+      s"pin resolved ${pinnedIds.size} ids")
+    val rePinned = Similarity.queryIvfIndex(spark, idx, probe, k = 5,
+      nProbes = 4, asOf = Some(pin)).select("query_id", "vec_id", "score")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(rePinned == pinnedView,
+      "pinned probe diverged from the pre-append result")
+    // reclaim history → the pin must fail LOUDLY, never resolve partially
+    Similarity.vacuumIvfIndex(spark, idx)
+    val e = intercept[IllegalStateException] {
+      Similarity.readIvfLists(spark, idx, asOf = Some(pin)).count()
+    }
+    assert(e.getMessage.contains("pin"), e.getMessage)
+    // the CURRENT read is untouched by the vacuum
+    assert(Similarity.readIvfLists(spark, idx).count() == 40L)
+  }
+
+  test("MinHash as-of pin: a pinned dedup query answers against the " +
+    "pinned corpus only; vacuum makes older pins loud (r10 ask #2)") {
+    val root = tmpDir()
+    def doc(i: Int) = (i.toLong, s"alpha beta gamma delta epsilon zeta eta theta token$i")
+    Dedup.buildMinhashIndex((0 until 8).map(doc).toDF("doc_id", "text"),
+      root, n = 3, k = 16, bands = 4)
+    val pin = Dedup.pinMinhashIndex(spark, root)
+    Thread.sleep(20)
+    assert(Dedup.appendShingledToIndexBatch(
+      Dedup.shingledDocs((100 until 108).map(doc).toDF("doc_id", "text"),
+        3, 16, "doc_id", "text"), root, 3, 16, 4, 0L))
+    Dedup.compactMinhashIndex(spark, root, minFiles = 2, retainHistory = true)
+    // probes near-duplicate BOTH halves; the pinned query must only see
+    // the pre-pin half of the index
+    val probes = Seq((9000L, doc(3)._2), (9001L, doc(103)._2)).toDF("doc_id", "text")
+    val now = Dedup.queryMinhashIndex(spark, probes, root, n = 3, k = 16,
+      bands = 4, threshold = 0.5).select("id_idx").as[Long].collect().toSet
+    assert(now.exists(_ >= 100L), "fixture: current query must hit the appended half")
+    val pinned = Dedup.queryMinhashIndex(spark, probes, root, n = 3, k = 16,
+      bands = 4, threshold = 0.5, asOf = Some(pin))
+      .select("id_idx").as[Long].collect().toSet
+    assert(pinned.nonEmpty && pinned.forall(_ < 100L),
+      s"pinned query leaked post-pin docs: $pinned")
+    Dedup.vacuumMinhashIndex(spark, root)
+    intercept[IllegalStateException] {
+      Dedup.readIndexTable(spark, root, "shingles", asOf = Some(pin)).count()
+    }
+    // current queries survive the vacuum
+    assert(Dedup.queryMinhashIndex(spark, probes, root, n = 3, k = 16,
+      bands = 4, threshold = 0.5).select("id_idx").as[Long].collect().toSet == now)
+  }
+
+  test("rename-by-copy store: the fold's commit manifest appears with " +
+    "complete content or not at all (slowcopy FS)") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.slowcopy.impl", classOf[SlowCopyFileSystem].getName)
+    val local = tmpDir()
+    val dir = new HPath(s"slowcopy://$local/t")
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    // two raw files, then a fold staged + published on the copy-FS
+    Seq((1L, "a")).toDF("id", "v").coalesce(1).write
+      .mode("append").parquet(s"$local/t")
+    Seq((2L, "b")).toDF("id", "v").coalesce(1).write
+      .mode("append").parquet(s"$local/t")
+    val plan = graft.store.SnapshotFold.plan(fs, dir, 1L << 20, 2).get
+    val staging = new HPath(s"slowcopy://$local/staging")
+    spark.read.parquet(s"$local/t").coalesce(1).write.parquet(s"$local/staging")
+    // during the publish's copy-renames, a reader must resolve either the
+    // complete pre-fold set (2 files) or the complete post-fold one (1)
+    @volatile var torn: Option[String] = None
+    SlowCopyFileSystem.betweenCopyAndDelete = () => {
+      val n = graft.store.SnapshotFold.resolve(fs, dir).length
+      if (n != 1 && n != 2) torn = Some(s"resolved $n files mid-publish")
+    }
+    try graft.store.SnapshotFold.publish(fs, dir, plan.version, staging,
+      plan.foldedRels)
+    finally SlowCopyFileSystem.betweenCopyAndDelete = () => ()
+    assert(torn.isEmpty, torn.toString)
+    assert(graft.store.SnapshotFold.resolve(fs, dir).length == 1)
+    assert(spark.read.parquet(
+      graft.store.SnapshotFold.resolve(fs, dir).map(_.getPath.toString): _*)
+      .count() == 2L)
+  }
+}

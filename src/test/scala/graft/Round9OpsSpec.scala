@@ -132,7 +132,9 @@ class Round9OpsSpec extends SparkSpec {
     // the index ledger (same-checkpoint crash replays are exactly-once
     // — Round10IndexSpec): every streamed vector lands twice
     streamOnce("b")
-    val lists = () => spark.read.parquet(s"$work/idx/lists")
+    // resolver-routed read: after a manifest-publish fold the live rows
+    // sit in committed _v= snapshots a plain parquet read cannot see
+    val lists = () => Similarity.readIvfLists(spark, s"$work/idx")
     assert(lists().count() == 30L) // 10 built + 2 × 10 streamed
     val (before, after) = Similarity.compactIvfLists(spark, s"$work/idx",
       targetFileBytes = 1L << 30, minFiles = 2)

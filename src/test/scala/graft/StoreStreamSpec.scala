@@ -376,13 +376,16 @@ class StoreStreamSpec extends SparkSpec {
         DocIn(11L, "fresh unrelated words never indexed before anywhere", t0))
       q.processAllAvailable()
       assert(seen.sorted.toSeq == Seq(1L, 3L, 11L))
-      // after the batch-2 compaction each index table is one file
+      // after the batch-2 compaction each index table resolves to one
+      // live file (the fold's output lives in a committed _v= snapshot
+      // — the reader-atomic manifest publish — so the count goes
+      // through the snapshot resolver, not a raw listing)
       val fs = new org.apache.hadoop.fs.Path(idx)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       Seq("buckets", "shingles").foreach { t =>
-        val n = fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/$t"))
-          .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
-        assert(n == 1, s"$t not folded: $n files")
+        val n = graft.store.SnapshotFold.resolve(fs,
+          new org.apache.hadoop.fs.Path(s"$idx/$t")).length
+        assert(n == 1, s"$t not folded: $n live files")
       }
       // batch 3 queries the compacted index: 20 dups doc 11, 21 fresh
       input.addData(DocIn(20L, "fresh unrelated words never indexed before anywhere", t0),
