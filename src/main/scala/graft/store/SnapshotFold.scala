@@ -234,7 +234,12 @@ object SnapshotFold {
    */
   def vacuumDir(fs: FileSystem, dir: HPath): Unit = {
     if (!fs.exists(dir)) return
-    val all = commits(fs, dir, fs.listStatus(dir).toSeq)
+    val entries = fs.listStatus(dir).toSeq
+    // orphan of a commit that crashed before its marker rename —
+    // invisible to readers, reclaimed here (TierLayout.vacuum's rule)
+    entries.filter(_.getPath.getName.startsWith("._commit_staging_"))
+      .foreach(e => fs.delete(e.getPath, false): Unit)
+    val all = commits(fs, dir, entries)
     if (all.isEmpty) return
     val foldedU: Set[String] = all.flatMap(_._3).toSet
     val maxV = all.map(_._1).max
