@@ -1001,6 +1001,33 @@ object SparkEntry {
         asOf = Some(pin))
     }),
 
+    "sim_ivf_rebuild" -> ((s, dir) => {
+      // ATOMIC REBUILD e2e (round-11): build on the evens (8 lists),
+      // ledger-append the odds, then RETRAIN AND REBUILD the whole
+      // index as generation 1 with a DIFFERENT list count — and probe
+      // the new generation at full probes. Full probe ≡ brute force
+      // over the full corpus, so the oracle pins that the retrain/
+      // re-assign/swap cycle lost nothing and duplicated nothing; the
+      // pre-rebuild batch is replayed after the swap and must SKIP
+      // (the generation-shared ledger), which the row count makes
+      // hash-visible
+      val work = java.nio.file.Files.createTempDirectory("graft_ivfr")
+        .toFile.getAbsolutePath
+      val emb = table(s, dir, "embeddings")
+      graft.functions.Similarity.buildIvfIndex(
+        emb.filter(col("vec_id") % 2 === 0), s"$work/idx",
+        nLists = 8, trainIters = 1)
+      val odds = emb.filter(col("vec_id") % 2 === 1)
+      graft.functions.Similarity.appendIvfBatch(odds, s"$work/idx", 0L): Unit
+      graft.functions.Similarity.rebuildIvfIndex(s, s"$work/idx",
+        nLists = 4, trainIters = 1)
+      // a crash replay of the pre-rebuild batch must skip, not re-append
+      require(!graft.functions.Similarity.appendIvfBatch(odds, s"$work/idx", 0L),
+        "pre-rebuild batch replayed into the new generation")
+      graft.functions.Similarity.queryIvfIndex(s, s"$work/idx",
+        emb.filter(col("vec_id") < 5), k = 10, nProbes = 4)
+    }),
+
     "dedup_index_asof" -> ((s, dir) => {
       // AS-OF PINNED DEDUP (round-11 ask #2): index phase A (doc_id
       // % 10 in 1..4), pin, ledger-append phase B (% 10 in 5..9),
@@ -2943,6 +2970,24 @@ object SparkEntry {
         |       FROM embeddings e CROSS JOIN q
         |       WHERE e.vec_id <> q.qid
         |         AND (e.vec_id % 2 = 0 OR e.vec_id % 4 = 1)),
+        |z AS (SELECT qid, vec_id, CAST(unnest(qv) AS DOUBLE) a,
+        |        CAST(unnest(cv) AS DOUBLE) b FROM pr),
+        |s AS (SELECT qid, vec_id, sum(a * b) dot, sqrt(sum(a * a)) na,
+        |        sqrt(sum(b * b)) nb FROM z GROUP BY 1, 2),
+        |sc AS (SELECT qid, vec_id, round(CASE WHEN na > 0 AND nb > 0
+        |        THEN dot / (na * nb) ELSE 0 END, 6) score FROM s),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY score DESC, vec_id) rnk FROM sc)
+        |SELECT qid AS query_id, vec_id, score, CAST(rnk AS INTEGER) AS rank
+        |FROM r WHERE rnk <= 10""".stripMargin,
+
+    // the rebuilt (generation-1) index at full probe ≡ brute force over
+    // the WHOLE corpus: the retrain/re-assign/atomic-swap cycle and the
+    // post-swap replay skip are all pinned by the same equivalence
+    "sim_ivf_rebuild" ->
+      """WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 5),
+        |pr AS (SELECT q.qid, e.vec_id, q.qv, e.embedding cv
+        |       FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
         |z AS (SELECT qid, vec_id, CAST(unnest(qv) AS DOUBLE) a,
         |        CAST(unnest(cv) AS DOUBLE) b FROM pr),
         |s AS (SELECT qid, vec_id, sum(a * b) dot, sqrt(sum(a * a)) na,

@@ -367,7 +367,10 @@ object Similarity {
       compactEvery: Int = 0, compactMinFiles: Int = 4)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = stream.sparkSession
-    require(spark.read.parquet(s"$path/centroids").count() > 0,
+    val fs0 = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(spark.read.parquet(
+      s"${currentGenRoot(fs0, path)}/centroids").count() > 0,
       s"no IVF index at $path — buildIvfIndex first")
     val writer = graft.store.BatchLedger.writerId("ivf", checkpoint)
     stream.writeStream.outputMode("append")
@@ -391,16 +394,94 @@ object Similarity {
    *  ledger. Returns false when `batchId` already committed. */
   private[graft] def appendIvfBatch(batch: DataFrame, path: String,
       batchId: Long, writer: String = "ivf", idCol: String = "vec_id",
-      vecCol: String = "embedding"): Boolean =
-    graft.store.StagedBatchAppend.append(batch.sparkSession, path, writer,
-      batchId) { staging =>
-      // re-read per batch: tiny table, and a rebuild between batches
-      // (new centroid set) is picked up rather than served stale
-      val centroids = batch.sparkSession.read.parquet(s"$path/centroids")
+      vecCol: String = "embedding"): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    // resolved per batch: an atomic REBUILD between micro-batches moves
+    // the generation root, and the next append lands in (and assigns
+    // against) the NEW generation; the ledger stays at the stable index
+    // root so a replay of a pre-rebuild batch still skips
+    val genRoot = currentGenRoot(fs, path)
+    graft.store.StagedBatchAppend.append(batch.sparkSession, genRoot, writer,
+      batchId, ledgerRoot = Some(path)) { staging =>
+      val centroids = batch.sparkSession.read.parquet(s"$genRoot/centroids")
       assignToLists(indexRows(batch, idCol, vecCol), centroids)
         .repartition(col("list_id"))
         .write.partitionBy("list_id").parquet(s"$staging/lists")
     }
+  }
+
+  /**
+   * ATOMIC REBUILD of a live IVF index — the missing half of the
+   * frozen-centroid contract: centroids train once and appends assign
+   * against them ([[streamingIvfAppend]]); when the corpus drifts, the
+   * index must be RETRAINED AND REBUILT, and until now that meant an
+   * in-place overwrite no reader could safely race. This publishes the
+   * retrain as a GENERATION: the current resolved corpus (every
+   * committed build/append row, through the snapshot resolver) is
+   * re-trained (`nLists` fresh k-means centroids) and re-assigned into
+   * `_gen_(G+1)/centroids|lists` — underscore-invisible while being
+   * built — and the atomic appearance of the small `_commit_gen_(G+1)`
+   * marker is the cutover. Readers ([[queryIvfIndex]],
+   * [[readIvfLists]]) resolve their generation ONCE at plan time:
+   * mid-rebuild they serve the complete old generation, after the
+   * marker the complete new one, never a mixture — NO READER QUIESCE,
+   * the [[compactIvfLists]] contract extended to whole-index retrains.
+   *
+   * The batch ledger stays at the stable index root, shared across
+   * generations: a crash replay of a micro-batch committed BEFORE the
+   * rebuild still SKIPS (its rows are already inside the rebuilt
+   * corpus; a per-generation ledger would re-append them). The append
+   * STREAM is the one writer that must not race the swap — run the
+   * rebuild with the stream stopped or from its own foreachBatch safe
+   * point (an append landing in the old generation during the rebuild
+   * job would be silently absent from the new one).
+   *
+   * `retainOld = true` keeps the superseded generation for
+   * [[pinIvfIndex]] as-of reads (a pre-rebuild pin then still resolves
+   * its exact corpus); the default reclaims it, after which
+   * pre-rebuild pins fail LOUDLY via the root `_floor` record —
+   * the same commit/vacuum separation as everywhere else.
+   */
+  def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      nLists: Int = 16, trainIters: Int = 3,
+      retainOld: Boolean = false): Unit = {
+    val rootP = new org.apache.hadoop.fs.Path(path)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldRoot = currentGenRoot(fs, path)
+    val nextG = (if (oldRoot == path) 0L
+      else oldRoot.substring(oldRoot.lastIndexOf("_gen_") + 5).toLong) + 1L
+    // corpus = the resolved live rows (builds + every committed append)
+    val corpus = readIvfLists(spark, path)
+      .select(col("vec_id"), col("cv").as("embedding"))
+    val staging = s"$path/._gen_staging_$nextG"
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    val centroids = trainCentroids(corpus, nLists, trainIters)
+    centroids.write.parquet(s"$staging/centroids")
+    assignToLists(indexRows(corpus, "vec_id", "embedding"),
+      spark.read.parquet(s"$staging/centroids"))
+      .repartition(col("list_id"))
+      .write.partitionBy("list_id").parquet(s"$staging/lists")
+    val genDir = new org.apache.hadoop.fs.Path(s"$path/_gen_$nextG")
+    fs.delete(genDir, true) // an earlier crashed attempt at this number
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), genDir),
+      s"rebuild publish: $staging -> $genDir failed")
+    rebuildHook("gen_staged")
+    // the commit: marker appears atomically with complete content
+    val markerStaged = new org.apache.hadoop.fs.Path(s"$path/._commit_gen_staging_$nextG")
+    val out = fs.create(markerStaged, true)
+    try out.write(s"generation=$nextG\nok\n".getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(markerStaged, genMarkerPath(path, nextG)) ||
+      fs.exists(genMarkerPath(path, nextG)),
+      s"rebuild commit failed for $path generation $nextG")
+    rebuildHook("gen_committed")
+    if (!retainOld) vacuumOldGenerations(fs, path, s"$path/_gen_$nextG")
+  }
+
+  /** Test seam at the rebuild's phase boundaries ("gen_staged",
+   *  "gen_committed") — the [[graft.store.SnapshotFold.hook]] idiom. */
+  private[graft] var rebuildHook: String => Unit = _ => ()
 
   /** Heal a [[compactIvfLists]] crash: a list partition whose live dir
    *  is missing but whose `.old_lists/` sibling survives is restored;
@@ -423,6 +504,72 @@ object Similarity {
       else fs.delete(e.getPath, true)
     }
     fs.delete(oldRoot, true)
+  }
+
+  // ----- index GENERATIONS (atomic rebuild, [[rebuildIvfIndex]]) ----- //
+  //
+  // Layout at the index root:
+  //   centroids/, lists/          generation 0 (the buildIvfIndex layout)
+  //   _gen_G/centroids|lists      generation G's tables (underscore-
+  //                               invisible while being built)
+  //   _commit_gen_G               marker: generation G is live (staged
+  //                               hidden + renamed — atomic appearance,
+  //                               ok-terminated; the TierLayout commit
+  //                               primitive)
+  //   _batches/                   ONE ledger for every generation — a
+  //                               replay of a batch committed before a
+  //                               rebuild must skip (its rows are in the
+  //                               rebuilt corpus)
+  //   _floor                      earliest exactly-resolvable pin after
+  //                               generation vacuums (loud, not silent)
+
+  private val GenMarker = "^_commit_gen_([0-9]+)$".r
+
+  private def genMarkerPath(path: String, g: Long) =
+    new org.apache.hadoop.fs.Path(s"$path/_commit_gen_$g")
+
+  private def genComplete(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean = {
+    val text = try {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    } catch { case _: java.io.FileNotFoundException => return false }
+    text.endsWith("ok\n")
+  }
+
+  /** The root dir of the generation a reader (at `asOf`, or now) must
+   *  serve: the largest committed generation admitted by the pin, or
+   *  the legacy root (generation 0). LOUD when the pinned generation's
+   *  history is gone: pins below the vacuum `_floor`, or whose
+   *  generation's lists dir was reclaimed, throw instead of silently
+   *  serving a stale or empty corpus. */
+  private[graft] def currentGenRoot(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, asOf: Option[Long] = None): String = {
+    val rootP = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(rootP)) return path
+    asOf.foreach { t =>
+      val fl = graft.store.SnapshotFold.readFloor(fs, rootP)
+      if (t < fl) throw new IllegalStateException(
+        s"as-of pin $t predates the index's vacuumed-generation floor $fl " +
+          s"($path) — re-pin, or rebuild with retainOld and vacuum only " +
+          "after no live pin needs the old generation")
+    }
+    val admitted = fs.listStatus(rootP).toSeq.flatMap { e =>
+      e.getPath.getName match {
+        case GenMarker(g) if asOf.forall(e.getModificationTime <= _) &&
+          genComplete(fs, e.getPath) => Some(g.toLong)
+        case _ => None
+      }
+    }
+    val root = admitted.maxOption match {
+      case Some(g) => s"$path/_gen_$g"
+      case None => path
+    }
+    if (asOf.isDefined && !fs.exists(new org.apache.hadoop.fs.Path(s"$root/lists")))
+      throw new IllegalStateException(
+        s"as-of pin predates the vacuum of generation root $root — re-pin, " +
+          "or rebuild with retainOld")
+    root
   }
 
   /** The IVF lists tree's (list_id -> partition dir) listing. */
@@ -463,8 +610,21 @@ object Similarity {
   def readIvfLists(spark: org.apache.spark.sql.SparkSession, path: String,
       onlyLists: Option[Seq[Long]] = None,
       asOf: Option[Long] = None): DataFrame = {
-    val live = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readIvfListsAt(spark, path, currentGenRoot(fs, path, asOf), onlyLists, asOf)
+  }
+
+  /** [[readIvfLists]] against an ALREADY-RESOLVED generation root — the
+   *  probe functions resolve the generation ONCE and read centroids and
+   *  lists from the same root, so a rebuild committing mid-query can
+   *  never pair one generation's centroids with another's lists. */
+  private def readIvfListsAt(spark: org.apache.spark.sql.SparkSession,
+      path: String, genRoot: String, onlyLists: Option[Seq[Long]],
+      asOf: Option[Long]): DataFrame = {
+    val live = new org.apache.hadoop.fs.Path(s"$genRoot/lists")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the ledger lives at the STABLE index root across generations
     val committed = graft.store.BatchLedger.read(fs,
       new org.apache.hadoop.fs.Path(path), asOf)
     val parts = listDirsOf(fs, live)
@@ -490,27 +650,67 @@ object Similarity {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ledger = graft.store.BatchLedger.dir(root)
-    val l =
+    var m =
       if (!fs.exists(ledger)) 0L
-      else fs.listStatus(ledger).foldLeft(0L)((m, e) =>
-        math.max(m, e.getModificationTime))
-    listDirsOf(fs, new org.apache.hadoop.fs.Path(s"$path/lists"))
-      .foldLeft(l) { case (m, (_, d)) =>
-        math.max(m, graft.store.SnapshotFold.pinDir(fs, d))
+      else fs.listStatus(ledger).foldLeft(0L)((x, e) =>
+        math.max(x, e.getModificationTime))
+    // generation markers: a pin taken after a rebuild must admit it
+    if (fs.exists(root)) fs.listStatus(root).foreach { e =>
+      if (e.isFile && GenMarker.matches(e.getPath.getName))
+        m = math.max(m, e.getModificationTime)
+    }
+    val gen = currentGenRoot(fs, path)
+    listDirsOf(fs, new org.apache.hadoop.fs.Path(s"$gen/lists"))
+      .foldLeft(m) { case (x, (_, d)) =>
+        math.max(x, graft.store.SnapshotFold.pinDir(fs, d))
       }
   }
 
-  /** Reclaim the index's superseded fold history and fold its append
-   *  ledger — the explicit vacuum for `retainHistory = true` deployments
-   *  (run it once no live [[pinIvfIndex]] pin needs the old snapshots;
-   *  pins older than what survives fail LOUDLY afterwards). */
+  /** Reclaim the index's superseded history — fold snapshots of the
+   *  CURRENT generation, whole SUPERSEDED generations (retained
+   *  rebuilds), and the append ledger's old markers — the explicit
+   *  vacuum for `retainHistory`/`retainOld` deployments (run it once no
+   *  live [[pinIvfIndex]] pin needs the history; pins older than what
+   *  survives fail LOUDLY afterwards, via the `_floor` record for
+   *  vacuumed generations). */
   def vacuumIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    val live = new org.apache.hadoop.fs.Path(s"$path/lists")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootP = new org.apache.hadoop.fs.Path(path)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.store.StagedBatchAppend.foldAllMarkers(spark, path)
-    listDirsOf(fs, live).foreach { case (_, d) =>
-      graft.store.SnapshotFold.vacuumDir(fs, d)
+    val gen = currentGenRoot(fs, path)
+    listDirsOf(fs, new org.apache.hadoop.fs.Path(s"$gen/lists"))
+      .foreach { case (_, d) => graft.store.SnapshotFold.vacuumDir(fs, d) }
+    vacuumOldGenerations(fs, path, gen)
+  }
+
+  /** Drop every generation OLDER than `keepRoot`, raising the root
+   *  `_floor` to the newest reclaimed marker's mtime first (crash
+   *  between the two leaves a loud floor and a harmless marker — the
+   *  [[graft.store.SnapshotFold.vacuumDir]] ordering). */
+  private def vacuumOldGenerations(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, keepRoot: String): Unit = {
+    val rootP = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(rootP) || keepRoot == path) return // legacy current: nothing newer
+    val keepG = keepRoot.substring(keepRoot.lastIndexOf("_gen_") + 5).toLong
+    val olderMarkers = fs.listStatus(rootP).toSeq.flatMap { e =>
+      e.getPath.getName match {
+        case GenMarker(g) if g.toLong < keepG => Some((g.toLong, e))
+        case _ => None
+      }
     }
+    val legacyLists = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val hadOlder = olderMarkers.nonEmpty || fs.exists(legacyLists)
+    if (!hadOlder) return
+    val newestReclaimed = olderMarkers.map(_._2.getModificationTime)
+      .maxOption.getOrElse(fs.getFileStatus(
+        genMarkerPath(path, keepG)).getModificationTime)
+    graft.store.SnapshotFold.raiseFloor(fs, rootP, newestReclaimed)
+    olderMarkers.foreach { case (g, e) =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_gen_$g"), true)
+      fs.delete(e.getPath, false): Unit
+    }
+    fs.delete(legacyLists, true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/centroids"), true): Unit
   }
 
   /**
@@ -542,8 +742,10 @@ object Similarity {
   def compactIvfLists(spark: org.apache.spark.sql.SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024, minFiles: Int = 4,
       retainHistory: Boolean = false): (Int, Int) = {
-    val live = new org.apache.hadoop.fs.Path(s"$path/lists")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val genRoot = currentGenRoot(fs, path)
+    val live = new org.apache.hadoop.fs.Path(s"$genRoot/lists")
     require(fs.exists(live), s"no IVF index at $path")
     healIvfLists(spark, path) // legacy pre-manifest layouts only
     // maintainer context: keep the append ledger O(recent) too — unless
@@ -609,7 +811,9 @@ object Similarity {
       queries: DataFrame, k: Int, nProbes: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
       asOf: Option[Long] = None): DataFrame = {
-    val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
+    val genRoot = currentGenRoot(new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), path, asOf)
+    val centroids = broadcast(spark.read.parquet(s"$genRoot/centroids"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("nq", expressions.VectorExpressions.l2norm(col("qv")))
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("_cs").desc, col("list_id"))
@@ -620,7 +824,7 @@ object Similarity {
       .select(col("list_id"), col("query_id"), col("qv"), col("nq"))
     val probedLists = probes.select("list_id").distinct()
       .collect().map(_.getLong(0))
-    val lists = readIvfLists(spark, path, Some(probedLists.toSeq), asOf)
+    val lists = readIvfListsAt(spark, path, genRoot, Some(probedLists.toSeq), asOf)
     val scored = lists.join(probes, Seq("list_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("score",
@@ -648,7 +852,9 @@ object Similarity {
       queries: DataFrame, k: Int, nProbes: Int = 4, refine: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
       asOf: Option[Long] = None): DataFrame = {
-    val centroids = broadcast(spark.read.parquet(s"$path/centroids"))
+    val genRoot = currentGenRoot(new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), path, asOf)
+    val centroids = broadcast(spark.read.parquet(s"$genRoot/centroids"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("nq", expressions.VectorExpressions.l2norm(col("qv")))
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("_cs").desc, col("list_id"))
@@ -660,9 +866,9 @@ object Similarity {
     val probedLists = probes.select("list_id").distinct()
       .collect().map(_.getLong(0))
     // BOTH phases scan the same snapshot resolution (one plan-time pin
-    // serves the approximate cut and the rerank — a fold landing
-    // between them must not change the candidate set mid-query)
-    val lists = readIvfLists(spark, path, Some(probedLists.toSeq), asOf)
+    // serves the approximate cut and the rerank — a fold or rebuild
+    // landing between them must not change the candidate set mid-query)
+    val lists = readIvfListsAt(spark, path, genRoot, Some(probedLists.toSeq), asOf)
     // approximate phase: int8 columns only — cv is pruned from this scan
     val approx = lists
       .select(col("list_id"), col("vec_id"), col("q8"), col("nq8"))

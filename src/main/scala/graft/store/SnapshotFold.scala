@@ -88,7 +88,10 @@ object SnapshotFold {
 
   private def floorFile(dir: HPath) = new HPath(dir, "_floor")
 
-  private def readFloor(fs: FileSystem, dir: HPath): Long = {
+  /** Shared with the index-generation swap ([[graft.functions
+   *  .Similarity.rebuildIvfIndex]]), which keeps the same loud-pin
+   *  floor record at the index ROOT for vacuumed generations. */
+  private[graft] def readFloor(fs: FileSystem, dir: HPath): Long = {
     val p = floorFile(dir)
     val text = try {
       val in = fs.open(p)
@@ -97,7 +100,7 @@ object SnapshotFold {
     text.trim.toLongOption.getOrElse(0L)
   }
 
-  private def raiseFloor(fs: FileSystem, dir: HPath, t: Long): Unit = {
+  private[graft] def raiseFloor(fs: FileSystem, dir: HPath, t: Long): Unit = {
     val cur = readFloor(fs, dir)
     if (t <= cur) return
     val staged = new HPath(dir, "._floor_staging")

@@ -68,14 +68,24 @@ object StagedBatchAppend {
    * Run `write` into a staging dir and commit its output under
    * `destRoot` exactly once. Returns false when `batchId` was already
    * committed (the replay skip) — `write` is then never invoked.
+   *
+   * `ledgerRoot` (default `destRoot`) splits the COMMIT RECORD's home
+   * from the data destination: an index whose data dir moves across
+   * atomic REBUILD generations ([[graft.functions.Similarity
+   * .rebuildIvfIndex]]) keeps ONE ledger at its stable root, so a
+   * crash replay of a batch committed BEFORE a rebuild still skips —
+   * the rebuilt corpus already contains that batch's rows, and a
+   * per-generation ledger would silently re-append them.
    */
   def append(spark: SparkSession, destRoot: String, writer: String,
-      batchId: Long)(write: String => Unit): Boolean = {
+      batchId: Long, ledgerRoot: Option[String] = None)
+      (write: String => Unit): Boolean = {
     val rootP = new HPath(destRoot)
+    val ledgerP = ledgerRoot.map(new HPath(_)).getOrElse(rootP)
     val fs = fsOf(spark, rootP)
-    val marker = BatchLedger.markerFile(rootP, writer, batchId)
+    val marker = BatchLedger.markerFile(ledgerP, writer, batchId)
     val staging = new HPath(rootP, s"_staging/$writer/b=$batchId")
-    if (BatchLedger.read(fs, rootP)(writer, batchId)) {
+    if (BatchLedger.read(fs, ledgerP)(writer, batchId)) {
       fs.delete(staging, true); return false
     }
     // replay cleanup: delete exactly the destinations a previous

@@ -70,7 +70,13 @@ class Round11IndexSpec extends SparkSpec {
     // Only Spark's scan failure is retried; assertion failures propagate.
     def observed[A](body: => A): Option[A] =
       try Some(body)
-      catch { case _: org.apache.spark.SparkException => None }
+      // any scan/broadcast failure = the read straddled the inline
+      // vacuum (its planned files were reclaimed): retry, per the
+      // store's hammering contract. Assertion failures propagate.
+      catch {
+        case e: org.scalatest.exceptions.TestFailedException => throw e
+        case _: Exception => None
+      }
     val reads = hammer(() => {
       observed(Similarity.readIvfLists(spark, idx)
         .agg(count(lit(1)), countDistinct(col("vec_id")))
@@ -113,7 +119,13 @@ class Round11IndexSpec extends SparkSpec {
     val validCounts = (0 to 5).map(10L + 5L * _).toSet
     def observed[A](body: => A): Option[A] =
       try Some(body)
-      catch { case _: org.apache.spark.SparkException => None } // vacuum straddle: retry
+      // any scan/broadcast failure = the read straddled the inline
+      // vacuum (its planned files were reclaimed): retry, per the
+      // store's hammering contract. Assertion failures propagate.
+      catch {
+        case e: org.scalatest.exceptions.TestFailedException => throw e
+        case _: Exception => None
+      } // vacuum straddle: retry
     val reads = hammer(() => {
       observed(Dedup.readIndexTable(spark, root, "shingles")
         .agg(count(lit(1)), countDistinct(col("id"))).collect()(0)).foreach { sh =>
@@ -205,6 +217,111 @@ class Round11IndexSpec extends SparkSpec {
     // current queries survive the vacuum
     assert(Dedup.queryMinhashIndex(spark, probes, root, n = 3, k = 16,
       bands = 4, threshold = 0.5).select("id_idx").as[Long].collect().toSet == now)
+  }
+
+  test("atomic IVF rebuild: generation swap under hammering readers — " +
+    "every read serves one complete generation; crash pre-commit is invisible") {
+    val work = tmpDir()
+    val idx = s"$work/idx"
+    Similarity.buildIvfIndex(clustered(0, 30), idx, nLists = 4, trainIters = 1)
+    assert(Similarity.appendIvfBatch(clustered(100, 120), idx, 0L))
+    val corpusN = 50L
+    def observed[A](body: => A): Option[A] =
+      try Some(body)
+      // any scan/broadcast failure = the read straddled the inline
+      // vacuum (its planned files were reclaimed): retry, per the
+      // store's hammering contract. Assertion failures propagate.
+      catch {
+        case e: org.scalatest.exceptions.TestFailedException => throw e
+        case _: Exception => None
+      }
+    val probe = clustered(0, 2)
+    val reads = hammer(() => {
+      // a rebuild changes nLists and every list assignment — but the
+      // CORPUS is invariant, so any read not equal to it is a torn
+      // cross-generation mixture
+      observed(Similarity.readIvfLists(spark, idx)
+        .agg(count(lit(1)), countDistinct(col("vec_id"))).collect()(0))
+        .foreach { r =>
+          assert(r.getLong(0) == corpusN && r.getLong(1) == corpusN,
+            s"torn generation read: ${r.getLong(0)} rows, ${r.getLong(1)} distinct")
+        }
+      observed(Similarity.queryIvfIndex(spark, idx, probe, k = 3, nProbes = 2)
+        .groupBy("query_id").count().collect()).foreach { per =>
+        assert(per.forall(_.getLong(1) == 3L), "probe lost candidates mid-swap")
+      }
+    }) {
+      // crash BEFORE the commit marker: readers must never notice, and
+      // the next attempt reclaims the orphan generation dir
+      Similarity.rebuildHook = p =>
+        if (p == "gen_staged") throw new RuntimeException("crash pre-commit")
+      intercept[RuntimeException] {
+        Similarity.rebuildIvfIndex(spark, idx, nLists = 8, trainIters = 1)
+      }
+      Similarity.rebuildHook = _ => ()
+      Similarity.rebuildIvfIndex(spark, idx, nLists = 8, trainIters = 1)
+      Similarity.rebuildIvfIndex(spark, idx, nLists = 2, trainIters = 1)
+    }
+    info(s"rebuild hammering reader made $reads clean observations across 2 swaps")
+    // the final generation at full probe ≡ brute force over the corpus
+    val corpus = clustered(0, 30).unionAll(clustered(100, 120))
+    val got = Similarity.queryIvfIndex(spark, idx, probe, k = 5, nProbes = 2)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val want = Similarity.bruteForceTopK(corpus, probe, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(got == want)
+    // the ledger is SHARED across generations: a crash replay of the
+    // pre-rebuild batch must skip, not re-append into the new generation
+    assert(!Similarity.appendIvfBatch(clustered(100, 120), idx, 0L),
+      "pre-rebuild batch replayed into the new generation")
+    assert(Similarity.readIvfLists(spark, idx).count() == corpusN)
+    // and a NEW append lands in the current generation (gen 2: the
+    // crashed attempt's number was reclaimed, then two commits)
+    assert(Similarity.appendIvfBatch(clustered(200, 210), idx, 1L))
+    assert(Similarity.readIvfLists(spark, idx).count() == corpusN + 10)
+    val fs = fsOf(idx)
+    def hasBatchFile(dir: String): Boolean = {
+      val p = new HPath(dir)
+      fs.exists(p) && fs.listStatus(p).exists(d =>
+        d.isDirectory && fs.listStatus(d.getPath)
+          .exists(_.getPath.getName.contains("b-ivf-1-")))
+    }
+    assert(hasBatchFile(s"$idx/_gen_2/lists"),
+      "append after rebuild must land in the live generation")
+  }
+
+  test("IVF rebuild as-of: a pre-rebuild pin serves the OLD generation " +
+    "when retained; vacuum makes it loud (the gen _floor record)") {
+    val work = tmpDir()
+    val idx = s"$work/idx"
+    Similarity.buildIvfIndex(clustered(0, 20), idx, nLists = 4, trainIters = 1)
+    assert(Similarity.appendIvfBatch(clustered(100, 110), idx, 0L))
+    val pin = Similarity.pinIvfIndex(spark, idx)
+    val probe = clustered(0, 2)
+    val oldView = Similarity.queryIvfIndex(spark, idx, probe, k = 5,
+      nProbes = 4).select("query_id", "vec_id", "score")
+      .as[(Long, Long, Double)].collect().toSet
+    Thread.sleep(20)
+    Similarity.rebuildIvfIndex(spark, idx, nLists = 8, trainIters = 1,
+      retainOld = true)
+    // current read serves generation 1; the pin still serves gen 0 and
+    // answers IDENTICALLY to the pre-rebuild probe
+    assert(Similarity.readIvfLists(spark, idx).count() == 30L)
+    val pinnedView = Similarity.queryIvfIndex(spark, idx, probe, k = 5,
+      nProbes = 4, asOf = Some(pin)).select("query_id", "vec_id", "score")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pinnedView == oldView, "pinned probe diverged across the rebuild")
+    // a pin taken NOW admits the new generation
+    val pin2 = Similarity.pinIvfIndex(spark, idx)
+    assert(Similarity.readIvfLists(spark, idx, asOf = Some(pin2)).count() == 30L)
+    // reclaim the old generation: the pre-rebuild pin must fail LOUDLY
+    Similarity.vacuumIvfIndex(spark, idx)
+    val e = intercept[IllegalStateException] {
+      Similarity.readIvfLists(spark, idx, asOf = Some(pin)).count()
+    }
+    assert(e.getMessage.contains("pin"), e.getMessage)
+    // the current read and the post-rebuild pin are untouched
+    assert(Similarity.readIvfLists(spark, idx).count() == 30L)
   }
 
   test("rename-by-copy store: the fold's commit manifest appears with " +
