@@ -324,6 +324,38 @@ class Round11IndexSpec extends SparkSpec {
     assert(Similarity.readIvfLists(spark, idx).count() == 30L)
   }
 
+  test("resolver read path keeps the scan lean: probed-list file pruning " +
+    "at resolution time and parquet column pruning through the pinned index") {
+    val work = tmpDir()
+    val idx = s"$work/idx"
+    Similarity.buildIvfIndex(clustered(0, 40), idx, nLists = 4, trainIters = 2)
+    // file pruning happens at RESOLUTION (pruned list dirs are never
+    // even listed): the scan's input files all belong to the asked lists
+    val fs = fsOf(idx)
+    val allLists = fs.listStatus(new HPath(s"$idx/lists"))
+      .filter(_.getPath.getName.startsWith("list_id="))
+      .map(_.getPath.getName.stripPrefix("list_id=").toLong).sorted
+    assert(allLists.length == 4, s"fixture: want 4 lists, got ${allLists.toSeq}")
+    val some = allLists.take(2).toSeq
+    val pruned = Similarity.readIvfLists(spark, idx, Some(some))
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.inputRDDs(); f.relation.location.inputFiles
+    }.get
+    assert(scanned.nonEmpty &&
+      scanned.forall(p => some.exists(l => p.contains(s"list_id=$l/"))),
+      s"scan leaked non-probed list files: ${scanned.mkString(",")}")
+    // column pruning: the quantized probe's approximate phase must read
+    // ONLY the int8 columns through the resolver-built relation — the
+    // 4×-narrower probe I/O the layout exists for
+    val approx = Similarity.readIvfLists(spark, idx)
+      .select(col("list_id"), col("vec_id"), col("q8"), col("nq8"))
+    assert(approx.collect().length == 40)
+    val scanLine = approx.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).get
+    assert(scanLine.contains("q8") && !scanLine.contains("cv"), scanLine)
+  }
+
   test("rename-by-copy store: the fold's commit manifest appears with " +
     "complete content or not at all (slowcopy FS)") {
     val conf = spark.sparkContext.hadoopConfiguration
