@@ -668,12 +668,18 @@ object Dedup {
       append: Boolean = false): Unit = {
     require(k % bands == 0, "bands must divide k")
     val spark = docs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // appends land in the CURRENT generation; a fresh build writes the
+    // legacy (generation-0) layout at the root
+    val genRoot = if (append) currentGenRoot(fs, path) else path
     if (append) { // writer context: heal a crashed compaction swap first
       repairMinhashIndex(spark, path)
-      checkIndexParams(spark, path, n, k, bands)
-    } else writeIndexMeta(spark, path, n, k, bands)
+      checkIndexParams(spark, genRoot, n, k, bands)
+    } else writeIndexMeta(spark, genRoot, n, k, bands)
     val mode = if (append) SaveMode.Append else SaveMode.Overwrite
-    writeShingledToIndex(shingledDocs(docs, n, k, idCol, textCol), path, k, bands, mode)
+    writeShingledToIndex(shingledDocs(docs, n, k, idCol, textCol), genRoot,
+      k, bands, mode)
   }
 
   /** Append a pre-computed (id, sh, sig) table to the index at `path`
@@ -681,8 +687,11 @@ object Dedup {
   private[functions] def appendShingledToIndex(sh: DataFrame, path: String,
       n: Int, k: Int, bands: Int): Unit = {
     repairMinhashIndex(sh.sparkSession, path) // writer context: safe to heal
-    checkIndexParams(sh.sparkSession, path, n, k, bands)
-    writeShingledToIndex(sh, path, k, bands, SaveMode.Append)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(sh.sparkSession.sparkContext.hadoopConfiguration)
+    val genRoot = currentGenRoot(fs, path)
+    checkIndexParams(sh.sparkSession, genRoot, n, k, bands)
+    writeShingledToIndex(sh, genRoot, k, bands, SaveMode.Append)
   }
 
   /** EXACTLY-ONCE streaming append of a pre-computed (id, sh, sig)
@@ -696,9 +705,15 @@ object Dedup {
       n: Int, k: Int, bands: Int, batchId: Long,
       writer: String = "dedup"): Boolean = {
     repairMinhashIndex(sh.sparkSession, path) // writer context: safe to heal
-    checkIndexParams(sh.sparkSession, path, n, k, bands)
-    graft.store.StagedBatchAppend.append(sh.sparkSession, path, writer,
-      batchId) { staging =>
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(sh.sparkSession.sparkContext.hadoopConfiguration)
+    // resolved per batch: a rebuild between micro-batches moves the
+    // generation root; the ledger stays at the stable index root so a
+    // pre-rebuild batch's replay still skips
+    val genRoot = currentGenRoot(fs, path)
+    checkIndexParams(sh.sparkSession, genRoot, n, k, bands)
+    graft.store.StagedBatchAppend.append(sh.sparkSession, genRoot, writer,
+      batchId, ledgerRoot = Some(path)) { staging =>
       writeShingledTables(sh, s"$staging/buckets", s"$staging/shingles",
         k, bands, SaveMode.Overwrite)
     }
@@ -828,8 +843,9 @@ object Dedup {
   def indexExists(spark: SparkSession, path: String): Boolean = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val genRoot = currentGenRoot(fs, path)
     Seq("buckets", "shingles").forall(t =>
-      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$t")))
+      fs.exists(new org.apache.hadoop.fs.Path(s"$genRoot/$t")))
   }
 
   /**
@@ -891,18 +907,36 @@ object Dedup {
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/.compact/$t"), true)
   }
 
+  /** The generation root a reader (at `asOf`, or now) must serve —
+   *  [[graft.store.IndexGenerations.currentRoot]] with the buckets
+   *  table as the presence witness. */
+  private[graft] def currentGenRoot(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, asOf: Option[Long] = None): String =
+    graft.store.IndexGenerations.currentRoot(fs, path, "buckets", asOf)
+
   /** Snapshot-resolved read of one index table (`buckets`/`shingles`)
    *  — the ONLY correct way to scan a live index: the file set resolves
-   *  through the table's [[graft.store.SnapshotFold]] commits and the
-   *  index's batch ledger at PLAN time, so a query racing a concurrent
-   *  [[compactMinhashIndex]] fold sees the complete pre-fold or
-   *  complete post-fold set, never both (a plain parquet read would
-   *  double-count rows mid-fold). `asOf` pins the read to a
-   *  [[pinMinhashIndex]] instant. */
+   *  through the table's [[graft.store.SnapshotFold]] commits, the
+   *  index's batch ledger, and its generation marker at PLAN time, so a
+   *  query racing a concurrent [[compactMinhashIndex]] fold or
+   *  [[rebuildMinhashIndex]] swap sees one complete state, never a
+   *  mixture (a plain parquet read would double-count rows mid-fold).
+   *  `asOf` pins the read to a [[pinMinhashIndex]] instant. */
   def readIndexTable(spark: SparkSession, path: String, table: String,
       asOf: Option[Long] = None): DataFrame = {
-    val dir = new org.apache.hadoop.fs.Path(s"$path/$table")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readIndexTableAt(spark, path, currentGenRoot(fs, path, asOf), table, asOf)
+  }
+
+  /** [[readIndexTable]] against an ALREADY-RESOLVED generation root —
+   *  queries resolve the generation once and read both tables (and the
+   *  parameter meta) from the same root. */
+  private def readIndexTableAt(spark: SparkSession, path: String,
+      genRoot: String, table: String, asOf: Option[Long]): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(s"$genRoot/$table")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the ledger lives at the STABLE index root across generations
     val committed = graft.store.BatchLedger.read(fs,
       new org.apache.hadoop.fs.Path(path), asOf)
     val files = graft.store.SnapshotFold.resolve(fs, dir, committed, asOf)
@@ -936,22 +970,31 @@ object Dedup {
       if (!fs.exists(ledger)) 0L
       else fs.listStatus(ledger).foldLeft(0L)((m, e) =>
         math.max(m, e.getModificationTime))
-    Seq("buckets", "shingles").foldLeft(l) { (m, t) =>
+    // generation markers: a pin taken after a rebuild must admit it
+    val withGen = math.max(l,
+      graft.store.IndexGenerations.maxMarkerMtime(fs, path))
+    val gen = currentGenRoot(fs, path)
+    Seq("buckets", "shingles").foldLeft(withGen) { (m, t) =>
       math.max(m, graft.store.SnapshotFold.pinDir(fs,
-        new org.apache.hadoop.fs.Path(s"$path/$t")))
+        new org.apache.hadoop.fs.Path(s"$gen/$t")))
     }
   }
 
-  /** Reclaim superseded fold history + fold the append ledger — the
-   *  explicit vacuum for `retainHistory = true` deployments; pins older
-   *  than the surviving records fail LOUDLY afterwards. */
+  /** Reclaim superseded history — fold snapshots of the CURRENT
+   *  generation, whole superseded generations (retained rebuilds), and
+   *  the append ledger's old markers — the explicit vacuum for
+   *  `retainHistory`/`retainOld` deployments; pins older than the
+   *  surviving records fail LOUDLY afterwards. */
   def vacuumMinhashIndex(spark: SparkSession, path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.store.StagedBatchAppend.foldAllMarkers(spark, path)
+    val gen = currentGenRoot(fs, path)
     Seq("buckets", "shingles").foreach(t =>
       graft.store.SnapshotFold.vacuumDir(fs,
-        new org.apache.hadoop.fs.Path(s"$path/$t")))
+        new org.apache.hadoop.fs.Path(s"$gen/$t")))
+    graft.store.IndexGenerations.vacuumOld(fs, path, gen,
+      legacyDirs = Seq("buckets", "shingles", "_index_meta"))
   }
 
   /**
@@ -989,7 +1032,8 @@ object Dedup {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     repairIndex(fs, path) // legacy pre-manifest layouts only
-    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/buckets")),
+    val genRoot = currentGenRoot(fs, path)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$genRoot/buckets")),
       s"no MinHash index at $path")
     // maintainer context: keep the append ledger O(recent) too — unless
     // history is retained for as-of pins (a marker fold would make pins
@@ -998,7 +1042,7 @@ object Dedup {
     val committed = graft.store.BatchLedger.read(fs, root)
     var before = 0; var after = 0
     Seq("buckets", "shingles").foreach { t =>
-      val live = new org.apache.hadoop.fs.Path(s"$path/$t")
+      val live = new org.apache.hadoop.fs.Path(s"$genRoot/$t")
       before += graft.store.SnapshotFold.resolve(fs, live, committed).length
       graft.store.SnapshotFold.plan(fs, live, targetFileBytes, minFiles,
         committed).foreach { p =>
@@ -1023,6 +1067,69 @@ object Dedup {
     (before, after)
   }
 
+  /**
+   * ATOMIC REBUILD of a live MinHash index with NEW banding parameters
+   * — the dedup counterpart of [[graft.functions.Similarity
+   * .rebuildIvfIndex]]: tuning (k, bands) is the standard recall/cost
+   * dial, and until now changing it meant re-indexing into a fresh
+   * path and cutting traffic over by hand. The stored shingle sets are
+   * parameter-independent for a FIXED `n`, so a (k, bands) migration
+   * re-derives signatures and band buckets from `shingles/` alone — no
+   * original documents needed; changing the shingle size `n` requires
+   * them (`docs`). The rebuilt tables (and their `_index_meta`)
+   * publish as generation `_gen_(G+1)` through
+   * [[graft.store.IndexGenerations]]: invisible while building, the
+   * atomic marker appearance is the cutover, readers resolve their
+   * generation once at plan time — queries with the OLD parameters
+   * refuse loudly after the swap (the meta check, now
+   * generation-scoped) instead of silently mis-bucketing.
+   *
+   * Same concurrency contract as the IVF rebuild: any readers, no
+   * quiesce; the append stream must not race the swap; `retainOld`
+   * keeps the previous generation for as-of pins (a pinned query then
+   * validates against and scans the OLD generation's tables), the
+   * default reclaims it and pre-rebuild pins fail loudly.
+   */
+  def rebuildMinhashIndex(spark: SparkSession, path: String, n: Int = 3,
+      k: Int = 64, bands: Int = 16, docs: Option[DataFrame] = None,
+      retainOld: Boolean = false, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    require(k % bands == 0, "bands must divide k")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldRoot = currentGenRoot(fs, path)
+    if (docs.isEmpty) {
+      // shingle sets are n-grams of the ORIGINAL text: reusing them is
+      // only sound when n is unchanged
+      val p = metaPath(oldRoot)
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        val storedN = text.linesIterator
+          .collectFirst { case l if l.startsWith("n=") => l.stripPrefix("n=").toInt }
+        require(storedN.contains(n),
+          s"rebuild to n=$n from stored shingles of n=${storedN.orNull}: " +
+            "changing the shingle size needs the original documents — pass docs")
+      }
+    }
+    val sh = docs match {
+      case Some(d) => shingledDocs(d, n, k, idCol, textCol)
+      case None => readIndexTable(spark, path, "shingles")
+        .select(col("id"), col("sh"))
+        .withColumn("sig", minhashSignature(col("sh"), k))
+    }
+    val nextG = graft.store.IndexGenerations.nextGeneration(fs, path, oldRoot)
+    val staging = s"$path/._gen_staging_$nextG"
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    writeShingledTables(sh, s"$staging/buckets", s"$staging/shingles",
+      k, bands, SaveMode.Overwrite)
+    writeIndexMeta(spark, staging, n, k, bands)
+    graft.store.IndexGenerations.publish(fs, path, nextG, staging)
+    if (!retainOld) graft.store.IndexGenerations.vacuumOld(fs, path,
+      s"$path/_gen_$nextG",
+      legacyDirs = Seq("buckets", "shingles", "_index_meta"))
+  }
+
   def queryMinhashIndex(spark: SparkSession, newDocs: DataFrame, path: String,
       n: Int = 3, k: Int = 64, bands: Int = 16, threshold: Double = 0.8,
       idCol: String = "doc_id", textCol: String = "text",
@@ -1035,19 +1142,26 @@ object Dedup {
       shNew: DataFrame, path: String, n: Int, k: Int, bands: Int,
       threshold: Double, asOf: Option[Long] = None): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    if (!indexExists(spark, path))
+    // ONE generation resolution serves the parameter check and both
+    // table scans — a rebuild committing mid-query can never pair one
+    // generation's buckets with another's shingles or meta
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val genRoot = currentGenRoot(fs, path, asOf)
+    if (!Seq("buckets", "shingles").forall(t =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$genRoot/$t"))))
       // nothing indexed yet — empty result, correct schema
       return shNew.select(col("id").as("id_new"), col("id").as("id_idx"),
         lit(0.0).as("jaccard")).where(lit(false))
-    checkIndexParams(spark, path, n, k, bands)
+    checkIndexParams(spark, genRoot, n, k, bands)
     val bNew = banded(shNew, k, bands)
       .select(col("band"), col("bucket"), col("id").as("id_new"))
-    val bIdx = readIndexTable(spark, path, "buckets", asOf)
+    val bIdx = readIndexTableAt(spark, path, genRoot, "buckets", asOf)
       .select(col("band"), col("bucket"), col("id").as("id_idx"))
     val candIds = bIdx.join(broadcast(bNew), Seq("band", "bucket"))
       .filter(col("id_idx") =!= col("id_new"))
       .select("id_new", "id_idx").distinct()
-    val shIdx = readIndexTable(spark, path, "shingles", asOf)
+    val shIdx = readIndexTableAt(spark, path, genRoot, "shingles", asOf)
       .select(col("id").as("id_idx"), col("sh").as("sh_i"))
     candIds
       .join(shNew.select(col("id").as("id_new"), col("sh").as("sh_n")), "id_new")

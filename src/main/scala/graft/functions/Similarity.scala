@@ -449,8 +449,7 @@ object Similarity {
     val rootP = new org.apache.hadoop.fs.Path(path)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val oldRoot = currentGenRoot(fs, path)
-    val nextG = (if (oldRoot == path) 0L
-      else oldRoot.substring(oldRoot.lastIndexOf("_gen_") + 5).toLong) + 1L
+    val nextG = graft.store.IndexGenerations.nextGeneration(fs, path, oldRoot)
     // corpus = the resolved live rows (builds + every committed append)
     val corpus = readIvfLists(spark, path)
       .select(col("vec_id"), col("cv").as("embedding"))
@@ -462,26 +461,10 @@ object Similarity {
       spark.read.parquet(s"$staging/centroids"))
       .repartition(col("list_id"))
       .write.partitionBy("list_id").parquet(s"$staging/lists")
-    val genDir = new org.apache.hadoop.fs.Path(s"$path/_gen_$nextG")
-    fs.delete(genDir, true) // an earlier crashed attempt at this number
-    require(fs.rename(new org.apache.hadoop.fs.Path(staging), genDir),
-      s"rebuild publish: $staging -> $genDir failed")
-    rebuildHook("gen_staged")
-    // the commit: marker appears atomically with complete content
-    val markerStaged = new org.apache.hadoop.fs.Path(s"$path/._commit_gen_staging_$nextG")
-    val out = fs.create(markerStaged, true)
-    try out.write(s"generation=$nextG\nok\n".getBytes("UTF-8"))
-    finally out.close()
-    require(fs.rename(markerStaged, genMarkerPath(path, nextG)) ||
-      fs.exists(genMarkerPath(path, nextG)),
-      s"rebuild commit failed for $path generation $nextG")
-    rebuildHook("gen_committed")
-    if (!retainOld) vacuumOldGenerations(fs, path, s"$path/_gen_$nextG")
+    graft.store.IndexGenerations.publish(fs, path, nextG, staging)
+    if (!retainOld) graft.store.IndexGenerations.vacuumOld(fs, path,
+      s"$path/_gen_$nextG", legacyDirs = Seq("lists", "centroids"))
   }
-
-  /** Test seam at the rebuild's phase boundaries ("gen_staged",
-   *  "gen_committed") — the [[graft.store.SnapshotFold.hook]] idiom. */
-  private[graft] var rebuildHook: String => Unit = _ => ()
 
   /** Heal a [[compactIvfLists]] crash: a list partition whose live dir
    *  is missing but whose `.old_lists/` sibling survives is restored;
@@ -523,54 +506,12 @@ object Similarity {
   //   _floor                      earliest exactly-resolvable pin after
   //                               generation vacuums (loud, not silent)
 
-  private val GenMarker = "^_commit_gen_([0-9]+)$".r
-
-  private def genMarkerPath(path: String, g: Long) =
-    new org.apache.hadoop.fs.Path(s"$path/_commit_gen_$g")
-
-  private def genComplete(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Boolean = {
-    val text = try {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    } catch { case _: java.io.FileNotFoundException => return false }
-    text.endsWith("ok\n")
-  }
-
-  /** The root dir of the generation a reader (at `asOf`, or now) must
-   *  serve: the largest committed generation admitted by the pin, or
-   *  the legacy root (generation 0). LOUD when the pinned generation's
-   *  history is gone: pins below the vacuum `_floor`, or whose
-   *  generation's lists dir was reclaimed, throw instead of silently
-   *  serving a stale or empty corpus. */
+  /** The generation root a reader (at `asOf`, or now) must serve —
+   *  [[graft.store.IndexGenerations.currentRoot]] with the lists tree
+   *  as the presence witness. */
   private[graft] def currentGenRoot(fs: org.apache.hadoop.fs.FileSystem,
-      path: String, asOf: Option[Long] = None): String = {
-    val rootP = new org.apache.hadoop.fs.Path(path)
-    if (!fs.exists(rootP)) return path
-    asOf.foreach { t =>
-      val fl = graft.store.SnapshotFold.readFloor(fs, rootP)
-      if (t < fl) throw new IllegalStateException(
-        s"as-of pin $t predates the index's vacuumed-generation floor $fl " +
-          s"($path) — re-pin, or rebuild with retainOld and vacuum only " +
-          "after no live pin needs the old generation")
-    }
-    val admitted = fs.listStatus(rootP).toSeq.flatMap { e =>
-      e.getPath.getName match {
-        case GenMarker(g) if asOf.forall(e.getModificationTime <= _) &&
-          genComplete(fs, e.getPath) => Some(g.toLong)
-        case _ => None
-      }
-    }
-    val root = admitted.maxOption match {
-      case Some(g) => s"$path/_gen_$g"
-      case None => path
-    }
-    if (asOf.isDefined && !fs.exists(new org.apache.hadoop.fs.Path(s"$root/lists")))
-      throw new IllegalStateException(
-        s"as-of pin predates the vacuum of generation root $root — re-pin, " +
-          "or rebuild with retainOld")
-    root
-  }
+      path: String, asOf: Option[Long] = None): String =
+    graft.store.IndexGenerations.currentRoot(fs, path, "lists", asOf)
 
   /** The IVF lists tree's (list_id -> partition dir) listing. */
   private def listDirsOf(fs: org.apache.hadoop.fs.FileSystem,
@@ -655,10 +596,7 @@ object Similarity {
       else fs.listStatus(ledger).foldLeft(0L)((x, e) =>
         math.max(x, e.getModificationTime))
     // generation markers: a pin taken after a rebuild must admit it
-    if (fs.exists(root)) fs.listStatus(root).foreach { e =>
-      if (e.isFile && GenMarker.matches(e.getPath.getName))
-        m = math.max(m, e.getModificationTime)
-    }
+    m = math.max(m, graft.store.IndexGenerations.maxMarkerMtime(fs, path))
     val gen = currentGenRoot(fs, path)
     listDirsOf(fs, new org.apache.hadoop.fs.Path(s"$gen/lists"))
       .foldLeft(m) { case (x, (_, d)) =>
@@ -680,37 +618,8 @@ object Similarity {
     val gen = currentGenRoot(fs, path)
     listDirsOf(fs, new org.apache.hadoop.fs.Path(s"$gen/lists"))
       .foreach { case (_, d) => graft.store.SnapshotFold.vacuumDir(fs, d) }
-    vacuumOldGenerations(fs, path, gen)
-  }
-
-  /** Drop every generation OLDER than `keepRoot`, raising the root
-   *  `_floor` to the newest reclaimed marker's mtime first (crash
-   *  between the two leaves a loud floor and a harmless marker — the
-   *  [[graft.store.SnapshotFold.vacuumDir]] ordering). */
-  private def vacuumOldGenerations(fs: org.apache.hadoop.fs.FileSystem,
-      path: String, keepRoot: String): Unit = {
-    val rootP = new org.apache.hadoop.fs.Path(path)
-    if (!fs.exists(rootP) || keepRoot == path) return // legacy current: nothing newer
-    val keepG = keepRoot.substring(keepRoot.lastIndexOf("_gen_") + 5).toLong
-    val olderMarkers = fs.listStatus(rootP).toSeq.flatMap { e =>
-      e.getPath.getName match {
-        case GenMarker(g) if g.toLong < keepG => Some((g.toLong, e))
-        case _ => None
-      }
-    }
-    val legacyLists = new org.apache.hadoop.fs.Path(s"$path/lists")
-    val hadOlder = olderMarkers.nonEmpty || fs.exists(legacyLists)
-    if (!hadOlder) return
-    val newestReclaimed = olderMarkers.map(_._2.getModificationTime)
-      .maxOption.getOrElse(fs.getFileStatus(
-        genMarkerPath(path, keepG)).getModificationTime)
-    graft.store.SnapshotFold.raiseFloor(fs, rootP, newestReclaimed)
-    olderMarkers.foreach { case (g, e) =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_gen_$g"), true)
-      fs.delete(e.getPath, false): Unit
-    }
-    fs.delete(legacyLists, true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/centroids"), true): Unit
+    graft.store.IndexGenerations.vacuumOld(fs, path, gen,
+      legacyDirs = Seq("lists", "centroids"))
   }
 
   /**

@@ -253,12 +253,12 @@ class Round11IndexSpec extends SparkSpec {
     }) {
       // crash BEFORE the commit marker: readers must never notice, and
       // the next attempt reclaims the orphan generation dir
-      Similarity.rebuildHook = p =>
+      graft.store.IndexGenerations.hook = p =>
         if (p == "gen_staged") throw new RuntimeException("crash pre-commit")
       intercept[RuntimeException] {
         Similarity.rebuildIvfIndex(spark, idx, nLists = 8, trainIters = 1)
       }
-      Similarity.rebuildHook = _ => ()
+      graft.store.IndexGenerations.hook = _ => ()
       Similarity.rebuildIvfIndex(spark, idx, nLists = 8, trainIters = 1)
       Similarity.rebuildIvfIndex(spark, idx, nLists = 2, trainIters = 1)
     }
@@ -322,6 +322,63 @@ class Round11IndexSpec extends SparkSpec {
     assert(e.getMessage.contains("pin"), e.getMessage)
     // the current read and the post-rebuild pin are untouched
     assert(Similarity.readIvfLists(spark, idx).count() == 30L)
+  }
+
+  test("atomic MinHash rebuild: banding migration from stored shingles — " +
+    "old-parameter queries refuse after the swap; pins serve the old " +
+    "generation when retained") {
+    val root = tmpDir()
+    def doc(i: Int) = (i.toLong, s"alpha beta gamma delta epsilon zeta eta theta token$i")
+    Dedup.buildMinhashIndex((0 until 8).map(doc).toDF("doc_id", "text"),
+      root, n = 3, k = 64, bands = 16)
+    assert(Dedup.appendShingledToIndexBatch(
+      Dedup.shingledDocs((100 until 104).map(doc).toDF("doc_id", "text"),
+        3, 64, "doc_id", "text"), root, 3, 64, 16, 0L))
+    val probes = Seq((9000L, doc(3)._2)).toDF("doc_id", "text")
+    def hits(k: Int, bands: Int, asOf: Option[Long] = None) =
+      Dedup.queryMinhashIndex(spark, probes, root, n = 3, k = k,
+        bands = bands, threshold = 0.5, asOf = asOf)
+        .select("id_idx").as[Long].collect().toSet
+    val before = hits(64, 16)
+    assert(before.nonEmpty, "fixture: the probe must hit the index")
+    val pin = Dedup.pinMinhashIndex(spark, root)
+    Thread.sleep(20)
+    // migrate banding to (k=32, bands=16): narrower signatures, r=2
+    // rows per band — HIGHER banding recall, so exact-verified hits
+    // are identical on this fixture
+    Dedup.rebuildMinhashIndex(spark, root, n = 3, k = 32, bands = 16,
+      retainOld = true)
+    assert(hits(32, 16) == before, "hits changed across the banding migration")
+    // the old parameters now refuse LOUDLY (generation-scoped meta)
+    val e = intercept[IllegalArgumentException] { hits(64, 16) }
+    assert(e.getMessage.contains("built with"), e.getMessage)
+    // a pre-rebuild pin still validates and answers with the OLD params
+    assert(hits(64, 16, asOf = Some(pin)) == before,
+      "pinned old-parameter query diverged")
+    // a ledgered append lands in the NEW generation and a pre-rebuild
+    // batch replay skips (generation-shared ledger)
+    assert(!Dedup.appendShingledToIndexBatch(
+      Dedup.shingledDocs((100 until 104).map(doc).toDF("doc_id", "text"),
+        3, 32, "doc_id", "text"), root, 3, 32, 16, 0L))
+    assert(Dedup.appendShingledToIndexBatch(
+      Dedup.shingledDocs((200 until 204).map(doc).toDF("doc_id", "text"),
+        3, 32, "doc_id", "text"), root, 3, 32, 16, 1L))
+    assert(Dedup.readIndexTable(spark, root, "shingles").count() == 16L)
+    // changing the shingle size n NEEDS the original documents
+    val g = intercept[IllegalArgumentException] {
+      Dedup.rebuildMinhashIndex(spark, root, n = 4, k = 32, bands = 16)
+    }
+    assert(g.getMessage.contains("original documents"), g.getMessage)
+    Dedup.rebuildMinhashIndex(spark, root, n = 4, k = 32, bands = 16,
+      docs = Some(((0 until 8) ++ (100 until 104) ++ (200 until 204))
+        .map(doc).toDF("doc_id", "text")))
+    assert(Dedup.readIndexTable(spark, root, "shingles").count() == 16L)
+    // n changed → the n=3 query now refuses too
+    intercept[IllegalArgumentException] { hits(32, 16) }
+    // after the default (reclaiming) rebuild above, the old pin is loud
+    intercept[IllegalStateException] {
+      Dedup.readIndexTable(spark, root, "shingles", asOf = Some(pin)).count()
+    }
   }
 
   test("resolver read path keeps the scan lean: probed-list file pruning " +
