@@ -1028,6 +1028,30 @@ object SparkEntry {
         emb.filter(col("vec_id") < 5), k = 10, nProbes = 4)
     }),
 
+    "dedup_index_rebuild" -> ((s, dir) => {
+      // ATOMIC BANDING MIGRATION e2e (round-11): index with (k=64,
+      // bands=16), ledger-append a second batch, then REBUILD to
+      // (k=32, bands=16) from the stored shingle sets alone — and
+      // query under the NEW parameters. r drops 4 → 2, so banding
+      // recall at the 0.8 threshold can only widen the candidate set;
+      // every candidate is exact-verified, so the result still equals
+      // the exact cross-set Jaccard oracle — proving the migration
+      // re-bucketed the ENTIRE corpus (both the built and the
+      // ledger-appended halves) losslessly
+      val docs = table(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_mhrb")
+        .toFile.getAbsolutePath
+      Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 10 >= 1 &&
+        col("doc_id") % 10 <= 4), root)
+      Dedup.appendShingledToIndexBatch(
+        graft.functions.Dedup.shingledDocs(
+          docs.filter(col("doc_id") % 10 >= 5), 3, 64, "doc_id", "text"),
+        root, 3, 64, 16, 0L): Unit
+      Dedup.rebuildMinhashIndex(s, root, n = 3, k = 32, bands = 16)
+      Dedup.queryMinhashIndex(s, docs.filter(col("doc_id") % 10 === 0),
+        root, n = 3, k = 32, bands = 16)
+    }),
+
     "dedup_index_asof" -> ((s, dir) => {
       // AS-OF PINNED DEDUP (round-11 ask #2): index phase A (doc_id
       // % 10 in 1..4), pin, ledger-append phase B (% 10 in 5..9),
@@ -2998,6 +3022,27 @@ object SparkEntry {
         |        ORDER BY score DESC, vec_id) rnk FROM sc)
         |SELECT qid AS query_id, vec_id, score, CAST(rnk AS INTEGER) AS rank
         |FROM r WHERE rnk <= 10""".stripMargin,
+
+    // the REBUILT index (k 64→32 banding migration from stored
+    // shingles) ≡ exact cross-set Jaccard over the whole indexed
+    // corpus: banding recall only widened (r 4→2), candidates stay
+    // exact-verified
+    "dedup_index_rebuild" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+        |    i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS s
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3),
+        |p AS (SELECT doc_id, len(s) n, unnest(s) g FROM sh WHERE len(s) > 0),
+        |j AS (SELECT b.doc_id id_new, a.doc_id id_idx, count(*) inter,
+        |        any_value(a.n) ni, any_value(b.n) nn
+        |      FROM p a JOIN p b ON a.g = b.g
+        |      WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+        |      GROUP BY 1, 2)
+        |SELECT id_new, id_idx,
+        |  round(CAST(inter AS DOUBLE) / (ni + nn - inter), 6) AS jaccard
+        |FROM j WHERE round(CAST(inter AS DOUBLE) / (ni + nn - inter), 6) >= 0.8""".stripMargin,
 
     // the pinned dedup query ≡ exact cross-set Jaccard against the
     // PINNED half of the index only (doc_id % 10 in 1..4) — the
