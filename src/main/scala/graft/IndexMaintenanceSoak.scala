@@ -15,25 +15,46 @@ import org.apache.spark.sql.functions._
  * reader-atomic fold (ask #1) and index as-of pins (ask #2) at soak
  * scale, extending the [[OpsSoak]] pattern to the ANN path.
  *
- * Per probe (concurrent with the stream, no coordination):
+ * The run now includes the FULL index lifecycle: after wave A of the
+ * stream, the appender stops at its safe point and
+ * [[Similarity.rebuildIvfIndex]] retrains the index to a DIFFERENT
+ * list count (32 → 48) as an atomic generation swap — with the prober
+ * still hammering, uncoordinated, throughout. The default (no
+ * retainOld) vacuum reclaims the superseded generation immediately, so
+ * probes pinned before the swap fail loudly and retry (the documented
+ * retention contract), while every completed probe on either side of
+ * the marker must be EXACT against brute force over its own pinned
+ * corpus. The stream then RESTARTS from the same checkpoint and
+ * appends wave B into the new generation (the per-batch generation
+ * resolution + stable-root ledger of `appendIvfBatch`), with in-stream
+ * folds resuming against the rebuilt lists.
+ *
+ * Per probe (concurrent with stream, rebuild, and folds — no
+ * coordination):
  *  1. take a skew-proof [[Similarity.pinIvfIndex]] pin;
  *  2. full-probe [[Similarity.queryIvfIndex]] AT THE PIN and compare
  *     EXACTLY (query_id, vec_id, score sets) against
  *     [[Similarity.bruteForceTopK]] over the same pinned corpus — full
  *     probe ≡ brute force, so any lost, duplicated, or half-visible
- *     batch/fold state is a hard mismatch;
+ *     batch/fold/generation state is a hard mismatch;
  *  3. assert the pinned corpus is duplicate-free and sits on a
  *     COMMITTED BATCH BOUNDARY (ledger-gated resolution: a probe never
- *     sees a half-moved append or a mid-publish fold).
+ *     sees a half-moved append, a mid-publish fold, or a half-built
+ *     generation).
  * A probe whose pin is invalidated by the in-stream fold's inline
- * vacuum (compactEvery runs with the default reclaim) retries — the
- * documented retention contract — and is counted, not failed.
+ * vacuum or the rebuild's generation vacuum retries — counted, not
+ * failed.
  *
  * Hard gates (the soak FAILS on any):
  *  1. zero probe mismatches and zero torn observations across the run;
- *  2. at least one in-stream fold actually committed while probes ran;
- *  3. final index at full probe ≡ brute force over the FULL corpus;
- *  4. final index row count == corpus count with zero duplicate ids.
+ *  2. at least one in-stream fold committed while probes ran, in EACH
+ *     generation (folds resume against the rebuilt lists);
+ *  3. the rebuild actually swapped generations (marker present, reads
+ *     resolve `_gen_1`) and clean probes completed both before and
+ *     after the swap;
+ *  4. final index at full probe ≡ brute force over the FULL corpus;
+ *  5. final index row count == corpus count with zero duplicate ids
+ *     (wave B appended into the rebuilt generation exactly once).
  *
  * Usage: runMain graft.IndexMaintenanceSoak [sfDir] [workDir] [batches]
  * Prints one `ann_soak` JSON line for BENCH_SF1.md.
@@ -46,6 +67,7 @@ object IndexMaintenanceSoak {
     val batches = args.lift(2).map(_.toInt).getOrElse(500)
     val compactEvery = 25
     val nLists = 32
+    val nListsRebuilt = 48
     val spark = GraftSession.builder(shufflePartitions = 32)
       .master("local[32]").config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -57,30 +79,41 @@ object IndexMaintenanceSoak {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     val base = emb.filter(col("vec_id") % 2 === 0)
-    val incoming = emb.filter(col("vec_id") % 2 === 1)
+    val waveA = emb.filter(col("vec_id") % 4 === 1)
+    val waveB = emb.filter(col("vec_id") % 4 === 3)
+    val batchesA = batches / 2
+    val batchesB = batches - batchesA
     val idx = s"$work/idx"
     Similarity.buildIvfIndex(base, idx, nLists = nLists, trainIters = 1)
-    SoakUtil.writeChunks(spark, incoming, "vec_id", s"$work/in", batches)
+    SoakUtil.writeChunks(spark, waveA, "vec_id", s"$work/in", batchesA)
 
-    // committed-batch boundaries a probe may observe: base + each prefix
-    val chunkCounts = spark.read.parquet(s"$work/in")
+    // committed-batch boundaries a probe may observe: base + each wave-A
+    // prefix (extended with the wave-B prefixes once those files exist)
+    def chunkCounts() = spark.read.parquet(s"$work/in")
       .groupBy(input_file_name().as("f")).count()
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .sortBy(_._1).map(_._2)
     val baseN = base.count()
-    val validCounts = chunkCounts.scanLeft(baseN)(_ + _).toSet
-    val corpusN = baseN + chunkCounts.sum
+    val countsA = chunkCounts()
+    @volatile var validCounts = countsA.scanLeft(baseN)(_ + _).toSet
+    val corpusN = baseN + waveA.count() + waveB.count()
 
     // fold commits observed through the publish seam (IVF is the only
-    // SnapshotFold user in this process)
+    // SnapshotFold user in this process); the generation marker flips
+    // genSwapped when the rebuild commits
     val foldCommits = new AtomicInteger(0)
-    graft.store.SnapshotFold.hook =
-      p => if (p == "committed") foldCommits.incrementAndGet(): Unit
+    val foldsPostSwap = new AtomicInteger(0)
+    @volatile var genSwapped = false
+    graft.store.SnapshotFold.hook = p => if (p == "committed") {
+      foldCommits.incrementAndGet(): Unit
+      if (genSwapped) foldsPostSwap.incrementAndGet(): Unit
+    }
 
     val queries = emb.filter(col("vec_id") < 3).persist()
     queries.count(): Unit
     val stop = new AtomicBoolean(false)
     val probes = new AtomicInteger(0)
+    val probesPostSwap = new AtomicInteger(0)
     val pinRetries = new AtomicInteger(0)
     @volatile var torn: Option[String] = None
     val prober = new Thread(() => {
@@ -97,8 +130,10 @@ object IndexMaintenanceSoak {
             else if (!validCounts(n))
               torn = Some(s"pin $pin: $n rows is not a batch boundary")
             else {
+              // nProbes covers the larger post-rebuild list count — a
+              // full probe in either generation
               val got = Similarity.queryIvfIndex(spark, idx, queries, k = 10,
-                nProbes = nLists, asOf = Some(pin))
+                nProbes = nListsRebuilt, asOf = Some(pin))
                 .select("query_id", "vec_id", "score")
                 .as[(Long, Long, Double)].collect().toSet
               val want = Similarity.bruteForceTopK(pinned, queries, k = 10)
@@ -107,12 +142,16 @@ object IndexMaintenanceSoak {
               if (got != want)
                 torn = Some(s"pin $pin: probe != brute force " +
                   s"(${(got -- want).size} extra, ${(want -- got).size} missing)")
-              else probes.incrementAndGet(): Unit
+              else {
+                probes.incrementAndGet(): Unit
+                if (genSwapped) probesPostSwap.incrementAndGet(): Unit
+              }
             }
           } finally pinned.unpersist(): Unit
         } catch {
-          // the in-stream fold vacuumed this pin's history (default
-          // reclaim) — the documented retention contract: retry
+          // the in-stream fold's inline vacuum or the rebuild's
+          // generation vacuum reclaimed this pin's history — the
+          // documented retention contract: retry
           case _: IllegalStateException => pinRetries.incrementAndGet(): Unit
           case _: org.apache.spark.SparkException =>
             pinRetries.incrementAndGet(): Unit
@@ -120,30 +159,65 @@ object IndexMaintenanceSoak {
       }
     }, "ann-prober")
 
-    val q = Similarity.streamingIvfAppend(
-      spark.readStream.schema(incoming.schema)
+    def appendStream() = Similarity.streamingIvfAppend(
+      spark.readStream.schema(base.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$work/in"),
       idx, s"$work/ckpt", compactEvery = compactEvery)
+
     prober.start()
+    var rebuildWall = 0.0
     try {
-      q.processAllAvailable()
+      // ---- wave A: append + in-stream folds under probes ----
+      val q1 = appendStream()
+      try q1.processAllAvailable()
+      finally graft.stream.StreamOps.stopAndUnload(q1)
+      val probesPreSwap = probes.get()
+
+      // ---- atomic generation rebuild UNDER LIVE PROBES (appender at
+      // its safe point — the stream is stopped; the prober is not) ----
+      val tR = System.nanoTime()
+      Similarity.rebuildIvfIndex(spark, idx, nLists = nListsRebuilt,
+        trainIters = 1)
+      rebuildWall = (System.nanoTime() - tR) / 1e9
+      genSwapped = true
+      val idxFs = new HPath(idx).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      require(idxFs.exists(new HPath(s"$idx/_commit_gen_1")) &&
+        Similarity.currentGenRoot(idxFs, idx) == s"$idx/_gen_1",
+        "rebuild did not commit generation 1")
+      require(probesPreSwap > 0, "no clean probes before the rebuild")
+
+      // ---- wave B: restart from the SAME checkpoint, appends land in
+      // the rebuilt generation, folds resume against its lists ----
+      SoakUtil.writeChunks(spark, waveB, "vec_id", s"$work/in", batchesB,
+        offset = batchesA)
+      val sumA = countsA.sum
+      validCounts = validCounts ++
+        chunkCounts().drop(batchesA).scanLeft(baseN + sumA)(_ + _).toSet
+      val q2 = appendStream()
+      try q2.processAllAvailable()
+      finally graft.stream.StreamOps.stopAndUnload(q2)
     } finally {
-      graft.stream.StreamOps.stopAndUnload(q)
       stop.set(true)
       prober.join(120000)
       graft.store.SnapshotFold.hook = _ => ()
     }
     torn.foreach(t => sys.error(s"ANN soak: torn probe observation: $t"))
     require(probes.get() > 0, "ANN soak: prober made no clean observations")
-    require(foldCommits.get() > 0, "ANN soak: no in-stream fold committed")
+    require(probesPostSwap.get() > 0,
+      "ANN soak: no clean probe against the rebuilt generation")
+    require(foldCommits.get() > foldsPostSwap.get(),
+      "ANN soak: no in-stream fold committed before the rebuild")
+    require(foldsPostSwap.get() > 0,
+      "ANN soak: no in-stream fold committed in the rebuilt generation")
 
-    // final exactness over the full corpus
+    // final exactness over the full corpus, in the rebuilt generation
     val finalRows = Similarity.readIvfLists(spark, idx)
     val fin = finalRows.agg(count(lit(1)), countDistinct(col("vec_id"))).collect()(0)
     require(fin.getLong(0) == corpusN && fin.getLong(1) == corpusN,
       s"final index ${fin.getLong(0)} rows / ${fin.getLong(1)} distinct, want $corpusN")
     val got = Similarity.queryIvfIndex(spark, idx, queries, k = 10,
-      nProbes = nLists).select("query_id", "vec_id", "score")
+      nProbes = nListsRebuilt).select("query_id", "vec_id", "score")
       .as[(Long, Long, Double)].collect().toSet
     val want = Similarity.bruteForceTopK(emb, queries, k = 10)
       .select("query_id", "vec_id", "score")
@@ -153,8 +227,10 @@ object IndexMaintenanceSoak {
 
     val wall = (System.nanoTime() - t0) / 1e9
     println(f"""{"metric":"ann_soak","batches":$batches,"corpus":$corpusN,""" +
-      f""""probes_exact":${probes.get()},"pin_retries":${pinRetries.get()},""" +
-      f""""fold_commits":${foldCommits.get()},"gates":"all-green",""" +
+      f""""probes_exact":${probes.get()},"probes_post_rebuild":${probesPostSwap.get()},""" +
+      f""""pin_retries":${pinRetries.get()},"fold_commits":${foldCommits.get()},""" +
+      f""""folds_post_rebuild":${foldsPostSwap.get()},"rebuild_sec":$rebuildWall%.1f,""" +
+      f""""rebuilt_lists":$nListsRebuilt,"gates":"all-green",""" +
       f""""wall_sec":$wall%.1f,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1028,6 +1028,29 @@ object SparkEntry {
         emb.filter(col("vec_id") < 5), k = 10, nProbes = 4)
     }),
 
+    "sim_ivf_drift" -> ((s, dir) => {
+      // INDEX DRIFT STATS (the "when to rebuild" signal): build a
+      // PORTABLE index on the evens (md5 seed order, 6-dp assignment —
+      // every step replicable in SQL, the sim_kmeans_train contract
+      // extended to the stored assignment), ledger-append the odds
+      // onto the frozen centroids, then read per-list health: row
+      // count, micro-unit cosine sum, and worst-member cosine per
+      // centroid. The oracle recomputes train → assign → aggregate
+      // bit-for-bit, so the stats are pinned exact — including that
+      // the appended half's drift shows up in the same lists the
+      // engine assigned them to
+      val work = java.nio.file.Files.createTempDirectory("graft_ivfd")
+        .toFile.getAbsolutePath
+      val emb = table(s, dir, "embeddings")
+      graft.functions.Similarity.buildIvfIndex(
+        emb.filter(col("vec_id") % 2 === 0), s"$work/idx",
+        nLists = 4, trainIters = 1, portable = true)
+      graft.functions.Similarity.appendIvfBatch(
+        emb.filter(col("vec_id") % 2 === 1), s"$work/idx", 0L,
+        portable = true): Unit
+      graft.functions.Similarity.ivfListStats(s, s"$work/idx")
+    }),
+
     "dedup_index_rebuild" -> ((s, dir) => {
       // ATOMIC BANDING MIGRATION e2e (round-11): index with (k=64,
       // bands=16), ledger-append a second batch, then REBUILD to
@@ -3008,6 +3031,47 @@ object SparkEntry {
     // the rebuilt (generation-1) index at full probe ≡ brute force over
     // the WHOLE corpus: the retrain/re-assign/atomic-swap cycle and the
     // post-swap replay skip are all pinned by the same equivalence
+    // per-list drift stats of the portable index ≡ the full replication
+    // of portable train (evens, 1 iter) → 6-dp argmax assignment of the
+    // whole corpus → per-list micro-unit aggregates; empty lists kept
+    // with n = 0
+    "sim_ivf_drift" ->
+      """WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |seeds AS (SELECT vec_id FROM (
+        |    SELECT vec_id, CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) / 4294967296.0 AS u
+        |    FROM embeddings WHERE vec_id % 2 = 0 ORDER BY u, vec_id LIMIT 4)),
+        |c0 AS (SELECT v.vec_id AS list_id, dim, x AS cx FROM v JOIN seeds USING (vec_id)),
+        |d1 AS (SELECT v.vec_id, c.list_id, sum(v.x * c.cx) AS dot,
+        |    sqrt(sum(v.x * v.x)) AS nv, sqrt(sum(c.cx * c.cx)) AS ncn
+        |  FROM v JOIN c0 c USING (dim) WHERE v.vec_id % 2 = 0
+        |  GROUP BY v.vec_id, c.list_id),
+        |a1 AS (SELECT vec_id, list_id FROM (
+        |    SELECT vec_id, list_id, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY round(CASE WHEN nv > 0 AND ncn > 0
+        |        THEN dot / (nv * ncn) ELSE 0 END, 6) DESC, list_id) AS rk
+        |    FROM d1) WHERE rk = 1),
+        |c1 AS (SELECT a.list_id, v.dim,
+        |    sum(CAST(floor(v.x * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0 / count(*) AS cx
+        |  FROM v JOIN a1 a USING (vec_id) GROUP BY a.list_id, v.dim),
+        |d2 AS (SELECT v.vec_id, c.list_id, sum(v.x * c.cx) AS dot,
+        |    sqrt(sum(v.x * v.x)) AS nv, sqrt(sum(c.cx * c.cx)) AS ncn
+        |  FROM v JOIN c1 c USING (dim) GROUP BY v.vec_id, c.list_id),
+        |a2 AS (SELECT vec_id, list_id, cosq6 FROM (
+        |    SELECT vec_id, list_id,
+        |      CAST(floor((CASE WHEN nv > 0 AND ncn > 0
+        |        THEN dot / (nv * ncn) ELSE 0 END) * 1000000.0 + 0.5) AS BIGINT) AS cosq6,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY round(CASE WHEN nv > 0 AND ncn > 0
+        |          THEN dot / (nv * ncn) ELSE 0 END, 6) DESC, list_id) AS rk
+        |    FROM d2) WHERE rk = 1),
+        |st AS (SELECT list_id, count(*) AS n, sum(cosq6) AS s, min(cosq6) AS m
+        |       FROM a2 GROUP BY list_id)
+        |SELECT l.list_id, CAST(coalesce(st.n, 0) AS BIGINT) AS n,
+        |  CAST(st.s AS BIGINT) AS sum_cos_q6, st.m AS min_cos_q6
+        |FROM (SELECT DISTINCT list_id FROM c1) l LEFT JOIN st USING (list_id)""".stripMargin,
+
     "sim_ivf_rebuild" ->
       """WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 5),
         |pr AS (SELECT q.qid, e.vec_id, q.qv, e.embedding cv

@@ -187,11 +187,16 @@ object Similarity {
    *  join, rank-1 per vector. Shared by the inline IVF and the
    *  persistent index build. Extra corpus columns (e.g. the int8 twin
    *  columns of the persistent index) ride along untouched. */
-  private def assignToLists(corpusNormed: DataFrame, centroids: DataFrame): DataFrame = {
+  private def assignToLists(corpusNormed: DataFrame, centroids: DataFrame,
+      portable: Boolean = false): DataFrame = {
     val extra = corpusNormed.columns.filterNot(Set("vec_id", "cv", "nc")).toSeq
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("_cs").desc, col("list_id"))
+    val rawCs = cosineWithNorms(col("cv"), col("centroid"), col("nc"), col("ncent"))
     corpusNormed.crossJoin(broadcast(centroids))
-      .withColumn("_cs", cosineWithNorms(col("cv"), col("centroid"), col("nc"), col("ncent")))
+      // portable: 6-dp-rounded argmax (ties by list_id), the
+      // [[trainCentroids]] portable contract — the stored assignment is
+      // then replicable bit-for-bit by an external SQL engine
+      .withColumn("_cs", if (portable) round(rawCs, 6) else rawCs)
       .withColumn("_r", row_number().over(wAssign))
       .filter(col("_r") === 1)
       .select((Seq("list_id", "vec_id", "cv", "nc") ++ extra).map(col): _*)
@@ -318,11 +323,12 @@ object Similarity {
 
   def buildIvfIndex(corpus: DataFrame, path: String, nLists: Int = 16,
       trainIters: Int = 3, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding", portable: Boolean = false): Unit = {
     val c = indexRows(corpus, idCol, vecCol)
-    val centroids = trainCentroids(corpus, nLists, trainIters, idCol, vecCol)
+    val centroids = trainCentroids(corpus, nLists, trainIters, idCol, vecCol,
+      portable = portable)
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    assignToLists(c, centroids)
+    assignToLists(c, centroids, portable)
       .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
   }
@@ -394,7 +400,7 @@ object Similarity {
    *  ledger. Returns false when `batchId` already committed. */
   private[graft] def appendIvfBatch(batch: DataFrame, path: String,
       batchId: Long, writer: String = "ivf", idCol: String = "vec_id",
-      vecCol: String = "embedding"): Boolean = {
+      vecCol: String = "embedding", portable: Boolean = false): Boolean = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
     // resolved per batch: an atomic REBUILD between micro-batches moves
@@ -405,7 +411,7 @@ object Similarity {
     graft.store.StagedBatchAppend.append(batch.sparkSession, genRoot, writer,
       batchId, ledgerRoot = Some(path)) { staging =>
       val centroids = batch.sparkSession.read.parquet(s"$genRoot/centroids")
-      assignToLists(indexRows(batch, idCol, vecCol), centroids)
+      assignToLists(indexRows(batch, idCol, vecCol), centroids, portable)
         .repartition(col("list_id"))
         .write.partitionBy("list_id").parquet(s"$staging/lists")
     }
@@ -620,6 +626,50 @@ object Similarity {
       .foreach { case (_, d) => graft.store.SnapshotFold.vacuumDir(fs, d) }
     graft.store.IndexGenerations.vacuumOld(fs, path, gen,
       legacyDirs = Seq("lists", "centroids"))
+  }
+
+  /**
+   * Per-list DRIFT / HEALTH statistics of a persisted IVF index — the
+   * signal that answers "is it time to [[rebuildIvfIndex]]?", which the
+   * frozen-centroid append contract otherwise leaves to guesswork. For
+   * every centroid (INCLUDING lists that captured nothing — an empty
+   * list is itself a drift signal):
+   *   - `n`           rows currently assigned to the list;
+   *   - `sum_cos_q6`  Σ cosine(member, centroid) in integer micro-units
+   *                   (each row quantized to 6 dp BEFORE the sum, so the
+   *                   total is order-independent and cross-engine exact;
+   *                   mean member similarity = sum_cos_q6 / 1e6 / n);
+   *   - `min_cos_q6`  the worst member — the list's effective radius.
+   * Falling mean/min cosine means appended vectors sit ever further
+   * from the training-time centroids (rising quantization error, probe
+   * recall decay); the list-size skew gives the imbalance factor
+   * `nLists * Σ n_i² / (Σ n_i)²` (1.0 = perfectly balanced — the
+   * standard IVF health number): either drifting badly says retrain.
+   *
+   * Cost shape: one broadcast join (nLists rows) + one hash aggregate
+   * over the index — no shuffle of the vectors, and the list scan reads
+   * only (list_id, cv, nc): the int8 twin columns are pruned. Reads
+   * through the snapshot resolver, so it is exact under live appends
+   * and folds; `asOf` pins it to a [[pinIvfIndex]] instant (drift OF a
+   * reproducible training run's view).
+   */
+  def ivfListStats(spark: org.apache.spark.sql.SparkSession, path: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val genRoot = currentGenRoot(new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), path, asOf)
+    val centroids = spark.read.parquet(s"$genRoot/centroids")
+    val q6 = floor(cosineWithNorms(col("cv"), col("centroid"),
+      col("nc"), col("ncent")) * lit(1e6) + lit(0.5)).cast("long")
+    val stats = readIvfListsAt(spark, path, genRoot, None, asOf)
+      .select(col("list_id"), col("cv"), col("nc"))
+      .join(broadcast(centroids), Seq("list_id"))
+      .groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n"), sum(q6).as("sum_cos_q6"),
+        min(q6).as("min_cos_q6"))
+    centroids.select(col("list_id"))
+      .join(stats, Seq("list_id"), "left")
+      .select(col("list_id"), coalesce(col("n"), lit(0L)).as("n"),
+        col("sum_cos_q6"), col("min_cos_q6"))
   }
 
   /**
