@@ -1028,6 +1028,30 @@ object SparkEntry {
         emb.filter(col("vec_id") < 5), k = 10, nProbes = 4)
     }),
 
+    "sim_ivf_erase" -> ((s, dir) => {
+      // RIGHT-TO-BE-FORGOTTEN through the ANN index (round-11): build
+      // on the evens, ledger-append the odds, then ERASE every
+      // vec_id % 7 == 3 — reader-atomic manifest folds of exactly the
+      // touched list files, unconditional history vacuum — and probe
+      // at full probes. Full probe ≡ brute force over the SURVIVING
+      // corpus, so the oracle pins that the erase removed exactly the
+      // requested vectors (from both the built and the appended halves)
+      // and nothing else
+      val work = java.nio.file.Files.createTempDirectory("graft_ivfe")
+        .toFile.getAbsolutePath
+      val emb = table(s, dir, "embeddings")
+      graft.functions.Similarity.buildIvfIndex(
+        emb.filter(col("vec_id") % 2 === 0), s"$work/idx",
+        nLists = 8, trainIters = 1)
+      graft.functions.Similarity.appendIvfBatch(
+        emb.filter(col("vec_id") % 2 === 1), s"$work/idx", 0L): Unit
+      val ids = (0L until emb.count()).filter(_ % 7 == 3)
+      graft.functions.Similarity.eraseFromIvfIndex(s, s"$work/idx", ids): Unit
+      graft.functions.Similarity.queryIvfIndex(s, s"$work/idx",
+        emb.filter(col("vec_id") < 6 && col("vec_id") % 7 =!= 3),
+        k = 10, nProbes = 8)
+    }),
+
     "sim_ivf_drift" -> ((s, dir) => {
       // INDEX DRIFT STATS (the "when to rebuild" signal): build a
       // PORTABLE index on the evens (md5 seed order, 6-dp assignment —
@@ -1097,6 +1121,96 @@ object SparkEntry {
         retainHistory = true): Unit
       Dedup.queryMinhashIndex(s, docs.filter(col("doc_id") % 10 === 0),
         root, asOf = Some(pin))
+    }),
+
+    "dedup_index_erase" -> ((s, dir) => {
+      // RIGHT-TO-BE-FORGOTTEN through the dedup index (round-11): the
+      // shingles table stores each document's n-gram SETS — essentially
+      // the text in shuffled form — so corpus erasure without index
+      // erasure leaves content recoverable. Index doc_id % 10 in 1..4
+      // (build) and % 10 >= 5 (ledger append), ERASE % 10 in {2, 7}
+      // (one slice from each half), then dedup-query the % 10 == 0
+      // batch. Oracle = exact cross-set Jaccard against the surviving
+      // index members only: a hash match proves the erased docs are
+      // gone from BOTH tables and every survivor still answers
+      val docs = table(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_mhe")
+        .toFile.getAbsolutePath
+      Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 10 >= 1 &&
+        col("doc_id") % 10 <= 4), root)
+      Dedup.appendShingledToIndexBatch(
+        graft.functions.Dedup.shingledDocs(
+          docs.filter(col("doc_id") % 10 >= 5), 3, 64, "doc_id", "text"),
+        root, 3, 64, 16, 0L): Unit
+      val ids = (0L until docs.count()).filter(i => i % 10 == 2 || i % 10 == 7)
+      Dedup.eraseFromMinhashIndex(s, root, ids): Unit
+      Dedup.queryMinhashIndex(s, docs.filter(col("doc_id") % 10 === 0), root)
+    }),
+
+    "pipe_run_pin" -> ((s, dir) => {
+      // CROSS-STORE RUN PIN (round-11): one manifest captures the
+      // corpus tier store AND both streamed indexes (derived-first
+      // capture order), persists atomically, and is LOADED back to
+      // drive every as-of arm after phase-B writes and
+      // history-retaining folds land everywhere. The result is the
+      // three pinned reads united: an aggregate witness of the pinned
+      // corpus (count + order-independent micro-unit value sum per
+      // measurement), the pinned full-probe ANN top-k (≡ brute force
+      // over the pinned embeddings), and the pinned dedup query
+      // (≡ exact Jaccard against the pinned index members). A hash
+      // match proves the persisted pin vector reproduces the exact
+      // capture-time state of all three stores at once — the
+      // "re-run last Tuesday's training job" contract
+      val work = java.nio.file.Files.createTempDirectory("graft_runpin")
+        .toFile.getAbsolutePath
+      val store = new graft.store.TierStore(s, s"$work/store")
+      val tier = graft.model.Tier.GenRaw
+      val pts = points(s, dir, "sensor_")
+        .filter(col("measurement") === "sensor_click")
+      store.write(tier, pts.filter(col("dir") === "import"))
+      val emb = table(s, dir, "embeddings")
+      graft.functions.Similarity.buildIvfIndex(
+        emb.filter(col("vec_id") % 2 === 0), s"$work/idx",
+        nLists = 8, trainIters = 1)
+      val docs = table(s, dir, "documents")
+      Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 10 >= 1 &&
+        col("doc_id") % 10 <= 4), s"$work/mh")
+      val pin = graft.run.RunPin.capture(s, Seq(
+        "ann" -> graft.run.RunPin.Ivf(s"$work/idx"),
+        "dedup" -> graft.run.RunPin.Minhash(s"$work/mh"),
+        "corpus" -> graft.run.RunPin.Tier(store)))
+      graft.run.RunPin.save(s, pin, s"$work/run.pin")
+      Thread.sleep(20) // phase B gets strictly later storage mtimes
+      store.write(tier, pts.filter(col("dir") === "export"))
+      graft.functions.Similarity.appendIvfBatch(
+        emb.filter(col("vec_id") % 2 === 1), s"$work/idx", 0L): Unit
+      Dedup.appendShingledToIndexBatch(
+        graft.functions.Dedup.shingledDocs(
+          docs.filter(col("doc_id") % 10 >= 5), 3, 64, "doc_id", "text"),
+        s"$work/mh", 3, 64, 16, 0L): Unit
+      store.compact(tier, minFiles = 1, retainHistory = true)
+      graft.functions.Similarity.compactIvfLists(s, s"$work/idx",
+        minFiles = 2, retainHistory = true): Unit
+      Dedup.compactMinhashIndex(s, s"$work/mh", minFiles = 2,
+        retainHistory = true): Unit
+      val loaded = graft.run.RunPin.load(s, s"$work/run.pin")
+      val tierArm = graft.run.RunPin.tierRead(loaded, "corpus", store, tier)
+        .groupBy(col("measurement"))
+        .agg(count(lit(1)).as("k1"),
+          sum(floor(col("value") * lit(1e6) + lit(0.5)).cast("long")).as("k2"))
+        .select(concat(lit("tier:"), col("measurement")).as("part"),
+          col("k1"), col("k2"), lit(0.0).as("v"))
+      val ivfArm = graft.functions.Similarity.queryIvfIndex(s, s"$work/idx",
+          emb.filter(col("vec_id") < 5), k = 10, nProbes = 8,
+          asOf = Some(graft.run.RunPin.ivfPin(loaded, "ann", s"$work/idx")))
+        .select(lit("ivf").as("part"), col("query_id").as("k1"),
+          col("vec_id").as("k2"), col("score").as("v"))
+      val mhArm = Dedup.queryMinhashIndex(s,
+          docs.filter(col("doc_id") % 10 === 0), s"$work/mh",
+          asOf = Some(graft.run.RunPin.minhashPin(loaded, "dedup", s"$work/mh")))
+        .select(lit("mh").as("part"), col("id_new").as("k1"),
+          col("id_idx").as("k2"), col("jaccard").as("v"))
+      tierArm.unionAll(ivfArm).unionAll(mhArm)
     }),
 
     "sim_semantic_dedup" -> ((s, dir) =>
@@ -3072,6 +3186,26 @@ object SparkEntry {
         |  CAST(st.s AS BIGINT) AS sum_cos_q6, st.m AS min_cos_q6
         |FROM (SELECT DISTINCT list_id FROM c1) l LEFT JOIN st USING (list_id)""".stripMargin,
 
+    // the erased index at full probe ≡ brute force over the SURVIVING
+    // corpus only (vec_id % 7 <> 3): the erase removed exactly the
+    // requested vectors from both halves and nothing else
+    "sim_ivf_erase" ->
+      """WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings
+        |           WHERE vec_id < 6 AND vec_id % 7 <> 3),
+        |pr AS (SELECT q.qid, e.vec_id, q.qv, e.embedding cv
+        |       FROM embeddings e CROSS JOIN q
+        |       WHERE e.vec_id <> q.qid AND e.vec_id % 7 <> 3),
+        |z AS (SELECT qid, vec_id, CAST(unnest(qv) AS DOUBLE) a,
+        |        CAST(unnest(cv) AS DOUBLE) b FROM pr),
+        |s AS (SELECT qid, vec_id, sum(a * b) dot, sqrt(sum(a * a)) na,
+        |        sqrt(sum(b * b)) nb FROM z GROUP BY 1, 2),
+        |sc AS (SELECT qid, vec_id, round(CASE WHEN na > 0 AND nb > 0
+        |        THEN dot / (na * nb) ELSE 0 END, 6) score FROM s),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY score DESC, vec_id) rnk FROM sc)
+        |SELECT qid AS query_id, vec_id, score, CAST(rnk AS INTEGER) AS rank
+        |FROM r WHERE rnk <= 10""".stripMargin,
+
     "sim_ivf_rebuild" ->
       """WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 5),
         |pr AS (SELECT q.qid, e.vec_id, q.qv, e.embedding cv
@@ -3123,6 +3257,73 @@ object SparkEntry {
         |        any_value(a.n) ni, any_value(b.n) nn
         |      FROM p a JOIN p b ON a.g = b.g
         |      WHERE a.doc_id % 10 BETWEEN 1 AND 4 AND b.doc_id % 10 = 0
+        |      GROUP BY 1, 2)
+        |SELECT id_new, id_idx,
+        |  round(CAST(inter AS DOUBLE) / (ni + nn - inter), 6) AS jaccard
+        |FROM j WHERE round(CAST(inter AS DOUBLE) / (ni + nn - inter), 6) >= 0.8""".stripMargin,
+
+    // the loaded cross-store pin vector reproduces all three stores'
+    // exact capture-time state at once: the corpus witness sees only
+    // the import half, the ANN arm ≡ brute force over the even
+    // embeddings only, the dedup arm ≡ exact Jaccard against the
+    // % 10 in 1..4 members only — phase B (export half, odd
+    // embeddings, % 10 >= 5 docs) and every fold must be invisible
+    "pipe_run_pin" ->
+      s"""WITH ${ptsCte("sensor_")},
+        |tierarm AS (
+        |  SELECT 'tier:' || m AS part, count(*) AS k1,
+        |    CAST(sum(CAST(floor(v * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS k2,
+        |    0.0 AS v
+        |  FROM pts WHERE m = 'sensor_click' AND dir = 'import' GROUP BY m),
+        |q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 5),
+        |prv AS (SELECT q.qid, e.vec_id, q.qv, e.embedding cv
+        |       FROM embeddings e CROSS JOIN q
+        |       WHERE e.vec_id <> q.qid AND e.vec_id % 2 = 0),
+        |zz AS (SELECT qid, vec_id, CAST(unnest(qv) AS DOUBLE) a,
+        |        CAST(unnest(cv) AS DOUBLE) b FROM prv),
+        |ss AS (SELECT qid, vec_id, sum(a * b) dot, sqrt(sum(a * a)) na,
+        |        sqrt(sum(b * b)) nb FROM zz GROUP BY 1, 2),
+        |scs AS (SELECT qid, vec_id, round(CASE WHEN na > 0 AND nb > 0
+        |        THEN dot / (na * nb) ELSE 0 END, 6) score FROM ss),
+        |rr AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY score DESC, vec_id) rnk FROM scs),
+        |ivfarm AS (SELECT 'ivf' AS part, qid AS k1, vec_id AS k2, score AS v
+        |           FROM rr WHERE rnk <= 10),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+        |    i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS s
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3),
+        |pp AS (SELECT doc_id, len(s) n, unnest(s) g FROM sh WHERE len(s) > 0),
+        |jj AS (SELECT b.doc_id id_new, a.doc_id id_idx, count(*) inter,
+        |        any_value(a.n) ni, any_value(b.n) nn
+        |      FROM pp a JOIN pp b ON a.g = b.g
+        |      WHERE a.doc_id % 10 BETWEEN 1 AND 4 AND b.doc_id % 10 = 0
+        |      GROUP BY 1, 2),
+        |mharm AS (SELECT 'mh' AS part, id_new AS k1, id_idx AS k2,
+        |    round(CAST(inter AS DOUBLE) / (ni + nn - inter), 6) AS v
+        |  FROM jj
+        |  WHERE round(CAST(inter AS DOUBLE) / (ni + nn - inter), 6) >= 0.8)
+        |SELECT * FROM tierarm UNION ALL SELECT * FROM ivfarm
+        |UNION ALL SELECT * FROM mharm""".stripMargin,
+
+    // the erased dedup index ≡ exact cross-set Jaccard against the
+    // SURVIVING index members only (% 10 in 1..9 minus the erased
+    // {2, 7} slices) — the erased docs answer from neither table, and
+    // every survivor still answers
+    "dedup_index_erase" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+        |    i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])) AS s
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3),
+        |p AS (SELECT doc_id, len(s) n, unnest(s) g FROM sh WHERE len(s) > 0),
+        |j AS (SELECT b.doc_id id_new, a.doc_id id_idx, count(*) inter,
+        |        any_value(a.n) ni, any_value(b.n) nn
+        |      FROM p a JOIN p b ON a.g = b.g
+        |      WHERE a.doc_id % 10 NOT IN (0, 2, 7) AND b.doc_id % 10 = 0
         |      GROUP BY 1, 2)
         |SELECT id_new, id_idx,
         |  round(CAST(inter AS DOUBLE) / (ni + nn - inter), 6) AS jaccard

@@ -1068,6 +1068,91 @@ object Dedup {
   }
 
   /**
+   * Targeted document ERASURE from a live MinHash index — the dedup
+   * counterpart of [[graft.functions.Similarity.eraseFromIvfIndex]],
+   * and the more urgent one: `shingles/` physically stores each
+   * document's normalized n-gram SETS, i.e. essentially the document
+   * text in shuffled form, so a right-to-be-forgotten pass that purges
+   * the corpus store but not this index leaves the content
+   * reconstructable. Per table (`buckets`, `shingles`): one
+   * resolver-pinned scan finds the live files carrying any erased
+   * `id`, one job rewrites exactly those files minus the erased rows,
+   * and the rewrite publishes through the [[graft.store.SnapshotFold]]
+   * manifest — reader-atomic under live [[queryMinhashIndex]] probes,
+   * no quiesce; an every-row-erased candidate set commits an EMPTY
+   * snapshot.
+   *
+   * History is reclaimed UNCONDITIONALLY (the erasure contract): the
+   * append ledger folds first, both tables vacuum their superseded
+   * snapshots, and retained superseded generations drop — as-of pins
+   * taken before the erase fail LOUDLY rather than resurrecting the
+   * erased shingle sets. A post-crash re-run completes the pass.
+   * Erase the CORPUS store separately
+   * ([[graft.store.TierStore.deleteWhere]]); unlike the IVF centroids
+   * there is no aggregate residue here — signatures and buckets are
+   * per-document and are fully removed.
+   *
+   * `ids` is the bounded compliance batch (ships as a literal filter).
+   * Single-maintainer like [[compactMinhashIndex]]. Returns the number
+   * of shingle-set rows erased (documents, counting legacy duplicates;
+   * band-bucket rows are erased alongside but not counted).
+   */
+  def eraseFromMinhashIndex(spark: SparkSession, path: String,
+      ids: Seq[Long], targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    require(ids.nonEmpty, "empty erase set")
+    val rootP = new org.apache.hadoop.fs.Path(path)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    repairIndex(fs, path) // legacy pre-manifest layouts only
+    // erasure destroys as-of history by CONTRACT: fold the ledger now
+    graft.store.StagedBatchAppend.foldAllMarkers(spark, path)
+    val committed = graft.store.BatchLedger.read(fs, rootP)
+    val genRoot = currentGenRoot(fs, path)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$genRoot/buckets")),
+      s"no MinHash index at $path")
+    def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    var erased = 0L
+    Seq("buckets", "shingles").foreach { t =>
+      val live = new org.apache.hadoop.fs.Path(s"$genRoot/$t")
+      val files = graft.store.SnapshotFold.resolve(fs, live, committed)
+      if (files.nonEmpty) {
+        val frame = graft.store.SnapshotFold.dataFrame(spark,
+          new org.apache.spark.sql.types.StructType(),
+          Seq((org.apache.spark.sql.catalyst.InternalRow.empty, files)),
+          Seq(live)).get
+        val agg = frame.filter(col("id").isin(ids: _*))
+          .select(input_file_name().as("_f"))
+          .agg(count(lit(1)), collect_set(col("_f"))).collect()(0)
+        if (t == "shingles") erased = agg.getLong(0)
+        val hitPaths = agg.getSeq[String](1).map(norm).toSet
+        if (hitPaths.nonEmpty) {
+          val cands = files.filter(f =>
+            hitPaths(norm(fs.makeQualified(f.getPath).toString)))
+          graft.store.SnapshotFold.planFiles(fs, live, cands).foreach { p =>
+            val staged = new org.apache.hadoop.fs.Path(s"$path/.erase/$t")
+            fs.delete(staged, true)
+            val n = math.max(1, math.ceil(
+              p.candidates.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
+            graft.store.SnapshotFold.dataFrame(spark,
+              new org.apache.spark.sql.types.StructType(),
+              Seq((org.apache.spark.sql.catalyst.InternalRow.empty, p.candidates)),
+              Seq(live)).get
+              .filter(!col("id").isin(ids: _*))
+              .repartition(n).write.parquet(staged.toString)
+            graft.store.SnapshotFold.publish(fs, live, p.version, staged,
+              p.foldedRels)
+          }
+        }
+      }
+      // UNCONDITIONAL vacuum — superseded files still carry the rows
+      graft.store.SnapshotFold.vacuumDir(fs, live)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/.erase"), true)
+    graft.store.IndexGenerations.vacuumOld(fs, path, genRoot,
+      legacyDirs = Seq("buckets", "shingles", "_index_meta"))
+    erased
+  }
+
+  /**
    * ATOMIC REBUILD of a live MinHash index with NEW banding parameters
    * — the dedup counterpart of [[graft.functions.Similarity
    * .rebuildIvfIndex]]: tuning (k, bands) is the standard recall/cost

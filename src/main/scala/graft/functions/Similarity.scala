@@ -756,6 +756,116 @@ object Similarity {
   }
 
   /**
+   * Targeted vector ERASURE from a live IVF index — the
+   * right-to-be-forgotten pass the DERIVED stores need: the tier
+   * store's [[graft.store.TierStore.deleteWhere]] purges the corpus,
+   * but this index physically retains the erased documents'
+   * embeddings (fp32 AND the int8 twins), so a compliance erase that
+   * stops at the corpus leaves the vectors recoverable here. Shape is
+   * `deleteWhere`'s, applied to the lists tree: ONE job finds which
+   * live files carry any erased `vec_id` (resolver-pinned scan +
+   * `input_file_name`), ONE job rewrites exactly those files minus the
+   * erased rows, and each touched list publishes the rewrite through
+   * the [[graft.store.SnapshotFold]] manifest protocol — so the erase
+   * runs under LIVE [[queryIvfIndex]] probes with no quiesce (a racing
+   * probe resolves the complete pre- or post-erase file set of each
+   * list, never a partial). A list whose every candidate row is erased
+   * commits an EMPTY snapshot, so the erase is complete even where no
+   * file remains.
+   *
+   * Unlike every other maintenance pass, history is reclaimed
+   * UNCONDITIONALLY — erased rows must not stay readable OR on disk:
+   * the append-ledger markers fold first (their batch files would
+   * otherwise survive as raw history), every list dir vacuums its
+   * superseded snapshots, and retained superseded GENERATIONS
+   * (`retainOld` rebuilds) are dropped. As-of pins taken before the
+   * erase fail LOUDLY afterwards (the `_floor`/ledger-fold contracts)
+   * instead of silently resurrecting the erased vectors. A post-crash
+   * re-run completes the pass: candidates already committed away are
+   * simply no longer hit, and the unconditional vacuum reclaims
+   * whatever a mid-pass crash left superseded.
+   *
+   * Completeness caveats a compliance run must cover: (1) `centroids/`
+   * holds k-means MEANS over many vectors — an aggregate, not any
+   * individual's data — but a strict policy erases their contribution
+   * too: follow with [[rebuildIvfIndex]], which retrains from the
+   * surviving corpus only; (2) the CORPUS store this index was built
+   * from needs its own [[graft.store.TierStore.deleteWhere]] pass.
+   *
+   * `ids` is the bounded erase request (a compliance batch, not a
+   * corpus-scale predicate — it ships as a literal filter into the
+   * scans). Single-maintainer like [[compactIvfLists]]. Returns the
+   * number of index rows erased (counting legacy duplicates).
+   */
+  def eraseFromIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: Seq[Long], targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    require(ids.nonEmpty, "empty erase set")
+    val rootP = new org.apache.hadoop.fs.Path(path)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healIvfLists(spark, path) // legacy pre-manifest layouts only
+    // erasure destroys as-of history by CONTRACT: fold the ledger now —
+    // committed batch files must stop being pin-resolvable raw history
+    graft.store.StagedBatchAppend.foldAllMarkers(spark, path)
+    val committed = graft.store.BatchLedger.read(fs, rootP)
+    val genRoot = currentGenRoot(fs, path)
+    val live = new org.apache.hadoop.fs.Path(s"$genRoot/lists")
+    require(fs.exists(live), s"no IVF index at $path")
+    val resolved = listDirsOf(fs, live).map { case (id, d) =>
+      (id, d, graft.store.SnapshotFold.resolve(fs, d, committed))
+    }
+    def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val parts = resolved.filter(_._3.nonEmpty).map { case (id, _, f) =>
+      (org.apache.spark.sql.catalyst.InternalRow(id), f)
+    }
+    var erased = 0L
+    val hitPaths: Set[String] =
+      graft.store.SnapshotFold.dataFrame(spark, listIdSchema, parts, Seq(live)) match {
+        case None => Set.empty
+        case Some(frame) =>
+          val agg = frame.filter(col("vec_id").isin(ids: _*))
+            .select(input_file_name().as("_f"))
+            .agg(count(lit(1)), collect_set(col("_f"))).collect()(0)
+          erased = agg.getLong(0)
+          agg.getSeq[String](1).map(norm).toSet
+      }
+    if (hitPaths.nonEmpty) {
+      val plans = resolved.flatMap { case (id, d, files) =>
+        val cands = files.filter(f =>
+          hitPaths(norm(fs.makeQualified(f.getPath).toString)))
+        graft.store.SnapshotFold.planFiles(fs, d, cands).map(p => (id, d.getName, p))
+      }
+      val staged = new org.apache.hadoop.fs.Path(s"$path/.erase_lists")
+      fs.delete(staged, true)
+      val pparts = plans.map { case (id, _, p) =>
+        (org.apache.spark.sql.catalyst.InternalRow(id), p.candidates)
+      }
+      val bytes = plans.flatMap(_._3.candidates).map(_.getLen).sum
+      val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      graft.store.SnapshotFold.dataFrame(spark, listIdSchema, pparts, Seq(live)).get
+        .filter(!col("vec_id").isin(ids: _*))
+        .repartition(n, col("list_id"))
+        .write.partitionBy("list_id").parquet(staged.toString)
+      plans.foreach { case (_, name, p) =>
+        val fresh = new org.apache.hadoop.fs.Path(staged, name)
+        // every-candidate-row-erased lists get an EMPTY snapshot — the
+        // erasure must be complete even where no file remains
+        if (!fs.exists(fresh)) fs.mkdirs(fresh): Unit
+        graft.store.SnapshotFold.publish(fs, p.dir, p.version, fresh,
+          p.foldedRels)
+      }
+      fs.delete(staged, true)
+    }
+    // UNCONDITIONAL vacuum: superseded snapshots and folded raw files
+    // still carry the erased vectors; retained old generations too
+    resolved.foreach { case (_, d, _) =>
+      graft.store.SnapshotFold.vacuumDir(fs, d)
+    }
+    graft.store.IndexGenerations.vacuumOld(fs, path, genRoot,
+      legacyDirs = Seq("lists", "centroids"))
+    erased
+  }
+
+  /**
    * Query a persisted IVF index: broadcast the centroid table, rank the
    * query's nProbes nearest lists, and filter the list scan by those
    * list ids — `list_id` is the partition column, so the filter becomes

@@ -186,6 +186,22 @@ object SnapshotFold {
       minFiles: Int,
       batchCommitted: (String, Long) => Boolean = (_, _) => true): Option[Plan] = {
     if (!fs.exists(dir)) return None
+    val live = resolve(fs, dir, batchCommitted)
+    val smalls = live.filter(_.getLen < targetFileBytes)
+    if (smalls.length < minFiles) None
+    else planFiles(fs, dir, smalls)
+  }
+
+  /**
+   * Plan a fold of an EXPLICIT candidate set — the erasure path: the
+   * candidates are the files known to carry matching rows, regardless
+   * of size or count. Same orphan-dir cleanup and version numbering as
+   * [[plan]] (MAINTAINER-ONLY for the same reason). Candidates must be
+   * currently-live files of `dir` (from [[resolve]]).
+   */
+  def planFiles(fs: FileSystem, dir: HPath,
+      candidates: Seq[FileStatus]): Option[Plan] = {
+    if (candidates.isEmpty || !fs.exists(dir)) return None
     val entries = fs.listStatus(dir).toSeq
     val committedVs = entries
       .flatMap(e => TierLayout.parseCommit(e.getPath.getName)).toSet
@@ -193,20 +209,15 @@ object SnapshotFold {
       .flatMap(e => versionOfDir(e.getPath.getName).map(_ -> e.getPath))
     dirVs.filterNot { case (v, _) => committedVs(v) }
       .foreach { case (_, p) => fs.delete(p, true) } // crashed pre-commit
-    val live = resolve(fs, dir, batchCommitted)
-    val smalls = live.filter(_.getLen < targetFileBytes)
-    if (smalls.length < minFiles) None
-    else {
-      val dirQ = fs.makeQualified(dir).toString
-      val rels = smalls.map { f =>
-        val rel = fs.makeQualified(f.getPath).toString
-          .stripPrefix(dirQ).stripPrefix("/")
-        require(rel.nonEmpty && !rel.startsWith("/"), s"bad relpath for $f")
-        rel
-      }
-      val v = (committedVs ++ dirVs.map(_._1)).maxOption.getOrElse(0L) + 1
-      Some(Plan(dir, v, smalls, rels))
+    val dirQ = fs.makeQualified(dir).toString
+    val rels = candidates.map { f =>
+      val rel = fs.makeQualified(f.getPath).toString
+        .stripPrefix(dirQ).stripPrefix("/")
+      require(rel.nonEmpty && !rel.startsWith("/"), s"bad relpath for $f")
+      rel
     }
+    val v = (committedVs ++ dirVs.map(_._1)).maxOption.getOrElse(0L) + 1
+    Some(Plan(dir, v, candidates, rels))
   }
 
   /**

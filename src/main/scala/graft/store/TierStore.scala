@@ -32,7 +32,7 @@ import org.apache.spark.sql.functions._
 final case class ContinuousQuery(name: String, src: String, target: String,
     resolutionMinutes: Long)
 
-final class TierStore(spark: SparkSession, root: String) {
+final class TierStore(spark: SparkSession, val root: String) {
 
   private def path(tier: String) = s"$root/tier=$tier"
 
