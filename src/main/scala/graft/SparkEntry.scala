@@ -1045,7 +1045,8 @@ object SparkEntry {
         nLists = 8, trainIters = 1)
       graft.functions.Similarity.appendIvfBatch(
         emb.filter(col("vec_id") % 2 === 1), s"$work/idx", 0L): Unit
-      val ids = (0L until emb.count()).filter(_ % 7 == 3)
+      val ids = emb.filter(col("vec_id") % 7 === 3)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
       graft.functions.Similarity.eraseFromIvfIndex(s, s"$work/idx", ids): Unit
       graft.functions.Similarity.queryIvfIndex(s, s"$work/idx",
         emb.filter(col("vec_id") < 6 && col("vec_id") % 7 =!= 3),
@@ -1142,7 +1143,8 @@ object SparkEntry {
         graft.functions.Dedup.shingledDocs(
           docs.filter(col("doc_id") % 10 >= 5), 3, 64, "doc_id", "text"),
         root, 3, 64, 16, 0L): Unit
-      val ids = (0L until docs.count()).filter(i => i % 10 == 2 || i % 10 == 7)
+      val ids = docs.filter(col("doc_id") % 10 === 2 || col("doc_id") % 10 === 7)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
       Dedup.eraseFromMinhashIndex(s, root, ids): Unit
       Dedup.queryMinhashIndex(s, docs.filter(col("doc_id") % 10 === 0), root)
     }),
@@ -1326,6 +1328,26 @@ object SparkEntry {
       val root = java.nio.file.Files.createTempDirectory("graft_bm25")
         .toFile.getAbsolutePath
       graft.functions.Retrieval.buildBm25Index(table(s, dir, "documents"), root)
+      graft.functions.Retrieval.queryBm25Index(s, root,
+        Seq("table", "hash", "merge", "scan"), k = 20)
+    }),
+
+    "text_bm25_erased" -> ((s, dir) => {
+      // RIGHT-TO-BE-FORGOTTEN through the BM25 index (round-11): the
+      // postings table stores each document's full term-frequency bag,
+      // the most reconstructable derived content of the three indexes.
+      // Build, ERASE every doc_id % 9 == 4 (reader-atomic manifest
+      // folds of exactly the posting files carrying them + the
+      // corrected stats row), query — must hash-match the oracle's
+      // fresh BM25 over the SURVIVING documents only, proving both the
+      // postings purge and the stats correction are exact
+      val root = java.nio.file.Files.createTempDirectory("graft_bm25e")
+        .toFile.getAbsolutePath
+      val docs = table(s, dir, "documents")
+      graft.functions.Retrieval.buildBm25Index(docs, root)
+      val ids = docs.filter(col("doc_id") % 9 === 4)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      graft.functions.Retrieval.eraseFromBm25Index(s, root, ids): Unit
       graft.functions.Retrieval.queryBm25Index(s, root,
         Seq("table", "hash", "merge", "scan"), k = 20)
     }),
@@ -2164,18 +2186,24 @@ object SparkEntry {
       lit("x").as("domain"))
 
   /** BM25 oracle — shared by the direct and persisted-index paths. */
-  private val Bm25OracleSql: String =
-      """WITH toks AS (
+  private val Bm25OracleSql: String = bm25OracleSql("TRUE")
+
+  /** The BM25 oracle over the documents satisfying `docPred` — the
+   *  erased-index oracle reuses the exact formula with the erased ids
+   *  filtered out of BOTH the postings and the corpus stats. */
+  private def bm25OracleSql(docPred: String): String =
+      s"""WITH corpus AS (SELECT * FROM documents WHERE $docPred),
+        |toks AS (
         |  SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl,
         |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
-        |  FROM documents),
+        |  FROM corpus),
         |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM toks
         |       WHERE term IN ('table', 'hash', 'merge', 'scan')
         |       GROUP BY doc_id, dl, term),
         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
         |stats AS (SELECT count(*) AS n_docs,
         |    sum(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)) AS total_dl
-        |  FROM documents),
+        |  FROM corpus),
         |contrib AS (
         |  SELECT tf.doc_id,
         |    CAST(floor(
@@ -3769,6 +3797,11 @@ object SparkEntry {
     // identical to text_bm25 — the persisted-index path must reproduce
     // the direct computation bit-for-bit
     "text_bm25_indexed" -> Bm25OracleSql,
+
+    // post-erase BM25 ≡ a fresh build over the survivors: postings
+    // purged AND the stats row corrected (n_docs, total_dl shrink by
+    // exactly the erased docs' contributions)
+    "text_bm25_erased" -> bm25OracleSql("doc_id % 9 <> 4"),
 
     "text_vocab_coverage" ->
       """WITH c AS (

@@ -90,6 +90,20 @@ object Api {
   final case class DiffRequest(procId: Int = 1, tier: String,
       fromAsOfMs: Long, toAsOfMs: Long)
 
+  /** cmd.tsdb.erase_index_ids DTO (EXTENSION): right-to-be-forgotten
+   *  through the DERIVED stores — the IVF index physically retains
+   *  erased embeddings and the MinHash index the erased documents'
+   *  shingle sets, so a compliance run must purge them alongside the
+   *  tiers (cmd.tsdb.delete_data_points). `ids` is the bounded
+   *  compliance batch; each named index path erases reader-atomically
+   *  with UNCONDITIONAL history reclamation
+   *  ([[graft.functions.Similarity.eraseFromIvfIndex]],
+   *  [[graft.functions.Dedup.eraseFromMinhashIndex]],
+   *  [[graft.functions.Retrieval.eraseFromBm25Index]]). */
+  final case class EraseIndexIdsRequest(procId: Int = 1,
+      ids: Seq[Long] = Nil, ivf: Seq[String] = Nil,
+      minhash: Seq[String] = Nil, bm25: Seq[String] = Nil)
+
   /** cmd.tsdb.run_maintenance DTO (EXTENSION): the periodic maintenance
    *  trigger the reference gets from InfluxDB continuous queries + its
    *  own retention ticker (influxdb_v1.go:72-78,300-331) — incremental
@@ -351,6 +365,29 @@ object Api {
           else 0L
         (t.name, rewrote, vacuumed)
       }.toDF("tier", "partitions_rewritten", "history_vacuumed")
+
+    case "cmd.tsdb.erase_index_ids" =>
+      // EXTENSION: the delete_data_points stance carried to the DERIVED
+      // stores — refuses an empty request instead of silently attesting
+      // a no-op compliance pass; each index erases reader-atomically
+      // (manifest folds, no quiesce) and reclaims history
+      // unconditionally, so the response's rows_erased is the number of
+      // physical index rows that are now GONE, not merely hidden
+      val req = payload.asInstanceOf[EraseIndexIdsRequest]
+      if (req.ids.isEmpty) throw new IllegalArgumentException(
+        "refusing an empty erasure: give the ids to erase")
+      if (req.ivf.isEmpty && req.minhash.isEmpty && req.bm25.isEmpty)
+        throw new IllegalArgumentException(
+          "refusing an index-less erasure: name the ivf/minhash/bm25 index " +
+            "paths to purge (erase tiers via cmd.tsdb.delete_data_points)")
+      import ctx.spark.implicits._
+      (req.ivf.map(p => (s"ivf:$p",
+          graft.functions.Similarity.eraseFromIvfIndex(ctx.spark, p, req.ids))) ++
+        req.minhash.map(p => (s"minhash:$p",
+          graft.functions.Dedup.eraseFromMinhashIndex(ctx.spark, p, req.ids))) ++
+        req.bm25.map(p => (s"bm25:$p",
+          graft.functions.Retrieval.eraseFromBm25Index(ctx.spark, p, req.ids))))
+        .toDF("index", "rows_erased")
 
     case "cmd.tsdb.compact" =>
       // EXTENSION: the round-8 layout/compaction surface, command-

@@ -79,6 +79,11 @@ object CommandCodec {
     case JNull | JNothing => Nil
     case other => throw new IllegalArgumentException(s"not a string array: $other")
   }
+  private def longSeq(v: JValue): Seq[Long] = v match {
+    case JArray(xs) => xs.map(long(_, 0L))
+    case JNull | JNothing => Nil
+    case other => throw new IllegalArgumentException(s"not a long array: $other")
+  }
   private def strMap(v: JValue): Map[String, String] = v match {
     case JObject(fs) => fs.map { case (k, x) => k -> str(x) }.toMap
     case JNull | JNothing => Map.empty
@@ -199,6 +204,12 @@ object CommandCodec {
         clusterBy = strSeq(v \ "clusterBy"),
         zorder = bool(v \ "zorder", d = false),
         retainHistory = bool(v \ "retainHistory", d = false))
+      case "cmd.tsdb.erase_index_ids" => Api.EraseIndexIdsRequest(
+        procId = int(field(v, "procId", "proc_id"), 1),
+        ids = longSeq(v \ "ids"),
+        ivf = strSeq(field(v, "ivf", "ivf_paths")),
+        minhash = strSeq(field(v, "minhash", "minhash_paths")),
+        bm25 = strSeq(field(v, "bm25", "bm25_paths")))
       case "cmd.tsdb.vacuum" => Api.VacuumRequest(
         procId = int(field(v, "procId", "proc_id"), 1), tier = str(v \ "tier"),
         foldBatchMarkers = bool(v \ "foldBatchMarkers", d = true))

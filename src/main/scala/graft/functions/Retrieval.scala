@@ -95,21 +95,205 @@ object Retrieval {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 
-  /** Query a persisted index: identical scores to the direct path. */
+  // ---- resolver read path: the SnapshotFold contract the other two
+  // persisted indexes carry, extended here so the postings/stats dirs
+  // support reader-atomic ERASURE folds and as-of pins. A plain build
+  // is generation zero (raw files, no manifests); only an erase ever
+  // publishes versions. ---- //
+
+  private val shardSchema = new org.apache.spark.sql.types.StructType()
+    .add("shard", org.apache.spark.sql.types.IntegerType)
+
+  private def shardDirsOf(fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path): Seq[(Int, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(live)) Nil
+    else fs.listStatus(live).toSeq
+      .filter(e => e.isDirectory && e.getPath.getName.startsWith("shard="))
+      .flatMap(e => e.getPath.getName.stripPrefix("shard=").toIntOption
+        .map(_ -> e.getPath))
+
+  /** Snapshot-resolved scan of the postings tree — `onlyShards` prunes
+   *  at resolution time (non-queried shard dirs are never even listed,
+   *  preserving the ~|terms|/64 partition pruning the layout exists
+   *  for); `asOf` pins the read ([[pinBm25Index]]). */
+  private[functions] def readPostings(spark: org.apache.spark.sql.SparkSession,
+      path: String, onlyShards: Option[Seq[Int]] = None,
+      asOf: Option[Long] = None): DataFrame = {
+    val live = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = shardDirsOf(fs, live)
+      .filter { case (id, _) => onlyShards.forall(_.contains(id)) }
+      .map { case (id, d) =>
+        (org.apache.spark.sql.catalyst.InternalRow(id),
+          graft.store.SnapshotFold.resolve(fs, d, asOf = asOf))
+      }
+      .filter(_._2.nonEmpty)
+    graft.store.SnapshotFold.dataFrame(spark, shardSchema, parts, Seq(live))
+      .getOrElse {
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          new StructType().add("doc_id", LongType).add("dl", IntegerType)
+            .add("term", StringType).add("tf", LongType)
+            .add("shard", IntegerType))
+      }
+  }
+
+  /** Snapshot-resolved read of the one-row stats table. */
+  private[functions] def readBm25Stats(spark: org.apache.spark.sql.SparkSession,
+      path: String, asOf: Option[Long] = None): DataFrame = {
+    val live = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = graft.store.SnapshotFold.resolve(fs, live, asOf = asOf)
+    require(files.nonEmpty, s"no BM25 index stats at $path")
+    graft.store.SnapshotFold.dataFrame(spark,
+      new org.apache.spark.sql.types.StructType(),
+      Seq((org.apache.spark.sql.catalyst.InternalRow.empty, files)),
+      Seq(live)).get
+  }
+
+  /** SKEW-PROOF as-of pin over a persisted BM25 index — max record
+   *  time the index's own storage reports (the
+   *  [[graft.store.TierStore.pinNow]] contract); feed to the `asOf`
+   *  arm of [[queryBm25Index]]. NOTE: `buildBm25Index(mode overwrite)`
+   *  over an existing path REPLACES history rather than versioning it
+   *  — rebuild at a fresh path when pins must survive. */
+  def pinBm25Index(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statsPin = graft.store.SnapshotFold.pinDir(fs,
+      new org.apache.hadoop.fs.Path(s"$path/stats"))
+    shardDirsOf(fs, new org.apache.hadoop.fs.Path(s"$path/postings"))
+      .foldLeft(statsPin) { case (m, (_, d)) =>
+        math.max(m, graft.store.SnapshotFold.pinDir(fs, d))
+      }
+  }
+
+  /**
+   * Targeted document ERASURE from a persisted BM25 index — of the
+   * three persisted indexes this one retains the MOST reconstructable
+   * content: `postings/` stores each erased document's full
+   * term-frequency bag. Same contract as
+   * [[graft.functions.Similarity.eraseFromIvfIndex]]: one
+   * resolver-pinned scan finds the live files carrying an erased
+   * `doc_id` (they scatter across term-hash shards — cost follows the
+   * erased docs' distinct-term footprint, never the corpus), one job
+   * rewrites exactly those files minus the erased rows, each touched
+   * shard publishes through the [[graft.store.SnapshotFold]] manifest
+   * (reader-atomic under live [[queryBm25Index]] calls, EMPTY
+   * snapshots where every candidate row was erased), and history is
+   * reclaimed UNCONDITIONALLY — pre-erase pins fail loudly. Atomicity
+   * granularity is PER DIR (the IVF/MinHash contract): a query racing
+   * the pass resolves one complete snapshot of every shard and of the
+   * stats row, but mid-pass those snapshots can straddle the erase
+   * (e.g. pre-erase stats with some shards already erased) — a
+   * transient, bounded score skew; the completed pass is exact.
+   *
+   * The one-row `stats/` table is corrected in the same pass: the
+   * erased documents' (count, Σdl) — read from their own postings
+   * before the rewrite — are subtracted and the corrected row
+   * publishes as the stats dir's next snapshot, so post-erase scores
+   * equal a fresh build over the survivors. (A document that produced
+   * ZERO tokens at build time has no postings to find: it stays in
+   * `n_docs` — it contributed no erasable content there either.)
+   *
+   * Returns the number of erased documents found in the index.
+   */
+  def eraseFromBm25Index(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: Seq[Long],
+      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    require(ids.nonEmpty, "empty erase set")
+    val live = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(live), s"no BM25 index at $path")
+    def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val resolved = shardDirsOf(fs, live).map { case (id, d) =>
+      (id, d, graft.store.SnapshotFold.resolve(fs, d))
+    }
+    val parts = resolved.filter(_._3.nonEmpty).map { case (id, _, f) =>
+      (org.apache.spark.sql.catalyst.InternalRow(id), f)
+    }
+    var erasedDocs = 0L
+    var erasedDl = 0L
+    val hitPaths: Set[String] =
+      graft.store.SnapshotFold.dataFrame(spark, shardSchema, parts, Seq(live)) match {
+        case None => Set.empty
+        case Some(frame) =>
+          val hits = frame.filter(col("doc_id").isin(ids: _*))
+            .select(col("doc_id"), col("dl"), input_file_name().as("_f"))
+            .localCheckpoint()
+          val docAgg = hits.select(col("doc_id"), col("dl")).distinct()
+            .agg(count(lit(1)), coalesce(sum(col("dl").cast("long")), lit(0L)))
+            .collect()(0)
+          erasedDocs = docAgg.getLong(0)
+          erasedDl = docAgg.getLong(1)
+          hits.select(col("_f")).distinct().collect()
+            .map(r => norm(r.getString(0))).toSet
+      }
+    if (hitPaths.nonEmpty) {
+      val plans = resolved.flatMap { case (id, d, files) =>
+        val cands = files.filter(f =>
+          hitPaths(norm(fs.makeQualified(f.getPath).toString)))
+        graft.store.SnapshotFold.planFiles(fs, d, cands).map(p => (id, d.getName, p))
+      }
+      val staged = new org.apache.hadoop.fs.Path(s"$path/.erase_postings")
+      fs.delete(staged, true)
+      val pparts = plans.map { case (id, _, p) =>
+        (org.apache.spark.sql.catalyst.InternalRow(id), p.candidates)
+      }
+      val bytes = plans.flatMap(_._3.candidates).map(_.getLen).sum
+      val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      graft.store.SnapshotFold.dataFrame(spark, shardSchema, pparts, Seq(live)).get
+        .filter(!col("doc_id").isin(ids: _*))
+        .repartition(nOut, col("shard"))
+        .write.partitionBy("shard").parquet(staged.toString)
+      plans.foreach { case (_, name, p) =>
+        val fresh = new org.apache.hadoop.fs.Path(staged, name)
+        if (!fs.exists(fresh)) fs.mkdirs(fresh): Unit
+        graft.store.SnapshotFold.publish(fs, p.dir, p.version, fresh,
+          p.foldedRels)
+      }
+      fs.delete(staged, true)
+      // correct the stats row: subtract the erased docs' contributions
+      // and publish as the stats dir's next snapshot
+      val statsDir = new org.apache.hadoop.fs.Path(s"$path/stats")
+      val cur = readBm25Stats(spark, path).collect()(0)
+      val statsFiles = graft.store.SnapshotFold.resolve(fs, statsDir)
+      graft.store.SnapshotFold.planFiles(fs, statsDir, statsFiles).foreach { p =>
+        val freshStats = new org.apache.hadoop.fs.Path(s"$path/.erase_stats")
+        fs.delete(freshStats, true)
+        import spark.implicits._
+        Seq((cur.getLong(0) - erasedDocs, cur.getLong(1) - erasedDl))
+          .toDF("n_docs", "total_dl").coalesce(1)
+          .write.parquet(freshStats.toString)
+        graft.store.SnapshotFold.publish(fs, statsDir, p.version, freshStats,
+          p.foldedRels)
+      }
+    }
+    // UNCONDITIONAL vacuum: superseded postings still carry the bags
+    resolved.foreach { case (_, d, _) =>
+      graft.store.SnapshotFold.vacuumDir(fs, d)
+    }
+    graft.store.SnapshotFold.vacuumDir(fs,
+      new org.apache.hadoop.fs.Path(s"$path/stats"))
+    erasedDocs
+  }
+
+  /** Query a persisted index: identical scores to the direct path;
+   *  `asOf` pins the read to a [[pinBm25Index]] instant. */
   def queryBm25Index(spark: org.apache.spark.sql.SparkSession, path: String,
-      queryTerms: Seq[String], k: Int = 10, k1: Double = 1.2, b: Double = 0.75)
-      : DataFrame = {
+      queryTerms: Seq[String], k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+      asOf: Option[Long] = None): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val terms = queryTerms.map(_.toLowerCase).distinct
     // pmod(xxhash64, 64) ≡ hash & 63 for a power-of-two shard count
     val shards = terms.map(t =>
       (org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
         org.apache.spark.unsafe.types.UTF8String.fromString(t), 42L) & 63L).toInt)
-    val tf = spark.read.parquet(s"$path/postings")
-      .filter(col("shard").isin(shards.distinct.map(Integer.valueOf): _*))
+    val tf = readPostings(spark, path, Some(shards.distinct), asOf)
       .filter(col("term").isin(terms.map(lit): _*))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = spark.read.parquet(s"$path/stats")
+    val stats = readBm25Stats(spark, path, asOf)
     val avgdl = col("total_dl").cast("double") / col("n_docs")
     val idf = log((col("n_docs").cast("double") - col("df") + 0.5) /
       (col("df") + 0.5) + 1.0)

@@ -70,6 +70,7 @@ object RunPin {
   final case class Tier(store: graft.store.TierStore) extends Target
   final case class Ivf(path: String) extends Target
   final case class Minhash(path: String) extends Target
+  final case class Bm25(path: String) extends Target
 
   /** Capture every target's pin, in the given order (derived stores
    *  first for a causally-consistent cut — see the class doc). */
@@ -83,6 +84,8 @@ object RunPin {
           Entry("ivf", p, graft.functions.Similarity.pinIvfIndex(spark, p))
         case Minhash(p) =>
           Entry("minhash", p, graft.functions.Dedup.pinMinhashIndex(spark, p))
+        case Bm25(p) =>
+          Entry("bm25", p, graft.functions.Retrieval.pinBm25Index(spark, p))
       })
     }.toMap)
   }
@@ -102,6 +105,10 @@ object RunPin {
   /** The member pin for a MinHash index at `path` (kind+path guarded). */
   def minhashPin(pin: RunPin, name: String, path: String): Long =
     pin.checked(name, "minhash", path)
+
+  /** The member pin for a BM25 index at `path` (kind+path guarded). */
+  def bm25Pin(pin: RunPin, name: String, path: String): Long =
+    pin.checked(name, "bm25", path)
 
   // ---- persistence: a tiny atomic ok-terminated manifest ---- //
   //

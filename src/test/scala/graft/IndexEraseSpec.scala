@@ -272,6 +272,133 @@ class IndexEraseSpec extends SparkSpec {
     assert(!h.exists(ids.contains), s"erased doc resurfaced in a query: $h")
   }
 
+  test("BM25 erase: postings purged physically, stats row corrected to " +
+    "a fresh-build-over-survivors, untouched shards byte-stable, old " +
+    "pin loud, live queries reader-atomic") {
+    import graft.functions.Retrieval
+    val root = tmpDir()
+    def doc(i: Int) = (i.toLong,
+      s"table hash merge scan alpha$i beta$i " + ("pad " * (i % 5)))
+    val docs = (0 until 40).map(doc).toDF("doc_id", "text")
+    Retrieval.buildBm25Index(docs, root)
+    val pin = Retrieval.pinBm25Index(spark, root)
+    Thread.sleep(20)
+    val ids = Seq(3L, 17L, 999999L)
+    val fs = fsOf(root)
+    val cleanBefore = rawParquetUnder(s"$root/postings").flatMap { f =>
+      val st = fs.getFileStatus(new HPath(f))
+      if (spark.read.parquet(f).filter(col("doc_id").isin(ids: _*)).isEmpty)
+        Some((f, st.getLen, st.getModificationTime)) else None
+    }
+    // hammer live queries through the erase: every observation must be
+    // complete (a full top-k from ONE snapshot of postings+stats)
+    @volatile var stop = false
+    @volatile var failure: Option[Throwable] = None
+    var reads = 0
+    val t = new Thread(() => {
+      while (!stop && failure.isEmpty) {
+        try {
+          val n = Retrieval.queryBm25Index(spark, root,
+            Seq("table", "hash"), k = 50).count()
+          assert(n == 40L || n == 38L, s"torn BM25 read: $n docs")
+          reads += 1
+        } catch {
+          case e: org.scalatest.exceptions.TestFailedException => failure = Some(e)
+          case _: Exception => () // vacuum straddle: retry
+        }
+      }
+    }, "bm25-hammer")
+    t.start()
+    val erased =
+      try Retrieval.eraseFromBm25Index(spark, root, ids)
+      finally { stop = true; t.join(60000) }
+    failure.foreach(e => fail(s"BM25 reader observed a torn erase: $e", e))
+    assert(reads > 0)
+    assert(erased == 2L, s"erased $erased docs, want 2")
+    // post-erase scores ≡ a fresh build over the survivors (stats
+    // correction included — same integer micro-points)
+    val survivors = docs.filter(!col("doc_id").isin(ids: _*))
+    val fresh = tmpDir()
+    Retrieval.buildBm25Index(survivors, fresh)
+    val got = Retrieval.queryBm25Index(spark, root,
+      Seq("table", "hash", "merge", "scan"), k = 40)
+      .as[(Long, Long)].collect().toSeq
+    val want = Retrieval.queryBm25Index(spark, fresh,
+      Seq("table", "hash", "merge", "scan"), k = 40)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == want, "post-erase scores diverge from a fresh build")
+    // physical purge + untouched-file byte-stability
+    assertPhysicallyPurged(s"$root/postings", "doc_id", ids)
+    val stillThere = cleanBefore.filter { case (f, _, _) =>
+      fs.exists(new HPath(f)) }
+    assert(stillThere.nonEmpty,
+      "fixture: at least one untouched posting file must survive")
+    stillThere.foreach { case (f, len, m) =>
+      val st = fs.getFileStatus(new HPath(f))
+      assert(st.getLen == len && st.getModificationTime == m,
+        s"untouched posting file rewritten: $f")
+    }
+    // a pre-erase pin fails loudly (unconditional history reclaim)
+    intercept[IllegalStateException] {
+      Retrieval.queryBm25Index(spark, root, Seq("table"), k = 5,
+        asOf = Some(pin)).count()
+    }
+  }
+
+  test("BM25 as-of pin: reproducible across an erase when read " +
+    "BEFORE the erase lands; post-erase pin equals the current read") {
+    import graft.functions.Retrieval
+    val root = tmpDir()
+    def doc(i: Int) = (i.toLong, s"table hash merge scan alpha$i")
+    Retrieval.buildBm25Index((0 until 20).map(doc).toDF("doc_id", "text"), root)
+    Retrieval.eraseFromBm25Index(spark, root, Seq(5L)): Unit
+    val pin = Retrieval.pinBm25Index(spark, root)
+    val now = Retrieval.queryBm25Index(spark, root, Seq("table"), k = 30)
+      .as[(Long, Long)].collect().toSeq
+    val pinned = Retrieval.queryBm25Index(spark, root, Seq("table"), k = 30,
+      asOf = Some(pin)).as[(Long, Long)].collect().toSeq
+    assert(pinned == now && now.length == 19)
+  }
+
+  test("erase_index_ids command: the wire envelope drives both index " +
+    "erasures in one dispatch; empty/index-less requests refuse") {
+    val work = tmpDir()
+    val idx = s"$work/idx"
+    val mh = s"$work/mh"
+    Similarity.buildIvfIndex(clustered(0, 20), idx, nLists = 2, trainIters = 1)
+    def doc(i: Int) = (i.toLong,
+      s"alpha beta gamma delta epsilon zeta eta theta token$i tail$i")
+    Dedup.buildMinhashIndex((0 until 8).map(doc).toDF("doc_id", "text"),
+      mh, n = 3, k = 16, bands = 4)
+    val bm = s"$work/bm25"
+    graft.functions.Retrieval.buildBm25Index(
+      (0 until 8).map(doc).toDF("doc_id", "text"), bm)
+    val store = new graft.store.TierStore(spark, s"$work/store")
+    val ctx = graft.api.Api.Context(spark, store)
+    val cmd = graft.api.CommandCodec.decode(
+      s"""{"type":"cmd.tsdb.erase_index_ids","serv":"ecollector",
+         |"uid":"e-1","val_t":"object","val":{"ids":[2,5],
+         |"ivf_paths":[${graft.api.CommandCodec.q(idx)}],
+         |"minhash_paths":[${graft.api.CommandCodec.q(mh)}],
+         |"bm25_paths":[${graft.api.CommandCodec.q(bm)}]}}""".stripMargin)
+    val rsp = graft.api.Api.dispatch(ctx, cmd.msgType, cmd.payload)
+      .as[(String, Long)].collect().toMap
+    assert(rsp == Map(s"ivf:$idx" -> 2L, s"minhash:$mh" -> 2L,
+      s"bm25:$bm" -> 2L), rsp.toString)
+    assertPhysicallyPurged(idx, "vec_id", Seq(2L, 5L), skipDir = _ == "centroids")
+    assertPhysicallyPurged(mh, "id", Seq(2L, 5L))
+    assertPhysicallyPurged(s"$bm/postings", "doc_id", Seq(2L, 5L))
+    // refusals: empty ids, and ids with no index named
+    intercept[IllegalArgumentException] {
+      graft.api.Api.dispatch(ctx, "cmd.tsdb.erase_index_ids",
+        graft.api.Api.EraseIndexIdsRequest(ivf = Seq(idx)))
+    }
+    intercept[IllegalArgumentException] {
+      graft.api.Api.dispatch(ctx, "cmd.tsdb.erase_index_ids",
+        graft.api.Api.EraseIndexIdsRequest(ids = Seq(1L)))
+    }
+  }
+
   test("IVF erase after a retained rebuild reclaims the old generation's " +
     "embedding copies as well") {
     val work = tmpDir()
