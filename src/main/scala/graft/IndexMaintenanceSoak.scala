@@ -45,6 +45,14 @@ import org.apache.spark.sql.functions._
  * vacuum or the rebuild's generation vacuum retries — counted, not
  * failed.
  *
+ * After wave B the lifecycle's LAST maintenance op runs — a
+ * right-to-be-forgotten [[Similarity.eraseFromIvfIndex]] over a ~3 %
+ * id slice, with the prober still hammering: mid-erase pins resolve a
+ * per-list pre/post mixture by design, and every probe stays EXACT
+ * because the gate compares the probe against brute force over the
+ * probe's OWN pinned corpus; counts stay duplicate-free and inside
+ * the [survivors, corpus] envelope.
+ *
  * Hard gates (the soak FAILS on any):
  *  1. zero probe mismatches and zero torn observations across the run;
  *  2. at least one in-stream fold committed while probes ran, in EACH
@@ -52,9 +60,13 @@ import org.apache.spark.sql.functions._
  *  3. the rebuild actually swapped generations (marker present, reads
  *     resolve `_gen_1`) and clean probes completed both before and
  *     after the swap;
- *  4. final index at full probe ≡ brute force over the FULL corpus;
- *  5. final index row count == corpus count with zero duplicate ids
- *     (wave B appended into the rebuilt generation exactly once).
+ *  4. final index at full probe ≡ brute force over the SURVIVING
+ *     corpus (erase removed exactly the requested ids, nothing else);
+ *  5. final index row count == survivor count with zero duplicate ids
+ *     (wave B appended into the rebuilt generation exactly once);
+ *  6. clean probes completed during-or-after the erase, and a raw
+ *     file-by-file scan of everything left on disk under the index
+ *     root finds ZERO erased rows (the physical purge at soak scale).
  *
  * Usage: runMain graft.IndexMaintenanceSoak [sfDir] [workDir] [batches]
  * Prints one `ann_soak` JSON line for BENCH_SF1.md.
@@ -109,12 +121,17 @@ object IndexMaintenanceSoak {
       if (genSwapped) foldsPostSwap.incrementAndGet(): Unit
     }
 
-    val queries = emb.filter(col("vec_id") < 3).persist()
+    val eraseIds = emb.filter(col("vec_id") % 31 === 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val queries = emb.filter(col("vec_id") < 3 && col("vec_id") % 31 =!= 2)
+      .persist()
     queries.count(): Unit
     val stop = new AtomicBoolean(false)
     val probes = new AtomicInteger(0)
     val probesPostSwap = new AtomicInteger(0)
+    val probesPostErase = new AtomicInteger(0)
     val pinRetries = new AtomicInteger(0)
+    @volatile var eraseStarted = false
     @volatile var torn: Option[String] = None
     val prober = new Thread(() => {
       while (!stop.get() && torn.isEmpty) {
@@ -127,7 +144,11 @@ object IndexMaintenanceSoak {
               .collect()(0)
             val (n, d) = (stats.getLong(0), stats.getLong(1))
             if (n != d) torn = Some(s"pin $pin: $n rows, $d distinct")
-            else if (!validCounts(n))
+            else if (!validCounts(n) &&
+              // erase window: per-list commits walk the count from the
+              // full corpus down to the survivors — any point inside
+              // the envelope is a legitimate complete snapshot
+              !(eraseStarted && n >= corpusN - eraseIds.length && n <= corpusN))
               torn = Some(s"pin $pin: $n rows is not a batch boundary")
             else {
               // nProbes covers the larger post-rebuild list count — a
@@ -145,16 +166,20 @@ object IndexMaintenanceSoak {
               else {
                 probes.incrementAndGet(): Unit
                 if (genSwapped) probesPostSwap.incrementAndGet(): Unit
+                if (eraseStarted) probesPostErase.incrementAndGet(): Unit
               }
             }
           } finally pinned.unpersist(): Unit
         } catch {
-          // the in-stream fold's inline vacuum or the rebuild's
-          // generation vacuum reclaimed this pin's history — the
-          // documented retention contract: retry
-          case _: IllegalStateException => pinRetries.incrementAndGet(): Unit
-          case _: org.apache.spark.SparkException =>
-            pinRetries.incrementAndGet(): Unit
+          // the in-stream fold's inline vacuum, the rebuild's
+          // generation vacuum, or the erase's unconditional vacuum
+          // reclaimed this pin's history — the documented retention
+          // contract: retry. Straddles surface as
+          // IllegalStateException (loud pin), SparkException (scan),
+          // or AnalysisException (PATH_NOT_FOUND at plan time);
+          // torn-state findings are recorded via `torn`, never thrown,
+          // so a broad catch cannot mask one.
+          case _: Exception => pinRetries.incrementAndGet(): Unit
         }
       }
     }, "ann-prober")
@@ -166,6 +191,7 @@ object IndexMaintenanceSoak {
 
     prober.start()
     var rebuildWall = 0.0
+    var eraseWall = 0.0
     try {
       // ---- wave A: append + in-stream folds under probes ----
       val q1 = appendStream()
@@ -197,6 +223,20 @@ object IndexMaintenanceSoak {
       val q2 = appendStream()
       try q2.processAllAvailable()
       finally graft.stream.StreamOps.stopAndUnload(q2)
+
+      // ---- right-to-be-forgotten UNDER LIVE PROBES (appender at its
+      // safe point; the prober is not coordinated) ----
+      val tE = System.nanoTime()
+      eraseStarted = true
+      val erased = Similarity.eraseFromIvfIndex(spark, idx, eraseIds)
+      eraseWall = (System.nanoTime() - tE) / 1e9
+      require(erased == eraseIds.length.toLong,
+        s"erase removed $erased rows, want ${eraseIds.length}")
+      // keep probing until at least one clean observation lands during
+      // or after the erase (the prober loop is still running)
+      val tWait = System.nanoTime()
+      while (probesPostErase.get() == 0 && torn.isEmpty &&
+        (System.nanoTime() - tWait) < 120e9) Thread.sleep(200)
     } finally {
       stop.set(true)
       prober.join(120000)
@@ -211,25 +251,47 @@ object IndexMaintenanceSoak {
     require(foldsPostSwap.get() > 0,
       "ANN soak: no in-stream fold committed in the rebuilt generation")
 
-    // final exactness over the full corpus, in the rebuilt generation
+    require(probesPostErase.get() > 0,
+      "ANN soak: no clean probe during-or-after the erase")
+
+    // final exactness over the SURVIVING corpus, in the rebuilt generation
+    val survivorsN = corpusN - eraseIds.length
+    val survivors = emb.filter(!col("vec_id").isin(eraseIds: _*))
     val finalRows = Similarity.readIvfLists(spark, idx)
     val fin = finalRows.agg(count(lit(1)), countDistinct(col("vec_id"))).collect()(0)
-    require(fin.getLong(0) == corpusN && fin.getLong(1) == corpusN,
-      s"final index ${fin.getLong(0)} rows / ${fin.getLong(1)} distinct, want $corpusN")
+    require(fin.getLong(0) == survivorsN && fin.getLong(1) == survivorsN,
+      s"final index ${fin.getLong(0)} rows / ${fin.getLong(1)} distinct, want $survivorsN")
     val got = Similarity.queryIvfIndex(spark, idx, queries, k = 10,
       nProbes = nListsRebuilt).select("query_id", "vec_id", "score")
       .as[(Long, Long, Double)].collect().toSet
-    val want = Similarity.bruteForceTopK(emb, queries, k = 10)
+    val want = Similarity.bruteForceTopK(survivors, queries, k = 10)
       .select("query_id", "vec_id", "score")
       .as[(Long, Long, Double)].collect().toSet
     require(got == want, s"final probe != brute force " +
       s"(${(got -- want).size} extra, ${(want -- got).size} missing)")
 
+    // PHYSICAL purge at soak scale: every parquet file still on disk
+    // under the index root, read raw (no resolver), zero erased rows
+    val idxRoot = new HPath(idx)
+    val rawFs = idxRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(p: HPath): Seq[String] =
+      rawFs.listStatus(p).toSeq.flatMap { e =>
+        if (e.isDirectory) {
+          if (e.getPath.getName == "centroids") Nil else walk(e.getPath)
+        } else if (e.getPath.getName.endsWith(".parquet")) Seq(e.getPath.toString)
+        else Nil
+      }
+    val leaked = spark.read.parquet(walk(idxRoot): _*)
+      .filter(col("vec_id").isin(eraseIds: _*)).count()
+    require(leaked == 0L, s"$leaked erased rows physically on disk post-erase")
+
     val wall = (System.nanoTime() - t0) / 1e9
     println(f"""{"metric":"ann_soak","batches":$batches,"corpus":$corpusN,""" +
       f""""probes_exact":${probes.get()},"probes_post_rebuild":${probesPostSwap.get()},""" +
+      f""""probes_post_erase":${probesPostErase.get()},""" +
       f""""pin_retries":${pinRetries.get()},"fold_commits":${foldCommits.get()},""" +
       f""""folds_post_rebuild":${foldsPostSwap.get()},"rebuild_sec":$rebuildWall%.1f,""" +
+      f""""erased":${eraseIds.length},"erase_sec":$eraseWall%.1f,""" +
       f""""rebuilt_lists":$nListsRebuilt,"gates":"all-green",""" +
       f""""wall_sec":$wall%.1f,"sf":"$sfDir"}""")
     spark.stop()
