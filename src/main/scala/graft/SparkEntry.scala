@@ -1149,6 +1149,71 @@ object SparkEntry {
       Dedup.queryMinhashIndex(s, docs.filter(col("doc_id") % 10 === 0), root)
     }),
 
+    "s11_tier_erase_audit" -> ((s, dir) => {
+      // CORPUS-store erasure audit e2e: write sensor_click into
+      // gen_raw, erase one device through cmd.tsdb.delete_data_points
+      // (which vacuums), then cmd.tsdb.verify_tier_erasure — the raw
+      // physical walk over EVERY tier. The oracle recomputes the
+      // surviving row count independently, so rows_scanned pins that
+      // the walk read the whole tier and rows_found == 0 pins that no
+      // file on disk still carries the erased device
+      val root = java.nio.file.Files.createTempDirectory("graft_tieraud")
+        .toFile.getAbsolutePath
+      val store = new graft.store.TierStore(s, root)
+      store.write(graft.model.Tier.GenRaw, points(s, dir, "sensor_")
+        .filter(col("measurement") === "sensor_click"))
+      val ctx = graft.api.Api.Context(s, store, now = () => Now)
+      graft.api.Api.dispatch(ctx, "cmd.tsdb.delete_data_points",
+        graft.api.Api.GetDataPointsRequest(filters =
+          graft.model.DataPointsFilter(devices = Seq("3")))): Unit
+      val audit = graft.api.CommandCodec.decode(
+        """{"type":"cmd.tsdb.verify_tier_erasure","serv":"ecollector",
+          |"uid":"ta-1","val_t":"object","val":{
+          |"filters":{"devices":["3"]}}}""".stripMargin)
+      graft.api.Api.dispatch(ctx, audit.msgType, audit.payload)
+        .select(col("tier"), col("rows_scanned"), col("rows_found"))
+    }),
+
+    "s11_erase_audit" -> ((s, dir) => {
+      // AUDIT-GRADE erasure verification e2e: build all THREE derived
+      // indexes, erase the % 5 == 1 slice from each through the wire
+      // command, then run cmd.tsdb.verify_erasure — a resolver-
+      // BYPASSING raw scan of every parquet file left on disk. The
+      // oracle recomputes what each index must physically hold for
+      // the survivors (IVF: one row per surviving vector; MinHash:
+      // bands + 1 rows per surviving shingle-able doc; BM25: one
+      // posting per surviving (doc, query-relevant term... all terms)
+      // pair), so rows_scanned pins that the walk read EVERYTHING and
+      // rows_found == 0 pins that nothing erased remains — the
+      // compliance proof as a query
+      val work = java.nio.file.Files.createTempDirectory("graft_audit")
+        .toFile.getAbsolutePath
+      val emb = table(s, dir, "embeddings")
+      val docs = table(s, dir, "documents")
+      graft.functions.Similarity.buildIvfIndex(emb, s"$work/idx",
+        nLists = 8, trainIters = 1)
+      Dedup.buildMinhashIndex(docs, s"$work/mh")
+      graft.functions.Retrieval.buildBm25Index(docs, s"$work/bm")
+      val store = new graft.store.TierStore(s, s"$work/store")
+      val ctx = graft.api.Api.Context(s, store)
+      val vecIds = emb.filter(col("vec_id") % 5 === 1)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      val docIds = docs.filter(col("doc_id") % 5 === 1)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      graft.api.Api.dispatch(ctx, "cmd.tsdb.erase_index_ids",
+        graft.api.Api.EraseIndexIdsRequest(ids = vecIds,
+          ivf = Seq(s"$work/idx"))): Unit
+      graft.api.Api.dispatch(ctx, "cmd.tsdb.erase_index_ids",
+        graft.api.Api.EraseIndexIdsRequest(ids = docIds,
+          minhash = Seq(s"$work/mh"), bm25 = Seq(s"$work/bm"))): Unit
+      val audit = graft.api.Api.dispatch(ctx, "cmd.tsdb.verify_erasure",
+        graft.api.Api.EraseIndexIdsRequest(ids = (vecIds ++ docIds).distinct,
+          ivf = Seq(s"$work/idx"), minhash = Seq(s"$work/mh"),
+          bm25 = Seq(s"$work/bm")))
+      audit.select(split(col("index"), ":").getItem(0).as("store"),
+        col("rows_scanned"), col("rows_found"))
+    }),
+
     "pipe_run_pin" -> ((s, dir) => {
       // CROSS-STORE RUN PIN (round-11): one manifest captures the
       // corpus tier store AND both streamed indexes (derived-first
@@ -3289,6 +3354,44 @@ object SparkEntry {
         |SELECT id_new, id_idx,
         |  round(CAST(inter AS DOUBLE) / (ni + nn - inter), 6) AS jaccard
         |FROM j WHERE round(CAST(inter AS DOUBLE) / (ni + nn - inter), 6) >= 0.8""".stripMargin,
+
+    // the corpus-store audit ≡ an independent survivor count: gen_raw
+    // physically holds exactly the non-erased sensor_click rows, zero
+    // erased-device rows anywhere, every other tier empty
+    "s11_tier_erase_audit" ->
+      s"""WITH ${ptsCte("sensor_")},
+        |surv AS (SELECT count(*) AS n FROM pts
+        |         WHERE m = 'sensor_click' AND dev_id <> '3')
+        |SELECT 'gen_raw' AS tier, CAST(n AS BIGINT) AS rows_scanned,
+        |  CAST(0 AS BIGINT) AS rows_found FROM surv
+        |UNION ALL
+        |SELECT t, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |FROM (VALUES ('gen_day'), ('gen_week'), ('gen_month'),
+        |  ('gen_year'), ('gen_default')) v(t)""".stripMargin,
+
+    // the raw-scan audit ≡ what each index must physically hold for the
+    // survivors: IVF one row per surviving vector, MinHash bands+1 rows
+    // per surviving shingle-able doc, BM25 one posting per surviving
+    // (doc, distinct term) pair — and zero erased rows anywhere
+    "s11_erase_audit" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nt,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |u AS (
+        |  SELECT 'ivf' AS store, count(*) AS rows_scanned
+        |  FROM embeddings WHERE vec_id % 5 <> 1
+        |  UNION ALL
+        |  SELECT 'minhash', 17 * count(*)
+        |  FROM documents WHERE doc_id % 5 <> 1
+        |    AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 3
+        |  UNION ALL
+        |  SELECT 'bm25', count(*) FROM (
+        |    SELECT DISTINCT doc_id, term FROM toks WHERE doc_id % 5 <> 1))
+        |SELECT store, CAST(rows_scanned AS BIGINT) AS rows_scanned,
+        |  CAST(0 AS BIGINT) AS rows_found
+        |FROM u""".stripMargin,
 
     // the loaded cross-store pin vector reproduces all three stores'
     // exact capture-time state at once: the corpus witness sees only

@@ -389,6 +389,57 @@ object Api {
           graft.functions.Retrieval.eraseFromBm25Index(ctx.spark, p, req.ids))))
         .toDF("index", "rows_erased")
 
+    case "cmd.tsdb.verify_tier_erasure" =>
+      // EXTENSION: the erasure audit for the CORPUS store — a raw
+      // physical walk of every tier file (current, superseded, folded)
+      // counting predicate matches ([[TierStore.auditErasure]]); the
+      // proof a delete_data_points + vacuum compliance pass hands the
+      // auditor. Same filter shape and refusals as the delete command.
+      val req = payload.asInstanceOf[GetDataPointsRequest]
+      val c = procCtx(ctx, req.procId)
+      val f = req.filters
+      if (req.measurementName.isEmpty && f.tags.isEmpty && f.devices.isEmpty &&
+        f.locations.isEmpty && f.devTypes.isEmpty)
+        throw new IllegalArgumentException(
+          "refusing an unbounded erasure audit: give a measurement or " +
+            "tag filters")
+      var pred = Planner.filterColumn(f)
+      if (req.measurementName.nonEmpty)
+        pred = pred && col("measurement") === req.measurementName
+      import ctx.spark.implicits._
+      c.store.retentionPolicies.map { t =>
+        val (files, scanned, found) = c.store.auditErasure(t, pred)
+        (t.name, files, scanned, found)
+      }.toDF("tier", "files", "rows_scanned", "rows_found")
+
+    case "cmd.tsdb.verify_erasure" =>
+      // EXTENSION: audit-grade proof of a completed index erasure —
+      // resolver-BYPASSING raw scan of every parquet file still on
+      // disk under each named index root ([[graft.store.EraseAudit]]):
+      // rows_found must be 0 after a clean erase, and rows_scanned
+      // equals the survivors' physical row count (a walk that skipped
+      // files is visible too). Same request shape as erase_index_ids.
+      val req = payload.asInstanceOf[EraseIndexIdsRequest]
+      if (req.ids.isEmpty) throw new IllegalArgumentException(
+        "refusing an empty erasure audit: give the ids to verify")
+      if (req.ivf.isEmpty && req.minhash.isEmpty && req.bm25.isEmpty)
+        throw new IllegalArgumentException(
+          "refusing an index-less erasure audit: name the " +
+            "ivf/minhash/bm25 index paths to scan")
+      import ctx.spark.implicits._
+      (req.ivf.map { p =>
+        val (f, s, m) = graft.store.EraseAudit.scan(ctx.spark, p, "vec_id",
+          req.ids, skipDirs = Set("centroids"))
+        (s"ivf:$p", f, s, m)
+      } ++ req.minhash.map { p =>
+        val (f, s, m) = graft.store.EraseAudit.scan(ctx.spark, p, "id", req.ids)
+        (s"minhash:$p", f, s, m)
+      } ++ req.bm25.map { p =>
+        val (f, s, m) = graft.store.EraseAudit.scan(ctx.spark,
+          s"$p/postings", "doc_id", req.ids)
+        (s"bm25:$p", f, s, m)
+      }).toDF("index", "files", "rows_scanned", "rows_found")
+
     case "cmd.tsdb.compact" =>
       // EXTENSION: the round-8 layout/compaction surface, command-
       // reachable so a deployment drives it without Scala (erasure

@@ -190,7 +190,8 @@ object CommandCodec {
     val v = env \ "val"
     val payload: Any = msgType match {
       case "cmd.tsdb.get_data_points" | "cmd.tsdb.get_energy_data_points" |
-           "cmd.tsdb.delete_data_points" => getDataPoints(v)
+           "cmd.tsdb.delete_data_points" |
+           "cmd.tsdb.verify_tier_erasure" => getDataPoints(v)
       case "cmd.tsdb.write_data_points" => Api.WriteDataPointsRequest(
         procId = int(field(v, "procId", "proc_id"), 1), bucket = str(v \ "bucket"),
         dp = (v \ "dp") match {
@@ -204,7 +205,8 @@ object CommandCodec {
         clusterBy = strSeq(v \ "clusterBy"),
         zorder = bool(v \ "zorder", d = false),
         retainHistory = bool(v \ "retainHistory", d = false))
-      case "cmd.tsdb.erase_index_ids" => Api.EraseIndexIdsRequest(
+      case "cmd.tsdb.erase_index_ids" | "cmd.tsdb.verify_erasure" =>
+        Api.EraseIndexIdsRequest(
         procId = int(field(v, "procId", "proc_id"), 1),
         ids = longSeq(v \ "ids"),
         ivf = strSeq(field(v, "ivf", "ivf_paths")),

@@ -976,6 +976,61 @@ final class TierStore(spark: SparkSession, val root: String) {
   }
 
   /**
+   * Audit-grade PHYSICAL erasure verification for a tier — the
+   * [[graft.store.EraseAudit]] stance applied to the corpus store: a
+   * resolver-BYPASSING walk of EVERY parquet file still on disk under
+   * the tier (current commits, superseded `_v=` snapshots, folded raw
+   * files — everything), counting rows that match `predicate`. A
+   * [[deleteWhere]] + [[vacuumTier]] compliance pass must leave
+   * `found == 0`; `scanned` doubles as the completeness witness (it
+   * must equal the survivors' physical row count). Partition columns
+   * are re-derived from the directory names ([[retainedHistoryMatches]]'
+   * idiom), so measurement/date predicates bind. NULL predicate rows
+   * count as non-matching (the [[deleteWhere]] null stance). Returns
+   * (files walked, rows scanned, matching rows found). Cost: one full
+   * physical scan of the tier — per compliance batch, not per query.
+   */
+  def auditErasure(tier: Tier, predicate: Column): (Long, Long, Long) = {
+    val tierRoot = path(tier.name)
+    if (!exists(tierRoot)) return (0L, 0L, 0L)
+    val escape = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName _
+    def parquetUnder(p: HPath): Seq[String] =
+      fs.listStatus(p).toSeq.flatMap { e =>
+        if (e.isDirectory) parquetUnder(e.getPath)
+        else if (e.getPath.getName.endsWith(".parquet")) Seq(e.getPath.toString)
+        else Nil
+      }
+    val parts = for {
+      mDir <- subDirs(tierRoot) if mDir.getName.startsWith("measurement=")
+      m = escape(mDir.getName.stripPrefix("measurement="))
+      dDir <- subDirs(mDir.toString) if dDir.getName.startsWith("date=")
+      d = dDir.getName.stripPrefix("date=")
+      files = parquetUnder(dDir)
+      if files.nonEmpty
+    } yield (m, d, files)
+    if (parts.isEmpty) return (0L, 0L, 0L)
+    var (nf, ns, nm) = (0L, 0L, 0L)
+    // bounded union width (the retainedHistoryMatches 64-partition
+    // batching) — but NO early exit: an audit reports totals
+    parts.grouped(64).foreach { group =>
+      val frames = group.map { case (m, d, files) =>
+        spark.read.parquet(files: _*)
+          .withColumn("measurement", lit(m))
+          .withColumn("date", lit(d).cast("date"))
+      }
+      val r = frames.reduce(_ unionByName (_, allowMissingColumns = true))
+        .agg(org.apache.spark.sql.functions.count(lit(1)),
+          org.apache.spark.sql.functions.count(
+            when(coalesce(predicate, lit(false)), lit(1)))).collect()(0)
+      nf += group.map(_._3.length).sum
+      ns += r.getLong(0)
+      nm += r.getLong(1)
+    }
+    (nf, ns, nm)
+  }
+
+  /**
    * Reclaim history a `retainHistory` maintenance pass kept for
    * [[readAsOf]]: every partition drops snapshots and folded raw files
    * older than its CURRENT commit. After the vacuum, as-of reads can no

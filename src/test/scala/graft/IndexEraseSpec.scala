@@ -388,6 +388,29 @@ class IndexEraseSpec extends SparkSpec {
     assertPhysicallyPurged(idx, "vec_id", Seq(2L, 5L), skipDir = _ == "centroids")
     assertPhysicallyPurged(mh, "id", Seq(2L, 5L))
     assertPhysicallyPurged(s"$bm/postings", "doc_id", Seq(2L, 5L))
+    // the AUDIT command over the same wire shape: raw-scan proof that
+    // nothing erased remains, with exact survivor row counts
+    val auditCmd = graft.api.CommandCodec.decode(
+      s"""{"type":"cmd.tsdb.verify_erasure","serv":"ecollector",
+         |"uid":"a-1","val_t":"object","val":{"ids":[2,5],
+         |"ivf_paths":[${graft.api.CommandCodec.q(idx)}],
+         |"minhash_paths":[${graft.api.CommandCodec.q(mh)}],
+         |"bm25_paths":[${graft.api.CommandCodec.q(bm)}]}}""".stripMargin)
+    val audit = graft.api.Api.dispatch(ctx, auditCmd.msgType, auditCmd.payload)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, (r._3, r._4))).toMap
+    assert(audit(s"ivf:$idx") == ((18L, 0L)), audit.toString)
+    assert(audit(s"minhash:$mh") == ((6L * 5L, 0L)), audit.toString) // bands+1 per doc
+    assert(audit(s"bm25:$bm")._2 == 0L, audit.toString)
+    // a DIRTY state is detected: rebuild the bm25 index fresh (ids
+    // present again) and the audit reports them found
+    graft.functions.Retrieval.buildBm25Index(
+      (0 until 8).map(doc).toDF("doc_id", "text"), s"$work/bm25_dirty")
+    val dirty = graft.api.Api.dispatch(ctx, "cmd.tsdb.verify_erasure",
+      graft.api.Api.EraseIndexIdsRequest(ids = Seq(2L, 5L),
+        bm25 = Seq(s"$work/bm25_dirty")))
+      .as[(String, Long, Long, Long)].collect()(0)
+    assert(dirty._4 > 0L, s"audit failed to flag surviving rows: $dirty")
     // refusals: empty ids, and ids with no index named
     intercept[IllegalArgumentException] {
       graft.api.Api.dispatch(ctx, "cmd.tsdb.erase_index_ids",
@@ -397,6 +420,49 @@ class IndexEraseSpec extends SparkSpec {
       graft.api.Api.dispatch(ctx, "cmd.tsdb.erase_index_ids",
         graft.api.Api.EraseIndexIdsRequest(ids = Seq(1L)))
     }
+    intercept[IllegalArgumentException] {
+      graft.api.Api.dispatch(ctx, "cmd.tsdb.verify_erasure",
+        graft.api.Api.EraseIndexIdsRequest(ids = Seq(1L)))
+    }
+  }
+
+  test("tier erasure audit: exact survivor counts, clean after a " +
+    "deleteWhere through retained history, and a smuggled-back stale " +
+    "file is flagged with its exact remnant count") {
+    val work = tmpDir()
+    val store = new graft.store.TierStore(spark, s"$work/store")
+    val tier = graft.model.Tier.GenRaw
+    def pts(devs: Seq[Int]) = devs.map(i =>
+      ("m1", new java.sql.Timestamp(1700000000000L + i * 1000L), i.toDouble,
+        s"d$i", "0", "sensor", "import", s"m1;$i"))
+      .toDF("measurement", "time", "value", "dev_id", "location_id",
+        "dev_type", "dir", "series_id")
+    store.write(tier, pts(0 until 10))
+    val pred = col("dev_id") === "d3"
+    // pre-erase: the audit reports the live matching row exactly
+    val (_, s0, f0) = store.auditErasure(tier, pred)
+    assert(s0 == 10L && f0 == 1L, s"pre-erase audit ($s0, $f0)")
+    // deleteWhere vacuums its superseded files in the same pass (the
+    // erasure contract) — even through a retained compact snapshot the
+    // audit must come back clean with the exact survivor count
+    store.compact(tier, minFiles = 1, retainHistory = true): Unit
+    assert(store.deleteWhere(tier, pred) > 0)
+    val (_, s1, f1) = store.auditErasure(tier, pred)
+    assert(s1 == 9L && f1 == 0L, s"post-erase audit ($s1, $f1)")
+    // a stale file smuggled back in (foreign restore, operator mistake)
+    // is EXACTLY what the raw walk exists to catch — plant one inside
+    // the partition dir, bypassing every commit protocol
+    val fs = fsOf(s"$work/store")
+    val partDir = fs.listStatus(new HPath(fs.listStatus(
+      new HPath(s"$work/store/tier=gen_raw")).filter(_.isDirectory)(0)
+      .getPath.toString)).filter(_.isDirectory)(0).getPath
+    pts(Seq(3)).drop("measurement").coalesce(1)
+      .write.parquet(s"$work/stale")
+    val staleFile = fs.listStatus(new HPath(s"$work/stale"))
+      .filter(_.getPath.getName.endsWith(".parquet"))(0).getPath
+    require(fs.rename(staleFile, new HPath(partDir, "restored-stale.parquet")))
+    val (_, s2, f2) = store.auditErasure(tier, pred)
+    assert(f2 == 1L && s2 == 10L, s"audit missed the planted remnant ($s2, $f2)")
   }
 
   test("IVF erase after a retained rebuild reclaims the old generation's " +
