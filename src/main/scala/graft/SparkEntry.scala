@@ -1176,7 +1176,8 @@ object SparkEntry {
 
     "s11_erase_audit" -> ((s, dir) => {
       // AUDIT-GRADE erasure verification e2e: build all THREE derived
-      // indexes, erase the % 5 == 1 slice from each through the wire
+      // indexes (on the even halves — composite-fixture cost control),
+      // erase the % 10 == 6 slice from each through the wire
       // command, then run cmd.tsdb.verify_erasure — a resolver-
       // BYPASSING raw scan of every parquet file left on disk. The
       // oracle recomputes what each index must physically hold for
@@ -1188,17 +1189,17 @@ object SparkEntry {
       // compliance proof as a query
       val work = java.nio.file.Files.createTempDirectory("graft_audit")
         .toFile.getAbsolutePath
-      val emb = table(s, dir, "embeddings")
-      val docs = table(s, dir, "documents")
+      val emb = table(s, dir, "embeddings").filter(col("vec_id") % 2 === 0)
+      val docs = table(s, dir, "documents").filter(col("doc_id") % 2 === 0)
       graft.functions.Similarity.buildIvfIndex(emb, s"$work/idx",
         nLists = 8, trainIters = 1)
       Dedup.buildMinhashIndex(docs, s"$work/mh")
       graft.functions.Retrieval.buildBm25Index(docs, s"$work/bm")
       val store = new graft.store.TierStore(s, s"$work/store")
       val ctx = graft.api.Api.Context(s, store)
-      val vecIds = emb.filter(col("vec_id") % 5 === 1)
+      val vecIds = emb.filter(col("vec_id") % 10 === 6)
         .select("vec_id").collect().map(_.getLong(0)).toSeq
-      val docIds = docs.filter(col("doc_id") % 5 === 1)
+      val docIds = docs.filter(col("doc_id") % 10 === 6)
         .select("doc_id").collect().map(_.getLong(0)).toSeq
       graft.api.Api.dispatch(ctx, "cmd.tsdb.erase_index_ids",
         graft.api.Api.EraseIndexIdsRequest(ids = vecIds,
@@ -3376,19 +3377,18 @@ object SparkEntry {
     "s11_erase_audit" ->
       """WITH toks AS (
         |  SELECT doc_id,
-        |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nt,
         |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
-        |  FROM documents),
+        |  FROM documents WHERE doc_id % 2 = 0),
         |u AS (
         |  SELECT 'ivf' AS store, count(*) AS rows_scanned
-        |  FROM embeddings WHERE vec_id % 5 <> 1
+        |  FROM embeddings WHERE vec_id % 2 = 0 AND vec_id % 10 <> 6
         |  UNION ALL
         |  SELECT 'minhash', 17 * count(*)
-        |  FROM documents WHERE doc_id % 5 <> 1
+        |  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 <> 6
         |    AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 3
         |  UNION ALL
         |  SELECT 'bm25', count(*) FROM (
-        |    SELECT DISTINCT doc_id, term FROM toks WHERE doc_id % 5 <> 1))
+        |    SELECT DISTINCT doc_id, term FROM toks WHERE doc_id % 10 <> 6))
         |SELECT store, CAST(rows_scanned AS BIGINT) AS rows_scanned,
         |  CAST(0 AS BIGINT) AS rows_found
         |FROM u""".stripMargin,
