@@ -89,6 +89,38 @@ class RunPinSpec extends SparkSpec {
       s"pinned dedup query leaked phase B: $hits")
   }
 
+  test("Bm25 member: a pinned BM25 query reproduces across an erase " +
+    "through the loaded manifest") {
+    import graft.functions.Retrieval
+    val work = tmpDir()
+    def d(i: Int) = (i.toLong, s"table hash merge scan alpha$i")
+    Retrieval.buildBm25Index((0 until 20).map(d).toDF("doc_id", "text"),
+      s"$work/bm")
+    // an erase DESTROYS history by contract — so pin AFTER the first
+    // erase and prove the manifest reproduces across a SECOND one...
+    Retrieval.eraseFromBm25Index(spark, s"$work/bm", Seq(7L)): Unit
+    val pin = RunPin.capture(spark, Seq("lex" -> RunPin.Bm25(s"$work/bm")))
+    RunPin.save(spark, pin, s"$work/run.pin")
+    val before = Retrieval.queryBm25Index(spark, s"$work/bm",
+      Seq("table"), k = 30).as[(Long, Long)].collect().toSeq
+    val loaded = RunPin.load(spark, s"$work/run.pin")
+    val pinned = Retrieval.queryBm25Index(spark, s"$work/bm",
+      Seq("table"), k = 30,
+      asOf = Some(RunPin.bm25Pin(loaded, "lex", s"$work/bm")))
+      .as[(Long, Long)].collect().toSeq
+    assert(pinned == before && before.length == 19)
+    // ...and that the second erase makes the pin loudly stale
+    Thread.sleep(20)
+    Retrieval.eraseFromBm25Index(spark, s"$work/bm", Seq(3L)): Unit
+    intercept[IllegalStateException] {
+      Retrieval.queryBm25Index(spark, s"$work/bm", Seq("table"), k = 30,
+        asOf = Some(RunPin.bm25Pin(loaded, "lex", s"$work/bm"))).count()
+    }
+    intercept[IllegalArgumentException] {
+      RunPin.ivfPin(loaded, "lex", s"$work/bm") // wrong kind refuses
+    }
+  }
+
   test("guarded resolution: wrong member, wrong kind, and wrong path " +
     "all refuse loudly") {
     val work = tmpDir()
