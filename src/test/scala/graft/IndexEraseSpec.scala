@@ -107,6 +107,9 @@ class IndexEraseSpec extends SparkSpec {
       assert(st.getLen == len && st.getModificationTime == mtime,
         s"untouched file rewritten by the erase: $f")
     }
+    // idempotent: a re-run with the same ids is a clean no-op
+    assert(Similarity.eraseFromIvfIndex(spark, idx, ids) == 0L)
+    assert(Similarity.readIvfLists(spark, idx).count() == 26L)
     // a pre-erase pin must fail LOUDLY, never resurrect the erased rows
     val e = intercept[IllegalStateException] {
       Similarity.readIvfLists(spark, idx, asOf = Some(pin)).count()
@@ -235,6 +238,9 @@ class IndexEraseSpec extends SparkSpec {
       .filter(col("id").isin(ids: _*)).count() == 0L)
     // PHYSICAL completeness across both tables, superseded files included
     assertPhysicallyPurged(root, "id", ids)
+    // idempotent: a re-run with the same ids is a clean no-op
+    assert(Dedup.eraseFromMinhashIndex(spark, root, ids) == 0L)
+    assert(hits() == before -- ids)
     // pre-erase pin fails loudly
     intercept[IllegalStateException] {
       Dedup.readIndexTable(spark, root, "shingles", asOf = Some(pin)).count()
