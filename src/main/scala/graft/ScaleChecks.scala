@@ -129,10 +129,17 @@ object ScaleChecks {
     // derive from the ACTUAL ids — scaled fixtures shift ids per replica
     val eraseIds = emb.filter(col("vec_id") % 97 === 3)
       .select("vec_id").collect().map(_.getLong(0)).toSeq
+    // the resolver's pre-erase LIVE view: live clean files must survive
+    // byte-stable; only SUPERSEDED clean files may legitimately vanish
+    // (the erase's unconditional vacuum reclaims them)
+    def uri(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val preLive = Similarity.readIvfLists(spark, s"$work/idx")
+      .inputFiles.map(uri).toSet
     val preClean = parquetUnder(s"$work/idx", _ == "centroids").flatMap { f =>
       val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(f))
       if (spark.read.parquet(f).filter(col("vec_id").isin(eraseIds: _*))
-        .isEmpty) Some((f, st.getLen, st.getModificationTime)) else None
+        .isEmpty) Some((f, preLive(uri(f)), st.getLen, st.getModificationTime))
+      else None
     }
     val erased = Similarity.eraseFromIvfIndex(spark, s"$work/idx", eraseIds)
     check("ivf erase: erased exactly the requested ids") {
@@ -154,13 +161,17 @@ object ScaleChecks {
         .filter(col("vec_id").isin(eraseIds: _*)).count()
     }
     check("ivf erase: cost proportional — clean files byte-stable") {
-      // every pre-erase clean LIVE file must survive untouched; the
-      // count of vanished-or-rewritten clean files is the violation
-      preClean.count { case (f, len, m) =>
+      // every pre-erase clean LIVE file must survive untouched — a
+      // vanished live clean file means the erase deleted data it never
+      // needed to touch (violation), not just a rewrite; a superseded
+      // clean file may vanish (vacuum) but must never be REWRITTEN
+      preClean.count { case (f, live, len, m) =>
         val p = new org.apache.hadoop.fs.Path(f)
-        // superseded files vacuumed by the erase are legitimate ONLY if
-        // a fold had superseded them; plain live clean files must stay
-        fs.exists(p) && {
+        if (live) !fs.exists(p) || {
+          val st = fs.getFileStatus(p)
+          st.getLen != len || st.getModificationTime != m
+        }
+        else fs.exists(p) && {
           val st = fs.getFileStatus(p)
           st.getLen != len || st.getModificationTime != m
         }

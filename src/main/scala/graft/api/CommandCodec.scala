@@ -80,7 +80,14 @@ object CommandCodec {
     case other => throw new IllegalArgumentException(s"not a string array: $other")
   }
   private def longSeq(v: JValue): Seq[Long] = v match {
-    case JArray(xs) => xs.map(long(_, 0L))
+    // elements are STRICT (no null→0 default): these arrays carry
+    // destructive-command id sets (cmd.tsdb.erase_index_ids), and a
+    // malformed [1, null, 3] must fail loudly, not erase id 0
+    case JArray(xs) => xs.map {
+      case JNull | JNothing => throw new IllegalArgumentException(
+        "null element in long array")
+      case x => long(x, 0L)
+    }
     case JNull | JNothing => Nil
     case other => throw new IllegalArgumentException(s"not a long array: $other")
   }

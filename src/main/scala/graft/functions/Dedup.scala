@@ -1092,7 +1092,10 @@ object Dedup {
    * there is no aggregate residue here — signatures and buckets are
    * per-document and are fully removed.
    *
-   * `ids` is the bounded compliance batch (ships as a literal filter).
+   * `ids` scales from a compliance batch (a literal IN-list predicate,
+   * pushed into the scans) to a domain-level mass purge: above
+   * [[graft.store.IdFilter.InListMax]] membership becomes a broadcast
+   * semi/anti join — plan size O(1), the set ships once per executor.
    * Single-maintainer like [[compactMinhashIndex]]. Returns the number
    * of shingle-set rows erased (documents, counting legacy duplicates;
    * band-bucket rows are erased alongside but not counted).
@@ -1119,8 +1122,11 @@ object Dedup {
           new org.apache.spark.sql.types.StructType(),
           Seq((org.apache.spark.sql.catalyst.InternalRow.empty, files)),
           Seq(live)).get
-        val agg = frame.filter(col("id").isin(ids: _*))
-          .select(input_file_name().as("_f"))
+        // IdFilter: literal IN-list for a bounded batch, broadcast semi
+        // join above the bound (a mass purge must not build a
+        // million-term plan)
+        val agg = graft.store.IdFilter.keepIn(
+            frame.select(col("id"), input_file_name().as("_f")), "id", ids)
           .agg(count(lit(1)), collect_set(col("_f"))).collect()(0)
         if (t == "shingles") erased = agg.getLong(0)
         val hitPaths = agg.getSeq[String](1).map(norm).toSet
@@ -1132,11 +1138,12 @@ object Dedup {
             fs.delete(staged, true)
             val n = math.max(1, math.ceil(
               p.candidates.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
-            graft.store.SnapshotFold.dataFrame(spark,
-              new org.apache.spark.sql.types.StructType(),
-              Seq((org.apache.spark.sql.catalyst.InternalRow.empty, p.candidates)),
-              Seq(live)).get
-              .filter(!col("id").isin(ids: _*))
+            graft.store.IdFilter.dropIn(
+              graft.store.SnapshotFold.dataFrame(spark,
+                new org.apache.spark.sql.types.StructType(),
+                Seq((org.apache.spark.sql.catalyst.InternalRow.empty,
+                  p.candidates)),
+                Seq(live)).get, "id", ids)
               .repartition(n).write.parquet(staged.toString)
             graft.store.SnapshotFold.publish(fs, live, p.version, staged,
               p.foldedRels)

@@ -161,6 +161,11 @@ object Retrieval {
   def pinBm25Index(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // LOUD on a bad path (pinIvfIndex/pinMinhashIndex parity): a typo'd
+    // root must fail at capture time, not months later when an asOf
+    // read resolves an empty view against pin 0
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats")),
+      s"no BM25 index at $path")
     val statsPin = graft.store.SnapshotFold.pinDir(fs,
       new org.apache.hadoop.fs.Path(s"$path/stats"))
     shardDirsOf(fs, new org.apache.hadoop.fs.Path(s"$path/postings"))
@@ -219,8 +224,11 @@ object Retrieval {
       graft.store.SnapshotFold.dataFrame(spark, shardSchema, parts, Seq(live)) match {
         case None => Set.empty
         case Some(frame) =>
-          val hits = frame.filter(col("doc_id").isin(ids: _*))
-            .select(col("doc_id"), col("dl"), input_file_name().as("_f"))
+          // IdFilter: literal IN-list for a bounded batch, broadcast
+          // semi join for a mass purge (plan stays O(1))
+          val hits = graft.store.IdFilter.keepIn(
+              frame.select(col("doc_id"), col("dl"),
+                input_file_name().as("_f")), "doc_id", ids)
             .localCheckpoint()
           val docAgg = hits.select(col("doc_id"), col("dl")).distinct()
             .agg(count(lit(1)), coalesce(sum(col("dl").cast("long")), lit(0L)))
@@ -243,8 +251,9 @@ object Retrieval {
       }
       val bytes = plans.flatMap(_._3.candidates).map(_.getLen).sum
       val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-      graft.store.SnapshotFold.dataFrame(spark, shardSchema, pparts, Seq(live)).get
-        .filter(!col("doc_id").isin(ids: _*))
+      graft.store.IdFilter.dropIn(
+          graft.store.SnapshotFold.dataFrame(spark, shardSchema, pparts,
+            Seq(live)).get, "doc_id", ids)
         .repartition(nOut, col("shard"))
         .write.partitionBy("shard").parquet(staged.toString)
       plans.foreach { case (_, name, p) =>

@@ -792,9 +792,11 @@ object Similarity {
    * surviving corpus only; (2) the CORPUS store this index was built
    * from needs its own [[graft.store.TierStore.deleteWhere]] pass.
    *
-   * `ids` is the bounded erase request (a compliance batch, not a
-   * corpus-scale predicate — it ships as a literal filter into the
-   * scans). Single-maintainer like [[compactIvfLists]]. Returns the
+   * `ids` scales from a compliance batch (a literal IN-list pushed
+   * into the scans) to a domain-level mass purge: above
+   * [[graft.store.IdFilter.InListMax]] membership becomes a broadcast
+   * semi/anti join — plan size O(1) regardless of set size.
+   * Single-maintainer like [[compactIvfLists]]. Returns the
    * number of index rows erased (counting legacy duplicates).
    */
   def eraseFromIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
@@ -822,8 +824,11 @@ object Similarity {
       graft.store.SnapshotFold.dataFrame(spark, listIdSchema, parts, Seq(live)) match {
         case None => Set.empty
         case Some(frame) =>
-          val agg = frame.filter(col("vec_id").isin(ids: _*))
-            .select(input_file_name().as("_f"))
+          // membership via IdFilter: a literal IN-list for a bounded
+          // compliance batch, a broadcast semi join for a mass purge
+          val agg = graft.store.IdFilter.keepIn(
+              frame.select(col("vec_id"), input_file_name().as("_f")),
+              "vec_id", ids)
             .agg(count(lit(1)), collect_set(col("_f"))).collect()(0)
           erased = agg.getLong(0)
           agg.getSeq[String](1).map(norm).toSet
@@ -841,8 +846,9 @@ object Similarity {
       }
       val bytes = plans.flatMap(_._3.candidates).map(_.getLen).sum
       val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-      graft.store.SnapshotFold.dataFrame(spark, listIdSchema, pparts, Seq(live)).get
-        .filter(!col("vec_id").isin(ids: _*))
+      graft.store.IdFilter.dropIn(
+          graft.store.SnapshotFold.dataFrame(spark, listIdSchema, pparts,
+            Seq(live)).get, "vec_id", ids)
         .repartition(n, col("list_id"))
         .write.partitionBy("list_id").parquet(staged.toString)
       plans.foreach { case (_, name, p) =>

@@ -40,9 +40,13 @@ object EraseAudit {
       }
     val files = walk(rootP)
     if (files.isEmpty) return (0L, 0L, 0L)
-    val r = spark.read.parquet(files: _*).select(col(idCol))
+    // membership through IdFilter (one pass for both counts): a
+    // literal IN-list for a bounded batch, a broadcast left join +
+    // marker column for a mass purge
+    val r = IdFilter.markIn(
+        spark.read.parquet(files: _*).select(col(idCol)), idCol, ids, "_hit")
       .agg(count(lit(1)),
-        count(when(col(idCol).isin(ids: _*), lit(1)))).collect()(0)
+        count(when(col("_hit"), lit(1)))).collect()(0)
     (files.length.toLong, r.getLong(0), r.getLong(1))
   }
 }

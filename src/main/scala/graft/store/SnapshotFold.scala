@@ -186,10 +186,29 @@ object SnapshotFold {
       minFiles: Int,
       batchCommitted: (String, Long) => Boolean = (_, _) => true): Option[Plan] = {
     if (!fs.exists(dir)) return None
+    // sweep crashed-fold orphans BEFORE the minFiles gate: a dir that
+    // never re-qualifies for folding must still reclaim the garbage a
+    // crashed pre-commit fold left (invisible to readers, but disk)
+    sweepOrphanVersionDirs(fs, dir, fs.listStatus(dir).toSeq): Unit
     val live = resolve(fs, dir, batchCommitted)
     val smalls = live.filter(_.getLen < targetFileBytes)
     if (smalls.length < minFiles) None
     else planFiles(fs, dir, smalls)
+  }
+
+  /** Delete `_v=N` dirs with no `_commit_N` marker (a fold that crashed
+   *  before its commit — invisible to readers, but their numbers must
+   *  not be reused around stale content). Returns the committed version
+   *  numbers and the surviving dir versions, for version allocation. */
+  private def sweepOrphanVersionDirs(fs: FileSystem, dir: HPath,
+      entries: Seq[FileStatus]): (Set[Long], Seq[Long]) = {
+    val committedVs = entries
+      .flatMap(e => TierLayout.parseCommit(e.getPath.getName)).toSet
+    val dirVs = entries.filter(_.isDirectory)
+      .flatMap(e => versionOfDir(e.getPath.getName).map(_ -> e.getPath))
+    dirVs.filterNot { case (v, _) => committedVs(v) }
+      .foreach { case (_, p) => fs.delete(p, true) } // crashed pre-commit
+    (committedVs, dirVs.map(_._1))
   }
 
   /**
@@ -203,12 +222,7 @@ object SnapshotFold {
       candidates: Seq[FileStatus]): Option[Plan] = {
     if (candidates.isEmpty || !fs.exists(dir)) return None
     val entries = fs.listStatus(dir).toSeq
-    val committedVs = entries
-      .flatMap(e => TierLayout.parseCommit(e.getPath.getName)).toSet
-    val dirVs = entries.filter(_.isDirectory)
-      .flatMap(e => versionOfDir(e.getPath.getName).map(_ -> e.getPath))
-    dirVs.filterNot { case (v, _) => committedVs(v) }
-      .foreach { case (_, p) => fs.delete(p, true) } // crashed pre-commit
+    val (committedVs, dirVs) = sweepOrphanVersionDirs(fs, dir, entries)
     val dirQ = fs.makeQualified(dir).toString
     val rels = candidates.map { f =>
       val rel = fs.makeQualified(f.getPath).toString
@@ -216,7 +230,7 @@ object SnapshotFold {
       require(rel.nonEmpty && !rel.startsWith("/"), s"bad relpath for $f")
       rel
     }
-    val v = (committedVs ++ dirVs.map(_._1)).maxOption.getOrElse(0L) + 1
+    val v = (committedVs ++ dirVs).maxOption.getOrElse(0L) + 1
     Some(Plan(dir, v, candidates, rels))
   }
 
