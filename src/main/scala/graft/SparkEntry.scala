@@ -1418,6 +1418,68 @@ object SparkEntry {
         Seq("table", "hash", "merge", "scan"), k = 20)
     }),
 
+    "text_bm25_streamed" -> ((s, dir) => {
+      // STREAMING BM25 index maintenance e2e (round-12 ask #2): build
+      // on the even half, stream the odd half in micro-batches — each
+      // batch's postings, stats delta, and zero-doc ids commit under
+      // ONE exactly-once ledger marker — run the selective shard/stats
+      // folds, then query. Must hash-match the direct-BM25 oracle over
+      // the WHOLE corpus, proving the streamed index holds exactly
+      // every document (none lost, none double-counted in either the
+      // postings or the corpus stats); the lexical counterpart of
+      // sim_ivf_stream. Batch count is PINNED (4 input files, 2 per
+      // trigger = 2 batches) so the bench entry measures the plan.
+      val work = java.nio.file.Files.createTempDirectory("graft_bm25s")
+        .toFile.getAbsolutePath
+      val docs = table(s, dir, "documents")
+      graft.functions.Retrieval.buildBm25Index(
+        docs.filter(col("doc_id") % 2 === 0), s"$work/idx")
+      val incoming = docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text")
+      incoming.repartition(4).write.parquet(s"$work/in")
+      val q = graft.functions.Retrieval.streamingBm25Append(
+        s.readStream.schema(incoming.schema)
+          .option("maxFilesPerTrigger", "2").parquet(s"$work/in"),
+        s"$work/idx", s"$work/ckpt")
+      q.processAllAvailable(); graft.stream.StreamOps.stopAndUnload(q)
+      graft.functions.Retrieval.compactBm25Index(s, s"$work/idx", minFiles = 2)
+      graft.functions.Retrieval.queryBm25Index(s, s"$work/idx",
+        Seq("table", "hash", "merge", "scan"), k = 20)
+    }),
+
+    "text_bm25_asof" -> ((s, dir) => {
+      // AS-OF PINNED lexical retrieval (round-12): build on the evens,
+      // stream phase A (doc_id % 4 == 1), PIN the index from its own
+      // storage records (pinBm25Index), stream phase B (doc_id % 4 ==
+      // 3), run a HISTORY-RETAINING fold — and query the pin. Must
+      // hash-match a fresh BM25 over evens + phase A only: phase B's
+      // ledgered appends (postings AND stats deltas) and the fold's
+      // rewrite are both invisible to the pin — the training-run
+      // reproducibility contract, extended to the lexical index.
+      val work = java.nio.file.Files.createTempDirectory("graft_bm25p")
+        .toFile.getAbsolutePath
+      val docs = table(s, dir, "documents")
+      graft.functions.Retrieval.buildBm25Index(
+        docs.filter(col("doc_id") % 2 === 0), s"$work/idx")
+      val phaseA = docs.filter(col("doc_id") % 4 === 1)
+        .select("doc_id", "text")
+      phaseA.repartition(2).write.parquet(s"$work/in")
+      val q = graft.functions.Retrieval.streamingBm25Append(
+        s.readStream.schema(phaseA.schema)
+          .option("maxFilesPerTrigger", "2").parquet(s"$work/in"),
+        s"$work/idx", s"$work/ckpt")
+      q.processAllAvailable()
+      val pin = graft.functions.Retrieval.pinBm25Index(s, s"$work/idx")
+      Thread.sleep(20) // phase B's records get strictly later mtimes
+      docs.filter(col("doc_id") % 4 === 3).select("doc_id", "text")
+        .repartition(2).write.mode("append").parquet(s"$work/in")
+      q.processAllAvailable(); graft.stream.StreamOps.stopAndUnload(q)
+      graft.functions.Retrieval.compactBm25Index(s, s"$work/idx",
+        minFiles = 2, retainHistory = true)
+      graft.functions.Retrieval.queryBm25Index(s, s"$work/idx",
+        Seq("table", "hash", "merge", "scan"), k = 20, asOf = Some(pin))
+    }),
+
     "pipe_blocklist" -> ((s, dir) =>
       // token blocklist: survivors contain none of the listed tokens
       // (predicate form; the broadcast semi-join twin is spec-asserted
@@ -1576,9 +1638,14 @@ object SparkEntry {
         .toFile.getAbsolutePath
       val pts = events(s, dir).select(col("ts").as("time"),
         round(col("value") * 100).cast("long").cast("double").as("cents"))
-      pts.write.parquet(s"$work/in")
+      // batch-DETERMINISTIC (r11 ask #3): every input file in ONE data
+      // batch (+ the final watermark-advance batch) on every run — a
+      // 2-per-trigger split left the empty-batch count hostage to the
+      // file order's effect on watermark progression
+      pts.repartition(4).write.parquet(s"$work/in")
       val sealedQ = graft.functions.Profile.streamingHistogram(
-        s.readStream.schema(pts.schema).parquet(s"$work/in"),
+        s.readStream.schema(pts.schema)
+          .option("maxFilesPerTrigger", "100000").parquet(s"$work/in"),
         "time", col("cents"), lo = 0.0, hi = 50000.0, nBuckets = 20,
         windowDur = "6 hours", watermarkDelay = "2 hours")
       val q = sealedQ.writeStream.outputMode("append")
@@ -1603,9 +1670,12 @@ object SparkEntry {
       val work = java.nio.file.Files.createTempDirectory("graft_topks")
         .toFile.getAbsolutePath
       val pts = events(s, dir).select(col("ts").as("time"), col("user_id"))
-      pts.write.parquet(s"$work/in")
+      // batch-DETERMINISTIC (r11 ask #3): one data batch + the final
+      // watermark-advance batch (see prof_streaming_psi)
+      pts.repartition(4).write.parquet(s"$work/in")
       val sealedQ = graft.functions.Profile.streamingKeyCounts(
-        s.readStream.schema(pts.schema).parquet(s"$work/in"),
+        s.readStream.schema(pts.schema)
+          .option("maxFilesPerTrigger", "100000").parquet(s"$work/in"),
         "time", col("user_id"), windowDur = "6 hours",
         watermarkDelay = "2 hours")
       val q = sealedQ.writeStream.outputMode("append")
@@ -2004,8 +2074,12 @@ object SparkEntry {
       val store = new graft.store.TierStore(s, root)
       store.writeRouted(points(s, dir, "sensor_")
         .filter(col("measurement") === "sensor_click"))
+      // batch-DETERMINISTIC run (r11 ask #3): one data batch holding
+      // every routed file, so the driver's stream_diag batch count
+      // measures the plan, never the poll cadence
       val q = Downsampler.streamingHop(store, graft.model.Tier.GenRaw,
-        graft.model.Tier.GenDay, s"$root/_ckpt_hop", watermark = "30 minutes")
+        graft.model.Tier.GenDay, s"$root/_ckpt_hop", watermark = "30 minutes",
+        maxFilesPerTrigger = Some(100000))
       q.processAllAvailable(); graft.stream.StreamOps.stopAndUnload(q)
       store.read(graft.model.Tier.GenDay).select(
         col("measurement"), col("dev_id"), col("dev_type"), col("dir"),
@@ -2055,9 +2129,12 @@ object SparkEntry {
           (col("user_id") % 5).cast("int") + 1).as("agg_func"),
         concat(lit("sensor_"), col("event_type"), lit(";"),
           col("user_id").cast("string")).as("series_id"))
-      pts.write.parquet(s"$work/in")
+      // batch-DETERMINISTIC (r11 ask #3): one data batch + the final
+      // watermark-advance batch (see prof_streaming_psi)
+      pts.repartition(4).write.parquet(s"$work/in")
       val q = Aggregator.streamingWindowed(
-          s.readStream.schema(pts.schema).parquet(s"$work/in"))
+          s.readStream.schema(pts.schema)
+            .option("maxFilesPerTrigger", "100000").parquet(s"$work/in"))
         .writeStream.outputMode("append")
         .option("checkpointLocation", s"$work/ckpt")
         .format("parquet").option("path", s"$work/out").start()
@@ -3905,6 +3982,12 @@ object SparkEntry {
     // purged AND the stats row corrected (n_docs, total_dl shrink by
     // exactly the erased docs' contributions)
     "text_bm25_erased" -> bm25OracleSql("doc_id % 9 <> 4"),
+    // streamed build+append+fold must reproduce the direct path over
+    // the whole corpus exactly (exactly-once postings AND stats)
+    "text_bm25_streamed" -> Bm25OracleSql,
+    // a pinned read answers against the pinned corpus only (evens +
+    // phase A); phase B and the fold are invisible to the pin
+    "text_bm25_asof" -> bm25OracleSql("doc_id % 2 = 0 OR doc_id % 4 = 1"),
 
     "text_vocab_coverage" ->
       """WITH c AS (

@@ -1112,44 +1112,20 @@ object Dedup {
     val genRoot = currentGenRoot(fs, path)
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$genRoot/buckets")),
       s"no MinHash index at $path")
-    def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
     var erased = 0L
     Seq("buckets", "shingles").foreach { t =>
       val live = new org.apache.hadoop.fs.Path(s"$genRoot/$t")
-      val files = graft.store.SnapshotFold.resolve(fs, live, committed)
-      if (files.nonEmpty) {
-        val frame = graft.store.SnapshotFold.dataFrame(spark,
+      // the shared erase core: hit scan (IdFilter — literal IN-list for
+      // a bounded batch, broadcast semi join for a mass purge),
+      // selective rewrite, reader-atomic publish
+      val (rows, _) = graft.store.IndexErase.eraseRows(spark, fs,
+        graft.store.IndexErase.Target(live,
           new org.apache.spark.sql.types.StructType(),
-          Seq((org.apache.spark.sql.catalyst.InternalRow.empty, files)),
-          Seq(live)).get
-        // IdFilter: literal IN-list for a bounded batch, broadcast semi
-        // join above the bound (a mass purge must not build a
-        // million-term plan)
-        val agg = graft.store.IdFilter.keepIn(
-            frame.select(col("id"), input_file_name().as("_f")), "id", ids)
-          .agg(count(lit(1)), collect_set(col("_f"))).collect()(0)
-        if (t == "shingles") erased = agg.getLong(0)
-        val hitPaths = agg.getSeq[String](1).map(norm).toSet
-        if (hitPaths.nonEmpty) {
-          val cands = files.filter(f =>
-            hitPaths(norm(fs.makeQualified(f.getPath).toString)))
-          graft.store.SnapshotFold.planFiles(fs, live, cands).foreach { p =>
-            val staged = new org.apache.hadoop.fs.Path(s"$path/.erase/$t")
-            fs.delete(staged, true)
-            val n = math.max(1, math.ceil(
-              p.candidates.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
-            graft.store.IdFilter.dropIn(
-              graft.store.SnapshotFold.dataFrame(spark,
-                new org.apache.spark.sql.types.StructType(),
-                Seq((org.apache.spark.sql.catalyst.InternalRow.empty,
-                  p.candidates)),
-                Seq(live)).get, "id", ids)
-              .repartition(n).write.parquet(staged.toString)
-            graft.store.SnapshotFold.publish(fs, live, p.version, staged,
-              p.foldedRels)
-          }
-        }
-      }
+          Seq((org.apache.spark.sql.catalyst.InternalRow.empty, live,
+            graft.store.SnapshotFold.resolve(fs, live, committed)))),
+        "id", ids, new org.apache.hadoop.fs.Path(s"$path/.erase/$t"),
+        targetFileBytes)
+      if (t == "shingles") erased = rows
       // UNCONDITIONAL vacuum — superseded files still carry the rows
       graft.store.SnapshotFold.vacuumDir(fs, live)
     }

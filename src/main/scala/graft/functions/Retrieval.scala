@@ -1,7 +1,11 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import graft.store.{BatchLedger, IdFilter, IndexErase, SnapshotFold, StagedBatchAppend}
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
 
 /**
  * Lexical retrieval over the corpus: BM25 top-k (Robertson et al.,
@@ -70,42 +74,132 @@ object Retrieval {
   private def termShard(term: org.apache.spark.sql.Column) =
     pmod(xxhash64(term), lit(64L)).cast("int")
 
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   /**
-   * PERSISTED BM25 index — build once, query many times, same contract
-   * as the persisted MinHash and IVF indexes: the expensive pass
-   * (tokenize + tf over the whole corpus) runs at build and lands as
-   * parquet postings partitioned by a 64-way term-hash shard, with
-   * corpus stats (N, total length) in a one-row side table. A query
-   * reads ONLY its terms' shards — the scan is partition-pruned to
-   * ~|terms|/64 of the postings — computes df from the loaded postings,
-   * and scores identically to [[bm25TopK]].
+   * PERSISTED BM25 index — build once, append forever, query many
+   * times: the same full index LIFECYCLE the persisted MinHash and IVF
+   * indexes carry (build / streaming exactly-once appends / selective
+   * reader-atomic folds / skew-proof pins + as-of reads / targeted
+   * erasure), specialized to the lexical layout. The expensive pass
+   * (tokenize + tf over the corpus) runs at build/append time and
+   * lands as parquet postings partitioned by a 64-way term-hash shard.
+   * A query reads ONLY its terms' shards — the scan is
+   * partition-pruned to ~|terms|/64 of the postings — computes df from
+   * the loaded postings, and scores identically to [[bm25TopK]].
+   *
+   * Corpus stats are an ADDITIVE LEDGER, not one mutable row: `stats/`
+   * holds (n_docs, total_dl) DELTA rows — one from the build, one per
+   * streamed batch — and readers aggregate the resolved set (a sum of
+   * a handful of one-row files; folds keep it a handful). That is what
+   * makes appends exactly-once end-to-end: a batch's postings AND its
+   * stats delta commit under ONE ledger marker, so no read-modify-
+   * write of a mutable row races the stream. `zero_docs/` records the
+   * ids of documents that produced ZERO tokens (they have no postings
+   * to witness them, but they are part of n_docs and must be erasable
+   * individually).
+   *
+   * NOTE: `buildBm25Index(mode overwrite)` over an existing path
+   * REPLACES history rather than versioning it — build at a fresh path
+   * when pins must survive.
    */
   def buildBm25Index(docs: DataFrame, path: String,
-      idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    val toks = docs.select(col(idCol).as("doc_id"),
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    writeBm25Tables(docs, idCol, textCol, s"$path/postings",
+      s"$path/stats", s"$path/zero_docs", mode = "overwrite")
+
+  /** The shared tokenize-and-land pass of [[buildBm25Index]] and
+   *  [[appendBm25Batch]]: postings (term-hash sharded), the one-row
+   *  stats DELTA, and the zero-token doc ids. One tokenize pass feeds
+   *  the postings; a second feeds the tiny (doc_id, dl) frame that
+   *  serves both stats and zero_docs (cached — two long columns). */
+  private def writeBm25Tables(docs: DataFrame, idCol: String, textCol: String,
+      postingsDir: String, statsDir: String, zeroDir: String,
+      mode: String): Unit = {
+    val tok = docs.select(col(idCol).as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("_toks"))
-      .select(col("doc_id"), size(col("_toks")).as("dl"),
-        explode(col("_toks")).as("term"))
-    toks.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), size(col("_toks")).as("dl"), col("_toks"))
+    tok.select(col("doc_id"), col("dl"), explode(col("_toks")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
       .withColumn("shard", termShard(col("term")))
       .repartition(col("shard"))
-      .write.mode("overwrite").partitionBy("shard").parquet(s"$path/postings")
-    docs.agg(count(lit(1)).as("n_docs"),
-        sum(size(TextFunctions.tokens(col(textCol))).cast("long")).as("total_dl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+      .write.mode(mode).partitionBy("shard").parquet(postingsDir)
+    val dls = tok.select(col("doc_id"), col("dl").cast("long").as("dl")).persist()
+    try {
+      dls.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("dl"), lit(0L)).as("total_dl"))
+        .coalesce(1).write.mode(mode).parquet(statsDir)
+      dls.filter(col("dl") === 0L).select("doc_id")
+        .coalesce(1).write.mode(mode).parquet(zeroDir)
+    } finally dls.unpersist(): Unit
   }
 
+  /**
+   * STREAMING index maintenance — the ingest lifecycle the IVF and
+   * MinHash indexes already have ([[Similarity.streamingIvfAppend]]
+   * contract): per micro-batch, tokenize the arriving documents and
+   * append their postings + stats delta + zero-doc ids under ONE
+   * exactly-once [[graft.store.StagedBatchAppend]] commit (stage →
+   * manifest → move → ledger marker), so a crash replay SKIPS a
+   * committed batch instead of double-counting it in both the postings
+   * and the corpus stats. Concurrent [[queryBm25Index]] calls observe
+   * clean batch boundaries: the snapshot resolver admits a batch's
+   * files only once its marker exists, so a query can never see a
+   * batch's postings without its stats delta (or vice versa).
+   *
+   * `compactEvery > 0` runs [[compactBm25Index]] from inside
+   * foreachBatch every that many batches (one maintainer by
+   * construction); with the default an external scheduler may fold the
+   * LIVE index — the manifest publish is reader-atomic and never lists
+   * an uncommitted batch's files as candidates.
+   *
+   * Scale shape: each batch shuffles only its own (doc, term) tuples
+   * (one hash-agg + one shard repartition) and writes only its own
+   * rows; the index is never rewritten on append.
+   */
+  def streamingBm25Append(stream: DataFrame, path: String, checkpoint: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      compactEvery: Int = 0, compactMinFiles: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = stream.sparkSession
+    require(fsOf(spark, path).exists(new HPath(s"$path/stats")),
+      s"no BM25 index at $path — buildBm25Index first")
+    val writer = BatchLedger.writerId("bm25", checkpoint)
+    stream.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          appendBm25Batch(batch, path, batchId, writer, idCol, textCol): Unit
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compactBm25Index(batch.sparkSession, path,
+            minFiles = compactMinFiles): Unit
+      }
+      .start()
+  }
+
+  /** One exactly-once micro-batch append (the foreachBatch body,
+   *  factored for direct replay testing): stage postings + stats delta
+   *  + zero docs under the index root, commit through the batch
+   *  ledger. Returns false when `batchId` already committed. */
+  private[graft] def appendBm25Batch(batch: DataFrame, path: String,
+      batchId: Long, writer: String = "bm25", idCol: String = "doc_id",
+      textCol: String = "text"): Boolean =
+    StagedBatchAppend.append(batch.sparkSession, path, writer, batchId) {
+      staging =>
+        writeBm25Tables(batch, idCol, textCol, s"$staging/postings",
+          s"$staging/stats", s"$staging/zero_docs", mode = "errorifexists")
+    }
+
   // ---- resolver read path: the SnapshotFold contract the other two
-  // persisted indexes carry, extended here so the postings/stats dirs
-  // support reader-atomic ERASURE folds and as-of pins. A plain build
-  // is generation zero (raw files, no manifests); only an erase ever
-  // publishes versions. ---- //
+  // persisted indexes carry — reader-atomic folds/erasure, exactly-once
+  // ledgered appends, as-of pins. A plain build is generation zero
+  // (raw files, no manifests); appends land batch-tagged, folds and
+  // erases publish versions. ---- //
 
-  private val shardSchema = new org.apache.spark.sql.types.StructType()
-    .add("shard", org.apache.spark.sql.types.IntegerType)
+  private val shardSchema = new StructType().add("shard", IntegerType)
 
-  private def shardDirsOf(fs: org.apache.hadoop.fs.FileSystem,
-      live: org.apache.hadoop.fs.Path): Seq[(Int, org.apache.hadoop.fs.Path)] =
+  private def shardDirsOf(fs: FileSystem, live: HPath): Seq[(Int, HPath)] =
     if (!fs.exists(live)) Nil
     else fs.listStatus(live).toSeq
       .filter(e => e.isDirectory && e.getPath.getName.startsWith("shard="))
@@ -115,22 +209,29 @@ object Retrieval {
   /** Snapshot-resolved scan of the postings tree — `onlyShards` prunes
    *  at resolution time (non-queried shard dirs are never even listed,
    *  preserving the ~|terms|/64 partition pruning the layout exists
-   *  for); `asOf` pins the read ([[pinBm25Index]]). */
-  private[functions] def readPostings(spark: org.apache.spark.sql.SparkSession,
+   *  for); `asOf` pins the read ([[pinBm25Index]]); batch-tagged
+   *  streamed appends are admitted only once their ledger marker
+   *  exists (clean batch boundaries under a live stream). */
+  private[graft] def readPostings(spark: SparkSession,
       path: String, onlyShards: Option[Seq[Int]] = None,
-      asOf: Option[Long] = None): DataFrame = {
-    val live = new org.apache.hadoop.fs.Path(s"$path/postings")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      asOf: Option[Long] = None): DataFrame =
+    readPostingsWith(spark, path,
+      BatchLedger.read(fsOf(spark, path), new HPath(path), asOf),
+      onlyShards, asOf)
+
+  private def readPostingsWith(spark: SparkSession, path: String,
+      committed: (String, Long) => Boolean, onlyShards: Option[Seq[Int]],
+      asOf: Option[Long]): DataFrame = {
+    val live = new HPath(s"$path/postings")
+    val fs = fsOf(spark, path)
     val parts = shardDirsOf(fs, live)
       .filter { case (id, _) => onlyShards.forall(_.contains(id)) }
       .map { case (id, d) =>
-        (org.apache.spark.sql.catalyst.InternalRow(id),
-          graft.store.SnapshotFold.resolve(fs, d, asOf = asOf))
+        (InternalRow(id), SnapshotFold.resolve(fs, d, committed, asOf))
       }
       .filter(_._2.nonEmpty)
-    graft.store.SnapshotFold.dataFrame(spark, shardSchema, parts, Seq(live))
+    SnapshotFold.dataFrame(spark, shardSchema, parts, Seq(live))
       .getOrElse {
-        import org.apache.spark.sql.types._
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           new StructType().add("doc_id", LongType).add("dl", IntegerType)
@@ -139,39 +240,151 @@ object Retrieval {
       }
   }
 
-  /** Snapshot-resolved read of the one-row stats table. */
-  private[functions] def readBm25Stats(spark: org.apache.spark.sql.SparkSession,
-      path: String, asOf: Option[Long] = None): DataFrame = {
-    val live = new org.apache.hadoop.fs.Path(s"$path/stats")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = graft.store.SnapshotFold.resolve(fs, live, asOf = asOf)
+  /** Snapshot-resolved corpus stats: the SUM of the resolved delta
+   *  rows (build row + committed batch deltas + erase corrections) —
+   *  one row out, always. */
+  private[graft] def readBm25Stats(spark: SparkSession,
+      path: String, asOf: Option[Long] = None): DataFrame =
+    readBm25StatsWith(spark, path,
+      BatchLedger.read(fsOf(spark, path), new HPath(path), asOf), asOf)
+
+  private def readBm25StatsWith(spark: SparkSession, path: String,
+      committed: (String, Long) => Boolean, asOf: Option[Long]): DataFrame = {
+    val live = new HPath(s"$path/stats")
+    val fs = fsOf(spark, path)
+    val files = SnapshotFold.resolve(fs, live, committed, asOf)
     require(files.nonEmpty, s"no BM25 index stats at $path")
-    graft.store.SnapshotFold.dataFrame(spark,
-      new org.apache.spark.sql.types.StructType(),
-      Seq((org.apache.spark.sql.catalyst.InternalRow.empty, files)),
-      Seq(live)).get
+    SnapshotFold.dataFrame(spark, new StructType(),
+      Seq((InternalRow.empty, files)), Seq(live)).get
+      .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(sum("total_dl"), lit(0L)).as("total_dl"))
+  }
+
+  /** Resolved zero-token doc ids (empty frame when none recorded —
+   *  including indexes built before the table existed). */
+  private def readZeroDocs(spark: SparkSession, path: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val live = new HPath(s"$path/zero_docs")
+    val fs = fsOf(spark, path)
+    val committed = BatchLedger.read(fs, new HPath(path), asOf)
+    val files = SnapshotFold.resolve(fs, live, committed, asOf)
+    SnapshotFold.dataFrame(spark, new StructType(),
+      Seq((InternalRow.empty, files)), Seq(live))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new StructType().add("doc_id", LongType)))
   }
 
   /** SKEW-PROOF as-of pin over a persisted BM25 index — max record
-   *  time the index's own storage reports (the
+   *  time the index's own storage reports (ledger files, fold commit
+   *  markers, raw table files — the
    *  [[graft.store.TierStore.pinNow]] contract); feed to the `asOf`
-   *  arm of [[queryBm25Index]]. NOTE: `buildBm25Index(mode overwrite)`
-   *  over an existing path REPLACES history rather than versioning it
-   *  — rebuild at a fresh path when pins must survive. */
-  def pinBm25Index(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+   *  arm of [[queryBm25Index]]. */
+  def pinBm25Index(spark: SparkSession, path: String): Long = {
+    val fs = fsOf(spark, path)
     // LOUD on a bad path (pinIvfIndex/pinMinhashIndex parity): a typo'd
     // root must fail at capture time, not months later when an asOf
     // read resolves an empty view against pin 0
-    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats")),
-      s"no BM25 index at $path")
-    val statsPin = graft.store.SnapshotFold.pinDir(fs,
-      new org.apache.hadoop.fs.Path(s"$path/stats"))
-    shardDirsOf(fs, new org.apache.hadoop.fs.Path(s"$path/postings"))
-      .foldLeft(statsPin) { case (m, (_, d)) =>
-        math.max(m, graft.store.SnapshotFold.pinDir(fs, d))
+    require(fs.exists(new HPath(s"$path/stats")), s"no BM25 index at $path")
+    val ledger = BatchLedger.dir(new HPath(path))
+    var m =
+      if (!fs.exists(ledger)) 0L
+      else fs.listStatus(ledger).foldLeft(0L)((x, e) =>
+        math.max(x, e.getModificationTime))
+    m = math.max(m, SnapshotFold.pinDir(fs, new HPath(s"$path/stats")))
+    m = math.max(m, SnapshotFold.pinDir(fs, new HPath(s"$path/zero_docs")))
+    shardDirsOf(fs, new HPath(s"$path/postings"))
+      .foldLeft(m) { case (x, (_, d)) =>
+        math.max(x, SnapshotFold.pinDir(fs, d))
       }
+  }
+
+  /**
+   * Selective reader-atomic FOLD of a streamed BM25 index — the
+   * [[Similarity.compactIvfLists]] contract on the lexical layout:
+   * per term-hash shard, the accumulated small files (streamed batch
+   * appends) rewrite into ~targetFileBytes files and publish through
+   * the [[SnapshotFold]] manifest under LIVE queries (a racing query
+   * resolves the complete pre- or post-fold set, never a mixture);
+   * the stats DELTA rows fold into their one-row sum (semantics
+   * preserved — readers aggregate either way); the zero-doc ids
+   * concatenate. Single maintainer; `retainHistory` keeps superseded
+   * snapshots and ledger markers for as-of pins. Returns
+   * (live files before, after).
+   */
+  def compactBm25Index(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024, minFiles: Int = 4,
+      retainHistory: Boolean = false): (Int, Int) = {
+    val rootP = new HPath(path)
+    val fs = fsOf(spark, path)
+    require(fs.exists(new HPath(s"$path/stats")), s"no BM25 index at $path")
+    // maintainer context: keep the append ledger O(recent) too — unless
+    // history is being retained for as-of pins (a marker fold would make
+    // pins older than it fail, exactly what retainHistory defers)
+    if (!retainHistory) StagedBatchAppend.foldAllMarkers(spark, path)
+    val committed = BatchLedger.read(fs, rootP)
+    val shardDirs = shardDirsOf(fs, new HPath(s"$path/postings"))
+    val statsDir = new HPath(s"$path/stats")
+    val zeroDir = new HPath(s"$path/zero_docs")
+    def liveCount() = (shardDirs.map(_._2) ++ Seq(statsDir, zeroDir))
+      .map(d => SnapshotFold.resolve(fs, d, committed).length).sum
+    val before = liveCount()
+    // postings: one concat job over ONLY the touched shards' candidates
+    val plans = shardDirs.flatMap { case (id, d) =>
+      SnapshotFold.plan(fs, d, targetFileBytes, minFiles, committed)
+        .map(p => (id, d.getName, p))
+    }
+    if (plans.nonEmpty) {
+      val staged = new HPath(s"$path/.compact_postings")
+      fs.delete(staged, true)
+      val parts = plans.map { case (id, _, p) =>
+        (InternalRow(id), p.candidates)
+      }
+      val bytes = plans.flatMap(_._3.candidates).map(_.getLen).sum
+      val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      SnapshotFold.dataFrame(spark, shardSchema, parts,
+        Seq(new HPath(s"$path/postings"))).get
+        .repartition(n, col("shard"))
+        .write.partitionBy("shard").parquet(staged.toString)
+      plans.foreach { case (_, name, p) =>
+        val fresh = new HPath(staged, name)
+        if (fs.exists(fresh)) {
+          SnapshotFold.publish(fs, p.dir, p.version, fresh, p.foldedRels)
+          if (!retainHistory) SnapshotFold.vacuumDir(fs, p.dir)
+        }
+      }
+      fs.delete(staged, true)
+    } else if (!retainHistory)
+      // post-commit crash safety: reclaim what an earlier fold
+      // committed but crashed before vacuuming
+      shardDirs.foreach { case (_, d) => SnapshotFold.vacuumDir(fs, d) }
+    // stats: fold the delta rows into their one-row sum
+    SnapshotFold.plan(fs, statsDir, targetFileBytes, minFiles, committed)
+      .foreach { p =>
+        val staged = new HPath(s"$path/.compact_stats")
+        fs.delete(staged, true)
+        SnapshotFold.dataFrame(spark, new StructType(),
+          Seq((InternalRow.empty, p.candidates)), Seq(statsDir)).get
+          .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+            coalesce(sum("total_dl"), lit(0L)).as("total_dl"))
+          .coalesce(1).write.parquet(staged.toString)
+        SnapshotFold.publish(fs, statsDir, p.version, staged, p.foldedRels)
+      }
+    // zero docs: concatenate
+    SnapshotFold.plan(fs, zeroDir, targetFileBytes, minFiles, committed)
+      .foreach { p =>
+        val staged = new HPath(s"$path/.compact_zero")
+        fs.delete(staged, true)
+        SnapshotFold.dataFrame(spark, new StructType(),
+          Seq((InternalRow.empty, p.candidates)), Seq(zeroDir)).get
+          .coalesce(1).write.parquet(staged.toString)
+        SnapshotFold.publish(fs, zeroDir, p.version, staged, p.foldedRels)
+      }
+    if (!retainHistory) {
+      SnapshotFold.vacuumDir(fs, statsDir)
+      SnapshotFold.vacuumDir(fs, zeroDir)
+    }
+    (before, liveCount())
   }
 
   /**
@@ -179,118 +392,96 @@ object Retrieval {
    * three persisted indexes this one retains the MOST reconstructable
    * content: `postings/` stores each erased document's full
    * term-frequency bag. Same contract as
-   * [[graft.functions.Similarity.eraseFromIvfIndex]]: one
-   * resolver-pinned scan finds the live files carrying an erased
-   * `doc_id` (they scatter across term-hash shards — cost follows the
-   * erased docs' distinct-term footprint, never the corpus), one job
-   * rewrites exactly those files minus the erased rows, each touched
-   * shard publishes through the [[graft.store.SnapshotFold]] manifest
-   * (reader-atomic under live [[queryBm25Index]] calls, EMPTY
-   * snapshots where every candidate row was erased), and history is
-   * reclaimed UNCONDITIONALLY — pre-erase pins fail loudly. Atomicity
+   * [[graft.functions.Similarity.eraseFromIvfIndex]], through the
+   * shared [[graft.store.IndexErase]] core: one resolver-pinned scan
+   * finds the live files carrying an erased `doc_id` (they scatter
+   * across term-hash shards — cost follows the erased docs'
+   * distinct-term footprint, never the corpus), one job rewrites
+   * exactly those files minus the erased rows, each touched shard
+   * publishes through the [[SnapshotFold]] manifest (reader-atomic
+   * under live [[queryBm25Index]] calls, EMPTY snapshots where every
+   * candidate row was erased), and history is reclaimed
+   * UNCONDITIONALLY — pre-erase pins fail loudly. Atomicity
    * granularity is PER DIR (the IVF/MinHash contract): a query racing
    * the pass resolves one complete snapshot of every shard and of the
-   * stats row, but mid-pass those snapshots can straddle the erase
-   * (e.g. pre-erase stats with some shards already erased) — a
-   * transient, bounded score skew; the completed pass is exact.
+   * stats table, but mid-pass those snapshots can straddle the erase —
+   * a transient, bounded score skew; the completed pass is exact.
    *
-   * The one-row `stats/` table is corrected in the same pass: the
-   * erased documents' (count, Σdl) — read from their own postings
-   * before the rewrite — are subtracted and the corrected row
-   * publishes as the stats dir's next snapshot, so post-erase scores
-   * equal a fresh build over the survivors. (A document that produced
-   * ZERO tokens at build time has no postings to find: it stays in
-   * `n_docs` — it contributed no erasable content there either.)
+   * The corpus stats are RECOMPUTED from the survivors, not
+   * delta-corrected — crash safety by construction: after the postings
+   * and zero-doc rewrites publish, (n_docs, total_dl) re-derive from
+   * the surviving postings' distinct (doc_id, dl) plus the surviving
+   * zero-token doc count, and the corrected row publishes as the stats
+   * table's next snapshot superseding every live delta. A re-run after
+   * a crash ANYWHERE in the pass converges: already-published rewrites
+   * are simply no longer hit, and the recompute (which runs whether or
+   * not hits remain) re-derives the same corrected row — no pending
+   * delta to lose. One full postings scan of two columns per erase
+   * pass is the price (a compliance batch, not a query).
    *
-   * Returns the number of erased documents found in the index.
+   * `ids` scales from a compliance batch (literal IN-list) to a mass
+   * purge (broadcast semi/anti join above
+   * [[graft.store.IdFilter.InListMax]]). Returns the number of erased
+   * documents found in the index (postings or zero-doc witnessed).
    */
-  def eraseFromBm25Index(spark: org.apache.spark.sql.SparkSession,
+  def eraseFromBm25Index(spark: SparkSession,
       path: String, ids: Seq[Long],
       targetFileBytes: Long = 128L * 1024 * 1024): Long = {
     require(ids.nonEmpty, "empty erase set")
-    val live = new org.apache.hadoop.fs.Path(s"$path/postings")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootP = new HPath(path)
+    val fs = fsOf(spark, path)
+    val live = new HPath(s"$path/postings")
     require(fs.exists(live), s"no BM25 index at $path")
-    def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
-    val resolved = shardDirsOf(fs, live).map { case (id, d) =>
-      (id, d, graft.store.SnapshotFold.resolve(fs, d))
+    // erasure destroys as-of history by CONTRACT: fold the ledger now —
+    // committed batch files must stop being pin-resolvable raw history
+    StagedBatchAppend.foldAllMarkers(spark, path)
+    val committed = BatchLedger.read(fs, rootP)
+    val resolvedShards = shardDirsOf(fs, live).map { case (id, d) =>
+      (InternalRow(id), d, SnapshotFold.resolve(fs, d, committed))
     }
-    val parts = resolved.filter(_._3.nonEmpty).map { case (id, _, f) =>
-      (org.apache.spark.sql.catalyst.InternalRow(id), f)
-    }
-    var erasedDocs = 0L
-    var erasedDl = 0L
-    val hitPaths: Set[String] =
-      graft.store.SnapshotFold.dataFrame(spark, shardSchema, parts, Seq(live)) match {
-        case None => Set.empty
-        case Some(frame) =>
-          // IdFilter: literal IN-list for a bounded batch, broadcast
-          // semi join for a mass purge (plan stays O(1))
-          val hits = graft.store.IdFilter.keepIn(
-              frame.select(col("doc_id"), col("dl"),
-                input_file_name().as("_f")), "doc_id", ids)
-            .localCheckpoint()
-          val docAgg = hits.select(col("doc_id"), col("dl")).distinct()
-            .agg(count(lit(1)), coalesce(sum(col("dl").cast("long")), lit(0L)))
-            .collect()(0)
-          erasedDocs = docAgg.getLong(0)
-          erasedDl = docAgg.getLong(1)
-          hits.select(col("_f")).distinct().collect()
-            .map(r => norm(r.getString(0))).toSet
-      }
-    if (hitPaths.nonEmpty) {
-      val plans = resolved.flatMap { case (id, d, files) =>
-        val cands = files.filter(f =>
-          hitPaths(norm(fs.makeQualified(f.getPath).toString)))
-        graft.store.SnapshotFold.planFiles(fs, d, cands).map(p => (id, d.getName, p))
-      }
-      val staged = new org.apache.hadoop.fs.Path(s"$path/.erase_postings")
-      fs.delete(staged, true)
-      val pparts = plans.map { case (id, _, p) =>
-        (org.apache.spark.sql.catalyst.InternalRow(id), p.candidates)
-      }
-      val bytes = plans.flatMap(_._3.candidates).map(_.getLen).sum
-      val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-      graft.store.IdFilter.dropIn(
-          graft.store.SnapshotFold.dataFrame(spark, shardSchema, pparts,
-            Seq(live)).get, "doc_id", ids)
-        .repartition(nOut, col("shard"))
-        .write.partitionBy("shard").parquet(staged.toString)
-      plans.foreach { case (_, name, p) =>
-        val fresh = new org.apache.hadoop.fs.Path(staged, name)
-        if (!fs.exists(fresh)) fs.mkdirs(fresh): Unit
-        graft.store.SnapshotFold.publish(fs, p.dir, p.version, fresh,
-          p.foldedRels)
-      }
-      fs.delete(staged, true)
-      // correct the stats row: subtract the erased docs' contributions
-      // and publish as the stats dir's next snapshot
-      val statsDir = new org.apache.hadoop.fs.Path(s"$path/stats")
-      val cur = readBm25Stats(spark, path).collect()(0)
-      val statsFiles = graft.store.SnapshotFold.resolve(fs, statsDir)
-      graft.store.SnapshotFold.planFiles(fs, statsDir, statsFiles).foreach { p =>
-        val freshStats = new org.apache.hadoop.fs.Path(s"$path/.erase_stats")
+    val (_, postingDocs) = IndexErase.eraseRows(spark, fs,
+      IndexErase.Target(live, shardSchema, resolvedShards,
+        partitionBy = Seq("shard"), repartitionCols = Seq("shard")),
+      "doc_id", ids, new HPath(s"$path/.erase_postings"), targetFileBytes)
+    val zeroDir = new HPath(s"$path/zero_docs")
+    val (_, zeroDocs) = IndexErase.eraseRows(spark, fs,
+      IndexErase.Target(zeroDir, new StructType(),
+        Seq((InternalRow.empty, zeroDir,
+          SnapshotFold.resolve(fs, zeroDir, committed)))),
+      "doc_id", ids, new HPath(s"$path/.erase_zero"), targetFileBytes)
+    // stats: recompute from the survivors and publish only when the
+    // corrected row differs (idempotent; converges after any crash)
+    val cur = readBm25Stats(spark, path).collect()(0)
+    val pAgg = readPostings(spark, path)
+      .select(col("doc_id"), col("dl").cast("long").as("dl")).distinct()
+      .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).collect()(0)
+    val nZero = readZeroDocs(spark, path).count()
+    val (newN, newDl) = (pAgg.getLong(0) + nZero, pAgg.getLong(1))
+    if (newN != cur.getLong(0) || newDl != cur.getLong(1)) {
+      val statsDir = new HPath(s"$path/stats")
+      val statsFiles = SnapshotFold.resolve(fs, statsDir, committed)
+      SnapshotFold.planFiles(fs, statsDir, statsFiles).foreach { p =>
+        val freshStats = new HPath(s"$path/.erase_stats")
         fs.delete(freshStats, true)
         import spark.implicits._
-        Seq((cur.getLong(0) - erasedDocs, cur.getLong(1) - erasedDl))
-          .toDF("n_docs", "total_dl").coalesce(1)
+        Seq((newN, newDl)).toDF("n_docs", "total_dl").coalesce(1)
           .write.parquet(freshStats.toString)
-        graft.store.SnapshotFold.publish(fs, statsDir, p.version, freshStats,
+        SnapshotFold.publish(fs, statsDir, p.version, freshStats,
           p.foldedRels)
       }
     }
     // UNCONDITIONAL vacuum: superseded postings still carry the bags
-    resolved.foreach { case (_, d, _) =>
-      graft.store.SnapshotFold.vacuumDir(fs, d)
+    resolvedShards.foreach { case (_, d, _) =>
+      SnapshotFold.vacuumDir(fs, d)
     }
-    graft.store.SnapshotFold.vacuumDir(fs,
-      new org.apache.hadoop.fs.Path(s"$path/stats"))
-    erasedDocs
+    SnapshotFold.vacuumDir(fs, new HPath(s"$path/stats"))
+    SnapshotFold.vacuumDir(fs, zeroDir)
+    postingDocs + zeroDocs
   }
 
   /** Query a persisted index: identical scores to the direct path;
    *  `asOf` pins the read to a [[pinBm25Index]] instant. */
-  def queryBm25Index(spark: org.apache.spark.sql.SparkSession, path: String,
+  def queryBm25Index(spark: SparkSession, path: String,
       queryTerms: Seq[String], k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
       asOf: Option[Long] = None): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
@@ -299,10 +490,15 @@ object Retrieval {
     val shards = terms.map(t =>
       (org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
         org.apache.spark.unsafe.types.UTF8String.fromString(t), 42L) & 63L).toInt)
-    val tf = readPostings(spark, path, Some(shards.distinct), asOf)
+    // ONE ledger read shared by the postings and stats resolution: a
+    // micro-batch committing between two separate reads would hand the
+    // query the batch's stats delta without its postings (or vice
+    // versa) — batch-boundary consistency requires one predicate
+    val committed = BatchLedger.read(fsOf(spark, path), new HPath(path), asOf)
+    val tf = readPostingsWith(spark, path, committed, Some(shards.distinct), asOf)
       .filter(col("term").isin(terms.map(lit): _*))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = readBm25Stats(spark, path, asOf)
+    val stats = readBm25StatsWith(spark, path, committed, asOf)
     val avgdl = col("total_dl").cast("double") / col("n_docs")
     val idf = log((col("n_docs").cast("double") - col("df") + 0.5) /
       (col("df") + 0.5) + 1.0)

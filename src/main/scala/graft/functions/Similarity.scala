@@ -813,54 +813,17 @@ object Similarity {
     val live = new org.apache.hadoop.fs.Path(s"$genRoot/lists")
     require(fs.exists(live), s"no IVF index at $path")
     val resolved = listDirsOf(fs, live).map { case (id, d) =>
-      (id, d, graft.store.SnapshotFold.resolve(fs, d, committed))
+      (org.apache.spark.sql.catalyst.InternalRow(id), d,
+        graft.store.SnapshotFold.resolve(fs, d, committed))
     }
-    def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
-    val parts = resolved.filter(_._3.nonEmpty).map { case (id, _, f) =>
-      (org.apache.spark.sql.catalyst.InternalRow(id), f)
-    }
-    var erased = 0L
-    val hitPaths: Set[String] =
-      graft.store.SnapshotFold.dataFrame(spark, listIdSchema, parts, Seq(live)) match {
-        case None => Set.empty
-        case Some(frame) =>
-          // membership via IdFilter: a literal IN-list for a bounded
-          // compliance batch, a broadcast semi join for a mass purge
-          val agg = graft.store.IdFilter.keepIn(
-              frame.select(col("vec_id"), input_file_name().as("_f")),
-              "vec_id", ids)
-            .agg(count(lit(1)), collect_set(col("_f"))).collect()(0)
-          erased = agg.getLong(0)
-          agg.getSeq[String](1).map(norm).toSet
-      }
-    if (hitPaths.nonEmpty) {
-      val plans = resolved.flatMap { case (id, d, files) =>
-        val cands = files.filter(f =>
-          hitPaths(norm(fs.makeQualified(f.getPath).toString)))
-        graft.store.SnapshotFold.planFiles(fs, d, cands).map(p => (id, d.getName, p))
-      }
-      val staged = new org.apache.hadoop.fs.Path(s"$path/.erase_lists")
-      fs.delete(staged, true)
-      val pparts = plans.map { case (id, _, p) =>
-        (org.apache.spark.sql.catalyst.InternalRow(id), p.candidates)
-      }
-      val bytes = plans.flatMap(_._3.candidates).map(_.getLen).sum
-      val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-      graft.store.IdFilter.dropIn(
-          graft.store.SnapshotFold.dataFrame(spark, listIdSchema, pparts,
-            Seq(live)).get, "vec_id", ids)
-        .repartition(n, col("list_id"))
-        .write.partitionBy("list_id").parquet(staged.toString)
-      plans.foreach { case (_, name, p) =>
-        val fresh = new org.apache.hadoop.fs.Path(staged, name)
-        // every-candidate-row-erased lists get an EMPTY snapshot — the
-        // erasure must be complete even where no file remains
-        if (!fs.exists(fresh)) fs.mkdirs(fresh): Unit
-        graft.store.SnapshotFold.publish(fs, p.dir, p.version, fresh,
-          p.foldedRels)
-      }
-      fs.delete(staged, true)
-    }
+    // the shared erase core: hit scan (IdFilter — literal IN-list for a
+    // bounded batch, broadcast semi join for a mass purge), selective
+    // rewrite, reader-atomic per-list publish
+    val (erased, _) = graft.store.IndexErase.eraseRows(spark, fs,
+      graft.store.IndexErase.Target(live, listIdSchema, resolved,
+        partitionBy = Seq("list_id"), repartitionCols = Seq("list_id")),
+      "vec_id", ids, new org.apache.hadoop.fs.Path(s"$path/.erase_lists"),
+      targetFileBytes)
     // UNCONDITIONAL vacuum: superseded snapshots and folded raw files
     // still carry the erased vectors; retained old generations too
     resolved.foreach { case (_, d, _) =>

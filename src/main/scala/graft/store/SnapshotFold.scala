@@ -77,6 +77,11 @@ object SnapshotFold {
    *  yet run) — the [[TierStore.batchHook]] idiom. */
   private[graft] var hook: String => Unit = _ => ()
 
+  /** Like [[hook]] but with the PUBLISHED DIR — lets a crash test pick
+   *  a specific table's publish inside a multi-table pass (e.g. "crash
+   *  before the BM25 stats correction commits"). */
+  private[graft] var dirHook: (String, HPath) => Unit = (_, _) => ()
+
   /** A planned fold of one directory: `version` is the commit number to
    *  publish, `candidates` the live files it will rewrite, `foldedRels`
    *  their dir-relative paths (the manifest content). */
@@ -245,9 +250,9 @@ object SnapshotFold {
     val vd = TierLayout.versionDir(dir, version)
     fs.delete(vd, true)
     require(fs.rename(stagedDir, vd), s"fold publish: $stagedDir -> $vd failed")
-    hook("staged")
+    hook("staged"); dirHook("staged", dir)
     TierLayout.commit(fs, dir, version, foldedRels)
-    hook("committed")
+    hook("committed"); dirHook("committed", dir)
   }
 
   /**

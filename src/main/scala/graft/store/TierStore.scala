@@ -995,20 +995,19 @@ final class TierStore(spark: SparkSession, val root: String) {
     if (!exists(tierRoot)) return (0L, 0L, 0L)
     val escape = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
       .unescapePathName _
-    def parquetUnder(p: HPath): Seq[String] =
-      fs.listStatus(p).toSeq.flatMap { e =>
-        if (e.isDirectory) parquetUnder(e.getPath)
-        else if (e.getPath.getName.endsWith(".parquet")) Seq(e.getPath.toString)
-        else Nil
-      }
-    val parts = for {
+    // parallel walks (EraseAudit.walkParquet + perPartition over the
+    // date dirs): the audit's listing round trips overlap instead of
+    // serializing — at thousands of partitions the sequential recursive
+    // walk was hours of driver RPC before the scan started
+    val datePairs = for {
       mDir <- subDirs(tierRoot) if mDir.getName.startsWith("measurement=")
       m = escape(mDir.getName.stripPrefix("measurement="))
       dDir <- subDirs(mDir.toString) if dDir.getName.startsWith("date=")
       d = dDir.getName.stripPrefix("date=")
-      files = parquetUnder(dDir)
-      if files.nonEmpty
-    } yield (m, d, files)
+    } yield (m, d, dDir)
+    val parts = perPartition(datePairs) { case (m, d, dDir) =>
+      (m, d, EraseAudit.walkParquet(fs, dDir))
+    }.filter(_._3.nonEmpty)
     if (parts.isEmpty) return (0L, 0L, 0L)
     var (nf, ns, nm) = (0L, 0L, 0L)
     // bounded union width (the retainedHistoryMatches 64-partition

@@ -118,6 +118,144 @@ class Round12IndexSpec extends SparkSpec {
   private def fsOf(p: String) =
     new HPath(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // ---- BM25 index ingest lifecycle (round-12 ask #2): exactly-once
+  // streamed appends (postings + stats delta + zero docs under one
+  // ledger marker), reader-atomic selective folds under hammering
+  // queries, crash-converging erase stats, zero-token doc handling ----
+
+  import graft.functions.Retrieval
+  import spark.implicits._
+
+  private val vocabulary =
+    Seq("table", "hash", "merge", "scan", "spill", "sort", "probe", "fold")
+  private val queryTerms = Seq("table", "hash", "merge", "scan")
+
+  private def docs(from: Int, until: Int): org.apache.spark.sql.DataFrame =
+    (from until until).map { i =>
+      val text = (0 until 8)
+        .map(j => vocabulary((i + j * (1 + i % 3)) % vocabulary.length))
+        .mkString(" ")
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+
+  private def ranking(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("BM25 exactly-once append: a replayed batch is skipped — " +
+    "postings AND stats commit under one marker") {
+    val idx = s"${tmpDir()}/idx"
+    Retrieval.buildBm25Index(docs(0, 20), idx)
+    assert(Retrieval.appendBm25Batch(docs(20, 30), idx, 0L))
+    val once = Retrieval.readBm25Stats(spark, idx).collect()(0)
+    assert(once.getLong(0) == 30L, s"n_docs after append: ${once.getLong(0)}")
+    // the replay must be skipped entirely (no double postings, no
+    // double stats delta)
+    assert(!Retrieval.appendBm25Batch(docs(20, 30), idx, 0L))
+    val twice = Retrieval.readBm25Stats(spark, idx).collect()(0)
+    assert(twice.getLong(0) == once.getLong(0) &&
+      twice.getLong(1) == once.getLong(1), "replay changed the stats")
+    assert(ranking(Retrieval.queryBm25Index(spark, idx, queryTerms, k = 50)) ==
+      ranking(Retrieval.bm25TopK(docs(0, 30), queryTerms, k = 50)),
+      "streamed index must score identically to the direct path")
+  }
+
+  test("BM25 fold under hammering readers: every concurrent query is a " +
+    "complete batch-boundary snapshot — no quiesce") {
+    val idx = s"${tmpDir()}/idx"
+    Retrieval.buildBm25Index(docs(0, 20), idx)
+    val batches = (0 until 5).map(b => docs(20 + 10 * b, 30 + 10 * b))
+    // the rankings a reader may legitimately observe: any committed-
+    // batch prefix (each batch's postings + stats land atomically)
+    val valid = (0 to 5).map(n =>
+      ranking(Retrieval.bm25TopK(docs(0, 20 + 10 * n), queryTerms, k = 100)))
+      .toSet
+    def observed[A](body: => A): Option[A] =
+      try Some(body)
+      catch {
+        case e: org.scalatest.exceptions.TestFailedException => throw e
+        // a read straddling the inline vacuum may fail and retry (its
+        // planned files were reclaimed) — never return a partial result
+        case _: Exception => None
+      }
+    @volatile var stop = false
+    @volatile var failure: Option[Throwable] = None
+    var reads = 0
+    val t = new Thread(() => {
+      while (!stop && failure.isEmpty) {
+        try {
+          observed(ranking(
+            Retrieval.queryBm25Index(spark, idx, queryTerms, k = 100)))
+            .foreach { got =>
+              assert(valid(got), s"torn BM25 read: ${got.size} rows matching " +
+                "no batch-boundary ranking")
+              reads += 1
+            }
+        } catch { case e: Throwable => failure = Some(e) }
+      }
+    }, "bm25-hammer")
+    t.start()
+    try
+      batches.zipWithIndex.foreach { case (b, i) =>
+        assert(Retrieval.appendBm25Batch(b, idx, i.toLong))
+        // fold EVERY batch — the reader hammers straight through each
+        Retrieval.compactBm25Index(spark, idx, minFiles = 2)
+      }
+    finally { stop = true; t.join(60000) }
+    failure.foreach(e => fail(s"reader observed a torn state: $e", e))
+    assert(reads > 0)
+    info(s"BM25 hammering reader made $reads clean observations across 5 folds")
+    assert(ranking(Retrieval.queryBm25Index(spark, idx, queryTerms, k = 100)) ==
+      ranking(Retrieval.bm25TopK(docs(0, 70), queryTerms, k = 100)))
+  }
+
+  test("BM25 erase: crash after the postings publish, before the stats " +
+    "correction — a re-run converges (r11 advice #1)") {
+    val idx = s"${tmpDir()}/idx"
+    Retrieval.buildBm25Index(docs(0, 30), idx)
+    val ids = Seq(3L, 7L)
+    graft.store.SnapshotFold.dirHook = (phase, dir) =>
+      if (phase == "staged" && dir.getName == "stats")
+        throw new RuntimeException("crash before the stats correction commits")
+    try intercept[RuntimeException] {
+      Retrieval.eraseFromBm25Index(spark, idx, ids)
+    } finally graft.store.SnapshotFold.dirHook = (_, _) => ()
+    // mid-crash: the postings rewrites published, the correction didn't
+    val mid = Retrieval.readBm25Stats(spark, idx).collect()(0)
+    assert(mid.getLong(0) == 30L,
+      s"fixture: stats must still be pre-erase after the crash (${mid.getLong(0)})")
+    assert(Retrieval.readPostings(spark, idx)
+      .filter(col("doc_id").isin(ids: _*)).count() == 0L,
+      "fixture: the crash must land after the postings publish")
+    // the re-run finds no remaining postings hits — the r11-advice
+    // failure mode was skipping the correction forever here
+    Retrieval.eraseFromBm25Index(spark, idx, ids): Unit
+    val fin = Retrieval.readBm25Stats(spark, idx).collect()(0)
+    assert(fin.getLong(0) == 28L, s"stats not corrected: n_docs=${fin.getLong(0)}")
+    val survivors = docs(0, 30).filter(!col("doc_id").isin(ids: _*))
+    assert(ranking(Retrieval.queryBm25Index(spark, idx, queryTerms, k = 50)) ==
+      ranking(Retrieval.bm25TopK(survivors, queryTerms, k = 50)),
+      "post-convergence scores must equal a fresh build over the survivors")
+  }
+
+  test("BM25 zero-token documents: counted in n_docs, individually erasable") {
+    val idx = s"${tmpDir()}/idx"
+    val corpus = docs(0, 10)
+      .unionAll(Seq((100L, ""), (101L, "!!! ???")).toDF("doc_id", "text"))
+    Retrieval.buildBm25Index(corpus, idx)
+    val st = Retrieval.readBm25Stats(spark, idx).collect()(0)
+    assert(st.getLong(0) == 12L, s"n_docs must count zero-token docs: ${st.getLong(0)}")
+    assert(ranking(Retrieval.queryBm25Index(spark, idx, queryTerms, k = 50)) ==
+      ranking(Retrieval.bm25TopK(corpus, queryTerms, k = 50)))
+    // a zero-token doc has no postings to witness it — the zero_docs
+    // table is what makes it individually erasable
+    assert(Retrieval.eraseFromBm25Index(spark, idx, Seq(100L)) == 1L)
+    val st2 = Retrieval.readBm25Stats(spark, idx).collect()(0)
+    assert(st2.getLong(0) == 11L, s"erased zero-token doc still counted: ${st2.getLong(0)}")
+    val survivors = corpus.filter(col("doc_id") =!= 100L)
+    assert(ranking(Retrieval.queryBm25Index(spark, idx, queryTerms, k = 50)) ==
+      ranking(Retrieval.bm25TopK(survivors, queryTerms, k = 50)))
+  }
+
   test("SnapshotFold.plan sweeps crashed-fold orphans below the minFiles gate") {
     val root = tmpDir()
     val dir = new HPath(s"$root/t")
