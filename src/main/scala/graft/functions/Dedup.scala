@@ -1044,20 +1044,10 @@ object Dedup {
     Seq("buckets", "shingles").foreach { t =>
       val live = new org.apache.hadoop.fs.Path(s"$genRoot/$t")
       before += graft.store.SnapshotFold.resolve(fs, live, committed).length
-      graft.store.SnapshotFold.plan(fs, live, targetFileBytes, minFiles,
-        committed).foreach { p =>
-        val staged = new org.apache.hadoop.fs.Path(s"$path/.compact/$t")
-        fs.delete(staged, true)
-        val n = math.max(1, math.ceil(
-          p.candidates.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
-        graft.store.SnapshotFold.dataFrame(spark,
-          new org.apache.spark.sql.types.StructType(),
-          Seq((org.apache.spark.sql.catalyst.InternalRow.empty, p.candidates)),
-          Seq(live)).get
-          .repartition(n).write.parquet(staged.toString)
-        graft.store.SnapshotFold.publish(fs, live, p.version, staged,
-          p.foldedRels)
-      }
+      // the shared fold core (plain concat shape)
+      graft.store.IndexFold.foldDir(spark, fs, live,
+        new org.apache.hadoop.fs.Path(s"$path/.compact/$t"),
+        targetFileBytes, minFiles, committed): Unit
       // reclaim THIS call's superseded files and any earlier fold's the
       // maintainer crashed before vacuuming (post-commit crash safety)
       if (!retainHistory) graft.store.SnapshotFold.vacuumDir(fs, live)

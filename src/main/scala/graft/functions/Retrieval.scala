@@ -329,57 +329,28 @@ object Retrieval {
     def liveCount() = (shardDirs.map(_._2) ++ Seq(statsDir, zeroDir))
       .map(d => SnapshotFold.resolve(fs, d, committed).length).sum
     val before = liveCount()
-    // postings: one concat job over ONLY the touched shards' candidates
-    val plans = shardDirs.flatMap { case (id, d) =>
-      SnapshotFold.plan(fs, d, targetFileBytes, minFiles, committed)
-        .map(p => (id, d.getName, p))
-    }
-    if (plans.nonEmpty) {
-      val staged = new HPath(s"$path/.compact_postings")
-      fs.delete(staged, true)
-      val parts = plans.map { case (id, _, p) =>
-        (InternalRow(id), p.candidates)
-      }
-      val bytes = plans.flatMap(_._3.candidates).map(_.getLen).sum
-      val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-      SnapshotFold.dataFrame(spark, shardSchema, parts,
-        Seq(new HPath(s"$path/postings"))).get
-        .repartition(n, col("shard"))
-        .write.partitionBy("shard").parquet(staged.toString)
-      plans.foreach { case (_, name, p) =>
-        val fresh = new HPath(staged, name)
-        if (fs.exists(fresh)) {
-          SnapshotFold.publish(fs, p.dir, p.version, fresh, p.foldedRels)
-          if (!retainHistory) SnapshotFold.vacuumDir(fs, p.dir)
-        }
-      }
-      fs.delete(staged, true)
-    } else if (!retainHistory)
+    // the shared fold core: postings = one concat job over only the
+    // touched shards; stats deltas fold into their one-row SUM
+    // (readers aggregate either way — semantics preserved); zero-doc
+    // ids concatenate
+    val published = graft.store.IndexFold.foldPartitioned(spark, fs,
+      new HPath(s"$path/postings"),
+      shardDirs.map { case (id, d) => (InternalRow(id), d) },
+      shardSchema, "shard", new HPath(s"$path/.compact_postings"),
+      targetFileBytes, minFiles, committed, retainHistory = retainHistory)
+    if (published == 0 && !retainHistory)
       // post-commit crash safety: reclaim what an earlier fold
       // committed but crashed before vacuuming
       shardDirs.foreach { case (_, d) => SnapshotFold.vacuumDir(fs, d) }
-    // stats: fold the delta rows into their one-row sum
-    SnapshotFold.plan(fs, statsDir, targetFileBytes, minFiles, committed)
-      .foreach { p =>
-        val staged = new HPath(s"$path/.compact_stats")
-        fs.delete(staged, true)
-        SnapshotFold.dataFrame(spark, new StructType(),
-          Seq((InternalRow.empty, p.candidates)), Seq(statsDir)).get
-          .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
-            coalesce(sum("total_dl"), lit(0L)).as("total_dl"))
-          .coalesce(1).write.parquet(staged.toString)
-        SnapshotFold.publish(fs, statsDir, p.version, staged, p.foldedRels)
-      }
-    // zero docs: concatenate
-    SnapshotFold.plan(fs, zeroDir, targetFileBytes, minFiles, committed)
-      .foreach { p =>
-        val staged = new HPath(s"$path/.compact_zero")
-        fs.delete(staged, true)
-        SnapshotFold.dataFrame(spark, new StructType(),
-          Seq((InternalRow.empty, p.candidates)), Seq(zeroDir)).get
-          .coalesce(1).write.parquet(staged.toString)
-        SnapshotFold.publish(fs, zeroDir, p.version, staged, p.foldedRels)
-      }
+    graft.store.IndexFold.foldDir(spark, fs, statsDir,
+      new HPath(s"$path/.compact_stats"), targetFileBytes, minFiles,
+      committed, shape = _.agg(
+        coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(sum("total_dl"), lit(0L)).as("total_dl")),
+      coalesceOne = true): Unit
+    graft.store.IndexFold.foldDir(spark, fs, zeroDir,
+      new HPath(s"$path/.compact_zero"), targetFileBytes, minFiles,
+      committed, coalesceOne = true): Unit
     if (!retainHistory) {
       SnapshotFold.vacuumDir(fs, statsDir)
       SnapshotFold.vacuumDir(fs, zeroDir)

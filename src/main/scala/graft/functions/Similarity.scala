@@ -718,40 +718,21 @@ object Similarity {
       graft.store.SnapshotFold.resolve(fs, d, committed).length
     }.sum
     val before = liveCount()
-    val plans = dirs.flatMap { case (id, d) =>
-      graft.store.SnapshotFold.plan(fs, d, targetFileBytes, minFiles, committed)
-        .map(p => (id, d.getName, p))
-    }
-    if (plans.isEmpty) {
+    // the shared fold core (one job over only the touched lists'
+    // candidates); IVF's shape dedups legacy duplicate appends per list
+    val published = graft.store.IndexFold.foldPartitioned(spark, fs, live,
+      dirs.map { case (id, d) =>
+        (org.apache.spark.sql.catalyst.InternalRow(id), d)
+      },
+      listIdSchema, "list_id",
+      new org.apache.hadoop.fs.Path(s"$path/.compact_lists"),
+      targetFileBytes, minFiles, committed,
+      shape = _.dropDuplicates("list_id", "vec_id"),
+      retainHistory = retainHistory)
+    if (published == 0 && !retainHistory)
       // still reclaim anything an earlier fold committed but crashed
       // before vacuuming (post-commit crash safety)
-      if (!retainHistory)
-        dirs.foreach { case (_, d) => graft.store.SnapshotFold.vacuumDir(fs, d) }
-      return (before, before)
-    }
-    val staged = new org.apache.hadoop.fs.Path(s"$path/.compact_lists")
-    fs.delete(staged, true)
-    // one job over ONLY the touched lists' candidate files; the pinned
-    // file index supplies the list_id partition column (hive inference
-    // would misparse the _v=N segments)
-    val parts = plans.map { case (id, _, p) =>
-      (org.apache.spark.sql.catalyst.InternalRow(id), p.candidates)
-    }
-    val bytes = plans.flatMap(_._3.candidates).map(_.getLen).sum
-    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    graft.store.SnapshotFold.dataFrame(spark, listIdSchema, parts, Seq(live)).get
-      .dropDuplicates("list_id", "vec_id")
-      .repartition(n, col("list_id"))
-      .write.partitionBy("list_id").parquet(staged.toString)
-    plans.foreach { case (_, name, p) =>
-      val freshDir = new org.apache.hadoop.fs.Path(staged, name)
-      if (fs.exists(freshDir)) {
-        graft.store.SnapshotFold.publish(fs, p.dir, p.version, freshDir,
-          p.foldedRels)
-        if (!retainHistory) graft.store.SnapshotFold.vacuumDir(fs, p.dir)
-      }
-    }
-    fs.delete(staged, true)
+      dirs.foreach { case (_, d) => graft.store.SnapshotFold.vacuumDir(fs, d) }
     (before, liveCount())
   }
 
