@@ -573,6 +573,151 @@ object SparkEntry {
         .select(col("time"), round(col("value"), 6).as("value"))
     }),
 
+    // --- the widened InfluxQL function namespace (the reference forwards
+    // any data_function / transform_function string verbatim into
+    // InfluxQL, influxdb_v1.go:167,184 — a migrating user's dashboards
+    // use these; each gets its own oracle). Untagged sequential
+    // transforms run the BLOCKED global prefix scan (1-minute buckets
+    // over 5 weeks span >1 block), so these oracles pin the scale path,
+    // not just the window semantics. ---
+
+    "a16_derivative" -> ((s, dir) => {
+      // DERIVATIVE(mean(value), 1m) — rate of change of the per-minute
+      // mean, untagged → blocked prefix scan
+      Planner.dataPoints(DataPointsRequest("app_click", relativeTime = "5w",
+        groupByTime = "1m", dataFunction = "mean", fillType = "none",
+        transformFunction = "derivative_1m"),
+        _ => points(s, dir, "app_"), Now)
+        .withColumn("value", round(col("value"), 6))
+        .filter(col("value").isNotNull)
+    }),
+
+    "a17_moving_average" -> ((s, dir) => {
+      // ROUND then MOVING_AVERAGE(.., 7): integer summands make the
+      // blocked prefix-sum arithmetic exact in any summation order
+      Planner.dataPoints(DataPointsRequest("app_view", relativeTime = "5w",
+        groupByTime = "1m", dataFunction = "mean", fillType = "none",
+        transformFunction = "round,moving_average_7"),
+        _ => points(s, dir, "app_"), Now)
+        .withColumn("value", round(col("value"), 6))
+        .filter(col("value").isNotNull)
+    }),
+
+    "a18_cumulative_sum" -> ((s, dir) => {
+      // ROUND then CUMULATIVE_SUM — running total in global time order
+      // (blocked scan; integer summands, see a17)
+      Planner.dataPoints(DataPointsRequest("app_purchase", relativeTime = "5w",
+        groupByTime = "1m", dataFunction = "mean", fillType = "none",
+        transformFunction = "round,cumulative_sum"),
+        _ => points(s, dir, "app_"), Now)
+        .withColumn("value", round(col("value"), 6))
+        .filter(col("value").isNotNull)
+    }),
+
+    "a19_top" -> ((s, dir) => {
+      // TOP(value, 3) per day bucket — points keep their own timestamps
+      Planner.dataPoints(DataPointsRequest("app_error", relativeTime = "5w",
+        groupByTime = "1d", dataFunction = "top_3"),
+        _ => points(s, dir, "app_"), Now)
+        .select(col("time"), round(col("value"), 6).as("value"))
+    }),
+
+    "a20_integral" -> ((s, dir) => {
+      // INTEGRAL(value, 1h) per 6h bucket — trapezoid area over
+      // fractional-epoch point times
+      Planner.dataPoints(DataPointsRequest("app_signup", relativeTime = "5w",
+        groupByTime = "6h", dataFunction = "integral_1h", fillType = "none"),
+        _ => points(s, dir, "app_"), Now)
+        .select(col("time"), round(col("value"), 6).as("value"))
+    }),
+
+    "a21_mode" -> ((s, dir) => {
+      // MODE per day over floor-quantized values (repeats make the
+      // most-frequent-value and ties-to-lowest contract observable)
+      Planner.dataPoints(DataPointsRequest("app_click", relativeTime = "5w",
+        groupByTime = "1d", dataFunction = "mode", fillType = "none",
+        fieldName = "vq"),
+        _ => points(s, dir, "app_").withColumn("vq", floor(col("value")).cast("double")), Now)
+    }),
+
+    "a22_distinct" -> ((s, dir) => {
+      // DISTINCT per day over floor-quantized values (multi-row output)
+      Planner.dataPoints(DataPointsRequest("app_view", relativeTime = "5w",
+        groupByTime = "1d", dataFunction = "distinct", fieldName = "vq"),
+        _ => points(s, dir, "app_").withColumn("vq", floor(col("value")).cast("double")), Now)
+    }),
+
+    "a23_elapsed" -> ((s, dir) => {
+      // ELAPSED(.., 1m): whole minutes since the previous bucket with
+      // data (untagged → blocked scan; integer output)
+      Planner.dataPoints(DataPointsRequest("app_purchase", relativeTime = "5w",
+        groupByTime = "1m", dataFunction = "mean", fillType = "none",
+        transformFunction = "elapsed_1m"),
+        _ => points(s, dir, "app_"), Now)
+        .filter(col("value").isNotNull)
+    }),
+
+    "a24_math_chain" -> ((s, dir) => {
+      // scalar math chain ceil(log10(sqrt(mean))) per (6h, location)
+      Planner.dataPoints(DataPointsRequest("app_signup", relativeTime = "5w",
+        groupByTime = "6h", groupByTag = "location_id",
+        dataFunction = "mean", fillType = "none",
+        transformFunction = "sqrt,log10,ceil"),
+        _ => points(s, dir, "app_"), Now)
+        .select(col("location_id"), col("time"), col("value"))
+    }),
+
+    "a25_count_distinct" -> ((s, dir) => {
+      // COUNT(DISTINCT(..)) per day over floor-quantized values
+      Planner.dataPoints(DataPointsRequest("app_error", relativeTime = "5w",
+        groupByTime = "1d", dataFunction = "count_distinct", fillType = "none",
+        fieldName = "vq"),
+        _ => points(s, dir, "app_").withColumn("vq", floor(col("value")).cast("double")), Now)
+    }),
+
+    "a26_nn_derivative" -> ((s, dir) => {
+      // NON_NEGATIVE_DERIVATIVE(.., 1h) over a FILL(previous) series per
+      // location — negative rates null out; the filled repeats pin the
+      // exactly-zero boundary in both engines
+      Planner.dataPoints(DataPointsRequest("app_view", relativeTime = "5w",
+        groupByTime = "6h", groupByTag = "location_id",
+        dataFunction = "mean", fillType = "previous",
+        transformFunction = "non_negative_derivative_1h"),
+        _ => points(s, dir, "app_"), Now)
+        .withColumn("value", round(col("value"), 6))
+        .filter(col("value").isNotNull)
+        .select(col("location_id"), col("time"), col("value"))
+    }),
+
+    "a27_nn_difference" -> ((s, dir) => {
+      // NON_NEGATIVE_DIFFERENCE over hourly means, untagged → blocked
+      Planner.dataPoints(DataPointsRequest("app_error", relativeTime = "5w",
+        groupByTime = "1h", dataFunction = "mean", fillType = "none",
+        transformFunction = "non_negative_difference"),
+        _ => points(s, dir, "app_"), Now)
+        .withColumn("value", round(col("value"), 6))
+        .filter(col("value").isNotNull)
+    }),
+
+    "a28_bottom" -> ((s, dir) => {
+      // BOTTOM(value, 2) per (day, location) — the keyed selector path
+      Planner.dataPoints(DataPointsRequest("app_signup", relativeTime = "5w",
+        groupByTime = "1d", groupByTag = "location_id",
+        dataFunction = "bottom_2"),
+        _ => points(s, dir, "app_"), Now)
+        .select(col("time"), round(col("value"), 6).as("value"), col("location_id"))
+    }),
+
+    "a29_integral_range" -> ((s, dir) => {
+      // whole-range INTEGRAL(value, 1h) — no bucket, no tag: the blocked
+      // prefix scan feeds a single trapezoid sum. Rounded to 3 decimals:
+      // a ~10k-term double sum carries ~1e-8 reassociation noise.
+      Planner.dataPoints(DataPointsRequest("app_click", relativeTime = "5w",
+        dataFunction = "integral_1h"),
+        _ => points(s, dir, "app_"), Now)
+        .select(round(col("value"), 3).as("value"))
+    }),
+
     "a8_fill_previous" -> ((s, dir) => {
       Planner.dataPoints(DataPointsRequest("app_error", relativeTime = "5w",
         groupByTime = "1h", fillType = "previous",
@@ -2566,6 +2711,123 @@ object SparkEntry {
          |SELECT CAST(floor(tsec / 86400) * 86400 AS BIGINT) AS time,
          |       round(quantile_cont(v, 0.95), 6) AS value
          |FROM pts WHERE m = 'app_click' AND tsec > 1703721600 GROUP BY 1""".stripMargin,
+
+    "a16_derivative" ->
+      s"""WITH ${ptsCte("app_")},
+         |agg AS (SELECT CAST(floor(tsec / 60) * 60 AS BIGINT) t, avg(v) val
+         |        FROM pts WHERE m = 'app_click' AND tsec > 1703721600 GROUP BY 1),
+         |d AS (SELECT t, (val - lag(val) OVER w) / (t - lag(t) OVER w) * 60 AS dv
+         |      FROM agg WINDOW w AS (ORDER BY t))
+         |SELECT t AS time, round(dv, 6) AS value FROM d WHERE dv IS NOT NULL""".stripMargin,
+
+    "a17_moving_average" ->
+      s"""WITH ${ptsCte("app_")},
+         |agg AS (SELECT CAST(floor(tsec / 60) * 60 AS BIGINT) t, round(avg(v)) val
+         |        FROM pts WHERE m = 'app_view' AND tsec > 1703721600 GROUP BY 1),
+         |r AS (SELECT t, row_number() OVER (ORDER BY t) rn,
+         |        avg(val) OVER (ORDER BY t ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) mv
+         |      FROM agg)
+         |SELECT t AS time, round(mv, 6) AS value FROM r WHERE rn >= 7""".stripMargin,
+
+    "a18_cumulative_sum" ->
+      s"""WITH ${ptsCte("app_")},
+         |agg AS (SELECT CAST(floor(tsec / 60) * 60 AS BIGINT) t, round(avg(v)) val
+         |        FROM pts WHERE m = 'app_purchase' AND tsec > 1703721600 GROUP BY 1)
+         |SELECT t AS time,
+         |  round(sum(val) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING), 6) AS value
+         |FROM agg""".stripMargin,
+
+    "a19_top" ->
+      s"""WITH ${ptsCte("app_")},
+         |r AS (SELECT tsec, v, row_number() OVER (
+         |        PARTITION BY CAST(floor(tsec / 86400) * 86400 AS BIGINT)
+         |        ORDER BY v DESC, tsec ASC) rn
+         |      FROM pts WHERE m = 'app_error' AND tsec > 1703721600)
+         |SELECT tsec AS time, round(v, 6) AS value FROM r WHERE rn <= 3""".stripMargin,
+
+    "a20_integral" ->
+      s"""WITH ${ptsCte("app_")},
+         |p AS (SELECT CAST(floor(tsec / 21600) * 21600 AS BIGINT) b, epoch(ts) et, v
+         |      FROM pts WHERE m = 'app_signup' AND tsec > 1703721600),
+         |w AS (SELECT b, v, lag(v) OVER pw AS pv, et, lag(et) OVER pw AS pt
+         |      FROM p WINDOW pw AS (PARTITION BY b ORDER BY et))
+         |SELECT b AS time, round(sum((v + pv) / 2 * (et - pt) / 3600), 6) AS value
+         |FROM w GROUP BY 1""".stripMargin,
+
+    "a21_mode" ->
+      s"""WITH ${ptsCte("app_")},
+         |c AS (SELECT CAST(floor(tsec / 86400) * 86400 AS BIGINT) t, floor(v) val,
+         |        count(*) cnt
+         |      FROM pts WHERE m = 'app_click' AND tsec > 1703721600 GROUP BY 1, 2),
+         |r AS (SELECT t, val, row_number() OVER (
+         |        PARTITION BY t ORDER BY cnt DESC, val ASC) rn FROM c)
+         |SELECT t AS time, val AS value FROM r WHERE rn = 1""".stripMargin,
+
+    "a22_distinct" ->
+      s"""WITH ${ptsCte("app_")}
+         |SELECT DISTINCT CAST(floor(tsec / 86400) * 86400 AS BIGINT) AS time,
+         |  floor(v) AS value
+         |FROM pts WHERE m = 'app_view' AND tsec > 1703721600""".stripMargin,
+
+    "a23_elapsed" ->
+      s"""WITH ${ptsCte("app_")},
+         |agg AS (SELECT CAST(floor(tsec / 60) * 60 AS BIGINT) t, avg(v) val
+         |        FROM pts WHERE m = 'app_purchase' AND tsec > 1703721600 GROUP BY 1),
+         |d AS (SELECT t, floor((t - lag(t) OVER (ORDER BY t)) / 60.0) AS dv FROM agg)
+         |SELECT t AS time, dv AS value FROM d WHERE dv IS NOT NULL""".stripMargin,
+
+    "a24_math_chain" ->
+      s"""WITH ${ptsCte("app_")},
+         |agg AS (SELECT loc, CAST(floor(tsec / 21600) * 21600 AS BIGINT) t, avg(v) val
+         |        FROM pts WHERE m = 'app_signup' AND tsec > 1703721600 GROUP BY 1, 2)
+         |SELECT loc AS location_id, t AS time, ceil(log10(sqrt(val))) AS value
+         |FROM agg""".stripMargin,
+
+    "a25_count_distinct" ->
+      s"""WITH ${ptsCte("app_")}
+         |SELECT CAST(floor(tsec / 86400) * 86400 AS BIGINT) AS time,
+         |  count(DISTINCT floor(v)) AS value
+         |FROM pts WHERE m = 'app_error' AND tsec > 1703721600 GROUP BY 1""".stripMargin,
+
+    "a26_nn_derivative" ->
+      s"""WITH ${ptsCte("app_")},
+         |agg AS (SELECT loc, CAST(floor(tsec / 21600) * 21600 AS BIGINT) t, avg(v) val
+         |        FROM pts WHERE m = 'app_view' AND tsec > 1703721600 GROUP BY 1, 2),
+         |spine AS (SELECT loc, unnest(generate_series(1703721600, 1706745600, 21600)) t
+         |          FROM (SELECT DISTINCT loc FROM agg)),
+         |j AS (SELECT s.loc, s.t, a.val FROM spine s LEFT JOIN agg a
+         |      ON s.loc = a.loc AND s.t = a.t),
+         |f AS (SELECT loc, t, last_value(val IGNORE NULLS) OVER (
+         |        PARTITION BY loc ORDER BY t ROWS UNBOUNDED PRECEDING) AS fv
+         |      FROM j),
+         |d AS (SELECT loc, t, (fv - lag(fv) OVER w) / (t - lag(t) OVER w) * 3600 AS dv
+         |      FROM f WINDOW w AS (PARTITION BY loc ORDER BY t))
+         |SELECT loc AS location_id, t AS time, round(dv, 6) AS value
+         |FROM d WHERE dv IS NOT NULL AND dv >= 0""".stripMargin,
+
+    "a27_nn_difference" ->
+      s"""WITH ${ptsCte("app_")},
+         |agg AS (SELECT CAST(floor(tsec / 3600) * 3600 AS BIGINT) t, avg(v) val
+         |        FROM pts WHERE m = 'app_error' AND tsec > 1703721600 GROUP BY 1),
+         |d AS (SELECT t, val - lag(val) OVER (ORDER BY t) AS dv FROM agg)
+         |SELECT t AS time, round(dv, 6) AS value
+         |FROM d WHERE dv IS NOT NULL AND dv >= 0""".stripMargin,
+
+    "a28_bottom" ->
+      s"""WITH ${ptsCte("app_")},
+         |r AS (SELECT tsec, v, loc, row_number() OVER (
+         |        PARTITION BY CAST(floor(tsec / 86400) * 86400 AS BIGINT), loc
+         |        ORDER BY v ASC, tsec ASC) rn
+         |      FROM pts WHERE m = 'app_signup' AND tsec > 1703721600)
+         |SELECT tsec AS time, round(v, 6) AS value, loc AS location_id
+         |FROM r WHERE rn <= 2""".stripMargin,
+
+    "a29_integral_range" ->
+      s"""WITH ${ptsCte("app_")},
+         |w AS (SELECT v, lag(v) OVER pw AS pv, epoch(ts) et, lag(epoch(ts)) OVER pw AS pt
+         |      FROM pts WHERE m = 'app_click' AND tsec > 1703721600
+         |      WINDOW pw AS (ORDER BY epoch(ts)))
+         |SELECT round(sum((v + pv) / 2 * (et - pt) / 3600), 3) AS value FROM w""".stripMargin,
 
     "a14_fill_linear" ->
       s"""WITH ${ptsCte("app_")},

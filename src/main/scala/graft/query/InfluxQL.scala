@@ -25,8 +25,15 @@ import org.apache.spark.sql.DataFrame
  *     [WHERE cond [AND cond]...]
  *     [GROUP BY time(<dur>)[, tag] | tag] [FILL(null|previous|none|linear|<n>)]
  *   sel  := field | fn(field) | transform...(fn(field)) | percentile(field, n)
+ *         | top(field, n) | bottom(field, n) | integral(field[, dur])
+ *         | count(distinct(field))
  *           [AS alias]    — transforms chain, e.g. abs(difference(max(f)))
- *                           (the dashboard energy query, influxdb_v1.go:229)
+ *                           (the dashboard energy query, influxdb_v1.go:229);
+ *                           parameterized transforms carry a trailing arg:
+ *                           derivative(x[, dur]), non_negative_derivative,
+ *                           elapsed(x[, dur]), moving_average(x, n), pow(x, n);
+ *                           scalar math (ceil/floor/round/sqrt/exp/ln/log2/
+ *                           log10/trig) and cumulative_sum wrap unary
  *   cond := time >|>= now()-<dur> | time >=|> '<RFC3339>'
  *         | time <=|< '<RFC3339>' | tag = 'value'
  *   SHOW MEASUREMENTS | SHOW RETENTION POLICIES | SHOW CONTINUOUS QUERIES
@@ -48,8 +55,16 @@ object InfluxQL {
   case object ShowContinuousQueries extends Statement
 
   private val AggFns = Set("mean", "count", "sum", "min", "max", "median",
-    "first", "last", "spread", "stddev")
-  private val TransformFns = Set("abs", "difference")
+    "first", "last", "spread", "stddev", "mode", "distinct")
+  private val TransformFns = Set("abs", "difference", "non_negative_difference",
+    "cumulative_sum", "elapsed", "derivative", "non_negative_derivative",
+    "ceil", "floor", "round", "sqrt", "exp", "ln", "log2", "log10",
+    "sin", "cos", "tan", "asin", "acos", "atan")
+  /** Transforms that take a trailing argument — a duration unit
+   *  (derivative/elapsed) or a count/exponent (moving_average/pow);
+   *  parsed into the engine's `fn_arg` spelling. */
+  private val ParamTransformFns = Set("derivative", "non_negative_derivative",
+    "elapsed", "moving_average", "pow")
 
   /**
    * Cheap syntactic sniff: does this string carry a distinctive InfluxQL
@@ -111,17 +126,24 @@ object InfluxQL {
     val (groupByTime, groupByTag) =
       Option(m.group(6)).map(parseGroupBy).getOrElse(("", ""))
     val fillType = Option(m.group(7)).map(_.toLowerCase).getOrElse("")
-    // difference() needs a time axis to difference ALONG: raw rows carry
-    // their own `time`, and GROUP BY time(..) provides bucket times —
-    // but an aggregate WITHOUT a time bucket collapses the time column
-    // away, so `difference(max("value"))` with no GROUP BY time has
-    // nothing to order by. Refuse it here so the unsupported shape
-    // surfaces through the grammar's documented IllegalArgumentException
-    // envelope instead of an opaque analysis error downstream.
-    if (transformFunction.split(",").contains("difference") &&
+    // sequential transforms (difference / derivative / elapsed /
+    // cumulative_sum / moving_average and variants) need a time axis to
+    // run ALONG: raw rows carry their own `time`, and GROUP BY time(..)
+    // provides bucket times — but an aggregate WITHOUT a time bucket
+    // collapses the time column away, so `difference(max("value"))` with
+    // no GROUP BY time has nothing to order by. Refuse it here so the
+    // unsupported shape surfaces through the grammar's documented
+    // IllegalArgumentException envelope instead of an opaque analysis
+    // error downstream.
+    def sequential(t: String): Boolean =
+      t == "difference" || t == "non_negative_difference" ||
+        t == "cumulative_sum" || t.startsWith("derivative_") ||
+        t == "derivative" || t.startsWith("non_negative_derivative") ||
+        t.startsWith("elapsed") || t.startsWith("moving_average_")
+    if (transformFunction.split(",").exists(sequential) &&
         dataFunction.nonEmpty && groupByTime.isEmpty)
       throw new IllegalArgumentException(
-        "difference() over an aggregate requires GROUP BY time(...): " +
+        "a sequential transform over an aggregate requires GROUP BY time(...): " +
           s"nothing provides a time axis in: $raw")
     Select(DataPointsRequest(
       measurement = measurement,
@@ -132,17 +154,45 @@ object InfluxQL {
       fillType = fillType, filters = filters), rp)
   }
 
+  /** The last comma at paren depth 0 — splits a parameterized call's
+   *  trailing argument off its (possibly nested) first argument. */
+  private def splitLastTopLevelComma(s: String): Option[(String, String)] = {
+    var depth = 0; var idx = -1
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => idx = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (idx < 0) None else Some((s.substring(0, idx), s.substring(idx + 1).trim))
+  }
+
   private def parseSelectList(sel: String): (String, String, String) = {
     val s = sel.trim.replaceAll("(?is)\\s+AS\\s+(\"[^\"]+\"|\\w+)\\s*$", "").trim
     val pct = "(?is)^percentile\\s*\\(\\s*\"?([\\w.\\-]+)\"?\\s*,\\s*(\\d+(?:\\.\\d+)?)\\s*\\)$".r
+    val topBottom = "(?is)^(top|bottom)\\s*\\(\\s*\"?([\\w.\\-]+)\"?\\s*,\\s*(\\d+)\\s*\\)$".r
+    val integralP = "(?is)^integral\\s*\\(\\s*\"?([\\w.\\-]+)\"?\\s*(?:,\\s*(\\d+[smhdw]?)\\s*)?\\)$".r
+    val countDistinct =
+      "(?is)^count\\s*\\(\\s*distinct\\s*\\(\\s*\"?([\\w.\\-]+)\"?\\s*\\)\\s*\\)$".r
     val simple = "(?is)^(\\w+)\\s*\\(\\s*\"?([\\w.\\-]+)\"?\\s*\\)$".r
     val bare = "^\"?([\\w.\\-]+)\"?$".r
+    val paramArg = "^\\d+[smhdw]?$|^\\d+\\.\\d+$".r
     // peel transform wraps outside-in: abs(difference(max("value"))) —
     // the dashboard energy query, influxdb_v1.go:229 — yields the chain
-    // in APPLICATION order (inner first): "difference,abs"
+    // in APPLICATION order (inner first): "difference,abs". A
+    // parameterized wrap (derivative(x, 1h), moving_average(x, 5))
+    // carries its trailing argument into the `fn_arg` spelling.
     val wrap = "(?is)^(\\w+)\\s*\\((.*)\\)$".r
     def peel(expr: String, chain: List[String]): (String, List[String]) =
       expr.trim match {
+        case wrap(tf, inner) if ParamTransformFns(tf.toLowerCase) &&
+            splitLastTopLevelComma(inner).exists(a => paramArg.matches(a._2)) =>
+          val Some((in2, arg)) = splitLastTopLevelComma(inner)
+          peel(in2, s"${tf.toLowerCase}_$arg" :: chain)
         case wrap(tf, inner) if TransformFns(tf.toLowerCase) =>
           peel(inner, tf.toLowerCase :: chain)
         case e => (e, chain)
@@ -151,6 +201,11 @@ object InfluxQL {
     val transform = chain.mkString(",")
     core match {
       case pct(field, n) if chain.isEmpty => (field, s"percentile_$n", "")
+      case topBottom(which, field, n) if chain.isEmpty =>
+        (field, s"${which.toLowerCase}_$n", "") // multi-row selector
+      case integralP(field, dur) =>
+        (field, if (dur == null) "integral" else s"integral_$dur", transform)
+      case countDistinct(field) => (field, "count_distinct", transform)
       case simple(fn, field) if AggFns(fn.toLowerCase) =>
         (field, fn.toLowerCase, transform)
       case bare(field) => (field, "", transform) // transform over raw rows

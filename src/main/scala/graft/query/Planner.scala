@@ -36,10 +36,15 @@ import org.apache.spark.sql.functions._
 object Planner {
 
   /** Aggregation-function whitelist (open InfluxQL namespace in the
-   *  reference, influxdb_v1.go:167; docs exercise mean/count/last/sum). */
+   *  reference, influxdb_v1.go:167; docs exercise mean/count/last/sum).
+   *  Covers every single-expression InfluxQL aggregate; the multi-pass
+   *  ones (MODE, INTEGRAL) and the multi-row selectors (TOP/BOTTOM,
+   *  DISTINCT) are planned in `dataPoints` — they need more than one
+   *  aggregate expression or change the output cardinality. */
   def aggColumn(fn: String, value: Column, time: Column): Column = fn match {
     case "mean" => avg(value)
     case "count" => count(value)
+    case "count_distinct" => count_distinct(value) // InfluxQL COUNT(DISTINCT(f))
     case "sum" => sum(value)
     case "min" => min(value)
     case "max" => max(value)
@@ -62,6 +67,86 @@ object Planner {
       case Re(n) =>
         val p = n.toDouble
         if (p > 0 && p <= 100) Some(p) else None
+      case _ => None
+    }
+  }
+
+  /** InfluxQL duration literal → seconds. Only whole-second units: the
+   *  engine's response precision is epoch seconds (influxdb_v1.go:191). */
+  private def durationToSeconds(d: String): Long = {
+    val Re = "^(\\d+)([smhdw]?)$".r
+    d match {
+      case Re(n, u) =>
+        val mult = u match {
+          case "" | "s" => 1L
+          case "m" => 60L
+          case "h" => 3600L
+          case "d" => 86400L
+          case "w" => 604800L
+        }
+        n.toLong * mult
+      case _ => throw new IllegalArgumentException(s"unsupported duration: $d")
+    }
+  }
+
+  /** `top_<n>` / `bottom_<n>` — the engine-side spelling of InfluxQL's
+   *  TOP(field, n) / BOTTOM(field, n) selectors. */
+  private object TopBottomFn {
+    private val Re = "^(top|bottom)_(\\d{1,4})$".r
+    def unapply(fn: String): Option[(Boolean, Int)] = fn match {
+      case Re(which, n) if n.toInt > 0 => Some((which == "top", n.toInt))
+      case _ => None
+    }
+  }
+
+  /** `integral` / `integral_<dur>` — InfluxQL INTEGRAL(field[, unit]);
+   *  default unit 1 s. */
+  private object IntegralFn {
+    private val Re = "^integral(?:_(\\d+[smhdw]?))?$".r
+    def unapply(fn: String): Option[Long] = fn match {
+      case Re(null) => Some(1L)
+      case Re(d) => Some(durationToSeconds(d))
+      case _ => None
+    }
+  }
+
+  /** `moving_average_<n>` — InfluxQL MOVING_AVERAGE(expr, n). */
+  private object MovingAvgFn {
+    private val Re = "^moving_average_(\\d{1,4})$".r
+    def unapply(fn: String): Option[Int] = fn match {
+      case Re(n) if n.toInt > 1 => Some(n.toInt)
+      case _ => None
+    }
+  }
+
+  /** `derivative[_<dur>]` / `non_negative_derivative[_<dur>]` —
+   *  InfluxQL DERIVATIVE(expr[, unit]); default unit 1 s. Returns
+   *  (isNonNegative, unitSeconds). */
+  private object DerivativeFn {
+    private val Re = "^(non_negative_)?derivative(?:_(\\d+[smhdw]?))?$".r
+    def unapply(fn: String): Option[(Boolean, Long)] = fn match {
+      case Re(nn, d) =>
+        Some((nn != null, if (d == null) 1L else durationToSeconds(d)))
+      case _ => None
+    }
+  }
+
+  /** `elapsed[_<dur>]` — InfluxQL ELAPSED(field[, unit]): time since the
+   *  previous point, integer-truncated to `unit` (default 1 s). */
+  private object ElapsedFn {
+    private val Re = "^elapsed(?:_(\\d+[smhdw]?))?$".r
+    def unapply(fn: String): Option[Long] = fn match {
+      case Re(null) => Some(1L)
+      case Re(d) => Some(durationToSeconds(d))
+      case _ => None
+    }
+  }
+
+  /** `pow_<n>` — InfluxQL POW(field, n). */
+  private object PowFn {
+    private val Re = "^pow_(\\d+(?:\\.\\d+)?)$".r
+    def unapply(fn: String): Option[Double] = fn match {
+      case Re(n) => Some(n.toDouble)
       case _ => None
     }
   }
@@ -174,25 +259,256 @@ object Planner {
       .drop("_blk", "_lag", "_prev_last")
   }
 
+  /** Attach `_pv`/`_pt` — the previous row's (value, time) in GLOBAL
+   *  time order with no group key — via the blocked two-pass prefix scan
+   *  (blockedDifference's idiom generalized to carry the pair). Works on
+   *  any numeric `time` column (epoch long post-shape, fractional epoch
+   *  double for raw-point integrals). */
+  private def blockedPrevCols(df: DataFrame, bucketSec: Long): DataFrame = {
+    val span = blockSpanSec(bucketSec)
+    val mark = struct(col("value"), col("time"))
+    val withBlk = df.withColumn("_blk", floor(col("time") / span))
+    val wIn = Window.partitionBy(col("_blk")).orderBy(col("time"))
+    val inBlk = withBlk.withColumn("_lagm", lag(mark, 1).over(wIn))
+    val prev = blockCarry(
+      withBlk.groupBy(col("_blk")).agg(max_by(mark, col("time")).as("_blast")),
+      updateOnNonNullOnly = false, "_prevm")
+    inBlk.join(broadcast(prev), Seq("_blk"), "left")
+      .withColumn("_m", coalesce(col("_lagm"), col("_prevm")))
+      .withColumn("_pv", col("_m").getField("value"))
+      .withColumn("_pt", col("_m").getField("time"))
+      .drop("_blk", "_lagm", "_prevm", "_m")
+  }
+
+  /** Accumulating twin of `blockCarry`: for each block, the SUM of all
+   *  strictly-earlier blocks' `_blast` (0.0 for the first block; nulls
+   *  contribute nothing). Same repartition(1) streaming fold over the
+   *  rows/4096-sized summary — never the data stream. */
+  private def blockCarrySum(summary: DataFrame, outName: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val blastIdx = summary.schema.fieldIndex("_blast")
+    val outSchema = org.apache.spark.sql.types.StructType(
+      summary.schema.fields :+
+        org.apache.spark.sql.types.StructField(outName, org.apache.spark.sql.types.DoubleType))
+    summary.repartition(1).sortWithinPartitions(col("_blk"))
+      .mapPartitions { it =>
+        var acc = 0.0
+        it.map { r =>
+          val out = Row.fromSeq(r.toSeq :+ acc)
+          val v = r.get(blastIdx)
+          if (v != null) acc += v.asInstanceOf[Number].doubleValue
+          out
+        }
+      }(Encoders.row(outSchema))
+      .select(col("_blk"), col(outName))
+  }
+
+  /** Running sum in global time order with no group key (InfluxQL
+   *  CUMULATIVE_SUM): within-block running sums plus an accumulated
+   *  carry of the earlier blocks' totals. Null rows (unfilled gap
+   *  buckets) stay null and contribute nothing. */
+  private def blockedCumSum(df: DataFrame, bucketSec: Long): DataFrame = {
+    val span = blockSpanSec(bucketSec)
+    val withBlk = df.withColumn("_blk", floor(col("time") / span))
+    val wIn = Window.partitionBy(col("_blk")).orderBy(col("time"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBlk = withBlk.withColumn("_ps", sum(col("value")).over(wIn))
+    val carry = blockCarrySum(
+      withBlk.groupBy(col("_blk")).agg(sum(col("value")).as("_blast")), "_acc")
+    inBlk.join(broadcast(carry), Seq("_blk"), "left")
+      .withColumn("value",
+        when(col("value").isNotNull, col("_ps") + coalesce(col("_acc"), lit(0.0))))
+      .drop("_blk", "_ps", "_acc")
+  }
+
+  /** Moving average of the last `n` ROW positions in global time order
+   *  with no group key (InfluxQL MOVING_AVERAGE): global prefix sums,
+   *  non-null counts, and row indexes via the blocked scan, then
+   *  `(ps_i − ps_{i−n}) / (pc_i − pc_{i−n})` by a self-join on the
+   *  global row index — every stage partition-parallel, no global
+   *  window. Positions with fewer than n predecessors, or an all-null
+   *  window, stay null. On a FILL(none) series (no null rows) this is
+   *  exactly InfluxQL's point-based moving average. */
+  private def blockedMovingAverage(df: DataFrame, n: Int, bucketSec: Long): DataFrame = {
+    val span = blockSpanSec(bucketSec)
+    val withBlk = df.withColumn("_blk", floor(col("time") / span))
+    val wCum = Window.partitionBy(col("_blk")).orderBy(col("time"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOrd = Window.partitionBy(col("_blk")).orderBy(col("time"))
+    val inBlk = withBlk
+      .withColumn("_ps", coalesce(sum(col("value")).over(wCum), lit(0.0)))
+      .withColumn("_pc", count(col("value")).over(wCum).cast("double"))
+      .withColumn("_ri", row_number().over(wOrd).cast("double"))
+    def carryOf(blast: Column, out: String) = blockCarrySum(
+      withBlk.groupBy(col("_blk")).agg(blast.as("_blast")), out)
+    val g = inBlk
+      .join(broadcast(carryOf(sum(col("value")), "_accs")), Seq("_blk"), "left")
+      .join(broadcast(carryOf(count(col("value")).cast("double"), "_accc")), Seq("_blk"), "left")
+      .join(broadcast(carryOf(count(lit(1)).cast("double"), "_accr")), Seq("_blk"), "left")
+      .withColumn("_gi", (col("_ri") + coalesce(col("_accr"), lit(0.0))).cast("long"))
+      .withColumn("_gps", col("_ps") + coalesce(col("_accs"), lit(0.0)))
+      .withColumn("_gpc", col("_pc") + coalesce(col("_accc"), lit(0.0)))
+      .drop("_blk", "_ps", "_pc", "_ri", "_accs", "_accc", "_accr")
+    val older = g.select((col("_gi") + n).as("_ji"),
+      col("_gps").as("_ps0"), col("_gpc").as("_pc0"))
+    val cnt = col("_gpc") - coalesce(col("_pc0"), lit(0.0))
+    g.join(older, g("_gi") === older("_ji"), "left")
+      .withColumn("value", when(col("_gi") >= n && cnt > 0,
+        (col("_gps") - coalesce(col("_ps0"), lit(0.0))) / cnt))
+      .drop("_gi", "_gps", "_gpc", "_ji", "_ps0", "_pc0")
+  }
+
+  /** InfluxQL TOP/BOTTOM: the n largest/smallest points per time
+   *  bucket (+tag) — or over the whole range — keeping each point's own
+   *  timestamp (the InfluxQL output shape). Deterministic under ties:
+   *  the sort is (value, time), which is exactly the emitted tuple, so
+   *  any tie at the cut line yields identical output rows. Bucketed form
+   *  windows on (bucket[, tag]) — numerous short partitions; the
+   *  whole-range form is a TakeOrdered (distributed top-k), never a
+   *  global window. Gap fill does not apply to multi-row selectors. */
+  private def selectorExtremes(filtered: DataFrame, bucket: Option[Column],
+      keys: Seq[String], n: Int, largest: Boolean): DataFrame = {
+    val tsec = unix_timestamp(col("time"))
+    bucket match {
+      case Some(b) =>
+        val base = filtered.select(
+          tsec.as("time") +: col("value") +: b.as("_bkt") +: keys.map(col): _*)
+        val vOrd = if (largest) col("value").desc else col("value").asc
+        val w = Window.partitionBy(col("_bkt") +: keys.map(col): _*)
+          .orderBy(vOrd, col("time").asc)
+        base.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= n)
+          .select(col("time") +: col("value") +: keys.map(col): _*)
+      case None =>
+        val base = filtered.select(tsec.as("time"), col("value"))
+        val ord =
+          if (largest) Seq(col("value").desc, col("time").asc)
+          else Seq(col("value").asc, col("time").asc)
+        base.orderBy(ord: _*).limit(n)
+    }
+  }
+
+  /** InfluxQL MODE: the most frequent value per group; ties break to
+   *  the LOWEST value (the InfluxQL contract). Two-phase hash
+   *  aggregation — counts per (group, value), then argmax by
+   *  (count, −value); both shuffles key on bounded group columns. */
+  private def modeAgg(filtered: DataFrame, bucket: Option[Column],
+      keys: Seq[String]): DataFrame = {
+    val gcols = bucket.map(_.as("time")).toSeq ++ keys.map(col)
+    val counted = filtered.groupBy(gcols :+ col("value"): _*)
+      .agg(count(lit(1)).as("_cnt"))
+    val pick = max_by(col("value"), struct(col("_cnt"), negate(col("value")))).as("value")
+    val outKeys = bucket.map(_ => col("time")).toSeq ++ keys.map(col)
+    if (outKeys.isEmpty) counted.agg(pick)
+    else counted.groupBy(outKeys: _*).agg(pick)
+  }
+
+  /** InfluxQL INTEGRAL(unit): area under the curve by the trapezoid rule
+   *  over time-consecutive points within each bucket(+tag) — pairs never
+   *  cross a group boundary — in units of `unitSec` seconds, on
+   *  fractional-epoch point times. The bucketed form windows on
+   *  (bucket[, tag]); the whole-range form runs the blocked prefix scan.
+   *  A group with a single point has no trapezoid and yields null. */
+  private def integralAgg(filtered: DataFrame, bucket: Option[Column],
+      keys: Seq[String], unitSec: Long, bucketSec: Long): DataFrame = {
+    val area = sum((col("value") + col("_pv")) / 2
+      * (col("_t") - col("_pt")) / unitSec.toDouble).as("value")
+    bucket match {
+      case Some(b) =>
+        val pts = filtered.select(
+          col("time").cast("double").as("_t") +: col("value") +: b.as("_bkt") +: keys.map(col): _*)
+        val w = Window.partitionBy(col("_bkt") +: keys.map(col): _*).orderBy(col("_t"))
+        pts.withColumn("_pv", lag(col("value"), 1).over(w))
+          .withColumn("_pt", lag(col("_t"), 1).over(w))
+          .groupBy(col("_bkt").as("time") +: keys.map(col): _*)
+          .agg(area)
+      case None =>
+        val p = filtered.select(col("time").cast("double").as("time"), col("value"))
+        blockedPrevCols(p, bucketSec).withColumnRenamed("time", "_t").agg(area)
+    }
+  }
+
   /** Scalar transform-function wrap (influxdb_v1.go:184-186; `abs` in docs,
    *  `difference` per the commented energy query influxdb_v1.go:229-231).
    *  A comma-chain applies inner-to-outer — "difference,abs" is the
-   *  dashboard's `abs(difference(agg(value)))` (influxdb_v1.go:229). */
+   *  dashboard's `abs(difference(agg(value)))` (influxdb_v1.go:229).
+   *  The namespace is the reference's open InfluxQL transform surface:
+   *  sequential transforms (difference, non_negative_difference,
+   *  derivative[_unit], non_negative_derivative[_unit], elapsed[_unit],
+   *  cumulative_sum, moving_average_n) and scalar math (abs, ceil,
+   *  floor, round, sqrt, exp, ln, log2, log10, sin/cos/tan + inverses,
+   *  pow_n). Null rows from gap fill stay null through the sequential
+   *  transforms (InfluxQL has no null points; on FILL(none) output the
+   *  semantics coincide exactly). */
   private def transformWrap(fn: String, df: DataFrame, partCols: Seq[String],
       bucketSec: Long): DataFrame =
     fn.split(",").map(_.trim).filter(_.nonEmpty)
       .foldLeft(df)((d, f) => transformOne(f, d, partCols, bucketSec))
 
   private def transformOne(fn: String, df: DataFrame, partCols: Seq[String],
-      bucketSec: Long): DataFrame =
+      bucketSec: Long): DataFrame = {
+    // sequential transforms share one lag shape: per-tag windows when a
+    // group key exists (numerous short partitions), the blocked global
+    // prefix scan otherwise — never an unpartitioned window
+    def withPrev(d: DataFrame): DataFrame =
+      if (partCols.isEmpty) blockedPrevCols(d, bucketSec)
+      else {
+        val w = Window.partitionBy(partCols.map(col): _*).orderBy(col("time"))
+        d.withColumn("_pv", lag(col("value"), 1).over(w))
+          .withColumn("_pt", lag(col("time"), 1).over(w))
+      }
     fn match {
-      case "abs" => df.withColumn("value", abs(col("value")))
       case "difference" if partCols.isEmpty => blockedDifference(df, bucketSec)
       case "difference" =>
         val w = Window.partitionBy(partCols.map(col): _*).orderBy(col("time"))
         df.withColumn("value", col("value") - lag(col("value"), 1).over(w))
+      case "non_negative_difference" =>
+        val d = transformOne("difference", df, partCols, bucketSec)
+        d.withColumn("value", when(col("value") >= 0, col("value")))
+      case DerivativeFn(nonNeg, unitSec) =>
+        val rate = (col("value") - col("_pv")) /
+          (col("time") - col("_pt")) * unitSec.toDouble
+        withPrev(df)
+          .withColumn("value", if (nonNeg) when(rate >= 0, rate) else rate)
+          .drop("_pv", "_pt")
+      case ElapsedFn(unitSec) =>
+        // InfluxQL ELAPSED: integer-truncated units since the previous row
+        withPrev(df)
+          .withColumn("value",
+            floor((col("time") - col("_pt")) / unitSec.toDouble).cast("double"))
+          .drop("_pv", "_pt")
+      case "cumulative_sum" if partCols.isEmpty => blockedCumSum(df, bucketSec)
+      case "cumulative_sum" =>
+        val w = Window.partitionBy(partCols.map(col): _*).orderBy(col("time"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        df.withColumn("value",
+          when(col("value").isNotNull, sum(col("value")).over(w)))
+      case MovingAvgFn(n) if partCols.isEmpty => blockedMovingAverage(df, n, bucketSec)
+      case MovingAvgFn(n) =>
+        val wOrd = Window.partitionBy(partCols.map(col): _*).orderBy(col("time"))
+        val wAvg = wOrd.rowsBetween(-(n - 1), Window.currentRow)
+        df.withColumn("value",
+          when(row_number().over(wOrd) >= n, avg(col("value")).over(wAvg)))
+      // scalar math (the InfluxQL transform namespace); ceil/floor keep
+      // the double value-column type
+      case "abs" => df.withColumn("value", abs(col("value")))
+      case "ceil" => df.withColumn("value", ceil(col("value")).cast("double"))
+      case "floor" => df.withColumn("value", floor(col("value")).cast("double"))
+      case "round" => df.withColumn("value", round(col("value"), 0))
+      case "sqrt" => df.withColumn("value", sqrt(col("value")))
+      case "exp" => df.withColumn("value", exp(col("value")))
+      case "ln" => df.withColumn("value", log(col("value")))
+      case "log2" => df.withColumn("value", log2(col("value")))
+      case "log10" => df.withColumn("value", log10(col("value")))
+      case "sin" => df.withColumn("value", sin(col("value")))
+      case "cos" => df.withColumn("value", cos(col("value")))
+      case "tan" => df.withColumn("value", tan(col("value")))
+      case "asin" => df.withColumn("value", asin(col("value")))
+      case "acos" => df.withColumn("value", acos(col("value")))
+      case "atan" => df.withColumn("value", atan(col("value")))
+      case PowFn(p) => df.withColumn("value", pow(col("value"), p))
       case other => throw new IllegalArgumentException(s"unsupported transform_function: $other")
     }
+  }
 
   /** The reference's absolute time-range convention as ONE shared
    *  predicate — `fromSec <= time < toSec+1`, expressed natively on the
@@ -286,16 +602,44 @@ object Planner {
         // GROUP BY tag only: raw points echoed per tag (influxdb_v1.go:160-162)
         filtered.select(unix_timestamp(col("time")).as("time"), col("value"), col(tag))
       } else if (groupByTime.nonEmpty) {
-        // GROUP BY time(X) [, tag] (influxdb_v1.go:163-171)
-        val bucket = (floor(unix_timestamp(col("time")) / bucketSec) * bucketSec).as("time")
-        val keys = if (tag.nonEmpty) Seq(col(tag)) else Nil
-        val agged = filtered
-          .groupBy(bucket +: keys: _*)
-          .agg(aggColumn(dataFunction, col("value"), col("time")).as("value"))
-        gapFill(agged, if (tag.nonEmpty) Seq(tag) else Nil, bucketSec, fromSec, toSec, fillType)
+        // GROUP BY time(X) [, tag] (influxdb_v1.go:163-171). The multi-row
+        // selectors (TOP/BOTTOM, DISTINCT) and multi-pass aggregates
+        // (MODE, INTEGRAL) route to their own plans; everything else is a
+        // single aggregate expression per bucket.
+        val bucketCol = floor(unix_timestamp(col("time")) / bucketSec) * bucketSec
+        val keyNames = if (tag.nonEmpty) Seq(tag) else Nil
+        dataFunction match {
+          case TopBottomFn(largest, n) =>
+            selectorExtremes(filtered, Some(bucketCol), keyNames, n, largest)
+          case "distinct" =>
+            // InfluxQL DISTINCT: the distinct values per bucket (multi-row;
+            // fill does not apply)
+            filtered.select(bucketCol.as("time") +: keyNames.map(col) :+ col("value"): _*)
+              .distinct()
+          case "mode" =>
+            gapFill(modeAgg(filtered, Some(bucketCol), keyNames),
+              keyNames, bucketSec, fromSec, toSec, fillType)
+          case IntegralFn(unitSec) =>
+            gapFill(integralAgg(filtered, Some(bucketCol), keyNames, unitSec, bucketSec),
+              keyNames, bucketSec, fromSec, toSec, fillType)
+          case _ =>
+            val agged = filtered
+              .groupBy(bucketCol.as("time") +: keyNames.map(col): _*)
+              .agg(aggColumn(dataFunction, col("value"), col("time")).as("value"))
+            gapFill(agged, keyNames, bucketSec, fromSec, toSec, fillType)
+        }
       } else if (dataFunction.nonEmpty) {
         // plain aggregate over the range (influxdb_v1.go:173-177)
-        filtered.agg(aggColumn(dataFunction, col("value"), col("time")).as("value"))
+        dataFunction match {
+          case TopBottomFn(largest, n) =>
+            selectorExtremes(filtered, None, Nil, n, largest)
+          case "distinct" => filtered.select(col("value")).distinct()
+          case "mode" => modeAgg(filtered, None, Nil)
+          case IntegralFn(unitSec) =>
+            integralAgg(filtered, None, Nil, unitSec, bucketSec)
+          case _ =>
+            filtered.agg(aggColumn(dataFunction, col("value"), col("time")).as("value"))
+        }
       } else {
         // raw points (influxdb_v1.go:178-183)
         filtered.select(unix_timestamp(col("time")).as("time"), col("value"))

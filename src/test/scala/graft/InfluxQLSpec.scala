@@ -240,6 +240,72 @@ class InfluxQLSpec extends SparkSpec {
     assert(bucketed.asInstanceOf[InfluxQL.Select].req.dataFunction == "max")
   }
 
+  test("widened function namespace parses to the engine spellings (round 12)") {
+    def sel(q: String): DataPointsRequest =
+      InfluxQL.parse(q).asInstanceOf[InfluxQL.Select].req
+    // parameterized transforms carry their trailing arg
+    val d = sel("""SELECT derivative(mean("value"), 1h) FROM "m" GROUP BY time(10m)""")
+    assert(d.dataFunction == "mean" && d.transformFunction == "derivative_1h")
+    val nn = sel("""SELECT non_negative_derivative(mean("value")) FROM "m" GROUP BY time(1h)""")
+    assert(nn.transformFunction == "non_negative_derivative")
+    val ma = sel("""SELECT moving_average(mean("value"), 5) FROM "m" GROUP BY time(1h)""")
+    assert(ma.transformFunction == "moving_average_5")
+    val ch = sel("""SELECT abs(derivative(mean("value"), 1m)) FROM "m" GROUP BY time(1h)""")
+    assert(ch.transformFunction == "derivative_1m,abs")
+    val cs = sel("""SELECT cumulative_sum(sum("value")) FROM "m" GROUP BY time(1d)""")
+    assert(cs.dataFunction == "sum" && cs.transformFunction == "cumulative_sum")
+    val el = sel("""SELECT elapsed("value", 1m) FROM "m" WHERE time > now()-1h""")
+    assert(el.dataFunction == "" && el.transformFunction == "elapsed_1m")
+    // selectors / multi-pass aggregates
+    assert(sel("""SELECT top("value", 3) FROM "m" GROUP BY time(1d)""")
+      .dataFunction == "top_3")
+    assert(sel("""SELECT bottom("value", 2) FROM "m" GROUP BY time(1d)""")
+      .dataFunction == "bottom_2")
+    assert(sel("""SELECT integral("value", 1h) FROM "m" GROUP BY time(6h)""")
+      .dataFunction == "integral_1h")
+    assert(sel("""SELECT integral("value") FROM "m" GROUP BY time(6h)""")
+      .dataFunction == "integral")
+    assert(sel("""SELECT count(distinct("value")) FROM "m" GROUP BY time(1d)""")
+      .dataFunction == "count_distinct")
+    assert(sel("""SELECT mode("value") FROM "m" GROUP BY time(1d)""")
+      .dataFunction == "mode")
+    assert(sel("""SELECT distinct("value") FROM "m" GROUP BY time(1d)""")
+      .dataFunction == "distinct")
+    // scalar math wraps chain like abs does
+    assert(sel("""SELECT ceil(log10(sqrt(mean("value")))) FROM "m" GROUP BY time(6h)""")
+      .transformFunction == "sqrt,log10,ceil")
+    assert(sel("""SELECT pow(mean("value"), 2) FROM "m" GROUP BY time(6h)""")
+      .transformFunction == "pow_2")
+    // sequential transforms over an un-bucketed aggregate refuse like
+    // difference does
+    intercept[IllegalArgumentException] {
+      InfluxQL.parse("""SELECT derivative(max("value")) FROM "m" WHERE time > now()-1h""")
+    }
+    intercept[IllegalArgumentException] {
+      InfluxQL.parse("""SELECT moving_average(mean("value"), 5) FROM "m" WHERE time > now()-1h""")
+    }
+  }
+
+  test("widened namespace e2e: string path ≡ structured request (round 12)") {
+    val df = pts(
+      ("m", 1704153600L, 10.0, "1"), ("m", 1704153660L, 20.0, "1"),
+      ("m", 1704157200L, 30.0, "2"), ("m", 1704160800L, 25.0, "2"))
+    val viaString = InfluxQL.dataPoints(
+      """SELECT derivative(mean("value"), 1h) FROM "m" WHERE time > now()-4h GROUP BY time(1h) FILL(none)""",
+      _ => df, _ => None, now).collect().toSeq
+    val viaStruct = Planner.dataPoints(DataPointsRequest("m",
+      dataFunction = "mean", relativeTime = "4h", groupByTime = "1h",
+      fillType = "none", transformFunction = "derivative_1h"),
+      _ => df, now).collect().toSeq
+    assert(viaString == viaStruct && viaString.nonEmpty)
+    val topString = InfluxQL.dataPoints(
+      """SELECT top("value", 1) FROM "m" WHERE time > now()-4h GROUP BY time(1h)""",
+      _ => df, _ => None, now).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(topString == Set((1704153660L, 20.0), (1704157200L, 30.0),
+      (1704160800L, 25.0)))
+  }
+
   test("looksLike separates InfluxQL from Spark SQL") {
     assert(InfluxQL.looksLike("""SELECT mean("value") FROM "gen_raw"."m" WHERE time > now()-10m"""))
     assert(InfluxQL.looksLike("""SELECT last(value) AS v FROM "gen_default"."m" GROUP BY location_id FILL(null)"""))
