@@ -708,6 +708,33 @@ object SparkEntry {
         .select(col("time"), round(col("value"), 6).as("value"), col("location_id"))
     }),
 
+    "a30_ema" -> ((s, dir) => {
+      // EXPONENTIAL_MOVING_AVERAGE(mean, 3) per (6h, location) — the
+      // keyed sequential fold; α = 2/(3+1) = 0.5 exactly
+      Planner.dataPoints(DataPointsRequest("app_purchase", relativeTime = "5w",
+        groupByTime = "6h", groupByTag = "location_id",
+        dataFunction = "mean", fillType = "none",
+        transformFunction = "exponential_moving_average_3"),
+        _ => points(s, dir, "app_"), Now)
+        .select(col("location_id"), col("time"), round(col("value"), 6).as("value"))
+    }),
+
+    "a31_ema_blocked" -> ((s, dir) => {
+      // untagged EMA over per-minute means — the blocked AFFINE scan,
+      // chained after sqrt. The recurrence block-decomposes exactly but
+      // its float ops reassociate vs the oracle's sequential fold; the
+      // raw 2-decimal data is dyadic under α = 1/2, which lands EMA
+      // values exactly on decimal rounding midpoints (measured at both
+      // round(6) and round(5) on sf0.01), so the sqrt first makes the
+      // inputs irrational — the ~1e-15 reassociation noise then sits a
+      // measure-zero distance from any rounding boundary
+      Planner.dataPoints(DataPointsRequest("app_error", relativeTime = "5w",
+        groupByTime = "1m", dataFunction = "mean", fillType = "none",
+        transformFunction = "sqrt,exponential_moving_average_3"),
+        _ => points(s, dir, "app_"), Now)
+        .select(col("time"), round(col("value"), 6).as("value"))
+    }),
+
     "a29_integral_range" -> ((s, dir) => {
       // whole-range INTEGRAL(value, 1h) — no bucket, no tag: the blocked
       // prefix scan feeds a single trapezoid sum. Rounded to 3 decimals:
@@ -2821,6 +2848,29 @@ object SparkEntry {
          |      FROM pts WHERE m = 'app_signup' AND tsec > 1703721600)
          |SELECT tsec AS time, round(v, 6) AS value, loc AS location_id
          |FROM r WHERE rn <= 2""".stripMargin,
+
+    "a30_ema" ->
+      s"""WITH RECURSIVE ${ptsCte("app_")},
+         |agg AS (SELECT loc, CAST(floor(tsec / 21600) * 21600 AS BIGINT) t, avg(v) val
+         |        FROM pts WHERE m = 'app_purchase' AND tsec > 1703721600 GROUP BY 1, 2),
+         |r AS (SELECT loc, t, val,
+         |        row_number() OVER (PARTITION BY loc ORDER BY t) rn FROM agg),
+         |e AS (SELECT loc, t, rn, val AS ema FROM r WHERE rn = 1
+         |      UNION ALL
+         |      SELECT r.loc, r.t, r.rn, 0.5 * r.val + 0.5 * e.ema
+         |      FROM r JOIN e ON r.loc = e.loc AND r.rn = e.rn + 1)
+         |SELECT loc AS location_id, t AS time, round(ema, 6) AS value FROM e""".stripMargin,
+
+    "a31_ema_blocked" ->
+      s"""WITH RECURSIVE ${ptsCte("app_")},
+         |agg AS (SELECT CAST(floor(tsec / 60) * 60 AS BIGINT) t, sqrt(avg(v)) val
+         |        FROM pts WHERE m = 'app_error' AND tsec > 1703721600 GROUP BY 1),
+         |r AS (SELECT t, val, row_number() OVER (ORDER BY t) rn FROM agg),
+         |e AS (SELECT t, rn, val AS ema FROM r WHERE rn = 1
+         |      UNION ALL
+         |      SELECT r.t, r.rn, 0.5 * r.val + 0.5 * e.ema
+         |      FROM r JOIN e ON r.rn = e.rn + 1)
+         |SELECT t AS time, round(ema, 6) AS value FROM e""".stripMargin,
 
     "a29_integral_range" ->
       s"""WITH ${ptsCte("app_")},

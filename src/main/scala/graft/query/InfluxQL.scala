@@ -64,7 +64,7 @@ object InfluxQL {
    *  (derivative/elapsed) or a count/exponent (moving_average/pow);
    *  parsed into the engine's `fn_arg` spelling. */
   private val ParamTransformFns = Set("derivative", "non_negative_derivative",
-    "elapsed", "moving_average", "pow")
+    "elapsed", "moving_average", "exponential_moving_average", "pow")
 
   /**
    * Cheap syntactic sniff: does this string carry a distinctive InfluxQL
@@ -139,7 +139,8 @@ object InfluxQL {
       t == "difference" || t == "non_negative_difference" ||
         t == "cumulative_sum" || t.startsWith("derivative_") ||
         t == "derivative" || t.startsWith("non_negative_derivative") ||
-        t.startsWith("elapsed") || t.startsWith("moving_average_")
+        t.startsWith("elapsed") || t.startsWith("moving_average_") ||
+        t.startsWith("exponential_moving_average_")
     if (transformFunction.split(",").exists(sequential) &&
         dataFunction.nonEmpty && groupByTime.isEmpty)
       throw new IllegalArgumentException(

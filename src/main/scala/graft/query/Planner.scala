@@ -142,6 +142,19 @@ object Planner {
     }
   }
 
+  /** `exponential_moving_average_<n>` — InfluxQL
+   *  EXPONENTIAL_MOVING_AVERAGE(field, n): α = 2/(n+1) (the TA
+   *  convention InfluxQL uses), seeded with the first point
+   *  (s₁ = v₁, then s_i = α·v_i + (1−α)·s_{i−1}). n = 1 (α = 1,
+   *  identity) is refused like moving_average_1. */
+  private object EmaFn {
+    private val Re = "^exponential_moving_average_(\\d{1,4})$".r
+    def unapply(fn: String): Option[Int] = fn match {
+      case Re(n) if n.toInt > 1 => Some(n.toInt)
+      case _ => None
+    }
+  }
+
   /** `pow_<n>` — InfluxQL POW(field, n). */
   private object PowFn {
     private val Re = "^pow_(\\d+(?:\\.\\d+)?)$".r
@@ -358,6 +371,105 @@ object Planner {
       .drop("_gi", "_gps", "_gpc", "_ji", "_ps0", "_pc0")
   }
 
+  /** Per-series EMA: the recurrence folded over each key's time-sorted
+   *  stream — keys hash-spread over partitions, per-key state reset on
+   *  the sorted iterator (the Aggregator.difference idiom). Null rows
+   *  (unfilled gap buckets) emit null and do not advance the state. */
+  private def keyedEma(df: DataFrame, alpha: Double, partCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val keyIdx = partCols.map(df.schema.fieldIndex)
+    val valIdx = df.schema.fieldIndex("value")
+    val outSchema = org.apache.spark.sql.types.StructType(df.schema.fields :+
+      org.apache.spark.sql.types.StructField("_ema",
+        org.apache.spark.sql.types.DoubleType))
+    df.repartition(partCols.map(col): _*)
+      .sortWithinPartitions(partCols.map(col) :+ col("time"): _*)
+      .mapPartitions { it =>
+        var curKey: Seq[Any] = null
+        var s = 0.0; var seeded = false
+        it.map { r =>
+          val k = keyIdx.map(r.get)
+          if (k != curKey) { curKey = k; seeded = false }
+          if (r.isNullAt(valIdx)) Row.fromSeq(r.toSeq :+ null)
+          else {
+            val v = r.getDouble(valIdx)
+            s = if (!seeded) { seeded = true; v } else alpha * v + (1 - alpha) * s
+            Row.fromSeq(r.toSeq :+ s)
+          }
+        }
+      }(Encoders.row(outSchema))
+      .withColumn("value", col("_ema")).drop("_ema")
+  }
+
+  /** EMA with no group key — the blocked AFFINE scan. The recurrence
+   *  s_i = α·v_i + (1−α)·s_{i−1} is linear, so it block-decomposes
+   *  EXACTLY: each time block folds its rows locally from s_in = 0
+   *  (pass 1, blocks hash-spread over partitions), exposing the block
+   *  as an affine map s_out = last_local + decay·s_in with
+   *  decay = (1−α)^nonNulls; the rows/4096-sized block summaries fold
+   *  left-to-right into the carry INTO each block (seeded with the
+   *  globally-first value so s₁ = v₁), and each row finishes as
+   *  local_i + (1−α)^{pᵢ}·carry. The sequential dependency rides only
+   *  through the tiny summary fold — both data passes are
+   *  partition-parallel, no global window, no one-task funnel. */
+  private def blockedEma(df: DataFrame, alpha: Double, bucketSec: Long): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val span = blockSpanSec(bucketSec)
+    val withBlk = df.withColumn("_blk", floor(col("time") / span))
+    val blkIdx = withBlk.schema.fieldIndex("_blk")
+    val valIdx = withBlk.schema.fieldIndex("value")
+    val stepSchema = StructType(withBlk.schema.fields ++ Seq(
+      StructField("_loc", DoubleType), StructField("_dk", DoubleType)))
+    // pass 1: per-block local fold, per-block state reset on the sorted
+    // stream (blocks hash-spread over partitions)
+    val step = withBlk.repartition(col("_blk"))
+      .sortWithinPartitions(col("_blk"), col("time"))
+      .mapPartitions { it =>
+        var cur: Any = null; var local = 0.0; var dk = 1.0
+        it.map { r =>
+          val b = r.get(blkIdx)
+          if (b != cur) { cur = b; local = 0.0; dk = 1.0 }
+          if (r.isNullAt(valIdx)) Row.fromSeq(r.toSeq ++ Seq(null, null))
+          else {
+            local = alpha * r.getDouble(valIdx) + (1 - alpha) * local
+            dk *= (1 - alpha)
+            Row.fromSeq(r.toSeq ++ Seq(local, dk))
+          }
+        }
+      }(Encoders.row(stepSchema))
+    // per-block affine summary: (last local, total decay, first value) —
+    // dk is strictly decreasing within a block, so min(dk) = (1−α)^count
+    val summary = step.groupBy(col("_blk")).agg(
+      max_by(col("_loc"), when(col("value").isNotNull, col("time"))).as("_last"),
+      min(col("_dk")).as("_decay"),
+      min_by(col("value"), when(col("value").isNotNull, col("time"))).as("_first"))
+    // fold the affine maps over the summary (the blockCarry idiom):
+    // carry(first non-empty block) = its first value; then
+    // carry(b+1) = last_b + decay_b · carry(b); empty blocks pass through
+    val carrySchema = StructType(summary.schema.fields :+ StructField("_carry", DoubleType))
+    val carries = summary.repartition(1).sortWithinPartitions(col("_blk"))
+      .mapPartitions { it =>
+        var acc = 0.0; var seeded = false
+        it.map { r =>
+          val first = if (r.isNullAt(3)) null else r.get(3)
+          val carry: Any =
+            if (!seeded && first != null) { seeded = true; first }
+            else if (seeded) acc
+            else null
+          val out = Row.fromSeq(r.toSeq :+ carry)
+          if (!r.isNullAt(1) && carry != null)
+            acc = r.getDouble(1) + r.getDouble(2) * carry.asInstanceOf[Double]
+          out
+        }
+      }(Encoders.row(carrySchema))
+      .select(col("_blk"), col("_carry"))
+    step.join(broadcast(carries), Seq("_blk"), "left")
+      .withColumn("value", when(col("value").isNotNull,
+        col("_loc") + col("_dk") * col("_carry")))
+      .drop("_blk", "_loc", "_dk", "_carry")
+  }
+
   /** InfluxQL TOP/BOTTOM: the n largest/smallest points per time
    *  bucket (+tag) — or over the whole range — keeping each point's own
    *  timestamp (the InfluxQL output shape). Deterministic under ties:
@@ -488,6 +600,8 @@ object Planner {
         val wAvg = wOrd.rowsBetween(-(n - 1), Window.currentRow)
         df.withColumn("value",
           when(row_number().over(wOrd) >= n, avg(col("value")).over(wAvg)))
+      case EmaFn(n) if partCols.isEmpty => blockedEma(df, 2.0 / (n + 1), bucketSec)
+      case EmaFn(n) => keyedEma(df, 2.0 / (n + 1), partCols)
       // scalar math (the InfluxQL transform namespace); ceil/floor keep
       // the double value-column type
       case "abs" => df.withColumn("value", abs(col("value")))

@@ -250,6 +250,8 @@ class InfluxQLSpec extends SparkSpec {
     assert(nn.transformFunction == "non_negative_derivative")
     val ma = sel("""SELECT moving_average(mean("value"), 5) FROM "m" GROUP BY time(1h)""")
     assert(ma.transformFunction == "moving_average_5")
+    val ema = sel("""SELECT exponential_moving_average(mean("value"), 3) FROM "m" GROUP BY time(1h)""")
+    assert(ema.transformFunction == "exponential_moving_average_3")
     val ch = sel("""SELECT abs(derivative(mean("value"), 1m)) FROM "m" GROUP BY time(1h)""")
     assert(ch.transformFunction == "derivative_1m,abs")
     val cs = sel("""SELECT cumulative_sum(sum("value")) FROM "m" GROUP BY time(1d)""")

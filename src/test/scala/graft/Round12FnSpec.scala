@@ -121,8 +121,51 @@ class Round12FnSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("exponential_moving_average: α = 2/(n+1), seeded with the first point") {
+    // n = 3 → α = 0.5: [10, 20, 30] → [10, 15, 22.5] (exact dyadics)
+    val in = pts((base, 10.0), (base + 60, 20.0), (base + 120, 30.0))
+    assert(timeValue(query(in, transformFunction = "exponential_moving_average_3")) ==
+      Seq((base, Some(10.0)), (base + 60, Some(15.0)), (base + 120, Some(22.5))))
+  }
+
+  test("blocked EMA over multi-block data equals the sequential recurrence") {
+    val n = 3; val alpha = 2.0 / (n + 1)
+    val got = timeValue(query(pts(manyRows: _*),
+      transformFunction = s"exponential_moving_average_$n"))
+    var s = 0.0; var seeded = false
+    val want = manyRows.map { case (t, v) =>
+      s = if (!seeded) { seeded = true; v } else alpha * v + (1 - alpha) * s
+      (t, s)
+    }
+    assert(got.size == want.size)
+    got.zip(want).foreach { case ((gt, gv), (wt, wv)) =>
+      assert(gt == wt)
+      // the affine decomposition reassociates the float ops — identical
+      // in exact arithmetic, a few ulps apart in doubles
+      assert(math.abs(gv.get - wv) <= 1e-9 * math.max(1.0, math.abs(wv)),
+        s"t=$gt got=${gv.get} want=$wv")
+    }
+  }
+
+  test("keyed EMA folds per tag independently") {
+    val rows = Seq(
+      Row("app_t", new Timestamp(base * 1000), 10.0, "d1", "A", "sensor"),
+      Row("app_t", new Timestamp((base + 60) * 1000), 20.0, "d1", "A", "sensor"),
+      Row("app_t", new Timestamp(base * 1000), 100.0, "d2", "B", "sensor"),
+      Row("app_t", new Timestamp((base + 60) * 1000), 200.0, "d2", "B", "sensor"))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val out = query(df, dataFunction = "mean",
+      transformFunction = "exponential_moving_average_3",
+      groupByTime = "1m", groupByTag = "location_id")
+      .collect().map(r => (r.getString(r.fieldIndex("location_id")),
+        r.getLong(r.fieldIndex("time")), r.getDouble(r.fieldIndex("value")))).toSet
+    assert(out == Set(("A", base, 10.0), ("A", base + 60, 15.0),
+      ("B", base, 100.0), ("B", base + 60, 150.0)))
+  }
+
   test("no global data window in any untagged sequential-transform plan") {
-    for (tf <- Seq("derivative", "cumulative_sum", "moving_average_9", "elapsed")) {
+    for (tf <- Seq("derivative", "cumulative_sum", "moving_average_9", "elapsed",
+        "exponential_moving_average_3")) {
       val plan = query(pts(manyRows: _*), transformFunction = tf)
         .queryExecution.optimizedPlan
       assert(PlanAudit.globalDataWindows(plan).isEmpty,
@@ -221,5 +264,7 @@ class Round12FnSpec extends SparkSpec {
       query(in, dataFunction = "top_0", groupByTime = "1h").collect() }
     intercept[IllegalArgumentException] {
       query(in, transformFunction = "moving_average_1").collect() }
+    intercept[IllegalArgumentException] {
+      query(in, transformFunction = "exponential_moving_average_1").collect() }
   }
 }
