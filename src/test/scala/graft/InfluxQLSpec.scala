@@ -155,20 +155,43 @@ class InfluxQLSpec extends SparkSpec {
     val rpG = Gen.option(Gen.oneOf("gen_raw", "gen_day", "default_20w"))
     val dbG = Gen.oneOf(false, true)
     val aggG = Gen.oneOf("mean", "count", "sum", "min", "max", "median",
-      "first", "last", "spread", "stddev")
+      "first", "last", "spread", "stddev", "mode", "distinct")
+    // engine spellings; parameterized ones render as fn(expr, arg)
     val chainG = Gen.oneOf(Nil, List("abs"), List("difference"),
-      List("difference", "abs"), List("abs", "difference"))
+      List("difference", "abs"), List("abs", "difference"),
+      List("cumulative_sum"), List("non_negative_difference"),
+      List("derivative_1h"), List("non_negative_derivative_1m"),
+      List("elapsed_1m"), List("moving_average_5"),
+      List("exponential_moving_average_3"), List("pow_2"),
+      List("sqrt", "log10", "ceil"), List("round", "cumulative_sum"),
+      List("derivative_1h", "abs"))
+    val ParamT = ("^(derivative|non_negative_derivative|elapsed|moving_average|" +
+      "exponential_moving_average|pow)_(\\w+)$").r
+    def renderT(t: String, e: String): String = t match {
+      case ParamT(f, a) => s"$f($e, $a)"
+      case _ => s"$t($e)"
+    }
     val selG: Gen[(String, DataPointsRequest => DataPointsRequest)] =
       Gen.oneOf(
         Gen.const(("\"value\"", identity[DataPointsRequest] _)),
         for { a <- aggG; ch <- chainG } yield {
           val inner = s"""$a("value")"""
-          val rendered = ch.foldLeft(inner)((e, t) => s"$t($e)")
+          val rendered = ch.foldLeft(inner)((e, t) => renderT(t, e))
           (rendered, (r: DataPointsRequest) => r.copy(
             dataFunction = a, transformFunction = ch.mkString(",")))
         },
         Gen.choose(1, 99).map(n => (s"""percentile("value", $n)""",
-          (r: DataPointsRequest) => r.copy(dataFunction = s"percentile_$n"))))
+          (r: DataPointsRequest) => r.copy(dataFunction = s"percentile_$n"))),
+        for { w <- Gen.oneOf("top", "bottom"); n <- Gen.choose(1, 9) } yield
+          (s"""$w("value", $n)""",
+            (r: DataPointsRequest) => r.copy(dataFunction = s"${w}_$n")),
+        Gen.option(Gen.oneOf("1s", "30m", "1h")).map { d =>
+          val arg = d.map(x => s", $x").getOrElse("")
+          (s"""integral("value"$arg)""", (r: DataPointsRequest) =>
+            r.copy(dataFunction = d.map(x => s"integral_$x").getOrElse("integral")))
+        },
+        Gen.const(("""count(distinct("value"))""",
+          (r: DataPointsRequest) => r.copy(dataFunction = "count_distinct"))))
     val whereG: Gen[(Seq[String], DataPointsRequest => DataPointsRequest)] =
       Gen.oneOf(
         Gen.const((Nil, identity[DataPointsRequest] _)),
@@ -212,9 +235,15 @@ class InfluxQLSpec extends SparkSpec {
       (sql, InfluxQL.Select(want, rp))
     }
     checkProp(Prop.forAll(stmtG) { case (sql, want) =>
-      // difference over an aggregate with no GROUP BY time has no time
-      // axis — the grammar refuses it (documented error envelope)
-      val refused = want.req.transformFunction.split(",").contains("difference") &&
+      // a sequential transform over an aggregate with no GROUP BY time
+      // has no time axis — the grammar refuses it (documented envelope)
+      def sequential(t: String): Boolean =
+        t == "difference" || t == "non_negative_difference" ||
+          t == "cumulative_sum" || t.startsWith("derivative") ||
+          t.startsWith("non_negative_derivative") ||
+          t.startsWith("elapsed") || t.startsWith("moving_average_") ||
+          t.startsWith("exponential_moving_average_")
+      val refused = want.req.transformFunction.split(",").exists(sequential) &&
         want.req.dataFunction.nonEmpty && want.req.groupByTime.isEmpty
       if (refused)
         try { InfluxQL.parse(sql); false }
