@@ -368,6 +368,47 @@ object SparkEntry {
         "cmd.tsdb.get_measurements", null)
     }),
 
+    // --- the Grafana template-variable catalog forms (round 12): SHOW
+    // TAG KEYS / TAG VALUES / FIELD KEYS / SERIES through the raw-query
+    // command, against a routed store. TAG/FIELD KEYS are schema-derived
+    // (no data scan); TAG VALUES and SERIES are column-pruned distincts
+    // over the measurement-pruned scan. ---
+
+    "s12_show_keys" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_s12k")
+        .toFile.getAbsolutePath
+      val store = new graft.store.TierStore(s, root)
+      store.write(graft.model.Tier.GenDefault, points(s, dir, "app_"))
+      val ctx = graft.api.Api.Context(s, store, now = () => Now)
+      val tk = graft.api.Api.dispatch(ctx, "cmd.tsdb.query",
+        """SHOW TAG KEYS FROM "app_view"""")
+        .select(lit("tag").as("kind"), col("tag_key").as("k"),
+          col("measurement").as("v"))
+      val fk = graft.api.Api.dispatch(ctx, "cmd.tsdb.query", "SHOW FIELD KEYS")
+        .select(lit("field").as("kind"), col("field_key").as("k"),
+          col("field_type").as("v"))
+      tk.unionAll(fk)
+    }),
+
+    "s12_show_tag_values" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_s12tv")
+        .toFile.getAbsolutePath
+      val store = new graft.store.TierStore(s, root)
+      store.write(graft.model.Tier.GenDefault, points(s, dir, "app_"))
+      graft.api.Api.dispatch(graft.api.Api.Context(s, store, now = () => Now),
+        "cmd.tsdb.query",
+        """SHOW TAG VALUES FROM "app_view" WITH KEY = "location_id"""")
+    }),
+
+    "s12_show_series" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_s12sr")
+        .toFile.getAbsolutePath
+      val store = new graft.store.TierStore(s, root)
+      store.write(graft.model.Tier.GenDefault, points(s, dir, "app_"))
+      graft.api.Api.dispatch(graft.api.Api.Context(s, store, now = () => Now),
+        "cmd.tsdb.query", """SHOW SERIES FROM "app_click"""")
+    }),
+
     // --- ingest: sources / filters / topic match / enrichment / transform ---
 
     "s2_log_replay" -> ((s, dir) => {
@@ -3878,6 +3919,24 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'gen_default' AS tier, 'app_' || event_type AS measurement
         |FROM events GROUP BY 2""".stripMargin,
+
+    "s12_show_keys" ->
+      """SELECT 'tag' AS kind, unnest(['dev_id', 'dev_type', 'dir',
+        |  'location_id', 'series_id']) AS k, 'app_view' AS v
+        |UNION ALL
+        |SELECT 'field', 'value', 'float'""".stripMargin,
+
+    "s12_show_tag_values" ->
+      """SELECT DISTINCT 'location_id' AS key,
+        |  CAST(user_id % 5 AS VARCHAR) AS value
+        |FROM events WHERE event_type = 'view'""".stripMargin,
+
+    "s12_show_series" ->
+      s"""WITH ${ptsCte("app_")}
+         |SELECT DISTINCT 'app_click,dev_id=' || dev_id || ',dev_type=' ||
+         |  dev_type || ',dir=' || dir || ',location_id=' || loc ||
+         |  ',series_id=' || series AS key
+         |FROM pts WHERE m = 'app_click'""".stripMargin,
 
     // a3's per-pair fold model over a thinned, gap-heavy fixture; the
     // staleness arm (bkt - pt > 7200 → 0) wipes ~82% of pairs here

@@ -659,6 +659,13 @@ object Api {
       case InfluxQL.ShowRetentionPolicies =>
         dispatch(ctx, "cmd.tsdb.get_retention_policies", null)
       case InfluxQL.ShowContinuousQueries => dispatch(ctx, "cmd.tsdb.get_cqs", null)
+      case InfluxQL.ShowDatabases =>
+        import ctx.spark.implicits._
+        Seq(ctx.store.databaseName).toDF("name")
+      case InfluxQL.ShowTagKeys(m) => ctx.store.tagKeys(m)
+      case InfluxQL.ShowTagValues(m, k) => ctx.store.tagValues(m, k)
+      case InfluxQL.ShowFieldKeys(_) => ctx.store.fieldKeys()
+      case InfluxQL.ShowSeries(m) => ctx.store.seriesKeys(m)
       case sel: InfluxQL.Select =>
         InfluxQL.dataPoints(sel, t => ctx.store.read(t),
           ctx.store.tierByName(_), ctx.now())

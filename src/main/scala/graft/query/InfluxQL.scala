@@ -37,6 +37,12 @@ import org.apache.spark.sql.DataFrame
  *   cond := time >|>= now()-<dur> | time >=|> '<RFC3339>'
  *         | time <=|< '<RFC3339>' | tag = 'value'
  *   SHOW MEASUREMENTS | SHOW RETENTION POLICIES | SHOW CONTINUOUS QUERIES
+ *   | SHOW DATABASES | SHOW TAG KEYS [ON db] [FROM m]
+ *   | SHOW TAG VALUES [ON db] [FROM m] WITH KEY = k
+ *   | SHOW FIELD KEYS [ON db] [FROM m] | SHOW SERIES [ON db] [FROM m]
+ *     — the Grafana template-variable catalog forms a dashboard pointed
+ *     at the reference's InfluxDB issues; `ON db` is accepted and
+ *     ignored (the store is the database)
  *
  * A FROM-clause retention policy pins the tier (the InfluxQL contract);
  * without one the planner's tier policy picks, as the structured command
@@ -53,6 +59,12 @@ object InfluxQL {
   case object ShowMeasurements extends Statement
   case object ShowRetentionPolicies extends Statement
   case object ShowContinuousQueries extends Statement
+  case object ShowDatabases extends Statement
+  final case class ShowTagKeys(measurement: Option[String]) extends Statement
+  final case class ShowTagValues(measurement: Option[String], key: String)
+      extends Statement
+  final case class ShowFieldKeys(measurement: Option[String]) extends Statement
+  final case class ShowSeries(measurement: Option[String]) extends Statement
 
   private val AggFns = Set("mean", "count", "sum", "min", "max", "median",
     "first", "last", "spread", "stddev", "mode", "distinct")
@@ -81,6 +93,8 @@ object InfluxQL {
     s.matches("show\\s+measurements\\s*;?") ||
       s.matches("show\\s+retention\\s+policies\\s*;?") ||
       s.matches("show\\s+continuous\\s+queries\\s*;?") ||
+      s.matches("show\\s+databases\\s*;?") ||
+      s.matches("(?s)show\\s+(tag\\s+keys|tag\\s+values|field\\s+keys|series)\\b.*") ||
       s.matches("(?s).*now\\(\\)\\s*[-+]\\s*\\d+(ns|us|µs|ms|s|m|h|d|w).*") ||
       s.matches("(?s).*\\bfill\\s*\\(.*") ||
       s.matches("(?s).*\\bgroup\\s+by\\s+.*\\btime\\s*\\(.*") ||
@@ -112,6 +126,27 @@ object InfluxQL {
     if (l.matches("show\\s+measurements")) return ShowMeasurements
     if (l.matches("show\\s+retention\\s+policies")) return ShowRetentionPolicies
     if (l.matches("show\\s+continuous\\s+queries")) return ShowContinuousQueries
+    if (l.matches("show\\s+databases")) return ShowDatabases
+    // the Grafana template-variable catalog forms: optional `ON db`
+    // (ignored — the store IS the database), optional FROM measurement
+    val on = "(?:\\s+ON\\s+(?:\"[^\"]+\"|[\\w\\-]+))?"
+    val from = "(?:\\s+FROM\\s+(\"[^\"]+\"|[\\w\\-.]+))?"
+    def meas(g: String): Option[String] = Option(g).map(unquote)
+    val tagKeysRe = s"(?is)^SHOW\\s+TAG\\s+KEYS$on$from\\s*$$".r
+    val tagValuesRe =
+      (s"(?is)^SHOW\\s+TAG\\s+VALUES$on$from\\s+WITH\\s+KEY\\s*=\\s*" +
+        "(\"[^\"]+\"|[\\w\\-]+)\\s*$").r
+    val fieldKeysRe = s"(?is)^SHOW\\s+FIELD\\s+KEYS$on$from\\s*$$".r
+    val seriesRe = s"(?is)^SHOW\\s+SERIES$on$from\\s*$$".r
+    q match {
+      case tagKeysRe(m) => return ShowTagKeys(meas(m))
+      case tagValuesRe(m, k) => return ShowTagValues(meas(m), unquote(k))
+      case fieldKeysRe(m) => return ShowFieldKeys(meas(m))
+      case seriesRe(m) => return ShowSeries(meas(m))
+      case _ =>
+    }
+    if (l.startsWith("show"))
+      throw new IllegalArgumentException(s"unsupported SHOW statement: $raw")
     val m = SelectRe.findFirstMatchIn(q).getOrElse(
       throw new IllegalArgumentException(s"unsupported InfluxQL statement: $raw"))
     val (fieldName, dataFunction, transformFunction) = parseSelectList(m.group(1))

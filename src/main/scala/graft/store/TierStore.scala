@@ -553,6 +553,109 @@ final class TierStore(spark: SparkSession, val root: String) {
     subDirs(path(tier.name)).map(_.getName)
       .filter(_.startsWith("measurement=")).map(_.stripPrefix("measurement=")).sorted
 
+  // --- InfluxQL catalog statements beyond SHOW MEASUREMENTS — the
+  // dashboard-compat surface (Grafana's InfluxDB datasource issues
+  // these for template variables against the reference's InfluxDB;
+  // SURVEY §3.2's raw passthrough is how they reach the engine). The
+  // tag/field split mirrors the reference's point assembly: tags are
+  // the identity strings (getDefaultTags, transform.go:353-369 — topic,
+  // location_id, dev_id, dev_type, + dir/service/src and our
+  // series_id/agg_func), fields are the value payload + unit
+  // (transform.go:127 `{"value": ..., "unit": ...}`). ---
+
+  /** Column names that are InfluxDB FIELDS in the canonical points
+   *  shape; everything else (except measurement/time and the storage
+   *  partitions) is a tag. */
+  private val FieldCols = Seq("value", "value_bool", "value_str", "unit", "fields_json")
+  private val NonSeriesCols = Set("measurement", "time", "date", "tier")
+
+  /** The store's schema for catalog purposes: the first tier holding any
+   *  measurement partitions (one canonical schema per store; an empty
+   *  tier would answer with the canonical 16-column shape instead of
+   *  what this store actually writes), else the canonical shape. */
+  private def catalogSchema: org.apache.spark.sql.types.StructType =
+    retentionPolicies.find(measurements(_).nonEmpty)
+      .map(t => read(t).schema).getOrElse(emptyPoints.schema)
+
+  /** Tiers that hold any data — the catalog scans skip the rest. */
+  private def populatedTiers: Seq[Tier] =
+    retentionPolicies.filter(measurements(_).nonEmpty)
+
+  private def tagCols(schema: org.apache.spark.sql.types.StructType): Seq[String] =
+    schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.StringType &&
+        !NonSeriesCols(f.name) && !FieldCols.contains(f.name) => f.name
+    }.toSeq.sorted
+
+  /** SHOW TAG KEYS [FROM m] → (measurement, tag_key). Schema-derived —
+   *  a listing plus one schema read, no data scan. */
+  def tagKeys(measurement: Option[String]): DataFrame = {
+    import spark.implicits._
+    val keys = tagCols(catalogSchema)
+    val ms = measurement.map(Seq(_)).getOrElse(
+      retentionPolicies.flatMap(measurements).distinct.sorted)
+    ms.flatMap(m => keys.map(k => (m, k))).toDF("measurement", "tag_key")
+  }
+
+  /** SHOW TAG VALUES [FROM m] WITH KEY = k → (key, value). A
+   *  column-pruned distinct over the partition-pruned scan — at scale
+   *  this reads one column of one measurement's partitions. */
+  def tagValues(measurement: Option[String], key: String): DataFrame = {
+    require(tagCols(catalogSchema).contains(key), s"unknown tag key: $key")
+    val frames = populatedTiers.map(read).filter(_.columns.contains(key))
+      .map { df =>
+        measurement.foldLeft(df)((d, m) => d.filter(col("measurement") === m))
+          .select(col(key).cast("string").as("value"))
+      }
+    val values =
+      if (frames.isEmpty) emptyPoints.select(lit("").as("value")).limit(0)
+      else frames.reduce(_ unionAll _)
+    values.filter(col("value").isNotNull && col("value") =!= "")
+      .distinct().select(lit(key).as("key"), col("value")).orderBy("value")
+  }
+
+  /** SHOW FIELD KEYS [FROM m] → (field_key, field_type) with InfluxDB
+   *  type names. Schema-derived, no data scan. */
+  def fieldKeys(): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = catalogSchema
+    FieldCols.flatMap(f => schema.fields.find(_.name == f)).map { f =>
+      val t = f.dataType match {
+        case DoubleType | FloatType => "float"
+        case LongType | IntegerType => "integer"
+        case BooleanType => "boolean"
+        case _ => "string"
+      }
+      (f.name, t)
+    }.toDF("field_key", "field_type")
+  }
+
+  /** SHOW SERIES [FROM m] → (key): `m,k1=v1,k2=v2` with tag keys in
+   *  sorted order and empty/null tags omitted (the InfluxDB rendering).
+   *  A distinct over the tag columns — series-cardinality-sized output,
+   *  partition-pruned under FROM. */
+  def seriesKeys(measurement: Option[String]): DataFrame = {
+    val rendered = populatedTiers.map(read).map { df =>
+      val pruned =
+        measurement.foldLeft(df)((d, m) => d.filter(col("measurement") === m))
+      val parts = tagCols(df.schema).map { k =>
+        when(col(k).isNotNull && col(k) =!= "",
+          concat(lit(s",$k="), col(k))).otherwise(lit(""))
+      }
+      pruned.select(concat(col("measurement") +: parts: _*).as("key"))
+    }
+    if (rendered.isEmpty) emptyPoints.select(lit("").as("key")).limit(0)
+    else rendered.reduce(_ unionAll _).distinct().orderBy("key")
+  }
+
+  /** SHOW DATABASES → the store itself (the FROM-clause db part the
+   *  shim accepts and ignores resolves here). */
+  def databaseName: String = {
+    val p = new HPath(root)
+    Option(p.getName).filter(_.nonEmpty).getOrElse(p.toString)
+  }
+
   // user-defined retention policies (S9 add/update/delete RP,
   // influxdb_v1.go:300-331); the built-in gen_* hierarchy is fixed.
   // DURABLE: the reference keeps RPs and CQs in InfluxDB's metadata, so

@@ -393,6 +393,34 @@ class InfluxQLSpec extends SparkSpec {
         """SELECT mean("value") FROM "default_20w"."sensor_temp" WHERE time > now()-5h GROUP BY time(1m) FILL(null)""")
     }
     assert(err.getMessage.contains("unknown retention policy"))
+    // the Grafana template-variable catalog forms (round 12)
+    val tk = Api.dispatch(ctx, "cmd.tsdb.query", """SHOW TAG KEYS FROM "sensor_temp"""")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(tk == Seq(("sensor_temp", "dev_id"), ("sensor_temp", "dev_type"),
+      ("sensor_temp", "location_id")), s"tag keys: $tk")
+    val tv = Api.dispatch(ctx, "cmd.tsdb.query",
+      """SHOW TAG VALUES FROM "sensor_temp" WITH KEY = "dev_id"""")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(tv == Seq(("dev_id", "1")), s"tag values: $tv")
+    val fk = Api.dispatch(ctx, "cmd.tsdb.query", "SHOW FIELD KEYS")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(fk == Seq(("value", "float")), s"field keys: $fk")
+    val series = Api.dispatch(ctx, "cmd.tsdb.query", """SHOW SERIES FROM "sensor_temp"""")
+      .collect().map(_.getString(0)).toSeq
+    assert(series ==
+      Seq("sensor_temp,dev_id=1,dev_type=sensor,location_id=1"), s"series: $series")
+    val dbs = Api.dispatch(ctx, "cmd.tsdb.query", "SHOW DATABASES")
+      .collect().map(_.getString(0)).toSeq
+    assert(dbs.length == 1 && dbs.head.nonEmpty)
+    // ON db accepted and ignored; an InfluxQL-claimed SHOW outside the
+    // grammar errors as InfluxQL (a non-InfluxQL SHOW keeps flowing to
+    // the Spark SQL fallback)
+    assert(Api.dispatch(ctx, "cmd.tsdb.query",
+      """SHOW TAG KEYS ON "historian" FROM "sensor_temp"""").count() == 3)
+    intercept[IllegalArgumentException] {
+      Api.dispatch(ctx, "cmd.tsdb.query",
+        """SHOW TAG KEYS FROM "sensor_temp" WHERE time > now()-1h""")
+    }
     // Spark SQL fallback unaffected
     val n = Api.dispatch(ctx, "cmd.tsdb.query", "SELECT 1 AS one")
       .collect().head.getAs[Int]("one")
