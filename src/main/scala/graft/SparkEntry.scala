@@ -786,6 +786,27 @@ object SparkEntry {
         .select(round(col("value"), 3).as("value"))
     }),
 
+    "a32_order_limit" -> ((s, dir) => {
+      // ORDER BY time DESC LIMIT 24 OFFSET 2 — the last day of hourly
+      // means minus the two newest buckets (untagged: TakeOrdered +
+      // a row_number over the limit-bounded frame)
+      Planner.dataPoints(DataPointsRequest("app_view", relativeTime = "5w",
+        groupByTime = "1h", dataFunction = "mean", fillType = "none",
+        orderDesc = true, limit = 24, offset = 2),
+        _ => points(s, dir, "app_"), Now)
+        .select(col("time"), round(col("value"), 6).as("value"))
+    }),
+
+    "a33_limit_per_series" -> ((s, dir) => {
+      // LIMIT 3 per series (InfluxQL's per-series cut) with a tag
+      // grouping: each location's three OLDEST daily sums
+      Planner.dataPoints(DataPointsRequest("app_purchase", relativeTime = "5w",
+        groupByTime = "1d", groupByTag = "location_id",
+        dataFunction = "sum", fillType = "none", limit = 3),
+        _ => points(s, dir, "app_"), Now)
+        .select(col("location_id"), col("time"), round(col("value"), 6).as("value"))
+    }),
+
     "a8_fill_previous" -> ((s, dir) => {
       Planner.dataPoints(DataPointsRequest("app_error", relativeTime = "5w",
         groupByTime = "1h", fillType = "previous",
@@ -2919,6 +2940,22 @@ object SparkEntry {
          |      FROM pts WHERE m = 'app_click' AND tsec > 1703721600
          |      WINDOW pw AS (ORDER BY epoch(ts)))
          |SELECT round(sum((v + pv) / 2 * (et - pt) / 3600), 3) AS value FROM w""".stripMargin,
+
+    "a32_order_limit" ->
+      s"""WITH ${ptsCte("app_")},
+         |agg AS (SELECT CAST(floor(tsec / 3600) * 3600 AS BIGINT) t, avg(v) val
+         |        FROM pts WHERE m = 'app_view' AND tsec > 1703721600 GROUP BY 1)
+         |SELECT t AS time, round(val, 6) AS value FROM agg
+         |ORDER BY t DESC LIMIT 24 OFFSET 2""".stripMargin,
+
+    "a33_limit_per_series" ->
+      s"""WITH ${ptsCte("app_")},
+         |agg AS (SELECT loc, CAST(floor(tsec / 86400) * 86400 AS BIGINT) t, sum(v) val
+         |        FROM pts WHERE m = 'app_purchase' AND tsec > 1703721600 GROUP BY 1, 2),
+         |r AS (SELECT loc, t, val, row_number() OVER (
+         |        PARTITION BY loc ORDER BY t ASC) rn FROM agg)
+         |SELECT loc AS location_id, t AS time, round(val, 6) AS value
+         |FROM r WHERE rn <= 3""".stripMargin,
 
     "a14_fill_linear" ->
       s"""WITH ${ptsCte("app_")},

@@ -24,6 +24,9 @@ import org.apache.spark.sql.DataFrame
  *   SELECT <sel> FROM ["db".]["rp".]"measurement"
  *     [WHERE cond [AND cond]...]
  *     [GROUP BY time(<dur>)[, tag] | tag] [FILL(null|previous|none|linear|<n>)]
+ *     [ORDER BY time ASC|DESC] [LIMIT n] [OFFSET m]
+ *       — LIMIT cuts points PER SERIES (the InfluxQL contract); the
+ *         dashboard last-value idiom `ORDER BY time DESC LIMIT 1`
  *   sel  := field | fn(field) | transform...(fn(field)) | percentile(field, n)
  *         | top(field, n) | bottom(field, n) | integral(field[, dur])
  *         | count(distinct(field))
@@ -110,7 +113,10 @@ object InfluxQL {
       "(?:\\s*\\.\\s*(\"[^\"]+\"|[\\w\\-]+))?" +
       "(?:\\s+WHERE\\s+(.+?))?" +
       "(?:\\s+GROUP\\s+BY\\s+(.+?))?" +
-      "(?:\\s+FILL\\s*\\(\\s*([\\w.\\-]+)\\s*\\))?\\s*$").r
+      "(?:\\s+FILL\\s*\\(\\s*([\\w.\\-]+)\\s*\\))?" +
+      "(?:\\s+ORDER\\s+BY\\s+time\\s+(ASC|DESC))?" +
+      "(?:\\s+LIMIT\\s+(\\d+))?" +
+      "(?:\\s+OFFSET\\s+(\\d+))?\\s*$").r
 
   private def unquote(s: String): String =
     if (s.length >= 2 && s.head == '"' && s.last == '"') s.substring(1, s.length - 1)
@@ -187,7 +193,10 @@ object InfluxQL {
       dataFunction = dataFunction, transformFunction = transformFunction,
       relativeTime = relativeTime, fromTime = fromTime, toTime = toTime,
       groupByTime = groupByTime, groupByTag = groupByTag,
-      fillType = fillType, filters = filters), rp)
+      fillType = fillType, filters = filters,
+      orderDesc = Option(m.group(8)).exists(_.equalsIgnoreCase("desc")),
+      limit = Option(m.group(9)).map(_.toInt).getOrElse(0),
+      offset = Option(m.group(10)).map(_.toInt).getOrElse(0)), rp)
   }
 
   /** The last comma at paren depth 0 — splits a parameterized call's

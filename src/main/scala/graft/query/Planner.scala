@@ -759,8 +759,43 @@ object Planner {
         filtered.select(unix_timestamp(col("time")).as("time"), col("value"))
       }
 
-    transformWrap(req.transformFunction, shaped,
+    val wrapped = transformWrap(req.transformFunction, shaped,
       if (tag.nonEmpty) Seq(tag) else Nil, bucketSec)
+    applySelectModifiers(wrapped, req, if (tag.nonEmpty) Seq(tag) else Nil)
+  }
+
+  /** InfluxQL SELECT modifiers — `ORDER BY time [ASC|DESC]`,
+   *  `LIMIT n [OFFSET m]` (the dashboard `ORDER BY time DESC LIMIT 1`
+   *  idiom). InfluxQL limits points PER SERIES: with a tag grouping the
+   *  cut runs in a per-tag window (numerous short partitions); untagged,
+   *  the result is one series and the cut is a distributed TakeOrdered
+   *  (`orderBy.limit`), with OFFSET applied by a row_number over the
+   *  already-limit-bounded frame — the sanctioned groups-sized global
+   *  window, never the data stream. A time-less shape (a plain
+   *  aggregate's single row) has nothing to order; modifiers pass it
+   *  through. */
+  private def applySelectModifiers(df: DataFrame, req: DataPointsRequest,
+      tagCols: Seq[String]): DataFrame = {
+    if (!req.orderDesc && req.limit <= 0 && req.offset <= 0) return df
+    if (!df.columns.contains("time")) return df
+    require(req.limit > 0 || req.offset <= 0, "OFFSET requires LIMIT")
+    val ord = if (req.orderDesc) col("time").desc else col("time").asc
+    if (req.limit <= 0) {
+      // ORDER BY alone: presentation order (the API edge re-sorts too)
+      df.orderBy(tagCols.map(col) :+ ord: _*)
+    } else if (tagCols.nonEmpty) {
+      val w = Window.partitionBy(tagCols.map(col): _*).orderBy(ord)
+      df.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") > req.offset && col("_rn") <= req.offset + req.limit)
+        .drop("_rn")
+    } else {
+      val bounded = df.orderBy(ord).limit(req.offset + req.limit)
+      if (req.offset <= 0) bounded
+      else bounded
+        .withColumn("_rn", row_number().over(Window.orderBy(ord)))
+        .filter(col("_rn") > req.offset)
+        .drop("_rn")
+    }
   }
 
   /**

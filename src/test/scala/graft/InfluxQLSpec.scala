@@ -220,18 +220,29 @@ class InfluxQLSpec extends SparkSpec {
       Gen.oneOf(Gen.const(("", identity[DataPointsRequest] _)),
         Gen.oneOf("null", "previous", "none", "linear").map(f =>
           (s" FILL($f)", (r: DataPointsRequest) => r.copy(fillType = f))))
+    val modG: Gen[(String, DataPointsRequest => DataPointsRequest)] =
+      Gen.oneOf(
+        Gen.const(("", identity[DataPointsRequest] _)),
+        Gen.oneOf("ASC", "DESC").map(d => (s" ORDER BY time $d",
+          (r: DataPointsRequest) => r.copy(orderDesc = d == "DESC"))),
+        for { n <- Gen.choose(1, 100); o <- Gen.option(Gen.choose(1, 50)) }
+          yield (s" LIMIT $n" + o.map(x => s" OFFSET $x").getOrElse(""),
+            (r: DataPointsRequest) => r.copy(limit = n, offset = o.getOrElse(0))),
+        for { d <- Gen.oneOf("ASC", "DESC"); n <- Gen.choose(1, 100) }
+          yield (s" ORDER BY time $d LIMIT $n",
+            (r: DataPointsRequest) => r.copy(orderDesc = d == "DESC", limit = n)))
     val stmtG = for {
       m <- meas; rp <- rpG; db <- dbG
       (sel, fSel) <- selG; (conds, fW) <- whereG; (tags, fT) <- tagG
-      (grp, fG) <- groupG; (fill, fF) <- fillG
+      (grp, fG) <- groupG; (fill, fF) <- fillG; (mods, fM) <- modG
     } yield {
       val from = (if (db && rp.isDefined) Seq("\"historian\"") else Nil) ++
         rp.map(r => s""""$r"""").toSeq :+ s""""$m""""
       val where = conds ++ tags
       val sql = s"SELECT $sel FROM ${from.mkString(".")}" +
         (if (where.nonEmpty) s" WHERE ${where.mkString(" AND ")}" else "") +
-        grp + fill
-      val want = fF(fG(fT(fW(fSel(DataPointsRequest(measurement = m))))))
+        grp + fill + mods
+      val want = fM(fF(fG(fT(fW(fSel(DataPointsRequest(measurement = m)))))))
       (sql, InfluxQL.Select(want, rp))
     }
     checkProp(Prop.forAll(stmtG) { case (sql, want) =>
@@ -307,6 +318,12 @@ class InfluxQLSpec extends SparkSpec {
       .transformFunction == "sqrt,log10,ceil")
     assert(sel("""SELECT pow(mean("value"), 2) FROM "m" GROUP BY time(6h)""")
       .transformFunction == "pow_2")
+    // SELECT modifiers: the dashboard last-value idiom
+    val lv = sel("""SELECT last("value") FROM "m" WHERE time > now()-1h GROUP BY time(1m) ORDER BY time DESC LIMIT 1""")
+    assert(lv.orderDesc && lv.limit == 1 && lv.offset == 0)
+    val lo = sel("""SELECT mean("value") FROM "m" GROUP BY time(1h) FILL(none) ORDER BY time ASC LIMIT 10 OFFSET 5""")
+    assert(!lo.orderDesc && lo.limit == 10 && lo.offset == 5)
+    assert(sel("""SELECT "value" FROM "m" LIMIT 100""").limit == 100)
     // sequential transforms over an un-bucketed aggregate refuse like
     // difference does
     intercept[IllegalArgumentException] {

@@ -251,6 +251,40 @@ class Round12FnSpec extends SparkSpec {
     assert(out == Set((base, 1.0), (base, 2.0), (base + 3600, 1.0)))
   }
 
+  // --- SELECT modifiers (ORDER BY time / LIMIT / OFFSET) ---
+
+  test("limit/offset cut per series; desc picks the newest points") {
+    val rows = Seq(("A", 0L, 1.0), ("A", 60L, 2.0), ("A", 120L, 3.0),
+      ("B", 0L, 10.0), ("B", 60L, 20.0)).map { case (loc, off, v) =>
+      Row("app_t", new Timestamp((base + off) * 1000), v, "d", loc, "sensor") }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    def run(req: DataPointsRequest) =
+      Planner.dataPoints(req, _ => df, now).collect()
+    val base0 = DataPointsRequest("app_t",
+      fromTime = "2024-01-01T00:00:00Z", toTime = "2024-01-01T23:59:59Z",
+      groupByTime = "1m", dataFunction = "mean", fillType = "none")
+    // per-series desc limit 1 = each series' newest bucket
+    val newest = run(base0.copy(groupByTag = "location_id",
+      orderDesc = true, limit = 1))
+      .map(r => (r.getString(r.fieldIndex("location_id")),
+        r.getDouble(r.fieldIndex("value")))).toSet
+    assert(newest == Set(("A", 3.0), ("B", 20.0)))
+    // untagged desc limit 2 offset 1: skip the newest, keep the next two
+    val mid = run(base0.copy(orderDesc = true, limit = 2, offset = 1))
+      .map(r => (r.getLong(r.fieldIndex("time")),
+        r.getDouble(r.fieldIndex("value")))).toSet
+    assert(mid == Set((base + 60, 22.0 / 2), (base, 11.0 / 2)),
+      s"got $mid") // per-minute means over both series: (2+20)/2, (1+10)/2
+    // OFFSET without LIMIT is refused (no unbounded global cut)
+    intercept[IllegalArgumentException] {
+      run(base0.copy(offset = 1)) }
+    // the untagged offset plan's global window runs over the
+    // limit-bounded frame — still no data-stream window
+    val plan = Planner.dataPoints(base0.copy(orderDesc = true, limit = 2,
+      offset = 1), _ => df, now).queryExecution.optimizedPlan
+    assert(PlanAudit.globalDataWindows(plan).isEmpty)
+  }
+
   // --- namespace edges ---
 
   test("unknown functions still refuse loudly") {
