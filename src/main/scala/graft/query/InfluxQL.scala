@@ -89,7 +89,10 @@ object InfluxQL {
    * a valid Spark function and interval math spells it
    * `now() - INTERVAL 1 HOUR`, so only the bare-duration suffix form
    * (docs/queries:1-2) is claimed; ordinary SQL keeps flowing to
-   * `spark.sql` untouched.
+   * `spark.sql` untouched. One deliberate overlap: `SHOW DATABASES` is
+   * valid in BOTH dialects — the InfluxQL reading wins (a TSDB client
+   * asking for databases wants the store, not the Spark catalog);
+   * Spark's other SHOW forms (TABLES, VIEWS, ...) are not claimed.
    */
   def looksLike(q: String): Boolean = {
     val s = q.trim.toLowerCase
