@@ -807,6 +807,18 @@ object SparkEntry {
         .select(col("location_id"), col("time"), round(col("value"), 6).as("value"))
     }),
 
+    "a34_slimit" -> ((s, dir) => {
+      // SLIMIT 2 SOFFSET 1: the series-count cut in key order — the
+      // 2nd and 3rd locations' hourly means, composed with a per-series
+      // newest-6 point cut
+      Planner.dataPoints(DataPointsRequest("app_error", relativeTime = "5w",
+        groupByTime = "1h", groupByTag = "location_id",
+        dataFunction = "mean", fillType = "none",
+        orderDesc = true, limit = 6, sLimit = 2, sOffset = 1),
+        _ => points(s, dir, "app_"), Now)
+        .select(col("location_id"), col("time"), round(col("value"), 6).as("value"))
+    }),
+
     "a8_fill_previous" -> ((s, dir) => {
       Planner.dataPoints(DataPointsRequest("app_error", relativeTime = "5w",
         groupByTime = "1h", fillType = "previous",
@@ -2956,6 +2968,17 @@ object SparkEntry {
          |        PARTITION BY loc ORDER BY t ASC) rn FROM agg)
          |SELECT loc AS location_id, t AS time, round(val, 6) AS value
          |FROM r WHERE rn <= 3""".stripMargin,
+
+    "a34_slimit" ->
+      s"""WITH ${ptsCte("app_")},
+         |agg AS (SELECT loc, CAST(floor(tsec / 3600) * 3600 AS BIGINT) t, avg(v) val
+         |        FROM pts WHERE m = 'app_error' AND tsec > 1703721600 GROUP BY 1, 2),
+         |keep AS (SELECT DISTINCT loc FROM agg ORDER BY loc LIMIT 2 OFFSET 1),
+         |r AS (SELECT loc, t, val, row_number() OVER (
+         |        PARTITION BY loc ORDER BY t DESC) rn
+         |      FROM agg WHERE loc IN (SELECT loc FROM keep))
+         |SELECT loc AS location_id, t AS time, round(val, 6) AS value
+         |FROM r WHERE rn <= 6""".stripMargin,
 
     "a14_fill_linear" ->
       s"""WITH ${ptsCte("app_")},

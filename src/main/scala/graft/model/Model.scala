@@ -88,12 +88,15 @@ final case class DataPointsRequest(
     fillType: String = "",
     filters: DataPointsFilter = DataPointsFilter(),
     // InfluxQL SELECT modifiers (the `ORDER BY time DESC LIMIT 1`
-    // dashboard idiom): descending time order, and a per-series point
+    // dashboard idiom): descending time order, a per-series point
     // LIMIT/OFFSET (InfluxQL limits points PER SERIES; one untagged
-    // result is one series). 0 = unset.
+    // result is one series), and a series-level SLIMIT/SOFFSET cut
+    // over the tag-grouped series in key order. 0 = unset.
     orderDesc: Boolean = false,
     limit: Int = 0,
-    offset: Int = 0)
+    offset: Int = 0,
+    sLimit: Int = 0,
+    sOffset: Int = 0)
 
 /** Tag/device/location filters (reference: storage/influxdb_v1.go:18-23). */
 final case class DataPointsFilter(

@@ -24,9 +24,10 @@ import org.apache.spark.sql.DataFrame
  *   SELECT <sel> FROM ["db".]["rp".]"measurement"
  *     [WHERE cond [AND cond]...]
  *     [GROUP BY time(<dur>)[, tag] | tag] [FILL(null|previous|none|linear|<n>)]
- *     [ORDER BY time ASC|DESC] [LIMIT n] [OFFSET m]
- *       — LIMIT cuts points PER SERIES (the InfluxQL contract); the
- *         dashboard last-value idiom `ORDER BY time DESC LIMIT 1`
+ *     [ORDER BY time ASC|DESC] [LIMIT n] [OFFSET m] [SLIMIT n] [SOFFSET m]
+ *       — LIMIT cuts points PER SERIES, SLIMIT cuts the SERIES COUNT in
+ *         key order (the InfluxQL contract); the dashboard last-value
+ *         idiom `ORDER BY time DESC LIMIT 1`
  *   sel  := field | fn(field) | transform...(fn(field)) | percentile(field, n)
  *         | top(field, n) | bottom(field, n) | integral(field[, dur])
  *         | count(distinct(field))
@@ -119,7 +120,9 @@ object InfluxQL {
       "(?:\\s+FILL\\s*\\(\\s*([\\w.\\-]+)\\s*\\))?" +
       "(?:\\s+ORDER\\s+BY\\s+time\\s+(ASC|DESC))?" +
       "(?:\\s+LIMIT\\s+(\\d+))?" +
-      "(?:\\s+OFFSET\\s+(\\d+))?\\s*$").r
+      "(?:\\s+OFFSET\\s+(\\d+))?" +
+      "(?:\\s+SLIMIT\\s+(\\d+))?" +
+      "(?:\\s+SOFFSET\\s+(\\d+))?\\s*$").r
 
   private def unquote(s: String): String =
     if (s.length >= 2 && s.head == '"' && s.last == '"') s.substring(1, s.length - 1)
@@ -199,7 +202,9 @@ object InfluxQL {
       fillType = fillType, filters = filters,
       orderDesc = Option(m.group(8)).exists(_.equalsIgnoreCase("desc")),
       limit = Option(m.group(9)).map(_.toInt).getOrElse(0),
-      offset = Option(m.group(10)).map(_.toInt).getOrElse(0)), rp)
+      offset = Option(m.group(10)).map(_.toInt).getOrElse(0),
+      sLimit = Option(m.group(11)).map(_.toInt).getOrElse(0),
+      sOffset = Option(m.group(12)).map(_.toInt).getOrElse(0)), rp)
   }
 
   /** The last comma at paren depth 0 — splits a parameterized call's

@@ -765,8 +765,9 @@ object Planner {
   }
 
   /** InfluxQL SELECT modifiers — `ORDER BY time [ASC|DESC]`,
-   *  `LIMIT n [OFFSET m]` (the dashboard `ORDER BY time DESC LIMIT 1`
-   *  idiom). InfluxQL limits points PER SERIES: with a tag grouping the
+   *  `LIMIT n [OFFSET m]`, `SLIMIT n [SOFFSET m]` (the dashboard
+   *  `ORDER BY time DESC LIMIT 1` idiom and the series-count cut).
+   *  InfluxQL limits points PER SERIES: with a tag grouping the
    *  cut runs in a per-tag window (numerous short partitions); untagged,
    *  the result is one series and the cut is a distributed TakeOrdered
    *  (`orderBy.limit`), with OFFSET applied by a row_number over the
@@ -774,11 +775,29 @@ object Planner {
    *  window, never the data stream. A time-less shape (a plain
    *  aggregate's single row) has nothing to order; modifiers pass it
    *  through. */
-  private def applySelectModifiers(df: DataFrame, req: DataPointsRequest,
+  private def applySelectModifiers(df0: DataFrame, req: DataPointsRequest,
       tagCols: Seq[String]): DataFrame = {
-    if (!req.orderDesc && req.limit <= 0 && req.offset <= 0) return df
-    if (!df.columns.contains("time")) return df
     require(req.limit > 0 || req.offset <= 0, "OFFSET requires LIMIT")
+    require(req.sLimit > 0 || req.sOffset <= 0, "SOFFSET requires SLIMIT")
+    if (!req.orderDesc && req.limit <= 0 && req.sLimit <= 0) return df0
+    if (!df0.columns.contains("time")) return df0
+    // SLIMIT/SOFFSET: the series-level cut — series ordered by their
+    // key (the tag value), selected on the groups-sized distinct-tags
+    // frame and semi-joined back (broadcast; no window over the data)
+    val df =
+      if (req.sLimit <= 0 || tagCols.isEmpty) df0
+      else {
+        val keyOrd = tagCols.map(col(_).asc)
+        val keep = df0.select(tagCols.map(col): _*).distinct()
+          .orderBy(keyOrd: _*).limit(req.sOffset + req.sLimit)
+        val kept =
+          if (req.sOffset <= 0) keep
+          else keep
+            .withColumn("_sn", row_number().over(Window.orderBy(keyOrd: _*)))
+            .filter(col("_sn") > req.sOffset).drop("_sn")
+        df0.join(broadcast(kept), tagCols, "left_semi")
+      }
+    if (!req.orderDesc && req.limit <= 0 && req.offset <= 0) return df
     val ord = if (req.orderDesc) col("time").desc else col("time").asc
     if (req.limit <= 0) {
       // ORDER BY alone: presentation order (the API edge re-sorts too)

@@ -324,6 +324,11 @@ class InfluxQLSpec extends SparkSpec {
     val lo = sel("""SELECT mean("value") FROM "m" GROUP BY time(1h) FILL(none) ORDER BY time ASC LIMIT 10 OFFSET 5""")
     assert(!lo.orderDesc && lo.limit == 10 && lo.offset == 5)
     assert(sel("""SELECT "value" FROM "m" LIMIT 100""").limit == 100)
+    val sli = sel("""SELECT mean("value") FROM "m" GROUP BY time(1h), "dev_id" SLIMIT 3 SOFFSET 1""")
+    assert(sli.sLimit == 3 && sli.sOffset == 1)
+    val allMods = sel("""SELECT mean("value") FROM "m" GROUP BY time(1h), "dev_id" ORDER BY time DESC LIMIT 2 OFFSET 1 SLIMIT 3""")
+    assert(allMods.orderDesc && allMods.limit == 2 && allMods.offset == 1 &&
+      allMods.sLimit == 3 && allMods.sOffset == 0)
     // sequential transforms over an un-bucketed aggregate refuse like
     // difference does
     intercept[IllegalArgumentException] {

@@ -275,9 +275,24 @@ class Round12FnSpec extends SparkSpec {
         r.getDouble(r.fieldIndex("value")))).toSet
     assert(mid == Set((base + 60, 22.0 / 2), (base, 11.0 / 2)),
       s"got $mid") // per-minute means over both series: (2+20)/2, (1+10)/2
+    // SLIMIT/SOFFSET: the series-count cut in key order
+    val sl = run(base0.copy(groupByTag = "location_id", sLimit = 1))
+      .map(_.getString(0)).toSet
+    assert(sl == Set("A"), s"slimit 1 kept $sl")
+    val so = run(base0.copy(groupByTag = "location_id", sLimit = 1, sOffset = 1))
+      .map(_.getString(0)).toSet
+    assert(so == Set("B"), s"slimit 1 soffset 1 kept $so")
+    // series and point cuts compose: B's newest bucket only
+    val both = run(base0.copy(groupByTag = "location_id",
+      sLimit = 1, sOffset = 1, orderDesc = true, limit = 1))
+      .map(r => (r.getString(r.fieldIndex("location_id")),
+        r.getDouble(r.fieldIndex("value")))).toSet
+    assert(both == Set(("B", 20.0)))
     // OFFSET without LIMIT is refused (no unbounded global cut)
     intercept[IllegalArgumentException] {
       run(base0.copy(offset = 1)) }
+    intercept[IllegalArgumentException] {
+      run(base0.copy(groupByTag = "location_id", sOffset = 1)) }
     // the untagged offset plan's global window runs over the
     // limit-bounded frame — still no data-stream window
     val plan = Planner.dataPoints(base0.copy(orderDesc = true, limit = 2,
