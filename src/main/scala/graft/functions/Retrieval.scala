@@ -421,12 +421,18 @@ object Retrieval {
           SnapshotFold.resolve(fs, zeroDir, committed)))),
       "doc_id", ids, new HPath(s"$path/.erase_zero"), targetFileBytes)
     // stats: recompute from the survivors and publish only when the
-    // corrected row differs (idempotent; converges after any crash)
+    // corrected row differs (idempotent; converges after any crash).
+    // n_docs is DEFINED as distinct surviving posting docs + distinct
+    // recorded zero-token docs — both sides deduped so a client that
+    // appended a doc id twice can't skew the recount. An index whose
+    // zero_docs/ table predates this library's build path (every build
+    // and streaming append here writes it) must be rebuilt before
+    // erasing: with no record, zero-token docs silently leave n_docs.
     val cur = readBm25Stats(spark, path).collect()(0)
     val pAgg = readPostings(spark, path)
       .select(col("doc_id"), col("dl").cast("long").as("dl")).distinct()
       .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).collect()(0)
-    val nZero = readZeroDocs(spark, path).count()
+    val nZero = readZeroDocs(spark, path).select("doc_id").distinct().count()
     val (newN, newDl) = (pAgg.getLong(0) + nZero, pAgg.getLong(1))
     if (newN != cur.getLong(0) || newDl != cur.getLong(1)) {
       val statsDir = new HPath(s"$path/stats")

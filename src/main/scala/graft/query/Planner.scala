@@ -783,9 +783,12 @@ object Planner {
     if (!df0.columns.contains("time")) return df0
     // SLIMIT/SOFFSET: the series-level cut — series ordered by their
     // key (the tag value), selected on the groups-sized distinct-tags
-    // frame and semi-joined back (broadcast; no window over the data)
+    // frame and semi-joined back (broadcast; no window over the data).
+    // An untagged result IS one series: SOFFSET ≥ 1 skips past it
+    // (empty result, the InfluxDB behavior); SLIMIT ≥ 1 keeps it.
     val df =
-      if (req.sLimit <= 0 || tagCols.isEmpty) df0
+      if (req.sLimit <= 0) df0
+      else if (tagCols.isEmpty) { if (req.sOffset >= 1) df0.limit(0) else df0 }
       else {
         val keyOrd = tagCols.map(col(_).asc)
         val keep = df0.select(tagCols.map(col): _*).distinct()

@@ -41,10 +41,14 @@ object IdFilter {
       df(colName) === col("__erase_id"), "left_semi")
 
   /** Rows of `df` whose `colName` is NOT in `ids` (the survivor
-   *  rewrite). Matches `!isin` semantics for non-null columns; a NULL
-   *  id is kept by both paths (left_anti keeps null-key rows). */
+   *  rewrite). A NULL id is KEPT by both paths — it is not in the erase
+   *  set: left_anti keeps null-key rows, and the literal path adds an
+   *  explicit isNull arm because bare `!isin` evaluates to NULL on a
+   *  NULL id and filter would silently erase the row (the two paths
+   *  must not flip behavior at the [[InListMax]] boundary). */
   def dropIn(df: DataFrame, colName: String, ids: Seq[Long]): DataFrame =
-    if (ids.length <= InListMax) df.filter(!col(colName).isin(ids: _*))
+    if (ids.length <= InListMax)
+      df.filter(col(colName).isNull || !col(colName).isin(ids: _*))
     else df.join(broadcast(idsDf(df, ids)),
       df(colName) === col("__erase_id"), "left_anti")
 

@@ -53,6 +53,14 @@ object IndexErase {
   def eraseRows(spark: SparkSession, fs: FileSystem, target: Target,
       idCol: String, ids: Seq[Long], staged: HPath,
       targetFileBytes: Long): (Long, Long) = {
+    // the rewrite stages ONE combined survivor set and routes it to its
+    // dirs by the partition columns; an UNPARTITIONED multi-dir target
+    // has no routing key — the first dir would absorb every survivor
+    // and the rest would publish empty (silent cross-dir data loss), so
+    // the shape is refused here rather than discovered in production
+    require(target.partitionBy.nonEmpty || target.dirs.size <= 1,
+      s"unpartitioned multi-dir erase target at ${target.root}: " +
+        s"${target.dirs.size} dirs with no partition columns to route by")
     def norm(p: String) = new HPath(p).toUri.getPath
     val parts = target.dirs.filter(_._3.nonEmpty)
       .map { case (row, _, f) => (row, f) }

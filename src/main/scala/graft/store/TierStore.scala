@@ -601,12 +601,16 @@ final class TierStore(spark: SparkSession, val root: String) {
    *  column-pruned distinct over the partition-pruned scan — at scale
    *  this reads one column of one measurement's partitions. */
   def tagValues(measurement: Option[String], key: String): DataFrame = {
-    require(tagCols(catalogSchema).contains(key), s"unknown tag key: $key")
-    val frames = populatedTiers.map(read).filter(_.columns.contains(key))
-      .map { df =>
-        measurement.foldLeft(df)((d, m) => d.filter(col("measurement") === m))
-          .select(col(key).cast("string").as("value"))
-      }
+    // an unknown (or field-typed) key answers EMPTY, not an error — the
+    // InfluxDB contract a ported dashboard's template variables rely on
+    // (schema drift must leave the dropdown empty, not break the panel)
+    val frames =
+      if (!tagCols(catalogSchema).contains(key)) Nil
+      else populatedTiers.map(read).filter(_.columns.contains(key))
+        .map { df =>
+          measurement.foldLeft(df)((d, m) => d.filter(col("measurement") === m))
+            .select(col(key).cast("string").as("value"))
+        }
     val values =
       if (frames.isEmpty) emptyPoints.select(lit("").as("value")).limit(0)
       else frames.reduce(_ unionAll _)

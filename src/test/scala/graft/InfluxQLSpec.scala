@@ -424,6 +424,12 @@ class InfluxQLSpec extends SparkSpec {
       """SHOW TAG VALUES FROM "sensor_temp" WITH KEY = "dev_id"""")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(tv == Seq(("dev_id", "1")), s"tag values: $tv")
+    // an unknown (or field-typed) key answers EMPTY, not an error — a
+    // ported dashboard's template variable must survive schema drift
+    assert(Api.dispatch(ctx, "cmd.tsdb.query",
+      """SHOW TAG VALUES FROM "sensor_temp" WITH KEY = "host"""").count() == 0)
+    assert(Api.dispatch(ctx, "cmd.tsdb.query",
+      """SHOW TAG VALUES WITH KEY = "value"""").count() == 0)
     val fk = Api.dispatch(ctx, "cmd.tsdb.query", "SHOW FIELD KEYS")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(fk == Seq(("value", "float")), s"field keys: $fk")

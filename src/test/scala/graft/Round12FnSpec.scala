@@ -288,6 +288,10 @@ class Round12FnSpec extends SparkSpec {
       .map(r => (r.getString(r.fieldIndex("location_id")),
         r.getDouble(r.fieldIndex("value")))).toSet
     assert(both == Set(("B", 20.0)))
+    // an untagged result is ONE series: SLIMIT keeps it, SOFFSET ≥ 1
+    // skips past it (empty result — the InfluxDB behavior)
+    assert(run(base0.copy(sLimit = 1)).length == 3)
+    assert(run(base0.copy(sLimit = 1, sOffset = 1)).isEmpty)
     // OFFSET without LIMIT is refused (no unbounded global cut)
     intercept[IllegalArgumentException] {
       run(base0.copy(offset = 1)) }

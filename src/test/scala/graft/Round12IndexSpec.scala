@@ -68,6 +68,41 @@ class Round12IndexSpec extends SparkSpec {
     assert(marked.count() == 50000L)
   }
 
+  test("IdFilter: a NULL id survives dropIn on BOTH paths (the erase-set " +
+    "semantics must not flip at the InListMax boundary)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType, nullable = true)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L), Row(2L), Row(null))), schema)
+    def ids(q: DataFrame): Set[Option[Long]] =
+      q.collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+    // literal path: null is not in the erase set → kept
+    assert(ids(IdFilter.dropIn(df, "id", Seq(1L))) == Set(Some(2L), None))
+    // join path: left_anti keeps null-key rows → identical outcome
+    assert(ids(IdFilter.dropIn(df, "id", bigIds.filterNot(_ == 2L) :+ 1L)) ==
+      Set(Some(2L), None))
+    // keepIn drops nulls on both paths (null is never a hit)
+    assert(ids(IdFilter.keepIn(df, "id", Seq(1L))) == Set(Some(1L)))
+    assert(ids(IdFilter.keepIn(df, "id", bigIds :+ 1L)) == Set(Some(1L)))
+  }
+
+  test("IndexErase refuses an unpartitioned multi-dir target (no routing " +
+    "key - the first dir would absorb every survivor)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.StructType
+    val root = new HPath(tmpDir())
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = graft.store.IndexErase.Target(root, new StructType(),
+      Seq((InternalRow.empty, new HPath(s"$root/a"), Nil),
+        (InternalRow.empty, new HPath(s"$root/b"), Nil)))
+    val err = intercept[IllegalArgumentException] {
+      graft.store.IndexErase.eraseRows(spark, fs, target, "id", Seq(1L),
+        new HPath(s"$root/.staged"), 1L << 20)
+    }
+    assert(err.getMessage.contains("unpartitioned multi-dir"))
+  }
+
   test("IdFilter: inListColumn refuses sets past the bound") {
     intercept[IllegalArgumentException] {
       IdFilter.inListColumn("id", bigIds)
