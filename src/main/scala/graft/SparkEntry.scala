@@ -2881,7 +2881,8 @@ object SparkEntry {
       s"""WITH ${ptsCte("app_")},
          |agg AS (SELECT loc, CAST(floor(tsec / 21600) * 21600 AS BIGINT) t, avg(v) val
          |        FROM pts WHERE m = 'app_signup' AND tsec > 1703721600 GROUP BY 1, 2)
-         |SELECT loc AS location_id, t AS time, ceil(log10(sqrt(val))) AS value
+         |SELECT loc AS location_id, t AS time,
+         |  ceil(log10(sqrt(val))) + 0.0 AS value
          |FROM agg""".stripMargin,
 
     "a25_count_distinct" ->

@@ -7,6 +7,7 @@ reports row/schema/value match per query.
 """
 import json, sys, glob, os, threading
 import duckdb
+import numpy as np
 import pandas as pd
 
 out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
@@ -138,6 +139,20 @@ for name in sorted(os.listdir(out_dir)):
         continue
     try:
         pd.testing.assert_frame_equal(gs, es, check_dtype=False, check_exact=True)
+        # assert_frame_equal treats -0.0 == +0.0, but the driver hashes raw
+        # bit patterns — a sign-bit-only diff (DuckDB ceil(x in (-1,0)) ->
+        # -0.0 vs Spark +0.0) ships silently without this check.
+        signbad = []
+        for c in gs.columns:
+            if gs[c].dtype.kind == "f" and es[c].dtype.kind == "f":
+                gv, ev = gs[c].to_numpy(), es[c].to_numpy()
+                m = (np.signbit(gv) ^ np.signbit(ev)) & ~(np.isnan(gv) | np.isnan(ev))
+                if m.any():
+                    signbad.append(f"{c}({int(m.sum())} rows)")
+        if signbad:
+            print(f"{name:25s} SIGNBIT-MISMATCH {' '.join(signbad)}")
+            fail += 1
+            continue
         print(f"{name:25s} OK rows={len(g)}")
         ok += 1
     except AssertionError as ex:
