@@ -664,7 +664,7 @@ object Api {
         Seq(ctx.store.databaseName).toDF("name")
       case InfluxQL.ShowTagKeys(m) => ctx.store.tagKeys(m)
       case InfluxQL.ShowTagValues(m, k) => ctx.store.tagValues(m, k)
-      case InfluxQL.ShowFieldKeys(_) => ctx.store.fieldKeys()
+      case InfluxQL.ShowFieldKeys(m) => ctx.store.fieldKeys(m)
       case InfluxQL.ShowSeries(m) => ctx.store.seriesKeys(m)
       case sel: InfluxQL.Select =>
         InfluxQL.dataPoints(sel, t => ctx.store.read(t),

@@ -118,7 +118,7 @@ object InfluxQL {
       "(?:\\s+WHERE\\s+(.+?))?" +
       "(?:\\s+GROUP\\s+BY\\s+(.+?))?" +
       "(?:\\s+FILL\\s*\\(\\s*([\\w.\\-]+)\\s*\\))?" +
-      "(?:\\s+ORDER\\s+BY\\s+time\\s+(ASC|DESC))?" +
+      "(?:\\s+ORDER\\s+BY\\s+time(?:\\s+(ASC|DESC))?)?" +
       "(?:\\s+LIMIT\\s+(\\d+))?" +
       "(?:\\s+OFFSET\\s+(\\d+))?" +
       "(?:\\s+SLIMIT\\s+(\\d+))?" +
@@ -288,7 +288,12 @@ object InfluxQL {
     var gbTime = ""; var gbTag = ""
     g.split(",").map(_.trim).filter(_.nonEmpty).foreach {
       case timeRe(d) => gbTime = d
-      case t => gbTag = unquote(t)
+      // a tag token is one identifier — a swallowed trailing clause
+      // (the lazy GROUP BY capture can eat e.g. a malformed ORDER BY)
+      // must fail inside the documented error envelope, not surface
+      // later as a Spark AnalysisException on a bogus column
+      case t if unquote(t).matches("[\\w\\-.]+") => gbTag = unquote(t)
+      case t => throw new IllegalArgumentException(s"unsupported GROUP BY term: $t")
     }
     (gbTime, gbTag)
   }

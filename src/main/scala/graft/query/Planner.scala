@@ -297,23 +297,35 @@ object Planner {
    *  strictly-earlier blocks' `_blast` (0.0 for the first block; nulls
    *  contribute nothing). Same repartition(1) streaming fold over the
    *  rows/4096-sized summary — never the data stream. */
-  private def blockCarrySum(summary: DataFrame, outName: String): DataFrame = {
+  private def blockCarrySum(summary: DataFrame, outName: String): DataFrame =
+    blockCarrySums(summary, Seq("_blast" -> outName))
+
+  /** Multi-quantity twin: all of a transform step's carried sums ride ONE
+   *  repartition(1) fold and come back as ONE broadcast-join side, so a
+   *  step needing k boundary quantities pays one boundary shuffle, not k
+   *  (blockedMovingAverage formerly paid three). */
+  private def blockCarrySums(summary: DataFrame,
+      colsOut: Seq[(String, String)]): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
-    val blastIdx = summary.schema.fieldIndex("_blast")
+    val idxs = colsOut.map { case (in, _) => summary.schema.fieldIndex(in) }
     val outSchema = org.apache.spark.sql.types.StructType(
-      summary.schema.fields :+
-        org.apache.spark.sql.types.StructField(outName, org.apache.spark.sql.types.DoubleType))
+      summary.schema.fields ++ colsOut.map { case (_, out) =>
+        org.apache.spark.sql.types.StructField(out, org.apache.spark.sql.types.DoubleType) })
     summary.repartition(1).sortWithinPartitions(col("_blk"))
       .mapPartitions { it =>
-        var acc = 0.0
+        val acc = Array.fill(idxs.length)(0.0)
         it.map { r =>
-          val out = Row.fromSeq(r.toSeq :+ acc)
-          val v = r.get(blastIdx)
-          if (v != null) acc += v.asInstanceOf[Number].doubleValue
+          val out = Row.fromSeq(r.toSeq ++ acc.toList)
+          var j = 0
+          while (j < idxs.length) {
+            val v = r.get(idxs(j))
+            if (v != null) acc(j) += v.asInstanceOf[Number].doubleValue
+            j += 1
+          }
           out
         }
       }(Encoders.row(outSchema))
-      .select(col("_blk"), col(outName))
+      .select(col("_blk") +: colsOut.map { case (_, out) => col(out) }: _*)
   }
 
   /** Running sum in global time order with no group key (InfluxQL
@@ -334,41 +346,40 @@ object Planner {
       .drop("_blk", "_ps", "_acc")
   }
 
-  /** Moving average of the last `n` ROW positions in global time order
-   *  with no group key (InfluxQL MOVING_AVERAGE): global prefix sums,
-   *  non-null counts, and row indexes via the blocked scan, then
-   *  `(ps_i − ps_{i−n}) / (pc_i − pc_{i−n})` by a self-join on the
-   *  global row index — every stage partition-parallel, no global
-   *  window. Positions with fewer than n predecessors, or an all-null
-   *  window, stay null. On a FILL(none) series (no null rows) this is
-   *  exactly InfluxQL's point-based moving average. */
+  /** Moving average of the last `n` real points in global time order
+   *  with no group key (InfluxQL MOVING_AVERAGE): global prefix sums and
+   *  row indexes via the blocked scan, then `(ps_i − ps_{i−n}) / n` by a
+   *  self-join on the global row index — every stage partition-parallel,
+   *  no global window. Points with fewer than n predecessors stay null.
+   *  Callers feed only non-null rows (onRealPoints), matching InfluxQL's
+   *  point-based window exactly under every FILL mode. */
   private def blockedMovingAverage(df: DataFrame, n: Int, bucketSec: Long): DataFrame = {
+    // precondition (onRealPoints): every row's value is non-null, so the
+    // n-ROW window holds exactly n values and row index == value count —
+    // one block summary (sum + rowcount), ONE boundary fold, ONE
+    // broadcast join instead of the former three carries
     val span = blockSpanSec(bucketSec)
     val withBlk = df.withColumn("_blk", floor(col("time") / span))
     val wCum = Window.partitionBy(col("_blk")).orderBy(col("time"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wOrd = Window.partitionBy(col("_blk")).orderBy(col("time"))
     val inBlk = withBlk
-      .withColumn("_ps", coalesce(sum(col("value")).over(wCum), lit(0.0)))
-      .withColumn("_pc", count(col("value")).over(wCum).cast("double"))
+      .withColumn("_ps", sum(col("value")).over(wCum))
       .withColumn("_ri", row_number().over(wOrd).cast("double"))
-    def carryOf(blast: Column, out: String) = blockCarrySum(
-      withBlk.groupBy(col("_blk")).agg(blast.as("_blast")), out)
+    val carries = blockCarrySums(
+      withBlk.groupBy(col("_blk")).agg(
+        sum(col("value")).as("_s"), count(lit(1)).cast("double").as("_r")),
+      Seq("_s" -> "_accs", "_r" -> "_accr"))
     val g = inBlk
-      .join(broadcast(carryOf(sum(col("value")), "_accs")), Seq("_blk"), "left")
-      .join(broadcast(carryOf(count(col("value")).cast("double"), "_accc")), Seq("_blk"), "left")
-      .join(broadcast(carryOf(count(lit(1)).cast("double"), "_accr")), Seq("_blk"), "left")
+      .join(broadcast(carries), Seq("_blk"), "left")
       .withColumn("_gi", (col("_ri") + coalesce(col("_accr"), lit(0.0))).cast("long"))
       .withColumn("_gps", col("_ps") + coalesce(col("_accs"), lit(0.0)))
-      .withColumn("_gpc", col("_pc") + coalesce(col("_accc"), lit(0.0)))
-      .drop("_blk", "_ps", "_pc", "_ri", "_accs", "_accc", "_accr")
-    val older = g.select((col("_gi") + n).as("_ji"),
-      col("_gps").as("_ps0"), col("_gpc").as("_pc0"))
-    val cnt = col("_gpc") - coalesce(col("_pc0"), lit(0.0))
+      .drop("_blk", "_ps", "_ri", "_accs", "_accr")
+    val older = g.select((col("_gi") + n).as("_ji"), col("_gps").as("_ps0"))
     g.join(older, g("_gi") === older("_ji"), "left")
-      .withColumn("value", when(col("_gi") >= n && cnt > 0,
-        (col("_gps") - coalesce(col("_ps0"), lit(0.0))) / cnt))
-      .drop("_gi", "_gps", "_gpc", "_ji", "_ps0", "_pc0")
+      .withColumn("value", when(col("_gi") >= n,
+        (col("_gps") - coalesce(col("_ps0"), lit(0.0))) / n))
+      .drop("_gi", "_gps", "_ji", "_ps0")
   }
 
   /** Per-series EMA: the recurrence folded over each key's time-sorted
@@ -549,8 +560,10 @@ object Planner {
    *  cumulative_sum, moving_average_n) and scalar math (abs, ceil,
    *  floor, round, sqrt, exp, ln, log2, log10, sin/cos/tan + inverses,
    *  pow_n). Null rows from gap fill stay null through the sequential
-   *  transforms (InfluxQL has no null points; on FILL(none) output the
-   *  semantics coincide exactly). */
+   *  transforms, and the point-window transforms (elapsed,
+   *  moving_average, EMA) run over REAL points only — InfluxDB emits
+   *  these only at actual points, so a FILL(null) spine must neither
+   *  receive fabricated values nor dilute the n-point window. */
   private def transformWrap(fn: String, df: DataFrame, partCols: Seq[String],
       bucketSec: Long): DataFrame =
     fn.split(",").map(_.trim).filter(_.nonEmpty)
@@ -568,6 +581,12 @@ object Planner {
         d.withColumn("_pv", lag(col("value"), 1).over(w))
           .withColumn("_pt", lag(col("time"), 1).over(w))
       }
+    // point-window transforms act on REAL points only: compute over the
+    // non-null subset, pass gap-fill null rows through unchanged so a
+    // FILL(null) spine keeps its shape with nulls intact
+    def onRealPoints(d: DataFrame)(f: DataFrame => DataFrame): DataFrame =
+      f(d.filter(col("value").isNotNull))
+        .unionByName(d.filter(col("value").isNull))
     fn match {
       case "difference" if partCols.isEmpty => blockedDifference(df, bucketSec)
       case "difference" =>
@@ -583,23 +602,29 @@ object Planner {
           .withColumn("value", if (nonNeg) when(rate >= 0, rate) else rate)
           .drop("_pv", "_pt")
       case ElapsedFn(unitSec) =>
-        // InfluxQL ELAPSED: integer-truncated units since the previous row
-        withPrev(df)
-          .withColumn("value",
-            floor((col("time") - col("_pt")) / unitSec.toDouble).cast("double"))
-          .drop("_pv", "_pt")
+        // InfluxQL ELAPSED: integer-truncated units since the previous
+        // REAL point (gap-fill nulls have a time but are not points)
+        onRealPoints(df) { real =>
+          withPrev(real)
+            .withColumn("value",
+              floor((col("time") - col("_pt")) / unitSec.toDouble).cast("double"))
+            .drop("_pv", "_pt")
+        }
       case "cumulative_sum" if partCols.isEmpty => blockedCumSum(df, bucketSec)
       case "cumulative_sum" =>
         val w = Window.partitionBy(partCols.map(col): _*).orderBy(col("time"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         df.withColumn("value",
           when(col("value").isNotNull, sum(col("value")).over(w)))
-      case MovingAvgFn(n) if partCols.isEmpty => blockedMovingAverage(df, n, bucketSec)
+      case MovingAvgFn(n) if partCols.isEmpty =>
+        onRealPoints(df)(blockedMovingAverage(_, n, bucketSec))
       case MovingAvgFn(n) =>
-        val wOrd = Window.partitionBy(partCols.map(col): _*).orderBy(col("time"))
-        val wAvg = wOrd.rowsBetween(-(n - 1), Window.currentRow)
-        df.withColumn("value",
-          when(row_number().over(wOrd) >= n, avg(col("value")).over(wAvg)))
+        onRealPoints(df) { real =>
+          val wOrd = Window.partitionBy(partCols.map(col): _*).orderBy(col("time"))
+          val wAvg = wOrd.rowsBetween(-(n - 1), Window.currentRow)
+          real.withColumn("value",
+            when(row_number().over(wOrd) >= n, avg(col("value")).over(wAvg)))
+        }
       case EmaFn(n) if partCols.isEmpty => blockedEma(df, 2.0 / (n + 1), bucketSec)
       case EmaFn(n) => keyedEma(df, 2.0 / (n + 1), partCols)
       // scalar math (the InfluxQL transform namespace); ceil/floor keep
@@ -773,14 +798,15 @@ object Planner {
    *  (`orderBy.limit`), with OFFSET applied by a row_number over the
    *  already-limit-bounded frame — the sanctioned groups-sized global
    *  window, never the data stream. A time-less shape (a plain
-   *  aggregate's single row) has nothing to order; modifiers pass it
-   *  through. */
+   *  aggregate: one row per series) has nothing to order, but the
+   *  series cut and the per-series row cut still apply — SOFFSET ≥ 1
+   *  past an untagged single series, or OFFSET ≥ 1 past its one row,
+   *  yields empty, exactly as on time-carrying shapes. */
   private def applySelectModifiers(df0: DataFrame, req: DataPointsRequest,
       tagCols: Seq[String]): DataFrame = {
     require(req.limit > 0 || req.offset <= 0, "OFFSET requires LIMIT")
     require(req.sLimit > 0 || req.sOffset <= 0, "SOFFSET requires SLIMIT")
     if (!req.orderDesc && req.limit <= 0 && req.sLimit <= 0) return df0
-    if (!df0.columns.contains("time")) return df0
     // SLIMIT/SOFFSET: the series-level cut — series ordered by their
     // key (the tag value), selected on the groups-sized distinct-tags
     // frame and semi-joined back (broadcast; no window over the data).
@@ -800,6 +826,11 @@ object Planner {
             .filter(col("_sn") > req.sOffset).drop("_sn")
         df0.join(broadcast(kept), tagCols, "left_semi")
       }
+    // a time-less shape (whole-range aggregate: one row per series) has
+    // nothing to order; the series cut above still applies, and LIMIT
+    // acts on the single row per series (OFFSET >= 1 skips it)
+    if (!df.columns.contains("time"))
+      return if (req.limit > 0 && req.offset >= 1) df.limit(0) else df
     if (!req.orderDesc && req.limit <= 0 && req.offset <= 0) return df
     val ord = if (req.orderDesc) col("time").desc else col("time").asc
     if (req.limit <= 0) {

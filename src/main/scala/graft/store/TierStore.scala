@@ -577,6 +577,20 @@ final class TierStore(spark: SparkSession, val root: String) {
     retentionPolicies.find(measurements(_).nonEmpty)
       .map(t => read(t).schema).getOrElse(emptyPoints.schema)
 
+  /** The catalog schema scoped to a measurement when FROM names one:
+   *  derived from that measurement's OWN partition directory (footer
+   *  reads only, no data scan), so stores whose measurements carry
+   *  different columns answer correct per-measurement keys; an unknown
+   *  measurement answers through the store-wide schema (and the callers'
+   *  measurement cross-product yields nothing for it). */
+  private def catalogSchema(
+      measurement: Option[String]): org.apache.spark.sql.types.StructType =
+    measurement.flatMap { m =>
+      populatedTiers.find(measurements(_).contains(m)).map { t =>
+        spark.read.parquet(s"${path(t.name)}/measurement=$m").schema
+      }
+    }.getOrElse(catalogSchema)
+
   /** Tiers that hold any data — the catalog scans skip the rest. */
   private def populatedTiers: Seq[Tier] =
     retentionPolicies.filter(measurements(_).nonEmpty)
@@ -591,10 +605,13 @@ final class TierStore(spark: SparkSession, val root: String) {
    *  a listing plus one schema read, no data scan. */
   def tagKeys(measurement: Option[String]): DataFrame = {
     import spark.implicits._
-    val keys = tagCols(catalogSchema)
-    val ms = measurement.map(Seq(_)).getOrElse(
-      retentionPolicies.flatMap(measurements).distinct.sorted)
-    ms.flatMap(m => keys.map(k => (m, k))).toDF("measurement", "tag_key")
+    // FROM an unknown measurement answers EMPTY (the InfluxDB contract),
+    // like tagValues does for an unknown key
+    val ms = measurement
+      .map(m => Seq(m).filter(x => populatedTiers.exists(measurements(_).contains(x))))
+      .getOrElse(retentionPolicies.flatMap(measurements).distinct.sorted)
+    ms.flatMap(m => tagCols(catalogSchema(Some(m))).map(k => (m, k)))
+      .toDF("measurement", "tag_key")
   }
 
   /** SHOW TAG VALUES [FROM m] WITH KEY = k → (key, value). A
@@ -605,7 +622,7 @@ final class TierStore(spark: SparkSession, val root: String) {
     // InfluxDB contract a ported dashboard's template variables rely on
     // (schema drift must leave the dropdown empty, not break the panel)
     val frames =
-      if (!tagCols(catalogSchema).contains(key)) Nil
+      if (!tagCols(catalogSchema(measurement)).contains(key)) Nil
       else populatedTiers.map(read).filter(_.columns.contains(key))
         .map { df =>
           measurement.foldLeft(df)((d, m) => d.filter(col("measurement") === m))
@@ -619,11 +636,14 @@ final class TierStore(spark: SparkSession, val root: String) {
   }
 
   /** SHOW FIELD KEYS [FROM m] → (field_key, field_type) with InfluxDB
-   *  type names. Schema-derived, no data scan. */
-  def fieldKeys(): DataFrame = {
+   *  type names. Schema-derived (per-measurement when FROM names one;
+   *  unknown measurement answers empty), no data scan. */
+  def fieldKeys(measurement: Option[String] = None): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.types._
-    val schema = catalogSchema
+    if (measurement.exists(m => !populatedTiers.exists(measurements(_).contains(m))))
+      return Seq.empty[(String, String)].toDF("field_key", "field_type")
+    val schema = catalogSchema(measurement)
     FieldCols.flatMap(f => schema.fields.find(_.name == f)).map { f =>
       val t = f.dataType match {
         case DoubleType | FloatType => "float"

@@ -1,0 +1,141 @@
+package graft
+
+import java.time.Instant
+import java.sql.Timestamp
+
+import graft.model.{DataPointsRequest, Tier}
+import graft.query.{InfluxQL, Planner}
+import graft.store.TierStore
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Round-13 contract fixes: point-window transforms over FILL(null)
+ *  spines act on REAL points only (InfluxDB emits moving_average /
+ *  elapsed at actual points, never at gap-filled nulls), SELECT
+ *  modifiers cut the time-less plain-aggregate shape, bare
+ *  `ORDER BY time` parses (direction defaults ASC), and the catalog
+ *  SHOW KEYS statements answer per-measurement schemas. */
+class Round13Spec extends SparkSpec {
+
+  private val now = Instant.parse("2024-01-02T00:00:00Z")
+  private val base = 1704067200L // 2024-01-01T00:00:00Z
+
+  private val schema = StructType(Seq(
+    StructField("measurement", StringType), StructField("time", TimestampType),
+    StructField("value", DoubleType), StructField("dev_id", StringType),
+    StructField("location_id", StringType), StructField("dev_type", StringType)))
+
+  private def pts(rows: (Long, Double)*): DataFrame = {
+    val rs = rows.map { case (sec, v) =>
+      Row("app_t", new Timestamp(sec * 1000), v, "d1", "1", "sensor") }
+    spark.createDataFrame(spark.sparkContext.parallelize(rs), schema)
+  }
+
+  private def query(df: DataFrame, dataFunction: String = "",
+      transformFunction: String = "", groupByTime: String = "",
+      groupByTag: String = "", fill: String = "null",
+      toTime: String = "2024-01-01T00:03:59Z"): DataFrame =
+    Planner.dataPoints(DataPointsRequest("app_t",
+      fromTime = "2024-01-01T00:00:00Z", toTime = toTime,
+      dataFunction = dataFunction, transformFunction = transformFunction,
+      groupByTime = groupByTime, groupByTag = groupByTag, fillType = fill),
+      _ => df, now)
+
+  private def timeValue(df: DataFrame): Seq[(Long, Option[Double])] =
+    df.collect().toSeq.map(r =>
+      (r.getLong(r.fieldIndex("time")),
+        if (r.isNullAt(r.fieldIndex("value"))) None
+        else Some(r.getDouble(r.fieldIndex("value"))))).sortBy(_._1)
+
+  // points at minutes 0, 1, 3 — minute 2 is an empty bucket that
+  // FILL(null) materializes as a null row
+  private def gapped = pts((base, 10.0), (base + 60, 20.0), (base + 180, 30.0))
+
+  test("moving_average over FILL(null): gap rows stay null, window spans real points") {
+    // blocked (untagged) path: n=2 window is over the 3 REAL points —
+    // the null bucket neither receives a value nor dilutes the window
+    val out = timeValue(query(gapped, dataFunction = "mean",
+      groupByTime = "1m", transformFunction = "moving_average_2"))
+    assert(out == Seq(
+      (base, None),             // first real point: < n predecessors
+      (base + 60, Some(15.0)),  // avg(10, 20)
+      (base + 120, None),       // gap bucket: stays null
+      (base + 180, Some(25.0))), // avg(20, 30) ACROSS the gap
+      s"got $out")
+    // keyed (tagged) path: same contract per series
+    val keyed = timeValue(query(gapped, dataFunction = "mean",
+      groupByTime = "1m", groupByTag = "location_id",
+      transformFunction = "moving_average_2").drop("location_id"))
+    assert(keyed == out, s"keyed got $keyed")
+  }
+
+  test("elapsed over FILL(null): gap rows stay null, elapsed measured between real points") {
+    val out = timeValue(query(gapped, dataFunction = "mean",
+      groupByTime = "1m", transformFunction = "elapsed_1m"))
+    assert(out == Seq(
+      (base, None),            // no previous real point
+      (base + 60, Some(1.0)),  // 1 minute since minute 0
+      (base + 120, None),      // gap bucket: no fabricated spacing
+      (base + 180, Some(2.0))), // 2 minutes since minute 1, not 1 since the gap
+      s"got $out")
+    val keyed = timeValue(query(gapped, dataFunction = "mean",
+      groupByTime = "1m", groupByTag = "location_id",
+      transformFunction = "elapsed_1m").drop("location_id"))
+    assert(keyed == out, s"keyed got $keyed")
+  }
+
+  test("select modifiers cut the time-less plain-aggregate shape") {
+    def run(req: DataPointsRequest) =
+      Planner.dataPoints(req, _ => gapped, now).collect()
+    val agg = DataPointsRequest("app_t",
+      fromTime = "2024-01-01T00:00:00Z", toTime = "2024-01-01T23:59:59Z",
+      dataFunction = "sum")
+    assert(run(agg).map(_.getDouble(0)).toSeq == Seq(60.0))
+    // the untagged aggregate IS one series: SLIMIT 1 keeps it,
+    // SOFFSET >= 1 skips past it (the round-12 early return leaked the row)
+    assert(run(agg.copy(sLimit = 1)).length == 1)
+    assert(run(agg.copy(sLimit = 1, sOffset = 1)).isEmpty)
+    // LIMIT acts on the single row per series
+    assert(run(agg.copy(limit = 1)).length == 1)
+    assert(run(agg.copy(limit = 1, offset = 1)).isEmpty)
+  }
+
+  test("bare ORDER BY time parses as ASC; swallowed clauses fail in the envelope") {
+    val s = InfluxQL.parse(
+      """SELECT mean("value") FROM "m" WHERE time > now()-1h GROUP BY time(1m) ORDER BY time LIMIT 5""")
+      .asInstanceOf[InfluxQL.Select]
+    assert(!s.req.orderDesc && s.req.limit == 5)
+    val asc = InfluxQL.parse(
+      """SELECT mean("value") FROM "m" GROUP BY time(1m) ORDER BY time ASC""")
+      .asInstanceOf[InfluxQL.Select]
+    assert(!asc.req.orderDesc)
+    // a malformed trailing clause swallowed by the lazy GROUP BY capture
+    // must fail as InfluxQL (IllegalArgumentException), not surface later
+    // as a Spark AnalysisException on a bogus group column
+    intercept[IllegalArgumentException] {
+      InfluxQL.parse(
+        """SELECT mean("value") FROM "m" GROUP BY time(1m) ORDER BY thyme DESC""")
+    }
+  }
+
+  test("SHOW TAG/FIELD KEYS answer per-measurement schemas; unknown FROM is empty") {
+    val root =
+      java.nio.file.Files.createTempDirectory("graft_r13cat").toFile.getAbsolutePath
+    val store = new TierStore(spark, root)
+    store.write(Tier.GenRaw, pts((base, 1.0)))
+    // a second measurement carrying an extra tag column in ITS files
+    val rs = Seq(Row("app_u", new Timestamp((base + 60) * 1000), 2.0,
+      "d9", "2", "sensor", "h1"))
+    val extra = spark.createDataFrame(spark.sparkContext.parallelize(rs),
+      StructType(schema.fields :+ StructField("host", StringType)))
+    store.write(Tier.GenRaw, extra)
+    def keys(m: String) =
+      store.tagKeys(Some(m)).collect().map(_.getString(1)).toSet
+    assert(keys("app_u").contains("host"), s"app_u keys: ${keys("app_u")}")
+    assert(!keys("app_t").contains("host"), s"app_t keys: ${keys("app_t")}")
+    assert(store.tagKeys(Some("nope")).count() == 0)
+    assert(store.fieldKeys(Some("app_t")).collect()
+      .map(_.getString(0)).contains("value"))
+    assert(store.fieldKeys(Some("nope")).count() == 0)
+  }
+}
