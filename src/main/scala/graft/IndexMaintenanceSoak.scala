@@ -31,7 +31,7 @@ import org.apache.spark.sql.functions._
  *
  * Per probe (concurrent with stream, rebuild, and folds — no
  * coordination):
- *  1. take a skew-proof [[Similarity.pinIvfIndex]] pin;
+ *  1. take a logical [[Similarity.pinIvfIndex]] pin;
  *  2. full-probe [[Similarity.queryIvfIndex]] AT THE PIN and compare
  *     EXACTLY (query_id, vec_id, score sets) against
  *     [[Similarity.bruteForceTopK]] over the same pinned corpus — full

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
  *
  * One streaming ingest query commits `batches` micro-batches into the
  * store while an ops thread, every `opsEvery` batches, runs a full
- * retain-history maintenance pass, takes a skew-proof
+ * retain-history maintenance pass, takes a logical
  * [[TierStore.pinNow]] pin and records content signatures of the
  * pinned gen_raw/gen_day reads, runs the rollup audit over the whole
  * date window (recorded, not asserted — live ingest legitimately
@@ -34,10 +34,9 @@ import org.apache.spark.sql.functions._
  *     backfills and vacuums;
  *  3. per-tier row counts equal a batch run of the same input
  *     (exactly-once ingest under concurrent maintenance);
- *  4. after a final ledger-marker fold, a pre-fold pin fails LOUDLY
- *     (IllegalStateException) instead of silently serving partial
- *     data — the round-10 attestation contract, demonstrated at soak
- *     scale.
+ *  4. after a final ledger-marker fold, the OLDEST pin still resolves
+ *     byte-identically — logical pins are fold-proof (a watermark at n
+ *     attests every id ≤ n), demonstrated at soak scale.
  *
  * Usage: runMain graft.OpsSoak [sfDir] [workDir] [batches]
  * Prints one `ops_soak` JSON line for BENCH_SF1.md.
@@ -85,7 +84,7 @@ object OpsSoak {
     }
 
     val pins = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, (Long, Long), (Long, Long))] // (pin, sigRaw, sigDay)
+      .empty[(graft.store.AsOfPin, (Long, Long), (Long, Long))] // (pin, sigRaw, sigDay)
     val opsLog = scala.collection.mutable.ArrayBuffer.empty[String]
     var opsCycles = 0; var backfills = 0; var vacuums = 0L
 
@@ -108,7 +107,7 @@ object OpsSoak {
       backfills += 1
       vacuums += store.vacuumTier(Tier.GenWeek) // unpinned rollup tier
       opsCycles += 1
-      opsLog += f"""{"batch":$atBatch,"pin":$pin,"audit_missing":$m,""" +
+      opsLog += f"""{"batch":$atBatch,"pin":${pin.millis},"audit_missing":$m,""" +
         f""""audit_extra":$x,"audit_mismatch":$v,""" +
         f""""cycle_sec":${(System.nanoTime() - c0) / 1e9}%.1f}"""
     }
@@ -149,13 +148,14 @@ object OpsSoak {
       require(sc == bc, s"ingest tier ${t.name}: $sc vs batch $bc rows")
     }
 
-    // ---- the attestation contract at soak scale: fold, then the
-    // oldest pin must fail LOUDLY rather than resolve partially ----
+    // ---- the attestation contract at soak scale: ledger-marker folds
+    // must NOT disturb logical pins — a watermark at n still attests
+    // every id ≤ n, so the oldest pin resolves EXACTLY after the fold
+    // (the old mtime-attested pins had to fail loudly here) ----
     store.vacuumBatchMarkers()
-    val loud =
-      try { store.readAsOf(Tier.GenRaw, pins.head._1).count(); false }
-      catch { case _: IllegalStateException => true }
-    require(loud, "pre-fold pin resolved silently after the ledger fold")
+    val postFoldSig = signature(store.readAsOf(Tier.GenRaw, pins.head._1))
+    require(postFoldSig == pins.head._2,
+      s"pre-fold pin drifted after the ledger fold: ${pins.head._2} -> $postFoldSig")
 
     println(f"""{"ops_soak":{"sf":"$sfDir","batches":$batches,""" +
       f""""ingest_wall_sec":$wallIngest%.1f,"raw_rows":$rawRows,""" +

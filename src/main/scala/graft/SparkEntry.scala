@@ -1236,7 +1236,6 @@ object SparkEntry {
         s"$work/idx", s"$work/ckpt")
       q.processAllAvailable()
       val pin = graft.functions.Similarity.pinIvfIndex(s, s"$work/idx")
-      Thread.sleep(20) // phase B's records get strictly later mtimes
       emb.filter(col("vec_id") % 4 === 3).write.mode("append")
         .parquet(s"$work/in")
       q.processAllAvailable(); graft.stream.StreamOps.stopAndUnload(q)
@@ -1359,7 +1358,6 @@ object SparkEntry {
       Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 10 >= 1 &&
         col("doc_id") % 10 <= 4), root)
       val pin = Dedup.pinMinhashIndex(s, root)
-      Thread.sleep(20)
       Dedup.appendShingledToIndexBatch(
         graft.functions.Dedup.shingledDocs(
           docs.filter(col("doc_id") % 10 >= 5), 3, 64, "doc_id", "text"),
@@ -1494,7 +1492,6 @@ object SparkEntry {
         "dedup" -> graft.run.RunPin.Minhash(s"$work/mh"),
         "corpus" -> graft.run.RunPin.Tier(store)))
       graft.run.RunPin.save(s, pin, s"$work/run.pin")
-      Thread.sleep(20) // phase B gets strictly later storage mtimes
       store.write(tier, pts.filter(col("dir") === "export"))
       graft.functions.Similarity.appendIvfBatch(
         emb.filter(col("vec_id") % 2 === 1), s"$work/idx", 0L): Unit
@@ -1716,7 +1713,6 @@ object SparkEntry {
         s"$work/idx", s"$work/ckpt")
       q.processAllAvailable()
       val pin = graft.functions.Retrieval.pinBm25Index(s, s"$work/idx")
-      Thread.sleep(20) // phase B's records get strictly later mtimes
       docs.filter(col("doc_id") % 4 === 3).select("doc_id", "text")
         .repartition(2).write.mode("append").parquet(s"$work/in")
       q.processAllAvailable(); graft.stream.StreamOps.stopAndUnload(q)
@@ -2044,13 +2040,13 @@ object SparkEntry {
           to_date(col("time")).between("2024-01-08", "2024-01-14"))
       val batchA = app.filter(col("dir") === "import")
       store.writeRouted(batchA)
-      Thread.sleep(60); val t1 = System.currentTimeMillis(); Thread.sleep(60)
+      val t1 = store.pinNow() // logical: no clock, no sleep
       val dates = batchA.select(to_date(col("time")).cast("string"))
         .distinct().collect().map(_.getString(0)).toSeq
       store.replaceDatePartitions(graft.model.Tier.GenDefault,
         batchA.filter(col("dev_id") =!= "7"), dates, retainHistory = true)
       store.writeRouted(app.filter(col("dir") === "export"))
-      Thread.sleep(60); val t2 = System.currentTimeMillis()
+      val t2 = store.pinNow()
       store.diffAsOf(graft.model.Tier.GenDefault, t1, t2).select(
         col("change"), col("dev_id"), unix_timestamp(col("time")).as("time"),
         round(col("value"), 6).as("value"))
@@ -2109,7 +2105,7 @@ object SparkEntry {
       val tier = store.tierByName("gen_default").get
       store.writeRouted(points(s, dir, "app_")
         .filter(col("measurement") === "app_click"))
-      Thread.sleep(50); val pinned = System.currentTimeMillis(); Thread.sleep(50)
+      val pinned = store.pinNow() // logical: no clock, no sleep
       store.compact(tier, minFiles = 1, retainHistory = true)
       store.writeRouted(points(s, dir, "app_")
         .filter(col("measurement") === "app_click")
@@ -2146,7 +2142,7 @@ object SparkEntry {
           if (e.isDirectory && !n.startsWith("_")) scramble(e.getPath)
           else graft.store.TierLayout.batchIdOf(n).foreach { case (_, id) =>
             fs.setTimes(e.getPath,
-              if (id == 0L) pin + 3600000L else pin - 3600000L, -1L)
+              if (id == 0L) pin.millis + 3600000L else pin.millis - 3600000L, -1L)
           }
         }
       scramble(new org.apache.hadoop.fs.Path(store.tierPath(tier.name)))

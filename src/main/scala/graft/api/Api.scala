@@ -16,16 +16,18 @@ import org.apache.spark.sql.functions._
  */
 object Api {
 
-  /** cmd.tsdb.get_data_points DTO (types.go:8-21). `asOfMs` is an
-   *  extension over the reference surface: > 0 pins the query to the
-   *  store snapshot committed by that epoch-millisecond instant
-   *  ([[TierStore.readAsOf]] — reproducible reads across maintenance). */
+  /** cmd.tsdb.get_data_points DTO (types.go:8-21). `asOfPin` is an
+   *  extension over the reference surface: when non-empty, the encoded
+   *  logical pin ([[graft.store.AsOfPin.encoded]], from `pinNow`) pins
+   *  the query to that committed store state ([[TierStore.readAsOf]] —
+   *  reproducible reads across maintenance, exact on coarse-mtime
+   *  object stores). */
   final case class GetDataPointsRequest(
       procId: Int = 1, fieldName: String = "", dataFunction: String = "",
       transformFunction: String = "", measurementName: String = "",
       relativeTime: String = "", fromTime: String = "", toTime: String = "",
       groupByTime: String = "", groupByTag: String = "", fillType: String = "",
-      filters: DataPointsFilter = DataPointsFilter(), asOfMs: Long = 0L) {
+      filters: DataPointsFilter = DataPointsFilter(), asOfPin: String = "") {
     def toRequest: DataPointsRequest = DataPointsRequest(
       measurement = measurementName, fieldName = fieldName,
       dataFunction = dataFunction, transformFunction = transformFunction,
@@ -63,9 +65,11 @@ object Api {
 
   /** cmd.tsdb.vacuum DTO (EXTENSION): reclaim history kept by
    *  retainHistory maintenance — after it, as-of reads can no longer
-   *  travel behind the surviving snapshots. `foldBatchMarkers` also
-   *  compacts the streaming batch ledger (same pin discipline: folding
-   *  narrows what old pins can attest — [[graft.store.BatchLedger.read]]). */
+   *  travel behind the surviving snapshots (pins that reach further
+   *  fail loudly). `foldBatchMarkers` also compacts the streaming batch
+   *  ledger; marker folds are PIN-SAFE — a watermark still attests
+   *  every id it covers, so logical pins keep resolving exactly
+   *  ([[graft.store.BatchLedger.read]]). */
   final case class VacuumRequest(procId: Int = 1, tier: String = "",
       foldBatchMarkers: Boolean = true)
 
@@ -88,7 +92,7 @@ object Api {
    *  between two as-of pins of one tier ([[TierStore.diffAsOf]]) —
    *  requires the older pin's history to be retained. */
   final case class DiffRequest(procId: Int = 1, tier: String,
-      fromAsOfMs: Long, toAsOfMs: Long)
+      fromPin: String, toPin: String)
 
   /** cmd.tsdb.erase_index_ids DTO (EXTENSION): right-to-be-forgotten
    *  through the DERIVED stores — the IVF index physically retains
@@ -113,11 +117,13 @@ object Api {
   final case class MaintenanceRequest(procId: Int = 1, sinceDays: Int = 3,
       retainHistory: Boolean = false)
 
-  /** The asOfMs-aware tier resolver shared by the query commands:
-   *  > 0 pins the read to that snapshot ([[TierStore.readAsOf]]). */
-  private def pinnedRead(c: Context, asOfMs: Long): Tier => DataFrame =
-    if (asOfMs > 0L) t => c.store.readAsOf(t, asOfMs)
-    else t => c.store.read(t)
+  /** The pin-aware tier resolver shared by the query commands: a
+   *  non-empty encoded pin resolves that snapshot ([[TierStore.readAsOf]]). */
+  private def pinnedRead(c: Context, asOfPin: String): Tier => DataFrame =
+    if (asOfPin.nonEmpty) {
+      val pin = graft.store.AsOfPin.decode(asOfPin)
+      t => c.store.readAsOf(t, pin)
+    } else t => c.store.read(t)
 
   final case class Context(spark: SparkSession, store: TierStore,
       profile: String = Tier.ProfileOptimized, now: () => Instant = () => Instant.now(),
@@ -296,13 +302,13 @@ object Api {
     case "cmd.tsdb.get_data_points" => // admin.go:206-226
       val req = payload.asInstanceOf[GetDataPointsRequest]
       val c = procCtx(ctx, req.procId)
-      Planner.dataPoints(req.toRequest, pinnedRead(c, req.asOfMs), c.now())
+      Planner.dataPoints(req.toRequest, pinnedRead(c, req.asOfPin), c.now())
     case "cmd.tsdb.get_energy_data_points" => // admin.go:229-247
       val req = payload.asInstanceOf[GetDataPointsRequest]
       val c = procCtx(ctx, req.procId)
       Planner.energyDataPoints(req.relativeTime, req.fromTime, req.toTime,
         req.groupByTime, req.groupByTag, req.filters,
-        pinnedRead(c, req.asOfMs), c.now())
+        pinnedRead(c, req.asOfPin), c.now())
     case "cmd.tsdb.delete_data_points" =>
       // EXTENSION over the reference surface (which delegates deletion
       // to InfluxDB retention): targeted erasure via TierStore
@@ -495,7 +501,8 @@ object Api {
       val c = procCtx(ctx, req.procId)
       val t = c.store.tierByName(req.tier).getOrElse(
         throw new IllegalArgumentException(s"unknown tier: ${req.tier}"))
-      c.store.diffAsOf(t, req.fromAsOfMs, req.toAsOfMs)
+      c.store.diffAsOf(t, graft.store.AsOfPin.decode(req.fromPin),
+        graft.store.AsOfPin.decode(req.toPin))
 
     case "cmd.tsdb.query" => // S7 raw passthrough (admin.go:156-177)
       val (qCtx, sql) = payload match {

@@ -135,7 +135,7 @@ object CommandCodec {
       groupByTag = str(field(v, "groupByTag", "group_by_tag")),
       fillType = str(field(v, "fillType", "fill_type")),
       filters = filters(v \ "filters"),
-      asOfMs = long(field(v, "asOfMs", "as_of_ms"), 0L))
+      asOfPin = str(field(v, "asOfPin", "as_of_pin")))
 
   /** The reference MDataPoint.ts is an int64 epoch with 0 meaning
    *  "server sets time" (api/types.go:27; the docs/api write example
@@ -234,8 +234,8 @@ object CommandCodec {
         toDate = str(v \ "toDate"), tolerance = dbl(v \ "tolerance", 1e-6))
       case "cmd.tsdb.diff_data_points" => Api.DiffRequest(
         procId = int(field(v, "procId", "proc_id"), 1), tier = str(v \ "tier"),
-        fromAsOfMs = long(v \ "fromAsOfMs", 0L),
-        toAsOfMs = long(v \ "toAsOfMs", 0L))
+        fromPin = str(field(v, "fromPin", "from_pin")),
+        toPin = str(field(v, "toPin", "to_pin")))
       case "cmd.tsdb.query" => v match {
         case JString(sql) => sql
         case o => (int(o \ "procId", 1), str(o \ "sql"))

@@ -911,7 +911,7 @@ object Dedup {
    *  [[graft.store.IndexGenerations.currentRoot]] with the buckets
    *  table as the presence witness. */
   private[graft] def currentGenRoot(fs: org.apache.hadoop.fs.FileSystem,
-      path: String, asOf: Option[Long] = None): String =
+      path: String, asOf: Option[graft.store.AsOfPin] = None): String =
     graft.store.IndexGenerations.currentRoot(fs, path, "buckets", asOf)
 
   /** Snapshot-resolved read of one index table (`buckets`/`shingles`)
@@ -923,7 +923,7 @@ object Dedup {
    *  mixture (a plain parquet read would double-count rows mid-fold).
    *  `asOf` pins the read to a [[pinMinhashIndex]] instant. */
   def readIndexTable(spark: SparkSession, path: String, table: String,
-      asOf: Option[Long] = None): DataFrame = {
+      asOf: Option[graft.store.AsOfPin] = None): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     readIndexTableAt(spark, path, currentGenRoot(fs, path, asOf), table, asOf)
@@ -933,7 +933,7 @@ object Dedup {
    *  queries resolve the generation once and read both tables (and the
    *  parameter meta) from the same root. */
   private def readIndexTableAt(spark: SparkSession, path: String,
-      genRoot: String, table: String, asOf: Option[Long]): DataFrame = {
+      genRoot: String, table: String, asOf: Option[graft.store.AsOfPin]): DataFrame = {
     val dir = new org.apache.hadoop.fs.Path(s"$genRoot/$table")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // the ledger lives at the STABLE index root across generations
@@ -957,27 +957,19 @@ object Dedup {
       }
   }
 
-  /** SKEW-PROOF as-of pin over the streamed MinHash index — max record
-   *  time the index's own storage reports (ledger files, fold commit
-   *  markers, raw table files); `readIndexTable(asOf = pin)` then
-   *  always equals the current read ([[graft.store.TierStore.pinNow]]
-   *  contract). */
-  def pinMinhashIndex(spark: SparkSession, path: String): Long = {
+  /** LOGICAL as-of pin over the streamed MinHash index — the index's
+   *  current position in each of its commit sequences (append-ledger
+   *  batch ids, per-table fold versions, the rebuild generation);
+   *  `readIndexTable(asOf = pin)` then always equals the current read
+   *  ([[graft.store.TierStore.pinNow]] contract). */
+  def pinMinhashIndex(spark: SparkSession, path: String): graft.store.AsOfPin = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ledger = graft.store.BatchLedger.dir(root)
-    val l =
-      if (!fs.exists(ledger)) 0L
-      else fs.listStatus(ledger).foldLeft(0L)((m, e) =>
-        math.max(m, e.getModificationTime))
-    // generation markers: a pin taken after a rebuild must admit it
-    val withGen = math.max(l,
-      graft.store.IndexGenerations.maxMarkerMtime(fs, path))
     val gen = currentGenRoot(fs, path)
-    Seq("buckets", "shingles").foldLeft(withGen) { (m, t) =>
-      math.max(m, graft.store.SnapshotFold.pinDir(fs,
-        new org.apache.hadoop.fs.Path(s"$gen/$t")))
-    }
+    graft.store.AsOfPin.capture(fs, root,
+      Seq("buckets", "shingles").map(t =>
+        new org.apache.hadoop.fs.Path(s"$gen/$t")),
+      genPath = Some(path))
   }
 
   /** Reclaim superseded history — fold snapshots of the CURRENT
@@ -1191,14 +1183,14 @@ object Dedup {
   def queryMinhashIndex(spark: SparkSession, newDocs: DataFrame, path: String,
       n: Int = 3, k: Int = 64, bands: Int = 16, threshold: Double = 0.8,
       idCol: String = "doc_id", textCol: String = "text",
-      asOf: Option[Long] = None): DataFrame =
+      asOf: Option[graft.store.AsOfPin] = None): DataFrame =
     queryIndexFromShingled(spark, shingledDocs(newDocs, n, k, idCol, textCol),
       path, n, k, bands, threshold, asOf)
 
   /** [[queryMinhashIndex]] over a pre-computed (id, sh, sig) table. */
   private[functions] def queryIndexFromShingled(spark: SparkSession,
       shNew: DataFrame, path: String, n: Int, k: Int, bands: Int,
-      threshold: Double, asOf: Option[Long] = None): DataFrame = {
+      threshold: Double, asOf: Option[graft.store.AsOfPin] = None): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     // ONE generation resolution serves the parameter check and both
     // table scans — a rebuild committing mid-query can never pair one

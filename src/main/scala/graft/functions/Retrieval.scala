@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.store.{BatchLedger, IdFilter, IndexErase, SnapshotFold, StagedBatchAppend}
+import graft.store.{AsOfPin, BatchLedger, IdFilter, IndexErase, SnapshotFold, StagedBatchAppend}
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -81,7 +81,7 @@ object Retrieval {
    * PERSISTED BM25 index — build once, append forever, query many
    * times: the same full index LIFECYCLE the persisted MinHash and IVF
    * indexes carry (build / streaming exactly-once appends / selective
-   * reader-atomic folds / skew-proof pins + as-of reads / targeted
+   * reader-atomic folds / logical pins + as-of reads / targeted
    * erasure), specialized to the lexical layout. The expensive pass
    * (tokenize + tf over the corpus) runs at build/append time and
    * lands as parquet postings partitioned by a 64-way term-hash shard.
@@ -214,14 +214,14 @@ object Retrieval {
    *  exists (clean batch boundaries under a live stream). */
   private[graft] def readPostings(spark: SparkSession,
       path: String, onlyShards: Option[Seq[Int]] = None,
-      asOf: Option[Long] = None): DataFrame =
+      asOf: Option[AsOfPin] = None): DataFrame =
     readPostingsWith(spark, path,
       BatchLedger.read(fsOf(spark, path), new HPath(path), asOf),
       onlyShards, asOf)
 
   private def readPostingsWith(spark: SparkSession, path: String,
       committed: (String, Long) => Boolean, onlyShards: Option[Seq[Int]],
-      asOf: Option[Long]): DataFrame = {
+      asOf: Option[AsOfPin]): DataFrame = {
     val live = new HPath(s"$path/postings")
     val fs = fsOf(spark, path)
     val parts = shardDirsOf(fs, live)
@@ -244,12 +244,12 @@ object Retrieval {
    *  rows (build row + committed batch deltas + erase corrections) —
    *  one row out, always. */
   private[graft] def readBm25Stats(spark: SparkSession,
-      path: String, asOf: Option[Long] = None): DataFrame =
+      path: String, asOf: Option[AsOfPin] = None): DataFrame =
     readBm25StatsWith(spark, path,
       BatchLedger.read(fsOf(spark, path), new HPath(path), asOf), asOf)
 
   private def readBm25StatsWith(spark: SparkSession, path: String,
-      committed: (String, Long) => Boolean, asOf: Option[Long]): DataFrame = {
+      committed: (String, Long) => Boolean, asOf: Option[AsOfPin]): DataFrame = {
     val live = new HPath(s"$path/stats")
     val fs = fsOf(spark, path)
     val files = SnapshotFold.resolve(fs, live, committed, asOf)
@@ -263,7 +263,7 @@ object Retrieval {
   /** Resolved zero-token doc ids (empty frame when none recorded —
    *  including indexes built before the table existed). */
   private def readZeroDocs(spark: SparkSession, path: String,
-      asOf: Option[Long] = None): DataFrame = {
+      asOf: Option[AsOfPin] = None): DataFrame = {
     val live = new HPath(s"$path/zero_docs")
     val fs = fsOf(spark, path)
     val committed = BatchLedger.read(fs, new HPath(path), asOf)
@@ -275,28 +275,20 @@ object Retrieval {
         new StructType().add("doc_id", LongType)))
   }
 
-  /** SKEW-PROOF as-of pin over a persisted BM25 index — max record
-   *  time the index's own storage reports (ledger files, fold commit
-   *  markers, raw table files — the
+  /** LOGICAL as-of pin over a persisted BM25 index — the index's
+   *  current position in each of its commit sequences (append-ledger
+   *  batch ids, per-table/per-shard fold versions — the
    *  [[graft.store.TierStore.pinNow]] contract); feed to the `asOf`
    *  arm of [[queryBm25Index]]. */
-  def pinBm25Index(spark: SparkSession, path: String): Long = {
+  def pinBm25Index(spark: SparkSession, path: String): AsOfPin = {
     val fs = fsOf(spark, path)
     // LOUD on a bad path (pinIvfIndex/pinMinhashIndex parity): a typo'd
     // root must fail at capture time, not months later when an asOf
-    // read resolves an empty view against pin 0
+    // read resolves an empty view against an empty pin
     require(fs.exists(new HPath(s"$path/stats")), s"no BM25 index at $path")
-    val ledger = BatchLedger.dir(new HPath(path))
-    var m =
-      if (!fs.exists(ledger)) 0L
-      else fs.listStatus(ledger).foldLeft(0L)((x, e) =>
-        math.max(x, e.getModificationTime))
-    m = math.max(m, SnapshotFold.pinDir(fs, new HPath(s"$path/stats")))
-    m = math.max(m, SnapshotFold.pinDir(fs, new HPath(s"$path/zero_docs")))
-    shardDirsOf(fs, new HPath(s"$path/postings"))
-      .foldLeft(m) { case (x, (_, d)) =>
-        math.max(x, SnapshotFold.pinDir(fs, d))
-      }
+    AsOfPin.capture(fs, new HPath(path),
+      Seq(new HPath(s"$path/stats"), new HPath(s"$path/zero_docs")) ++
+        shardDirsOf(fs, new HPath(s"$path/postings")).map(_._2))
   }
 
   /**
@@ -460,7 +452,7 @@ object Retrieval {
    *  `asOf` pins the read to a [[pinBm25Index]] instant. */
   def queryBm25Index(spark: SparkSession, path: String,
       queryTerms: Seq[String], k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
-      asOf: Option[Long] = None): DataFrame = {
+      asOf: Option[AsOfPin] = None): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val terms = queryTerms.map(_.toLowerCase).distinct
     // pmod(xxhash64, 64) ≡ hash & 63 for a power-of-two shard count

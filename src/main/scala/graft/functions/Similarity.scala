@@ -516,7 +516,7 @@ object Similarity {
    *  [[graft.store.IndexGenerations.currentRoot]] with the lists tree
    *  as the presence witness. */
   private[graft] def currentGenRoot(fs: org.apache.hadoop.fs.FileSystem,
-      path: String, asOf: Option[Long] = None): String =
+      path: String, asOf: Option[graft.store.AsOfPin] = None): String =
     graft.store.IndexGenerations.currentRoot(fs, path, "lists", asOf)
 
   /** The IVF lists tree's (list_id -> partition dir) listing. */
@@ -556,7 +556,7 @@ object Similarity {
    */
   def readIvfLists(spark: org.apache.spark.sql.SparkSession, path: String,
       onlyLists: Option[Seq[Long]] = None,
-      asOf: Option[Long] = None): DataFrame = {
+      asOf: Option[graft.store.AsOfPin] = None): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     readIvfListsAt(spark, path, currentGenRoot(fs, path, asOf), onlyLists, asOf)
@@ -568,7 +568,7 @@ object Similarity {
    *  never pair one generation's centroids with another's lists. */
   private def readIvfListsAt(spark: org.apache.spark.sql.SparkSession,
       path: String, genRoot: String, onlyLists: Option[Seq[Long]],
-      asOf: Option[Long]): DataFrame = {
+      asOf: Option[graft.store.AsOfPin]): DataFrame = {
     val live = new org.apache.hadoop.fs.Path(s"$genRoot/lists")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // the ledger lives at the STABLE index root across generations
@@ -585,29 +585,22 @@ object Similarity {
       .getOrElse(emptyListsFrame(spark))
   }
 
-  /** SKEW-PROOF as-of pin over the streamed IVF index — the maximum
-   *  record time the index's own storage reports (ledger files, fold
-   *  commit markers, raw list files), so `readIvfLists(asOf = pin)`
-   *  always equals the current read and later appends/folds stay
-   *  invisible regardless of driver ↔ storage clock drift
-   *  ([[graft.store.TierStore.pinNow]] contract). Centroids are not
-   *  covered: a centroid retrain is a REBUILD (a new index), not
-   *  history of this one. */
-  def pinIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+  /** LOGICAL as-of pin over the streamed IVF index — the index's
+   *  current position in each of its commit sequences (append-ledger
+   *  batch ids, per-list fold versions, the rebuild generation), so
+   *  `readIvfLists(asOf = pin)` always equals the current read and
+   *  later appends/folds/rebuilds stay invisible regardless of storage
+   *  clock granularity ([[graft.store.TierStore.pinNow]] contract).
+   *  Centroids are not covered: a centroid retrain is a REBUILD (a new
+   *  generation), which the pin's generation position captures. */
+  def pinIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): graft.store.AsOfPin = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ledger = graft.store.BatchLedger.dir(root)
-    var m =
-      if (!fs.exists(ledger)) 0L
-      else fs.listStatus(ledger).foldLeft(0L)((x, e) =>
-        math.max(x, e.getModificationTime))
-    // generation markers: a pin taken after a rebuild must admit it
-    m = math.max(m, graft.store.IndexGenerations.maxMarkerMtime(fs, path))
     val gen = currentGenRoot(fs, path)
-    listDirsOf(fs, new org.apache.hadoop.fs.Path(s"$gen/lists"))
-      .foldLeft(m) { case (x, (_, d)) =>
-        math.max(x, graft.store.SnapshotFold.pinDir(fs, d))
-      }
+    graft.store.AsOfPin.capture(fs, root,
+      listDirsOf(fs, new org.apache.hadoop.fs.Path(s"$gen/lists")).map(_._2),
+      genPath = Some(path))
   }
 
   /** Reclaim the index's superseded history — fold snapshots of the
@@ -654,7 +647,7 @@ object Similarity {
    * reproducible training run's view).
    */
   def ivfListStats(spark: org.apache.spark.sql.SparkSession, path: String,
-      asOf: Option[Long] = None): DataFrame = {
+      asOf: Option[graft.store.AsOfPin] = None): DataFrame = {
     val genRoot = currentGenRoot(new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration), path, asOf)
     val centroids = spark.read.parquet(s"$genRoot/centroids")
@@ -829,7 +822,7 @@ object Similarity {
   def queryIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int, nProbes: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      asOf: Option[Long] = None): DataFrame = {
+      asOf: Option[graft.store.AsOfPin] = None): DataFrame = {
     val genRoot = currentGenRoot(new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration), path, asOf)
     val centroids = broadcast(spark.read.parquet(s"$genRoot/centroids"))
@@ -870,7 +863,7 @@ object Similarity {
   def queryIvfIndexQuantized(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int, nProbes: Int = 4, refine: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      asOf: Option[Long] = None): DataFrame = {
+      asOf: Option[graft.store.AsOfPin] = None): DataFrame = {
     val genRoot = currentGenRoot(new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration), path, asOf)
     val centroids = broadcast(spark.read.parquet(s"$genRoot/centroids"))

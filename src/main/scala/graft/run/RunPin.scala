@@ -16,10 +16,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * next to the run's artifacts, and re-loaded to drive every `asOf`
  * read arm the engine has.
  *
- * Each member pin is individually SKEW-PROOF (the max record time that
- * store's own storage reports — no driver clock in any comparison), so
- * a loaded manifest reproduces each store's exact capture-time state
- * regardless of later appends, folds, rebuilds, or mtime games.
+ * Each member pin is individually LOGICAL ([[graft.store.AsOfPin]] —
+ * positions in that store's own commit sequences; no clock in any
+ * comparison), so a loaded manifest reproduces each store's exact
+ * capture-time state regardless of later appends, folds, rebuilds, or
+ * any mtime games an object store plays.
  * Members are captured in the caller's order, not atomically across
  * stores: capture DERIVED stores first (indexes, then the corpus) so
  * the cut is causally consistent with a corpus-then-index writer — an
@@ -42,13 +43,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class RunPin(entries: Map[String, RunPin.Entry]) {
 
   /** The raw pin of a member (loud on unknown names). */
-  def pinOf(name: String): Long = entry(name).pin
+  def pinOf(name: String): graft.store.AsOfPin = entry(name).pin
 
   private[run] def entry(name: String): RunPin.Entry =
     entries.getOrElse(name, throw new NoSuchElementException(
       s"run pin has no member '$name' (members: ${entries.keys.toSeq.sorted.mkString(", ")})"))
 
-  private[run] def checked(name: String, kind: String, path: String): Long = {
+  private[run] def checked(name: String, kind: String,
+      path: String): graft.store.AsOfPin = {
     val e = entry(name)
     require(e.kind == kind,
       s"run-pin member '$name' is a ${e.kind} pin, not a $kind pin")
@@ -61,9 +63,9 @@ final case class RunPin(entries: Map[String, RunPin.Entry]) {
 
 object RunPin {
 
-  /** One member: the store's kind ("tier" | "ivf" | "minhash"), the
-   *  path it was captured over, and its skew-proof pin. */
-  final case class Entry(kind: String, path: String, pin: Long)
+  /** One member: the store's kind ("tier" | "ivf" | "minhash" |
+   *  "bm25"), the path it was captured over, and its logical pin. */
+  final case class Entry(kind: String, path: String, pin: graft.store.AsOfPin)
 
   /** A store to pin. */
   sealed trait Target
@@ -99,15 +101,15 @@ object RunPin {
 
   /** The member pin for an IVF index at `path` (kind+path guarded) —
    *  feed it to any `asOf` arm of the Similarity index API. */
-  def ivfPin(pin: RunPin, name: String, path: String): Long =
+  def ivfPin(pin: RunPin, name: String, path: String): graft.store.AsOfPin =
     pin.checked(name, "ivf", path)
 
   /** The member pin for a MinHash index at `path` (kind+path guarded). */
-  def minhashPin(pin: RunPin, name: String, path: String): Long =
+  def minhashPin(pin: RunPin, name: String, path: String): graft.store.AsOfPin =
     pin.checked(name, "minhash", path)
 
   /** The member pin for a BM25 index at `path` (kind+path guarded). */
-  def bm25Pin(pin: RunPin, name: String, path: String): Long =
+  def bm25Pin(pin: RunPin, name: String, path: String): graft.store.AsOfPin =
     pin.checked(name, "bm25", path)
 
   // ---- persistence: a tiny atomic ok-terminated manifest ---- //
@@ -119,7 +121,7 @@ object RunPin {
   // the manifest lives next to the run's artifacts for as long as the
   // run's provenance matters.
 
-  private val Header = "graft-run-pin v1"
+  private val Header = "graft-run-pin v2" // v2: logical AsOfPin members
 
   private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
@@ -130,7 +132,7 @@ object RunPin {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val body = (Seq(Header) ++
       pin.entries.toSeq.sortBy(_._1).map { case (n, e) =>
-        s"${enc(n)}\t${enc(e.kind)}\t${enc(e.path)}\t${e.pin}"
+        s"${enc(n)}\t${enc(e.kind)}\t${enc(e.path)}\t${enc(e.pin.encoded)}"
       } ++ Seq("ok", "")).mkString("\n")
     val staged = new HPath(p.getParent, s"._staging_${p.getName}")
     val out = fs.create(staged, true)
@@ -151,7 +153,8 @@ object RunPin {
       s"run-pin manifest at $file is torn or not a run pin")
     RunPin(lines.drop(1).dropRight(1).map { l =>
       l.split("\t", 4) match {
-        case Array(n, k, pth, v) => dec(n) -> Entry(dec(k), dec(pth), v.toLong)
+        case Array(n, k, pth, v) =>
+          dec(n) -> Entry(dec(k), dec(pth), graft.store.AsOfPin.decode(dec(v)))
         case _ => throw new IllegalArgumentException(
           s"bad run-pin manifest line in $file: $l")
       }

@@ -37,37 +37,45 @@ object IndexGenerations {
   /** Is `name` a generation marker file name? (pin derivation) */
   def isMarkerName(name: String): Boolean = Marker.matches(name)
 
+  /** The committed generation number a root-listing entry attests:
+   *  a completely-visible (`ok`-terminated) generation marker. The
+   *  [[AsOfPin.capture]] hook for the generation sequence. */
+  def committedGeneration(fs: FileSystem, e: org.apache.hadoop.fs.FileStatus): Option[Long] =
+    e.getPath.getName match {
+      case Marker(g) if complete(fs, e.getPath) => Some(g.toLong)
+      case _ => None
+    }
+
   /**
-   * The root dir of the generation a reader (at `asOf`, or now) must
-   * serve: the largest committed generation admitted by the pin, or
+   * The root dir of the generation a reader (at `pin`, or now) must
+   * serve: the largest committed generation, capped at the pin's
+   * LOGICAL generation position ([[AsOfPin.genKey]]) when pinned, or
    * the legacy root. LOUD when the pinned generation's history is
-   * gone: pins below the vacuum `_floor`, or whose generation's
-   * `presenceDir` was reclaimed, throw instead of silently serving a
-   * stale or empty corpus.
+   * gone: pins at or below the vacuum `_floor` (the newest reclaimed
+   * generation), or whose generation's `presenceDir` was reclaimed,
+   * throw instead of silently serving a stale or empty corpus.
    */
   def currentRoot(fs: FileSystem, path: String, presenceDir: String,
-      asOf: Option[Long] = None): String = {
+      pin: Option[AsOfPin] = None): String = {
     val rootP = new HPath(path)
     if (!fs.exists(rootP)) return path
-    asOf.foreach { t =>
+    val pinG = pin.map(_.seqPos(AsOfPin.genKey(fs, path)))
+    pinG.foreach { g =>
       val fl = SnapshotFold.readFloor(fs, rootP)
-      if (t < fl) throw new IllegalStateException(
-        s"as-of pin $t predates the index's vacuumed-generation floor $fl " +
-          s"($path) — re-pin, or rebuild with retainOld and vacuum only " +
-          "after no live pin needs the old generation")
+      if (fl >= 1 && g <= fl) throw new IllegalStateException(
+        s"as-of pin (generation $g) predates the index's vacuumed-" +
+          s"generation floor $fl ($path) — re-pin, or rebuild with " +
+          "retainOld and vacuum only after no live pin needs the old " +
+          "generation")
     }
     val admitted = fs.listStatus(rootP).toSeq.flatMap { e =>
-      e.getPath.getName match {
-        case Marker(g) if asOf.forall(e.getModificationTime <= _) &&
-          complete(fs, e.getPath) => Some(g.toLong)
-        case _ => None
-      }
+      committedGeneration(fs, e).filter(g => pinG.forall(g <= _))
     }
     val root = admitted.maxOption match {
       case Some(g) => s"$path/_gen_$g"
       case None => path
     }
-    if (asOf.isDefined && !fs.exists(new HPath(s"$root/$presenceDir")))
+    if (pin.isDefined && !fs.exists(new HPath(s"$root/$presenceDir")))
       throw new IllegalStateException(
         s"as-of pin predates the vacuum of generation root $root — re-pin, " +
           "or rebuild with retainOld")
@@ -109,9 +117,11 @@ object IndexGenerations {
   /**
    * Drop every generation OLDER than `keepRoot` (plus the legacy
    * `legacyDirs` at the root), raising the root `_floor` to the newest
-   * reclaimed marker's mtime FIRST — a crash between the two leaves a
-   * loud floor and a harmless surviving marker, never a silent
-   * partial pin.
+   * reclaimed GENERATION NUMBER first — a crash between the two leaves
+   * a loud floor and a harmless surviving marker, never a silent
+   * partial pin. (Reclaiming only the legacy layout — generation 0,
+   * which has no marker — floors at `keepG - 1` so legacy pins, whose
+   * generation position is -1, fail loudly too.)
    */
   def vacuumOld(fs: FileSystem, path: String, keepRoot: String,
       legacyDirs: Seq[String]): Unit = {
@@ -126,26 +136,13 @@ object IndexGenerations {
     }
     val legacyPresent = legacyDirs.exists(d => fs.exists(new HPath(s"$path/$d")))
     if (olderMarkers.isEmpty && !legacyPresent) return
-    val newestReclaimed = olderMarkers.map(_._2.getModificationTime)
-      .maxOption.getOrElse(
-        fs.getFileStatus(markerPath(path, keepG)).getModificationTime)
+    val newestReclaimed =
+      olderMarkers.map(_._1).maxOption.getOrElse(keepG - 1)
     SnapshotFold.raiseFloor(fs, rootP, newestReclaimed)
     olderMarkers.foreach { case (g, e) =>
       fs.delete(new HPath(s"$path/_gen_$g"), true)
       fs.delete(e.getPath, false): Unit
     }
     legacyDirs.foreach(d => fs.delete(new HPath(s"$path/$d"), true): Unit)
-  }
-
-  /** Max generation-marker mtime at `path` (pin derivation: a pin
-   *  taken after a rebuild must admit it). */
-  def maxMarkerMtime(fs: FileSystem, path: String): Long = {
-    val rootP = new HPath(path)
-    if (!fs.exists(rootP)) return 0L
-    fs.listStatus(rootP).foldLeft(0L) { (m, e) =>
-      if (e.isFile && isMarkerName(e.getPath.getName))
-        math.max(m, e.getModificationTime)
-      else m
-    }
   }
 }

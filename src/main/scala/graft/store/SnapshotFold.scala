@@ -28,9 +28,11 @@ import org.apache.spark.sql.types.StructType
  *                                        fold N superseded (`folded:`
  *                                        lines + `ok` terminator —
  *                                        [[TierLayout.commit]])
- *   _floor                               earliest exactly-resolvable
- *                                        as-of instant (raised by
- *                                        marker vacuum)
+ *   _floor                               newest RETIRED version (or
+ *                                        generation, at an index root)
+ *                                        — pins at or below it fail
+ *                                        loudly (raised by marker
+ *                                        vacuum)
  *
  * Unlike the tier store's latest-snapshot-wins resolution (a tier
  * compaction rewrites a whole partition), folds here are SELECTIVE —
@@ -54,15 +56,17 @@ import org.apache.spark.sql.types.StructType
  *    some manifest folded, and never touches un-folded appends — so
  *    appends racing a fold survive untouched.
  *
- * AS-OF pins resolve through the same records: a commit marker is
- * admitted when its own mtime ≤ pin; raw ledgered appends resolve
- * through [[BatchLedger.read]]'s commit instants; plain raw files fall
- * back to their mtime. Pins are LOUD past reclaimed history: when a
- * commit NEWER than the pin folded files the pinned view needs and
- * vacuum already deleted them, resolution throws instead of silently
- * serving a partial corpus (and the `_floor` record makes pins that
- * predate even the surviving markers throw at entry) — the
- * [[TierFileIndex]]/[[BatchLedger]] contract, extended to the indexes.
+ * AS-OF pins ([[AsOfPin]]) resolve through the same records,
+ * LOGICALLY: a commit is admitted when its version ≤ the pin's
+ * recorded position for this directory; raw ledgered appends resolve
+ * through the pin's per-writer ledger positions; only a plain foreign
+ * file falls back to the pin's capture-time mtime. Pins are LOUD past
+ * reclaimed history: when a commit NEWER than the pin folded files the
+ * pinned view needs and vacuum already deleted them, resolution throws
+ * instead of silently serving a partial corpus (and the `_floor`
+ * record makes pins at or below the newest retired version throw at
+ * entry) — the [[TierFileIndex]]/[[BatchLedger]] contract, extended to
+ * the indexes.
  *
  * Concurrency contract: any number of READERS at any time; ledgered
  * appends ([[StagedBatchAppend]]) may land DURING a fold (their files
@@ -127,31 +131,37 @@ object SnapshotFold {
   /**
    * Resolve `dir` to the exact data files a reader must scan — the
    * committed versions' members plus admitted raw appends, minus
-   * everything any admitted manifest folded. With `asOf`, the set as it
-   * was at that instant, or IllegalStateException when vacuumed history
-   * makes that set unrecoverable.
+   * everything any admitted manifest folded. With `pin`, the set as it
+   * was at the pin's capture — committed versions admitted by the pin's
+   * LOGICAL position for this directory ([[AsOfPin.seqs]]), ledgered
+   * appends by the pin's ledger positions, plain foreign files by the
+   * pin's capture-time mtime — or IllegalStateException when vacuumed
+   * history makes that set unrecoverable.
    */
   def resolve(fs: FileSystem, dir: HPath,
       batchCommitted: (String, Long) => Boolean = (_, _) => true,
-      asOf: Option[Long] = None): Seq[FileStatus] = {
+      pin: Option[AsOfPin] = None): Seq[FileStatus] = {
     if (!fs.exists(dir)) return Nil
     val entries = fs.listStatus(dir).toSeq
-    asOf.foreach { t =>
+    val pinV = pin.map(_.seqPos(AsOfPin.dirKey(fs, dir)))
+    pinV.foreach { pv =>
       val fl = readFloor(fs, dir)
-      if (t < fl) throw new IllegalStateException(
-        s"as-of pin $t predates the vacuumed history floor $fl of $dir — " +
-          "re-pin, or fold with retainHistory and vacuum only after no " +
-          "live pin needs the old snapshots")
+      // the floor is the newest RETIRED version: everything that commit
+      // recorded is reclaimed, so any pin at or below it (including a
+      // raw-only pin, -1, whose files version 1 may have folded) cannot
+      // resolve exactly
+      if (fl >= 1 && pv <= fl) throw new IllegalStateException(
+        s"as-of pin (version $pv) predates the vacuumed history floor " +
+          s"$fl of $dir — re-pin, or fold with retainHistory and vacuum " +
+          "only after no live pin needs the old snapshots")
     }
     val all = commits(fs, dir, entries)
-    val admitted = all.filter { case (_, e, _) =>
-      asOf.forall(e.getModificationTime <= _)
-    }
+    val admitted = all.filter { case (v, _, _) => pinV.forall(v <= _) }
     val folded: Set[String] = admitted.flatMap(_._3).toSet
     // pin exactness: a commit NEWER than the pin superseded files the
     // pinned view still needs; if vacuum already deleted any of them the
     // pin cannot resolve — fail loudly, never partially
-    asOf.foreach { _ =>
+    pinV.foreach { _ =>
       all.filterNot { case (_, e, _) => admitted.exists(_._2 eq e) }
         .foreach { case (v, _, m) =>
           (m -- folded).foreach { rel =>
@@ -173,7 +183,7 @@ object SnapshotFold {
       TierLayout.isDataFile(f) && !folded(f.getPath.getName) &&
         (TierLayout.batchIdOf(f.getPath.getName) match {
           case Some((w, id)) => batchCommitted(w, id)
-          case None => asOf.forall(f.getModificationTime <= _)
+          case None => pin.forall(f.getModificationTime <= _.millis)
         })
     }
     snap ++ raw
@@ -303,20 +313,9 @@ object SnapshotFold {
       val vdGone = !fs.exists(TierLayout.versionDir(dir, v))
       val foldGone = m.forall(rel => !fs.exists(new HPath(dir, rel)))
       if (vdGone && foldGone) {
-        raiseFloor(fs, dir, e.getModificationTime)
+        raiseFloor(fs, dir, v) // floor is the newest RETIRED version
         fs.delete(e.getPath, false): Unit
       }
-    }
-  }
-
-  /** Max storage-reported record time of `dir` — the per-directory
-   *  contribution to a SKEW-PROOF index pin ([[TierStore.pinNow]]
-   *  contract: resolution admits snapshots by their marker's mtime and
-   *  raw files by their own, so only direct children are consulted). */
-  def pinDir(fs: FileSystem, dir: HPath): Long = {
-    if (!fs.exists(dir)) return 0L
-    fs.listStatus(dir).foldLeft(0L) { (m, e) =>
-      if (e.isFile) math.max(m, e.getModificationTime) else m
     }
   }
 

@@ -136,44 +136,70 @@ object TierLayout {
    * common unversioned case costs no extra RPC; a versioned partition
    * pays one snapshot-dir listing + one small manifest read).
    *
-   * `asOf` (epoch millis) resolves the partition AS IT WAS at that
-   * instant — the snapshot whose commit marker existed then, plus the
-   * raw files that had landed by then and that commit had not folded.
-   * History must still be on disk: maintenance run with
-   * `retainHistory = true` keeps superseded snapshots until an explicit
-   * [[TierStore.vacuumTier]], exactly the commit/vacuum separation
-   * snapshot stores use. Batch-ledger visibility stays at the CURRENT
-   * ledger (markers fold into watermarks, losing their timestamps); the
-   * as-of boundary is exact for maintenance rewrites — the
-   * reproducibility use case — and approximate only within the
-   * seconds-wide commit window of a streaming batch in flight at `asOf`.
+   * `pin` resolves the partition AS IT WAS at the pin's capture — the
+   * snapshot version the pin recorded for this directory
+   * ([[AsOfPin.seqs]]), plus the raw files whose ledger batch the pin
+   * covers and that version had not folded. History must still be on
+   * disk: maintenance run with `retainHistory = true` keeps superseded
+   * snapshots until an explicit [[TierStore.vacuumTier]], exactly the
+   * commit/vacuum separation snapshot stores use — and a pin that
+   * reaches past what survives FAILS LOUDLY (the pinned version's
+   * marker gone, or a newer commit's folded raw files vacuumed), never
+   * resolves partially.
    */
   def resolveFiles(fs: FileSystem, part: HPath, entries: Seq[FileStatus],
       batchCommitted: (String, Long) => Boolean = (_, _) => true,
-      asOf: Option[Long] = None): Seq[FileStatus] = {
+      pin: Option[AsOfPin] = None): Seq[FileStatus] = {
     // the exactly-once gate: a batch-tagged append is data only once its
     // ledger marker landed; an uncommitted batch's files are invisible
     // (and therefore never folded or vacuumed by maintenance either).
     // As-of admission is split by provenance: a LEDGERED file resolves
-    // through the ledger alone (the caller passes an as-of-aware
-    // `batchCommitted` — see BatchLedger.read), because its own mtime is
-    // refreshable by any rename-by-copy carry-forward/restage and the
-    // ledger marker is the commit record; only a PLAIN unledgered write,
-    // which has no other record of when it landed, falls back to mtime.
+    // through the ledger alone (the caller passes a pin-aware
+    // `batchCommitted` — see BatchLedger.read); only a PLAIN unledgered
+    // file — a foreign import, the one thing with no logical commit
+    // record — falls back to the pin's capture-time mtime.
     def admitted(f: FileStatus): Boolean = isDataFile(f) &&
       (batchIdOf(f.getPath.getName) match {
         case Some((w, id)) => batchCommitted(w, id)
-        case None => asOf.forall(f.getModificationTime <= _)
+        case None => pin.forall(f.getModificationTime <= _.millis)
       })
-    // candidate versions newest-first; the first with a COMPLETE
-    // manifest wins (an unterminated marker — mid-copy on a
-    // rename-by-copy store — is not a commit yet, fall back)
-    val candidates = entries.flatMap { e =>
-      parseCommit(e.getPath.getName)
-        .filter(_ => asOf.forall(e.getModificationTime <= _))
-    }.sorted.reverse
-    candidates.view.flatMap(v => readManifest(fs, part, v).map((v, _)))
-      .headOption match {
+    // snapshot admission: the pin's recorded version for THIS directory
+    // (logical — no marker mtime anywhere); unpinned reads take the
+    // newest complete manifest
+    val pinV = pin.map(_.seqPos(AsOfPin.dirKey(fs, part)))
+    val visible = entries.flatMap(e => parseCommit(e.getPath.getName)).sorted.reverse
+    val candidates = visible.filter(v => pinV.forall(v <= _))
+    // pin exactness guards (pinned reads only): the pinned version's own
+    // marker must still be visible, and every NEWER commit's folded raw
+    // files — data the pinned view still needs — must still exist
+    pinV.foreach { pv =>
+      if (pv >= 0 && !visible.contains(pv))
+        throw new IllegalStateException(
+          s"as-of pin (version $pv) predates the vacuum of $part — re-pin, " +
+            "or run maintenance with retainHistory and vacuum only after " +
+            "no live pin needs the history")
+    }
+    val resolvedHead =
+      candidates.view.flatMap(v => readManifest(fs, part, v).map((v, _))).headOption
+    pinV.foreach { pv =>
+      val pinnedFolded = resolvedHead.map(_._2).getOrElse(Set.empty[String])
+      visible.filter(_ > pv).foreach { v =>
+        (foldedFiles(fs, part, v) -- pinnedFolded).foreach { n =>
+          // a ledgered name the pin does not cover landed after capture —
+          // its absence is harmless; anything else the pinned view needs
+          val needed = batchIdOf(n) match {
+            case Some((w, id)) => batchCommitted(w, id)
+            case None => true // plain: cannot date it without the file
+          }
+          if (needed && !fs.exists(new HPath(part, n)))
+            throw new IllegalStateException(
+              s"as-of pin predates the vacuum of $part/$n (folded by " +
+                s"_commit_$v) — re-pin, or run maintenance with " +
+                "retainHistory and vacuum only after no live pin needs it")
+        }
+      }
+    }
+    resolvedHead match {
       case Some((v, folded)) =>
         val dir = versionDir(part, v)
         val snap = if (fs.exists(dir)) fs.listStatus(dir).toSeq.filter(isDataFile) else Nil
@@ -322,33 +348,31 @@ object BatchLedger {
     }
   }
 
+  /** (writer, id or watermark position) of a ledger file name. */
+  def entryPos(name: String): Option[(String, Long)] = name match {
+    case Low(w, n) => n.toLongOption.map((w, _))
+    case Marker(w, id) => id.toLongOption.map((w, _))
+    case _ => None
+  }
+
   /** Load the ledger: (writer → explicit committed ids, writer → low
    *  watermark). Missing dir = empty ledger (everything plain).
    *
-   *  With `asOfMillis` set, the predicate answers "was this batch
-   *  committed BY that instant" — from the ledger's own file times, so
-   *  the answer is immune to data-file mtime refreshes (a rename-by-copy
-   *  carry-forward/restage re-dates data files; it never touches the
-   *  ledger). Soundness rests on per-writer COMMIT-ORDER MONOTONICITY:
-   *  batch ids of one writer commit in increasing order (the streaming
-   *  path — the only producer of batch-tagged files — runs foreachBatch
-   *  sequentially), so the ids committed by time T form a prefix of the
-   *  committed-id sequence, and "currently committed AND id ≤ the
-   *  largest ledger entry (marker or watermark) dated ≤ T" is exact.
-   *  [[TierStore.vacuumBatchMarkers]] is the ledger's VACUUM: a fold
-   *  deletes the markers (and prior watermark) that attested commit
-   *  times, so a pin OLDER than a fold can afterwards attest only what
-   *  some surviving ledger file dated ≤ pin covers. Exactly
-   *  vacuumTier's contract: reclaiming history bounds how far back pins
-   *  reach — but unlike a vacuumed snapshot (whose absence the reader
-   *  can see), a folded marker would make the pin silently resolve
-   *  PARTIAL data, so the predicate FAILS LOUDLY instead: a batch whose
-   *  only commit record is a watermark the pin cannot attest (the
-   *  watermark file's own mtime — written at fold time, never renamed —
-   *  is newer than the pin) throws IllegalStateException rather than
-   *  answering. Fold only when no live pin predates it. */
+   *  With `pin` set, the predicate answers "was this batch committed at
+   *  the pin's capture" — LOGICALLY, from the pin's per-writer position
+   *  ([[AsOfPin.ledger]]): per-writer commit order is monotonic (the
+   *  streaming path — the only producer of batch-tagged files — runs
+   *  foreachBatch sequentially), so the committed set at any instant is
+   *  exactly `id ≤ the position captured then`. No file time is
+   *  consulted, so the answer is immune to server-assigned mtime
+   *  granularity, rename-by-copy refreshes, AND to marker folds:
+   *  [[foldMarkers]] replaces markers with a watermark, but a watermark
+   *  at n still attests every `id ≤ n`, so `committedNow(id) ∧
+   *  id ≤ pin` stays exact over any fold history. (The previous
+   *  mtime-attested scheme had to FAIL LOUDLY when a fold postdated the
+   *  pin; the logical position needs no such escape hatch.) */
   def read(fs: FileSystem, storeRoot: HPath,
-      asOfMillis: Option[Long] = None): (String, Long) => Boolean = {
+      pin: Option[AsOfPin] = None): (String, Long) => Boolean = {
     val d = dir(storeRoot)
     if (!fs.exists(d)) return (_, _) => false
     val entries = fs.listStatus(d).toSeq
@@ -362,38 +386,9 @@ object BatchLedger {
     }
     val committedNow: (String, Long) => Boolean =
       (w, id) => id <= low.getOrElse(w, -1L) || ids.get(w).exists(_.contains(id))
-    asOfMillis match {
+    pin match {
       case None => committedNow
-      case Some(t) =>
-        // largest ledger entry (marker or watermark id) per writer whose
-        // ledger FILE was last modified by the pin
-        val attested = scala.collection.mutable.Map.empty[String, Long]
-        entries.filter(_.getModificationTime <= t).foreach { e =>
-          val upTo = e.getPath.getName match {
-            case Low(w, n) => n.toLongOption.map((w, _))
-            case Marker(w, id) => id.toLongOption.map((w, _))
-            case _ => None
-          }
-          upTo.foreach { case (w, id) =>
-            attested(w) = math.max(attested.getOrElse(w, -1L), id)
-          }
-        }
-        (w, id) => {
-          val att = attested.getOrElse(w, -1L)
-          // id committed ONLY via a watermark the pin cannot attest: the
-          // fold that wrote it postdates the pin (else the watermark
-          // entry itself would be in `attested`), so whether this batch
-          // committed before or after the pin is no longer recorded —
-          // answering either way risks a silent wrong read
-          if (id > att && id <= low.getOrElse(w, -1L))
-            throw new IllegalStateException(
-              s"as-of pin $t predates the ledger fold for writer '$w': " +
-                s"batch $id's commit instant was folded into a watermark " +
-                "newer than the pin (vacuumBatchMarkers), so the pin can " +
-                "no longer resolve exactly — re-pin, or fold markers only " +
-                "after no live pin predates them")
-          committedNow(w, id) && id <= att
-        }
+      case Some(p) => (w, id) => committedNow(w, id) && id <= p.ledgerPos(w)
     }
   }
 }
@@ -413,7 +408,7 @@ object BatchLedger {
  * driver. Pruned partitions cost their parent listing only.
  */
 final class TierFileIndex(spark: SparkSession, tierRoot: HPath,
-    asOfMillis: Option[Long] = None) extends FileIndex {
+    asOf: Option[AsOfPin] = None) extends FileIndex {
 
   private val fs: FileSystem =
     tierRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -431,9 +426,9 @@ final class TierFileIndex(spark: SparkSession, tierRoot: HPath,
   private def list(): Seq[(String, Int, HPath, Seq[FileStatus])] = {
     if (!fs.exists(tierRoot)) return Nil
     // one ledger listing pins this index's batch visibility at plan time
-    // (as-of pins resolve ledgered files by ledger commit time, not by
-    // refreshable data-file mtime — see BatchLedger.read)
-    val committed = BatchLedger.read(fs, tierRoot.getParent, asOfMillis)
+    // (as-of pins resolve ledgered files by LOGICAL ledger position, not
+    // by any refreshable mtime — see BatchLedger.read)
+    val committed = BatchLedger.read(fs, tierRoot.getParent, asOf)
     for {
       mDir <- fs.listStatus(tierRoot).toSeq
       if mDir.isDirectory && mDir.getPath.getName.startsWith("measurement=")
@@ -446,7 +441,7 @@ final class TierFileIndex(spark: SparkSession, tierRoot: HPath,
       days <- scala.util.Try(java.time.LocalDate.parse(d).toEpochDay.toInt).toOption
       entries = fs.listStatus(dDir.getPath).toSeq
     } yield (m, days, dDir.getPath,
-      TierLayout.resolveFiles(fs, dDir.getPath, entries, committed, asOfMillis))
+      TierLayout.resolveFiles(fs, dDir.getPath, entries, committed, asOf))
   }
 
   /** First resolved data file (schema inference anchor). */

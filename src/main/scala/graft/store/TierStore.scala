@@ -437,61 +437,51 @@ final class TierStore(spark: SparkSession, val root: String) {
    * files have no commit record, keep the documented mtime caveats,
    * and never originate from this store.
    *
-   * Clock assumption: the pin is compared against STORAGE-reported
-   * times (ledger-file mtimes), so take the pin from the store itself
-   * — [[pinNow]] returns "max record time currently observed", making
-   * the comparison storage-clock vs storage-clock and therefore
-   * SKEW-PROOF. A pin from the driver's `System.currentTimeMillis` is
-   * exact only with driver ↔ storage clock sync (NTP-level skew is
-   * well inside the seconds-wide batch-commit window).
+   * Pin contract: the pin is a LOGICAL position in the store's own
+   * commit sequences ([[AsOfPin]] — per-writer ledger batch ids,
+   * per-partition snapshot versions), captured by [[pinNow]] from the
+   * store's own records. No wall clock appears in any comparison, so
+   * the read is exact on second-granularity, server-assigned,
+   * rename-refreshed object-store mtimes — two commits inside one
+   * clock tick still pin distinctly, because they occupy distinct
+   * sequence positions.
    */
-  def readAsOf(tier: Tier, asOfMillis: Long): DataFrame =
+  def readAsOf(tier: Tier, pin: AsOfPin): DataFrame =
     indexedRead(new TierFileIndex(spark, new HPath(path(tier.name)),
-      Some(asOfMillis))).getOrElse(emptyPoints)
+      Some(pin))).getOrElse(emptyPoints)
 
   /**
-   * A SKEW-PROOF as-of pin: the maximum modification time the STORE's
-   * own records currently report — exactly the set [[readAsOf]]
-   * resolution ever compares a pin against: batch-ledger files,
-   * per-partition commit markers, and the partition-level data files
-   * themselves. Snapshot CONTENTS (`_v=N/` dirs, where the bulk of a
-   * compacted store's files live) are deliberately NOT walked:
-   * resolution admits a whole snapshot by its marker's mtime, never by
-   * its members', so the walk is one listing per partition — the same
-   * metadata cost a read's planning pays, independent of how many
-   * files compaction has accumulated inside snapshots. With the pin
-   * taken from storage-reported times, `readAsOf(pinNow())` always
-   * equals the current read and later commits stay invisible
-   * regardless of any driver ↔ storage clock drift. Take it between
+   * A LOGICAL as-of pin: the store's current position in each of its
+   * monotonic commit sequences — per-writer committed batch ids (the
+   * [[BatchLedger]]) and per-partition committed snapshot versions
+   * (the `_commit_N` markers) — exactly the records [[readAsOf]]
+   * resolution consults. Snapshot CONTENTS (`_v=N/` dirs, where the
+   * bulk of a compacted store's files live) are deliberately NOT
+   * walked: resolution admits a whole snapshot by its committed
+   * version, never by its members, so the walk is one listing per
+   * partition — the same metadata cost a read's planning pays,
+   * independent of how many files compaction has accumulated inside
+   * snapshots. `readAsOf(pinNow())` always equals the current read and
+   * later commits stay invisible regardless of clock granularity or
+   * drift — mtimes ride along only as the pin's display instant and
+   * the admission fallback for FOREIGN plain files (everything this
+   * store writes itself is ledgered or versioned). Take it between
    * ingest jobs for an exact boundary (a commit in flight lands on
-   * whichever side its marker does, the standard snapshot-pin
+   * whichever side its ledger marker does, the standard snapshot-pin
    * contract).
    */
-  def pinNow(): Long = {
-    var m = 0L
-    def bump(t: Long): Unit = if (t > m) m = t
+  def pinNow(): AsOfPin = {
     val rootP = new HPath(root)
-    if (!exists(root)) return 0L
-    val ledger = BatchLedger.dir(rootP)
-    if (fs.exists(ledger))
-      fs.listStatus(ledger).foreach(e => bump(e.getModificationTime))
-    fs.listStatus(rootP).foreach { tierDir =>
-      if (tierDir.isDirectory && tierDir.getPath.getName.startsWith("tier=")) {
-        fs.listStatus(tierDir.getPath).foreach { mDir =>
-          if (mDir.isDirectory && mDir.getPath.getName.startsWith("measurement="))
-            fs.listStatus(mDir.getPath).foreach { dDir =>
-              if (dDir.isDirectory && dDir.getPath.getName.startsWith("date="))
-                fs.listStatus(dDir.getPath).foreach { e =>
-                  // direct children only: data files (plain + batch-
-                  // tagged) and _commit_* markers carry every timestamp
-                  // resolution consults; _v=/_staging subtrees do not
-                  if (e.isFile) bump(e.getModificationTime)
-                }
-            }
-        }
-      }
-    }
-    m
+    if (!exists(root)) return AsOfPin(Map.empty, Map.empty, 0L)
+    val partDirs = for {
+      tierDir <- fs.listStatus(rootP).toSeq
+      if tierDir.isDirectory && tierDir.getPath.getName.startsWith("tier=")
+      mDir <- fs.listStatus(tierDir.getPath).toSeq
+      if mDir.isDirectory && mDir.getPath.getName.startsWith("measurement=")
+      dDir <- fs.listStatus(mDir.getPath).toSeq
+      if dDir.isDirectory && dDir.getPath.getName.startsWith("date=")
+    } yield dDir.getPath
+    AsOfPin.capture(fs, rootP, partDirs)
   }
 
   /**
@@ -511,9 +501,9 @@ final class TierStore(spark: SparkSession, val root: String) {
    * read; diffing two pins of a 100 TB tier without a predicate is a
    * full-tier comparison and costs one, deliberately.
    */
-  def diffAsOf(tier: Tier, fromMillis: Long, toMillis: Long): DataFrame = {
-    val before = readAsOf(tier, fromMillis)
-    val after = readAsOf(tier, toMillis)
+  def diffAsOf(tier: Tier, fromPin: AsOfPin, toPin: AsOfPin): DataFrame = {
+    val before = readAsOf(tier, fromPin)
+    val after = readAsOf(tier, toPin)
     // align on the SHARED columns in a stable order: a pin that predates
     // the tier resolves to the canonical empty points frame, whose
     // column set can differ from the live store's footer schema

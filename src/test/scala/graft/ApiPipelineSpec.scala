@@ -101,7 +101,7 @@ class ApiPipelineSpec extends SparkSpec {
       """"columns":["time","value"],"values":[[1704103200,1250.0],[1704106800,900.0]]}]}]}""")
   }
 
-  test("get_data_points asOfMs pins the query to the store snapshot a " +
+  test("get_data_points asOfPin pins the query to the store snapshot a " +
     "run recorded, across a retained-history compaction and later ingest") {
     val store = new TierStore(spark, tmpDir())
     def fimp(t: String, v: String) =
@@ -116,18 +116,18 @@ class ApiPipelineSpec extends SparkSpec {
 
     ingest(Seq(fimp("2024-01-01 10:05:00", "1200"),
       fimp("2024-01-01 10:20:00", "1300")))
-    Thread.sleep(50); val pinned = System.currentTimeMillis(); Thread.sleep(50)
+    val pinned = store.pinNow() // logical: no clock, no sleep
     assert(store.compact(Tier.GenRaw, minFiles = 1, retainHistory = true) >= 1)
     ingest(Seq(fimp("2024-01-01 10:40:00", "5000"))) // lands after the pin
 
     val ctx = Api.Context(spark, store,
       now = () => Instant.parse("2024-01-01T12:00:00Z"))
-    def q(asOf: Long) = Api.dispatch(ctx, "cmd.tsdb.get_data_points",
+    def q(asOf: String) = Api.dispatch(ctx, "cmd.tsdb.get_data_points",
       Api.GetDataPointsRequest(measurementName = "electricity_meter_power",
-        relativeTime = "3h", asOfMs = asOf))
+        relativeTime = "3h", asOfPin = asOf))
       .select("value").collect().map(_.getDouble(0)).toSet
-    assert(q(0L) == Set(1200.0, 1300.0, 5000.0)) // current read
-    assert(q(pinned) == Set(1200.0, 1300.0)) // the pinned corpus
+    assert(q("") == Set(1200.0, 1300.0, 5000.0)) // current read
+    assert(q(pinned.encoded) == Set(1200.0, 1300.0)) // the pinned corpus
   }
 
   test("delete_data_points erases one device across tiers through the " +
@@ -198,7 +198,7 @@ class ApiPipelineSpec extends SparkSpec {
 
     // pin the pre-compaction corpus, then drive a device-clustered
     // retained-history compaction through the command
-    Thread.sleep(50); val pinned = System.currentTimeMillis(); Thread.sleep(50)
+    val pinned = store.pinNow()
     val res = Api.dispatch(ctx, "cmd.tsdb.compact",
       Api.CompactRequest(tier = "gen_default", minFiles = 2,
         clusterBy = Seq("dev_id"), retainHistory = true))
@@ -216,8 +216,12 @@ class ApiPipelineSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(vac("gen_default") >= 1L)
     assert(vals(store.read(Tier.GenDefault)) == Set(100.0, 200.0, 300.0, 400.0))
-    assert(store.readAsOf(Tier.GenDefault, pinned).count() == 0L,
-      "vacuum must bound how far back as-of reads travel")
+    // vacuum bounds how far back as-of reads travel — and the bound is
+    // LOUD: the pinned raw files were folded and reclaimed, so the pin
+    // throws instead of silently resolving empty/partial
+    intercept[IllegalStateException] {
+      store.readAsOf(Tier.GenDefault, pinned).count()
+    }
     intercept[IllegalArgumentException] {
       Api.dispatch(ctx, "cmd.tsdb.vacuum", Api.VacuumRequest(tier = "nope"))
     }
@@ -243,7 +247,7 @@ class ApiPipelineSpec extends SparkSpec {
     // pin the corpus WITH device 7, then erase the device: the erasure
     // command must reclaim the retained history in the same call — the
     // pinned read cannot resurrect the erased rows
-    Thread.sleep(50); val pinned = System.currentTimeMillis(); Thread.sleep(50)
+    val pinned = store.pinNow()
     val res = Api.dispatch(ctx, "cmd.tsdb.delete_data_points",
       Api.GetDataPointsRequest(measurementName = "sensor_click",
         filters = graft.model.DataPointsFilter(devices = Seq("7"))))
@@ -255,11 +259,14 @@ class ApiPipelineSpec extends SparkSpec {
     assert(devs(store.read(Tier.GenDay)) == Set("8"))
     // the compliance property: the erased device is unreadable at ANY
     // as-of — the command's vacuum dropped the retained snapshots, so a
-    // pre-erasure pin now resolves to nothing (the documented travel
-    // bound) rather than to history still carrying the device
-    assert(!devs(store.readAsOf(Tier.GenRaw, pinned)).contains("7"),
-      "erased rows still readable through a retained-history pin")
-    assert(!devs(store.readAsOf(Tier.GenDay, pinned)).contains("7"))
+    // pre-erasure pin fails LOUDLY (the documented travel bound) rather
+    // than resolving history still carrying the device
+    intercept[IllegalStateException] {
+      devs(store.readAsOf(Tier.GenRaw, pinned))
+    }
+    intercept[IllegalStateException] {
+      devs(store.readAsOf(Tier.GenDay, pinned))
+    }
   }
 
   test("write_data_points bucket pins the target retention policy " +

@@ -16,13 +16,13 @@ class CommandCodecSpec extends SparkSpec {
     val got = decode("cmd.tsdb.get_data_points",
       """{"measurementName":"m1","dataFunction":"mean","groupByTime":"1h",
         |"fromTime":"2024-01-01T00:00:00Z","toTime":"2024-01-02T00:00:00Z",
-        |"fillType":"previous","asOfMs":1234,
+        |"fillType":"previous","asOfPin":"m=1234;l=;s=",
         |"filters":{"tags":{"dev_id":"7"},"devices":["7","8"],
         |"locations":["1"],"devTypes":["sensor"]}}""".stripMargin)
       .asInstanceOf[Api.GetDataPointsRequest]
     assert(got.measurementName == "m1" && got.dataFunction == "mean" &&
       got.groupByTime == "1h" && got.fillType == "previous" &&
-      got.asOfMs == 1234L && got.procId == 1)
+      got.asOfPin == "m=1234;l=;s=" && got.procId == 1)
     assert(got.filters.tags == Map("dev_id" -> "7") &&
       got.filters.devices == Seq("7", "8") &&
       got.filters.locations == Seq("1") && got.filters.devTypes == Seq("sensor"))
@@ -73,8 +73,8 @@ class CommandCodecSpec extends SparkSpec {
       """{"fromDate":"2024-01-01","toDate":"2024-01-02","tolerance":0.5}""") ==
       Api.VerifyRollupRequest(1, "2024-01-01", "2024-01-02", 0.5))
     assert(decode("cmd.tsdb.diff_data_points",
-      """{"tier":"gen_raw","fromAsOfMs":10,"toAsOfMs":20}""") ==
-      Api.DiffRequest(1, "gen_raw", 10L, 20L))
+      """{"tier":"gen_raw","fromPin":"m=10;l=;s=","toPin":"m=20;l=;s="}""") ==
+      Api.DiffRequest(1, "gen_raw", "m=10;l=;s=", "m=20;l=;s="))
   }
 
   test("raw query: string form and (procId, sql) object form") {

@@ -178,26 +178,20 @@ class ExactlyOnceAppendSpec extends SparkSpec {
     assert(store.readAsOf(Tier.GenRaw, store.pinNow()).count() == n.toLong)
   }
 
-  test("as-of pin older than a ledger fold fails loudly instead of " +
-    "silently attesting nothing") {
+  test("as-of pins survive a ledger fold: logical positions stay exact " +
+    "where the old mtime attestation had to fail loudly") {
     val root = tmpDir()
     val store = new TierStore(spark, root)
-    Seq(0L, 1L).foreach(id =>
-      store.writeRoutedBatch(pts(("sensor_temp", id.toDouble)), id))
-    val pin = System.currentTimeMillis()
-    store.vacuumBatchMarkers() // folds 0,1 into the watermark
-    val fs = new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val wm = BatchLedger.watermarkFile(new HPath(root), "ingest", 1L)
-    // make the fold instant unambiguously AFTER the pin (mtime
-    // granularity would otherwise race a same-millisecond fold)
-    fs.setTimes(wm, pin + 5000L, -1L)
-    val ex = intercept[IllegalStateException] {
-      store.readAsOf(Tier.GenRaw, pin).collect()
-    }
-    assert(ex.getMessage.contains("predates the ledger fold"), ex.getMessage)
-    // a pin taken AFTER the fold resolves exactly: the watermark itself
-    // attests everything it covers
-    assert(store.readAsOf(Tier.GenRaw, pin + 10000L).collect()
+    store.writeRoutedBatch(pts(("sensor_temp", 0.0)), 0L)
+    val pin = store.pinNow() // attests exactly {batch 0}
+    store.writeRoutedBatch(pts(("sensor_temp", 1.0)), 1L)
+    store.vacuumBatchMarkers() // folds 0,1 into one watermark
+    // the fold deleted the marker that DATED batch 0's commit, but the
+    // watermark still attests every id ≤ 1 and the pin's logical
+    // position is 0 — the pinned read stays exact over any fold history
+    assert(store.readAsOf(Tier.GenRaw, pin).collect()
+      .map(_.getAs[Double]("value")).toSeq == Seq(0.0))
+    assert(store.readAsOf(Tier.GenRaw, store.pinNow()).collect()
       .map(_.getAs[Double]("value")).sorted.toSeq == Seq(0.0, 1.0))
   }
 }

@@ -67,7 +67,6 @@ class IndexEraseSpec extends SparkSpec {
     // history to destroy: a retaining fold keeps superseded snapshots
     Similarity.compactIvfLists(spark, idx, minFiles = 2, retainHistory = true): Unit
     val pin = Similarity.pinIvfIndex(spark, idx)
-    Thread.sleep(20)
     val fs = fsOf(idx)
     // the erase set is all-EVEN (plus a never-indexed id — erasing the
     // absent must be a harmless no-op): the odd cluster's lists are
@@ -221,7 +220,6 @@ class IndexEraseSpec extends SparkSpec {
         3, 16, "doc_id", "text"), root, 3, 16, 4, 0L))
     Dedup.compactMinhashIndex(spark, root, minFiles = 2, retainHistory = true): Unit
     val pin = Dedup.pinMinhashIndex(spark, root)
-    Thread.sleep(20)
     // probes near-dup both halves; erase one member of each half
     val probes = Seq((9000L, doc(3)._2), (9001L, doc(103)._2)).toDF("doc_id", "text")
     def hits() = Dedup.queryMinhashIndex(spark, probes, root, n = 3, k = 16,
@@ -288,7 +286,6 @@ class IndexEraseSpec extends SparkSpec {
     val docs = (0 until 40).map(doc).toDF("doc_id", "text")
     Retrieval.buildBm25Index(docs, root)
     val pin = Retrieval.pinBm25Index(spark, root)
-    Thread.sleep(20)
     val ids = Seq(3L, 17L, 999999L)
     val fs = fsOf(root)
     val cleanBefore = rawParquetUnder(s"$root/postings").flatMap { f =>

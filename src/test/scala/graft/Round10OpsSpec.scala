@@ -65,7 +65,7 @@ class Round10OpsSpec extends SparkSpec {
       now = () => java.time.Instant.parse("2024-01-02T00:00:00Z"))
     Downsampler.maintain(store, java.time.Instant.parse("2024-01-02T00:00:00Z"),
       retainHistory = true)
-    Thread.sleep(60); val pinned = System.currentTimeMillis(); Thread.sleep(60)
+    val pinned = store.pinNow() // logical: no clock, no sleep
     // second maintain creates superseded snapshots the pin resolves to
     Downsampler.maintain(store, java.time.Instant.parse("2024-01-02T00:00:00Z"),
       retainHistory = true)

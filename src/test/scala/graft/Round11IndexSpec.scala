@@ -160,7 +160,6 @@ class Round11IndexSpec extends SparkSpec {
     val pinnedView = Similarity.queryIvfIndex(spark, idx, probe, k = 5,
       nProbes = 4).select("query_id", "vec_id", "score")
       .as[(Long, Long, Double)].collect().toSet
-    Thread.sleep(20) // strictly later storage mtimes for the next batch
     assert(Similarity.appendIvfBatch(clustered(200, 210), idx, 1L))
     // history-retaining fold: ledger markers + superseded files survive
     val (b, a) = Similarity.compactIvfLists(spark, idx, minFiles = 2,
@@ -194,7 +193,6 @@ class Round11IndexSpec extends SparkSpec {
     Dedup.buildMinhashIndex((0 until 8).map(doc).toDF("doc_id", "text"),
       root, n = 3, k = 16, bands = 4)
     val pin = Dedup.pinMinhashIndex(spark, root)
-    Thread.sleep(20)
     assert(Dedup.appendShingledToIndexBatch(
       Dedup.shingledDocs((100 until 108).map(doc).toDF("doc_id", "text"),
         3, 16, "doc_id", "text"), root, 3, 16, 4, 0L))
@@ -301,7 +299,6 @@ class Round11IndexSpec extends SparkSpec {
     val oldView = Similarity.queryIvfIndex(spark, idx, probe, k = 5,
       nProbes = 4).select("query_id", "vec_id", "score")
       .as[(Long, Long, Double)].collect().toSet
-    Thread.sleep(20)
     Similarity.rebuildIvfIndex(spark, idx, nLists = 8, trainIters = 1,
       retainOld = true)
     // current read serves generation 1; the pin still serves gen 0 and
@@ -335,14 +332,13 @@ class Round11IndexSpec extends SparkSpec {
       Dedup.shingledDocs((100 until 104).map(doc).toDF("doc_id", "text"),
         3, 64, "doc_id", "text"), root, 3, 64, 16, 0L))
     val probes = Seq((9000L, doc(3)._2)).toDF("doc_id", "text")
-    def hits(k: Int, bands: Int, asOf: Option[Long] = None) =
+    def hits(k: Int, bands: Int, asOf: Option[graft.store.AsOfPin] = None) =
       Dedup.queryMinhashIndex(spark, probes, root, n = 3, k = k,
         bands = bands, threshold = 0.5, asOf = asOf)
         .select("id_idx").as[Long].collect().toSet
     val before = hits(64, 16)
     assert(before.nonEmpty, "fixture: the probe must hit the index")
     val pin = Dedup.pinMinhashIndex(spark, root)
-    Thread.sleep(20)
     // migrate banding to (k=32, bands=16): narrower signatures, r=2
     // rows per band — HIGHER banding recall, so exact-verified hits
     // are identical on this fixture

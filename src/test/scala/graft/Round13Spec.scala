@@ -138,4 +138,46 @@ class Round13Spec extends SparkSpec {
       .map(_.getString(0)).contains("value"))
     assert(store.fieldKeys(Some("nope")).count() == 0)
   }
+
+  test("two commits inside one forced-identical mtime tick still pin " +
+    "distinctly: as-of pins are logical positions, not timestamps") {
+    val root =
+      java.nio.file.Files.createTempDirectory("graft_r13tick").toFile.getAbsolutePath
+    val store = new TierStore(spark, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def vals(df: org.apache.spark.sql.DataFrame): Set[Double] =
+      df.select("value").collect().map(_.getDouble(0)).toSet
+    store.write(Tier.GenRaw, pts((base, 1.0)))
+    val pin = store.pinNow()
+    store.write(Tier.GenRaw, pts((base + 60, 2.0)))
+    // force EVERY record — ledger markers, data files — onto ONE mtime
+    // tick, the worst case of a second-granularity object store where
+    // both commits land inside the same reported instant
+    val tick = 1704067200000L
+    def flatten(p: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(p).foreach { e =>
+        if (e.isDirectory) flatten(e.getPath)
+        else fs.setTimes(e.getPath, tick, -1)
+      }
+    flatten(new org.apache.hadoop.fs.Path(root))
+    // the pin still resolves exactly {batch 0}: admission is by ledger
+    // POSITION (batch id ≤ 0), which no clock coarsening can merge
+    assert(vals(store.readAsOf(Tier.GenRaw, pin)) == Set(1.0))
+    assert(vals(store.readAsOf(Tier.GenRaw, store.pinNow())) == Set(1.0, 2.0))
+
+    // same property for SNAPSHOT versions: two retained-history
+    // compactions in one tick keep distinct pinned views
+    val store2 = new TierStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_r13tick2").toFile.getAbsolutePath)
+    store2.write(Tier.GenDay, pts((base, 1.0)))
+    store2.write(Tier.GenDay, pts((base + 60, 2.0)))
+    store2.compact(Tier.GenDay, minFiles = 2, retainHistory = true): Unit
+    val pinV1 = store2.pinNow()
+    store2.write(Tier.GenDay, pts((base + 120, 3.0)))
+    store2.compact(Tier.GenDay, minFiles = 2, retainHistory = true): Unit
+    flatten(new org.apache.hadoop.fs.Path(store2.root))
+    assert(vals(store2.readAsOf(Tier.GenDay, pinV1)) == Set(1.0, 2.0))
+    assert(vals(store2.readAsOf(Tier.GenDay, store2.pinNow())) == Set(1.0, 2.0, 3.0))
+  }
 }

@@ -91,11 +91,11 @@ class Round9OpsSpec extends SparkSpec {
     // duplicate row: the SAME point twice — multiset semantics must
     // report the second copy's arrival as one added row
     store.writeRouted(pts(("2024-01-01", "1", 10.0)))
-    Thread.sleep(60); val t1 = System.currentTimeMillis(); Thread.sleep(60)
+    val t1 = store.pinNow() // logical: no clock, no sleep
     store.writeRouted(pts(("2024-01-01", "1", 10.0), ("2024-01-02", "2", 20.0)))
-    Thread.sleep(60); val t2 = System.currentTimeMillis()
+    val t2 = store.pinNow()
 
-    def diff(a: Long, b: Long): Seq[(String, String, Double)] =
+    def diff(a: graft.store.AsOfPin, b: graft.store.AsOfPin): Seq[(String, String, Double)] =
       store.diffAsOf(Tier.GenRaw, a, b)
         .select(col("change"), col("dev_id"), col("value"))
         .as[(String, String, Double)].collect().toSeq.sorted
@@ -105,7 +105,8 @@ class Round9OpsSpec extends SparkSpec {
     // reversed pins: the same delta, labeled from the other side
     assert(diff(t2, t1) == Seq(("removed", "1", 10.0), ("removed", "2", 20.0)))
     // a pin before any data: everything at t2 is "added"
-    assert(diff(1000L, t2).count(_._1 == "added") == 3)
+    val preHistory = graft.store.AsOfPin(Map.empty, Map.empty, 0L)
+    assert(diff(preHistory, t2).count(_._1 == "added") == 3)
   }
 
   test("streamingIvfAppend: a full replay duplicates every streamed " +
@@ -230,9 +231,9 @@ class Round9OpsSpec extends SparkSpec {
     "the scaladoc scale claims, checked against the physical plan") {
     val store = new TierStore(spark, tmpDir())
     store.writeRouted(pts(("2024-01-01", "1", 10.0)))
-    Thread.sleep(60); val t1 = System.currentTimeMillis(); Thread.sleep(60)
+    val t1 = store.pinNow()
     store.writeRouted(pts(("2024-01-02", "1", 20.0)))
-    Thread.sleep(60); val t2 = System.currentTimeMillis()
+    val t2 = store.pinNow()
     // a scoped diff must prune like a scoped read: the measurement
     // equality reaches BOTH pins' scans as a partition filter (distinct
     // pins → distinct file sets, so plan reuse cannot merge the legs)
@@ -289,7 +290,7 @@ class Round9OpsSpec extends SparkSpec {
     val store = new TierStore(spark, tmpDir())
     store.writeRouted(pts(("2024-01-01", "1", 10.0), ("2024-01-02", "1", 20.0)))
     val ctx = Api.Context(spark, store)
-    Thread.sleep(60); val t1 = System.currentTimeMillis(); Thread.sleep(60)
+    val t1 = store.pinNow()
 
     val rep = Api.dispatch(ctx, "cmd.tsdb.backfill",
       Api.BackfillRequest(fromDate = "2024-01-01", toDate = "2024-01-02"))
@@ -305,14 +306,14 @@ class Round9OpsSpec extends SparkSpec {
         r.getAs[Long]("n_extra") == 0L &&
         r.getAs[Long]("n_value_mismatch") == 0L))
 
-    Thread.sleep(60); val t2 = System.currentTimeMillis()
+    val t2 = store.pinNow()
     val d = Api.dispatch(ctx, "cmd.tsdb.diff_data_points",
-      Api.DiffRequest(tier = "gen_day", fromAsOfMs = t1, toAsOfMs = t2))
+      Api.DiffRequest(tier = "gen_day", fromPin = t1.encoded, toPin = t2.encoded))
       .select("change").as[String].collect()
     assert(d.length == 2 && d.forall(_ == "added")) // rollups born after t1
     intercept[IllegalArgumentException] {
       Api.dispatch(ctx, "cmd.tsdb.diff_data_points",
-        Api.DiffRequest(tier = "nope", fromAsOfMs = t1, toAsOfMs = t2))
+        Api.DiffRequest(tier = "nope", fromPin = t1.encoded, toPin = t2.encoded))
     }
   }
 }

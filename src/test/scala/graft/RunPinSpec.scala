@@ -57,7 +57,6 @@ class RunPinSpec extends SparkSpec {
     val annBefore = Similarity.queryIvfIndex(spark, s"$work/idx", probe,
       k = 5, nProbes = 4).select("query_id", "vec_id", "score")
       .as[(Long, Long, Double)].collect().toSet
-    Thread.sleep(20)
     // phase B lands everywhere, then history-retaining folds
     store.write(tier, pts(100 until 120))
     assert(Similarity.appendIvfBatch(clustered(100, 110), s"$work/idx", 0L))
@@ -110,7 +109,6 @@ class RunPinSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(pinned == before && before.length == 19)
     // ...and that the second erase makes the pin loudly stale
-    Thread.sleep(20)
     Retrieval.eraseFromBm25Index(spark, s"$work/bm", Seq(3L)): Unit
     intercept[IllegalStateException] {
       Retrieval.queryBm25Index(spark, s"$work/bm", Seq("table"), k = 30,
@@ -161,19 +159,21 @@ class RunPinSpec extends SparkSpec {
     val p = new HPath(s"$work/torn.pin")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try out.write("graft-run-pin v1\nann\tivf\tx\t5\n".getBytes("UTF-8"))
+    try out.write("graft-run-pin v2\nann\tivf\tx\tm%3D5%3Bl%3D%3Bs%3D\n".getBytes("UTF-8"))
     finally out.close()
     intercept[IllegalArgumentException] { RunPin.load(spark, s"$work/torn.pin") }
     // overwrite: a re-save replaces the old vector atomically
-    Thread.sleep(20)
     assert(Similarity.appendIvfBatch(clustered(100, 105), s"$work/idx", 0L))
     val pin2 = RunPin.capture(spark, Seq("ann" -> RunPin.Ivf(s"$work/idx")))
-    assert(pin2.pinOf("ann") > pin.pinOf("ann"))
+    assert(pin2.pinOf("ann") != pin.pinOf("ann"),
+      "a later capture must occupy a later ledger position")
     RunPin.save(spark, pin2, s"$work/run.pin")
     assert(RunPin.load(spark, s"$work/run.pin") == pin2)
     // names and paths survive encoding round trips
     val odd = RunPin(Map("we ird/na=me" ->
-      RunPin.Entry("ivf", "/tmp/pa th/with=eq\tand tab", 7L)))
+      RunPin.Entry("ivf", "/tmp/pa th/with=eq\tand tab",
+        graft.store.AsOfPin(Map("w w" -> 7L),
+          Map("/di=r;x" -> 2L, "s:eq" -> 3L), 7L))))
     RunPin.save(spark, odd, s"$work/odd.pin")
     assert(RunPin.load(spark, s"$work/odd.pin") == odd)
   }
@@ -186,7 +186,6 @@ class RunPinSpec extends SparkSpec {
     assert(Similarity.appendIvfBatch(clustered(100, 105), s"$work/idx", 0L))
     val pin = RunPin.capture(spark, Seq("ann" -> RunPin.Ivf(s"$work/idx")))
     RunPin.save(spark, pin, s"$work/run.pin")
-    Thread.sleep(20)
     assert(Similarity.appendIvfBatch(clustered(200, 205), s"$work/idx", 1L))
     // a NON-retaining fold + vacuum destroys the pinned history
     Similarity.compactIvfLists(spark, s"$work/idx", minFiles = 2): Unit

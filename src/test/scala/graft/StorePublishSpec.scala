@@ -310,16 +310,13 @@ class StorePublishSpec extends SparkSpec {
     val store = new TierStore(spark, root)
     def vals(df: org.apache.spark.sql.DataFrame): Set[Double] =
       df.select("value").as[Double].collect().toSet
-    def now(): Long = { Thread.sleep(50); val t = System.currentTimeMillis()
-      Thread.sleep(50); t }
-
     store.write(Tier.GenDay, rows("m_t", "01", 1.0, 2.0))
     store.write(Tier.GenDay, rows("m_t", "01", 3.0, 4.0))
-    val t1 = now() // corpus pinned by a training run: {1,2,3,4}
+    val t1 = store.pinNow() // corpus pinned by a training run: {1,2,3,4}
     assert(store.compact(Tier.GenDay, minFiles = 2,
       retainHistory = true) == 1)
     store.write(Tier.GenDay, rows("m_t", "01", 5.0, 6.0))
-    val t2 = now() // a later run pins {1..6}
+    val t2 = store.pinNow() // a later run pins {1..6}
     assert(store.compact(Tier.GenDay, minFiles = 2,
       retainHistory = true) == 1)
     store.write(Tier.GenDay, rows("m_t", "01", 7.0, 8.0))
@@ -330,13 +327,15 @@ class StorePublishSpec extends SparkSpec {
     assert(vals(store.readAsOf(Tier.GenDay, t1)) == Set(1.0, 2.0, 3.0, 4.0))
     assert(vals(store.readAsOf(Tier.GenDay, t2)) == Set(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
     // before any data existed: empty, not an error
-    assert(store.readAsOf(Tier.GenDay, 1000L).count() == 0L)
+    val preHistory = graft.store.AsOfPin(Map.empty, Map.empty, 0L)
+    assert(store.readAsOf(Tier.GenDay, preHistory).count() == 0L)
 
-    // vacuum reclaims history: current reads unchanged, the old pins
-    // are gone (the documented retention boundary)
+    // vacuum reclaims history: current reads unchanged, and the old pin
+    // fails LOUDLY (its ledgered raw files were folded and reclaimed)
+    // instead of silently resolving partial history
     assert(store.vacuumTier(Tier.GenDay) == 1)
     assert(vals(store.read(Tier.GenDay)) == Set(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0))
-    assert(store.readAsOf(Tier.GenDay, t1).count() == 0L)
+    intercept[IllegalStateException] { store.readAsOf(Tier.GenDay, t1).count() }
   }
 
   test("readAsOf on a rename-by-copy FS: ledgered appends keep their pin " +
@@ -356,7 +355,7 @@ class StorePublishSpec extends SparkSpec {
 
     batch(0, 1.0, 2.0)
     batch(1, 3.0, 4.0)
-    val t1 = { Thread.sleep(50); val t = System.currentTimeMillis(); Thread.sleep(50); t }
+    val t1 = store.pinNow()
     batch(2, 5.0, 6.0)
     assert(vals(store.readAsOf(Tier.GenRaw, t1)) == Set(1.0, 2.0, 3.0, 4.0))
 
@@ -372,12 +371,13 @@ class StorePublishSpec extends SparkSpec {
       val tmp = new HPath(part, "_restage_" + f.getPath.getName)
       assert(fs.rename(f.getPath, tmp) && fs.rename(tmp, f.getPath))
     }
-    assert(batchFiles(Set(0L, 1L)).forall(_.getModificationTime > t1),
+    assert(batchFiles(Set(0L, 1L)).forall(_.getModificationTime > t1.millis),
       "restage did not refresh mtimes — scenario not exercised")
     // and the other direction: back-date the post-pin batch's data files
     // to long before the pin — its LEDGER commit is after the pin, so it
     // must stay invisible no matter what the files claim
-    batchFiles(Set(2L)).foreach(f => fs.setTimes(f.getPath, t1 - 3600000L, -1))
+    batchFiles(Set(2L)).foreach(f =>
+      fs.setTimes(f.getPath, t1.millis - 3600000L, -1))
 
     assert(vals(store.read(Tier.GenRaw)) == Set(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
     assert(vals(store.readAsOf(Tier.GenRaw, t1)) == Set(1.0, 2.0, 3.0, 4.0),
@@ -396,7 +396,6 @@ class StorePublishSpec extends SparkSpec {
     // System.currentTimeMillis, so driver clock skew is structurally
     // irrelevant (nothing here reads the driver clock at all)
     val pin = store.pinNow()
-    Thread.sleep(30)
     store.write(Tier.GenRaw, rows("m_pin", "01", 3.0))
 
     // both plain writes are ledger-committed under the "batch" writer
@@ -412,10 +411,10 @@ class StorePublishSpec extends SparkSpec {
     val part = new HPath(s"$root/tier=gen_raw/measurement=m_pin/date=2024-01-01")
     fs.listStatus(part).filter(f => f.isFile &&
         TierLayout.batchIdOf(f.getPath.getName).exists(_._2 == 0L))
-      .foreach(f => fs.setTimes(f.getPath, pin + 3600000L, -1))
+      .foreach(f => fs.setTimes(f.getPath, pin.millis + 3600000L, -1))
     fs.listStatus(part).filter(f => f.isFile &&
         TierLayout.batchIdOf(f.getPath.getName).exists(_._2 == 1L))
-      .foreach(f => fs.setTimes(f.getPath, pin - 3600000L, -1))
+      .foreach(f => fs.setTimes(f.getPath, pin.millis - 3600000L, -1))
 
     assert(vals(store.read(Tier.GenRaw)) == Set(1.0, 2.0, 3.0))
     assert(vals(store.readAsOf(Tier.GenRaw, pin)) == Set(1.0, 2.0),
