@@ -318,6 +318,19 @@ object SparkEntry {
         .select(col("time"), round(col("value"), 6).as("value"))
     }),
 
+    "s7_subquery" -> ((s, dir) => {
+      // ONE-level InfluxQL subquery (round-13): the Grafana max-of-mean
+      // idiom — outer daily MAX over inner hourly MEANs, outer WHERE
+      // omitted (bounds inherited from the inner, the dashboard shape);
+      // max() selects an inner mean bit-for-bit, so round(6) is safe
+      graft.query.InfluxQL.dataPoints(
+        """SELECT max("mean_value") FROM (SELECT mean("value") AS "mean_value" """ +
+          """FROM "app_click" WHERE time > now()-5w GROUP BY time(1h)) """ +
+          """GROUP BY time(1d) FILL(none)""",
+        _ => points(s, dir, "app_"), _ => None, Now)
+        .select(col("time"), round(col("value"), 6).as("value"))
+    }),
+
     "s6_write_api" -> ((s, dir) => {
       // S6 write-API round trip (admin.go:179-204): submit a bounded,
       // deterministic point set through cmd.tsdb.write_data_points (the
@@ -2681,6 +2694,14 @@ object SparkEntry {
          |spine AS (SELECT unnest(generate_series(1703721600, 1706745600, 3600)) t)
          |SELECT s.t AS time, round(a.val, 6) AS value
          |FROM spine s LEFT JOIN agg a USING (t)""".stripMargin,
+
+    "s7_subquery" ->
+      s"""WITH ${ptsCte("app_")},
+         |agg AS (SELECT CAST(floor(tsec / 3600) * 3600 AS BIGINT) t, avg(v) val
+         |        FROM pts WHERE m = 'app_click' AND tsec > 1703721600 GROUP BY 1)
+         |SELECT CAST(floor(t / 86400) * 86400 AS BIGINT) AS time,
+         |  round(max(val), 6) AS value
+         |FROM agg GROUP BY 1""".stripMargin,
 
     "s2_log_replay" ->
       """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS time_sec,

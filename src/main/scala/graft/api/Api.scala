@@ -676,6 +676,9 @@ object Api {
       case sel: InfluxQL.Select =>
         InfluxQL.dataPoints(sel, t => ctx.store.read(t),
           ctx.store.tierByName(_), ctx.now())
+      case sub: InfluxQL.Subquery =>
+        InfluxQL.dataPoints(sub, t => ctx.store.read(t),
+          ctx.store.tierByName(_), ctx.now())
     }
   }
 

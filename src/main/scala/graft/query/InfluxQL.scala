@@ -22,6 +22,10 @@ import org.apache.spark.sql.DataFrame
  * double-quoted, strings single-quoted):
  *
  *   SELECT <sel> FROM ["db".]["rp".]"measurement"
+ *                    | ( SELECT ... )      — ONE nesting level (the
+ *                      Grafana max-of-mean idiom); the inner's AS alias
+ *                      names the column the outer selects; deeper
+ *                      nesting refuses in the error envelope
  *     [WHERE cond [AND cond]...]
  *     [GROUP BY time(<dur>)[, tag] | tag] [FILL(null|previous|none|linear|<n>)]
  *     [ORDER BY time ASC|DESC] [LIMIT n] [OFFSET m] [SLIMIT n] [SOFFSET m]
@@ -59,6 +63,12 @@ object InfluxQL {
 
   sealed trait Statement
   final case class Select(req: DataPointsRequest, retentionPolicy: Option[String])
+      extends Statement
+  /** One-level subquery — `SELECT <agg> FROM (SELECT <inner> ...)`,
+   *  the Grafana-era max-of-mean idiom. `innerAlias` is the inner
+   *  select's `AS` name (the column the outer references), defaulting
+   *  to "value". Deeper nesting is refused in the error envelope. */
+  final case class Subquery(outer: Select, inner: Select, innerAlias: String)
       extends Statement
   case object ShowMeasurements extends Statement
   case object ShowRetentionPolicies extends Statement
@@ -102,6 +112,7 @@ object InfluxQL {
       s.matches("show\\s+continuous\\s+queries\\s*;?") ||
       s.matches("show\\s+databases\\s*;?") ||
       s.matches("(?s)show\\s+(tag\\s+keys|tag\\s+values|field\\s+keys|series)\\b.*") ||
+      s.matches("(?s)select\\s+.*\\bfrom\\s*\\(\\s*select\\b.*") ||
       s.matches("(?s).*now\\(\\)\\s*[-+]\\s*\\d+(ns|us|µs|ms|s|m|h|d|w).*") ||
       s.matches("(?s).*\\bfill\\s*\\(.*") ||
       s.matches("(?s).*\\bgroup\\s+by\\s+.*\\btime\\s*\\(.*") ||
@@ -159,6 +170,9 @@ object InfluxQL {
     }
     if (l.startsWith("show"))
       throw new IllegalArgumentException(s"unsupported SHOW statement: $raw")
+    splitSubquery(q).foreach { case (pre, innerText, post) =>
+      return parseSubquery(raw, pre, innerText, post)
+    }
     val m = SelectRe.findFirstMatchIn(q).getOrElse(
       throw new IllegalArgumentException(s"unsupported InfluxQL statement: $raw"))
     val (fieldName, dataFunction, transformFunction) = parseSelectList(m.group(1))
@@ -205,6 +219,62 @@ object InfluxQL {
       offset = Option(m.group(10)).map(_.toInt).getOrElse(0),
       sLimit = Option(m.group(11)).map(_.toInt).getOrElse(0),
       sOffset = Option(m.group(12)).map(_.toInt).getOrElse(0)), rp)
+  }
+
+  /** The planner-facing measurement name a subquery's inner result
+   *  frame carries (never collides with a stored measurement: stored
+   *  names come from the ingest transform, which never emits it). */
+  private val SubMeasurement = "__subquery__"
+
+  /** Split `... FROM ( inner ) tail` at the balanced parens: (text
+   *  before FROM's paren incl. FROM, inner text, tail). None when the
+   *  statement has no parenthesized FROM. */
+  private def splitSubquery(q: String): Option[(String, String, String)] =
+    "(?is)\\bFROM\\s*\\(".r.findFirstMatchIn(q).flatMap { m =>
+      val open = q.indexOf('(', m.start)
+      var depth = 0; var i = open; var close = -1
+      while (i < q.length && close < 0) {
+        q.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (close < 0) None
+      else Some((q.substring(0, m.start), q.substring(open + 1, close).trim,
+        q.substring(close + 1)))
+    }
+
+  /** Parse the one supported nesting level: outer over a parenthesized
+   *  inner SELECT. The inner's `AS` alias is the column name the outer
+   *  references (InfluxDB's contract); deeper nesting refuses in the
+   *  documented envelope. */
+  private def parseSubquery(raw: String, pre: String, innerText: String,
+      post: String): Statement = {
+    if (!innerText.toLowerCase.startsWith("select"))
+      throw new IllegalArgumentException(
+        s"unsupported parenthesized FROM clause (expected a SELECT): $raw")
+    if (splitSubquery(innerText).isDefined)
+      throw new IllegalArgumentException(
+        s"subqueries nest at most one level: $raw")
+    val inner = parse(innerText) match {
+      case s: Select => s
+      case _ => throw new IllegalArgumentException(
+        s"subquery inner statement must be a SELECT: $raw")
+    }
+    val innerAlias =
+      "(?is)\\s+AS\\s+\"?([\\w\\-]+)\"?\\s*$".r
+        .findFirstMatchIn(
+          "(?is)^SELECT\\s+(.+?)\\s+FROM\\b".r.findFirstMatchIn(innerText)
+            .map(_.group(1)).getOrElse(""))
+        .map(_.group(1)).getOrElse("value")
+    val outer = parse(s"$pre FROM $SubMeasurement$post") match {
+      case s: Select => s
+      case _ => throw new IllegalArgumentException(
+        s"unsupported outer SELECT over a subquery: $raw")
+    }
+    Subquery(outer, inner, innerAlias)
   }
 
   /** The last comma at paren depth 0 — splits a parameterized call's
@@ -317,11 +387,68 @@ object InfluxQL {
     }
   }
 
+  /**
+   * Plan a one-level subquery: the inner SELECT plans as usual, its
+   * result re-enters the planner as a points frame (bucket times back
+   * to timestamps, the value column named by the inner's alias so the
+   * outer's field reference finds it), and the outer request runs over
+   * it. An outer with no time bounds inherits the inner's (the
+   * dashboard `SELECT max(m) FROM (SELECT mean(v) ... WHERE time > ...)`
+   * shape puts WHERE inside); null gap rows from the inner's fill are
+   * not points and do not reach the outer (InfluxDB semantics). The
+   * inner must produce a time axis — a whole-range inner aggregate
+   * leaves the outer nothing to range over and refuses in the envelope.
+   */
+  def dataPoints(sub: Subquery, resolve: Tier => DataFrame,
+      tierByName: String => Option[Tier], queryNow: Instant): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, timestamp_seconds}
+    val innerDf = dataPoints(sub.inner, resolve, tierByName, queryNow)
+    if (!innerDf.columns.contains("time"))
+      throw new IllegalArgumentException(
+        "a subquery's inner SELECT must carry a time axis (GROUP BY " +
+          "time(...) or raw points); a whole-range aggregate leaves the " +
+          "outer query nothing to select over")
+    val tagCols = innerDf.columns.toSeq.filterNot(Set("time", "value"))
+    val pts = innerDf.filter(col("value").isNotNull)
+      .select(Seq(lit(SubMeasurement).as("measurement"),
+        timestamp_seconds(col("time")).as("time"),
+        col("value").as(sub.innerAlias)) ++ tagCols.map(col): _*)
+    val o = sub.outer.req
+    val outerReq =
+      if (o.relativeTime.nonEmpty || o.fromTime.nonEmpty) o
+      else {
+        // no outer bounds: cover the WHOLE inner result — the inner's
+        // effective range widened by one inner bucket, because the
+        // inner's first bucket START floors below its own fromSec and
+        // InfluxDB's unbounded outer still selects that bucket
+        val i = sub.inner.req
+        val (fromSec, toSec) =
+          if (i.fromTime.nonEmpty)
+            (Instant.parse(i.fromTime).getEpochSecond,
+              Instant.parse(if (i.toTime.isEmpty) queryNow.toString else i.toTime)
+                .getEpochSecond)
+          else
+            (queryNow.getEpochSecond -
+              TierPolicy.relativeToMinutes(i.relativeTime) * 60,
+              queryNow.getEpochSecond)
+        val bucketSec = math.max(
+          TierPolicy.relativeToMinutes(
+            if (i.groupByTime == "auto") "" else i.groupByTime) * 60, 1L)
+        o.copy(fromTime = Instant.ofEpochSecond(fromSec - bucketSec).toString,
+          toTime = Instant.ofEpochSecond(toSec).toString)
+      }
+    Planner.dataPoints(
+      outerReq.copy(fieldName =
+        if (outerReq.fieldName.isEmpty) sub.innerAlias else outerReq.fieldName),
+      _ => pts, queryNow)
+  }
+
   /** String-in, DataFrame-out convenience for SELECTs (the S7 entry). */
   def dataPoints(sql: String, resolve: Tier => DataFrame,
       tierByName: String => Option[Tier], now: Instant): DataFrame =
     parse(sql) match {
       case sel: Select => dataPoints(sel, resolve, tierByName, now)
+      case sub: Subquery => dataPoints(sub, resolve, tierByName, now)
       case other => throw new IllegalArgumentException(
         s"not a SELECT statement: $other")
     }

@@ -263,6 +263,35 @@ class InfluxQLSpec extends SparkSpec {
     })
   }
 
+  test("subquery grammar: outer-over-inner round-trips across the " +
+    "shape space; the inner alias names the outer's field") {
+    import org.scalacheck.{Gen, Prop}
+    val g = for {
+      ia <- Gen.oneOf("mean", "sum", "min", "max", "count")
+      oa <- Gen.oneOf("mean", "sum", "min", "max", "count")
+      b <- Gen.oneOf("10m", "30m", "1h")
+      ob <- Gen.option(Gen.oneOf("6h", "1d"))
+      al <- Gen.option(Gen.oneOf("mean_value", "mv"))
+      w <- Gen.oneOf("5h", "7d", "2w")
+    } yield {
+      val alias = al.getOrElse("value")
+      val aliasSql = al.map(a => s""" AS "$a"""").getOrElse("")
+      val sql = s"""SELECT $oa("$alias") FROM (SELECT $ia("value")$aliasSql """ +
+        s"""FROM "m" WHERE time > now()-$w GROUP BY time($b))""" +
+        ob.map(x => s" GROUP BY time($x)").getOrElse("")
+      val want = InfluxQL.Subquery(
+        InfluxQL.Select(DataPointsRequest(measurement = "__subquery__",
+          fieldName = if (alias == "value") "" else alias,
+          dataFunction = oa, groupByTime = ob.getOrElse("")), None),
+        InfluxQL.Select(DataPointsRequest(measurement = "m",
+          dataFunction = ia, relativeTime = w, groupByTime = b), None),
+        alias)
+      (sql, want)
+    }
+    checkProp(Prop.forAll(g) { case (sql, want) =>
+      InfluxQL.looksLike(sql) && InfluxQL.parse(sql) == want })
+  }
+
   test("difference over an aggregate without GROUP BY time is refused " +
     "through the grammar's error envelope, not a downstream plan error") {
     intercept[IllegalArgumentException] {

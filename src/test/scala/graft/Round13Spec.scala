@@ -3,7 +3,7 @@ package graft
 import java.time.Instant
 import java.sql.Timestamp
 
-import graft.model.{DataPointsRequest, Tier}
+import graft.model.{DataPointsFilter, DataPointsRequest, Tier}
 import graft.query.{InfluxQL, Planner}
 import graft.store.TierStore
 import org.apache.spark.sql.{DataFrame, Row}
@@ -137,6 +137,43 @@ class Round13Spec extends SparkSpec {
     assert(store.fieldKeys(Some("app_t")).collect()
       .map(_.getString(0)).contains("value"))
     assert(store.fieldKeys(Some("nope")).count() == 0)
+  }
+
+  test("InfluxQL one-level subquery: max-of-mean plans end-to-end; " +
+    "deeper nesting and non-SELECT parens refuse in the envelope") {
+    def sub(outer: String) = InfluxQL.dataPoints(
+      s"""$outer FROM (SELECT mean("value") AS "mv" FROM "app_t" """ +
+        """WHERE time >= '2024-01-01T00:00:00Z' AND """ +
+        """time <= '2024-01-01T00:03:59Z' GROUP BY time(1m))""",
+      _ => gapped, _ => None, now)
+    // inner 1m means: 10 (min 0), 20 (min 1), 30 (min 3); outer
+    // whole-range max with NO outer WHERE (bounds inherited) = 30
+    assert(sub("""SELECT max("mv")""").collect()
+      .map(_.getDouble(0)).toSeq == Seq(30.0))
+    // outer re-buckets the inner's points: 2m buckets -> max(10,20), 30
+    val two = InfluxQL.dataPoints(
+      """SELECT max("mv") FROM (SELECT mean("value") AS "mv" FROM "app_t" """ +
+        """WHERE time >= '2024-01-01T00:00:00Z' AND """ +
+        """time <= '2024-01-01T00:03:59Z' GROUP BY time(1m)) """ +
+        """GROUP BY time(2m) FILL(none)""",
+      _ => gapped, _ => None, now)
+    assert(timeValue(two) == Seq((base, Some(20.0)), (base + 120, Some(30.0))))
+    // deeper nesting refuses in the documented envelope
+    intercept[IllegalArgumentException] {
+      InfluxQL.parse("""SELECT max("v") FROM (SELECT mean("v") AS "v" """ +
+        """FROM (SELECT "value" FROM "m") GROUP BY time(1h))""")
+    }
+    // a parenthesized FROM that is not a SELECT refuses too
+    intercept[IllegalArgumentException] {
+      InfluxQL.parse("""SELECT max("v") FROM (VALUES (1))""")
+    }
+    // a whole-range inner aggregate leaves the outer no time axis
+    intercept[IllegalArgumentException] {
+      InfluxQL.dataPoints(
+        """SELECT max("mv") FROM (SELECT mean("value") AS "mv" """ +
+          """FROM "app_t" WHERE time > now()-1h)""",
+        _ => gapped, _ => None, now).collect()
+    }
   }
 
   test("two commits inside one forced-identical mtime tick still pin " +
