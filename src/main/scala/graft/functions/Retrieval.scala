@@ -262,7 +262,7 @@ object Retrieval {
 
   /** Resolved zero-token doc ids (empty frame when none recorded —
    *  including indexes built before the table existed). */
-  private def readZeroDocs(spark: SparkSession, path: String,
+  private[graft] def readZeroDocs(spark: SparkSession, path: String,
       asOf: Option[AsOfPin] = None): DataFrame = {
     val live = new HPath(s"$path/zero_docs")
     val fs = fsOf(spark, path)
