@@ -4,11 +4,14 @@ import org.apache.spark.sql.SparkSession
 /**
  * Benchmark main: every `SparkEntry.queries` entry (plus the bench-only
  * xxhash64 twins of the portable-mode oracle queries) against
- * `SPARK_GRAFT_SF_DIR`. Each query gets one untimed warm run (Janino/
- * codegen compile, JIT, file-listing caches) and then `Runs` timed runs;
- * the reported figure is the MEDIAN, with max−min emitted per query as
- * `spread` — a single cold run mixes compile state into execution time
- * and cannot attribute its own noise.
+ * `SPARK_GRAFT_SF_DIR`. Each query gets ADAPTIVE untimed warm runs
+ * (Janino/codegen compile, JIT, file-listing caches): warm until two
+ * consecutive runs agree within 20%, max 4 — batch entries settle
+ * after 2, the stateful-streaming monitors take ~4 (their addBatch
+ * JIT-decays 5.9 → 1.6 s across fresh-checkpoint runs) — then `Runs`
+ * timed runs; the reported figure is the MEDIAN, with max−min emitted
+ * per query as `spread` — a cold or still-warming run mixes compile
+ * state into execution time and cannot attribute its own noise.
  */
 object Bench {
   private val Runs = 3
@@ -105,7 +108,21 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         t
       }
-      once() // warm-up, untimed
+      // ADAPTIVE warm-up (round-13 ask #4): the stateful-streaming
+      // entries JIT-warm over ~4 runs (measured: addBatch decays
+      // 5.9 → 1.6 s across runs with the batch count pinned at 2 and
+      // the input cached) — one fixed warm-up left that decay tail
+      // inside the timed window, which is exactly the spread the
+      // monitors kept flagging. Warm until two consecutive untimed
+      // runs agree within 20% (max 4 total), so every entry is timed
+      // at its JIT steady state; batch entries settle after 2.
+      var wPrev = once()
+      var wCur = once()
+      var warmups = 2
+      while (warmups < 4 && math.abs(wCur - wPrev) >
+          0.2 * math.min(wCur, wPrev)) {
+        wPrev = wCur; wCur = once(); warmups += 1
+      }
       streamDiag.reset() // diag covers the timed runs only
       var runs = Seq.fill(Runs)(once())
       def med(rs: Seq[Double]) = rs.sorted.apply(rs.length / 2)

@@ -40,7 +40,12 @@ object BenchSubset {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         t
       }
-      once()
+      // adaptive warm-up to JIT steady state (Bench's rule, r13 ask #4)
+      var wPrev = once(); var wCur = once(); var warmups = 2
+      while (warmups < 4 && math.abs(wCur - wPrev) >
+          0.2 * math.min(wCur, wPrev)) {
+        wPrev = wCur; wCur = once(); warmups += 1
+      }
       val ts = Seq.fill(runs)(once()).sorted
       val median = ts(runs / 2)
       val note = failed.map(e => s"  FAILED ($e)").getOrElse("")

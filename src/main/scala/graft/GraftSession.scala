@@ -50,6 +50,13 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // state-store maintenance (snapshot/cleanup) fires on a wall-clock
+      // timer (default 60 s) — for the short-lived stateful queries this
+      // engine runs (micro-batch monitors, bounded fixture streams) a
+      // mid-query maintenance pass is pure timing jitter; push it past
+      // any single query's lifetime (long-lived production streams can
+      // lower it per session)
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
 
   /** Build (or reuse) the session and register the engine's SQL functions. */

@@ -45,6 +45,23 @@ object SparkEntry {
    *  int64 via the nanosAsLong legacy conf (converted here with integer
    *  division — a double division would lose precision above 2^53), and a
    *  plain timestamp[us] column. Branch on the read dtype so both work. */
+  /** Per-JVM cache of a fixture's PREPARED INPUT directory. The bench
+   *  harness runs each entry several times in one JVM; re-writing the
+   *  byte-identical input parquet on every run adds only setup variance
+   *  to the measurement (round-13 ask #4 — the streaming monitors'
+   *  spread was warm-up decay of this copy, not batch nondeterminism).
+   *  Checkpoints and outputs stay per-run; only the immutable input is
+   *  shared. */
+  private val fixtureInputs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def cachedInput(key: String)(write: String => Unit): String =
+    fixtureInputs.computeIfAbsent(key, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_fxin")
+        .toFile.getAbsolutePath + "/in"
+      write(d)
+      d
+    })
+
   private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, dir, "events")
@@ -1896,11 +1913,12 @@ object SparkEntry {
       // batch-DETERMINISTIC (r11 ask #3): every input file in ONE data
       // batch (+ the final watermark-advance batch) on every run — a
       // 2-per-trigger split left the empty-batch count hostage to the
-      // file order's effect on watermark progression
-      pts.repartition(4).write.parquet(s"$work/in")
+      // file order's effect on watermark progression; the input parquet
+      // is written ONCE per JVM (cachedInput — r13 ask #4)
+      val in = cachedInput(s"psi:$dir")(p => pts.repartition(4).write.parquet(p))
       val sealedQ = graft.functions.Profile.streamingHistogram(
         s.readStream.schema(pts.schema)
-          .option("maxFilesPerTrigger", "100000").parquet(s"$work/in"),
+          .option("maxFilesPerTrigger", "100000").parquet(in),
         "time", col("cents"), lo = 0.0, hi = 50000.0, nBuckets = 20,
         windowDur = "6 hours", watermarkDelay = "2 hours")
       val q = sealedQ.writeStream.outputMode("append")
@@ -1926,11 +1944,12 @@ object SparkEntry {
         .toFile.getAbsolutePath
       val pts = events(s, dir).select(col("ts").as("time"), col("user_id"))
       // batch-DETERMINISTIC (r11 ask #3): one data batch + the final
-      // watermark-advance batch (see prof_streaming_psi)
-      pts.repartition(4).write.parquet(s"$work/in")
+      // watermark-advance batch (see prof_streaming_psi); input written
+      // once per JVM (cachedInput — r13 ask #4)
+      val in = cachedInput(s"topk:$dir")(p => pts.repartition(4).write.parquet(p))
       val sealedQ = graft.functions.Profile.streamingKeyCounts(
         s.readStream.schema(pts.schema)
-          .option("maxFilesPerTrigger", "100000").parquet(s"$work/in"),
+          .option("maxFilesPerTrigger", "100000").parquet(in),
         "time", col("user_id"), windowDur = "6 hours",
         watermarkDelay = "2 hours")
       val q = sealedQ.writeStream.outputMode("append")
