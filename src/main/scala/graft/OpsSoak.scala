@@ -161,7 +161,7 @@ object OpsSoak {
       f""""ingest_wall_sec":$wallIngest%.1f,"raw_rows":$rawRows,""" +
       f""""ops_cycles":$opsCycles,"pins":${pins.length},"backfills":$backfills,""" +
       f""""rollup_vacuums":$vacuums,"final_audit":[$fm,$fx,$fv],""" +
-      s""""pins_stable":true,"equal_to_batch":true,"fold_fails_loud":true,""" +
+      s""""pins_stable":true,"equal_to_batch":true,"fold_proof_pins":true,""" +
       s""""cycles":[${opsLog.mkString(",")}]}}""")
     spark.stop()
   }
