@@ -174,6 +174,20 @@ class Round13Spec extends SparkSpec {
           """FROM "app_t" WHERE time > now()-1h)""",
         _ => gapped, _ => None, now).collect()
     }
+    // a tag-grouped inner carries its tag through to a tag-grouped
+    // outer (the per-series max-of-mean shape)
+    val tagged = InfluxQL.dataPoints(
+      """SELECT max("mv") FROM (SELECT mean("value") AS "mv" FROM "app_t" """ +
+        """WHERE time >= '2024-01-01T00:00:00Z' AND """ +
+        """time <= '2024-01-01T00:03:59Z' """ +
+        """GROUP BY time(1m), "location_id") """ +
+        """GROUP BY time(2m), "location_id" FILL(none)""",
+      _ => gapped, _ => None, now)
+    assert(tagged.columns.toSet == Set("time", "value", "location_id"))
+    assert(tagged.collect().map(r => (r.getLong(r.fieldIndex("time")),
+      r.getString(r.fieldIndex("location_id")),
+      r.getDouble(r.fieldIndex("value")))).toSet ==
+      Set((base, "1", 20.0), (base + 120, "1", 30.0)))
   }
 
   test("two commits inside one forced-identical mtime tick still pin " +
