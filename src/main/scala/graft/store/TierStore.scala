@@ -604,20 +604,46 @@ final class TierStore(spark: SparkSession, val root: String) {
       .toDF("measurement", "tag_key")
   }
 
+  /** Gated read of ONE measurement with ITS OWN data schema (footer
+   *  from that measurement's resolved files, ledger/snapshot gating
+   *  identical to [[read]]) — so stores whose measurements carry
+   *  different columns answer per-measurement catalog DATA, not just
+   *  keys; None when the measurement resolves no files in this tier. */
+  private def measurementRead(tier: Tier, m: String): Option[DataFrame] = {
+    val index = new TierFileIndex(spark, new HPath(path(tier.name)))
+    val parts = index.resolvedPartitions.filter(_._1 == m).map {
+      case (_, d, _, files) =>
+        (org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(m),
+          java.time.LocalDate.parse(d).toEpochDay.toInt), files)
+    }
+    SnapshotFold.dataFrame(spark,
+      new org.apache.spark.sql.types.StructType()
+        .add("measurement", org.apache.spark.sql.types.StringType)
+        .add("date", org.apache.spark.sql.types.DateType),
+      parts, Seq(new HPath(path(tier.name))))
+  }
+
   /** SHOW TAG VALUES [FROM m] WITH KEY = k → (key, value). A
    *  column-pruned distinct over the partition-pruned scan — at scale
-   *  this reads one column of one measurement's partitions. */
+   *  this reads one column of one measurement's partitions (and with
+   *  FROM, through that measurement's OWN schema). */
   def tagValues(measurement: Option[String], key: String): DataFrame = {
     // an unknown (or field-typed) key answers EMPTY, not an error — the
     // InfluxDB contract a ported dashboard's template variables rely on
     // (schema drift must leave the dropdown empty, not break the panel)
     val frames =
       if (!tagCols(catalogSchema(measurement)).contains(key)) Nil
-      else populatedTiers.map(read).filter(_.columns.contains(key))
-        .map { df =>
-          measurement.foldLeft(df)((d, m) => d.filter(col("measurement") === m))
-            .select(col(key).cast("string").as("value"))
-        }
+      else measurement match {
+        case Some(m) =>
+          populatedTiers.filter(measurements(_).contains(m))
+            .flatMap(measurementRead(_, m))
+            .filter(_.columns.contains(key))
+            .map(_.select(col(key).cast("string").as("value")))
+        case None =>
+          populatedTiers.map(read).filter(_.columns.contains(key))
+            .map(_.select(col(key).cast("string").as("value")))
+      }
     val values =
       if (frames.isEmpty) emptyPoints.select(lit("").as("value")).limit(0)
       else frames.reduce(_ unionAll _)
@@ -650,14 +676,18 @@ final class TierStore(spark: SparkSession, val root: String) {
    *  A distinct over the tag columns — series-cardinality-sized output,
    *  partition-pruned under FROM. */
   def seriesKeys(measurement: Option[String]): DataFrame = {
-    val rendered = populatedTiers.map(read).map { df =>
-      val pruned =
-        measurement.foldLeft(df)((d, m) => d.filter(col("measurement") === m))
+    def render(df: DataFrame): DataFrame = {
       val parts = tagCols(df.schema).map { k =>
         when(col(k).isNotNull && col(k) =!= "",
           concat(lit(s",$k="), col(k))).otherwise(lit(""))
       }
-      pruned.select(concat(col("measurement") +: parts: _*).as("key"))
+      df.select(concat(col("measurement") +: parts: _*).as("key"))
+    }
+    val rendered = measurement match {
+      case Some(m) => // that measurement's own schema + pruned files
+        populatedTiers.filter(measurements(_).contains(m))
+          .flatMap(measurementRead(_, m)).map(render)
+      case None => populatedTiers.map(read).map(render)
     }
     if (rendered.isEmpty) emptyPoints.select(lit("").as("key")).limit(0)
     else rendered.reduce(_ unionAll _).distinct().orderBy("key")

@@ -137,6 +137,16 @@ class Round13Spec extends SparkSpec {
     assert(store.fieldKeys(Some("app_t")).collect()
       .map(_.getString(0)).contains("value"))
     assert(store.fieldKeys(Some("nope")).count() == 0)
+    // DATA statements answer through the measurement's own schema too:
+    // host exists only in app_u's files, and TAG VALUES/SERIES must
+    // find it there deterministically (the tier-wide footer schema may
+    // come from either measurement's files)
+    assert(store.tagValues(Some("app_u"), "host").collect()
+      .map(_.getString(1)).toSeq == Seq("h1"))
+    assert(store.tagValues(Some("app_t"), "host").count() == 0)
+    val series = store.seriesKeys(Some("app_u")).collect().map(_.getString(0))
+    assert(series.length == 1 && series.head.contains("host=h1"),
+      s"series: ${series.toSeq}")
   }
 
   test("InfluxQL one-level subquery: max-of-mean plans end-to-end; " +
