@@ -133,15 +133,23 @@ object AsOfPin {
         if (g >= 0) seqs(genKey(fs, p)) = g
       }
     }
-    snapDirs.foreach { d =>
-      if (fs.exists(d)) {
+    // per-directory version discovery fans through the shared bounded
+    // listing pool (one listing + at most one manifest read per dir;
+    // results merged on the caller)
+    Listing.inParallel(snapDirs) { d =>
+      if (!fs.exists(d)) None
+      else {
         val entries = fs.listStatus(d).toSeq
-        entries.foreach(e => if (e.isFile) bump(e.getModificationTime))
+        val maxM = entries.foldLeft(0L)((m, e) =>
+          if (e.isFile) math.max(m, e.getModificationTime) else m)
         val v = entries.flatMap(e => TierLayout.parseCommit(e.getPath.getName))
           .sorted.reverse
           .find(v => TierLayout.readManifest(fs, d, v).isDefined)
-        v.foreach(seqs(dirKey(fs, d)) = _)
+        Some((dirKey(fs, d), v, maxM))
       }
+    }.flatten.foreach { case (key, v, maxM) =>
+      bump(maxM)
+      v.foreach(seqs(key) = _)
     }
     AsOfPin(ledger.toMap, seqs.toMap, millis)
   }

@@ -32,30 +32,17 @@ object EraseAudit {
    * (the round-11 judge's listing ask; the
    * [[TierStore]].perPartition idiom). Result sorted for determinism.
    */
-  /** Shared bounded listing pool (daemon threads). walkParquet runs per
-   *  audit and, via TierStore.auditErasure, once per date partition from
-   *  inside a 16-way perPartition pool — a pool PER CALL would churn
-   *  thousands of create/shutdown cycles and multiply concurrent
-   *  listings to 16×16 against the namenode/object store; one shared
-   *  pool caps total listing concurrency at its width. */
-  private lazy val listingPool =
-    java.util.concurrent.Executors.newFixedThreadPool(16,
-      (r: Runnable) => {
-        val t = new Thread(r, "graft-audit-list"); t.setDaemon(true); t
-      })
-
+  // the shared bounded pool lives in [[Listing]] (round 13: promoted
+  // store-wide — query planning and pin capture fan through it too);
+  // one JVM-wide pool caps total listing concurrency at its width even
+  // when audits run from inside a 16-way perPartition pool
   private[graft] def walkParquet(fs: org.apache.hadoop.fs.FileSystem,
       root: HPath, skipDirs: Set[String] = Set.empty): Seq[String] = {
     if (!fs.exists(root)) return Nil
     var frontier: Seq[HPath] = Seq(root)
     val files = Seq.newBuilder[String]
     while (frontier.nonEmpty) {
-      val listed = frontier
-        .map(p => listingPool.submit(new java.util.concurrent.Callable[
-          Seq[org.apache.hadoop.fs.FileStatus]] {
-          def call() = fs.listStatus(p).toSeq
-        }))
-        .flatMap(_.get())
+      val listed = Listing.listMany(fs, frontier).flatten
       frontier = listed
         .filter(e => e.isDirectory && !skipDirs(e.getPath.getName))
         .map(_.getPath)

@@ -429,19 +429,31 @@ final class TierFileIndex(spark: SparkSession, tierRoot: HPath,
     // (as-of pins resolve ledgered files by LOGICAL ledger position, not
     // by any refreshable mtime — see BatchLedger.read)
     val committed = BatchLedger.read(fs, tierRoot.getParent, asOf)
-    for {
-      mDir <- fs.listStatus(tierRoot).toSeq
-      if mDir.isDirectory && mDir.getPath.getName.startsWith("measurement=")
-      // hive-style partition-dir escaping, same rule the writer applied
-      m = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .unescapePathName(mDir.getPath.getName.stripPrefix("measurement="))
-      dDir <- fs.listStatus(mDir.getPath).toSeq
-      if dDir.isDirectory && dDir.getPath.getName.startsWith("date=")
-      d = dDir.getPath.getName.stripPrefix("date=")
-      days <- scala.util.Try(java.time.LocalDate.parse(d).toEpochDay.toInt).toOption
-      entries = fs.listStatus(dDir.getPath).toSeq
-    } yield (m, days, dDir.getPath,
-      TierLayout.resolveFiles(fs, dDir.getPath, entries, committed, asOf))
+    // level-parallel discovery + per-partition resolution on the shared
+    // bounded pool (Listing): a 100 TB tier holds ~10⁵ partitions, and
+    // serializing one listStatus per partition on the driver would
+    // dominate planning; the pool caps the fan-out store-wide
+    val mDirs = fs.listStatus(tierRoot).toSeq.filter(e =>
+      e.isDirectory && e.getPath.getName.startsWith("measurement="))
+    val dated = Listing.listMany(fs, mDirs.map(_.getPath))
+      .zip(mDirs).flatMap { case (children, mDir) =>
+        // hive-style partition-dir escaping, same rule the writer applied
+        val m = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(mDir.getPath.getName.stripPrefix("measurement="))
+        children.collect {
+          case dDir if dDir.isDirectory &&
+              dDir.getPath.getName.startsWith("date=") =>
+            (m, dDir.getPath.getName.stripPrefix("date="), dDir.getPath)
+        }
+      }
+    Listing.inParallel(dated) { case (m, d, dir) =>
+      scala.util.Try(java.time.LocalDate.parse(d).toEpochDay.toInt).toOption
+        .map { days =>
+          val entries = fs.listStatus(dir).toSeq
+          (m, days, dir,
+            TierLayout.resolveFiles(fs, dir, entries, committed, asOf))
+        }
+    }.flatten
   }
 
   /** First resolved data file (schema inference anchor). */

@@ -473,14 +473,15 @@ final class TierStore(spark: SparkSession, val root: String) {
   def pinNow(): AsOfPin = {
     val rootP = new HPath(root)
     if (!exists(root)) return AsOfPin(Map.empty, Map.empty, 0L)
-    val partDirs = for {
-      tierDir <- fs.listStatus(rootP).toSeq
-      if tierDir.isDirectory && tierDir.getPath.getName.startsWith("tier=")
-      mDir <- fs.listStatus(tierDir.getPath).toSeq
-      if mDir.isDirectory && mDir.getPath.getName.startsWith("measurement=")
-      dDir <- fs.listStatus(mDir.getPath).toSeq
-      if dDir.isDirectory && dDir.getPath.getName.startsWith("date=")
-    } yield dDir.getPath
+    // level-parallel partition discovery on the shared bounded listing
+    // pool — same fan-out shape as query planning (TierFileIndex.list)
+    def level(dirs: Seq[HPath], prefix: String): Seq[HPath] =
+      graft.store.Listing.listMany(fs, dirs).flatten.collect {
+        case e if e.isDirectory && e.getPath.getName.startsWith(prefix) =>
+          e.getPath
+      }
+    val partDirs =
+      level(level(level(Seq(rootP), "tier="), "measurement="), "date=")
     AsOfPin.capture(fs, rootP, partDirs)
   }
 
