@@ -125,6 +125,23 @@ object Api {
       t => c.store.readAsOf(t, pin)
     } else t => c.store.read(t)
 
+  /** The LISTING-SLICED, pin-aware store resolver for the planner's
+   *  `sliceResolve` arm: the planner hands over its exact planned
+   *  (measurement, fromSec, toSec) and the store prunes its partition
+   *  LISTING to that window before any directory is listed
+   *  ([[TierStore.readSlice]]) — at 100 TB a 1-hour query lists one or
+   *  two date directories instead of one listStatus per partition. */
+  private def slicedRead(c: Context,
+      asOfPin: String): (Tier, String, Long, Long) => DataFrame = {
+    val pin =
+      if (asOfPin.nonEmpty) Some(graft.store.AsOfPin.decode(asOfPin)) else None
+    (t, m, fromSec, toSec) => {
+      val (lo, hi) = Planner.dateWindow(fromSec, toSec,
+        c.spark.sessionState.conf.sessionLocalTimeZone)
+      c.store.readSlice(t, Some(m), Some(lo), Some(hi), pin)
+    }
+  }
+
   final case class Context(spark: SparkSession, store: TierStore,
       profile: String = Tier.ProfileOptimized, now: () => Instant = () => Instant.now(),
       state: ProcessState = new ProcessState(ProcessConfig(id = 1)),
@@ -302,7 +319,8 @@ object Api {
     case "cmd.tsdb.get_data_points" => // admin.go:206-226
       val req = payload.asInstanceOf[GetDataPointsRequest]
       val c = procCtx(ctx, req.procId)
-      Planner.dataPoints(req.toRequest, pinnedRead(c, req.asOfPin), c.now())
+      Planner.dataPoints(req.toRequest, pinnedRead(c, req.asOfPin), c.now(),
+        sliceResolve = Some(slicedRead(c, req.asOfPin)))
     case "cmd.tsdb.get_energy_data_points" => // admin.go:229-247
       val req = payload.asInstanceOf[GetDataPointsRequest]
       val c = procCtx(ctx, req.procId)
@@ -675,10 +693,12 @@ object Api {
       case InfluxQL.ShowSeries(m) => ctx.store.seriesKeys(m)
       case sel: InfluxQL.Select =>
         InfluxQL.dataPoints(sel, t => ctx.store.read(t),
-          ctx.store.tierByName(_), ctx.now())
+          ctx.store.tierByName(_), ctx.now(),
+          sliceResolve = Some(slicedRead(ctx, "")))
       case sub: InfluxQL.Subquery =>
         InfluxQL.dataPoints(sub, t => ctx.store.read(t),
-          ctx.store.tierByName(_), ctx.now())
+          ctx.store.tierByName(_), ctx.now(),
+          sliceResolve = Some(slicedRead(ctx, "")))
     }
   }
 

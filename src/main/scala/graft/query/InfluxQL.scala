@@ -373,7 +373,8 @@ object InfluxQL {
    *  absolute range (`time >= '...'` with no upper bound) closes at `now`,
    *  matching the reference's default query horizon. */
   def dataPoints(sel: Select, resolve: Tier => DataFrame,
-      tierByName: String => Option[Tier], now: Instant): DataFrame = {
+      tierByName: String => Option[Tier], now: Instant,
+      sliceResolve: Option[(Tier, String, Long, Long) => DataFrame] = None): DataFrame = {
     val req =
       if (sel.req.fromTime.nonEmpty && sel.req.toTime.isEmpty)
         sel.req.copy(toTime = now.toString)
@@ -382,8 +383,12 @@ object InfluxQL {
       case Some(name) =>
         val t = tierByName(name).getOrElse(
           throw new IllegalArgumentException(s"unknown retention policy: $name"))
-        Planner.dataPoints(req, _ => resolve(t), now)
-      case None => Planner.dataPoints(req, resolve, now)
+        // the rp PINS the tier: the slice reader must read t, whatever
+        // tier the planner's policy would have picked
+        Planner.dataPoints(req, _ => resolve(t), now,
+          sliceResolve.map(f =>
+            (_: Tier, m: String, a: Long, b: Long) => f(t, m, a, b)))
+      case None => Planner.dataPoints(req, resolve, now, sliceResolve)
     }
   }
 
@@ -400,9 +405,14 @@ object InfluxQL {
    * leaves the outer nothing to range over and refuses in the envelope.
    */
   def dataPoints(sub: Subquery, resolve: Tier => DataFrame,
-      tierByName: String => Option[Tier], queryNow: Instant): DataFrame = {
+      tierByName: String => Option[Tier], queryNow: Instant,
+      // no default: Scala forbids defaults on two overloads — the
+      // Select overload keeps its None default, callers here pass one
+      sliceResolve: Option[(Tier, String, Long, Long) => DataFrame]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, timestamp_seconds}
-    val innerDf = dataPoints(sub.inner, resolve, tierByName, queryNow)
+    // the INNER reads the store (slice applies); the outer runs over
+    // the inner's in-memory points frame (nothing to slice)
+    val innerDf = dataPoints(sub.inner, resolve, tierByName, queryNow, sliceResolve)
     if (!innerDf.columns.contains("time"))
       throw new IllegalArgumentException(
         "a subquery's inner SELECT must carry a time axis (GROUP BY " +
@@ -448,7 +458,7 @@ object InfluxQL {
       tierByName: String => Option[Tier], now: Instant): DataFrame =
     parse(sql) match {
       case sel: Select => dataPoints(sel, resolve, tierByName, now)
-      case sub: Subquery => dataPoints(sub, resolve, tierByName, now)
+      case sub: Subquery => dataPoints(sub, resolve, tierByName, now, None)
       case other => throw new IllegalArgumentException(
         s"not a SELECT statement: $other")
     }

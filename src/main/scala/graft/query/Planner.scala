@@ -658,6 +658,33 @@ object Planner {
     col("time") >= timestamp_seconds(lit(fromSec)) &&
       col("time") < timestamp_seconds(lit(toSec + 1))
 
+  /** The inclusive [yyyy-MM-dd, yyyy-MM-dd] DATE window (given session
+   *  zone id) that bounds every row satisfying the engine's time
+   *  predicates over [fromSec, toSec] — the +1s end slack matches
+   *  [[absoluteTimePredicate]]. ONE derivation shared by the scan's
+   *  partition-filter predicate AND the store's LISTING slice
+   *  ([[graft.store.TierFileIndex.Slice]]), so they can never drift. */
+  def dateWindow(fromSec: Long, toSec: Long,
+      zoneId: String): (String, String) = {
+    val zone = java.time.ZoneId.of(zoneId)
+    def d(sec: Long) =
+      java.time.LocalDate.ofInstant(Instant.ofEpochSecond(sec), zone).toString
+    (d(fromSec), d(toSec + 1))
+  }
+
+  /** The effective [fromSec, toSec] range of a request at `now` — the
+   *  exact numbers [[dataPoints]] plans with, exposed so slice-aware
+   *  readers (Api's listing-pruned store resolver) derive their window
+   *  from the same arithmetic. */
+  def timeRange(req: DataPointsRequest, now: Instant): (Long, Long) =
+    if (req.fromTime.nonEmpty && req.toTime.nonEmpty)
+      (Instant.parse(req.fromTime).getEpochSecond,
+        Instant.parse(req.toTime).getEpochSecond)
+    else {
+      val mins = TierPolicy.relativeToMinutes(req.relativeTime)
+      (now.getEpochSecond - mins * 60, now.getEpochSecond)
+    }
+
   /** Compile the tag/device/location/type filters (influxdb_v1.go:145-156). */
   def filterColumn(f: DataPointsFilter): Column = {
     var c: Column = lit(true)
@@ -678,7 +705,14 @@ object Planner {
    * @return columns: `time` (epoch seconds, when time-visible), `value`,
    *         plus the group-by tag column when requested.
    */
-  def dataPoints(req: DataPointsRequest, resolve: Tier => DataFrame, now: Instant): DataFrame = {
+  /** `sliceResolve`, when given, replaces `resolve` with a reader that
+   *  receives (tier, measurement, fromSec, toSec) — the exact planned
+   *  range — so a STORE-backed resolver can prune its partition LISTING
+   *  to the touched window ([[graft.store.TierStore.readSlice]]); the
+   *  planner's own filters still apply on top, unchanged. */
+  def dataPoints(req: DataPointsRequest, resolve: Tier => DataFrame,
+      now: Instant,
+      sliceResolve: Option[(Tier, String, Long, Long) => DataFrame] = None): DataFrame = {
     // defaults (influxdb_v1.go:102-114)
     val groupByTime = if (req.groupByTime == "auto") "" else req.groupByTime
     val fieldName = if (req.fieldName.isEmpty) "value" else req.fieldName
@@ -692,21 +726,18 @@ object Planner {
     val tier = TierPolicy.resolveQueryTier(req.measurement, Tier.ProfileOptimized,
       fromInstant, req.relativeTime, groupByTime, dataFunction, now)
 
-    val base = resolve(tier)
-    val valueCol = col(fieldName).as("value")
-
     // time predicate (influxdb_v1.go:119-139). The reference compares
     // floor-to-second epoch values; the exact native equivalent is
     //   absolute:  fromSec <= time < toSec+1
     //   relative:  time >= fromSec+1        (strict `> fromSec` on floors)
     // expressed directly on the timestamp column (NOT wrapped in
     // unix_timestamp) so parquet row-group min/max skipping applies.
-    val (fromSec, toSec): (Long, Long) = fromInstant match {
-      case Some(from) => (from.getEpochSecond, Instant.parse(req.toTime).getEpochSecond)
-      case None =>
-        val mins = TierPolicy.relativeToMinutes(req.relativeTime)
-        (now.getEpochSecond - mins * 60, now.getEpochSecond)
+    val (fromSec, toSec): (Long, Long) = timeRange(req, now)
+    val base = sliceResolve match {
+      case Some(f) => f(tier, req.measurement, fromSec, toSec)
+      case None => resolve(tier)
     }
+    val valueCol = col(fieldName).as("value")
     val timePred = fromInstant match {
       case Some(_) => absoluteTimePredicate(fromSec, toSec)
       case None => col("time") >= timestamp_seconds(lit(fromSec + 1))
@@ -720,11 +751,10 @@ object Planner {
     val datePred: Option[Column] =
       if (!base.columns.contains("date")) None
       else {
-        val zone = java.time.ZoneId.of(
+        val (lo, hi) = dateWindow(fromSec, toSec,
           base.sparkSession.sessionState.conf.sessionLocalTimeZone)
-        def d(sec: Long) = java.sql.Date.valueOf(
-          java.time.LocalDate.ofInstant(Instant.ofEpochSecond(sec), zone))
-        Some(col("date").between(d(fromSec), d(toSec + 1)))
+        Some(col("date").between(
+          java.sql.Date.valueOf(lo), java.sql.Date.valueOf(hi)))
       }
 
     val filtered = datePred.foldLeft(base)(_ filter _)

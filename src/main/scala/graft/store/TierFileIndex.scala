@@ -408,7 +408,8 @@ object BatchLedger {
  * driver. Pruned partitions cost their parent listing only.
  */
 final class TierFileIndex(spark: SparkSession, tierRoot: HPath,
-    asOf: Option[AsOfPin] = None) extends FileIndex {
+    asOf: Option[AsOfPin] = None,
+    slice: Option[TierFileIndex.Slice] = None) extends FileIndex {
 
   private val fs: FileSystem =
     tierRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -433,8 +434,18 @@ final class TierFileIndex(spark: SparkSession, tierRoot: HPath,
     // bounded pool (Listing): a 100 TB tier holds ~10⁵ partitions, and
     // serializing one listStatus per partition on the driver would
     // dominate planning; the pool caps the fan-out store-wide
-    val mDirs = fs.listStatus(tierRoot).toSeq.filter(e =>
-      e.isDirectory && e.getPath.getName.startsWith("measurement="))
+    // the LISTING slice (round 13): when the caller already knows the
+    // measurement / date window (the planner always does), partitions
+    // outside it are pruned BY NAME before their directory is ever
+    // listed or their manifest read — a 1-hour query over a year of
+    // 100 TB history lists one or two date directories, not the tier
+    val mDirs = fs.listStatus(tierRoot).toSeq.filter { e =>
+      e.isDirectory && e.getPath.getName.startsWith("measurement=") && {
+        val m = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(e.getPath.getName.stripPrefix("measurement="))
+        slice.forall(_.admitsMeasurement(m))
+      }
+    }
     val dated = Listing.listMany(fs, mDirs.map(_.getPath))
       .zip(mDirs).flatMap { case (children, mDir) =>
         // hive-style partition-dir escaping, same rule the writer applied
@@ -442,7 +453,9 @@ final class TierFileIndex(spark: SparkSession, tierRoot: HPath,
           .unescapePathName(mDir.getPath.getName.stripPrefix("measurement="))
         children.collect {
           case dDir if dDir.isDirectory &&
-              dDir.getPath.getName.startsWith("date=") =>
+              dDir.getPath.getName.startsWith("date=") &&
+              slice.forall(_.admitsDate(
+                dDir.getPath.getName.stripPrefix("date="))) =>
             (m, dDir.getPath.getName.stripPrefix("date="), dDir.getPath)
         }
       }
@@ -498,4 +511,25 @@ final class TierFileIndex(spark: SparkSession, tierRoot: HPath,
   override def refresh(): Unit = { cached = list() }
 
   override def sizeInBytes: Long = cached.flatMap(_._4).map(_.getLen).sum
+}
+
+object TierFileIndex {
+
+  /** A LISTING slice: the partitions a query can possibly touch, known
+   *  before any directory is listed. `measurement` is exact;
+   *  `fromDate`/`toDate` (yyyy-MM-dd, inclusive) bound the derived date
+   *  partition — derive them with [[graft.query.Planner.dateWindow]] so
+   *  the slice and the scan's partition-filter predicate can never
+   *  disagree. A partition OUTSIDE the slice is pruned by NAME — its
+   *  directory is never listed, its manifests never read. */
+  final case class Slice(measurement: Option[String],
+      fromDate: Option[String], toDate: Option[String]) {
+    def admitsMeasurement(m: String): Boolean = measurement.forall(_ == m)
+    /** Date dirs are yyyy-MM-dd, so STRING comparison is date order —
+     *  malformed names are admitted (then dropped by the date parse in
+     *  the main listing, exactly as before). */
+    def admitsDate(d: String): Boolean =
+      d.length != 10 ||
+        (fromDate.forall(_ <= d) && toDate.forall(d <= _))
+  }
 }

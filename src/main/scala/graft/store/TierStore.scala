@@ -414,6 +414,25 @@ final class TierStore(spark: SparkSession, val root: String) {
       .getOrElse(emptyPoints)
 
   /**
+   * LISTING-SLICED read: like [[read]], but partitions outside the
+   * given measurement / inclusive date window are pruned BY NAME before
+   * their directory is ever listed or their manifest read. [[read]]'s
+   * plan-time pruning already keeps pruned partitions' FILES out of the
+   * scan; this keeps their LISTINGS out of planning — at 100 TB
+   * (~10⁵ partitions) a 1-hour query lists one or two date directories
+   * instead of paying one listStatus per partition of the tier. Derive
+   * the window with [[graft.query.Planner.dateWindow]] (the same
+   * arithmetic as the scan's partition-filter predicate). `asOf` pins
+   * the sliced read exactly like [[readAsOf]].
+   */
+  def readSlice(tier: Tier, measurement: Option[String],
+      fromDate: Option[String], toDate: Option[String],
+      asOf: Option[AsOfPin] = None): DataFrame =
+    indexedRead(new TierFileIndex(spark, new HPath(path(tier.name)), asOf,
+      Some(TierFileIndex.Slice(measurement, fromDate, toDate))))
+      .getOrElse(emptyPoints)
+
+  /**
    * TIME-TRAVEL read: the tier as it was at `asOfMillis` — the snapshot
    * each partition had committed by then plus the raw appends that had
    * landed by then. The reproducibility contract a training run needs:
@@ -611,7 +630,8 @@ final class TierStore(spark: SparkSession, val root: String) {
    *  different columns answer per-measurement catalog DATA, not just
    *  keys; None when the measurement resolves no files in this tier. */
   private def measurementRead(tier: Tier, m: String): Option[DataFrame] = {
-    val index = new TierFileIndex(spark, new HPath(path(tier.name)))
+    val index = new TierFileIndex(spark, new HPath(path(tier.name)),
+      slice = Some(TierFileIndex.Slice(Some(m), None, None)))
     val parts = index.resolvedPartitions.filter(_._1 == m).map {
       case (_, d, _, files) =>
         (org.apache.spark.sql.catalyst.InternalRow(

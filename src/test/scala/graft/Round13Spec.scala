@@ -7,6 +7,7 @@ import graft.model.{DataPointsFilter, DataPointsRequest, Tier}
 import graft.query.{InfluxQL, Planner}
 import graft.store.TierStore
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 /** Round-13 contract fixes: point-window transforms over FILL(null)
@@ -198,6 +199,45 @@ class Round13Spec extends SparkSpec {
       r.getString(r.fieldIndex("location_id")),
       r.getDouble(r.fieldIndex("value")))).toSet ==
       Set((base, "1", 20.0), (base + 120, "1", 30.0)))
+  }
+
+  test("listing slice: only the touched partitions are resolved, and the " +
+    "sliced read equals the filtered full read") {
+    val root = java.nio.file.Files.createTempDirectory("graft_r13slice")
+      .toFile.getAbsolutePath
+    val store = new TierStore(spark, root)
+    // 2 measurements x 5 dates = 10 partitions
+    val rows = for (m <- Seq("app_a", "app_b"); d <- 1 to 5) yield
+      Row(m, new java.sql.Timestamp((base + (d - 1) * 86400L) * 1000), d.toDouble,
+        "d1", "1", "sensor")
+    store.write(Tier.GenDefault,
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), schema))
+    val full = store.read(Tier.GenDefault)
+      .filter(col("measurement") === "app_a" &&
+        col("date").between("2024-01-02", "2024-01-03"))
+      .select("value").collect().map(_.getDouble(0)).toSet
+    val sliced = store.readSlice(Tier.GenDefault, Some("app_a"),
+      Some("2024-01-02"), Some("2024-01-03"))
+      .select("value").collect().map(_.getDouble(0)).toSet
+    assert(sliced == Set(2.0, 3.0) && sliced == full)
+    // the CLAIM: partitions outside the slice are never even resolved
+    val idx = new graft.store.TierFileIndex(spark,
+      new org.apache.hadoop.fs.Path(s"$root/tier=gen_default"),
+      slice = Some(graft.store.TierFileIndex.Slice(Some("app_a"),
+        Some("2024-01-02"), Some("2024-01-03"))))
+    assert(idx.resolvedPartitions.map(p => (p._1, p._2)).toSet ==
+      Set(("app_a", "2024-01-02"), ("app_a", "2024-01-03")))
+    // Planner arithmetic shared: the window derives from dateWindow
+    val (lo, hi) = Planner.dateWindow(base + 86400, base + 2 * 86400, "UTC")
+    assert((lo, hi) == ("2024-01-02", "2024-01-03"))
+    // and the command path composes: get_data_points answers the same
+    // values through the sliced resolver
+    val ctx = graft.api.Api.Context(spark, store, now = () => now)
+    val viaApi = graft.api.Api.dispatch(ctx, "cmd.tsdb.get_data_points",
+      graft.api.Api.GetDataPointsRequest(measurementName = "app_a",
+        fromTime = "2024-01-02T00:00:00Z", toTime = "2024-01-03T12:00:00Z"))
+      .select("value").collect().map(_.getDouble(0)).toSet
+    assert(viaApi == Set(2.0, 3.0), s"api got $viaApi")
   }
 
   test("two commits inside one forced-identical mtime tick still pin " +
