@@ -431,6 +431,13 @@ class InfluxQLSpec extends SparkSpec {
       """SELECT mean("value") FROM "gen_raw"."sensor_temp" WHERE time >= '2024-01-02T00:00:00Z' AND time <= '2024-01-02T23:59:59Z' GROUP BY time(1h) FILL(none)""")
       .collect().map(r => (r.getAs[Long]("time"), r.getAs[Double]("value"))).toSeq
     assert(out == Seq((1704153600L, 15.0)))
+    // a one-level subquery through the same dispatch (round 13): daily
+    // max of the hourly means, reading through the listing-sliced
+    // resolver — 99.0 (next day) must still be excluded by the inner
+    val subOut = Api.dispatch(ctx, "cmd.tsdb.query",
+      """SELECT max("mv") FROM (SELECT mean("value") AS "mv" FROM "gen_raw"."sensor_temp" WHERE time >= '2024-01-02T00:00:00Z' AND time <= '2024-01-02T23:59:59Z' GROUP BY time(1h)) GROUP BY time(1d) FILL(none)""")
+      .collect().map(r => (r.getAs[Long]("time"), r.getAs[Double]("value"))).toSeq
+    assert(subOut == Seq((1704153600L, 15.0)), s"subquery: $subOut")
     // SHOW forms route to the catalog commands
     val ms = Api.dispatch(ctx, "cmd.tsdb.query", "SHOW MEASUREMENTS")
       .collect().map(_.getAs[String]("measurement")).toSeq
