@@ -565,12 +565,13 @@ object Planner {
    *  these only at actual points, so a FILL(null) spine must neither
    *  receive fabricated values nor dilute the n-point window. */
   private def transformWrap(fn: String, df: DataFrame, partCols: Seq[String],
-      bucketSec: Long): DataFrame =
+      bucketSec: Long, mayHaveNulls: Boolean = true): DataFrame =
     fn.split(",").map(_.trim).filter(_.nonEmpty)
-      .foldLeft(df)((d, f) => transformOne(f, d, partCols, bucketSec))
+      .foldLeft(df)((d, f) =>
+        transformOne(f, d, partCols, bucketSec, mayHaveNulls))
 
   private def transformOne(fn: String, df: DataFrame, partCols: Seq[String],
-      bucketSec: Long): DataFrame = {
+      bucketSec: Long, mayHaveNulls: Boolean = true): DataFrame = {
     // sequential transforms share one lag shape: per-tag windows when a
     // group key exists (numerous short partitions), the blocked global
     // prefix scan otherwise — never an unpartitioned window
@@ -583,9 +584,13 @@ object Planner {
       }
     // point-window transforms act on REAL points only: compute over the
     // non-null subset, pass gap-fill null rows through unchanged so a
-    // FILL(null) spine keeps its shape with nulls intact
+    // FILL(null) spine keeps its shape with nulls intact. When the
+    // caller PROVES nulls impossible (FILL(none)/numeric fills drop or
+    // coalesce every gap), the split — and its extra exchange — is
+    // skipped entirely
     def onRealPoints(d: DataFrame)(f: DataFrame => DataFrame): DataFrame =
-      f(d.filter(col("value").isNotNull))
+      if (!mayHaveNulls) f(d)
+      else f(d.filter(col("value").isNotNull))
         .unionByName(d.filter(col("value").isNull))
     fn match {
       case "difference" if partCols.isEmpty => blockedDifference(df, bucketSec)
@@ -814,8 +819,17 @@ object Planner {
         filtered.select(unix_timestamp(col("time")).as("time"), col("value"))
       }
 
+    // nulls reach the transforms ONLY from gap fill: FILL(null) and the
+    // edge rows of previous/linear. FILL(none) drops empty buckets and a
+    // numeric fill coalesces them, so bucketed shapes under those fills
+    // are provably null-free and the real-point split can be elided.
+    // (The raw and tag-echo shapes keep the split: a foreign table's
+    // value column may carry nulls of its own.)
+    val nullFree = groupByTime.nonEmpty &&
+      (fillType == "none" || fillType.toDoubleOption.isDefined)
     val wrapped = transformWrap(req.transformFunction, shaped,
-      if (tag.nonEmpty) Seq(tag) else Nil, bucketSec)
+      if (tag.nonEmpty) Seq(tag) else Nil, bucketSec,
+      mayHaveNulls = !nullFree)
     applySelectModifiers(wrapped, req, if (tag.nonEmpty) Seq(tag) else Nil)
   }
 
