@@ -348,6 +348,56 @@ object SparkEntry {
         .select(col("time"), round(col("value"), 6).as("value"))
     }),
 
+    "s7_multi_select" -> ((s, dir) => {
+      // round-13 dialect tail: the multi-series panel shape — three
+      // aggregates of one field, tag-grouped, planned as ONE scan + ONE
+      // shuffle (a single Aggregate node; InfluxQLSpec pins the plan to
+      // no-join/no-union)
+      graft.query.InfluxQL.dataPoints(
+        """SELECT mean("value") AS "avg_v", max("value") AS "max_v", count("value") AS "n" """ +
+          """FROM "app_click" WHERE time > now()-5w """ +
+          """GROUP BY time(1d), "location_id" FILL(none)""",
+        _ => points(s, dir, "app_"), _ => None, Now)
+        .select(col("time"), round(col("avg_v"), 6).as("avg_v"),
+          col("max_v"), col("n"), col("location_id"))
+    }),
+
+    "s7_regex_from" -> ((s, dir) => {
+      // regex measurement: the pattern matches against the measurement
+      // CATALOG (metadata, never a data scan); matched measurements
+      // union, one series each, every branch pruned to its own
+      // partitions — the Grafana multi-measurement panel form
+      val catalog = () => Seq("sensor_click", "sensor_error",
+        "sensor_purchase", "sensor_signup", "sensor_view")
+      graft.query.InfluxQL.dataPoints(
+        """SELECT sum("value") FROM /^sensor_(click|view)$/ """ +
+          """WHERE time > now()-5w GROUP BY time(1d) FILL(none)""",
+        _ => points(s, dir, "sensor_"), _ => None, Now, catalog)
+        .select(col("measurement"), col("time"),
+          round(col("value"), 6).as("value"))
+    }),
+
+    "s7_select_into" -> ((s, dir) => {
+      // SELECT INTO materializes hourly means as stored points under a
+      // NEW measurement (rp-pinned write through the ledgered store
+      // path), then the ordinary grammar reads them back — equality
+      // with the oracle's direct aggregation proves the
+      // materialize→store→read loop lossless
+      val root = java.nio.file.Files.createTempDirectory("graft_s7into")
+        .toFile.getAbsolutePath
+      val store = new graft.store.TierStore(s, root)
+      store.writeRouted(points(s, dir, "app_"))
+      val ctx = graft.api.Api.Context(s, store, now = () => Now)
+      graft.api.Api.dispatch(ctx, "cmd.tsdb.query",
+        """SELECT mean("value") INTO "gen_default"."click_hourly" FROM "app_click" """ +
+          """WHERE time >= '2024-01-01T00:00:00Z' AND time <= '2024-01-31T00:00:00Z' """ +
+          """GROUP BY time(1h) FILL(none)""").collect()
+      graft.api.Api.dispatch(ctx, "cmd.tsdb.query",
+        """SELECT "value" FROM "gen_default"."click_hourly" """ +
+          """WHERE time >= '2024-01-01T00:00:00Z' AND time <= '2024-01-31T00:00:00Z'""")
+        .select(col("time"), round(col("value"), 6).as("value"))
+    }),
+
     "s6_write_api" -> ((s, dir) => {
       // S6 write-API round trip (admin.go:179-204): submit a bounded,
       // deterministic point set through cmd.tsdb.write_data_points (the
@@ -2721,6 +2771,33 @@ object SparkEntry {
          |SELECT CAST(floor(t / 86400) * 86400 AS BIGINT) AS time,
          |  round(max(val), 6) AS value
          |FROM agg GROUP BY 1""".stripMargin,
+
+    "s7_multi_select" ->
+      s"""WITH ${ptsCte("app_")}
+         |SELECT CAST(floor(tsec / 86400) * 86400 AS BIGINT) AS time,
+         |  round(avg(v), 6) AS avg_v, max(v) AS max_v, count(v) AS n,
+         |  loc AS location_id
+         |FROM pts WHERE m = 'app_click' AND tsec > 1703721600
+         |GROUP BY 1, 5""".stripMargin,
+
+    "s7_regex_from" ->
+      s"""WITH ${ptsCte("sensor_")}
+         |SELECT m AS measurement,
+         |  CAST(floor(tsec / 86400) * 86400 AS BIGINT) AS time,
+         |  round(sum(v), 6) AS value
+         |FROM pts WHERE m IN ('sensor_click', 'sensor_view')
+         |  AND tsec > 1703721600
+         |GROUP BY 1, 2""".stripMargin,
+
+    // computed from the ORIGINAL events: the INTO write → store → read
+    // loop must reproduce the direct hourly aggregation exactly
+    "s7_select_into" ->
+      s"""WITH ${ptsCte("app_")}
+         |SELECT CAST(floor(tsec / 3600) * 3600 AS BIGINT) AS time,
+         |  round(avg(v), 6) AS value
+         |FROM pts
+         |WHERE m = 'app_click' AND tsec >= 1704067200 AND tsec <= 1706659200
+         |GROUP BY 1""".stripMargin,
 
     "s2_log_replay" ->
       """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS time_sec,

@@ -699,7 +699,62 @@ object Api {
         InfluxQL.dataPoints(sub, t => ctx.store.read(t),
           ctx.store.tierByName(_), ctx.now(),
           sliceResolve = Some(slicedRead(ctx, "")))
+      case ms: InfluxQL.MultiSelect =>
+        InfluxQL.dataPoints(ms, t => ctx.store.read(t),
+          ctx.store.tierByName(_), ctx.now(), Some(slicedRead(ctx, "")))
+      case rs: InfluxQL.RegexSelect =>
+        // the regex matches against the store CATALOG (a listing, not a
+        // data scan), across every retention tier the store carries
+        InfluxQL.dataPoints(rs, t => ctx.store.read(t),
+          ctx.store.tierByName(_), ctx.now(), Some(slicedRead(ctx, "")),
+          () => ctx.store.retentionPolicies
+            .flatMap(t => ctx.store.measurements(t)).distinct)
+      case si: InfluxQL.SelectInto => selectInto(ctx, si)
     }
+  }
+
+  /** Execute `SELECT ... INTO`: plan the source select, drop gap-fill
+   *  null rows (fill rows are not points), write the result as stored
+   *  points under the target measurement — an explicit rp pins the
+   *  write tier, otherwise the router places the new measurement by
+   *  name — and return InfluxDB's `(time=0, written=N)` row. The
+   *  result frame is aggregate-sized; persisting it for the
+   *  write-then-count pair avoids re-running the source scan. */
+  private def selectInto(ctx: Context,
+      si: graft.query.InfluxQL.SelectInto): DataFrame = {
+    import graft.query.InfluxQL
+    val planned = si.inner match {
+      case s: InfluxQL.Select =>
+        InfluxQL.dataPoints(s, t => ctx.store.read(t), ctx.store.tierByName(_),
+          ctx.now(), sliceResolve = Some(slicedRead(ctx, "")))
+      case s: InfluxQL.Subquery =>
+        InfluxQL.dataPoints(s, t => ctx.store.read(t), ctx.store.tierByName(_),
+          ctx.now(), Some(slicedRead(ctx, "")))
+      case other => throw new IllegalArgumentException(
+        s"SELECT INTO source must be a single-field SELECT: $other")
+    }
+    if (!planned.columns.contains("time"))
+      throw new IllegalArgumentException(
+        "SELECT INTO needs a time axis (GROUP BY time(...) or raw " +
+          "points); a whole-range aggregate carries no point time")
+    val tagCols = planned.columns.toSeq.filterNot(Set("time", "value"))
+    val pts = planned.filter(col("value").isNotNull)
+      .select(lit(si.target).as("measurement") +:
+        timestamp_seconds(col("time")).as("time") +:
+        col("value") +: tagCols.map(col): _*)
+      .persist()
+    try {
+      si.retentionPolicy match {
+        case Some(name) =>
+          val t = ctx.store.tierByName(name).getOrElse(
+            throw new IllegalArgumentException(s"unknown retention policy: $name"))
+          ctx.store.write(t, pts)
+        case None => ctx.store.writeRouted(pts)
+      }
+      val n = pts.count()
+      import ctx.spark.implicits._
+      Seq((0L, n)).toDF("time", "written")
+    } finally { pts.unpersist(); () }
   }
 
   /** Route a command to the process's own store/state when a registry is

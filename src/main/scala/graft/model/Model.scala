@@ -98,6 +98,18 @@ final case class DataPointsRequest(
     sLimit: Int = 0,
     sOffset: Int = 0)
 
+/** One item of a multi-field/multi-aggregate SELECT list (InfluxQL
+ *  `SELECT mean("v") AS a, max("v") AS b ...` — the multi-series Grafana
+ *  panel shape the reference forwarded through its open namespace,
+ *  influxdb_v1.go:87-95). `alias` empty = name the output column the
+ *  InfluxDB way (the outermost function name, or the field name for a
+ *  bare projection; duplicates suffixed `_1`, `_2`, ...). */
+final case class SelectItem(
+    fieldName: String,
+    dataFunction: String = "",
+    transformFunction: String = "",
+    alias: String = "")
+
 /** Tag/device/location filters (reference: storage/influxdb_v1.go:18-23). */
 final case class DataPointsFilter(
     tags: Map[String, String] = Map.empty,

@@ -2,7 +2,7 @@ package graft.query
 
 import java.time.Instant
 
-import graft.model.{DataPointsFilter, DataPointsRequest, Tier}
+import graft.model.{DataPointsFilter, DataPointsRequest, SelectItem, Tier}
 import org.apache.spark.sql.DataFrame
 
 /**
@@ -21,11 +21,21 @@ import org.apache.spark.sql.DataFrame
  * Supported grammar (keywords case-insensitive, identifiers optionally
  * double-quoted, strings single-quoted):
  *
- *   SELECT <sel> FROM ["db".]["rp".]"measurement"
+ *   SELECT <sel>[, <sel>]... [INTO ["rp".]"target"]
+ *     FROM ["db".]["rp".]"measurement"
+ *                    | /regex/             — unanchored match against the
+ *                      measurement catalog (Go-re2 convention); one
+ *                      series per matched measurement, tagged by a
+ *                      `measurement` result column
  *                    | ( SELECT ... )      — ONE nesting level (the
  *                      Grafana max-of-mean idiom); the inner's AS alias
  *                      names the column the outer selects; deeper
  *                      nesting refuses in the error envelope
+ *       — a multi-item list (the multi-series panel shape) plans as ONE
+ *         scan+shuffle; items are ALL aggregated or ALL bare (InfluxDB's
+ *         mixing rule), columns named by alias or function name with
+ *         `_1`/`_2` dedup; INTO materializes the result as stored points
+ *         under `target` and returns (time=0, written=N)
  *     [WHERE cond [AND cond]...]
  *     [GROUP BY time(<dur>)[, tag] | tag] [FILL(null|previous|none|linear|<n>)]
  *     [ORDER BY time ASC|DESC] [LIMIT n] [OFFSET m] [SLIMIT n] [SOFFSET m]
@@ -70,6 +80,27 @@ object InfluxQL {
    *  to "value". Deeper nesting is refused in the error envelope. */
   final case class Subquery(outer: Select, inner: Select, innerAlias: String)
       extends Statement
+  /** Multi-item select list — `SELECT mean("v") AS a, max("v") AS b ...`
+   *  (the multi-series Grafana panel shape). `req` carries the shared
+   *  frame (measurement, WHERE, GROUP BY, FILL, modifiers) with its
+   *  per-item fields empty; the items carry field/function/transform/
+   *  alias. Planned as ONE scan + ONE shuffle
+   *  ([[Planner.dataPointsMulti]]). */
+  final case class MultiSelect(items: Seq[SelectItem], req: DataPointsRequest,
+      retentionPolicy: Option[String]) extends Statement
+  /** Regex measurement — `FROM /pattern/` (Go-RE2-style unanchored
+   *  match, the Grafana multi-measurement panel form). `sel` carries
+   *  the whole statement with a placeholder measurement; planning
+   *  matches the pattern against the store catalog and unions the
+   *  per-measurement plans, each tagged with a `measurement` column. */
+  final case class RegexSelect(sel: Select, pattern: String) extends Statement
+  /** `SELECT <agg> INTO ["rp".]"target" FROM ...` — materialize a query
+   *  result as stored points under a new measurement (the InfluxDB
+   *  manual-downsample idiom). The write happens at the Api layer (the
+   *  shim stays store-free); the result is InfluxDB's
+   *  `(time=0, written=N)` row. */
+  final case class SelectInto(inner: Statement, retentionPolicy: Option[String],
+      target: String) extends Statement
   case object ShowMeasurements extends Statement
   case object ShowRetentionPolicies extends Statement
   case object ShowContinuousQueries extends Statement
@@ -113,6 +144,12 @@ object InfluxQL {
       s.matches("show\\s+databases\\s*;?") ||
       s.matches("(?s)show\\s+(tag\\s+keys|tag\\s+values|field\\s+keys|series)\\b.*") ||
       s.matches("(?s)select\\s+.*\\bfrom\\s*\\(\\s*select\\b.*") ||
+      // FROM /re/ — a regex measurement; no Spark SQL FROM clause starts
+      // its relation with a bare slash (paths spell `parquet.`/p/``)
+      s.matches("(?s)select\\s+.*\\bfrom\\s+(?:\"[^\"]+\"\\s*\\.\\s*)*/.*") ||
+      // SELECT ... INTO ... FROM — InfluxDB's materializing select;
+      // Spark's write form is INSERT INTO, which starts with INSERT
+      s.matches("(?s)select\\s+.+\\binto\\s+.+\\bfrom\\b.*") ||
       s.matches("(?s).*now\\(\\)\\s*[-+]\\s*\\d+(ns|us|µs|ms|s|m|h|d|w).*") ||
       s.matches("(?s).*\\bfill\\s*\\(.*") ||
       s.matches("(?s).*\\bgroup\\s+by\\s+.*\\btime\\s*\\(.*") ||
@@ -170,14 +207,50 @@ object InfluxQL {
     }
     if (l.startsWith("show"))
       throw new IllegalArgumentException(s"unsupported SHOW statement: $raw")
+    // SELECT ... INTO target FROM ... — peel the INTO clause (top level
+    // only; it sits between the select list and FROM) and parse the rest
+    val intoRe = ("(?is)^(SELECT\\s+.+?)\\s+INTO\\s+" +
+      "((?:\"[^\"]+\"|[\\w\\-]+)(?:\\s*\\.\\s*(?:\"[^\"]+\"|[\\w\\-]+)){0,2})" +
+      "\\s+(FROM\\b.*)$").r
+    intoRe.findFirstMatchIn(q).foreach { m =>
+      // tokenize the dotted parts (a QUOTED name may itself carry dots)
+      val parts = "\"[^\"]+\"|[\\w\\-]+".r.findAllIn(m.group(2))
+        .toSeq.map(unquote)
+      val target = parts.last
+      val rp = if (parts.length >= 2) Some(parts(parts.length - 2)) else None
+      val inner = parse(s"${m.group(1)} ${m.group(3)}")
+      inner match {
+        case _: Select | _: Subquery => return SelectInto(inner, rp, target)
+        case _ => throw new IllegalArgumentException(
+          "SELECT INTO supports a single-field SELECT (optionally over " +
+            s"a one-level subquery): $raw")
+      }
+    }
+    // FROM /re/ — regex measurement: splice in a placeholder, parse the
+    // statement as usual, wrap with the pattern (InfluxDB matches the
+    // regex UNANCHORED against measurement names, Go re2 style)
+    val regexFromRe =
+      ("(?is)\\bFROM\\s+((?:(?:\"[^\"]+\"|[\\w\\-]+)\\s*\\.\\s*){0,2})" +
+        "/((?:[^/\\\\]|\\\\.)+)/").r
+    regexFromRe.findFirstMatchIn(q).foreach { m =>
+      val pattern = m.group(2).replace("\\/", "/")
+      val spliced = q.substring(0, m.start) +
+        s"FROM ${m.group(1)}$RegexMeasurement" + q.substring(m.end)
+      parse(spliced) match {
+        case sel: Select => return RegexSelect(sel, pattern)
+        case _ => throw new IllegalArgumentException(
+          "a regex measurement supports a single-item plain SELECT " +
+            s"(no subquery, no multi-field list): $raw")
+      }
+    }
     splitSubquery(q).foreach { case (pre, innerText, post) =>
       return parseSubquery(raw, pre, innerText, post)
     }
     val m = SelectRe.findFirstMatchIn(q).getOrElse(
       throw new IllegalArgumentException(s"unsupported InfluxQL statement: $raw"))
-    val (fieldName, dataFunction, transformFunction) = parseSelectList(m.group(1))
-    // 1-3 FROM parts: [db.][rp.]measurement — measurement is the last,
-    // the rp the one before it, a third (db) is ignored
+    // the shared frame — FROM parts ([db.][rp.]measurement; the db name
+    // is the store itself and is ignored), WHERE, GROUP BY, FILL, and the
+    // SELECT modifiers — identical for single- and multi-item lists
     val fromParts = Seq(m.group(2), m.group(3), m.group(4))
       .filter(_ != null).map(unquote)
     val measurement = fromParts.last
@@ -187,6 +260,20 @@ object InfluxQL {
     val (groupByTime, groupByTag) =
       Option(m.group(6)).map(parseGroupBy).getOrElse(("", ""))
     val fillType = Option(m.group(7)).map(_.toLowerCase).getOrElse("")
+    val baseReq = DataPointsRequest(
+      measurement = measurement,
+      relativeTime = relativeTime, fromTime = fromTime, toTime = toTime,
+      groupByTime = groupByTime, groupByTag = groupByTag,
+      fillType = fillType, filters = filters,
+      orderDesc = Option(m.group(8)).exists(_.equalsIgnoreCase("desc")),
+      limit = Option(m.group(9)).map(_.toInt).getOrElse(0),
+      offset = Option(m.group(10)).map(_.toInt).getOrElse(0),
+      sLimit = Option(m.group(11)).map(_.toInt).getOrElse(0),
+      sOffset = Option(m.group(12)).map(_.toInt).getOrElse(0))
+    val selItems = splitTopLevelCommas(m.group(1))
+    if (selItems.length > 1)
+      return MultiSelect(selItems.map(parseSelectItem), baseReq, rp)
+    val (fieldName, dataFunction, transformFunction) = parseSelectList(m.group(1))
     // sequential transforms (difference / derivative / elapsed /
     // cumulative_sum / moving_average and variants) need a time axis to
     // run ALONG: raw rows carry their own `time`, and GROUP BY time(..)
@@ -207,24 +294,53 @@ object InfluxQL {
       throw new IllegalArgumentException(
         "a sequential transform over an aggregate requires GROUP BY time(...): " +
           s"nothing provides a time axis in: $raw")
-    Select(DataPointsRequest(
-      measurement = measurement,
+    Select(baseReq.copy(
       fieldName = if (fieldName == "value") "" else fieldName,
-      dataFunction = dataFunction, transformFunction = transformFunction,
-      relativeTime = relativeTime, fromTime = fromTime, toTime = toTime,
-      groupByTime = groupByTime, groupByTag = groupByTag,
-      fillType = fillType, filters = filters,
-      orderDesc = Option(m.group(8)).exists(_.equalsIgnoreCase("desc")),
-      limit = Option(m.group(9)).map(_.toInt).getOrElse(0),
-      offset = Option(m.group(10)).map(_.toInt).getOrElse(0),
-      sLimit = Option(m.group(11)).map(_.toInt).getOrElse(0),
-      sOffset = Option(m.group(12)).map(_.toInt).getOrElse(0)), rp)
+      dataFunction = dataFunction, transformFunction = transformFunction), rp)
+  }
+
+  /** Split a select list on its depth-0 commas (commas inside function
+   *  parens — `percentile(v, 95)` — stay with their item). Quoted
+   *  identifiers can't carry commas in this grammar, so paren depth is
+   *  the only state needed. */
+  private def splitTopLevelCommas(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var start = 0; var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
+          out += s.substring(start, i).trim; start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start).trim
+    out.result().filter(_.nonEmpty)
+  }
+
+  /** One select-list item with its `AS` alias (empty = InfluxDB's
+   *  function-name column naming, [[Planner.itemAliases]]). */
+  private def parseSelectItem(sel: String): SelectItem = {
+    val asRe = "(?is)^(.*?)\\s+AS\\s+(\"[^\"]+\"|\\w+)\\s*$".r
+    val (core, alias) = sel.trim match {
+      case asRe(c, a) => (c.trim, unquote(a))
+      case s => (s, "")
+    }
+    val (f, fn, tr) = parseSelectList(core)
+    SelectItem(fieldName = f, dataFunction = fn, transformFunction = tr,
+      alias = alias)
   }
 
   /** The planner-facing measurement name a subquery's inner result
    *  frame carries (never collides with a stored measurement: stored
    *  names come from the ingest transform, which never emits it). */
   private val SubMeasurement = "__subquery__"
+
+  /** Placeholder spliced in for a `/regex/` FROM while the rest of the
+   *  statement parses through the ordinary grammar. */
+  private val RegexMeasurement = "__regex__"
 
   /** Split `... FROM ( inner ) tail` at the balanced parens: (text
    *  before FROM's paren incl. FROM, inner text, tail). None when the
@@ -453,13 +569,82 @@ object InfluxQL {
       _ => pts, queryNow)
   }
 
-  /** String-in, DataFrame-out convenience for SELECTs (the S7 entry). */
+  /** Plan a multi-item SELECT — the same rp-pins-the-tier contract as
+   *  the single-select overload, planned by [[Planner.dataPointsMulti]]
+   *  (one scan + one shuffle for the whole list). */
+  def dataPoints(ms: MultiSelect, resolve: Tier => DataFrame,
+      tierByName: String => Option[Tier], now: Instant,
+      sliceResolve: Option[(Tier, String, Long, Long) => DataFrame]): DataFrame = {
+    val req =
+      if (ms.req.fromTime.nonEmpty && ms.req.toTime.isEmpty)
+        ms.req.copy(toTime = now.toString)
+      else ms.req
+    ms.retentionPolicy match {
+      case Some(name) =>
+        val t = tierByName(name).getOrElse(
+          throw new IllegalArgumentException(s"unknown retention policy: $name"))
+        Planner.dataPointsMulti(ms.items, req, _ => resolve(t), now,
+          sliceResolve.map(f =>
+            (_: Tier, m: String, a: Long, b: Long) => f(t, m, a, b)))
+      case None => Planner.dataPointsMulti(ms.items, req, resolve, now, sliceResolve)
+    }
+  }
+
+  /**
+   * Plan a regex-measurement SELECT: match the pattern (unanchored, the
+   * Go-re2 convention InfluxDB uses) against the store's measurement
+   * catalog — a METADATA-sized list, never a data scan — and union the
+   * per-measurement plans, each tagged with a `measurement` column
+   * (InfluxDB emits one series per matched measurement). Every branch
+   * prunes to its own measurement partitions, so the union reads exactly
+   * the rows a single rlike scan would, while fills/transforms/limits
+   * run per measurement as InfluxDB defines them. SLIMIT/SOFFSET order
+   * series ACROSS measurements in InfluxDB and refuse here.
+   */
+  def dataPoints(rs: RegexSelect, resolve: Tier => DataFrame,
+      tierByName: String => Option[Tier], now: Instant,
+      sliceResolve: Option[(Tier, String, Long, Long) => DataFrame],
+      measurements: () => Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    if (rs.sel.req.sLimit > 0 || rs.sel.req.sOffset > 0)
+      throw new IllegalArgumentException(
+        "SLIMIT/SOFFSET with a regex measurement is not supported " +
+          "(the series cut would order across measurements)")
+    val p = java.util.regex.Pattern.compile(rs.pattern)
+    def planFor(m: String): DataFrame =
+      dataPoints(rs.sel.copy(req = rs.sel.req.copy(measurement = m)),
+        resolve, tierByName, now, sliceResolve)
+    measurements().distinct.filter(m => p.matcher(m).find()).sorted match {
+      // no match: an empty frame in the regex result shape (a sentinel
+      // plan supplies the schema; limit(0) keeps even its fill spine out)
+      case Nil => planFor(RegexMeasurement)
+        .withColumn("measurement", lit("")).limit(0)
+      case matched => matched
+        .map(m => planFor(m).withColumn("measurement", lit(m)))
+        .reduce(_ unionByName _)
+    }
+  }
+
+  /** String-in, DataFrame-out convenience for SELECTs (the S7 entry).
+   *  The catalog-backed forms take their extra inputs explicitly:
+   *  regex FROM needs the measurement list, SELECT INTO a store to
+   *  write (both wired at the Api layer). */
   def dataPoints(sql: String, resolve: Tier => DataFrame,
       tierByName: String => Option[Tier], now: Instant): DataFrame =
+    dataPoints(sql, resolve, tierByName, now, () => Seq.empty)
+
+  /** As above, with the measurement catalog a `/regex/` FROM matches. */
+  def dataPoints(sql: String, resolve: Tier => DataFrame,
+      tierByName: String => Option[Tier], now: Instant,
+      measurements: () => Seq[String]): DataFrame =
     parse(sql) match {
       case sel: Select => dataPoints(sel, resolve, tierByName, now)
       case sub: Subquery => dataPoints(sub, resolve, tierByName, now, None)
+      case ms: MultiSelect => dataPoints(ms, resolve, tierByName, now, None)
+      case rs: RegexSelect =>
+        dataPoints(rs, resolve, tierByName, now, None, measurements)
       case other => throw new IllegalArgumentException(
-        s"not a SELECT statement: $other")
+        s"not a planner-served SELECT statement (SELECT INTO and the SHOW " +
+          s"forms dispatch through the Api): $other")
     }
 }

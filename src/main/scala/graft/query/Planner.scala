@@ -2,7 +2,7 @@ package graft.query
 
 import java.time.Instant
 
-import graft.model.{DataPointsRequest, DataPointsFilter, Tier}
+import graft.model.{DataPointsRequest, DataPointsFilter, SelectItem, Tier}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -632,26 +632,37 @@ object Planner {
         }
       case EmaFn(n) if partCols.isEmpty => blockedEma(df, 2.0 / (n + 1), bucketSec)
       case EmaFn(n) => keyedEma(df, 2.0 / (n + 1), partCols)
-      // scalar math (the InfluxQL transform namespace); ceil/floor keep
-      // the double value-column type
-      case "abs" => df.withColumn("value", abs(col("value")))
-      case "ceil" => df.withColumn("value", ceil(col("value")).cast("double"))
-      case "floor" => df.withColumn("value", floor(col("value")).cast("double"))
-      case "round" => df.withColumn("value", round(col("value"), 0))
-      case "sqrt" => df.withColumn("value", sqrt(col("value")))
-      case "exp" => df.withColumn("value", exp(col("value")))
-      case "ln" => df.withColumn("value", log(col("value")))
-      case "log2" => df.withColumn("value", log2(col("value")))
-      case "log10" => df.withColumn("value", log10(col("value")))
-      case "sin" => df.withColumn("value", sin(col("value")))
-      case "cos" => df.withColumn("value", cos(col("value")))
-      case "tan" => df.withColumn("value", tan(col("value")))
-      case "asin" => df.withColumn("value", asin(col("value")))
-      case "acos" => df.withColumn("value", acos(col("value")))
-      case "atan" => df.withColumn("value", atan(col("value")))
-      case PowFn(p) => df.withColumn("value", pow(col("value"), p))
-      case other => throw new IllegalArgumentException(s"unsupported transform_function: $other")
+      case other => scalarTransform(other, col("value"))
+        .map(df.withColumn("value", _))
+        .getOrElse(throw new IllegalArgumentException(
+          s"unsupported transform_function: $other"))
     }
+  }
+
+  /** Pointwise scalar math (the InfluxQL transform namespace) as a pure
+   *  column rewrite — shared by the single-select chain (which rewrites
+   *  the canonical `value` column) and the multi-select per-item chains
+   *  (which rewrite each item's own output column). ceil/floor keep the
+   *  double value-column type. None = not a scalar transform (the
+   *  sequential ones need row order, not just the cell). */
+  def scalarTransform(fn: String, c: Column): Option[Column] = fn match {
+    case "abs" => Some(abs(c))
+    case "ceil" => Some(ceil(c).cast("double"))
+    case "floor" => Some(floor(c).cast("double"))
+    case "round" => Some(round(c, 0))
+    case "sqrt" => Some(sqrt(c))
+    case "exp" => Some(exp(c))
+    case "ln" => Some(log(c))
+    case "log2" => Some(log2(c))
+    case "log10" => Some(log10(c))
+    case "sin" => Some(sin(c))
+    case "cos" => Some(cos(c))
+    case "tan" => Some(tan(c))
+    case "asin" => Some(asin(c))
+    case "acos" => Some(acos(c))
+    case "atan" => Some(atan(c))
+    case PowFn(p) => Some(pow(c, p))
+    case _ => None
   }
 
   /** The reference's absolute time-range convention as ONE shared
@@ -710,39 +721,32 @@ object Planner {
    * @return columns: `time` (epoch seconds, when time-visible), `value`,
    *         plus the group-by tag column when requested.
    */
-  /** `sliceResolve`, when given, replaces `resolve` with a reader that
-   *  receives (tier, measurement, fromSec, toSec) — the exact planned
-   *  range — so a STORE-backed resolver can prune its partition LISTING
-   *  to the touched window ([[graft.store.TierStore.readSlice]]); the
-   *  planner's own filters still apply on top, unchanged. */
-  def dataPoints(req: DataPointsRequest, resolve: Tier => DataFrame,
-      now: Instant,
-      sliceResolve: Option[(Tier, String, Long, Long) => DataFrame] = None): DataFrame = {
-    // defaults (influxdb_v1.go:102-114)
-    val groupByTime = if (req.groupByTime == "auto") "" else req.groupByTime
-    val fieldName = if (req.fieldName.isEmpty) "value" else req.fieldName
-    val dataFunction =
-      if ((req.groupByTag.nonEmpty || groupByTime.nonEmpty) && req.dataFunction.isEmpty) "mean"
-      else req.dataFunction
-    val fillType = if (req.fillType.isEmpty) "null" else req.fillType
-
+  /** The shared scan→filter frame every select shape starts from:
+   *  tier-resolved, measurement/time/tag-filtered, partition-pruned —
+   *  WITHOUT a value-column binding (single-select binds its one field,
+   *  multi-select reads each item's field by name). `tierFn` is the
+   *  data function offered to the tier policy (rollup tiers only serve
+   *  `mean`). Returns (filtered frame, fromSec, toSec).
+   *
+   *  Time predicate (influxdb_v1.go:119-139): the reference compares
+   *  floor-to-second epoch values; the exact native equivalent is
+   *    absolute:  fromSec <= time < toSec+1
+   *    relative:  time >= fromSec+1        (strict `> fromSec` on floors)
+   *  expressed directly on the timestamp column (NOT wrapped in
+   *  unix_timestamp) so parquet row-group min/max skipping applies. */
+  private def scanFrame(req: DataPointsRequest, resolve: Tier => DataFrame,
+      now: Instant, sliceResolve: Option[(Tier, String, Long, Long) => DataFrame],
+      tierFn: String, groupByTime: String): (DataFrame, Long, Long) = {
     val fromInstant: Option[Instant] =
       if (req.fromTime.nonEmpty && req.toTime.nonEmpty) Some(Instant.parse(req.fromTime)) else None
     val tier = TierPolicy.resolveQueryTier(req.measurement, Tier.ProfileOptimized,
-      fromInstant, req.relativeTime, groupByTime, dataFunction, now)
+      fromInstant, req.relativeTime, groupByTime, tierFn, now)
 
-    // time predicate (influxdb_v1.go:119-139). The reference compares
-    // floor-to-second epoch values; the exact native equivalent is
-    //   absolute:  fromSec <= time < toSec+1
-    //   relative:  time >= fromSec+1        (strict `> fromSec` on floors)
-    // expressed directly on the timestamp column (NOT wrapped in
-    // unix_timestamp) so parquet row-group min/max skipping applies.
     val (fromSec, toSec): (Long, Long) = timeRange(req, now)
     val base = sliceResolve match {
       case Some(f) => f(tier, req.measurement, fromSec, toSec)
       case None => resolve(tier)
     }
-    val valueCol = col(fieldName).as("value")
     val timePred = fromInstant match {
       case Some(_) => absoluteTimePredicate(fromSec, toSec)
       case None => col("time") >= timestamp_seconds(lit(fromSec + 1))
@@ -766,7 +770,28 @@ object Planner {
       .filter(col("measurement") === req.measurement)
       .filter(timePred)
       .filter(filterColumn(req.filters))
-      .withColumn("value", col(fieldName))
+    (filtered, fromSec, toSec)
+  }
+
+  /** `sliceResolve`, when given, replaces `resolve` with a reader that
+   *  receives (tier, measurement, fromSec, toSec) — the exact planned
+   *  range — so a STORE-backed resolver can prune its partition LISTING
+   *  to the touched window ([[graft.store.TierStore.readSlice]]); the
+   *  planner's own filters still apply on top, unchanged. */
+  def dataPoints(req: DataPointsRequest, resolve: Tier => DataFrame,
+      now: Instant,
+      sliceResolve: Option[(Tier, String, Long, Long) => DataFrame] = None): DataFrame = {
+    // defaults (influxdb_v1.go:102-114)
+    val groupByTime = if (req.groupByTime == "auto") "" else req.groupByTime
+    val fieldName = if (req.fieldName.isEmpty) "value" else req.fieldName
+    val dataFunction =
+      if ((req.groupByTag.nonEmpty || groupByTime.nonEmpty) && req.dataFunction.isEmpty) "mean"
+      else req.dataFunction
+    val fillType = if (req.fillType.isEmpty) "null" else req.fillType
+
+    val (scanned, fromSec, toSec) =
+      scanFrame(req, resolve, now, sliceResolve, dataFunction, groupByTime)
+    val filtered = scanned.withColumn("value", col(fieldName))
 
     val bucketSec = TierPolicy.relativeToMinutes(groupByTime) * 60
     val tag = req.groupByTag
@@ -831,6 +856,235 @@ object Planner {
       if (tag.nonEmpty) Seq(tag) else Nil, bucketSec,
       mayHaveNulls = !nullFree)
     applySelectModifiers(wrapped, req, if (tag.nonEmpty) Seq(tag) else Nil)
+  }
+
+  /** The InfluxDB output-column name of one select item: the `AS` alias
+   *  when given, else the OUTERMOST function name with any parameter
+   *  suffix stripped (`percentile_95` → `percentile`,
+   *  `derivative_1h` → `derivative`), else the bare field name.
+   *  Duplicates get `_1`, `_2`, ... in occurrence order — exactly
+   *  InfluxDB's `mean`, `mean_1` convention. */
+  def itemAliases(items: Seq[SelectItem]): Seq[String] = {
+    def fnName(fn: String): String =
+      fn.replaceAll("_\\d+(?:\\.\\d+)?[smhdw]?$", "")
+    val base = items.map { it =>
+      if (it.alias.nonEmpty) it.alias
+      else {
+        val chain = it.transformFunction.split(",").map(_.trim).filter(_.nonEmpty)
+        if (chain.nonEmpty) fnName(chain.last)
+        else if (it.dataFunction.nonEmpty) fnName(it.dataFunction)
+        else it.fieldName
+      }
+    }
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    base.map { b =>
+      val n = seen.getOrElse(b, 0)
+      seen(b) = n + 1
+      if (n == 0) b else s"${b}_$n"
+    }
+  }
+
+  /** Aggregates the multi-select path cannot express as one expression
+   *  in a shared groupBy: the multi-row selectors (TOP/BOTTOM, DISTINCT)
+   *  change output cardinality, and MODE/INTEGRAL are multi-pass plans
+   *  of their own. All four remain available as single-item selects. */
+  private def multiPassFn(fn: String): Boolean = fn match {
+    case TopBottomFn(_, _) => true
+    case "distinct" | "mode" => true
+    case IntegralFn(_) => fn.startsWith("integral")
+    case _ => false
+  }
+
+  /** Is any link of this transform chain sequential (needs row order —
+   *  lag/carry/window — rather than a pointwise cell rewrite)? */
+  private def hasSequential(chain: String): Boolean =
+    chain.split(",").map(_.trim).filter(_.nonEmpty)
+      .exists(f => scalarTransform(f, lit(0)).isEmpty)
+
+  /**
+   * Plan a multi-item SELECT — InfluxQL
+   * `SELECT mean("v") AS a, max("w") AS b, ... FROM m` (the multi-series
+   * Grafana panel shape) — as ONE scan and ONE shuffle for the whole
+   * list: every aggregate is an expression in the same `groupBy` (each
+   * gets its own map-side partial), the gap-fill spine joins once
+   * against the multi-column frame, and per-item transform chains
+   * rewrite their own columns afterwards (scalar chains inline; a chain
+   * with sequential links runs through [[transformWrap]] on a projection
+   * of the already-aggregated, bucket-count-sized frame and joins back
+   * on the (time, tag) key — never a second scan of the data).
+   *
+   * InfluxDB's mixing rule applies: items are either ALL aggregated or
+   * ALL bare field projections ("mixing aggregate and non-aggregate
+   * queries is not supported"). Shapes, mirroring [[dataPoints]]:
+   *  - GROUP BY time(X) [, tag] → one row per bucket (per tag), a value
+   *    column per item, gap-filled (FILL null/none/<number>/previous;
+   *    linear is single-column interpolation machinery and refuses);
+   *  - no grouping, aggregated → one row (whole-range aggregates);
+   *  - GROUP BY tag, bare items → the raw per-tag echo;
+   *  - no grouping, bare items → raw points, one column per field.
+   *
+   * `req.fieldName/dataFunction/transformFunction` are ignored — the
+   * items carry them. Output columns: `time` (when time-visible), then
+   * one column per item in list order ([[itemAliases]] naming), then the
+   * group-by tag. The SELECT modifiers apply unchanged (they act on the
+   * time/tag axes only).
+   */
+  def dataPointsMulti(items: Seq[SelectItem], req: DataPointsRequest,
+      resolve: Tier => DataFrame, now: Instant,
+      sliceResolve: Option[(Tier, String, Long, Long) => DataFrame] = None): DataFrame = {
+    require(items.size >= 2, "a multi-select needs at least two items")
+    val groupByTime = if (req.groupByTime == "auto") "" else req.groupByTime
+    val fillType = if (req.fillType.isEmpty) "null" else req.fillType
+    val tag = req.groupByTag
+    // the single-select default: a grouped select with no function
+    // aggregates by mean (influxdb_v1.go:102-114) — but only when the
+    // WHOLE list is bare; one explicit aggregate next to a bare field is
+    // InfluxDB's mixing error, not an invitation to default
+    val its =
+      if (groupByTime.nonEmpty && items.forall(_.dataFunction.isEmpty))
+        items.map(_.copy(dataFunction = "mean"))
+      else items
+    its.foreach { it =>
+      if (multiPassFn(it.dataFunction)) throw new IllegalArgumentException(
+        s"${it.dataFunction} is not supported in a multi-field SELECT " +
+          "(multi-row/multi-pass aggregate); select it on its own")
+      if (hasSequential(it.transformFunction) &&
+          (groupByTime.isEmpty || it.dataFunction.isEmpty))
+        throw new IllegalArgumentException(
+          "a sequential transform in a multi-field SELECT requires an " +
+            "aggregated GROUP BY time(...) item (a unique (time, tag) row " +
+            s"key to join its column back on): ${it.transformFunction}")
+    }
+    val aggregated = its.forall(_.dataFunction.nonEmpty)
+    if (!aggregated && its.exists(_.dataFunction.nonEmpty))
+      throw new IllegalArgumentException(
+        "mixing aggregate and non-aggregate select items is not supported " +
+          "(the InfluxQL rule)")
+    val aliases = itemAliases(its)
+    val keyNames = if (tag.nonEmpty) Seq(tag) else Nil
+    aliases.foreach { a =>
+      require(a != "time" && !keyNames.contains(a),
+        s"select-item alias collides with a result axis column: $a")
+    }
+
+    // rollup tiers only serve mean — offer the policy `mean` only when
+    // EVERY item is a plain mean (a max over a mean rollup would lie)
+    val tierFn = if (its.forall(_.dataFunction == "mean")) "mean" else ""
+    val (filtered, fromSec, toSec) =
+      scanFrame(req, resolve, now, sliceResolve, tierFn, groupByTime)
+    val bucketSec = TierPolicy.relativeToMinutes(groupByTime) * 60
+
+    def aggExprs: Seq[Column] = its.zip(aliases).map { case (it, a) =>
+      aggColumn(it.dataFunction, col(it.fieldName), col("time")).as(a)
+    }
+    val shaped: DataFrame =
+      if (!aggregated) {
+        if (groupByTime.nonEmpty) throw new IllegalArgumentException(
+          "GROUP BY time(...) over bare (non-aggregated) select items " +
+            "needs an aggregate per item")
+        // raw multi-field echo (scalar chains rewrite inline; the
+        // sequential-needs-aggregate rule above already refused the rest)
+        val cols = its.zip(aliases).map { case (it, a) =>
+          it.transformFunction.split(",").map(_.trim).filter(_.nonEmpty)
+            .foldLeft(col(it.fieldName))((c, f) => scalarTransform(f, c).get)
+            .as(a)
+        }
+        filtered.select(
+          unix_timestamp(col("time")).as("time") +: cols ++: keyNames.map(col): _*)
+      } else if (groupByTime.nonEmpty) {
+        val bucketCol = floor(unix_timestamp(col("time")) / bucketSec) * bucketSec
+        val agged = filtered
+          .groupBy(bucketCol.as("time") +: keyNames.map(col): _*)
+          .agg(aggExprs.head, aggExprs.tail: _*)
+        gapFillMulti(agged, keyNames, aliases, bucketSec, fromSec, toSec, fillType)
+      } else if (keyNames.nonEmpty) {
+        // aggregated, tag-only: one row per tag value (no time axis)
+        filtered.groupBy(keyNames.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
+      } else {
+        filtered.agg(aggExprs.head, aggExprs.tail: _*)
+      }
+
+    // per-item transform chains over the shaped frame
+    val nullFree = groupByTime.nonEmpty &&
+      (fillType == "none" || fillType.toDoubleOption.isDefined)
+    val transformed = its.zip(aliases).foldLeft(shaped) { case (acc, (it, a)) =>
+      val chain = it.transformFunction
+      if (chain.isEmpty || !aggregated) acc
+      else if (!hasSequential(chain))
+        chain.split(",").map(_.trim).filter(_.nonEmpty)
+          .foldLeft(acc)((d, f) => d.withColumn(a, scalarTransform(f, col(a)).get))
+      else {
+        // one item's chain over its own column: project (time, tag, value),
+        // reuse the full single-select transform machinery (blocked scans
+        // included), join the rewritten column back on the unique row key.
+        // Both sides are the bucket-count-sized aggregated frame.
+        val one = acc.select(("time" +: keyNames).map(col) :+ col(a).as("value"): _*)
+        val t = transformWrap(chain, one, keyNames, bucketSec,
+          mayHaveNulls = !nullFree)
+        acc.drop(a).join(t.withColumnRenamed("value", a),
+          "time" +: keyNames, "left")
+      }
+    }
+    val outCols =
+      (if (transformed.columns.contains("time")) Seq("time") else Nil) ++
+        aliases ++ keyNames
+    applySelectModifiers(transformed.select(outCols.map(col): _*), req, keyNames)
+  }
+
+  /** Gap fill for the multi-column aggregated frame: the spine join is
+   *  [[gapFill]]'s (exploded per distinct group key, never a crossJoin);
+   *  the fill applies per value column. FILL(linear) interpolates along
+   *  a single column's geometry and is refused here — select it
+   *  per-item instead. */
+  private def gapFillMulti(agged: DataFrame, tagCols: Seq[String],
+      valueCols: Seq[String], bucketSec: Long, fromSec: Long, toSec: Long,
+      fillType: String): DataFrame = {
+    if (fillType == "none")
+      return agged.orderBy((tagCols :+ "time").map(col): _*)
+    val lo = Math.floorDiv(fromSec, bucketSec) * bucketSec
+    val hi = Math.floorDiv(toSec, bucketSec) * bucketSec
+    val spineCol = explode(sequence(lit(lo), lit(hi), lit(bucketSec))).as("time")
+    val spine =
+      if (tagCols.nonEmpty)
+        agged.select(tagCols.map(col): _*).distinct().select(col("*"), spineCol)
+      else
+        agged.sparkSession.range(1).select(spineCol)
+    val joined = spine.join(agged, tagCols :+ "time", "left")
+    fillType match {
+      case "null" => joined
+      case "previous" if tagCols.isEmpty =>
+        // untagged carry-forward per column: ONE in-block window pass
+        // fills every column, then each column joins its own
+        // block-count-sized carry (broadcast) — the blocked idiom of
+        // [[gapFill]], widened to k columns with a single data pass
+        val span = blockSpanSec(bucketSec)
+        val withBlk = joined.withColumn("_blk", floor(col("time") / span))
+        val wIn = Window.partitionBy(col("_blk")).orderBy(col("time"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val inBlk = valueCols.foldLeft(withBlk)((d, c) =>
+          d.withColumn(s"_fill_$c", last(col(c), ignoreNulls = true).over(wIn)))
+        val filled = valueCols.foldLeft(inBlk) { (d, c) =>
+          val prev = blockCarry(
+            withBlk.groupBy(col("_blk"))
+              .agg(max_by(col(c), when(col(c).isNotNull, col("time"))).as("_blast")),
+            updateOnNonNullOnly = true, s"_prev_$c")
+          d.join(broadcast(prev), Seq("_blk"), "left")
+            .withColumn(c, coalesce(col(s"_fill_$c"), col(s"_prev_$c")))
+            .drop(s"_fill_$c", s"_prev_$c")
+        }
+        filled.drop("_blk")
+      case "previous" =>
+        val w = Window.partitionBy(tagCols.map(col): _*).orderBy(col("time"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        valueCols.foldLeft(joined)((d, c) =>
+          d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+      case num if num.toDoubleOption.isDefined =>
+        valueCols.foldLeft(joined)((d, c) =>
+          d.withColumn(c, coalesce(col(c), lit(num.toDouble))))
+      case other => throw new IllegalArgumentException(
+        s"FILL($other) is not supported with a multi-field SELECT " +
+          "(single-column interpolation); select the item on its own")
+    }
   }
 
   /** InfluxQL SELECT modifiers — `ORDER BY time [ASC|DESC]`,

@@ -292,6 +292,75 @@ class InfluxQLSpec extends SparkSpec {
       InfluxQL.looksLike(sql) && InfluxQL.parse(sql) == want })
   }
 
+  test("property: multi-select / regex-FROM / INTO statements round-trip " +
+    "through the grammar (the round-13 dialect tail)") {
+    import org.scalacheck.{Gen, Prop}
+    import graft.model.SelectItem
+    val itemG: Gen[(String, SelectItem)] = Gen.oneOf(
+      Gen.oneOf("value", "power").map(f => (s""""$f"""", SelectItem(f))),
+      for {
+        a <- Gen.oneOf("mean", "max", "count", "sum", "stddev")
+        al <- Gen.option(Gen.oneOf("v", "reading"))
+      } yield (s"""$a("value")""" + al.map(x => s""" AS "$x"""").getOrElse(""),
+        SelectItem("value", a, alias = al.getOrElse(""))),
+      Gen.choose(1, 99).map(n => (s"""percentile("value", $n)""",
+        SelectItem("value", s"percentile_$n"))),
+      Gen.oneOf("abs", "sqrt").map(t => (s"""$t(mean("value"))""",
+        SelectItem("value", "mean", t))))
+    val frameG: Gen[(String, DataPointsRequest => DataPointsRequest)] = for {
+      w <- Gen.option(Gen.oneOf("5h", "2w"))
+      g <- Gen.option(Gen.oneOf("30m", "1h"))
+      f <- Gen.option(Gen.oneOf("none", "null", "previous"))
+    } yield (
+      w.map(x => s" WHERE time > now()-$x").getOrElse("") +
+        g.map(x => s" GROUP BY time($x)").getOrElse("") +
+        f.map(x => s" FILL($x)").getOrElse(""),
+      (r: DataPointsRequest) => r.copy(relativeTime = w.getOrElse(""),
+        groupByTime = g.getOrElse(""), fillType = f.getOrElse("")))
+    val multiG = for {
+      n <- Gen.choose(2, 4)
+      items <- Gen.listOfN(n, itemG)
+      (frame, fR) <- frameG
+      rp <- Gen.option(Gen.const("gen_raw"))
+    } yield {
+      val from = rp.map(r => s""""$r".""").getOrElse("") + "\"m\""
+      val sql = s"SELECT ${items.map(_._1).mkString(", ")} FROM $from$frame"
+      (sql, InfluxQL.MultiSelect(items.map(_._2),
+        fR(DataPointsRequest(measurement = "m")), rp))
+    }
+    checkProp(Prop.forAll(multiG) { case (sql, want) =>
+      InfluxQL.parse(sql) == want
+    })
+    val regexG = for {
+      (item, _) <- itemG
+      (frame, fR) <- frameG
+      pat <- Gen.oneOf("^sensor_", "temp|hum", "power.*meter")
+    } yield (s"SELECT $item FROM /$pat/$frame", pat)
+    checkProp(Prop.forAll(regexG) { case (sql, pat) =>
+      InfluxQL.parse(sql) match {
+        case rs: InfluxQL.RegexSelect =>
+          rs.pattern == pat && rs.sel.req.measurement == "__regex__"
+        case _ => false
+      }
+    })
+    val intoG = for {
+      (frame, _) <- frameG
+      rp <- Gen.option(Gen.const("gen_day"))
+      target <- Gen.oneOf("rollup_out", "hourly.means")
+    } yield {
+      val tgt = rp.map(r => s""""$r".""").getOrElse("") + s""""$target""""
+      (s"""SELECT mean("value") INTO $tgt FROM "m"$frame""", rp, target)
+    }
+    checkProp(Prop.forAll(intoG) { case (sql, rp, target) =>
+      InfluxQL.parse(sql) match {
+        case si: InfluxQL.SelectInto =>
+          si.retentionPolicy == rp && si.target == target &&
+            si.inner.isInstanceOf[InfluxQL.Select]
+        case _ => false
+      }
+    })
+  }
+
   test("difference over an aggregate without GROUP BY time is refused " +
     "through the grammar's error envelope, not a downstream plan error") {
     intercept[IllegalArgumentException] {
@@ -489,5 +558,174 @@ class InfluxQLSpec extends SparkSpec {
     val n = Api.dispatch(ctx, "cmd.tsdb.query", "SELECT 1 AS one")
       .collect().head.getAs[Int]("one")
     assert(n == 1)
+  }
+
+  test("multi-field select list parses to items with InfluxDB column naming") {
+    import graft.model.SelectItem
+    val ms = InfluxQL.parse(
+      """SELECT mean("value") AS "m", max("value"), percentile("value", 95) """ +
+        """FROM "x" WHERE time > now()-1h GROUP BY time(10m) FILL(none)""")
+      .asInstanceOf[InfluxQL.MultiSelect]
+    assert(ms.items == Seq(
+      SelectItem("value", "mean", alias = "m"),
+      SelectItem("value", "max"),
+      SelectItem("value", "percentile_95")))
+    assert(ms.req.groupByTime == "10m" && ms.req.fillType == "none" &&
+      ms.req.relativeTime == "1h")
+    // InfluxDB column naming: alias > function name, `_1` dedup
+    assert(Planner.itemAliases(ms.items) == Seq("m", "max", "percentile"))
+    assert(Planner.itemAliases(Seq(
+      SelectItem("value", "mean"), SelectItem("other", "mean"),
+      SelectItem("value", "moving_average_5"))) ==
+      Seq("mean", "mean_1", "moving_average"))
+    // a comma inside parens stays with its item; bare multi-field lists parse
+    val bare = InfluxQL.parse("""SELECT "a", "b" FROM "x" LIMIT 5""")
+      .asInstanceOf[InfluxQL.MultiSelect]
+    assert(bare.items == Seq(SelectItem("a"), SelectItem("b")) &&
+      bare.req.limit == 5)
+  }
+
+  test("multi-field select e2e: one scan matches the per-item single plans; " +
+    "mixing and multi-pass refusals surface in the envelope") {
+    val df = pts(
+      ("m", 1704153600L, 10.0, "1"), ("m", 1704153660L, 20.0, "1"),
+      ("m", 1704157200L, 30.0, "2"), ("m", 1704160800L, 25.0, "2"))
+    val multi = InfluxQL.dataPoints(
+      """SELECT mean("value") AS "avg_v", max("value") AS "max_v", count("value") AS "n" """ +
+        """FROM "m" WHERE time > now()-4h GROUP BY time(1h) FILL(none)""",
+      _ => df, _ => None, now)
+    assert(multi.columns.toSeq == Seq("time", "avg_v", "max_v", "n"))
+    val got = multi.collect()
+      .map(r => (r.getAs[Long]("time"), r.getAs[Double]("avg_v"),
+        r.getAs[Double]("max_v"), r.getAs[Long]("n"))).toSeq
+    def single(fn: String) = Planner.dataPoints(DataPointsRequest("m",
+      dataFunction = fn, relativeTime = "4h", groupByTime = "1h",
+      fillType = "none"), _ => df, now).collect()
+      .map(r => (r.getAs[Long]("time"), r.get(1))).toMap
+    val (means, maxes, counts) = (single("mean"), single("max"), single("count"))
+    assert(got.nonEmpty && got.forall { case (t, a, x, c) =>
+      means(t) == a && maxes(t) == x && counts(t) == c })
+    // ONE aggregate node scans once: the plan carries exactly one Aggregate
+    // chain (no join/union of per-item plans)
+    val plan = multi.queryExecution.optimizedPlan.toString()
+    assert(!plan.contains("Join") && !plan.contains("Union"), plan)
+    // per-item transform chains rewrite their own columns
+    val tr = InfluxQL.dataPoints(
+      """SELECT abs(mean("value")) AS "a", difference(max("value")) AS "d" """ +
+        """FROM "m" WHERE time > now()-4h GROUP BY time(1h) FILL(none)""",
+      _ => df, _ => None, now).collect()
+      .map(r => (r.getAs[Long]("time"), r.getAs[Double]("a"),
+        Option(r.getAs[java.lang.Double]("d")).map(_.toDouble))).toSeq
+    assert(tr == Seq(
+      (1704153600L, 15.0, None),
+      (1704157200L, 30.0, Some(10.0)), // max 30 - max 20
+      (1704160800L, 25.0, Some(-5.0))), s"transformed: $tr")
+    // group-by-tag multi: per-tag aggregates, tag column last
+    val tagged = InfluxQL.dataPoints(
+      """SELECT mean("value") AS "a", count("value") AS "n" FROM "m" """ +
+        """WHERE time > now()-4h GROUP BY time(2h), "dev_id" FILL(none)""",
+      _ => df, _ => None, now)
+    assert(tagged.columns.toSeq == Seq("time", "a", "n", "dev_id"))
+    assert(tagged.count() == 3)
+    // refusals: mixing, multi-pass aggregates, multi-column linear fill
+    intercept[IllegalArgumentException] {
+      InfluxQL.dataPoints(
+        """SELECT mean("value"), "value" FROM "m" GROUP BY time(1h)""",
+        _ => df, _ => None, now)
+    }
+    intercept[IllegalArgumentException] {
+      InfluxQL.dataPoints(
+        """SELECT mean("value"), top("value", 3) FROM "m" GROUP BY time(1h)""",
+        _ => df, _ => None, now)
+    }
+    intercept[IllegalArgumentException] {
+      InfluxQL.dataPoints(
+        """SELECT mean("value"), max("value") FROM "m" GROUP BY time(1h) FILL(linear)""",
+        _ => df, _ => None, now).collect()
+    }
+  }
+
+  test("regex measurement: catalog match, per-measurement series, " +
+    "empty-match shape, SLIMIT refusal") {
+    val df = pts(
+      ("sensor_temp", 1704153600L, 10.0, "1"),
+      ("sensor_temp", 1704153660L, 20.0, "1"),
+      ("sensor_hum", 1704153600L, 40.0, "1"),
+      ("app_click", 1704153600L, 1.0, "1"))
+    val catalog = () => Seq("sensor_temp", "sensor_hum", "app_click")
+    val rs = InfluxQL.parse(
+      """SELECT mean("value") FROM /^sensor_/ WHERE time > now()-2h """ +
+        """GROUP BY time(1h) FILL(none)""").asInstanceOf[InfluxQL.RegexSelect]
+    assert(rs.pattern == "^sensor_" &&
+      rs.sel.req.measurement == "__regex__")
+    val got = InfluxQL.dataPoints(
+      """SELECT mean("value") FROM /^sensor_/ WHERE time > now()-2h """ +
+        """GROUP BY time(1h) FILL(none)""",
+      _ => df, _ => None, now, catalog).collect()
+      .map(r => (r.getAs[String]("measurement"), r.getAs[Long]("time"),
+        r.getAs[Double]("value"))).toSet
+    assert(got == Set(("sensor_hum", 1704153600L, 40.0),
+      ("sensor_temp", 1704153600L, 15.0)), s"regex: $got")
+    // unanchored (the Go-re2 convention): /temp/ matches sensor_temp
+    val un = InfluxQL.dataPoints(
+      """SELECT count("value") FROM /temp/ WHERE time > now()-2h GROUP BY time(1h) FILL(none)""",
+      _ => df, _ => None, now, catalog).collect()
+    assert(un.map(_.getAs[String]("measurement")).toSet == Set("sensor_temp"))
+    // zero matches: EMPTY result (no phantom fill spine), schema intact
+    val none = InfluxQL.dataPoints(
+      """SELECT mean("value") FROM /nothing_matches/ WHERE time > now()-2h GROUP BY time(1h)""",
+      _ => df, _ => None, now, catalog)
+    assert(none.columns.toSeq == Seq("time", "value", "measurement") &&
+      none.count() == 0)
+    intercept[IllegalArgumentException] {
+      InfluxQL.dataPoints(
+        """SELECT mean("value") FROM /^sensor_/ GROUP BY time(1h), "dev_id" SLIMIT 2""",
+        _ => df, _ => None, now, catalog)
+    }
+  }
+
+  test("SELECT INTO materializes the result through the store and reads back") {
+    val root = java.nio.file.Files.createTempDirectory("graft_into").toFile.getAbsolutePath
+    val store = new TierStore(spark, root)
+    store.write(Tier.GenRaw, pts(
+      ("sensor_temp", 1704153600L, 10.0, "1"),
+      ("sensor_temp", 1704153660L, 20.0, "1"),
+      ("sensor_temp", 1704157200L, 30.0, "2")))
+    val ctx = Api.Context(spark, store, now = () => now)
+    val si = InfluxQL.parse(
+      """SELECT mean("value") INTO "gen_default"."temp_hourly" FROM "gen_raw"."sensor_temp" """ +
+        """WHERE time >= '2024-01-02T00:00:00Z' AND time <= '2024-01-02T23:59:59Z' """ +
+        """GROUP BY time(1h) FILL(none)""")
+    assert(si.isInstanceOf[InfluxQL.SelectInto])
+    val res = Api.dispatch(ctx, "cmd.tsdb.query",
+      """SELECT mean("value") INTO "gen_default"."temp_hourly" FROM "gen_raw"."sensor_temp" """ +
+        """WHERE time >= '2024-01-02T00:00:00Z' AND time <= '2024-01-02T23:59:59Z' """ +
+        """GROUP BY time(1h) FILL(none)""").collect()
+    assert(res.map(r => (r.getAs[Long]("time"), r.getAs[Long]("written"))).toSeq ==
+      Seq((0L, 2L)))
+    // read the materialized measurement back through the ordinary grammar
+    val back = Api.dispatch(ctx, "cmd.tsdb.query",
+      """SELECT "value" FROM "gen_default"."temp_hourly" """ +
+        """WHERE time >= '2024-01-02T00:00:00Z' AND time <= '2024-01-02T23:59:59Z'""")
+      .collect().map(r => (r.getAs[Long]("time"), r.getAs[Double]("value"))).toSet
+    assert(back == Set((1704153600L, 15.0), (1704157200L, 30.0)), s"into: $back")
+    // a whole-range aggregate has no point time to write at — envelope
+    val err = intercept[IllegalArgumentException] {
+      Api.dispatch(ctx, "cmd.tsdb.query",
+        """SELECT mean("value") INTO "t2" FROM "gen_raw"."sensor_temp" WHERE time > now()-1d""")
+    }
+    assert(err.getMessage.contains("time axis"))
+  }
+
+  test("looksLike claims the dialect-tail forms, not their Spark cousins") {
+    assert(InfluxQL.looksLike(
+      """SELECT mean("value"), max("value") FROM "m" GROUP BY time(1h) FILL(none)"""))
+    assert(InfluxQL.looksLike(
+      """SELECT mean("value") FROM /^sensor_/ WHERE time > now()-1h"""))
+    assert(InfluxQL.looksLike(
+      """SELECT mean("value") INTO "t" FROM "m" GROUP BY time(1h)"""))
+    // Spark SQL with a division stays Spark SQL
+    assert(!InfluxQL.looksLike("SELECT a/b FROM t"))
+    assert(!InfluxQL.looksLike("SELECT cast(x AS int) other FROM t"))
   }
 }
