@@ -811,7 +811,10 @@ object Api {
    * Shape a planner result into the reference's response JSON:
    * `{"Results":[{"Series":[{"name","tags","columns","values"}]}]}`
    * (reference response fixtures: docs/api:26-176, docs/data-exchange;
-   * one Series per group-by-tag value, columns ["time","value"]).
+   * one Series per group-by-tag value, columns ["time","value"] for the
+   * single-value shapes). A multi-item select emits every value column
+   * in result order; a regex-FROM result (its own `measurement` column)
+   * emits one Series per matched measurement, named by it.
    *
    * The driver-side collect is BOUNDED: at most `maxRows + 1` rows are
    * pulled (aggregated queries are naturally small; a raw-points query
@@ -831,12 +834,21 @@ object Api {
   def shapeResponse(df: DataFrame, measurement: String, groupByTag: String,
       maxRows: Int = 100000, afterTimeSec: Long = Long.MinValue): String = {
     val hasTime = df.columns.contains("time")
+    // a regex-FROM result carries its own `measurement` column — one
+    // Series per matched measurement, named by it (InfluxDB's shape);
+    // a multi-item select carries several value columns, all emitted in
+    // result order under their [[graft.query.Planner.itemAliases]] names
+    val hasMeas = df.columns.contains("measurement")
+    val valueCols = df.columns.toSeq
+      .filterNot(c => c == "time" || c == "measurement" ||
+        (groupByTag.nonEmpty && c == groupByTag))
     // page selection is by TIME order (that is what the next-marker pages
-    // over); the (tag, time) sort below happens on the bounded page only
+    // over); the (series, time) sort below happens on the bounded page only
     val paged =
       if (hasTime) df.filter(col("time") > afterTimeSec).orderBy(col("time")).limit(maxRows + 1)
       else df.limit(maxRows + 1)
-    val sortCols = (if (groupByTag.nonEmpty) Seq(col(groupByTag)) else Nil) ++
+    val sortCols = (if (hasMeas) Seq(col("measurement")) else Nil) ++
+      (if (groupByTag.nonEmpty) Seq(col(groupByTag)) else Nil) ++
       (if (hasTime) Seq(col("time")) else Nil)
     val sorted = if (sortCols.nonEmpty) paged.orderBy(sortCols: _*) else paged
     val all = sorted.collect()
@@ -855,31 +867,42 @@ object Api {
       if (truncated && hasTime)
         s""","next":${rows.iterator.map(_.getAs[Long]("time")).max}"""
       else ""
-    // single pass over tag-contiguous rows
+    val columnsJson =
+      ((if (hasTime) Seq("time") else Nil) ++ valueCols).map(jstr).mkString(",")
+    // single pass over series-contiguous rows
     val sb = new StringBuilder("[")
-    var openTag: String = null
+    var openKey: (String, String) = null
     var anySeries = false
     var firstVal = true
-    def open(tv: String): Unit = {
+    def open(key: (String, String)): Unit = {
       if (anySeries) sb.append("]},")
       anySeries = true
+      val name = if (hasMeas) key._1 else measurement
       val tagJson =
-        if (groupByTag.nonEmpty) s"{${jstr(groupByTag)}:${jstr(tv)}}" else "{}"
-      sb.append(s"""{"name":${jstr(measurement)},"tags":$tagJson,"columns":["time","value"],"values":[""")
+        if (groupByTag.nonEmpty) s"{${jstr(groupByTag)}:${jstr(key._2)}}" else "{}"
+      sb.append(s"""{"name":${jstr(name)},"tags":$tagJson,"columns":[$columnsJson],"values":[""")
       firstVal = true
-      openTag = tv
+      openKey = key
     }
-    if (groupByTag.isEmpty) open("") // untagged responses carry one series even when empty
+    // an untagged single-measurement response carries one series even
+    // when empty; per-measurement (regex) and tagged responses emit
+    // exactly the series their rows define
+    if (groupByTag.isEmpty && !hasMeas) open(("", ""))
     rows.foreach { r =>
-      val tv =
+      val key = (
+        if (hasMeas) Option(r.getAs[Any]("measurement")).map(_.toString).getOrElse("") else "",
         if (groupByTag.nonEmpty)
           Option(r.getAs[Any](groupByTag)).map(_.toString).getOrElse("")
-        else ""
-      if (!anySeries || tv != openTag) open(tv)
-      val t = if (hasTime) r.getAs[Long]("time").toString else "0"
-      val v = Option(r.getAs[Any]("value")).map(_.toString).getOrElse("null")
+        else "")
+      if (!anySeries || key != openKey) open(key)
       if (!firstVal) sb.append(",")
-      sb.append('[').append(t).append(',').append(v).append(']')
+      sb.append('[')
+      if (hasTime) sb.append(r.getAs[Long]("time").toString)
+      valueCols.zipWithIndex.foreach { case (c, i) =>
+        if (hasTime || i > 0) sb.append(',')
+        sb.append(Option(r.getAs[Any](c)).map(_.toString).getOrElse("null"))
+      }
+      sb.append(']')
       firstVal = false
     }
     if (anySeries) sb.append("]}")

@@ -717,6 +717,38 @@ class InfluxQLSpec extends SparkSpec {
     assert(err.getMessage.contains("time axis"))
   }
 
+  test("shapeResponse carries multi-column and per-measurement series " +
+    "(the dialect-tail wire shapes), single-value shape unchanged") {
+    import spark.implicits._
+    // multi-item select: every value column in result order
+    val multi = Seq((1704103200L, 1.5, 3.0, 2L), (1704106800L, 2.5, 4.0, 1L))
+      .toDF("time", "avg_v", "max_v", "n")
+    val mj = Api.shapeResponse(multi, "m", "")
+    assert(mj ==
+      """{"Results":[{"Series":[{"name":"m","tags":{},""" +
+        """"columns":["time","avg_v","max_v","n"],""" +
+        """"values":[[1704103200,1.5,3.0,2],[1704106800,2.5,4.0,1]]}]}]}""", mj)
+    // regex-FROM result: one Series per measurement, named by it
+    val rx = Seq(("sensor_hum", 1704103200L, 40.0), ("sensor_temp", 1704103200L, 15.0))
+      .toDF("measurement", "time", "value")
+    val rj = Api.shapeResponse(rx, "", "")
+    assert(rj ==
+      """{"Results":[{"Series":[{"name":"sensor_hum","tags":{},""" +
+        """"columns":["time","value"],"values":[[1704103200,40.0]]},""" +
+        """{"name":"sensor_temp","tags":{},"columns":["time","value"],""" +
+        """"values":[[1704103200,15.0]]}]}]}""", rj)
+    // measurement × tag composition splits series on both axes
+    val rt = Seq(("a", 1L, 1.0, "x"), ("a", 1L, 2.0, "y"), ("b", 1L, 3.0, "x"))
+      .toDF("measurement", "time", "value", "loc")
+    val rtj = Api.shapeResponse(rt, "", "loc")
+    assert("\"name\":".r.findAllIn(rtj).length == 3, rtj)
+    // the single-value shape stays byte-identical (docs/api fixtures)
+    val single = Seq((1704103200L, 1250.0)).toDF("time", "value")
+    assert(Api.shapeResponse(single, "m", "") ==
+      """{"Results":[{"Series":[{"name":"m","tags":{},""" +
+        """"columns":["time","value"],"values":[[1704103200,1250.0]]}]}]}""")
+  }
+
   test("looksLike claims the dialect-tail forms, not their Spark cousins") {
     assert(InfluxQL.looksLike(
       """SELECT mean("value"), max("value") FROM "m" GROUP BY time(1h) FILL(none)"""))
