@@ -90,10 +90,11 @@ object InfluxQL {
       retentionPolicy: Option[String]) extends Statement
   /** Regex measurement — `FROM /pattern/` (Go-RE2-style unanchored
    *  match, the Grafana multi-measurement panel form). `sel` carries
-   *  the whole statement with a placeholder measurement; planning
-   *  matches the pattern against the store catalog and unions the
-   *  per-measurement plans, each tagged with a `measurement` column. */
-  final case class RegexSelect(sel: Select, pattern: String) extends Statement
+   *  the whole statement — a single- or multi-item SELECT — with a
+   *  placeholder measurement; planning matches the pattern against the
+   *  store catalog and unions the per-measurement plans, each tagged
+   *  with a `measurement` column. */
+  final case class RegexSelect(sel: Statement, pattern: String) extends Statement
   /** `SELECT <agg> INTO ["rp".]"target" FROM ...` — materialize a query
    *  result as stored points under a new measurement (the InfluxDB
    *  manual-downsample idiom). The write happens at the Api layer (the
@@ -147,9 +148,13 @@ object InfluxQL {
       // FROM /re/ — a regex measurement; no Spark SQL FROM clause starts
       // its relation with a bare slash (paths spell `parquet.`/p/``)
       s.matches("(?s)select\\s+.*\\bfrom\\s+(?:\"[^\"]+\"\\s*\\.\\s*)*/.*") ||
-      // SELECT ... INTO ... FROM — InfluxDB's materializing select;
-      // Spark's write form is INSERT INTO, which starts with INSERT
-      s.matches("(?s)select\\s+.+\\binto\\s+.+\\bfrom\\b.*") ||
+      // SELECT ... INTO <dotted-ident> FROM — InfluxDB's materializing
+      // select; Spark's write form is INSERT INTO, which starts with
+      // INSERT. The target must parse as a (possibly quoted, dotted)
+      // identifier directly before FROM, so a Spark SQL string literal
+      // that happens to contain the word "into" is not claimed
+      s.matches("(?s)select\\s+.+\\binto\\s+(\"[^\"]+\"|[\\w\\-]+)" +
+        "(\\s*\\.\\s*(\"[^\"]+\"|[\\w\\-]+)){0,2}\\s+from\\b.*") ||
       s.matches("(?s).*now\\(\\)\\s*[-+]\\s*\\d+(ns|us|µs|ms|s|m|h|d|w).*") ||
       s.matches("(?s).*\\bfill\\s*\\(.*") ||
       s.matches("(?s).*\\bgroup\\s+by\\s+.*\\btime\\s*\\(.*") ||
@@ -237,10 +242,10 @@ object InfluxQL {
       val spliced = q.substring(0, m.start) +
         s"FROM ${m.group(1)}$RegexMeasurement" + q.substring(m.end)
       parse(spliced) match {
-        case sel: Select => return RegexSelect(sel, pattern)
+        case sel @ (_: Select | _: MultiSelect) => return RegexSelect(sel, pattern)
         case _ => throw new IllegalArgumentException(
-          "a regex measurement supports a single-item plain SELECT " +
-            s"(no subquery, no multi-field list): $raw")
+          "a regex measurement supports a plain (single- or multi-item) " +
+            s"SELECT, not a subquery: $raw")
       }
     }
     splitSubquery(q).foreach { case (pre, innerText, post) =>
@@ -606,22 +611,40 @@ object InfluxQL {
       sliceResolve: Option[(Tier, String, Long, Long) => DataFrame],
       measurements: () => Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    if (rs.sel.req.sLimit > 0 || rs.sel.req.sOffset > 0)
+    val sharedReq = rs.sel match {
+      case s: Select => s.req
+      case ms: MultiSelect => ms.req
+      case other => throw new IllegalArgumentException(
+        s"regex measurement over an unsupported statement: $other")
+    }
+    if (sharedReq.sLimit > 0 || sharedReq.sOffset > 0)
       throw new IllegalArgumentException(
         "SLIMIT/SOFFSET with a regex measurement is not supported " +
           "(the series cut would order across measurements)")
     val p = java.util.regex.Pattern.compile(rs.pattern)
-    def planFor(m: String): DataFrame =
-      dataPoints(rs.sel.copy(req = rs.sel.req.copy(measurement = m)),
-        resolve, tierByName, now, sliceResolve)
+    def planFor(m: String): DataFrame = rs.sel match {
+      case s: Select =>
+        dataPoints(s.copy(req = s.req.copy(measurement = m)),
+          resolve, tierByName, now, sliceResolve)
+      case ms: MultiSelect =>
+        dataPoints(ms.copy(req = ms.req.copy(measurement = m)),
+          resolve, tierByName, now, sliceResolve)
+      case other => throw new IllegalArgumentException(
+        s"regex measurement over an unsupported statement: $other")
+    }
+    // the per-measurement plans gain a `measurement` result column — a
+    // select alias or group tag of that name would be silently replaced
+    def tagged(m: String, label: String): DataFrame = {
+      val d = planFor(m)
+      require(!d.columns.contains("measurement"),
+        "a regex-measurement select cannot also name a column `measurement`")
+      d.withColumn("measurement", lit(label))
+    }
     measurements().distinct.filter(m => p.matcher(m).find()).sorted match {
       // no match: an empty frame in the regex result shape (a sentinel
       // plan supplies the schema; limit(0) keeps even its fill spine out)
-      case Nil => planFor(RegexMeasurement)
-        .withColumn("measurement", lit("")).limit(0)
-      case matched => matched
-        .map(m => planFor(m).withColumn("measurement", lit(m)))
-        .reduce(_ unionByName _)
+      case Nil => tagged(RegexMeasurement, "").limit(0)
+      case matched => matched.map(m => tagged(m, m)).reduce(_ unionByName _)
     }
   }
 

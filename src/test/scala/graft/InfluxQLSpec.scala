@@ -339,7 +339,8 @@ class InfluxQLSpec extends SparkSpec {
     checkProp(Prop.forAll(regexG) { case (sql, pat) =>
       InfluxQL.parse(sql) match {
         case rs: InfluxQL.RegexSelect =>
-          rs.pattern == pat && rs.sel.req.measurement == "__regex__"
+          rs.pattern == pat &&
+            rs.sel.asInstanceOf[InfluxQL.Select].req.measurement == "__regex__"
         case _ => false
       }
     })
@@ -657,7 +658,7 @@ class InfluxQLSpec extends SparkSpec {
       """SELECT mean("value") FROM /^sensor_/ WHERE time > now()-2h """ +
         """GROUP BY time(1h) FILL(none)""").asInstanceOf[InfluxQL.RegexSelect]
     assert(rs.pattern == "^sensor_" &&
-      rs.sel.req.measurement == "__regex__")
+      rs.sel.asInstanceOf[InfluxQL.Select].req.measurement == "__regex__")
     val got = InfluxQL.dataPoints(
       """SELECT mean("value") FROM /^sensor_/ WHERE time > now()-2h """ +
         """GROUP BY time(1h) FILL(none)""",
@@ -681,6 +682,25 @@ class InfluxQLSpec extends SparkSpec {
       InfluxQL.dataPoints(
         """SELECT mean("value") FROM /^sensor_/ GROUP BY time(1h), "dev_id" SLIMIT 2""",
         _ => df, _ => None, now, catalog)
+    }
+    // a MULTI-item list composes with the regex (per-measurement series,
+    // one scan+shuffle per matched measurement)
+    val mr = InfluxQL.dataPoints(
+      """SELECT mean("value") AS "a", count("value") AS "n" FROM /^sensor_/ """ +
+        """WHERE time > now()-2h GROUP BY time(1h) FILL(none)""",
+      _ => df, _ => None, now, catalog)
+    assert(mr.columns.toSeq == Seq("time", "a", "n", "measurement"))
+    val mrRows = mr.collect()
+      .map(r => (r.getAs[String]("measurement"), r.getAs[Double]("a"),
+        r.getAs[Long]("n"))).toSet
+    assert(mrRows == Set(("sensor_temp", 15.0, 2L), ("sensor_hum", 40.0, 1L)),
+      s"multi-regex: $mrRows")
+    // an item named `measurement` would be silently replaced — refused
+    intercept[IllegalArgumentException] {
+      InfluxQL.dataPoints(
+        """SELECT mean("value") AS "measurement", count("value") AS "n" """ +
+          """FROM /^sensor_/ WHERE time > now()-2h GROUP BY time(1h) FILL(none)""",
+        _ => df, _ => None, now, catalog).collect()
     }
   }
 
@@ -759,5 +779,9 @@ class InfluxQLSpec extends SparkSpec {
     // Spark SQL with a division stays Spark SQL
     assert(!InfluxQL.looksLike("SELECT a/b FROM t"))
     assert(!InfluxQL.looksLike("SELECT cast(x AS int) other FROM t"))
+    // a string literal containing the word "into" is not an INTO clause
+    assert(!InfluxQL.looksLike("SELECT x, 'into y' FROM t"))
+    assert(!InfluxQL.looksLike(
+      "SELECT concat(a, ' into ', b) AS msg FROM logs"))
   }
 }
