@@ -392,10 +392,14 @@ object SparkEntry {
         """SELECT mean("value") INTO "gen_default"."click_hourly" FROM "app_click" """ +
           """WHERE time >= '2024-01-01T00:00:00Z' AND time <= '2024-01-31T00:00:00Z' """ +
           """GROUP BY time(1h) FILL(none)""").collect()
+      // the +5e-10 nudge shifts the round-6 tie boundary identically in
+      // both engines: replica-structured fixtures (sf1) produce means
+      // landing EXACTLY on x.xxxxxx5, where the engines' last-ULP
+      // summation differences would otherwise round to opposite sides
       graft.api.Api.dispatch(ctx, "cmd.tsdb.query",
         """SELECT "value" FROM "gen_default"."click_hourly" """ +
           """WHERE time >= '2024-01-01T00:00:00Z' AND time <= '2024-01-31T00:00:00Z'""")
-        .select(col("time"), round(col("value"), 6).as("value"))
+        .select(col("time"), round(col("value") + 5e-10, 6).as("value"))
     }),
 
     "s6_write_api" -> ((s, dir) => {
@@ -2790,11 +2794,12 @@ object SparkEntry {
          |GROUP BY 1, 2""".stripMargin,
 
     // computed from the ORIGINAL events: the INTO write → store → read
-    // loop must reproduce the direct hourly aggregation exactly
+    // loop must reproduce the direct hourly aggregation exactly (the
+    // +5e-10 matches the engine side's round-tie nudge)
     "s7_select_into" ->
       s"""WITH ${ptsCte("app_")}
          |SELECT CAST(floor(tsec / 3600) * 3600 AS BIGINT) AS time,
-         |  round(avg(v), 6) AS value
+         |  round(avg(v) + 5e-10, 6) AS value
          |FROM pts
          |WHERE m = 'app_click' AND tsec >= 1704067200 AND tsec <= 1706659200
          |GROUP BY 1""".stripMargin,
