@@ -348,6 +348,33 @@ object SparkEntry {
         .select(col("time"), round(col("value"), 6).as("value"))
     }),
 
+    "s7_multi_heavy" -> ((s, dir) => {
+      // round-13: MODE + INTEGRAL compose with a simple mean in ONE
+      // multi-select — each heavy aggregate runs its own plan over the
+      // SAME scanned frame and full-outer-joins back on the bucket key;
+      // items reference different fields (mode over the quantized twin)
+      graft.query.InfluxQL.dataPoints(
+        """SELECT mode("vq") AS "md", integral("value", 1h) AS "ig", mean("value") AS "mu" """ +
+          """FROM "app_click" WHERE time > now()-5w GROUP BY time(1d) FILL(none)""",
+        _ => points(s, dir, "app_")
+          .withColumn("vq", floor(col("value")).cast("double")),
+        _ => None, Now)
+        .select(col("time"), col("md"), round(col("ig"), 6).as("ig"),
+          round(col("mu"), 6).as("mu"))
+    }),
+
+    "s7_subquery_multi" -> ((s, dir) => {
+      // round-13: multi-item lists on BOTH subquery sides — daily
+      // extremes of the hourly (mean, max) pair; max/min select inner
+      // values bit-for-bit, so round(6) on the mean side is safe
+      graft.query.InfluxQL.dataPoints(
+        """SELECT max("mu") AS "dmu", min("mx") AS "dmx" FROM """ +
+          """(SELECT mean("value") AS "mu", max("value") AS "mx" FROM "app_click" """ +
+          """WHERE time > now()-5w GROUP BY time(1h)) GROUP BY time(1d) FILL(none)""",
+        _ => points(s, dir, "app_"), _ => None, Now)
+        .select(col("time"), round(col("dmu"), 6).as("dmu"), col("dmx"))
+    }),
+
     "s7_multi_select" -> ((s, dir) => {
       // round-13 dialect tail: the multi-series panel shape — three
       // aggregates of one field, tag-grouped, planned as ONE scan + ONE
@@ -2774,6 +2801,34 @@ object SparkEntry {
          |        FROM pts WHERE m = 'app_click' AND tsec > 1703721600 GROUP BY 1)
          |SELECT CAST(floor(t / 86400) * 86400 AS BIGINT) AS time,
          |  round(max(val), 6) AS value
+         |FROM agg GROUP BY 1""".stripMargin,
+
+    "s7_multi_heavy" ->
+      s"""WITH ${ptsCte("app_")},
+         |c AS (SELECT CAST(floor(tsec / 86400) * 86400 AS BIGINT) t,
+         |        floor(v) val, count(*) cnt
+         |      FROM pts WHERE m = 'app_click' AND tsec > 1703721600 GROUP BY 1, 2),
+         |md AS (SELECT t, val FROM (SELECT t, val, row_number() OVER (
+         |         PARTITION BY t ORDER BY cnt DESC, val ASC) rn FROM c) WHERE rn = 1),
+         |p AS (SELECT CAST(floor(tsec / 86400) * 86400 AS BIGINT) b, epoch(ts) et, v
+         |      FROM pts WHERE m = 'app_click' AND tsec > 1703721600),
+         |w AS (SELECT b, v, lag(v) OVER pw AS pv, et, lag(et) OVER pw AS pt
+         |      FROM p WINDOW pw AS (PARTITION BY b ORDER BY et)),
+         |ig AS (SELECT b AS t, round(sum((v + pv) / 2 * (et - pt) / 3600), 6) AS igv
+         |       FROM w GROUP BY 1),
+         |mu AS (SELECT CAST(floor(tsec / 86400) * 86400 AS BIGINT) t,
+         |         round(avg(v), 6) AS muv
+         |       FROM pts WHERE m = 'app_click' AND tsec > 1703721600 GROUP BY 1)
+         |SELECT mu.t AS time, md.val AS md, ig.igv AS ig, mu.muv AS mu
+         |FROM mu LEFT JOIN md ON md.t = mu.t LEFT JOIN ig ON ig.t = mu.t""".stripMargin,
+
+    "s7_subquery_multi" ->
+      s"""WITH ${ptsCte("app_")},
+         |agg AS (SELECT CAST(floor(tsec / 3600) * 3600 AS BIGINT) t,
+         |          avg(v) AS mu, max(v) AS mx
+         |        FROM pts WHERE m = 'app_click' AND tsec > 1703721600 GROUP BY 1)
+         |SELECT CAST(floor(t / 86400) * 86400 AS BIGINT) AS time,
+         |  round(max(mu), 6) AS dmu, min(mx) AS dmx
          |FROM agg GROUP BY 1""".stripMargin,
 
     "s7_multi_select" ->

@@ -75,11 +75,13 @@ object InfluxQL {
   final case class Select(req: DataPointsRequest, retentionPolicy: Option[String])
       extends Statement
   /** One-level subquery — `SELECT <agg> FROM (SELECT <inner> ...)`,
-   *  the Grafana-era max-of-mean idiom. `innerAlias` is the inner
-   *  select's `AS` name (the column the outer references), defaulting
-   *  to "value". Deeper nesting is refused in the error envelope. */
-  final case class Subquery(outer: Select, inner: Select, innerAlias: String)
-      extends Statement
+   *  the Grafana-era max-of-mean idiom. Both sides may be single- or
+   *  multi-item SELECTs; `innerAliases` are the inner's output column
+   *  names (the columns the outer references) — a single inner's `AS`
+   *  name defaulting to "value", a multi inner's [[Planner.itemAliases]]
+   *  list. Deeper nesting is refused in the error envelope. */
+  final case class Subquery(outer: Statement, inner: Statement,
+      innerAliases: Seq[String]) extends Statement
   /** Multi-item select list — `SELECT mean("v") AS a, max("v") AS b ...`
    *  (the multi-series Grafana panel shape). `req` carries the shared
    *  frame (measurement, WHERE, GROUP BY, FILL, modifiers) with its
@@ -368,9 +370,10 @@ object InfluxQL {
     }
 
   /** Parse the one supported nesting level: outer over a parenthesized
-   *  inner SELECT. The inner's `AS` alias is the column name the outer
-   *  references (InfluxDB's contract); deeper nesting refuses in the
-   *  documented envelope. */
+   *  inner SELECT. The inner's output column names (a single item's `AS`
+   *  alias, a multi item list's function-named columns) are the columns
+   *  the outer references (InfluxDB's contract); deeper nesting refuses
+   *  in the documented envelope. */
   private def parseSubquery(raw: String, pre: String, innerText: String,
       post: String): Statement = {
     if (!innerText.toLowerCase.startsWith("select"))
@@ -380,22 +383,25 @@ object InfluxQL {
       throw new IllegalArgumentException(
         s"subqueries nest at most one level: $raw")
     val inner = parse(innerText) match {
-      case s: Select => s
+      case s @ (_: Select | _: MultiSelect) => s
       case _ => throw new IllegalArgumentException(
         s"subquery inner statement must be a SELECT: $raw")
     }
-    val innerAlias =
-      "(?is)\\s+AS\\s+\"?([\\w\\-]+)\"?\\s*$".r
-        .findFirstMatchIn(
-          "(?is)^SELECT\\s+(.+?)\\s+FROM\\b".r.findFirstMatchIn(innerText)
-            .map(_.group(1)).getOrElse(""))
-        .map(_.group(1)).getOrElse("value")
+    val innerAliases = inner match {
+      case ms: MultiSelect => Planner.itemAliases(ms.items)
+      case _ =>
+        Seq("(?is)\\s+AS\\s+\"?([\\w\\-]+)\"?\\s*$".r
+          .findFirstMatchIn(
+            "(?is)^SELECT\\s+(.+?)\\s+FROM\\b".r.findFirstMatchIn(innerText)
+              .map(_.group(1)).getOrElse(""))
+          .map(_.group(1)).getOrElse("value"))
+    }
     val outer = parse(s"$pre FROM $SubMeasurement$post") match {
-      case s: Select => s
+      case s @ (_: Select | _: MultiSelect) => s
       case _ => throw new IllegalArgumentException(
         s"unsupported outer SELECT over a subquery: $raw")
     }
-    Subquery(outer, inner, innerAlias)
+    Subquery(outer, inner, innerAliases)
   }
 
   /** The last comma at paren depth 0 — splits a parameterized call's
@@ -531,20 +537,42 @@ object InfluxQL {
       // Select overload keeps its None default, callers here pass one
       sliceResolve: Option[(Tier, String, Long, Long) => DataFrame]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, timestamp_seconds}
+    def reqOf(st: Statement): DataPointsRequest = st match {
+      case s: Select => s.req
+      case ms: MultiSelect => ms.req
+      case other => throw new IllegalArgumentException(
+        s"unsupported subquery side: $other")
+    }
     // the INNER reads the store (slice applies); the outer runs over
     // the inner's in-memory points frame (nothing to slice)
-    val innerDf = dataPoints(sub.inner, resolve, tierByName, queryNow, sliceResolve)
+    val innerDf = sub.inner match {
+      case s: Select => dataPoints(s, resolve, tierByName, queryNow, sliceResolve)
+      case ms: MultiSelect => dataPoints(ms, resolve, tierByName, queryNow, sliceResolve)
+      case other => throw new IllegalArgumentException(
+        s"unsupported subquery inner: $other")
+    }
     if (!innerDf.columns.contains("time"))
       throw new IllegalArgumentException(
         "a subquery's inner SELECT must carry a time axis (GROUP BY " +
           "time(...) or raw points); a whole-range aggregate leaves the " +
           "outer query nothing to select over")
-    val tagCols = innerDf.columns.toSeq.filterNot(Set("time", "value"))
-    val pts = innerDf.filter(col("value").isNotNull)
+    // a single inner's value column takes its AS name; a multi inner's
+    // columns already carry their itemAliases names
+    val valueCols = sub.innerAliases
+    val named = sub.inner match {
+      case _: Select => innerDf.withColumnRenamed("value", valueCols.head)
+      case _ => innerDf
+    }
+    val tagCols = named.columns.toSeq.filterNot((valueCols :+ "time").toSet)
+    // gap-fill rows where EVERY value column is null are not points; a
+    // row with at least one real field is a point (the outer's aggregates
+    // skip its null cells, the InfluxDB semantics)
+    val anyReal = valueCols.map(col(_).isNotNull).reduce(_ || _)
+    val pts = named.filter(anyReal)
       .select(Seq(lit(SubMeasurement).as("measurement"),
-        timestamp_seconds(col("time")).as("time"),
-        col("value").as(sub.innerAlias)) ++ tagCols.map(col): _*)
-    val o = sub.outer.req
+        timestamp_seconds(col("time")).as("time")) ++
+        valueCols.map(col) ++ tagCols.map(col): _*)
+    val o = reqOf(sub.outer)
     val outerReq =
       if (o.relativeTime.nonEmpty || o.fromTime.nonEmpty) o
       else {
@@ -552,7 +580,7 @@ object InfluxQL {
         // effective range widened by one inner bucket, because the
         // inner's first bucket START floors below its own fromSec and
         // InfluxDB's unbounded outer still selects that bucket
-        val i = sub.inner.req
+        val i = reqOf(sub.inner)
         val (fromSec, toSec) =
           if (i.fromTime.nonEmpty)
             (Instant.parse(i.fromTime).getEpochSecond,
@@ -568,10 +596,23 @@ object InfluxQL {
         o.copy(fromTime = Instant.ofEpochSecond(fromSec - bucketSec).toString,
           toTime = Instant.ofEpochSecond(toSec).toString)
       }
-    Planner.dataPoints(
-      outerReq.copy(fieldName =
-        if (outerReq.fieldName.isEmpty) sub.innerAlias else outerReq.fieldName),
-      _ => pts, queryNow)
+    sub.outer match {
+      case s: Select =>
+        // an outer with no explicit field selects the single inner
+        // column; over a multi-column inner it must name one
+        val fld =
+          if (s.req.fieldName.nonEmpty) s.req.fieldName
+          else if (valueCols.size == 1) valueCols.head
+          else if (valueCols.contains("value")) "value"
+          else throw new IllegalArgumentException(
+            "the outer SELECT over a multi-column subquery must name " +
+              s"the inner column it selects (one of: ${valueCols.mkString(", ")})")
+        Planner.dataPoints(outerReq.copy(fieldName = fld), _ => pts, queryNow)
+      case ms: MultiSelect =>
+        Planner.dataPointsMulti(ms.items, outerReq, _ => pts, queryNow)
+      case other => throw new IllegalArgumentException(
+        s"unsupported subquery outer: $other")
+    }
   }
 
   /** Plan a multi-item SELECT — the same rp-pins-the-tier contract as

@@ -884,13 +884,25 @@ object Planner {
     }
   }
 
-  /** Aggregates the multi-select path cannot express as one expression
-   *  in a shared groupBy: the multi-row selectors (TOP/BOTTOM, DISTINCT)
-   *  change output cardinality, and MODE/INTEGRAL are multi-pass plans
-   *  of their own. All four remain available as single-item selects. */
+  /** Aggregates the multi-select path cannot express at all: the
+   *  multi-row selectors (TOP/BOTTOM, DISTINCT) change the output
+   *  cardinality, so their rows cannot share a frame with one-row-per-
+   *  bucket columns. They remain available as single-item selects. */
   private def multiPassFn(fn: String): Boolean = fn match {
     case TopBottomFn(_, _) => true
-    case "distinct" | "mode" => true
+    case "distinct" => true
+    case _ => false
+  }
+
+  /** Aggregates that need their own plan (MODE's two-phase argmax,
+   *  INTEGRAL's trapezoid lag) rather than one expression in the shared
+   *  groupBy. In a multi-select they compute per item over the SAME
+   *  scanned frame and full-outer-join back on the (time, tag) bucket
+   *  key — bucket-count-sized joins, never a second data scan — so they
+   *  need the time-bucketed shape (the unbucketed forms produce keyless
+   *  single rows with nothing to join on). */
+  private def heavyAggFn(fn: String): Boolean = fn match {
+    case "mode" => true
     case IntegralFn(_) => fn.startsWith("integral")
     case _ => false
   }
@@ -947,7 +959,13 @@ object Planner {
     its.foreach { it =>
       if (multiPassFn(it.dataFunction)) throw new IllegalArgumentException(
         s"${it.dataFunction} is not supported in a multi-field SELECT " +
-          "(multi-row/multi-pass aggregate); select it on its own")
+          "(multi-row selector changes the output cardinality); select it " +
+          "on its own")
+      if (heavyAggFn(it.dataFunction) && groupByTime.isEmpty)
+        throw new IllegalArgumentException(
+          s"${it.dataFunction} in a multi-field SELECT requires GROUP BY " +
+            "time(...) (its own plan joins back on the bucket key); " +
+            "select it on its own for the whole-range form")
       if (hasSequential(it.transformFunction) &&
           (groupByTime.isEmpty || it.dataFunction.isEmpty))
         throw new IllegalArgumentException(
@@ -974,9 +992,10 @@ object Planner {
       scanFrame(req, resolve, now, sliceResolve, tierFn, groupByTime)
     val bucketSec = TierPolicy.relativeToMinutes(groupByTime) * 60
 
-    def aggExprs: Seq[Column] = its.zip(aliases).map { case (it, a) =>
-      aggColumn(it.dataFunction, col(it.fieldName), col("time")).as(a)
-    }
+    def aggExprs(pairs: Seq[(SelectItem, String)]): Seq[Column] =
+      pairs.map { case (it, a) =>
+        aggColumn(it.dataFunction, col(it.fieldName), col("time")).as(a)
+      }
     val shaped: DataFrame =
       if (!aggregated) {
         if (groupByTime.nonEmpty) throw new IllegalArgumentException(
@@ -993,15 +1012,41 @@ object Planner {
           unix_timestamp(col("time")).as("time") +: cols ++: keyNames.map(col): _*)
       } else if (groupByTime.nonEmpty) {
         val bucketCol = floor(unix_timestamp(col("time")) / bucketSec) * bucketSec
-        val agged = filtered
-          .groupBy(bucketCol.as("time") +: keyNames.map(col): _*)
-          .agg(aggExprs.head, aggExprs.tail: _*)
+        // every simple aggregate is one expression in ONE shared groupBy;
+        // each heavy item (mode/integral) runs its own plan over the SAME
+        // scanned frame and full-outer-joins back on the bucket key (all
+        // joined sides are bucket-count-sized, and a bucket empty for one
+        // column but not another keeps its row with a null cell)
+        val (heavyPairs, simplePairs) =
+          its.zip(aliases).partition(p => heavyAggFn(p._1.dataFunction))
+        val simpleFrame =
+          if (simplePairs.isEmpty) Nil
+          else {
+            val es = aggExprs(simplePairs)
+            Seq(filtered.groupBy(bucketCol.as("time") +: keyNames.map(col): _*)
+              .agg(es.head, es.tail: _*))
+          }
+        val heavyFrames = heavyPairs.map { case (it, a) =>
+          val f2 = filtered.withColumn("value", col(it.fieldName))
+          val d = it.dataFunction match {
+            case "mode" => modeAgg(f2, Some(bucketCol), keyNames)
+            case IntegralFn(unitSec) =>
+              integralAgg(f2, Some(bucketCol), keyNames, unitSec, bucketSec)
+            case other => throw new IllegalArgumentException(
+              s"unsupported data_function: $other")
+          }
+          d.withColumnRenamed("value", a)
+        }
+        val agged = (simpleFrame ++ heavyFrames)
+          .reduce(_.join(_, "time" +: keyNames, "full_outer"))
         gapFillMulti(agged, keyNames, aliases, bucketSec, fromSec, toSec, fillType)
       } else if (keyNames.nonEmpty) {
         // aggregated, tag-only: one row per tag value (no time axis)
-        filtered.groupBy(keyNames.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
+        val es = aggExprs(its.zip(aliases))
+        filtered.groupBy(keyNames.map(col): _*).agg(es.head, es.tail: _*)
       } else {
-        filtered.agg(aggExprs.head, aggExprs.tail: _*)
+        val es = aggExprs(its.zip(aliases))
+        filtered.agg(es.head, es.tail: _*)
       }
 
     // per-item transform chains over the shaped frame

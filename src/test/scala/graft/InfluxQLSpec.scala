@@ -285,7 +285,7 @@ class InfluxQLSpec extends SparkSpec {
           dataFunction = oa, groupByTime = ob.getOrElse("")), None),
         InfluxQL.Select(DataPointsRequest(measurement = "m",
           dataFunction = ia, relativeTime = w, groupByTime = b), None),
-        alias)
+        Seq(alias))
       (sql, want)
     }
     checkProp(Prop.forAll(g) { case (sql, want) =>
@@ -628,7 +628,27 @@ class InfluxQLSpec extends SparkSpec {
       _ => df, _ => None, now)
     assert(tagged.columns.toSeq == Seq("time", "a", "n", "dev_id"))
     assert(tagged.count() == 3)
-    // refusals: mixing, multi-pass aggregates, multi-column linear fill
+    // heavy aggregates (own plans) join back on the bucket key: mode and
+    // integral next to a simple mean, each equal to its single-item plan
+    val heavy = InfluxQL.dataPoints(
+      """SELECT mode("value") AS "md", integral("value") AS "ig", mean("value") AS "mu" """ +
+        """FROM "m" WHERE time > now()-4h GROUP BY time(1h) FILL(none)""",
+      _ => df, _ => None, now)
+    assert(heavy.columns.toSeq == Seq("time", "md", "ig", "mu"))
+    def singleFn(fn: String) = Planner.dataPoints(DataPointsRequest("m",
+      dataFunction = fn, relativeTime = "4h", groupByTime = "1h",
+      fillType = "none"), _ => df, now).collect()
+      .map(r => (r.getAs[Long]("time"), Option(r.get(1)))).toMap
+    val (modes, integrals, mus) =
+      (singleFn("mode"), singleFn("integral"), singleFn("mean"))
+    val heavyRows = heavy.collect()
+    assert(heavyRows.nonEmpty && heavyRows.forall { r =>
+      val t = r.getAs[Long]("time")
+      modes(t) == Option(r.get(1)) && integrals(t) == Option(r.get(2)) &&
+        mus(t) == Option(r.get(3))
+    }, heavyRows.mkString(", "))
+    // refusals: mixing, multi-row selectors, heavy without a time bucket,
+    // multi-column linear fill
     intercept[IllegalArgumentException] {
       InfluxQL.dataPoints(
         """SELECT mean("value"), "value" FROM "m" GROUP BY time(1h)""",
@@ -637,6 +657,11 @@ class InfluxQLSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       InfluxQL.dataPoints(
         """SELECT mean("value"), top("value", 3) FROM "m" GROUP BY time(1h)""",
+        _ => df, _ => None, now)
+    }
+    intercept[IllegalArgumentException] {
+      InfluxQL.dataPoints(
+        """SELECT mode("value"), mean("value") FROM "m" WHERE time > now()-4h""",
         _ => df, _ => None, now)
     }
     intercept[IllegalArgumentException] {
@@ -735,6 +760,43 @@ class InfluxQLSpec extends SparkSpec {
         """SELECT mean("value") INTO "t2" FROM "gen_raw"."sensor_temp" WHERE time > now()-1d""")
     }
     assert(err.getMessage.contains("time axis"))
+  }
+
+  test("multi-item subqueries: multi inner columns feed a multi (or single) " +
+    "outer; refusals keep the envelope") {
+    val df = pts(
+      ("m", 1704153600L, 10.0, "1"), ("m", 1704153660L, 20.0, "1"),
+      ("m", 1704157200L, 30.0, "2"), ("m", 1704160800L, 25.0, "2"))
+    // multi inner (hourly mean + max per bucket), multi outer (daily
+    // extremes of each): equal to composing the single-column subqueries
+    val got = InfluxQL.dataPoints(
+      """SELECT max("mu") AS "daily_mu", min("mx") AS "daily_mx" FROM """ +
+        """(SELECT mean("value") AS "mu", max("value") AS "mx" FROM "m" """ +
+        """WHERE time > now()-5h GROUP BY time(1h)) GROUP BY time(1d) FILL(none)""",
+      _ => df, _ => None, now).collect()
+      .map(r => (r.getAs[Long]("time"), r.getAs[Double]("daily_mu"),
+        r.getAs[Double]("daily_mx"))).toSeq
+    def one(innerFn: String, outerFn: String) = InfluxQL.dataPoints(
+      s"""SELECT $outerFn("v") FROM (SELECT $innerFn("value") AS "v" FROM "m" """ +
+        """WHERE time > now()-5h GROUP BY time(1h)) GROUP BY time(1d) FILL(none)""",
+      _ => df, _ => None, now).collect()
+      .map(r => (r.getAs[Long]("time"), r.getAs[Double]("value"))).toMap
+    val (mu, mx) = (one("mean", "max"), one("max", "min"))
+    assert(got.nonEmpty && got.forall { case (t, a, b) => mu(t) == a && mx(t) == b },
+      s"subquery multi: $got")
+    // single outer over a multi inner must NAME the column it selects
+    val named = InfluxQL.dataPoints(
+      """SELECT max("mu") FROM (SELECT mean("value") AS "mu", max("value") AS "mx" """ +
+        """FROM "m" WHERE time > now()-5h GROUP BY time(1h)) GROUP BY time(1d) FILL(none)""",
+      _ => df, _ => None, now).collect()
+      .map(r => (r.getAs[Long]("time"), r.getAs[Double]("value"))).toMap
+    assert(named == mu, s"named-column outer: $named")
+    intercept[IllegalArgumentException] {
+      InfluxQL.dataPoints(
+        """SELECT max("value") FROM (SELECT mean("value") AS "mu", max("value") AS "mx" """ +
+          """FROM "m" WHERE time > now()-5h GROUP BY time(1h)) GROUP BY time(1d)""",
+        _ => df, _ => None, now)
+    }
   }
 
   test("shapeResponse carries multi-column and per-measurement series " +
