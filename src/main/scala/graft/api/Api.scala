@@ -714,34 +714,53 @@ object Api {
   }
 
   /** Execute `SELECT ... INTO`: plan the source select, drop gap-fill
-   *  null rows (fill rows are not points), write the result as stored
-   *  points under the target measurement — an explicit rp pins the
-   *  write tier, otherwise the router places the new measurement by
-   *  name — and return InfluxDB's `(time=0, written=N)` row. The
-   *  result frame is aggregate-sized; persisting it for the
-   *  write-then-count pair avoids re-running the source scan. */
+   *  rows (a row where EVERY value column is null is a fill row, not a
+   *  point; a partial multi-column row keeps its real cells), write the
+   *  result as stored points under the target measurement — an explicit
+   *  rp pins the write tier, otherwise the router places the new
+   *  measurement by name; a multi-item source writes one FIELD COLUMN
+   *  per item under its alias, each readable back via `fieldName` —
+   *  and return InfluxDB's `(time=0, written=N)` row. The result frame
+   *  is aggregate-sized; persisting it for the write-then-count pair
+   *  avoids re-running the source scan. */
   private def selectInto(ctx: Context,
       si: graft.query.InfluxQL.SelectInto): DataFrame = {
     import graft.query.InfluxQL
-    val planned = si.inner match {
+    def plan(st: InfluxQL.Statement): DataFrame = st match {
       case s: InfluxQL.Select =>
         InfluxQL.dataPoints(s, t => ctx.store.read(t), ctx.store.tierByName(_),
           ctx.now(), sliceResolve = Some(slicedRead(ctx, "")))
+      case ms: InfluxQL.MultiSelect =>
+        InfluxQL.dataPoints(ms, t => ctx.store.read(t), ctx.store.tierByName(_),
+          ctx.now(), Some(slicedRead(ctx, "")))
       case s: InfluxQL.Subquery =>
         InfluxQL.dataPoints(s, t => ctx.store.read(t), ctx.store.tierByName(_),
           ctx.now(), Some(slicedRead(ctx, "")))
       case other => throw new IllegalArgumentException(
-        s"SELECT INTO source must be a single-field SELECT: $other")
+        s"unsupported SELECT INTO source: $other")
     }
+    // the source's value columns by STATEMENT SHAPE (a single select's
+    // fixed `value`, a multi list's itemAliases — incl. a subquery's
+    // outer side, whichever form it takes)
+    def valueColsOf(st: InfluxQL.Statement): Seq[String] = st match {
+      case _: InfluxQL.Select => Seq("value")
+      case ms: InfluxQL.MultiSelect => graft.query.Planner.itemAliases(ms.items)
+      case sub: InfluxQL.Subquery => valueColsOf(sub.outer)
+      case other => throw new IllegalArgumentException(
+        s"unsupported SELECT INTO source: $other")
+    }
+    val planned = plan(si.inner)
+    val valueCols = valueColsOf(si.inner)
     if (!planned.columns.contains("time"))
       throw new IllegalArgumentException(
         "SELECT INTO needs a time axis (GROUP BY time(...) or raw " +
           "points); a whole-range aggregate carries no point time")
-    val tagCols = planned.columns.toSeq.filterNot(Set("time", "value"))
-    val pts = planned.filter(col("value").isNotNull)
+    val tagCols = planned.columns.toSeq.filterNot((valueCols :+ "time").toSet)
+    val anyReal = valueCols.map(col(_).isNotNull).reduce(_ || _)
+    val pts = planned.filter(anyReal)
       .select(lit(si.target).as("measurement") +:
         timestamp_seconds(col("time")).as("time") +:
-        col("value") +: tagCols.map(col): _*)
+        (valueCols.map(col) ++ tagCols.map(col)): _*)
       .persist()
     try {
       si.retentionPolicy match {
@@ -867,8 +886,10 @@ object Api {
       if (truncated && hasTime)
         s""","next":${rows.iterator.map(_.getAs[Long]("time")).max}"""
       else ""
-    val columnsJson =
-      ((if (hasTime) Seq("time") else Nil) ++ valueCols).map(jstr).mkString(",")
+    // a time-less shape (whole-range aggregate) still carries a time
+    // column at epoch 0 — InfluxDB's convention for bare aggregates,
+    // and the pre-existing wire contract clients index against
+    val columnsJson = ("time" +: valueCols).map(jstr).mkString(",")
     // single pass over series-contiguous rows
     val sb = new StringBuilder("[")
     var openKey: (String, String) = null
@@ -897,9 +918,9 @@ object Api {
       if (!anySeries || key != openKey) open(key)
       if (!firstVal) sb.append(",")
       sb.append('[')
-      if (hasTime) sb.append(r.getAs[Long]("time").toString)
-      valueCols.zipWithIndex.foreach { case (c, i) =>
-        if (hasTime || i > 0) sb.append(',')
+      sb.append(if (hasTime) r.getAs[Long]("time").toString else "0")
+      valueCols.foreach { c =>
+        sb.append(',')
         sb.append(Option(r.getAs[Any](c)).map(_.toString).getOrElse("null"))
       }
       sb.append(']')

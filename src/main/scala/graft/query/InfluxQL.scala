@@ -64,10 +64,12 @@ import org.apache.spark.sql.DataFrame
  *
  * A FROM-clause retention policy pins the tier (the InfluxQL contract);
  * without one the planner's tier policy picks, as the structured command
- * does. The SELECT alias is accepted but the response keeps the engine's
- * fixed (time, value) column shape — `Api.shapeResponse` emits
+ * does. A SINGLE-item select keeps the engine's fixed (time, value)
+ * column shape regardless of its alias — `Api.shapeResponse` emits
  * ["time","value"] columns exactly like the reference's response
- * fixtures (docs/api:26-176).
+ * fixtures (docs/api:26-176). A multi-item select's columns carry their
+ * alias/function names ([[Planner.itemAliases]]), and a regex FROM
+ * emits one Series per matched measurement — the shaper renders both.
  */
 object InfluxQL {
 
@@ -227,10 +229,11 @@ object InfluxQL {
       val rp = if (parts.length >= 2) Some(parts(parts.length - 2)) else None
       val inner = parse(s"${m.group(1)} ${m.group(3)}")
       inner match {
-        case _: Select | _: Subquery => return SelectInto(inner, rp, target)
+        case _: Select | _: MultiSelect | _: Subquery =>
+          return SelectInto(inner, rp, target)
         case _ => throw new IllegalArgumentException(
-          "SELECT INTO supports a single-field SELECT (optionally over " +
-            s"a one-level subquery): $raw")
+          "SELECT INTO supports a single- or multi-item SELECT " +
+            s"(optionally over a one-level subquery), not a regex FROM: $raw")
       }
     }
     // FROM /re/ — regex measurement: splice in a placeholder, parse the

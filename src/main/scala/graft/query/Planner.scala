@@ -896,11 +896,14 @@ object Planner {
 
   /** Aggregates that need their own plan (MODE's two-phase argmax,
    *  INTEGRAL's trapezoid lag) rather than one expression in the shared
-   *  groupBy. In a multi-select they compute per item over the SAME
-   *  scanned frame and full-outer-join back on the (time, tag) bucket
-   *  key — bucket-count-sized joins, never a second data scan — so they
-   *  need the time-bucketed shape (the unbucketed forms produce keyless
-   *  single rows with nothing to join on). */
+   *  groupBy. In a multi-select each computes from its own aggregation
+   *  subtree over the same pruned scan — Spark does not share scans
+   *  across aggregation subtrees, so each heavy item RE-READS the
+   *  predicate-pushed columnar window (the multi-pass cost these
+   *  aggregates carry in InfluxDB too) — and full-outer-joins back on
+   *  the (time, tag) bucket key (bucket-count-sized joins). They need
+   *  the time-bucketed shape: the unbucketed forms produce keyless
+   *  single rows with nothing to join on. */
   private def heavyAggFn(fn: String): Boolean = fn match {
     case "mode" => true
     case IntegralFn(_) => fn.startsWith("integral")
@@ -981,8 +984,10 @@ object Planner {
     val aliases = itemAliases(its)
     val keyNames = if (tag.nonEmpty) Seq(tag) else Nil
     aliases.foreach { a =>
-      require(a != "time" && !keyNames.contains(a),
-        s"select-item alias collides with a result axis column: $a")
+      // `measurement` is reserved too: the wire shaper and the regex-FROM
+      // union use it as the per-measurement series key
+      require(a != "time" && a != "measurement" && !keyNames.contains(a),
+        s"select-item alias collides with a reserved result column: $a")
     }
 
     // rollup tiers only serve mean — offer the policy `mean` only when
@@ -1013,10 +1018,12 @@ object Planner {
       } else if (groupByTime.nonEmpty) {
         val bucketCol = floor(unix_timestamp(col("time")) / bucketSec) * bucketSec
         // every simple aggregate is one expression in ONE shared groupBy;
-        // each heavy item (mode/integral) runs its own plan over the SAME
-        // scanned frame and full-outer-joins back on the bucket key (all
-        // joined sides are bucket-count-sized, and a bucket empty for one
-        // column but not another keeps its row with a null cell)
+        // each heavy item (mode/integral) aggregates its own subtree over
+        // the same pruned window (an extra pass of the pushed-down
+        // columnar scan per heavy item — see heavyAggFn) and
+        // full-outer-joins back on the bucket key (all joined sides are
+        // bucket-count-sized, and a bucket empty for one column but not
+        // another keeps its row with a null cell)
         val (heavyPairs, simplePairs) =
           its.zip(aliases).partition(p => heavyAggFn(p._1.dataFunction))
         val simpleFrame =
@@ -1037,8 +1044,22 @@ object Planner {
           }
           d.withColumnRenamed("value", a)
         }
-        val agged = (simpleFrame ++ heavyFrames)
-          .reduce(_.join(_, "time" +: keyNames, "full_outer"))
+        // null-SAFE key equality: a USING full_outer never matches a null
+        // tag value to itself, which would split the null-tag series into
+        // one row per joined frame — the single-item plans (one groupBy,
+        // no join) keep null groups whole, and the multi plan must agree
+        def fullOuterNullSafe(l: DataFrame, r: DataFrame): DataFrame = {
+          val keys = "time" +: keyNames
+          val rn = keys.map(k => k -> s"_rk_$k").toMap
+          val rr = keys.foldLeft(r)((d, k) => d.withColumnRenamed(k, rn(k)))
+          val j = l.join(rr, keys.map(k => col(k) <=> col(rn(k))).reduce(_ && _),
+            "full_outer")
+          val keyCols = keys.map(k => coalesce(col(k), col(rn(k))).as(k))
+          val valCols = j.columns.toSeq
+            .filterNot(c => keys.contains(c) || rn.values.exists(_ == c)).map(col)
+          j.select(keyCols ++ valCols: _*)
+        }
+        val agged = (simpleFrame ++ heavyFrames).reduce(fullOuterNullSafe)
         gapFillMulti(agged, keyNames, aliases, bucketSec, fromSec, toSec, fillType)
       } else if (keyNames.nonEmpty) {
         // aggregated, tag-only: one row per tag value (no time axis)

@@ -760,6 +760,32 @@ class InfluxQLSpec extends SparkSpec {
         """SELECT mean("value") INTO "t2" FROM "gen_raw"."sensor_temp" WHERE time > now()-1d""")
     }
     assert(err.getMessage.contains("time axis"))
+    // a MULTI-item source writes one field column per item, each
+    // readable back by name through fieldName
+    val multiRes = Api.dispatch(ctx, "cmd.tsdb.query",
+      """SELECT mean("value") AS "mu", max("value") AS "mx" INTO "gen_default"."temp_pair" """ +
+        """FROM "gen_raw"."sensor_temp" WHERE time >= '2024-01-02T00:00:00Z' """ +
+        """AND time <= '2024-01-02T23:59:59Z' GROUP BY time(1h) FILL(none)""").collect()
+    assert(multiRes.head.getAs[Long]("written") == 2L)
+    def readField(f: String) = Api.dispatch(ctx, "cmd.tsdb.query",
+      s"""SELECT "$f" FROM "gen_default"."temp_pair" """ +
+        """WHERE time >= '2024-01-02T00:00:00Z' AND time <= '2024-01-02T23:59:59Z'""")
+      .collect().map(r => (r.getAs[Long]("time"), r.getAs[Double]("value"))).toSet
+    assert(readField("mu") == Set((1704153600L, 15.0), (1704157200L, 30.0)))
+    assert(readField("mx") == Set((1704153600L, 20.0), (1704157200L, 30.0)))
+    // a subquery with a MULTI outer as the INTO source (the shape that
+    // used to crash on an unresolved `value` column) writes both fields
+    val subRes = Api.dispatch(ctx, "cmd.tsdb.query",
+      """SELECT max("mu") AS "dmu", min("mx") AS "dmx" INTO "gen_default"."temp_daily" FROM """ +
+        """(SELECT mean("value") AS "mu", max("value") AS "mx" FROM "gen_raw"."sensor_temp" """ +
+        """WHERE time >= '2024-01-02T00:00:00Z' AND time <= '2024-01-02T23:59:59Z' """ +
+        """GROUP BY time(1h)) GROUP BY time(1d) FILL(none)""").collect()
+    assert(subRes.head.getAs[Long]("written") == 1L)
+    val daily = Api.dispatch(ctx, "cmd.tsdb.query",
+      """SELECT "dmu" FROM "gen_default"."temp_daily" """ +
+        """WHERE time >= '2024-01-02T00:00:00Z' AND time <= '2024-01-02T23:59:59Z'""")
+      .collect().map(r => (r.getAs[Long]("time"), r.getAs[Double]("value"))).toSet
+    assert(daily == Set((1704153600L, 30.0)), s"sub-multi INTO: $daily")
   }
 
   test("multi-item subqueries: multi inner columns feed a multi (or single) " +
@@ -829,6 +855,21 @@ class InfluxQLSpec extends SparkSpec {
     assert(Api.shapeResponse(single, "m", "") ==
       """{"Results":[{"Series":[{"name":"m","tags":{},""" +
         """"columns":["time","value"],"values":[[1704103200,1250.0]]}]}]}""")
+    // a time-less frame (whole-range aggregate) keeps the epoch-0 time
+    // column — InfluxDB's bare-aggregate convention, the shape clients
+    // index values[1] against
+    val bare = Seq(42.5).toDF("value")
+    assert(Api.shapeResponse(bare, "m", "") ==
+      """{"Results":[{"Series":[{"name":"m","tags":{},""" +
+        """"columns":["time","value"],"values":[[0,42.5]]}]}]}""")
+    // a multi-select item may not take the reserved `measurement` name
+    intercept[IllegalArgumentException] {
+      Planner.dataPointsMulti(
+        Seq(graft.model.SelectItem("value", "mean", alias = "measurement"),
+          graft.model.SelectItem("value", "max")),
+        DataPointsRequest("m", relativeTime = "1h", groupByTime = "10m"),
+        _ => pts(("m", 1704103200L, 1.0, "1")), now)
+    }
   }
 
   test("looksLike claims the dialect-tail forms, not their Spark cousins") {
