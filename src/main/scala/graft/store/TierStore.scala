@@ -674,14 +674,21 @@ final class TierStore(spark: SparkSession, val root: String) {
 
   /** SHOW FIELD KEYS [FROM m] → (field_key, field_type) with InfluxDB
    *  type names. Schema-derived (per-measurement when FROM names one;
-   *  unknown measurement answers empty), no data scan. */
+   *  unknown measurement answers empty), no data scan. Beyond the
+   *  canonical field columns, any non-reserved NON-STRING column is a
+   *  field too (InfluxDB's rule: tags are strings, fields are typed
+   *  values) — the shape `SELECT ... INTO` writes for a multi-item
+   *  source, one field column per item. */
   def fieldKeys(measurement: Option[String] = None): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.types._
     if (measurement.exists(m => !populatedTiers.exists(measurements(_).contains(m))))
       return Seq.empty[(String, String)].toDF("field_key", "field_type")
     val schema = catalogSchema(measurement)
-    FieldCols.flatMap(f => schema.fields.find(_.name == f)).map { f =>
+    val extras = schema.fields.filter(f =>
+      !NonSeriesCols(f.name) && !FieldCols.contains(f.name) &&
+        f.dataType != StringType).sortBy(_.name)
+    (FieldCols.flatMap(f => schema.fields.find(_.name == f)) ++ extras).map { f =>
       val t = f.dataType match {
         case DoubleType | FloatType => "float"
         case LongType | IntegerType => "integer"

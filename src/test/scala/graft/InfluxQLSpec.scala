@@ -306,7 +306,14 @@ class InfluxQLSpec extends SparkSpec {
       Gen.choose(1, 99).map(n => (s"""percentile("value", $n)""",
         SelectItem("value", s"percentile_$n"))),
       Gen.oneOf("abs", "sqrt").map(t => (s"""$t(mean("value"))""",
-        SelectItem("value", "mean", t))))
+        SelectItem("value", "mean", t))),
+      // the heavy aggregates (own plans joined back on the bucket key)
+      Gen.const(("""mode("value")""", SelectItem("value", "mode"))),
+      Gen.option(Gen.oneOf("1h", "30m")).map { d =>
+        val arg = d.map(x => s", $x").getOrElse("")
+        (s"""integral("value"$arg)""",
+          SelectItem("value", d.map(x => s"integral_$x").getOrElse("integral")))
+      })
     val frameG: Gen[(String, DataPointsRequest => DataPointsRequest)] = for {
       w <- Gen.option(Gen.oneOf("5h", "2w"))
       g <- Gen.option(Gen.oneOf("30m", "1h"))
@@ -786,6 +793,14 @@ class InfluxQLSpec extends SparkSpec {
         """WHERE time >= '2024-01-02T00:00:00Z' AND time <= '2024-01-02T23:59:59Z'""")
       .collect().map(r => (r.getAs[Long]("time"), r.getAs[Double]("value"))).toSet
     assert(daily == Set((1704153600L, 30.0)), s"sub-multi INTO: $daily")
+    // the catalog sees the INTO target's typed columns as FIELDS (tags
+    // are strings, fields are typed values), not as tag keys
+    val fk = Api.dispatch(ctx, "cmd.tsdb.query",
+      """SHOW FIELD KEYS FROM "temp_pair"""")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(fk == Set(("mu", "float"), ("mx", "float")), s"INTO field keys: $fk")
+    assert(Api.dispatch(ctx, "cmd.tsdb.query",
+      """SHOW TAG KEYS FROM "temp_pair"""").count() == 0)
   }
 
   test("multi-item subqueries: multi inner columns feed a multi (or single) " +
