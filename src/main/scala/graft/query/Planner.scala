@@ -1048,18 +1048,8 @@ object Planner {
         // tag value to itself, which would split the null-tag series into
         // one row per joined frame — the single-item plans (one groupBy,
         // no join) keep null groups whole, and the multi plan must agree
-        def fullOuterNullSafe(l: DataFrame, r: DataFrame): DataFrame = {
-          val keys = "time" +: keyNames
-          val rn = keys.map(k => k -> s"_rk_$k").toMap
-          val rr = keys.foldLeft(r)((d, k) => d.withColumnRenamed(k, rn(k)))
-          val j = l.join(rr, keys.map(k => col(k) <=> col(rn(k))).reduce(_ && _),
-            "full_outer")
-          val keyCols = keys.map(k => coalesce(col(k), col(rn(k))).as(k))
-          val valCols = j.columns.toSeq
-            .filterNot(c => keys.contains(c) || rn.values.exists(_ == c)).map(col)
-          j.select(keyCols ++ valCols: _*)
-        }
-        val agged = (simpleFrame ++ heavyFrames).reduce(fullOuterNullSafe)
+        val agged = (simpleFrame ++ heavyFrames)
+          .reduce(joinKeysNullSafe(_, _, "time" +: keyNames, "full_outer"))
         gapFillMulti(agged, keyNames, aliases, bucketSec, fromSec, toSec, fillType)
       } else if (keyNames.nonEmpty) {
         // aggregated, tag-only: one row per tag value (no time axis)
@@ -1087,7 +1077,7 @@ object Planner {
         val one = acc.select(("time" +: keyNames).map(col) :+ col(a).as("value"): _*)
         val t = transformWrap(chain, one, keyNames, bucketSec,
           mayHaveNulls = !nullFree)
-        acc.drop(a).join(t.withColumnRenamed("value", a),
+        joinKeysNullSafe(acc.drop(a), t.withColumnRenamed("value", a),
           "time" +: keyNames, "left")
       }
     }
@@ -1099,9 +1089,10 @@ object Planner {
 
   /** Gap fill for the multi-column aggregated frame: the spine join is
    *  [[gapFill]]'s (exploded per distinct group key, never a crossJoin);
-   *  the fill applies per value column. FILL(linear) interpolates along
-   *  a single column's geometry and is refused here — select it
-   *  per-item instead. */
+   *  the fill applies per value column — null/number/previous as column
+   *  rewrites over one spine pass, linear through the single-column
+   *  interpolation machinery joined back per column on the unique
+   *  (time, tag) row key (spine-sized frames on every side). */
   private def gapFillMulti(agged: DataFrame, tagCols: Seq[String],
       valueCols: Seq[String], bucketSec: Long, fromSec: Long, toSec: Long,
       fillType: String): DataFrame = {
@@ -1147,9 +1138,23 @@ object Planner {
       case num if num.toDoubleOption.isDefined =>
         valueCols.foldLeft(joined)((d, c) =>
           d.withColumn(c, coalesce(col(c), lit(num.toDouble))))
+      case "linear" =>
+        // per-column interpolation through the single-column machinery
+        // (blocked scans included), each rewritten column joined back on
+        // the unique (time, tag) row key — every side is the spine-sized
+        // joined frame, never the data
+        valueCols.foldLeft(joined) { (d, c) =>
+          val one = joined.select(
+            (tagCols :+ "time").map(col) :+ col(c).as("value"): _*)
+          val f = if (tagCols.isEmpty) blockedLinear(one, bucketSec)
+            else keyedLinear(one, tagCols)
+          joinKeysNullSafe(d.drop(c),
+            f.withColumnRenamed("value", c)
+              .select((tagCols :+ "time" :+ c).map(col): _*),
+            tagCols :+ "time", "left")
+        }
       case other => throw new IllegalArgumentException(
-        s"FILL($other) is not supported with a multi-field SELECT " +
-          "(single-column interpolation); select the item on its own")
+        s"unsupported fill type with a multi-field SELECT: $other")
     }
   }
 
@@ -1257,19 +1262,7 @@ object Planner {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         joined.withColumn("value", last(col("value"), ignoreNulls = true).over(w))
       case "linear" if tagCols.isEmpty => blockedLinear(joined, bucketSec)
-      case "linear" =>
-        // InfluxQL FILL(linear): interpolate between the neighboring
-        // non-null points; rows before the first / after the last stay null
-        val wP = Window.partitionBy(tagCols.map(col): _*).orderBy(col("time"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wN = Window.partitionBy(tagCols.map(col): _*).orderBy(col("time"))
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        val mark = when(col("value").isNotNull, struct(col("value"), col("time")))
-        joined
-          .withColumn("_p", last(mark, ignoreNulls = true).over(wP))
-          .withColumn("_n", first(mark, ignoreNulls = true).over(wN))
-          .withColumn("value", interpolated)
-          .drop("_p", "_n")
+      case "linear" => keyedLinear(joined, tagCols)
       case lit_ =>
         val v = try lit_.toDouble catch {
           case _: NumberFormatException =>
@@ -1278,6 +1271,37 @@ object Planner {
         joined.withColumn("value", coalesce(col("value"), lit(v)))
     }
     filled.select((tagCols :+ "time" :+ "value").map(col): _*)
+  }
+
+  /** InfluxQL FILL(linear), tag-keyed: interpolate between the
+   *  neighboring non-null points per series; rows before the first /
+   *  after the last stay null. */
+  private def keyedLinear(joined: DataFrame, tagCols: Seq[String]): DataFrame = {
+    val wP = Window.partitionBy(tagCols.map(col): _*).orderBy(col("time"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wN = Window.partitionBy(tagCols.map(col): _*).orderBy(col("time"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val mark = when(col("value").isNotNull, struct(col("value"), col("time")))
+    joined
+      .withColumn("_p", last(mark, ignoreNulls = true).over(wP))
+      .withColumn("_n", first(mark, ignoreNulls = true).over(wN))
+      .withColumn("value", interpolated)
+      .drop("_p", "_n")
+  }
+
+  /** Join on `keys` with NULL-SAFE equality (`<=>`), keys coalesced back
+   *  to their names — a USING join never matches a null tag value to
+   *  itself, which would split or drop the null-tag series. Both sides
+   *  of every call here are bucket-count-sized aggregated frames. */
+  private def joinKeysNullSafe(l: DataFrame, r: DataFrame, keys: Seq[String],
+      how: String): DataFrame = {
+    val rn = keys.map(k => k -> s"_rk_$k").toMap
+    val rr = keys.foldLeft(r)((d, k) => d.withColumnRenamed(k, rn(k)))
+    val j = l.join(rr, keys.map(k => col(k) <=> col(rn(k))).reduce(_ && _), how)
+    val keyCols = keys.map(k => coalesce(col(k), col(rn(k))).as(k))
+    val valCols = j.columns.toSeq
+      .filterNot(c => keys.contains(c) || rn.values.exists(_ == c)).map(col)
+    j.select(keyCols ++ valCols: _*)
   }
 
   /**

@@ -671,9 +671,25 @@ class InfluxQLSpec extends SparkSpec {
         """SELECT mode("value"), mean("value") FROM "m" WHERE time > now()-4h""",
         _ => df, _ => None, now)
     }
+    // FILL(linear) interpolates per column, equal to the single plans
+    def linSingle(fn: String) = Planner.dataPoints(DataPointsRequest("m",
+      dataFunction = fn, relativeTime = "6h", groupByTime = "1h",
+      fillType = "linear"), _ => df, now).collect()
+      .map(r => (r.getAs[Long]("time"), Option(r.get(1)))).toMap
+    val lin = InfluxQL.dataPoints(
+      """SELECT mean("value") AS "a", max("value") AS "b" FROM "m" """ +
+        """WHERE time > now()-6h GROUP BY time(1h) FILL(linear)""",
+      _ => df, _ => None, now).collect()
+    val (la, lb) = (linSingle("mean"), linSingle("max"))
+    assert(lin.nonEmpty && lin.exists(r => r.get(1) != null) &&
+      lin.forall { r =>
+        val t = r.getAs[Long]("time")
+        la(t) == Option(r.get(1)) && lb(t) == Option(r.get(2))
+      }, lin.mkString(", "))
+    // an unknown fill still refuses in the envelope
     intercept[IllegalArgumentException] {
       InfluxQL.dataPoints(
-        """SELECT mean("value"), max("value") FROM "m" GROUP BY time(1h) FILL(linear)""",
+        """SELECT mean("value"), max("value") FROM "m" GROUP BY time(1h) FILL(bogus)""",
         _ => df, _ => None, now).collect()
     }
   }
