@@ -722,35 +722,45 @@ object Api {
    *  per item under its alias, each readable back via `fieldName` —
    *  and return InfluxDB's `(time=0, written=N)` row. The result frame
    *  is aggregate-sized; persisting it for the write-then-count pair
-   *  avoids re-running the source scan. */
+   *  avoids re-running the source scan.
+   *
+   *  Columnar-store semantics, documented: a multi row partial in one
+   *  field stores that cell as NULL (the columnar encoding of "absent
+   *  field"). Aggregate reads skip null cells (InfluxDB-equal); a raw
+   *  single-field read renders the row with a null value where InfluxDB
+   *  would omit the point — the rendering InfluxDB itself uses for
+   *  multi-field selects over partial points. */
   private def selectInto(ctx: Context,
       si: graft.query.InfluxQL.SelectInto): DataFrame = {
-    import graft.query.InfluxQL
-    def plan(st: InfluxQL.Statement): DataFrame = st match {
+    import graft.query.{InfluxQL, Planner}
+    // ONE match pairs the plan with the PLANNED value-column names (a
+    // single select's fixed `value`; a multi list's aliases as planned —
+    // incl. the grouped bare-list mean default — via plannedMultiAliases;
+    // a subquery's outer side, whichever form it takes), so the two can
+    // never drift
+    def planWithCols(st: InfluxQL.Statement): (DataFrame, Seq[String]) = st match {
       case s: InfluxQL.Select =>
-        InfluxQL.dataPoints(s, t => ctx.store.read(t), ctx.store.tierByName(_),
-          ctx.now(), sliceResolve = Some(slicedRead(ctx, "")))
+        (InfluxQL.dataPoints(s, t => ctx.store.read(t), ctx.store.tierByName(_),
+          ctx.now(), sliceResolve = Some(slicedRead(ctx, ""))), Seq("value"))
       case ms: InfluxQL.MultiSelect =>
-        InfluxQL.dataPoints(ms, t => ctx.store.read(t), ctx.store.tierByName(_),
-          ctx.now(), Some(slicedRead(ctx, "")))
-      case s: InfluxQL.Subquery =>
-        InfluxQL.dataPoints(s, t => ctx.store.read(t), ctx.store.tierByName(_),
-          ctx.now(), Some(slicedRead(ctx, "")))
+        (InfluxQL.dataPoints(ms, t => ctx.store.read(t), ctx.store.tierByName(_),
+          ctx.now(), Some(slicedRead(ctx, ""))),
+          Planner.plannedMultiAliases(ms.items, ms.req))
+      case sub: InfluxQL.Subquery =>
+        val df = InfluxQL.dataPoints(sub, t => ctx.store.read(t),
+          ctx.store.tierByName(_), ctx.now(), Some(slicedRead(ctx, "")))
+        val cols = sub.outer match {
+          case _: InfluxQL.Select => Seq("value")
+          case ms: InfluxQL.MultiSelect =>
+            Planner.plannedMultiAliases(ms.items, ms.req)
+          case other => throw new IllegalArgumentException(
+            s"unsupported SELECT INTO source: $other")
+        }
+        (df, cols)
       case other => throw new IllegalArgumentException(
         s"unsupported SELECT INTO source: $other")
     }
-    // the source's value columns by STATEMENT SHAPE (a single select's
-    // fixed `value`, a multi list's itemAliases — incl. a subquery's
-    // outer side, whichever form it takes)
-    def valueColsOf(st: InfluxQL.Statement): Seq[String] = st match {
-      case _: InfluxQL.Select => Seq("value")
-      case ms: InfluxQL.MultiSelect => graft.query.Planner.itemAliases(ms.items)
-      case sub: InfluxQL.Subquery => valueColsOf(sub.outer)
-      case other => throw new IllegalArgumentException(
-        s"unsupported SELECT INTO source: $other")
-    }
-    val planned = plan(si.inner)
-    val valueCols = valueColsOf(si.inner)
+    val (planned, valueCols) = planWithCols(si.inner)
     if (!planned.columns.contains("time"))
       throw new IllegalArgumentException(
         "SELECT INTO needs a time axis (GROUP BY time(...) or raw " +
@@ -886,10 +896,17 @@ object Api {
       if (truncated && hasTime)
         s""","next":${rows.iterator.map(_.getAs[Long]("time")).max}"""
       else ""
-    // a time-less shape (whole-range aggregate) still carries a time
-    // column at epoch 0 — InfluxDB's convention for bare aggregates,
-    // and the pre-existing wire contract clients index against
-    val columnsJson = ("time" +: valueCols).map(jstr).mkString(",")
+    // a time-less DATA shape (whole-range aggregate: every value column
+    // a typed value — numeric/boolean) still carries a time column at
+    // epoch 0, InfluxDB's bare-aggregate convention and the wire
+    // contract clients index against; a CATALOG frame (SHOW forms:
+    // string columns) renders its own columns without a fabricated time
+    val dataShaped = hasTime || (valueCols.nonEmpty &&
+      df.schema.fields.filter(f => valueCols.contains(f.name)).forall(f =>
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+          f.dataType == org.apache.spark.sql.types.BooleanType))
+    val columnsJson =
+      ((if (dataShaped) Seq("time") else Nil) ++ valueCols).map(jstr).mkString(",")
     // single pass over series-contiguous rows
     val sb = new StringBuilder("[")
     var openKey: (String, String) = null
@@ -918,10 +935,16 @@ object Api {
       if (!anySeries || key != openKey) open(key)
       if (!firstVal) sb.append(",")
       sb.append('[')
-      sb.append(if (hasTime) r.getAs[Long]("time").toString else "0")
-      valueCols.foreach { c =>
-        sb.append(',')
-        sb.append(Option(r.getAs[Any](c)).map(_.toString).getOrElse("null"))
+      if (dataShaped)
+        sb.append(if (hasTime) r.getAs[Long]("time").toString else "0")
+      valueCols.zipWithIndex.foreach { case (c, i) =>
+        if (dataShaped || i > 0) sb.append(',')
+        val v = Option(r.getAs[Any](c))
+        sb.append(v match {
+          case Some(s: String) => jstr(s) // catalog cells are JSON strings
+          case Some(x) => x.toString
+          case None => "null"
+        })
       }
       sb.append(']')
       firstVal = false

@@ -212,17 +212,20 @@ object Planner {
   }
 
   /** Linear interpolation between the bracketing non-null points, given
-   *  `_p`/`_n` structs of (value, time); null outside the bracketed range
+   *  `p`/`n` structs of (value, time); null outside the bracketed range
    *  (InfluxQL FILL(linear) edge behavior). */
-  private def interpolated: Column = {
-    val pv = col("_p").getField("value")
-    val pt = col("_p").getField("time")
-    val nv = col("_n").getField("value")
-    val nt = col("_n").getField("time")
-    when(col("value").isNotNull, col("value"))
-      .when(col("_p").isNotNull && col("_n").isNotNull,
+  private def interpolatedAt(v: Column, p: Column, n: Column): Column = {
+    val pv = p.getField("value")
+    val pt = p.getField("time")
+    val nv = n.getField("value")
+    val nt = n.getField("time")
+    when(v.isNotNull, v)
+      .when(p.isNotNull && n.isNotNull,
         pv + (nv - pv) * (col("time") - pt) / (nt - pt))
   }
+
+  private def interpolated: Column =
+    interpolatedAt(col("value"), col("_p"), col("_n"))
 
   /** FILL(linear) with no group key: the same blocked prefix scan as
    *  blockedDifference, run in both directions — a forward carry of the
@@ -884,6 +887,27 @@ object Planner {
     }
   }
 
+  /** The single-select default applied per list: a time-grouped select
+   *  with no function aggregates by mean (influxdb_v1.go:102-114) — but
+   *  only when the WHOLE list is bare; one explicit aggregate next to a
+   *  bare field is InfluxDB's mixing error, not an invitation to
+   *  default. ONE normalization shared by the planner and by consumers
+   *  deriving the planned column names (INTO), so they cannot drift. */
+  private def normalizedMultiItems(items: Seq[SelectItem],
+      req: DataPointsRequest): Seq[SelectItem] = {
+    val groupByTime = if (req.groupByTime == "auto") "" else req.groupByTime
+    if (groupByTime.nonEmpty && items.forall(_.dataFunction.isEmpty))
+      items.map(_.copy(dataFunction = "mean"))
+    else items
+  }
+
+  /** The output-column names a multi list carries AS PLANNED — after
+   *  the grouped bare-list mean default — the names result consumers
+   *  (e.g. SELECT INTO's field columns) must use. */
+  def plannedMultiAliases(items: Seq[SelectItem],
+      req: DataPointsRequest): Seq[String] =
+    itemAliases(normalizedMultiItems(items, req))
+
   /** Aggregates the multi-select path cannot express at all: the
    *  multi-row selectors (TOP/BOTTOM, DISTINCT) change the output
    *  cardinality, so their rows cannot share a frame with one-row-per-
@@ -951,14 +975,7 @@ object Planner {
     val groupByTime = if (req.groupByTime == "auto") "" else req.groupByTime
     val fillType = if (req.fillType.isEmpty) "null" else req.fillType
     val tag = req.groupByTag
-    // the single-select default: a grouped select with no function
-    // aggregates by mean (influxdb_v1.go:102-114) — but only when the
-    // WHOLE list is bare; one explicit aggregate next to a bare field is
-    // InfluxDB's mixing error, not an invitation to default
-    val its =
-      if (groupByTime.nonEmpty && items.forall(_.dataFunction.isEmpty))
-        items.map(_.copy(dataFunction = "mean"))
-      else items
+    val its = normalizedMultiItems(items, req)
     its.foreach { it =>
       if (multiPassFn(it.dataFunction)) throw new IllegalArgumentException(
         s"${it.dataFunction} is not supported in a multi-field SELECT " +
@@ -1106,7 +1123,8 @@ object Planner {
         agged.select(tagCols.map(col): _*).distinct().select(col("*"), spineCol)
       else
         agged.sparkSession.range(1).select(spineCol)
-    val joined = spine.join(agged, tagCols :+ "time", "left")
+    // null-safe like gapFill's: a null tag value is a series of its own
+    val joined = joinKeysNullSafe(spine, agged, tagCols :+ "time", "left")
     fillType match {
       case "null" => joined
       case "previous" if tagCols.isEmpty =>
@@ -1138,21 +1156,54 @@ object Planner {
       case num if num.toDoubleOption.isDefined =>
         valueCols.foldLeft(joined)((d, c) =>
           d.withColumn(c, coalesce(col(c), lit(num.toDouble))))
+      case "linear" if tagCols.nonEmpty =>
+        // ONE window pass interpolates every column: the k (_p, _n)
+        // carries share the same two window specs, so they evaluate in a
+        // single WindowExec — no per-column joins, no re-derived lineage
+        val wP = Window.partitionBy(tagCols.map(col): _*).orderBy(col("time"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wN = Window.partitionBy(tagCols.map(col): _*).orderBy(col("time"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        def mark(c: String) = when(col(c).isNotNull,
+          struct(col(c).as("value"), col("time").as("time")))
+        val carried = valueCols.foldLeft(joined)((d, c) => d
+          .withColumn(s"_p_$c", last(mark(c), ignoreNulls = true).over(wP))
+          .withColumn(s"_n_$c", first(mark(c), ignoreNulls = true).over(wN)))
+        valueCols.foldLeft(carried)((d, c) => d
+          .withColumn(c, interpolatedAt(col(c), col(s"_p_$c"), col(s"_n_$c")))
+          .drop(s"_p_$c", s"_n_$c"))
       case "linear" =>
-        // per-column interpolation through the single-column machinery
-        // (blocked scans included), each rewritten column joined back on
-        // the unique (time, tag) row key — every side is the spine-sized
-        // joined frame, never the data
-        valueCols.foldLeft(joined) { (d, c) =>
-          val one = joined.select(
-            (tagCols :+ "time").map(col) :+ col(c).as("value"): _*)
-          val f = if (tagCols.isEmpty) blockedLinear(one, bucketSec)
-            else keyedLinear(one, tagCols)
-          joinKeysNullSafe(d.drop(c),
-            f.withColumnRenamed("value", c)
-              .select((tagCols :+ "time" :+ c).map(col): _*),
-            tagCols :+ "time", "left")
-        }
+        // untagged: the blocked two-pass prefix scan of [[blockedLinear]]
+        // widened to k columns — ONE in-block window pass carries every
+        // column's brackets, then each column joins its two
+        // block-count-sized carry frames (broadcast)
+        val span = blockSpanSec(bucketSec)
+        val withBlk = joined.withColumn("_blk", floor(col("time") / span))
+        val wP = Window.partitionBy(col("_blk")).orderBy(col("time"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wN = Window.partitionBy(col("_blk")).orderBy(col("time"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        def mark(c: String) = when(col(c).isNotNull,
+          struct(col(c).as("value"), col("time").as("time")))
+        val inBlk = valueCols.foldLeft(withBlk)((d, c) => d
+          .withColumn(s"_pin_$c", last(mark(c), ignoreNulls = true).over(wP))
+          .withColumn(s"_nin_$c", first(mark(c), ignoreNulls = true).over(wN)))
+        valueCols.foldLeft(inBlk) { (d, c) =>
+          val prev = blockCarry(
+            withBlk.groupBy(col("_blk"))
+              .agg(max_by(mark(c), when(col(c).isNotNull, col("time"))).as("_blast")),
+            updateOnNonNullOnly = true, s"_pout_$c")
+          val nxt = blockCarry(
+            withBlk.groupBy(col("_blk"))
+              .agg(min_by(mark(c), when(col(c).isNotNull, col("time"))).as("_blast")),
+            updateOnNonNullOnly = true, s"_nout_$c", ascending = false)
+          d.join(broadcast(prev), Seq("_blk"), "left")
+            .join(broadcast(nxt), Seq("_blk"), "left")
+            .withColumn(c, interpolatedAt(col(c),
+              coalesce(col(s"_pin_$c"), col(s"_pout_$c")),
+              coalesce(col(s"_nin_$c"), col(s"_nout_$c"))))
+            .drop(s"_pin_$c", s"_nin_$c", s"_pout_$c", s"_nout_$c")
+        }.drop("_blk")
       case other => throw new IllegalArgumentException(
         s"unsupported fill type with a multi-field SELECT: $other")
     }
@@ -1237,7 +1288,10 @@ object Planner {
         agged.select(tagCols.map(col): _*).distinct().select(col("*"), spineCol)
       else
         agged.sparkSession.range(1).select(spineCol)
-    val joined = spine.join(agged, tagCols :+ "time", "left")
+    // null-safe: a null TAG VALUE is a series of its own (the distinct
+    // spine carries its row), and a plain USING join would never match
+    // it back to its aggregates
+    val joined = joinKeysNullSafe(spine, agged, tagCols :+ "time", "left")
     val filled = fillType match {
       case "null" => joined
       case "previous" if tagCols.isEmpty =>

@@ -817,6 +817,49 @@ class InfluxQLSpec extends SparkSpec {
     assert(fk == Set(("mu", "float"), ("mx", "float")), s"INTO field keys: $fk")
     assert(Api.dispatch(ctx, "cmd.tsdb.query",
       """SHOW TAG KEYS FROM "temp_pair"""").count() == 0)
+    // a BARE grouped multi source takes the mean default — the INTO
+    // column derivation must use the PLANNED aliases (mean, mean_1),
+    // not the raw bare names (this shape used to crash)
+    val bareRes = Api.dispatch(ctx, "cmd.tsdb.query",
+      """SELECT "value", "value" INTO "gen_default"."temp_bare" """ +
+        """FROM "gen_raw"."sensor_temp" WHERE time >= '2024-01-02T00:00:00Z' """ +
+        """AND time <= '2024-01-02T23:59:59Z' GROUP BY time(1h) FILL(none)""").collect()
+    assert(bareRes.head.getAs[Long]("written") == 2L)
+    val bareBack = Api.dispatch(ctx, "cmd.tsdb.query",
+      """SELECT "mean" FROM "gen_default"."temp_bare" """ +
+        """WHERE time >= '2024-01-02T00:00:00Z' AND time <= '2024-01-02T23:59:59Z'""")
+      .collect().map(r => (r.getAs[Long]("time"), r.getAs[Double]("value"))).toSet
+    assert(bareBack == Set((1704153600L, 15.0), (1704157200L, 30.0)),
+      s"bare INTO: $bareBack")
+  }
+
+  test("a null tag value is a series of its own: fills and multi joins " +
+    "keep it whole (null-safe key joins)") {
+    val rows = Seq(
+      Row("m", new Timestamp(1704146400L * 1000), 10.0, null, "1", "sensor"),
+      Row("m", new Timestamp(1704146460L * 1000), 20.0, null, "1", "sensor"),
+      Row("m", new Timestamp(1704150000L * 1000), 30.0, "d2", "1", "sensor"))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    // single select, FILL(0): the null-dev series' real buckets keep
+    // their aggregates (a non-null-safe spine join would zero them all)
+    val single = Planner.dataPoints(DataPointsRequest("m",
+      dataFunction = "mean", relativeTime = "3h", groupByTime = "1h",
+      fillType = "0", groupByTag = "dev_id"), _ => df, now).collect()
+      .map(r => (Option(r.getAs[String]("dev_id")), r.getAs[Long]("time"),
+        r.getAs[Double]("value")))
+    assert(single.contains((None, 1704146400L, 15.0)), single.mkString(", "))
+    assert(single.contains((Some("d2"), 1704150000L, 30.0)))
+    // multi with a heavy item: the full-outer joins and the spine join
+    // must both match the null key to itself
+    val multi = InfluxQL.dataPoints(
+      """SELECT mean("value") AS "a", mode("value") AS "b" FROM "m" """ +
+        """WHERE time > now()-3h GROUP BY time(1h), "dev_id" FILL(none)""",
+      _ => df, _ => None, now).collect()
+      .map(r => (Option(r.getAs[String]("dev_id")), r.getAs[Long]("time"),
+        r.getAs[Double]("a"), r.getAs[Double]("b")))
+    assert(multi.toSet == Set(
+      (None, 1704146400L, 15.0, 10.0),
+      (Some("d2"), 1704150000L, 30.0, 30.0)), multi.mkString(", "))
   }
 
   test("multi-item subqueries: multi inner columns feed a multi (or single) " +
@@ -893,6 +936,13 @@ class InfluxQLSpec extends SparkSpec {
     assert(Api.shapeResponse(bare, "m", "") ==
       """{"Results":[{"Series":[{"name":"m","tags":{},""" +
         """"columns":["time","value"],"values":[[0,42.5]]}]}]}""")
+    // a CATALOG frame (SHOW forms: string columns) renders its own
+    // columns — no fabricated time, string cells JSON-quoted
+    val cat = Seq(("value", "float")).toDF("field_key", "field_type")
+    assert(Api.shapeResponse(cat, "", "") ==
+      """{"Results":[{"Series":[{"name":"","tags":{},""" +
+        """"columns":["field_key","field_type"],""" +
+        """"values":[["value","float"]]}]}]}""")
     // a multi-select item may not take the reserved `measurement` name
     intercept[IllegalArgumentException] {
       Planner.dataPointsMulti(
