@@ -389,6 +389,20 @@ object SparkEntry {
           col("max_v"), col("n"), col("location_id"))
     }),
 
+    "s7_multi_tag" -> ((s, dir) => {
+      // round-14 dialect notch: GROUP BY time(X), tag1, tag2 — the
+      // multi-tag form raw-passthrough InfluxDB 1.x accepts (the
+      // reference's own API takes exactly one tag, influxdb_v1.go:160-171,
+      // so this is passthrough-only surface); one shuffle keyed on
+      // (bucket, location_id, dir), Seq-keyed end-to-end
+      graft.query.InfluxQL.dataPoints(
+        """SELECT mean("value") FROM "app_click" WHERE time > now()-5w """ +
+          """GROUP BY time(1d), "location_id", "dir" FILL(none)""",
+        _ => points(s, dir, "app_"), _ => None, Now)
+        .select(col("time"), round(col("value"), 6).as("value"),
+          col("location_id"), col("dir"))
+    }),
+
     "s7_regex_from" -> ((s, dir) => {
       // regex measurement: the pattern matches against the measurement
       // CATALOG (metadata, never a data scan); matched measurements
@@ -2838,6 +2852,13 @@ object SparkEntry {
          |  loc AS location_id
          |FROM pts WHERE m = 'app_click' AND tsec > 1703721600
          |GROUP BY 1, 5""".stripMargin,
+
+    "s7_multi_tag" ->
+      s"""WITH ${ptsCte("app_")}
+         |SELECT CAST(floor(tsec / 86400) * 86400 AS BIGINT) AS time,
+         |  round(avg(v), 6) AS value, loc AS location_id, dir
+         |FROM pts WHERE m = 'app_click' AND tsec > 1703721600
+         |GROUP BY 1, 3, 4""".stripMargin,
 
     "s7_regex_from" ->
       s"""WITH ${ptsCte("sensor_")}

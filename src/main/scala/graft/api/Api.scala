@@ -738,10 +738,17 @@ object Api {
     // incl. the grouped bare-list mean default — via plannedMultiAliases;
     // a subquery's outer side, whichever form it takes), so the two can
     // never drift
+    // a single-item source plans its column as `value`, but InfluxDB
+    // stores the written field under the AS alias when one was given
+    // (`... AS foo INTO t` → field `foo`); rename at the write boundary
+    val singleCol = si.fieldAlias.getOrElse("value")
+    def renamed(df: DataFrame): DataFrame =
+      if (singleCol == "value") df else df.withColumnRenamed("value", singleCol)
     def planWithCols(st: InfluxQL.Statement): (DataFrame, Seq[String]) = st match {
       case s: InfluxQL.Select =>
-        (InfluxQL.dataPoints(s, t => ctx.store.read(t), ctx.store.tierByName(_),
-          ctx.now(), sliceResolve = Some(slicedRead(ctx, ""))), Seq("value"))
+        (renamed(InfluxQL.dataPoints(s, t => ctx.store.read(t),
+          ctx.store.tierByName(_),
+          ctx.now(), sliceResolve = Some(slicedRead(ctx, "")))), Seq(singleCol))
       case ms: InfluxQL.MultiSelect =>
         (InfluxQL.dataPoints(ms, t => ctx.store.read(t), ctx.store.tierByName(_),
           ctx.now(), Some(slicedRead(ctx, ""))),
@@ -749,14 +756,13 @@ object Api {
       case sub: InfluxQL.Subquery =>
         val df = InfluxQL.dataPoints(sub, t => ctx.store.read(t),
           ctx.store.tierByName(_), ctx.now(), Some(slicedRead(ctx, "")))
-        val cols = sub.outer match {
-          case _: InfluxQL.Select => Seq("value")
+        sub.outer match {
+          case _: InfluxQL.Select => (renamed(df), Seq(singleCol))
           case ms: InfluxQL.MultiSelect =>
-            Planner.plannedMultiAliases(ms.items, ms.req)
+            (df, Planner.plannedMultiAliases(ms.items, ms.req))
           case other => throw new IllegalArgumentException(
             s"unsupported SELECT INTO source: $other")
         }
-        (df, cols)
       case other => throw new IllegalArgumentException(
         s"unsupported SELECT INTO source: $other")
     }
@@ -868,16 +874,21 @@ object Api {
     // a multi-item select carries several value columns, all emitted in
     // result order under their [[graft.query.Planner.itemAliases]] names
     val hasMeas = df.columns.contains("measurement")
+    // the multi-tag passthrough form arrives comma-joined (the DTO's
+    // encoding, [[graft.model.DataPointsRequest.groupByTagKeys]]); one
+    // Series per distinct tag-KEY-TUPLE, its tags JSON carrying every key
+    val tagKeys: Seq[String] =
+      if (groupByTag.isEmpty) Nil
+      else groupByTag.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
     val valueCols = df.columns.toSeq
-      .filterNot(c => c == "time" || c == "measurement" ||
-        (groupByTag.nonEmpty && c == groupByTag))
+      .filterNot(c => c == "time" || c == "measurement" || tagKeys.contains(c))
     // page selection is by TIME order (that is what the next-marker pages
     // over); the (series, time) sort below happens on the bounded page only
     val paged =
       if (hasTime) df.filter(col("time") > afterTimeSec).orderBy(col("time")).limit(maxRows + 1)
       else df.limit(maxRows + 1)
     val sortCols = (if (hasMeas) Seq(col("measurement")) else Nil) ++
-      (if (groupByTag.nonEmpty) Seq(col(groupByTag)) else Nil) ++
+      tagKeys.map(col) ++
       (if (hasTime) Seq(col("time")) else Nil)
     val sorted = if (sortCols.nonEmpty) paged.orderBy(sortCols: _*) else paged
     val all = sorted.collect()
@@ -909,15 +920,16 @@ object Api {
       ((if (dataShaped) Seq("time") else Nil) ++ valueCols).map(jstr).mkString(",")
     // single pass over series-contiguous rows
     val sb = new StringBuilder("[")
-    var openKey: (String, String) = null
+    var openKey: (String, Seq[String]) = null
     var anySeries = false
     var firstVal = true
-    def open(key: (String, String)): Unit = {
+    def open(key: (String, Seq[String])): Unit = {
       if (anySeries) sb.append("]},")
       anySeries = true
       val name = if (hasMeas) key._1 else measurement
-      val tagJson =
-        if (groupByTag.nonEmpty) s"{${jstr(groupByTag)}:${jstr(key._2)}}" else "{}"
+      val tagJson = tagKeys.zip(key._2)
+        .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+        .mkString("{", ",", "}")
       sb.append(s"""{"name":${jstr(name)},"tags":$tagJson,"columns":[$columnsJson],"values":[""")
       firstVal = true
       openKey = key
@@ -925,13 +937,12 @@ object Api {
     // an untagged single-measurement response carries one series even
     // when empty; per-measurement (regex) and tagged responses emit
     // exactly the series their rows define
-    if (groupByTag.isEmpty && !hasMeas) open(("", ""))
+    if (tagKeys.isEmpty && !hasMeas) open(("", Nil))
     rows.foreach { r =>
       val key = (
         if (hasMeas) Option(r.getAs[Any]("measurement")).map(_.toString).getOrElse("") else "",
-        if (groupByTag.nonEmpty)
-          Option(r.getAs[Any](groupByTag)).map(_.toString).getOrElse("")
-        else "")
+        tagKeys.map(k =>
+          Option(r.getAs[Any](k)).map(_.toString).getOrElse("")))
       if (!anySeries || key != openKey) open(key)
       if (!firstVal) sb.append(",")
       sb.append('[')

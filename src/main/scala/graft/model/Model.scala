@@ -96,7 +96,18 @@ final case class DataPointsRequest(
     limit: Int = 0,
     offset: Int = 0,
     sLimit: Int = 0,
-    sOffset: Int = 0)
+    sOffset: Int = 0) {
+  /** The group-by tag keys. The reference API carries at most ONE tag
+   *  (influxdb_v1.go:160-171) and `groupByTag` stays its wire field;
+   *  the raw InfluxQL passthrough also accepts the multi-tag form
+   *  `GROUP BY time(X), tag1, tag2`, parsed into this same field
+   *  COMMA-JOINED (tag identifiers cannot carry commas, so the encoding
+   *  is unambiguous and every single-tag call site is untouched). This
+   *  accessor is the ONE split point consumers read. */
+  def groupByTagKeys: Seq[String] =
+    if (groupByTag.isEmpty) Nil
+    else groupByTag.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+}
 
 /** One item of a multi-field/multi-aggregate SELECT list (InfluxQL
  *  `SELECT mean("v") AS a, max("v") AS b ...` — the multi-series Grafana

@@ -103,9 +103,14 @@ object InfluxQL {
    *  result as stored points under a new measurement (the InfluxDB
    *  manual-downsample idiom). The write happens at the Api layer (the
    *  shim stays store-free); the result is InfluxDB's
-   *  `(time=0, written=N)` row. */
+   *  `(time=0, written=N)` row. `fieldAlias` is a SINGLE-item source's
+   *  `AS` name — InfluxDB stores the written field under the alias
+   *  (`SELECT mean("v") AS foo INTO t ...` writes field `foo`); the
+   *  single-select DTO itself carries no alias (its planned column is
+   *  always `value`), so the INTO parse preserves it here. Multi-item
+   *  sources carry aliases on their [[SelectItem]]s instead. */
   final case class SelectInto(inner: Statement, retentionPolicy: Option[String],
-      target: String) extends Statement
+      target: String, fieldAlias: Option[String] = None) extends Statement
   case object ShowMeasurements extends Statement
   case object ShowRetentionPolicies extends Statement
   case object ShowContinuousQueries extends Statement
@@ -141,8 +146,32 @@ object InfluxQL {
    * asking for databases wants the store, not the Spark catalog);
    * Spark's other SHOW forms (TABLES, VIEWS, ...) are not claimed.
    */
+  /** Replace the CONTENT of single-quoted SQL string literals with
+   *  spaces — same length, quotes kept, `''` escape honored — so the
+   *  syntactic sniffers and the structural splices (INTO, regex FROM,
+   *  subquery parens) never match text INSIDE a literal: a valid Spark
+   *  query like `WHERE msg = 'logged into db from host'` must not be
+   *  claimed by the into-ident-from shape, and a literal `(` must not
+   *  unbalance the subquery paren scan. Length-preserving, so match
+   *  positions on the masked string slice the ORIGINAL 1:1. */
+  private def maskLiterals(q: String): String = {
+    val sb = new StringBuilder(q)
+    var i = 0; var in = false
+    while (i < sb.length) {
+      val c = sb.charAt(i)
+      if (!in) { if (c == '\'') in = true }
+      else if (c == '\'') {
+        if (i + 1 < sb.length && sb.charAt(i + 1) == '\'') {
+          sb.setCharAt(i, ' '); sb.setCharAt(i + 1, ' '); i += 1
+        } else in = false
+      } else sb.setCharAt(i, ' ')
+      i += 1
+    }
+    sb.toString
+  }
+
   def looksLike(q: String): Boolean = {
-    val s = q.trim.toLowerCase
+    val s = maskLiterals(q.trim).toLowerCase
     s.matches("show\\s+measurements\\s*;?") ||
       s.matches("show\\s+retention\\s+policies\\s*;?") ||
       s.matches("show\\s+continuous\\s+queries\\s*;?") ||
@@ -221,16 +250,30 @@ object InfluxQL {
     val intoRe = ("(?is)^(SELECT\\s+.+?)\\s+INTO\\s+" +
       "((?:\"[^\"]+\"|[\\w\\-]+)(?:\\s*\\.\\s*(?:\"[^\"]+\"|[\\w\\-]+)){0,2})" +
       "\\s+(FROM\\b.*)$").r
-    intoRe.findFirstMatchIn(q).foreach { m =>
+    // all structural splices match against the literal-MASKED text (so
+    // `into`/`/re/`/parens INSIDE a string literal are invisible) but
+    // slice the ORIGINAL — masking is length-preserving, positions map 1:1
+    val qm = maskLiterals(q)
+    intoRe.findFirstMatchIn(qm).foreach { m =>
       // tokenize the dotted parts (a QUOTED name may itself carry dots)
       val parts = "\"[^\"]+\"|[\\w\\-]+".r.findAllIn(m.group(2))
         .toSeq.map(unquote)
       val target = parts.last
       val rp = if (parts.length >= 2) Some(parts(parts.length - 2)) else None
-      val inner = parse(s"${m.group(1)} ${m.group(3)}")
+      val selPart = q.substring(m.start(1), m.end(1))
+      val fromPart = q.substring(m.start(3), m.end(3))
+      val inner = parse(s"$selPart $fromPart")
+      // a single-item source's AS name: the Select DTO plans its column
+      // as `value` regardless of alias, but InfluxDB stores the written
+      // field UNDER the alias — preserve it from the raw list here
+      val selectList = selPart.replaceFirst("(?is)^SELECT\\s+", "")
+      val singleAlias =
+        if (splitTopLevelCommas(selectList).length != 1) None
+        else "(?is)\\s+AS\\s+(\"[^\"]+\"|\\w+)\\s*$".r
+          .findFirstMatchIn(selectList).map(mm => unquote(mm.group(1)))
       inner match {
         case _: Select | _: MultiSelect | _: Subquery =>
-          return SelectInto(inner, rp, target)
+          return SelectInto(inner, rp, target, singleAlias)
         case _ => throw new IllegalArgumentException(
           "SELECT INTO supports a single- or multi-item SELECT " +
             s"(optionally over a one-level subquery), not a regex FROM: $raw")
@@ -242,10 +285,11 @@ object InfluxQL {
     val regexFromRe =
       ("(?is)\\bFROM\\s+((?:(?:\"[^\"]+\"|[\\w\\-]+)\\s*\\.\\s*){0,2})" +
         "/((?:[^/\\\\]|\\\\.)+)/").r
-    regexFromRe.findFirstMatchIn(q).foreach { m =>
-      val pattern = m.group(2).replace("\\/", "/")
+    regexFromRe.findFirstMatchIn(qm).foreach { m =>
+      val pattern = q.substring(m.start(2), m.end(2)).replace("\\/", "/")
       val spliced = q.substring(0, m.start) +
-        s"FROM ${m.group(1)}$RegexMeasurement" + q.substring(m.end)
+        s"FROM ${q.substring(m.start(1), m.end(1))}$RegexMeasurement" +
+        q.substring(m.end)
       parse(spliced) match {
         case sel @ (_: Select | _: MultiSelect) => return RegexSelect(sel, pattern)
         case _ => throw new IllegalArgumentException(
@@ -355,12 +399,16 @@ object InfluxQL {
   /** Split `... FROM ( inner ) tail` at the balanced parens: (text
    *  before FROM's paren incl. FROM, inner text, tail). None when the
    *  statement has no parenthesized FROM. */
-  private def splitSubquery(q: String): Option[(String, String, String)] =
-    "(?is)\\bFROM\\s*\\(".r.findFirstMatchIn(q).flatMap { m =>
-      val open = q.indexOf('(', m.start)
+  private def splitSubquery(q: String): Option[(String, String, String)] = {
+    // scan the literal-masked text (a paren or `FROM (` inside a string
+    // literal must not start or unbalance the split) and slice the
+    // original — masking is length-preserving
+    val qm = maskLiterals(q)
+    "(?is)\\bFROM\\s*\\(".r.findFirstMatchIn(qm).flatMap { m =>
+      val open = qm.indexOf('(', m.start)
       var depth = 0; var i = open; var close = -1
-      while (i < q.length && close < 0) {
-        q.charAt(i) match {
+      while (i < qm.length && close < 0) {
+        qm.charAt(i) match {
           case '(' => depth += 1
           case ')' => depth -= 1; if (depth == 0) close = i
           case _ =>
@@ -371,6 +419,7 @@ object InfluxQL {
       else Some((q.substring(0, m.start), q.substring(open + 1, close).trim,
         q.substring(close + 1)))
     }
+  }
 
   /** Parse the one supported nesting level: outer over a parenthesized
    *  inner SELECT. The inner's output column names (a single item's `AS`
@@ -391,7 +440,12 @@ object InfluxQL {
         s"subquery inner statement must be a SELECT: $raw")
     }
     val innerAliases = inner match {
-      case ms: MultiSelect => Planner.itemAliases(ms.items)
+      // PLANNED aliases, not raw-item aliases: the planner applies the
+      // grouped bare-list mean default (a bare `SELECT "a","b" ... GROUP
+      // BY time(1h)` inner plans columns `mean`/`mean_1`, not `a`/`b`),
+      // and the outer must reference the columns the inner frame
+      // actually carries — same contract as SELECT INTO's field names
+      case ms: MultiSelect => Planner.plannedMultiAliases(ms.items, ms.req)
       case _ =>
         Seq("(?is)\\s+AS\\s+\"?([\\w\\-]+)\"?\\s*$".r
           .findFirstMatchIn(
@@ -485,17 +539,21 @@ object InfluxQL {
 
   private def parseGroupBy(g: String): (String, String) = {
     val timeRe = "(?i)^time\\s*\\(\\s*(\\d+[smhdw])\\s*\\)$".r
-    var gbTime = ""; var gbTag = ""
+    var gbTime = ""
+    val gbTags = Seq.newBuilder[String]
     g.split(",").map(_.trim).filter(_.nonEmpty).foreach {
       case timeRe(d) => gbTime = d
       // a tag token is one identifier — a swallowed trailing clause
       // (the lazy GROUP BY capture can eat e.g. a malformed ORDER BY)
       // must fail inside the documented error envelope, not surface
       // later as a Spark AnalysisException on a bogus column
-      case t if unquote(t).matches("[\\w\\-.]+") => gbTag = unquote(t)
+      case t if unquote(t).matches("[\\w\\-.]+") => gbTags += unquote(t)
       case t => throw new IllegalArgumentException(s"unsupported GROUP BY term: $t")
     }
-    (gbTime, gbTag)
+    // several tags — `GROUP BY time(X), tag1, tag2` (raw-InfluxQL-only
+    // surface; the reference API takes one tag) — ride the DTO's single
+    // field comma-joined; [[DataPointsRequest.groupByTagKeys]] splits
+    (gbTime, gbTags.result().distinct.mkString(","))
   }
 
   /** Plan a parsed SELECT: an explicit retention policy pins the tier,

@@ -797,19 +797,23 @@ object Planner {
     val filtered = scanned.withColumn("value", col(fieldName))
 
     val bucketSec = TierPolicy.relativeToMinutes(groupByTime) * 60
-    val tag = req.groupByTag
+    // one tag through the reference API; the raw-passthrough multi-tag
+    // form `GROUP BY time(X), tag1, tag2` arrives comma-joined and every
+    // shape below is Seq-keyed already (groupBy/gap-fill/modifiers)
+    val tagKeys = req.groupByTagKeys
 
     val shaped: DataFrame =
-      if (groupByTime.isEmpty && tag.nonEmpty) {
+      if (groupByTime.isEmpty && tagKeys.nonEmpty) {
         // GROUP BY tag only: raw points echoed per tag (influxdb_v1.go:160-162)
-        filtered.select(unix_timestamp(col("time")).as("time"), col("value"), col(tag))
+        filtered.select(unix_timestamp(col("time")).as("time") +:
+          col("value") +: tagKeys.map(col): _*)
       } else if (groupByTime.nonEmpty) {
-        // GROUP BY time(X) [, tag] (influxdb_v1.go:163-171). The multi-row
+        // GROUP BY time(X) [, tags] (influxdb_v1.go:163-171). The multi-row
         // selectors (TOP/BOTTOM, DISTINCT) and multi-pass aggregates
         // (MODE, INTEGRAL) route to their own plans; everything else is a
         // single aggregate expression per bucket.
         val bucketCol = floor(unix_timestamp(col("time")) / bucketSec) * bucketSec
-        val keyNames = if (tag.nonEmpty) Seq(tag) else Nil
+        val keyNames = tagKeys
         dataFunction match {
           case TopBottomFn(largest, n) =>
             selectorExtremes(filtered, Some(bucketCol), keyNames, n, largest)
@@ -856,9 +860,8 @@ object Planner {
     val nullFree = groupByTime.nonEmpty &&
       (fillType == "none" || fillType.toDoubleOption.isDefined)
     val wrapped = transformWrap(req.transformFunction, shaped,
-      if (tag.nonEmpty) Seq(tag) else Nil, bucketSec,
-      mayHaveNulls = !nullFree)
-    applySelectModifiers(wrapped, req, if (tag.nonEmpty) Seq(tag) else Nil)
+      tagKeys, bucketSec, mayHaveNulls = !nullFree)
+    applySelectModifiers(wrapped, req, tagKeys)
   }
 
   /** The InfluxDB output-column name of one select item: the `AS` alias
@@ -892,7 +895,16 @@ object Planner {
    *  only when the WHOLE list is bare; one explicit aggregate next to a
    *  bare field is InfluxDB's mixing error, not an invitation to
    *  default. ONE normalization shared by the planner and by consumers
-   *  deriving the planned column names (INTO), so they cannot drift. */
+   *  deriving the planned column names (INTO), so they cannot drift.
+   *
+   *  TAG-ONLY grouping intentionally takes no default here, and the
+   *  result AGREES with the single-item path: the single path's default
+   *  does fire on `GROUP BY <tag>` alone (the dataFunction reaches tier
+   *  policy — rollup tiers serve mean), but its tag-only output shape is
+   *  the raw per-series echo regardless (influxdb_v1.go:160-162, the
+   *  branch ignores the function) — exactly what a bare multi list with
+   *  tag-only grouping produces. Both paths answer `GROUP BY tag` with
+   *  the echo; the mean default is a TIME-grouped behavior. */
   private def normalizedMultiItems(items: Seq[SelectItem],
       req: DataPointsRequest): Seq[SelectItem] = {
     val groupByTime = if (req.groupByTime == "auto") "" else req.groupByTime
@@ -956,8 +968,9 @@ object Planner {
    * ALL bare field projections ("mixing aggregate and non-aggregate
    * queries is not supported"). Shapes, mirroring [[dataPoints]]:
    *  - GROUP BY time(X) [, tag] → one row per bucket (per tag), a value
-   *    column per item, gap-filled (FILL null/none/<number>/previous;
-   *    linear is single-column interpolation machinery and refuses);
+   *    column per item, gap-filled (FILL null/none/<number>/previous/
+   *    linear — linear interpolates each value column independently,
+   *    tagged and untagged, via [[gapFillMulti]]);
    *  - no grouping, aggregated → one row (whole-range aggregates);
    *  - GROUP BY tag, bare items → the raw per-tag echo;
    *  - no grouping, bare items → raw points, one column per field.
@@ -974,7 +987,6 @@ object Planner {
     require(items.size >= 2, "a multi-select needs at least two items")
     val groupByTime = if (req.groupByTime == "auto") "" else req.groupByTime
     val fillType = if (req.fillType.isEmpty) "null" else req.fillType
-    val tag = req.groupByTag
     val its = normalizedMultiItems(items, req)
     its.foreach { it =>
       if (multiPassFn(it.dataFunction)) throw new IllegalArgumentException(
@@ -999,7 +1011,7 @@ object Planner {
         "mixing aggregate and non-aggregate select items is not supported " +
           "(the InfluxQL rule)")
     val aliases = itemAliases(its)
-    val keyNames = if (tag.nonEmpty) Seq(tag) else Nil
+    val keyNames = req.groupByTagKeys
     aliases.foreach { a =>
       // `measurement` is reserved too: the wire shaper and the regex-FROM
       // union use it as the per-measurement series key
