@@ -138,6 +138,27 @@ object Bench {
       // query's timed window
       org.apache.spark.sql.graft.StateStoreHygiene.unloadAll()
       System.gc()
+      // SPARK_GRAFT_TRACE=1: per-entry JVM-resource line on stderr
+      // (uptime, cumulative GC ms, heap, loaded classes, cumulative JIT
+      // compile ms) — diffing consecutive lines attributes late-battery
+      // inflation to the resource that actually moves (GC pressure vs
+      // code-cache/JIT churn vs class accumulation), which three
+      // mini-battery reproductions could not separate
+      if (sys.env.contains("SPARK_GRAFT_TRACE")) {
+        import scala.jdk.CollectionConverters._
+        import java.lang.management.ManagementFactory
+        val gcMs = ManagementFactory.getGarbageCollectorMXBeans.asScala
+          .map(_.getCollectionTime).sum
+        val heapMb =
+          ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed >> 20
+        val classes =
+          ManagementFactory.getClassLoadingMXBean.getLoadedClassCount
+        val jitMs =
+          ManagementFactory.getCompilationMXBean.getTotalCompilationTime
+        val upS = ManagementFactory.getRuntimeMXBean.getUptime / 1000
+        System.err.println(s"[trace] q=$name med=${f"${med(runs)}%.3f"} " +
+          s"up=${upS}s gc=${gcMs}ms heap=${heapMb}MB cls=$classes jit=${jitMs}ms")
+      }
       name -> QueryStat(med(runs), spr(runs),
         spreadFlagged(med(runs), spr(runs)), runs.length)
     }
