@@ -389,6 +389,34 @@ object SparkEntry {
           col("max_v"), col("n"), col("location_id"))
     }),
 
+    "s7_where_regex" -> ((s, dir) => {
+      // round-14: the Grafana template-variable WHERE forms — `=~ /re/`
+      // (unanchored), `!=` — applied at the SCAN (before aggregation),
+      // with absent tags comparing as '' (InfluxDB's tag model)
+      graft.query.InfluxQL.dataPoints(
+        """SELECT mean("value") FROM "app_click" WHERE time > now()-5w """ +
+          """AND "location_id" =~ /^[12]$/ AND "dir" != 'import' """ +
+          """GROUP BY time(1d), "location_id" FILL(none)""",
+        _ => points(s, dir, "app_"), _ => None, Now)
+        .select(col("time"), round(col("value"), 6).as("value"),
+          col("location_id"))
+    }),
+
+    "s7_subquery_deep" -> ((s, dir) => {
+      // round-14: subqueries now nest to ANY depth — three levels here
+      // (hourly mean → daily max → weekly min), with WHERE only at the
+      // innermost level so the bounds-inheritance recursion is exercised
+      // at both unbounded outer levels; max/min SELECT an inner value
+      // bit-for-bit, so only the innermost mean needs round(6)
+      graft.query.InfluxQL.dataPoints(
+        """SELECT min("dmx") FROM (SELECT max("mu") AS "dmx" FROM """ +
+          """(SELECT mean("value") AS "mu" FROM "app_click" """ +
+          """WHERE time > now()-5w GROUP BY time(1h)) """ +
+          """GROUP BY time(1d)) GROUP BY time(1w) FILL(none)""",
+        _ => points(s, dir, "app_"), _ => None, Now)
+        .select(col("time"), round(col("value"), 6).as("value"))
+    }),
+
     "s7_multi_tag" -> ((s, dir) => {
       // round-14 dialect notch: GROUP BY time(X), tag1, tag2 — the
       // multi-tag form raw-passthrough InfluxDB 1.x accepts (the
@@ -2852,6 +2880,24 @@ object SparkEntry {
          |  loc AS location_id
          |FROM pts WHERE m = 'app_click' AND tsec > 1703721600
          |GROUP BY 1, 5""".stripMargin,
+
+    "s7_where_regex" ->
+      s"""WITH ${ptsCte("app_")}
+         |SELECT CAST(floor(tsec / 86400) * 86400 AS BIGINT) AS time,
+         |  round(avg(v), 6) AS value, loc AS location_id
+         |FROM pts WHERE m = 'app_click' AND tsec > 1703721600
+         |  AND regexp_matches(loc, '^[12]$$') AND dir <> 'import'
+         |GROUP BY 1, 3""".stripMargin,
+
+    "s7_subquery_deep" ->
+      s"""WITH ${ptsCte("app_")},
+         |h AS (SELECT CAST(floor(tsec / 3600) * 3600 AS BIGINT) t, avg(v) mu
+         |      FROM pts WHERE m = 'app_click' AND tsec > 1703721600 GROUP BY 1),
+         |d AS (SELECT CAST(floor(t / 86400) * 86400 AS BIGINT) t, max(mu) dmx
+         |      FROM h GROUP BY 1)
+         |SELECT CAST(floor(t / 604800) * 604800 AS BIGINT) AS time,
+         |  round(min(dmx), 6) AS value
+         |FROM d GROUP BY 1""".stripMargin,
 
     "s7_multi_tag" ->
       s"""WITH ${ptsCte("app_")}

@@ -96,7 +96,13 @@ final case class DataPointsRequest(
     limit: Int = 0,
     offset: Int = 0,
     sLimit: Int = 0,
-    sOffset: Int = 0) {
+    sOffset: Int = 0,
+    // raw-InfluxQL-only tag predicates beyond the reference DTO's
+    // equality map: `tag != 'v'`, `tag =~ /re/`, `tag !~ /re/` (the
+    // Grafana template-variable WHERE forms). Not part of the wire
+    // codec — the reference's structured command carries equality
+    // filters only; these ride the passthrough parse.
+    tagPredicates: Seq[TagPredicate] = Nil) {
   /** The group-by tag keys. The reference API carries at most ONE tag
    *  (influxdb_v1.go:160-171) and `groupByTag` stays its wire field;
    *  the raw InfluxQL passthrough also accepts the multi-tag form
@@ -120,6 +126,14 @@ final case class SelectItem(
     dataFunction: String = "",
     transformFunction: String = "",
     alias: String = "")
+
+/** One non-equality tag predicate from the raw-InfluxQL WHERE clause:
+ *  `op` is one of `!=`, `=~`, `!~`; for the regex ops `value` is the
+ *  pattern body (Go-re2-style UNANCHORED match, as InfluxDB applies
+ *  it). A missing tag compares as the empty string (InfluxDB's tag
+ *  model — absent tags are empty, so `tag != 'v'` matches series
+ *  without the tag). */
+final case class TagPredicate(key: String, op: String, value: String)
 
 /** Tag/device/location filters (reference: storage/influxdb_v1.go:18-23). */
 final case class DataPointsFilter(

@@ -2,7 +2,7 @@ package graft.query
 
 import java.time.Instant
 
-import graft.model.{DataPointsFilter, DataPointsRequest, SelectItem, Tier}
+import graft.model.{DataPointsFilter, DataPointsRequest, SelectItem, TagPredicate, Tier}
 import org.apache.spark.sql.DataFrame
 
 /**
@@ -27,10 +27,10 @@ import org.apache.spark.sql.DataFrame
  *                      measurement catalog (Go-re2 convention); one
  *                      series per matched measurement, tagged by a
  *                      `measurement` result column
- *                    | ( SELECT ... )      — ONE nesting level (the
- *                      Grafana max-of-mean idiom); the inner's AS alias
- *                      names the column the outer selects; deeper
- *                      nesting refuses in the error envelope
+ *                    | ( SELECT ... )      — subqueries nest to ANY
+ *                      depth (the Grafana max-of-mean idiom and its
+ *                      deeper InfluxDB 1.x forms); each level's AS
+ *                      alias names the column the level above selects
  *       — a multi-item list (the multi-series panel shape) plans as ONE
  *         scan+shuffle; items are ALL aggregated or ALL bare (InfluxDB's
  *         mixing rule), columns named by alias or function name with
@@ -53,7 +53,10 @@ import org.apache.spark.sql.DataFrame
  *                           scalar math (ceil/floor/round/sqrt/exp/ln/log2/
  *                           log10/trig) and cumulative_sum wrap unary
  *   cond := time >|>= now()-<dur> | time >=|> '<RFC3339>'
- *         | time <=|< '<RFC3339>' | tag = 'value'
+ *         | time <=|< '<RFC3339>' | tag = 'value' | tag != 'value'
+ *         | tag =~ /re/ | tag !~ /re/
+ *           — the Grafana template-variable forms; regex matches
+ *           unanchored (Go-re2 convention), absent tags compare as ''
  *   SHOW MEASUREMENTS | SHOW RETENTION POLICIES | SHOW CONTINUOUS QUERIES
  *   | SHOW DATABASES | SHOW TAG KEYS [ON db] [FROM m]
  *   | SHOW TAG VALUES [ON db] [FROM m] WITH KEY = k
@@ -76,12 +79,14 @@ object InfluxQL {
   sealed trait Statement
   final case class Select(req: DataPointsRequest, retentionPolicy: Option[String])
       extends Statement
-  /** One-level subquery — `SELECT <agg> FROM (SELECT <inner> ...)`,
-   *  the Grafana-era max-of-mean idiom. Both sides may be single- or
-   *  multi-item SELECTs; `innerAliases` are the inner's output column
-   *  names (the columns the outer references) — a single inner's `AS`
-   *  name defaulting to "value", a multi inner's [[Planner.itemAliases]]
-   *  list. Deeper nesting is refused in the error envelope. */
+  /** Subquery — `SELECT <agg> FROM (SELECT <inner> ...)`, the
+   *  Grafana-era max-of-mean idiom, nesting to ANY depth (`inner` may
+   *  itself be a [[Subquery]]; the chain plans innermost-first). The
+   *  outer side is a single- or multi-item SELECT; `innerAliases` are
+   *  the inner's output column names (the columns the outer
+   *  references) — a single-shaped inner's `AS` name defaulting to
+   *  "value", a multi inner's planned [[Planner.plannedMultiAliases]]
+   *  list. */
   final case class Subquery(outer: Statement, inner: Statement,
       innerAliases: Seq[String]) extends Statement
   /** Multi-item select list — `SELECT mean("v") AS a, max("v") AS b ...`
@@ -276,7 +281,7 @@ object InfluxQL {
           return SelectInto(inner, rp, target, singleAlias)
         case _ => throw new IllegalArgumentException(
           "SELECT INTO supports a single- or multi-item SELECT " +
-            s"(optionally over a one-level subquery), not a regex FROM: $raw")
+            s"(optionally over a subquery), not a regex FROM: $raw")
       }
     }
     // FROM /re/ — regex measurement: splice in a placeholder, parse the
@@ -309,8 +314,9 @@ object InfluxQL {
       .filter(_ != null).map(unquote)
     val measurement = fromParts.last
     val rp = if (fromParts.length >= 2) Some(fromParts(fromParts.length - 2)) else None
-    val (relativeTime, fromTime, toTime, filters) =
-      Option(m.group(5)).map(parseWhere).getOrElse(("", "", "", DataPointsFilter()))
+    val (relativeTime, fromTime, toTime, filters, tagPreds) =
+      Option(m.group(5)).map(parseWhere)
+        .getOrElse(("", "", "", DataPointsFilter(), Nil))
     val (groupByTime, groupByTag) =
       Option(m.group(6)).map(parseGroupBy).getOrElse(("", ""))
     val fillType = Option(m.group(7)).map(_.toLowerCase).getOrElse("")
@@ -318,7 +324,7 @@ object InfluxQL {
       measurement = measurement,
       relativeTime = relativeTime, fromTime = fromTime, toTime = toTime,
       groupByTime = groupByTime, groupByTag = groupByTag,
-      fillType = fillType, filters = filters,
+      fillType = fillType, filters = filters, tagPredicates = tagPreds,
       orderDesc = Option(m.group(8)).exists(_.equalsIgnoreCase("desc")),
       limit = Option(m.group(9)).map(_.toInt).getOrElse(0),
       offset = Option(m.group(10)).map(_.toInt).getOrElse(0),
@@ -421,37 +427,46 @@ object InfluxQL {
     }
   }
 
-  /** Parse the one supported nesting level: outer over a parenthesized
-   *  inner SELECT. The inner's output column names (a single item's `AS`
-   *  alias, a multi item list's function-named columns) are the columns
-   *  the outer references (InfluxDB's contract); deeper nesting refuses
-   *  in the documented envelope. */
+  /** Parse one nesting level: outer over a parenthesized inner SELECT.
+   *  The inner's output column names (a single item's `AS` alias, a
+   *  multi item list's planned function-named columns, a nested
+   *  subquery's own top-level names) are the columns the outer
+   *  references (InfluxDB's contract). Nesting recurses to ANY depth —
+   *  the inner text re-enters [[parse]], and a nested inner contributes
+   *  the aliases of ITS outermost select list (the columns its planned
+   *  frame actually carries). */
   private def parseSubquery(raw: String, pre: String, innerText: String,
       post: String): Statement = {
     if (!innerText.toLowerCase.startsWith("select"))
       throw new IllegalArgumentException(
         s"unsupported parenthesized FROM clause (expected a SELECT): $raw")
-    if (splitSubquery(innerText).isDefined)
-      throw new IllegalArgumentException(
-        s"subqueries nest at most one level: $raw")
     val inner = parse(innerText) match {
-      case s @ (_: Select | _: MultiSelect) => s
+      case s @ (_: Select | _: MultiSelect | _: Subquery) => s
       case _ => throw new IllegalArgumentException(
         s"subquery inner statement must be a SELECT: $raw")
     }
+    // the single-select AS name of a statement text's TOP-LEVEL select
+    // list (for a nested subquery this is its outer list — exactly the
+    // columns its planned frame carries), defaulting to InfluxDB's
+    // `value`
+    def asAlias(text: String): Seq[String] =
+      Seq("(?is)\\s+AS\\s+\"?([\\w\\-]+)\"?\\s*$".r
+        .findFirstMatchIn(
+          "(?is)^SELECT\\s+(.+?)\\s+FROM\\b".r.findFirstMatchIn(text)
+            .map(_.group(1)).getOrElse(""))
+        .map(_.group(1)).getOrElse("value"))
+    // PLANNED aliases, not raw-item aliases: the planner applies the
+    // grouped bare-list mean default (a bare `SELECT "a","b" ... GROUP
+    // BY time(1h)` inner plans columns `mean`/`mean_1`, not `a`/`b`),
+    // and the outer must reference the columns the inner frame
+    // actually carries — same contract as SELECT INTO's field names
     val innerAliases = inner match {
-      // PLANNED aliases, not raw-item aliases: the planner applies the
-      // grouped bare-list mean default (a bare `SELECT "a","b" ... GROUP
-      // BY time(1h)` inner plans columns `mean`/`mean_1`, not `a`/`b`),
-      // and the outer must reference the columns the inner frame
-      // actually carries — same contract as SELECT INTO's field names
       case ms: MultiSelect => Planner.plannedMultiAliases(ms.items, ms.req)
-      case _ =>
-        Seq("(?is)\\s+AS\\s+\"?([\\w\\-]+)\"?\\s*$".r
-          .findFirstMatchIn(
-            "(?is)^SELECT\\s+(.+?)\\s+FROM\\b".r.findFirstMatchIn(innerText)
-              .map(_.group(1)).getOrElse(""))
-          .map(_.group(1)).getOrElse("value"))
+      case sub: Subquery => sub.outer match {
+        case ms: MultiSelect => Planner.plannedMultiAliases(ms.items, ms.req)
+        case _ => asAlias(innerText)
+      }
+      case _ => asAlias(innerText)
     }
     val outer = parse(s"$pre FROM $SubMeasurement$post") match {
       case s @ (_: Select | _: MultiSelect) => s
@@ -520,21 +535,31 @@ object InfluxQL {
     }
   }
 
-  private def parseWhere(w: String): (String, String, String, DataPointsFilter) = {
+  private def parseWhere(w: String)
+      : (String, String, String, DataPointsFilter, Seq[TagPredicate]) = {
     val relRe = "(?i)^time\\s*>=?\\s*now\\(\\)\\s*-\\s*(\\d+[smhdw])$".r
     val fromRe = "(?i)^time\\s*(>=|>)\\s*'([^']+)'$".r
     val toRe = "(?i)^time\\s*(<=|<)\\s*'([^']+)'$".r
     val tagRe = "^\"?([\\w.\\-]+)\"?\\s*=\\s*'([^']*)'$".r
+    // the Grafana template-variable WHERE forms: `tag != 'v'`,
+    // `tag =~ /re/`, `tag !~ /re/` (regex body with \/ escapes,
+    // Go-re2-style unanchored match)
+    val tagNeRe = "^\"?([\\w.\\-]+)\"?\\s*!=\\s*'([^']*)'$".r
+    val tagReRe = "^\"?([\\w.\\-]+)\"?\\s*(=~|!~)\\s*/((?:[^/\\\\]|\\\\.)+)/$".r
     var rel = ""; var from = ""; var to = ""
     var tags = Map.empty[String, String]
+    val preds = Seq.newBuilder[TagPredicate]
     w.split("(?i)\\s+AND\\s+").map(_.trim).filter(_.nonEmpty).foreach {
       case relRe(d) => rel = d
       case fromRe(_, t) => from = t
       case toRe(_, t) => to = t
       case tagRe(k, v) => tags += (k -> v)
+      case tagNeRe(k, v) => preds += TagPredicate(k, "!=", v)
+      case tagReRe(k, op, re) =>
+        preds += TagPredicate(k, op, re.replace("\\/", "/"))
       case other => throw new IllegalArgumentException(s"unsupported WHERE condition: $other")
     }
-    (rel, from, to, DataPointsFilter(tags = tags))
+    (rel, from, to, DataPointsFilter(tags = tags), preds.result())
   }
 
   private def parseGroupBy(g: String): (String, String) = {
@@ -581,12 +606,14 @@ object InfluxQL {
   }
 
   /**
-   * Plan a one-level subquery: the inner SELECT plans as usual, its
-   * result re-enters the planner as a points frame (bucket times back
-   * to timestamps, the value column named by the inner's alias so the
-   * outer's field reference finds it), and the outer request runs over
-   * it. An outer with no time bounds inherits the inner's (the
-   * dashboard `SELECT max(m) FROM (SELECT mean(v) ... WHERE time > ...)`
+   * Plan a subquery (any nesting depth): the inner plans as usual —
+   * recursing when it is itself a subquery — its result re-enters the
+   * planner as a points frame (bucket times back to timestamps, the
+   * value column named by the inner's alias so the outer's field
+   * reference finds it), and the outer request runs over it. An outer
+   * with no time bounds inherits the inner's, recursively down to the
+   * innermost explicit WHERE (the dashboard
+   * `SELECT max(m) FROM (SELECT mean(v) ... WHERE time > ...)`
    * shape puts WHERE inside); null gap rows from the inner's fill are
    * not points and do not reach the outer (InfluxDB semantics). The
    * inner must produce a time axis — a whole-range inner aggregate
@@ -601,14 +628,19 @@ object InfluxQL {
     def reqOf(st: Statement): DataPointsRequest = st match {
       case s: Select => s.req
       case ms: MultiSelect => ms.req
+      case s2: Subquery => reqOf(s2.outer)
       case other => throw new IllegalArgumentException(
         s"unsupported subquery side: $other")
     }
     // the INNER reads the store (slice applies); the outer runs over
-    // the inner's in-memory points frame (nothing to slice)
+    // the inner's in-memory points frame (nothing to slice). A nested
+    // inner recurses — each level re-enters the planner over the level
+    // below's aggregated (bucket-count-sized) frame, so only the
+    // INNERMOST level ever scans data
     val innerDf = sub.inner match {
       case s: Select => dataPoints(s, resolve, tierByName, queryNow, sliceResolve)
       case ms: MultiSelect => dataPoints(ms, resolve, tierByName, queryNow, sliceResolve)
+      case s2: Subquery => dataPoints(s2, resolve, tierByName, queryNow, sliceResolve)
       case other => throw new IllegalArgumentException(
         s"unsupported subquery inner: $other")
     }
@@ -618,12 +650,21 @@ object InfluxQL {
           "time(...) or raw points); a whole-range aggregate leaves the " +
           "outer query nothing to select over")
     // a single inner's value column takes its AS name; a multi inner's
-    // columns already carry their itemAliases names
+    // columns already carry their itemAliases names; a nested inner is
+    // named by ITS outer's shape (a Select outer plans `value`)
     val valueCols = sub.innerAliases
-    val named = sub.inner match {
-      case _: Select => innerDf.withColumnRenamed("value", valueCols.head)
-      case _ => innerDf
+    def singleShaped(st: Statement): Boolean = st match {
+      case _: Select => true
+      case s2: Subquery => s2.outer match {
+        case _: Select => true
+        case _ => false
+      }
+      case _ => false
     }
+    val named =
+      if (singleShaped(sub.inner))
+        innerDf.withColumnRenamed("value", valueCols.head)
+      else innerDf
     val tagCols = named.columns.toSeq.filterNot((valueCols :+ "time").toSet)
     // gap-fill rows where EVERY value column is null are not points; a
     // row with at least one real field is a point (the outer's aggregates
@@ -634,27 +675,42 @@ object InfluxQL {
         timestamp_seconds(col("time")).as("time")) ++
         valueCols.map(col) ++ tagCols.map(col): _*)
     val o = reqOf(sub.outer)
+    def boundsOf(r: DataPointsRequest): (Long, Long) =
+      if (r.fromTime.nonEmpty)
+        (Instant.parse(r.fromTime).getEpochSecond,
+          Instant.parse(if (r.toTime.isEmpty) queryNow.toString else r.toTime)
+            .getEpochSecond)
+      else
+        (queryNow.getEpochSecond -
+          TierPolicy.relativeToMinutes(r.relativeTime) * 60,
+          queryNow.getEpochSecond)
+    def bucketOf(r: DataPointsRequest): Long = math.max(
+      TierPolicy.relativeToMinutes(
+        if (r.groupByTime == "auto") "" else r.groupByTime) * 60, 1L)
+    // the time range a statement's RESULT rows may span: its own bounds
+    // widened by one of its OWN buckets (the first bucket START floors
+    // below its own fromSec, and InfluxDB's unbounded outer still
+    // selects that bucket); a nesting level with no bounds of its own
+    // recurses — each level widens the level below's range by its own
+    // bucket, so the recursion reaches the innermost explicit WHERE
+    def resultRange(st: Statement): (Long, Long) = st match {
+      case s2: Subquery =>
+        val o2 = reqOf(s2.outer)
+        val (f, t) =
+          if (o2.relativeTime.nonEmpty || o2.fromTime.nonEmpty) boundsOf(o2)
+          else resultRange(s2.inner)
+        (f - bucketOf(o2), t)
+      case st2 =>
+        val r = reqOf(st2)
+        val (f, t) = boundsOf(r)
+        (f - bucketOf(r), t)
+    }
     val outerReq =
       if (o.relativeTime.nonEmpty || o.fromTime.nonEmpty) o
       else {
-        // no outer bounds: cover the WHOLE inner result — the inner's
-        // effective range widened by one inner bucket, because the
-        // inner's first bucket START floors below its own fromSec and
-        // InfluxDB's unbounded outer still selects that bucket
-        val i = reqOf(sub.inner)
-        val (fromSec, toSec) =
-          if (i.fromTime.nonEmpty)
-            (Instant.parse(i.fromTime).getEpochSecond,
-              Instant.parse(if (i.toTime.isEmpty) queryNow.toString else i.toTime)
-                .getEpochSecond)
-          else
-            (queryNow.getEpochSecond -
-              TierPolicy.relativeToMinutes(i.relativeTime) * 60,
-              queryNow.getEpochSecond)
-        val bucketSec = math.max(
-          TierPolicy.relativeToMinutes(
-            if (i.groupByTime == "auto") "" else i.groupByTime) * 60, 1L)
-        o.copy(fromTime = Instant.ofEpochSecond(fromSec - bucketSec).toString,
+        // no outer bounds: cover the WHOLE inner result
+        val (fromSec, toSec) = resultRange(sub.inner)
+        o.copy(fromTime = Instant.ofEpochSecond(fromSec).toString,
           toTime = Instant.ofEpochSecond(toSec).toString)
       }
     sub.outer match {

@@ -773,8 +773,29 @@ object Planner {
       .filter(col("measurement") === req.measurement)
       .filter(timePred)
       .filter(filterColumn(req.filters))
+      .transform(d => tagPredicates(req).foldLeft(d)(_ filter _))
     (filtered, fromSec, toSec)
   }
+
+  /** The raw-InfluxQL non-equality tag predicates (`!=`, `=~`, `!~`) as
+   *  scan filters. A missing tag compares as the EMPTY string
+   *  (InfluxDB's tag model — absent tags are empty, so `tag != 'v'`
+   *  matches series without the tag; plain SQL null semantics would
+   *  silently drop them). The regex ops match UNANCHORED (Spark `rlike`
+   *  uses java.util.regex find, the same convention as Go re2's
+   *  MatchString) — plain equality stays in [[filterColumn]], where the
+   *  reference's structured filters live and pushdown applies. */
+  private def tagPredicates(req: DataPointsRequest): Seq[Column] =
+    req.tagPredicates.map { p =>
+      val c = coalesce(col(p.key), lit(""))
+      p.op match {
+        case "!=" => c =!= p.value
+        case "=~" => c.rlike(p.value)
+        case "!~" => !c.rlike(p.value)
+        case other => throw new IllegalArgumentException(
+          s"unsupported tag predicate operator: $other")
+      }
+    }
 
   /** `sliceResolve`, when given, replaces `resolve` with a reader that
    *  receives (tier, measurement, fromSec, toSec) — the exact planned

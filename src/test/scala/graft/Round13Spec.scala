@@ -169,10 +169,14 @@ class Round13Spec extends SparkSpec {
         """GROUP BY time(2m) FILL(none)""",
       _ => gapped, _ => None, now)
     assert(timeValue(two) == Seq((base, Some(20.0)), (base + 120, Some(30.0))))
-    // deeper nesting refuses in the documented envelope
-    intercept[IllegalArgumentException] {
-      InfluxQL.parse("""SELECT max("v") FROM (SELECT mean("v") AS "v" """ +
-        """FROM (SELECT "value" FROM "m") GROUP BY time(1h))""")
+    // deeper nesting PARSES since round 14 (it refused through r13):
+    // the inner of the top level is itself a Subquery
+    InfluxQL.parse("""SELECT max("v") FROM (SELECT mean("v") AS "v" """ +
+      """FROM (SELECT "value" FROM "m") GROUP BY time(1h))""") match {
+      case InfluxQL.Subquery(_, inner: InfluxQL.Subquery, aliases) =>
+        assert(aliases == Seq("v"))
+        assert(inner.innerAliases == Seq("value"))
+      case other => fail(s"expected nested Subquery, got: $other")
     }
     // a parenthesized FROM that is not a SELECT refuses too
     intercept[IllegalArgumentException] {

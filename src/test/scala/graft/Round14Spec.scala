@@ -159,6 +159,59 @@ class Round14Spec extends SparkSpec {
     assert(st2.isInstanceOf[InfluxQL.Select])
   }
 
+  test("subqueries nest to any depth: three levels plan end-to-end") {
+    // hourly mean → 2h max → whole-range min, WHERE only innermost:
+    // exercises recursive inner planning AND recursive bounds
+    // inheritance through two unbounded levels
+    val out = InfluxQL.dataPoints(
+      """SELECT min("hx") FROM (SELECT max("mu") AS "hx" FROM """ +
+        """(SELECT mean("value") AS "mu" FROM "app_t" """ +
+        """WHERE time >= '2024-01-01T00:00:00Z' AND time <= '2024-01-01T02:00:00Z' """ +
+        """GROUP BY time(1h)) GROUP BY time(2h) FILL(none))""",
+      _ => twoTag, _ => None, now)
+    // hourly means: h0 = 25.0 ({10,20,30,40}), h1 = 60.0 ({50,70});
+    // 2h max = 60.0 (single bucket); whole-range min = 60.0
+    assert(out.collect().map(_.getDouble(0)).toSeq == Seq(60.0))
+  }
+
+  test("nested subquery over a multi-item middle level resolves planned names") {
+    // middle level is a MULTI-item list: its planned columns (mu, mx)
+    // are what the top level must see in innerAliases
+    val st = InfluxQL.parse(
+      """SELECT max("mx") FROM (SELECT mean("v") AS "mu", max("v") AS "mx" """ +
+        """FROM (SELECT "value" AS "v" FROM "app_t") GROUP BY time(1h))""")
+    st match {
+      case InfluxQL.Subquery(_, _: InfluxQL.Subquery, aliases) =>
+        assert(aliases == Seq("mu", "mx"))
+      case other => fail(s"expected nested Subquery, got: $other")
+    }
+  }
+
+  test("WHERE tag predicates: !=, =~, !~ filter at the scan; absent tags are ''") {
+    // a frame where one series has a NULL dir — InfluxDB's tag model
+    // treats the absent tag as the empty string, so `dir != 'imp'`
+    // and `dir !~ /imp/` must both MATCH the null-dir series
+    val rs = Seq(
+      (base, 1.0, "1", "imp"), (base + 1, 2.0, "1", "exp"),
+      (base + 2, 4.0, "2", null))
+      .map { case (sec, v, loc, d) =>
+        Row("app_t", new Timestamp(sec * 1000), v, s"d$loc", loc, d) }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rs), schema)
+    def vals(q: String): Seq[Double] = InfluxQL.dataPoints(
+      s"""SELECT "value" FROM "app_t" WHERE """ +
+        """time >= '2024-01-01T00:00:00Z' AND time <= '2024-01-01T01:00:00Z' """ +
+        s"AND $q", _ => df, _ => None, now)
+      .select("value").collect().map(_.getDouble(0)).sorted.toSeq
+    assert(vals(""""dir" != 'imp'""") == Seq(2.0, 4.0))
+    assert(vals(""""dir" =~ /mp/""") == Seq(1.0)) // unanchored
+    assert(vals(""""dir" !~ /^i/""") == Seq(2.0, 4.0))
+    assert(vals(""""location_id" =~ /^[12]$/""") == Seq(1.0, 2.0, 4.0))
+    // an unsupported WHERE shape still refuses in the envelope
+    intercept[IllegalArgumentException] {
+      InfluxQL.parse("""SELECT "v" FROM "m" WHERE "a" > 'b'""")
+    }
+  }
+
   test("as-of pin foreign-file arm is exact on a second-granularity clock") {
     val root = java.nio.file.Files.createTempDirectory("graft_r14pin")
       .toFile.getAbsolutePath
