@@ -402,6 +402,19 @@ object SparkEntry {
           col("location_id"))
     }),
 
+    "s7_where_field" -> ((s, dir) => {
+      // round-14: numeric field conditions in WHERE — per-POINT,
+      // applied at the scan BEFORE aggregation (InfluxDB's semantics);
+      // the comparison sits on the raw field column so parquet
+      // row-group min/max skipping stays available
+      graft.query.InfluxQL.dataPoints(
+        """SELECT mean("value") FROM "app_click" WHERE time > now()-5w """ +
+          """AND "value" > 30 AND "value" <= 95.5 """ +
+          """GROUP BY time(1d) FILL(none)""",
+        _ => points(s, dir, "app_"), _ => None, Now)
+        .select(col("time"), round(col("value"), 6).as("value"))
+    }),
+
     "s7_subquery_deep" -> ((s, dir) => {
       // round-14: subqueries now nest to ANY depth — three levels here
       // (hourly mean → daily max → weekly min), with WHERE only at the
@@ -526,6 +539,19 @@ object SparkEntry {
     // command, against a routed store. TAG/FIELD KEYS are schema-derived
     // (no data scan); TAG VALUES and SERIES are column-pruned distincts
     // over the measurement-pruned scan. ---
+
+    "s12_show_meas_regex" -> ((s, dir) => {
+      // round-14: SHOW MEASUREMENTS WITH MEASUREMENT =~ /re/ — the
+      // Grafana template-variable form; the pattern filters the catalog
+      // LISTING (metadata-sized, no data scan), unanchored
+      val root = java.nio.file.Files.createTempDirectory("graft_s12m")
+        .toFile.getAbsolutePath
+      val store = new graft.store.TierStore(s, root)
+      store.writeRouted(points(s, dir, "sensor_").unionAll(points(s, dir, "app_")))
+      graft.api.Api.dispatch(graft.api.Api.Context(s, store, now = () => Now),
+        "cmd.tsdb.query",
+        "SHOW MEASUREMENTS WITH MEASUREMENT =~ /^sensor_(click|view)$/")
+    }),
 
     "s12_show_keys" -> ((s, dir) => {
       val root = java.nio.file.Files.createTempDirectory("graft_s12k")
@@ -2881,6 +2907,14 @@ object SparkEntry {
          |FROM pts WHERE m = 'app_click' AND tsec > 1703721600
          |GROUP BY 1, 5""".stripMargin,
 
+    "s7_where_field" ->
+      s"""WITH ${ptsCte("app_")}
+         |SELECT CAST(floor(tsec / 86400) * 86400 AS BIGINT) AS time,
+         |  round(avg(v), 6) AS value
+         |FROM pts WHERE m = 'app_click' AND tsec > 1703721600
+         |  AND v > 30 AND v <= 95.5
+         |GROUP BY 1""".stripMargin,
+
     "s7_where_regex" ->
       s"""WITH ${ptsCte("app_")}
          |SELECT CAST(floor(tsec / 86400) * 86400 AS BIGINT) AS time,
@@ -4220,6 +4254,10 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'gen_default' AS tier, 'app_' || event_type AS measurement
         |FROM events GROUP BY 2""".stripMargin,
+
+    "s12_show_meas_regex" ->
+      """SELECT 'gen_raw' AS tier, 'sensor_' || event_type AS measurement
+        |FROM events WHERE event_type IN ('click', 'view') GROUP BY 2""".stripMargin,
 
     "s12_show_keys" ->
       """SELECT 'tag' AS kind, unnest(['dev_id', 'dev_type', 'dir',

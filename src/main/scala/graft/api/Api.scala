@@ -680,7 +680,11 @@ object Api {
   private def influxQuery(ctx: Context, sql: String): DataFrame = {
     import graft.query.InfluxQL
     InfluxQL.parse(sql) match {
-      case InfluxQL.ShowMeasurements => dispatch(ctx, "cmd.tsdb.get_measurements", null)
+      case InfluxQL.ShowMeasurements(pattern) =>
+        // the pattern filters the CATALOG listing (metadata-sized),
+        // unanchored like every other regex surface here
+        val cat = dispatch(ctx, "cmd.tsdb.get_measurements", null)
+        pattern.fold(cat)(p => cat.filter(col("measurement").rlike(p)))
       case InfluxQL.ShowRetentionPolicies =>
         dispatch(ctx, "cmd.tsdb.get_retention_policies", null)
       case InfluxQL.ShowContinuousQueries => dispatch(ctx, "cmd.tsdb.get_cqs", null)

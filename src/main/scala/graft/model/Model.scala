@@ -97,12 +97,14 @@ final case class DataPointsRequest(
     offset: Int = 0,
     sLimit: Int = 0,
     sOffset: Int = 0,
-    // raw-InfluxQL-only tag predicates beyond the reference DTO's
-    // equality map: `tag != 'v'`, `tag =~ /re/`, `tag !~ /re/` (the
-    // Grafana template-variable WHERE forms). Not part of the wire
+    // raw-InfluxQL-only predicates beyond the reference DTO's equality
+    // map: `tag != 'v'`, `tag =~ /re/`, `tag !~ /re/` (the Grafana
+    // template-variable WHERE forms) and numeric field conditions
+    // (`value > 30`, per-point, pre-aggregation). Not part of the wire
     // codec — the reference's structured command carries equality
     // filters only; these ride the passthrough parse.
-    tagPredicates: Seq[TagPredicate] = Nil) {
+    tagPredicates: Seq[TagPredicate] = Nil,
+    fieldPredicates: Seq[FieldPredicate] = Nil) {
   /** The group-by tag keys. The reference API carries at most ONE tag
    *  (influxdb_v1.go:160-171) and `groupByTag` stays its wire field;
    *  the raw InfluxQL passthrough also accepts the multi-tag form
@@ -134,6 +136,12 @@ final case class SelectItem(
  *  model — absent tags are empty, so `tag != 'v'` matches series
  *  without the tag). */
 final case class TagPredicate(key: String, op: String, value: String)
+
+/** One numeric FIELD predicate from the raw-InfluxQL WHERE clause —
+ *  `value > 30`, `power <= 0.5` — applied per POINT at the scan,
+ *  before any aggregation (InfluxDB's field-condition semantics).
+ *  `op` is one of `>`, `>=`, `<`, `<=`, `=`, `!=`. */
+final case class FieldPredicate(key: String, op: String, value: Double)
 
 /** Tag/device/location filters (reference: storage/influxdb_v1.go:18-23). */
 final case class DataPointsFilter(

@@ -2,7 +2,7 @@ package graft.query
 
 import java.time.Instant
 
-import graft.model.{DataPointsFilter, DataPointsRequest, SelectItem, TagPredicate, Tier}
+import graft.model.{DataPointsFilter, DataPointsRequest, FieldPredicate, SelectItem, TagPredicate, Tier}
 import org.apache.spark.sql.DataFrame
 
 /**
@@ -57,7 +57,12 @@ import org.apache.spark.sql.DataFrame
  *         | tag =~ /re/ | tag !~ /re/
  *           — the Grafana template-variable forms; regex matches
  *           unanchored (Go-re2 convention), absent tags compare as ''
- *   SHOW MEASUREMENTS | SHOW RETENTION POLICIES | SHOW CONTINUOUS QUERIES
+ *         | field >|>=|<|<=|=|!= <number>
+ *           — per-POINT numeric field conditions, applied at the scan
+ *           before any aggregation (tags are strings in InfluxQL, so a
+ *           bare-number comparison is unambiguously a field)
+ *   SHOW MEASUREMENTS [ON db] [WITH MEASUREMENT =~ /re/]
+ *   | SHOW RETENTION POLICIES | SHOW CONTINUOUS QUERIES
  *   | SHOW DATABASES | SHOW TAG KEYS [ON db] [FROM m]
  *   | SHOW TAG VALUES [ON db] [FROM m] WITH KEY = k
  *   | SHOW FIELD KEYS [ON db] [FROM m] | SHOW SERIES [ON db] [FROM m]
@@ -116,7 +121,12 @@ object InfluxQL {
    *  sources carry aliases on their [[SelectItem]]s instead. */
   final case class SelectInto(inner: Statement, retentionPolicy: Option[String],
       target: String, fieldAlias: Option[String] = None) extends Statement
-  case object ShowMeasurements extends Statement
+  /** `SHOW MEASUREMENTS [ON db] [WITH MEASUREMENT =~ /re/]` — the
+   *  Grafana template-variable catalog form; `pattern` filters the
+   *  measurement CATALOG (a listing, never a data scan) with a
+   *  Go-re2-style unanchored match. */
+  final case class ShowMeasurements(pattern: Option[String] = None)
+      extends Statement
   case object ShowRetentionPolicies extends Statement
   case object ShowContinuousQueries extends Statement
   case object ShowDatabases extends Statement
@@ -177,7 +187,7 @@ object InfluxQL {
 
   def looksLike(q: String): Boolean = {
     val s = maskLiterals(q.trim).toLowerCase
-    s.matches("show\\s+measurements\\s*;?") ||
+    s.matches("(?s)show\\s+measurements\\b.*") ||
       s.matches("show\\s+retention\\s+policies\\s*;?") ||
       s.matches("show\\s+continuous\\s+queries\\s*;?") ||
       s.matches("show\\s+databases\\s*;?") ||
@@ -226,7 +236,15 @@ object InfluxQL {
   def parse(raw: String): Statement = {
     val q = raw.trim.stripSuffix(";").trim
     val l = q.toLowerCase
-    if (l.matches("show\\s+measurements")) return ShowMeasurements
+    // SHOW MEASUREMENTS [ON db] [WITH MEASUREMENT =~ /re/] — the ON db
+    // is accepted and ignored (the store IS the database), the WITH
+    // pattern filters the catalog (Grafana's template-variable form)
+    val showMeasRe =
+      ("(?is)^SHOW\\s+MEASUREMENTS(?:\\s+ON\\s+(?:\"[^\"]+\"|[\\w\\-]+))?" +
+        "(?:\\s+WITH\\s+MEASUREMENT\\s*=~\\s*/((?:[^/\\\\]|\\\\.)+)/)?\\s*$").r
+    showMeasRe.findFirstMatchIn(q).foreach { m =>
+      return ShowMeasurements(Option(m.group(1)).map(_.replace("\\/", "/")))
+    }
     if (l.matches("show\\s+retention\\s+policies")) return ShowRetentionPolicies
     if (l.matches("show\\s+continuous\\s+queries")) return ShowContinuousQueries
     if (l.matches("show\\s+databases")) return ShowDatabases
@@ -314,9 +332,9 @@ object InfluxQL {
       .filter(_ != null).map(unquote)
     val measurement = fromParts.last
     val rp = if (fromParts.length >= 2) Some(fromParts(fromParts.length - 2)) else None
-    val (relativeTime, fromTime, toTime, filters, tagPreds) =
+    val (relativeTime, fromTime, toTime, filters, tagPreds, fieldPreds) =
       Option(m.group(5)).map(parseWhere)
-        .getOrElse(("", "", "", DataPointsFilter(), Nil))
+        .getOrElse(("", "", "", DataPointsFilter(), Nil, Nil))
     val (groupByTime, groupByTag) =
       Option(m.group(6)).map(parseGroupBy).getOrElse(("", ""))
     val fillType = Option(m.group(7)).map(_.toLowerCase).getOrElse("")
@@ -325,6 +343,7 @@ object InfluxQL {
       relativeTime = relativeTime, fromTime = fromTime, toTime = toTime,
       groupByTime = groupByTime, groupByTag = groupByTag,
       fillType = fillType, filters = filters, tagPredicates = tagPreds,
+      fieldPredicates = fieldPreds,
       orderDesc = Option(m.group(8)).exists(_.equalsIgnoreCase("desc")),
       limit = Option(m.group(9)).map(_.toInt).getOrElse(0),
       offset = Option(m.group(10)).map(_.toInt).getOrElse(0),
@@ -535,8 +554,8 @@ object InfluxQL {
     }
   }
 
-  private def parseWhere(w: String)
-      : (String, String, String, DataPointsFilter, Seq[TagPredicate]) = {
+  private def parseWhere(w: String): (String, String, String,
+      DataPointsFilter, Seq[TagPredicate], Seq[FieldPredicate]) = {
     val relRe = "(?i)^time\\s*>=?\\s*now\\(\\)\\s*-\\s*(\\d+[smhdw])$".r
     val fromRe = "(?i)^time\\s*(>=|>)\\s*'([^']+)'$".r
     val toRe = "(?i)^time\\s*(<=|<)\\s*'([^']+)'$".r
@@ -546,9 +565,14 @@ object InfluxQL {
     // Go-re2-style unanchored match)
     val tagNeRe = "^\"?([\\w.\\-]+)\"?\\s*!=\\s*'([^']*)'$".r
     val tagReRe = "^\"?([\\w.\\-]+)\"?\\s*(=~|!~)\\s*/((?:[^/\\\\]|\\\\.)+)/$".r
+    // numeric FIELD conditions (`value > 30`) — tags are strings in
+    // InfluxQL, so a bare-number comparison is unambiguously a field
+    val fieldRe =
+      "^\"?([\\w.\\-]+)\"?\\s*(>=|<=|!=|>|<|=)\\s*(-?\\d+(?:\\.\\d+)?)$".r
     var rel = ""; var from = ""; var to = ""
     var tags = Map.empty[String, String]
     val preds = Seq.newBuilder[TagPredicate]
+    val fpreds = Seq.newBuilder[FieldPredicate]
     w.split("(?i)\\s+AND\\s+").map(_.trim).filter(_.nonEmpty).foreach {
       case relRe(d) => rel = d
       case fromRe(_, t) => from = t
@@ -557,9 +581,11 @@ object InfluxQL {
       case tagNeRe(k, v) => preds += TagPredicate(k, "!=", v)
       case tagReRe(k, op, re) =>
         preds += TagPredicate(k, op, re.replace("\\/", "/"))
+      case fieldRe(k, op, v) => fpreds += FieldPredicate(k, op, v.toDouble)
       case other => throw new IllegalArgumentException(s"unsupported WHERE condition: $other")
     }
-    (rel, from, to, DataPointsFilter(tags = tags), preds.result())
+    (rel, from, to, DataPointsFilter(tags = tags), preds.result(),
+      fpreds.result())
   }
 
   private def parseGroupBy(g: String): (String, String) = {

@@ -785,8 +785,8 @@ object Planner {
    *  uses java.util.regex find, the same convention as Go re2's
    *  MatchString) — plain equality stays in [[filterColumn]], where the
    *  reference's structured filters live and pushdown applies. */
-  private def tagPredicates(req: DataPointsRequest): Seq[Column] =
-    req.tagPredicates.map { p =>
+  private def tagPredicates(req: DataPointsRequest): Seq[Column] = {
+    val tagCols = req.tagPredicates.map { p =>
       val c = coalesce(col(p.key), lit(""))
       p.op match {
         case "!=" => c =!= p.value
@@ -796,6 +796,24 @@ object Planner {
           s"unsupported tag predicate operator: $other")
       }
     }
+    // numeric FIELD conditions apply per point, pre-aggregation;
+    // comparisons on the raw field column keep parquet min/max
+    // row-group skipping available to the scan
+    val fieldCols = req.fieldPredicates.map { p =>
+      val c = col(p.key)
+      p.op match {
+        case ">" => c > p.value
+        case ">=" => c >= p.value
+        case "<" => c < p.value
+        case "<=" => c <= p.value
+        case "=" => c === p.value
+        case "!=" => c =!= p.value
+        case other => throw new IllegalArgumentException(
+          s"unsupported field predicate operator: $other")
+      }
+    }
+    tagCols ++ fieldCols
+  }
 
   /** `sliceResolve`, when given, replaces `resolve` with a reader that
    *  receives (tier, measurement, fromSec, toSec) — the exact planned

@@ -60,7 +60,7 @@ class InfluxQLSpec extends SparkSpec {
     assert(s5.asInstanceOf[InfluxQL.Select].req.fromTime == "2024-01-01T00:00:00Z")
     val s6 = InfluxQL.parse("""SELECT percentile("value", 95) FROM "m" GROUP BY time(1h)""")
     assert(s6.asInstanceOf[InfluxQL.Select].req.dataFunction == "percentile_95")
-    assert(InfluxQL.parse("SHOW MEASUREMENTS") == InfluxQL.ShowMeasurements)
+    assert(InfluxQL.parse("SHOW MEASUREMENTS") == InfluxQL.ShowMeasurements())
     assert(InfluxQL.parse("show retention policies;") == InfluxQL.ShowRetentionPolicies)
     assert(InfluxQL.parse("SHOW CONTINUOUS QUERIES") == InfluxQL.ShowContinuousQueries)
     assert(InfluxQL.looksLike("show continuous queries"))

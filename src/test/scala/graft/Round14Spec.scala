@@ -206,9 +206,27 @@ class Round14Spec extends SparkSpec {
     assert(vals(""""dir" =~ /mp/""") == Seq(1.0)) // unanchored
     assert(vals(""""dir" !~ /^i/""") == Seq(2.0, 4.0))
     assert(vals(""""location_id" =~ /^[12]$/""") == Seq(1.0, 2.0, 4.0))
+    // numeric FIELD conditions — per point, before aggregation
+    assert(vals(""""value" > 1.5""") == Seq(2.0, 4.0))
+    assert(vals(""""value" >= 2 AND "value" != 4""") == Seq(2.0))
     // an unsupported WHERE shape still refuses in the envelope
     intercept[IllegalArgumentException] {
       InfluxQL.parse("""SELECT "v" FROM "m" WHERE "a" > 'b'""")
+    }
+  }
+
+  test("SHOW MEASUREMENTS accepts ON db and WITH MEASUREMENT =~ /re/") {
+    assert(InfluxQL.parse("SHOW MEASUREMENTS") == InfluxQL.ShowMeasurements(None))
+    assert(InfluxQL.parse("""SHOW MEASUREMENTS ON "db"""") ==
+      InfluxQL.ShowMeasurements(None))
+    assert(InfluxQL.parse("SHOW MEASUREMENTS WITH MEASUREMENT =~ /^cpu/") ==
+      InfluxQL.ShowMeasurements(Some("^cpu")))
+    assert(InfluxQL.parse(
+      """SHOW MEASUREMENTS ON mydb WITH MEASUREMENT =~ /a\/b/""") ==
+      InfluxQL.ShowMeasurements(Some("a/b")))
+    assert(InfluxQL.looksLike("SHOW MEASUREMENTS WITH MEASUREMENT =~ /x/"))
+    intercept[IllegalArgumentException] {
+      InfluxQL.parse("SHOW MEASUREMENTS WITH BOGUS =~ /x/")
     }
   }
 
