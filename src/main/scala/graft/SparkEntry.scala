@@ -402,6 +402,18 @@ object SparkEntry {
           col("location_id"))
     }),
 
+    "s7_where_or" -> ((s, dir) => {
+      // round-14: a parenthesized OR group mixing tag and field atoms —
+      // the pre-regex Grafana multi-value variable shape — one AND
+      // conjunct whose atoms disjoin, applied at the scan
+      graft.query.InfluxQL.dataPoints(
+        """SELECT mean("value") FROM "app_click" WHERE time > now()-5w """ +
+          """AND ("location_id" = '1' OR "location_id" = '3' OR "value" > 95) """ +
+          """GROUP BY time(1d) FILL(none)""",
+        _ => points(s, dir, "app_"), _ => None, Now)
+        .select(col("time"), round(col("value"), 6).as("value"))
+    }),
+
     "s7_where_field" -> ((s, dir) => {
       // round-14: numeric field conditions in WHERE — per-POINT,
       // applied at the scan BEFORE aggregation (InfluxDB's semantics);
@@ -2906,6 +2918,14 @@ object SparkEntry {
          |  loc AS location_id
          |FROM pts WHERE m = 'app_click' AND tsec > 1703721600
          |GROUP BY 1, 5""".stripMargin,
+
+    "s7_where_or" ->
+      s"""WITH ${ptsCte("app_")}
+         |SELECT CAST(floor(tsec / 86400) * 86400 AS BIGINT) AS time,
+         |  round(avg(v), 6) AS value
+         |FROM pts WHERE m = 'app_click' AND tsec > 1703721600
+         |  AND (loc = '1' OR loc = '3' OR v > 95)
+         |GROUP BY 1""".stripMargin,
 
     "s7_where_field" ->
       s"""WITH ${ptsCte("app_")}

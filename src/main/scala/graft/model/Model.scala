@@ -104,7 +104,11 @@ final case class DataPointsRequest(
     // codec — the reference's structured command carries equality
     // filters only; these ride the passthrough parse.
     tagPredicates: Seq[TagPredicate] = Nil,
-    fieldPredicates: Seq[FieldPredicate] = Nil) {
+    fieldPredicates: Seq[FieldPredicate] = Nil,
+    // parenthesized OR groups — `("host" = 'a' OR "host" = 'b')`, the
+    // pre-regex Grafana multi-value variable shape — each group is one
+    // AND conjunct whose atoms disjoin (CNF)
+    orPredicates: Seq[Seq[WhereAtom]] = Nil) {
   /** The group-by tag keys. The reference API carries at most ONE tag
    *  (influxdb_v1.go:160-171) and `groupByTag` stays its wire field;
    *  the raw InfluxQL passthrough also accepts the multi-tag form
@@ -136,12 +140,20 @@ final case class SelectItem(
  *  model — absent tags are empty, so `tag != 'v'` matches series
  *  without the tag). */
 final case class TagPredicate(key: String, op: String, value: String)
+    extends WhereAtom
 
 /** One numeric FIELD predicate from the raw-InfluxQL WHERE clause —
  *  `value > 30`, `power <= 0.5` — applied per POINT at the scan,
  *  before any aggregation (InfluxDB's field-condition semantics).
  *  `op` is one of `>`, `>=`, `<`, `<=`, `=`, `!=`. */
 final case class FieldPredicate(key: String, op: String, value: Double)
+    extends WhereAtom
+
+/** One atom of a raw-InfluxQL WHERE clause — a tag predicate (incl.
+ *  plain equality when it rides an OR group) or a numeric field
+ *  predicate. [[DataPointsRequest.orPredicates]] carries parenthesized
+ *  OR groups as conjuncts of disjoined atoms (CNF). */
+sealed trait WhereAtom
 
 /** Tag/device/location filters (reference: storage/influxdb_v1.go:18-23). */
 final case class DataPointsFilter(

@@ -2,7 +2,7 @@ package graft.query
 
 import java.time.Instant
 
-import graft.model.{DataPointsFilter, DataPointsRequest, FieldPredicate, SelectItem, TagPredicate, Tier}
+import graft.model.{DataPointsFilter, DataPointsRequest, FieldPredicate, SelectItem, TagPredicate, Tier, WhereAtom}
 import org.apache.spark.sql.DataFrame
 
 /**
@@ -61,6 +61,10 @@ import org.apache.spark.sql.DataFrame
  *           — per-POINT numeric field conditions, applied at the scan
  *           before any aggregation (tags are strings in InfluxQL, so a
  *           bare-number comparison is unambiguously a field)
+ *         | ( cond OR cond [OR cond]... )
+ *           — a parenthesized OR group of tag/field atoms (the
+ *           pre-regex Grafana multi-value variable shape); time bounds
+ *           may not ride an OR
  *   SHOW MEASUREMENTS [ON db] [WITH MEASUREMENT =~ /re/]
  *   | SHOW RETENTION POLICIES | SHOW CONTINUOUS QUERIES
  *   | SHOW DATABASES | SHOW TAG KEYS [ON db] [FROM m]
@@ -332,9 +336,9 @@ object InfluxQL {
       .filter(_ != null).map(unquote)
     val measurement = fromParts.last
     val rp = if (fromParts.length >= 2) Some(fromParts(fromParts.length - 2)) else None
-    val (relativeTime, fromTime, toTime, filters, tagPreds, fieldPreds) =
-      Option(m.group(5)).map(parseWhere)
-        .getOrElse(("", "", "", DataPointsFilter(), Nil, Nil))
+    val (relativeTime, fromTime, toTime, filters, tagPreds, fieldPreds,
+      orPreds) = Option(m.group(5)).map(parseWhere)
+        .getOrElse(("", "", "", DataPointsFilter(), Nil, Nil, Nil))
     val (groupByTime, groupByTag) =
       Option(m.group(6)).map(parseGroupBy).getOrElse(("", ""))
     val fillType = Option(m.group(7)).map(_.toLowerCase).getOrElse("")
@@ -343,7 +347,7 @@ object InfluxQL {
       relativeTime = relativeTime, fromTime = fromTime, toTime = toTime,
       groupByTime = groupByTime, groupByTag = groupByTag,
       fillType = fillType, filters = filters, tagPredicates = tagPreds,
-      fieldPredicates = fieldPreds,
+      fieldPredicates = fieldPreds, orPredicates = orPreds,
       orderDesc = Option(m.group(8)).exists(_.equalsIgnoreCase("desc")),
       limit = Option(m.group(9)).map(_.toInt).getOrElse(0),
       offset = Option(m.group(10)).map(_.toInt).getOrElse(0),
@@ -554,8 +558,33 @@ object InfluxQL {
     }
   }
 
+  /** Split on a bare keyword at paren depth 0 (case-insensitive),
+   *  leaving parenthesized groups intact. */
+  private def splitTopLevelKeyword(s: String, kw: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val upper = s.toUpperCase
+    val kwU = kw.toUpperCase
+    var depth = 0; var start = 0; var i = 0
+    def wordBoundary(j: Int): Boolean =
+      (j == 0 || !Character.isLetterOrDigit(s.charAt(j - 1))) &&
+        (j + kwU.length >= s.length ||
+          !Character.isLetterOrDigit(s.charAt(j + kwU.length)))
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case _ if depth == 0 && upper.startsWith(kwU, i) && wordBoundary(i) =>
+          out += s.substring(start, i); start = i + kwU.length; i = start
+        case _ => i += 1
+      }
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   private def parseWhere(w: String): (String, String, String,
-      DataPointsFilter, Seq[TagPredicate], Seq[FieldPredicate]) = {
+      DataPointsFilter, Seq[TagPredicate], Seq[FieldPredicate],
+      Seq[Seq[WhereAtom]]) = {
     val relRe = "(?i)^time\\s*>=?\\s*now\\(\\)\\s*-\\s*(\\d+[smhdw])$".r
     val fromRe = "(?i)^time\\s*(>=|>)\\s*'([^']+)'$".r
     val toRe = "(?i)^time\\s*(<=|<)\\s*'([^']+)'$".r
@@ -569,11 +598,26 @@ object InfluxQL {
     // InfluxQL, so a bare-number comparison is unambiguously a field
     val fieldRe =
       "^\"?([\\w.\\-]+)\"?\\s*(>=|<=|!=|>|<|=)\\s*(-?\\d+(?:\\.\\d+)?)$".r
+    // one predicate ATOM (no time terms — a time bound inside an OR
+    // would make the scan range disjunctive, which nothing emits)
+    def atom(t: String): WhereAtom = t match {
+      case tagRe(k, v) => TagPredicate(k, "=", v)
+      case tagNeRe(k, v) => TagPredicate(k, "!=", v)
+      case tagReRe(k, op, re) => TagPredicate(k, op, re.replace("\\/", "/"))
+      case fieldRe(k, op, v) => FieldPredicate(k, op, v.toDouble)
+      case other => throw new IllegalArgumentException(
+        s"unsupported WHERE condition: $other")
+    }
     var rel = ""; var from = ""; var to = ""
     var tags = Map.empty[String, String]
     val preds = Seq.newBuilder[TagPredicate]
     val fpreds = Seq.newBuilder[FieldPredicate]
-    w.split("(?i)\\s+AND\\s+").map(_.trim).filter(_.nonEmpty).foreach {
+    val orGroups = Seq.newBuilder[Seq[WhereAtom]]
+    // parenthesized OR group — `("host" = 'a' OR "host" = 'b')`, the
+    // pre-regex Grafana multi-value variable shape; one AND conjunct
+    // whose atoms disjoin
+    val groupRe = "(?is)^\\((.+)\\)$".r
+    splitTopLevelKeyword(w, "AND").foreach {
       case relRe(d) => rel = d
       case fromRe(_, t) => from = t
       case toRe(_, t) => to = t
@@ -582,10 +626,15 @@ object InfluxQL {
       case tagReRe(k, op, re) =>
         preds += TagPredicate(k, op, re.replace("\\/", "/"))
       case fieldRe(k, op, v) => fpreds += FieldPredicate(k, op, v.toDouble)
+      case groupRe(inner) =>
+        val parts = splitTopLevelKeyword(inner, "OR")
+        if (parts.length < 2) throw new IllegalArgumentException(
+          s"unsupported WHERE condition: ($inner)")
+        orGroups += parts.map(atom)
       case other => throw new IllegalArgumentException(s"unsupported WHERE condition: $other")
     }
     (rel, from, to, DataPointsFilter(tags = tags), preds.result(),
-      fpreds.result())
+      fpreds.result(), orGroups.result())
   }
 
   private def parseGroupBy(g: String): (String, String) = {

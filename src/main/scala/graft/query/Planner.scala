@@ -786,33 +786,44 @@ object Planner {
    *  MatchString) — plain equality stays in [[filterColumn]], where the
    *  reference's structured filters live and pushdown applies. */
   private def tagPredicates(req: DataPointsRequest): Seq[Column] = {
-    val tagCols = req.tagPredicates.map { p =>
-      val c = coalesce(col(p.key), lit(""))
-      p.op match {
-        case "!=" => c =!= p.value
-        case "=~" => c.rlike(p.value)
-        case "!~" => !c.rlike(p.value)
-        case other => throw new IllegalArgumentException(
-          s"unsupported tag predicate operator: $other")
-      }
-    }
+    val tagCols = req.tagPredicates.map(tagAtomColumn)
     // numeric FIELD conditions apply per point, pre-aggregation;
     // comparisons on the raw field column keep parquet min/max
     // row-group skipping available to the scan
-    val fieldCols = req.fieldPredicates.map { p =>
-      val c = col(p.key)
-      p.op match {
-        case ">" => c > p.value
-        case ">=" => c >= p.value
-        case "<" => c < p.value
-        case "<=" => c <= p.value
-        case "=" => c === p.value
-        case "!=" => c =!= p.value
-        case other => throw new IllegalArgumentException(
-          s"unsupported field predicate operator: $other")
-      }
+    val fieldCols = req.fieldPredicates.map(fieldPredColumn)
+    // parenthesized OR groups: each group is ONE conjunct whose atoms
+    // disjoin (CNF) — the pre-regex Grafana multi-value variable shape
+    val orCols = req.orPredicates.map(_.map {
+      case t: graft.model.TagPredicate => tagAtomColumn(t)
+      case f: graft.model.FieldPredicate => fieldPredColumn(f)
+    }.reduce(_ || _))
+    tagCols ++ fieldCols ++ orCols
+  }
+
+  private def tagAtomColumn(p: graft.model.TagPredicate): Column = {
+    val c = coalesce(col(p.key), lit(""))
+    p.op match {
+      case "=" => c === p.value
+      case "!=" => c =!= p.value
+      case "=~" => c.rlike(p.value)
+      case "!~" => !c.rlike(p.value)
+      case other => throw new IllegalArgumentException(
+        s"unsupported tag predicate operator: $other")
     }
-    tagCols ++ fieldCols
+  }
+
+  private def fieldPredColumn(p: graft.model.FieldPredicate): Column = {
+    val c = col(p.key)
+    p.op match {
+      case ">" => c > p.value
+      case ">=" => c >= p.value
+      case "<" => c < p.value
+      case "<=" => c <= p.value
+      case "=" => c === p.value
+      case "!=" => c =!= p.value
+      case other => throw new IllegalArgumentException(
+        s"unsupported field predicate operator: $other")
+    }
   }
 
   /** `sliceResolve`, when given, replaces `resolve` with a reader that

@@ -209,9 +209,18 @@ class Round14Spec extends SparkSpec {
     // numeric FIELD conditions — per point, before aggregation
     assert(vals(""""value" > 1.5""") == Seq(2.0, 4.0))
     assert(vals(""""value" >= 2 AND "value" != 4""") == Seq(2.0))
+    // a parenthesized OR group — tag equality, regex, and field atoms
+    // disjoin inside one AND conjunct
+    assert(vals("""("dir" = 'imp' OR "value" > 3)""") == Seq(1.0, 4.0))
+    assert(vals("""("dir" =~ /^e/ OR "location_id" = '2')""") == Seq(2.0, 4.0))
     // an unsupported WHERE shape still refuses in the envelope
     intercept[IllegalArgumentException] {
       InfluxQL.parse("""SELECT "v" FROM "m" WHERE "a" > 'b'""")
+    }
+    // a time bound may not ride an OR (disjunctive scan ranges refuse)
+    intercept[IllegalArgumentException] {
+      InfluxQL.parse(
+        """SELECT "v" FROM "m" WHERE (time > now()-1h OR "a" = 'b')""")
     }
   }
 
