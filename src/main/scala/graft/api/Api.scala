@@ -747,7 +747,16 @@ object Api {
     // (`... AS foo INTO t` → field `foo`); rename at the write boundary
     val singleCol = si.fieldAlias.getOrElse("value")
     def renamed(df: DataFrame): DataFrame =
-      if (singleCol == "value") df else df.withColumnRenamed("value", singleCol)
+      if (singleCol == "value") df
+      else {
+        // reserved-name guard, mirroring the multi-item path's planned-
+        // alias check: `AS "time"` (or a group-by tag's name) would
+        // produce a duplicate column and a raw AnalysisException later
+        if (singleCol == "measurement" || df.columns.contains(singleCol))
+          throw new IllegalArgumentException(
+            s"SELECT INTO field alias collides with a result column: $singleCol")
+        df.withColumnRenamed("value", singleCol)
+      }
     def planWithCols(st: InfluxQL.Statement): (DataFrame, Seq[String]) = st match {
       case s: InfluxQL.Select =>
         (renamed(InfluxQL.dataPoints(s, t => ctx.store.read(t),
@@ -882,8 +891,7 @@ object Api {
     // encoding, [[graft.model.DataPointsRequest.groupByTagKeys]]); one
     // Series per distinct tag-KEY-TUPLE, its tags JSON carrying every key
     val tagKeys: Seq[String] =
-      if (groupByTag.isEmpty) Nil
-      else groupByTag.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+      graft.model.DataPointsRequest.splitTagKeys(groupByTag)
     val valueCols = df.columns.toSeq
       .filterNot(c => c == "time" || c == "measurement" || tagKeys.contains(c))
     // page selection is by TIME order (that is what the next-marker pages

@@ -116,9 +116,17 @@ final case class DataPointsRequest(
    *  COMMA-JOINED (tag identifiers cannot carry commas, so the encoding
    *  is unambiguous and every single-tag call site is untouched). This
    *  accessor is the ONE split point consumers read. */
-  def groupByTagKeys: Seq[String] =
-    if (groupByTag.isEmpty) Nil
-    else groupByTag.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+  def groupByTagKeys: Seq[String] = DataPointsRequest.splitTagKeys(groupByTag)
+}
+
+object DataPointsRequest {
+  /** Split a comma-joined group-by tag string (the multi-tag DTO
+   *  encoding above) — THE one split point, shared by the planner
+   *  accessor and the wire shaper ([[graft.api.Api.shapeResponse]]),
+   *  so the encoding can never drift between them. */
+  def splitTagKeys(raw: String): Seq[String] =
+    if (raw.isEmpty) Nil
+    else raw.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
 }
 
 /** One item of a multi-field/multi-aggregate SELECT list (InfluxQL

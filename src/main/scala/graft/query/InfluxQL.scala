@@ -558,19 +558,41 @@ object InfluxQL {
     }
   }
 
+  /** Mask the regex BODIES of `=~ /.../` and `!~ /.../` terms with
+   *  spaces (length-preserving, delimiters kept) on an already
+   *  literal-masked string — a paren or keyword inside a regex body
+   *  must not confuse the structural WHERE split. */
+  private def maskRegexBodies(qm: String): String = {
+    val sb = new StringBuilder(qm)
+    val bodyRe = "[=!]~\\s*/((?:[^/\\\\]|\\\\.)+)/".r
+    bodyRe.findAllMatchIn(qm).foreach { m =>
+      var i = m.start(1)
+      while (i < m.end(1)) { sb.setCharAt(i, ' '); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Split on a bare keyword at paren depth 0 (case-insensitive),
-   *  leaving parenthesized groups intact. */
+   *  leaving parenthesized groups intact. Depth and keyword matching
+   *  run over the literal- and regex-body-MASKED text (an `and`, a
+   *  paren, or a smiley inside a quoted value or a regex body is not
+   *  structure); slices come from the ORIGINAL — masking is
+   *  length-preserving. A word character (letter, digit, underscore)
+   *  adjacent to the keyword disqualifies the match, so snake_case
+   *  identifiers like `op_and_mode` never split. */
   private def splitTopLevelKeyword(s: String, kw: String): Seq[String] = {
+    val masked = maskRegexBodies(maskLiterals(s))
     val out = Seq.newBuilder[String]
-    val upper = s.toUpperCase
+    val upper = masked.toUpperCase
     val kwU = kw.toUpperCase
     var depth = 0; var start = 0; var i = 0
+    def wordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
     def wordBoundary(j: Int): Boolean =
-      (j == 0 || !Character.isLetterOrDigit(s.charAt(j - 1))) &&
-        (j + kwU.length >= s.length ||
-          !Character.isLetterOrDigit(s.charAt(j + kwU.length)))
-    while (i < s.length) {
-      s.charAt(i) match {
+      (j == 0 || !wordChar(masked.charAt(j - 1))) &&
+        (j + kwU.length >= masked.length ||
+          !wordChar(masked.charAt(j + kwU.length)))
+    while (i < masked.length) {
+      masked.charAt(i) match {
         case '(' => depth += 1; i += 1
         case ')' => depth -= 1; i += 1
         case _ if depth == 0 && upper.startsWith(kwU, i) && wordBoundary(i) =>
@@ -595,16 +617,20 @@ object InfluxQL {
     val tagNeRe = "^\"?([\\w.\\-]+)\"?\\s*!=\\s*'([^']*)'$".r
     val tagReRe = "^\"?([\\w.\\-]+)\"?\\s*(=~|!~)\\s*/((?:[^/\\\\]|\\\\.)+)/$".r
     // numeric FIELD conditions (`value > 30`) — tags are strings in
-    // InfluxQL, so a bare-number comparison is unambiguously a field
+    // InfluxQL, so a bare-number comparison is unambiguously a field.
+    // The reserved key `time` never matches as a field: a numeric
+    // epoch-time bound (`time > 1703…e9`) must REFUSE in the envelope,
+    // not silently compare a timestamp column to a double
     val fieldRe =
       "^\"?([\\w.\\-]+)\"?\\s*(>=|<=|!=|>|<|=)\\s*(-?\\d+(?:\\.\\d+)?)$".r
+    def notTime(k: String): Boolean = !k.equalsIgnoreCase("time")
     // one predicate ATOM (no time terms — a time bound inside an OR
     // would make the scan range disjunctive, which nothing emits)
     def atom(t: String): WhereAtom = t match {
       case tagRe(k, v) => TagPredicate(k, "=", v)
       case tagNeRe(k, v) => TagPredicate(k, "!=", v)
       case tagReRe(k, op, re) => TagPredicate(k, op, re.replace("\\/", "/"))
-      case fieldRe(k, op, v) => FieldPredicate(k, op, v.toDouble)
+      case fieldRe(k, op, v) if notTime(k) => FieldPredicate(k, op, v.toDouble)
       case other => throw new IllegalArgumentException(
         s"unsupported WHERE condition: $other")
     }
@@ -613,26 +639,29 @@ object InfluxQL {
     val preds = Seq.newBuilder[TagPredicate]
     val fpreds = Seq.newBuilder[FieldPredicate]
     val orGroups = Seq.newBuilder[Seq[WhereAtom]]
-    // parenthesized OR group — `("host" = 'a' OR "host" = 'b')`, the
-    // pre-regex Grafana multi-value variable shape; one AND conjunct
-    // whose atoms disjoin
+    // parenthesized group — either an OR group (`("host" = 'a' OR
+    // "host" = 'b')`, the pre-regex Grafana multi-value variable
+    // shape: one AND conjunct whose atoms disjoin) or redundant parens
+    // around a single condition (Grafana's builder wraps EVERY tag
+    // filter in parens), which unwrap recursively
     val groupRe = "(?is)^\\((.+)\\)$".r
-    splitTopLevelKeyword(w, "AND").foreach {
+    def term(t: String): Unit = t match {
       case relRe(d) => rel = d
-      case fromRe(_, t) => from = t
-      case toRe(_, t) => to = t
+      case fromRe(_, ts) => from = ts
+      case toRe(_, ts) => to = ts
       case tagRe(k, v) => tags += (k -> v)
       case tagNeRe(k, v) => preds += TagPredicate(k, "!=", v)
       case tagReRe(k, op, re) =>
         preds += TagPredicate(k, op, re.replace("\\/", "/"))
-      case fieldRe(k, op, v) => fpreds += FieldPredicate(k, op, v.toDouble)
+      case fieldRe(k, op, v) if notTime(k) =>
+        fpreds += FieldPredicate(k, op, v.toDouble)
       case groupRe(inner) =>
         val parts = splitTopLevelKeyword(inner, "OR")
-        if (parts.length < 2) throw new IllegalArgumentException(
-          s"unsupported WHERE condition: ($inner)")
-        orGroups += parts.map(atom)
+        if (parts.length >= 2) orGroups += parts.map(atom)
+        else term(inner.trim) // redundant parens around one condition
       case other => throw new IllegalArgumentException(s"unsupported WHERE condition: $other")
     }
+    splitTopLevelKeyword(w, "AND").foreach(term)
     (rel, from, to, DataPointsFilter(tags = tags), preds.result(),
       fpreds.result(), orGroups.result())
   }

@@ -742,8 +742,18 @@ object Planner {
       tierFn: String, groupByTime: String): (DataFrame, Long, Long) = {
     val fromInstant: Option[Instant] =
       if (req.fromTime.nonEmpty && req.toTime.nonEmpty) Some(Instant.parse(req.fromTime)) else None
+    // a numeric FIELD condition references RAW point values — a rollup
+    // tier's rows are pre-aggregated means, and filtering those by
+    // `value > 30` answers a different question than InfluxDB's
+    // per-point semantics. Withhold the mean hint from the tier policy
+    // so the coarser-rollup UPGRADE (TierPolicy line "userBucket >=
+    // native && mean") never fires; the elapsed-time floor still
+    // stands — it reflects which tier still HOLDS the data at all.
+    val hasFieldPred = req.fieldPredicates.nonEmpty ||
+      req.orPredicates.exists(_.exists(_.isInstanceOf[graft.model.FieldPredicate]))
+    val effTierFn = if (hasFieldPred) "" else tierFn
     val tier = TierPolicy.resolveQueryTier(req.measurement, Tier.ProfileOptimized,
-      fromInstant, req.relativeTime, groupByTime, tierFn, now)
+      fromInstant, req.relativeTime, groupByTime, effTierFn, now)
 
     val (fromSec, toSec): (Long, Long) = timeRange(req, now)
     val base = sliceResolve match {

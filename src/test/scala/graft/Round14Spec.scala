@@ -224,6 +224,57 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("WHERE parsing survives the review-pass edge cases") {
+    def vals(df: DataFrame): Seq[Double] =
+      df.select("value").collect().map(_.getDouble(0)).sorted.toSeq
+    val timeW = """time >= '2024-01-01T00:00:00Z' AND time <= '2024-01-01T01:00:00Z'"""
+    // redundant parens around a SINGLE condition — Grafana's builder
+    // wraps every tag filter in parens; must parse, not refuse
+    assert(vals(InfluxQL.dataPoints(
+      s"""SELECT "value" FROM "app_t" WHERE ("dir" = 'imp') AND $timeW""",
+      _ => twoTag, _ => None, now)) == Seq(10.0, 20.0, 40.0))
+    // nested redundant parens unwrap recursively
+    assert(vals(InfluxQL.dataPoints(
+      s"""SELECT "value" FROM "app_t" WHERE (("dir" = 'imp')) AND $timeW""",
+      _ => twoTag, _ => None, now)) == Seq(10.0, 20.0, 40.0))
+    // AND inside a snake_case identifier must not split the clause
+    val st = InfluxQL.parse(
+      """SELECT "v" FROM "m" WHERE "op_and_mode" = 'x' AND time > now()-1h""")
+    assert(st.asInstanceOf[InfluxQL.Select].req.filters.tags
+      == Map("op_and_mode" -> "x"))
+    // a paren or an AND inside a string literal is not structure
+    val st2 = InfluxQL.parse(
+      """SELECT "v" FROM "m" WHERE "note" = ':-)' AND time > now()-1h""")
+    assert(st2.asInstanceOf[InfluxQL.Select].req.filters.tags
+      == Map("note" -> ":-)"))
+    val st3 = InfluxQL.parse(
+      """SELECT "v" FROM "m" WHERE "note" = 'a and b' AND time > now()-1h""")
+    assert(st3.asInstanceOf[InfluxQL.Select].req.filters.tags
+      == Map("note" -> "a and b"))
+    // an unbalanced paren inside a regex body is not structure either
+    val st4 = InfluxQL.parse(
+      """SELECT "v" FROM "m" WHERE "host" =~ /^\(/ AND time > now()-1h""")
+    assert(st4.asInstanceOf[InfluxQL.Select].req.tagPredicates
+      == Seq(graft.model.TagPredicate("host", "=~", "^\\(")))
+    // a numeric epoch-time bound REFUSES (it must never become a
+    // field predicate silently comparing a timestamp to a double)
+    intercept[IllegalArgumentException] {
+      InfluxQL.parse("""SELECT "v" FROM "m" WHERE time > 1703721600000000000""")
+    }
+    // INTO alias colliding with a result column refuses in the envelope
+    val root = java.nio.file.Files.createTempDirectory("graft_r14col")
+      .toFile.getAbsolutePath
+    val store = new TierStore(spark, root)
+    store.writeRouted(twoTag.withColumnRenamed("dir", "dev_type"))
+    val ctx = Api.Context(spark, store, now = () => now)
+    intercept[IllegalArgumentException] {
+      Api.dispatch(ctx, "cmd.tsdb.query",
+        """SELECT mean("value") AS "time" INTO "t2" FROM "app_t" """ +
+          """WHERE time >= '2024-01-01T00:00:00Z' AND time <= '2024-01-01T02:00:00Z' """ +
+          """GROUP BY time(1h) FILL(none)""").collect()
+    }
+  }
+
   test("SHOW MEASUREMENTS accepts ON db and WITH MEASUREMENT =~ /re/") {
     assert(InfluxQL.parse("SHOW MEASUREMENTS") == InfluxQL.ShowMeasurements(None))
     assert(InfluxQL.parse("""SHOW MEASUREMENTS ON "db"""") ==
@@ -237,6 +288,27 @@ class Round14Spec extends SparkSpec {
     intercept[IllegalArgumentException] {
       InfluxQL.parse("SHOW MEASUREMENTS WITH BOGUS =~ /x/")
     }
+  }
+
+  test("a numeric field predicate withholds the rollup-mean tier upgrade") {
+    // sensor_* + mean + 1h bucket over a short relative range upgrades
+    // the scan to a rollup tier (the reference's optimized profile);
+    // with `value > 1` in WHERE the upgrade must NOT fire — rollup rows
+    // are pre-aggregated means, and a per-point field condition over
+    // them answers a different question than InfluxDB's semantics
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Tier]
+    def q(where: String): Unit = {
+      InfluxQL.dataPoints(
+        s"""SELECT mean("value") FROM "sensor_t" WHERE time > now()-6h $where """ +
+          """GROUP BY time(1h) FILL(none)""",
+        t => { seen += t; twoTag.withColumn("measurement", lit("sensor_t")) },
+        _ => None, now).collect()
+      ()
+    }
+    q("")
+    assert(seen.last == Tier.GenMonth) // the mean upgrade (1h bucket)
+    q("""AND "value" > 1""")
+    assert(seen.last == Tier.GenRaw) // field predicate pins raw resolution
   }
 
   test("as-of pin foreign-file arm is exact on a second-granularity clock") {
