@@ -327,36 +327,43 @@ object InfluxQL {
     splitSubquery(q).foreach { case (pre, innerText, post) =>
       return parseSubquery(raw, pre, innerText, post)
     }
-    val m = SelectRe.findFirstMatchIn(q).getOrElse(
+    // clause splitting runs over the literal-MASKED text (a ` GROUP BY `
+    // or ` LIMIT ` inside a quoted WHERE value is data, not a clause
+    // boundary — the lazy SelectRe captures would otherwise split the
+    // statement inside the literal); groups slice the ORIGINAL by
+    // position, masking being length-preserving
+    val m = SelectRe.findFirstMatchIn(qm).getOrElse(
       throw new IllegalArgumentException(s"unsupported InfluxQL statement: $raw"))
+    def g(i: Int): String =
+      if (m.start(i) < 0) null else q.substring(m.start(i), m.end(i))
     // the shared frame — FROM parts ([db.][rp.]measurement; the db name
     // is the store itself and is ignored), WHERE, GROUP BY, FILL, and the
     // SELECT modifiers — identical for single- and multi-item lists
-    val fromParts = Seq(m.group(2), m.group(3), m.group(4))
+    val fromParts = Seq(g(2), g(3), g(4))
       .filter(_ != null).map(unquote)
     val measurement = fromParts.last
     val rp = if (fromParts.length >= 2) Some(fromParts(fromParts.length - 2)) else None
     val (relativeTime, fromTime, toTime, filters, tagPreds, fieldPreds,
-      orPreds) = Option(m.group(5)).map(parseWhere)
+      orPreds) = Option(g(5)).map(parseWhere)
         .getOrElse(("", "", "", DataPointsFilter(), Nil, Nil, Nil))
     val (groupByTime, groupByTag) =
-      Option(m.group(6)).map(parseGroupBy).getOrElse(("", ""))
-    val fillType = Option(m.group(7)).map(_.toLowerCase).getOrElse("")
+      Option(g(6)).map(parseGroupBy).getOrElse(("", ""))
+    val fillType = Option(g(7)).map(_.toLowerCase).getOrElse("")
     val baseReq = DataPointsRequest(
       measurement = measurement,
       relativeTime = relativeTime, fromTime = fromTime, toTime = toTime,
       groupByTime = groupByTime, groupByTag = groupByTag,
       fillType = fillType, filters = filters, tagPredicates = tagPreds,
       fieldPredicates = fieldPreds, orPredicates = orPreds,
-      orderDesc = Option(m.group(8)).exists(_.equalsIgnoreCase("desc")),
-      limit = Option(m.group(9)).map(_.toInt).getOrElse(0),
-      offset = Option(m.group(10)).map(_.toInt).getOrElse(0),
-      sLimit = Option(m.group(11)).map(_.toInt).getOrElse(0),
-      sOffset = Option(m.group(12)).map(_.toInt).getOrElse(0))
-    val selItems = splitTopLevelCommas(m.group(1))
+      orderDesc = Option(g(8)).exists(_.equalsIgnoreCase("desc")),
+      limit = Option(g(9)).map(_.toInt).getOrElse(0),
+      offset = Option(g(10)).map(_.toInt).getOrElse(0),
+      sLimit = Option(g(11)).map(_.toInt).getOrElse(0),
+      sOffset = Option(g(12)).map(_.toInt).getOrElse(0))
+    val selItems = splitTopLevelCommas(g(1))
     if (selItems.length > 1)
       return MultiSelect(selItems.map(parseSelectItem), baseReq, rp)
-    val (fieldName, dataFunction, transformFunction) = parseSelectList(m.group(1))
+    val (fieldName, dataFunction, transformFunction) = parseSelectList(g(1))
     // sequential transforms (difference / derivative / elapsed /
     // cumulative_sum / moving_average and variants) need a time axis to
     // run ALONG: raw rows carry their own `time`, and GROUP BY time(..)

@@ -290,6 +290,28 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("property: literal content never affects WHERE structure") {
+    import org.scalacheck.{Gen, Prop}
+    // tag values drawn from an alphabet of structural hazards: parens,
+    // keywords, slashes, operators — none may leak into the clause
+    // structure when they sit inside a single-quoted literal
+    val hazard = Gen.oneOf("and", "or", "AND", "(", ")", "((", "/x/",
+      "=~", "!=", ":-)", "into t from", "from (select", "fill(null)",
+      "group by time(1h)", "a b", "_", "9", "limit 5", "offset 2",
+      "order by time desc", "slimit 1", "where x")
+    val valueGen = for {
+      n <- Gen.choose(1, 4)
+      parts <- Gen.listOfN(n, hazard)
+    } yield parts.mkString(" ")
+    checkProp(Prop.forAll(valueGen) { v =>
+      val st = InfluxQL.parse(
+        s"""SELECT "v" FROM "m" WHERE "t" = '$v' AND time > now()-1h""")
+      val r = st.asInstanceOf[InfluxQL.Select].req
+      r.filters.tags == Map("t" -> v) && r.relativeTime == "1h" &&
+        r.tagPredicates.isEmpty && r.orPredicates.isEmpty
+    })
+  }
+
   test("a numeric field predicate withholds the rollup-mean tier upgrade") {
     // sensor_* + mean + 1h bucket over a short relative range upgrades
     // the scan to a rollup tier (the reference's optimized profile);
