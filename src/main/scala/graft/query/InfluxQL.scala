@@ -208,6 +208,10 @@ object InfluxQL {
       s.matches("(?s)select\\s+.+\\binto\\s+(\"[^\"]+\"|[\\w\\-]+)" +
         "(\\s*\\.\\s*(\"[^\"]+\"|[\\w\\-]+)){0,2}\\s+from\\b.*") ||
       s.matches("(?s).*now\\(\\)\\s*[-+]\\s*\\d+(ns|us|µs|ms|s|m|h|d|w).*") ||
+      // the =~ / !~ regex-match operators exist in no Spark SQL dialect
+      // (string literals are masked above, so the character pair INSIDE
+      // a quoted value is not claimed)
+      s.matches("(?s).*[=!]~\\s*/.*") ||
       s.matches("(?s).*\\bfill\\s*\\(.*") ||
       s.matches("(?s).*\\bgroup\\s+by\\s+.*\\btime\\s*\\(.*") ||
       s.matches("(?s).*\\bfrom\\s+\"[^\"]+\"\\s*\\.\\s*\"[^\"]+\".*")

@@ -333,6 +333,35 @@ class Round14Spec extends SparkSpec {
     assert(seen.last == Tier.GenRaw) // field predicate pins raw resolution
   }
 
+  test("a field predicate pushes down to the parquet scan on a store read") {
+    val root = java.nio.file.Files.createTempDirectory("graft_r14push")
+      .toFile.getAbsolutePath
+    val store = new TierStore(spark, root)
+    store.writeRouted(twoTag.withColumnRenamed("dir", "dev_type"))
+    val ctx = Api.Context(spark, store, now = () => now)
+    // relative-time form: carries the now()-dur marker looksLike claims
+    // (a bare absolute-range select has no distinctive InfluxQL marker
+    // and falls through to Spark SQL by design)
+    val df = Api.dispatch(ctx, "cmd.tsdb.query",
+      """SELECT "value" FROM "app_t" WHERE time > now()-2d AND "value" > 30""")
+    // the predicate must reach the scan as a pushed data filter (so
+    // parquet row-group min/max skipping applies at 100 TB), not sit
+    // only in a post-scan Filter node. Inspect the scan node's
+    // dataFilters directly — the rendered plan string truncates its
+    // metadata lists at 100 chars, so substring assertions are fragile
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no parquet scan in the plan"))
+    assert(scan.dataFilters.exists {
+      case org.apache.spark.sql.catalyst.expressions.GreaterThan(a, lit) =>
+        a.references.map(_.name).toSeq == Seq("value") &&
+          lit.toString.contains("30")
+      case _ => false
+    }, s"field predicate not in scan dataFilters: ${scan.dataFilters}")
+    assert(df.select("value").collect().map(_.getDouble(0)).sorted.toSeq
+      == Seq(40.0, 50.0, 70.0))
+  }
+
   test("as-of pin foreign-file arm is exact on a second-granularity clock") {
     val root = java.nio.file.Files.createTempDirectory("graft_r14pin")
       .toFile.getAbsolutePath
