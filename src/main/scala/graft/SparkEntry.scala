@@ -414,6 +414,20 @@ object SparkEntry {
         .select(col("time"), round(col("value"), 6).as("value"))
     }),
 
+    "s7_where_and_or" -> ((s, dir) => {
+      // round-15: one level of AND INSIDE an OR group — the Grafana
+      // multi-template-variable shape `(a AND b) OR (c AND d)` — mixing
+      // tag and field leaves; one AND conjunct whose AndGroup atoms
+      // disjoin, applied at the scan (no extra shuffle, no join)
+      graft.query.InfluxQL.dataPoints(
+        """SELECT mean("value") FROM "app_click" WHERE time > now()-5w """ +
+          """AND (("location_id" = '1' AND "dir" = 'export') """ +
+          """OR ("location_id" = '3' AND "value" > 50)) """ +
+          """GROUP BY time(1d) FILL(none)""",
+        _ => points(s, dir, "app_"), _ => None, Now)
+        .select(col("time"), round(col("value"), 6).as("value"))
+    }),
+
     "s7_where_field" -> ((s, dir) => {
       // round-14: numeric field conditions in WHERE — per-POINT,
       // applied at the scan BEFORE aggregation (InfluxDB's semantics);
@@ -2925,6 +2939,14 @@ object SparkEntry {
          |  round(avg(v), 6) AS value
          |FROM pts WHERE m = 'app_click' AND tsec > 1703721600
          |  AND (loc = '1' OR loc = '3' OR v > 95)
+         |GROUP BY 1""".stripMargin,
+
+    "s7_where_and_or" ->
+      s"""WITH ${ptsCte("app_")}
+         |SELECT CAST(floor(tsec / 86400) * 86400 AS BIGINT) AS time,
+         |  round(avg(v), 6) AS value
+         |FROM pts WHERE m = 'app_click' AND tsec > 1703721600
+         |  AND ((loc = '1' AND dir = 'export') OR (loc = '3' AND v > 50))
          |GROUP BY 1""".stripMargin,
 
     "s7_where_field" ->

@@ -158,10 +158,20 @@ final case class FieldPredicate(key: String, op: String, value: Double)
     extends WhereAtom
 
 /** One atom of a raw-InfluxQL WHERE clause — a tag predicate (incl.
- *  plain equality when it rides an OR group) or a numeric field
- *  predicate. [[DataPointsRequest.orPredicates]] carries parenthesized
- *  OR groups as conjuncts of disjoined atoms (CNF). */
+ *  plain equality when it rides an OR group), a numeric field
+ *  predicate, or one parenthesized AND group of such leaves.
+ *  [[DataPointsRequest.orPredicates]] carries parenthesized OR groups
+ *  as conjuncts of disjoined atoms (CNF; with [[AndGroup]] atoms the
+ *  shape is one level of DNF inside a conjunct). */
 sealed trait WhereAtom
+
+/** A parenthesized AND group riding an OR — `("a"='1' AND "b"='2') OR
+ *  ("a"='3' AND "b"='4')`, the Grafana multi-template-variable shape.
+ *  ONE level only: the leaves are tag/field predicates (the parser
+ *  refuses deeper boolean trees — an OR nested back inside would make
+ *  this a general expression grammar, which nothing in the dashboards
+ *  emits). */
+final case class AndGroup(atoms: Seq[WhereAtom]) extends WhereAtom
 
 /** Tag/device/location filters (reference: storage/influxdb_v1.go:18-23). */
 final case class DataPointsFilter(

@@ -2,7 +2,7 @@ package graft.query
 
 import java.time.Instant
 
-import graft.model.{DataPointsFilter, DataPointsRequest, FieldPredicate, SelectItem, TagPredicate, Tier, WhereAtom}
+import graft.model.{AndGroup, DataPointsFilter, DataPointsRequest, FieldPredicate, SelectItem, TagPredicate, Tier, WhereAtom}
 import org.apache.spark.sql.DataFrame
 
 /**
@@ -61,10 +61,17 @@ import org.apache.spark.sql.DataFrame
  *           — per-POINT numeric field conditions, applied at the scan
  *           before any aggregation (tags are strings in InfluxQL, so a
  *           bare-number comparison is unambiguously a field)
- *         | ( cond OR cond [OR cond]... )
- *           — a parenthesized OR group of tag/field atoms (the
- *           pre-regex Grafana multi-value variable shape); time bounds
- *           may not ride an OR
+ *         | ( orAtom OR orAtom [OR orAtom]... )
+ *           — a parenthesized OR group (the pre-regex Grafana
+ *           multi-value variable shape); time bounds may not ride an
+ *           OR. Each orAtom is a tag/field condition, optionally
+ *           parenthesized, or ONE parenthesized AND group of such
+ *           conditions — `("a"='1' AND "b"='2') OR ("a"='3' AND
+ *           "b"='4')`, the multi-template-variable shape; that form is
+ *           also accepted unwrapped when it is the WHOLE WHERE clause
+ *           (next to other AND conjuncts the bare spelling is
+ *           precedence-ambiguous and refuses). Deeper boolean trees
+ *           refuse in the envelope.
  *   SHOW MEASUREMENTS [ON db] [WITH MEASUREMENT =~ /re/]
  *   | SHOW RETENTION POLICIES | SHOW CONTINUOUS QUERIES
  *   | SHOW DATABASES | SHOW TAG KEYS [ON db] [FROM m]
@@ -165,25 +172,48 @@ object InfluxQL {
    * asking for databases wants the store, not the Spark catalog);
    * Spark's other SHOW forms (TABLES, VIEWS, ...) are not claimed.
    */
-  /** Replace the CONTENT of single-quoted SQL string literals with
-   *  spaces — same length, quotes kept, `''` escape honored — so the
-   *  syntactic sniffers and the structural splices (INTO, regex FROM,
-   *  subquery parens) never match text INSIDE a literal: a valid Spark
-   *  query like `WHERE msg = 'logged into db from host'` must not be
-   *  claimed by the into-ident-from shape, and a literal `(` must not
-   *  unbalance the subquery paren scan. Length-preserving, so match
-   *  positions on the masked string slice the ORIGINAL 1:1. */
+  /** Replace the CONTENT of single-quoted SQL string literals AND of
+   *  `/.../ ` regex bodies (following `=~`/`!~` or a FROM keyword — the
+   *  only two places the grammar puts a pattern) with spaces — same
+   *  length, delimiters kept, `''` escape honored inside literals,
+   *  `\x` escapes honored inside regex bodies — so the syntactic
+   *  sniffers and the structural splices (INTO, regex FROM, subquery
+   *  parens, clause and AND/OR splits) never match text INSIDE either:
+   *  a valid Spark query like `WHERE msg = 'logged into db from host'`
+   *  must not be claimed by the into-ident-from shape, a literal `(`
+   *  must not unbalance the subquery paren scan, and an apostrophe or
+   *  paren inside a regex body (`=~ /don't/`, `=~ /^\(/`) must not open
+   *  a phantom string literal or unbalance a paren scan — both are
+   *  legal InfluxQL patterns. ONE pass with joint state: masking
+   *  literals and regex bodies in separate passes misreads each other's
+   *  delimiters (a literal-first pass sees `/don't/`'s apostrophe as a
+   *  string opener — the round-15 advice bug). A `/` opens a body only
+   *  when the masked PREFIX ends in an opener, so Spark SQL division
+   *  (`a/b`) and operators inside already-masked literals never start
+   *  one. Length-preserving, so match positions on the masked string
+   *  slice the ORIGINAL 1:1. */
+  private val RegexBodyOpener =
+    "(?is).*(?:[=!]~|\\bfrom\\s(?:\\s*(?:\"[^\"]+\"|[\\w\\-]+)\\s*\\.)*)\\s*".r
   private def maskLiterals(q: String): String = {
     val sb = new StringBuilder(q)
-    var i = 0; var in = false
+    var i = 0; var inStr = false; var inRe = false
     while (i < sb.length) {
       val c = sb.charAt(i)
-      if (!in) { if (c == '\'') in = true }
-      else if (c == '\'') {
-        if (i + 1 < sb.length && sb.charAt(i + 1) == '\'') {
+      if (inStr) {
+        if (c == '\'') {
+          if (i + 1 < sb.length && sb.charAt(i + 1) == '\'') {
+            sb.setCharAt(i, ' '); sb.setCharAt(i + 1, ' '); i += 1
+          } else inStr = false
+        } else sb.setCharAt(i, ' ')
+      } else if (inRe) {
+        if (c == '\\' && i + 1 < sb.length) {
           sb.setCharAt(i, ' '); sb.setCharAt(i + 1, ' '); i += 1
-        } else in = false
-      } else sb.setCharAt(i, ' ')
+        } else if (c == '/') inRe = false
+        else sb.setCharAt(i, ' ')
+      } else if (c == '\'') inStr = true
+      else if (c == '/' &&
+          RegexBodyOpener.pattern.matcher(sb.substring(0, i)).matches())
+        inRe = true
       i += 1
     }
     sb.toString
@@ -440,9 +470,11 @@ object InfluxQL {
    *  before FROM's paren incl. FROM, inner text, tail). None when the
    *  statement has no parenthesized FROM. */
   private def splitSubquery(q: String): Option[(String, String, String)] = {
-    // scan the literal-masked text (a paren or `FROM (` inside a string
-    // literal must not start or unbalance the split) and slice the
-    // original — masking is length-preserving
+    // scan the literal- and regex-body-masked text (a paren or `FROM (`
+    // inside a string literal must not start or unbalance the split,
+    // and an escaped paren in a tag-regex body — `=~ /^\(/` inside a
+    // subquery's WHERE — must not unbalance the depth scan) and slice
+    // the original — masking is length-preserving
     val qm = maskLiterals(q)
     "(?is)\\bFROM\\s*\\(".r.findFirstMatchIn(qm).flatMap { m =>
       val open = qm.indexOf('(', m.start)
@@ -569,20 +601,6 @@ object InfluxQL {
     }
   }
 
-  /** Mask the regex BODIES of `=~ /.../` and `!~ /.../` terms with
-   *  spaces (length-preserving, delimiters kept) on an already
-   *  literal-masked string — a paren or keyword inside a regex body
-   *  must not confuse the structural WHERE split. */
-  private def maskRegexBodies(qm: String): String = {
-    val sb = new StringBuilder(qm)
-    val bodyRe = "[=!]~\\s*/((?:[^/\\\\]|\\\\.)+)/".r
-    bodyRe.findAllMatchIn(qm).foreach { m =>
-      var i = m.start(1)
-      while (i < m.end(1)) { sb.setCharAt(i, ' '); i += 1 }
-    }
-    sb.toString
-  }
-
   /** Split on a bare keyword at paren depth 0 (case-insensitive),
    *  leaving parenthesized groups intact. Depth and keyword matching
    *  run over the literal- and regex-body-MASKED text (an `and`, a
@@ -592,7 +610,7 @@ object InfluxQL {
    *  adjacent to the keyword disqualifies the match, so snake_case
    *  identifiers like `op_and_mode` never split. */
   private def splitTopLevelKeyword(s: String, kw: String): Seq[String] = {
-    val masked = maskRegexBodies(maskLiterals(s))
+    val masked = maskLiterals(s)
     val out = Seq.newBuilder[String]
     val upper = masked.toUpperCase
     val kwU = kw.toUpperCase
@@ -635,44 +653,93 @@ object InfluxQL {
     val fieldRe =
       "^\"?([\\w.\\-]+)\"?\\s*(>=|<=|!=|>|<|=)\\s*(-?\\d+(?:\\.\\d+)?)$".r
     def notTime(k: String): Boolean = !k.equalsIgnoreCase("time")
+    // BALANCED outer-paren check over the MASKED text (a paren inside a
+    // literal or regex body is not structure): the first `(` must pair
+    // with the LAST character — the greedy `^\((.+)\)$` alone would
+    // "unwrap" `(a) OR (b)` into the unbalanced `a) OR (b`
+    def isWrapped(t: String): Boolean = {
+      val m = maskLiterals(t)
+      if (m.length < 2 || m.head != '(' || m.last != ')') false
+      else {
+        var depth = 0; var i = 0; var wrapped = true
+        while (i < m.length) {
+          m.charAt(i) match {
+            case '(' => depth += 1
+            case ')' =>
+              depth -= 1
+              if (depth <= 0 && i != m.length - 1) wrapped = false
+            case _ =>
+          }
+          i += 1
+        }
+        wrapped && depth == 0
+      }
+    }
     // one predicate ATOM (no time terms — a time bound inside an OR
-    // would make the scan range disjunctive, which nothing emits)
-    def atom(t: String): WhereAtom = t match {
-      case tagRe(k, v) => TagPredicate(k, "=", v)
-      case tagNeRe(k, v) => TagPredicate(k, "!=", v)
-      case tagReRe(k, op, re) => TagPredicate(k, op, re.replace("\\/", "/"))
-      case fieldRe(k, op, v) if notTime(k) => FieldPredicate(k, op, v.toDouble)
-      case other => throw new IllegalArgumentException(
-        s"unsupported WHERE condition: $other")
+    // would make the scan range disjunctive, which nothing emits). A
+    // parenthesized atom unwraps (Grafana's builder wraps EVERY tag
+    // filter in parens), and ONE level of AND inside an OR-riding paren
+    // builds an AndGroup — `("a"='1' AND "b"='2') OR (...)`, the
+    // multi-template-variable shape. Deeper boolean trees (an OR back
+    // inside the AND) fall through the leaf patterns and refuse in the
+    // envelope.
+    def atom(t0: String): WhereAtom = {
+      val t = t0.trim
+      t match {
+        case tagRe(k, v) => TagPredicate(k, "=", v)
+        case tagNeRe(k, v) => TagPredicate(k, "!=", v)
+        case tagReRe(k, op, re) => TagPredicate(k, op, re.replace("\\/", "/"))
+        case fieldRe(k, op, v) if notTime(k) => FieldPredicate(k, op, v.toDouble)
+        case _ if isWrapped(t) =>
+          val inner = t.substring(1, t.length - 1).trim
+          val andParts = splitTopLevelKeyword(inner, "AND")
+          if (andParts.length >= 2) AndGroup(andParts.map(atom))
+          else atom(inner)
+        case other => throw new IllegalArgumentException(
+          s"unsupported WHERE condition: $other")
+      }
     }
     var rel = ""; var from = ""; var to = ""
     var tags = Map.empty[String, String]
     val preds = Seq.newBuilder[TagPredicate]
     val fpreds = Seq.newBuilder[FieldPredicate]
     val orGroups = Seq.newBuilder[Seq[WhereAtom]]
-    // parenthesized group — either an OR group (`("host" = 'a' OR
-    // "host" = 'b')`, the pre-regex Grafana multi-value variable
-    // shape: one AND conjunct whose atoms disjoin) or redundant parens
-    // around a single condition (Grafana's builder wraps EVERY tag
-    // filter in parens), which unwrap recursively
-    val groupRe = "(?is)^\\((.+)\\)$".r
-    def term(t: String): Unit = t match {
-      case relRe(d) => rel = d
-      case fromRe(_, ts) => from = ts
-      case toRe(_, ts) => to = ts
-      case tagRe(k, v) => tags += (k -> v)
-      case tagNeRe(k, v) => preds += TagPredicate(k, "!=", v)
-      case tagReRe(k, op, re) =>
-        preds += TagPredicate(k, op, re.replace("\\/", "/"))
-      case fieldRe(k, op, v) if notTime(k) =>
-        fpreds += FieldPredicate(k, op, v.toDouble)
-      case groupRe(inner) =>
+    // one AND conjunct: a parenthesized group — an OR group
+    // (`("host" = 'a' OR "host" = 'b')`, the pre-regex Grafana
+    // multi-value variable shape: atoms disjoin) or redundant parens
+    // around a single condition, which unwrap recursively — or a leaf.
+    // An UNwrapped `(...) OR (...)` is accepted only when it is the
+    // WHOLE WHERE clause: InfluxQL binds AND tighter than OR, so a bare
+    // `a AND b OR c` means `(a AND b) OR c` — NOT what splitting the
+    // clause at AND first would plan — and refusing the ambiguous
+    // spelling beats silently diverging from InfluxDB.
+    def term(t: String, soleConjunct: Boolean): Unit = {
+      if (isWrapped(t)) {
+        val inner = t.substring(1, t.length - 1).trim
         val parts = splitTopLevelKeyword(inner, "OR")
         if (parts.length >= 2) orGroups += parts.map(atom)
-        else term(inner.trim) // redundant parens around one condition
-      case other => throw new IllegalArgumentException(s"unsupported WHERE condition: $other")
+        else term(inner, soleConjunct) // redundant parens around one condition
+      } else t match {
+        case relRe(d) => rel = d
+        case fromRe(_, ts) => from = ts
+        case toRe(_, ts) => to = ts
+        case tagRe(k, v) => tags += (k -> v)
+        case tagNeRe(k, v) => preds += TagPredicate(k, "!=", v)
+        case tagReRe(k, op, re) =>
+          preds += TagPredicate(k, op, re.replace("\\/", "/"))
+        case fieldRe(k, op, v) if notTime(k) =>
+          fpreds += FieldPredicate(k, op, v.toDouble)
+        case _ if splitTopLevelKeyword(t, "OR").length >= 2 =>
+          if (!soleConjunct) throw new IllegalArgumentException(
+            "an unparenthesized OR next to AND is ambiguous (InfluxQL " +
+              s"binds AND tighter) — parenthesize the OR group: $t")
+          orGroups += splitTopLevelKeyword(t, "OR").map(atom)
+        case other => throw new IllegalArgumentException(
+          s"unsupported WHERE condition: $other")
+      }
     }
-    splitTopLevelKeyword(w, "AND").foreach(term)
+    val conjuncts = splitTopLevelKeyword(w, "AND")
+    conjuncts.foreach(term(_, conjuncts.length == 1))
     (rel, from, to, DataPointsFilter(tags = tags), preds.result(),
       fpreds.result(), orGroups.result())
   }

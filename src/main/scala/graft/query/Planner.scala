@@ -749,6 +749,13 @@ object Planner {
     // so the coarser-rollup UPGRADE (TierPolicy line "userBucket >=
     // native && mean") never fires; the elapsed-time floor still
     // stands — it reflects which tier still HOLDS the data at all.
+    // CHOSEN semantics when retention has already EXPIRED the raw rows
+    // (the floor forces a rollup tier): the field predicate then filters
+    // that tier's pre-aggregated rows — exactly what InfluxDB does when
+    // a query lands on a downsampled RP, where the stored points ARE the
+    // aggregates — and never errors or silently drops the predicate.
+    // Per-point filtering of data that no longer exists is not on offer;
+    // Round15Spec "field predicate over an expired-raw window" pins this.
     val hasFieldPred = req.fieldPredicates.nonEmpty ||
       req.orPredicates.exists(_.exists(_.isInstanceOf[graft.model.FieldPredicate]))
     val effTierFn = if (hasFieldPred) "" else tierFn
@@ -802,12 +809,18 @@ object Planner {
     // row-group skipping available to the scan
     val fieldCols = req.fieldPredicates.map(fieldPredColumn)
     // parenthesized OR groups: each group is ONE conjunct whose atoms
-    // disjoin (CNF) — the pre-regex Grafana multi-value variable shape
-    val orCols = req.orPredicates.map(_.map {
-      case t: graft.model.TagPredicate => tagAtomColumn(t)
-      case f: graft.model.FieldPredicate => fieldPredColumn(f)
-    }.reduce(_ || _))
+    // disjoin (CNF) — the pre-regex Grafana multi-value variable shape;
+    // an atom may itself be one parenthesized AND group
+    // (`(a AND b) OR (c AND d)`, the multi-template-variable form)
+    val orCols = req.orPredicates.map(_.map(whereAtomColumn).reduce(_ || _))
     tagCols ++ fieldCols ++ orCols
+  }
+
+  private def whereAtomColumn(a: graft.model.WhereAtom): Column = a match {
+    case t: graft.model.TagPredicate => tagAtomColumn(t)
+    case f: graft.model.FieldPredicate => fieldPredColumn(f)
+    case g: graft.model.AndGroup =>
+      g.atoms.map(whereAtomColumn).reduce(_ && _)
   }
 
   private def tagAtomColumn(p: graft.model.TagPredicate): Column = {
