@@ -46,6 +46,35 @@ object Bench {
   private def spreadFlagged(median: Double, spread: Double): Boolean =
     spread > math.max(SpreadBandFactor * median, SpreadFloorSec)
 
+  /** Load-robust record (round-14 ask #2): two rounds running, the
+   *  official record was taken on a loaded box and the headline total
+   *  regressed ON PAPER only — each time burning a judge-and-builder
+   *  round re-litigating noise the calibration probe had already
+   *  measured. Bench now ACTS on its own probes instead of merely
+   *  flagging: the sweep gates its START on a quiet probe (bounded
+   *  wait — a co-scheduled verify sweep drains in minutes), and a
+   *  spread-flagged entry is re-measured with a fresh batch once the
+   *  probe re-reads quiet, the quiet batch REPLACING the noisy one.
+   *  `QuietBandFactor` is deliberately tighter than the 2× flag band:
+   *  1.3× quiet is the level below which entry medians have matched
+   *  idle-box reruns all rounds (BENCH_NOTES "calibration"). */
+  private val QuietBandFactor =
+    sys.env.get("SPARK_GRAFT_QUIET_BAND").map(_.toDouble).getOrElse(1.3)
+  /** Bounded quiet-wait: probe, and while loaded sleep-and-reprobe up
+   *  to `maxWaitSec`. Returns (last probe value, read-quiet?). */
+  private def awaitQuiet(probe: () => Double, maxWaitSec: Int,
+      what: String): (Double, Boolean) = {
+    var p = probe()
+    var waited = 0
+    while (p > CalibQuietSec * QuietBandFactor && waited < maxWaitSec) {
+      System.err.println(f"[bench] box loaded (probe $p%.3f s vs quiet " +
+        f"$CalibQuietSec%.3f) — waiting before $what")
+      Thread.sleep(10000); waited += 10
+      p = probe()
+    }
+    (p, p <= CalibQuietSec * QuietBandFactor)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -76,9 +105,16 @@ object Bench {
     // comparison can discount flagged runs instead of chasing phantom
     // regressions.
     def calibrate(): Double = CalibProbe.probeRuns(spark, cpus.toInt, 3)(1)
+    // the cheap in-sweep probe (1 timed run after the warm) — enough to
+    // tell loaded from quiet for the per-entry re-run gate without
+    // paying the 3-run median 180 times
+    def quickProbe(): Double = CalibProbe.probeRuns(spark, cpus.toInt, 1).head
     def loadAvg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
+    // gate the sweep START on a quiet box (bounded 5 min): starting
+    // loaded is how the r13/r14 driver records regressed on paper
+    awaitQuiet(quickProbe _, 300, "starting the sweep")
     val calibStart = calibrate()
     val loadStart = loadAvg()
 
@@ -127,12 +163,27 @@ object Bench {
       var runs = Seq.fill(Runs)(once())
       def med(rs: Seq[Double]) = rs.sorted.apply(rs.length / 2)
       def spr(rs: Seq[Double]) = rs.max - rs.min
-      // high-spread entry: re-run a second batch so the reported median
-      // rides 2×Runs samples, then flag it if the spread persists —
-      // the per-query analog of calib_flagged
-      val rerun = spreadFlagged(med(runs), spr(runs))
-      if (rerun) runs = runs ++ Seq.fill(Runs)(once())
-      streamDiag.drain(runs.length).foreach(d => diags(name) = d)
+      // high-spread entry: its runs disagree, which on this box has
+      // been cross-JVM load every time it was chased to ground
+      // (BENCH_NOTES rounds 13-14). ACT on the probe: wait (bounded)
+      // for a quiet read, re-run a FRESH batch, and when that batch is
+      // clean under a quiet probe let it REPLACE the noisy one — the
+      // record then carries the quiet median, not the load artifact.
+      // A batch that stays spread-flagged even quiet merges with the
+      // first (median over 2×Runs samples) and keeps the flag: that
+      // entry's variance is real and must stay on the record.
+      var requieted = false
+      var diagRuns = runs.length // timed runs since the last diag reset
+      if (spreadFlagged(med(runs), spr(runs))) {
+        val (_, quiet) = awaitQuiet(quickProbe _, 60, s"re-running $name")
+        streamDiag.reset() // diag follows the batch the record keeps
+        val rerun = Seq.fill(Runs)(once())
+        diagRuns = rerun.length
+        if (quiet && !spreadFlagged(med(rerun), spr(rerun))) {
+          runs = rerun; requieted = true
+        } else runs = runs ++ rerun
+      }
+      streamDiag.drain(diagRuns).foreach(d => diags(name) = d)
       // settle between queries: drain reference-tracked cleanup (shuffle/
       // broadcast weak refs) now, in the gap, instead of inside the next
       // query's timed window
@@ -160,7 +211,7 @@ object Bench {
           s"up=${upS}s gc=${gcMs}ms heap=${heapMb}MB cls=$classes jit=${jitMs}ms")
       }
       name -> QueryStat(med(runs), spr(runs),
-        spreadFlagged(med(runs), spr(runs)), runs.length)
+        spreadFlagged(med(runs), spr(runs)), runs.length, requieted)
     }
     // The stdout report must survive a harness that keeps only the last
     // ~2000 chars of output, and the harness keeps the END — so the LAST
@@ -203,9 +254,13 @@ object Bench {
       .map { case (k, s) =>
         "\"" + k + s"""\":[${jnum("%.3f", s.median)},${jnum("%.3f", s.spread)}]"""
       }.mkString(""""spread_flagged":{""", ",", "},")
+    // entries whose spread-flagged first batch was REPLACED by a clean
+    // quiet re-run — their recorded medians are quiet-box numbers
+    val requietJson = results.toSeq.filter(_._2.requieted).map("\"" + _._1 + "\"")
+      .mkString(""""requiet":[""", ",", "],")
     val budget = 1700
     val head =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$Runs,$calibJson,$spreadJson$a9Diag"queries":{"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$Runs,$calibJson,$spreadJson$requietJson$a9Diag"queries":{"""
     val tail = s"""},"omitted_fast":OMIT,"sf":"$sfDir"}"""
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = head.length + tail.length + 4
@@ -224,19 +279,35 @@ object Bench {
     val runsN = results.map { case (k, s) => "\"" + k + "\":" + s.runsN }
       .mkString("{", ",", "}")
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$Runs,$calibJson,""" +
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$Runs,""" +
+        s""""epoch_sec":${System.currentTimeMillis() / 1000},$calibJson,""" +
         s""""queries":${jmap("%.3f")(_._2.median)},"spread":${jmap("%.3f")(_._2.spread)},""" +
-        s""""spread_flagged":$flaggedArr,"runs_n":$runsN,""" +
+        s""""spread_flagged":$flaggedArr,${requietJson.stripSuffix(",")},"runs_n":$runsN,""" +
         s""""stream_diag":$allDiags,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => }
+    // Full-sweep records ALSO append to BENCH_HISTORY.jsonl (committed
+    // per round): the stdout record the driver keeps is tail-capped at
+    // ~2000 chars — measured across every BENCH_r*.json, so the full
+    // ~180-entry map can NEVER ride it — and BENCH_LAST.json is
+    // overwritten by local iteration runs. The append-only history is
+    // the durable full per-query record cross-round diffs read, fast
+    // tail included (round-14 ask #6, adapted to the tail cap).
+    if (only.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
+        (full + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case _: Throwable => }
     spark.stop()
   }
 
   /** One query's sweep verdict: median and spread over its timed runs,
-   *  the persistent-spread flag, and how many runs were taken (2×Runs
-   *  when the first batch tripped the spread band). */
+   *  the persistent-spread flag, how many runs the median rides (2×Runs
+   *  when a merged re-run), and whether a quiet re-run batch REPLACED a
+   *  spread-flagged first batch (`requieted` — the record's number is
+   *  the quiet one; the noisy batch was load, not code). */
   private final case class QueryStat(median: Double, spread: Double,
-      flagged: Boolean, runsN: Int)
+      flagged: Boolean, runsN: Int, requieted: Boolean)
 }
