@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale evidence one decade past sf1 for the two flagship LLM-pipeline
+ * ops with the most machinery (round-14 ask #5): MinHash-LSH dedup
+ * END-TO-END ([[graft.functions.Dedup.nearDupClusters]] — the
+ * production entry point, hot-bucket cap included) and IVF build+query
+ * ([[graft.functions.Similarity.buildIvfIndex]] /
+ * [[graft.functions.Similarity.queryIvfIndex]]).
+ *
+ * Synthesizes a `factor`× sf0.1 corpus ON DISK first (the timed op
+ * reads parquet exactly like the real fixture; synthesis is outside
+ * the timed window), with [[FixtureScale]]'s replication semantics —
+ * per-replica varied filler keeps cross-replica Jaccard ≈ 0.5, under
+ * the 0.8 near-dup threshold, so TRUE-pair cardinality stays linear in
+ * the factor; per-replica dimension rotation decorrelates cross-replica
+ * cosines — but built with a single `explode(sequence(...))` instead of
+ * FixtureScale's factor-way union, which stops being a plannable shape
+ * around factor 100.
+ *
+ * Reports one JSON line per op: corpus rows, wall seconds, rows/s, and
+ * the driver heap after a GC — the flat-driver-memory evidence (both
+ * ops must hold NOTHING corpus-sized on the driver; cluster chasing and
+ * centroid tables are bounded by cluster count and nLists, not rows).
+ *
+ * Usage: runMain graft.LargeScaleProbe <factor> [minhash|ivf|all] [srcDir] [workDir]
+ */
+object LargeScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(100)
+    val op = args.lift(1).getOrElse("all")
+    val src = args.lift(2).getOrElse("/root/testdata/sf0.1")
+    val work = args.lift(3).getOrElse(java.nio.file.Files
+      .createTempDirectory("graft_lsp").toFile.getAbsolutePath)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.builder(shufflePartitions = cpus)
+      .master(s"local[$cpus]").config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def heapMb(): Long = {
+      System.gc()
+      java.lang.management.ManagementFactory.getMemoryMXBean
+        .getHeapMemoryUsage.getUsed >> 20
+    }
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def report(name: String, rows: Long, sec: Double, extra: String): Unit =
+      println(f"""{"probe":"$name","factor":$factor,"rows":$rows,""" +
+        f""""sec":$sec%.1f,"rows_per_sec":${rows / sec}%.0f,""" +
+        s""""driver_heap_mb":${heapMb()}$extra}""")
+
+    if (op == "minhash" || op == "all") {
+      val docsPath = s"$work/documents_x$factor.parquet"
+      val base = spark.read.parquet(s"$src/documents.parquet")
+      // replicate with per-replica distinct filler (~tokens/2, so
+      // cross-replica Jaccard ≈ 0.5 — see FixtureScale's rationale)
+      val nFill = greatest(lit(1),
+        (size(split(col("text"), "\\s+")) / 2).cast("int"))
+      val filler = array_join(transform(sequence(lit(1), nFill),
+        k => concat(lit("zf"), col("r"), lit("x"), k)), " ")
+      val scaled = base
+        .withColumn("r", explode(sequence(lit(0), lit(factor - 1))))
+        .withColumn("text", when(col("r") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" "), filler)))
+        .withColumn("doc_id", col("doc_id") + col("r") * lit(1000000L))
+        .drop("r")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      // ~250k docs per output file: the scan parallelizes without a
+      // repartition shuffle inside the timed op
+      scaled.repartition(math.max(cpus, factor / 50))
+        .write.mode("overwrite").parquet(docsPath)
+      val docs = spark.read.parquet(docsPath)
+      val n = docs.count()
+      val ((clusters, members), sec) = timed {
+        val cl = graft.functions.Dedup.nearDupClusters(docs)
+        val agg = cl.agg(countDistinct(col("cluster")), count(lit(1))).head()
+        (agg.getLong(0), agg.getLong(1))
+      }
+      report("minhash_dedup_e2e", n, sec,
+        s""","clusters":$clusters,"clustered_docs":$members""")
+    }
+
+    if (op == "ivf" || op == "all") {
+      val vecsPath = s"$work/embeddings_x$factor.parquet"
+      val base = spark.read.parquet(s"$src/embeddings.parquet")
+      val d = base.head().getAs[Seq[Float]]("embedding").size
+      val rotated = transform(sequence(lit(0), lit(d - 1)),
+        i => element_at(col("embedding"), pmod(i + col("r") * 7, lit(d)) + 1))
+      base.withColumn("r", explode(sequence(lit(0), lit(factor - 1))))
+        .withColumn("embedding",
+          when(col("r") === 0, col("embedding")).otherwise(rotated))
+        .withColumn("vec_id", col("vec_id") + col("r") * lit(1000000L))
+        .drop("r")
+        .repartition(math.max(cpus, factor / 50))
+        .write.mode("overwrite").parquet(vecsPath)
+      val vecs = spark.read.parquet(vecsPath)
+      val n = vecs.count()
+      // nLists: bounded so the N×nLists assignment cross stays linear-ish
+      // in N at probe scale (the 100 TB path shards the TRAINING sample,
+      // not the assignment — assignment is embarrassingly parallel)
+      val nLists = 64
+      val idxPath = s"$work/ivf_x$factor"
+      val (_, buildSec) = timed {
+        graft.functions.Similarity.buildIvfIndex(vecs, idxPath,
+          nLists = nLists, trainIters = 1)
+      }
+      report("ivf_build", n, buildSec, s""","n_lists":$nLists""")
+      val queries = vecs.filter(col("vec_id") < 100)
+      val (hits, querySec) = timed {
+        graft.functions.Similarity.queryIvfIndex(spark, idxPath, queries,
+          k = 10, nProbes = 4).count()
+      }
+      report("ivf_query", n, querySec, s""","queries":100,"hits":$hits""")
+    }
+    spark.stop()
+  }
+}
