@@ -141,6 +141,30 @@ class Round15Spec extends SparkSpec {
     })
   }
 
+  test("property: literal content never affects AND/OR group structure") {
+    import org.scalacheck.{Gen, Prop}
+    // the round-14 literal-safety property, extended over the AND-in-OR
+    // arm: hazard strings inside the group atoms' literals must never
+    // leak into group structure (an 'and'/'or'/paren inside a quoted
+    // value is data; the masked split sees only structure)
+    val hazard = Gen.oneOf("and", "or", "AND", "OR", "(", ")", "((",
+      "/x/", "=~", "!=", ":-)", "into t from", "from (select",
+      "fill(null)", "group by time(1h)", "a b", "_", "9",
+      "or \"x\" = ", "and \"y\" = ")
+    val valueGen = for {
+      n <- Gen.choose(1, 3)
+      parts <- Gen.listOfN(n, hazard)
+    } yield parts.mkString(" ")
+    checkProp(Prop.forAll(valueGen, valueGen) { (v1, v2) =>
+      val r = selReq(s"""SELECT "v" FROM "m" WHERE time > now()-1h AND """ +
+        s"""(("a" = '$v1' AND "b" = '$v2') OR ("a" = '$v2'))""")
+      r.orPredicates == Seq(Seq(
+        AndGroup(Seq(TagPredicate("a", "=", v1), TagPredicate("b", "=", v2))),
+        TagPredicate("a", "=", v2))) &&
+        r.relativeTime == "1h" && r.filters.tags.isEmpty
+    })
+  }
+
   test("field predicate over an expired-raw window filters rollup rows") {
     // CHOSEN semantics (Planner.scanFrame): a field predicate withholds
     // the mean-upgrade hint, but the ELAPSED-TIME floor still stands —
