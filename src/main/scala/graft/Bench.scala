@@ -112,6 +112,36 @@ object Bench {
     def loadAvg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
+    // Fixture-debris sweep (round-15 root-cause): the engine's own
+    // temp fixtures (graft_* dirs under java.io.tmpdir, created by
+    // every store-backed query/verify entry and never deletable
+    // in-run — the frame outlives the builder) accumulate across a
+    // session; at ~8k dirs / 14 GB the measured cost on WRITE-heavy
+    // entries was ~2× (a9_streaming_hop 9.8 s → 5.0 s, s8_catalog's
+    // in-battery spread, sim_ivf_rebuild's flag — all reverted by
+    // cleanup alone, same session, BENCH_NOTES "Round-15 debris").
+    // The CPU-bound calibration probe CANNOT see this (calib read
+    // quiet while the degradation was live), so gate it at the source:
+    // delete stale graft_* fixtures before the sweep. The 10-min age
+    // floor keeps any concurrently-running graft JVM's live fixtures
+    // safe; the driver schedules bench alone.
+    val tmpRoot = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"))
+    try {
+      val cutoff = System.currentTimeMillis() - 10 * 60 * 1000
+      val stale = java.nio.file.Files.list(tmpRoot).iterator()
+      var cleaned = 0
+      while (stale.hasNext) {
+        val p = stale.next()
+        if (p.getFileName.toString.startsWith("graft_") &&
+            java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff) {
+          org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+          cleaned += 1
+        }
+      }
+      if (cleaned > 0)
+        System.err.println(s"[bench] cleaned $cleaned stale fixture dirs")
+    } catch { case _: Throwable => }
     // gate the sweep START on a quiet box (bounded 5 min): starting
     // loaded is how the r13/r14 driver records regressed on paper
     awaitQuiet(quickProbe _, 300, "starting the sweep")
