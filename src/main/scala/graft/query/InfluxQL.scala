@@ -27,10 +27,13 @@ import org.apache.spark.sql.DataFrame
  *                      measurement catalog (Go-re2 convention); one
  *                      series per matched measurement, tagged by a
  *                      `measurement` result column
- *                    | ( SELECT ... )      — subqueries nest to ANY
- *                      depth (the Grafana max-of-mean idiom and its
- *                      deeper InfluxDB 1.x forms); each level's AS
- *                      alias names the column the level above selects
+ *                    | ( SELECT ... )      — subqueries nest to any
+ *                      dashboard-plausible depth (the Grafana
+ *                      max-of-mean idiom and its deeper InfluxDB 1.x
+ *                      forms; a 64-level ceiling keeps a pathological
+ *                      input in the error envelope instead of a stack
+ *                      overflow); each level's AS alias names the
+ *                      column the level above selects
  *       — a multi-item list (the multi-series panel shape) plans as ONE
  *         scan+shuffle; items are ALL aggregated or ALL bare (InfluxDB's
  *         mixing rule), columns named by alias or function name with
@@ -267,11 +270,24 @@ object InfluxQL {
     if (s.length >= 2 && s.head == '"' && s.last == '"') s.substring(1, s.length - 1)
     else s
 
+  /** Recursion ceiling for the grammar's self-nesting shapes (subquery
+   *  levels, redundant WHERE parens): generous for anything a dashboard
+   *  emits (the deepest known idiom is 3), but bounded so a pathological
+   *  input — 100k open-parens through the raw query API — refuses in
+   *  the documented envelope instead of killing the caller's thread
+   *  with a StackOverflowError (which is a crash, not an error reply). */
+  private val MaxNestDepth = 64
+
   /** Parse a statement; throws IllegalArgumentException outside the
    *  documented grammar (callers fall back to Spark SQL only when
    *  `looksLike` is false — a malformed InfluxQL-looking string should
    *  error as InfluxQL, not as something else). */
-  def parse(raw: String): Statement = {
+  def parse(raw: String): Statement = parse(raw, 0)
+
+  private def parse(raw: String, depth: Int): Statement = {
+    if (depth > MaxNestDepth)
+      throw new IllegalArgumentException(
+        s"statement nesting exceeds $MaxNestDepth levels: $raw")
     val q = raw.trim.stripSuffix(";").trim
     val l = q.toLowerCase
     // SHOW MEASUREMENTS [ON db] [WITH MEASUREMENT =~ /re/] — the ON db
@@ -323,7 +339,7 @@ object InfluxQL {
       val rp = if (parts.length >= 2) Some(parts(parts.length - 2)) else None
       val selPart = q.substring(m.start(1), m.end(1))
       val fromPart = q.substring(m.start(3), m.end(3))
-      val inner = parse(s"$selPart $fromPart")
+      val inner = parse(s"$selPart $fromPart", depth + 1)
       // a single-item source's AS name: the Select DTO plans its column
       // as `value` regardless of alias, but InfluxDB stores the written
       // field UNDER the alias — preserve it from the raw list here
@@ -351,7 +367,7 @@ object InfluxQL {
       val spliced = q.substring(0, m.start) +
         s"FROM ${q.substring(m.start(1), m.end(1))}$RegexMeasurement" +
         q.substring(m.end)
-      parse(spliced) match {
+      parse(spliced, depth + 1) match {
         case sel @ (_: Select | _: MultiSelect) => return RegexSelect(sel, pattern)
         case _ => throw new IllegalArgumentException(
           "a regex measurement supports a plain (single- or multi-item) " +
@@ -359,7 +375,7 @@ object InfluxQL {
       }
     }
     splitSubquery(q).foreach { case (pre, innerText, post) =>
-      return parseSubquery(raw, pre, innerText, post)
+      return parseSubquery(raw, pre, innerText, post, depth)
     }
     // clause splitting runs over the literal-MASKED text (a ` GROUP BY `
     // or ` LIMIT ` inside a quoted WHERE value is data, not a clause
@@ -502,11 +518,11 @@ object InfluxQL {
    *  the aliases of ITS outermost select list (the columns its planned
    *  frame actually carries). */
   private def parseSubquery(raw: String, pre: String, innerText: String,
-      post: String): Statement = {
+      post: String, depth: Int): Statement = {
     if (!innerText.toLowerCase.startsWith("select"))
       throw new IllegalArgumentException(
         s"unsupported parenthesized FROM clause (expected a SELECT): $raw")
-    val inner = parse(innerText) match {
+    val inner = parse(innerText, depth + 1) match {
       case s @ (_: Select | _: MultiSelect | _: Subquery) => s
       case _ => throw new IllegalArgumentException(
         s"subquery inner statement must be a SELECT: $raw")
@@ -534,7 +550,7 @@ object InfluxQL {
       }
       case _ => asAlias(innerText)
     }
-    val outer = parse(s"$pre FROM $SubMeasurement$post") match {
+    val outer = parse(s"$pre FROM $SubMeasurement$post", depth + 1) match {
       case s @ (_: Select | _: MultiSelect) => s
       case _ => throw new IllegalArgumentException(
         s"unsupported outer SELECT over a subquery: $raw")
@@ -683,7 +699,10 @@ object InfluxQL {
     // multi-template-variable shape. Deeper boolean trees (an OR back
     // inside the AND) fall through the leaf patterns and refuse in the
     // envelope.
-    def atom(t0: String): WhereAtom = {
+    def atom(t0: String): WhereAtom = atomAt(t0, 0)
+    def atomAt(t0: String, depth: Int): WhereAtom = {
+      if (depth > MaxNestDepth) throw new IllegalArgumentException(
+        s"WHERE paren nesting exceeds $MaxNestDepth levels: $t0")
       val t = t0.trim
       t match {
         case tagRe(k, v) => TagPredicate(k, "=", v)
@@ -693,8 +712,8 @@ object InfluxQL {
         case _ if isWrapped(t) =>
           val inner = t.substring(1, t.length - 1).trim
           val andParts = splitTopLevelKeyword(inner, "AND")
-          if (andParts.length >= 2) AndGroup(andParts.map(atom))
-          else atom(inner)
+          if (andParts.length >= 2) AndGroup(andParts.map(atomAt(_, depth + 1)))
+          else atomAt(inner, depth + 1)
         case other => throw new IllegalArgumentException(
           s"unsupported WHERE condition: $other")
       }
@@ -713,12 +732,15 @@ object InfluxQL {
     // `a AND b OR c` means `(a AND b) OR c` — NOT what splitting the
     // clause at AND first would plan — and refusing the ambiguous
     // spelling beats silently diverging from InfluxDB.
-    def term(t: String, soleConjunct: Boolean): Unit = {
+    def term(t: String, soleConjunct: Boolean, depth: Int = 0): Unit = {
+      if (depth > MaxNestDepth) throw new IllegalArgumentException(
+        s"WHERE paren nesting exceeds $MaxNestDepth levels: $t")
       if (isWrapped(t)) {
         val inner = t.substring(1, t.length - 1).trim
         val parts = splitTopLevelKeyword(inner, "OR")
         if (parts.length >= 2) orGroups += parts.map(atom)
-        else term(inner, soleConjunct) // redundant parens around one condition
+        // redundant parens around one condition
+        else term(inner, soleConjunct, depth + 1)
       } else t match {
         case relRe(d) => rel = d
         case fromRe(_, ts) => from = ts

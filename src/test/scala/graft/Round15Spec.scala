@@ -165,6 +165,24 @@ class Round15Spec extends SparkSpec {
     })
   }
 
+  test("pathological nesting refuses in the envelope, never a stack overflow") {
+    // 100k redundant WHERE parens: must answer the documented
+    // IllegalArgumentException, not kill the caller's thread with a
+    // StackOverflowError (the raw query API is a user-facing surface)
+    val deepWhere = "SELECT \"v\" FROM \"m\" WHERE " +
+      ("(" * 100000) + "\"a\" = '1'" + (")" * 100000)
+    intercept[IllegalArgumentException] { InfluxQL.parse(deepWhere) }
+    // ...and 5k subquery levels through the FROM splice
+    val deepFrom = ("SELECT max(\"v\") FROM (" * 5000) +
+      "SELECT \"v\" FROM \"m\" WHERE time > now()-1h" + (")" * 5000)
+    intercept[IllegalArgumentException] { InfluxQL.parse(deepFrom) }
+    // the dashboard-plausible depths stay parseable (3 nested levels)
+    val ok = InfluxQL.parse("""SELECT min("v") FROM (SELECT max("v") AS "v" """ +
+      """FROM (SELECT mean("value") AS "v" FROM "m" WHERE time > now()-1h """ +
+      """GROUP BY time(1h)) GROUP BY time(1d)) GROUP BY time(1w)""")
+    assert(ok.isInstanceOf[InfluxQL.Subquery])
+  }
+
   test("field predicate over an expired-raw window filters rollup rows") {
     // CHOSEN semantics (Planner.scanFrame): a field predicate withholds
     // the mean-upgrade hint, but the ELAPSED-TIME floor still stands —
