@@ -406,10 +406,10 @@ object InfluxQL {
       fillType = fillType, filters = filters, tagPredicates = tagPreds,
       fieldPredicates = fieldPreds, orPredicates = orPreds,
       orderDesc = Option(g(8)).exists(_.equalsIgnoreCase("desc")),
-      limit = Option(g(9)).map(_.toInt).getOrElse(0),
-      offset = Option(g(10)).map(_.toInt).getOrElse(0),
-      sLimit = Option(g(11)).map(_.toInt).getOrElse(0),
-      sOffset = Option(g(12)).map(_.toInt).getOrElse(0))
+      limit = modifier(g(9), "LIMIT"),
+      offset = modifier(g(10), "OFFSET"),
+      sLimit = modifier(g(11), "SLIMIT"),
+      sOffset = modifier(g(12), "SOFFSET"))
     val selItems = splitTopLevelCommas(g(1))
     if (selItems.length > 1)
       return MultiSelect(selItems.map(parseSelectItem), baseReq, rp)
@@ -438,6 +438,17 @@ object InfluxQL {
       fieldName = if (fieldName == "value") "" else fieldName,
       dataFunction = dataFunction, transformFunction = transformFunction), rp)
   }
+
+  /** A LIMIT/OFFSET/SLIMIT/SOFFSET operand as Int — an
+   *  over-Int-range count (`LIMIT 9999999999999999`) refuses in the
+   *  documented envelope rather than escaping as a raw
+   *  NumberFormatException (found by the round-15 parse fuzz). */
+  private def modifier(g: String, what: String): Int =
+    if (g == null) 0
+    else try g.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$what operand out of range: $g")
+    }
 
   /** Split a select list on its depth-0 commas (commas inside function
    *  parens — `percentile(v, 95)` — stay with their item). Quoted

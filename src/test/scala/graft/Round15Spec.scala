@@ -165,6 +165,48 @@ class Round15Spec extends SparkSpec {
     })
   }
 
+  test("property: parse answers a Statement or the envelope, never a raw exception") {
+    import org.scalacheck.{Gen, Prop}
+    import scala.util.{Failure, Success, Try}
+    // token-soup fuzz over the public parse surface: whatever the input,
+    // the answer is a parsed Statement or the documented
+    // IllegalArgumentException — never a NumberFormatException, a
+    // MatchError, a regex error, or a StackOverflowError (the raw query
+    // API hands this function arbitrary user strings)
+    val token = Gen.oneOf("SELECT", "SHOW", "FROM", "WHERE", "AND", "OR",
+      "GROUP", "BY", "time(1h)", "time(", "FILL(null)", "LIMIT", "OFFSET",
+      "SLIMIT", "9999999999999999", "-1", "5", "\"m\"", "\"a\"", "'v'",
+      "=", "!=", "=~", "!~", "/re/", "mean(\"v\")", "now()-1h", "(", ")",
+      "INTO", "tag", ",", ".", ";", "''", "'", "\"", "\\", "/")
+    val stmtGen = for {
+      head <- Gen.oneOf("SELECT ", "SHOW ", "")
+      n <- Gen.choose(0, 12)
+      parts <- Gen.listOfN(n, token)
+    } yield head + parts.mkString(" ")
+    checkProp(Prop.forAll(stmtGen) { s =>
+      Try(InfluxQL.parse(s)) match {
+        case Success(_) => true
+        case Failure(_: IllegalArgumentException) => true
+        case Failure(other) => throw other // surface the escape verbatim
+      }
+    }, minTests = 2000)
+  }
+
+  test("an over-Int-range LIMIT refuses in the envelope") {
+    // found by the parse fuzz: `.toInt` on the modifier operands let a
+    // NumberFormatException escape the documented error envelope
+    for (m <- Seq("LIMIT", "OFFSET", "SLIMIT", "SOFFSET")) {
+      val e = intercept[IllegalArgumentException] {
+        InfluxQL.parse(
+          s"""SELECT "v" FROM "m" WHERE time > now()-1h $m 9999999999999999""")
+      }
+      assert(e.getMessage.contains("out of range"))
+    }
+    // in-range still parses
+    assert(selReq("""SELECT "v" FROM "m" WHERE time > now()-1h LIMIT 5""")
+      .limit == 5)
+  }
+
   test("pathological nesting refuses in the envelope, never a stack overflow") {
     // 100k redundant WHERE parens: must answer the documented
     // IllegalArgumentException, not kill the caller's thread with a
