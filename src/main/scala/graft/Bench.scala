@@ -285,8 +285,13 @@ object Bench {
         "\"" + k + s"""\":[${jnum("%.3f", s.median)},${jnum("%.3f", s.spread)}]"""
       }.mkString(""""spread_flagged":{""", ",", "},")
     // entries whose spread-flagged first batch was REPLACED by a clean
-    // quiet re-run — their recorded medians are quiet-box numbers
-    val requietJson = results.toSeq.filter(_._2.requieted).map("\"" + _._1 + "\"")
+    // quiet re-run — their recorded medians are quiet-box numbers. The
+    // stdout copy is capped (a pathological all-noisy battery must not
+    // push the line past the driver's ~2000-char tail window and break
+    // the parse); the full list is always in BENCH_LAST/HISTORY.
+    val requietAll = results.toSeq.filter(_._2.requieted).map("\"" + _._1 + "\"")
+    val requietJson = (if (requietAll.length <= 24) requietAll
+      else requietAll.take(24) :+ s""""+${requietAll.length - 24} more"""")
       .mkString(""""requiet":[""", ",", "],")
     val budget = 1700
     val head =
@@ -312,7 +317,8 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$Runs,""" +
         s""""epoch_sec":${System.currentTimeMillis() / 1000},$calibJson,""" +
         s""""queries":${jmap("%.3f")(_._2.median)},"spread":${jmap("%.3f")(_._2.spread)},""" +
-        s""""spread_flagged":$flaggedArr,${requietJson.stripSuffix(",")},"runs_n":$runsN,""" +
+        s""""spread_flagged":$flaggedArr,""" +
+        s""""requiet":${requietAll.mkString("[", ",", "]")},"runs_n":$runsN,""" +
         s""""stream_diag":$allDiags,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
       (full + "\n").getBytes("UTF-8"))
