@@ -57,27 +57,34 @@ object LargeScaleProbe {
         f""""sec":$sec%.1f,"rows_per_sec":${rows / sec}%.0f,""" +
         s""""driver_heap_mb":${heapMb()}$extra}""")
 
-    if (op == "minhash" || op == "all") {
+    // scaled documents on disk, synthesized once per (work, factor)
+    def scaledDocs(): DataFrame = {
       val docsPath = s"$work/documents_x$factor.parquet"
-      val base = spark.read.parquet(s"$src/documents.parquet")
-      // replicate with per-replica distinct filler (~tokens/2, so
-      // cross-replica Jaccard ≈ 0.5 — see FixtureScale's rationale)
-      val nFill = greatest(lit(1),
-        (size(split(col("text"), "\\s+")) / 2).cast("int"))
-      val filler = array_join(transform(sequence(lit(1), nFill),
-        k => concat(lit("zf"), col("r"), lit("x"), k)), " ")
-      val scaled = base
-        .withColumn("r", explode(sequence(lit(0), lit(factor - 1))))
-        .withColumn("text", when(col("r") === 0, col("text"))
-          .otherwise(concat(col("text"), lit(" "), filler)))
-        .withColumn("doc_id", col("doc_id") + col("r") * lit(1000000L))
-        .drop("r")
-        .withColumn("n_chars", length(col("text")).cast("long"))
-      // ~250k docs per output file: the scan parallelizes without a
-      // repartition shuffle inside the timed op
-      scaled.repartition(math.max(cpus, factor / 50))
-        .write.mode("overwrite").parquet(docsPath)
-      val docs = spark.read.parquet(docsPath)
+      if (!new java.io.File(docsPath).exists) {
+        val base = spark.read.parquet(s"$src/documents.parquet")
+        // replicate with per-replica distinct filler (~tokens/2, so
+        // cross-replica Jaccard ≈ 0.5 — see FixtureScale's rationale)
+        val nFill = greatest(lit(1),
+          (size(split(col("text"), "\\s+")) / 2).cast("int"))
+        val filler = array_join(transform(sequence(lit(1), nFill),
+          k => concat(lit("zf"), col("r"), lit("x"), k)), " ")
+        val scaled = base
+          .withColumn("r", explode(sequence(lit(0), lit(factor - 1))))
+          .withColumn("text", when(col("r") === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" "), filler)))
+          .withColumn("doc_id", col("doc_id") + col("r") * lit(1000000L))
+          .drop("r")
+          .withColumn("n_chars", length(col("text")).cast("long"))
+        // ~250k docs per output file: the scan parallelizes without a
+        // repartition shuffle inside the timed op
+        scaled.repartition(math.max(cpus, factor / 50))
+          .write.mode("overwrite").parquet(docsPath)
+      }
+      spark.read.parquet(docsPath)
+    }
+
+    if (op == "minhash" || op == "all") {
+      val docs = scaledDocs()
       val n = docs.count()
       val ((clusters, members), sec) = timed {
         val cl = graft.functions.Dedup.nearDupClusters(docs)
@@ -86,6 +93,22 @@ object LargeScaleProbe {
       }
       report("minhash_dedup_e2e", n, sec,
         s""","clusters":$clusters,"clustered_docs":$members""")
+    }
+
+    if (op == "bm25" || op == "all") {
+      // same documents shape and replication as the minhash op
+      val docs = scaledDocs()
+      val n = docs.count()
+      val idxPath = s"$work/bm25_x$factor"
+      val (_, buildSec) = timed {
+        graft.functions.Retrieval.buildBm25Index(docs, idxPath)
+      }
+      report("bm25_build", n, buildSec, "")
+      val (hits, querySec) = timed {
+        graft.functions.Retrieval.queryBm25Index(spark, idxPath,
+          Seq("table", "hash", "merge", "scan"), k = 20).count()
+      }
+      report("bm25_query", n, querySec, s""","hits":$hits""")
     }
 
     if (op == "ivf" || op == "all") {
