@@ -756,8 +756,18 @@ object Planner {
     // aggregates — and never errors or silently drops the predicate.
     // Per-point filtering of data that no longer exists is not on offer;
     // Round15Spec "field predicate over an expired-raw window" pins this.
+    // Recurse into AndGroup atoms: a field predicate nested inside
+    // `(tag AND field) OR (...)` must withhold the mean upgrade exactly
+    // as the same predicate written at top level would — otherwise the
+    // rollup tier's pre-aggregated rows get per-point-filtered while
+    // raw rows still exist.
+    def atomHasField(a: graft.model.WhereAtom): Boolean = a match {
+      case _: graft.model.FieldPredicate => true
+      case g: graft.model.AndGroup => g.atoms.exists(atomHasField)
+      case _ => false
+    }
     val hasFieldPred = req.fieldPredicates.nonEmpty ||
-      req.orPredicates.exists(_.exists(_.isInstanceOf[graft.model.FieldPredicate]))
+      req.orPredicates.exists(_.exists(atomHasField))
     val effTierFn = if (hasFieldPred) "" else tierFn
     val tier = TierPolicy.resolveQueryTier(req.measurement, Tier.ProfileOptimized,
       fromInstant, req.relativeTime, groupByTime, effTierFn, now)
