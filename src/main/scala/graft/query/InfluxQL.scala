@@ -195,9 +195,7 @@ object InfluxQL {
    *  (`a/b`) and operators inside already-masked literals never start
    *  one. Length-preserving, so match positions on the masked string
    *  slice the ORIGINAL 1:1. */
-  private val RegexBodyOpener =
-    "(?is).*(?:[=!]~|\\bfrom\\s(?:\\s*(?:\"[^\"]+\"|[\\w\\-]+)\\s*\\.)*)\\s*".r
-  private def maskLiterals(q: String): String = {
+  private[graft] def maskLiterals(q: String): String = {
     val sb = new StringBuilder(q)
     var i = 0; var inStr = false; var inRe = false
     while (i < sb.length) {
@@ -214,15 +212,68 @@ object InfluxQL {
         } else if (c == '/') inRe = false
         else sb.setCharAt(i, ' ')
       } else if (c == '\'') inStr = true
-      else if (c == '/' &&
-          RegexBodyOpener.pattern.matcher(sb.substring(0, i)).matches())
-        inRe = true
+      else if (c == '/' && opensRegexBody(sb, i)) inRe = true
       i += 1
     }
     sb.toString
   }
 
+  // regex-\w (ASCII word char, the \b boundary class) vs qualifier-ident
+  // chars ([\w\-] — the dash is an ident char but NOT a word char, so
+  // `x-from` still has a word boundary before `from`)
+  @inline private def isWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_'
+  @inline private def isIdentChar(c: Char): Boolean = isWordChar(c) || c == '-'
+
+  /** Does a `/` at position `end` of the (so-far-masked) buffer open a
+   *  regex body? True iff the prefix ends — module trailing whitespace —
+   *  with `=~`/`!~`, or with the keyword FROM plus zero or more complete
+   *  dotted qualifiers (`FROM /re/`, `FROM "rp"./re/`, `FROM db.rp./re/`).
+   *  A bounded BACKWARDS scan over the already-masked prefix: each walk
+   *  stops at the nearest structural break (typically the previous
+   *  slash), so a slash-flood input costs amortized linear time instead
+   *  of the former whole-prefix regex re-match per slash (O(n²) on
+   *  crafted multi-KB input — the round-15 hostile-input advice). */
+  private def opensRegexBody(sb: StringBuilder, end: Int): Boolean = {
+    var j = end - 1
+    var lastWs = 0
+    def skipWs(): Unit = {
+      lastWs = 0
+      while (j >= 0 && Character.isWhitespace(sb.charAt(j))) { j -= 1; lastWs += 1 }
+    }
+    // spelled-out keyword check: chars (j-3..j) read `from`, preceded by
+    // a word BOUNDARY, followed by at least one whitespace (`\bfrom\s`)
+    def atFromKeyword(): Boolean =
+      lastWs >= 1 && j >= 3 &&
+        (sb.charAt(j) == 'm' || sb.charAt(j) == 'M') &&
+        sb.substring(j - 3, j + 1).equalsIgnoreCase("from") &&
+        (j - 4 < 0 || !isWordChar(sb.charAt(j - 4)))
+    skipWs()
+    if (j < 0) return false
+    val c = sb.charAt(j)
+    if (c == '~')
+      return j >= 1 && (sb.charAt(j - 1) == '=' || sb.charAt(j - 1) == '!')
+    // walk back over complete qualifier units { '.' ws* ident ws* }*
+    while (j >= 0 && sb.charAt(j) == '.') {
+      j -= 1; skipWs()
+      if (j >= 0 && sb.charAt(j) == '"') {          // "[^"]+" — ≥1 content char
+        val close = j; j -= 1
+        while (j >= 0 && sb.charAt(j) != '"') j -= 1
+        if (j < 0 || close - j < 2) return false
+        j -= 1
+      } else {                                      // [\w\-]+
+        val start0 = j
+        while (j >= 0 && isIdentChar(sb.charAt(j))) j -= 1
+        if (j == start0) return false
+      }
+      skipWs()
+    }
+    atFromKeyword()
+  }
+
   def looksLike(q: String): Boolean = {
+    if (q.length > MaxStatementChars) return false
     val s = maskLiterals(q.trim).toLowerCase
     s.matches("(?s)show\\s+measurements\\b.*") ||
       s.matches("show\\s+retention\\s+policies\\s*;?") ||
@@ -278,11 +329,26 @@ object InfluxQL {
    *  with a StackOverflowError (which is a crash, not an error reply). */
   private val MaxNestDepth = 64
 
+  /** Raw statement size ceiling (chars) on the user-facing parse path.
+   *  64 KB is orders of magnitude above anything a dashboard emits
+   *  (Grafana's longest template-expanded WHERE is low-KB); the cap
+   *  bounds total parse CPU on hostile input the same way MaxNestDepth
+   *  bounds the stack — refuse cheaply, in the documented envelope,
+   *  before any scanning. `looksLike` declines oversized input instead
+   *  of throwing (it is a sniffer — unclaimed input flows to Spark SQL,
+   *  which has its own limits). */
+  private val MaxStatementChars = 64 * 1024
+
   /** Parse a statement; throws IllegalArgumentException outside the
    *  documented grammar (callers fall back to Spark SQL only when
    *  `looksLike` is false — a malformed InfluxQL-looking string should
    *  error as InfluxQL, not as something else). */
-  def parse(raw: String): Statement = parse(raw, 0)
+  def parse(raw: String): Statement = {
+    if (raw.length > MaxStatementChars)
+      throw new IllegalArgumentException(
+        s"statement exceeds $MaxStatementChars characters (${raw.length})")
+    parse(raw, 0)
+  }
 
   private def parse(raw: String, depth: Int): Statement = {
     if (depth > MaxNestDepth)

@@ -60,4 +60,91 @@ class Round16Spec extends SparkSpec {
       t => { seen += t; twoTag("sensor_t") }, _ => None, now)
     assert(seen.last == Tier.GenDay)
   }
+
+  // ---- raw parse path hardening: size cap + linear-time masking ----
+
+  /** The pre-round-16 masking semantics as a test-side oracle: the SAME
+   *  joint literal+regex-body state walk, but with the regex-body opener
+   *  decided by the original whole-prefix regex re-match per slash (the
+   *  O(n²) shape the advice flagged). Equivalence over adversarial
+   *  generated input pins that the backwards-scan rewrite changed COST,
+   *  not BEHAVIOR. */
+  private val OpenerOracle =
+    "(?is).*(?:[=!]~|\\bfrom\\s(?:\\s*(?:\"[^\"]+\"|[\\w\\-]+)\\s*\\.)*)\\s*".r
+  private def maskOracle(q: String): String = {
+    val sb = new StringBuilder(q)
+    var i = 0; var inStr = false; var inRe = false
+    while (i < sb.length) {
+      val c = sb.charAt(i)
+      if (inStr) {
+        if (c == '\'') {
+          if (i + 1 < sb.length && sb.charAt(i + 1) == '\'') {
+            sb.setCharAt(i, ' '); sb.setCharAt(i + 1, ' '); i += 1
+          } else inStr = false
+        } else sb.setCharAt(i, ' ')
+      } else if (inRe) {
+        if (c == '\\' && i + 1 < sb.length) {
+          sb.setCharAt(i, ' '); sb.setCharAt(i + 1, ' '); i += 1
+        } else if (c == '/') inRe = false
+        else sb.setCharAt(i, ' ')
+      } else if (c == '\'') inStr = true
+      else if (c == '/' &&
+          OpenerOracle.pattern.matcher(sb.substring(0, i)).matches())
+        inRe = true
+      i += 1
+    }
+    sb.toString
+  }
+
+  test("backwards-scan masking is byte-equivalent to the regex oracle") {
+    import org.scalacheck.{Gen, Prop}
+    // token soup biased toward every character class the opener decision
+    // reads: slashes, tildes, FROM spellings (case, boundaries), dotted
+    // qualifiers (quoted/worded/dashed), string literals with escapes,
+    // regex escapes, and whitespace runs
+    val token = Gen.frequency(
+      6 -> Gen.const("/"), 4 -> Gen.const(" "), 2 -> Gen.const("  "),
+      3 -> Gen.oneOf("=~", "!~", "~", "=", "!"),
+      4 -> Gen.oneOf("from", "FROM", "From", "xfrom", "x-from", "froma", "from/"),
+      4 -> Gen.oneOf(".", "a.", "\"rp\".", "\"r p\".", "a-b.", "\"\".", "..", "a"),
+      2 -> Gen.oneOf("'it''s'", "'don/t'", "'", "''"),
+      2 -> Gen.oneOf("\\/", "\\", "\"", "(", ")", ","),
+      2 -> Gen.oneOf("select", "where", "and", "or", "time", "now()", "1h"))
+    val soup = Gen.listOf(token).map(_.mkString)
+    checkProp(Prop.forAll(soup) { s =>
+      InfluxQL.maskLiterals(s) == maskOracle(s)
+    }, minTests = 500)
+    // the documented opener shapes, pinned explicitly
+    for (s <- Seq(
+      """SELECT "v" FROM "m" WHERE "t" =~ /don't (x/ AND "u" !~ /\/esc'/""",
+      """SELECT mean("v") FROM /^sensor_/ WHERE time > now()-1h""",
+      """SELECT "v" FROM "gen_raw"./te\/mp.*/ WHERE time > now()-1h""",
+      """SELECT "v" FROM db . "rp" . /m(/ WHERE a/b > 2 AND msg = 'from x /'""",
+      """SELECT 'a/b' / 2, "x from " / 3 FROM t"""))
+      assert(InfluxQL.maskLiterals(s) == maskOracle(s), s)
+  }
+
+  test("oversized statements refuse cheaply in the envelope") {
+    val big = "SELECT \"v\" FROM \"m\" WHERE " +
+      Seq.fill(8000)("\"a\" = '1'").mkString(" AND ") // ~100 KB
+    val t0 = System.nanoTime()
+    val e = intercept[IllegalArgumentException] { InfluxQL.parse(big) }
+    assert(e.getMessage.contains("exceeds"))
+    assert(!InfluxQL.looksLike(big)) // sniffer declines, never stalls
+    assert((System.nanoTime() - t0) < 2e9, "oversized refusal must be cheap")
+  }
+
+  test("slash-flood input parses in linear-ish time, not O(n^2)") {
+    // ~48 KB of slash-dense WHERE text (under the size cap, so it is
+    // actually scanned): the former per-slash whole-prefix regex match
+    // made this cost minutes of parse CPU; the backwards scan is
+    // amortized linear. Generous wall bound — an order of magnitude
+    // under the old cost, an order over the new one.
+    val flood = "SELECT \"v\" FROM \"m\" WHERE \"t\" =~ " +
+      ("/" * 24000) + " AND time > now()-1h"
+    val t0 = System.nanoTime()
+    intercept[IllegalArgumentException] { InfluxQL.parse(flood) }
+    InfluxQL.looksLike(flood)
+    assert((System.nanoTime() - t0) < 5e9, "slash flood must parse in seconds")
+  }
 }
