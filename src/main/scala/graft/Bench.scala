@@ -141,23 +141,38 @@ object Bench {
     // delete stale graft_* fixtures before the sweep. The 10-min age
     // floor keeps any concurrently-running graft JVM's live fixtures
     // safe; the driver schedules bench alone.
+    // Since round 16 fixtures nest under per-JVM graft_session_* roots
+    // (see [[Fixtures]]) that delete themselves on normal exit; the
+    // sweep here only has to clear CRASH debris plus pre-round-16
+    // loose graft_* dirs. A session root is skipped while its owning
+    // JVM is alive (PID marker — positive liveness, replacing the
+    // mtime-only floor that could not protect a long-running probe's
+    // fixture from a concurrent bench); loose legacy dirs keep the
+    // 10-minute age floor.
     val tmpRoot = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"))
     try {
       val cutoff = System.currentTimeMillis() - 10 * 60 * 1000
-      val stale = java.nio.file.Files.list(tmpRoot).iterator()
+      val listing = java.nio.file.Files.list(tmpRoot)
       var cleaned = 0
-      while (stale.hasNext) {
-        val p = stale.next()
-        if (p.getFileName.toString.startsWith("graft_") &&
-            java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff) {
-          org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
-          cleaned += 1
+      try {
+        val stale = listing.iterator()
+        while (stale.hasNext) {
+          val p = stale.next()
+          val name = p.getFileName.toString
+          val sweepable =
+            if (name.startsWith(Fixtures.SessionPrefix)) !Fixtures.ownerAlive(p)
+            else name.startsWith("graft_") &&
+              java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff
+          if (sweepable) {
+            org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+            cleaned += 1
+          }
         }
-      }
+      } finally listing.close()
       if (cleaned > 0)
         System.err.println(s"[bench] cleaned $cleaned stale fixture dirs")
-    } catch { case _: Throwable => }
+    } catch { case scala.util.control.NonFatal(_) => }
     // gate the sweep START on a quiet box (bounded 5 min): starting
     // loaded is how the r13/r14 driver records regressed on paper
     awaitQuiet(quickProbe _, 300, "starting the sweep")
@@ -309,17 +324,6 @@ object Bench {
     val requietJson = (if (requietAll.length <= 24) requietAll
       else requietAll.take(24) :+ s""""+${requietAll.length - 24} more"""")
       .mkString(""""requiet":[""", ",", "],")
-    val budget = 1700
-    val head =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$Runs,$calibJson,$spreadJson$requietJson$a9Diag"queries":{"""
-    val tail = s"""},"omitted_fast":OMIT,"sf":"$sfDir"}"""
-    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
-    var len = head.length + tail.length + 4
-    slowestFirst.foreach { e =>
-      if (len + e.length + 1 <= budget) { kept += e; len += e.length + 1 }
-    }
-    println(head + kept.mkString(",") +
-      tail.replace("OMIT", (results.size - kept.size).toString))
     // Full-precision copy on disk for post-hoc analysis (adds per-query
     // spread, the flag verdicts, and the sample counts — re-run queries
     // carry runs_n = 2×Runs).
@@ -338,7 +342,7 @@ object Bench {
         s""""stream_diag":$allDiags,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
       (full + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => }
+    catch { case scala.util.control.NonFatal(_) => }
     // Full-sweep records ALSO append to BENCH_HISTORY.jsonl (committed
     // per round): the stdout record the driver keeps is tail-capped at
     // ~2000 chars — measured across every BENCH_r*.json, so the full
@@ -346,12 +350,46 @@ object Bench {
     // overwritten by local iteration runs. The append-only history is
     // the durable full per-query record cross-round diffs read, fast
     // tail included (round-14 ask #6, adapted to the tail cap).
-    if (only.isEmpty)
-      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
-        (full + "\n").getBytes("UTF-8"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
-      catch { case _: Throwable => }
+    // history_n (round-15 verdict ask #4): the stdout record and the
+    // committed history must be provably the SAME sweep — after the
+    // append, re-read the history tail and count its per-query entries;
+    // the count rides the stdout line. A reader can now assert
+    // history_n == the history tail's query count == the sweep size
+    // instead of trusting that no local iteration overwrote the link
+    // (BENCH_LAST.json is overwritten by SPARK_GRAFT_ONLY runs; the
+    // history is append-only and full-sweep-only). -1 = no append
+    // happened (partial sweep) or the read-back failed.
+    val historyN: Int =
+      if (only.nonEmpty) -1
+      else try {
+        val hp = java.nio.file.Paths.get("BENCH_HISTORY.jsonl")
+        java.nio.file.Files.write(hp, (full + "\n").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+        val lines = java.nio.file.Files.readAllLines(hp)
+        val last = lines.get(lines.size - 1)
+        val qs = last.indexOf("\"queries\":{")
+        if (last != full) -1
+        else if (qs < 0) -1
+        else {
+          val body = last.substring(qs + 11, last.indexOf('}', qs))
+          if (body.trim.isEmpty) 0 else body.count(_ == ',') + 1
+        }
+      } catch { case scala.util.control.NonFatal(_) => -1 }
+
+    val budget = 1700
+    val head =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$Runs,""" +
+        s""""history_n":$historyN,""" +
+        s"""$calibJson,$spreadJson$requietJson${a9Diag}"queries":{"""
+    val tail = s"""},"omitted_fast":OMIT,"sf":"$sfDir"}"""
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var len = head.length + tail.length + 4
+    slowestFirst.foreach { e =>
+      if (len + e.length + 1 <= budget) { kept += e; len += e.length + 1 }
+    }
+    println(head + kept.mkString(",") +
+      tail.replace("OMIT", (results.size - kept.size).toString))
     spark.stop()
   }
 

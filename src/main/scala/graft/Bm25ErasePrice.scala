@@ -29,7 +29,7 @@ object Bm25ErasePrice {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/graft_sf1")
     val work = args.lift(1).getOrElse(
-      java.nio.file.Files.createTempDirectory("graft_bm25price")
+      graft.Fixtures.newDir("graft_bm25price")
         .toFile.getAbsolutePath)
     val nIds = args.lift(2).map(_.toInt).getOrElse(100)
     val spark = GraftSession.builder(shufflePartitions = 32)

@@ -34,8 +34,8 @@ object LargeScaleProbe {
     val factor = args.headOption.map(_.toInt).getOrElse(100)
     val op = args.lift(1).getOrElse("all")
     val src = args.lift(2).getOrElse("/root/testdata/sf0.1")
-    val work = args.lift(3).getOrElse(java.nio.file.Files
-      .createTempDirectory("graft_lsp").toFile.getAbsolutePath)
+    val work = args.lift(3).getOrElse(graft.Fixtures
+      .newDir("graft_lsp").toFile.getAbsolutePath)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.builder(shufflePartitions = cpus)
       .master(s"local[$cpus]").config("spark.ui.enabled", "false")

@@ -109,7 +109,7 @@ object ScaleChecks {
     // -- 5. index erasure at scale: reader-visible completeness, the
     // PHYSICAL purge, and cost proportionality (untouched files stay
     // byte-stable — the erase touches only files carrying erased ids) --
-    val work = java.nio.file.Files.createTempDirectory("graft_scale_erase")
+    val work = graft.Fixtures.newDir("graft_scale_erase")
       .toFile.getAbsolutePath
     val fs = new org.apache.hadoop.fs.Path(work)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -56,7 +56,7 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def cachedInput(key: String)(write: String => Unit): String =
     fixtureInputs.computeIfAbsent(key, _ => {
-      val d = java.nio.file.Files.createTempDirectory("graft_fxin")
+      val d = graft.Fixtures.newDir("graft_fxin")
         .toFile.getAbsolutePath + "/in"
       write(d)
       d
@@ -286,7 +286,7 @@ object SparkEntry {
       // The oracle computes the same aggregate from the ORIGINAL events —
       // any loss, duplication, or misroute in the store path breaks the
       // hash match (a misrouted app_click would leave gen_default empty).
-      val root = java.nio.file.Files.createTempDirectory("graft_s3rt")
+      val root = graft.Fixtures.newDir("graft_s3rt")
         .toFile.getAbsolutePath
       val store = new graft.store.TierStore(s, root)
       store.writeRouted(points(s, dir, "sensor_").unionAll(points(s, dir, "app_")))
@@ -304,7 +304,7 @@ object SparkEntry {
       // Doubles survive exactly (shortest-repr format both ways);
       // timestamps are compared at epoch-second precision — the CSV
       // layer itself keeps milliseconds.
-      val root = java.nio.file.Files.createTempDirectory("graft_csv")
+      val root = graft.Fixtures.newDir("graft_csv")
         .toFile.getAbsolutePath
       val pts = points(s, dir, "sensor_")
         .withColumn("service", col("measurement"))
@@ -491,7 +491,7 @@ object SparkEntry {
       // path), then the ordinary grammar reads them back — equality
       // with the oracle's direct aggregation proves the
       // materialize→store→read loop lossless
-      val root = java.nio.file.Files.createTempDirectory("graft_s7into")
+      val root = graft.Fixtures.newDir("graft_s7into")
         .toFile.getAbsolutePath
       val store = new graft.store.TierStore(s, root)
       store.writeRouted(points(s, dir, "app_"))
@@ -519,7 +519,7 @@ object SparkEntry {
       // misroute anywhere in the API dispatch → store → planner chain
       // breaks the hash. Same recipe as s3_roundtrip, one level higher
       // in the stack.
-      val root = java.nio.file.Files.createTempDirectory("graft_s6api")
+      val root = graft.Fixtures.newDir("graft_s6api")
         .toFile.getAbsolutePath
       val store = new graft.store.TierStore(s, root)
       val ctx = graft.api.Api.Context(s, store, now = () => Now)
@@ -552,7 +552,7 @@ object SparkEntry {
       // events under the same routing rule (sensor_* high-freq →
       // gen_raw, app_* → gen_default), so a misroute or a listing bug
       // breaks the match.
-      val root = java.nio.file.Files.createTempDirectory("graft_s8cat")
+      val root = graft.Fixtures.newDir("graft_s8cat")
         .toFile.getAbsolutePath
       val store = new graft.store.TierStore(s, root)
       store.writeRouted(points(s, dir, "sensor_").unionAll(points(s, dir, "app_")))
@@ -570,7 +570,7 @@ object SparkEntry {
       // round-14: SHOW MEASUREMENTS WITH MEASUREMENT =~ /re/ — the
       // Grafana template-variable form; the pattern filters the catalog
       // LISTING (metadata-sized, no data scan), unanchored
-      val root = java.nio.file.Files.createTempDirectory("graft_s12m")
+      val root = graft.Fixtures.newDir("graft_s12m")
         .toFile.getAbsolutePath
       val store = new graft.store.TierStore(s, root)
       store.writeRouted(points(s, dir, "sensor_").unionAll(points(s, dir, "app_")))
@@ -580,7 +580,7 @@ object SparkEntry {
     }),
 
     "s12_show_keys" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_s12k")
+      val root = graft.Fixtures.newDir("graft_s12k")
         .toFile.getAbsolutePath
       val store = new graft.store.TierStore(s, root)
       store.write(graft.model.Tier.GenDefault, points(s, dir, "app_"))
@@ -596,7 +596,7 @@ object SparkEntry {
     }),
 
     "s12_show_tag_values" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_s12tv")
+      val root = graft.Fixtures.newDir("graft_s12tv")
         .toFile.getAbsolutePath
       val store = new graft.store.TierStore(s, root)
       store.write(graft.model.Tier.GenDefault, points(s, dir, "app_"))
@@ -606,7 +606,7 @@ object SparkEntry {
     }),
 
     "s12_show_series" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_s12sr")
+      val root = graft.Fixtures.newDir("graft_s12sr")
         .toFile.getAbsolutePath
       val store = new graft.store.TierStore(s, root)
       store.write(graft.model.Tier.GenDefault, points(s, dir, "app_"))
@@ -1247,7 +1247,7 @@ object SparkEntry {
       // Oracle = exact cross-set Jaccard pairs — banding recall at 0.8
       // with 16×4 bands is what makes them equal
       val docs = table(s, dir, "documents")
-      val root = java.nio.file.Files.createTempDirectory("graft_mhidx")
+      val root = graft.Fixtures.newDir("graft_mhidx")
         .toFile.getAbsolutePath
       Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 10 =!= 0), root)
       Dedup.queryMinhashIndex(s, docs.filter(col("doc_id") % 10 === 0), root)
@@ -1398,7 +1398,7 @@ object SparkEntry {
       // corpus, so the oracle pins that the streamed index holds
       // exactly every vector (none lost, none duplicated, scored
       // exactly); the embedding counterpart of dedup_incremental
-      val work = java.nio.file.Files.createTempDirectory("graft_ivfs")
+      val work = graft.Fixtures.newDir("graft_ivfs")
         .toFile.getAbsolutePath
       val emb = table(s, dir, "embeddings")
       graft.functions.Similarity.buildIvfIndex(
@@ -1428,7 +1428,7 @@ object SparkEntry {
       // fold's rewrite are both invisible to the pin, which is the
       // training-run reproducibility contract the tier store already
       // carries, extended to the streamed index
-      val work = java.nio.file.Files.createTempDirectory("graft_ivfp")
+      val work = graft.Fixtures.newDir("graft_ivfp")
         .toFile.getAbsolutePath
       val emb = table(s, dir, "embeddings")
       graft.functions.Similarity.buildIvfIndex(
@@ -1461,7 +1461,7 @@ object SparkEntry {
       // pre-rebuild batch is replayed after the swap and must SKIP
       // (the generation-shared ledger), which the row count makes
       // hash-visible
-      val work = java.nio.file.Files.createTempDirectory("graft_ivfr")
+      val work = graft.Fixtures.newDir("graft_ivfr")
         .toFile.getAbsolutePath
       val emb = table(s, dir, "embeddings")
       graft.functions.Similarity.buildIvfIndex(
@@ -1487,7 +1487,7 @@ object SparkEntry {
       // corpus, so the oracle pins that the erase removed exactly the
       // requested vectors (from both the built and the appended halves)
       // and nothing else
-      val work = java.nio.file.Files.createTempDirectory("graft_ivfe")
+      val work = graft.Fixtures.newDir("graft_ivfe")
         .toFile.getAbsolutePath
       val emb = table(s, dir, "embeddings")
       graft.functions.Similarity.buildIvfIndex(
@@ -1514,7 +1514,7 @@ object SparkEntry {
       // bit-for-bit, so the stats are pinned exact — including that
       // the appended half's drift shows up in the same lists the
       // engine assigned them to
-      val work = java.nio.file.Files.createTempDirectory("graft_ivfd")
+      val work = graft.Fixtures.newDir("graft_ivfd")
         .toFile.getAbsolutePath
       val emb = table(s, dir, "embeddings")
       graft.functions.Similarity.buildIvfIndex(
@@ -1537,7 +1537,7 @@ object SparkEntry {
       // re-bucketed the ENTIRE corpus (both the built and the
       // ledger-appended halves) losslessly
       val docs = table(s, dir, "documents")
-      val root = java.nio.file.Files.createTempDirectory("graft_mhrb")
+      val root = graft.Fixtures.newDir("graft_mhrb")
         .toFile.getAbsolutePath
       Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 10 >= 1 &&
         col("doc_id") % 10 <= 4), root)
@@ -1558,7 +1558,7 @@ object SparkEntry {
       // a hash match proves the pinned query sees none of phase B and
       // all of phase A through the fold
       val docs = table(s, dir, "documents")
-      val root = java.nio.file.Files.createTempDirectory("graft_mhp")
+      val root = graft.Fixtures.newDir("graft_mhp")
         .toFile.getAbsolutePath
       Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 10 >= 1 &&
         col("doc_id") % 10 <= 4), root)
@@ -1584,7 +1584,7 @@ object SparkEntry {
       // index members only: a hash match proves the erased docs are
       // gone from BOTH tables and every survivor still answers
       val docs = table(s, dir, "documents")
-      val root = java.nio.file.Files.createTempDirectory("graft_mhe")
+      val root = graft.Fixtures.newDir("graft_mhe")
         .toFile.getAbsolutePath
       Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 10 >= 1 &&
         col("doc_id") % 10 <= 4), root)
@@ -1606,7 +1606,7 @@ object SparkEntry {
       // surviving row count independently, so rows_scanned pins that
       // the walk read the whole tier and rows_found == 0 pins that no
       // file on disk still carries the erased device
-      val root = java.nio.file.Files.createTempDirectory("graft_tieraud")
+      val root = graft.Fixtures.newDir("graft_tieraud")
         .toFile.getAbsolutePath
       val store = new graft.store.TierStore(s, root)
       store.write(graft.model.Tier.GenRaw, points(s, dir, "sensor_")
@@ -1636,7 +1636,7 @@ object SparkEntry {
       // pair), so rows_scanned pins that the walk read EVERYTHING and
       // rows_found == 0 pins that nothing erased remains — the
       // compliance proof as a query
-      val work = java.nio.file.Files.createTempDirectory("graft_audit")
+      val work = graft.Fixtures.newDir("graft_audit")
         .toFile.getAbsolutePath
       val emb = table(s, dir, "embeddings").filter(col("vec_id") % 2 === 0)
       val docs = table(s, dir, "documents").filter(col("doc_id") % 2 === 0)
@@ -1678,7 +1678,7 @@ object SparkEntry {
       // match proves the persisted pin vector reproduces the exact
       // capture-time state of all three stores at once — the
       // "re-run last Tuesday's training job" contract
-      val work = java.nio.file.Files.createTempDirectory("graft_runpin")
+      val work = graft.Fixtures.newDir("graft_runpin")
         .toFile.getAbsolutePath
       val store = new graft.store.TierStore(s, s"$work/store")
       val tier = graft.model.Tier.GenRaw
@@ -1747,7 +1747,7 @@ object SparkEntry {
       // sees the original table plus the portable shard assignment, so a
       // hash match proves the encode→shard→decode loop is lossless
       val docs = table(s, dir, "documents")
-      val root = java.nio.file.Files.createTempDirectory("graft_jsonl")
+      val root = graft.Fixtures.newDir("graft_jsonl")
         .toFile.getAbsolutePath
       graft.functions.Export.writeJsonlShards(docs, root, "doc_id", 8)
       graft.functions.Export.readJsonlShards(s, root, docs.schema)
@@ -1839,7 +1839,7 @@ object SparkEntry {
       // persisted-index BM25: build postings sharded by term hash, query
       // through the partition-pruned read path — must hash-match the
       // direct bm25TopK oracle exactly
-      val root = java.nio.file.Files.createTempDirectory("graft_bm25")
+      val root = graft.Fixtures.newDir("graft_bm25")
         .toFile.getAbsolutePath
       graft.functions.Retrieval.buildBm25Index(table(s, dir, "documents"), root)
       graft.functions.Retrieval.queryBm25Index(s, root,
@@ -1855,7 +1855,7 @@ object SparkEntry {
       // corrected stats row), query — must hash-match the oracle's
       // fresh BM25 over the SURVIVING documents only, proving both the
       // postings purge and the stats correction are exact
-      val root = java.nio.file.Files.createTempDirectory("graft_bm25e")
+      val root = graft.Fixtures.newDir("graft_bm25e")
         .toFile.getAbsolutePath
       val docs = table(s, dir, "documents")
       graft.functions.Retrieval.buildBm25Index(docs, root)
@@ -1877,7 +1877,7 @@ object SparkEntry {
       // postings or the corpus stats); the lexical counterpart of
       // sim_ivf_stream. Batch count is PINNED (4 input files, 2 per
       // trigger = 2 batches) so the bench entry measures the plan.
-      val work = java.nio.file.Files.createTempDirectory("graft_bm25s")
+      val work = graft.Fixtures.newDir("graft_bm25s")
         .toFile.getAbsolutePath
       val docs = table(s, dir, "documents")
       graft.functions.Retrieval.buildBm25Index(
@@ -1904,7 +1904,7 @@ object SparkEntry {
       // ledgered appends (postings AND stats deltas) and the fold's
       // rewrite are both invisible to the pin — the training-run
       // reproducibility contract, extended to the lexical index.
-      val work = java.nio.file.Files.createTempDirectory("graft_bm25p")
+      val work = graft.Fixtures.newDir("graft_bm25p")
         .toFile.getAbsolutePath
       val docs = table(s, dir, "documents")
       graft.functions.Retrieval.buildBm25Index(
@@ -2081,7 +2081,7 @@ object SparkEntry {
       // integer-edge buckets and the quantized-before-sum PSI terms
       // with the same cutoff — pinning watermark sealing, bucket rule
       // and term arithmetic in one hash
-      val work = java.nio.file.Files.createTempDirectory("graft_psis")
+      val work = graft.Fixtures.newDir("graft_psis")
         .toFile.getAbsolutePath
       val pts = events(s, dir).select(col("ts").as("time"),
         round(col("value") * 100).cast("long").cast("double").as("cents"))
@@ -2115,7 +2115,7 @@ object SparkEntry {
       // deterministic (n desc, key asc) tie-break. The oracle
       // recomputes windows, counts and row_number ranks from the raw
       // events under the same watermark cutoff
-      val work = java.nio.file.Files.createTempDirectory("graft_topks")
+      val work = graft.Fixtures.newDir("graft_topks")
         .toFile.getAbsolutePath
       val pts = events(s, dir).select(col("ts").as("time"), col("user_id"))
       // batch-DETERMINISTIC (r11 ask #3): one data batch + the final
@@ -2146,7 +2146,7 @@ object SparkEntry {
       // the original events, which proves the backfill both rebuilt
       // every window date and replaced the poison (a survivor would
       // break the hash)
-      val root = java.nio.file.Files.createTempDirectory("graft_s9b")
+      val root = graft.Fixtures.newDir("graft_s9b")
         .toFile.getAbsolutePath
       val store = new graft.store.TierStore(s, root)
       val raw = points(s, dir, "sensor_")
@@ -2175,7 +2175,7 @@ object SparkEntry {
       // window. The report must count exactly the planted defects and
       // certify the clean date with all-zero mismatch columns; the
       // oracle recomputes expected row counts per date from the events
-      val root = java.nio.file.Files.createTempDirectory("graft_s9v")
+      val root = graft.Fixtures.newDir("graft_s9v")
         .toFile.getAbsolutePath
       val store = new graft.store.TierStore(s, root)
       val raw = points(s, dir, "sensor_")
@@ -2213,7 +2213,7 @@ object SparkEntry {
       // built-in cascade. The read-back hash-equals the oracle's 5-min
       // recompute — pinning that registration, routing, resolution
       // parsing and the maintenance hop all compose
-      val root = java.nio.file.Files.createTempDirectory("graft_s9cq")
+      val root = graft.Fixtures.newDir("graft_s9cq")
         .toFile.getAbsolutePath
       val store = new graft.store.TierStore(s, root)
       store.addRetentionPolicy(graft.model.Tier("gen_fast", "12 weeks", "5 minutes"))
@@ -2236,7 +2236,7 @@ object SparkEntry {
       // the pins must be exactly {added: B, removed: A's device-7 rows}
       // — the audit a training run uses to answer "what changed since
       // my last corpus pin". Oracle recomputes both legs from events
-      val root = java.nio.file.Files.createTempDirectory("graft_s9d")
+      val root = graft.Fixtures.newDir("graft_s9d")
         .toFile.getAbsolutePath
       val store = new graft.store.TierStore(s, root)
       // one week of clicks: the diff semantics are date-count-invariant
@@ -2264,7 +2264,7 @@ object SparkEntry {
       // device everywhere (partition-scoped rewrite + snapshot publish),
       // read back — equality with the oracle's complement filter proves
       // the pass removed exactly the device's rows and nothing else
-      val root = java.nio.file.Files.createTempDirectory("graft_del")
+      val root = graft.Fixtures.newDir("graft_del")
         .toFile.getAbsolutePath
       val store = new graft.store.TierStore(s, root)
       val tier = store.tierByName("gen_default").get
@@ -2285,7 +2285,7 @@ object SparkEntry {
       // curve layout reorders but never loses/dups rows and both
       // predicate shapes still bind; the pruning wins are plan-metric
       // asserted in StorePublishSpec's zorder test.
-      val root = java.nio.file.Files.createTempDirectory("graft_zo")
+      val root = graft.Fixtures.newDir("graft_zo")
         .toFile.getAbsolutePath
       val store = new graft.store.TierStore(s, root)
       val tier = store.tierByName("gen_default").get
@@ -2306,7 +2306,7 @@ object SparkEntry {
       // resolve the PINNED file set (original rows exactly; any poison
       // row or lost original breaks the hash against the oracle, which
       // only sees the original events)
-      val root = java.nio.file.Files.createTempDirectory("graft_tt")
+      val root = graft.Fixtures.newDir("graft_tt")
         .toFile.getAbsolutePath
       val store = new graft.store.TierStore(s, root)
       val tier = store.tierByName("gen_default").get
@@ -2332,7 +2332,7 @@ object SparkEntry {
       // batch far PAST (a back-dating attack) — mtime-based resolution
       // would get BOTH wrong; the ledger resolves the pin exactly,
       // hash-checked against the oracle's view of the first batch only
-      val root = java.nio.file.Files.createTempDirectory("graft_pinsc")
+      val root = graft.Fixtures.newDir("graft_pinsc")
         .toFile.getAbsolutePath
       val store = new graft.store.TierStore(s, root)
       val tier = graft.model.Tier.GenRaw
@@ -2365,7 +2365,7 @@ object SparkEntry {
       // → DTO → planner with no shortcuts. The oracle recomputes the
       // hourly mean in DuckDB, so a decode defect anywhere in the
       // envelope (field names, defaults, filter nesting) breaks the hash
-      val root = java.nio.file.Files.createTempDirectory("graft_codec")
+      val root = graft.Fixtures.newDir("graft_codec")
         .toFile.getAbsolutePath
       val store = new graft.store.TierStore(s, root)
       store.writeRouted(points(s, dir, "app_"))
@@ -2422,7 +2422,7 @@ object SparkEntry {
       // Equality with the oracle's filter over the ORIGINAL events proves
       // the clustered rewrite loses/dups nothing; the layout win (row-
       // group skipping) is plan-asserted in StorePublishSpec.
-      val root = java.nio.file.Files.createTempDirectory("graft_clus")
+      val root = graft.Fixtures.newDir("graft_clus")
         .toFile.getAbsolutePath
       val store = new graft.store.TierStore(s, root)
       store.writeRouted(points(s, dir, "app_")
@@ -2495,7 +2495,7 @@ object SparkEntry {
       // rollup) from the original events under the same retention cut —
       // loss, duplication, a broken manifest, or a mis-published snapshot
       // anywhere in the chain breaks the hash
-      val root = java.nio.file.Files.createTempDirectory("graft_s9m")
+      val root = graft.Fixtures.newDir("graft_s9m")
         .toFile.getAbsolutePath
       val store = new graft.store.TierStore(s, root)
       // one measurement keeps the whole path (routing, date partitions,
@@ -2518,7 +2518,7 @@ object SparkEntry {
       // gen_day → read back. Emission = windows sealed by the final
       // watermark (max event time − 30 min); the oracle recomputes them
       // with the same cutoff
-      val root = java.nio.file.Files.createTempDirectory("graft_a9h")
+      val root = graft.Fixtures.newDir("graft_a9h")
         .toFile.getAbsolutePath
       val store = new graft.store.TierStore(s, root)
       store.writeRouted(points(s, dir, "sensor_")
@@ -2542,7 +2542,7 @@ object SparkEntry {
       // BucketingSpec; the oracle pins that bucketed writes lose, dup, or
       // corrupt nothing). The result is materialized (localCheckpoint)
       // so the catalog entries and files can be dropped before returning
-      val root = java.nio.file.Files.createTempDirectory("graft_bkt")
+      val root = graft.Fixtures.newDir("graft_bkt")
         .toFile.getAbsolutePath
       graft.store.Bucketing.writeBucketed(
         table(s, dir, "documents").select(col("doc_id"), col("text")),
@@ -2568,7 +2568,7 @@ object SparkEntry {
       // (max event time − 2 h) has sealed; the oracle computes the same
       // windows with the same cutoff from the original events. Pins the
       // watermark semantics end-to-end, not just the window math
-      val work = java.nio.file.Files.createTempDirectory("graft_a1w")
+      val work = graft.Fixtures.newDir("graft_a1w")
         .toFile.getAbsolutePath
       val pts = events(s, dir).select(
         concat(lit("sensor_"), col("event_type")).as("measurement"),

@@ -54,7 +54,7 @@ object StoreLayoutProbe {
     val dev = pts.groupBy("dev_id").count()
       .orderBy(col("count").desc, col("dev_id")).head.getString(0)
 
-    val root = java.nio.file.Files.createTempDirectory("graft_layout")
+    val root = graft.Fixtures.newDir("graft_layout")
       .toFile.getAbsolutePath
     val store = new graft.store.TierStore(spark, root)
     // 8 appends = 8 micro-batch files per partition, every device in each

@@ -167,10 +167,11 @@ sealed trait WhereAtom
 
 /** A parenthesized AND group riding an OR — `("a"='1' AND "b"='2') OR
  *  ("a"='3' AND "b"='4')`, the Grafana multi-template-variable shape.
- *  ONE level only: the leaves are tag/field predicates (the parser
- *  refuses deeper boolean trees — an OR nested back inside would make
- *  this a general expression grammar, which nothing in the dashboards
- *  emits). */
+ *  The atoms are always LEAF tag/field predicates: nested parenthesized
+ *  ANDs flatten into the one group at parse time (AND is associative),
+ *  and an OR nested back inside refuses — that would make this a
+ *  general expression grammar, which nothing in the dashboards
+ *  emits. */
 final case class AndGroup(atoms: Seq[WhereAtom]) extends WhereAtom
 
 /** Tag/device/location filters (reference: storage/influxdb_v1.go:18-23). */

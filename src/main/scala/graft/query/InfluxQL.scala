@@ -789,7 +789,11 @@ object InfluxQL {
         case _ if isWrapped(t) =>
           val inner = t.substring(1, t.length - 1).trim
           val andParts = splitTopLevelKeyword(inner, "AND")
-          if (andParts.length >= 2) AndGroup(andParts.map(atomAt(_, depth + 1)))
+          // flatten nested parenthesized ANDs — `((a AND (b AND c)))` is
+          // the same conjunction (associativity), so the model invariant
+          // holds: an AndGroup's atoms are always LEAF predicates
+          if (andParts.length >= 2) AndGroup(andParts.map(atomAt(_, depth + 1))
+            .flatMap { case AndGroup(as) => as; case a => Seq(a) })
           else atomAt(inner, depth + 1)
         case other => throw new IllegalArgumentException(
           s"unsupported WHERE condition: $other")

@@ -834,12 +834,24 @@ object Planner {
   }
 
   private def tagAtomColumn(p: graft.model.TagPredicate): Column = {
-    val c = coalesce(col(p.key), lit(""))
+    // The empty-string-for-missing tag model is spelled WITHOUT
+    // coalesce for the equality ops: `coalesce(c,'') = v` is opaque to
+    // parquet filter translation, while the equivalent
+    // `c = v` / `c IS NULL OR c != v` forms translate to
+    // EqualTo/IsNull/Not trees the scan pushes down — so a tag-only
+    // OR-of-AndGroups reaches PushedFilters and row-group stats can
+    // skip (round-16 plan assertion in Round16Spec). Null-semantics
+    // equivalence per case is argued inline; regex ops keep coalesce
+    // (rlike never pushes anyway).
     p.op match {
-      case "=" => c === p.value
-      case "!=" => c =!= p.value
-      case "=~" => c.rlike(p.value)
-      case "!~" => !c.rlike(p.value)
+      case "=" =>
+        if (p.value.isEmpty) col(p.key).isNull || col(p.key) === ""
+        else col(p.key) === p.value // null tag -> NULL ≡ false under Filter
+      case "!=" =>
+        if (p.value.isEmpty) col(p.key).isNotNull && col(p.key) =!= ""
+        else col(p.key).isNull || col(p.key) =!= p.value // missing tag matches
+      case "=~" => coalesce(col(p.key), lit("")).rlike(p.value)
+      case "!~" => !coalesce(col(p.key), lit("")).rlike(p.value)
       case other => throw new IllegalArgumentException(
         s"unsupported tag predicate operator: $other")
     }

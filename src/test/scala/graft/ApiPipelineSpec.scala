@@ -19,7 +19,7 @@ class ApiPipelineSpec extends SparkSpec {
   import spark.implicits._
 
   private def tmpDir(): String =
-    Files.createTempDirectory("graft_api").toFile.getAbsolutePath
+    graft.Fixtures.newDir("graft_api").toFile.getAbsolutePath
 
   test("tai64n round trip") {
     val df = Seq("@4000000065a1c2f000000000 pt:j1/mt:evt/rt:dev/rn:z/ad:1 " +

@@ -18,7 +18,7 @@ class BucketingSpec extends SparkSpec {
   }
 
   private def tmp(): String =
-    java.nio.file.Files.createTempDirectory("bucketing").toString
+    graft.Fixtures.newDir("bucketing").toString
 
   test("bucketed round trip preserves data; both-bucketed join and groupBy plan zero shuffles") {
     val dir = tmp()

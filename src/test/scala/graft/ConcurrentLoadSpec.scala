@@ -29,7 +29,7 @@ class ConcurrentLoadSpec extends SparkSpec {
 
   test("planner queries + compaction + streaming ingest share one store " +
     "without partial reads or lost writes", SoakTest) {
-    val root = java.nio.file.Files.createTempDirectory("graft_load")
+    val root = graft.Fixtures.newDir("graft_load")
       .toFile.getAbsolutePath
     val store = new TierStore(spark, root)
     val inDir = s"$root/_in"

@@ -83,7 +83,7 @@ class CurationOpsSpec extends SparkSpec {
   // --- JSONL export ---
 
   test("jsonl shard round trip is lossless and manifest adds up") {
-    val root = java.nio.file.Files.createTempDirectory("graft_jsonl_spec")
+    val root = graft.Fixtures.newDir("graft_jsonl_spec")
       .toFile.getAbsolutePath
     val manifest = Export.writeJsonlShards(docs, root, "doc_id", 4)
       .as[(Long, Long, Long)].collect()
@@ -105,7 +105,7 @@ class CurationOpsSpec extends SparkSpec {
   }
 
   test("jsonl reader prunes to the filtered shard directories") {
-    val root = java.nio.file.Files.createTempDirectory("graft_jsonl_prune")
+    val root = graft.Fixtures.newDir("graft_jsonl_prune")
       .toFile.getAbsolutePath
     Export.writeJsonlShards(docs, root, "doc_id", 4)
     val one = Export.readJsonlShards(spark, root, docs.schema)

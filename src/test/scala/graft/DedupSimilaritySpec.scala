@@ -226,7 +226,7 @@ class DedupSimilaritySpec extends SparkSpec {
 
   test("persistent IVF index: build once, probe with list-partition pruning") {
     import graft.functions.Similarity
-    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toFile.getAbsolutePath
+    val path = graft.Fixtures.newDir("graft_ivf").toFile.getAbsolutePath
     Similarity.buildIvfIndex(emb, path, nLists = 8, trainIters = 2)
     // index layout: tiny centroid table + per-list partitions
     assert(new java.io.File(s"$path/lists").listFiles()
@@ -647,7 +647,7 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("incremental minhash index: batch-vs-index pairs = cross-set exact pairs") {
-    val root = java.nio.file.Files.createTempDirectory("mhidx").toString
+    val root = graft.Fixtures.newDir("mhidx").toString
     val corpus = docs.filter($"doc_id" % 10 =!= 0)
     val batch = docs.filter($"doc_id" % 10 === 0)
     Dedup.buildMinhashIndex(corpus, root)
@@ -663,7 +663,7 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("minhash index rejects parameter-mismatched append and query") {
-    val root = java.nio.file.Files.createTempDirectory("mhidx3").toString
+    val root = graft.Fixtures.newDir("mhidx3").toString
     val d = Seq((1L, "one two three four five six")).toDF("doc_id", "text")
     Dedup.buildMinhashIndex(d, root, n = 3, k = 64, bands = 16)
     intercept[IllegalArgumentException] {
@@ -711,7 +711,7 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("dedupAgainstIndex drops matching batch docs and can index survivors") {
-    val root = java.nio.file.Files.createTempDirectory("mhidx2").toString
+    val root = graft.Fixtures.newDir("mhidx2").toString
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
       (2L, "completely unrelated corpus content about spark physical plans"))
@@ -735,7 +735,7 @@ class DedupSimilaritySpec extends SparkSpec {
 
   test("compactMinhashIndex folds per-batch appends into few files; " +
     "queries unchanged, appends still work, crash mid-swap self-heals") {
-    val root = java.nio.file.Files.createTempDirectory("mhidx4").toString
+    val root = graft.Fixtures.newDir("mhidx4").toString
     val corpus = docs.filter($"doc_id" % 10 =!= 0)
     val batch = docs.filter($"doc_id" % 10 === 0)
     // simulate a stream's history: one append per "micro-batch"

@@ -20,7 +20,7 @@ import org.apache.spark.sql.types._
 class ExactlyOnceAppendSpec extends SparkSpec {
 
   private def tmpDir(): String =
-    Files.createTempDirectory("graft_eo").toFile.getAbsolutePath
+    graft.Fixtures.newDir("graft_eo").toFile.getAbsolutePath
 
   private val schema = StructType(Seq(
     StructField("measurement", StringType), StructField("time", TimestampType),

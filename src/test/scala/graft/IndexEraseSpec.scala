@@ -19,8 +19,8 @@ import org.apache.spark.sql.functions._
 class IndexEraseSpec extends SparkSpec {
   import spark.implicits._
 
-  private def tmpDir(): String = java.nio.file.Files
-    .createTempDirectory("graft_erase").toFile.getAbsolutePath
+  private def tmpDir(): String = graft.Fixtures
+    .newDir("graft_erase").toFile.getAbsolutePath
 
   private def fsOf(p: String) =
     new HPath(p).getFileSystem(spark.sparkContext.hadoopConfiguration)

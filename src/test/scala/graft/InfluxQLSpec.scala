@@ -111,7 +111,7 @@ class InfluxQLSpec extends SparkSpec {
     // server-side CQ form — dispatchShaped answers with the reference's
     // error envelope {"Results":null,"error":...}, not a Scala crash
     val store = new TierStore(spark,
-      java.nio.file.Files.createTempDirectory("graft_iqlc").toFile.getAbsolutePath)
+      graft.Fixtures.newDir("graft_iqlc").toFile.getAbsolutePath)
     val ctx = Api.Context(spark, store, now = () => now)
     Seq(
       """SELECT abs(difference(max("value"))) AS "value" FROM "historian"."gen_raw"."electricity_meter_energy" WHERE time > :dashboardTime: GROUP BY time(1h), "dev_id" FILL(null)""",
@@ -496,7 +496,7 @@ class InfluxQLSpec extends SparkSpec {
   }
 
   test("cmd.tsdb.query dispatch: InfluxQL e2e against the store, SQL fallback intact") {
-    val root = java.nio.file.Files.createTempDirectory("graft_iql").toFile.getAbsolutePath
+    val root = graft.Fixtures.newDir("graft_iql").toFile.getAbsolutePath
     val store = new TierStore(spark, root)
     store.write(Tier.GenRaw, pts(
       ("sensor_temp", 1704153600L, 10.0, "1"),
@@ -753,7 +753,7 @@ class InfluxQLSpec extends SparkSpec {
   }
 
   test("SELECT INTO materializes the result through the store and reads back") {
-    val root = java.nio.file.Files.createTempDirectory("graft_into").toFile.getAbsolutePath
+    val root = graft.Fixtures.newDir("graft_into").toFile.getAbsolutePath
     val store = new TierStore(spark, root)
     store.write(Tier.GenRaw, pts(
       ("sensor_temp", 1704153600L, 10.0, "1"),

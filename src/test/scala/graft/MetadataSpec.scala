@@ -11,7 +11,8 @@ class MetadataSpec extends SparkSpec {
   import spark.implicits._
 
   private def writeJson(content: String): String = {
-    val f = Files.createTempFile("graft_meta", ".json")
+    val f = Files.createTempFile(graft.Fixtures.newDir("graft_meta"),
+      "graft_meta", ".json")
     Files.write(f, content.getBytes)
     f.toFile.getAbsolutePath
   }

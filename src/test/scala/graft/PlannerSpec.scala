@@ -138,7 +138,7 @@ class PlannerSpec extends SparkSpec {
 
   test("store-backed query prunes date partitions and pushes time to the scan (F6)") {
     import graft.store.TierStore
-    val root = java.nio.file.Files.createTempDirectory("graft_prune").toFile.getAbsolutePath
+    val root = graft.Fixtures.newDir("graft_prune").toFile.getAbsolutePath
     val store = new TierStore(spark, root)
     // 10 days of data; the query window covers 2 of them
     val base = pts((0 until 240).map { h =>

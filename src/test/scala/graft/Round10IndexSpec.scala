@@ -18,8 +18,8 @@ import org.apache.spark.sql.functions._
 class Round10IndexSpec extends SparkSpec {
   import spark.implicits._
 
-  private def tmpDir(): String = java.nio.file.Files
-    .createTempDirectory("graft_r10idx").toFile.getAbsolutePath
+  private def tmpDir(): String = graft.Fixtures
+    .newDir("graft_r10idx").toFile.getAbsolutePath
 
   private def fsOf(p: String) =
     new HPath(p).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -16,8 +16,8 @@ import org.apache.spark.sql.functions._
 class Round10OpsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def tmpDir(): String = java.nio.file.Files
-    .createTempDirectory("graft_r10").toFile.getAbsolutePath
+  private def tmpDir(): String = graft.Fixtures
+    .newDir("graft_r10").toFile.getAbsolutePath
 
   private def pts(vs: (String, String, Option[Double])*): DataFrame =
     vs.map { case (d, dev, v) =>

@@ -16,8 +16,8 @@ import org.apache.spark.sql.functions._
 class Round11IndexSpec extends SparkSpec {
   import spark.implicits._
 
-  private def tmpDir(): String = java.nio.file.Files
-    .createTempDirectory("graft_r11idx").toFile.getAbsolutePath
+  private def tmpDir(): String = graft.Fixtures
+    .newDir("graft_r11idx").toFile.getAbsolutePath
 
   private def fsOf(p: String) =
     new HPath(p).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -17,8 +17,8 @@ import org.apache.spark.sql.functions._
  */
 class Round12IndexSpec extends SparkSpec {
 
-  private def tmpDir(): String = java.nio.file.Files
-    .createTempDirectory("graft_r12").toFile.getAbsolutePath
+  private def tmpDir(): String = graft.Fixtures
+    .newDir("graft_r12").toFile.getAbsolutePath
 
   private def idsFrame(n: Long): DataFrame =
     spark.range(n).select(col("id"), (col("id") % 7).as("v"))

@@ -121,7 +121,7 @@ class Round13Spec extends SparkSpec {
 
   test("SHOW TAG/FIELD KEYS answer per-measurement schemas; unknown FROM is empty") {
     val root =
-      java.nio.file.Files.createTempDirectory("graft_r13cat").toFile.getAbsolutePath
+      graft.Fixtures.newDir("graft_r13cat").toFile.getAbsolutePath
     val store = new TierStore(spark, root)
     store.write(Tier.GenRaw, pts((base, 1.0)))
     // a second measurement carrying an extra tag column in ITS files
@@ -207,7 +207,7 @@ class Round13Spec extends SparkSpec {
 
   test("listing slice: only the touched partitions are resolved, and the " +
     "sliced read equals the filtered full read") {
-    val root = java.nio.file.Files.createTempDirectory("graft_r13slice")
+    val root = graft.Fixtures.newDir("graft_r13slice")
       .toFile.getAbsolutePath
     val store = new TierStore(spark, root)
     // 2 measurements x 5 dates = 10 partitions
@@ -247,7 +247,7 @@ class Round13Spec extends SparkSpec {
   test("two commits inside one forced-identical mtime tick still pin " +
     "distinctly: as-of pins are logical positions, not timestamps") {
     val root =
-      java.nio.file.Files.createTempDirectory("graft_r13tick").toFile.getAbsolutePath
+      graft.Fixtures.newDir("graft_r13tick").toFile.getAbsolutePath
     val store = new TierStore(spark, root)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -274,7 +274,7 @@ class Round13Spec extends SparkSpec {
     // same property for SNAPSHOT versions: two retained-history
     // compactions in one tick keep distinct pinned views
     val store2 = new TierStore(spark,
-      java.nio.file.Files.createTempDirectory("graft_r13tick2").toFile.getAbsolutePath)
+      graft.Fixtures.newDir("graft_r13tick2").toFile.getAbsolutePath)
     store2.write(Tier.GenDay, pts((base, 1.0)))
     store2.write(Tier.GenDay, pts((base + 60, 2.0)))
     store2.compact(Tier.GenDay, minFiles = 2, retainHistory = true): Unit

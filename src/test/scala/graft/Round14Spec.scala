@@ -101,7 +101,7 @@ class Round14Spec extends SparkSpec {
   }
 
   test("SELECT mean AS foo INTO stores the field under the alias") {
-    val root = java.nio.file.Files.createTempDirectory("graft_r14into")
+    val root = graft.Fixtures.newDir("graft_r14into")
       .toFile.getAbsolutePath
     val store = new TierStore(spark, root)
     store.writeRouted(twoTag.withColumnRenamed("dir", "dev_type"))
@@ -262,7 +262,7 @@ class Round14Spec extends SparkSpec {
       InfluxQL.parse("""SELECT "v" FROM "m" WHERE time > 1703721600000000000""")
     }
     // INTO alias colliding with a result column refuses in the envelope
-    val root = java.nio.file.Files.createTempDirectory("graft_r14col")
+    val root = graft.Fixtures.newDir("graft_r14col")
       .toFile.getAbsolutePath
     val store = new TierStore(spark, root)
     store.writeRouted(twoTag.withColumnRenamed("dir", "dev_type"))
@@ -334,7 +334,7 @@ class Round14Spec extends SparkSpec {
   }
 
   test("a field predicate pushes down to the parquet scan on a store read") {
-    val root = java.nio.file.Files.createTempDirectory("graft_r14push")
+    val root = graft.Fixtures.newDir("graft_r14push")
       .toFile.getAbsolutePath
     val store = new TierStore(spark, root)
     store.writeRouted(twoTag.withColumnRenamed("dir", "dev_type"))
@@ -363,7 +363,7 @@ class Round14Spec extends SparkSpec {
   }
 
   test("as-of pin foreign-file arm is exact on a second-granularity clock") {
-    val root = java.nio.file.Files.createTempDirectory("graft_r14pin")
+    val root = graft.Fixtures.newDir("graft_r14pin")
       .toFile.getAbsolutePath
     val store = new TierStore(spark, root)
     store.write(Tier.GenDay, twoTag)

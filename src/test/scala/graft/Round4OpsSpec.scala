@@ -41,7 +41,7 @@ class Round4OpsSpec extends SparkSpec {
   }
 
   test("persisted BM25 index reproduces the direct path with pruned shards") {
-    val root = java.nio.file.Files.createTempDirectory("graft_bm25_spec")
+    val root = graft.Fixtures.newDir("graft_bm25_spec")
       .toFile.getAbsolutePath
     Retrieval.buildBm25Index(docs, root)
     val q = Retrieval.queryBm25Index(spark, root, Seq("table", "hash"), k = 15)

@@ -130,7 +130,7 @@ class Round5OpsSpec extends SparkSpec {
   test("compact: concurrent readers see old-or-new rows, never a " +
     "partly-deleted partition") {
     import graft.model.Tier
-    val root = java.nio.file.Files.createTempDirectory("graft_pub_race")
+    val root = graft.Fixtures.newDir("graft_pub_race")
       .toFile.getAbsolutePath
     val store = new graft.store.TierStore(spark, root)
     val mk = (i: Int) => (s"m_race", java.sql.Timestamp.valueOf(
@@ -175,7 +175,7 @@ class Round5OpsSpec extends SparkSpec {
   test("replaceDatePartitions: stages fully before any live partition moves, " +
     "retires window partitions with no replacement") {
     import graft.model.Tier
-    val root = java.nio.file.Files.createTempDirectory("graft_pub_repl")
+    val root = graft.Fixtures.newDir("graft_pub_repl")
       .toFile.getAbsolutePath
     val store = new graft.store.TierStore(spark, root)
     def rows(m: String, day: String, v: Double) = Seq(
@@ -279,7 +279,7 @@ class Round5OpsSpec extends SparkSpec {
   test("prepareTrainingData: durable checkpointDir reproduces the " +
     "localCheckpoint path byte-for-byte and leaves stage artifacts") {
     val d = docs.limit(120)
-    val root = java.nio.file.Files.createTempDirectory("graft_ckpt_spec")
+    val root = graft.Fixtures.newDir("graft_ckpt_spec")
       .toFile.getAbsolutePath
     val local = graft.functions.Pipeline.prepareTrainingData(d, packBudget = 0)
       .orderBy("doc_id").collect().toSeq
@@ -296,7 +296,7 @@ class Round5OpsSpec extends SparkSpec {
 
   test("clusters: durable checkpointDir on the iterative path matches the fast path") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
-    val root = java.nio.file.Files.createTempDirectory("graft_ckpt_clu")
+    val root = graft.Fixtures.newDir("graft_ckpt_clu")
       .toFile.getAbsolutePath
     val fast = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
     val durable = Dedup.clusters(pairs, driverMaxEdges = 1L,
@@ -310,7 +310,7 @@ class Round5OpsSpec extends SparkSpec {
       .limit(100)
     val local = graft.functions.Similarity.trainCentroids(vecs, k = 4, iters = 2)
       .orderBy("list_id").collect().toSeq
-    val root = java.nio.file.Files.createTempDirectory("graft_ckpt_km")
+    val root = graft.Fixtures.newDir("graft_ckpt_km")
       .toFile.getAbsolutePath
     val durable = graft.functions.Similarity.trainCentroids(vecs, k = 4, iters = 2,
       checkpointDir = Some(root)).orderBy("list_id").collect().toSeq

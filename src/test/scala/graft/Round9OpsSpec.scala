@@ -16,8 +16,8 @@ import org.apache.spark.sql.functions._
 class Round9OpsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def tmpDir(): String = java.nio.file.Files
-    .createTempDirectory("graft_r9").toFile.getAbsolutePath
+  private def tmpDir(): String = graft.Fixtures
+    .newDir("graft_r9").toFile.getAbsolutePath
 
   private def pts(vs: (String, String, Double)*): DataFrame =
     vs.map { case (d, dev, v) =>

@@ -17,8 +17,8 @@ import org.apache.spark.sql.functions._
 class RunPinSpec extends SparkSpec {
   import spark.implicits._
 
-  private def tmpDir(): String = java.nio.file.Files
-    .createTempDirectory("graft_runpin").toFile.getAbsolutePath
+  private def tmpDir(): String = graft.Fixtures
+    .newDir("graft_runpin").toFile.getAbsolutePath
 
   private def clustered(from: Int, until: Int): DataFrame =
     spark.range(from.toLong, until.toLong).select(col("id").as("vec_id"),

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
 class ServiceSpec extends SparkSpec {
 
   private def tmpDir(): String =
-    Files.createTempDirectory("graft_svc").toFile.getAbsolutePath
+    graft.Fixtures.newDir("graft_svc").toFile.getAbsolutePath
 
   private def await(what: String, timeoutMs: Long = 30000L)(cond: => Boolean): Unit = {
     val deadline = System.currentTimeMillis() + timeoutMs

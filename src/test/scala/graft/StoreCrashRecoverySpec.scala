@@ -26,7 +26,7 @@ import org.apache.spark.sql.types._
 class StoreCrashRecoverySpec extends SparkSpec {
 
   private def tmpDir(): String =
-    Files.createTempDirectory("graft_crash").toFile.getAbsolutePath
+    graft.Fixtures.newDir("graft_crash").toFile.getAbsolutePath
 
   private val schema = StructType(Seq(
     StructField("measurement", StringType), StructField("time", TimestampType),

@@ -22,7 +22,7 @@ class StorePublishSpec extends SparkSpec {
     hconf.set("fs.slowcopy.impl", classOf[SlowCopyFileSystem].getName)
     // a fresh FS instance per root keeps the hook scoped to this spec
     hconf.set("fs.slowcopy.impl.disable.cache", "false")
-    "slowcopy://" + java.nio.file.Files.createTempDirectory("graft_slow")
+    "slowcopy://" + graft.Fixtures.newDir("graft_slow")
       .toFile.getAbsolutePath
   }
 
@@ -136,7 +136,7 @@ class StorePublishSpec extends SparkSpec {
 
   test("TierFileIndex keeps partition pruning: an equality filter scans " +
     "only its partition's files") {
-    val root = java.nio.file.Files.createTempDirectory("graft_prune")
+    val root = graft.Fixtures.newDir("graft_prune")
       .toFile.getAbsolutePath
     val store = new TierStore(spark, root)
     for (m <- Seq("m_a", "m_b"); d <- Seq("01", "02"))
@@ -155,7 +155,7 @@ class StorePublishSpec extends SparkSpec {
 
   test("clusterBy compaction: a point-device read skips other devices' " +
     "row groups and results are unchanged") {
-    val root = java.nio.file.Files.createTempDirectory("graft_cluster")
+    val root = graft.Fixtures.newDir("graft_cluster")
       .toFile.getAbsolutePath
     val store = new TierStore(spark, root)
     // 12 devices × 40 points per append, 4 appends — the pre-compaction
@@ -204,7 +204,7 @@ class StorePublishSpec extends SparkSpec {
     "query prune row groups; the device-major layout only prunes the " +
     "device side") {
     def buildStore(): TierStore = {
-      val root = java.nio.file.Files.createTempDirectory("graft_z")
+      val root = graft.Fixtures.newDir("graft_z")
         .toFile.getAbsolutePath
       val store = new TierStore(spark, root)
       // 64 devices × 96 quarter-hour points across one day, 4 appends
@@ -264,7 +264,7 @@ class StorePublishSpec extends SparkSpec {
   test("deleteWhere: matching rows vanish, untouched partitions keep " +
     "their files byte-identical, an all-matched partition commits an " +
     "empty snapshot, and the superseded files are vacuumed") {
-    val root = java.nio.file.Files.createTempDirectory("graft_erase")
+    val root = graft.Fixtures.newDir("graft_erase")
       .toFile.getAbsolutePath
     val store = new TierStore(spark, root)
     def devRows(m: String, day: String, dev: String, vs: Double*) = vs.map(v =>
@@ -305,7 +305,7 @@ class StorePublishSpec extends SparkSpec {
   test("readAsOf: a pinned timestamp reproduces the corpus across " +
     "retained-history compactions and later appends; vacuumTier bounds " +
     "how far back reads travel") {
-    val root = java.nio.file.Files.createTempDirectory("graft_asof")
+    val root = graft.Fixtures.newDir("graft_asof")
       .toFile.getAbsolutePath
     val store = new TierStore(spark, root)
     def vals(df: org.apache.spark.sql.DataFrame): Set[Double] =
@@ -426,7 +426,7 @@ class StorePublishSpec extends SparkSpec {
   test("a commit marker visible without its full content is not a " +
     "commit: readers fall back to the previous version instead of " +
     "double-counting the superseded raw files") {
-    val root = java.nio.file.Files.createTempDirectory("graft_halfc")
+    val root = graft.Fixtures.newDir("graft_halfc")
       .toFile.getAbsolutePath
     val store = new TierStore(spark, root)
     (1 to 3).foreach(i => store.write(Tier.GenDay, rows("m_p", "01", i.toDouble)))
@@ -456,7 +456,7 @@ class StorePublishSpec extends SparkSpec {
   test("publish carries the folded list across an invalid top marker: a " +
     "crashed half-visible commit cannot make the next commit forget " +
     "still-present superseded files (no resurrected duplicates)") {
-    val root = java.nio.file.Files.createTempDirectory("graft_carry")
+    val root = graft.Fixtures.newDir("graft_carry")
       .toFile.getAbsolutePath
     val store = new TierStore(spark, root)
     (1 to 3).foreach(i => store.write(Tier.GenDay, rows("m_c", "01", i.toDouble)))
@@ -486,7 +486,7 @@ class StorePublishSpec extends SparkSpec {
   test("retained history is bounded by vacuumTier: 15 retained rewrites " +
     "accumulate snapshots, one vacuum collapses to the current version " +
     "and reclaims the disk") {
-    val root = java.nio.file.Files.createTempDirectory("graft_hist")
+    val root = graft.Fixtures.newDir("graft_hist")
       .toFile.getAbsolutePath
     val store = new TierStore(spark, root)
     store.write(Tier.GenDay, rows("m_h", "01", 1.0, 2.0))
@@ -514,7 +514,7 @@ class StorePublishSpec extends SparkSpec {
     // encoded (the dictionary is already an exact row-group filter); the
     // bloom option matters exactly when cardinality breaks the 1 MB
     // dictionary page — so the fixture needs > 1 MB of distinct keys.
-    val root = java.nio.file.Files.createTempDirectory("graft_bloom")
+    val root = graft.Fixtures.newDir("graft_bloom")
       .toFile.getAbsolutePath
     val store = new TierStore(spark, root)
     val wide = spark.range(40000).select(

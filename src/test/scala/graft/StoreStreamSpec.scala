@@ -16,7 +16,7 @@ import org.apache.spark.sql.types._
 class StoreStreamSpec extends SparkSpec {
 
   private def tmpDir(): String =
-    Files.createTempDirectory("graft_store").toFile.getAbsolutePath
+    graft.Fixtures.newDir("graft_store").toFile.getAbsolutePath
 
   private val schema = StructType(Seq(
     StructField("measurement", StringType), StructField("time", TimestampType),
@@ -350,8 +350,8 @@ class StoreStreamSpec extends SparkSpec {
   test("streaming indexed dedup: history never forgotten, intra-batch keep-min") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val idx = java.nio.file.Files.createTempDirectory("stream_idx").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("stream_idx_ck").toString
+    val idx = graft.Fixtures.newDir("stream_idx").toString
+    val ckpt = graft.Fixtures.newDir("stream_idx_ck").toString
     val seen = scala.collection.mutable.ArrayBuffer[Long]()
     val input = MemoryStream[DocIn]
     val run = "the quick brown fox jumps over the lazy dog on a sunny day"
@@ -398,7 +398,7 @@ class StoreStreamSpec extends SparkSpec {
   test("streaming indexed dedup: kill + restart from the checkpoint is " +
     "at-least-once — distinct survivors equal the clean sequential run") {
     import spark.implicits._
-    val work = java.nio.file.Files.createTempDirectory("stream_idx_rs").toString
+    val work = graft.Fixtures.newDir("stream_idx_rs").toString
     // 4 mtime-ordered chunk files (ntile over doc_id → ids 0-9, 10-19,
     // 20-29, 30-39). Planted dups: doc 7 near-dups doc 2 INSIDE chunk 1
     // (intra-batch keep-min), docs 17/27/37 near-dup docs 5/15/25 from
