@@ -428,6 +428,21 @@ object SparkEntry {
         .select(col("time"), round(col("value"), 6).as("value"))
     }),
 
+    "s7_where_dnf" -> ((s, dir) => {
+      // round-16: an OR nested back INSIDE an AND group — the full
+      // two-level-DNF closure over the Grafana builder's output. The
+      // parser DISTRIBUTES `(a AND (b OR c)) OR (d AND e)` into
+      // leaf-atom AndGroups at parse time, so the scan filter is the
+      // same pushable Or(And(...)) tree as s7_where_and_or
+      graft.query.InfluxQL.dataPoints(
+        """SELECT mean("value") FROM "app_click" WHERE time > now()-5w """ +
+          """AND (("location_id" = '1' AND ("dir" = 'export' OR "value" > 80)) """ +
+          """OR ("location_id" = '3' AND "value" > 50)) """ +
+          """GROUP BY time(1d) FILL(none)""",
+        _ => points(s, dir, "app_"), _ => None, Now)
+        .select(col("time"), round(col("value"), 6).as("value"))
+    }),
+
     "s7_where_field" -> ((s, dir) => {
       // round-14: numeric field conditions in WHERE — per-POINT,
       // applied at the scan BEFORE aggregation (InfluxDB's semantics);
@@ -2947,6 +2962,15 @@ object SparkEntry {
          |  round(avg(v), 6) AS value
          |FROM pts WHERE m = 'app_click' AND tsec > 1703721600
          |  AND ((loc = '1' AND dir = 'export') OR (loc = '3' AND v > 50))
+         |GROUP BY 1""".stripMargin,
+
+    "s7_where_dnf" ->
+      s"""WITH ${ptsCte("app_")}
+         |SELECT CAST(floor(tsec / 86400) * 86400 AS BIGINT) AS time,
+         |  round(avg(v), 6) AS value
+         |FROM pts WHERE m = 'app_click' AND tsec > 1703721600
+         |  AND ((loc = '1' AND (dir = 'export' OR v > 80))
+         |    OR (loc = '3' AND v > 50))
          |GROUP BY 1""".stripMargin,
 
     "s7_where_field" ->

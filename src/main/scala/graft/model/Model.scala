@@ -169,9 +169,10 @@ sealed trait WhereAtom
  *  ("a"='3' AND "b"='4')`, the Grafana multi-template-variable shape.
  *  The atoms are always LEAF tag/field predicates: nested parenthesized
  *  ANDs flatten into the one group at parse time (AND is associative),
- *  and an OR nested back inside refuses — that would make this a
- *  general expression grammar, which nothing in the dashboards
- *  emits. */
+ *  and an OR nested back inside DISTRIBUTES into sibling disjuncts —
+ *  `(a AND (b OR c))` parses as `(a AND b) OR (a AND c)` — so the model
+ *  never carries a nested boolean tree (full two-level DNF, closed
+ *  under every Grafana-builder output; expansion capped at parse). */
 final case class AndGroup(atoms: Seq[WhereAtom]) extends WhereAtom
 
 /** Tag/device/location filters (reference: storage/influxdb_v1.go:18-23). */

@@ -339,6 +339,13 @@ object InfluxQL {
    *  which has its own limits). */
   private val MaxStatementChars = 64 * 1024
 
+  /** DNF-expansion ceiling for OR-inside-AND WHERE groups: a conjunct
+   *  like `(a OR b) AND (c OR d) AND ...` distributes into the product
+   *  of its disjunctions; 64 covers any dashboard's template-variable
+   *  output (Grafana emits ≤ a handful of OR arms per variable) while a
+   *  crafted 2^n expansion refuses in the envelope. */
+  private val MaxDnfDisjuncts = 64
+
   /** Parse a statement; throws IllegalArgumentException outside the
    *  documented grammar (callers fall back to Spark SQL only when
    *  `looksLike` is false — a malformed InfluxQL-looking string should
@@ -768,33 +775,55 @@ object InfluxQL {
         wrapped && depth == 0
       }
     }
-    // one predicate ATOM (no time terms — a time bound inside an OR
-    // would make the scan range disjunctive, which nothing emits). A
-    // parenthesized atom unwraps (Grafana's builder wraps EVERY tag
-    // filter in parens), and ONE level of AND inside an OR-riding paren
-    // builds an AndGroup — `("a"='1' AND "b"='2') OR (...)`, the
-    // multi-template-variable shape. Deeper boolean trees (an OR back
-    // inside the AND) fall through the leaf patterns and refuse in the
-    // envelope.
-    def atom(t0: String): WhereAtom = atomAt(t0, 0)
-    def atomAt(t0: String, depth: Int): WhereAtom = {
+    // one OR-riding predicate part, expanded to the DISJUNCTION of
+    // leaf-only atoms it denotes (no time terms — a time bound inside
+    // an OR would make the scan range disjunctive, which nothing
+    // emits). A parenthesized part unwraps (Grafana's builder wraps
+    // EVERY tag filter in parens); AND inside builds an AndGroup; an
+    // OR nested back inside an AND — `(a AND (b OR c)) OR d`, the full
+    // two-level-DNF Grafana-builder closure (round 16) — DISTRIBUTES
+    // at parse time into `(a AND b) OR (a AND c) OR d`, so the model
+    // never grows an Or node and the planner/tier logic see only
+    // leaf-atom AndGroups. The expansion is capped: a crafted
+    // conjunction of many OR groups refuses in the envelope instead of
+    // exploding exponentially.
+    def atoms(t0: String): Seq[WhereAtom] = atomsAt(t0, 0)
+    def atomsAt(t0: String, depth: Int): Seq[WhereAtom] = {
       if (depth > MaxNestDepth) throw new IllegalArgumentException(
         s"WHERE paren nesting exceeds $MaxNestDepth levels: $t0")
       val t = t0.trim
       t match {
-        case tagRe(k, v) => TagPredicate(k, "=", v)
-        case tagNeRe(k, v) => TagPredicate(k, "!=", v)
-        case tagReRe(k, op, re) => TagPredicate(k, op, re.replace("\\/", "/"))
-        case fieldRe(k, op, v) if notTime(k) => FieldPredicate(k, op, v.toDouble)
+        case tagRe(k, v) => Seq(TagPredicate(k, "=", v))
+        case tagNeRe(k, v) => Seq(TagPredicate(k, "!=", v))
+        case tagReRe(k, op, re) => Seq(TagPredicate(k, op, re.replace("\\/", "/")))
+        case fieldRe(k, op, v) if notTime(k) =>
+          Seq(FieldPredicate(k, op, v.toDouble))
         case _ if isWrapped(t) =>
           val inner = t.substring(1, t.length - 1).trim
-          val andParts = splitTopLevelKeyword(inner, "AND")
-          // flatten nested parenthesized ANDs — `((a AND (b AND c)))` is
-          // the same conjunction (associativity), so the model invariant
-          // holds: an AndGroup's atoms are always LEAF predicates
-          if (andParts.length >= 2) AndGroup(andParts.map(atomAt(_, depth + 1))
-            .flatMap { case AndGroup(as) => as; case a => Seq(a) })
-          else atomAt(inner, depth + 1)
+          val orParts = splitTopLevelKeyword(inner, "OR")
+          if (orParts.length >= 2) orParts.flatMap(atomsAt(_, depth + 1))
+          else {
+            val andParts = splitTopLevelKeyword(inner, "AND")
+            if (andParts.length >= 2) {
+              // cartesian product of each conjunct's disjunction —
+              // (a OR b) AND (c OR d) -> ac, ad, bc, bd — flattening
+              // nested AndGroups (associativity) so the model invariant
+              // holds: an AndGroup's atoms are always LEAF predicates
+              val product = andParts.map(atomsAt(_, depth + 1))
+                .foldLeft(Seq(Seq.empty[WhereAtom])) { (acc, choices) =>
+                  val next = for { a <- acc; c <- choices } yield a :+ c
+                  if (next.length > MaxDnfDisjuncts)
+                    throw new IllegalArgumentException(
+                      s"WHERE group expands past $MaxDnfDisjuncts disjuncts: $t0")
+                  next
+                }
+              product.map { conj =>
+                val flat = conj.flatMap {
+                  case AndGroup(as) => as; case a => Seq(a) }
+                if (flat.length == 1) flat.head else AndGroup(flat)
+              }
+            } else atomsAt(inner, depth + 1)
+          }
         case other => throw new IllegalArgumentException(
           s"unsupported WHERE condition: $other")
       }
@@ -819,7 +848,7 @@ object InfluxQL {
       if (isWrapped(t)) {
         val inner = t.substring(1, t.length - 1).trim
         val parts = splitTopLevelKeyword(inner, "OR")
-        if (parts.length >= 2) orGroups += parts.map(atom)
+        if (parts.length >= 2) orGroups += parts.flatMap(atoms)
         // redundant parens around one condition
         else term(inner, soleConjunct, depth + 1)
       } else t match {
@@ -836,7 +865,7 @@ object InfluxQL {
           if (!soleConjunct) throw new IllegalArgumentException(
             "an unparenthesized OR next to AND is ambiguous (InfluxQL " +
               s"binds AND tighter) — parenthesize the OR group: $t")
-          orGroups += splitTopLevelKeyword(t, "OR").map(atom)
+          orGroups += splitTopLevelKeyword(t, "OR").flatMap(atoms)
         case other => throw new IllegalArgumentException(
           s"unsupported WHERE condition: $other")
       }

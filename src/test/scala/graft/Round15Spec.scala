@@ -80,11 +80,15 @@ class Round15Spec extends SparkSpec {
         """SELECT "v" FROM "m" WHERE "a" = '1' OR "b" = '2' AND "c" = '3'""")
     }
     assert(e1.getMessage.contains("parenthesize"))
-    // an OR nested back inside an AND group is an arbitrary-depth tree
-    intercept[IllegalArgumentException] {
-      InfluxQL.parse("""SELECT "v" FROM "m" WHERE """ +
-        """(("a" = '1' OR "b" = '2') AND "c" = '3') OR ("d" = '4')""")
-    }
+    // an OR nested back inside an AND group DISTRIBUTES since round 16
+    // (full two-level DNF — Round16Spec pins the expansion and its cap)
+    val dnf = InfluxQL.parse("""SELECT "v" FROM "m" WHERE """ +
+      """(("a" = '1' OR "b" = '2') AND "c" = '3') OR ("d" = '4')""")
+      .asInstanceOf[InfluxQL.Select].req
+    assert(dnf.orPredicates == Seq(Seq(
+      AndGroup(Seq(TagPredicate("a", "=", "1"), TagPredicate("c", "=", "3"))),
+      AndGroup(Seq(TagPredicate("b", "=", "2"), TagPredicate("c", "=", "3"))),
+      TagPredicate("d", "=", "4"))))
     // a time bound may not ride an OR (disjunctive scan ranges)
     intercept[IllegalArgumentException] {
       InfluxQL.parse(

@@ -61,7 +61,7 @@ class Round16Spec extends SparkSpec {
     assert(seen.last == Tier.GenDay)
   }
 
-  test("nested parenthesized ANDs flatten; OR back inside refuses") {
+  test("nested parenthesized ANDs flatten; OR back inside distributes") {
     import graft.model.{AndGroup, TagPredicate}
     val r = InfluxQL.parse("""SELECT "v" FROM "m" WHERE """ +
       """(("a" = '1' AND ("b" = '2' AND "c" = '3'))) OR ("a" = '4')""")
@@ -70,15 +70,40 @@ class Round16Spec extends SparkSpec {
       AndGroup(Seq(TagPredicate("a", "=", "1"), TagPredicate("b", "=", "2"),
         TagPredicate("c", "=", "3"))),
       TagPredicate("a", "=", "4"))))
-    // the model invariant: AndGroup atoms are always leaves
-    r.orPredicates.flatten.foreach {
+    // full two-level DNF: an OR nested back inside an AND distributes
+    // into sibling disjuncts — the model never carries an Or node
+    val r2 = InfluxQL.parse("""SELECT "v" FROM "m" WHERE """ +
+      """("a" = '1' AND ("b" = '2' OR "c" = '3')) OR ("a" = '4')""")
+      .asInstanceOf[InfluxQL.Select].req
+    assert(r2.orPredicates == Seq(Seq(
+      AndGroup(Seq(TagPredicate("a", "=", "1"), TagPredicate("b", "=", "2"))),
+      AndGroup(Seq(TagPredicate("a", "=", "1"), TagPredicate("c", "=", "3"))),
+      TagPredicate("a", "=", "4"))))
+    // the model invariant holds across every expansion: leaves only
+    (r.orPredicates ++ r2.orPredicates).flatten.foreach {
       case AndGroup(atoms) => assert(!atoms.exists(_.isInstanceOf[AndGroup]))
       case _ =>
     }
-    intercept[IllegalArgumentException] {
-      InfluxQL.parse("""SELECT "v" FROM "m" WHERE """ +
-        """("a" = '1' AND ("b" = '2' OR "c" = '3')) OR ("a" = '4')""")
-    }
+    // ...and a crafted exponential product refuses in the envelope
+    val blowup = "SELECT \"v\" FROM \"m\" WHERE (" +
+      (1 to 12).map(i => s"""("a$i" = '1' OR "b$i" = '2')""").mkString(" AND ") +
+      """) OR ("z" = '9')"""
+    val e = intercept[IllegalArgumentException] { InfluxQL.parse(blowup) }
+    assert(e.getMessage.contains("disjuncts"))
+  }
+
+  test("two-level DNF answers correctly end-to-end") {
+    // (loc=1 AND (dir='imp' OR dir='exp')) OR (loc=2 AND value > 45)
+    // over the twoTag fixture: loc-1 rows all match (10,20,30); loc-2
+    // rows need value>45 (50,70)
+    val out = InfluxQL.dataPoints(
+      """SELECT "value" FROM "app_t" """ +
+        """WHERE time >= '2024-01-01T00:00:00Z' AND time <= '2024-01-01T02:00:00Z' """ +
+        """AND (("location_id" = '1' AND ("dir" = 'imp' OR "dir" = 'exp')) """ +
+        """OR ("location_id" = '2' AND "value" > 45))""",
+      _ => twoTag("app_t"), _ => None, now)
+    assert(out.select("value").collect().map(_.getDouble(0)).sorted.toSeq
+      == Seq(10.0, 20.0, 30.0, 50.0, 70.0))
   }
 
   test("tag-only OR-of-AndGroups pushes to the scan and keeps date pruning") {
