@@ -2396,13 +2396,16 @@ object SparkEntry {
 
     "samp_cluster_split" -> ((s, dir) => {
       // leakage-safe train/val/test: plant exact-duplicate clones (every
-      // 5th doc re-appears under doc_id+1e6), connect each group with
+      // 5th doc re-appears at a derived offset past max(doc_id) — a
+      // constant offset collided with real ids on 10x-scaled fixtures
+      // whose remapped ids exceed 1e6), connect each group with
       // min-id star pairs, cluster, and split by the CLUSTER hash — a
       // clone can never land on the other side of the train/eval
       // boundary from its original
       val base = table(s, dir, "documents").select("doc_id", "text")
+      val off = base.agg(max(col("doc_id")).cast("long")).first.getLong(0) + 1L
       val planted = base.unionByName(base.filter(col("doc_id") % 5 === 0)
-        .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+        .withColumn("doc_id", col("doc_id") + lit(off)))
       val fp = planted.select(col("doc_id"), md5(col("text")).as("fp"))
       val rep = fp.groupBy("fp").agg(min("doc_id").as("rep"))
       val pairs = fp.join(rep, "fp").filter(col("doc_id") =!= col("rep"))
@@ -2419,8 +2422,9 @@ object SparkEntry {
       // off-diagonal rows are train/eval contamination (the spec pins
       // that clusterSafeSplit drives them to zero)
       val base = table(s, dir, "documents").select("doc_id", "text")
+      val off = base.agg(max(col("doc_id")).cast("long")).first.getLong(0) + 1L
       val planted = base.unionByName(base.filter(col("doc_id") % 5 === 0)
-        .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+        .withColumn("doc_id", col("doc_id") + lit(off)))
       val fp = planted.select(col("doc_id"), md5(col("text")).as("fp"))
       val rep = fp.groupBy("fp").agg(min("doc_id").as("rep"))
       val pairs = fp.join(rep, "fp").filter(col("doc_id") =!= col("rep"))
@@ -5105,8 +5109,10 @@ object SparkEntry {
     // every planted doc keys by its group's minimum id (its own id when
     // singleton), then the cumulative-range rule of samp_split applies
     "samp_cluster_split" ->
-      """WITH p AS (SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0),
+      """WITH off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+        |p AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + (SELECT o FROM off), text
+        |  FROM documents WHERE doc_id % 5 = 0),
         |fp AS (SELECT doc_id, md5(text) AS f FROM p),
         |rep AS (SELECT f, min(doc_id) AS rep FROM fp GROUP BY f),
         |u AS (SELECT doc_id,
@@ -5121,8 +5127,10 @@ object SparkEntry {
 
     // the naive split's contamination, counted per unordered split pair
     "samp_split_leakage" ->
-      """WITH p AS (SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0),
+      """WITH off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+        |p AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + (SELECT o FROM off), text
+        |  FROM documents WHERE doc_id % 5 = 0),
         |fp AS (SELECT doc_id, md5(text) AS f FROM p),
         |rep AS (SELECT f, min(doc_id) AS rep FROM fp GROUP BY f),
         |pr AS (SELECT rep AS id_a, doc_id AS id_b
