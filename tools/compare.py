@@ -41,7 +41,7 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
                 f"(make_timestamp(ts // 1000) AS ts) FROM '{p}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-ok = fail = 0
+ok = fail = ulp = 0
 for name in sorted(os.listdir(out_dir)):
     d = f"{out_dir}/{name}"
     if not os.path.isdir(d):
@@ -158,9 +158,32 @@ for name in sorted(os.listdir(out_dir)):
     except AssertionError as ex:
         diff = (gs != es) & ~(gs.isna() & es.isna())
         ndiff = int(diff.any(axis=1).sum())
+        # Half-ULP rounding knife edge: oracles ending in round(avg(x), 6)
+        # flip their 6th decimal when the pre-rounded sums differ by one
+        # double ULP (summation order differs between engines). Classify a
+        # mismatch whose every differing cell is float and within 1e-6 as
+        # its own bucket — visible (NOT counted OK; the driver's hash gate
+        # is exact) but distinct from a genuine value divergence, so large-
+        # fixture boards aren't drowned by arithmetic-order noise.
+        ulp_only = ndiff > 0
+        for c in gs.columns:
+            cb = diff[c]
+            if not cb.any():
+                continue
+            if gs[c].dtype.kind != "f" or es[c].dtype.kind != "f":
+                ulp_only = False
+                break
+            if not ((gs[c][cb] - es[c][cb]).abs() <= 1.0000001e-6).all():
+                ulp_only = False
+                break
+        if ulp_only:
+            print(f"{name:25s} ULP-BOUNDARY {ndiff}/{len(gs)} rows differ "
+                  "by <=1e-6 (rounded-avg knife edge)")
+            ulp += 1
+            continue
         print(f"{name:25s} VALUE-MISMATCH {ndiff}/{len(gs)} rows differ")
         bad = diff.any(axis=1)
         print("  got:", gs[bad].head(3).to_dict("records"))
         print("  exp:", es[bad].head(3).to_dict("records"))
         fail += 1
-print(f"\n{ok} OK, {fail} FAIL")
+print(f"\n{ok} OK, {fail} FAIL" + (f", {ulp} ULP-BOUNDARY" if ulp else ""))
