@@ -26,7 +26,20 @@ import org.apache.spark.sql.functions._
  * ops must hold NOTHING corpus-sized on the driver; cluster chasing and
  * centroid tables are bounded by cluster count and nLists, not rows).
  *
- * Usage: runMain graft.LargeScaleProbe <factor> [minhash|ivf|all] [srcDir] [workDir]
+ * The `tsdb` op (explicit only — not part of `all`, so prior recorded
+ * `all` runs stay comparable) probes the TSDB core instead: the 100 TB
+ * claim there is that a FIXED-WINDOW query prices by its window, not
+ * the corpus. It grows the event corpus along the TIME axis (replica r
+ * shifts one base-span later — same devices, longer history: the way a
+ * TSDB actually grows), routed-writes it through [[graft.store
+ * .TierStore]], and times (a) the routed write, (b) a 1-hour
+ * mean/time(1m) query through the full Api → planner → listing-sliced
+ * store chain — expected FLAT across factors (partition pruning +
+ * [[graft.store.TierFileIndex.Slice]] listing pruning), and (c) a
+ * full-span daily count — the linear yardstick that proves (b)'s
+ * flatness is pruning, not a small corpus.
+ *
+ * Usage: runMain graft.LargeScaleProbe <factor> [minhash|ivf|tsdb|all] [srcDir] [workDir]
  */
 object LargeScaleProbe {
 
@@ -142,6 +155,67 @@ object LargeScaleProbe {
           k = 10, nProbes = 4).count()
       }
       report("ivf_query", n, querySec, s""","queries":100,"hits":$hits""")
+    }
+
+    if (op == "tsdb") {
+      // scaled points on disk: the sf0.1 events (one month) replicated
+      // along the time axis — replica r shifted r whole base spans later
+      val ptsPath = s"$work/points_x$factor.parquet"
+      val baseSpanSec = 31L * 24 * 3600 // events cover Jan 2024
+      if (!new java.io.File(ptsPath).exists) {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = spark.read.parquet(s"$src/events.parquet")
+        val ts = raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            timestamp_micros(expr("ts div 1000"))
+          case _ => col("ts").cast("timestamp")
+        }
+        raw.withColumn("ts", ts).select(
+            concat(lit("app_"), col("event_type")).as("measurement"),
+            col("ts").as("time"),
+            col("value"),
+            col("user_id").cast("string").as("dev_id"),
+            (col("user_id") % 5).cast("string").as("location_id"),
+            when(col("user_id") % 7 === 0, "meter.main_elec")
+              .otherwise("sensor").as("dev_type"),
+            concat(lit("app_"), col("event_type"), lit(";"),
+              col("user_id")).as("series_id"))
+          .withColumn("r", explode(sequence(lit(0), lit(factor - 1))))
+          .withColumn("time",
+            expr(s"timestampadd(SECOND, r * $baseSpanSec, time)"))
+          .drop("r")
+          .repartition(math.max(cpus, factor / 10))
+          .write.mode("overwrite").parquet(ptsPath)
+      }
+      val pts = spark.read.parquet(ptsPath)
+      val n = pts.count()
+      val spanEnd = pts.agg(max(col("time"))).head()
+        .getTimestamp(0).toInstant.plusSeconds(1)
+      val root = s"$work/tsdb_x$factor"
+      val store = new graft.store.TierStore(spark, root)
+      val (_, wSec) = timed { store.writeRouted(pts) }
+      report("tsdb_write", n, wSec,
+        s""","days":${(factor * baseSpanSec) / 86400}""")
+      val ctx = graft.api.Api.Context(spark, store, now = () => spanEnd)
+      // (b) fixed 1-hour window at the span's end, full Api → planner →
+      // listing-sliced store chain; cost must track the WINDOW
+      val (bRows, bSec) = timed {
+        graft.api.Api.dispatch(ctx, "cmd.tsdb.get_data_points",
+          graft.api.Api.GetDataPointsRequest(measurementName = "app_click",
+            dataFunction = "mean", relativeTime = "1h", groupByTime = "1m",
+            fillType = "none")).count()
+      }
+      report("tsdb_query_1h", n, bSec, s""","result_rows":$bRows""")
+      // (c) full-span daily count — touches every date partition of the
+      // measurement: the linear yardstick
+      val (cRows, cSec) = timed {
+        graft.api.Api.dispatch(ctx, "cmd.tsdb.get_data_points",
+          graft.api.Api.GetDataPointsRequest(measurementName = "app_click",
+            dataFunction = "count", fromTime = "2024-01-01T00:00:00Z",
+            toTime = spanEnd.toString, groupByTime = "1d",
+            fillType = "none")).count()
+      }
+      report("tsdb_query_full", n, cSec, s""","result_rows":$cRows""")
     }
     spark.stop()
   }
