@@ -39,7 +39,18 @@ import org.apache.spark.sql.functions._
  * full-span daily count — the linear yardstick that proves (b)'s
  * flatness is pruning, not a small corpus.
  *
- * Usage: runMain graft.LargeScaleProbe <factor> [minhash|ivf|tsdb|all] [srcDir] [workDir]
+ * The `stream` op (explicit only) probes the stateful streaming
+ * aggregator's scale axis: SERIES CARDINALITY. State is one row per
+ * series (~435 B — BENCH_SF1.md), so the 100 TB question is how
+ * per-batch cost and memory behave as live-series count grows a
+ * decade. It synthesizes factor× the sf0.1 series set (each series
+ * two points per micro-batch across two batches, so state is created,
+ * carried, and re-read), runs [[graft.stream.Aggregator.streaming]]
+ * under the RocksDBStateStoreProvider (the provider a large cluster
+ * runs), and reports wall, rows/s, driver heap, and the checkpoint's
+ * on-disk state size.
+ *
+ * Usage: runMain graft.LargeScaleProbe <factor> [minhash|ivf|tsdb|stream|all] [srcDir] [workDir]
  */
 object LargeScaleProbe {
 
@@ -216,6 +227,59 @@ object LargeScaleProbe {
             fillType = "none")).count()
       }
       report("tsdb_query_full", n, cSec, s""","result_rows":$cRows""")
+    }
+
+    if (op == "stream") {
+      import spark.implicits._
+      // factor× the sf0.1 series set; two points per series per chunk,
+      // two chunks = two micro-batches, so every series' state is
+      // created in batch 1 and re-read/advanced in batch 2
+      val inDir = s"$work/stream_in_x$factor"
+      val nBase = 75000L // sf0.1 distinct series (5 types × 15k users)
+      if (!new java.io.File(inDir).exists) {
+        def chunk(c: Int): DataFrame =
+          spark.range(nBase * factor).select(
+            concat(lit("sensor_probe;"), col("id")).as("series_id"),
+            lit("sensor_probe").as("measurement"),
+            lit("mean").as("agg_func"),
+            // 10-min sampling interval; chunk c covers minutes [20c, 20c+20)
+            timestamp_seconds(lit(1704067200L) + lit(c * 1200) +
+              (col("id") % 2) * 600 + lit(30)).as("time"),
+            (col("id") % 97).cast("double").as("value"),
+            lit("sensor").as("dev_type"))
+        chunk(0).repartition(cpus).write.parquet(s"$inDir/c0")
+        chunk(1).repartition(cpus).write.parquet(s"$inDir/c1")
+        // the two chunks land as two dirs; a file stream with
+        // latestFirst=false + maxFilesPerTrigger bounded to one chunk's
+        // file count consumes them as two ordered micro-batches
+      }
+      val schema = spark.read.parquet(s"$inDir/c0").schema
+      val n = nBase * factor * 4
+      val ckpt = s"$work/stream_ckpt_x$factor"
+      val out = s"$work/stream_out_x$factor"
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val (outRows, sec) = try {
+        timed {
+          val src = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", cpus.toString)
+            .parquet(s"$inDir/c*")
+            .as[graft.stream.Aggregator.StreamIn]
+          val q = graft.stream.Aggregator.streaming(src)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .format("parquet").option("path", out).start()
+          q.processAllAvailable()
+          graft.stream.StreamOps.stopAndUnload(q)
+          spark.read.parquet(out).count()
+        }
+      } finally
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      val stateBytes = org.apache.commons.io.FileUtils
+        .sizeOfDirectory(new java.io.File(s"$ckpt/state"))
+      report("stream_agg", n, sec,
+        s""","series":${nBase * factor},"out_rows":$outRows,""" +
+          s""""state_mb":${stateBytes >> 20}""")
     }
     spark.stop()
   }
