@@ -192,8 +192,8 @@ object LargeScaleProbe {
             concat(lit("app_"), col("event_type"), lit(";"),
               col("user_id")).as("series_id"))
           .withColumn("r", explode(sequence(lit(0), lit(factor - 1))))
-          .withColumn("time",
-            expr(s"timestampadd(SECOND, r * $baseSpanSec, time)"))
+          .withColumn("time", // bigint: r * span overflows int at r ≥ 802
+            expr(s"timestampadd(SECOND, CAST(r AS BIGINT) * $baseSpanSec, time)"))
           .drop("r")
           .repartition(math.max(cpus, factor / 10))
           .write.mode("overwrite").parquet(ptsPath)
@@ -231,7 +231,7 @@ object LargeScaleProbe {
 
     if (op == "stream") {
       import spark.implicits._
-      // factor× the sf0.1 series set; two points per series per chunk,
+      // factor× the sf0.1 series set; one point per series per chunk,
       // two chunks = two micro-batches, so every series' state is
       // created in batch 1 and re-read/advanced in batch 2
       val inDir = s"$work/stream_in_x$factor"
@@ -254,7 +254,7 @@ object LargeScaleProbe {
         // file count consumes them as two ordered micro-batches
       }
       val schema = spark.read.parquet(s"$inDir/c0").schema
-      val n = nBase * factor * 4
+      val n = nBase * factor * 2 // one point per series per chunk
       val ckpt = s"$work/stream_ckpt_x$factor"
       val out = s"$work/stream_out_x$factor"
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
