@@ -230,4 +230,34 @@ class Round16Spec extends SparkSpec {
     InfluxQL.looksLike(flood)
     assert((System.nanoTime() - t0) < 5e9, "slash flood must parse in seconds")
   }
+
+  test("cluster-split clone plant survives corpora whose ids exceed 1e6") {
+    // Regression for the sf1 board's one real find: the fixture planted
+    // clones at doc_id + 1e6, which COLLIDED with a 10x-scaled corpus's
+    // remapped ids (non-unique doc_id -> the cluster-label join fanned
+    // out and 3,586/60,000 rows mis-split). The offset now derives from
+    // max(doc_id) + 1. Pin both halves of the contract on a corpus that
+    // spans the old constant: (a) no id collision (one row per planted
+    // id), and (b) the leakage-safety invariant — every clone lands in
+    // the SAME split as its original.
+    val dir = graft.Fixtures.newDir("graft_csplit").toFile.getAbsolutePath
+    import spark.implicits._
+    val docs = ((0L until 40L) ++ (1000000L until 1000010L))
+      .map(i => (i, s"unique text body number $i")).toDF("doc_id", "text")
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("samp_cluster_split")(spark, dir)
+      .select("doc_id", "split").collect()
+    val n = docs.count()
+    val planted = out.map(_.getLong(0))
+    assert(planted.length == n + docs.filter($"doc_id" % 5 === 0).count(),
+      "one output row per base doc + per clone")
+    assert(planted.distinct.length == planted.length,
+      "derived offset must keep doc_id unique (old constant collided)")
+    val off = 1000010L // max(doc_id) + 1 of this corpus
+    val split = out.map(r => r.getLong(0) -> r.getString(1)).toMap
+    ((0L until 40L) ++ (1000000L until 1000010L)).filter(_ % 5 == 0)
+      .foreach { o =>
+        assert(split(o + off) == split(o),
+          s"clone of $o must split with its original (leakage safety)") }
+  }
 }
