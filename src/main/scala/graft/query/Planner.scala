@@ -704,10 +704,18 @@ object Planner {
       (now.getEpochSecond - mins * 60, now.getEpochSecond)
     }
 
-  /** Compile the tag/device/location/type filters (influxdb_v1.go:145-156). */
+  /** Compile the tag/device/location/type filters (influxdb_v1.go:145-156).
+   *  Tag equality follows the same empty-string-for-missing model as
+   *  [[tagAtomColumn]]: `tag = ''` selects rows WITHOUT the tag (NULL or
+   *  empty — InfluxDB's absent-tag semantics), spelled without coalesce
+   *  so the Or(IsNull, EqualTo) tree still pushes to the scan. Round16Spec
+   *  pins the two paths row-equivalent. */
   def filterColumn(f: DataPointsFilter): Column = {
     var c: Column = lit(true)
-    f.tags.foreach { case (k, v) => c = c && (col(k) === v) }
+    f.tags.foreach { case (k, v) =>
+      c = c && (if (v.isEmpty) col(k).isNull || col(k) === ""
+                else col(k) === v)
+    }
     if (f.devices.nonEmpty) c = c && col("dev_id").isin(f.devices: _*)
     if (f.locations.nonEmpty) c = c && col("location_id").isin(f.locations: _*)
     if (f.devTypes.nonEmpty) c = c && col("dev_type").isin(f.devTypes: _*)

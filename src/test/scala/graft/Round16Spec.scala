@@ -231,6 +231,37 @@ class Round16Spec extends SparkSpec {
     assert((System.nanoTime() - t0) < 5e9, "slash flood must parse in seconds")
   }
 
+  test("pushable tag predicates keep the empty-string-for-missing model") {
+    // The round's tagAtomColumn rewrite spells =/!= without coalesce so
+    // they push to parquet; this pins row-for-row equivalence with the
+    // reference model (missing tag ≡ '') over every op × value shape,
+    // including NULL and empty-string tag values.
+    val rows = Seq(
+      (base, 1.0, null: String), (base + 60, 2.0, ""),
+      (base + 120, 3.0, "x"), (base + 180, 4.0, "y"))
+      .map { case (sec, v, t) =>
+        Row("app_t", new Timestamp(sec * 1000), v, "d1", t, "imp") }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    // (predicate-string, reference semantics over the coalesce model)
+    val cases: Seq[(String, Double => Boolean)] = Seq(
+      ("\"location_id\" = 'x'" -> { v: Double => v == 3.0 }),
+      ("\"location_id\" = ''" -> { v: Double => v <= 2.0 }),
+      ("\"location_id\" != 'x'" -> { v: Double => v != 3.0 }),
+      ("\"location_id\" != ''" -> { v: Double => v > 2.0 }),
+      ("\"location_id\" =~ /x/" -> { v: Double => v == 3.0 }),
+      ("\"location_id\" =~ /^$/" -> { v: Double => v <= 2.0 }),
+      ("\"location_id\" !~ /x/" -> { v: Double => v != 3.0 }),
+      ("\"location_id\" !~ /^$/" -> { v: Double => v > 2.0 }))
+    cases.foreach { case (pred, keep) =>
+      val got = InfluxQL.dataPoints(
+        s"""SELECT "value" FROM "app_t" WHERE time > now()-2d AND $pred""",
+        _ => df, _ => None, now)
+        .select("value").collect().map(_.getDouble(0)).sorted.toSeq
+      val want = Seq(1.0, 2.0, 3.0, 4.0).filter(keep)
+      assert(got == want, s"$pred: got $got want $want")
+    }
+  }
+
   test("cluster-split clone plant survives corpora whose ids exceed 1e6") {
     // Regression for the sf1 board's one real find: the fixture planted
     // clones at doc_id + 1e6, which COLLIDED with a 10x-scaled corpus's
