@@ -716,9 +716,14 @@ object Planner {
       c = c && (if (v.isEmpty) col(k).isNull || col(k) === ""
                 else col(k) === v)
     }
-    if (f.devices.nonEmpty) c = c && col("dev_id").isin(f.devices: _*)
-    if (f.locations.nonEmpty) c = c && col("location_id").isin(f.locations: _*)
-    if (f.devTypes.nonEmpty) c = c && col("dev_type").isin(f.devTypes: _*)
+    // same model for the id lists: an '' entry selects rows without the
+    // tag, so NULL must match when (and only when) '' is listed
+    def inList(key: String, vs: Seq[String]): Column =
+      if (vs.contains("")) col(key).isin(vs: _*) || col(key).isNull
+      else col(key).isin(vs: _*)
+    if (f.devices.nonEmpty) c = c && inList("dev_id", f.devices)
+    if (f.locations.nonEmpty) c = c && inList("location_id", f.locations)
+    if (f.devTypes.nonEmpty) c = c && inList("dev_type", f.devTypes)
     c
   }
 

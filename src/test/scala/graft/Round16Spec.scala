@@ -262,6 +262,23 @@ class Round16Spec extends SparkSpec {
     }
   }
 
+  test("an empty entry in the device list matches rows without the tag") {
+    import graft.model.{DataPointsFilter, DataPointsRequest}
+    val rows = Seq(
+      (base, 1.0, null: String), (base + 60, 2.0, ""),
+      (base + 120, 3.0, "d1"), (base + 180, 4.0, "d2"))
+      .map { case (sec, v, d) =>
+        Row("app_t", new Timestamp(sec * 1000), v, d, "1", "imp") }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    def run(devs: Seq[String]): Seq[Double] =
+      graft.query.Planner.dataPoints(
+        DataPointsRequest(measurement = "app_t", relativeTime = "2d",
+          filters = DataPointsFilter(devices = devs)),
+        _ => df, now).select("value").collect().map(_.getDouble(0)).sorted.toSeq
+    assert(run(Seq("d1")) == Seq(3.0)) // NULL never matches a concrete id
+    assert(run(Seq("", "d1")) == Seq(1.0, 2.0, 3.0)) // '' ≡ missing tag
+  }
+
   test("cluster-split clone plant survives corpora whose ids exceed 1e6") {
     // Regression for the sf1 board's one real find: the fixture planted
     // clones at doc_id + 1e6, which COLLIDED with a 10x-scaled corpus's
