@@ -902,13 +902,19 @@ object Planner {
 
     val (scanned, fromSec, toSec) =
       scanFrame(req, resolve, now, sliceResolve, dataFunction, groupByTime)
-    val filtered = scanned.withColumn("value", col(fieldName))
+    val filtered0 = scanned.withColumn("value", col(fieldName))
 
     val bucketSec = TierPolicy.relativeToMinutes(groupByTime) * 60
     // one tag through the reference API; the raw-passthrough multi-tag
     // form `GROUP BY time(X), tag1, tag2` arrives comma-joined and every
     // shape below is Seq-keyed already (groupBy/gap-fill/modifiers)
     val tagKeys = req.groupByTagKeys
+    // absent tag ≡ '' holds for GROUPING too: a NULL tag groups (and
+    // echoes) under the empty value, one group with genuinely-empty
+    // tags — not a separate NULL group (same model as the predicate
+    // paths; applied after the scan filter so pushdown is unaffected)
+    val filtered = tagKeys.foldLeft(filtered0)((d, k) =>
+      d.withColumn(k, coalesce(col(k), lit(""))))
 
     val shaped: DataFrame =
       if (groupByTime.isEmpty && tagKeys.nonEmpty) {
@@ -1130,8 +1136,12 @@ object Planner {
     // rollup tiers only serve mean — offer the policy `mean` only when
     // EVERY item is a plain mean (a max over a mean rollup would lie)
     val tierFn = if (its.forall(_.dataFunction == "mean")) "mean" else ""
-    val (filtered, fromSec, toSec) =
+    val (filtered0, fromSec, toSec) =
       scanFrame(req, resolve, now, sliceResolve, tierFn, groupByTime)
+    // absent tag ≡ '' for grouping/echo — same normalization as the
+    // single-item plan (see dataPoints)
+    val filtered = keyNames.foldLeft(filtered0)((d, k) =>
+      d.withColumn(k, coalesce(col(k), lit(""))))
     val bucketSec = TierPolicy.relativeToMinutes(groupByTime) * 60
 
     def aggExprs(pairs: Seq[(SelectItem, String)]): Seq[Column] =

@@ -833,33 +833,37 @@ class InfluxQLSpec extends SparkSpec {
       s"bare INTO: $bareBack")
   }
 
-  test("a null tag value is a series of its own: fills and multi joins " +
-    "keep it whole (null-safe key joins)") {
+  test("a missing (NULL) tag keys its series as '': fills and multi joins " +
+    "keep it whole under the empty-value label") {
+    // round-16 model alignment: absent tag ≡ '' holds for grouping too
+    // (InfluxDB groups absent-tag series under the empty tag value), so
+    // a NULL tag normalizes to '' BEFORE grouping — which also makes the
+    // spine/outer joins trivially safe (no null keys remain to lose).
     val rows = Seq(
       Row("m", new Timestamp(1704146400L * 1000), 10.0, null, "1", "sensor"),
       Row("m", new Timestamp(1704146460L * 1000), 20.0, null, "1", "sensor"),
       Row("m", new Timestamp(1704150000L * 1000), 30.0, "d2", "1", "sensor"))
     val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
-    // single select, FILL(0): the null-dev series' real buckets keep
-    // their aggregates (a non-null-safe spine join would zero them all)
+    // single select, FILL(0): the missing-dev series' real buckets keep
+    // their aggregates (a lossy spine join would zero them all)
     val single = Planner.dataPoints(DataPointsRequest("m",
       dataFunction = "mean", relativeTime = "3h", groupByTime = "1h",
       fillType = "0", groupByTag = "dev_id"), _ => df, now).collect()
-      .map(r => (Option(r.getAs[String]("dev_id")), r.getAs[Long]("time"),
+      .map(r => (r.getAs[String]("dev_id"), r.getAs[Long]("time"),
         r.getAs[Double]("value")))
-    assert(single.contains((None, 1704146400L, 15.0)), single.mkString(", "))
-    assert(single.contains((Some("d2"), 1704150000L, 30.0)))
+    assert(single.contains(("", 1704146400L, 15.0)), single.mkString(", "))
+    assert(single.contains(("d2", 1704150000L, 30.0)))
     // multi with a heavy item: the full-outer joins and the spine join
-    // must both match the null key to itself
+    // keep the ''-keyed series whole
     val multi = InfluxQL.dataPoints(
       """SELECT mean("value") AS "a", mode("value") AS "b" FROM "m" """ +
         """WHERE time > now()-3h GROUP BY time(1h), "dev_id" FILL(none)""",
       _ => df, _ => None, now).collect()
-      .map(r => (Option(r.getAs[String]("dev_id")), r.getAs[Long]("time"),
+      .map(r => (r.getAs[String]("dev_id"), r.getAs[Long]("time"),
         r.getAs[Double]("a"), r.getAs[Double]("b")))
     assert(multi.toSet == Set(
-      (None, 1704146400L, 15.0, 10.0),
-      (Some("d2"), 1704150000L, 30.0, 30.0)), multi.mkString(", "))
+      ("", 1704146400L, 15.0, 10.0),
+      ("d2", 1704150000L, 30.0, 30.0)), multi.mkString(", "))
   }
 
   test("multi-item subqueries: multi inner columns feed a multi (or single) " +

@@ -262,6 +262,25 @@ class Round16Spec extends SparkSpec {
     }
   }
 
+  test("a NULL tag groups and echoes under the empty value, not apart") {
+    // absent tag ≡ '' must hold for GROUP BY too: one '' group holding
+    // both NULL-tag and empty-tag rows (InfluxDB's absent-tag grouping),
+    // never a separate NULL group
+    val rows = Seq(
+      (base, 1.0, null: String), (base + 60, 2.0, ""),
+      (base + 120, 3.0, "x"), (base + 180, 4.0, "x"))
+      .map { case (sec, v, t) =>
+        Row("app_t", new Timestamp(sec * 1000), v, "d1", t, "imp") }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val out = InfluxQL.dataPoints(
+      """SELECT mean("value") FROM "app_t" WHERE time > now()-2d """ +
+        """GROUP BY time(1h), "location_id" FILL(none)""",
+      _ => df, _ => None, now)
+      .select("location_id", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).sortBy(_._1).toSeq
+    assert(out == Seq("" -> 1.5, "x" -> 3.5), out.toString)
+  }
+
   test("an empty entry in the device list matches rows without the tag") {
     import graft.model.{DataPointsFilter, DataPointsRequest}
     val rows = Seq(
