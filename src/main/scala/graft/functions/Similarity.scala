@@ -38,6 +38,85 @@ object Similarity {
     when(na > 0 && nb > 0, expressions.VectorExpressions.dot(va, vb) / (na * nb))
       .otherwise(lit(0.0))
 
+  /** One collected centroid: id literal, vector as a plan literal (the
+   *  exact stored float/double array), and its precomputed norm. */
+  private final case class CentroidLit(id: Column, vec: Column, norm: Double)
+
+  /** Collect a centroid table (k rows — tiny by construction) to the
+   *  driver in ascending-id order. The nearest-centroid argmax and the
+   *  probe routing unroll these into per-row literal projections, so
+   *  the corpus/query side is never crossJoin-multiplied ×k and never
+   *  shuffled through a `Window.partitionBy(id)` rank — the Exchange +
+   *  Sort the old formulation paid per assignment is REMOVED, not
+   *  resized (optimization guide §2.4). The collect is metadata-bounded
+   *  (k rows), the same class as [[queryIvfIndex]]'s probed-list
+   *  collect; ascending-id order makes first-max ties resolve to the
+   *  smallest id exactly like the old `row_number` over
+   *  (score desc, id asc). */
+  private def collectCentroidLits(centroids: DataFrame, idCol: String,
+      vecCol: String, normCol: String): Seq[CentroidLit] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit}
+    val projected = centroids.select(col(idCol), col(vecCol),
+      col(normCol).cast("double")).orderBy(col(idCol))
+    val idType = projected.schema.head.dataType
+    val vecType = projected.schema(1).dataType
+    projected.collect().toSeq.map { r =>
+      CentroidLit(
+        org.apache.spark.sql.GraftBridge.column(CatLit.create(r.get(0), idType)),
+        org.apache.spark.sql.GraftBridge.column(CatLit.create(r.get(1), vecType)),
+        r.getDouble(2))
+    }
+  }
+
+  /** scores[i] = cosine(row vector, centroid i), the SAME per-pair
+   *  arithmetic as the crossJoin formulation (native dot over
+   *  precomputed norms, 0.0 on a zero norm; `portable` rounds to 6 dp
+   *  before the argmax). One codegen'd array projection per row. */
+  private def centroidScores(vec: Column, norm: Column,
+      cents: Seq[CentroidLit], portable: Boolean): Column =
+    array(cents.map { c =>
+      val raw = cosineWithNorms(vec, c.vec, norm, lit(c.norm))
+      if (portable) round(raw, 6) else raw
+    }: _*)
+
+  /** (nearest centroid id, its score) as two pure projections:
+   *  first-position argmax over the literal score array. Runtime
+   *  subexpression elimination computes the score array once per row.
+   *  Tie-break ≡ the old window's (score desc, id asc): `array_max`
+   *  picks the greatest score and `array_position` its FIRST holder,
+   *  which in ascending-id order is the smallest id. (Knife-edge
+   *  divergence from `Double.compare` ordering exists only when +0.0
+   *  and -0.0 cosines coexist in one row's candidates — impossible for
+   *  the guard's zero-norm 0.0s and not producible by `round(_, 6)`,
+   *  which returns unsigned-zero BigDecimal zeros.) */
+  private def argmaxCentroid(vec: Column, norm: Column,
+      cents: Seq[CentroidLit], portable: Boolean): (Column, Column) = {
+    val scores = centroidScores(vec, norm, cents, portable)
+    val pos = array_position(scores, array_max(scores)).cast("int")
+    (element_at(array(cents.map(_.id): _*), pos), element_at(scores, pos))
+  }
+
+  /** Explode each (query_id, qv, nq) row into its `nProbes` nearest
+   *  lists — the routing previously paid a ×k crossJoin plus an
+   *  Exchange + Sort (`row_number` over query_id); now a per-row sorted
+   *  slice of the k-element literal score array, no shuffle at all.
+   *  Comparator order ≡ the old window's (score desc, list_id asc). */
+  private def probeRoutes(q: DataFrame, cents: Seq[CentroidLit],
+      nProbes: Int): DataFrame = {
+    val scored = array(cents.map(c =>
+      struct(cosineWithNorms(col("qv"), c.vec, col("nq"), lit(c.norm)).as("s"),
+        c.id.as("id"))): _*)
+    val cmp = (l: Column, r: Column) =>
+      when(l.getField("s") > r.getField("s"), -1)
+        .when(l.getField("s") < r.getField("s"), 1)
+        .when(l.getField("id") < r.getField("id"), -1)
+        .when(l.getField("id") > r.getField("id"), 1)
+        .otherwise(0)
+    q.withColumn("_probe", explode(slice(array_sort(scored, cmp), 1, nProbes)))
+      .select(col("_probe.id").as("list_id"), col("query_id"),
+        col("qv"), col("nq"))
+  }
+
   /**
    * Exact near-duplicate pairs above a cosine threshold (brute force) —
    * the correctness baseline the LSH variants are measured against.
@@ -188,34 +267,38 @@ object Similarity {
    *  persistent index build. Extra corpus columns (e.g. the int8 twin
    *  columns of the persistent index) ride along untouched. */
   private def assignToLists(corpusNormed: DataFrame, centroids: DataFrame,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false): DataFrame =
+    assignWithCents(corpusNormed,
+      collectCentroidLits(centroids, "list_id", "centroid", "ncent"), portable)
+
+  private def assignWithCents(corpusNormed: DataFrame,
+      cents: Seq[CentroidLit], portable: Boolean): DataFrame = {
     val extra = corpusNormed.columns.filterNot(Set("vec_id", "cv", "nc")).toSeq
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("_cs").desc, col("list_id"))
-    val rawCs = cosineWithNorms(col("cv"), col("centroid"), col("nc"), col("ncent"))
-    corpusNormed.crossJoin(broadcast(centroids))
-      // portable: 6-dp-rounded argmax (ties by list_id), the
-      // [[trainCentroids]] portable contract — the stored assignment is
-      // then replicable bit-for-bit by an external SQL engine
-      .withColumn("_cs", if (portable) round(rawCs, 6) else rawCs)
-      .withColumn("_r", row_number().over(wAssign))
-      .filter(col("_r") === 1)
-      .select((Seq("list_id", "vec_id", "cv", "nc") ++ extra).map(col): _*)
+    val outCols = (Seq("list_id", "vec_id", "cv", "nc") ++ extra).map(col)
+    // portable: 6-dp-rounded argmax (ties by list_id), the
+    // [[trainCentroids]] portable contract — the stored assignment is
+    // then replicable bit-for-bit by an external SQL engine
+    if (cents.isEmpty) // old crossJoin semantics: no centroids, no rows
+      corpusNormed.withColumn("list_id", lit(null).cast("long"))
+        .filter(lit(false)).select(outCols: _*)
+    else
+      corpusNormed.withColumn("list_id",
+          argmaxCentroid(col("cv"), col("nc"), cents, portable)._1)
+        .select(outCols: _*)
   }
 
   def ivfTopKWith(corpusNormed: DataFrame, centroidTable: DataFrame,
       queries: DataFrame, k: Int, nProbes: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids = broadcast(centroidTable)
-    val assigned = assignToLists(corpusNormed, centroidTable)
+    // ONE plan-time collect serves the assignment argmax and the probe
+    // routing (the table is k rows by construction; it was previously
+    // broadcast-joined twice)
+    val cents = collectCentroidLits(centroidTable, "list_id", "centroid", "ncent")
+    val assigned = assignWithCents(corpusNormed, cents, portable = false)
     // route each query to its nProbes nearest lists
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("nq", expressions.VectorExpressions.l2norm(col("qv")))
-    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("_cs").desc, col("list_id"))
-    val probes = q.crossJoin(centroids)
-      .withColumn("_cs", cosineWithNorms(col("qv"), col("centroid"), col("nq"), col("ncent")))
-      .withColumn("_r", row_number().over(wProbe))
-      .filter(col("_r") <= nProbes)
-      .select(col("list_id"), col("query_id"), col("qv"), col("nq"))
+    val probes = probeRoutes(q, cents, nProbes)
     // exact scoring inside the probed lists only
     val scored = assigned.join(probes, Seq("list_id"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -236,13 +319,17 @@ object Similarity {
    * with the native partial-aggregating `VectorSumQ6` (the shuffle moves
    * k × dims longs, not rows × dims exploded tuples — and the micro-unit
    * sum makes the trained centroids independent of partition layout).
-   * Lineage is truncated between iterations (a boundary on the k-row
-   * centroid table) so the plan doesn't grow with `iters`; pass
-   * `checkpointDir` to make each round's boundary durable parquet
-   * instead of executor blocks (see [[Stages]] — a lost executor then
-   * costs a retry, not the whole training run). A list that captures no
-   * vectors drops out (k shrinks), standard Lloyd behavior with hard
-   * assignment.
+   * Each round's k-row centroid state is COLLECTED to the driver and
+   * re-enters the next assignment as plan literals ([[argmaxCentroid]]),
+   * so the iteration boundary is the collect itself: the plan never
+   * deepens with `iters`, the per-round state has no executor lineage to
+   * lose, and the old per-round localCheckpoint jobs are gone. Only the
+   * RETURNED frame gets a [[Stages]] boundary (callers write it and
+   * assign against it — without the boundary each downstream action
+   * would re-run the final aggregation pass over the corpus);
+   * `checkpointDir` makes that boundary durable, inspectable parquet.
+   * A list that captures no vectors drops out (k shrinks), standard
+   * Lloyd behavior with hard assignment.
    *
    * `portable = true` swaps the xxhash64 seed order for the md5-based
    * [[Sampling.portableUniform]] and rounds the assignment cosine to
@@ -260,29 +347,32 @@ object Similarity {
       .withColumn("nc", expressions.VectorExpressions.l2norm(col("cv")))
     val seedH =
       if (portable) Sampling.portableUniform(col("vec_id")) else xxhash64(col("vec_id"))
-    var centroids = cut(c.withColumn("_h", seedH)
+    var centroids = c.withColumn("_h", seedH)
       .orderBy(col("_h"), col("vec_id")).limit(k)
-      .select(col("vec_id").as("list_id"), col("cv").as("centroid"), col("nc").as("ncent")),
-      "centroids_seed")
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("_cs").desc, col("list_id"))
-    for (i <- 0 until iters) {
-      val rawCs = cosineWithNorms(col("cv"), col("centroid"), col("nc"), col("ncent"))
-      val assigned = c.crossJoin(broadcast(centroids))
-        .withColumn("_cs", if (portable) round(rawCs, 6) else rawCs)
-        .withColumn("_r", row_number().over(wAssign))
-        .filter(col("_r") === 1)
-        .select(col("list_id"), col("cv"))
-      centroids = cut(assigned
+      .select(col("vec_id").as("list_id"), col("cv").as("centroid"), col("nc").as("ncent"))
+    for (_ <- 0 until iters) {
+      // assignment is the literal-centroid argmax projection — a pure
+      // map stage; the old crossJoin + row_number window shuffled and
+      // sorted corpus×k rows per iteration (guide §2.4). The collect is
+      // the round boundary: k rows to the driver, literals back out.
+      val cents = collectCentroidLits(centroids, "list_id", "centroid", "ncent")
+      val assigned = // cents empty (k collapsed to 0): stays empty, as before
+        if (cents.isEmpty) c.filter(lit(false))
+          .withColumn("list_id", lit(null).cast("long"))
+          .select(col("list_id"), col("cv"))
+        else c.withColumn("list_id",
+            argmaxCentroid(col("cv"), col("nc"), cents, portable)._1)
+          .select(col("list_id"), col("cv"))
+      centroids = assigned
         .groupBy(col("list_id"))
         .agg(expressions.VectorAggregates.vecSumQ6(col("cv")).as("_s"),
           count(lit(1)).as("_n"))
         .select(col("list_id"),
           transform(col("_s"), x =>
             x.cast("double") / lit(1e6) / col("_n")).as("centroid"))
-        .withColumn("ncent", expressions.VectorExpressions.l2norm(col("centroid"))),
-        s"centroids_$i")
+        .withColumn("ncent", expressions.VectorExpressions.l2norm(col("centroid")))
     }
-    centroids
+    cut(centroids, "centroids")
   }
 
   /** IVF top-k over TRAINED centroids: train once, then probe. */
@@ -375,8 +465,14 @@ object Similarity {
     val spark = stream.sparkSession
     val fs0 = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(spark.read.parquet(
-      s"${currentGenRoot(fs0, path)}/centroids").count() > 0,
+    // existence check at the FS level (the streamingBm25Append idiom) —
+    // the old `read.parquet(...).count() > 0` paid a Spark job per
+    // stream start just to phrase the same precondition
+    val centDir = new org.apache.hadoop.fs.Path(
+      s"${currentGenRoot(fs0, path)}/centroids")
+    require(fs0.exists(centDir) &&
+      fs0.listStatus(centDir).exists(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet") && f.getLen > 0),
       s"no IVF index at $path — buildIvfIndex first")
     val writer = graft.store.BatchLedger.writerId("ivf", checkpoint)
     stream.writeStream.outputMode("append")
@@ -825,17 +921,16 @@ object Similarity {
       asOf: Option[graft.store.AsOfPin] = None): DataFrame = {
     val genRoot = currentGenRoot(new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration), path, asOf)
-    val centroids = broadcast(spark.read.parquet(s"$genRoot/centroids"))
+    val cents = collectCentroidLits(spark.read.parquet(s"$genRoot/centroids"),
+      "list_id", "centroid", "ncent")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("nq", expressions.VectorExpressions.l2norm(col("qv")))
-    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("_cs").desc, col("list_id"))
-    val probes = q.crossJoin(centroids)
-      .withColumn("_cs", cosineWithNorms(col("qv"), col("centroid"), col("nq"), col("ncent")))
-      .withColumn("_r", row_number().over(wProbe))
-      .filter(col("_r") <= nProbes)
-      .select(col("list_id"), col("query_id"), col("qv"), col("nq"))
-    val probedLists = probes.select("list_id").distinct()
-      .collect().map(_.getLong(0))
+    val probes = probeRoutes(q, cents, nProbes)
+    // the routes plan is a narrow projection of the (small) query set —
+    // collect it and dedup on the driver instead of paying a distinct's
+    // Exchange for <= queries x nProbes longs
+    val probedLists = probes.select("list_id").collect()
+      .map(_.getLong(0)).distinct
     val lists = readIvfListsAt(spark, path, genRoot, Some(probedLists.toSeq), asOf)
     val scored = lists.join(probes, Seq("list_id"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -866,17 +961,16 @@ object Similarity {
       asOf: Option[graft.store.AsOfPin] = None): DataFrame = {
     val genRoot = currentGenRoot(new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration), path, asOf)
-    val centroids = broadcast(spark.read.parquet(s"$genRoot/centroids"))
+    val cents = collectCentroidLits(spark.read.parquet(s"$genRoot/centroids"),
+      "list_id", "centroid", "ncent")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("nq", expressions.VectorExpressions.l2norm(col("qv")))
-    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("_cs").desc, col("list_id"))
-    val probes = q.crossJoin(centroids)
-      .withColumn("_cs", cosineWithNorms(col("qv"), col("centroid"), col("nq"), col("ncent")))
-      .withColumn("_r", row_number().over(wProbe))
-      .filter(col("_r") <= nProbes)
-      .select(col("list_id"), col("query_id"), col("qv"), col("nq"))
-    val probedLists = probes.select("list_id").distinct()
-      .collect().map(_.getLong(0))
+    val probes = probeRoutes(q, cents, nProbes)
+    // the routes plan is a narrow projection of the (small) query set —
+    // collect it and dedup on the driver instead of paying a distinct's
+    // Exchange for <= queries x nProbes longs
+    val probedLists = probes.select("list_id").collect()
+      .map(_.getLong(0)).distinct
     // BOTH phases scan the same snapshot resolution (one plan-time pin
     // serves the approximate cut and the rerank — a fold or rebuild
     // landing between them must not change the candidate set mid-query)
@@ -1087,11 +1181,22 @@ object Similarity {
       .withColumn("nv", expressions.VectorExpressions.l2norm(col("v")))
     val c = centroids.select(col(centIdCol).as("_cid"), col(centVecCol).as("_cv"))
       .withColumn("nc", expressions.VectorExpressions.l2norm(col("_cv")))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("_cid"))
-    v.crossJoin(broadcast(c))
-      .withColumn("sim",
-        round(cosineWithNorms(col("v"), col("_cv"), col("nv"), col("nc")), 6))
-      .withColumn("_r", row_number().over(w)).filter(col("_r") === 1)
-      .select(col("vec_id"), col("_cid").as("centroid_id"), col("sim"))
+    // the doc's "per-row argmax, the corpus never shuffles" promise,
+    // now literally true in the plan: the (small by construction)
+    // centroid table is collected once and unrolled into the
+    // [[argmaxCentroid]] projection — the old formulation crossJoined
+    // ×k and shuffled every row through a Window.partitionBy(vec_id)
+    // rank (guide §2.4); 6-dp rounding before the argmax and
+    // ascending-id tie-break are unchanged
+    val cents = collectCentroidLits(c, "_cid", "_cv", "nc")
+    if (cents.isEmpty)
+      v.filter(lit(false)).select(col("vec_id"),
+        lit(null).cast(centroids.schema(centIdCol).dataType).as("centroid_id"),
+        lit(null).cast("double").as("sim"))
+    else {
+      val (bestId, bestSim) =
+        argmaxCentroid(col("v"), col("nv"), cents, portable = true)
+      v.select(col("vec_id"), bestId.as("centroid_id"), bestSim.as("sim"))
+    }
   }
 }
