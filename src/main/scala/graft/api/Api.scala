@@ -405,12 +405,19 @@ object Api {
           "refusing an index-less erasure: name the ivf/minhash/bm25 index " +
             "paths to purge (erase tiers via cmd.tsdb.delete_data_points)")
       import ctx.spark.implicits._
-      (req.ivf.map(p => (s"ivf:$p",
-          graft.functions.Similarity.eraseFromIvfIndex(ctx.spark, p, req.ids))) ++
-        req.minhash.map(p => (s"minhash:$p",
-          graft.functions.Dedup.eraseFromMinhashIndex(ctx.spark, p, req.ids))) ++
-        req.bm25.map(p => (s"bm25:$p",
-          graft.functions.Retrieval.eraseFromBm25Index(ctx.spark, p, req.ids))))
+      // the named indexes are INDEPENDENT stores (disjoint roots,
+      // disjoint staging) — erase them concurrently: each pass is a
+      // short serial chain of small jobs that alone underfills the
+      // executor pool, so a 3-index compliance batch otherwise pays
+      // 3× the serial latency (the writeShingledTables idiom, lifted
+      // to the command layer)
+      graft.store.Concurrent.eval(ctx.spark.sparkContext,
+        req.ivf.map(p => () => (s"ivf:$p",
+            graft.functions.Similarity.eraseFromIvfIndex(ctx.spark, p, req.ids))) ++
+          req.minhash.map(p => () => (s"minhash:$p",
+            graft.functions.Dedup.eraseFromMinhashIndex(ctx.spark, p, req.ids))) ++
+          req.bm25.map(p => () => (s"bm25:$p",
+            graft.functions.Retrieval.eraseFromBm25Index(ctx.spark, p, req.ids))))
         .toDF("index", "rows_erased")
 
     case "cmd.tsdb.verify_tier_erasure" =>
@@ -451,18 +458,21 @@ object Api {
           "refusing an index-less erasure audit: name the " +
             "ivf/minhash/bm25 index paths to scan")
       import ctx.spark.implicits._
-      (req.ivf.map { p =>
-        val (f, s, m) = graft.store.EraseAudit.scan(ctx.spark, p, "vec_id",
-          req.ids, skipDirs = Set("centroids"))
-        (s"ivf:$p", f, s, m)
-      } ++ req.minhash.map { p =>
-        val (f, s, m) = graft.store.EraseAudit.scan(ctx.spark, p, "id", req.ids)
-        (s"minhash:$p", f, s, m)
-      } ++ req.bm25.map { p =>
-        val (f, s, m) = graft.store.EraseAudit.scan(ctx.spark,
-          s"$p/postings", "doc_id", req.ids)
-        (s"bm25:$p", f, s, m)
-      }).toDF("index", "files", "rows_scanned", "rows_found")
+      // independent read-only walks of independent roots — run them
+      // concurrently (same rationale as the concurrent erase above)
+      graft.store.Concurrent.eval(ctx.spark.sparkContext,
+        req.ivf.map { p => () =>
+          val (f, s, m) = graft.store.EraseAudit.scan(ctx.spark, p, "vec_id",
+            req.ids, skipDirs = Set("centroids"))
+          (s"ivf:$p", f, s, m)
+        } ++ req.minhash.map { p => () =>
+          val (f, s, m) = graft.store.EraseAudit.scan(ctx.spark, p, "id", req.ids)
+          (s"minhash:$p", f, s, m)
+        } ++ req.bm25.map { p => () =>
+          val (f, s, m) = graft.store.EraseAudit.scan(ctx.spark,
+            s"$p/postings", "doc_id", req.ids)
+          (s"bm25:$p", f, s, m)
+        }).toDF("index", "files", "rows_scanned", "rows_found")
 
     case "cmd.tsdb.compact" =>
       // EXTENSION: the round-8 layout/compaction surface, command-

@@ -774,20 +774,8 @@ object Dedup {
    * each action thread, letting cancellation reach them.
    */
   private[functions] def concurrentActions(sc: org.apache.spark.SparkContext,
-      actions: (() => Unit)*): Unit = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val props = Seq("spark.jobGroup.id", "spark.job.description",
-      "spark.job.interruptOnCancel").map(p => p -> sc.getLocalProperty(p))
-    def inGroup(body: () => Unit): Unit = {
-      props.foreach { case (p, v) => sc.setLocalProperty(p, v) }
-      try body() finally props.foreach { case (p, _) => sc.setLocalProperty(p, null) }
-    }
-    val fs = actions.map(a => Future(inGroup(a)))
-    val rs = fs.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
-    rs.foreach(_.get)
-  }
+      actions: (() => Unit)*): Unit =
+    graft.store.Concurrent.eval(sc, actions): Unit
 
   // Signatures built with different (n, k, bands) never collide the way
   // the banding scheme promises — a parameter-mismatched append or query
@@ -1094,23 +1082,28 @@ object Dedup {
     val genRoot = currentGenRoot(fs, path)
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$genRoot/buckets")),
       s"no MinHash index at $path")
-    var erased = 0L
-    Seq("buckets", "shingles").foreach { t =>
-      val live = new org.apache.hadoop.fs.Path(s"$genRoot/$t")
-      // the shared erase core: hit scan (IdFilter — literal IN-list for
-      // a bounded batch, broadcast semi join for a mass purge),
-      // selective rewrite, reader-atomic publish
-      val (rows, _) = graft.store.IndexErase.eraseRows(spark, fs,
-        graft.store.IndexErase.Target(live,
-          new org.apache.spark.sql.types.StructType(),
-          Seq((org.apache.spark.sql.catalyst.InternalRow.empty, live,
-            graft.store.SnapshotFold.resolve(fs, live, committed)))),
-        "id", ids, new org.apache.hadoop.fs.Path(s"$path/.erase/$t"),
-        targetFileBytes)
-      if (t == "shingles") erased = rows
-      // UNCONDITIONAL vacuum — superseded files still carry the rows
-      graft.store.SnapshotFold.vacuumDir(fs, live)
-    }
+    // the two tables are INDEPENDENT (disjoint dirs, disjoint staging) —
+    // erase them concurrently, the [[writeShingledTables]] idiom: the
+    // hit scans overlap and the rewrites overlap, halving the pass's
+    // serial action chain on a pool that each job alone underfills
+    @volatile var erased = 0L
+    concurrentActions(spark.sparkContext,
+      Seq("buckets", "shingles").map { t => () =>
+        val live = new org.apache.hadoop.fs.Path(s"$genRoot/$t")
+        // the shared erase core: hit scan (IdFilter — literal IN-list for
+        // a bounded batch, broadcast semi join for a mass purge),
+        // selective rewrite, reader-atomic publish
+        val (rows, _) = graft.store.IndexErase.eraseRows(spark, fs,
+          graft.store.IndexErase.Target(live,
+            new org.apache.spark.sql.types.StructType(),
+            Seq((org.apache.spark.sql.catalyst.InternalRow.empty, live,
+              graft.store.SnapshotFold.resolve(fs, live, committed)))),
+          "id", ids, new org.apache.hadoop.fs.Path(s"$path/.erase/$t"),
+          targetFileBytes)
+        if (t == "shingles") erased = rows
+        // UNCONDITIONAL vacuum — superseded files still carry the rows
+        graft.store.SnapshotFold.vacuumDir(fs, live)
+      }: _*)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/.erase"), true)
     graft.store.IndexGenerations.vacuumOld(fs, path, genRoot,
       legacyDirs = Seq("buckets", "shingles", "_index_meta"))

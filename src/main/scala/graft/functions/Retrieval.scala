@@ -421,11 +421,23 @@ object Retrieval {
     // and streaming append here writes it) must be rebuilt before
     // erasing: with no record, zero-token docs silently leave n_docs.
     val cur = readBm25Stats(spark, path).collect()(0)
-    val pAgg = readPostings(spark, path)
-      .select(col("doc_id"), col("dl").cast("long").as("dl")).distinct()
-      .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).collect()(0)
-    val nZero = readZeroDocs(spark, path).select("doc_id").distinct().count()
-    val (newN, newDl) = (pAgg.getLong(0) + nZero, pAgg.getLong(1))
+    // ONE job recounts both sides (guide §1.2): the surviving postings'
+    // distinct (doc_id, dl) and the surviving zero-token doc ids union
+    // into a single deduped frame — `dl` is NULL only on the zero side,
+    // so the aggregate splits them back without a second scan. The
+    // per-side distincts are preserved exactly (postings dedup on
+    // (doc_id, dl), zero docs on doc_id; the sides cannot collide:
+    // zero-side rows carry a NULL dl no posting row has).
+    val merged = readPostings(spark, path)
+      .select(col("doc_id"), col("dl").cast("long").as("dl"))
+      .unionAll(readZeroDocs(spark, path)
+        .select(col("doc_id"), lit(null).cast("long").as("dl")))
+      .distinct()
+      .agg(count(when(col("dl").isNotNull, 1)),
+        coalesce(sum("dl"), lit(0L)),
+        count(when(col("dl").isNull, 1))).collect()(0)
+    val nZero = merged.getLong(2)
+    val (newN, newDl) = (merged.getLong(0) + nZero, merged.getLong(1))
     if (newN != cur.getLong(0) || newDl != cur.getLong(1)) {
       val statsDir = new HPath(s"$path/stats")
       val statsFiles = SnapshotFold.resolve(fs, statsDir, committed)

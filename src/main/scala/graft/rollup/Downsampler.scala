@@ -299,17 +299,20 @@ object Downsampler {
       }
     hops.foreach { case (from, to, res) =>
       val src = store.read(from).filter(org.apache.spark.sql.functions.col("date") >= cutoff)
-      if (!src.isEmpty) {
+      // ONE pass answers both "is the window empty?" and "which dates?"
+      // (the separate isEmpty probe paid an extra scan job per hop —
+      // guide §1.2: don't compute things twice). Dates collect as
+      // STRINGS: decoding DateType to java.sql.Date needs `--add-opens
+      // java.base/sun.util.calendar` on JDK 17+, which a bare
+      // `java -cp` driver may not carry.
+      val dates = src.select(org.apache.spark.sql.functions.col("date")
+        .cast("string")).distinct().collect().map(_.getString(0))
+      if (dates.nonEmpty) {
         // replace the recent window in the target tier atomically per
         // partition: the fresh rollup is fully staged before any live
         // partition moves (TierStore.replaceDatePartitions' two-rename
         // publish) — the old drop-then-append left the window missing
         // for the whole aggregation job under concurrent readers
-        // collect the partition dates as STRINGS: decoding DateType to
-        // java.sql.Date needs `--add-opens java.base/sun.util.calendar`
-        // on JDK 17+, which a bare `java -cp` driver may not carry
-        val dates = src.select(org.apache.spark.sql.functions.col("date")
-          .cast("string")).distinct().collect().map(_.getString(0))
         store.replaceDatePartitions(to, downsample(src.drop("date"), res, tagCols),
           dates.toSeq, retainHistory = retainHistory)
       }
