@@ -1416,13 +1416,16 @@ object SparkEntry {
       val work = graft.Fixtures.newDir("graft_ivfs")
         .toFile.getAbsolutePath
       val emb = table(s, dir, "embeddings")
-      graft.functions.Similarity.buildIvfIndex(
-        emb.filter(col("vec_id") % 2 === 0), s"$work/idx",
-        // 1 train iter: centroid quality is fixture setup here — the
-        // full-probe query is centroid-independent (≡ brute force)
-        nLists = 8, trainIters = 1)
       val incoming = emb.filter(col("vec_id") % 2 === 1)
-      incoming.write.parquet(s"$work/in")
+      // index build and stream-input landing are independent — overlap
+      // them (guide §2.6)
+      graft.store.Concurrent.eval(s.sparkContext, Seq(
+        () => graft.functions.Similarity.buildIvfIndex(
+          emb.filter(col("vec_id") % 2 === 0), s"$work/idx",
+          // 1 train iter: centroid quality is fixture setup here — the
+          // full-probe query is centroid-independent (≡ brute force)
+          nLists = 8, trainIters = 1),
+        () => incoming.write.parquet(s"$work/in"))): Unit
       val q = graft.functions.Similarity.streamingIvfAppend(
         s.readStream.schema(incoming.schema).parquet(s"$work/in"),
         s"$work/idx", s"$work/ckpt")
@@ -1446,11 +1449,13 @@ object SparkEntry {
       val work = graft.Fixtures.newDir("graft_ivfp")
         .toFile.getAbsolutePath
       val emb = table(s, dir, "embeddings")
-      graft.functions.Similarity.buildIvfIndex(
-        emb.filter(col("vec_id") % 2 === 0), s"$work/idx",
-        nLists = 8, trainIters = 1)
       val phaseA = emb.filter(col("vec_id") % 4 === 1)
-      phaseA.write.parquet(s"$work/in")
+      // index build and phase-A landing are independent — overlap them
+      graft.store.Concurrent.eval(s.sparkContext, Seq(
+        () => graft.functions.Similarity.buildIvfIndex(
+          emb.filter(col("vec_id") % 2 === 0), s"$work/idx",
+          nLists = 8, trainIters = 1),
+        () => phaseA.write.parquet(s"$work/in"))): Unit
       val q = graft.functions.Similarity.streamingIvfAppend(
         s.readStream.schema(phaseA.schema).parquet(s"$work/in"),
         s"$work/idx", s"$work/ckpt")
@@ -1655,22 +1660,28 @@ object SparkEntry {
         .toFile.getAbsolutePath
       val emb = table(s, dir, "embeddings").filter(col("vec_id") % 2 === 0)
       val docs = table(s, dir, "documents").filter(col("doc_id") % 2 === 0)
-      graft.functions.Similarity.buildIvfIndex(emb, s"$work/idx",
-        nLists = 8, trainIters = 1)
-      Dedup.buildMinhashIndex(docs, s"$work/mh")
-      graft.functions.Retrieval.buildBm25Index(docs, s"$work/bm")
+      // the three index builds land in disjoint roots — overlap them
+      // (guide §2.6: each build alone underfills the executor pool; the
+      // serial order paid the sum of three short job chains)
+      graft.store.Concurrent.eval(s.sparkContext, Seq(
+        () => graft.functions.Similarity.buildIvfIndex(emb, s"$work/idx",
+          nLists = 8, trainIters = 1),
+        () => Dedup.buildMinhashIndex(docs, s"$work/mh"),
+        () => graft.functions.Retrieval.buildBm25Index(docs, s"$work/bm"))): Unit
       val store = new graft.store.TierStore(s, s"$work/store")
       val ctx = graft.api.Api.Context(s, store)
       val vecIds = emb.filter(col("vec_id") % 10 === 6)
         .select("vec_id").collect().map(_.getLong(0)).toSeq
       val docIds = docs.filter(col("doc_id") % 10 === 6)
         .select("doc_id").collect().map(_.getLong(0)).toSeq
-      graft.api.Api.dispatch(ctx, "cmd.tsdb.erase_index_ids",
-        graft.api.Api.EraseIndexIdsRequest(ids = vecIds,
-          ivf = Seq(s"$work/idx"))): Unit
-      graft.api.Api.dispatch(ctx, "cmd.tsdb.erase_index_ids",
-        graft.api.Api.EraseIndexIdsRequest(ids = docIds,
-          minhash = Seq(s"$work/mh"), bm25 = Seq(s"$work/bm"))): Unit
+      // two erase passes over DISJOINT index sets — overlap them too
+      graft.store.Concurrent.eval(s.sparkContext, Seq(
+        () => graft.api.Api.dispatch(ctx, "cmd.tsdb.erase_index_ids",
+          graft.api.Api.EraseIndexIdsRequest(ids = vecIds,
+            ivf = Seq(s"$work/idx"))),
+        () => graft.api.Api.dispatch(ctx, "cmd.tsdb.erase_index_ids",
+          graft.api.Api.EraseIndexIdsRequest(ids = docIds,
+            minhash = Seq(s"$work/mh"), bm25 = Seq(s"$work/bm"))))): Unit
       val audit = graft.api.Api.dispatch(ctx, "cmd.tsdb.verify_erasure",
         graft.api.Api.EraseIndexIdsRequest(ids = (vecIds ++ docIds).distinct,
           ivf = Seq(s"$work/idx"), minhash = Seq(s"$work/mh"),
@@ -1699,31 +1710,39 @@ object SparkEntry {
       val tier = graft.model.Tier.GenRaw
       val pts = points(s, dir, "sensor_")
         .filter(col("measurement") === "sensor_click")
-      store.write(tier, pts.filter(col("dir") === "import"))
       val emb = table(s, dir, "embeddings")
-      graft.functions.Similarity.buildIvfIndex(
-        emb.filter(col("vec_id") % 2 === 0), s"$work/idx",
-        nLists = 8, trainIters = 1)
       val docs = table(s, dir, "documents")
-      Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 10 >= 1 &&
-        col("doc_id") % 10 <= 4), s"$work/mh")
+      // tier write + two index builds hit disjoint stores — overlap
+      // them (guide §2.6); the pin capture below needs all three done
+      graft.store.Concurrent.eval(s.sparkContext, Seq(
+        () => store.write(tier, pts.filter(col("dir") === "import")),
+        () => graft.functions.Similarity.buildIvfIndex(
+          emb.filter(col("vec_id") % 2 === 0), s"$work/idx",
+          nLists = 8, trainIters = 1),
+        () => Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 10 >= 1 &&
+          col("doc_id") % 10 <= 4), s"$work/mh"))): Unit
       val pin = graft.run.RunPin.capture(s, Seq(
         "ann" -> graft.run.RunPin.Ivf(s"$work/idx"),
         "dedup" -> graft.run.RunPin.Minhash(s"$work/mh"),
         "corpus" -> graft.run.RunPin.Tier(store)))
       graft.run.RunPin.save(s, pin, s"$work/run.pin")
-      store.write(tier, pts.filter(col("dir") === "export"))
-      graft.functions.Similarity.appendIvfBatch(
-        emb.filter(col("vec_id") % 2 === 1), s"$work/idx", 0L): Unit
-      Dedup.appendShingledToIndexBatch(
-        graft.functions.Dedup.shingledDocs(
-          docs.filter(col("doc_id") % 10 >= 5), 3, 64, "doc_id", "text"),
-        s"$work/mh", 3, 64, 16, 0L): Unit
-      store.compact(tier, minFiles = 1, retainHistory = true)
-      graft.functions.Similarity.compactIvfLists(s, s"$work/idx",
-        minFiles = 2, retainHistory = true): Unit
-      Dedup.compactMinhashIndex(s, s"$work/mh", minFiles = 2,
-        retainHistory = true): Unit
+      // phase-B appends (disjoint stores) overlap; then the three
+      // history-retaining folds (disjoint stores) overlap — same §2.6
+      // rationale; order within each store is preserved by the phases
+      graft.store.Concurrent.eval(s.sparkContext, Seq(
+        () => store.write(tier, pts.filter(col("dir") === "export")),
+        () => graft.functions.Similarity.appendIvfBatch(
+          emb.filter(col("vec_id") % 2 === 1), s"$work/idx", 0L): Unit,
+        () => Dedup.appendShingledToIndexBatch(
+          graft.functions.Dedup.shingledDocs(
+            docs.filter(col("doc_id") % 10 >= 5), 3, 64, "doc_id", "text"),
+          s"$work/mh", 3, 64, 16, 0L): Unit)): Unit
+      graft.store.Concurrent.eval(s.sparkContext, Seq(
+        () => store.compact(tier, minFiles = 1, retainHistory = true): Unit,
+        () => graft.functions.Similarity.compactIvfLists(s, s"$work/idx",
+          minFiles = 2, retainHistory = true): Unit,
+        () => Dedup.compactMinhashIndex(s, s"$work/mh", minFiles = 2,
+          retainHistory = true): Unit)): Unit
       val loaded = graft.run.RunPin.load(s, s"$work/run.pin")
       val tierArm = graft.run.RunPin.tierRead(loaded, "corpus", store, tier)
         .groupBy(col("measurement"))
@@ -1895,11 +1914,13 @@ object SparkEntry {
       val work = graft.Fixtures.newDir("graft_bm25s")
         .toFile.getAbsolutePath
       val docs = table(s, dir, "documents")
-      graft.functions.Retrieval.buildBm25Index(
-        docs.filter(col("doc_id") % 2 === 0), s"$work/idx")
       val incoming = docs.filter(col("doc_id") % 2 === 1)
         .select("doc_id", "text")
-      incoming.repartition(4).write.parquet(s"$work/in")
+      // index build and stream-input landing are independent — overlap
+      graft.store.Concurrent.eval(s.sparkContext, Seq(
+        () => graft.functions.Retrieval.buildBm25Index(
+          docs.filter(col("doc_id") % 2 === 0), s"$work/idx"),
+        () => incoming.repartition(4).write.parquet(s"$work/in"))): Unit
       val q = graft.functions.Retrieval.streamingBm25Append(
         s.readStream.schema(incoming.schema)
           .option("maxFilesPerTrigger", "2").parquet(s"$work/in"),
@@ -1922,11 +1943,13 @@ object SparkEntry {
       val work = graft.Fixtures.newDir("graft_bm25p")
         .toFile.getAbsolutePath
       val docs = table(s, dir, "documents")
-      graft.functions.Retrieval.buildBm25Index(
-        docs.filter(col("doc_id") % 2 === 0), s"$work/idx")
       val phaseA = docs.filter(col("doc_id") % 4 === 1)
         .select("doc_id", "text")
-      phaseA.repartition(2).write.parquet(s"$work/in")
+      // index build and phase-A landing are independent — overlap
+      graft.store.Concurrent.eval(s.sparkContext, Seq(
+        () => graft.functions.Retrieval.buildBm25Index(
+          docs.filter(col("doc_id") % 2 === 0), s"$work/idx"),
+        () => phaseA.repartition(2).write.parquet(s"$work/in"))): Unit
       val q = graft.functions.Retrieval.streamingBm25Append(
         s.readStream.schema(phaseA.schema)
           .option("maxFilesPerTrigger", "2").parquet(s"$work/in"),
