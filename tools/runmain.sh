@@ -1,0 +1,20 @@
+#!/bin/bash
+# Run a graft main against the packaged jar without sbt (avoids the sbt
+# lock and its ~40 s cold start). Usage:
+#   tools/runmain.sh graft.Bench [args...]
+# Env: SPARK_DRIVER_MEM (default 8g) and the usual SPARK_GRAFT_* knobs.
+cd "$(dirname "$0")/.." || exit 1
+JAR=target/scala-2.13/ecollectorspark_2.13-0.1.0.jar
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $ADD_OPENS \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC \
+  -cp "$JAR:/opt/spark/jars/*" "$@"
