@@ -1417,17 +1417,16 @@ object SparkEntry {
         .toFile.getAbsolutePath
       val emb = table(s, dir, "embeddings")
       val incoming = emb.filter(col("vec_id") % 2 === 1)
-      // index build and stream-input landing are independent — overlap
-      // them (guide §2.6)
-      graft.store.Concurrent.eval(s.sparkContext, Seq(
-        () => graft.functions.Similarity.buildIvfIndex(
-          emb.filter(col("vec_id") % 2 === 0), s"$work/idx",
-          // 1 train iter: centroid quality is fixture setup here — the
-          // full-probe query is centroid-independent (≡ brute force)
-          nLists = 8, trainIters = 1),
-        () => incoming.write.parquet(s"$work/in"))): Unit
+      // stream input is immutable and whole-in — written once per JVM
+      // (cachedInput, the monitor idiom); checkpoint stays per-run
+      val in = cachedInput(s"ivfs:$dir")(p => incoming.write.parquet(p))
+      graft.functions.Similarity.buildIvfIndex(
+        emb.filter(col("vec_id") % 2 === 0), s"$work/idx",
+        // 1 train iter: centroid quality is fixture setup here — the
+        // full-probe query is centroid-independent (≡ brute force)
+        nLists = 8, trainIters = 1)
       val q = graft.functions.Similarity.streamingIvfAppend(
-        s.readStream.schema(incoming.schema).parquet(s"$work/in"),
+        s.readStream.schema(incoming.schema).parquet(in),
         s"$work/idx", s"$work/ckpt")
       q.processAllAvailable(); graft.stream.StreamOps.stopAndUnload(q)
       graft.functions.Similarity.compactIvfLists(s, s"$work/idx", minFiles = 2)
@@ -1916,14 +1915,15 @@ object SparkEntry {
       val docs = table(s, dir, "documents")
       val incoming = docs.filter(col("doc_id") % 2 === 1)
         .select("doc_id", "text")
-      // index build and stream-input landing are independent — overlap
-      graft.store.Concurrent.eval(s.sparkContext, Seq(
-        () => graft.functions.Retrieval.buildBm25Index(
-          docs.filter(col("doc_id") % 2 === 0), s"$work/idx"),
-        () => incoming.repartition(4).write.parquet(s"$work/in"))): Unit
+      // stream input is immutable and whole-in — written once per JVM
+      // (cachedInput, the monitor idiom); checkpoint stays per-run
+      val in = cachedInput(s"bm25s:$dir")(p =>
+        incoming.repartition(4).write.parquet(p))
+      graft.functions.Retrieval.buildBm25Index(
+        docs.filter(col("doc_id") % 2 === 0), s"$work/idx")
       val q = graft.functions.Retrieval.streamingBm25Append(
         s.readStream.schema(incoming.schema)
-          .option("maxFilesPerTrigger", "2").parquet(s"$work/in"),
+          .option("maxFilesPerTrigger", "2").parquet(in),
         s"$work/idx", s"$work/ckpt")
       q.processAllAvailable(); graft.stream.StreamOps.stopAndUnload(q)
       graft.functions.Retrieval.compactBm25Index(s, s"$work/idx", minFiles = 2)
@@ -2621,11 +2621,14 @@ object SparkEntry {
         concat(lit("sensor_"), col("event_type"), lit(";"),
           col("user_id").cast("string")).as("series_id"))
       // batch-DETERMINISTIC (r11 ask #3): one data batch + the final
-      // watermark-advance batch (see prof_streaming_psi)
-      pts.repartition(4).write.parquet(s"$work/in")
+      // watermark-advance batch (see prof_streaming_psi); input written
+      // once per JVM (cachedInput — the r13 ask #4 monitor idiom: the
+      // byte-identical input re-write was pure setup variance in the
+      // timed window; checkpoint and output stay per-run)
+      val in = cachedInput(s"a1w:$dir")(p => pts.repartition(4).write.parquet(p))
       val q = Aggregator.streamingWindowed(
           s.readStream.schema(pts.schema)
-            .option("maxFilesPerTrigger", "100000").parquet(s"$work/in"))
+            .option("maxFilesPerTrigger", "100000").parquet(in))
         .writeStream.outputMode("append")
         .option("checkpointLocation", s"$work/ckpt")
         .format("parquet").option("path", s"$work/out").start()
