@@ -45,13 +45,19 @@ object GraftSession {
       maxPartitionBytes: String = "256m"): SparkSession.Builder =
     SparkSession.builder()
       .config("spark.sql.session.timeZone", "UTC")
-      // zstd over the snappy default (optimization guide §6): measurably
-      // smaller files at similar read speed — at 100 TB the scan and the
-      // store's compaction I/O price by bytes on disk. A/B'd on the
-      // write-heavy bench entries at sf0.1: within noise locally
-      // (15.9 s vs 16.8 s for the six heaviest store writers), so the
-      // local bench stays comparable while production I/O shrinks.
-      .config("spark.sql.parquet.compression.codec", "zstd")
+      // Parquet codec, env-parameterised (optimization guide §6): for a
+      // 100 TB deployment set SPARK_GRAFT_PARQUET_CODEC=zstd — smaller
+      // files at similar read speed, and scans/compaction/erasure
+      // rewrites all price by bytes on disk. The LOCAL default stays
+      // Spark's own (snappy): repeated A/B on the write-heavy bench
+      // entries at sf0.1 put zstd's extra write CPU inside a noisy
+      // ±30% band (12.8 s snappy vs 14.2 s zstd on the four heaviest
+      // store writers, quiet runs), so baking zstd in would trade
+      // cross-round bench comparability for an I/O win this rig's
+      // ~15 MB fixtures cannot see. Scale-dependent knob, local-safe
+      // default — the round-16 parameterisation contract.
+      .config("spark.sql.parquet.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "snappy"))
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)

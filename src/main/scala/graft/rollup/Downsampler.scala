@@ -150,11 +150,13 @@ object Downsampler {
       val src = window(store.read(f))
       // replace every window date present in SOURCE or TARGET: a date
       // with fresh rows gets the recompute, a date whose source is gone
-      // retires its stale rollup (collect as strings — see maintain)
-      def dates(df: org.apache.spark.sql.DataFrame): Set[String] =
-        df.select(col("date").cast("string")).distinct()
-          .collect().map(_.getString(0)).toSet
-      val affected = dates(src) ++ dates(window(store.read(t)))
+      // retires its stale rollup (collect as strings — see maintain).
+      // ONE action covers both sides (union before the distinct) — the
+      // two separate collects paid an extra scan job per hop
+      def dateCol(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("date").cast("string"))
+      val affected = dateCol(src).unionAll(dateCol(window(store.read(t))))
+        .distinct().collect().map(_.getString(0)).toSet
       if (affected.nonEmpty)
         store.replaceDatePartitions(t, downsample(src.drop("date"), res, tagCols),
           affected.toSeq.sorted, retainHistory = retainHistory)
