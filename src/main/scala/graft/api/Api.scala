@@ -410,13 +410,16 @@ object Api {
       // short serial chain of small jobs that alone underfills the
       // executor pool, so a 3-index compliance batch otherwise pays
       // 3× the serial latency (the writeShingledTables idiom, lifted
-      // to the command layer)
+      // to the command layer). Each list is DEDUPED first: the serial
+      // execution tolerated a repeated path, but two concurrent erases
+      // of the same root would race on its staging dir and generation
+      // publish.
       graft.store.Concurrent.eval(ctx.spark.sparkContext,
-        req.ivf.map(p => () => (s"ivf:$p",
+        req.ivf.distinct.map(p => () => (s"ivf:$p",
             graft.functions.Similarity.eraseFromIvfIndex(ctx.spark, p, req.ids))) ++
-          req.minhash.map(p => () => (s"minhash:$p",
+          req.minhash.distinct.map(p => () => (s"minhash:$p",
             graft.functions.Dedup.eraseFromMinhashIndex(ctx.spark, p, req.ids))) ++
-          req.bm25.map(p => () => (s"bm25:$p",
+          req.bm25.distinct.map(p => () => (s"bm25:$p",
             graft.functions.Retrieval.eraseFromBm25Index(ctx.spark, p, req.ids))))
         .toDF("index", "rows_erased")
 
@@ -438,10 +441,15 @@ object Api {
       if (req.measurementName.nonEmpty)
         pred = pred && col("measurement") === req.measurementName
       import ctx.spark.implicits._
-      c.store.retentionPolicies.map { t =>
-        val (files, scanned, found) = c.store.auditErasure(t, pred)
-        (t.name, files, scanned, found)
-      }.toDF("tier", "files", "rows_scanned", "rows_found")
+      // the per-tier walks are INDEPENDENT read-only scans of disjoint
+      // tier roots — fan them out like verify_erasure's per-index walks
+      // (guide §2.6): each tier's listing + bounded-union aggregates
+      // alone underfill the executor pool
+      graft.store.Concurrent.eval(ctx.spark.sparkContext,
+        c.store.retentionPolicies.map { t => () =>
+          val (files, scanned, found) = c.store.auditErasure(t, pred)
+          (t.name, files, scanned, found)
+        }).toDF("tier", "files", "rows_scanned", "rows_found")
 
     case "cmd.tsdb.verify_erasure" =>
       // EXTENSION: audit-grade proof of a completed index erasure —

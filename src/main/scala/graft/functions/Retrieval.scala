@@ -120,18 +120,26 @@ object Retrieval {
     val tok = docs.select(col(idCol).as("doc_id"),
         TextFunctions.tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"), size(col("_toks")).as("dl"), col("_toks"))
-    tok.select(col("doc_id"), col("dl"), explode(col("_toks")).as("term"))
-      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-      .withColumn("shard", termShard(col("term")))
-      .repartition(col("shard"))
-      .write.mode(mode).partitionBy("shard").parquet(postingsDir)
     val dls = tok.select(col("doc_id"), col("dl").cast("long").as("dl")).persist()
     try {
-      dls.agg(count(lit(1)).as("n_docs"),
-          coalesce(sum("dl"), lit(0L)).as("total_dl"))
-        .coalesce(1).write.mode(mode).parquet(statsDir)
-      dls.filter(col("dl") === 0L).select("doc_id")
-        .coalesce(1).write.mode(mode).parquet(zeroDir)
+      // the three tables land in DISJOINT dirs with no ordering
+      // contract between them (a streamed batch's visibility is the
+      // ledger marker, a build's is the caller's) — overlap the heavy
+      // postings write with the tiny stats+zero pair instead of paying
+      // three serial job latencies per build/micro-batch (guide §2.6)
+      graft.store.Concurrent.eval(docs.sparkSession.sparkContext, Seq(
+        () => tok.select(col("doc_id"), col("dl"), explode(col("_toks")).as("term"))
+          .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+          .withColumn("shard", termShard(col("term")))
+          .repartition(col("shard"))
+          .write.mode(mode).partitionBy("shard").parquet(postingsDir),
+        () => {
+          dls.agg(count(lit(1)).as("n_docs"),
+              coalesce(sum("dl"), lit(0L)).as("total_dl"))
+            .coalesce(1).write.mode(mode).parquet(statsDir)
+          dls.filter(col("dl") === 0L).select("doc_id")
+            .coalesce(1).write.mode(mode).parquet(zeroDir)
+        })): Unit
     } finally dls.unpersist(): Unit
   }
 

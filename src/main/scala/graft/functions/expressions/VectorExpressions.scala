@@ -39,6 +39,10 @@ object VectorExpressions {
     GraftBridge.column(RandomProjectionQ6(GraftBridge.expression(vec), k, portable))
   def nfcNormalize(s: Column): Column =
     GraftBridge.column(NfcNormalize(GraftBridge.expression(s)))
+  def centroidTopK(vec: Column, norm: Column, cents: Array[Double],
+      norms: Array[Double], dims: Int, n: Int, roundScores: Boolean): Column =
+    GraftBridge.column(CentroidTopK(GraftBridge.expression(vec),
+      GraftBridge.expression(norm), cents, norms, dims, n, roundScores))
   def tokenStats(tokens: Column, stopwords: Seq[String]): Column =
     GraftBridge.column(TokenStats(GraftBridge.expression(tokens), stopwords))
   def repetitionStats(text: Column): Column =
@@ -687,6 +691,123 @@ case class MinHashSignature(child: Expression, k: Int)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * Top-`n` nearest centroids of a vector — ONE expression node holding
+ * the centroid matrix as instance state, the LARGE-k twin of the
+ * unrolled literal score-array formulation in
+ * [[graft.functions.Similarity]]: that shape embeds k centroid vectors
+ * as k separate literal subtrees (k DotProduct nodes per row), which is
+ * the round's fastest plan at fixture k (≤ a few hundred) but grows the
+ * generated code and the plan itself linearly in k — past ~10³ lists
+ * the projection risks codegen method/constant-pool limits and plan
+ * (de)serialization starts to price per centroid. Here the matrix is a
+ * flat `Array[Double]` serialized once with this node, the per-row work
+ * is one tight JVM loop (k·dims multiply-adds + an n-slot insertion),
+ * and codegen stays whole-stage via the [[TokenStats]] instance-call
+ * idiom.
+ *
+ * Output: array<struct<pos int, s double>> of the min(n, k) best
+ * centroids ordered by (s desc, pos asc), `pos` 1-BASED so
+ * `element_at(idLiteralArray, pos)` recovers the centroid id directly.
+ * Scoring is BIT-IDENTICAL to the literal path: each element widens to
+ * double before multiplying (the [[DotProduct]] contract), the dot
+ * runs over min(|vec|, dims) elements, zero norms score 0.0, and
+ * `roundScores` applies the exact `round(_, 6)` HALF_UP arithmetic of
+ * the portable mode BEFORE selection. Ties keep the earlier (smaller
+ * pos ≡ smaller centroid id — the matrix is collected in ascending id
+ * order) entry, matching both the literal argmax's first-max rule and
+ * the probe-route comparator's (s desc, id asc).
+ */
+case class CentroidTopK(vec: Expression, norm: Expression,
+    cents: Array[Double], norms: Array[Double], dims: Int,
+    n: Int, roundScores: Boolean) extends BinaryExpression {
+  require(n >= 1, "n must be >= 1")
+  require(norms.length * dims == cents.length,
+    s"centroid matrix shape mismatch: ${cents.length} values for " +
+      s"${norms.length} centroids x $dims dims")
+
+  override def left: Expression = vec
+  override def right: Expression = norm
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("s", DoubleType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, norm.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "CentroidTopK expects (array<float|double>, double)")
+    }
+
+  private val k = norms.length
+  @transient private lazy val isFloat = vec.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  def compute(v: ArrayData, nv: Double): ArrayData = {
+    val d = math.min(dims, v.numElements())
+    val m = math.min(n, k)
+    // the query vector widened ONCE (not once per centroid)
+    val q = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      q(i) = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      i += 1
+    }
+    val bs = new Array[Double](m) // best scores, descending
+    val bp = new Array[Int](m) // their 0-based centroid positions
+    var filled = 0
+    var c = 0
+    while (c < k) {
+      val cn = norms(c)
+      var s = 0.0
+      if (nv > 0 && cn > 0) {
+        var dot = 0.0
+        val off = c * dims
+        i = 0
+        while (i < d) { dot += q(i) * cents(off + i); i += 1 }
+        s = dot / (nv * cn)
+      }
+      if (roundScores)
+        s = java.math.BigDecimal.valueOf(s)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      // stable insertion: strict > keeps the earlier (smaller-pos) entry
+      // ahead on ties — the (s desc, pos asc) order
+      var j = filled
+      while (j > 0 && s > bs(j - 1)) j -= 1
+      if (j < m) {
+        var t = math.min(filled, m - 1)
+        while (t > j) { bs(t) = bs(t - 1); bp(t) = bp(t - 1); t -= 1 }
+        bs(j) = s; bp(j) = c
+        if (filled < m) filled += 1
+      }
+      c += 1
+    }
+    val out = new Array[Any](filled)
+    i = 0
+    while (i < filled) { out(i) = InternalRow(bp(i) + 1, bs(i)); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[Double])
+
+  // codegen via an instance call (the TokenStats idiom): the stage stays
+  // whole-stage-compiled and the matrix lives in ONE referenced object,
+  // never in generated source
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidTopK", this,
+      classOf[CentroidTopK].getName)
+    nullSafeCodeGen(ctx, ev, (v, nv) => s"${ev.value} = $ref.compute($v, $nv);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(vec = l, norm = r)
 }
 
 /**

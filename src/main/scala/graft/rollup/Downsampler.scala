@@ -105,7 +105,16 @@ object Downsampler {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        if (!batch.isEmpty) sink.write(to, batch)
+        // the batch plan carries the stateful windowed aggregation —
+        // without a persist the emptiness probe and the staged write
+        // EACH execute it (shuffle + state-store pass twice per
+        // micro-batch, the dominant addBatch cost). Persist caches the
+        // (small — sealed windows only) batch output across the two
+        // actions; the batch's own cache is dropped before the next
+        // trigger (guide §5 persist-on-reuse, VERDICT-r16 ask #4).
+        batch.persist()
+        try { if (!batch.isEmpty) sink.write(to, batch) }
+        finally { batch.unpersist(): Unit }
       }
       .start()
   }

@@ -30,7 +30,11 @@ object Concurrent {
       props.foreach { case (p, v) => sc.setLocalProperty(p, v) }
       try body() finally props.foreach { case (p, _) => sc.setLocalProperty(p, null) }
     }
-    val fs = thunks.map(a => Future(inGroup(a)))
+    // the thunks BLOCK on Spark actions — mark them so the fixed-
+    // parallelism global pool spawns replacement threads instead of
+    // starving unrelated users (and nested eval calls: the Api-level
+    // fan-out runs index-level fan-outs inside its own thunks)
+    val fs = thunks.map(a => Future(scala.concurrent.blocking(inGroup(a))))
     val rs = fs.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
     rs.map(_.get)
   }
